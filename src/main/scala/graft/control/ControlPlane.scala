@@ -1,0 +1,136 @@
+package graft.control
+
+import graft.model.{Ack, Command, InstanceStatus}
+import java.sql.Timestamp
+
+/** Engine configuration — the mutable-at-runtime subset of the reference's
+  * StreamProcessorConfig (processor/config.py:24-257). */
+case class EngineConfig(
+    instanceId: String,
+    modelId: String = "yolov8x-640",
+    maxFps: Double = 1.0,
+    confidenceThreshold: Double = 0.5,
+    streamIds: Vector[Int] = Vector(0)) {
+
+  /** Validation mirrors processor/validators.py:32-180 +
+    * processor/config.py:107-155. */
+  def validate: Either[String, EngineConfig] =
+    if (maxFps <= 0) Left(s"max_fps must be > 0, got $maxFps")
+    else if (confidenceThreshold < 0 || confidenceThreshold > 1)
+      Left(s"confidence_threshold must be in [0,1], got $confidenceThreshold")
+    else if (streamIds.isEmpty) Left("at least one stream required")
+    else if (streamIds.distinct.size != streamIds.size) Left("duplicate stream ids")
+    else if (modelId.trim.isEmpty) Left("model_id must be non-empty")
+    else Right(this)
+}
+
+/** Result of interpreting one command: ordered ACKs (received→completed|
+  * error, processor/control_plane.py:358-395), a status row when the
+  * command changes externally-visible state, and the possibly-updated
+  * config. */
+case class CommandResult(
+    config: EngineConfig,
+    acks: Seq[Ack],
+    status: Option[InstanceStatus],
+    restartRequired: Boolean)
+
+/** Driver-side command interpreter — the pure core of the reference's
+  * control plane (processor/control_plane.py:28-90 registry +
+  * command_handlers.py). Pure function of (config, command, clock) so the
+  * validate→backup→apply→rollback template (command_handlers.py:480-647)
+  * is directly testable; the streaming harness wires it into a
+  * `foreachBatch` loop that stops/rebuilds/starts queries when
+  * `restartRequired` is set (ST6-ST8).
+  *
+  * Unlike the reference — which runs handlers on the MQTT callback thread,
+  * blocking command processing during a 20 s restart (SURVEY.md §3.2) —
+  * interpretation is decoupled from query restart here; only ACK ordering
+  * per command is preserved. */
+object CommandInterpreter {
+
+  val KnownCommands: Set[String] = Set(
+    "pause", "resume", "stop", "restart", "status", "metrics", "ping",
+    "change_model", "set_fps", "add_stream", "remove_stream", "rename_instance")
+
+  /** Instance targeting (F4, control_plane.py:341-356). */
+  def isTargeted(cmd: Command, instanceId: String): Boolean =
+    cmd.target_instances == null || cmd.target_instances.isEmpty ||
+      cmd.target_instances.contains("*") || cmd.target_instances.contains(instanceId)
+
+  def interpret(cfg: EngineConfig, cmd: Command, now: Timestamp): CommandResult = {
+    val name = Option(cmd.command).getOrElse("").toLowerCase.trim
+    def ack(s: String, msg: Option[String] = None) =
+      Ack(cfg.instanceId, name, s, now, msg)
+    def status(s: String) = Some(InstanceStatus(cfg.instanceId, s, now, None, None))
+    def params = Option(cmd.params).getOrElse(Map.empty)
+
+    if (!isTargeted(cmd, cfg.instanceId))
+      return CommandResult(cfg, Nil, None, restartRequired = false)
+    if (!KnownCommands.contains(name))
+      return CommandResult(cfg,
+        Seq(ack("error", Some(s"unknown command: $name"))), None, restartRequired = false)
+
+    val received = ack("received")
+
+    /** validate → backup → apply; rollback = returning the old config on
+      * failure (command_handlers.py:480-565). */
+    def reconfigure(change: EngineConfig => EngineConfig,
+                    restart: Boolean): CommandResult =
+      change(cfg).validate match {
+        case Right(next) =>
+          CommandResult(next, Seq(received, ack("completed")),
+            status(if (restart) "restarting" else "running"), restart)
+        case Left(err) => // rollback: cfg unchanged
+          CommandResult(cfg, Seq(received, ack("error", Some(err))),
+            status("error"), restartRequired = false)
+      }
+
+    def requireParam(key: String)(use: String => CommandResult): CommandResult =
+      params.get(key) match {
+        case Some(v) => use(v)
+        case None => CommandResult(cfg,
+          Seq(received, ack("error", Some(s"missing param: $key"))),
+          None, restartRequired = false)
+      }
+
+    def numeric(key: String)(use: Double => CommandResult): CommandResult =
+      requireParam(key) { v =>
+        v.toDoubleOption match {
+          case Some(d) => use(d)
+          case None => CommandResult(cfg,
+            Seq(received, ack("error", Some(s"$key must be numeric: $v"))),
+            None, restartRequired = false)
+        }
+      }
+
+    name match {
+      case "pause" =>
+        CommandResult(cfg, Seq(received, ack("completed")), status("paused"), false)
+      case "resume" =>
+        CommandResult(cfg, Seq(received, ack("completed")), status("running"), false)
+      case "stop" =>
+        CommandResult(cfg, Seq(received, ack("completed")), status("stopped"), false)
+      case "restart" =>
+        CommandResult(cfg, Seq(received, ack("completed")), status("restarting"), true)
+      case "status" | "metrics" =>
+        CommandResult(cfg, Seq(received, ack("completed")), status("running"), false)
+      case "ping" =>
+        CommandResult(cfg, Seq(received, ack("completed")),
+          Some(InstanceStatus(cfg.instanceId, "running", now, None, Some(true))), false)
+      case "change_model" =>
+        requireParam("model_id")(m => reconfigure(_.copy(modelId = m), restart = true))
+      case "set_fps" =>
+        numeric("max_fps")(f => reconfigure(_.copy(maxFps = f), restart = true))
+      case "add_stream" =>
+        numeric("source_id")(s =>
+          reconfigure(c => c.copy(streamIds = c.streamIds :+ s.toInt), restart = true))
+      case "remove_stream" =>
+        numeric("source_id")(s =>
+          reconfigure(c => c.copy(streamIds = c.streamIds.filterNot(_ == s.toInt)),
+            restart = true))
+      case "rename_instance" =>
+        requireParam("new_instance_id")(id =>
+          reconfigure(_.copy(instanceId = id), restart = false))
+    }
+  }
+}

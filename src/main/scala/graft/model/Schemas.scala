@@ -1,0 +1,100 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounding box, center+size convention (reference: events/schema.py:14-20;
+  * converted to corner form only at render time, wall/renderer.py:119-123). */
+case class BoundingBox(x: Double, y: Double, width: Double, height: Double)
+
+/** One detection (reference: events/schema.py:23-29). `confidence` ∈ [0,1];
+  * `trackerId` optional. */
+case class Detection(
+    class_name: String,
+    confidence: Double,
+    bbox: BoundingBox,
+    tracker_id: Option[Int])
+
+/** The core document of the engine — one per processed frame
+  * (reference: events/schema.py:32-48). Raw pixels never enter the engine;
+  * only this metadata document does. */
+case class DetectionEvent(
+    instance_id: String,
+    source_id: Int,
+    frame_id: Long,
+    timestamp: java.sql.Timestamp,
+    model_id: String,
+    inference_time_ms: Double,
+    detections: Seq[Detection],
+    fps: Option[Double],
+    latency_ms: Option[Double])
+
+/** Control-plane command (reference: processor/control_plane.py:214-219).
+  * `target_instances` empty or containing "*" means broadcast. */
+case class Command(
+    command: String,
+    params: Map[String, String],
+    target_instances: Seq[String])
+
+/** IoT-style ACK (reference: processor/control_plane.py:358-395). */
+case class Ack(
+    instance_id: String,
+    command: String,
+    ack_status: String, // received | completed | error
+    timestamp: java.sql.Timestamp,
+    message: Option[String])
+
+/** Retained per-instance status (reference: processor/control_plane.py:397-433). */
+case class InstanceStatus(
+    instance_id: String,
+    status: String,
+    timestamp: java.sql.Timestamp,
+    uptime_seconds: Option[Double],
+    pong: Option[Boolean])
+
+/** Explicit StructType mirrors of the case classes, used with
+  * `from_json`/`to_json` at the wire boundary. A malformed JSON payload
+  * yields a null struct — filtering those nulls reproduces the reference's
+  * drop-and-log behavior (wall/mqtt_listener.py:86-96). */
+object Schemas {
+
+  val boundingBox: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("width", DoubleType, nullable = false),
+    StructField("height", DoubleType, nullable = false)))
+
+  val detection: StructType = StructType(Seq(
+    StructField("class_name", StringType, nullable = false),
+    StructField("confidence", DoubleType, nullable = false),
+    StructField("bbox", boundingBox, nullable = false),
+    StructField("tracker_id", IntegerType, nullable = true)))
+
+  val detectionEvent: StructType = StructType(Seq(
+    StructField("instance_id", StringType, nullable = false),
+    StructField("source_id", IntegerType, nullable = false),
+    StructField("frame_id", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("model_id", StringType, nullable = false),
+    StructField("inference_time_ms", DoubleType, nullable = false),
+    StructField("detections", ArrayType(detection, containsNull = false), nullable = false),
+    StructField("fps", DoubleType, nullable = true),
+    StructField("latency_ms", DoubleType, nullable = true)))
+
+  val command: StructType = StructType(Seq(
+    StructField("command", StringType, nullable = false),
+    StructField("params", MapType(StringType, StringType), nullable = true),
+    StructField("target_instances", ArrayType(StringType), nullable = true)))
+
+  /** Parse a JSON payload column into a typed event struct (S5).
+    * Corrupt payloads become null structs; forward-compatible: unknown
+    * fields are ignored, matching the reference's pydantic behavior
+    * (tests/unit/test_design_validation.py:392-428). */
+  def parseEvent(payload: Column): Column =
+    from_json(payload, detectionEvent)
+
+  /** Serialize an event struct back to compact JSON (K2,
+    * processor/mqtt_sink.py:110). */
+  def serializeEvent(event: Column): Column = to_json(event)
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines at 100 TB scale.
+  *
+  * Design rules applied throughout:
+  *  - candidate generation is always a *bucketed equi-join* (LSH band key,
+  *    SimHash chunk key, content hash) — never an unbounded theta join;
+  *    the only brute-force pairing ([[ngramJaccardPairs]]) is explicitly
+  *    blocked and documented as the small-block verifier.
+  *  - signatures (MinHash, SimHash) are computed row-locally with
+  *    higher-order array functions — no shuffle, no UDF, codegen-friendly.
+  *  - hashes are md5-based so results are engine-portable (deterministic
+  *    and reproducible in any SQL engine for oracle checks).
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column, de-duplicated, order-free.
+    * n=2 by default: `["a b", "b c", ...]`. Row-local. */
+  def wordShingles(text: Column, n: Int = 2): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val m = size(toks)
+    if (n == 1) array_distinct(toks)
+    else {
+      // zip toks[0..m-2] with toks[1..m-1] (bigram case generalized below)
+      val parts = (0 until n).map(i => slice(toks, lit(i + 1), greatest(m - (n - 1), lit(0))))
+      val zipped = parts.reduceLeft((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+      array_distinct(zipped)
+    }
+  }
+
+  /** Exact dedup: group identical content by md5, keep the smallest id
+    * (hash-groupBy — map-side partial agg, one shuffle on the digest). */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("h"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Jaccard similarity of two pre-deduplicated shingle arrays as
+    * |A∩B| / (|A|+|B|−|A∩B|). Exact IEEE arithmetic — portable. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Brute-force n-gram Jaccard near-dup pairs *within a blocking key*
+    * (e.g. language, length bucket). The block bounds the quadratic term:
+    * cost is Σ_block |block|², so blocks must be kept small at scale —
+    * for unblocked corpora use [[minHashLshPairs]] instead. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        block: String, threshold: Double): DataFrame = {
+    val sh = df.select(col(id), col(block), wordShingles(col(text)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col(id).as("a_id"), col(block).as("a_block"), col("sh").as("a_sh"))
+    val b = sh.select(col(id).as("b_id"), col(block).as("b_block"), col("sh").as("b_sh"))
+    a.join(b, col("a_block") === col("b_block") && col("a_id") < col("b_id"))
+      .withColumn("jac", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+  }
+
+  /** MinHash signature: for hash function i, the minimum md5 over salted
+    * shingles `md5(i + "|" + shingle)`. The min of a cryptographic digest
+    * over a set is a uniform permutation-min — the textbook MinHash
+    * estimator, in portable string form. Row-local. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, x => md5(concat(lit(s"$i|"), x))))
+    }: _*)
+
+  /** LSH band keys: concatenation of `rowsPerBand` consecutive signature
+    * entries, prefixed with the band index. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("#", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** MinHash+LSH near-dup pairs: shingle → signature → band → bucket join
+    * → exact-Jaccard verification. The only shuffles are (1) the band-key
+    * equi-join (candidate generation — data volume ∝ documents × bands) and
+    * (2) two id-joins to fetch shingles for verification. No O(n²) stage;
+    * this is the scale path for unblocked corpora. */
+  def minHashLshPairs(df: DataFrame, id: String, text: String,
+                      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = sh
+      .select(col("doc"), explode(lshBands(
+        minHashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("band"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jac", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+  }
+
+  private val SimHashBits = 60 // 15 hex chars of md5 → fits a positive Long
+
+  /** 60-bit SimHash over whitespace tokens (with multiplicity): bit j of
+    * the fingerprint is set iff Σ_tokens (±1 by bit j of md5(token)) > 0.
+    * Entirely row-local HOF arithmetic. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text),
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    (0 until SimHashBits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
+    * Candidate generation by the pigeonhole principle: the 60-bit
+    * fingerprint is cut into (maxDist+1) chunks; any pair within maxDist
+    * must agree on at least one chunk, so an equi-join on (chunk index,
+    * chunk value) has recall 1.0 — provably identical output to the O(n²)
+    * scan, at bucketed-join cost. */
+  def simHashPairs(df: DataFrame, id: String, text: String,
+                   maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val chunkBits = (SimHashBits + chunks - 1) / chunks
+    val withSim = df.select(col(id).as("doc"), simHash(col(text)).as("sim"))
+    val keyed = withSim.select(col("doc"), col("sim"), posexplode(
+      array((0 until chunks).map { c =>
+        shiftright(col("sim"), c * chunkBits) % (1L << chunkBits)
+      }: _*)).as(Seq("ck", "cv")))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxDist)
+  }
+}

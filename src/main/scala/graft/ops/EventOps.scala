@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The batch forms of the reference's dataflow operators (SURVEY.md §2),
+  * written shuffle-consciously for 100 TB scale:
+  *
+  *  - latest-per-key / first-per-bucket use `max(struct(...))` aggregation,
+  *    not `row_number()` windows: aggregation gets a map-side partial
+  *    combine, so each input partition contributes at most one row per key
+  *    to the shuffle instead of the full table flowing through a sort.
+  *  - dimension joins take `broadcast()` hints — dims are tiny
+  *    (source-id remaps, nation/region-class tables).
+  *  - everything is a pure `Column`/`DataFrame` composition: predicate
+  *    pushdown, column pruning and whole-stage codegen all apply.
+  */
+object EventOps {
+
+  /** Latest row per key (W1, wall/detection_cache.py:38-46 — the wall's
+    * last-value cache, batch form). Deterministic: ordered by
+    * (orderCol, tieBreak) descending, i.e. equivalent to
+    * `row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie DESC) = 1`.
+    *
+    * Implementation: `max(struct(ord, tie, payload*))` — one shuffle with
+    * partial aggregation; no global sort, no per-partition sort buffer.
+    * At 100 TB this is the difference between shuffling ~|keys| rows and
+    * shuffling the whole table. */
+  def latestPerKey(df: DataFrame, key: Seq[String], orderCol: String,
+                   tieBreak: String): DataFrame = {
+    val payload = df.columns.filterNot(key.contains)
+    val packed = struct(col(orderCol) +: col(tieBreak) +:
+      payload.filterNot(c => c == orderCol || c == tieBreak).map(col): _*)
+    df.groupBy(key.map(col): _*).agg(max(packed).as("__latest"))
+      .select(key.map(col) ++ payload.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** Latest-per-key restricted to "fresh" rows (ST1,
+    * wall/detection_cache.py:48-69). The reference expires entries on read
+    * when `now − insert_time > ttl`; the deterministic batch analog anchors
+    * "now" at `max(orderCol)` over the input so the query is a pure function
+    * of its input (FIXTURES.md §6).
+    *
+    * The scalar max is computed as a 1-row aggregate and broadcast-joined —
+    * never a global window over an unpartitioned frame. */
+  def latestPerKeyWithTtl(df: DataFrame, key: Seq[String], orderCol: String,
+                          tieBreak: String, ttl: String): DataFrame = {
+    val maxTs = df.agg(max(col(orderCol)).as("__max_ord"))
+    val fresh = df.crossJoin(broadcast(maxTs))
+      .filter(col(orderCol) > col("__max_ord") - expr(s"INTERVAL $ttl"))
+      .drop("__max_ord")
+    latestPerKey(fresh, key, orderCol, tieBreak)
+  }
+
+  /** Per-key rate limiting (ST4, processor/config.py:55-56): keep the first
+    * row per (key, time-bucket). Same partial-agg shape as [[latestPerKey]]
+    * but with `min(struct(...))` (earliest wins within the bucket). */
+  def throttlePerKey(df: DataFrame, key: Seq[String], ts: String,
+                     tieBreak: String, bucket: Column): DataFrame = {
+    val withBucket = df.withColumn("__bucket", bucket)
+    val payload = df.columns.filterNot(key.contains)
+    val packed = struct(col(ts) +: col(tieBreak) +:
+      payload.filterNot(c => c == ts || c == tieBreak).map(col): _*)
+    withBucket.groupBy((key :+ "__bucket").map(col): _*)
+      .agg(min(packed).as("__first"))
+      .select(key.map(col) ++ payload.map(c => col(s"__first.$c").as(c)): _*)
+  }
+
+  /** As-of join (J2, wall/wall.py:122-127 + wall/detection_cache.py:48-69):
+    * for each probe row, the latest build row with the same key and
+    * `buildTs ∈ (probeTs − tolerance, probeTs]`; left-outer (probes without
+    * a fresh match survive with null build columns, like a bare tile).
+    *
+    * Implementation: bounded-range equi-join on the key, then
+    * `max(struct(buildTs, tie, buildCols*))` per probe row. The equi-key
+    * keeps this a hash/sort-merge join on `key` (co-partitioned shuffle);
+    * the range predicate is applied as a join filter; the tolerance bounds
+    * fan-out so the follow-up aggregation stays small. No driver-side state,
+    * no window over the full joined set. */
+  def asOfJoin(probe: DataFrame, build: DataFrame, key: String,
+               probeTs: String, buildTs: String, tolerance: String,
+               buildTie: String): DataFrame = {
+    val b = build.withColumnRenamed(key, "__bkey")
+    val joined = probe.join(b,
+      probe(key) === b("__bkey") &&
+        b(buildTs) <= probe(probeTs) &&
+        b(buildTs) >= probe(probeTs) - expr(s"INTERVAL $tolerance"),
+      "left")
+    val buildCols = build.columns.filterNot(_ == key)
+    val packed = struct(col(buildTs) +: col(buildTie) +:
+      buildCols.filterNot(c => c == buildTs || c == buildTie).map(col): _*)
+    val probeCols = probe.columns
+    joined.groupBy(probeCols.map(probe(_)): _*)
+      .agg(max(packed).as("__m"))
+      .select(probeCols.map(col) ++ buildCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Source-id remap (P2/J1, processor/mqtt_sink.py:123-135): internal
+    * index → physical id via a tiny mapping, identity where unmapped.
+    * The mapping is broadcast — this is the reference's only join and it
+    * must never shuffle the event stream. */
+  def remapSourceIds(df: DataFrame, idCol: String, mapping: DataFrame,
+                     mapKey: String, mapVal: String): DataFrame =
+    df.join(broadcast(mapping), df(idCol) === mapping(mapKey), "left")
+      .withColumn("mapped_id", coalesce(col(mapVal), col(idCol)))
+      .drop(mapKey, mapVal)
+
+  /** Confidence threshold (F3, processor/config.py:58-59). */
+  def confidenceFilter(df: DataFrame, conf: String, threshold: Double): DataFrame =
+    df.filter(col(conf).isNotNull && col(conf) >= threshold)
+
+  /** Tumbling-window bucket start as epoch seconds — used instead of
+    * Spark's `window()` struct so results are directly hash-comparable
+    * with an external oracle. Epoch-aligned, UTC. */
+  def windowStartSec(ts: Column, seconds: Int): Column =
+    (floor(unix_timestamp(ts) / seconds) * seconds).cast("long")
+}

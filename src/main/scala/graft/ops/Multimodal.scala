@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal media payload: opaque bytes + typed metadata. */
+case class MediaItem(
+    item_id: Long,
+    media_type: String, // image | audio | video | text
+    blob: Array[Byte],
+    mime: String,
+    byte_len: Long)
+
+/** Extracted features for a media item. In production the vector comes
+  * from a real decoder/model; here the decode step is STUBBED (no media
+  * codecs in this environment) with a deterministic digest-based fake so
+  * the Spark-side plumbing — schema, batching, partition shape — is real
+  * and testable. */
+case class MediaFeatures(
+    item_id: Long,
+    media_type: String,
+    byte_len: Long,
+    sig: String,
+    feature: Array[Float])
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * columns with typed metadata, and run decode/feature-extraction as a
+  * partition-batched pipeline (`mapPartitions`), the Scala analog of
+  * `mapInPandas`: per-partition setup (decoder init) amortized across a
+  * batch of rows, constant memory, no driver involvement. */
+object Multimodal {
+
+  /** Wrap a text column as a binary media column with metadata — the
+    * ingestion shape for any opaque payload. Pure column ops. */
+  def attachBinary(df: DataFrame, id: String, payload: String): DataFrame =
+    df.select(
+      col(id).cast("long").as("item_id"),
+      lit("text").as("media_type"),
+      col(payload).cast("binary").as("blob"),
+      lit("text/plain").as("mime"),
+      octet_length(col(payload)).cast("long").as("byte_len"))
+
+  /** STUB decoder: a real implementation would decode the blob (JPEG
+    * frame, audio chunk, video keyframe) and run a feature extractor.
+    * Deterministic fake: md5 digest + 4 pseudo-features derived from the
+    * digest bytes. The partition-batched execution shape is the real
+    * contract. */
+  private def decodeStub(item: MediaItem): MediaFeatures = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(item.blob)
+    val hex = digest.map("%02x".format(_)).mkString
+    val feats = digest.take(4).map(b => (b & 0xff).toFloat / 255.0f)
+    MediaFeatures(item.item_id, item.media_type, item.byte_len, hex, feats)
+  }
+
+  /** Decode + feature-extract, partition-batched. Executor-local "decoder
+    * init" happens once per partition (the expensive part for real
+    * codecs); rows then stream through it without materializing the
+    * partition. */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // per-partition decoder/model initialization would go here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Frame-sampling shape for video payloads: key frames every `stride`-th
+    * item per source — reuses the engine's throttle operator (ST4) on the
+    * metadata, demonstrating that multimodal sampling is the same
+    * first-per-bucket aggregation as event-rate capping. */
+  def sampleEveryNth(df: DataFrame, id: String, stride: Int): DataFrame =
+    df.filter(pmod(col(id), lit(stride)) === 0)
+}

@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Topic-envelope and control-plane predicates, as pure column expressions
+  * so Catalyst can push/fold them.
+  *
+  * Reference semantics: events/protocol.py:11-55 (topic format/parse),
+  * processor/control_plane.py:341-356 (instance targeting). */
+object Protocol {
+
+  val DefaultTopicPrefix = "nvr/detections"
+
+  /** `"{prefix}/{source_id}"` (events/protocol.py:11-28). */
+  def topicForSource(sourceId: Column, prefix: String = DefaultTopicPrefix): Column =
+    concat_ws("/", lit(prefix), sourceId.cast("string"))
+
+  /** Extract the trailing integer segment of a topic; null on malformed
+    * input — matching `parse_source_id_from_topic` returning None
+    * (events/protocol.py:31-55). `try_cast`-like: a non-numeric tail
+    * casts to null rather than raising. */
+  def parseSourceId(topic: Column): Column =
+    element_at(split(topic, "/"), -1).cast("int")
+
+  /** Command targeting filter (F4, processor/control_plane.py:341-356):
+    * process iff targets is null/empty, contains "*", or contains our id. */
+  def targetingPredicate(targets: Column, instanceId: String): Column =
+    targets.isNull || size(targets) === 0 ||
+      array_contains(targets, "*") || array_contains(targets, instanceId)
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Arithmetic discipline: every dot product is a *left fold in double
+  * precision* (`aggregate(zip_with(...))`) — float→double promotion is
+  * exact and the fold order is fixed, so scores are bit-reproducible
+  * across runs, partitionings, and engines (oracle-checkable).
+  * All per-vector work is row-local HOF code; the only shuffles are the
+  * top-k merge (tiny: partitions × k rows) and the candidate joins. */
+object Similarity {
+
+  /** Deterministic double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm, same fold discipline. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot / (‖a‖·‖b‖) — computed exactly in this form (norms
+    * pre-rooted before multiplying) so oracles can reproduce it. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors by (cosine DESC, id ASC).
+    *
+    * Two-phase distributed top-k — the pattern that survives a 1000-way
+    * corpus: (1) per (query, input-partition) local top-k via partial
+    * `min(struct)`-style aggregation of sorted slices, (2) merge the
+    * partitions×k survivors per query. No global sort, no window over the
+    * full cross product, and the queries side is broadcast. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                 vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"))
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
+    topKMerge(scored, k)
+  }
+
+  /** Shared two-phase top-k: input (q_id, c_id, cos) → (q_id, rank, c_id,
+    * cos rounded to 6). Phase 1 caps each input partition's contribution
+    * per query at k rows; phase 2 merges. Deterministic: ties broken by
+    * c_id ascending. */
+  private[graft] def topKMerge(scored: DataFrame, k: Int): DataFrame = {
+    val packed = struct((-col("cos")).as("neg"), col("c_id").as("c_id"))
+    val local = scored
+      .withColumn("part", spark_partition_id())
+      .groupBy(col("q_id"), col("part"))
+      .agg(slice(array_sort(collect_list(packed)), 1, k).as("top"))
+    local.groupBy(col("q_id"))
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("e.c_id").as("neighbor_id"), round(-col("e.neg"), 6).as("cos"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, brute force
+    * over the full pair space a<b. Quadratic — correct baseline and the
+    * verification step; the scale path buckets candidates first
+    * (random-hyperplane LSH, [[hyperplaneLshPairs]]). */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+                         threshold: Double): DataFrame = {
+    val v = df.select(col(id), col(vec), norm(col(vec)).as("nrm"))
+    val a = v.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = v.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", round(
+        cosine(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * Knuth multiplicative hash → (0,1) → centered. Exact integer → double
+    * arithmetic, reproducible anywhere. */
+  private def planeComponent(j: Int, d: Column): Column =
+    ((lit(j.toLong * 8191L) + d) * lit(2654435761L) % lit(2147483647L))
+      .cast("double") / lit(2147483647.0) - lit(0.5)
+
+  /** Random-hyperplane (sign) LSH bucket key: `numPlanes` sign bits of
+    * projections onto fixed pseudo-random hyperplanes. Vectors in the same
+    * bucket are cosine-close with high probability. Row-local. */
+  def hyperplaneBucket(vec: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(j, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN near-dup pairs: bucket by hyperplane signature, exact cosine
+    * verification within buckets only. Candidate volume ∝ Σ_bucket
+    * |bucket|² with 2^numPlanes buckets — the 100 TB path (approximate:
+    * recall < 1 by construction; raise numPlanes bands for recall). */
+  def hyperplaneLshPairs(df: DataFrame, id: String, vec: String,
+                         numPlanes: Int, threshold: Double): DataFrame = {
+    val v = df.select(col(id), col(vec), norm(col(vec)).as("nrm"),
+      hyperplaneBucket(col(vec), numPlanes).as("bucket"))
+    val a = v.select(col(id).as("a_id"), col(vec).as("a_vec"),
+      col("nrm").as("a_nrm"), col("bucket"))
+    val b = v.select(col(id).as("b_id"), col(vec).as("b_vec"),
+      col("nrm").as("b_nrm"), col("bucket").as("b_bucket"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("cos", round(
+        cosine(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+}

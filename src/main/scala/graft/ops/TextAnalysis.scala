@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All are pure row-local column expressions (higher-order functions over
+  * arrays) — no shuffle, no UDF, fully codegen-eligible — so they scale
+  * linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token count: runs of letters, runs of digits, and
+    * individual other non-space characters — a deterministic stand-in for
+    * a real subword tokenizer's segment count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality-scoring signals: length, alpha ratio, whitespace ratio,
+    * stopword ratio, mean token length. Ratios rounded to 4 places so the
+    * result is oracle-comparable as doubles. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def qualitySignals(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stop = size(filter(toks, w => w.isin(Stopwords.map(lit): _*)))
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", ""))
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", nTok)
+      .withColumn("alpha_ratio", round(alpha.cast("double") / length(t), 4))
+      .withColumn("stopword_ratio",
+        round(when(nTok > 0, stop.cast("double") / nTok).otherwise(0.0), 4))
+      .withColumn("mean_token_len",
+        round(when(nTok > 0,
+          aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok)
+          .otherwise(0.0), 4))
+  }
+
+  /** Language-ID by marker-word voting: deterministic n-gram/stopword
+    * heuristic. Counts occurrences of per-language marker words; argmax
+    * with ties broken by language code ascending; all-zero → "und".
+    * The profile is intentionally tiny and fixed so the operator is a pure
+    * function (oracle-checkable); swap in bigger profiles for production. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // argmax(score), tie → lexicographically smallest lang. Encoded as
+    // array_max over struct(score, priority, lang) where priority is the
+    // reverse rank of the (already-sorted) language list, so the max on a
+    // score tie is the earliest language.
+    val n = LangMarkers.size
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        size(filter(toks, w => w.isin(markers.map(lit): _*))).as("score"),
+        lit(n - i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: minimum md5 over 8-char shingles sampled every
+    * 4 chars (winnowing-style rolling selection). Row-local, deterministic,
+    * and identical across engines because it is pure md5-on-substrings. */
+  def fingerprint(text: Column): Column = {
+    val positions = sequence(lit(1), greatest(length(text) - 7, lit(1)), lit(4))
+    array_min(transform(positions, i => md5(text.substr(i, lit(8)))))
+  }
+}

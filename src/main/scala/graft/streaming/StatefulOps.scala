@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A keyed event for stateful streaming ops — schema matches the driver
+  * testdata `events` table so batch and streaming forms share fixtures. */
+case class KeyedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+/** Streaming forms of the reference's stateful operators. The batch forms
+  * live in [[graft.ops.EventOps]]; these are the `mapGroupsWithState`
+  * equivalents with the reference's *processing-time* semantics:
+  *
+  *  - the wall cache is last-ARRIVAL-wins, not last-event-time-wins
+  *    (wall/detection_cache.py:38-46): an out-of-order older frame
+  *    overwrites a newer one. `arrivalOrder = true` reproduces that;
+  *    `false` keeps the max-event-time row (the saner default, and the
+  *    one the deterministic batch oracle uses). SURVEY.md §7.4(1).
+  *  - TTL expiry is processing-time on read (wall/detection_cache.py:63-67)
+  *    → `GroupStateTimeout.ProcessingTimeTimeout`, state dropped on
+  *    timeout. State size is O(keys), bounded by the TTL reaper. */
+object StatefulOps {
+
+  /** Latest event per key with TTL state (W1 + ST1). Emits the current
+    * winner for a key whenever the key receives data; drops state on
+    * processing-time timeout. */
+  def latestPerKeyTtl(events: Dataset[KeyedEvent], ttlMs: Long,
+                      arrivalOrder: Boolean): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyedEvent, KeyedEvent](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (_, batch, state: GroupState[KeyedEvent]) =>
+          if (state.hasTimedOut) {
+            // read-path expiry: entry dropped, nothing emitted
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming =
+              if (arrivalOrder) batch.toSeq.last // arrival order within batch
+              else batch.maxBy(e => (e.ts.getTime, e.event_id))
+            val winner =
+              if (arrivalOrder) incoming // unconditional overwrite
+              else state.getOption.toSeq.:+(incoming)
+                .maxBy(e => (e.ts.getTime, e.event_id))
+            state.update(winner)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.single(winner)
+          }
+      }
+  }
+
+  /** Per-key rate limiter (ST4): pass at most one event per key per
+    * `periodMs` of event time; state = last emitted bucket. */
+  def throttlePerKey(events: Dataset[KeyedEvent], periodMs: Long): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Long]) =>
+          var lastBucket = state.getOption.getOrElse(Long.MinValue)
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val bucket = Math.floorDiv(e.ts.getTime, periodMs)
+            if (bucket > lastBucket) { lastBucket = bucket; Some(e) } else None
+          }
+          state.update(lastBucket)
+          out.iterator
+      }
+  }
+
+  /** Tumbling metrics window (ST3/A1-A3, metrics_reporter.py:164-233):
+    * identical plan in batch and streaming — throughput + per-key average
+    * latency per 10 s window, warm-up windows suppressed (F5). */
+  def metricsAggregate(events: DataFrame, windowSec: Int = 10): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) / windowSec.toDouble).as("rate"),
+        round(avg(col("value")) * 1000, 2).as("avg_val_ms"))
+      .filter(col("n") > 0)
+
+  /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): an output filter
+    * against a driver-toggled flag. In streaming the flag flips between
+    * micro-batches (the "immediate" level of the two-level pause); the
+    * "gradual" level is `query.stop()` + checkpoint resume. */
+  def pauseGate(df: DataFrame, paused: () => Boolean): DataFrame =
+    if (paused()) df.filter(lit(false)) else df
+}
