@@ -1,24 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries (SparkEntry.benchQueries) on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is forced
+  * through a `noop` write so the WHOLE plan executes (a bare `count()`
+  * lets Catalyst prune every computed column — md5s, folds, joins — and
+  * benchmarks nothing). Failures are reported as error markers, never as
+  * fake timings. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val timed = SparkEntry.benchQueries.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val res =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
+        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      (name, (System.nanoTime() - t0) / 1e9, res)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = timed.collect { case (n, s, Right(_)) => n -> s }
+    val failed = timed.collect { case (n, _, Left(m)) => n -> m }
+    val qs = ok.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(300))}" }
+      .mkString("{", ",", "}")
+    val total = "%.3f".format(ok.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) System.exit(1)
   }
 }

@@ -1,0 +1,559 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Dedup, EventOps, Multimodal, Protocol, Similarity, TextAnalysis}
+
+/** The canonical oracle-checked query inventory (SURVEY.md §2.12 Q1-Q14 +
+  * the LLM-data-pipeline operators + TPC-H-style scale probes), each as a
+  * `(SparkSession, sfDir) => DataFrame` over the driver testdata plus an
+  * equivalent DuckDB SQL oracle.
+  *
+  * Determinism discipline (SURVEY.md §7.4.6): every query is a pure
+  * function of its input tables — no current_timestamp, ties broken by id.
+  * Cross-engine hash-matching rules used throughout:
+  *  - timestamps leave the engine as `unix_micros` longs (epoch_us in
+  *    DuckDB) — never as raw timestamp values;
+  *  - sums are decimal(18,2)-exact, cast to double only at the end, so the
+  *    result is independent of aggregation order (a double sum is not);
+  *  - derived doubles end in a single rounding step shared by both sides;
+  *  - every aggregate/computed column is aliased identically on both sides
+  *    (the driver sorts columns by name before hashing).
+  */
+object Queries {
+
+  /** Columns holding parquet TIMESTAMP(NANOS) in the testdata. Spark reads
+    * them as raw nano longs (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    * [[sessionConfigs]]); normalized here to microsecond timestamps —
+    * exactly DuckDB's ns→µs truncation, so oracles agree. */
+  private val NanoTsCols = Set("ts", "o_orderdate", "l_shipdate")
+
+  /** Configs the Verify/Bench sessions need. */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.columns.foldLeft(df) { (d, c) =>
+      if (!NanoTsCols(c)) d
+      else d.schema(c).dataType match {
+        case LongType => d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
+    }
+  }
+
+  private def events(s: SparkSession, dir: String) = table(s, dir, "events")
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+
+  /** Decimal-exact sum of a 2-decimal double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)"))
+
+  private def tsUs(c: String): Column = unix_micros(col(c)).as(s"${c}_us")
+
+  final case class QDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = false)
+
+  // ---------------------------------------------------------------- Q1-Q14
+
+  private val q01 = QDef("q01_parse_props",
+    (s, d) => events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").as("k"),
+      get_json_object(col("props"), "$.missing").as("k_missing")),
+    Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
+            props->>'$.missing' AS k_missing FROM events"""))
+
+  private val q02 = QDef("q02_filter_conf",
+    (s, d) => EventOps.confidenceFilter(events(s, d), "value", 0.5)
+      .select("event_id", "user_id", "event_type", "value"),
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+            WHERE value IS NOT NULL AND value >= 0.5"""))
+
+  private val q03 = QDef("q03_topic_roundtrip",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        Protocol.topicForSource(col("user_id")).as("topic"))
+      .withColumn("parsed_id", Protocol.parseSourceId(col("topic"))),
+    // expected-value oracle: parse(format(id)) == id by construction
+    Some("""SELECT event_id,
+            'nvr/detections/' || CAST(user_id AS VARCHAR) AS topic,
+            CAST(user_id AS INT) AS parsed_id FROM events"""))
+
+  private val q04 = QDef("q04_remap_ids",
+    (s, d) => {
+      import s.implicits._
+      val mapping = Seq((0L, 100L), (1L, 101L)).toDF("mk", "mv")
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        (col("user_id") % 3).as("join_key"))
+      EventOps.remapSourceIds(ev, "join_key", mapping, "mk", "mv")
+    },
+    Some("""WITH m(mk, mv) AS (VALUES (0, 100), (1, 101))
+            SELECT e.event_id, e.user_id, e.user_id % 3 AS join_key,
+                   CAST(COALESCE(m.mv, e.user_id % 3) AS BIGINT) AS mapped_id
+            FROM events e LEFT JOIN m ON e.user_id % 3 = m.mk"""))
+
+  private val q05 = QDef("q05_build_explode_label",
+    (s, d) => {
+      // confidence is an exact 2-decimal double: %.2f then needs no
+      // rounding, sidestepping Java-HALF_UP vs fmt-half-even divergence
+      // on shortest-repr ties (e.g. 0.105).
+      val preds = array(
+        struct(col("event_type").as("class"),
+          ((col("event_id") % 100).cast("double") / 100).as("confidence"),
+          col("value").as("x"), (col("value") + 1).as("y"),
+          lit(10.0).as("width"), lit(5.0).as("height"),
+          when(col("event_id") % 2 === 0, (col("event_id") % 97).cast("int"))
+            .as("tracker_id")),
+        struct(lit("extra").as("class"), lit(0.25).as("confidence"),
+          lit(1.0).as("x"), lit(2.0).as("y"), lit(3.0).as("width"),
+          lit(4.0).as("height"), lit(null).cast("int").as("tracker_id")))
+      val ev = EventOps.buildEvent("inst-1", "model-a", col("user_id"),
+        col("event_id"), col("ts"), col("value"), preds)
+      events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), ev.as("ev"))
+        .select(col("event_id"), col("ev.instance_id").as("instance_id"),
+          col("ev.source_id").as("source_id"), col("ev.frame_id").as("frame_id"),
+          col("ev.model_id").as("model_id"),
+          col("ev.inference_time_ms").as("inference_time_ms"),
+          explode(col("ev.detections")).as("det"))
+        .withColumn("label", EventOps.label(col("det.class_name"),
+          col("det.confidence"), col("det.tracker_id")))
+        .groupBy("event_id", "instance_id", "source_id", "frame_id",
+          "model_id", "inference_time_ms")
+        .agg(concat_ws(",", sort_array(collect_list(col("label")))).as("labels"))
+    },
+    Some("""WITH dd AS (
+              SELECT event_id, 'inst-1' AS instance_id,
+                     CAST(user_id AS INT) AS source_id, event_id AS frame_id,
+                     'model-a' AS model_id, value * 1000 AS inference_time_ms,
+                     event_type || ' ' || printf('%.2f', CAST(event_id % 100 AS DOUBLE) / 100) ||
+                       CASE WHEN event_id % 2 = 0
+                            THEN ' #' || CAST(event_id % 97 AS VARCHAR)
+                            ELSE '' END AS l1,
+                     'extra ' || printf('%.2f', 0.25) AS l2
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_id, instance_id, source_id, frame_id, model_id,
+                   inference_time_ms,
+                   array_to_string(list_sort([l1, l2]), ',') AS labels
+            FROM dd"""))
+
+  private val q06 = QDef("q06_group_agg",
+    (s, d) => {
+      val w = Window.partitionBy()
+      events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), count(col("value")).as("n_valid"),
+          dsum(col("value")).as("__sd"))
+        .select(col("user_id"), col("n"), col("n_valid"),
+          col("__sd").cast("double").as("sum_value"),
+          round(col("__sd").cast("double") * 1000 / col("n_valid"), 2)
+            .as("avg_val_ms"),
+          round(sum(col("__sd")).over(w).cast("double") * 1000 /
+            sum(col("n_valid")).over(w), 2).as("global_avg_ms"))
+    },
+    Some("""WITH g AS (SELECT user_id, count(*) AS n, count(value) AS n_valid,
+                sum(CAST(value AS DECIMAL(18,2))) AS sd
+              FROM events GROUP BY user_id)
+            SELECT user_id, n, n_valid, CAST(sd AS DOUBLE) AS sum_value,
+              round(CAST(sd AS DOUBLE) * 1000 / n_valid, 2) AS avg_val_ms,
+              round(CAST(sum(sd) OVER () AS DOUBLE) * 1000 /
+                sum(n_valid) OVER (), 2) AS global_avg_ms
+            FROM g"""), bench = true)
+
+  private val q07 = QDef("q07_window_agg",
+    (s, d) => events(s, d)
+      .groupBy(EventOps.windowStartSec(col("ts"), 600).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(count(lit(1)) / lit(600.0), 6).as("rate")),
+    Some("""SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS win_start,
+                   event_type, count(*) AS n, round(count(*) / 600.0, 6) AS rate
+            FROM events GROUP BY 1, 2"""), bench = true)
+
+  private val latestCols: Seq[Column] = Seq(col("user_id"), col("event_id"),
+    unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"), col("props"))
+
+  private val q08 = QDef("q08_latest_per_key",
+    (s, d) => EventOps.latestPerKey(events(s, d), Seq("user_id"), "ts", "event_id")
+      .select(latestCols: _*),
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1"""), bench = true)
+
+  private val q09 = QDef("q09_latest_ttl",
+    (s, d) => EventOps.latestPerKeyWithTtl(events(s, d), Seq("user_id"), "ts",
+      "event_id", "1 HOUR").select(latestCols: _*),
+    Some("""WITH fresh AS (SELECT * FROM events
+              WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR)
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM fresh)
+            WHERE rn = 1"""))
+
+  private val q10 = QDef("q10_throttle",
+    (s, d) => EventOps.throttlePerKey(events(s, d), Seq("user_id"), "ts",
+      "event_id", EventOps.windowStartSec(col("ts"), 3600))
+      .select(latestCols: _*),
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, epoch_us(ts) // 3600000000
+                    ORDER BY ts, event_id) AS rn FROM events)
+            WHERE rn = 1"""), bench = true)
+
+  private val q11 = QDef("q11_targeting",
+    (s, d) => events(s, d)
+      .withColumn("targets",
+        when(col("event_id") % 4 === 0, array(lit("*")))
+          .when(col("event_id") % 4 === 1, array(lit("inst-1"), lit("inst-2")))
+          .when(col("event_id") % 4 === 2, array().cast("array<string>"))
+          .otherwise(array(lit("inst-9"))))
+      .filter(Protocol.targetingPredicate(col("targets"), "inst-1"))
+      .select(col("event_id"), concat_ws("|", col("targets")).as("targets_str")),
+    Some("""WITH t AS (SELECT event_id,
+              CASE WHEN event_id % 4 = 0 THEN ['*']
+                   WHEN event_id % 4 = 1 THEN ['inst-1', 'inst-2']
+                   WHEN event_id % 4 = 2 THEN CAST([] AS VARCHAR[])
+                   ELSE ['inst-9'] END AS targets FROM events)
+            SELECT event_id,
+                   COALESCE(array_to_string(targets, '|'), '') AS targets_str FROM t
+            WHERE targets IS NULL OR len(targets) = 0
+               OR list_contains(targets, '*') OR list_contains(targets, 'inst-1')"""))
+
+  private val q12 = QDef("q12_asof_join",
+    (s, d) => {
+      val e = events(s, d)
+      val probe = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+          col("user_id"), col("value").as("p_value"))
+      val build = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_event_id"), col("ts").as("b_ts"),
+          col("user_id"), col("value").as("b_value"))
+      EventOps.asOfJoin(probe, build, "user_id", "p_ts", "b_ts", "1 HOUR", "b_event_id")
+        .select(col("p_event_id"), unix_micros(col("p_ts")).as("p_ts_us"),
+          col("user_id"), col("p_value"), col("b_event_id"),
+          unix_micros(col("b_ts")).as("b_ts_us"), col("b_value"))
+    },
+    Some("""WITH p AS (SELECT event_id AS p_event_id, ts AS p_ts, user_id,
+                              value AS p_value
+              FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT event_id AS b_event_id, ts AS b_ts, user_id,
+                         value AS b_value
+              FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.*, b.b_event_id, b.b_ts, b.b_value,
+                    row_number() OVER (PARTITION BY p.p_event_id
+                      ORDER BY b.b_ts DESC NULLS LAST,
+                               b.b_event_id DESC NULLS LAST) AS rn
+                  FROM p LEFT JOIN b ON p.user_id = b.user_id
+                    AND b.b_ts <= p.p_ts
+                    AND b.b_ts >= p.p_ts - INTERVAL 1 HOUR)
+            SELECT p_event_id, epoch_us(p_ts) AS p_ts_us, user_id, p_value,
+                   b_event_id, epoch_us(b_ts) AS b_ts_us, b_value
+            FROM j WHERE rn = 1"""), bench = true)
+
+  private val q13 = QDef("q13_json_roundtrip",
+    (s, d) => {
+      val sch = StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val rt = from_json(to_json(struct(col("user_id"), col("event_type"),
+        col("value"))), sch)
+      events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), rt.as("rt"))
+        .select(col("event_id"),
+          col("rt.user_id").as("rt_user_id"),
+          col("rt.event_type").as("rt_event_type"),
+          col("rt.value").as("rt_value"),
+          (col("rt.user_id") === col("user_id") &&
+            col("rt.event_type") === col("event_type") &&
+            col("rt.value") === col("value")).as("ok"))
+    },
+    // expected-value oracle: a JSON round-trip is the identity (Jackson
+    // emits shortest-round-trip doubles, so parse-back is bit-exact).
+    Some("""SELECT event_id, user_id AS rt_user_id, event_type AS rt_event_type,
+                   value AS rt_value, true AS ok
+            FROM events WHERE value IS NOT NULL"""))
+
+  private val q14 = QDef("q14_throughput_having",
+    (s, d) => events(s, d)
+      .groupBy(EventOps.windowStartSec(col("ts"), 600).as("win_start"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_valid"),
+        round(count(lit(1)) / lit(600.0), 6).as("rate"))
+      .filter(col("n_valid") > 0 && col("n") >= 2),
+    Some("""SELECT * FROM (
+              SELECT CAST((epoch_us(ts) // 600000000) * 600 AS BIGINT) AS win_start,
+                     count(*) AS n, count(value) AS n_valid,
+                     round(count(*) / 600.0, 6) AS rate
+              FROM events GROUP BY 1)
+            WHERE n_valid > 0 AND n >= 2"""))
+
+  // ------------------------------------------- LLM-data-pipeline operators
+
+  /** Shared DuckDB CTE: word-bigram shingles per document (mirror of
+    * [[Dedup.wordShingles]]). */
+  private val ShinglesCte =
+    """sh AS (SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i + 1])) AS sh
+      |       FROM (SELECT doc_id, lang,
+      |               list_filter(regexp_split_to_array(text, '\s+'),
+      |                 t -> t <> '') AS toks
+      |             FROM documents))""".stripMargin
+
+  private val q15 = QDef("q15_exact_dedup",
+    (s, d) => Dedup.exactDedup(docs(s, d), "doc_id", "text"),
+    Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1"""), bench = true)
+
+  private val q16 = QDef("q16_jaccard_pairs",
+    (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", "lang", 0.4),
+    Some(s"""WITH $ShinglesCte,
+             f AS (SELECT doc_id, lang, sh FROM sh WHERE len(sh) > 0)
+             SELECT * FROM (
+               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                        4) AS jac
+               FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+             WHERE jac >= 0.4"""))
+
+  private val q17 = QDef("q17_minhash_pairs",
+    (s, d) => Dedup.minHashLshPairs(docs(s, d), "doc_id", "text",
+      numHashes = 12, bands = 4, threshold = 0.4),
+    Some(s"""WITH $ShinglesCte,
+             f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, 12), j ->
+                         list_min(list_transform(sh,
+                           x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS sig
+                     FROM f),
+             banded AS (SELECT doc_id,
+                          CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                            sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+                        FROM sig, generate_series(0, 3) AS t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                      FROM banded x JOIN banded y
+                        ON x.band = y.band AND x.doc_id < y.doc_id)
+             SELECT * FROM (
+               SELECT c.a_id, c.b_id,
+                      round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+                        (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))),
+                        4) AS jac
+               FROM cand c JOIN f fa ON c.a_id = fa.doc_id
+                           JOIN f fb ON c.b_id = fb.doc_id)
+             WHERE jac >= 0.4"""), bench = true)
+
+  private val q18 = QDef("q18_simhash_pairs",
+    (s, d) => Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxDist = 3),
+    Some("""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+              FROM documents),
+            hs AS (SELECT doc_id,
+                list_transform(toks, w ->
+                  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
+              FROM toks),
+            sim AS (SELECT doc_id,
+                list_sum(list_transform(range(0, 60), j ->
+                  CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS sim
+              FROM hs),
+            keyed AS (SELECT doc_id, sim, t.ck,
+                (sim >> CAST(t.ck * 15 AS INT)) & 32767 AS cv
+              FROM sim, generate_series(0, 3) AS t(ck))
+            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                   bit_count(xor(x.sim, y.sim)) AS hd
+            FROM keyed x JOIN keyed y
+              ON x.ck = y.ck AND x.cv = y.cv AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sim, y.sim)) <= 3"""), bench = true)
+
+  private val q19 = QDef("q19_cosine_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.cosineTopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            n AS (SELECT q_id, q_vec,
+                sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * q_vec[i]))) AS q_norm FROM q),
+            m AS (SELECT c_id, c_vec,
+                sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                  i -> CAST(c_vec[i] AS DOUBLE) * c_vec[i]))) AS c_norm FROM c),
+            sc AS (SELECT q_id, c_id,
+                list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * c_vec[i])) / (q_norm * c_norm) AS cos
+              FROM n, m WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, cos, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   round(cos, 6) AS cos
+            FROM r WHERE rn <= 5"""), bench = true)
+
+  private val q20 = QDef("q20_hyperplane_pairs",
+    (s, d) => Similarity.hyperplaneLshPairs(emb(s, d), "vec_id", "embedding",
+      numPlanes = 4, threshold = 0.3),
+    Some("""WITH v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm,
+                list_sum(list_transform(range(0, 4), j ->
+                  CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+                      dd -> CAST(embedding[dd + 1] AS DOUBLE) *
+                        (CAST((j * 8191 + dd) * 2654435761 % 2147483647 AS DOUBLE)
+                          / 2147483647.0 - 0.5))) >= 0
+                  THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS bucket
+              FROM embeddings)
+            SELECT * FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_sum(list_transform(range(1, len(a.vec) + 1),
+                  i -> CAST(a.vec[i] AS DOUBLE) * b.vec[i])) / (a.nrm * b.nrm),
+                  6) AS cos
+              FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.3"""), bench = true)
+
+  private val q21 = QDef("q21_quality_signals",
+    (s, d) => TextAnalysis.qualitySignals(docs(s, d), "text")
+      .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio",
+        "stopword_ratio", "mean_token_len"),
+    Some("""WITH t AS (SELECT doc_id, text,
+                list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m,
+              CAST(len(toks) AS INT) AS n_tokens,
+              round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / length(text), 4) AS alpha_ratio,
+              round(CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(toks, x -> x IN
+                  ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END, 4) AS stopword_ratio,
+              round(CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                  / len(toks)
+                ELSE 0.0 END, 4) AS mean_token_len
+            FROM t"""), bench = true)
+
+  private val q22 = QDef("q22_lang_id",
+    (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred")),
+    Some("""WITH t AS (SELECT doc_id, lang,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '') AS toks
+              FROM documents),
+            sc AS (SELECT doc_id, lang,
+              len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
+              len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+              len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
+              len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+              len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+              FROM t)
+            SELECT doc_id, lang,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+            FROM sc"""), bench = true)
+
+  private val q23 = QDef("q23_fingerprint",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+              list_min(list_transform(
+                generate_series(1, greatest(length(text) - 7, 1), 4),
+                i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp
+            FROM documents"""), bench = true)
+
+  private val q24 = QDef("q24_token_counts",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish")),
+    Some("""SELECT doc_id,
+              CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                x -> x <> '')) AS INT) AS n_tokens,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish
+            FROM documents"""), bench = true)
+
+  private val q25 = QDef("q25_media_features",
+    (s, d) => {
+      import s.implicits._
+      val items = Multimodal.attachBinary(docs(s, d), "doc_id", "text")
+        .as[graft.ops.MediaItem]
+      Multimodal.extractFeatures(items)
+        .select("item_id", "media_type", "byte_len", "sig")
+    },
+    Some("""SELECT doc_id AS item_id, 'text' AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS sig
+            FROM documents"""))
+
+  // ------------------------------------------------ TPC-H-style scale probes
+
+  private val q26 = QDef("q26_pricing_summary",
+    (s, d) => table(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).cast("double").as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price
+            FROM lineitem GROUP BY 1, 2"""), bench = true)
+
+  private val q27 = QDef("q27_revenue_by_nation",
+    (s, d) => {
+      val orders = table(s, d, "orders")
+      val customer = table(s, d, "customer")
+      val nation = table(s, d, "nation")
+      // orders⋈customer shuffles on custkey; nation is broadcast (tiny dim).
+      orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).cast("double").as("revenue"))
+    },
+    Some("""SELECT n_name, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1"""), bench = true)
+
+  private val q28 = QDef("q28_bbox_corners",
+    (s, d) => events(s, d).select(col("event_id"),
+      EventOps.bboxToCorners(col("value"), col("value") + 1,
+        lit(10.0), lit(4.0)).as("c"))
+      .select(col("event_id"), col("c.x1").as("x1"), col("c.y1").as("y1"),
+        col("c.x2").as("x2"), col("c.y2").as("y2")),
+    Some("""SELECT event_id, value - 5 AS x1, value + 1 - 2 AS y1,
+                   value + 5 AS x2, value + 1 + 2 AS y2
+            FROM events"""))
+
+  val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27, q28)
+
+  val byName: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator
+      .map(_.trim).mkString(" "))).toMap
+
+  val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}

@@ -81,16 +81,35 @@ object Dedup {
     * → exact-Jaccard verification. The only shuffles are (1) the band-key
     * equi-join (candidate generation — data volume ∝ documents × bands) and
     * (2) two id-joins to fetch shingles for verification. No O(n²) stage;
-    * this is the scale path for unblocked corpora. */
+    * this is the scale path for unblocked corpora.
+    *
+    * Scale hardening:
+    *  - the shingle table is persisted once — shingling + signatures would
+    *    otherwise be recomputed on both sides of the self-join and in both
+    *    verification joins (4× the dominant cost at 100 TB);
+    *  - `maxBucket` caps band-bucket size: a viral duplicated document
+    *    creates one huge bucket → one O(|bucket|²) straggler task. Buckets
+    *    above the cap are dropped (those docs still pair via their other
+    *    bands). 0 disables the cap. */
   def minHashLshPairs(df: DataFrame, id: String, text: String,
-                      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+                      numHashes: Int, bands: Int, threshold: Double,
+                      maxBucket: Int = 0): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"need bands >= 1 and numHashes a positive multiple of bands " +
+        s"(got numHashes=$numHashes, bands=$bands)")
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val banded = sh
       .select(col("doc"), explode(lshBands(
         minHashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("band"))
-    val cand = banded.as("x").join(banded.as("y"),
+    val capped =
+      if (maxBucket <= 0) banded
+      else banded.withColumn("__bn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band")))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
       .distinct()

@@ -46,8 +46,10 @@ object EventOps {
   def latestPerKeyWithTtl(df: DataFrame, key: Seq[String], orderCol: String,
                           tieBreak: String, ttl: String): DataFrame = {
     val maxTs = df.agg(max(col(orderCol)).as("__max_ord"))
+    // >= : a row exactly at the TTL boundary is kept, matching the
+    // reference's `now - t > ttl` expiry (expire strictly-older only).
     val fresh = df.crossJoin(broadcast(maxTs))
-      .filter(col(orderCol) > col("__max_ord") - expr(s"INTERVAL $ttl"))
+      .filter(col(orderCol) >= col("__max_ord") - expr(s"INTERVAL $ttl"))
       .drop("__max_ord")
     latestPerKey(fresh, key, orderCol, tieBreak)
   }
@@ -68,31 +70,39 @@ object EventOps {
 
   /** As-of join (J2, wall/wall.py:122-127 + wall/detection_cache.py:48-69):
     * for each probe row, the latest build row with the same key and
-    * `buildTs ∈ (probeTs − tolerance, probeTs]`; left-outer (probes without
-    * a fresh match survive with null build columns, like a bare tile).
+    * `buildTs ∈ [probeTs − tolerance, probeTs]` (closed on both ends —
+    * the reference keeps an entry exactly at the TTL boundary); left-outer
+    * (probes without a fresh match survive with null build columns, like a
+    * bare tile).
     *
-    * Implementation: bounded-range equi-join on the key, then
-    * `max(struct(buildTs, tie, buildCols*))` per probe row. The equi-key
-    * keeps this a hash/sort-merge join on `key` (co-partitioned shuffle);
-    * the range predicate is applied as a join filter; the tolerance bounds
-    * fan-out so the follow-up aggregation stays small. No driver-side state,
-    * no window over the full joined set. */
+    * Implementation: a synthetic probe id (`monotonically_increasing_id`)
+    * is attached before the join, so undoing the join fan-out is a groupBy
+    * on ONE 8-byte key — duplicate probe rows each keep their own output
+    * row (the reference renders every frame), and the shuffle key is
+    * narrow rather than full-row-width. The equi-key keeps this a
+    * hash/sort-merge join on `key`; the range predicate is a join filter;
+    * the tolerance bounds fan-out so the follow-up aggregation stays
+    * small. No driver-side state, no window over the full joined set. */
   def asOfJoin(probe: DataFrame, build: DataFrame, key: String,
                probeTs: String, buildTs: String, tolerance: String,
                buildTie: String): DataFrame = {
+    val probeCols = probe.columns
+    val p = probe.withColumn("__pid", monotonically_increasing_id())
     val b = build.withColumnRenamed(key, "__bkey")
-    val joined = probe.join(b,
-      probe(key) === b("__bkey") &&
-        b(buildTs) <= probe(probeTs) &&
-        b(buildTs) >= probe(probeTs) - expr(s"INTERVAL $tolerance"),
+    val joined = p.join(b,
+      p(key) === b("__bkey") &&
+        b(buildTs) <= p(probeTs) &&
+        b(buildTs) >= p(probeTs) - expr(s"INTERVAL $tolerance"),
       "left")
     val buildCols = build.columns.filterNot(_ == key)
     val packed = struct(col(buildTs) +: col(buildTie) +:
       buildCols.filterNot(c => c == buildTs || c == buildTie).map(col): _*)
-    val probeCols = probe.columns
-    joined.groupBy(probeCols.map(probe(_)): _*)
-      .agg(max(packed).as("__m"))
-      .select(probeCols.map(col) ++ buildCols.map(c => col(s"__m.$c").as(c)): _*)
+    // probe columns are constant within a __pid group: max(struct) = value.
+    joined.groupBy(col("__pid"))
+      .agg(max(struct(probeCols.map(p(_)): _*)).as("__p"),
+        max(packed).as("__m"))
+      .select(probeCols.map(c => col(s"__p.$c").as(c)) ++
+        buildCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 
   /** Source-id remap (P2/J1, processor/mqtt_sink.py:123-135): internal
@@ -111,7 +121,52 @@ object EventOps {
 
   /** Tumbling-window bucket start as epoch seconds — used instead of
     * Spark's `window()` struct so results are directly hash-comparable
-    * with an external oracle. Epoch-aligned, UTC. */
+    * with an external oracle. Epoch-aligned, UTC. Computed from
+    * `unix_micros` (an exact long) so the bucketing matches integer
+    * `epoch_us // n` arithmetic in any other engine; micros values
+    * (~1.7e15) are exactly representable in the double division below. */
   def windowStartSec(ts: Column, seconds: Int): Column =
-    (floor(unix_timestamp(ts) / seconds) * seconds).cast("long")
+    (floor(unix_micros(ts) / (seconds * 1000000L)) * seconds).cast("long")
+
+  /** Prediction → event construction (P1/E1, processor/mqtt_sink.py:137-176):
+    * builds the nested DetectionEvent struct from a raw prediction row —
+    * renames `class` → `class_name`, nests the bbox struct, converts
+    * inference time s → ms, injects instance/model ids. The detections
+    * array is transformed IN PLACE with the `transform` higher-order
+    * function (the reference always renests — explode/renest would be two
+    * needless shuffleless-but-wasteful passes). Row-local, codegen-eligible. */
+  def buildEvent(instanceId: String, modelId: String, sourceId: Column,
+                 frameId: Column, ts: Column, timeSec: Column,
+                 predictions: Column): Column =
+    struct(
+      lit(instanceId).as("instance_id"),
+      sourceId.cast("int").as("source_id"),
+      frameId.cast("long").as("frame_id"),
+      ts.as("timestamp"),
+      lit(modelId).as("model_id"),
+      (timeSec * 1000).as("inference_time_ms"),
+      transform(predictions, p => struct(
+        p.getField("class").as("class_name"),
+        p.getField("confidence").as("confidence"),
+        struct(
+          p.getField("x").as("x"), p.getField("y").as("y"),
+          p.getField("width").as("width"),
+          p.getField("height").as("height")).as("bbox"),
+        p.getField("tracker_id").as("tracker_id"))).as("detections"),
+      lit(null).cast("double").as("fps"),
+      lit(null).cast("double").as("latency_ms"))
+
+  /** Label generation (E3, wall/renderer.py:142-158): one display string
+    * per detection — `"{class} {conf:.2f}"` plus `" #{tracker_id}"` when
+    * tracked. */
+  def label(className: Column, confidence: Column, trackerId: Column): Column =
+    concat(className, lit(" "), format_string("%.2f", confidence),
+      when(trackerId.isNotNull,
+        concat(lit(" #"), trackerId.cast("string"))).otherwise(lit("")))
+
+  /** bbox center+size → corner xyxy (P3, wall/renderer.py:119-123). */
+  def bboxToCorners(x: Column, y: Column, w: Column, h: Column): Column =
+    struct(
+      (x - w / 2).as("x1"), (y - h / 2).as("y1"),
+      (x + w / 2).as("x2"), (y + h / 2).as("y2"))
 }

@@ -18,10 +18,14 @@ object Protocol {
 
   /** Extract the trailing integer segment of a topic; null on malformed
     * input — matching `parse_source_id_from_topic` returning None
-    * (events/protocol.py:31-55). `try_cast`-like: a non-numeric tail
-    * casts to null rather than raising. */
-  def parseSourceId(topic: Column): Column =
-    element_at(split(topic, "/"), -1).cast("int")
+    * (events/protocol.py:31-55): requires >= 3 path segments (the
+    * reference's `len(parts) >= 3` check) and a numeric tail. `try_cast`
+    * (not plain cast) so a non-numeric tail yields null instead of raising
+    * under Spark 4's ANSI mode. */
+  def parseSourceId(topic: Column): Column = {
+    val parts = split(topic, "/")
+    when(size(parts) >= 3, element_at(parts, -1).try_cast("int"))
+  }
 
   /** Command targeting filter (F4, processor/control_plane.py:341-356):
     * process iff targets is null/empty, contains "*", or contains our id. */

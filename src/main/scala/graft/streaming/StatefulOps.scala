@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
 
 /** A keyed event for stateful streaming ops — schema matches the driver
   * testdata `events` table so batch and streaming forms share fixtures. */
@@ -38,11 +39,16 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
+            // "Arrival" proxy: event_id is the ingest sequence number, so
+            // max(event_id) is the last-arrived row. The raw iterator order
+            // of a shuffled group is partition order, NOT arrival order —
+            // an explicit sequence column is the only faithful encoding.
             val incoming =
-              if (arrivalOrder) batch.toSeq.last // arrival order within batch
+              if (arrivalOrder) batch.maxBy(_.event_id)
               else batch.maxBy(e => (e.ts.getTime, e.event_id))
             val winner =
-              if (arrivalOrder) incoming // unconditional overwrite
+              if (arrivalOrder) // unconditional overwrite, newest arrival wins
+                state.getOption.toSeq.:+(incoming).maxBy(_.event_id)
               else state.getOption.toSeq.:+(incoming)
                 .maxBy(e => (e.ts.getTime, e.event_id))
             state.update(winner)
@@ -72,19 +78,47 @@ object StatefulOps {
 
   /** Tumbling metrics window (ST3/A1-A3, metrics_reporter.py:164-233):
     * identical plan in batch and streaming — throughput + per-key average
-    * latency per 10 s window, warm-up windows suppressed (F5). */
+    * latency per 10 s window. The warm-up gate (F5,
+    * metrics_reporter.py:170-172: publish only when inference_throughput
+    * > 0) maps to "at least one non-null measurement in the window":
+    * `count(value)` excludes nulls, so an all-null window IS suppressed
+    * (a `count(*) > 0` filter would be vacuous). */
   def metricsAggregate(events: DataFrame, windowSec: Int = 10): DataFrame =
     events
       .groupBy(window(col("ts"), s"$windowSec seconds"), col("user_id"))
       .agg(count(lit(1)).as("n"),
+        count(col("value")).as("n_valid"),
         (count(lit(1)) / windowSec.toDouble).as("rate"),
         round(avg(col("value")) * 1000, 2).as("avg_val_ms"))
-      .filter(col("n") > 0)
+      .filter(col("n_valid") > 0)
 
-  /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): an output filter
-    * against a driver-toggled flag. In streaming the flag flips between
-    * micro-batches (the "immediate" level of the two-level pause); the
-    * "gradual" level is `query.stop()` + checkpoint resume. */
+  /** Streaming form of [[metricsAggregate]]: the watermark bounds window
+    * state (without it, state grows forever in Update mode and Append-mode
+    * queries are rejected). `lateness` mirrors the reference's tolerance
+    * for stale data — effectively the detection TTL (ST2). */
+  def metricsAggregateStreaming(events: DataFrame, windowSec: Int = 10,
+                                lateness: String = "10 seconds"): DataFrame =
+    metricsAggregate(events.withWatermark("ts", lateness), windowSec)
+
+  /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
+    * the driver-toggled flag is set.
+    *
+    * IMPORTANT: `paused()` is evaluated when this function is CALLED, not
+    * per-row — on a streaming DataFrame the result would be frozen into the
+    * plan at query start. Correct usage is per micro-batch: call it inside
+    * `foreachBatch` (see [[pauseGatedWriter]]), which re-evaluates the flag
+    * at every batch boundary — the reference's "immediate" pause level
+    * (in-flight batch still drains, matching the reference's 5-10 s queue
+    * drain, interfaces.py:121-124). */
   def pauseGate(df: DataFrame, paused: () => Boolean): DataFrame =
     if (paused()) df.filter(lit(false)) else df
+
+  /** Streaming pause gate done right: a `foreachBatch` writer that checks
+    * the flag once per micro-batch on the driver and drops the whole batch
+    * while paused. `process` receives only un-paused batches. */
+  def pauseGatedWriter(stream: DataFrame, paused: () => Boolean)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!paused()) process(batch, id)
+    }
 }

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each SparkEntry query
+result dumped by graft.Verify, run the oracle SQL in DuckDB over the same
+parquet tables and compare (rows, schema-ish, values).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, glob, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.map(lambda v: (v is None or (isinstance(v, float) and math.isnan(v)), v)))
+    return df
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
+            return False
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            print(f"FAIL {name}: no spark output"); continue
+        try:
+            spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        except Exception as e:
+            results[name] = f"SPARK_READ_ERROR: {e}"
+            print(f"FAIL {name}: read error {e}"); continue
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR: {e}"
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}"); continue
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            results[name] = "SCHEMA_MISMATCH"
+            print(f"FAIL {name}: cols spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+            continue
+        if len(spark_df) != len(duck_df):
+            results[name] = f"ROWS {len(spark_df)} vs {len(duck_df)}"
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        bad = None
+        for col in a.columns:
+            av, bv = a[col].tolist(), b[col].tolist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                if not cells_equal(x, y):
+                    bad = (col, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, x, y = bad
+            results[name] = f"VALUE_MISMATCH {col}[{i}]: {x!r} vs {y!r}"
+            print(f"FAIL {name}: {results[name]}")
+        else:
+            results[name] = "OK"
+            print(f"OK   {name} ({len(spark_df)} rows)")
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    print(f"\n{n_ok}/{len(results)} green")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
