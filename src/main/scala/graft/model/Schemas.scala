@@ -88,11 +88,22 @@ object Schemas {
     StructField("target_instances", ArrayType(StringType), nullable = true)))
 
   /** Parse a JSON payload column into a typed event struct (S5).
-    * Corrupt payloads become null structs; forward-compatible: unknown
-    * fields are ignored, matching the reference's pydantic behavior
+    * Corrupt payloads yield a struct with all-null fields (Spark's
+    * PERMISSIVE mode — NOT a null struct); filter with [[eventIsValid]]
+    * to reproduce the reference's drop-and-log behavior
+    * (wall/mqtt_listener.py:86-96). Forward-compatible: unknown fields
+    * are ignored, matching pydantic
     * (tests/unit/test_design_validation.py:392-428). */
   def parseEvent(payload: Column): Column =
     from_json(payload, detectionEvent)
+
+  /** True iff a parsed event carries the required identity fields — the
+    * validity gate after [[parseEvent]] (malformed JSON parses to
+    * all-null fields). */
+  def eventIsValid(event: Column): Column =
+    event.getField("instance_id").isNotNull &&
+      event.getField("source_id").isNotNull &&
+      event.getField("timestamp").isNotNull
 
   /** Serialize an event struct back to compact JSON (K2,
     * processor/mqtt_sink.py:110). */

@@ -1,0 +1,80 @@
+package graft
+
+import graft.control.{CommandInterpreter, EngineConfig}
+import graft.model.Command
+import org.scalatest.funsuite.AnyFunSuite
+
+class ControlPlaneSpec extends AnyFunSuite {
+  private val cfg = EngineConfig("inst-1")
+  private val now = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def cmd(name: String, params: Map[String, String] = Map.empty,
+                  targets: Seq[String] = Seq.empty) =
+    Command(name, params, targets)
+
+  test("ack ordering is received then completed") {
+    val r = CommandInterpreter.interpret(cfg, cmd("pause"), now)
+    assert(r.acks.map(_.ack_status) == Seq("received", "completed"))
+    assert(r.status.map(_.status).contains("paused"))
+    assert(!r.restartRequired)
+  }
+
+  test("unknown command yields a single error ack, no status") {
+    val r = CommandInterpreter.interpret(cfg, cmd("explode"), now)
+    assert(r.acks.map(_.ack_status) == Seq("error"))
+    assert(r.status.isEmpty && r.config == cfg)
+  }
+
+  test("set_fps applies, requires restart; invalid value rolls back") {
+    val ok = CommandInterpreter.interpret(cfg, cmd("set_fps", Map("max_fps" -> "2.5")), now)
+    assert(ok.config.maxFps == 2.5 && ok.restartRequired)
+    val bad = CommandInterpreter.interpret(cfg, cmd("set_fps", Map("max_fps" -> "-1")), now)
+    assert(bad.config == cfg) // rollback
+    assert(bad.acks.map(_.ack_status) == Seq("received", "error"))
+    assert(bad.status.map(_.status).contains("error"))
+    val nonNum = CommandInterpreter.interpret(cfg, cmd("set_fps", Map("max_fps" -> "fast")), now)
+    assert(nonNum.config == cfg)
+    assert(nonNum.acks.last.message.exists(_.contains("numeric")))
+  }
+
+  test("change_model validates non-empty; missing param is an error ack") {
+    val r = CommandInterpreter.interpret(cfg, cmd("change_model", Map("model_id" -> "m2")), now)
+    assert(r.config.modelId == "m2" && r.restartRequired)
+    val missing = CommandInterpreter.interpret(cfg, cmd("change_model"), now)
+    assert(missing.acks.last.message.exists(_.contains("missing param")))
+    val empty = CommandInterpreter.interpret(cfg,
+      cmd("change_model", Map("model_id" -> "  ")), now)
+    assert(empty.config == cfg && empty.acks.last.ack_status == "error")
+  }
+
+  test("add/remove stream guard invariants (min 1, no duplicates)") {
+    val added = CommandInterpreter.interpret(cfg,
+      cmd("add_stream", Map("source_id" -> "5")), now)
+    assert(added.config.streamIds == Vector(0, 5))
+    val dup = CommandInterpreter.interpret(added.config,
+      cmd("add_stream", Map("source_id" -> "5")), now)
+    assert(dup.config == added.config && dup.acks.last.ack_status == "error")
+    val removedLast = CommandInterpreter.interpret(cfg,
+      cmd("remove_stream", Map("source_id" -> "0")), now)
+    assert(removedLast.config == cfg && removedLast.acks.last.ack_status == "error")
+  }
+
+  test("targeting: non-matching instance is ignored silently") {
+    val r = CommandInterpreter.interpret(cfg, cmd("pause", targets = Seq("inst-9")), now)
+    assert(r.acks.isEmpty && r.status.isEmpty && r.config == cfg)
+    val bcast = CommandInterpreter.interpret(cfg, cmd("pause", targets = Seq("*")), now)
+    assert(bcast.acks.nonEmpty)
+  }
+
+  test("ping reports pong; rename does not restart") {
+    val ping = CommandInterpreter.interpret(cfg, cmd("ping"), now)
+    assert(ping.status.flatMap(_.pong).contains(true))
+    val ren = CommandInterpreter.interpret(cfg,
+      cmd("rename_instance", Map("new_instance_id" -> "inst-2")), now)
+    assert(ren.config.instanceId == "inst-2" && !ren.restartRequired)
+  }
+
+  test("command name is case-insensitive and trimmed") {
+    val r = CommandInterpreter.interpret(cfg, cmd("  PAUSE "), now)
+    assert(r.acks.map(_.ack_status) == Seq("received", "completed"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different words about spark catalyst tungsten codegen shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("wordShingles builds distinct bigrams; degenerate inputs are empty") {
+    val out = Seq("a b c b a b").toDF("t")
+      .select(Dedup.wordShingles(col("t"))).as[Seq[String]].collect().head
+    assert(out.toSet == Set("a b", "b c", "c b", "b a"))
+    val deg = Seq("solo", "").toDF("t")
+      .select(Dedup.wordShingles(col("t"))).as[Seq[String]].collect()
+    assert(deg.forall(_.isEmpty))
+  }
+
+  test("exactDedup groups identical content, keeps smallest id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("jaccard on known sets") {
+    val out = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect().head
+    assert(out == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("ngramJaccardPairs finds near-dups within a block") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "blk", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashLshPairs catches planted near-dups and validates params") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      numHashes = 12, bands = 4, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairs(docs, "doc_id", "text", numHashes = 4, bands = 8,
+        threshold = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairs(docs, "doc_id", "text", numHashes = 10, bands = 4,
+        threshold = 0.5)
+    }
+  }
+
+  test("simHash: identical texts collide, pairs carry hamming distance") {
+    val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(4L))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("a_id", "b_id", "hd").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    // verify every reported hd against the direct XOR popcount
+    pairs.foreach { case (a, b, hd) =>
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) == hd)
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.EventOps
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (event_id, ts, user_id, event_type, value)
+    (1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0),
+    (2L, ts("2024-01-01 00:00:30"), 1L, "b", 2.0),
+    (3L, ts("2024-01-01 00:01:00"), 1L, "c", 3.0),
+    (4L, ts("2024-01-01 00:00:10"), 2L, "d", 4.0),
+    (5L, ts("2024-01-01 00:00:10"), 2L, "e", 5.0) // same ts as 4: id tiebreak
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("latestPerKey keeps the max (order, tie) row per key") {
+    val out = EventOps.latestPerKey(events, Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 5L))
+  }
+
+  test("latestPerKeyWithTtl keeps a row exactly at the TTL boundary (>= semantics)") {
+    // max ts = 00:01:00; ttl 50s → boundary 00:00:10: rows 4,5 at exactly
+    // the boundary must survive (reference expires strictly-older only).
+    val out = EventOps.latestPerKeyWithTtl(events, Seq("user_id"), "ts",
+      "event_id", "50 SECOND").select("user_id", "event_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 5L))
+    // ttl 5s → only user 1's last row is fresh
+    val out2 = EventOps.latestPerKeyWithTtl(events, Seq("user_id"), "ts",
+      "event_id", "5 SECOND").select("user_id", "event_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out2 == Map(1L -> 3L))
+  }
+
+  test("throttlePerKey keeps the first row per (key, bucket)") {
+    val out = EventOps.throttlePerKey(events, Seq("user_id"), "ts", "event_id",
+      EventOps.windowStartSec(col("ts"), 60))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    // user 1: bucket 00:00 → id 1 (id 2 dropped), bucket 00:01 → id 3
+    // user 2: bucket 00:00 → id 4 (ts tie with 5, id tiebreak → 4)
+    assert(out == Set((1L, 1L), (1L, 3L), (2L, 4L)))
+  }
+
+  private def asOf = {
+    val probe = Seq(
+      (10L, ts("2024-01-01 00:01:00"), 1L),
+      (11L, ts("2024-01-01 00:01:00"), 1L), // duplicate probe content except id
+      (12L, ts("2024-01-01 00:05:00"), 2L), // no fresh build row
+      (13L, ts("2024-01-01 00:00:05"), 1L)
+    ).toDF("p_id", "p_ts", "user_id")
+    val build = Seq(
+      (100L, ts("2024-01-01 00:00:10"), 1L, 1.0),
+      (101L, ts("2024-01-01 00:00:50"), 1L, 2.0),
+      (102L, ts("2024-01-01 00:00:50"), 1L, 3.0), // ts tie with 101: id tiebreak
+      (103L, ts("2024-01-01 00:00:00"), 2L, 4.0)  // 5 min before probe 12
+    ).toDF("b_id", "b_ts", "user_id", "b_value")
+    (probe, build)
+  }
+
+  test("asOfJoin picks latest build row within tolerance, ties by id") {
+    val (probe, build) = asOf
+    val out = EventOps.asOfJoin(probe, build, "user_id", "p_ts", "b_ts",
+      "1 MINUTE", "b_id")
+      .select("p_id", "b_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(102L)) // 00:00:50 latest, id 102 > 101
+    assert(out(12L).isEmpty)        // 00:00:00 older than 00:05:00 - 1m
+    assert(out(13L).isEmpty)        // user 1 has no build row <= 00:00:05
+  }
+
+  test("asOfJoin preserves duplicate probe rows (regression: round-1 collapse)") {
+    val (probe, build) = asOf
+    val out = EventOps.asOfJoin(probe, build, "user_id", "p_ts", "b_ts",
+      "1 MINUTE", "b_id").collect()
+    assert(out.length == probe.count()) // one output row per probe row, always
+    val dupRows = out.filter(r => Set(10L, 11L)(r.getAs[Long]("p_id")))
+    assert(dupRows.length == 2)
+    assert(dupRows.forall(_.getAs[Long]("b_id") == 102L))
+  }
+
+  test("asOfJoin includes the lower tolerance boundary (closed interval)") {
+    val (probe, build) = asOf
+    // probe 10 at 00:01:00 with tolerance 50s → boundary 00:00:10 = build 100
+    val out = EventOps.asOfJoin(
+      probe.filter($"p_id" === 10L),
+      build.filter($"b_id" === 100L),
+      "user_id", "p_ts", "b_ts", "50 SECOND", "b_id")
+      .select("b_id").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(Some(100L)))
+  }
+
+  test("remapSourceIds maps via dim and falls back to identity") {
+    val mapping = Seq((1L, 100L)).toDF("mk", "mv")
+    val out = EventOps.remapSourceIds(events, "user_id", mapping, "mk", "mv")
+      .select("event_id", "mapped_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 100L && out(4L) == 2L)
+  }
+
+  test("label formats class, confidence and optional tracker id") {
+    val df = Seq(("person", 0.87, Some(42)), ("car", 0.5, None))
+      .toDF("c", "conf", "tid")
+    val out = df.select(EventOps.label(col("c"), col("conf"), col("tid")))
+      .as[String].collect().toSet
+    assert(out == Set("person 0.87 #42", "car 0.50"))
+  }
+
+  test("bboxToCorners converts center+size to xyxy") {
+    val out = Seq((10.0, 20.0, 4.0, 6.0)).toDF("x", "y", "w", "h")
+      .select(EventOps.bboxToCorners(col("x"), col("y"), col("w"), col("h")).as("c"))
+      .select("c.x1", "c.y1", "c.x2", "c.y2")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(out == ((8.0, 17.0, 12.0, 23.0)))
+  }
+
+  test("buildEvent nests detections, renames class, converts s to ms") {
+    val df = Seq((7L, 3L, ts("2024-01-01 00:00:00"), 0.25)).toDF("sid", "fid", "t", "sec")
+    val preds = array(struct(lit("cat").as("class"), lit(0.9).as("confidence"),
+      lit(1.0).as("x"), lit(2.0).as("y"), lit(3.0).as("width"), lit(4.0).as("height"),
+      lit(null).cast("int").as("tracker_id")))
+    val ev = df.select(EventOps.buildEvent("i-1", "m-1", col("sid"), col("fid"),
+      col("t"), col("sec"), preds).as("ev")).select("ev.*")
+    val row = ev.collect().head
+    assert(row.getAs[String]("instance_id") == "i-1")
+    assert(row.getAs[Int]("source_id") == 7)
+    assert(row.getAs[Double]("inference_time_ms") == 250.0)
+    val det = row.getAs[Seq[Row]]("detections").head
+    assert(det.getAs[String]("class_name") == "cat")
+    assert(det.getAs[Row]("bbox").getAs[Double]("width") == 3.0)
+  }
+}

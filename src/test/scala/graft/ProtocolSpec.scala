@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Protocol
+
+class ProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topic format/parse round-trips source ids") {
+    val out = Seq(0, 7, 12345).toDF("id")
+      .select(Protocol.parseSourceId(Protocol.topicForSource(col("id"))))
+      .as[Option[Int]].collect().toSeq
+    assert(out == Seq(Some(0), Some(7), Some(12345)))
+  }
+
+  test("parseSourceId is null on malformed topics (no ANSI cast error)") {
+    val out = Seq("nvr/detections/abc", "nvr", "nvr/detections", "a/b/9", "")
+      .toDF("t").select(Protocol.parseSourceId(col("t")))
+      .as[Option[Int]].collect().toSeq
+    assert(out == Seq(None, None, None, Some(9), None))
+  }
+
+  test("targetingPredicate: broadcast, wildcard, match, miss") {
+    val df = Seq(
+      (1, Seq.empty[String]),
+      (2, Seq("*")),
+      (3, Seq("inst-1", "inst-2")),
+      (4, Seq("inst-9"))
+    ).toDF("id", "targets")
+    val kept = df.filter(Protocol.targetingPredicate(col("targets"), "inst-1"))
+      .select("id").as[Int].collect().toSet
+    assert(kept == Set(1, 2, 3))
+    // null targets = broadcast
+    val nulls = df.withColumn("targets", when(col("id") === 4, col("targets")))
+    val kept2 = nulls.filter(Protocol.targetingPredicate(col("targets"), "inst-1"))
+      .select("id").as[Int].collect().toSet
+    assert(kept2 == Set(1, 2, 3))
+  }
+}

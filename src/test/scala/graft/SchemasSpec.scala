@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.model.{BoundingBox, Detection, DetectionEvent, Schemas}
+
+/** JSON round-trip oracle, mirroring the reference's serialization tests
+  * (tests/unit/test_events.py:81-113) and fulfilling its property-based
+  * testing aspiration (processor/validators.py:10) via ScalaCheck gens. */
+class SchemasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genDetection: Gen[Detection] = for {
+    cls <- Gen.oneOf("person", "car", "dog", "traffic light")
+    conf <- Gen.chooseNum(0, 100).map(_ / 100.0)
+    x <- Gen.chooseNum(0, 1920).map(_.toDouble)
+    y <- Gen.chooseNum(0, 1080).map(_.toDouble)
+    w <- Gen.chooseNum(1, 500).map(_.toDouble)
+    h <- Gen.chooseNum(1, 500).map(_.toDouble)
+    tid <- Gen.option(Gen.chooseNum(0, 10000))
+  } yield Detection(cls, conf, BoundingBox(x, y, w, h), tid)
+
+  private val genEvent: Gen[DetectionEvent] = for {
+    inst <- Gen.identifier.map(_.take(12))
+    sid <- Gen.chooseNum(0, 64)
+    fid <- Gen.chooseNum(0L, 1000000L)
+    // millisecond precision: the JSON timestamp format carries millis
+    ms <- Gen.chooseNum(1700000000000L, 1800000000000L)
+    model <- Gen.oneOf("yolov8x-640", "yolov8n-320")
+    inf <- Gen.chooseNum(1, 500).map(_.toDouble)
+    dets <- Gen.listOfN(3, genDetection)
+    fps <- Gen.option(Gen.chooseNum(1, 30).map(_.toDouble))
+    lat <- Gen.option(Gen.chooseNum(1, 1000).map(_.toDouble))
+  } yield DetectionEvent(inst, sid, fid, new java.sql.Timestamp(ms), model,
+    inf, dets, fps, lat)
+
+  test("to_json/from_json round-trips generated DetectionEvents") {
+    val sample = Gen.listOfN(40, genEvent).sample.get
+    val ds = spark.createDataset(sample)
+    val back = ds
+      .select(Schemas.serializeEvent(struct(ds.columns.map(col): _*)).as("js"))
+      .select(Schemas.parseEvent(col("js")).as("ev"))
+      .select("ev.*").as[DetectionEvent].collect()
+    assert(back.toSet == sample.toSet)
+  }
+
+  test("malformed and forward-compatible payloads") {
+    val payloads = Seq(
+      "not json at all",
+      """{"instance_id":"i","source_id":1,"frame_id":2,
+         "timestamp":"2024-01-01T00:00:00.000Z","model_id":"m",
+         "inference_time_ms":5.0,"detections":[],"unknown_extra_field":42}""")
+    val out = payloads.toDF("js")
+      .select(Schemas.parseEvent(col("js")).as("ev"))
+      .select(Schemas.eventIsValid(col("ev")).as("valid"), col("ev.instance_id"))
+      .collect()
+    // corrupt → all-null-fields struct, dropped by the validity gate
+    assert(!out(0).getBoolean(0))
+    assert(out(1).getBoolean(0) && out(1).getString(1) == "i") // extras ignored
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot, norm, cosine on hand vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val (d, na, c) = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a")),
+      Similarity.cosine(col("a"), col("b"),
+        Similarity.norm(col("a")), Similarity.norm(col("b"))))
+      .as[(Double, Double, Double)].collect().head
+    assert(d == 0.0 && na == 1.0 && c == 0.0)
+    val par = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 4.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"),
+        Similarity.norm(col("a")), Similarity.norm(col("b"))))
+      .as[Double].collect().head
+    assert(math.abs(par - 1.0) < 1e-12)
+  }
+
+  private val corpus = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f)),
+    (4L, Seq(0.0f, 0.0f, 1.0f)),
+    (5L, Seq(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by cosine desc with id tiebreak") {
+    val out = Similarity.cosineTopK(corpus.filter($"vec_id" === 1L), corpus,
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // for [1,0,0]: best 2 (cos≈0.994), then 3 and 4 tie at 0 (id order), 5 is -1
+    assert(out == Seq(2L, 3L, 4L))
+  }
+
+  test("cosineNearDupPairs finds only the close pair above threshold") {
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("hyperplaneLshPairs: identical vectors share a bucket and pair at cos 1") {
+    val dup = Seq((10L, Seq(0.5f, 0.5f, 0.5f)), (11L, Seq(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.hyperplaneLshPairs(corpus.union(dup), "vec_id",
+      "embedding", numPlanes = 6, threshold = 0.99)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 == 1.0))
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{KeyedEvent, StatefulOps}
+import scala.collection.mutable
+
+/** Micro-batch tests for the streaming stateful operators, mirroring the
+  * reference's cache/pause semantics tests
+  * (tests/unit/test_cache.py:43-135, test_mqtt_sink_with_fakes.py:216-252). */
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, v: Double = 1.0) =
+    KeyedEvent(id, ts(t), user, "e", v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  /** Poll-until for timeout-registered queries: `processAllAvailable` can
+    * livelock there (the engine keeps scheduling empty batches to fire
+    * processing-time timeouts), so assertions wait on the sink instead. */
+  private def awaitCond(clue: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(cond, clue)
+  }
+
+  test("latestPerKeyTtl: last arrival wins within a key") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StatefulOps.latestPerKeyTtl(in.toDS(), ttlMs = 60000, arrivalOrder = true)
+      .writeStream.format("memory").queryName("lpk").outputMode("update").start()
+    withQuery(q) {
+      def ids = spark.table("lpk").as[KeyedEvent].collect().map(_.event_id).toSeq
+      in.addData(ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:00:01", 1))
+      awaitCond("batch winner should be event 2")(ids.lastOption.contains(2L))
+      // out-of-order event-time but later arrival: arrivalOrder keeps max id
+      in.addData(ev(3, "2023-12-31 00:00:00", 1))
+      awaitCond("later arrival must win despite older event time")(
+        ids.lastOption.contains(3L))
+    }
+  }
+
+  test("latestPerKeyTtl: state expires after the TTL (processing time)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StatefulOps.latestPerKeyTtl(in.toDS(), ttlMs = 500, arrivalOrder = true)
+      .writeStream.format("memory").queryName("ttl").outputMode("update").start()
+    withQuery(q) {
+      def key1Ids = spark.table("ttl").as[KeyedEvent].collect()
+        .filter(_.user_id == 1).map(_.event_id).toSeq
+      in.addData(ev(10, "2024-01-01 00:00:00", 1))
+      awaitCond("event 10 lands")(key1Ids.lastOption.contains(10L))
+      Thread.sleep(1500) // let the 500ms processing-time timeout lapse; the
+                         // engine's timeout batches remove key 1's state
+      // key 1's state is gone: a smaller event_id now wins (no stale winner)
+      in.addData(ev(5, "2024-01-01 00:00:05", 1))
+      awaitCond("expired state lets event 5 win")(key1Ids.lastOption.contains(5L))
+    }
+  }
+
+  test("throttlePerKey emits at most one event per key per period") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StatefulOps.throttlePerKey(in.toDS(), periodMs = 60000)
+      .writeStream.format("memory").queryName("thr").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:00:30", 1),
+        ev(3, "2024-01-01 00:01:10", 1), ev(4, "2024-01-01 00:00:05", 2))
+      q.processAllAvailable()
+      // state persists across batches: same minute → still throttled
+      in.addData(ev(5, "2024-01-01 00:01:30", 1), ev(6, "2024-01-01 00:02:00", 1))
+      q.processAllAvailable()
+      val ids = spark.table("thr").as[KeyedEvent].collect().map(_.event_id).toSet
+      assert(ids == Set(1L, 3L, 4L, 6L))
+    }
+  }
+
+  test("metricsAggregate: streaming (complete mode) equals batch on same data") {
+    implicit val ctx = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 00:00:01", 1, 10.0), ev(2, "2024-01-01 00:00:05", 1, 20.0),
+      ev(3, "2024-01-01 00:00:12", 2, 30.0), ev(4, "2024-01-01 00:00:03", 2, 40.0))
+    val batch = StatefulOps.metricsAggregate(data.toDF(), windowSec = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val in = MemoryStream[KeyedEvent]
+    val q = StatefulOps.metricsAggregate(in.toDF(), windowSec = 10)
+      .writeStream.format("memory").queryName("magg").outputMode("complete").start()
+    withQuery(q) {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("magg").collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    }
+  }
+
+  test("pauseGatedWriter drops whole batches while paused, resumes after") {
+    implicit val ctx = spark.sqlContext
+    @volatile var paused = false
+    val seen = mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[KeyedEvent]
+    val q = StatefulOps.pauseGatedWriter(in.toDF(), () => paused) { (batch: DataFrame, _: Long) =>
+      seen.synchronized { seen ++= batch.as[KeyedEvent].collect().map(_.event_id) }
+    }.start()
+    withQuery(q) {
+      in.addData(ev(1, "2024-01-01 00:00:00", 1))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(1L))
+      paused = true // flips BETWEEN micro-batches — the round-1 bug was
+                    // evaluating this once at plan time
+      in.addData(ev(2, "2024-01-01 00:00:01", 1))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(1L), "batch must be dropped while paused")
+      paused = false
+      in.addData(ev(3, "2024-01-01 00:00:02", 1))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(1L, 3L))
+    }
+  }
+}

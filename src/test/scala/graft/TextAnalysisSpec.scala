@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens and counts") {
+    val df = Seq("  the quick  brown ", "ab12 cd!", "").toDF("t")
+    val toks = df.select(TextAnalysis.tokenCount(col("t"))).as[Int].collect().toSeq
+    assert(toks == Seq(3, 2, 0))
+    val bpe = df.select(TextAnalysis.bpeishTokenCount(col("t"))).as[Int].collect().toSeq
+    assert(bpe == Seq(3, 4, 0)) // ab12 cd! → [ab, 12, cd, !]
+  }
+
+  test("qualitySignals on a known string") {
+    val df = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualitySignals(df, "text")
+      .select("n_chars_m", "n_tokens", "alpha_ratio", "stopword_ratio", "mean_token_len")
+      .as[(Int, Int, Double, Double, Double)].collect().head
+    assert(r._1 == 11 && r._2 == 3)
+    assert(r._3 == 0.8182)  // 9 letters / 11 chars
+    assert(r._4 == 0.3333)  // "the" of 3
+    assert(r._5 == 3.0)
+  }
+
+  test("langId votes marker words, und on no signal, tie broken by code") {
+    val df = Seq("the cat of doom", "der hund und die katze", "xyzzy plugh",
+      "the el the el").toDF("t")
+    val out = df.select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    // last row: en markers {the×2}, es markers {el×2} → tie → 'en' < 'es'
+    assert(out == Seq("en", "de", "und", "en"))
+  }
+
+  test("fingerprint is deterministic and respects short texts") {
+    val df = Seq("identical text body", "identical text body", "different body",
+      "short").toDF("t")
+    val fps = df.select(TextAnalysis.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    // length < 8: single position, md5 of the whole remainder
+    assert(fps(3).nonEmpty)
+  }
+}
