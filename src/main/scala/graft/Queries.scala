@@ -544,9 +544,37 @@ object Queries {
                    value + 5 AS x2, value + 1 + 2 AS y2
             FROM events"""))
 
+  private val q29 = QDef("q29_metrics_report",
+    (s, d) => {
+      // synthesize the watchdog latency triple + resolution from `value`
+      // (the testdata has no decode/inference columns); the shaping under
+      // test is Metrics.fullReport (P5/A3).
+      val e = events(s, d).select(col("user_id").as("source_id"),
+        (col("value") / 1000).as("decode_s"),
+        (col("value") / 500).as("inference_s"),
+        (col("value") / 250).as("e2e_s"),
+        lit(1920).as("w"), lit(1080).as("h"))
+      graft.metrics.Metrics.fullReport(e, "source_id", "decode_s",
+        "inference_s", "e2e_s", "w", "h")
+    },
+    Some("""SELECT user_id AS source_id, count(*) AS n_frames,
+              round(avg(value / 1000) * 1000, 2) AS avg_decode_ms,
+              round(avg(value / 500) * 1000, 2) AS avg_inference_ms,
+              round(avg(value / 250) * 1000, 2) AS avg_e2e_ms,
+              printf('%dx%d', 1920, 1080) AS resolution
+            FROM events GROUP BY 1"""))
+
+  private val q30 = QDef("q30_cache_cardinality",
+    (s, d) => graft.metrics.Metrics.cacheCardinality(
+      EventOps.latestPerKeyWithTtl(events(s, d), Seq("user_id"), "ts",
+        "event_id", "1 HOUR"), "user_id"),
+    Some("""WITH fresh AS (SELECT * FROM events
+              WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR)
+            SELECT count(DISTINCT user_id) AS n_keys FROM fresh"""))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28)
+    q25, q26, q27, q28, q29, q30)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,109 @@
+package graft.control
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import graft.model.{Ack, Command, InstanceStatus}
+
+/** The driver-side control loop (ST6-ST8): a `foreachBatch` interpreter
+  * over the command stream that mutates the pipeline through
+  * `StreamingQuery` stop/rebuild/start, mirroring
+  * processor/pipeline_manager.py:217-334 + processor/processor.py:207-273.
+  *
+  * Differences from the reference, by design (SURVEY.md §7.4.5):
+  * commands are interpreted on the driver between micro-batches instead
+  * of on a broker callback thread, so a 20 s restart cannot block ACK
+  * emission for *other* instances; per-command ACK ordering
+  * (received → completed|error) is preserved because interpretation is
+  * sequential within a batch.
+  *
+  * Two-level pause (ST6, pipeline_manager.py:134-215):
+  *  - level 1 (immediate): `paused` gate — read per micro-batch by the
+  *    data pipeline's pauseGatedWriter, so output stops at the next
+  *    batch boundary while in-flight work drains;
+  *  - level 2 (drain): `stop` terminates the pipeline query entirely.
+  * Resume order is pipeline-first-then-ungate, so no stale in-flight
+  * output is published into the un-gated window. */
+class ControlHarness(
+    initial: EngineConfig,
+    buildPipeline: (EngineConfig, () => Boolean) => StreamingQuery,
+    emitAcks: Seq[Ack] => Unit,
+    emitStatus: InstanceStatus => Unit,
+    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  @volatile private var _config: EngineConfig = initial
+  @volatile private var _paused: Boolean = false
+  @volatile private var _pipeline: Option[StreamingQuery] = None
+  private val startedAt: Timestamp = clock()
+
+  def config: EngineConfig = _config
+  def isPaused: Boolean = _paused
+  def pipeline: Option[StreamingQuery] = _pipeline
+  def uptimeSeconds(now: Timestamp): Double =
+    (now.getTime - startedAt.getTime) / 1000.0
+
+  def start(): Unit = synchronized {
+    _pipeline = Some(buildPipeline(_config, () => _paused))
+  }
+
+  /** Interpret one command end-to-end: pure decision via
+    * [[CommandInterpreter]], then effects (gate flips, query lifecycle)
+    * in the reference's ordering. */
+  def handle(cmd: Command): Unit = synchronized {
+    val now = clock()
+    val result = CommandInterpreter.interpret(_config, cmd, now)
+    val name = Option(cmd.command).getOrElse("").toLowerCase.trim
+    val applied = result.acks.lastOption.map(_.ack_status).contains("completed")
+    if (applied) name match {
+      case "pause" => _paused = true // gate FIRST: immediate output stop
+      case "resume" =>
+        // pipeline-first-then-ungate (pipeline_manager.py:199-208)
+        if (_pipeline.forall(!_.isActive)) restartPipeline()
+        _paused = false
+      case "stop" =>
+        _paused = true
+        _pipeline.foreach(_.stop())
+      case _ => ()
+    }
+    _config = result.config
+    if (applied && result.restartRequired) restartPipeline()
+    emitAcks(result.acks)
+    result.status.foreach { st =>
+      // runtime enrichment (P7): uptime + component health
+      // (command_handlers.py:391-411)
+      val health = Map(
+        "is_paused" -> _paused,
+        "pipeline_running" -> _pipeline.exists(_.isActive),
+        "control_plane_connected" -> true)
+      emitStatus(st.copy(uptime_seconds = Some(uptimeSeconds(now)),
+        health = if (st.pong.contains(true)) Some(health) else st.health))
+    }
+  }
+
+  /** ST7: terminate → rebuild with the (already-validated) new config →
+    * start. The rebuild is side-effect-free plan construction, so there
+    * is nothing to roll back here — config rollback happened at
+    * validation time inside the interpreter. */
+  private def restartPipeline(): Unit = {
+    _pipeline.foreach(_.stop())
+    _pipeline = Some(buildPipeline(_config, () => _paused))
+  }
+
+  /** Attach to a streaming command source: a `foreachBatch` loop that
+    * interprets the batch's commands in arrival order. The command
+    * volume is human-scale (a control topic), so the per-batch collect
+    * is a few rows — never event data. */
+  def attach(commands: DataFrame, orderCol: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    commands.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val rows = batch.orderBy(col(orderCol)).collect()
+      rows.foreach { r =>
+        val params = Option(r.getAs[scala.collection.Map[String, String]]("params"))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+        val targets = Option(r.getAs[scala.collection.Seq[String]]("target_instances"))
+          .map(_.toSeq).getOrElse(Seq.empty[String])
+        handle(Command(r.getAs[String]("command"), params, targets))
+      }
+    }
+  }
+}

@@ -10,7 +10,18 @@ case class EngineConfig(
     modelId: String = "yolov8x-640",
     maxFps: Double = 1.0,
     confidenceThreshold: Double = 0.5,
-    streamIds: Vector[Int] = Vector(0)) {
+    streamIds: Vector[Int] = Vector(0),
+    busPassword: Option[String] = None) {
+
+  /** Public status projection (P4, processor/config.py:238-257): the
+    * externally-visible fields; secrets (passwords) are dropped. */
+  def statusProjection: Map[String, String] = Map(
+    "instance_id" -> instanceId,
+    "model_id" -> modelId,
+    "max_fps" -> maxFps.toString,
+    "confidence_threshold" -> confidenceThreshold.toString,
+    "stream_ids" -> streamIds.mkString(","),
+    "num_streams" -> streamIds.size.toString)
 
   /** Validation mirrors processor/validators.py:32-180 +
     * processor/config.py:107-155. */
@@ -115,8 +126,12 @@ object CommandInterpreter {
       case "status" | "metrics" =>
         CommandResult(cfg, Seq(received, ack("completed")), status("running"), false)
       case "ping" =>
+        // P7 PONG: status + config projection + pong flag; uptime and the
+        // health map are runtime facts the harness fills in
+        // (command_handlers.py:374-428).
         CommandResult(cfg, Seq(received, ack("completed")),
-          Some(InstanceStatus(cfg.instanceId, "running", now, None, Some(true))), false)
+          Some(InstanceStatus(cfg.instanceId, "running", now, None, Some(true),
+            config = Some(cfg.statusProjection))), false)
       case "change_model" =>
         requireParam("model_id")(m => reconfigure(_.copy(modelId = m), restart = true))
       case "set_fps" =>

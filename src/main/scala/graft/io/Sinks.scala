@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.ops.EventOps
+
+/** Sinks (K1-K5). The reference's broker-side behaviors map to two table
+  * disciplines:
+  *
+  *  - "retained" topics (status, metrics — control_plane.py:397-433,
+  *    metrics_reporter.py:214-233) are last-value-wins per key → an
+  *    idempotent upsert table. Idempotency is what reconciles Spark's
+  *    at-least-once with the reference's QoS-1 (ST9, SURVEY.md §7.4.4):
+  *    replaying a batch converges to the same table.
+  *  - non-retained streams (detections K1, ACKs K4) are append-only.
+  *
+  * Scale note: the retained tables are keyed by instance/source — their
+  * cardinality is the fleet size, not the event volume. The merge below
+  * reads+rewrites only that tiny table per batch; the event stream never
+  * flows through it. */
+object Sinks {
+
+  /** Merge a micro-batch into a last-value-wins table at `path`, keyed by
+    * `key`, newest by (`orderCol`, `tieBreak`). Atomic via
+    * write-then-swap of a staging directory. */
+  def upsertRetained(spark: SparkSession, batch: DataFrame, path: String,
+                     key: Seq[String], orderCol: String, tieBreak: String): Unit = {
+    if (batch.isEmpty) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val existing =
+      if (fs.exists(target)) Some(spark.read.parquet(path)) else None
+    val merged = EventOps.latestPerKey(
+      existing.map(_.unionByName(batch)).getOrElse(batch),
+      key, orderCol, tieBreak)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+
+  /** K3: retained per-instance status upsert. */
+  def statusWriter(status: DataFrame, path: String): DataStreamWriter[Row] =
+    status.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      upsertRetained(batch.sparkSession, batch, path,
+        Seq("instance_id"), "timestamp", "status")
+    }
+
+  /** K4: ACK append (QoS 1, not retained) — plain append-mode parquet.
+    * Exactly-once per micro-batch via the streaming commit log. */
+  def ackWriter(acks: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    acks.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  /** K1/K2: per-key publish — serialize the event struct to JSON with its
+    * topic (events/protocol.py:11-28), partitioned by source for
+    * per-topic consumption. At-least-once ≥ the reference's QoS 0. */
+  def detectionPublishFrame(events: DataFrame, topicPrefix: String): DataFrame =
+    events.select(
+      graft.ops.Protocol.topicForSource(col("source_id"), topicPrefix).as("topic"),
+      col("source_id"),
+      to_json(struct(events.columns.map(col): _*)).as("payload"))
+
+  def detectionWriter(events: DataFrame, path: String, checkpoint: String,
+                      topicPrefix: String = graft.ops.Protocol.DefaultTopicPrefix): DataStreamWriter[Row] =
+    detectionPublishFrame(events, topicPrefix)
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("source_id")
+      .outputMode("append")
+}

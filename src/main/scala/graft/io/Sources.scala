@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+import graft.ops.Protocol
+
+/** Sources (S1-S5). The engine ingests the *event* stream; pixels stay
+  * external (SURVEY.md §0). The wire shape everywhere is the bus envelope
+  * `(topic, payload)` — exactly what an MQTT→file/Kafka bridge delivers
+  * (reference: wall/mqtt_listener.py:60-96 subscribes `nvr/detections/#`
+  * and receives per-message (topic, payload) pairs).
+  *
+  * Batch and streaming forms share one parser so operator pipelines are
+  * verifiable in batch against the DuckDB oracle and then run unchanged
+  * as a streaming query (SURVEY.md §7.2 slice). */
+object Sources {
+
+  /** Envelope lines: `topic<TAB>payload`. One file line per bus message —
+    * the file-bridge analog of a wildcard subscription. */
+  private def parseEnvelope(lines: DataFrame): DataFrame =
+    lines.select(
+      substring_index(col("value"), "\t", 1).as("topic"),
+      // everything after the first tab (payload may itself contain tabs)
+      expr("substring(value, instr(value, '\t') + 1)").as("payload"))
+
+  /** Parsed, validated detection events from an envelope, with the
+    * routing key recovered from the topic (S4+S5): malformed payloads
+    * are dropped (all-null structs filtered by the validity gate),
+    * malformed topics yield null source_id. */
+  def parseEventBus(envelope: DataFrame): DataFrame =
+    envelope
+      .withColumn("topic_source_id", Protocol.parseSourceId(col("topic")))
+      .withColumn("event", Schemas.parseEvent(col("payload")))
+      .filter(Schemas.eventIsValid(col("event")))
+      .select(col("topic_source_id"), col("event.*"))
+
+  /** Streaming file-bridge source (S2 analog): tails a directory of
+    * envelope files. */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
+    parseEventBus(parseEnvelope(spark.readStream.format("text").load(dir)))
+
+  /** Batch replay over the same envelope files — identical plan shape. */
+  def eventFileBatch(spark: SparkSession, dir: String): DataFrame =
+    parseEventBus(parseEnvelope(spark.read.format("text").load(dir)))
+
+  /** Command stream (S3 analog): JSON command payloads, one per line.
+    * Malformed commands parse to all-null structs and are dropped with
+    * the same drop-and-log semantics as events
+    * (control_plane.py:316-327). */
+  def commandFileStream(spark: SparkSession, dir: String): DataFrame =
+    parseCommands(spark.readStream.format("text").load(dir))
+
+  /** Non-`value` columns (e.g. an ingest sequence for ordering) are
+    * carried through the parse. */
+  def parseCommands(lines: DataFrame): DataFrame = {
+    val carried = lines.columns.filterNot(_ == "value").map(col)
+    lines.select(carried :+ from_json(col("value"), Schemas.command).as("cmd"): _*)
+      .filter(col("cmd.command").isNotNull)
+      .select(carried :+ col("cmd.*"): _*)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The metrics plane (SURVEY.md §2.7/§3.3), computed from the event stream
+  * itself as windowed/grouped aggregates — strictly more information than
+  * the reference's watchdog counters.
+  *
+  * Scale notes: every aggregate here is a hash-groupBy with map-side
+  * partial aggregation (one shuffle of ≤|keys| rows per partition); the
+  * global roll-ups are window functions over the already-aggregated
+  * per-source rows (|sources| rows — trivially small), never over raw
+  * events. */
+object Metrics {
+
+  /** Full per-source report shaping (P5 + A3,
+    * metrics_reporter.py:111-158): decode / inference / e2e latency
+    * averages, s → ms, round 2, plus the "{w}x{h}" resolution string.
+    * Nulls are excluded from each avg independently (F6 semantics:
+    * avg ignores nulls natively). */
+  def fullReport(events: DataFrame, sourceId: String, decodeS: String,
+                 inferenceS: String, e2eS: String, w: String, h: String): DataFrame =
+    events.groupBy(col(sourceId))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        round(avg(col(decodeS)) * 1000, 2).as("avg_decode_ms"),
+        round(avg(col(inferenceS)) * 1000, 2).as("avg_inference_ms"),
+        round(avg(col(e2eS)) * 1000, 2).as("avg_e2e_ms"),
+        format_string("%dx%d", max(col(w)), max(col(h))).as("resolution"))
+
+  /** Lightweight report (P6 + A1 + A2, metrics_reporter.py:184-212):
+    * per-source e2e ms + the global throughput and global average that
+    * the reference publishes every 10 s. Global values are computed as
+    * window sums over the per-source aggregate (exact, decimal-free:
+    * counts and pre-rounded sums only). */
+  def lightweightReport(events: DataFrame, sourceId: String, e2eS: String,
+                        windowSec: Int): DataFrame = {
+    val g = Window.partitionBy()
+    events.groupBy(col(sourceId))
+      .agg(count(col(e2eS)).as("n_valid"),
+        sum(col(e2eS).cast("decimal(18,2)")).as("__se"))
+      .select(col(sourceId),
+        round(col("__se").cast("double") * 1000 / col("n_valid"), 2)
+          .as("avg_e2e_ms"),
+        round(sum(col("n_valid")).over(g) / lit(windowSec.toDouble), 6)
+          .as("throughput"),
+        round(sum(col("__se")).over(g).cast("double") * 1000 /
+          sum(col("n_valid")).over(g), 2).as("global_avg_e2e_ms"))
+  }
+
+  /** Cache cardinality (A4, wall/detection_cache.py:76-79): number of
+    * live keys. Exact distinct — the reference key space is the camera
+    * count; for unbounded key spaces swap in approx_count_distinct. */
+  def cacheCardinality(latest: DataFrame, key: String): DataFrame =
+    latest.agg(countDistinct(col(key)).as("n_keys"))
+
+  /** Validity gate (F5, metrics_reporter.py:170-172): publish only
+    * windows/groups whose throughput is non-zero. */
+  def validityGate(report: DataFrame, throughput: String): DataFrame =
+    report.filter(col(throughput) > 0)
+}

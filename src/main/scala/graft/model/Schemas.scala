@@ -45,13 +45,18 @@ case class Ack(
     timestamp: java.sql.Timestamp,
     message: Option[String])
 
-/** Retained per-instance status (reference: processor/control_plane.py:397-433). */
+/** Retained per-instance status (reference: processor/control_plane.py:397-433).
+  * `config` carries the public config projection (P4, config.py:238-257 —
+  * secrets dropped); `health` the component liveness map (P7,
+  * command_handlers.py:404-411). */
 case class InstanceStatus(
     instance_id: String,
     status: String,
     timestamp: java.sql.Timestamp,
     uptime_seconds: Option[Double],
-    pong: Option[Boolean])
+    pong: Option[Boolean],
+    config: Option[Map[String, String]] = None,
+    health: Option[Map[String, Boolean]] = None)
 
 /** Explicit StructType mirrors of the case classes, used with
   * `from_json`/`to_json` at the wire boundary. A malformed JSON payload

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.control.{ControlHarness, EngineConfig}
+import graft.model.{Ack, InstanceStatus}
+import graft.streaming.KeyedEvent
+import scala.collection.mutable
+
+/** Streaming control-plane test (ST6-ST8): commands arrive on a stream,
+  * the foreachBatch interpreter mutates the pipeline via
+  * StreamingQuery stop/rebuild/start, ACK ordering and rollback hold.
+  * Mirrors the reference's manual scripts (test_dynamic_config.sh,
+  * examples/mqtt_control_test.py:77-120). */
+class ControlHarnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newHarness() = {
+    implicit val ctx = spark.sqlContext
+    val acks = mutable.ArrayBuffer.empty[Ack]
+    val statuses = mutable.ArrayBuffer.empty[InstanceStatus]
+    val built = mutable.ArrayBuffer.empty[EngineConfig]
+    val in = MemoryStream[KeyedEvent]
+    def build(cfg: EngineConfig, paused: () => Boolean): StreamingQuery = {
+      built.synchronized(built += cfg)
+      graft.streaming.StatefulOps.pauseGatedWriter(in.toDF(), paused)((_, _) => ())
+        .start()
+    }
+    val h = new ControlHarness(EngineConfig("inst-1"), build,
+      as => acks.synchronized(acks ++= as),
+      st => statuses.synchronized(statuses += st))
+    h.start()
+    (h, acks, statuses, built)
+  }
+
+  private def cmdJson(name: String, params: String = "{}",
+                      targets: String = """["*"]""") =
+    s"""{"command":"$name","params":$params,"target_instances":$targets}"""
+
+  test("streaming command loop: pause/resume, set_fps restart, invalid rollback") {
+    implicit val ctx = spark.sqlContext
+    val (h, acks, statuses, built) = newHarness()
+    val cmds = MemoryStream[(Long, String)]
+    // the ingest sequence rides along as the ordering column (streams
+    // cannot mint monotonically_increasing_id)
+    val parsed = graft.io.Sources.parseCommands(
+      cmds.toDF().selectExpr("_1 as seq", "_2 as value"))
+    val cq = h.attach(parsed, "seq").start()
+    try {
+      val run0 = h.pipeline.get.runId
+      cmds.addData((1L, cmdJson("pause")))
+      cq.processAllAvailable()
+      assert(h.isPaused, "pause gate must be set")
+      assert(acks.map(_.ack_status) == Seq("received", "completed"))
+      assert(statuses.last.status == "paused")
+
+      cmds.addData((2L, cmdJson("set_fps", """{"max_fps":"2.0"}""")))
+      cq.processAllAvailable()
+      assert(h.config.maxFps == 2.0)
+      assert(h.pipeline.get.runId != run0, "restart must rebuild the query")
+      assert(built.size == 2 && built.last.maxFps == 2.0)
+
+      val cfgBefore = h.config
+      cmds.addData((3L, cmdJson("change_model", """{"model_id":""}""")))
+      cq.processAllAvailable()
+      assert(h.config == cfgBefore, "invalid model must roll back")
+      assert(acks.last.ack_status == "error")
+      assert(built.size == 2, "no rebuild on rollback")
+
+      cmds.addData((4L, cmdJson("resume")))
+      cq.processAllAvailable()
+      assert(!h.isPaused)
+      assert(h.pipeline.exists(_.isActive))
+
+      // targeting: command for another instance is a silent no-op
+      val nAcks = acks.size
+      cmds.addData((5L, cmdJson("pause", targets = """["inst-9"]""")))
+      cq.processAllAvailable()
+      assert(acks.size == nAcks && !h.isPaused)
+    } finally {
+      cq.stop(); h.pipeline.foreach(_.stop())
+    }
+  }
+
+  test("ping carries uptime, config projection without secrets, health") {
+    val (h, _, statuses, _) = newHarness()
+    try {
+      h.handle(graft.model.Command("ping", Map.empty, Seq.empty))
+      val pong = statuses.last
+      assert(pong.pong.contains(true))
+      assert(pong.uptime_seconds.exists(_ >= 0))
+      val cfg = pong.config.get
+      assert(cfg("model_id") == "yolov8x-640" && cfg("num_streams") == "1")
+      assert(!cfg.keys.exists(_.toLowerCase.contains("password")))
+      assert(pong.health.get("pipeline_running"))
+    } finally h.pipeline.foreach(_.stop())
+  }
+
+  test("stop terminates the pipeline query; resume restarts it") {
+    val (h, _, _, _) = newHarness()
+    try {
+      h.handle(graft.model.Command("stop", Map.empty, Seq.empty))
+      assert(h.pipeline.exists(!_.isActive))
+      h.handle(graft.model.Command("resume", Map.empty, Seq.empty))
+      assert(h.pipeline.exists(_.isActive) && !h.isPaused)
+    } finally h.pipeline.foreach(_.stop())
+  }
+}
