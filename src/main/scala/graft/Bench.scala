@@ -18,6 +18,13 @@ object Bench {
     Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (untimed): JIT, whole-stage-codegen compiler, shuffle and
+    // parquet-reader machinery — so the first timed query measures the
+    // query, not JVM initialization.
+    spark.range(2000000).selectExpr("id % 32 k", "id v")
+      .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/events.parquet").limit(100)
+      .write.format("noop").mode("overwrite").save()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"

@@ -332,8 +332,10 @@ object Queries {
              f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
              sig AS (SELECT doc_id, sh,
                        list_transform(range(0, 12), j ->
-                         list_min(list_transform(sh,
-                           x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS sig
+                         list_min(list_transform(sh, x ->
+                           ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                           % 2147483647))) AS sig
                      FROM f),
              banded AS (SELECT doc_id,
                           CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||

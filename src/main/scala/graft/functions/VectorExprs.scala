@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The generic alternative — `aggregate(zip_with(...))` higher-order
+  * functions — runs interpreted (one boxed lambda invocation per vector
+  * element per row), which at 100 TB scale is the difference between a
+  * codegen'd tight loop over primitive floats and ~100 interpreted
+  * expression evaluations per pair. Both implementations fold left in
+  * double precision in index order, so results are bit-identical to the
+  * HOF forms (and to the DuckDB oracle).
+  */
+
+/** Double-precision dot product of two float vectors: Σ a[i]·b[i], left
+  * fold in index order. Null if either side or any touched element is
+  * null-free by construction here: embedding arrays are non-null floats
+  * (containsNull is not inspected — null elements would NPE upstream
+  * anyway in the HOF form). */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Projection of a float vector onto the fixed pseudo-random hyperplane
+  * `planeIdx` (see [[graft.ops.Similarity.hyperplaneBucket]]):
+  * Σ_d vec[d] · (((j·8191 + d)·2654435761 mod (2^31−1)) / (2^31−1) − 0.5),
+  * left fold in d order — bit-identical to the HOF form and the oracle. */
+case class HyperplaneProjection(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hyperplane_projection"
+
+  override def nullSafeEval(a: Any, j: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val plane = j.asInstanceOf[Int].toLong
+    val n = x.numElements()
+    var s = 0.0
+    var d = 0
+    while (d < n) {
+      val c = ((plane * 8191L + d) * 2654435761L % 2147483647L).toDouble /
+        2147483647.0 - 0.5
+      s += x.getFloat(d).toDouble * c
+      d += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, j) => {
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $c = (double) (((long) $j * 8191L + $d) * 2654435761L % 2147483647L)
+         |    / 2147483647.0 - 0.5;
+         |  $s += (double) $a.getFloat($d) * $c;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneProjection =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column forms of the native expressions. */
+  def floatDot(a: Column, b: Column): Column =
+    Bridge.column(FloatVectorDot(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def hyperplaneProjection(vec: Column, planeIdx: Column): Column =
+    Bridge.column(HyperplaneProjection(
+      Bridge.expression(vec), Bridge.expression(planeIdx)))
+}

@@ -60,14 +60,36 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
-  /** MinHash signature: for hash function i, the minimum md5 over salted
-    * shingles `md5(i + "|" + shingle)`. The min of a cryptographic digest
-    * over a set is a uniform permutation-min — the textbook MinHash
-    * estimator, in portable string form. Row-local. */
+  /** MinHash prime modulus (2^31 − 1) and the deterministic linear-hash
+    * family `h_i(x) = (a_i·x + b_i) mod P` over a single md5-derived base
+    * hash per shingle. One md5 per shingle total (not per hash function):
+    * md5 is the expensive interpreted step; the i-th permutation is two
+    * integer ops. a_i odd (coprime with 2) and < 2^20, so a_i·x < 2^51 —
+    * no int64 overflow. Portable integer arithmetic, reproducible in any
+    * engine. */
+  val MinHashP = 2147483647L
+  def minHashA(i: Int): Long = 4099L * i + 1L
+  def minHashB(i: Int): Long = 9973L * i + 7L
+
+  /** 60-bit base hash of a shingle: md5 hex prefix as int64, reduced
+    * mod P. Row-local. */
+  def baseHash(x: Column): Column =
+    conv(substring(md5(x), 1, 15), 16, 10).cast("long") % MinHashP
+
+  /** MinHash signature: element i is `min over shingles of
+    * (a_i·h + b_i) mod P` where h = [[baseHash]](shingle).
+    *
+    * Implemented as ONE fold with an `numHashes`-wide running-minimum
+    * accumulator so the md5 base hash is evaluated exactly once per
+    * shingle — expressing it as `numHashes` separate `array_min(transform
+    * (...md5...))` columns would re-run the md5 per hash function after
+    * Catalyst's projection collapse (12× the dominant cost). */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, x => md5(concat(lit(s"$i|"), x))))
-    }: _*)
+    aggregate(
+      transform(shingles, baseHash(_)),
+      array_repeat(lit(MinHashP), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, (h * (i * 4099L + 1L) + (i * 9973L + 7L)) % MinHashP)))
 
   /** LSH band keys: concatenation of `rowsPerBand` consecutive signature
     * entries, prefixed with the band index. */
@@ -98,12 +120,15 @@ object Dedup {
       s"need bands >= 1 and numHashes a positive multiple of bands " +
         s"(got numHashes=$numHashes, bands=$bands)")
     val rowsPerBand = numHashes / bands
+    // Persist the SIGNED table, not just the shingles: the signature (md5
+    // over every shingle) is the dominant cost and is consumed four times
+    // (both self-join sides + both verification joins).
     val sh = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("__sig", minHashSignature(col("sh"), numHashes))
       .persist()
     val banded = sh
-      .select(col("doc"), explode(lshBands(
-        minHashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("band"))
+      .select(col("doc"), explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
     val capped =
       if (maxBucket <= 0) banded
       else banded.withColumn("__bn",
@@ -136,17 +161,42 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Fingerprint table `(doc, sim)` via explode + grouped bit votes.
+    * Semantically identical to [[simHash]] for documents with ≥1 token
+    * (token-less documents drop out — they carry no content signal).
+    *
+    * Why not the [[simHash]] column directly: higher-order functions run
+    * interpreted (no whole-stage codegen), and the 60 per-bit folds walk
+    * the token array 60 times per row. Here each token is one row, the
+    * md5 runs once, and the 60 vote sums are plain codegen'd aggregates
+    * with map-side partial aggregation — the shuffle carries only
+    * |docs|·cores partial rows, not tokens. */
+  private def simHashTable(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id).as("doc"),
+      explode(TextAnalysis.tokens(col(text))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SimHashBits).map { j =>
+      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"v$j")
+    }
+    toks.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until SimHashBits).map { j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sim"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     * Candidate generation by the pigeonhole principle: the 60-bit
     * fingerprint is cut into (maxDist+1) chunks; any pair within maxDist
     * must agree on at least one chunk, so an equi-join on (chunk index,
     * chunk value) has recall 1.0 — provably identical output to the O(n²)
-    * scan, at bucketed-join cost. */
+    * scan, at bucketed-join cost. The fingerprint table is persisted —
+    * it feeds both sides of the self-join. */
   def simHashPairs(df: DataFrame, id: String, text: String,
                    maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val chunkBits = (SimHashBits + chunks - 1) / chunks
-    val withSim = df.select(col(id).as("doc"), simHash(col(text)).as("sim"))
+    val withSim = simHashTable(df, id, text).persist()
     val keyed = withSim.select(col("doc"), col("sim"), posexplode(
       array((0 until chunks).map { c =>
         shiftright(col("sim"), c * chunkBits) % (1L << chunkBits)

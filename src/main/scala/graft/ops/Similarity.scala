@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   * top-k merge (tiny: partitions × k rows) and the candidate joins. */
 object Similarity {
 
-  /** Deterministic double-precision dot product of two float vectors. */
+  /** Deterministic double-precision dot product of two float vectors.
+    * Native codegen'd expression (graft.functions.FloatVectorDot) — the
+    * HOF form [[dotHof]] computes the identical left fold but runs
+    * interpreted (~100 boxed lambda calls per pair at dim 64). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.floatDot(a, b)
+
+  /** Reference HOF implementation of [[dot]] — kept as the executable
+    * specification (bit-identical results) and for engines without the
+    * native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -88,13 +97,12 @@ object Similarity {
 
   /** Random-hyperplane (sign) LSH bucket key: `numPlanes` sign bits of
     * projections onto fixed pseudo-random hyperplanes. Vectors in the same
-    * bucket are cosine-close with high probability. Row-local. */
+    * bucket are cosine-close with high probability. Row-local; native
+    * codegen'd projection (bit-identical to the HOF fold over
+    * [[planeComponent]]). */
   def hyperplaneBucket(vec: Column, numPlanes: Int): Column =
     (0 until numPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(j, d)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.VectorExprs.hyperplaneProjection(vec, lit(j))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

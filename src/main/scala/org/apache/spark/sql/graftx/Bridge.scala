@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access bridge for `private[sql]` Column↔Expression conversion — the
+  * supported way for third-party native expressions to enter the classic
+  * DataFrame API (Spark 4 moved Column onto ColumnNode; ExpressionUtils
+  * is the conversion shim). Lives in an org.apache.spark.sql subpackage
+  * solely for visibility; no Spark internals are modified. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
