@@ -574,9 +574,43 @@ object Queries {
               WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR)
             SELECT count(DISTINCT user_id) AS n_keys FROM fresh"""))
 
+  private val q31 = QDef("q31_ann_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.annTopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, numPlanes = 4)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm,
+                list_sum(list_transform(range(0, 4), j ->
+                  CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+                      dd -> CAST(embedding[dd + 1] AS DOUBLE) *
+                        (CAST((j * 8191 + dd) * 2654435761 % 2147483647 AS DOUBLE)
+                          / 2147483647.0 - 0.5))) >= 0
+                  THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS bucket
+              FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+            probes AS (SELECT q.vec_id AS q_id, p.probe
+              FROM q, unnest([q.bucket, xor(q.bucket, 1), xor(q.bucket, 2),
+                              xor(q.bucket, 4), xor(q.bucket, 8)]) AS p(probe)),
+            cand AS (SELECT DISTINCT q_id, c.vec_id AS c_id
+              FROM probes JOIN v c ON probes.probe = c.bucket
+                AND probes.q_id <> c.vec_id),
+            sc AS (SELECT cand.q_id, cand.c_id,
+                list_sum(list_transform(range(1, len(a.vec) + 1),
+                  i -> CAST(a.vec[i] AS DOUBLE) * b.vec[i])) / (a.nrm * b.nrm) AS cos
+              FROM cand JOIN v a ON cand.q_id = a.vec_id
+                        JOIN v b ON cand.c_id = b.vec_id),
+            r AS (SELECT q_id, c_id, cos, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   round(cos, 6) AS cos
+            FROM r WHERE rn <= 5"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30)
+    q25, q26, q27, q28, q29, q30, q31)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

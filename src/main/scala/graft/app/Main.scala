@@ -1,0 +1,107 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.control.{ControlHarness, EngineConfig}
+import graft.io.{Sinks, Sources}
+import graft.ops.EventOps
+import graft.streaming.StatefulOps
+
+/** CLI entry point mirroring the reference's `cupertino-nvr processor` /
+  * `wall` commands (cli.py:101-183), re-expressed for the engine scope:
+  * the event path starts at the bus-envelope directory (the MQTT-bridge
+  * drop zone) instead of RTSP — pixels never enter the engine
+  * (SURVEY.md §0).
+  *
+  * Modes:
+  *  - `pipeline`: streaming processor — ingest envelopes, filter, publish
+  *    per-key detections, run the control plane (commands dir → ACK/status
+  *    tables), until terminated. Flags mirror cli.py: --instance-id,
+  *    --confidence, --max-fps (via --max-files-per-trigger backpressure),
+  *    --model.
+  *  - `replay`: batch verification pass over the same envelope directory —
+  *    latest-per-key with TTL, printed (the wall's data dependency,
+  *    without pixels).
+  */
+object Main {
+
+  private def parseArgs(argv: Array[String]): Map[String, String] =
+    argv.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(argv: Array[String]): Unit = {
+    val mode = argv.headOption.getOrElse("pipeline")
+    val args = parseArgs(argv)
+    def req(k: String): String = args.getOrElse(k,
+      sys.error(s"missing required flag --$k"))
+
+    val spark = {
+      val b = SparkSession.builder()
+        .master(args.getOrElse("master", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          args.getOrElse("shuffle-partitions", "32"))
+        .config("spark.ui.enabled", "false")
+      graft.Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+      b.getOrCreate()
+    }
+    spark.sparkContext.setLogLevel("WARN")
+
+    mode match {
+      case "pipeline" => runPipeline(spark, args, req)
+      case "replay" => runReplay(spark, args, req)
+      case other => sys.error(s"unknown mode: $other (pipeline|replay)")
+    }
+  }
+
+  private def runPipeline(spark: SparkSession, args: Map[String, String],
+                          req: String => String): Unit = {
+    import spark.implicits._
+    val eventsDir = req("events-dir")
+    val outDir = req("out-dir")
+    val ckRoot = args.getOrElse("checkpoint-dir", s"$outDir/_checkpoints")
+    val cfg = EngineConfig(
+      instanceId = args.getOrElse("instance-id", "processor-1"),
+      modelId = args.getOrElse("model", "yolov8x-640"),
+      maxFps = args.getOrElse("max-fps", "1.0").toDouble,
+      confidenceThreshold = args.getOrElse("confidence", "0.5").toDouble)
+    val maxFiles = args.get("max-files-per-trigger").map(_.toInt)
+
+    def buildPipeline(c: EngineConfig, paused: () => Boolean) = {
+      val events = Sources.eventFileStream(spark, eventsDir, maxFiles)
+        // F3: confidence threshold applied inside the nested array (the
+        // reference delegates this to the inference layer; the engine
+        // enforces it at ingest)
+        .withColumn("detections", filter(col("detections"),
+          d => d.getField("confidence") >= c.confidenceThreshold))
+      StatefulOps.pauseGatedWriter(events, paused) { (batch, _) =>
+        Sinks.detectionPublishFrame(batch, "nvr/detections")
+          .write.mode("append").parquet(s"$outDir/detections")
+      }.option("checkpointLocation", s"$ckRoot/pipeline").start()
+    }
+
+    val harness = new ControlHarness(cfg, buildPipeline,
+      acks => if (acks.nonEmpty)
+        acks.toDF().write.mode("append").parquet(s"$outDir/acks"),
+      status => Sinks.upsertRetained(spark, Seq(status).toDF(),
+        s"$outDir/status", Seq("instance_id"), "timestamp", "status"))
+    harness.start()
+
+    args.get("control-dir").foreach { controlDir =>
+      val cmds = Sources.parseCommands(
+        spark.readStream.format("text").load(controlDir)
+          .withColumn("seq", input_file_name()))
+      harness.attach(cmds, "seq")
+        .option("checkpointLocation", s"$ckRoot/control").start()
+    }
+    spark.streams.awaitAnyTermination()
+  }
+
+  private def runReplay(spark: SparkSession, args: Map[String, String],
+                        req: String => String): Unit = {
+    val events = Sources.eventFileBatch(spark, req("events-dir"))
+    val latest = EventOps.latestPerKeyWithTtl(events, Seq("source_id"),
+      "timestamp", "frame_id", args.getOrElse("ttl", "1 SECOND"))
+    latest.show(args.getOrElse("limit", "50").toInt, truncate = false)
+  }
+}

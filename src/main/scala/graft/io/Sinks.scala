@@ -32,9 +32,16 @@ object Sinks {
     val target = new org.apache.hadoop.fs.Path(path)
     val existing =
       if (fs.exists(target)) Some(spark.read.parquet(path)) else None
-    val merged = EventOps.latestPerKey(
-      existing.map(_.unionByName(batch)).getOrElse(batch),
-      key, orderCol, tieBreak)
+    val unioned = existing.map(_.unionByName(batch)).getOrElse(batch)
+    // row_number, not EventOps.latestPerKey: status payloads carry MAP
+    // columns (config/health projections) which struct-max cannot order;
+    // the retained table is fleet-sized, so a window sort is irrelevant.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    val merged = unioned
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     fs.delete(target, true)

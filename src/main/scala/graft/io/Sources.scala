@@ -36,9 +36,16 @@ object Sources {
       .select(col("topic_source_id"), col("event.*"))
 
   /** Streaming file-bridge source (S2 analog): tails a directory of
-    * envelope files. */
-  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
-    parseEventBus(parseEnvelope(spark.readStream.format("text").load(dir)))
+    * envelope files. `maxFilesPerTrigger` is the backpressure/frame-drop
+    * knob (ST5, pipeline_manager.py:122-123): it bounds per-micro-batch
+    * intake so a backlog drains at a controlled rate instead of one giant
+    * batch (the Kafka analog is maxOffsetsPerTrigger). */
+  def eventFileStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("text")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    parseEventBus(parseEnvelope(reader.load(dir)))
+  }
 
   /** Batch replay over the same envelope files — identical plan shape. */
   def eventFileBatch(spark: SparkSession, dir: String): DataFrame =

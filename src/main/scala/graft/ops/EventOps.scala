@@ -25,7 +25,12 @@ object EventOps {
     * Implementation: `max(struct(ord, tie, payload*))` — one shuffle with
     * partial aggregation; no global sort, no per-partition sort buffer.
     * At 100 TB this is the difference between shuffling ~|keys| rows and
-    * shuffling the whole table. */
+    * shuffling the whole table.
+    *
+    * Constraint: every payload column must be of an ORDERABLE type
+    * (struct-max compares the whole struct) — maps are not. For small
+    * tables with map payloads use a `row_number` window instead
+    * (see graft.io.Sinks.upsertRetained). */
   def latestPerKey(df: DataFrame, key: Seq[String], orderCol: String,
                    tieBreak: String): DataFrame = {
     val payload = df.columns.filterNot(key.contains)

@@ -106,6 +106,36 @@ object Similarity {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** ANN top-k — the scale path for [[cosineTopK]]: hyperplane-LSH
+    * bucketing with multi-probe (the query's own bucket plus all
+    * one-bit-flip neighbors, numPlanes+1 probes), exact cosine ranking
+    * within the candidate set only. Candidate volume ≈
+    * |queries|·(numPlanes+1)·avg-bucket-size instead of
+    * |queries|·|corpus| — at a 10⁹-vector corpus this is the difference
+    * between a bucketed equi-join and an unrunnable cross product.
+    * Approximate: recall < 1 by construction; raise numPlanes probes or
+    * add band tables for recall. Deterministic (fixed hyperplanes),
+    * hence oracle-checkable. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, id: String,
+              vec: String, k: Int, numPlanes: Int): DataFrame = {
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"),
+      hyperplaneBucket(col(vec), numPlanes).as("q_bucket"))
+    val probes = q.select(col("q_id"), col("q_vec"), col("q_norm"),
+      explode(array(col("q_bucket") +:
+        (0 until numPlanes).map(j => col("q_bucket").bitwiseXOR(1L << j)): _*))
+        .as("probe"))
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"),
+      hyperplaneBucket(col(vec), numPlanes).as("c_bucket"))
+    val cand = probes.join(c,
+        col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .dropDuplicates("q_id", "c_id") // a pair can match via several probes
+    val scored = cand.select(col("q_id"), col("c_id"),
+      cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
+    topKMerge(scored, k)
+  }
+
   /** ANN near-dup pairs: bucket by hyperplane signature, exact cosine
     * verification within buckets only. Candidate volume ∝ Σ_bucket
     * |bucket|² with 2^numPlanes buckets — the 100 TB path (approximate:
