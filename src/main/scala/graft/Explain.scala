@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print formatted physical plans for selected queries —
+  * `runMain graft.Explain q08_latest_per_key ...` (no args = a default
+  * audit set). Used to keep plans honest: pushed filters, pruned scans,
+  * broadcast where expected, wide whole-stage-codegen spans. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val builder = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q02_filter_conf", "q08_latest_per_key", "q12_asof_join",
+        "q19_cosine_topk", "q27_revenue_by_nation")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      Queries.byName(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -56,20 +56,44 @@ object Similarity {
   }
 
   /** Shared two-phase top-k: input (q_id, c_id, cos) → (q_id, rank, c_id,
-    * cos rounded to 6). Phase 1 caps each input partition's contribution
-    * per query at k rows; phase 2 merges. Deterministic: ties broken by
-    * c_id ascending. */
+    * cos rounded to 6). Deterministic total order (cos DESC, c_id ASC).
+    *
+    * Phase 1 runs a bounded heap per query inside each partition —
+    * memory O(|queries|·k) regardless of partition size. (A
+    * `collect_list`-then-slice formulation materializes EVERY candidate
+    * of a (query, partition) group before slicing — at a 100 TB corpus
+    * that is an unbounded array per group and the OOM path.) Phase 2
+    * shuffles only the |partitions|·|queries|·k survivors and merges. */
   private[graft] def topKMerge(scored: DataFrame, k: Int): DataFrame = {
-    val packed = struct((-col("cos")).as("neg"), col("c_id").as("c_id"))
-    val local = scored
-      .withColumn("part", spark_partition_id())
-      .groupBy(col("q_id"), col("part"))
-      .agg(slice(array_sort(collect_list(packed)), 1, k).as("top"))
-    local.groupBy(col("q_id"))
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("q_id"), (col("pos") + 1).as("rank"),
-        col("e.c_id").as("neighbor_id"), round(-col("e.neg"), 6).as("cos"))
+    import scored.sparkSession.implicits._
+    // pops the WORST kept candidate first: smaller cos = worse, then
+    // larger id = worse
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.by { case (cos, id) => (-cos, id) }
+    def keep(heaps: scala.collection.mutable.HashMap[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]],
+             q: Long, cand: (Double, Long)): Unit = {
+      val h = heaps.getOrElseUpdate(q,
+        scala.collection.mutable.PriorityQueue.empty(worstFirst))
+      if (h.size < k) h.enqueue(cand)
+      else if (worstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+    }
+    val typed = scored.select(col("q_id").cast("long"), col("c_id").cast("long"),
+      col("cos").cast("double")).as[(Long, Long, Double)]
+    val local = typed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, c, s) => keep(heaps, q, (s, c)) }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (s, c) => (q, c, s) } }
+    }
+    local.groupByKey(_._1).flatMapGroups { (q, rows) =>
+      // worstFirst ascending = better-first (smaller (-cos, id) = better)
+      rows.map { case (_, c, s) => (s, c) }.toSeq
+        .sorted(worstFirst).take(k).zipWithIndex
+        .map { case ((s, c), i) => (q, i + 1, c, s) }.iterator
+    }.toDF("q_id", "rank", "neighbor_id", "cos")
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, brute force
