@@ -169,6 +169,19 @@ object EventOps {
       when(trackerId.isNotNull,
         concat(lit(" #"), trackerId.cast("string"))).otherwise(lit("")))
 
+  /** Batch unbundling (E2, processor/mqtt_sink.py:96-100, 194-199): the
+    * inference layer may deliver a bundle of (prediction, frame) pairs in
+    * one callback; zip them positionally and emit one row per pair.
+    * Scalar-vs-list polymorphism disappears at ingest (a scalar is a
+    * 1-element array); null-padded tails from `arrays_zip` are the
+    * (pred, frame) null pairs the reference skips (F2) — filter both. */
+  def unbundle(df: DataFrame, preds: String, frames: String): DataFrame =
+    df.withColumn("__pair", explode(arrays_zip(col(preds), col(frames))))
+      .filter(col(s"__pair.$preds").isNotNull && col(s"__pair.$frames").isNotNull)
+      .withColumn("pred", col(s"__pair.$preds"))
+      .withColumn("frame", col(s"__pair.$frames"))
+      .drop("__pair", preds, frames)
+
   /** bbox center+size → corner xyxy (P3, wall/renderer.py:119-123). */
   def bboxToCorners(x: Column, y: Column, w: Column, h: Column): Column =
     struct(

@@ -59,6 +59,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minHashLshPairs maxBucket caps viral-duplicate buckets (skew guard)") {
+    import scala.collection.immutable.Seq
+    // a "viral" document duplicated 20x: every band bucket holds all 20
+    // copies -> one O(|bucket|^2) straggler task at scale
+    val viral = (1L to 20L).map(i =>
+      (i, "the same viral document text repeated everywhere across the corpus"))
+    val rest = Seq(
+      (100L, "an unrelated document about catalyst plans and codegen stages"),
+      (101L, "another unrelated document about shuffles and partitions"))
+    val docs = (viral ++ rest).toDF("doc_id", "text")
+    val uncapped = Dedup.minHashLshPairs(docs, "doc_id", "text", 12, 4, 0.9)
+    assert(uncapped.count() == 190) // 20 choose 2
+    // cap below the viral bucket size: the oversized buckets are dropped,
+    // the query completes, and no spurious pairs appear
+    val capped = Dedup.minHashLshPairs(docs, "doc_id", "text", 12, 4, 0.9,
+      maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+
   test("simHash: identical texts collide, pairs carry hamming distance") {
     val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap

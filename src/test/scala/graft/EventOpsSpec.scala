@@ -107,6 +107,18 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Set("person 0.87 #42", "car 0.50"))
   }
 
+  test("unbundle zips prediction and frame bundles, skipping null pairs") {
+    val df = Seq(
+      (1L, Seq("p1", "p2"), Seq("f1", "f2")),
+      (2L, Seq("p3"), Seq("f3")),
+      (3L, Seq("p4", "p5"), Seq("f4")) // ragged: (p5, null) skipped (F2)
+    ).toDF("id", "preds", "frames")
+    val out = EventOps.unbundle(df, "preds", "frames")
+      .select("id", "pred", "frame").as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "p1", "f1"), (1L, "p2", "f2"), (2L, "p3", "f3"),
+      (3L, "p4", "f4")))
+  }
+
   test("bboxToCorners converts center+size to xyxy") {
     val out = Seq((10.0, 20.0, 4.0, 6.0)).toDF("x", "y", "w", "h")
       .select(EventOps.bboxToCorners(col("x"), col("y"), col("w"), col("h")).as("c"))
