@@ -1,0 +1,46 @@
+package graft.control
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/** Query supervision (ST7's rejoin loop, processor/processor.py:207-273):
+  * the reference's main thread `join()`s the pipeline and distinguishes
+  * "restarting on purpose" from "died" via a coordination flag. The Spark
+  * analog is a [[StreamingQueryListener]]: intentional stops
+  * (stop/rebuild/start from [[ControlHarness]]) terminate without
+  * exception; a crash carries one and triggers the recovery callback.
+  *
+  * Driver-side only — no data-path cost. */
+final class Supervisor(onFailure: (String, String) => Unit)
+    extends StreamingQueryListener {
+
+  final case class Termination(runId: String, exception: Option[String])
+  private val terminations = new ConcurrentLinkedQueue[Termination]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+    val t = Termination(event.runId.toString, event.exception)
+    terminations.add(t)
+    event.exception.foreach(ex => onFailure(event.runId.toString, ex))
+  }
+
+  def history: Seq[Termination] = {
+    val it = terminations.iterator()
+    val b = Seq.newBuilder[Termination]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+}
+
+object Supervisor {
+  /** Install a supervisor on the session; returns it for inspection. */
+  def install(spark: SparkSession)(onFailure: (String, String) => Unit): Supervisor = {
+    val s = new Supervisor(onFailure)
+    spark.streams.addListener(s)
+    s
+  }
+}

@@ -10,6 +10,22 @@ import org.apache.spark.sql.Row
 case class KeyedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
 
+/** A display frame (only the metadata triple crosses into the engine —
+  * interfaces.py:135-152). */
+case class Frame(frame_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+/** Internal tagged union for [[StatefulOps.asOfCoProcess]]: exactly one
+  * of `frame`/`event` is set. `seq` preserves arrival interleaving. */
+case class FrameOrEvent(seq: Long, user_id: Long, frame: Option[Frame],
+                        event: Option[KeyedEvent])
+
+/** A frame paired with the latest fresh event of its key — the render
+  * loop's `cache.get(source_id)` result (wall/wall.py:122-127); event
+  * fields are None for a bare tile. */
+case class PairedFrame(frame_id: Long, user_id: Long,
+                       ts: java.sql.Timestamp, event_id: Option[Long],
+                       event_value: Option[Double])
+
 /** Streaming forms of the reference's stateful operators. The batch forms
   * live in [[graft.ops.EventOps]]; these are the `mapGroupsWithState`
   * equivalents with the reference's *processing-time* semantics:
@@ -99,6 +115,49 @@ object StatefulOps {
   def metricsAggregateStreaming(events: DataFrame, windowSec: Int = 10,
                                 lateness: String = "10 seconds"): DataFrame =
     metricsAggregate(events.withWatermark("ts", lateness), windowSec)
+
+  /** Stream–state as-of co-processing (J2, the system's defining stateful
+    * operator): frames and events share one keyed state; each frame pairs
+    * with the latest event of its key that is still fresh, or None (bare
+    * tile). Faithful to the reference's per-message interleaving: the
+    * union is processed in arrival (`seq`) order within each micro-batch,
+    * so an event arriving between two frames is visible to the second
+    * frame only (wall/mqtt_listener.py:93 update vs wall/wall.py:124 get).
+    * TTL is processing-time via state timeout (read-path expiry analog).
+    *
+    * Scale: state is one event per key (O(sources)); both inputs shuffle
+    * once on the key — the same co-partitioning a stream-stream join
+    * would need, without its unbounded join buffers. */
+  def asOfCoProcess(frames: Dataset[Frame], events: Dataset[KeyedEvent],
+                    ttlMs: Long): Dataset[PairedFrame] = {
+    import frames.sparkSession.implicits._
+    // id-interleaved arrival convention: event #i (seq 2i) is visible to
+    // frame #i (seq 2i+1) and later; carry a real ingest sequence here if
+    // the bus provides one.
+    val tagged = frames
+      .map(f => FrameOrEvent(f.frame_id * 2 + 1, f.user_id, Some(f), None))
+      .union(events.map(e => FrameOrEvent(e.event_id * 2, e.user_id, None, Some(e))))
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyedEvent, PairedFrame](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (_, batch, state: GroupState[KeyedEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[PairedFrame]
+            batch.toSeq.sortBy(_.seq).foreach {
+              case FrameOrEvent(_, _, _, Some(e)) =>
+                state.update(e) // last-arrival-wins overwrite (W1)
+                state.setTimeoutDuration(ttlMs)
+              case FrameOrEvent(_, _, Some(f), _) =>
+                val cur = state.getOption
+                out += PairedFrame(f.frame_id, f.user_id, f.ts,
+                  cur.map(_.event_id), cur.map(_.value))
+              case _ => ()
+            }
+            out.result().iterator
+          }
+      }
+  }
 
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.

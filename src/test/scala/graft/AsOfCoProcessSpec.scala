@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{Frame, KeyedEvent, PairedFrame, StatefulOps}
+
+/** The wall's render-loop join as streaming co-processing (J2):
+  * frame → latest fresh event of its source, or bare tile. */
+class AsOfCoProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, v: Double) =
+    KeyedEvent(id, ts(t), user, "det", v)
+  private def fr(id: Long, t: String, user: Long) = Frame(id, ts(t), user)
+
+  test("frames pair with the latest event; bare tile when none; overwrite wins") {
+    implicit val ctx = spark.sqlContext
+    val frames = MemoryStream[Frame]
+    val events = MemoryStream[KeyedEvent]
+    val q = StatefulOps.asOfCoProcess(frames.toDS(), events.toDS(), ttlMs = 60000)
+      .writeStream.format("memory").queryName("coproc").outputMode("append").start()
+    try {
+      def rows = spark.table("coproc").as[PairedFrame].collect()
+        .map(p => p.frame_id -> p.event_id).toMap
+      // batch 1: event 10 for user 1, then frames 5 (user 1) and 6 (user 2)
+      events.addData(ev(10, "2024-01-01 00:00:00", 1, 1.0))
+      frames.addData(fr(5, "2024-01-01 00:00:01", 1), fr(6, "2024-01-01 00:00:01", 2))
+      awaitCond("frame 5 paired, frame 6 bare")(
+        rows.get(5L).contains(Some(10L)) && rows.get(6L).contains(None))
+      // batch 2: overwrite user 1's event (last arrival wins); frame 13
+      // (seq 27) arrives after event 12 (seq 24) and sees it
+      events.addData(ev(12, "2024-01-01 00:00:02", 1, 2.0))
+      frames.addData(fr(13, "2024-01-01 00:00:03", 1))
+      awaitCond("frame 13 sees overwritten event 12")(
+        rows.get(13L).exists(_.contains(12L)))
+      // within one batch, id-interleaving: event 100 (seq 200) is NOT yet
+      // visible to frame 99 (seq 199) but is to frame 101 (seq 203)
+      events.addData(ev(100, "2024-01-01 00:00:10", 3, 3.0))
+      frames.addData(fr(99, "2024-01-01 00:00:10", 3), fr(101, "2024-01-01 00:00:11", 3))
+      awaitCond("interleaving respected")(
+        rows.get(99L).contains(None) && rows.get(101L).exists(_.contains(100L)))
+    } finally q.stop()
+  }
+
+  test("supervisor records crashes with exceptions, ignores clean stops") {
+    implicit val ctx = spark.sqlContext
+    @volatile var failed: Option[String] = None
+    val sup = graft.control.Supervisor.install(spark) { (_, ex) =>
+      failed = Some(ex)
+    }
+    try {
+      val in = MemoryStream[KeyedEvent]
+      // clean stop: no exception recorded
+      val ok = in.toDF().writeStream.format("memory")
+        .queryName("sup_ok").outputMode("append").start()
+      in.addData(ev(1, "2024-01-01 00:00:00", 1, 1.0))
+      ok.processAllAvailable(); ok.stop(); ok.awaitTermination()
+      // crash: foreachBatch throws
+      val bad = in.toDF().writeStream.foreachBatch {
+        (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("boom")
+      }.start()
+      in.addData(ev(2, "2024-01-01 00:00:01", 1, 1.0))
+      intercept[Exception] { bad.processAllAvailable() }
+      // listener delivery is async
+      val deadline = System.currentTimeMillis + 20000
+      while (failed.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(failed.exists(_.contains("boom")))
+      val clean = sup.history.filter(_.exception.isEmpty)
+      assert(clean.nonEmpty, "clean stop must be recorded without exception")
+    } finally spark.streams.removeListener(sup)
+  }
+}

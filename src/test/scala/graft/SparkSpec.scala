@@ -20,4 +20,13 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** Poll-until for timeout-registered streaming queries, where
+    * `processAllAvailable` can livelock (the engine keeps scheduling
+    * empty batches to fire processing-time timeouts). */
+  def awaitCond(clue: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(cond, clue)
+  }
 }

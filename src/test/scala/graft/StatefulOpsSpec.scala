@@ -18,15 +18,6 @@ class StatefulOpsSpec extends SparkSpec {
   private def withQuery[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
-  /** Poll-until for timeout-registered queries: `processAllAvailable` can
-    * livelock there (the engine keeps scheduling empty batches to fire
-    * processing-time timeouts), so assertions wait on the sink instead. */
-  private def awaitCond(clue: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
-    val deadline = System.currentTimeMillis + timeoutMs
-    while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
-    assert(cond, clue)
-  }
-
   test("latestPerKeyTtl: last arrival wins within a key") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
