@@ -37,7 +37,11 @@ object Bench {
       val res =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      (name, (System.nanoTime() - t0) / 1e9, res)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop tables persisted inside operators (LSH signature caches) so
+      // queries don't inherit each other's memory pressure
+      spark.catalog.clearCache()
+      (name, dt, res)
     }
     val ok = timed.collect { case (n, s, Right(_)) => n -> s }
     val failed = timed.collect { case (n, _, Left(m)) => n -> m }

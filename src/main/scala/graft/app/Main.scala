@@ -85,6 +85,11 @@ object Main {
         acks.toDF().write.mode("append").parquet(s"$outDir/acks"),
       status => Sinks.upsertRetained(spark, Seq(status).toDF(),
         s"$outDir/status", Seq("instance_id"), "timestamp", "status"))
+    // ST7 supervision: crashed pipeline queries (exception present) are
+    // logged; clean stops (restart/stop commands) are not failures.
+    graft.control.Supervisor.install(spark) { (runId, ex) =>
+      System.err.println(s"[supervisor] query $runId failed: ${ex.take(200)}")
+    }
     harness.start()
 
     args.get("control-dir").foreach { controlDir =>

@@ -123,10 +123,23 @@ object Dedup {
     // Persist the SIGNED table, not just the shingles: the signature (md5
     // over every shingle) is the dominant cost and is consumed four times
     // (both self-join sides + both verification joins).
-    val sh = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
+    //
+    // Signature computed via explode + numHashes codegen'd min()
+    // aggregates (map-side partial agg; shuffle carries |docs|·cores
+    // partial rows) — semantically identical to [[minHashSignature]] but
+    // outside the interpreted-HOF path, like [[simHashTable]].
+    val shingled = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("__sig", minHashSignature(col("sh"), numHashes))
-      .persist()
+    val hashed = shingled
+      .select(col("doc"), explode(col("sh")).as("s"))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10)
+        .cast("long") % MinHashP)
+    val mins = (0 until numHashes).map(i =>
+      min((col("h") * minHashA(i) + minHashB(i)) % MinHashP).as(s"__m$i"))
+    val sig = hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+    val sh = shingled.join(sig, "doc").persist()
     val banded = sh
       .select(col("doc"), explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
     val capped =
