@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FloatVectorDot, HyperplaneProjection}
+
+/** SparkSessionExtensions entry point: makes the native vector
+  * expressions SQL-callable —
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT float_vector_dot(a.embedding, b.embedding) FROM ...
+  * }}}
+  *
+  * For an already-built session use
+  * [[org.apache.spark.sql.graftx.Registry.register]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))),
+    (FunctionIdentifier("hyperplane_projection"),
+      new ExpressionInfo(classOf[HyperplaneProjection].getName, "hyperplane_projection"),
+      (children: Seq[Expression]) => HyperplaneProjection(children(0), children(1))))
+}

@@ -574,6 +574,25 @@ object Queries {
               WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR)
             SELECT count(DISTINCT user_id) AS n_keys FROM fresh"""))
 
+  private val q32 = QDef("q32_lightweight_report",
+    (s, d) => {
+      // e2e seconds synthesized from `value` (2-decimal → decimal-exact
+      // sums inside lightweightReport stay exact)
+      val e = events(s, d).select(col("user_id").as("source_id"),
+        col("value").as("e2e_s"))
+      graft.metrics.Metrics.lightweightReport(e, "source_id", "e2e_s",
+        windowSec = 10)
+    },
+    Some("""WITH g AS (SELECT user_id AS source_id, count(value) AS n_valid,
+                sum(CAST(value AS DECIMAL(18,2))) AS se
+              FROM events GROUP BY 1)
+            SELECT source_id,
+              round(CAST(se AS DOUBLE) * 1000 / n_valid, 2) AS avg_e2e_ms,
+              round(sum(n_valid) OVER () / 10.0, 6) AS throughput,
+              round(CAST(sum(se) OVER () AS DOUBLE) * 1000 /
+                sum(n_valid) OVER (), 2) AS global_avg_e2e_ms
+            FROM g"""))
+
   private val q31 = QDef("q31_ann_topk",
     (s, d) => {
       val e = emb(s, d)
@@ -610,7 +629,7 @@ object Queries {
 
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q32)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

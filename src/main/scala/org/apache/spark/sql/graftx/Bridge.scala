@@ -13,3 +13,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Post-hoc SQL registration of the graft native functions on an
+  * already-built session (the extensions path, `graft.GraftExtensions`,
+  * covers spark-submit). Session-state access is `private[sql]`, hence
+  * this lives next to [[Bridge]]. */
+object Registry {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

@@ -1,0 +1,18 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("native vector functions are SQL-callable after registration") {
+    org.apache.spark.sql.graftx.Registry.register(spark)
+    val dot = spark.sql(
+      "SELECT float_vector_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val proj = spark.sql(
+      "SELECT hyperplane_projection(array(CAST(1 AS FLOAT)), 0) AS p")
+      .collect().head.getDouble(0)
+    // d=0, j=0: component = (0*2654435761 % P)/P - 0.5 = -0.5
+    assert(proj == -0.5)
+  }
+}
