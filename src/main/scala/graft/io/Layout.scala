@@ -1,0 +1,25 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-layout helpers for the 100 TB posture: pre-partition once,
+  * join/aggregate many times without exchanges.
+  *
+  * Bucketing is the static answer to the shuffle question (SURVEY.md §7,
+  * "reuse a partitioning across stages"): a table bucketed by its join
+  * key is read already-hash-partitioned, so joins and aggregations on
+  * that key plan with NO Exchange on the bucketed side. For a fact table
+  * consumed by many per-key queries (events by source, documents by id)
+  * this converts every downstream shuffle into a free co-located scan. */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed table. `buckets` should be
+    * sized so one bucket of the LARGEST consumer's working set fits an
+    * executor (rule of thumb: total size / 128 MB, rounded to a power of
+    * two so future bucket-count changes stay compatible). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+}

@@ -50,8 +50,10 @@ object Dedup {
     * for unblocked corpora use [[minHashLshPairs]] instead. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         block: String, threshold: Double): DataFrame = {
+    // persisted: consumed by both sides of the self-join
     val sh = df.select(col(id), col(block), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val a = sh.select(col(id).as("a_id"), col(block).as("a_block"), col("sh").as("a_sh"))
     val b = sh.select(col(id).as("b_id"), col(block).as("b_block"), col("sh").as("b_sh"))
     a.join(b, col("a_block") === col("b_block") && col("a_id") < col("b_id"))

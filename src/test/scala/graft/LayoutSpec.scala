@@ -1,0 +1,32 @@
+package graft
+
+import graft.io.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join and aggregate without exchanges") {
+    val events = (1L to 1000L)
+      .map(i => (i, i % 7, s"e$i")).toDF("event_id", "user_id", "payload")
+    val users = (0L to 6L).map(i => (i, s"user$i")).toDF("user_id", "name")
+    Layout.writeBucketed(events, "ev_bucketed", "user_id", 4)
+    Layout.writeBucketed(users, "us_bucketed", "user_id", 4)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("us_bucketed"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free, got:\n$plan")
+      assert(joined.count() == 1000)
+      // aggregation on the bucket key: no exchange either
+      val agg = spark.table("ev_bucketed").groupBy("user_id").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS us_bucketed")
+    }
+  }
+}

@@ -88,6 +88,30 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("metricsAggregateStreaming: watermark emits closed windows, drops late data") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StatefulOps.metricsAggregateStreaming(in.toDF(), windowSec = 10,
+      lateness = "10 seconds")
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, "2024-01-01 00:00:01", 1), ev(2, "2024-01-01 00:00:05", 1))
+      q.processAllAvailable()
+      // window [0,10) not closed yet — nothing emitted in append mode
+      assert(spark.table("wm").isEmpty)
+      // watermark jumps past the window: it closes with n=2
+      in.addData(ev(3, "2024-01-01 00:01:00", 1))
+      q.processAllAvailable()
+      val closed = spark.table("wm").selectExpr("n").as[Long].collect().toSeq
+      assert(closed == Seq(2L))
+      // a late event inside the closed window is dropped (ST2): the
+      // emitted result never changes
+      in.addData(ev(4, "2024-01-01 00:00:07", 1))
+      q.processAllAvailable()
+      assert(spark.table("wm").selectExpr("n").as[Long].collect().toSeq == Seq(2L))
+    }
+  }
+
   test("pauseGatedWriter drops whole batches while paused, resumes after") {
     implicit val ctx = spark.sqlContext
     @volatile var paused = false
