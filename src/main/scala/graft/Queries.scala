@@ -593,6 +593,27 @@ object Queries {
                 sum(n_valid) OVER (), 2) AS global_avg_e2e_ms
             FROM g"""))
 
+  /** q12's as-of semantics through the NATIVE whole-operator plan
+    * (graft.plans.AsOfJoin — custom LogicalPlan/Strategy/SparkPlan,
+    * single-pass sort-merge). Shares q12's oracle: two implementations,
+    * one ground truth. */
+  private val q33 = QDef("q33_asof_native",
+    (s, d) => {
+      val e = events(s, d)
+      val probe = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+          col("user_id"), col("value").as("p_value"))
+      val build = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_event_id"), col("ts").as("b_ts"),
+          col("user_id"), col("value").as("b_value"))
+      graft.plans.AsOfJoin(probe, build, "user_id", "p_ts", "b_ts",
+        3600L * 1000000L, "b_event_id")
+        .select(col("p_event_id"), unix_micros(col("p_ts")).as("p_ts_us"),
+          col("user_id"), col("p_value"), col("b_event_id"),
+          unix_micros(col("b_ts")).as("b_ts_us"), col("b_value"))
+    },
+    q12.oracle, bench = true)
+
   private val q31 = QDef("q31_ann_topk",
     (s, d) => {
       val e = emb(s, d)
@@ -629,7 +650,7 @@ object Queries {
 
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,15 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Whole-operator as-of join (J2) backed by the custom Catalyst node
+  * (org.apache.spark.sql.graftx.AsOfJoinPlan): single-pass sort-merge,
+  * no pair fan-out, no collapse aggregation. Same semantics as
+  * [[graft.ops.EventOps.asOfJoin]] — both are verified against the same
+  * oracle (q12/q33). `tolerance` in microseconds. */
+object AsOfJoin {
+  def apply(probe: DataFrame, build: DataFrame, key: String, probeTs: String,
+            buildTs: String, toleranceUs: Long, buildTie: String): DataFrame =
+    org.apache.spark.sql.graftx.AsOfJoinDF(probe, build, key, probeTs,
+      buildTs, toleranceUs, buildTie)
+}

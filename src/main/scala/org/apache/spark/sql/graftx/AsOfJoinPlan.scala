@@ -1,0 +1,151 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join (J2) as a whole-operator extension — the
+  * (c)-preference path: LogicalPlan node + Strategy + SparkPlan.
+  *
+  * Semantics (identical to graft.ops.EventOps.asOfJoin): for every probe
+  * row, the build row with the same key and the greatest
+  * `(buildTs, buildTie)` such that `buildTs ∈ [probeTs − tolerance,
+  * probeTs]`; left-outer (unmatched probes carry nulls).
+  *
+  * Why a custom operator: the compositional form must fan out with a
+  * range join and collapse with an aggregation — materializing every
+  * in-window (probe, build) pair. This exec co-partitions both sides on
+  * the key, sorts (key, ts) — requirements the planner satisfies with
+  * ordinary exchanges/sorts, reusable by neighbors — and then streams
+  * BOTH sides once per partition with O(1) carried state: no pair
+  * blow-up, no aggregation, no second shuffle. */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute, rightTie: Attribute,
+    toleranceUs: Long) extends BinaryNode {
+
+  override val output: Seq[Attribute] =
+    left.output ++ right.output
+      .filterNot(_.exprId == rightKey.exprId).map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute, rightTie: Attribute,
+    toleranceUs: Long, output: Seq[Attribute]) extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTsIdx = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
+    val keyType = leftKey.dataType
+    val rightKept = right.output.filterNot(_.exprId == rightKey.exprId)
+    val tol = toleranceUs
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val keepProj = UnsafeProjection.create(rightKept, right.output)
+      // the joined right side must bind NULLABLE (bare probes carry an
+      // all-null right row even where the source attribute was required)
+      val resultProj = UnsafeProjection.create(outAttrs,
+        left.output ++ rightKept.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rightKept.size)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+      // carried state: the latest (ts, tie) build row seen for curKey with
+      // buildTs <= current probe ts — O(1) per partition
+      var curKey: Any = null
+      var curTs: Long = Long.MinValue
+      var curRow: InternalRow = null
+
+      lIt.map { lrow =>
+        val lk = if (lrow.isNullAt(lKeyIdx)) null else lrow.get(lKeyIdx, keyType)
+        val lts = lrow.getLong(lTsIdx)
+        if (lk != null) {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val h = rBuf.head
+            val hk = if (h.isNullAt(rKeyIdx)) null else h.get(rKeyIdx, keyType)
+            val cmp = if (hk == null) -1 else keyOrd.compare(hk, lk)
+            if (cmp < 0 || (cmp == 0 && h.getLong(rTsIdx) <= lts)) {
+              val row = rBuf.next()
+              if (cmp == 0) {
+                // ascending (ts, tie): each matching row supersedes the last
+                curKey = lk
+                curTs = row.getLong(rTsIdx)
+                curRow = keepProj(row).copy()
+              }
+            } else advance = false
+          }
+        }
+        val fresh = lk != null && curRow != null && curKey != null &&
+          keyOrd.compare(curKey, lk) == 0 && curTs >= lts - tol
+        resultProj(joined(lrow, if (fresh) curRow else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(planLater(n.left), planLater(n.right), n.leftKey, n.rightKey,
+        n.leftTs, n.rightTs, n.rightTie, n.toleranceUs, n.output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public constructor: resolves the column attributes, self-registers the
+  * strategy on the session, and wraps the logical node as a DataFrame. */
+object AsOfJoinDF {
+  def apply(probe: DataFrame, build: DataFrame, key: String, probeTs: String,
+            buildTs: String, toleranceUs: Long, buildTie: String): DataFrame = {
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = probe.queryExecution.analyzed
+    // fresh exprIds on the build side: a self-as-of (probe and build carved
+    // from one DataFrame) would otherwise share attribute ids across both
+    // children and trip the analyzer's deduplication
+    val rp0 = build.queryExecution.analyzed
+    val rp = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rp0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"column $n not found in ${p.output.map(_.name)}"))
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      AsOfJoinNode(lp, rp, attr(lp, key), attr(rp, key),
+        attr(lp, probeTs), attr(rp, buildTs), attr(rp, buildTie), toleranceUs))
+  }
+}

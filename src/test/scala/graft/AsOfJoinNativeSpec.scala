@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.EventOps
+import graft.plans.AsOfJoin
+
+/** The native sort-merge as-of operator must agree row-for-row with the
+  * compositional (join + collapse) form on the same inputs. */
+class AsOfJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val rnd = new scala.util.Random(7)
+    val probe = (1L to 300L).map { i =>
+      (i, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 100L),
+        (i % 5) + 1)
+    }.toDF("p_id", "p_ts", "user_id")
+    val build = (1L to 400L).map { i =>
+      (i + 1000L, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 100L),
+        (i % 7) + 1, i * 1.5)
+    }.toDF("b_id", "b_ts", "user_id", "b_value")
+    (probe, build)
+  }
+
+  test("native as-of join == compositional as-of join (including bare probes)") {
+    val (probe, build) = fixture
+    val tolUs = 3000L * 1000L // 3 seconds
+    val native = AsOfJoin(probe, build, "user_id", "p_ts", "b_ts", tolUs, "b_id")
+      .collect().map(_.toString).sorted.toSeq
+    val composed = EventOps.asOfJoin(probe, build, "user_id", "p_ts", "b_ts",
+      "3 SECOND", "b_id")
+      // align column order with the native output (probe ++ build-minus-key)
+      .select("p_id", "p_ts", "user_id", "b_id", "b_ts", "b_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(native.size == 300 && native == composed)
+  }
+
+  test("native as-of plan has no aggregation and a single co-partitioning") {
+    val (probe, build) = fixture
+    val plan = AsOfJoin(probe, build, "user_id", "p_ts", "b_ts", 1000000L, "b_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Aggregate"), s"no collapse aggregation expected:\n$plan")
+  }
+}
