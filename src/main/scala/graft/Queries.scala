@@ -445,8 +445,11 @@ object Queries {
             FROM t"""), bench = true)
 
   private val q22 = QDef("q22_lang_id",
-    (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
-      TextAnalysis.langId(col("text")).as("lang_pred")),
+    (s, d) => {
+      val dd = docs(s, d)
+      dd.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.langIdTable(dd, "doc_id", "text"), "doc_id")
+    },
     Some("""WITH t AS (SELECT doc_id, lang,
                 list_filter(regexp_split_to_array(lower(text), '\s+'),
                   x -> x <> '') AS toks

@@ -74,6 +74,28 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Table form of [[langId]]: explode + codegen'd conditional sums with
+    * map-side partial aggregation, replacing one interpreted HOF pass per
+    * language. Returns `(id, lang_pred)`; token-less documents are "und".
+    * Semantics identical to [[langId]] (kept as the executable spec). */
+  def langIdTable(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id), explode(tokens(lower(col(text)))).as("w"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("w").isin(markers.map(lit): _*), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+    val votes = toks.groupBy(col(id)).agg(scores.head, scores.tail: _*)
+    val n = LangMarkers.size
+    val best = array_max(array(LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"s_$lang").as("score"), lit(n - i).as("prio"),
+        lit(lang).as("lang"))
+    }: _*))
+    // null score (no tokens) > 0 is null → falls through to "und"
+    df.select(col(id)).join(votes, Seq(id), "left")
+      .select(col(id),
+        when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as("lang_pred"))
+  }
+
   /** Document fingerprint: minimum md5 over 8-char shingles sampled every
     * 4 chars (winnowing-style rolling selection). Row-local, deterministic,
     * and identical across engines because it is pure md5-on-substrings. */
