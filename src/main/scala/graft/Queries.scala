@@ -617,6 +617,56 @@ object Queries {
     },
     q12.oracle, bench = true)
 
+  /** Dedup clustering: connected components over the MinHash-LSH pair
+    * graph (threshold 0.5) — the "keep one per family" pipeline step.
+    * Oracle: recursive-CTE reachability closure over the same pairs. */
+  private val q34 = QDef("q34_dedup_clusters",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.dedupClusters(dd, "doc_id",
+        Dedup.minHashLshPairs(dd, "doc_id", "text", 12, 4, 0.5))
+    },
+    Some("""WITH RECURSIVE
+             sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS sh
+                    FROM (SELECT doc_id,
+                            list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '') AS toks
+                          FROM documents)),
+             f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, 12), j ->
+                         list_min(list_transform(sh, x ->
+                           ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                           % 2147483647))) AS sig
+                     FROM f),
+             banded AS (SELECT doc_id,
+                          CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                            sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+                        FROM sig, generate_series(0, 3) AS t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                      FROM banded x JOIN banded y
+                        ON x.band = y.band AND x.doc_id < y.doc_id),
+             pairs AS (SELECT * FROM (
+                 SELECT c.a_id, c.b_id,
+                        round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+                          (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))),
+                          4) AS jac
+                 FROM cand c JOIN f fa ON c.a_id = fa.doc_id
+                             JOIN f fb ON c.b_id = fb.doc_id)
+               WHERE jac >= 0.5),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             reach(node, m) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node)
+            SELECT node AS doc_id, min(m) AS cluster,
+                   min(m) = node AS is_kept
+            FROM reach GROUP BY node"""), bench = true)
+
   private val q31 = QDef("q31_ann_topk",
     (s, d) => {
       val e = emb(s, d)
@@ -653,7 +703,7 @@ object Queries {
 
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

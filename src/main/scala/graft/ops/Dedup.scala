@@ -161,6 +161,49 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Connected components over a near-duplicate pair graph → cluster
+    * assignment (the "keep one per cluster" step of a dedup pipeline).
+    * Iterative min-label propagation: O(log diameter) rounds, each one
+    * bucketed equi-join + partial-agg min — near-dup components are tiny
+    * (duplicate families), so convergence is a handful of rounds.
+    * `localCheckpoint` truncates lineage per round. Deterministic:
+    * cluster id = min doc id of the component. */
+  def dedupClusters(nodes: DataFrame, id: String, pairs: DataFrame,
+                    maxIter: Int = 20): DataFrame = {
+    // Iterate over PAIR MEMBERS only: duplicate families are a vanishing
+    // fraction of the corpus, so the label-propagation loop runs on the
+    // pair graph (tiny) and singletons join back as identity at the end —
+    // never shuffle the full corpus per round.
+    val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = und
+        .join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("ncluster"))
+      val next = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), "node")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    // no broadcast hint: AQE picks broadcast at runtime when the label
+    // table is small; a fixed hint would OOM if dup families are huge
+    nodes.select(col(id))
+      .join(labels, nodes(id) === labels("node"), "left")
+      .select(col(id), coalesce(col("cluster"), col(id)).as("cluster"))
+      .withColumn("is_kept", col(id) === col("cluster"))
+  }
+
   private val SimHashBits = 60 // 15 hex chars of md5 → fits a positive Long
 
   /** 60-bit SimHash over whitespace tokens (with multiplicity): bit j of

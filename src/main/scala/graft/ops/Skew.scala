@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join handling covers sort-merge
+  * joins at runtime; these cover the cases it does not: broadcast-less
+  * dimension joins against a hot-key fact side, and distinct-style
+  * aggregates where one key dominates.
+  *
+  * Deterministic outputs: salting only changes the intermediate
+  * partitioning, never the result. */
+object Skew {
+
+  /** Salted equi-join: the large (possibly hot-keyed) side gets a salt
+    * derived from its physical partition; the small side is replicated
+    * across all `salts` values. A key that occupies an entire input
+    * partition now lands on `salts` reducers instead of one.
+    * `small` must be small enough to replicate `salts`-fold. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val l = large.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(s, key :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Skew-safe exact distinct count per key: two-phase — dedup on
+    * (key, value) first (the value spreads a hot key across reducers),
+    * then count per key. A direct `countDistinct` funnels every row of a
+    * hot key through one reducer. */
+  def distinctCountPerKey(df: DataFrame, key: Seq[String], value: String): DataFrame =
+    df.select((key :+ value).map(col): _*).distinct()
+      .groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.{Dedup, Skew}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals a plain join on a hot-keyed fixture") {
+    val large = ((1L to 900L).map(i => (7L, i)) ++ // hot key 7
+      (1L to 100L).map(i => (i % 5, i + 1000L))).toDF("k", "v")
+    val small = (0L to 9L).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(large, small, Seq("k"), salts = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && salted.size == 1000)
+  }
+
+  test("distinctCountPerKey equals countDistinct") {
+    val df = ((1L to 500L).map(i => (1L, i % 50)) ++
+      (1L to 20L).map(i => (2L, i))).toDF("k", "v")
+    val out = Skew.distinctCountPerKey(df, Seq("k"), "v")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 50L, 2L -> 20L))
+  }
+
+  test("dedupClusters groups duplicate families under the min id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),   // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),    // near-dup
+      (10L, "totally different content about spark and shuffles"),
+      (11L, "another unrelated corpus document entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 12, 4, 0.5)
+    val out = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)))
+    assert(out(3L)._1 == 1L) // transitively clustered with the family
+    assert(out(10L) == ((10L, true)) && out(11L) == ((11L, true)))
+  }
+}
