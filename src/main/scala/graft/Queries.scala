@@ -701,9 +701,51 @@ object Queries {
                    round(cos, 6) AS cos
             FROM r WHERE rn <= 5"""), bench = true)
 
+  private val q35 = QDef("q35_ivf_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, centroidStride = 50, nProbe = 3)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cent_id, vec AS cent_vec, nrm AS cent_nrm
+              FROM v WHERE vec_id % 50 = 0),
+            asg AS (SELECT c_id, cell, c_vec, c_nrm FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     a.vec AS c_vec, a.nrm AS c_nrm,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC) AS rn
+              FROM v a, cent) WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+              FROM v WHERE vec_id % 10 = 0),
+            probes AS (SELECT q_id, cell FROM (
+              SELECT q.q_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY q.q_id ORDER BY
+                       list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                         i -> CAST(q.q_vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (q.q_nrm * cent.cent_nrm) DESC, cent.cent_id ASC) AS rn
+              FROM q, cent) WHERE rn <= 3),
+            sc AS (SELECT p.q_id, a.c_id,
+                list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                  i -> CAST(q.q_vec[i] AS DOUBLE) * a.c_vec[i]))
+                  / (q.q_nrm * a.c_nrm) AS cos
+              FROM probes p JOIN q ON p.q_id = q.q_id
+                            JOIN asg a ON p.cell = a.cell
+              WHERE p.q_id <> a.c_id),
+            r AS (SELECT q_id, c_id, cos, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   round(cos, 6) AS cos
+            FROM r WHERE rn <= 5"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -160,6 +160,50 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** IVF-style ANN top-k: a deterministic coarse quantizer (centroids =
+    * every `centroidStride`-th corpus vector — swap in trained k-means
+    * centroids in production) partitions the corpus into cells; each
+    * query probes its `nProbe` best cells and ranks exactly within them.
+    * Candidate volume ≈ |queries|·nProbe·avg-cell-size. The centroid
+    * table is broadcast (it is small by construction); the
+    * per-query cell ranking collects at most |centroids| structs.
+    * Deterministic (fixed centroids, fixed tie-breaks) → oracle-checkable. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+              k: Int, centroidStride: Int, nProbe: Int): DataFrame = {
+    val cent = corpus.filter(pmod(col(id), lit(centroidStride)) === 0)
+      .select(col(id).as("cent_id"), col(vec).as("cent_vec"),
+        norm(col(vec)).as("cent_norm"))
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    // assign each corpus vector to its best cell (max cos, tie: larger id)
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("c_id"), col("c_vec"), col("c_norm"), col("cent_id"),
+        cosine(col("c_vec"), col("cent_vec"), col("c_norm"), col("cent_norm"))
+          .as("ccos"))
+      .groupBy(col("c_id"))
+      .agg(max(struct(col("ccos"), col("cent_id"), col("c_vec"), col("c_norm")))
+        .as("b"))
+      .select(col("c_id"), col("b.cent_id").as("cell"),
+        col("b.c_vec").as("c_vec"), col("b.c_norm").as("c_norm"))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"))
+    // nProbe best cells per query (bounded by |centroids|)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"),
+        cosine(col("q_vec"), col("cent_vec"), col("q_norm"), col("cent_norm"))
+          .as("qcos"), col("cent_id"))
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("qcos")).as("n"), col("cent_id")))), 1, nProbe).as("cells"))
+      .select(col("q_id"), explode(col("cells.cent_id")).as("cell"))
+    val scored = probes.join(q, "q_id")
+      .join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
+    topKMerge(scored, k)
+  }
+
   /** ANN near-dup pairs: bucket by hyperplane signature, exact cosine
     * verification within buckets only. Candidate volume ∝ Σ_bucket
     * |bucket|² with 2^numPlanes buckets — the 100 TB path (approximate:

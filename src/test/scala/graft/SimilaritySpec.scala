@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ivfTopK finds exact nearest within probed cells") {
+    // centroids = ids % 2 == 0; with nProbe covering all cells the result
+    // must equal the brute-force ranking
+    val brute = Similarity.cosineTopK(corpus.filter($"vec_id" === 1L), corpus,
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(corpus.filter($"vec_id" === 1L), corpus,
+      "vec_id", "embedding", k = 3, centroidStride = 2, nProbe = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("hyperplaneLshPairs: identical vectors share a bucket and pair at cos 1") {
     val dup = Seq((10L, Seq(0.5f, 0.5f, 0.5f)), (11L, Seq(0.5f, 0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
