@@ -38,9 +38,11 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop tables persisted inside operators (LSH signature caches) so
-      // queries don't inherit each other's memory pressure
+      // drop tables persisted inside operators (LSH signature caches) and
+      // collect garbage so queries don't inherit each other's memory
+      // pressure (md5-heavy queries showed multi-second GC spikes)
       spark.catalog.clearCache()
+      System.gc()
       (name, dt, res)
     }
     val ok = timed.collect { case (n, s, Right(_)) => n -> s }

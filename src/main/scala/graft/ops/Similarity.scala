@@ -112,18 +112,13 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
-    * Knuth multiplicative hash → (0,1) → centered. Exact integer → double
-    * arithmetic, reproducible anywhere. */
-  private def planeComponent(j: Int, d: Column): Column =
-    ((lit(j.toLong * 8191L) + d) * lit(2654435761L) % lit(2147483647L))
-      .cast("double") / lit(2147483647.0) - lit(0.5)
-
   /** Random-hyperplane (sign) LSH bucket key: `numPlanes` sign bits of
     * projections onto fixed pseudo-random hyperplanes. Vectors in the same
     * bucket are cosine-close with high probability. Row-local; native
-    * codegen'd projection (bit-identical to the HOF fold over
-    * [[planeComponent]]). */
+    * codegen'd projection. Plane component for (plane j, dim d) is the
+    * Knuth multiplicative hash `((j·8191 + d)·2654435761 mod (2^31−1))
+    * / (2^31−1) − 0.5` — exact integer→double arithmetic, reproducible
+    * in any engine (see graft.functions.HyperplaneProjection). */
   def hyperplaneBucket(vec: Column, numPlanes: Int): Column =
     (0 until numPlanes).map { j =>
       val proj = graft.functions.VectorExprs.hyperplaneProjection(vec, lit(j))

@@ -69,6 +69,27 @@ class IoSliceSpec extends SparkSpec {
     assert(out == Map("i-1" -> "paused", "i-2" -> "running"))
   }
 
+  test("ackWriter appends across micro-batches; sampleEveryNth strides") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("acks").toString
+    val in = MemoryStream[(String, String, String)]
+    val q = Sinks.ackWriter(
+      in.toDF().toDF("instance_id", "command", "ack_status"),
+      s"$dir/data", s"$dir/ck").start()
+    try {
+      in.addData(("i-1", "pause", "received")); q.processAllAvailable()
+      in.addData(("i-1", "pause", "completed")); q.processAllAvailable()
+      val acks = spark.read.parquet(s"$dir/data")
+        .select("ack_status").as[String].collect().toSet
+      assert(acks == Set("received", "completed"))
+    } finally q.stop()
+    val sampled = graft.ops.Multimodal.sampleEveryNth(
+      (0L to 9L).toDF("item_id"), "item_id", 3)
+      .as[Long].collect().toSet
+    assert(sampled == Set(0L, 3L, 6L, 9L))
+  }
+
   test("detection publish frame: topic round-trip and json payload") {
     val events = Seq((7, 1L)).toDF("source_id", "frame_id")
     val out = Sinks.detectionPublishFrame(events, "nvr/detections").collect().head
