@@ -99,7 +99,17 @@ object Main {
       harness.attach(cmds, "seq")
         .option("checkpointLocation", s"$ckRoot/control").start()
     }
-    spark.streams.awaitAnyTermination()
+    // The reference's supervising join() rejoin loop (ST7,
+    // processor/processor.py:207-273): a restart command intentionally
+    // terminates the pipeline query, which must NOT exit the app —
+    // rejoin until no query is active anymore (a real `stop`).
+    var running = true
+    while (running) {
+      spark.streams.awaitAnyTermination()
+      spark.streams.resetTerminated()
+      Thread.sleep(2000) // let an in-flight stop→rebuild→start register
+      running = spark.streams.active.nonEmpty
+    }
   }
 
   private def runReplay(spark: SparkSession, args: Map[String, String],
