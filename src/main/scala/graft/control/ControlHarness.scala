@@ -55,7 +55,12 @@ class ControlHarness(
     val name = Option(cmd.command).getOrElse("").toLowerCase.trim
     val applied = result.acks.lastOption.map(_.ack_status).contains("completed")
     if (applied) name match {
-      case "pause" => _paused = true // gate FIRST: immediate output stop
+      case "pause" =>
+        // two-level (ST6, pipeline_manager.py:134-215): gate FIRST —
+        // output stops at the next batch boundary — then stop the
+        // pipeline query (the "stop buffering, drain in-flight" level)
+        _paused = true
+        _pipeline.foreach(_.stop())
       case "resume" =>
         // pipeline-first-then-ungate (pipeline_manager.py:199-208)
         if (_pipeline.forall(!_.isActive)) restartPipeline()

@@ -51,6 +51,8 @@ class ControlHarnessSpec extends SparkSpec {
       cmds.addData((1L, cmdJson("pause")))
       cq.processAllAvailable()
       assert(h.isPaused, "pause gate must be set")
+      assert(h.pipeline.exists(!_.isActive),
+        "level-2 pause must stop the pipeline query")
       assert(acks.map(_.ack_status) == Seq("received", "completed"))
       assert(statuses.last.status == "paused")
 

@@ -20,6 +20,9 @@ class DedupSpec extends SparkSpec {
     val deg = Seq("solo", "").toDF("t")
       .select(Dedup.wordShingles(col("t"))).as[Seq[String]].collect()
     assert(deg.forall(_.isEmpty))
+    val tri = Seq("a b c d").toDF("t")
+      .select(Dedup.wordShingles(col("t"), n = 3)).as[Seq[String]].collect().head
+    assert(tri.toSet == Set("a b c", "b c d"))
   }
 
   test("exactDedup groups identical content, keeps smallest id") {
