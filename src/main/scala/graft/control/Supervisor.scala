@@ -19,8 +19,28 @@ final class Supervisor(onFailure: (String, String) => Unit)
   final case class Termination(runId: String, exception: Option[String])
   private val terminations = new ConcurrentLinkedQueue[Termination]()
 
+  /** Engine-side throughput per query (A2 from the engine's own
+    * vantage point — SURVEY.md §3.3: StreamingQueryProgress carries
+    * strictly more than the reference's watchdog counters). */
+  final case class Progress(batchId: Long, numInputRows: Long,
+                            inputRowsPerSecond: Double,
+                            processedRowsPerSecond: Double)
+  private val progress =
+    new java.util.concurrent.ConcurrentHashMap[String, Progress]()
+
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-  override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    progress.put(p.runId.toString, Progress(p.batchId, p.numInputRows,
+      p.inputRowsPerSecond, p.processedRowsPerSecond))
+  }
+
+  /** Latest progress snapshot per active runId. */
+  def throughput: Map[String, Progress] = {
+    import scala.jdk.CollectionConverters._
+    progress.asScala.toMap
+  }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
     val t = Termination(event.runId.toString, event.exception)

@@ -21,11 +21,14 @@ class AsOfCoProcessSpec extends SparkSpec {
     try {
       def rows = spark.table("coproc").as[PairedFrame].collect()
         .map(p => p.frame_id -> p.event_id).toMap
-      // batch 1: event 10 for user 1, then frames 5 (user 1) and 6 (user 2)
+      // batch 1: event 10 (seq 20) for user 1, then frames 50 (seq 101,
+      // user 1) and 60 (user 2) — frame ids ABOVE the event id so the
+      // event is visible under the id-interleaving convention even when
+      // all land in one micro-batch
       events.addData(ev(10, "2024-01-01 00:00:00", 1, 1.0))
-      frames.addData(fr(5, "2024-01-01 00:00:01", 1), fr(6, "2024-01-01 00:00:01", 2))
-      awaitCond("frame 5 paired, frame 6 bare")(
-        rows.get(5L).contains(Some(10L)) && rows.get(6L).contains(None))
+      frames.addData(fr(50, "2024-01-01 00:00:01", 1), fr(60, "2024-01-01 00:00:01", 2))
+      awaitCond("frame 50 paired, frame 60 bare")(
+        rows.get(50L).contains(Some(10L)) && rows.get(60L).contains(None))
       // batch 2: overwrite user 1's event (last arrival wins); frame 13
       // (seq 27) arrives after event 12 (seq 24) and sees it
       events.addData(ev(12, "2024-01-01 00:00:02", 1, 2.0))
@@ -67,6 +70,8 @@ class AsOfCoProcessSpec extends SparkSpec {
       assert(failed.exists(_.contains("boom")))
       val clean = sup.history.filter(_.exception.isEmpty)
       assert(clean.nonEmpty, "clean stop must be recorded without exception")
+      // A2 engine-side throughput was captured for the clean query
+      assert(sup.throughput.values.exists(_.numInputRows > 0))
     } finally spark.streams.removeListener(sup)
   }
 }
