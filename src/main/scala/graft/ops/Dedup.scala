@@ -130,8 +130,11 @@ object Dedup {
     // aggregates (map-side partial agg; shuffle carries |docs|·cores
     // partial rows) — semantically identical to [[minHashSignature]] but
     // outside the interpreted-HOF path, like [[simHashTable]].
+    // persisted: the shingle arrays (interpreted HOF work) feed both the
+    // signature branch (explode) and the verification join
     val shingled = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val hashed = shingled
       .select(col("doc"), explode(col("sh")).as("s"))
       .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10)

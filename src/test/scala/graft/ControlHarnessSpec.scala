@@ -98,6 +98,26 @@ class ControlHarnessSpec extends SparkSpec {
     } finally h.pipeline.foreach(_.stop())
   }
 
+  test("a failing ack sink does not kill command handling") {
+    implicit val ctx = spark.sqlContext
+    val statuses = mutable.ArrayBuffer.empty[InstanceStatus]
+    val in = MemoryStream[graft.streaming.KeyedEvent]
+    val h = new ControlHarness(EngineConfig("inst-1"),
+      (_, paused) => graft.streaming.StatefulOps
+        .pauseGatedWriter(in.toDF(), paused)((_, _) => ()).start(),
+      _ => throw new RuntimeException("broker down"),
+      st => statuses.synchronized(statuses += st))
+    h.start()
+    try {
+      h.handle(graft.model.Command("set_fps", Map("max_fps" -> "3.0"), Seq.empty))
+      // the config change still applied and the pipeline still rebuilt
+      assert(h.config.maxFps == 3.0)
+      assert(h.pipeline.exists(_.isActive))
+      h.handle(graft.model.Command("pause", Map.empty, Seq.empty))
+      assert(h.isPaused)
+    } finally h.pipeline.foreach(_.stop())
+  }
+
   test("stop terminates the pipeline query; resume restarts it") {
     val (h, _, _, _) = newHarness()
     try {
