@@ -743,9 +743,15 @@ object Queries {
                    round(cos, 6) AS cos
             FROM r WHERE rn <= 5"""), bench = true)
 
+  private val q36 = QDef("q36_distinct_per_key",
+    (s, d) => graft.ops.Skew.distinctCountPerKey(events(s, d),
+      Seq("user_id"), "event_type"),
+    Some("""SELECT user_id, count(DISTINCT event_type) AS n_distinct
+            FROM events GROUP BY 1"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
