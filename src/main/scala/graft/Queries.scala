@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.{Dedup, EventOps, Multimodal, Protocol, Similarity, TextAnalysis}
@@ -149,16 +148,22 @@ object Queries {
 
   private val q06 = QDef("q06_group_agg",
     (s, d) => {
-      val w = Window.partitionBy()
-      events(s, d).groupBy("user_id")
+      // Global rollup = 1-row aggregate over the per-key aggregate,
+      // broadcast back (never an unpartitioned Window, which moves the
+      // whole aggregate to a single partition and sorts it). The two
+      // aggregates share one scan+shuffle via ReuseExchange.
+      val g = events(s, d).groupBy("user_id")
         .agg(count(lit(1)).as("n"), count(col("value")).as("n_valid"),
           dsum(col("value")).as("__sd"))
+      val global = g.agg(sum(col("__sd")).as("__gsd"),
+        sum(col("n_valid")).as("__gnv"))
+      g.crossJoin(broadcast(global))
         .select(col("user_id"), col("n"), col("n_valid"),
           col("__sd").cast("double").as("sum_value"),
           round(col("__sd").cast("double") * 1000 / col("n_valid"), 2)
             .as("avg_val_ms"),
-          round(sum(col("__sd")).over(w).cast("double") * 1000 /
-            sum(col("n_valid")).over(w), 2).as("global_avg_ms"))
+          round(col("__gsd").cast("double") * 1000 / col("__gnv"), 2)
+            .as("global_avg_ms"))
     },
     Some("""WITH g AS (SELECT user_id, count(*) AS n, count(value) AS n_valid,
                 sum(CAST(value AS DECIMAL(18,2))) AS sd

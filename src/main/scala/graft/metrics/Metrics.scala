@@ -1,7 +1,6 @@
 package graft.metrics
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The metrics plane (SURVEY.md §2.7/§3.3), computed from the event stream
@@ -10,9 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every aggregate here is a hash-groupBy with map-side
   * partial aggregation (one shuffle of ≤|keys| rows per partition); the
-  * global roll-ups are window functions over the already-aggregated
-  * per-source rows (|sources| rows — trivially small), never over raw
-  * events. */
+  * global roll-ups are 1-row aggregates over the already-aggregated
+  * per-source rows, broadcast back — never a window over an
+  * unpartitioned frame, and never over raw events. */
 object Metrics {
 
   /** Full per-source report shaping (P5 + A3,
@@ -32,22 +31,27 @@ object Metrics {
 
   /** Lightweight report (P6 + A1 + A2, metrics_reporter.py:184-212):
     * per-source e2e ms + the global throughput and global average that
-    * the reference publishes every 10 s. Global values are computed as
-    * window sums over the per-source aggregate (exact, decimal-free:
-    * counts and pre-rounded sums only). */
+    * the reference publishes every 10 s. Global values are a 1-row
+    * aggregate over the per-source aggregate, broadcast back onto it —
+    * never an unpartitioned Window, which would move the whole aggregate
+    * to one partition and sort it (exact, decimal-free: counts and
+    * decimal sums only; the two aggregates share one scan+shuffle via
+    * ReuseExchange). */
   def lightweightReport(events: DataFrame, sourceId: String, e2eS: String,
                         windowSec: Int): DataFrame = {
-    val g = Window.partitionBy()
-    events.groupBy(col(sourceId))
+    val g = events.groupBy(col(sourceId))
       .agg(count(col(e2eS)).as("n_valid"),
         sum(col(e2eS).cast("decimal(18,2)")).as("__se"))
+    val global = g.agg(sum(col("n_valid")).as("__gnv"),
+      sum(col("__se")).as("__gse"))
+    g.crossJoin(broadcast(global))
       .select(col(sourceId),
         round(col("__se").cast("double") * 1000 / col("n_valid"), 2)
           .as("avg_e2e_ms"),
-        round(sum(col("n_valid")).over(g) / lit(windowSec.toDouble), 6)
+        round(col("__gnv") / lit(windowSec.toDouble), 6)
           .as("throughput"),
-        round(sum(col("__se")).over(g).cast("double") * 1000 /
-          sum(col("n_valid")).over(g), 2).as("global_avg_e2e_ms"))
+        round(col("__gse").cast("double") * 1000 / col("__gnv"), 2)
+          .as("global_avg_e2e_ms"))
   }
 
   /** Cache cardinality (A4, wall/detection_cache.py:76-79): number of

@@ -42,9 +42,24 @@ object Similarity {
     * corpus: (1) per (query, input-partition) local top-k via partial
     * `min(struct)`-style aggregation of sorted slices, (2) merge the
     * partitions×k survivors per query. No global sort, no window over the
-    * full cross product, and the queries side is broadcast. */
+    * full cross product, and the queries side is broadcast.
+    *
+    * SCALE GUARDRAIL: broadcasting the query side silently assumes it
+    * fits in every executor's memory. `maxBroadcastQueries` makes that
+    * assumption explicit — the one extra `count()` on the (small) query
+    * side is noise next to the |queries|·|corpus| scoring pass, and a
+    * query set too large to broadcast means this operator is the wrong
+    * tool: hand off to the bucketed scale paths ([[annTopK]] /
+    * [[ivfTopK]]), which shuffle candidates through an equi-join instead
+    * of replicating the queries. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String,
-                 vec: String, k: Int): DataFrame = {
+                 vec: String, k: Int,
+                 maxBroadcastQueries: Long = 500000L): DataFrame = {
+    val nQueries = queries.count()
+    require(nQueries <= maxBroadcastQueries,
+      s"cosineTopK broadcasts the query side, but it has $nQueries rows " +
+        s"(> maxBroadcastQueries=$maxBroadcastQueries); use annTopK or " +
+        "ivfTopK for large query sets, or raise the limit explicitly")
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm"))
     val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),

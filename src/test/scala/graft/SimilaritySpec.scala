@@ -38,6 +38,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(2L, 3L, 4L))
   }
 
+  test("cosineTopK guardrail rejects a query side too large to broadcast") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(corpus, corpus, "vec_id", "embedding", k = 2,
+        maxBroadcastQueries = 3L)
+    }
+    assert(e.getMessage.contains("annTopK"))
+    // raising the limit admits the same query set
+    assert(Similarity.cosineTopK(corpus, corpus, "vec_id", "embedding", k = 2,
+      maxBroadcastQueries = 5L).count() == 10L)
+  }
+
   test("cosineNearDupPairs finds only the close pair above threshold") {
     val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
