@@ -2,8 +2,10 @@ package graft.app
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.control.{ControlHarness, EngineConfig}
 import graft.io.{Sinks, Sources}
+import graft.model.Schemas
 import graft.ops.EventOps
 import graft.streaming.StatefulOps
 
@@ -18,7 +20,8 @@ import graft.streaming.StatefulOps
   *    per-key detections, run the control plane (commands dir → ACK/status
   *    tables), until terminated. Flags mirror cli.py: --instance-id,
   *    --confidence, --max-fps (via --max-files-per-trigger backpressure),
-  *    --model.
+  *    --model, and stream selection --n/--start/--end/--streams
+  *    (cli.py:112-124).
   *  - `replay`: batch verification pass over the same envelope directory —
   *    latest-per-key with TTL, printed (the wall's data dependency,
   *    without pixels).
@@ -29,6 +32,78 @@ object Main {
     argv.drop(1).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
     }.toMap
+
+  /** Stream selection (cli.py:112-124), precedence preserved:
+    *  - `--streams "1,3,6"` — explicit comma-separated ids;
+    *  - `--start X --end Y` — inclusive range;
+    *  - `--start X` alone — `n` ids from X;
+    *  - default — ids 0 until n (n defaults to 6, like the reference). */
+  def resolveStreamIds(args: Map[String, String]): Vector[Int] = {
+    val n = args.get("n").map(_.toInt).getOrElse(6)
+    (args.get("streams"), args.get("start").map(_.toInt),
+      args.get("end").map(_.toInt)) match {
+      case (Some(list), _, _) =>
+        list.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(_.toInt).toVector
+      case (None, Some(start), Some(end)) => (start to end).toVector
+      case (None, Some(start), None) => (start until start + n).toVector
+      case (None, None, _) => (0 until n).toVector
+    }
+  }
+
+  /** The data-plane builder (rebuilt on every ST7/ST8 restart). ST8 is
+    * wired END-TO-END here: ingest is filtered to the CURRENT config's
+    * `streamIds` (by the source id parsed from the bus topic), so
+    * `add_stream`/`remove_stream` — which restart the pipeline with a new
+    * config — change what is actually ingested, not just the config
+    * projection (command_handlers.py:266-310, 567-647). The checkpoint is
+    * shared across restarts: the file-source offset log replays unread
+    * envelopes and the new plan's filter decides their fate — a removed
+    * stream's backlog is dropped, not published. */
+  def pipelineBuilder(spark: SparkSession, eventsDir: String, outDir: String,
+                      ckRoot: String, maxFiles: Option[Int])
+                     (c: EngineConfig, paused: () => Boolean): StreamingQuery = {
+    val events = Sources.eventFileStream(spark, eventsDir, maxFiles)
+      .filter(col("topic_source_id").isin(c.streamIds: _*))
+      // F3: confidence threshold applied inside the nested array (the
+      // reference delegates this to the inference layer; the engine
+      // enforces it at ingest)
+      .withColumn("detections", filter(col("detections"),
+        d => d.getField("confidence") >= c.confidenceThreshold))
+    StatefulOps.pauseGatedWriter(events, paused) { (batch, _) =>
+      Sinks.detectionPublishFrame(batch, "nvr/detections")
+        .write.mode("append").parquet(s"$outDir/detections")
+    }.option("checkpointLocation", s"$ckRoot/pipeline").start()
+  }
+
+  /** On-demand METRICS publication (command_handlers.py:340-372): the
+    * full per-source report over everything this instance has published,
+    * upserted into the retained metrics table keyed by
+    * (instance, source) — the engine analog of the retained
+    * `{status}/metrics/{instance_id}` topic. The engine's events carry
+    * inference/e2e measurements but no decode timings or frame geometry
+    * (those never cross the bus) — the corresponding report columns are
+    * null, which `avg` skips (F6). */
+  def publishFullMetrics(spark: SparkSession, outDir: String,
+                         cfg: EngineConfig): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/detections"))) return
+    val events = spark.read.parquet(s"$outDir/detections")
+      .select(Schemas.parseEvent(col("payload")).as("e"))
+      .select(col("e.source_id").as("source_id"),
+        lit(null).cast("double").as("decode_s"),
+        (col("e.inference_time_ms") / 1000).as("inference_s"),
+        (col("e.latency_ms") / 1000).as("e2e_s"),
+        lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
+    val report = graft.metrics.Metrics.fullReport(events, "source_id",
+      "decode_s", "inference_s", "e2e_s", "w", "h")
+      .withColumn("instance_id", lit(cfg.instanceId))
+      .withColumn("timestamp", lit(new java.sql.Timestamp(
+        System.currentTimeMillis())))
+    Sinks.upsertRetained(spark, report, s"$outDir/metrics",
+      Seq("instance_id", "source_id"), "timestamp", "n_frames")
+  }
 
   def main(argv: Array[String]): Unit = {
     val mode = argv.headOption.getOrElse("pipeline")
@@ -64,27 +139,17 @@ object Main {
       instanceId = args.getOrElse("instance-id", "processor-1"),
       modelId = args.getOrElse("model", "yolov8x-640"),
       maxFps = args.getOrElse("max-fps", "1.0").toDouble,
-      confidenceThreshold = args.getOrElse("confidence", "0.5").toDouble)
+      confidenceThreshold = args.getOrElse("confidence", "0.5").toDouble,
+      streamIds = resolveStreamIds(args))
     val maxFiles = args.get("max-files-per-trigger").map(_.toInt)
 
-    def buildPipeline(c: EngineConfig, paused: () => Boolean) = {
-      val events = Sources.eventFileStream(spark, eventsDir, maxFiles)
-        // F3: confidence threshold applied inside the nested array (the
-        // reference delegates this to the inference layer; the engine
-        // enforces it at ingest)
-        .withColumn("detections", filter(col("detections"),
-          d => d.getField("confidence") >= c.confidenceThreshold))
-      StatefulOps.pauseGatedWriter(events, paused) { (batch, _) =>
-        Sinks.detectionPublishFrame(batch, "nvr/detections")
-          .write.mode("append").parquet(s"$outDir/detections")
-      }.option("checkpointLocation", s"$ckRoot/pipeline").start()
-    }
-
-    val harness = new ControlHarness(cfg, buildPipeline,
+    val harness = new ControlHarness(cfg,
+      pipelineBuilder(spark, eventsDir, outDir, ckRoot, maxFiles),
       acks => if (acks.nonEmpty)
         acks.toDF().write.mode("append").parquet(s"$outDir/acks"),
       status => Sinks.upsertRetained(spark, Seq(status).toDF(),
-        s"$outDir/status", Seq("instance_id"), "timestamp", "status"))
+        s"$outDir/status", Seq("instance_id"), "timestamp", "status"),
+      onMetricsRequest = c => publishFullMetrics(spark, outDir, c))
     // ST7 supervision: crashed pipeline queries (exception present) are
     // logged; clean stops (restart/stop commands) are not failures.
     graft.control.Supervisor.install(spark) { (runId, ex) =>

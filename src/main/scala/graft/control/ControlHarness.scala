@@ -29,11 +29,14 @@ class ControlHarness(
     buildPipeline: (EngineConfig, () => Boolean) => StreamingQuery,
     emitAcks: Seq[Ack] => Unit,
     emitStatus: InstanceStatus => Unit,
-    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    onMetricsRequest: EngineConfig => Unit = _ => ()) {
 
   @volatile private var _config: EngineConfig = initial
   @volatile private var _paused: Boolean = false
+  @volatile private var _stopped: Boolean = false
   @volatile private var _pipeline: Option[StreamingQuery] = None
+  @volatile private var _restarting: Boolean = false
   private val startedAt: Timestamp = clock()
 
   def config: EngineConfig = _config
@@ -41,6 +44,20 @@ class ControlHarness(
   def pipeline: Option[StreamingQuery] = _pipeline
   def uptimeSeconds(now: Timestamp): Double =
     (now.getTime - startedAt.getTime) / 1000.0
+
+  /** The engine's current run state — the reference's
+    * `_get_current_status`, same precedence (processor.py:474-489:
+    * stopped > paused > restarting > running). Both pause and stop
+    * terminate the pipeline query here (two-level pause), so an explicit
+    * `_stopped` flag — the reference's `is_running` — is what separates
+    * them. `restarting` is only observable by emission happening inside
+    * a restart; external observers serialize on the harness lock and see
+    * the settled state. */
+  def liveStatus: String =
+    if (_stopped) "stopped"
+    else if (_paused) "paused"
+    else if (_restarting) "restarting"
+    else "running"
 
   def start(): Unit = synchronized {
     _pipeline = Some(buildPipeline(_config, () => _paused))
@@ -51,7 +68,7 @@ class ControlHarness(
     * in the reference's ordering. */
   def handle(cmd: Command): Unit = synchronized {
     val now = clock()
-    val result = CommandInterpreter.interpret(_config, cmd, now)
+    val result = CommandInterpreter.interpret(_config, cmd, now, liveStatus)
     val name = Option(cmd.command).getOrElse("").toLowerCase.trim
     val applied = result.acks.lastOption.map(_.ack_status).contains("completed")
     if (applied) name match {
@@ -65,8 +82,10 @@ class ControlHarness(
         // pipeline-first-then-ungate (pipeline_manager.py:199-208)
         if (_pipeline.forall(!_.isActive)) restartPipeline()
         _paused = false
+        _stopped = false
       case "stop" =>
         _paused = true
+        _stopped = true
         _pipeline.foreach(_.stop())
       case _ => ()
     }
@@ -76,6 +95,11 @@ class ControlHarness(
     // and continues, control_plane.py:316-327); state changes above
     // already took effect
     try {
+      // on-demand METRICS publication (command_handlers.py:340-372): the
+      // harness owns no event data, so the full-report publication is an
+      // injected effect (the app wires Metrics.fullReport → the retained
+      // metrics table)
+      if (applied && name == "metrics") onMetricsRequest(_config)
       emitAcks(result.acks)
       result.status.foreach { st =>
         // runtime enrichment (P7): uptime + component health
@@ -98,8 +122,11 @@ class ControlHarness(
     * is nothing to roll back here — config rollback happened at
     * validation time inside the interpreter. */
   private def restartPipeline(): Unit = {
-    _pipeline.foreach(_.stop())
-    _pipeline = Some(buildPipeline(_config, () => _paused))
+    _restarting = true
+    try {
+      _pipeline.foreach(_.stop())
+      _pipeline = Some(buildPipeline(_config, () => _paused))
+    } finally _restarting = false
   }
 
   /** Attach to a streaming command source: a `foreachBatch` loop that

@@ -68,7 +68,14 @@ object CommandInterpreter {
     cmd.target_instances == null || cmd.target_instances.isEmpty ||
       cmd.target_instances.contains("*") || cmd.target_instances.contains(instanceId)
 
-  def interpret(cfg: EngineConfig, cmd: Command, now: Timestamp): CommandResult = {
+  /** @param liveStatus the engine's CURRENT run state
+    *   (running/paused/stopped/restarting) as observed by the harness —
+    *   the reference's `_get_current_status` (processor.py:474-489).
+    *   Read-only commands (`status`/`metrics`/`ping`) report it verbatim
+    *   instead of a hard-coded "running", so a paused instance answers
+    *   "paused". */
+  def interpret(cfg: EngineConfig, cmd: Command, now: Timestamp,
+                liveStatus: String = "running"): CommandResult = {
     val name = Option(cmd.command).getOrElse("").toLowerCase.trim
     def ack(s: String, msg: Option[String] = None) =
       Ack(cfg.instanceId, name, s, now, msg)
@@ -124,13 +131,16 @@ object CommandInterpreter {
       case "restart" =>
         CommandResult(cfg, Seq(received, ack("completed")), status("restarting"), true)
       case "status" | "metrics" =>
-        CommandResult(cfg, Seq(received, ack("completed")), status("running"), false)
+        // live state, not a hard-coded "running" (processor.py:474-489);
+        // `metrics` additionally triggers the full-report publication in
+        // the harness (command_handlers.py:340-372).
+        CommandResult(cfg, Seq(received, ack("completed")), status(liveStatus), false)
       case "ping" =>
         // P7 PONG: status + config projection + pong flag; uptime and the
         // health map are runtime facts the harness fills in
         // (command_handlers.py:374-428).
         CommandResult(cfg, Seq(received, ack("completed")),
-          Some(InstanceStatus(cfg.instanceId, "running", now, None, Some(true),
+          Some(InstanceStatus(cfg.instanceId, liveStatus, now, None, Some(true),
             config = Some(cfg.statusProjection))), false)
       case "change_model" =>
         requireParam("model_id")(m => reconfigure(_.copy(modelId = m), restart = true))
@@ -144,8 +154,16 @@ object CommandInterpreter {
           reconfigure(c => c.copy(streamIds = c.streamIds.filterNot(_ == s.toInt)),
             restart = true))
       case "rename_instance" =>
-        requireParam("new_instance_id")(id =>
-          reconfigure(_.copy(instanceId = id), restart = false))
+        // the status row carries the OLD id as `renamed_from` so consumers
+        // of the retained status table can follow the identity change
+        // (command_handlers.py:465)
+        requireParam("new_instance_id") { id =>
+          val r = reconfigure(_.copy(instanceId = id), restart = false)
+          r.copy(status = r.status.map(_.copy(
+            instance_id = r.config.instanceId,
+            renamed_from = if (r.config.instanceId == cfg.instanceId) None
+                           else Some(cfg.instanceId))))
+        }
     }
   }
 }

@@ -48,7 +48,8 @@ case class Ack(
 /** Retained per-instance status (reference: processor/control_plane.py:397-433).
   * `config` carries the public config projection (P4, config.py:238-257 —
   * secrets dropped); `health` the component liveness map (P7,
-  * command_handlers.py:404-411). */
+  * command_handlers.py:404-411); `renamed_from` the previous instance id
+  * after a rename (command_handlers.py:465). */
 case class InstanceStatus(
     instance_id: String,
     status: String,
@@ -56,7 +57,8 @@ case class InstanceStatus(
     uptime_seconds: Option[Double],
     pong: Option[Boolean],
     config: Option[Map[String, String]] = None,
-    health: Option[Map[String, Boolean]] = None)
+    health: Option[Map[String, Boolean]] = None,
+    renamed_from: Option[String] = None)
 
 /** Explicit StructType mirrors of the case classes, used with
   * `from_json`/`to_json` at the wire boundary. A malformed JSON payload

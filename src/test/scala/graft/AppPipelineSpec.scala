@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.app.Main
+import graft.control.{ControlHarness, EngineConfig}
+import graft.model.Command
+
+/** ST8 wired END-TO-END (the reference's flagship dynamic-reconfig story,
+  * command_handlers.py:266-310, 567-647 + test_dynamic_config.sh): the
+  * app's pipeline builder filters ingest by the CURRENT config's stream
+  * ids, so add/remove_stream — which restart the query — change what is
+  * actually published, not just the config projection. Plus the CLI
+  * stream-selection logic (cli.py:112-124). */
+class AppPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resolveStreamIds mirrors the reference CLI precedence") {
+    assert(Main.resolveStreamIds(Map.empty) == (0 until 6).toVector)
+    assert(Main.resolveStreamIds(Map("n" -> "2")) == Vector(0, 1))
+    assert(Main.resolveStreamIds(Map("streams" -> "1, 3,6")) == Vector(1, 3, 6))
+    // --streams wins over everything else
+    assert(Main.resolveStreamIds(
+      Map("streams" -> "9", "start" -> "1", "end" -> "4")) == Vector(9))
+    assert(Main.resolveStreamIds(
+      Map("start" -> "2", "end" -> "4")) == Vector(2, 3, 4))
+    assert(Main.resolveStreamIds(
+      Map("start" -> "3", "n" -> "2")) == Vector(3, 4))
+  }
+
+  private def envLine(sid: Int, fid: Long): String =
+    s"nvr/detections/$sid\t" +
+      s"""{"instance_id":"i-1","source_id":$sid,"frame_id":$fid,""" +
+      s""""timestamp":"2024-01-01T00:00:0${fid % 10}.000Z","model_id":"m",""" +
+      s""""inference_time_ms":7.5,"detections":[{"class_name":"person",""" +
+      s""""confidence":0.9,"bbox":{"x":1,"y":2,"width":3,"height":4}}]}"""
+
+  private def writeFile(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+
+  private def publishedCounts(outDir: String): Map[Int, Long] = {
+    val p = s"$outDir/detections"
+    if (!Files.exists(Paths.get(p))) Map.empty
+    else spark.read.parquet(p).groupBy("source_id").count()
+      .as[(Int, Long)].collect().toMap
+  }
+
+  test("remove_stream stops that source's output; add_stream admits it") {
+    val eventsDir = Files.createTempDirectory("app-events").toString
+    val outDir = Files.createTempDirectory("app-out").toString
+    val ck = s"$outDir/_ck"
+    val h = new ControlHarness(
+      EngineConfig("inst-1", streamIds = Vector(1, 2)),
+      Main.pipelineBuilder(spark, eventsDir, outDir, ck, None),
+      _ => (), _ => ())
+    h.start()
+    try {
+      // sources 1, 2 configured; 3 is not → filtered at ingest
+      writeFile(eventsDir, "a.txt",
+        Seq(envLine(1, 1), envLine(2, 1), envLine(3, 1)))
+      h.pipeline.get.processAllAvailable()
+      assert(publishedCounts(outDir) == Map(1 -> 1L, 2 -> 1L),
+        "only configured streams may publish")
+
+      // ST8: remove stream 2, then deliver more data for it — the
+      // restarted pipeline must drop it and keep publishing stream 1
+      h.handle(Command("remove_stream", Map("source_id" -> "2"), Seq.empty))
+      assert(h.config.streamIds == Vector(1))
+      writeFile(eventsDir, "b.txt", Seq(envLine(1, 2), envLine(2, 2)))
+      h.pipeline.get.processAllAvailable()
+      assert(publishedCounts(outDir) == Map(1 -> 2L, 2 -> 1L),
+        "a removed stream's new data must not be published")
+
+      // add stream 3: admitted after the restart
+      h.handle(Command("add_stream", Map("source_id" -> "3"), Seq.empty))
+      assert(h.config.streamIds == Vector(1, 3))
+      writeFile(eventsDir, "c.txt", Seq(envLine(3, 2)))
+      h.pipeline.get.processAllAvailable()
+      assert(publishedCounts(outDir) == Map(1 -> 2L, 2 -> 1L, 3 -> 1L),
+        "an added stream must publish after restart")
+    } finally h.pipeline.foreach(_.stop())
+  }
+
+  test("on-demand metrics publication writes the retained report table") {
+    val eventsDir = Files.createTempDirectory("app-events2").toString
+    val outDir = Files.createTempDirectory("app-out2").toString
+    val ck = s"$outDir/_ck"
+    val h: ControlHarness = new ControlHarness(
+      EngineConfig("inst-1", streamIds = Vector(1, 2)),
+      Main.pipelineBuilder(spark, eventsDir, outDir, ck, None),
+      _ => (), _ => (),
+      onMetricsRequest = c => Main.publishFullMetrics(spark, outDir, c))
+    h.start()
+    try {
+      writeFile(eventsDir, "a.txt",
+        Seq(envLine(1, 1), envLine(1, 2), envLine(2, 1)))
+      h.pipeline.get.processAllAvailable()
+      h.handle(Command("metrics", Map.empty, Seq.empty))
+      val byFrame = spark.read.parquet(s"$outDir/metrics")
+        .select("source_id", "n_frames")
+        .as[(Int, Long)].collect().toMap
+      assert(byFrame == Map(1 -> 2L, 2 -> 1L), s"unexpected report rows: $byFrame")
+      // re-request is an idempotent upsert, not an append
+      h.handle(Command("metrics", Map.empty, Seq.empty))
+      assert(spark.read.parquet(s"$outDir/metrics").count() == 2)
+    } finally h.pipeline.foreach(_.stop())
+  }
+}

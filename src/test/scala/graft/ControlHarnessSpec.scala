@@ -118,6 +118,63 @@ class ControlHarnessSpec extends SparkSpec {
     } finally h.pipeline.foreach(_.stop())
   }
 
+  test("status/ping report the LIVE state: paused, stopped, running") {
+    val (h, _, statuses, _) = newHarness()
+    def cmd(n: String) = graft.model.Command(n, Map.empty, Seq.empty)
+    try {
+      h.handle(cmd("status"))
+      assert(statuses.last.status == "running")
+      h.handle(cmd("pause"))
+      h.handle(cmd("status"))
+      assert(statuses.last.status == "paused",
+        "a paused instance must not answer 'running' (processor.py:474-489)")
+      h.handle(cmd("ping"))
+      assert(statuses.last.status == "paused" && statuses.last.pong.contains(true))
+      h.handle(cmd("resume"))
+      h.handle(cmd("stop"))
+      h.handle(cmd("status"))
+      assert(statuses.last.status == "stopped")
+      h.handle(cmd("resume"))
+      h.handle(cmd("status"))
+      assert(statuses.last.status == "running")
+    } finally h.pipeline.foreach(_.stop())
+  }
+
+  test("metrics command triggers the full-report publication hook") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val published = mutable.ArrayBuffer.empty[EngineConfig]
+    val h = new ControlHarness(EngineConfig("inst-1"),
+      (_, paused) => graft.streaming.StatefulOps
+        .pauseGatedWriter(in.toDF(), paused)((_, _) => ()).start(),
+      _ => (), _ => (),
+      onMetricsRequest = c => published.synchronized(published += c))
+    h.start()
+    try {
+      h.handle(graft.model.Command("metrics", Map.empty, Seq.empty))
+      assert(published.toSeq == Seq(h.config),
+        "metrics must publish exactly once with the current config")
+      // a mistargeted metrics command publishes nothing
+      h.handle(graft.model.Command("metrics", Map.empty, Seq("inst-9")))
+      assert(published.size == 1)
+    } finally h.pipeline.foreach(_.stop())
+  }
+
+  test("rename_instance status carries renamed_from and the new id") {
+    val (h, _, statuses, _) = newHarness()
+    try {
+      h.handle(graft.model.Command("rename_instance",
+        Map("new_instance_id" -> "inst-2"), Seq.empty))
+      val st = statuses.last
+      assert(st.instance_id == "inst-2" && st.renamed_from.contains("inst-1"))
+      assert(h.config.instanceId == "inst-2")
+      // invalid rename rolls back: no renamed_from, old id intact
+      h.handle(graft.model.Command("rename_instance",
+        Map.empty, Seq.empty))
+      assert(h.config.instanceId == "inst-2")
+    } finally h.pipeline.foreach(_.stop())
+  }
+
   test("stop terminates the pipeline query; resume restarts it") {
     val (h, _, _, _) = newHarness()
     try {
