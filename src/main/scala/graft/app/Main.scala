@@ -63,7 +63,9 @@ object Main {
   def pipelineBuilder(spark: SparkSession, eventsDir: String, outDir: String,
                       ckRoot: String, maxFiles: Option[Int])
                      (c: EngineConfig, paused: () => Boolean): StreamingQuery = {
-    val events = Sources.eventFileStream(spark, eventsDir, maxFiles)
+    // ingest runs on the native bus connector (graft.io.bus DataSource V2:
+    // exactly-once file offsets, maxFilesPerTrigger admission control)
+    val events = Sources.eventBusStream(spark, eventsDir, maxFiles)
       .filter(col("topic_source_id").isin(c.streamIds: _*))
       // F3: confidence threshold applied inside the nested array (the
       // reference delegates this to the inference layer; the engine

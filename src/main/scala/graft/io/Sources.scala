@@ -51,6 +51,23 @@ object Sources {
   def eventFileBatch(spark: SparkSession, dir: String): DataFrame =
     parseEventBus(parseEnvelope(spark.read.format("text").load(dir)))
 
+  /** Streaming ingest over the native bus connector (graft.io.bus — a
+    * DataSource V2 MicroBatchStream delivering `(topic, payload)` rows
+    * directly, S1-S3/K1's live contract). Functionally identical to
+    * [[eventFileStream]] over the same drop directory; the connector owns
+    * the envelope split, exactly-once file offsets, and
+    * `maxFilesPerTrigger` admission control. */
+  def eventBusStream(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("graft-bus")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    parseEventBus(reader.load(dir))
+  }
+
+  /** Batch read over the bus connector — same rows as [[eventFileBatch]]. */
+  def eventBusBatch(spark: SparkSession, dir: String): DataFrame =
+    parseEventBus(spark.read.format("graft-bus").load(dir))
+
   /** Command stream (S3 analog): JSON command payloads, one per line.
     * Malformed commands parse to all-null structs and are dropped with
     * the same drop-and-log semantics as events

@@ -1,0 +1,228 @@
+package graft.io.bus
+
+import java.io.{BufferedReader, InputStreamReader, ObjectInputStream, ObjectOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bus-envelope DataSource V2 (`format("graft-bus")`): the engine's live
+  * ingest contract, replacing the raw `text` reader of the file bridge.
+  * One row per bus message, schema `(topic STRING, payload STRING)` —
+  * exactly the per-message pair an MQTT wildcard subscription delivers
+  * (reference: wall/mqtt_listener.py:86-96; wire format
+  * events/protocol.py:11-28).
+  *
+  * Transport model (matches the bridge contract): a drop directory where
+  * each file is one atomically-published batch of messages, `topic TAB
+  * payload` per line, files immutable once visible (writers must
+  * write-then-rename — the same assumption Spark's own file streaming
+  * source makes). A message's identity is (file, line), so:
+  *
+  *  - streaming offset = the SET of consumed files (exactly-once per
+  *    file; the offset log replays deterministically after restart);
+  *  - admission control: `maxFilesPerTrigger` bounds per-micro-batch
+  *    intake via [[ReadLimit.maxFiles]] (ST5 backpressure,
+  *    pipeline_manager.py:122-123);
+  *  - batch reads scan the whole directory with one partition per file —
+  *    embarrassingly parallel, no driver-side content reads.
+  *
+  * Scale notes: the driver only ever lists the directory and ships file
+  * names; executors read file contents. The offset JSON grows with the
+  * consumed-file count — a production deployment compacts it the same way
+  * Spark's FileStreamSource compacts its file log (out of scope here).
+  * Tab-splitting mirrors `Sources.parseEnvelope` exactly (a line without
+  * a tab yields topic = payload = line, later dropped by the validity
+  * gate) so bridge and connector produce identical rows. */
+class EnvelopeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-bus"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EnvelopeSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-bus requires a path: .load(dir) or .option(\"path\", dir)"))
+    val maxFiles = Option(properties.get("maxFilesPerTrigger")).map(_.toInt)
+    new EnvelopeTable(path, maxFiles)
+  }
+}
+
+object EnvelopeSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  /** Visible (non-hidden, non-temporary) envelope files, lexicographically
+    * ordered — the deterministic arrival order of the drop directory. */
+  def listFiles(path: String, conf: Configuration): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).iterator
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filterNot { f =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        name.startsWith(".") || name.startsWith("_")
+      }
+      .toSeq.sorted
+  }
+}
+
+private[bus] class EnvelopeTable(path: String, maxFilesPerTrigger: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-bus($path)"
+  override def schema(): StructType = EnvelopeSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new EnvelopeScan(path, maxFilesPerTrigger)
+    }
+}
+
+private[bus] class EnvelopeScan(path: String, maxFilesPerTrigger: Option[Int])
+    extends Scan {
+  override def readSchema(): StructType = EnvelopeSource.Schema
+
+  override def toBatch: Batch = new Batch {
+    private val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    override def planInputPartitions(): Array[InputPartition] =
+      EnvelopeSource.listFiles(path, conf.value)
+        .map(EnvelopeInputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new EnvelopeReaderFactory(conf)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EnvelopeMicroBatchStream(path, maxFilesPerTrigger)
+}
+
+/** Offset = the set of fully-consumed files, serialized as a SORTED JSON
+  * array so equal offsets have equal JSON (the execution engine compares
+  * offsets by value). */
+private[bus] case class EnvelopeOffset(files: Set[String]) extends Offset {
+  override def json(): String =
+    new ObjectMapper().writeValueAsString(files.toArray.sorted)
+}
+
+private[bus] object EnvelopeOffset {
+  def fromJson(json: String): EnvelopeOffset =
+    EnvelopeOffset(new ObjectMapper()
+      .readValue(json, classOf[Array[String]]).toSet)
+}
+
+private[bus] class EnvelopeMicroBatchStream(path: String,
+                                            maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = EnvelopeOffset(Set.empty)
+
+  override def deserializeOffset(json: String): Offset =
+    EnvelopeOffset.fromJson(json)
+
+  /** Admission-controlled target offset: everything already consumed plus
+    * up to `limit` newly-visible files (lexicographic order — a backlog
+    * drains oldest-first at a bounded rate instead of as one giant
+    * batch). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[EnvelopeOffset].files
+    val fresh = EnvelopeSource.listFiles(path, conf.value).filterNot(seen)
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    EnvelopeOffset(seen ++ admitted)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    (end.asInstanceOf[EnvelopeOffset].files --
+      start.asInstanceOf[EnvelopeOffset].files)
+      .toArray.sorted.map(EnvelopeInputPartition(_): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EnvelopeReaderFactory(conf)
+
+  override def commit(end: Offset): Unit = () // nothing to release per-batch
+
+  override def stop(): Unit = ()
+}
+
+private[bus] case class EnvelopeInputPartition(file: String) extends InputPartition
+
+private[bus] class EnvelopeReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new EnvelopeReader(partition.asInstanceOf[EnvelopeInputPartition].file, conf.value)
+}
+
+/** Executor-side line reader: streams one envelope file, splitting each
+  * line at the FIRST tab (payloads may contain tabs). A tabless line
+  * degrades to topic = payload = line — byte-identical behavior to
+  * `Sources.parseEnvelope`'s substring_index/instr expressions, so the
+  * connector and the file bridge produce the same rows for any input. */
+private[bus] class EnvelopeReader(file: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new Path(file)
+    new BufferedReader(new InputStreamReader(
+      p.getFileSystem(conf).open(p), StandardCharsets.UTF_8))
+  }
+  private var line: String = _
+
+  override def next(): Boolean = { line = in.readLine(); line != null }
+
+  override def get(): InternalRow = {
+    val i = line.indexOf('\t')
+    val (topic, payload) =
+      if (i < 0) (line, line) else (line.substring(0, i), line.substring(i + 1))
+    InternalRow(UTF8String.fromString(topic), UTF8String.fromString(payload))
+  }
+
+  override def close(): Unit = in.close()
+}
+
+/** Serializable Hadoop-conf carrier (the standard Writable round-trip) so
+  * reader factories can ship the driver's filesystem configuration to
+  * executors. */
+private[bus] class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
