@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Automated plan audit (the `graft.Explain` check, as a failing test):
+  * every registered query's physical plan is inspected for the
+  * anti-patterns that don't survive a 100× scale-up —
+  *
+  *  - a CartesianProduct (both sides shuffled; the broadcast variants the
+  *    operators use deliberately are fine and are NOT flagged);
+  *  - a Window over an unpartitioned frame ("moving all data to a single
+  *    partition" — the q06/q32 regression class);
+  *  - scan-heavy filtered queries whose predicates stopped reaching the
+  *    parquet scan (PushedFilters gone empty).
+  *
+  * Runs on sf0.001 — plan SHAPE is scale-independent, so the cheapest
+  * data proves the property. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** All physical nodes, descending into AQE wrappers and subqueries. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  /** Queries whose plan construction itself runs jobs (iterative dedup
+    * clustering; cosineTopK's guardrail count) still return a final
+    * DataFrame — the guard audits that plan like any other. */
+  private lazy val plans: Map[String, Seq[SparkPlan]] =
+    Queries.all.map { q =>
+      q.name -> nodes(q.fn(spark, sfDir).queryExecution.executedPlan)
+    }.toMap
+
+  test("no query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, ns) if ns.exists(_.isInstanceOf[CartesianProductExec]) => name
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
+  test("no query plans a Window over an unpartitioned frame") {
+    val offenders = plans.collect {
+      case (name, ns) if ns.exists {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      } => name
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec (single-partition sort of all rows) in: $offenders")
+  }
+
+  test("filter-heavy scans keep their pushed filters") {
+    // queries whose FIRST-class behavior is a pushable predicate on the
+    // fact scan; if PushedFilters goes empty a future edit broke pushdown
+    val mustPush = Seq("q02_filter_conf", "q12_asof_join", "q33_asof_native")
+    mustPush.foreach { name =>
+      val scans = plans(name).collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"$name: no parquet scan found")
+      val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+      assert(pushed.exists(p => p != "[]" && p.nonEmpty),
+        s"$name: no non-empty PushedFilters on any scan: $pushed")
+    }
+  }
+}

@@ -112,6 +112,37 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("ST2/ST3 contract: watermarked streaming equals batch-minus-late-rows") {
+    implicit val ctx = spark.sqlContext
+    // two keys in window [0,10); a flush event far ahead closes it; a late
+    // row for the closed window arrives afterwards and must change nothing
+    val onTime = Seq(
+      ev(1, "2024-01-01 00:00:01", 1, 10.0), ev(2, "2024-01-01 00:00:05", 1, 20.0),
+      ev(3, "2024-01-01 00:00:03", 2, 40.0))
+    val flush = ev(5, "2024-01-01 00:01:00", 1, 1.0)
+    val late = ev(4, "2024-01-01 00:00:07", 1, 30.0)
+    // ground truth: the batch plan over exactly the rows the watermark
+    // admitted, restricted to the closed window
+    val expected = StatefulOps.metricsAggregate(onTime.toDF(), windowSec = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val in = MemoryStream[KeyedEvent]
+    val q = StatefulOps.metricsAggregateStreaming(in.toDF(), windowSec = 10,
+      lateness = "10 seconds")
+      .writeStream.format("memory").queryName("parity").outputMode("append").start()
+    withQuery(q) {
+      in.addData(onTime: _*)
+      q.processAllAvailable()
+      in.addData(flush)
+      q.processAllAvailable()
+      in.addData(late)
+      q.processAllAvailable()
+      val streamed = spark.table("parity").collect().map(_.toString).sorted.toSeq
+      assert(streamed == expected,
+        "closed windows must match the batch plan; the late row (which would " +
+          "have made user 1's n=3) must be dropped by the watermark")
+    }
+  }
+
   test("pauseGatedWriter drops whole batches while paused, resumes after") {
     implicit val ctx = spark.sqlContext
     @volatile var paused = false
