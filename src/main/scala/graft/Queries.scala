@@ -748,6 +748,129 @@ object Queries {
                    round(cos, 6) AS cos
             FROM r WHERE rn <= 5"""), bench = true)
 
+  /** TPC-H Q3-style shipping priority: two BIG shuffled equi-joins
+    * (customer⋈orders⋈lineitem — none broadcastable at real scale; AQE
+    * picks sizes at test SF), pushed date/segment filters on every scan,
+    * decimal-exact revenue, and a distributed top-10
+    * (TakeOrderedAndProject: per-partition heads merged — never a global
+    * sort of the aggregate). */
+  private val q37 = QDef("q37_shipping_priority",
+    (s, d) => {
+      val cutoff = to_timestamp(lit("1998-06-01"))
+      val dec = (c: Column) => c.cast("decimal(18,2)")
+      val cust = table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = table(s, d, "orders").filter(col("o_orderdate") < cutoff)
+      val li = table(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""), bench = true)
+
+  /** TPC-H Q14-style promo share per brand: fact⋈dim with the dim
+    * explicitly broadcast (part is a dimension — the event stream never
+    * shuffles), conditional decimal aggregates, single final rounding. */
+  private val q38 = QDef("q38_promo_share",
+    (s, d) => {
+      val dec = (c: Column) => c.cast("decimal(18,2)")
+      val price = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+      val li = table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      li.join(broadcast(table(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", price)
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("__promo"),
+          sum(price).as("__total"))
+        .select(col("p_brand"),
+          col("__total").cast("double").as("revenue"),
+          round(col("__promo").cast("double") * 100 /
+            col("__total").cast("double"), 4).as("promo_share"))
+    },
+    Some("""SELECT p_brand,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE) AS revenue,
+                   round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100 /
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                       AS DOUBLE), 4) AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1"""), bench = true)
+
+  /** End-to-end curation pipeline (graft.ops.Curation): exact-dedup
+    * winners ∩ language agreement ∩ quality gates — the whole
+    * training-data admission decision as ONE declarative plan. */
+  private val q39 = QDef("q39_curation",
+    (s, d) => graft.ops.Curation.curate(docs(s, d), "doc_id", "text", "lang",
+      minTokens = 5, maxMeanTokenLen = 15.0),
+    Some("""WITH keep AS (SELECT min(doc_id) AS doc_id
+                          FROM documents GROUP BY md5(text)),
+            t AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(text, '\s+'),
+                      x -> x <> '') AS toks
+                  FROM documents),
+            q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                    round(CASE WHEN len(toks) > 0 THEN
+                      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                        / len(toks)
+                      ELSE 0.0 END, 4) AS mean_token_len
+                  FROM t),
+            lt AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+                   FROM documents),
+            sc AS (SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
+                     len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+                     len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
+                     len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+                     len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+                   FROM lt),
+            lp AS (SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                          WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                          WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                          ELSE 'zh' END AS lang_pred
+                   FROM sc)
+            SELECT d.doc_id, d.lang, lp.lang_pred, q.n_tokens, q.mean_token_len
+            FROM documents d
+            JOIN keep USING (doc_id)
+            JOIN lp USING (doc_id)
+            JOIN q USING (doc_id)
+            WHERE lp.lang_pred = d.lang AND q.n_tokens >= 5
+              AND q.mean_token_len <= 15"""), bench = true)
+
   private val q36 = QDef("q36_distinct_per_key",
     (s, d) => graft.ops.Skew.distinctCountPerKey(events(s, d),
       Seq("user_id"), "event_type"),
@@ -756,7 +879,7 @@ object Queries {
 
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

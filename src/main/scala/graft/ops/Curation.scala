@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the composition a real pretraining
+  * pipeline runs over a raw document dump: exact duplicates removed,
+  * declared language confirmed by the language-ID model, low-quality
+  * documents gated out. Composes the first-class operators
+  * ([[Dedup.exactDedup]], [[TextAnalysis.langIdTable]],
+  * [[TextAnalysis.qualitySignals]]) into one declarative plan Catalyst
+  * optimizes as a whole.
+  *
+  * Scale shape: quality signals are row-local column expressions (no
+  * shuffle); dedup winners arrive as a LEFT SEMI join on the id (the
+  * smallest join type — no payload duplication, build side is one id
+  * column); language votes are an explode + codegen'd conditional-sum
+  * aggregate with map-side partials. Three key-partitioned equi-joins
+  * total, each on the narrow id key. */
+object Curation {
+
+  /** Curate `docs`: keep exact-dedup winners whose language-ID prediction
+    * agrees with the declared `lang` column and whose quality signals pass
+    * the gates. Output: (id, lang, lang_pred, n_tokens, mean_token_len),
+    * one row per kept document. Deterministic — a pure function of the
+    * input table. */
+  def curate(docs: DataFrame, id: String, text: String, lang: String,
+             minTokens: Int, maxMeanTokenLen: Double): DataFrame = {
+    val enriched = TextAnalysis.qualitySignals(docs, text)
+    val winners = Dedup.exactDedup(docs, id, text)
+      .select(col("keep_id").as(id))
+    val pred = TextAnalysis.langIdTable(docs, id, text)
+    enriched
+      .join(winners, Seq(id), "left_semi")
+      .join(pred, Seq(id))
+      .filter(col("lang_pred") === col(lang) &&
+        col("n_tokens") >= minTokens &&
+        col("mean_token_len") <= maxMeanTokenLen)
+      .select(col(id), col(lang), col("lang_pred"),
+        col("n_tokens"), col("mean_token_len"))
+  }
+}
