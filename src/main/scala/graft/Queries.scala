@@ -877,9 +877,51 @@ object Queries {
     Some("""SELECT user_id, count(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY 1"""), bench = true)
 
+  /** Frame-gap detection (W2 frame sequencing, SURVEY §2.8 — the declared
+    * lag/lead extension): per-key event-time gaps above a threshold. The
+    * window is PARTITIONED by the key (per-key sort only — scale-safe;
+    * the plan guard forbids the unpartitioned form). */
+  private val q40 = QDef("q40_frame_gaps",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag(col("ts"), 1).over(w).as("prev_ts"))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+        .filter(col("gap_us") > 3600L * 1000000L)
+    },
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+            FROM (SELECT user_id, event_id, ts,
+                    lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            WHERE prev_ts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(prev_ts) > 3600000000"""))
+
+  /** Per-source latency percentiles (p50/p95/p99) — the reference computes
+    * only averages (metrics_reporter.py:197-198); percentiles are the
+    * SURVEY §4 extension. Exact interpolated percentile over the group;
+    * at unbounded cardinality swap in approx_percentile (sketch). */
+  private val q41 = QDef("q41_latency_percentiles",
+    (s, d) => events(s, d).groupBy("user_id")
+      .agg(percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        percentile(col("value"), lit(0.99)).as("p99")),
+    Some("""SELECT user_id,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY 1"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
