@@ -877,6 +877,22 @@ object Queries {
     Some("""SELECT user_id, count(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY 1"""), bench = true)
 
+  /** IVF ANN over TRAINED centroids (Lloyd's k-means,
+    * Similarity.trainIvfCentroids). No SQL oracle on purpose: the float
+    * mean in k-means is order-dependent, so cross-engine bit-equality is
+    * unsound — the driver records the rows-only check; semantics are
+    * pinned by SimilaritySpec (cluster recovery, determinism, parity with
+    * brute force at full probe width). */
+  private val q42 = QDef("q42_ivf_trained",
+    (s, d) => {
+      val e = emb(s, d)
+      val cent = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, cent, nProbe = 2)
+    },
+    None, bench = true)
+
   /** Frame-gap detection (W2 frame sequencing, SURVEY §2.8 — the declared
     * lag/lead extension): per-key event-time gaps above a threshold. The
     * window is PARTITIONED by the key (per-key sort only — scale-safe;
@@ -921,7 +937,7 @@ object Queries {
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41)
+    q40, q41, q42)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -171,18 +171,27 @@ object Similarity {
   }
 
   /** IVF-style ANN top-k: a deterministic coarse quantizer (centroids =
-    * every `centroidStride`-th corpus vector — swap in trained k-means
-    * centroids in production) partitions the corpus into cells; each
-    * query probes its `nProbe` best cells and ranks exactly within them.
-    * Candidate volume ≈ |queries|·nProbe·avg-cell-size. The centroid
-    * table is broadcast (it is small by construction); the
-    * per-query cell ranking collects at most |centroids| structs.
-    * Deterministic (fixed centroids, fixed tie-breaks) → oracle-checkable. */
+    * every `centroidStride`-th corpus vector; [[trainIvfCentroids]]
+    * produces the k-means-refined table for [[ivfTopKWith]]) partitions
+    * the corpus into cells; each query probes its `nProbe` best cells and
+    * ranks exactly within them. Candidate volume ≈
+    * |queries|·nProbe·avg-cell-size. The centroid table is broadcast (it
+    * is small by construction); the per-query cell ranking collects at
+    * most |centroids| structs. Deterministic (fixed centroids, fixed
+    * tie-breaks) → oracle-checkable. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
               k: Int, centroidStride: Int, nProbe: Int): DataFrame = {
     val cent = corpus.filter(pmod(col(id), lit(centroidStride)) === 0)
       .select(col(id).as("cent_id"), col(vec).as("cent_vec"),
         norm(col(vec)).as("cent_norm"))
+    ivfTopKWith(queries, corpus, id, vec, k, cent, nProbe)
+  }
+
+  /** [[ivfTopK]] against an explicit centroid table
+    * `(cent_id, cent_vec, cent_norm)` — e.g. the [[trainIvfCentroids]]
+    * output. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, id: String,
+                  vec: String, k: Int, cent: DataFrame, nProbe: Int): DataFrame = {
     val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))
     // assign each corpus vector to its best cell (max cos, tie: larger id)
@@ -212,6 +221,56 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
     topKMerge(scored, k)
+  }
+
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer: init =
+    * the `k` lowest-id corpus vectors, then `iters` rounds of
+    * (assign to max-cosine centroid, tie → larger cent_id) →
+    * (component-wise mean per cell). Returns `(cent_id, cent_vec,
+    * cent_norm)` for [[ivfTopKWith]]; cells that lose all members drop
+    * out (k may shrink).
+    *
+    * Scale shape per round: one broadcast of the k×dim centroid table,
+    * one row-local assignment pass, and the mean as posexplode →
+    * groupBy(cell, dim) partial-agg — |cells|·dim result rows, never a
+    * per-cell collect of member vectors. `localCheckpoint` truncates the
+    * loop's lineage so round N's plan doesn't replay rounds 1..N-1.
+    *
+    * No DuckDB oracle ON PURPOSE: a float mean is order-dependent, so
+    * cross-engine bit-equality is not a sound contract — the spec instead
+    * pins recovery of well-separated clusters and determinism of the
+    * derived assignment. */
+  def trainIvfCentroids(corpus: DataFrame, id: String, vec: String,
+                        k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    var cent = c.orderBy(col("c_id").asc).limit(k)
+      .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"),
+        col("c_norm").as("cent_norm"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = c.crossJoin(broadcast(cent))
+        .select(col("c_id"), col("c_vec"), col("cent_id"),
+          cosine(col("c_vec"), col("cent_vec"), col("c_norm"), col("cent_norm"))
+            .as("ccos"))
+        .groupBy(col("c_id"))
+        .agg(max(struct(col("ccos"), col("cent_id"), col("c_vec"))).as("b"))
+        .select(col("b.cent_id").as("cell"), col("b.c_vec").as("v"))
+      // component-wise mean without materializing per-cell member lists
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("cent_vec"))
+      cent = means
+        .withColumn("cent_norm", norm(col("cent_vec")))
+        .localCheckpoint(true)
+    }
+    cent
   }
 
   /** ANN near-dup pairs: bucket by hyperplane signature, exact cosine

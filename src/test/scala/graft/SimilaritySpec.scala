@@ -67,6 +67,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("trainIvfCentroids recovers separated clusters; trained IVF matches brute") {
+    // ids 1-3 (the k-means init seeds) each come from a different cluster,
+    // so one assignment round lands every member in its true cell
+    val clustered = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.0f)), (4L, Seq(0.99f, 0.0f, 0.01f)), (5L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.02f)), (6L, Seq(0.01f, 0.99f, 0.0f)), (7L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.02f, 0.0f, 1.0f)), (8L, Seq(0.0f, 0.01f, 0.99f)), (9L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = Similarity.trainIvfCentroids(clustered, "vec_id", "embedding",
+      k = 3, iters = 2)
+    assert(cent.count() == 3)
+    // determinism: retraining yields identical centroids
+    val c1 = cent.orderBy("cent_id").collect().map(_.toString).toSeq
+    val c2 = Similarity.trainIvfCentroids(clustered, "vec_id", "embedding",
+      k = 3, iters = 2).orderBy("cent_id").collect().map(_.toString).toSeq
+    assert(c1 == c2)
+    // nProbe=1 on a trained quantizer: the query's own (pure) cluster
+    val sameCell = Similarity.ivfTopKWith(clustered.filter($"vec_id" === 5L),
+      clustered, "vec_id", "embedding", k = 2, cent, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(sameCell == Set(1L, 4L))
+    // full probe width: exact parity with brute force for every query
+    val brute = Similarity.cosineTopK(clustered, clustered,
+      "vec_id", "embedding", k = 3).collect().map(_.toString).sorted.toSeq
+    val ivf = Similarity.ivfTopKWith(clustered, clustered,
+      "vec_id", "embedding", k = 3, cent, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ivf == brute)
+  }
+
   test("hyperplaneLshPairs: identical vectors share a bucket and pair at cos 1") {
     val dup = Seq((10L, Seq(0.5f, 0.5f, 0.5f)), (11L, Seq(0.5f, 0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
