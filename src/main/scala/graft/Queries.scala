@@ -893,6 +893,33 @@ object Queries {
     },
     None, bench = true)
 
+  /** Sessionization: Spark's native `session_window` (merge-on-overlap
+    * session aggregation — one shuffle on the key, sessions merged inside
+    * the aggregate; the same operator runs streaming with a watermark)
+    * against a gaps-and-islands oracle. Session = events whose
+    * consecutive gap < 6h; window end = last ts + gap. */
+  private val q43 = QDef("q43_sessionize",
+    (s, d) => events(s, d)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event_id"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n"), col("first_event_id")),
+    Some("""WITH o AS (SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                      THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM o)
+            SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) + 21600000000 AS session_end_us,
+                   count(*) AS n, min(event_id) AS first_event_id
+            FROM g GROUP BY user_id, sid"""), bench = true)
+
   /** Frame-gap detection (W2 frame sequencing, SURVEY §2.8 — the declared
     * lag/lead extension): per-key event-time gaps above a threshold. The
     * window is PARTITIONED by the key (per-key sort only — scale-safe;
@@ -937,7 +964,7 @@ object Queries {
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42)
+    q40, q41, q42, q43)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

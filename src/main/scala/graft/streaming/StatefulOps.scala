@@ -159,6 +159,22 @@ object StatefulOps {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time form of
+    * [[graft.ops.Dedup.exactDedup]] for a continuous training-data feed:
+    * drops any row whose content hash has been seen before, with state
+    * BOUNDED by the watermark (`dropDuplicatesWithinWatermark`): a
+    * duplicate arriving within the lateness horizon is suppressed, and
+    * hash state expires with the watermark instead of growing with the
+    * corpus — the property that keeps this runnable on an unbounded
+    * 100 TB/day feed. The first arrival wins (same keep-one semantics as
+    * the batch operator's min-id winner under arrival order). */
+  def streamingExactDedup(docs: DataFrame, text: String, ts: String,
+                          lateness: String): DataFrame =
+    docs.withColumn("__h", md5(col(text)))
+      .withWatermark(ts, lateness)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.
     *

@@ -143,6 +143,27 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingExactDedup: duplicate content within the watermark is dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StatefulOps.streamingExactDedup(
+      in.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    withQuery(q) {
+      def kept = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      in.addData((1L, ts("2024-01-01 00:00:00"), "alpha"),
+        (2L, ts("2024-01-01 00:00:01"), "beta"))
+      q.processAllAvailable()
+      assert(kept == Set(1L, 2L))
+      // same content again (within the horizon) in a later batch: dropped;
+      // new content: kept
+      in.addData((3L, ts("2024-01-01 00:00:02"), "alpha"),
+        (4L, ts("2024-01-01 00:00:03"), "gamma"))
+      q.processAllAvailable()
+      assert(kept == Set(1L, 2L, 4L), "the duplicate of 'alpha' must be dropped")
+    }
+  }
+
   test("pauseGatedWriter drops whole batches while paused, resumes after") {
     implicit val ctx = spark.sqlContext
     @volatile var paused = false
