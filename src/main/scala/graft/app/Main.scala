@@ -22,6 +22,9 @@ import graft.streaming.StatefulOps
   *    --confidence, --max-fps (via --max-files-per-trigger backpressure),
   *    --model, and stream selection --n/--start/--end/--streams
   *    (cli.py:112-124).
+  *  - `wall`: the consumer process (reference VideoWall, pixels excluded):
+  *    subscribe to the published detections, parse + label, maintain the
+  *    retained latest-per-source tiles table the renderer draws from.
   *  - `replay`: batch verification pass over the same envelope directory —
   *    latest-per-key with TTL, printed (the wall's data dependency,
   *    without pixels).
@@ -107,6 +110,59 @@ object Main {
       Seq("instance_id", "source_id"), "timestamp", "n_frames")
   }
 
+  /** The wall consumer's ingest (reference process #2:
+    * wall/mqtt_listener.py:86-96 parse + wall/detection_cache.py cache
+    * feed): a streaming read of the published detections, payloads parsed
+    * and validated, per-detection display labels attached (E3 — the
+    * render sink's data dependency; pixels stay out of the engine). */
+  def wallEvents(spark: SparkSession, detectionsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // a subscriber may start before the processor has published anything
+    // (the reference subscribes to the broker regardless) — make the
+    // drop zone exist so the stream can begin empty
+    val p = new org.apache.hadoop.fs.Path(detectionsDir)
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    val frame = StructType(Seq(
+      StructField("topic", StringType), StructField("source_id", IntegerType),
+      StructField("payload", StringType)))
+    spark.readStream.schema(frame).parquet(detectionsDir)
+      .select(Schemas.parseEvent(col("payload")).as("e"))
+      .filter(Schemas.eventIsValid(col("e")))
+      .select(col("e.*"))
+      .withColumn("labels", transform(col("detections"),
+        d => EventOps.label(d.getField("class_name"), d.getField("confidence"),
+          d.getField("tracker_id"))))
+  }
+
+  /** The wall's tile cache as a retained table (W1 last-value-wins per
+    * source, K3-style upsert): each micro-batch reduces to its latest row
+    * per source, then merges into the tiles table. Read-side freshness
+    * (ST1's TTL) belongs to the consumer: `EventOps.latestPerKeyWithTtl`
+    * over the table, exactly like the reference expires on `get`. */
+  def wallWriter(events: DataFrame, tilesPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val latest = EventOps.latestPerKey(
+          batch.withColumn("labels", concat_ws("|", col("labels")))
+            .drop("detections"),
+          Seq("source_id"), "timestamp", "frame_id")
+        Sinks.upsertRetained(batch.sparkSession, latest, tilesPath,
+          Seq("source_id"), "timestamp", "frame_id")
+      }
+    }
+
+  private def runWall(spark: SparkSession, args: Map[String, String],
+                      req: String => String): Unit = {
+    val outDir = req("out-dir")
+    val q = wallWriter(wallEvents(spark, req("detections-dir")), s"$outDir/tiles")
+      .option("checkpointLocation",
+        args.getOrElse("checkpoint-dir", s"$outDir/_ck_wall"))
+      .start()
+    q.awaitTermination()
+  }
+
   def main(argv: Array[String]): Unit = {
     val mode = argv.headOption.getOrElse("pipeline")
     val args = parseArgs(argv)
@@ -126,8 +182,9 @@ object Main {
 
     mode match {
       case "pipeline" => runPipeline(spark, args, req)
+      case "wall" => runWall(spark, args, req)
       case "replay" => runReplay(spark, args, req)
-      case other => sys.error(s"unknown mode: $other (pipeline|replay)")
+      case other => sys.error(s"unknown mode: $other (pipeline|wall|replay)")
     }
   }
 

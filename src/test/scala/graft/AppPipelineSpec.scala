@@ -80,6 +80,36 @@ class AppPipelineSpec extends SparkSpec {
     } finally h.pipeline.foreach(_.stop())
   }
 
+  test("processor→bus→wall end to end: tiles table tracks latest per source") {
+    // the reference's architecture e2e (processor → broker → wall →
+    // render, test_architectural_design.py:431-480), pixels excluded
+    val eventsDir = Files.createTempDirectory("e2e-events").toString
+    val outDir = Files.createTempDirectory("e2e-out").toString
+    val pipeline = Main.pipelineBuilder(spark, eventsDir, outDir,
+      s"$outDir/_ck", None)(
+      EngineConfig("inst-1", streamIds = Vector(1, 2)), () => false)
+    val wall = Main.wallWriter(Main.wallEvents(spark, s"$outDir/detections"),
+      s"$outDir/tiles")
+      .option("checkpointLocation", s"$outDir/_ck_wall").start()
+    try {
+      writeFile(eventsDir, "a.txt", Seq(envLine(1, 1), envLine(1, 2), envLine(2, 1)))
+      pipeline.processAllAvailable()
+      wall.processAllAvailable()
+      def tiles = spark.read.parquet(s"$outDir/tiles")
+        .select("source_id", "frame_id").as[(Int, Long)].collect().toMap
+      assert(tiles == Map(1 -> 2L, 2 -> 1L), "latest frame per source wins")
+      // labels carried for the renderer (E3)
+      val label = spark.read.parquet(s"$outDir/tiles")
+        .filter($"source_id" === 1).select("labels").as[String].collect().head
+      assert(label == "person 0.90")
+      // a newer frame for source 1 flows through both processes
+      writeFile(eventsDir, "b.txt", Seq(envLine(1, 7)))
+      pipeline.processAllAvailable()
+      wall.processAllAvailable()
+      assert(tiles == Map(1 -> 7L, 2 -> 1L), "tile updated to the new frame")
+    } finally { wall.stop(); pipeline.stop() }
+  }
+
   test("on-demand metrics publication writes the retained report table") {
     val eventsDir = Files.createTempDirectory("app-events2").toString
     val outDir = Files.createTempDirectory("app-out2").toString
