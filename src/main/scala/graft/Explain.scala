@@ -18,7 +18,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_conf", "q08_latest_per_key", "q12_asof_join",
-        "q19_cosine_topk", "q27_revenue_by_nation")
+        "q19_cosine_topk", "q27_revenue_by_nation", "q37_shipping_priority",
+        "q43_sessionize")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       Queries.byName(n)(spark, sfDir).explain("formatted")

@@ -102,6 +102,22 @@ class BusSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a subscriber can start on an empty (even absent) drop directory") {
+    val parent = Files.createTempDirectory("bus-empty").toString
+    val dir = s"$parent/not-created-yet"
+    val q = Sources.eventBusStream(spark, dir).writeStream
+      .format("memory").queryName("bus_empty").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bus_empty").isEmpty)
+      Files.createDirectory(Paths.get(dir))
+      writeFixture(dir, "late.txt", Seq(envLine(5, 1, "person", 0.9)))
+      q.processAllAvailable()
+      assert(spark.table("bus_empty").select("source_id")
+        .as[Int].collect().toSeq == Seq(5))
+    } finally q.stop()
+  }
+
   test("maxFilesPerTrigger bounds micro-batch intake (ST5 backpressure)") {
     val dir = Files.createTempDirectory("bus-admit").toString
     (1 to 3).foreach(i => writeFixture(dir, s"f$i.txt",
