@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Row
 
 /** A keyed event for stateful streaming ops — schema matches the driver
@@ -72,6 +72,47 @@ object StatefulOps {
             Iterator.single(winner)
           }
       }
+  }
+
+  /** [[latestPerKeyTtl]] on the MODERN arbitrary-state API
+    * (`transformWithState`, Spark 4): a [[StatefulProcessor]] holding one
+    * TTL-configured [[ValueState]] per key — the state store itself
+    * expires entries past the TTL (native read-path expiry, the exact
+    * analog of the reference cache returning None after
+    * `now - insert_time > ttl`, wall/detection_cache.py:48-69), so the
+    * processor carries no timeout bookkeeping at all. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). Kept alongside the
+    * `flatMapGroupsWithState` form: same contract, two engines. */
+  private class LatestEventProcessor(ttlMs: Long, arrivalOrder: Boolean)
+      extends StatefulProcessor[Long, KeyedEvent, KeyedEvent] {
+    @transient private var state: ValueState[KeyedEvent] = _
+
+    private def rank(e: KeyedEvent): (Long, Long) =
+      if (arrivalOrder) (e.event_id, 0L) else (e.ts.getTime, e.event_id)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyedEvent]("latest",
+        Encoders.product[KeyedEvent],
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                                 timers: TimerValues): Iterator[KeyedEvent] = {
+      val incoming = rows.maxBy(rank)
+      // state.get() returns null past the TTL — the store-side expiry
+      val winner = (Option(state.get()).toSeq :+ incoming).maxBy(rank)
+      state.update(winner)
+      Iterator.single(winner)
+    }
+  }
+
+  /** See [[LatestEventProcessor]]. Update-mode, processing-time. */
+  def latestPerKeyTtlTws(events: Dataset[KeyedEvent], ttlMs: Long,
+                         arrivalOrder: Boolean): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestEventProcessor(ttlMs, arrivalOrder),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Per-key rate limiter (ST4): pass at most one event per key per

@@ -52,6 +52,51 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("latestPerKeyTtlTws (transformWithState): winner kept, TTL expires state") {
+    implicit val ctx = spark.sqlContext
+    // the modern arbitrary-state API requires the RocksDB state store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // phase 1 — generous TTL: live state beats a smaller-id arrival
+      val in = MemoryStream[KeyedEvent]
+      val q = StatefulOps.latestPerKeyTtlTws(in.toDS(), ttlMs = 60000,
+        arrivalOrder = true)
+        .writeStream.format("memory").queryName("tws").outputMode("update").start()
+      try {
+        def key1Ids = spark.table("tws").as[KeyedEvent].collect()
+          .filter(_.user_id == 1).map(_.event_id).toSeq
+        in.addData(ev(10, "2024-01-01 00:00:00", 1), ev(20, "2024-01-01 00:00:00", 2))
+        awaitCond("event 10 lands")(key1Ids.lastOption.contains(10L))
+        in.addData(ev(7, "2024-01-01 00:00:01", 1))
+        awaitCond("stale arrival loses to live state")(
+          key1Ids.lastOption.contains(10L) && key1Ids.count(_ == 10L) >= 2)
+      } finally q.stop()
+
+      // phase 2 — short TTL: the store expires the value, smaller id wins
+      val in2 = MemoryStream[KeyedEvent]
+      val q2 = StatefulOps.latestPerKeyTtlTws(in2.toDS(), ttlMs = 500,
+        arrivalOrder = true)
+        .writeStream.format("memory").queryName("tws2").outputMode("update").start()
+      try {
+        def ids = spark.table("tws2").as[KeyedEvent].collect()
+          .filter(_.user_id == 1).map(_.event_id).toSeq
+        in2.addData(ev(10, "2024-01-01 00:00:00", 1))
+        awaitCond("event 10 lands")(ids.lastOption.contains(10L))
+        Thread.sleep(1500) // let the 500ms ValueState TTL lapse (store-side)
+        in2.addData(ev(5, "2024-01-01 00:00:05", 1))
+        awaitCond("expired state lets event 5 win")(ids.lastOption.contains(5L))
+      } finally q2.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("throttlePerKey emits at most one event per key per period") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
