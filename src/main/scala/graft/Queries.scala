@@ -893,6 +893,22 @@ object Queries {
     },
     None, bench = true)
 
+  /** Salted dimension join (graft.ops.Skew.saltedJoin): the hot-key
+    * mitigation path, oracle-proven to produce EXACTLY the plain join's
+    * result — salting changes intermediate partitioning, never answers. */
+  private val q44 = QDef("q44_salted_join",
+    (s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        (col("user_id") % 25).as("nk"))
+      val dim = table(s, d, "nation").select(col("n_nationkey").as("nk"),
+        col("n_name"))
+      graft.ops.Skew.saltedJoin(e, dim, Seq("nk"), salts = 8)
+        .select("event_id", "user_id", "n_name")
+    },
+    Some("""SELECT event_id, user_id, n_name
+            FROM events JOIN nation ON user_id % 25 = n_nationkey"""),
+    bench = true)
+
   /** Sessionization: Spark's native `session_window` (merge-on-overlap
     * session aggregation — one shuffle on the key, sessions merged inside
     * the aggregate; the same operator runs streaming with a watermark)
@@ -964,7 +980,7 @@ object Queries {
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43)
+    q40, q41, q42, q43, q44)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
