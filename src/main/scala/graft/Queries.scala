@@ -968,13 +968,16 @@ object Queries {
     * at unbounded cardinality swap in approx_percentile (sketch). */
   private val q41 = QDef("q41_latency_percentiles",
     (s, d) => events(s, d).groupBy("user_id")
-      .agg(percentile(col("value"), lit(0.5)).as("p50"),
-        percentile(col("value"), lit(0.95)).as("p95"),
-        percentile(col("value"), lit(0.99)).as("p99")),
+      // single final rounding (file header discipline): the interpolation
+      // lower + frac·(upper−lower) is double arithmetic in both engines —
+      // never compared raw
+      .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99")),
     Some("""SELECT user_id,
-                   quantile_cont(value, 0.5) AS p50,
-                   quantile_cont(value, 0.95) AS p95,
-                   quantile_cont(value, 0.99) AS p99
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY 1"""), bench = true)
 
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,

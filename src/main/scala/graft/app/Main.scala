@@ -93,7 +93,14 @@ object Main {
                          cfg: EngineConfig): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/detections"))) return
+    val det = new org.apache.hadoop.fs.Path(s"$outDir/detections")
+    // nothing published yet (or only _SUCCESS markers from empty
+    // batches): a schema-less parquet read would throw — report nothing,
+    // like the reference's warm-up validity gate (F5)
+    if (!fs.exists(det) || !fs.listStatus(det).exists { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }) return
     val events = spark.read.parquet(s"$outDir/detections")
       .select(Schemas.parseEvent(col("payload")).as("e"))
       .select(col("e.source_id").as("source_id"),
@@ -130,24 +137,27 @@ object Main {
       .select(Schemas.parseEvent(col("payload")).as("e"))
       .filter(Schemas.eventIsValid(col("e")))
       .select(col("e.*"))
-      .withColumn("labels", transform(col("detections"),
-        d => EventOps.label(d.getField("class_name"), d.getField("confidence"),
-          d.getField("tracker_id"))))
   }
 
   /** The wall's tile cache as a retained table (W1 last-value-wins per
     * source, K3-style upsert): each micro-batch reduces to its latest row
-    * per source, then merges into the tiles table. Read-side freshness
-    * (ST1's TTL) belongs to the consumer: `EventOps.latestPerKeyWithTtl`
-    * over the table, exactly like the reference expires on `get`. */
+    * per source, then merges into the tiles table. Display labels (E3)
+    * are formatted AFTER the reduction — the interpreted `transform` HOF
+    * touches |sources| rows per batch, never the full event stream (only
+    * surviving tiles get rendered, so labeling losers would be wasted
+    * interpreted work). Read-side freshness (ST1's TTL) belongs to the
+    * consumer: `EventOps.latestPerKeyWithTtl` over the table, exactly
+    * like the reference expires on `get`. */
   def wallWriter(events: DataFrame, tilesPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val latest = EventOps.latestPerKey(
-          batch.withColumn("labels", concat_ws("|", col("labels")))
-            .drop("detections"),
+        val latest = EventOps.latestPerKey(batch,
           Seq("source_id"), "timestamp", "frame_id")
+          .withColumn("labels", concat_ws("|", transform(col("detections"),
+            d => EventOps.label(d.getField("class_name"),
+              d.getField("confidence"), d.getField("tracker_id")))))
+          .drop("detections")
         Sinks.upsertRetained(batch.sparkSession, latest, tilesPath,
           Seq("source_id"), "timestamp", "frame_id")
       }
@@ -194,12 +204,15 @@ object Main {
     val eventsDir = req("events-dir")
     val outDir = req("out-dir")
     val ckRoot = args.getOrElse("checkpoint-dir", s"$outDir/_checkpoints")
+    // the CLI goes through the SAME validation as every runtime command —
+    // a config the control plane would reject must not boot either
     val cfg = EngineConfig(
       instanceId = args.getOrElse("instance-id", "processor-1"),
       modelId = args.getOrElse("model", "yolov8x-640"),
       maxFps = args.getOrElse("max-fps", "1.0").toDouble,
       confidenceThreshold = args.getOrElse("confidence", "0.5").toDouble,
       streamIds = resolveStreamIds(args))
+      .validate.fold(err => sys.error(s"invalid configuration: $err"), identity)
     val maxFiles = args.get("max-files-per-trigger").map(_.toInt)
 
     val harness = new ControlHarness(cfg,

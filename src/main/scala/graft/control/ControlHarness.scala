@@ -87,19 +87,36 @@ class ControlHarness(
         _paused = true
         _stopped = true
         _pipeline.foreach(_.stop())
+      case "restart" =>
+        // an explicit restart brings a stopped/paused engine back to
+        // running (the reference's restart ends in status "running",
+        // command_handlers.py:191-228) — clear both levels BEFORE the
+        // rebuild below so the new query is not born gated
+        _paused = false
+        _stopped = false
       case _ => ()
     }
     _config = result.config
-    if (applied && result.restartRequired) restartPipeline()
+    // A reconfigure while STOPPED must NOT revive the query: the new
+    // config applies, but starting a pipeline whose gate discards every
+    // batch would consume (and lose) the preserved backlog while status
+    // still answers "stopped". The next resume builds with the new config.
+    if (applied && result.restartRequired && !_stopped) restartPipeline()
     // sink failures must not kill the command loop (the reference logs
     // and continues, control_plane.py:316-327); state changes above
     // already took effect
+    // On-demand METRICS publication (command_handlers.py:340-372): an
+    // injected effect (the app wires Metrics.fullReport → the retained
+    // metrics table). Isolated from ACK emission — a publication failure
+    // must not swallow the command's received→completed ACKs.
+    if (applied && name == "metrics") {
+      try onMetricsRequest(_config)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[control] metrics publication failed: ${e.getMessage}")
+      }
+    }
     try {
-      // on-demand METRICS publication (command_handlers.py:340-372): the
-      // harness owns no event data, so the full-report publication is an
-      // injected effect (the app wires Metrics.fullReport → the retained
-      // metrics table)
-      if (applied && name == "metrics") onMetricsRequest(_config)
       emitAcks(result.acks)
       result.status.foreach { st =>
         // runtime enrichment (P7): uptime + component health

@@ -54,10 +54,12 @@ class EnvelopeSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
+    // data source options are case-insensitive by Spark convention
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-bus requires a path: .load(dir) or .option(\"path\", dir)"))
-    val maxFiles = Option(properties.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
     new EnvelopeTable(path, maxFiles)
   }
 }

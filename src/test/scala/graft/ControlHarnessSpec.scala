@@ -175,6 +175,33 @@ class ControlHarnessSpec extends SparkSpec {
     } finally h.pipeline.foreach(_.stop())
   }
 
+  test("reconfigure while stopped defers the rebuild; restart revives") {
+    val (h, _, statuses, built) = newHarness()
+    def cmd(n: String, p: Map[String, String] = Map.empty) =
+      graft.model.Command(n, p, Seq.empty)
+    try {
+      h.handle(cmd("stop"))
+      assert(h.pipeline.exists(!_.isActive))
+      // config change while stopped: applied, but NO query revival (a
+      // gated query would consume and discard the preserved backlog)
+      h.handle(cmd("set_fps", Map("max_fps" -> "9.0")))
+      assert(h.config.maxFps == 9.0)
+      assert(h.pipeline.exists(!_.isActive), "stopped engine must stay stopped")
+      assert(built.size == 1, "no rebuild while stopped")
+      h.handle(cmd("status"))
+      assert(statuses.last.status == "stopped")
+      // resume builds with the deferred config
+      h.handle(cmd("resume"))
+      assert(h.pipeline.exists(_.isActive) && built.last.maxFps == 9.0)
+      // explicit restart on a stopped engine brings it back to running
+      h.handle(cmd("stop"))
+      h.handle(cmd("restart"))
+      assert(h.pipeline.exists(_.isActive) && !h.isPaused)
+      h.handle(cmd("status"))
+      assert(statuses.last.status == "running")
+    } finally h.pipeline.foreach(_.stop())
+  }
+
   test("stop terminates the pipeline query; resume restarts it") {
     val (h, _, _, _) = newHarness()
     try {

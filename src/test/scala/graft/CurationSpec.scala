@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Curation
+
+/** Unit behavior of the curation pipeline (complements the q39 oracle):
+  * dedup winner selection, language-agreement gate, quality-gate
+  * boundaries, and degenerate inputs. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String, String)],
+                  minTokens: Int = 2, maxMean: Double = 10.0): Set[Long] =
+    Curation.curate(rows.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", minTokens, maxMean)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("exact duplicates: only the smallest id survives") {
+    val kept = run(Seq(
+      (3L, "the quick fox", "en"),
+      (1L, "the quick fox", "en"),
+      (2L, "the quick fox", "en")))
+    assert(kept == Set(1L))
+  }
+
+  test("language disagreement is gated out") {
+    val kept = run(Seq(
+      (1L, "the cat of the house", "en"), // en markers, declared en → kept
+      (2L, "the cat of the house", "de"), // en markers, declared de → out
+      (3L, "la la le les et", "fr")))     // fr markers, declared fr → kept
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("quality gates: token minimum and mean-token-length maximum") {
+    val kept = run(Seq(
+      (1L, "the of", "en"),                       // 2 tokens → at the minimum, kept
+      (2L, "the", "en"),                          // 1 token → below minimum
+      (3L, "the incomprehensibilities of it", "en")), // mean len > 6
+      minTokens = 2, maxMean = 6.0)
+    assert(kept == Set(1L))
+  }
+
+  test("degenerate inputs: empty corpus and token-less docs survive nothing") {
+    assert(run(Seq.empty) == Set.empty)
+    // whitespace-only text: 0 tokens, lang-ID is "und" → double-gated
+    assert(run(Seq((1L, "   ", "en"))) == Set.empty)
+  }
+}
