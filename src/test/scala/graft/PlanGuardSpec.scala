@@ -56,6 +56,18 @@ class PlanGuardSpec extends SparkSpec {
       s"unpartitioned WindowExec (single-partition sort of all rows) in: $offenders")
   }
 
+  test("dimension joins stay broadcast (the event/fact side never shuffles)") {
+    // queries whose defining property is a broadcast dim join; a regression
+    // to a shuffled join here multiplies cost by the fact-table size
+    val mustBroadcast = Seq("q04_remap_ids", "q27_revenue_by_nation",
+      "q38_promo_share")
+    mustBroadcast.foreach { name =>
+      val hasBroadcastJoin = plans(name).exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      assert(hasBroadcastJoin, s"$name: no BroadcastHashJoin in the plan")
+    }
+  }
+
   test("filter-heavy scans keep their pushed filters") {
     // queries whose FIRST-class behavior is a pushable predicate on the
     // fact scan; if PushedFilters goes empty a future edit broke pushdown
