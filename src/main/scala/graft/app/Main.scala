@@ -110,6 +110,10 @@ object Main {
         lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
     val report = graft.metrics.Metrics.fullReport(events, "source_id",
       "decode_s", "inference_s", "e2e_s", "w", "h")
+      // frame geometry never crosses the bus: a null-formatted resolution
+      // string carries no information — publish null, not "nullxnull"
+      .withColumn("resolution",
+        when(col("resolution") === "nullxnull", lit(null)).otherwise(col("resolution")))
       .withColumn("instance_id", lit(cfg.instanceId))
       .withColumn("timestamp", lit(new java.sql.Timestamp(
         System.currentTimeMillis())))
@@ -239,13 +243,21 @@ object Main {
     // The reference's supervising join() rejoin loop (ST7,
     // processor/processor.py:207-273): a restart command intentionally
     // terminates the pipeline query, which must NOT exit the app —
-    // rejoin until no query is active anymore (a real `stop`).
+    // rejoin. A `stop` COMMAND ends the process (the reference's join()
+    // returns once the pipeline is gone, processor.py:236-266) — the
+    // control query alone must not keep a stopped processor alive.
     var running = true
     while (running) {
-      spark.streams.awaitAnyTermination()
+      spark.streams.awaitAnyTermination(2000)
       spark.streams.resetTerminated()
-      Thread.sleep(2000) // let an in-flight stop→rebuild→start register
-      running = spark.streams.active.nonEmpty
+      if (harness.isStopped) {
+        Thread.sleep(1000) // let the stop command's ACK/status writes land
+        spark.streams.active.foreach(_.stop())
+        running = false
+      } else {
+        Thread.sleep(2000) // let an in-flight stop→rebuild→start register
+        running = spark.streams.active.nonEmpty
+      }
     }
   }
 

@@ -41,6 +41,7 @@ class ControlHarness(
 
   def config: EngineConfig = _config
   def isPaused: Boolean = _paused
+  def isStopped: Boolean = _stopped
   def pipeline: Option[StreamingQuery] = _pipeline
   def uptimeSeconds(now: Timestamp): Double =
     (now.getTime - startedAt.getTime) / 1000.0
