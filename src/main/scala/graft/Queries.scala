@@ -893,6 +893,55 @@ object Queries {
     },
     None, bench = true)
 
+  /** TPC-H Q5-style local-supplier revenue: the 6-table join tree — three
+    * BIG tables (lineitem⋈orders⋈customer) shuffled on their keys, three
+    * dims (supplier/nation/region) broadcast, region filter pruning the
+    * nation set BEFORE the big joins, local-supplier predicate
+    * (c_nationkey = s_nationkey) as a join residual. Exercises every
+    * testdata TPC-H table. */
+  private val q45 = QDef("q45_local_supplier_revenue",
+    (s, d) => {
+      val dec = (c: Column) => c.cast("decimal(18,2)")
+      val cutoff = to_timestamp(lit("1997-01-01"))
+      val nation = table(s, d, "nation")
+        .join(broadcast(table(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val supplier = table(s, d, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val orders = table(s, d, "orders")
+        .filter(col("o_orderdate") >= cutoff &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      table(s, d, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1"""), bench = true)
+
   /** Salted dimension join (graft.ops.Skew.saltedJoin): the hot-key
     * mitigation path, oracle-proven to produce EXACTLY the plain join's
     * result — salting changes intermediate partitioning, never answers. */
@@ -983,7 +1032,7 @@ object Queries {
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44)
+    q40, q41, q42, q43, q44, q45)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
