@@ -200,6 +200,48 @@ object StatefulOps {
       }
   }
 
+  /** [[asOfCoProcess]] on the modern arbitrary-state API: the same
+    * union → key-partitioned arrival-order co-processing, but state is a
+    * TTL-configured [[ValueState]] the store expires by itself (the
+    * read-path-expiry analog without processor timeout bookkeeping).
+    * Requires the RocksDB state store provider. */
+  private class AsOfProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, FrameOrEvent, PairedFrame] {
+    @transient private var state: ValueState[KeyedEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyedEvent]("latest",
+        Encoders.product[KeyedEvent],
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(key: Long, rows: Iterator[FrameOrEvent],
+                                 timers: TimerValues): Iterator[PairedFrame] = {
+      val out = Seq.newBuilder[PairedFrame]
+      rows.toSeq.sortBy(_.seq).foreach {
+        case FrameOrEvent(_, _, _, Some(e)) =>
+          state.update(e) // last-arrival-wins overwrite (W1)
+        case FrameOrEvent(_, _, Some(f), _) =>
+          val cur = Option(state.get()) // null past the TTL (store expiry)
+          out += PairedFrame(f.frame_id, f.user_id, f.ts,
+            cur.map(_.event_id), cur.map(_.value))
+        case _ => ()
+      }
+      out.result().iterator
+    }
+  }
+
+  /** See [[AsOfProcessor]]; same contract as [[asOfCoProcess]]. */
+  def asOfCoProcessTws(frames: Dataset[Frame], events: Dataset[KeyedEvent],
+                       ttlMs: Long): Dataset[PairedFrame] = {
+    import frames.sparkSession.implicits._
+    val tagged = frames
+      .map(f => FrameOrEvent(f.frame_id * 2 + 1, f.user_id, Some(f), None))
+      .union(events.map(e => FrameOrEvent(e.event_id * 2, e.user_id, None, Some(e))))
+    tagged.groupByKey(_.user_id)
+      .transformWithState(new AsOfProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup — the ingest-time form of
     * [[graft.ops.Dedup.exactDedup]] for a continuous training-data feed:
     * drops any row whose content hash has been seen before, with state

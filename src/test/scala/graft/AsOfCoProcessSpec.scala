@@ -44,6 +44,40 @@ class AsOfCoProcessSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState form pairs identically (pairing, bare, interleaving)") {
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val frames = MemoryStream[Frame]
+    val events = MemoryStream[KeyedEvent]
+    val q = StatefulOps.asOfCoProcessTws(frames.toDS(), events.toDS(), ttlMs = 60000)
+      .writeStream.format("memory").queryName("coproc_tws").outputMode("append").start()
+    try {
+      def rows = spark.table("coproc_tws").as[PairedFrame].collect()
+        .map(p => p.frame_id -> p.event_id).toMap
+      events.addData(ev(10, "2024-01-01 00:00:00", 1, 1.0))
+      frames.addData(fr(50, "2024-01-01 00:00:01", 1), fr(60, "2024-01-01 00:00:01", 2))
+      awaitCond("frame 50 paired, frame 60 bare")(
+        rows.get(50L).contains(Some(10L)) && rows.get(60L).contains(None))
+      events.addData(ev(12, "2024-01-01 00:00:02", 1, 2.0))
+      frames.addData(fr(13, "2024-01-01 00:00:03", 1))
+      awaitCond("frame 13 sees overwritten event 12")(
+        rows.get(13L).exists(_.contains(12L)))
+      events.addData(ev(100, "2024-01-01 00:00:10", 3, 3.0))
+      frames.addData(fr(99, "2024-01-01 00:00:10", 3), fr(101, "2024-01-01 00:00:11", 3))
+      awaitCond("interleaving respected")(
+        rows.get(99L).contains(None) && rows.get(101L).exists(_.contains(100L)))
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("supervisor records crashes with exceptions, ignores clean stops") {
     implicit val ctx = spark.sqlContext
     @volatile var failed: Option[String] = None
