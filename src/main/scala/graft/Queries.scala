@@ -556,21 +556,30 @@ object Queries {
 
   private val q29 = QDef("q29_metrics_report",
     (s, d) => {
-      // synthesize the watchdog latency triple + resolution from `value`
+      // Synthesize the watchdog latency triple + resolution from `value`
       // (the testdata has no decode/inference columns); the shaping under
-      // test is Metrics.fullReport (P5/A3).
+      // test is Metrics.fullReport (P5/A3). The triples are BINARY-EXACT
+      // transforms of the 2-decimal `value` (×1, ×2, ×4 — doubling is
+      // exact in IEEE): a derived double like value/250 is NOT, and the
+      // engines' double→decimal casts then disagree in the 10th digit
+      // (Java rounds the exact binary expansion, DuckDB the shortest
+      // repr), pushing decimal sums across round() ties at larger SFs —
+      // caught at sf0.1.
       val e = events(s, d).select(col("user_id").as("source_id"),
-        (col("value") / 1000).as("decode_s"),
-        (col("value") / 500).as("inference_s"),
-        (col("value") / 250).as("e2e_s"),
+        col("value").as("decode_s"),
+        (col("value") * 2).as("inference_s"),
+        (col("value") * 4).as("e2e_s"),
         lit(1920).as("w"), lit(1080).as("h"))
       graft.metrics.Metrics.fullReport(e, "source_id", "decode_s",
         "inference_s", "e2e_s", "w", "h")
     },
     Some("""SELECT user_id AS source_id, count(*) AS n_frames,
-              round(avg(value / 1000) * 1000, 2) AS avg_decode_ms,
-              round(avg(value / 500) * 1000, 2) AS avg_inference_ms,
-              round(avg(value / 250) * 1000, 2) AS avg_e2e_ms,
+              round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                * 1000 / count(value), 2) AS avg_decode_ms,
+              round(CAST(sum(CAST(value * 2 AS DECIMAL(28,10))) AS DOUBLE)
+                * 1000 / count(value), 2) AS avg_inference_ms,
+              round(CAST(sum(CAST(value * 4 AS DECIMAL(28,10))) AS DOUBLE)
+                * 1000 / count(value), 2) AS avg_e2e_ms,
               printf('%dx%d', 1920, 1080) AS resolution
             FROM events GROUP BY 1"""))
 

@@ -18,15 +18,27 @@ object Metrics {
     * metrics_reporter.py:111-158): decode / inference / e2e latency
     * averages, s → ms, round 2, plus the "{w}x{h}" resolution string.
     * Nulls are excluded from each avg independently (F6 semantics:
-    * avg ignores nulls natively). */
+    * count(col) as the divisor skips nulls like native avg).
+    *
+    * Averages are DECIMAL-EXACT: a plain double `avg` accumulates in
+    * data order, so at 10× the rows two engines can land on opposite
+    * sides of a .xx5 rounding boundary (seen at sf0.1). The per-row
+    * double→decimal(28,10) cast is deterministic and tie-free (a binary
+    * double can never be an exact decimal half at the 11th place — that
+    * would need the factor 5^10 in a dyadic rational), the decimal sum
+    * is order-independent, and the division + round(2) is the single
+    * final double step. */
+  private def exactAvgMs(c: Column): Column =
+    round(sum(c.cast("decimal(28,10)")).cast("double") * 1000 / count(c), 2)
+
   def fullReport(events: DataFrame, sourceId: String, decodeS: String,
                  inferenceS: String, e2eS: String, w: String, h: String): DataFrame =
     events.groupBy(col(sourceId))
       .agg(
         count(lit(1)).as("n_frames"),
-        round(avg(col(decodeS)) * 1000, 2).as("avg_decode_ms"),
-        round(avg(col(inferenceS)) * 1000, 2).as("avg_inference_ms"),
-        round(avg(col(e2eS)) * 1000, 2).as("avg_e2e_ms"),
+        exactAvgMs(col(decodeS)).as("avg_decode_ms"),
+        exactAvgMs(col(inferenceS)).as("avg_inference_ms"),
+        exactAvgMs(col(e2eS)).as("avg_e2e_ms"),
         format_string("%dx%d", max(col(w)), max(col(h))).as("resolution"))
 
   /** Lightweight report (P6 + A1 + A2, metrics_reporter.py:184-212):
