@@ -188,6 +188,39 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("session_window streams under a watermark: closed sessions equal batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def sessionize(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"))
+    val onTime = Seq(
+      ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:00:02", 1),
+      ev(3, "2024-01-01 00:00:30", 1), // > 10s gap → second session
+      ev(4, "2024-01-01 00:00:01", 2))
+    val flush = ev(9, "2024-01-01 00:10:00", 1) // closes everything earlier
+    val late = ev(5, "2024-01-01 00:00:03", 1)  // for a closed session
+    val batch = sessionize(onTime.toDF())
+      .collect().map(_.toString).sorted.toSeq
+    val in = MemoryStream[KeyedEvent]
+    val q = sessionize(in.toDF().withWatermark("ts", "5 seconds"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    withQuery(q) {
+      in.addData(onTime: _*)
+      q.processAllAvailable()
+      in.addData(flush)
+      q.processAllAvailable()
+      in.addData(late)
+      q.processAllAvailable()
+      val streamed = spark.table("sess").collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "closed sessions must match the batch plan; the late row must not " +
+          "reopen or extend a closed session")
+    }
+  }
+
   test("streamingExactDedup: duplicate content within the watermark is dropped") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
