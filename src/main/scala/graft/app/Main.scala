@@ -110,10 +110,6 @@ object Main {
         lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
     val report = graft.metrics.Metrics.fullReport(events, "source_id",
       "decode_s", "inference_s", "e2e_s", "w", "h")
-      // frame geometry never crosses the bus: a null-formatted resolution
-      // string carries no information — publish null, not "nullxnull"
-      .withColumn("resolution",
-        when(col("resolution") === "nullxnull", lit(null)).otherwise(col("resolution")))
       .withColumn("instance_id", lit(cfg.instanceId))
       .withColumn("timestamp", lit(new java.sql.Timestamp(
         System.currentTimeMillis())))
@@ -245,16 +241,22 @@ object Main {
     // terminates the pipeline query, which must NOT exit the app —
     // rejoin. A `stop` COMMAND ends the process (the reference's join()
     // returns once the pipeline is gone, processor.py:236-266) — the
-    // control query alone must not keep a stopped processor alive.
+    // control query alone must not keep a stopped processor alive. The
+    // harness raises `isStopped` only after the stop command's ACK and
+    // status writes have been emitted, so stopping the remaining queries
+    // here cannot lose them. A query that dies WITH an exception
+    // propagates out of awaitAnyTermination and crashes the process
+    // (the reference exits on unexpected pipeline death too) —
+    // resetTerminated is only called after a clean termination, never
+    // preemptively, so a crash can't be silently swallowed.
     var running = true
     while (running) {
-      spark.streams.awaitAnyTermination(2000)
-      spark.streams.resetTerminated()
+      val terminated = spark.streams.awaitAnyTermination(2000)
+      if (terminated) spark.streams.resetTerminated()
       if (harness.isStopped) {
-        Thread.sleep(1000) // let the stop command's ACK/status writes land
         spark.streams.active.foreach(_.stop())
         running = false
-      } else {
+      } else if (terminated) {
         Thread.sleep(2000) // let an in-flight stop→rebuild→start register
         running = spark.streams.active.nonEmpty
       }

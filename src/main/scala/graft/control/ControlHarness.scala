@@ -23,7 +23,14 @@ import graft.model.{Ack, Command, InstanceStatus}
   *    batch boundary while in-flight work drains;
   *  - level 2 (drain): `stop` terminates the pipeline query entirely.
   * Resume order is pipeline-first-then-ungate, so no stale in-flight
-  * output is published into the un-gated window. */
+  * output is published into the un-gated window.
+  *
+  * Layering of `stop`: the harness ITSELF supports resume-after-stop
+  * (an embedded host may keep the control loop alive indefinitely); the
+  * CLI app instead exits the process once `isStopped` — the reference's
+  * behavior, where the supervising join() returns and the orchestrator
+  * respawns (processor.py:236-266). A resume racing process death is
+  * then dropped exactly as it would be against the reference. */
 class ControlHarness(
     initial: EngineConfig,
     buildPipeline: (EngineConfig, () => Boolean) => StreamingQuery,
@@ -85,8 +92,12 @@ class ControlHarness(
         _paused = false
         _stopped = false
       case "stop" =>
+        // gate + terminate now; the externally-visible `_stopped` flag is
+        // raised only AFTER the ACK/status emission below, so a host that
+        // exits on isStopped (the CLI app) cannot kill the control query
+        // before the stop command's own completed ACK and final status
+        // have been written
         _paused = true
-        _stopped = true
         _pipeline.foreach(_.stop())
       case "restart" =>
         // an explicit restart brings a stopped/paused engine back to
@@ -121,7 +132,10 @@ class ControlHarness(
       emitAcks(result.acks)
       result.status.foreach { st =>
         // runtime enrichment (P7): uptime + component health
-        // (command_handlers.py:391-411)
+        // (command_handlers.py:391-411). `is_paused`/`liveStatus` must
+        // already reflect a stop here even though `_stopped` is raised
+        // after emission — the interpreter received liveStatus up front
+        // and `_paused` was set in the effect block above.
         val health = Map(
           "is_paused" -> _paused,
           "pipeline_running" -> _pipeline.exists(_.isActive),
@@ -132,6 +146,8 @@ class ControlHarness(
     } catch {
       case e: Exception =>
         System.err.println(s"[control] ack/status emit failed: ${e.getMessage}")
+    } finally {
+      if (applied && name == "stop") _stopped = true
     }
   }
 

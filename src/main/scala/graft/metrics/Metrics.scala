@@ -39,7 +39,10 @@ object Metrics {
         exactAvgMs(col(decodeS)).as("avg_decode_ms"),
         exactAvgMs(col(inferenceS)).as("avg_inference_ms"),
         exactAvgMs(col(e2eS)).as("avg_e2e_ms"),
-        format_string("%dx%d", max(col(w)), max(col(h))).as("resolution"))
+        // unknown geometry → null, not a "nullxnull"/"1920xnull" string
+        // (format_string renders null args as the literal "null")
+        when(max(col(w)).isNotNull && max(col(h)).isNotNull,
+          format_string("%dx%d", max(col(w)), max(col(h)))).as("resolution"))
 
   /** Lightweight report (P6 + A1 + A2, metrics_reporter.py:184-212):
     * per-source e2e ms + the global throughput and global average that

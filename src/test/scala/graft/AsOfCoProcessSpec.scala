@@ -35,12 +35,32 @@ class AsOfCoProcessSpec extends SparkSpec {
       frames.addData(fr(13, "2024-01-01 00:00:03", 1))
       awaitCond("frame 13 sees overwritten event 12")(
         rows.get(13L).exists(_.contains(12L)))
-      // within one batch, id-interleaving: event 100 (seq 200) is NOT yet
-      // visible to frame 99 (seq 199) but is to frame 101 (seq 203)
-      events.addData(ev(100, "2024-01-01 00:00:10", 3, 3.0))
-      frames.addData(fr(99, "2024-01-01 00:00:10", 3), fr(101, "2024-01-01 00:00:11", 3))
-      awaitCond("interleaving respected")(
-        rows.get(99L).contains(None) && rows.get(101L).exists(_.contains(100L)))
+    } finally q.stop()
+  }
+
+  test("intra-batch id-interleaving: an event is invisible to earlier-seq frames") {
+    implicit val ctx = spark.sqlContext
+    // all rows queued BEFORE the query starts, so batch 0 contains them
+    // all — the interleaving is exercised deterministically in ONE
+    // micro-batch (addData after start could split across batches and
+    // the frame would legitimately see the event from state — a race,
+    // not a failure). No AvailableNow: with ProcessingTimeTimeout state
+    // the engine keeps scheduling timeout batches and never terminates.
+    val frames = MemoryStream[Frame]
+    val events = MemoryStream[KeyedEvent]
+    events.addData(ev(100, "2024-01-01 00:00:10", 3, 3.0))       // seq 200
+    frames.addData(fr(99, "2024-01-01 00:00:10", 3),             // seq 199
+      fr(101, "2024-01-01 00:00:11", 3))                         // seq 203
+    val q = StatefulOps.asOfCoProcess(frames.toDS(), events.toDS(), ttlMs = 60000)
+      .writeStream.format("memory").queryName("coproc_one").outputMode("append").start()
+    try {
+      def rows = spark.table("coproc_one").as[PairedFrame].collect()
+        .map(p => p.frame_id -> p.event_id).toMap
+      awaitCond("both frames processed")(rows.size == 2)
+      assert(rows.get(99L).contains(None),
+        "event 100 (seq 200) must not be visible to frame 99 (seq 199)")
+      assert(rows.get(101L).exists(_.contains(100L)),
+        "frame 101 (seq 203) must see event 100")
     } finally q.stop()
   }
 
@@ -65,10 +85,13 @@ class AsOfCoProcessSpec extends SparkSpec {
       frames.addData(fr(13, "2024-01-01 00:00:03", 1))
       awaitCond("frame 13 sees overwritten event 12")(
         rows.get(13L).exists(_.contains(12L)))
+      // frame 101 (seq 203) > event 100 (seq 200): sees it regardless of
+      // how the adds split across micro-batches (no intra-batch race —
+      // the deterministic single-batch case has its own AvailableNow test)
       events.addData(ev(100, "2024-01-01 00:00:10", 3, 3.0))
-      frames.addData(fr(99, "2024-01-01 00:00:10", 3), fr(101, "2024-01-01 00:00:11", 3))
-      awaitCond("interleaving respected")(
-        rows.get(99L).contains(None) && rows.get(101L).exists(_.contains(100L)))
+      frames.addData(fr(101, "2024-01-01 00:00:11", 3))
+      awaitCond("frame 101 sees event 100")(
+        rows.get(101L).exists(_.contains(100L)))
     } finally {
       q.stop()
       oldProvider match {

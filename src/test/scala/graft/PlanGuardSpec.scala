@@ -60,7 +60,7 @@ class PlanGuardSpec extends SparkSpec {
     // queries whose defining property is a broadcast dim join; a regression
     // to a shuffled join here multiplies cost by the fact-table size
     val mustBroadcast = Seq("q04_remap_ids", "q27_revenue_by_nation",
-      "q38_promo_share")
+      "q38_promo_share", "q45_local_supplier_revenue")
     mustBroadcast.foreach { name =>
       val hasBroadcastJoin = plans(name).exists(n =>
         n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
