@@ -70,4 +70,24 @@ object Multimodal {
     * first-per-bucket aggregation as event-rate capping. */
   def sampleEveryNth(df: DataFrame, id: String, stride: Int): DataFrame =
     df.filter(pmod(col(id), lit(stride)) === 0)
+
+  /** Resize, partition-batched like [[extractFeatures]]. STUB transform
+    * (no image codecs in this environment): a real implementation decodes
+    * the blob, resamples to `targetW`×`targetH`, and re-encodes; the stub
+    * deterministically truncates/pads the bytes to the target's nominal
+    * size so downstream schema/partitioning/batch plumbing is real and
+    * testable. The metadata contract IS real: `byte_len` reflects the
+    * transformed blob and `mime` is preserved. */
+  def resizeStub(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0, s"bad target: ${targetW}x$targetH")
+    val nominal = targetW * targetH * 3 / 1024 + 1 // fake "encoded" size
+    items.mapPartitions { it =>
+      // per-partition codec/resampler initialization would go here
+      it.map { m =>
+        val blob = java.util.Arrays.copyOf(m.blob, nominal)
+        m.copy(blob = blob, byte_len = blob.length.toLong)
+      }
+    }
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.{MediaItem, Multimodal}
+
+/** Multimodal-column plumbing: binary attach, partition-batched feature
+  * extraction and resize (decode stubbed — no codecs in this
+  * environment; the schema/batching contracts are the real thing). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+
+  test("attachBinary: typed metadata over an opaque blob") {
+    val items = Multimodal.attachBinary(docs, "doc_id", "text")
+      .as[MediaItem].collect().sortBy(_.item_id)
+    assert(items.map(_.byte_len).toSeq == Seq(11L, 0L))
+    assert(items.forall(i => i.media_type == "text" && i.mime == "text/plain"))
+  }
+
+  test("extractFeatures: deterministic digest + fixed feature width") {
+    val items = Multimodal.attachBinary(docs, "doc_id", "text").as[MediaItem]
+    val f = Multimodal.extractFeatures(items).collect().sortBy(_.item_id)
+    assert(f.map(_.sig).distinct.length == 2, "distinct content, distinct sigs")
+    assert(f.forall(_.feature.length == 4))
+    // deterministic: same input, same features
+    val f2 = Multimodal.extractFeatures(items).collect().sortBy(_.item_id)
+    assert(f.map(_.sig).toSeq == f2.map(_.sig).toSeq)
+  }
+
+  test("resizeStub: metadata tracks the transformed blob; bad target rejected") {
+    val items = Multimodal.attachBinary(docs, "doc_id", "text").as[MediaItem]
+    val resized = Multimodal.resizeStub(items, 64, 48).collect()
+    val nominal = 64 * 48 * 3 / 1024 + 1
+    assert(resized.forall(m =>
+      m.byte_len == nominal && m.blob.length == nominal && m.mime == "text/plain"))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeStub(items, 0, 48)
+    }
+  }
+}
