@@ -163,6 +163,44 @@ object Main {
       }
     }
 
+  /** Periodic lightweight-metrics publication (ST3/K5 cadence,
+    * metrics_reporter.py:164-233): a streaming query over this instance's
+    * published detections — windowed per-source aggregates upserted into
+    * the retained metrics-lite table every trigger, warm-up windows
+    * suppressed by the validity gate (F5). The reference's daemon-thread
+    * timer becomes a `ProcessingTime` trigger; `intervalSec = 0` disables
+    * it, like `--metrics-interval 0`. */
+  def metricsPublisher(spark: SparkSession, outDir: String, instanceId: String,
+                       intervalSec: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val events = wallEvents(spark, s"$outDir/detections")
+      .select(col("source_id"), col("timestamp").as("ts"),
+        (col("inference_time_ms") / 1000).as("value"))
+    val report = graft.metrics.Metrics.validityGate(
+      StatefulOps.metricsAggregateStreaming(
+        events.withColumnRenamed("source_id", "user_id"),
+        windowSec = intervalSec, lateness = s"$intervalSec seconds"), "rate")
+    report.writeStream
+      // update mode = the CURRENT interval's aggregates each trigger (the
+      // reference publishes a live snapshot, not a watermark-closed one);
+      // the watermark still bounds window state
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"$intervalSec seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch
+            .select(col("user_id").as("source_id"),
+              col("window.start").as("window_start"), col("n"),
+              col("n_valid"), col("rate"), col("avg_val_ms").as("avg_inference_ms"))
+            .withColumn("instance_id", lit(instanceId))
+          Sinks.upsertRetained(batch.sparkSession, rows,
+            s"$outDir/metrics_lite", Seq("instance_id", "source_id"),
+            "window_start", "n")
+        }
+      }
+  }
+
   private def runWall(spark: SparkSession, args: Map[String, String],
                       req: String => String): Unit = {
     val outDir = req("out-dir")
@@ -236,6 +274,11 @@ object Main {
       harness.attach(cmds, "seq")
         .option("checkpointLocation", s"$ckRoot/control").start()
     }
+    // ST3/K5: periodic retained metrics (reference default 10 s; 0 = off)
+    val metricsInterval = args.getOrElse("metrics-interval", "10").toInt
+    if (metricsInterval > 0)
+      metricsPublisher(spark, outDir, cfg.instanceId, metricsInterval)
+        .option("checkpointLocation", s"$ckRoot/metrics").start()
     // The reference's supervising join() rejoin loop (ST7,
     // processor/processor.py:207-273): a restart command intentionally
     // terminates the pipeline query, which must NOT exit the app —

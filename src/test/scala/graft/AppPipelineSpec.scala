@@ -110,6 +110,38 @@ class AppPipelineSpec extends SparkSpec {
     } finally { wall.stop(); pipeline.stop() }
   }
 
+  test("periodic metrics publisher maintains the retained metrics-lite table") {
+    val eventsDir = Files.createTempDirectory("pm-events").toString
+    val outDir = Files.createTempDirectory("pm-out").toString
+    val pipeline = Main.pipelineBuilder(spark, eventsDir, outDir,
+      s"$outDir/_ck", None)(
+      EngineConfig("inst-1", streamIds = Vector(1, 2)), () => false)
+    val metrics = Main.metricsPublisher(spark, outDir, "inst-1", intervalSec = 1)
+      .option("checkpointLocation", s"$outDir/_ck_metrics").start()
+    // identical event times so all frames of a source share ONE metrics
+    // window (the publisher's window = the reporting interval)
+    def line(sid: Int, fid: Long): String =
+      s"nvr/detections/$sid\t" +
+        s"""{"instance_id":"i-1","source_id":$sid,"frame_id":$fid,""" +
+        s""""timestamp":"2024-01-01T00:00:01.000Z","model_id":"m",""" +
+        s""""inference_time_ms":7.5,"detections":[]}"""
+    try {
+      writeFile(eventsDir, "a.txt", Seq(line(1, 1), line(1, 2), line(2, 1)))
+      pipeline.processAllAvailable()
+      metrics.processAllAvailable()
+      val lite = spark.read.parquet(s"$outDir/metrics_lite")
+        .select("source_id", "n").as[(Int, Long)].collect().toMap
+      assert(lite == Map(1 -> 2L, 2 -> 1L), s"unexpected metrics rows: $lite")
+      // new data updates the retained snapshot (last value wins per source)
+      writeFile(eventsDir, "b.txt", Seq(line(1, 3)))
+      pipeline.processAllAvailable()
+      metrics.processAllAvailable()
+      val lite2 = spark.read.parquet(s"$outDir/metrics_lite")
+        .select("source_id", "n").as[(Int, Long)].collect().toMap
+      assert(lite2 == Map(1 -> 3L, 2 -> 1L), s"snapshot not updated: $lite2")
+    } finally { metrics.stop(); pipeline.stop() }
+  }
+
   test("on-demand metrics publication writes the retained report table") {
     val eventsDir = Files.createTempDirectory("app-events2").toString
     val outDir = Files.createTempDirectory("app-out2").toString
