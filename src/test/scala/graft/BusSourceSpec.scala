@@ -123,7 +123,11 @@ class BusSourceSpec extends SparkSpec {
     (1 to 3).foreach(i => writeFixture(dir, s"f$i.txt",
       Seq(envLine(i, i.toLong, "person", 0.9))))
     val batchSizes = mutable.ArrayBuffer.empty[Long]
-    val q = Sources.eventBusStream(spark, dir, maxFilesPerTrigger = Some(1))
+    // option name deliberately cased wrong: data source options are
+    // case-insensitive by Spark convention and the connector honors that
+    val q = Sources.parseEventBus(
+      spark.readStream.format("graft-bus").option("MAXFILESPERTRIGGER", "1")
+        .load(dir))
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         batchSizes.synchronized(batchSizes += b.count())
