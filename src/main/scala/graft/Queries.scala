@@ -902,6 +902,44 @@ object Queries {
     },
     None, bench = true)
 
+  /** Funnel conversion (the event-analytics composition of the as-of
+    * join): for each user, how many purchases had a click within the
+    * preceding hour. One as-of join (J2's plan — equi-key + range filter,
+    * narrow-key de-fan) + one hash aggregate. */
+  private val q46 = QDef("q46_funnel",
+    (s, d) => {
+      val e = events(s, d)
+      val probe = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+          col("user_id"), col("value").as("p_value"))
+      val build = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_event_id"), col("ts").as("b_ts"),
+          col("user_id"), col("value").as("b_value"))
+      EventOps.asOfJoin(probe, build, "user_id", "p_ts", "b_ts", "1 HOUR", "b_event_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("purchases"),
+          count(col("b_event_id")).as("conversions"),
+          round(count(col("b_event_id")).cast("double") / count(lit(1)), 4)
+            .as("conversion_rate"))
+    },
+    Some("""WITH p AS (SELECT event_id AS p_event_id, ts AS p_ts, user_id
+              FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT event_id AS b_event_id, ts AS b_ts, user_id
+              FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.*, b.b_event_id,
+                    row_number() OVER (PARTITION BY p.p_event_id
+                      ORDER BY b.b_ts DESC NULLS LAST,
+                               b.b_event_id DESC NULLS LAST) AS rn
+                  FROM p LEFT JOIN b ON p.user_id = b.user_id
+                    AND b.b_ts <= p.p_ts
+                    AND b.b_ts >= p.p_ts - INTERVAL 1 HOUR),
+            f AS (SELECT * FROM j WHERE rn = 1)
+            SELECT user_id, count(*) AS purchases,
+                   count(b_event_id) AS conversions,
+                   round(CAST(count(b_event_id) AS DOUBLE) / count(*), 4)
+                     AS conversion_rate
+            FROM f GROUP BY 1"""), bench = true)
+
   /** TPC-H Q5-style local-supplier revenue: the 6-table join tree — three
     * BIG tables (lineitem⋈orders⋈customer) shuffled on their keys, three
     * dims (supplier/nation/region) broadcast, region filter pruning the
@@ -1041,7 +1079,7 @@ object Queries {
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45)
+    q40, q41, q42, q43, q44, q45, q46)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
