@@ -59,7 +59,11 @@ object Queries {
       name: String,
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      bench: Boolean = false)
+      bench: Boolean = false,
+      // Oracle SQL that depends on the DATA (not just the schema) — e.g.
+      // q42 inlines trained k-means centroids as literal VALUES. Generated
+      // by Verify at dump time with the live session + sf dir.
+      oracleGen: Option[(SparkSession, String) => String] = None)
 
   // ---------------------------------------------------------------- Q1-Q14
 
@@ -886,21 +890,84 @@ object Queries {
     Some("""SELECT user_id, count(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY 1"""), bench = true)
 
+  /** Trained IVF centroids, one k-means run per sf dir, COLLECTED once.
+    * The collect is not an anti-pattern here: the centroid table is
+    * ≤ k×dim by construction — the same tiny table [[Similarity.ivfTopKWith]]
+    * broadcasts — and collecting it once lets the q42 plan and its
+    * generated oracle share bit-identical centroid values (the k-means
+    * float means are order-dependent, so a cross-engine RE-computation
+    * could never hash-match; a shared literal table can). */
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Seq[Float], Double)]]
+  private def trainedCentroids(s: SparkSession, d: String): Array[(Long, Seq[Float], Double)] =
+    centCache.getOrElseUpdate(d,
+      Similarity.trainIvfCentroids(emb(s, d), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select("cent_id", "cent_vec", "cent_norm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1))
+
   /** IVF ANN over TRAINED centroids (Lloyd's k-means,
-    * Similarity.trainIvfCentroids). No SQL oracle on purpose: the float
-    * mean in k-means is order-dependent, so cross-engine bit-equality is
-    * unsound — the driver records the rows-only check; semantics are
-    * pinned by SimilaritySpec (cluster recovery, determinism, parity with
-    * brute force at full probe width). */
+    * Similarity.trainIvfCentroids). The TRAINING step has no cross-engine
+    * oracle on purpose (float means are order-dependent, so re-computing
+    * them in DuckDB is unsound) — instead the trained centroid table is
+    * collected once (see [[trainedCentroids]]) and handed to BOTH sides:
+    * the Spark plan searches against it via [[Similarity.ivfTopKWith]],
+    * and the generated oracle (Verify dumps it per sf dir) inlines the
+    * same values as literal VALUES, so the SEARCH step is hash-checked
+    * end-to-end exactly like q35. Float literals round-trip: toString
+    * emits the shortest decimal that uniquely identifies the value, and
+    * DuckDB's parse + CAST recovers it exactly. */
   private val q42 = QDef("q42_ivf_trained",
     (s, d) => {
+      import s.implicits._
       val e = emb(s, d)
-      val cent = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
-        k = 8, iters = 2)
+      val cent = trainedCentroids(s, d).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
       Similarity.ivfTopKWith(e.filter(col("vec_id") % 10 === 0), e,
         "vec_id", "embedding", k = 5, cent, nProbe = 2)
     },
-    None, bench = true)
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedCentroids(s, d).map { case (id, vec, nrm) =>
+        s"($id, CAST([${vec.mkString(", ")}] AS FLOAT[]), CAST($nrm AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT * FROM (VALUES $rows)
+              AS t(cent_id, cent_vec, cent_nrm)),
+            v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            asg AS (SELECT c_id, cell, c_vec, c_nrm FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     a.vec AS c_vec, a.nrm AS c_nrm,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC) AS rn
+              FROM v a, cent) WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+              FROM v WHERE vec_id % 10 = 0),
+            probes AS (SELECT q_id, cell FROM (
+              SELECT q.q_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY q.q_id ORDER BY
+                       list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                         i -> CAST(q.q_vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (q.q_nrm * cent.cent_nrm) DESC, cent.cent_id ASC) AS rn
+              FROM q, cent) WHERE rn <= 2),
+            sc AS (SELECT p.q_id, a.c_id,
+                list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                  i -> CAST(q.q_vec[i] AS DOUBLE) * a.c_vec[i]))
+                  / (q.q_nrm * a.c_nrm) AS cos
+              FROM probes p JOIN q ON p.q_id = q.q_id
+                            JOIN asg a ON p.cell = a.cell
+              WHERE p.q_id <> a.c_id),
+            r AS (SELECT q_id, c_id, cos, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   round(cos, 6) AS cos
+            FROM r WHERE rn <= 5"""
+    }))
 
   /** Funnel conversion (the event-analytics composition of the as-of
     * join): for each user, how many purchases had a click within the
@@ -1084,9 +1151,17 @@ object Queries {
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
+  private def flat(o: String): String =
+    o.linesIterator.map(_.trim).mkString(" ")
+
   val oracles: Map[String, String] =
-    all.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator
-      .map(_.trim).mkString(" "))).toMap
+    all.flatMap(q => q.oracle.map(o => q.name -> flat(o))).toMap
+
+  /** Static oracles plus the data-dependent ones (q42 inlines its trained
+    * centroids), generated against the live session + sf dir at Verify
+    * dump time. */
+  def oraclesFor(s: SparkSession, dir: String): Map[String, String] =
+    oracles ++ all.flatMap(q => q.oracleGen.map(g => q.name -> flat(g(s, dir))))
 
   val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
 }

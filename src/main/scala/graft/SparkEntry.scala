@@ -31,6 +31,11 @@ object SparkEntry {
     * the same parquet tables. */
   def oracleSql: Map[String, String] = Queries.oracles
 
+  /** [[oracleSql]] plus the data-dependent oracles (q42's trained-centroid
+    * VALUES table) — what Verify dumps to oracle_sql.json. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    Queries.oraclesFor(spark, sfDir)
+
   /** The headline subset Bench runs at sf0.1. */
   def benchQueries: Seq[String] = Queries.benchNames
 }
