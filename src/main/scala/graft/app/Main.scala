@@ -40,17 +40,30 @@ object Main {
     *  - `--streams "1,3,6"` — explicit comma-separated ids;
     *  - `--start X --end Y` — inclusive range;
     *  - `--start X` alone — `n` ids from X;
-    *  - default — ids 0 until n (n defaults to 6, like the reference). */
+    *  - default — ids 0 until n (n defaults to 6, like the reference).
+    * `--end` without `--start` is rejected (silently falling through to
+    * the default would ignore the user's range), and every numeric flag
+    * failure names the flag instead of surfacing a bare
+    * NumberFormatException. */
   def resolveStreamIds(args: Map[String, String]): Vector[Int] = {
-    val n = args.get("n").map(_.toInt).getOrElse(6)
-    (args.get("streams"), args.get("start").map(_.toInt),
-      args.get("end").map(_.toInt)) match {
+    def intFlag(flag: String, raw: String): Int =
+      try raw.trim.toInt
+      catch {
+        case _: NumberFormatException =>
+          sys.error(s"invalid value for --$flag: '$raw' (expected an integer)")
+      }
+    val n = args.get("n").map(intFlag("n", _)).getOrElse(6)
+    (args.get("streams"), args.get("start").map(intFlag("start", _)),
+      args.get("end").map(intFlag("end", _))) match {
       case (Some(list), _, _) =>
         list.split(",").iterator.map(_.trim).filter(_.nonEmpty)
-          .map(_.toInt).toVector
+          .map(intFlag("streams", _)).toVector
       case (None, Some(start), Some(end)) => (start to end).toVector
       case (None, Some(start), None) => (start until start + n).toVector
-      case (None, None, _) => (0 until n).toVector
+      case (None, None, Some(_)) =>
+        sys.error("--end requires --start (use --start X --end Y for an " +
+          "inclusive stream-id range)")
+      case (None, None, None) => (0 until n).toVector
     }
   }
 

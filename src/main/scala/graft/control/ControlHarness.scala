@@ -166,12 +166,24 @@ class ControlHarness(
   /** Attach to a streaming command source: a `foreachBatch` loop that
     * interprets the batch's commands in arrival order. The command
     * volume is human-scale (a control topic), so the per-batch collect
-    * is a few rows — never event data. */
+    * is a few rows — never event data.
+    *
+    * Process-exit semantics for `stop` (processor.py:236-266): once a
+    * stop command has been applied — its own received→completed ACKs and
+    * final "stopped" status emitted, `isStopped` raised — commands LATER
+    * in the same micro-batch are intentionally dropped without ACKs,
+    * exactly as commands arriving after the reference process exits are
+    * never consumed. Checking the flag here makes that deterministic:
+    * previously the host's `isStopped`-triggered query teardown raced
+    * the tail of the batch, so trailing commands sometimes ACKed and
+    * sometimes vanished mid-emit. (Direct `handle()` callers — embedded
+    * hosts that resume after stop — are unaffected; the layering note in
+    * the class doc applies.) */
   def attach(commands: DataFrame, orderCol: String): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions.col
     commands.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val rows = batch.orderBy(col(orderCol)).collect()
-      rows.foreach { r =>
+      rows.iterator.takeWhile(_ => !_stopped).foreach { r =>
         val params = Option(r.getAs[scala.collection.Map[String, String]]("params"))
           .map(_.toMap).getOrElse(Map.empty[String, String])
         val targets = Option(r.getAs[scala.collection.Seq[String]]("target_instances"))

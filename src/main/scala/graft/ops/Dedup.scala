@@ -166,11 +166,17 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair graph → cluster
     * assignment (the "keep one per cluster" step of a dedup pipeline).
-    * Iterative min-label propagation: O(log diameter) rounds, each one
+    * Iterative min-label propagation: O(diameter) rounds, each one
     * bucketed equi-join + partial-agg min — near-dup components are tiny
     * (duplicate families), so convergence is a handful of rounds.
     * `localCheckpoint` truncates lineage per round. Deterministic:
-    * cluster id = min doc id of the component. */
+    * cluster id = min doc id of the component.
+    *
+    * Throws if `maxIter` rounds pass with labels still moving: a
+    * partially-propagated assignment is a silent wrong answer (two docs
+    * of one component under different cluster ids), the worst failure
+    * mode — a component wider than `maxIter` hops must raise the limit
+    * explicitly, not get a plausible-looking result. */
   def dedupClusters(nodes: DataFrame, id: String, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
     // Iterate over PAIR MEMBERS only: duplicate families are a vanishing
@@ -199,6 +205,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge after $maxIter rounds — the pair " +
+        "graph has a component wider than maxIter hops; raise maxIter " +
+        "(returning partially-propagated labels would silently split " +
+        "one component across cluster ids)")
     // no broadcast hint: AQE picks broadcast at runtime when the label
     // table is small; a fixed hint would OOM if dup families are huge
     nodes.select(col(id))

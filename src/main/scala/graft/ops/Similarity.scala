@@ -46,20 +46,21 @@ object Similarity {
     *
     * SCALE GUARDRAIL: broadcasting the query side silently assumes it
     * fits in every executor's memory. `maxBroadcastQueries` makes that
-    * assumption explicit — the one extra `count()` on the (small) query
-    * side is noise next to the |queries|·|corpus| scoring pass, and a
-    * query set too large to broadcast means this operator is the wrong
-    * tool: hand off to the bucketed scale paths ([[annTopK]] /
-    * [[ivfTopK]]), which shuffle candidates through an equi-join instead
-    * of replicating the queries. */
+    * assumption explicit — a bounded `limit(max+1).count()` probe on the
+    * (small) query side, noise next to the |queries|·|corpus| scoring
+    * pass, skipped entirely when the limit is `Long.MaxValue` (callers
+    * composing the result lazily opt out that way). A query set too
+    * large to broadcast means this operator is the wrong tool: hand off
+    * to the bucketed scale paths ([[annTopK]] / [[ivfTopK]]), which
+    * shuffle candidates through an equi-join instead of replicating the
+    * queries. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String,
                  vec: String, k: Int,
                  maxBroadcastQueries: Long = 500000L): DataFrame = {
-    val nQueries = queries.count()
-    require(nQueries <= maxBroadcastQueries,
-      s"cosineTopK broadcasts the query side, but it has $nQueries rows " +
-        s"(> maxBroadcastQueries=$maxBroadcastQueries); use annTopK or " +
-        "ivfTopK for large query sets, or raise the limit explicitly")
+    requireBounded("cosineTopK", "query", queries, maxBroadcastQueries,
+      "maxBroadcastQueries",
+      "use annTopK or ivfTopK for large query sets, raise the limit " +
+        "explicitly, or pass Long.MaxValue to keep the plan fully lazy")
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm"))
     val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
@@ -111,12 +112,37 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** SCALE GUARDRAIL shared by the two brute-force operators: reject an
+    * input too large for a quadratic/broadcast plan BEFORE building it.
+    * The probe is a `limit(max+1).count()` — it stops as soon as max+1
+    * rows are found, never a full scan — and is skipped entirely when the
+    * limit is `>= Int.MaxValue` (the "I know what I'm doing" escape hatch
+    * that also keeps the builder fully lazy for composing callers). */
+  private def requireBounded(op: String, side: String, df: DataFrame,
+                             maxRows: Long, limitName: String,
+                             alternative: String): Unit =
+    if (maxRows < Int.MaxValue) {
+      val probed = df.limit(maxRows.toInt + 1).count()
+      require(probed <= maxRows,
+        s"$op is a brute-force operator, but its $side side has at least " +
+          s"$probed rows (> $limitName=$maxRows); $alternative")
+    }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, brute force
     * over the full pair space a<b. Quadratic — correct baseline and the
     * verification step; the scale path buckets candidates first
-    * (random-hyperplane LSH, [[hyperplaneLshPairs]]). */
+    * (random-hyperplane LSH, [[hyperplaneLshPairs]]).
+    *
+    * SCALE GUARDRAIL: the a<b theta self-join plans as a nested loop over
+    * the full |df|² pair space — `maxRows` makes the smallness assumption
+    * explicit, exactly like [[cosineTopK]]'s `maxBroadcastQueries`. */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         maxRows: Long = 500000L): DataFrame = {
+    requireBounded("cosineNearDupPairs", "input", df, maxRows, "maxRows",
+      "use hyperplaneLshPairs (bucketed candidate generation) for large " +
+        "corpora, raise the limit explicitly, or pass Long.MaxValue to " +
+        "keep the plan fully lazy")
     val v = df.select(col(id), col(vec), norm(col(vec)).as("nrm"))
     val a = v.select(col(id).as("a_id"), col(vec).as("a_vec"), col("nrm").as("a_nrm"))
     val b = v.select(col(id).as("b_id"), col(vec).as("b_vec"), col("nrm").as("b_nrm"))

@@ -27,6 +27,25 @@ class AppPipelineSpec extends SparkSpec {
       Map("start" -> "3", "n" -> "2")) == Vector(3, 4))
   }
 
+  test("stream-selection flag errors name the flag; --end needs --start") {
+    val e1 = intercept[RuntimeException] {
+      Main.resolveStreamIds(Map("start" -> "abc"))
+    }
+    assert(e1.getMessage.contains("--start") && e1.getMessage.contains("abc"))
+    val e2 = intercept[RuntimeException] {
+      Main.resolveStreamIds(Map("end" -> "5"))
+    }
+    assert(e2.getMessage.contains("--end requires --start"))
+    val e3 = intercept[RuntimeException] {
+      Main.resolveStreamIds(Map("streams" -> "1,x,3"))
+    }
+    assert(e3.getMessage.contains("--streams") && e3.getMessage.contains("x"))
+    val e4 = intercept[RuntimeException] {
+      Main.resolveStreamIds(Map("n" -> "many"))
+    }
+    assert(e4.getMessage.contains("--n"))
+  }
+
   private def envLine(sid: Int, fid: Long): String =
     s"nvr/detections/$sid\t" +
       s"""{"instance_id":"i-1","source_id":$sid,"frame_id":$fid,""" +

@@ -84,6 +84,32 @@ class ControlHarnessSpec extends SparkSpec {
     }
   }
 
+  test("commands behind a stop in the same batch are dropped deterministically") {
+    implicit val ctx = spark.sqlContext
+    val (h, acks, statuses, _) = newHarness()
+    val cmds = MemoryStream[(Long, String)]
+    val parsed = graft.io.Sources.parseCommands(
+      cmds.toDF().selectExpr("_1 as seq", "_2 as value"))
+    val cq = h.attach(parsed, "seq").start()
+    try {
+      // one micro-batch: stop, then a ping and a pause queued behind it —
+      // process-exit semantics (processor.py:236-266): the stop's own
+      // received→completed ACKs and final status land, the trailing
+      // commands are never consumed (no ACKs, no pong)
+      cmds.addData((1L, cmdJson("stop")), (2L, cmdJson("ping")),
+        (3L, cmdJson("pause")))
+      cq.processAllAvailable()
+      assert(h.isStopped)
+      assert(acks.map(_.ack_status) == Seq("received", "completed"),
+        "exactly the stop's ACK pair — nothing from the dropped tail")
+      assert(statuses.last.status == "stopped")
+      assert(!statuses.exists(_.pong.contains(true)),
+        "a ping behind the stop must never answer")
+    } finally {
+      cq.stop(); h.pipeline.foreach(_.stop())
+    }
+  }
+
   test("ping carries uptime, config projection without secrets, health") {
     val (h, _, statuses, _) = newHarness()
     try {

@@ -58,4 +58,30 @@ class SchemasSpec extends SparkSpec {
     assert(!out(0).getBoolean(0))
     assert(out(1).getBoolean(0) && out(1).getString(1) == "i") // extras ignored
   }
+
+  test("unknown fields at every nesting level are dropped, known fields kept") {
+    // the reference pins forward compatibility — a NEWER producer's extra
+    // fields must be ignored at top level, inside a detection, and inside
+    // a bbox (tests/unit/test_design_validation.py:392-428)
+    val payload =
+      """{"instance_id":"i2","source_id":3,"frame_id":7,
+         "timestamp":"2024-01-01T00:00:00.000Z","model_id":"m",
+         "inference_time_ms":5.0,"schema_version":"9.9","extra_obj":{"a":1},
+         "detections":[{"class_name":"person","confidence":0.9,
+           "bbox":{"x":1.0,"y":2.0,"width":3.0,"height":4.0,"rotation":0.5},
+           "tracker_id":9,"embedding":[0.1,0.2]}]}"""
+    val parsed = Seq(payload).toDF("js")
+      .select(Schemas.parseEvent(col("js")).as("ev"))
+    // structurally dropped: the parsed struct's type IS the event schema
+    val evType = parsed.schema("ev").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(!evType.fieldNames.contains("schema_version") &&
+      !evType.fieldNames.contains("extra_obj"))
+    val ev = parsed.select("ev.*").as[DetectionEvent].collect().head
+    assert(ev.instance_id == "i2" && ev.source_id == 3 && ev.frame_id == 7L)
+    val d = ev.detections.head
+    assert(d.class_name == "person" && d.confidence == 0.9 &&
+      d.tracker_id.contains(9))
+    assert(d.bbox == BoundingBox(1.0, 2.0, 3.0, 4.0))
+  }
 }

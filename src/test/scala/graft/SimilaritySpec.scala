@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("cosineNearDupPairs guardrail rejects an input too large for brute force") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9,
+        maxRows = 3L)
+    }
+    assert(e.getMessage.contains("hyperplaneLshPairs"))
+    // Long.MaxValue disables the probe — no job at build time, same result
+    val lazyPairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      0.9, maxRows = Long.MaxValue)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lazyPairs == Set((1L, 2L)))
+  }
+
   test("ivfTopK finds exact nearest within probed cells") {
     // centroids = ids % 2 == 0; with nProbe covering all cells the result
     // must equal the brute-force ranking

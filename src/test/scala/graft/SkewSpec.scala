@@ -39,4 +39,20 @@ class SkewSpec extends SparkSpec {
     assert(out(3L)._1 == 1L) // transitively clustered with the family
     assert(out(10L) == ((10L, true)) && out(11L) == ((11L, true)))
   }
+
+  test("dedupClusters throws instead of returning partially-propagated labels") {
+    // a 6-node path graph: min-label propagation moves one hop per round,
+    // so diameter 5 needs 5 rounds + 1 to observe quiescence
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(docs, "doc_id", path, maxIter = 2)
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // with enough rounds the whole path collapses onto the min id
+    val ok = Dedup.dedupClusters(docs, "doc_id", path, maxIter = 10)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert((1L to 6L).forall(i => ok(i) == 1L))
+  }
 }
