@@ -101,33 +101,38 @@ object Main {
     * `{status}/metrics/{instance_id}` topic. The engine's events carry
     * inference/e2e measurements but no decode timings or frame geometry
     * (those never cross the bus) — the corresponding report columns are
-    * null, which `avg` skips (F6). */
+    * null, which the null-skipping averages ignore (F6).
+    *
+    * INCREMENTAL: the command folds only files published since the last
+    * command into a retained per-source state (decimal sums + counts —
+    * bit-identical to a full recompute, see [[graft.metrics
+    * .IncrementalReport]]), so its cost is O(new data), not O(instance
+    * lifetime) — the reference reports from running counters in O(1) and
+    * a full-log rescan per command would diverge from that as the
+    * published log grows. Returns the number of files folded (0 when
+    * nothing new was published). */
   def publishFullMetrics(spark: SparkSession, outDir: String,
-                         cfg: EngineConfig): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val det = new org.apache.hadoop.fs.Path(s"$outDir/detections")
-    // nothing published yet (or only _SUCCESS markers from empty
-    // batches): a schema-less parquet read would throw — report nothing,
-    // like the reference's warm-up validity gate (F5)
-    if (!fs.exists(det) || !fs.listStatus(det).exists { f =>
-        val n = f.getPath.getName
-        f.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }) return
-    val events = spark.read.parquet(s"$outDir/detections")
+                         cfg: EngineConfig): Int = {
+    val parse: DataFrame => DataFrame = raw => raw
       .select(Schemas.parseEvent(col("payload")).as("e"))
       .select(col("e.source_id").as("source_id"),
         lit(null).cast("double").as("decode_s"),
         (col("e.inference_time_ms") / 1000).as("inference_s"),
         (col("e.latency_ms") / 1000).as("e2e_s"),
         lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
-    val report = graft.metrics.Metrics.fullReport(events, "source_id",
-      "decode_s", "inference_s", "e2e_s", "w", "h")
-      .withColumn("instance_id", lit(cfg.instanceId))
-      .withColumn("timestamp", lit(new java.sql.Timestamp(
-        System.currentTimeMillis())))
-    Sinks.upsertRetained(spark, report, s"$outDir/metrics",
-      Seq("instance_id", "source_id"), "timestamp", "n_frames")
+    val (reportOpt, folded) = graft.metrics.IncrementalReport.foldAndReport(
+      spark, s"$outDir/detections", s"$outDir/metrics_state", parse)
+    // nothing ever published: report nothing, like the reference's
+    // warm-up validity gate (F5)
+    reportOpt.foreach { rep =>
+      val stamped = rep
+        .withColumn("instance_id", lit(cfg.instanceId))
+        .withColumn("timestamp", lit(new java.sql.Timestamp(
+          System.currentTimeMillis())))
+      Sinks.upsertRetained(spark, stamped, s"$outDir/metrics",
+        Seq("instance_id", "source_id"), "timestamp", "n_frames")
+    }
+    folded
   }
 
   /** The wall consumer's ingest (reference process #2:

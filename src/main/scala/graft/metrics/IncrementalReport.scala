@@ -1,0 +1,167 @@
+package graft.metrics
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental per-source metrics fold (P5/A3 at engine-lifetime scale).
+  *
+  * The on-demand `metrics` command reports over everything the instance
+  * has EVER published. The reference answers from its watchdog's running
+  * counters — O(1) in instance lifetime (command_handlers.py:340-372,
+  * metrics_reporter.py:111-158); re-reading the whole detections log per
+  * command is the anti-scale analog (a driver-triggered full rescan of an
+  * unbounded event log). This folds the log incrementally instead:
+  *
+  *  - state = per-source (row counts, null-skipping value counts, DECIMAL
+  *    sums, geometry maxes). Every component is associative+commutative,
+  *    and the decimal sums follow [[Metrics]]' exactAvgMs discipline —
+  *    decimal accumulation is order-independent, so the incremental fold
+  *    is BIT-IDENTICAL to a full recompute; the single double
+  *    division+round happens only at report time.
+  *  - progress watermark = (`foldedUntil` mtime, `frontier` = the files
+  *    AT that mtime already folded). A fold reads only files beyond the
+  *    watermark — O(data since the last command). The frontier
+  *    disambiguates files sharing the boundary millisecond, so nothing is
+  *    skipped or double-counted; its size is bounded by one mtime tick's
+  *    worth of files, never by lifetime.
+  *  - crash consistency: state v(N+1) is fully written BEFORE the meta
+  *    JSON swaps over to it; a crash in between leaves (vN, old meta) and
+  *    the next fold simply redoes the last increment. A lost meta file
+  *    degrades to a full refold (state is derived purely from the log),
+  *    never to a wrong report.
+  *
+  * Assumption (shared with Spark's FileStreamSource and the bus
+  * connector): published files are immutable once visible and arrive with
+  * non-decreasing mtimes — a file materializing with an mtime behind the
+  * advanced watermark is never folded. */
+object IncrementalReport {
+
+  private case class Meta(version: Long, foldedUntil: Long,
+                          frontier: Set[String])
+
+  private def metaPath(stateDir: String) = new Path(stateDir, "_meta.json")
+
+  private def loadMeta(fs: FileSystem, stateDir: String): Meta = {
+    val p = metaPath(stateDir)
+    if (!fs.exists(p)) Meta(0L, Long.MinValue, Set.empty)
+    else {
+      val in = fs.open(p)
+      try {
+        val node = new ObjectMapper().readTree(in)
+        Meta(node.get("version").asLong,
+          node.get("foldedUntil").asLong,
+          node.get("frontier").elements.asScala.map(_.asText).toSet)
+      } finally in.close()
+    }
+  }
+
+  private def saveMeta(fs: FileSystem, stateDir: String, m: Meta): Unit = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    node.put("foldedUntil", m.foldedUntil)
+    val arr = node.putArray("frontier")
+    m.frontier.toSeq.sorted.foreach(arr.add)
+    val tmp = new Path(stateDir, "_meta.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    fs.delete(metaPath(stateDir), false)
+    fs.rename(tmp, metaPath(stateDir))
+  }
+
+  /** Data files (recursive; `_`/`.`-prefixed metadata skipped) with their
+    * modification times. Driver-side names-only listing — contents are
+    * only ever read by executors. */
+  private def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val buf = Seq.newBuilder[(String, Long)]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        buf += ((f.getPath.toString, f.getModificationTime))
+    }
+    buf.result()
+  }
+
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(28,10)")).cast("decimal(38,10)")
+
+  /** Per-source partial aggregates of one increment. Input columns:
+    * (source_id, decode_s, inference_s, e2e_s, w, h) — the shape
+    * [[Metrics.fullReport]] consumes. */
+  private[metrics] def partial(events: DataFrame): DataFrame =
+    events.groupBy(col("source_id")).agg(
+      count(lit(1)).as("n_frames"),
+      decSum(col("decode_s")).as("dec_sum"), count(col("decode_s")).as("dec_cnt"),
+      decSum(col("inference_s")).as("inf_sum"), count(col("inference_s")).as("inf_cnt"),
+      decSum(col("e2e_s")).as("e2e_sum"), count(col("e2e_s")).as("e2e_cnt"),
+      max(col("w")).as("max_w"), max(col("h")).as("max_h"))
+
+  /** Merge any number of partial-state rows per source (associative). */
+  private def mergeStates(parts: DataFrame): DataFrame =
+    parts.groupBy(col("source_id")).agg(
+      sum(col("n_frames")).as("n_frames"),
+      sum(col("dec_sum")).cast("decimal(38,10)").as("dec_sum"),
+      sum(col("dec_cnt")).as("dec_cnt"),
+      sum(col("inf_sum")).cast("decimal(38,10)").as("inf_sum"),
+      sum(col("inf_cnt")).as("inf_cnt"),
+      sum(col("e2e_sum")).cast("decimal(38,10)").as("e2e_sum"),
+      sum(col("e2e_cnt")).as("e2e_cnt"),
+      max(col("max_w")).as("max_w"), max(col("max_h")).as("max_h"))
+
+  private def avgMs(sumC: Column, cntC: Column): Column =
+    when(cntC > 0, round(sumC.cast("double") * 1000 / cntC, 2))
+
+  /** Derive the [[Metrics.fullReport]]-shaped report from folded state —
+    * the only floating-point step, bit-identical to the full recompute. */
+  private[metrics] def report(state: DataFrame): DataFrame =
+    state.select(col("source_id"), col("n_frames"),
+      avgMs(col("dec_sum"), col("dec_cnt")).as("avg_decode_ms"),
+      avgMs(col("inf_sum"), col("inf_cnt")).as("avg_inference_ms"),
+      avgMs(col("e2e_sum"), col("e2e_cnt")).as("avg_e2e_ms"),
+      when(col("max_w").isNotNull && col("max_h").isNotNull,
+        format_string("%dx%d", col("max_w"), col("max_h"))).as("resolution"))
+
+  /** Fold newly-published files under `detectionsDir` into the state at
+    * `stateDir` and return (report over the merged state, number of files
+    * folded). The report is None only when nothing has ever been
+    * published. `parse` maps the raw published frame to the
+    * (source_id, decode_s, inference_s, e2e_s, w, h) shape. */
+  def foldAndReport(spark: SparkSession, detectionsDir: String,
+                    stateDir: String,
+                    parse: DataFrame => DataFrame): (Option[DataFrame], Int) = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(stateDir))
+    val meta = loadMeta(fs, stateDir)
+    val all = listDataFiles(fs, new Path(detectionsDir))
+    val fresh = all.filter { case (f, m) =>
+      m > meta.foldedUntil ||
+        (m == meta.foldedUntil && !meta.frontier.contains(f))
+    }
+    val statePath = new Path(stateDir, s"v${meta.version}")
+    val existing =
+      if (meta.version > 0 && fs.exists(statePath))
+        Some(spark.read.parquet(statePath.toString))
+      else None
+    if (fresh.isEmpty) return (existing.map(report), 0)
+
+    val partials = partial(parse(spark.read.parquet(fresh.map(_._1): _*)))
+    val merged =
+      mergeStates(existing.map(_.unionByName(partials)).getOrElse(partials))
+    val nextPath = new Path(stateDir, s"v${meta.version + 1}")
+    // fleet-sized table (|sources| rows): one file, then swap the meta
+    merged.coalesce(1).write.mode("overwrite").parquet(nextPath.toString)
+    val newUntil = math.max(meta.foldedUntil, fresh.map(_._2).max)
+    val frontier =
+      (if (newUntil == meta.foldedUntil) meta.frontier else Set.empty[String]) ++
+        fresh.filter(_._2 == newUntil).map(_._1)
+    saveMeta(fs, stateDir, Meta(meta.version + 1, newUntil, frontier))
+    if (meta.version > 0) fs.delete(statePath, true) // GC the old version
+    (Some(report(spark.read.parquet(nextPath.toString))), fresh.size)
+  }
+}

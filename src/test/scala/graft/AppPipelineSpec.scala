@@ -165,11 +165,12 @@ class AppPipelineSpec extends SparkSpec {
     val eventsDir = Files.createTempDirectory("app-events2").toString
     val outDir = Files.createTempDirectory("app-out2").toString
     val ck = s"$outDir/_ck"
+    val folds = scala.collection.mutable.ArrayBuffer.empty[Int]
     val h: ControlHarness = new ControlHarness(
       EngineConfig("inst-1", streamIds = Vector(1, 2)),
       Main.pipelineBuilder(spark, eventsDir, outDir, ck, None),
       _ => (), _ => (),
-      onMetricsRequest = c => Main.publishFullMetrics(spark, outDir, c))
+      onMetricsRequest = c => folds += Main.publishFullMetrics(spark, outDir, c))
     h.start()
     try {
       writeFile(eventsDir, "a.txt",
@@ -180,9 +181,40 @@ class AppPipelineSpec extends SparkSpec {
         .select("source_id", "n_frames")
         .as[(Int, Long)].collect().toMap
       assert(byFrame == Map(1 -> 2L, 2 -> 1L), s"unexpected report rows: $byFrame")
-      // re-request is an idempotent upsert, not an append
+      assert(folds == Seq(folds.head) && folds.head > 0)
+
+      // re-request with NOTHING new published: an idempotent upsert that
+      // reads ZERO detection files — the report comes from folded state
       h.handle(Command("metrics", Map.empty, Seq.empty))
+      assert(folds.last == 0, s"no-new-data request must fold 0 files, got $folds")
       assert(spark.read.parquet(s"$outDir/metrics").count() == 2)
+
+      // new data: the next command folds ONLY the new batch's files and
+      // the report matches a full recompute bit-for-bit
+      writeFile(eventsDir, "b.txt", Seq(envLine(1, 3), envLine(1, 4)))
+      h.pipeline.get.processAllAvailable()
+      h.handle(Command("metrics", Map.empty, Seq.empty))
+      val allFiles = Files.list(Paths.get(s"$outDir/detections")).toArray
+        .map(_.toString).count(p => !Paths.get(p).getFileName.toString
+          .startsWith("_"))
+      assert(folds.last > 0 && folds.last < allFiles,
+        s"incremental fold must read only the new files (folded ${folds.last} of $allFiles)")
+      val got = spark.read.parquet(s"$outDir/metrics")
+        .select("source_id", "n_frames", "avg_inference_ms", "avg_e2e_ms")
+        .as[(Int, Long, Option[Double], Option[Double])].collect().toSet
+      val full = graft.metrics.Metrics.fullReport(
+        spark.read.parquet(s"$outDir/detections")
+          .select(graft.model.Schemas.parseEvent(
+            org.apache.spark.sql.functions.col("payload")).as("e"))
+          .selectExpr("e.source_id as source_id",
+            "cast(null as double) as decode_s",
+            "e.inference_time_ms / 1000 as inference_s",
+            "e.latency_ms / 1000 as e2e_s",
+            "cast(null as int) as w", "cast(null as int) as h"),
+        "source_id", "decode_s", "inference_s", "e2e_s", "w", "h")
+        .select("source_id", "n_frames", "avg_inference_ms", "avg_e2e_ms")
+        .as[(Int, Long, Option[Double], Option[Double])].collect().toSet
+      assert(got == full, s"incremental report $got != full recompute $full")
     } finally h.pipeline.foreach(_.stop())
   }
 }
