@@ -32,20 +32,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * source makes). A message's identity is (file, line), so:
   *
   *  - streaming offset = the SET of consumed files (exactly-once per
-  *    file; the offset log replays deterministically after restart);
+  *    file; the offset log replays deterministically after restart),
+  *    COMPACTED by age — see below;
   *  - admission control: `maxFilesPerTrigger` bounds per-micro-batch
   *    intake via [[ReadLimit.maxFiles]] (ST5 backpressure,
   *    pipeline_manager.py:122-123);
   *  - batch reads scan the whole directory with one partition per file —
   *    embarrassingly parallel, no driver-side content reads.
   *
+  * Offset compaction (`maxFileAgeMs`, default 7 days — the same model
+  * and default as Spark's FileStreamSource `maxFileAge`): without it the
+  * consumed set, re-serialized into the offset log every micro-batch and
+  * diffed per trigger, grows without bound over a long-running drop
+  * directory. The offset instead carries the max consumed mtime; entries
+  * whose file has aged past `maxMtime - maxFileAgeMs` (or vanished from
+  * the directory) are dropped when new files are admitted, and the
+  * listing ignores files behind that horizon so a pruned file can never
+  * be re-admitted. Offset size is thereby bounded by one retention
+  * window's arrival volume, not lifetime. Contract (same as Spark's):
+  * a file materializing with an mtime older than `maxFileAgeMs` behind
+  * the newest consumed file is ignored, and a consumed file that is
+  * deleted and later re-created counts as new data.
+  *
   * Scale notes: the driver only ever lists the directory and ships file
-  * names; executors read file contents. The offset JSON grows with the
-  * consumed-file count — a production deployment compacts it the same way
-  * Spark's FileStreamSource compacts its file log (out of scope here).
-  * Tab-splitting mirrors `Sources.parseEnvelope` exactly (a line without
-  * a tab yields topic = payload = line, later dropped by the validity
-  * gate) so bridge and connector produce identical rows. */
+  * names; executors read file contents. Tab-splitting mirrors
+  * `Sources.parseEnvelope` exactly (a line without a tab yields
+  * topic = payload = line, later dropped by the validity gate) so bridge
+  * and connector produce identical rows. */
 class EnvelopeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-bus"
 
@@ -60,7 +73,9 @@ class EnvelopeSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-bus requires a path: .load(dir) or .option(\"path\", dir)"))
     val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
-    new EnvelopeTable(path, maxFiles)
+    val maxAge = Option(opts.get("maxFileAgeMs")).map(_.toLong)
+      .getOrElse(EnvelopeSource.DefaultMaxFileAgeMs)
+    new EnvelopeTable(path, maxFiles, maxAge)
   }
 }
 
@@ -69,24 +84,33 @@ object EnvelopeSource {
     StructField("topic", StringType, nullable = false),
     StructField("payload", StringType, nullable = false)))
 
+  /** Offset-compaction retention: Spark FileStreamSource's default. */
+  val DefaultMaxFileAgeMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Visible (non-hidden, non-temporary) envelope files, lexicographically
     * ordered — the deterministic arrival order of the drop directory. */
-  def listFiles(path: String, conf: Configuration): Seq[String] = {
+  def listFiles(path: String, conf: Configuration): Seq[String] =
+    listFilesWithTimes(path, conf).map(_._1)
+
+  /** Same listing with modification times (for the streaming offset's
+    * age-based compaction). Names-only driver work either way. */
+  def listFilesWithTimes(path: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).iterator
       .filter(_.isFile)
-      .map(_.getPath.toString)
-      .filterNot { f =>
+      .map(f => (f.getPath.toString, f.getModificationTime))
+      .filterNot { case (f, _) =>
         val name = f.substring(f.lastIndexOf('/') + 1)
         name.startsWith(".") || name.startsWith("_")
       }
-      .toSeq.sorted
+      .toSeq.sortBy(_._1)
   }
 }
 
-private[bus] class EnvelopeTable(path: String, maxFilesPerTrigger: Option[Int])
+private[bus] class EnvelopeTable(path: String, maxFilesPerTrigger: Option[Int],
+                                 maxFileAgeMs: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft-bus($path)"
   override def schema(): StructType = EnvelopeSource.Schema
@@ -94,11 +118,13 @@ private[bus] class EnvelopeTable(path: String, maxFilesPerTrigger: Option[Int])
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new EnvelopeScan(path, maxFilesPerTrigger)
+      override def build(): Scan =
+        new EnvelopeScan(path, maxFilesPerTrigger, maxFileAgeMs)
     }
 }
 
-private[bus] class EnvelopeScan(path: String, maxFilesPerTrigger: Option[Int])
+private[bus] class EnvelopeScan(path: String, maxFilesPerTrigger: Option[Int],
+                                maxFileAgeMs: Long)
     extends Scan {
   override def readSchema(): StructType = EnvelopeSource.Schema
 
@@ -113,25 +139,44 @@ private[bus] class EnvelopeScan(path: String, maxFilesPerTrigger: Option[Int])
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EnvelopeMicroBatchStream(path, maxFilesPerTrigger)
+    new EnvelopeMicroBatchStream(path, maxFilesPerTrigger, maxFileAgeMs)
 }
 
-/** Offset = the set of fully-consumed files, serialized as a SORTED JSON
-  * array so equal offsets have equal JSON (the execution engine compares
-  * offsets by value). */
-private[bus] case class EnvelopeOffset(files: Set[String]) extends Offset {
-  override def json(): String =
-    new ObjectMapper().writeValueAsString(files.toArray.sorted)
+/** Offset = the set of fully-consumed files still inside the retention
+  * window plus the max consumed mtime (the compaction high-water mark),
+  * serialized with a SORTED file array so equal offsets have equal JSON
+  * (the execution engine compares offsets by value). Parses the legacy
+  * plain-array form (pre-compaction checkpoints) with an unset mark. */
+private[bus] case class EnvelopeOffset(files: Set[String],
+                                       maxMtime: Long = Long.MinValue)
+    extends Offset {
+  def horizon(maxAgeMs: Long): Long = EnvelopeOffset.horizonFor(maxMtime, maxAgeMs)
+  override def json(): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("maxMtime", maxMtime)
+    val arr = node.putArray("files")
+    files.toArray.sorted.foreach(arr.add)
+    mapper.writeValueAsString(node)
+  }
 }
 
 private[bus] object EnvelopeOffset {
-  def fromJson(json: String): EnvelopeOffset =
-    EnvelopeOffset(new ObjectMapper()
-      .readValue(json, classOf[Array[String]]).toSet)
+  def horizonFor(maxMtime: Long, maxAgeMs: Long): Long =
+    if (maxMtime == Long.MinValue) Long.MinValue else maxMtime - maxAgeMs
+  def fromJson(json: String): EnvelopeOffset = {
+    val node = new ObjectMapper().readTree(json)
+    if (node.isArray) // legacy pre-compaction offset: just the file array
+      EnvelopeOffset(node.elements.asScala.map(_.asText).toSet)
+    else
+      EnvelopeOffset(node.get("files").elements.asScala.map(_.asText).toSet,
+        node.get("maxMtime").asLong)
+  }
 }
 
 private[bus] class EnvelopeMicroBatchStream(path: String,
-                                            maxFilesPerTrigger: Option[Int])
+                                            maxFilesPerTrigger: Option[Int],
+                                            maxFileAgeMs: Long)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val conf = new SerializableHadoopConf(
@@ -148,15 +193,32 @@ private[bus] class EnvelopeMicroBatchStream(path: String,
   /** Admission-controlled target offset: everything already consumed plus
     * up to `limit` newly-visible files (lexicographic order — a backlog
     * drains oldest-first at a bounded rate instead of as one giant
-    * batch). */
+    * batch), with age-based compaction of the consumed set.
+    *
+    * Compaction happens only when files are admitted, so an idle
+    * directory yields a byte-identical offset (no spurious empty
+    * batches). The high-water mark advances over ADMITTED files' mtimes,
+    * never the whole listing — an admission-limited backlog cannot age
+    * itself out while draining. A consumed entry is dropped once the
+    * listing shows it past the horizon (the listing filter then bars it
+    * from re-admission forever) or gone from the directory. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[EnvelopeOffset].files
-    val fresh = EnvelopeSource.listFiles(path, conf.value).filterNot(seen)
+    val prev = start.asInstanceOf[EnvelopeOffset]
+    val horizon = prev.horizon(maxFileAgeMs)
+    val listed = EnvelopeSource.listFilesWithTimes(path, conf.value)
+    val fresh = listed.filter { case (f, m) => m > horizon && !prev.files(f) }
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    EnvelopeOffset(seen ++ admitted)
+    if (admitted.isEmpty) prev
+    else {
+      val maxMtime = math.max(prev.maxMtime, admitted.iterator.map(_._2).max)
+      val newHorizon = EnvelopeOffset.horizonFor(maxMtime, maxFileAgeMs)
+      val listedTimes = listed.toMap
+      val kept = prev.files.filter(f => listedTimes.get(f).exists(_ > newHorizon))
+      EnvelopeOffset(kept ++ admitted.map(_._1), maxMtime)
+    }
   }
 
   override def latestOffset(): Offset =

@@ -118,6 +118,58 @@ class BusSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("offset log compacts by file age; pruned files never replay") {
+    val dir = Files.createTempDirectory("bus-compact").toString
+    val ck = Files.createTempDirectory("bus-compact-ck").toString
+    val seen = mutable.ArrayBuffer.empty[(Int, Long)]
+    def start() = Sources.parseEventBus(
+      spark.readStream.format("graft-bus")
+        .option("maxFileAgeMs", "60000").load(dir))
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("source_id", "frame_id").as[(Int, Long)].collect()
+        seen.synchronized(seen ++= rows)
+        ()
+      }.start()
+
+    // a consumed backlog whose mtimes sit 10 minutes in the past
+    val old = java.time.Instant.now().minusSeconds(600)
+    (1 to 5).foreach { i =>
+      writeFixture(dir, s"old$i.txt", Seq(envLine(1, i.toLong, "person", 0.9)))
+      Files.setLastModifiedTime(Paths.get(dir, s"old$i.txt"),
+        java.nio.file.attribute.FileTime.from(old.plusSeconds(i)))
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // a fresh file advances the retention horizon past the old batch
+      writeFixture(dir, "now.txt", Seq(envLine(2, 1, "person", 0.9)))
+      q1.processAllAvailable()
+      assert(seen.sorted.toSeq ==
+        (1 to 5).map(i => (1, i.toLong)) :+ ((2, 1L)))
+    } finally q1.stop()
+
+    // the checkpoint's newest offset holds ONLY the in-window file — the
+    // five consumed old files are compacted out, bounding offset size
+    val offsetFiles = Files.list(Paths.get(ck, "offsets")).toArray
+      .map(_.toString).filter(_.split("/").last.forall(_.isDigit))
+    val latest = offsetFiles.maxBy(_.split("/").last.toLong)
+    val js = new String(Files.readAllBytes(Paths.get(latest)))
+    assert(js.contains("now.txt") && !js.contains("old1.txt"),
+      s"offset not compacted: $js")
+
+    // restart on the compacted checkpoint: nothing replays (the pruned
+    // files are barred by the horizon, not the consumed set), new data in
+    writeFixture(dir, "later.txt", Seq(envLine(3, 1, "person", 0.9)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.sorted.toSeq ==
+        ((1 to 5).map(i => (1, i.toLong)) ++ Seq((2, 1L), (3, 1L))),
+        "pruned files must not replay; the post-restart file must arrive")
+    } finally q2.stop()
+  }
+
   test("maxFilesPerTrigger bounds micro-batch intake (ST5 backpressure)") {
     val dir = Files.createTempDirectory("bus-admit").toString
     (1 to 3).foreach(i => writeFixture(dir, s"f$i.txt",
