@@ -1,0 +1,110 @@
+package graft.io.bus
+
+import java.io.{BufferedReader, InputStreamReader, IOException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Loopback TCP transport behind the bus-envelope contract: the
+  * connector's transport abstraction proven against something that is
+  * not a filesystem.
+  *
+  * The reference ingests over a socket via broker callbacks
+  * (wall/mqtt_listener.py:60-96, processor/mqtt_sink.py:104-117);
+  * durability and replay live broker-side. Spark's source contract is
+  * the opposite — a streaming source must RE-SERVE any uncommitted
+  * offset range after a restart, which a raw socket cannot (Spark's own
+  * TextSocketSource is documented as not fault-tolerant for exactly this
+  * reason). So the bridge spools: messages received over TCP
+  * (`topic TAB payload`, one per line — the wire format of
+  * events/protocol.py:11-28) are published as ATOMIC write-then-rename
+  * envelope files into a drop directory, and the `graft-bus` connector
+  * consumes them with its exactly-once file offsets, admission control,
+  * and offset compaction. Durability is the spool, exactly-once is the
+  * offset log — the same layering as MQTT broker + QoS-1, and a
+  * network-broker transport (MQTT/Kafka client in place of the
+  * ServerSocket) is a drop-in swap of this class alone.
+  *
+  * Zero-egress by construction: binds the loopback interface only.
+  *
+  * Visibility: a batch becomes consumable when it is flushed — every
+  * `flushEveryLines` lines, and always on connection close. Spool names
+  * are zero-padded sequence numbers so lexicographic order (the
+  * connector's drain order) equals arrival order. */
+final class SocketBridge(spoolDir: String, port: Int = 0,
+                         flushEveryLines: Int = 256) {
+  require(flushEveryLines >= 1, "flushEveryLines must be >= 1")
+  private val server =
+    new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+  private val seq = new AtomicLong(0L)
+  @volatile private var running = true
+  private val workers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Thread]()
+
+  /** The actual port (useful with `port = 0`, an ephemeral bind). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val w = new Thread(() => handle(sock), "graft-bus-socket-conn")
+        w.setDaemon(true)
+        workers.add(w)
+        w.start()
+      } catch {
+        case _: IOException => () // server closed by stop()
+      }
+    }
+  }, "graft-bus-socket-accept")
+
+  def start(): SocketBridge = {
+    acceptor.setDaemon(true)
+    acceptor.start()
+    this
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new BufferedReader(new InputStreamReader(
+      sock.getInputStream, StandardCharsets.UTF_8))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        buf += line
+        if (buf.size >= flushEveryLines) { spool(buf.toSeq); buf.clear() }
+        line = in.readLine()
+      }
+    } catch {
+      case _: IOException => () // client went away; flush what arrived
+    } finally {
+      if (buf.nonEmpty) spool(buf.toSeq)
+      try sock.close() catch { case _: IOException => () }
+      workers.remove(Thread.currentThread())
+    }
+  }
+
+  /** One atomically-published batch: hidden temp file, then rename into
+    * visibility — the immutability contract the connector (like Spark's
+    * own file sources) assumes of the drop directory. */
+  private def spool(lines: Seq[String]): Unit = {
+    val n = seq.getAndIncrement()
+    val dir = Paths.get(spoolDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(f".socket-$n%012d.tmp")
+    Files.write(tmp,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(f"socket-$n%012d.txt"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stops accepting, waits briefly for in-flight connections to drain
+    * (each flushes its remainder on close). */
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: IOException => () }
+    acceptor.join(2000)
+    workers.forEach(w => w.join(2000))
+  }
+}
