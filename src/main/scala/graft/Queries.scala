@@ -1143,10 +1143,64 @@ object Queries {
                    round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY 1"""), bench = true)
 
+  /** The shared md5→BIGINT hash idiom in DuckDB form (Sampling.hash60). */
+  private def sqlHash60(expr: String, salt: String): String =
+    s"CAST('0x' || substr(md5(CAST($expr AS VARCHAR) || ':$salt'), 1, 15) AS BIGINT)"
+
+  /** Deterministic consistent sampling (Sampling.consistentSample):
+    * membership is a pure row-local function of (doc_id, salt) — the
+    * auditable alternative to rand()-seeded sampling, and the only kind
+    * a cross-engine oracle can check at all. Rate 0.25 is exactly
+    * representable so neither engine's literal rounds. */
+  private val q47 = QDef("q47_consistent_sample",
+    (s, d) => graft.ops.Sampling.consistentSample(docs(s, d), "doc_id",
+      0.25, "s1").select("doc_id", "lang", "n_chars"),
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+             WHERE ${sqlHash60("doc_id", "s1")} / 1152921504606846976.0
+                   < 0.25"""), bench = true)
+
+  /** Deterministic train/val/test assignment by hash bands
+    * (Sampling.splitAssign) — dyadic bounds 0.75/0.875 so the thresholds
+    * are bit-identical literals in both engines. */
+  private val q48 = QDef("q48_split_assign",
+    (s, d) => graft.ops.Sampling.splitAssign(docs(s, d), "doc_id", "s2",
+      Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0))
+      .select("doc_id", "split"),
+    Some(s"""SELECT doc_id,
+               CASE WHEN ${sqlHash60("doc_id", "s2")}
+                         / 1152921504606846976.0 < 0.75 THEN 'train'
+                    WHEN ${sqlHash60("doc_id", "s2")}
+                         / 1152921504606846976.0 < 0.875 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents"""))
+
+  /** KMV approximate distinct users per event type — the native
+    * bounded-buffer sketch aggregate (functions.KmvDistinct, O(k) state
+    * per group, map-side combinable). DETERMINISTIC order statistic of
+    * the shared md5 hash, so unlike approx_count_distinct's HLL the
+    * estimate itself is oracle-checkable: DuckDB reproduces it from the
+    * k-th smallest distinct hash. k=64 < the ~150 distinct users, so the
+    * ESTIMATION path (not the exact-below-k path) is what's checked. */
+  private val q49 = QDef("q49_kmv_distinct",
+    (s, d) => graft.ops.Sampling.kmvDistinct(events(s, d),
+      Seq("event_type"), "user_id", k = 64, salt = "s3"),
+    Some(s"""WITH h AS (SELECT DISTINCT event_type,
+                    ${sqlHash60("user_id", "s3")} AS h FROM events),
+             r AS (SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+                   FROM h)
+             SELECT event_type,
+                    round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                          ELSE 63.0 * 1152921504606846976.0 /
+                               CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                          END, 4) AS approx_distinct
+             FROM r GROUP BY event_type"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,115 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import scala.collection.mutable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
+  * aggregate — the bounded-buffer scale path for approximate
+  * `countDistinct` over unbounded key spaces.
+  *
+  * Design (Bar-Yossef et al., "Counting distinct elements in a data
+  * stream", RANDOM 2002): keep the k smallest DISTINCT values of a
+  * uniform hash of the column; with fewer than k distinct hashes the
+  * count is exact, otherwise estimate (k-1) / u(k) where u(k) is the
+  * k-th smallest hash normalized to (0,1). Unlike HyperLogLog the
+  * estimator is a pure order statistic of a deterministic hash — given
+  * the repo's 60-bit md5 idiom ([[graft.ops.Sampling.hash60]]) the
+  * result is BIT-REPRODUCIBLE across runs, partitionings, and engines,
+  * i.e. DuckDB-oracle-checkable, which no RNG-seeded sketch is.
+  *
+  * Scale shape: the buffer is O(k) longs per group regardless of input
+  * size, updates and merges are partial-aggregation friendly (map-side
+  * combine ships at most k longs per group per partition) — the same
+  * contract as Spark's own approx_count_distinct, with determinism
+  * traded for HLL's constant-ish relative error. The compositional
+  * window form ([[graft.ops.Sampling.kmvDistinctCompositional]]) is the
+  * executable specification; it shuffles ALL distinct hashes per group,
+  * which this aggregate exists to avoid.
+  *
+  * Input MUST already be the 60-bit hash (LongType): hashing stays
+  * outside the aggregate so the Spark plan and the SQL oracle share one
+  * hash expression. */
+case class KmvDistinct(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  override def update(buffer: mutable.TreeSet[Long],
+                      input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      // TreeSet insert is a no-op on duplicates — KMV is distinct by
+      // construction; admit-then-trim keeps exactly the k smallest
+      if (buffer.size < k || h < buffer.last) {
+        buffer += h
+        if (buffer.size > k) buffer -= buffer.last
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: mutable.TreeSet[Long],
+                     other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach { h =>
+      if (buffer.size < k || h < buffer.last) {
+        buffer += h
+        if (buffer.size > k) buffer -= buffer.last
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: mutable.TreeSet[Long]): Any =
+    if (buffer.size < k) buffer.size.toDouble
+    else (k - 1).toDouble * KmvDistinct.Space / buffer.last.toDouble
+
+  override def serialize(buffer: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buffer.size)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = mutable.TreeSet.empty[Long]
+    while (bb.hasRemaining) buf += bb.getLong
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}
+
+object KmvDistinct {
+  /** The hash space size: [[graft.ops.Sampling.hash60]] values lie in
+    * [0, 2^60); 2^60 is exactly representable in a double. */
+  val Space: Double = (1L << 60).toDouble
+
+  /** Column form: `hash` must be a 60-bit hash long (Sampling.hash60). */
+  def agg(hash: Column, k: Int): Column =
+    Bridge.column(
+      KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
+}

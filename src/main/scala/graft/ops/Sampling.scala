@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, split assignment, and distinct sketching for
+  * training-data pipelines.
+  *
+  * Every decision here is a pure function of (id, salt) through md5 — no
+  * RNG, no per-partition seeds, no shuffle-order dependence. That is
+  * what makes a 100 TB sample AUDITABLE: membership of any row can be
+  * re-derived row-locally at any time, a re-run reproduces the sample
+  * bit-for-bit on any cluster size, and the DuckDB oracle can check the
+  * exact output (a seeded `rand()` sample can never be cross-engine
+  * verified). The reference pins determinism as a design value
+  * (tests/unit/test_design_validation.py's pure-function contracts);
+  * this extends it to the data-curation operators. */
+object Sampling {
+
+  /** 60-bit uniform hash of (id, salt): the repo-wide cross-engine md5
+    * idiom (first 15 hex chars → BIGINT; DuckDB:
+    * `CAST('0x' || substr(md5(id || ':salt'), 1, 15) AS BIGINT)`).
+    * Row-local, codegen'd, no shuffle. */
+  def hash60(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 15),
+      16, 10).cast("long")
+
+  /** [[hash60]] normalized to [0, 1) — exact double division by 2^60. */
+  def unitHash(id: Column, salt: String): Column =
+    hash60(id, salt).cast("double") / lit(graft.functions.KmvDistinct.Space)
+
+  /** Consistent Bernoulli sample: keep a row iff unitHash(id) < rate.
+    * Row-local filter (reaches the scan as a pushed predicate's sibling;
+    * no shuffle, no state). CONSISTENT: growing the corpus or changing
+    * the cluster never flips a previously-kept row — the property that
+    * lets a 100 TB pipeline re-run incrementally. Prefer exactly
+    * representable rates (0.25, 0.125) so engine comparisons can never
+    * straddle a literal's rounding. */
+  def consistentSample(df: DataFrame, id: String, rate: Double,
+                       salt: String): DataFrame =
+    df.filter(unitHash(col(id), salt) < rate)
+
+  /** Deterministic train/val/test (or any) split assignment by hash
+    * bands: `splits` maps label → UPPER bound on the unit hash, in
+    * ascending order, last bound covering 1.0. Bounds are taken verbatim
+    * (callers pick exactly representable doubles) rather than cumulated
+    * from weights — 0.8 + 0.1 is 0.9000000000000001 in binary, and a
+    * silently drifted threshold is exactly the kind of cross-engine
+    * mismatch this module exists to prevent. */
+  def splitAssign(df: DataFrame, id: String, salt: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.last._2 >= 1.0,
+      "split bounds must ascend and the last must cover 1.0")
+    val u = unitHash(col(id), salt)
+    val label = splits.init.foldRight(lit(splits.last._1): Column) {
+      case ((name, bound), rest) => when(u < bound, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Approximate distinct count per group via the native KMV sketch
+    * aggregate ([[graft.functions.KmvDistinct]]): O(k) state per group,
+    * map-side combinable, DETERMINISTIC (hence oracle-checkable —
+    * `approx_count_distinct`'s HLL is engine-specific). Exact below k
+    * distinct values; relative error ~ 1/sqrt(k-2) above. */
+  def kmvDistinct(df: DataFrame, groupBy: Seq[String], value: String,
+                  k: Int, salt: String): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(round(graft.functions.KmvDistinct.agg(
+        hash60(col(value), salt), k), 4).as("approx_distinct"))
+
+  /** Executable specification of [[kmvDistinct]]: the same estimator as
+    * a compositional plan (distinct hashes → per-group k smallest via a
+    * partitioned window → order statistic). Shuffles ALL distinct hashes
+    * per group where the native aggregate ships at most k per partition —
+    * kept for parity testing and engines without the native form. */
+  def kmvDistinctCompositional(df: DataFrame, groupBy: Seq[String],
+                               value: String, k: Int, salt: String): DataFrame = {
+    val h = df.select((groupBy.map(col) :+
+      hash60(col(value), salt).as("__h")): _*).distinct()
+    val w = Window.partitionBy(groupBy.map(col): _*).orderBy(col("__h"))
+    h.withColumn("__rn", row_number().over(w))
+      .groupBy(groupBy.map(col): _*)
+      .agg(count(lit(1)).as("__nd"),
+        max(when(col("__rn") === k, col("__h"))).as("__hk"))
+      .select((groupBy.map(col) :+
+        round(when(col("__nd") < k, col("__nd").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(graft.functions.KmvDistinct.Space) /
+            col("__hk").cast("double")), 4).as("approx_distinct")): _*)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+/** Deterministic sampling / split / sketch operators: pure functions of
+  * (id, salt), so every property here is exact, not statistical-flaky. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unitHash is deterministic, in [0,1), roughly uniform") {
+    val df = (1L to 1000L).toDF("id")
+    val u = df.select(Sampling.unitHash(col("id"), "t").as("u"))
+      .as[Double].collect()
+    assert(u.forall(x => x >= 0.0 && x < 1.0))
+    assert(math.abs(u.sum / u.length - 0.5) < 0.05)
+    val u2 = df.repartition(7)
+      .select(Sampling.unitHash(col("id"), "t").as("u")).as[Double].collect()
+    assert(u.sorted.toSeq == u2.sorted.toSeq, "layout-independent")
+  }
+
+  test("consistentSample is stable under corpus growth") {
+    val small = (1L to 500L).toDF("id")
+    val big = (1L to 1000L).toDF("id")
+    val keptSmall = Sampling.consistentSample(small, "id", 0.25, "g")
+      .as[Long].collect().toSet
+    val keptBig = Sampling.consistentSample(big, "id", 0.25, "g")
+      .as[Long].collect().toSet
+    assert(keptBig.filter(_ <= 500L) == keptSmall,
+      "growing the corpus must never flip a previously-kept row")
+    assert(math.abs(keptBig.size / 1000.0 - 0.25) < 0.05)
+  }
+
+  test("splitAssign labels every row once, at the banded shares") {
+    val df = (1L to 2000L).toDF("id")
+    val counts = Sampling.splitAssign(df, "id", "sp",
+      Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L, "total partition of the corpus")
+    assert(math.abs(counts("train") / 2000.0 - 0.75) < 0.05)
+    assert(math.abs(counts("val") / 2000.0 - 0.125) < 0.03)
+    assert(math.abs(counts("test") / 2000.0 - 0.125) < 0.03)
+  }
+
+  test("KMV: exact below k, layout-invariant, equals the compositional spec") {
+    val df = (1L to 3000L)
+      .map(i => (if (i % 3 == 0) "a" else "b", i % 997)).toDF("g", "v")
+    val native = Sampling.kmvDistinct(df, Seq("g"), "v", 64, "k")
+      .as[(String, Double)].collect().toMap
+    val comp = Sampling.kmvDistinctCompositional(df, Seq("g"), "v", 64, "k")
+      .as[(String, Double)].collect().toMap
+    assert(native == comp,
+      s"native sketch must equal its executable spec: $native vs $comp")
+    // the deterministic sketch is independent of physical layout
+    val shuffled = Sampling.kmvDistinct(df.repartition(7), Seq("g"), "v",
+      64, "k").as[(String, Double)].collect().toMap
+    assert(shuffled == native)
+    // exact path below k distinct values
+    val tiny = Seq.tabulate(100)(i => ("x", i % 10)).toDF("g", "v")
+    assert(Sampling.kmvDistinct(tiny, Seq("g"), "v", 64, "k")
+      .as[(String, Double)].collect().toMap == Map("x" -> 10.0))
+    // estimation error within ~4 standard deviations (4/sqrt(k))
+    val truth = df.filter($"g" === "b").select("v").distinct().count().toDouble
+    assert(math.abs(native("b") - truth) / truth < 4.0 / math.sqrt(64),
+      s"estimate ${native("b")} too far from true $truth")
+  }
+}
