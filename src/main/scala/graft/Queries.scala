@@ -1197,10 +1197,62 @@ object Queries {
                           END, 4) AS approx_distinct
              FROM r GROUP BY event_type"""), bench = true)
 
+  /** Benchmark decontamination (Dedup.contaminationCheck) composed with
+    * the deterministic split (q48's bands, same salt): which test-split
+    * docs leak trigrams from the train split. Train grams collapse to
+    * one row per distinct gram hash before the equi-join — join volume
+    * ∝ gram inventory, never train-corpus size. */
+  private val q50 = QDef("q50_decontaminate",
+    (s, d) => {
+      val sp = graft.ops.Sampling.splitAssign(docs(s, d), "doc_id", "s2",
+        Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0))
+      Dedup.contaminationCheck(
+        sp.filter(col("split") === "train"),
+        sp.filter(col("split") === "test"), "doc_id", "text", n = 3)
+    },
+    Some(s"""WITH sp AS (SELECT doc_id, text,
+               CASE WHEN ${sqlHash60("doc_id", "s2")}
+                         / 1152921504606846976.0 < 0.75 THEN 'train'
+                    WHEN ${sqlHash60("doc_id", "s2")}
+                         / 1152921504606846976.0 < 0.875 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents),
+             toks AS (SELECT doc_id, split,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                 t -> t <> '') AS toks FROM sp),
+             grams AS (SELECT doc_id, split,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gs
+             FROM toks),
+             g AS (SELECT doc_id, split, unnest(gs) AS gm FROM grams),
+             tr AS (SELECT md5(gm) AS gh, min(doc_id) AS train_id
+                    FROM g WHERE split = 'train' GROUP BY 1),
+             te AS (SELECT doc_id AS test_id, md5(gm) AS gh
+                    FROM g WHERE split = 'test')
+             SELECT test_id, count(*) AS n_shared_grams,
+                    min(train_id) AS sample_train_id
+             FROM te JOIN tr USING (gh) GROUP BY test_id"""), bench = true)
+
+  /** Global top-20 bigrams by document frequency (heavy-hitter /
+    * boilerplate discovery): per-doc distinct shingles → hash-groupBy DF
+    * counts (map-side combine) → distributed TakeOrderedAndProject
+    * (bounded top-k, never a global sort). Tie-break on the gram string
+    * keeps the cutoff deterministic. */
+  private val q51 = QDef("q51_top_ngrams",
+    (s, d) => docs(s, d)
+      .select(explode(Dedup.wordShingles(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(20),
+    Some(s"""WITH $ShinglesCte
+             SELECT gram, count(*) AS df
+             FROM (SELECT unnest(sh) AS gram FROM sh)
+             GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20"""))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -164,6 +164,37 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Train→test contamination check (benchmark decontamination — the
+    * step an LLM data pipeline runs before any eval split is trusted):
+    * for each `test` document, how many of its distinct word `n`-grams
+    * appear anywhere in the `train` corpus, and the smallest
+    * contaminating train doc id. Only contaminated test docs are
+    * returned (inner join).
+    *
+    * Scale shape: grams are generated and md5-hashed row-locally; the
+    * train side collapses to ONE row per distinct gram before the join
+    * (partial-agg min on the gram hash — a gram repeated across 10⁹
+    * train docs contributes one row, so join volume is bounded by the
+    * distinct-gram inventory, not corpus size); candidate matching is a
+    * hash equi-join; the result is a per-test-doc partial aggregate.
+    * Deterministic: counts of distinct grams + min ids, no floats. */
+  def contaminationCheck(train: DataFrame, test: DataFrame, id: String,
+                         text: String, n: Int): DataFrame = {
+    val trainGrams = train
+      .select(col(id).as("train_id"),
+        explode(wordShingles(col(text), n)).as("gram"))
+      .groupBy(md5(col("gram")).as("gh"))
+      .agg(min(col("train_id")).as("train_id"))
+    val testGrams = test
+      .select(col(id).as("test_id"),
+        explode(wordShingles(col(text), n)).as("gram"))
+      .select(col("test_id"), md5(col("gram")).as("gh"))
+    testGrams.join(trainGrams, Seq("gh"))
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        min(col("train_id")).as("sample_train_id"))
+  }
+
   /** Connected components over a near-duplicate pair graph → cluster
     * assignment (the "keep one per cluster" step of a dedup pipeline).
     * Iterative min-label propagation: O(diameter) rounds, each one

@@ -81,6 +81,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("contaminationCheck reports only leaking test docs, with counts") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely different text here now")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "a quick brown fox appears"),   // shares "quick brown fox"
+      (11L, "nothing in common at all"),    // clean
+      (12L, "the quick brown fox jumps"))   // verbatim train doc 1
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationCheck(train, test, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      10L -> ((1L, 1L)),   // one shared trigram, from train doc 1
+      12L -> ((3L, 1L))),  // all three trigrams leak
+      s"unexpected contamination report: $out")
+  }
+
   test("simHash: identical texts collide, pairs carry hamming distance") {
     val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap

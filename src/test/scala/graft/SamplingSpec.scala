@@ -64,4 +64,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(native("b") - truth) / truth < 4.0 / math.sqrt(64),
       s"estimate ${native("b")} too far from true $truth")
   }
+
+  test("KMV sketch aggregates in streaming (complete mode) equal batch") {
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = Sampling.kmvDistinct(in.toDF().toDF("g", "v"), Seq("g"), "v",
+      16, "st").writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      val data = (1L to 500L).map(i => (if (i % 2 == 0) "x" else "y", i % 97))
+      in.addData(data.take(250): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(250): _*) // second micro-batch merges into state
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream")
+        .as[(String, Double)].collect().toMap
+      val batch = Sampling.kmvDistinct(data.toDF("g", "v"), Seq("g"), "v",
+        16, "st").as[(String, Double)].collect().toMap
+      assert(streamed == batch,
+        s"streaming sketch must equal batch: $streamed vs $batch")
+    } finally q.stop()
+  }
 }
