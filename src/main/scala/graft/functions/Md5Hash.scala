@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The repo-wide 60-bit md5 hash (`conv(substring(md5(x), 1, 15), 16,
+  * 10)`) as a native codegen'd expression.
+  *
+  * The built-in composition is already codegen'd but materializes a
+  * 32-char hex string per input, substrings it, and string-parses the
+  * long — three allocations and a base-16 parse per shingle/token in the
+  * dedup hot paths (MinHash hashes every shingle of every document;
+  * SimHash every token). This computes the identical value straight from
+  * the digest bytes: the first 15 hex chars are the first 60 bits, i.e.
+  * the big-endian first-8-bytes long shifted right by 4 (top nibble
+  * clear, so always non-negative — same domain as the string form).
+  * DuckDB oracles keep the `CAST('0x' || substr(md5(..)..)` idiom and
+  * hash-match because the VALUE is unchanged; SamplingSpec pins
+  * bit-equality against the built-in composition. */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Hash.prefix60(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Scala objects compile with static forwarders on the companion
+    // class, so generated Java can call this directly
+    defineCodeGen(ctx, ev, in => s"graft.functions.Md5Hash.prefix60($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+object Md5Hash {
+  // MessageDigest is not thread-safe and getInstance per row would
+  // dominate; one digest per executor thread, reset per use
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def prefix60(s: UTF8String): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d).getLong >>> 4
+  }
+
+  /** Column form of [[Md5Prefix60]]. */
+  def prefix60(c: Column): Column =
+    Bridge.column(Md5Prefix60(Bridge.expression(c)))
+}

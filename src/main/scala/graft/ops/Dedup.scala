@@ -74,9 +74,11 @@ object Dedup {
   def minHashB(i: Int): Long = 9973L * i + 7L
 
   /** 60-bit base hash of a shingle: md5 hex prefix as int64, reduced
-    * mod P. Row-local. */
+    * mod P. Row-local; native digest-bytes expression (same value as the
+    * conv/substring/md5 composition, none of its string work —
+    * graft.functions.Md5Prefix60). */
   def baseHash(x: Column): Column =
-    conv(substring(md5(x), 1, 15), 16, 10).cast("long") % MinHashP
+    graft.functions.Md5Hash.prefix60(x) % MinHashP
 
   /** MinHash signature: element i is `min over shingles of
     * (a_i·h + b_i) mod P` where h = [[baseHash]](shingle).
@@ -137,8 +139,7 @@ object Dedup {
       .persist()
     val hashed = shingled
       .select(col("doc"), explode(col("sh")).as("s"))
-      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10)
-        .cast("long") % MinHashP)
+      .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % MinHashP)
     val mins = (0 until numHashes).map(i =>
       min((col("h") * minHashA(i) + minHashB(i)) % MinHashP).as(s"__m$i"))
     val sig = hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
@@ -256,7 +257,7 @@ object Dedup {
     * Entirely row-local HOF arithmetic. */
   def simHash(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(text),
-      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+      w => graft.functions.Md5Hash.prefix60(w))
     (0 until SimHashBits).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
@@ -277,7 +278,7 @@ object Dedup {
   private def simHashTable(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id).as("doc"),
       explode(TextAnalysis.tokens(col(text))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.Md5Hash.prefix60(col("w")))
     val votes = (0 until SimHashBits).map { j =>
       sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"v$j")
     }

@@ -21,10 +21,11 @@ object Sampling {
   /** 60-bit uniform hash of (id, salt): the repo-wide cross-engine md5
     * idiom (first 15 hex chars → BIGINT; DuckDB:
     * `CAST('0x' || substr(md5(id || ':salt'), 1, 15) AS BIGINT)`).
-    * Row-local, codegen'd, no shuffle. */
+    * Row-local, codegen'd, no shuffle; native digest-bytes form
+    * (graft.functions.Md5Prefix60 — same value, no hex-string work). */
   def hash60(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 15),
-      16, 10).cast("long")
+    graft.functions.Md5Hash.prefix60(
+      concat(id.cast("string"), lit(":" + salt)))
 
   /** [[hash60]] normalized to [0, 1) — exact double division by 2^60. */
   def unitHash(id: Column, salt: String): Column =

@@ -8,6 +8,18 @@ import graft.ops.Sampling
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Md5Prefix60 equals the conv/substring/md5 composition bit-for-bit") {
+    val df = ((1L to 500L).map(i => s"tok-$i-αβγ-${i * 7}") :+ "")
+      .toDF("s")
+    val pairs = df.select(
+      graft.functions.Md5Hash.prefix60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("spec"))
+      .as[(Long, Long)].collect()
+    assert(pairs.forall(p => p._1 == p._2),
+      "native digest-bytes hash must match the string composition")
+    assert(pairs.forall(_._1 >= 0L), "60-bit prefix is always non-negative")
+  }
+
   test("unitHash is deterministic, in [0,1), roughly uniform") {
     val df = (1L to 1000L).toDF("id")
     val u = df.select(Sampling.unitHash(col("id"), "t").as("u"))
