@@ -1249,10 +1249,82 @@ object Queries {
              FROM (SELECT unnest(sh) AS gram FROM sh)
              GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20"""))
 
+  /** Shared corner-box synthesis for the IoU queries (q28's geometry:
+    * center (value, value+1), w=10, h=4 — identical arithmetic order on
+    * both sides, see q28's oracle). */
+  private def cornerBoxes(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"), col("user_id"), col("value"),
+      EventOps.bboxToCorners(col("value"), col("value") + 1,
+        lit(10.0), lit(4.0)).as("box"))
+
+  private val BoxCte =
+    """bx AS (SELECT event_id, user_id, value,
+      |         value - 5 AS x1, value + 1 - 2 AS y1,
+      |         value + 5 AS x2, value + 1 + 2 AS y2 FROM events)""".stripMargin
+
+  /** Detection-overlap pairs by IoU within a frame block (tracker
+    * association's data dependency; EventOps.iou). Blocked self-join —
+    * the per-block pair term is |block|², bounded by detections-per-frame
+    * under the operator contract; `user_id` stands in for the frame key
+    * in the testdata, whose blocks GROW with sf, so this query is
+    * deliberately not benched (a quadratic-in-sf bench row would be a
+    * false scale signal). */
+  private val q52 = QDef("q52_iou_pairs",
+    (s, d) => {
+      val bx = cornerBoxes(s, d)
+      val a = bx.select(col("user_id"), col("event_id").as("a_id"),
+        col("box").as("a_box"))
+      val b = bx.select(col("user_id").as("__u"), col("event_id").as("b_id"),
+        col("box").as("b_box"))
+      a.join(b, col("user_id") === col("__u") && col("a_id") < col("b_id"))
+        .withColumn("iou", round(EventOps.iou(col("a_box"), col("b_box")), 6))
+        .filter(col("iou") >= 0.1)
+        .select("user_id", "a_id", "b_id", "iou")
+    },
+    Some(s"""WITH $BoxCte,
+             p AS (SELECT a.user_id, a.event_id AS a_id, bb.event_id AS b_id,
+                     greatest(0.0, least(a.x2, bb.x2) - greatest(a.x1, bb.x1)) *
+                       greatest(0.0, least(a.y2, bb.y2) - greatest(a.y1, bb.y1)) AS inter,
+                     (a.x2 - a.x1) * (a.y2 - a.y1) AS aa,
+                     (bb.x2 - bb.x1) * (bb.y2 - bb.y1) AS ab
+                   FROM bx a JOIN bx bb
+                     ON a.user_id = bb.user_id AND a.event_id < bb.event_id)
+             SELECT user_id, a_id, b_id, iou FROM (
+               SELECT user_id, a_id, b_id,
+                      round(CASE WHEN inter > 0
+                            THEN inter / (aa + ab - inter)
+                            ELSE 0.0 END, 6) AS iou
+               FROM p)
+             WHERE iou >= 0.1"""))
+
+  /** Relational NMS (EventOps.relationalNms): boxes surviving
+    * suppression by any strictly-better overlapping box. One blocked
+    * self-join + left-anti — deterministic, parallel per frame key. */
+  private val q53 = QDef("q53_nms",
+    (s, d) => EventOps.relationalNms(cornerBoxes(s, d), Seq("user_id"),
+        "box", "value", "event_id", iouThreshold = 0.3)
+      .select("user_id", "event_id", "value"),
+    Some(s"""WITH $BoxCte
+             SELECT user_id, event_id, value FROM bx a
+             WHERE NOT EXISTS (
+               SELECT 1 FROM bx bb
+               WHERE bb.user_id = a.user_id
+                 AND (bb.value > a.value OR
+                      (bb.value = a.value AND bb.event_id < a.event_id))
+                 AND greatest(0.0, least(a.x2, bb.x2) - greatest(a.x1, bb.x1)) *
+                     greatest(0.0, least(a.y2, bb.y2) - greatest(a.y1, bb.y1)) > 0
+                 AND (greatest(0.0, least(a.x2, bb.x2) - greatest(a.x1, bb.x1)) *
+                      greatest(0.0, least(a.y2, bb.y2) - greatest(a.y1, bb.y1))) /
+                     ((a.x2 - a.x1) * (a.y2 - a.y1) +
+                      (bb.x2 - bb.x1) * (bb.y2 - bb.y1) -
+                      greatest(0.0, least(a.x2, bb.x2) - greatest(a.x1, bb.x1)) *
+                      greatest(0.0, least(a.y2, bb.y2) - greatest(a.y1, bb.y1)))
+                     >= 0.3)"""))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

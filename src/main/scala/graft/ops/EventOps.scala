@@ -187,4 +187,50 @@ object EventOps {
     struct(
       (x - w / 2).as("x1"), (y - h / 2).as("y1"),
       (x + w / 2).as("x2"), (y + h / 2).as("y2"))
+
+  /** Intersection-over-union of two corner-form boxes (the
+    * [[bboxToCorners]] struct) — the overlap measure behind tracker
+    * association and NMS. SURVEY §7.3 floated a "fused IoU expression"
+    * as optional Catalyst work; it never became necessary: this is pure
+    * scalar arithmetic, and whole-stage codegen already fuses the
+    * composition into the same tight Java a hand-written doGenCode would
+    * emit. Fixed evaluation order (inter / (areaA + areaB − inter)) so
+    * the double result is engine-reproducible. */
+  def iou(a: Column, b: Column): Column = {
+    def f(c: Column, n: String) = c.getField(n)
+    val iw = greatest(lit(0.0),
+      least(f(a, "x2"), f(b, "x2")) - greatest(f(a, "x1"), f(b, "x1")))
+    val ih = greatest(lit(0.0),
+      least(f(a, "y2"), f(b, "y2")) - greatest(f(a, "y1"), f(b, "y1")))
+    val inter = iw * ih
+    val areaA = (f(a, "x2") - f(a, "x1")) * (f(a, "y2") - f(a, "y1"))
+    val areaB = (f(b, "x2") - f(b, "x1")) * (f(b, "y2") - f(b, "y1"))
+    when(inter > 0, inter / (areaA + areaB - inter)).otherwise(lit(0.0))
+  }
+
+  /** Relational (non-chained) non-maximum suppression per key: drop any
+    * box overlapping (IoU ≥ threshold) a STRICTLY better box — higher
+    * score, id ascending as the tie-break. One blocked self-join + one
+    * left-anti join; deterministic and parallel per key.
+    *
+    * Contract: the key is a FRAME identifier — block size is bounded by
+    * detections-per-frame (tens), so the per-block pair term never grows
+    * with corpus size. Greedy sequential NMS differs only on chained
+    * suppression (it re-admits a box whose suppressor was itself
+    * suppressed); that variant is inherently sequential and belongs in a
+    * `mapGroups` over the frame block if exact tracker parity is needed. */
+  def relationalNms(df: DataFrame, keys: Seq[String], box: String,
+                    score: String, id: String, iouThreshold: Double): DataFrame = {
+    val bCols = keys.map(c => col(c).as(s"__k_$c")) ++
+      Seq(col(box).as("__b_box"), col(score).as("__b_score"),
+        col(id).as("__b_id"))
+    val other = df.select(bCols: _*)
+    val keyEq = keys.map(c => col(c) === col(s"__k_$c")).reduce(_ && _)
+    val better = col("__b_score") > col(score) ||
+      (col("__b_score") === col(score) && col("__b_id") < col(id))
+    val suppressed = df.join(other, keyEq && better &&
+        iou(col(box), col("__b_box")) >= iouThreshold)
+      .select((keys.map(col) :+ col(id)): _*).distinct()
+    df.join(suppressed, keys :+ id, "left_anti")
+  }
 }

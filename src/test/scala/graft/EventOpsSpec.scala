@@ -142,4 +142,34 @@ class EventOpsSpec extends SparkSpec {
     assert(det.getAs[String]("class_name") == "cat")
     assert(det.getAs[Row]("bbox").getAs[Double]("width") == 3.0)
   }
+
+  test("iou: identical = 1, disjoint = 0, known overlap exact") {
+    // unit-square-ish boxes, shared y span: A center 0, B center 1.5,
+    // C center 3 (w = h = 2) → iou(A,B) = (0.5·2)/(4+4−1) = 1/7
+    def box(cx: Double) = EventOps.bboxToCorners(lit(cx), lit(0.0),
+      lit(2.0), lit(2.0))
+    val out = Seq(1).toDF("x").select(
+      EventOps.iou(box(0.0), box(0.0)).as("same"),
+      EventOps.iou(box(0.0), box(3.0)).as("disjoint"),
+      round(EventOps.iou(box(0.0), box(1.5)), 6).as("overlap"))
+      .as[(Double, Double, Double)].collect().head
+    assert(out == ((1.0, 0.0, 0.142857)))
+  }
+
+  test("relationalNms keeps only boxes with no better overlapping box") {
+    // A(score 3) ← B(score 2) ← C(score 1), A∩C = ∅: relational NMS
+    // suppresses C (B is better and overlaps, regardless of B's own
+    // fate); greedy sequential NMS would re-admit C — the documented
+    // semantic difference.
+    val det = Seq(
+      (1L, 10L, 3.0, 0.0), (2L, 10L, 2.0, 1.5), (3L, 10L, 1.0, 3.0),
+      (4L, 20L, 5.0, 0.0) // separate frame: untouched
+    ).toDF("det_id", "frame", "score", "cx")
+      .withColumn("box", EventOps.bboxToCorners(col("cx"), lit(0.0),
+        lit(2.0), lit(2.0)))
+    val kept = EventOps.relationalNms(det, Seq("frame"), "box", "score",
+      "det_id", iouThreshold = 0.1)
+      .select("det_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"unexpected survivors: $kept")
+  }
 }
