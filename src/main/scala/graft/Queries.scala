@@ -842,47 +842,55 @@ object Queries {
   /** End-to-end curation pipeline (graft.ops.Curation): exact-dedup
     * winners ∩ language agreement ∩ quality gates — the whole
     * training-data admission decision as ONE declarative plan. */
+  /** The curation CTE chain (dedup winners + quality signals + lang-ID
+    * votes → `kept`), shared by q39 and the q54 composition. */
+  private val CurationCtes =
+    """keep AS (SELECT min(doc_id) AS doc_id
+      |         FROM documents GROUP BY md5(text)),
+      |t AS (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(text, '\s+'),
+      |          x -> x <> '') AS toks
+      |      FROM documents),
+      |q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+      |        round(CASE WHEN len(toks) > 0 THEN
+      |          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |            / len(toks)
+      |          ELSE 0.0 END, 4) AS mean_token_len
+      |      FROM t),
+      |lt AS (SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |           x -> x <> '') AS toks
+      |       FROM documents),
+      |sc AS (SELECT doc_id,
+      |         len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
+      |         len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+      |         len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
+      |         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+      |         len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+      |       FROM lt),
+      |lp AS (SELECT doc_id,
+      |         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |              ELSE 'zh' END AS lang_pred
+      |       FROM sc),
+      |kept AS (SELECT d.doc_id, d.lang, lp.lang_pred, q.n_tokens,
+      |                q.mean_token_len
+      |         FROM documents d
+      |         JOIN keep USING (doc_id)
+      |         JOIN lp USING (doc_id)
+      |         JOIN q USING (doc_id)
+      |         WHERE lp.lang_pred = d.lang AND q.n_tokens >= 5
+      |           AND q.mean_token_len <= 15)""".stripMargin
+
   private val q39 = QDef("q39_curation",
     (s, d) => graft.ops.Curation.curate(docs(s, d), "doc_id", "text", "lang",
       minTokens = 5, maxMeanTokenLen = 15.0),
-    Some("""WITH keep AS (SELECT min(doc_id) AS doc_id
-                          FROM documents GROUP BY md5(text)),
-            t AS (SELECT doc_id,
-                    list_filter(regexp_split_to_array(text, '\s+'),
-                      x -> x <> '') AS toks
-                  FROM documents),
-            q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-                    round(CASE WHEN len(toks) > 0 THEN
-                      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-                        / len(toks)
-                      ELSE 0.0 END, 4) AS mean_token_len
-                  FROM t),
-            lt AS (SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'),
-                       x -> x <> '') AS toks
-                   FROM documents),
-            sc AS (SELECT doc_id,
-                     len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
-                     len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
-                     len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
-                     len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
-                     len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
-                   FROM lt),
-            lp AS (SELECT doc_id,
-                     CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-                          WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                          WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                          ELSE 'zh' END AS lang_pred
-                   FROM sc)
-            SELECT d.doc_id, d.lang, lp.lang_pred, q.n_tokens, q.mean_token_len
-            FROM documents d
-            JOIN keep USING (doc_id)
-            JOIN lp USING (doc_id)
-            JOIN q USING (doc_id)
-            WHERE lp.lang_pred = d.lang AND q.n_tokens >= 5
-              AND q.mean_token_len <= 15"""), bench = true)
+    Some(s"""WITH $CurationCtes
+             SELECT doc_id, lang, lang_pred, n_tokens, mean_token_len
+             FROM kept"""), bench = true)
 
   private val q36 = QDef("q36_distinct_per_key",
     (s, d) => graft.ops.Skew.distinctCountPerKey(events(s, d),
@@ -1321,10 +1329,43 @@ object Queries {
                       greatest(0.0, least(a.y2, bb.y2) - greatest(a.y1, bb.y1)))
                      >= 0.3)"""))
 
+  /** The flagship composition (Curation.curateForTraining): curate →
+    * deterministic split → decontaminate held-out splits against the
+    * train split, one declarative plan end to end. */
+  private val q54 = QDef("q54_curate_for_training",
+    (s, d) => graft.ops.Curation.curateForTraining(docs(s, d), "doc_id",
+      "text", "lang", minTokens = 5, maxMeanTokenLen = 15.0, salt = "s4",
+      splits = Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0),
+      ngram = 3),
+    Some(s"""WITH $CurationCtes,
+             ks AS (SELECT k.doc_id, k.lang, d.text,
+                      CASE WHEN ${sqlHash60("k.doc_id", "s4")}
+                                / 1152921504606846976.0 < 0.75 THEN 'train'
+                           WHEN ${sqlHash60("k.doc_id", "s4")}
+                                / 1152921504606846976.0 < 0.875 THEN 'val'
+                           ELSE 'test' END AS split
+                    FROM kept k JOIN documents d USING (doc_id)),
+             ktoks AS (SELECT doc_id, split,
+                         list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS toks FROM ks),
+             kgrams AS (SELECT doc_id, split,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                                 toks[i + 2])) AS gs
+                        FROM ktoks),
+             kg AS (SELECT doc_id, split, unnest(gs) AS gm FROM kgrams),
+             trg AS (SELECT DISTINCT md5(gm) AS gh FROM kg
+                     WHERE split = 'train')
+             SELECT ks.doc_id, ks.lang, ks.split FROM ks
+             WHERE ks.split = 'train' OR NOT EXISTS (
+               SELECT 1 FROM kg JOIN trg ON md5(kg.gm) = trg.gh
+               WHERE kg.doc_id = ks.doc_id AND kg.split <> 'train')"""),
+    bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

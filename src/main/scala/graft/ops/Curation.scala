@@ -39,4 +39,34 @@ object Curation {
       .select(col(id), col(lang), col("lang_pred"),
         col("n_tokens"), col("mean_token_len"))
   }
+
+  /** The FULL pretraining curation story as one declarative plan:
+    * [[curate]]'s kept set → deterministic split assignment
+    * ([[Sampling.splitAssign]], `splits.head` is the train split) →
+    * benchmark decontamination ([[Dedup.contaminationCheck]]): a
+    * held-out document leaking ANY word `ngram` from the train split is
+    * dropped. Output one row per surviving document: (id, lang, split).
+    *
+    * Every stage is a pure function of (docs, salt, bounds), so the
+    * entire corpus→splits decision is re-derivable and auditable — and
+    * Catalyst plans the composition as a whole (the kept set feeds both
+    * the split projection and the gram inventory without re-curating).
+    * Scale shape inherits from the parts: row-local signals and hashes,
+    * narrow-key semi/anti joins, a gram equi-join bounded by the train
+    * split's distinct-gram inventory. */
+  def curateForTraining(docs: DataFrame, id: String, text: String,
+                        lang: String, minTokens: Int, maxMeanTokenLen: Double,
+                        salt: String, splits: Seq[(String, Double)],
+                        ngram: Int): DataFrame = {
+    val keptIds = curate(docs, id, text, lang, minTokens, maxMeanTokenLen)
+      .select(col(id))
+    val kept = docs.join(keptIds, Seq(id), "left_semi")
+    val withSplit = Sampling.splitAssign(kept, id, salt, splits)
+    val train = withSplit.filter(col("split") === splits.head._1)
+    val held = withSplit.filter(col("split") =!= splits.head._1)
+    val leaked = Dedup.contaminationCheck(train, held, id, text, ngram)
+      .select(col("test_id").as(id))
+    withSplit.join(leaked, Seq(id), "left_anti")
+      .select(col(id), col(lang), col("split"))
+  }
 }

@@ -44,4 +44,34 @@ class CurationSpec extends SparkSpec {
     // whitespace-only text: 0 tokens, lang-ID is "und" → double-gated
     assert(run(Seq((1L, "   ", "en"))) == Set.empty)
   }
+
+  test("curateForTraining drops held-out docs leaking train n-grams") {
+    // the split is a pure function of (id, salt) — derive it first, then
+    // PLANT a leak: one held-out doc shares the trigram "shared secret
+    // phrase" with one train doc (texts differ, so dedup keeps both)
+    val ids = (1L to 6L).toSeq
+    val bands = Seq("train" -> 0.5, "other" -> 1.0)
+    val splitOf = graft.ops.Sampling.splitAssign(ids.toDF("doc_id"),
+      "doc_id", "s5", bands)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val trainIds = splitOf.filter(_._2 == "train").keySet
+    val heldIds = splitOf.keySet -- trainIds
+    assert(trainIds.nonEmpty && heldIds.nonEmpty, s"degenerate split: $splitOf")
+    val (trainLeak, heldLeak) = (trainIds.min, heldIds.min)
+    val docs = ids.map { i =>
+      val text =
+        if (i == trainLeak) "the shared secret phrase of council and"
+        else if (i == heldLeak) "a shared secret phrase of today and"
+        else s"the unique u$i v$i of w$i and"
+      (i, text, "en") // all pass gates: en markers, ≥5 tokens
+    }.toDF("doc_id", "text", "lang")
+    val out = Curation.curateForTraining(docs, "doc_id", "text", "lang",
+      minTokens = 5, maxMeanTokenLen = 15.0, salt = "s5", bands, ngram = 3)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(!out.contains(heldLeak),
+      s"held doc $heldLeak sharing a train trigram must be dropped: $out")
+    trainIds.foreach(t => assert(out.get(t).contains("train")))
+    (heldIds - heldLeak).foreach(h => assert(out.get(h).contains("other"),
+      s"clean held doc $h must survive: $out"))
+  }
 }
