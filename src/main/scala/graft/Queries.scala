@@ -1362,10 +1362,40 @@ object Queries {
                WHERE kg.doc_id = ks.doc_id AND kg.split <> 'train')"""),
     bench = true)
 
+  /** Within-doc repetition ratios (TextAnalysis.repetitionSignals) —
+    * the Gopher-style duplicated-n-gram quality rule. */
+  private val q55 = QDef("q55_repetition",
+    (s, d) => TextAnalysis.repetitionSignals(docs(s, d), "text")
+      .select("doc_id", "dup_token_ratio", "dup_bigram_ratio",
+        "dup_trigram_ratio"),
+    Some("""WITH t AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\s+'),
+                  x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+              round(CASE WHEN len(toks) > 0 THEN
+                1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END, 4) AS dup_token_ratio,
+              round(CASE WHEN len(toks) - 1 > 0 THEN
+                1.0 - CAST(len(list_distinct(list_transform(
+                  range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+                  / (len(toks) - 1)
+                ELSE 0.0 END, 4) AS dup_bigram_ratio,
+              round(CASE WHEN len(toks) - 2 > 0 THEN
+                1.0 - CAST(len(list_distinct(list_transform(
+                  range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                       toks[i + 2]))) AS DOUBLE)
+                  / (len(toks) - 2)
+                ELSE 0.0 END, 4) AS dup_trigram_ratio
+            FROM t"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q55)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -45,6 +45,24 @@ object TextAnalysis {
           .otherwise(0.0), 4))
   }
 
+  /** Within-document repetition signals (Gopher-style quality rules:
+    * duplicated-n-gram fractions — boilerplate and crawler-loop text
+    * scores high): `1 − distinct/total` word n-grams for n = 1, 2, 3.
+    * Thresholding is the caller's policy. Row-local arithmetic over
+    * array sizes; token-less (or shorter-than-n) docs score 0. */
+  def repetitionSignals(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    def dupRatio(n: Int): Column = {
+      val total = greatest(tokenCount(t) - (n - 1), lit(0))
+      val distinct = size(Dedup.wordShingles(t, n))
+      round(when(total > 0, lit(1.0) - distinct.cast("double") / total)
+        .otherwise(0.0), 4)
+    }
+    df.withColumn("dup_token_ratio", dupRatio(1))
+      .withColumn("dup_bigram_ratio", dupRatio(2))
+      .withColumn("dup_trigram_ratio", dupRatio(3))
+  }
+
   /** Language-ID by marker-word voting: deterministic n-gram/stopword
     * heuristic. Counts occurrences of per-language marker words; argmax
     * with ties broken by language code ascending; all-zero → "und".

@@ -41,4 +41,22 @@ class TextAnalysisSpec extends SparkSpec {
     // length < 8: single position, md5 of the whole remainder
     assert(fps(3).nonEmpty)
   }
+
+  test("repetitionSignals: boilerplate scores high, varied/short text zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),       // 1/4 tokens, 1/3 bigrams, 1/2 trigrams distinct
+      (2L, "all words here are distinct"),
+      (3L, "ab"),                        // single token: no n>1 grams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text")
+      .select(col("doc_id"), col("dup_token_ratio"),
+        col("dup_bigram_ratio"), col("dup_trigram_ratio"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0.75, 0.6667, 0.5)), s"got ${out(1L)}")
+    assert(out(2L) == ((0.0, 0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+  }
 }
