@@ -1391,11 +1391,22 @@ object Queries {
                 ELSE 0.0 END, 4) AS dup_trigram_ratio
             FROM t"""), bench = true)
 
+  /** Stratified consistent sampling (Sampling.stratifiedSample): the
+    * mix-balancing step — down-sample dominant strata, keep the tail. */
+  private val q56 = QDef("q56_stratified_sample",
+    (s, d) => graft.ops.Sampling.stratifiedSample(docs(s, d), "doc_id",
+      "lang", Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0,
+      salt = "s6").select("doc_id", "lang"),
+    Some(s"""SELECT doc_id, lang FROM documents
+             WHERE ${sqlHash60("doc_id", "s6")} / 1152921504606846976.0 <
+               CASE WHEN lang = 'en' THEN 0.25
+                    WHEN lang = 'de' THEN 0.5 ELSE 1.0 END"""))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55)
+    q55, q56)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -42,6 +42,22 @@ object Sampling {
                        salt: String): DataFrame =
     df.filter(unitHash(col(id), salt) < rate)
 
+  /** Stratified consistent sample: a per-stratum keep rate (e.g.
+    * down-sample dominant languages, keep the tail whole — the
+    * mix-balancing step of a pretraining data recipe). Same row-local
+    * hash-band decision as [[consistentSample]], so membership stays
+    * auditable and growth-stable per stratum; a stratum absent from
+    * `rates` falls back to `defaultRate`. Prefer exactly representable
+    * rates. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratum) === k, r).otherwise(acc)
+    }
+    df.filter(unitHash(col(id), salt) < rate)
+  }
+
   /** Deterministic train/val/test (or any) split assignment by hash
     * bands: `splits` maps label → UPPER bound on the unit hash, in
     * ascending order, last bound covering 1.0. Bounds are taken verbatim

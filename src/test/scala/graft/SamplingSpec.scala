@@ -43,6 +43,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(keptBig.size / 1000.0 - 0.25) < 0.05)
   }
 
+  test("stratifiedSample applies each stratum's rate exactly") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 0.25)
+    val kept = Sampling.stratifiedSample(df, "id", "lang", rates,
+      defaultRate = 1.0, salt = "sx").select("id", "lang")
+      .as[(Long, String)].collect()
+    // per stratum, the kept set EQUALS a plain consistent sample of that
+    // stratum at its rate — same hash, same band, deterministic
+    val keptEn = kept.filter(_._2 == "en").map(_._1).toSet
+    val expectEn = Sampling.consistentSample(df.filter($"lang" === "en"),
+      "id", 0.25, "sx").select("id").as[Long].collect().toSet
+    assert(keptEn == expectEn)
+    // default rate 1.0 keeps the whole stratum
+    assert(kept.count(_._2 == "zh") == 500)
+  }
+
   test("splitAssign labels every row once, at the banded shares") {
     val df = (1L to 2000L).toDF("id")
     val counts = Sampling.splitAssign(df, "id", "sp",
