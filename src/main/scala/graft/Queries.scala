@@ -1192,8 +1192,12 @@ object Queries {
   private val q49 = QDef("q49_kmv_distinct",
     (s, d) => graft.ops.Sampling.kmvDistinct(events(s, d),
       Seq("event_type"), "user_id", k = 64, salt = "s3"),
+    // the NOT NULL filter pins the aggregate's null semantics (the Spark
+    // sketch skips null hashes); testdata has no null user_ids, but the
+    // oracle must not diverge if it ever did
     Some(s"""WITH h AS (SELECT DISTINCT event_type,
-                    ${sqlHash60("user_id", "s3")} AS h FROM events),
+                    ${sqlHash60("user_id", "s3")} AS h FROM events
+                  WHERE user_id IS NOT NULL),
              r AS (SELECT event_type, h,
                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
                      count(*) OVER (PARTITION BY event_type) AS nd

@@ -44,15 +44,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * and default as Spark's FileStreamSource `maxFileAge`): without it the
   * consumed set, re-serialized into the offset log every micro-batch and
   * diffed per trigger, grows without bound over a long-running drop
-  * directory. The offset instead carries the max consumed mtime; entries
-  * whose file has aged past `maxMtime - maxFileAgeMs` (or vanished from
-  * the directory) are dropped when new files are admitted, and the
-  * listing ignores files behind that horizon so a pruned file can never
-  * be re-admitted. Offset size is thereby bounded by one retention
-  * window's arrival volume, not lifetime. Contract (same as Spark's):
-  * a file materializing with an mtime older than `maxFileAgeMs` behind
-  * the newest consumed file is ignored, and a consumed file that is
-  * deleted and later re-created counts as new data.
+  * directory. The offset carries each consumed file's mtime plus the
+  * retention high-water mark; entries are pruned PURELY BY AGE (recorded
+  * mtime at or behind `maxMtime - maxFileAgeMs`) when new files are
+  * admitted — never by presence in the current listing, so a transient
+  * listing miss on an eventually-consistent store can never cause a
+  * consumed file to be re-admitted. The listing ignores files behind the
+  * horizon, so a pruned entry's file (still on disk with its old mtime)
+  * is barred from re-admission. Offset size is thereby bounded by one
+  * retention window's arrival volume, not lifetime.
+  *
+  * The high-water mark only advances over ADMITTED files' mtimes and is
+  * additionally capped so the horizon never passes the oldest
+  * listed-but-not-yet-admitted fresh file — an admission-limited backlog
+  * cannot age itself out while draining even when lexicographic
+  * admission order disagrees with mtime order (a name-early,
+  * mtime-recent file would otherwise jump the horizon over the rest of
+  * the backlog). Contract (same as Spark's): a file materializing with
+  * an mtime older than `maxFileAgeMs` behind the newest consumed file is
+  * ignored, and a consumed file that is deleted and later re-created
+  * with a fresh mtime counts as new data.
   *
   * Scale notes: the driver only ever lists the directory and ships file
   * names; executors read file contents. Tab-splitting mirrors
@@ -142,12 +153,16 @@ private[bus] class EnvelopeScan(path: String, maxFilesPerTrigger: Option[Int],
     new EnvelopeMicroBatchStream(path, maxFilesPerTrigger, maxFileAgeMs)
 }
 
-/** Offset = the set of fully-consumed files still inside the retention
-  * window plus the max consumed mtime (the compaction high-water mark),
-  * serialized with a SORTED file array so equal offsets have equal JSON
-  * (the execution engine compares offsets by value). Parses the legacy
-  * plain-array form (pre-compaction checkpoints) with an unset mark. */
-private[bus] case class EnvelopeOffset(files: Set[String],
+/** Offset = consumed files still inside the retention window, each with
+  * its recorded mtime (so pruning is pure age arithmetic, independent of
+  * any later directory listing), plus the max consumed mtime (the
+  * compaction high-water mark). Serialized with name-sorted entries so
+  * equal offsets have equal JSON (the execution engine compares offsets
+  * by value). Parses the legacy plain-array form (pre-compaction
+  * checkpoints) with entry mtimes pinned to Long.MaxValue — legacy
+  * entries are never pruned (no recorded age), which costs compaction,
+  * never correctness. */
+private[bus] case class EnvelopeOffset(files: Map[String, Long],
                                        maxMtime: Long = Long.MinValue)
     extends Offset {
   def horizon(maxAgeMs: Long): Long = EnvelopeOffset.horizonFor(maxMtime, maxAgeMs)
@@ -156,20 +171,28 @@ private[bus] case class EnvelopeOffset(files: Set[String],
     val node = mapper.createObjectNode()
     node.put("maxMtime", maxMtime)
     val arr = node.putArray("files")
-    files.toArray.sorted.foreach(arr.add)
+    files.toArray.sortBy(_._1).foreach { case (f, m) =>
+      val pair = arr.addArray(); pair.add(f); pair.add(m)
+    }
     mapper.writeValueAsString(node)
   }
 }
 
 private[bus] object EnvelopeOffset {
   def horizonFor(maxMtime: Long, maxAgeMs: Long): Long =
-    if (maxMtime == Long.MinValue) Long.MinValue else maxMtime - maxAgeMs
+    // underflow-safe: maxAgeMs >= 0, so MinValue + maxAgeMs never wraps
+    if (maxMtime == Long.MinValue || maxMtime < Long.MinValue + maxAgeMs)
+      Long.MinValue
+    else maxMtime - maxAgeMs
   def fromJson(json: String): EnvelopeOffset = {
     val node = new ObjectMapper().readTree(json)
     if (node.isArray) // legacy pre-compaction offset: just the file array
-      EnvelopeOffset(node.elements.asScala.map(_.asText).toSet)
+      EnvelopeOffset(node.elements.asScala
+        .map(e => e.asText -> Long.MaxValue).toMap)
     else
-      EnvelopeOffset(node.get("files").elements.asScala.map(_.asText).toSet,
+      EnvelopeOffset(
+        node.get("files").elements.asScala
+          .map(e => e.get(0).asText -> e.get(1).asLong).toMap,
         node.get("maxMtime").asLong)
   }
 }
@@ -185,39 +208,53 @@ private[bus] class EnvelopeMicroBatchStream(path: String,
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = EnvelopeOffset(Set.empty)
+  override def initialOffset(): Offset = EnvelopeOffset(Map.empty)
 
   override def deserializeOffset(json: String): Offset =
     EnvelopeOffset.fromJson(json)
 
   /** Admission-controlled target offset: everything already consumed plus
     * up to `limit` newly-visible files (lexicographic order — a backlog
-    * drains oldest-first at a bounded rate instead of as one giant
-    * batch), with age-based compaction of the consumed set.
+    * drains in deterministic name order at a bounded rate instead of as
+    * one giant batch), with age-based compaction of the consumed set.
     *
     * Compaction happens only when files are admitted, so an idle
     * directory yields a byte-identical offset (no spurious empty
-    * batches). The high-water mark advances over ADMITTED files' mtimes,
-    * never the whole listing — an admission-limited backlog cannot age
-    * itself out while draining. A consumed entry is dropped once the
-    * listing shows it past the horizon (the listing filter then bars it
-    * from re-admission forever) or gone from the directory. */
+    * batches). The high-water mark advances over ADMITTED files' mtimes
+    * and is capped one tick below the oldest not-yet-admitted fresh
+    * file, so an admission-limited backlog can never be aged out by a
+    * name-early, mtime-recent sibling. Consumed entries are pruned
+    * purely by their RECORDED age — no dependence on the current
+    * listing, so a transient listing miss can never reopen a consumed
+    * file for replay. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val prev = start.asInstanceOf[EnvelopeOffset]
     val horizon = prev.horizon(maxFileAgeMs)
     val listed = EnvelopeSource.listFilesWithTimes(path, conf.value)
-    val fresh = listed.filter { case (f, m) => m > horizon && !prev.files(f) }
+    val fresh = listed.filter { case (f, m) =>
+      m > horizon && !prev.files.contains(f)
+    }
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
     if (admitted.isEmpty) prev
     else {
-      val maxMtime = math.max(prev.maxMtime, admitted.iterator.map(_._2).max)
+      val admittedMax = admitted.iterator.map(_._2).max
+      val unadmittedMin = fresh.drop(admitted.size) match {
+        case rest if rest.isEmpty => Long.MaxValue
+        case rest => rest.iterator.map(_._2).min
+      }
+      // horizon must stay strictly below every unadmitted fresh mtime:
+      // cap = (minUnadmitted - 1) + maxAge, saturating on overflow
+      val cap =
+        if (unadmittedMin == Long.MaxValue) Long.MaxValue
+        else if (unadmittedMin - 1 > Long.MaxValue - maxFileAgeMs) Long.MaxValue
+        else unadmittedMin - 1 + maxFileAgeMs
+      val maxMtime = math.max(prev.maxMtime, math.min(admittedMax, cap))
       val newHorizon = EnvelopeOffset.horizonFor(maxMtime, maxFileAgeMs)
-      val listedTimes = listed.toMap
-      val kept = prev.files.filter(f => listedTimes.get(f).exists(_ > newHorizon))
-      EnvelopeOffset(kept ++ admitted.map(_._1), maxMtime)
+      val kept = prev.files.filter { case (_, m) => m > newHorizon }
+      EnvelopeOffset(kept ++ admitted, maxMtime)
     }
   }
 
@@ -226,8 +263,8 @@ private[bus] class EnvelopeMicroBatchStream(path: String,
       "admission-controlled source: latestOffset(start, limit) is used")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    (end.asInstanceOf[EnvelopeOffset].files --
-      start.asInstanceOf[EnvelopeOffset].files)
+    (end.asInstanceOf[EnvelopeOffset].files.keySet --
+      start.asInstanceOf[EnvelopeOffset].files.keySet)
       .toArray.sorted.map(EnvelopeInputPartition(_): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =

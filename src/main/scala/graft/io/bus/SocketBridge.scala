@@ -5,6 +5,7 @@ import java.net.{InetAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 
 /** Loopback TCP transport behind the bus-envelope contract: the
   * connector's transport abstraction proven against something that is
@@ -37,7 +38,10 @@ final class SocketBridge(spoolDir: String, port: Int = 0,
   require(flushEveryLines >= 1, "flushEveryLines must be >= 1")
   private val server =
     new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
-  private val seq = new AtomicLong(0L)
+  // Seed past any existing spool files: a restarted bridge reusing the
+  // directory must never rename onto a name the connector may already
+  // hold in its consumed-file offset (silent loss of the new batch).
+  private val seq = new AtomicLong(SocketBridge.nextSeq(spoolDir))
   @volatile private var running = true
   private val workers =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Thread]()
@@ -106,5 +110,24 @@ final class SocketBridge(spoolDir: String, port: Int = 0,
     try server.close() catch { case _: IOException => () }
     acceptor.join(2000)
     workers.forEach(w => w.join(2000))
+  }
+}
+
+object SocketBridge {
+  private val SpoolName = """socket-(\d{12})\.txt""".r
+
+  /** One past the highest existing spool index in `spoolDir` (0 for a
+    * fresh directory). */
+  private def nextSeq(spoolDir: String): Long = {
+    val dir = Paths.get(spoolDir)
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      val it = Files.list(dir)
+      try it.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case SpoolName(n) => n.toLong }
+        .foldLeft(-1L)(math.max) + 1L
+      finally it.close()
+    }
   }
 }

@@ -72,17 +72,27 @@ object IncrementalReport {
     fs.rename(tmp, metaPath(stateDir))
   }
 
-  /** Data files (recursive; `_`/`.`-prefixed metadata skipped) with their
-    * modification times. Driver-side names-only listing — contents are
-    * only ever read by executors. */
+  /** Data files (recursive) with their modification times. EVERY path
+    * component below `dir` is checked against the `_`/`.` hidden-name
+    * convention, not just the basename — a recursive listing descends
+    * into `_temporary/` staging dirs whose leaf part-files have plain
+    * names, and folding an uncommitted (then later committed under a new
+    * path) task file would permanently double-count the irreversible
+    * incremental state. Spark's own readers exclude these via the same
+    * path-filter convention. Driver-side names-only listing — contents
+    * are only ever read by executors. */
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
     if (!fs.exists(dir)) return Seq.empty
+    val base = Path.getPathWithoutSchemeAndAuthority(dir).toString
     val buf = Seq.newBuilder[(String, Long)]
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+      val rel = Path.getPathWithoutSchemeAndAuthority(f.getPath).toString
+        .stripPrefix(base).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (f.isFile && !hidden)
         buf += ((f.getPath.toString, f.getModificationTime))
     }
     buf.result()

@@ -69,6 +69,11 @@ object Sampling {
                   splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.last._2 >= 1.0,
       "split bounds must ascend and the last must cover 1.0")
+    // mis-ordered bounds make earlier bands unreachable — a silently
+    // wrong split (e.g. an empty train set) rather than an error
+    require(splits.map(_._2) == splits.map(_._2).sorted &&
+      splits.map(_._2).distinct == splits.map(_._2),
+      s"split bounds must strictly ascend, got ${splits.map(_._2)}")
     val u = unitHash(col(id), salt)
     val label = splits.init.foldRight(lit(splits.last._1): Column) {
       case ((name, bound), rest) => when(u < bound, name).otherwise(rest)

@@ -115,13 +115,20 @@ object Similarity {
   /** SCALE GUARDRAIL shared by the two brute-force operators: reject an
     * input too large for a quadratic/broadcast plan BEFORE building it.
     * The probe is a `limit(max+1).count()` — it stops as soon as max+1
-    * rows are found, never a full scan — and is skipped entirely when the
-    * limit is `>= Int.MaxValue` (the "I know what I'm doing" escape hatch
-    * that also keeps the builder fully lazy for composing callers). */
+    * rows are found, never a full scan — and is skipped only for the
+    * explicit `Long.MaxValue` opt-out (the "I know what I'm doing"
+    * escape hatch that also keeps the builder fully lazy for composing
+    * callers). A limit at/above Int.MaxValue that is NOT the opt-out is
+    * rejected outright: the probe cannot bound it, and silently
+    * disabling the guard would be worse than an error. */
   private def requireBounded(op: String, side: String, df: DataFrame,
                              maxRows: Long, limitName: String,
                              alternative: String): Unit =
-    if (maxRows < Int.MaxValue) {
+    if (maxRows != Long.MaxValue) {
+      require(maxRows < Int.MaxValue,
+        s"$op: $limitName=$maxRows is above the probe-able range " +
+          s"(>= Int.MaxValue); pass Long.MaxValue to disable the " +
+          "guardrail explicitly, or a bound below Int.MaxValue")
       val probed = df.limit(maxRows.toInt + 1).count()
       require(probed <= maxRows,
         s"$op is a brute-force operator, but its $side side has at least " +

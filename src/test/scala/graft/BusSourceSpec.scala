@@ -209,6 +209,25 @@ class BusSourceSpec extends SparkSpec {
         assert(raw == rawRef)
       } finally q.stop()
     } finally bridge.stop()
+
+    // a RESTARTED bridge on the same spool dir seeds its sequence past
+    // the existing files — never renaming onto a name the connector may
+    // already hold as consumed
+    val before = Files.list(Paths.get(spool)).toArray.map(_.toString).toSet
+    val bridge2 = new graft.io.bus.SocketBridge(spool).start()
+    try {
+      val s = new java.net.Socket("127.0.0.1", bridge2.boundPort)
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      out.println(envLine(9, 9, "person", 0.9))
+      out.flush()
+      s.close()
+      awaitCond("restarted bridge must spool a NEW file") {
+        Files.list(Paths.get(spool)).toArray.length == before.size + 1
+      }
+      assert(Files.list(Paths.get(spool)).toArray.map(_.toString).toSet
+        .intersect(before) == before, "existing spool files untouched")
+    } finally bridge2.stop()
   }
 
   test("maxFilesPerTrigger bounds micro-batch intake (ST5 backpressure)") {
