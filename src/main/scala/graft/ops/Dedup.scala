@@ -227,14 +227,18 @@ object Dedup {
       val neighborMin = und
         .join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("cluster")).as("ncluster"))
+      // the movement flag rides along in the SAME join (moved ⇔ a
+      // neighbor's label undercuts ours), so convergence detection is a
+      // filter over the checkpointed round — not a second join per round
       val next = labels.join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (col("cluster") > coalesce(col("ncluster"), col("cluster")))
+            .as("__moved"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster", "old"), "node")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("__moved")).isEmpty
+      labels = next.drop("__moved")
       i += 1
     }
     if (!converged) throw new IllegalStateException(
