@@ -94,6 +94,32 @@ class SamplingSpec extends SparkSpec {
       s"estimate ${native("b")} too far from true $truth")
   }
 
+  test("stateless curation ops run unchanged on a stream (batch parity)") {
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    // one composed stateless plan: repetition signals + consistent sample
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.repetitionSignals(
+        Sampling.consistentSample(d, "doc_id", 0.5, "st2"), "text")
+        .select("doc_id", "dup_token_ratio", "dup_bigram_ratio")
+    val q = shape(df).writeStream.format("memory")
+      .queryName("curate_stream").outputMode("append").start()
+    try {
+      val data = (1L to 200L).map(i =>
+        (i, if (i % 3 == 0) "dup dup dup words" else s"unique text number $i here"))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = shape(data.toDF("doc_id", "text"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "row-local curation ops must be batch/streaming-identical")
+    } finally q.stop()
+  }
+
   test("KMV sketch aggregates in streaming (complete mode) equal batch") {
     implicit val ctx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
