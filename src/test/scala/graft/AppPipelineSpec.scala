@@ -195,8 +195,10 @@ class AppPipelineSpec extends SparkSpec {
       h.pipeline.get.processAllAvailable()
       h.handle(Command("metrics", Map.empty, Seq.empty))
       val allFiles = Files.list(Paths.get(s"$outDir/detections")).toArray
-        .map(_.toString).count(p => !Paths.get(p).getFileName.toString
-          .startsWith("_"))
+        .map(_.toString).count { p =>
+          val n = Paths.get(p).getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".") // skip _SUCCESS + .crc
+        }
       assert(folds.last > 0 && folds.last < allFiles,
         s"incremental fold must read only the new files (folded ${folds.last} of $allFiles)")
       val got = spark.read.parquet(s"$outDir/metrics")
@@ -215,6 +217,24 @@ class AppPipelineSpec extends SparkSpec {
         .select("source_id", "n_frames", "avg_inference_ms", "avg_e2e_ms")
         .as[(Int, Long, Option[Double], Option[Double])].collect().toSet
       assert(got == full, s"incremental report $got != full recompute $full")
+
+      // documented crash recovery: losing the fold state entirely (meta
+      // + versions) degrades to a full refold — same report, never a
+      // wrong one; the fold count shows everything was re-read
+      val statePath = java.nio.file.Paths.get(s"$outDir/metrics_state")
+      def deleteRec(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).toArray.foreach(c => deleteRec(c.asInstanceOf[java.nio.file.Path]))
+        Files.deleteIfExists(p)
+      }
+      deleteRec(statePath)
+      h.handle(Command("metrics", Map.empty, Seq.empty))
+      assert(folds.last == allFiles,
+        s"state loss must trigger a full refold (${folds.last} of $allFiles)")
+      val afterRecovery = spark.read.parquet(s"$outDir/metrics")
+        .select("source_id", "n_frames", "avg_inference_ms", "avg_e2e_ms")
+        .as[(Int, Long, Option[Double], Option[Double])].collect().toSet
+      assert(afterRecovery == full, "recovered report must equal the recompute")
     } finally h.pipeline.foreach(_.stop())
   }
 }
