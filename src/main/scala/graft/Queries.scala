@@ -1406,11 +1406,41 @@ object Queries {
                CASE WHEN lang = 'en' THEN 0.25
                     WHEN lang = 'de' THEN 0.5 ELSE 1.0 END"""))
 
+  /** Deterministic sharding (Sampling.shardAssign) with per-shard counts
+    * — placement is a pure function of (id, salt), re-derivable anywhere. */
+  private val q57 = QDef("q57_shard_assign",
+    (s, d) => graft.ops.Sampling.shardAssign(docs(s, d), "doc_id",
+        numShards = 16, salt = "s7")
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id")),
+    Some(s"""SELECT ${sqlHash60("doc_id", "s7")} % 16 AS shard,
+                    count(*) AS n_docs, min(doc_id) AS min_doc_id
+             FROM documents GROUP BY 1"""))
+
+  /** Best-N per stratum (per-language longest documents): a PARTITIONED
+    * window rank — per-key sort only, the plan-guard-sanctioned window
+    * shape — with an id tie-break for a deterministic cutoff. */
+  private val q58 = QDef("q58_top_per_stratum",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"))
+    },
+    Some("""SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS rn
+            FROM (SELECT doc_id, lang, n_chars,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM documents)
+            WHERE rn <= 3"""))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56)
+    q55, q56, q57, q58)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -58,6 +58,17 @@ object Sampling {
     df.filter(unitHash(col(id), salt) < rate)
   }
 
+  /** Deterministic shard assignment: `hash60(id) mod numShards` — how a
+    * corpus gets distributed across data-loader workers / output files
+    * with a stable, re-derivable placement (resharding with a new salt
+    * is an explicit, auditable decision, not an accident of partition
+    * count). Row-local; the hash is non-negative so plain mod is safe. */
+  def shardAssign(df: DataFrame, id: String, numShards: Int,
+                  salt: String): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("shard", hash60(col(id), salt) % numShards)
+  }
+
   /** Deterministic train/val/test (or any) split assignment by hash
     * bands: `splits` maps label → UPPER bound on the unit hash, in
     * ascending order, last bound covering 1.0. Bounds are taken verbatim

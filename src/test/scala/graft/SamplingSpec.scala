@@ -60,6 +60,18 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count(_._2 == "zh") == 500)
   }
 
+  test("shardAssign covers [0, n), balanced, layout-independent") {
+    val df = (1L to 2000L).toDF("id")
+    val counts = Sampling.shardAssign(df, "id", numShards = 8, salt = "sh")
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == (0L until 8L).toSet, s"all shards hit: $counts")
+    assert(counts.values.forall(c => c > 150 && c < 350),
+      s"roughly balanced: $counts")
+    val again = Sampling.shardAssign(df.repartition(5), "id", 8, "sh")
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("splitAssign labels every row once, at the banded shares") {
     val df = (1L to 2000L).toDF("id")
     val counts = Sampling.splitAssign(df, "id", "sp",
