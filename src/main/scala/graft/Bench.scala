@@ -6,7 +6,22 @@ import org.apache.spark.sql.SparkSession
   * through a `noop` write so the WHOLE plan executes (a bare `count()`
   * lets Catalyst prune every computed column — md5s, folds, joins — and
   * benchmarks nothing). Failures are reported as error markers, never as
-  * fake timings. */
+  * fake timings.
+  *
+  * Each query runs TWICE in-process: the first (cold) execution pays
+  * per-plan one-time costs that a single-shot shared-JVM run mixes into
+  * the query signal (whole-stage-codegen compilation of this plan's
+  * generated classes, broadcast/exchange warm-up, page-cache population
+  * for this query's column set); the second (warm) run re-executes the
+  * identical plan and is reproducible across runs of the harness — a
+  * round-4 variance study saw single-shot totals spread 38.5-60.5 s on
+  * identical code while warm runs agree within ±10% per query. The
+  * headline `value`/`queries` are the WARM times — best of two warm
+  * executions, since sub-second queries still see 15-30% scheduler/GC
+  * jitter on a shared box and the minimum is the stable order statistic
+  * (what the engine costs once JIT'd — comparable across rounds);
+  * `queries_cold` retains the first-run times for honesty, and all
+  * three runs must succeed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,28 +46,46 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val timed = SparkEntry.benchQueries.map { name =>
+    // one timed execution of one query: build plan, noop-sink, then drop
+    // tables persisted inside operators (LSH signature caches) and
+    // collect garbage so queries don't inherit each other's memory
+    // pressure (md5-heavy queries showed multi-second GC spikes)
+    def runOnce(name: String): (Double, Either[String, Unit]) = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val res =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop tables persisted inside operators (LSH signature caches) and
-      // collect garbage so queries don't inherit each other's memory
-      // pressure (md5-heavy queries showed multi-second GC spikes)
       spark.catalog.clearCache()
       System.gc()
-      (name, dt, res)
+      (dt, res)
     }
-    val ok = timed.collect { case (n, s, Right(_)) => n -> s }
-    val failed = timed.collect { case (n, _, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }
+    val timed = SparkEntry.benchQueries.map { name =>
+      val (cold, res1) = runOnce(name)
+      res1 match {
+        case Left(m) => (name, cold, cold, Left(m))
+        case Right(_) =>
+          val (w1, res2) = runOnce(name)
+          res2 match {
+            case Left(m) => (name, cold, w1, Left(m))
+            case Right(_) =>
+              val (w2, res3) = runOnce(name)
+              (name, cold, math.min(w1, w2), res3)
+          }
+      }
+    }
+    val ok = timed.collect { case (n, c, w, Right(_)) => (n, c, w) }
+    val failed = timed.collect { case (n, _, _, Left(m)) => n -> m }
+    val qs = ok.map { case (k, _, w) => s"${jstr(k)}:${"%.3f".format(w)}" }
+      .mkString("{", ",", "}")
+    val qsCold = ok.map { case (k, c, _) => s"${jstr(k)}:${"%.3f".format(c)}" }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(300))}" }
       .mkString("{", ",", "}")
-    val total = "%.3f".format(ok.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = "%.3f".format(ok.map(_._3).sum)
+    val totalCold = "%.3f".format(ok.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) System.exit(1)
   }

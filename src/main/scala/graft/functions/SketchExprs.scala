@@ -113,3 +113,94 @@ object KmvDistinct {
     Bridge.column(
       KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
 }
+
+/** SimHash bit-vote fold as ONE native aggregate: input is the 60-bit
+  * token hash ([[Md5Prefix60]]); output is the finished 60-bit SimHash
+  * fingerprint (bit j set iff Σ_tokens (±1 by bit j of the hash) > 0).
+  *
+  * Why native: the compositional form
+  * ([[graft.ops.Dedup.simHashTableCompositional]], the executable
+  * specification) plans 60 separate `sum(...)` aggregate expressions per
+  * group — 60 buffer slots Catalyst updates through 60 generated
+  * update calls per input row, plus a 60-column post-projection to fold
+  * votes into the fingerprint. Here one update call walks a `long[60]`
+  * buffer in a tight loop over the already-loaded hash word (no
+  * per-bit expression dispatch), and `eval` emits the fingerprint
+  * directly — the same one-pass-buffer trick as [[KmvDistinct]].
+  *
+  * Scale shape unchanged from the compositional form: map-side
+  * combinable (merge = element-wise vector add, ships 60 longs per
+  * group per partition), O(1) state per group, deterministic integer
+  * arithmetic → oracle-checkable. */
+case class SimHashVotes(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  import SimHashVotes.Bits
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash_votes"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Bits)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < Bits) {
+        // +1 for a set bit, -1 for a clear bit: ((h>>j)&1)*2 - 1
+        buffer(j) += (((h >>> j) & 1L) << 1) - 1L
+        j += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < Bits) { buffer(j) += other(j); j += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = {
+    var sim = 0L
+    var j = 0
+    while (j < Bits) { if (buffer(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * Bits)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](Bits)
+    var j = 0
+    while (j < Bits) { buf(j) = bb.getLong; j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashVotes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashVotes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashVotes =
+    copy(child = newChild)
+}
+
+object SimHashVotes {
+  /** 60 bits = 15 hex chars of md5 — must match Dedup.SimHashBits. */
+  val Bits = 60
+
+  /** Column form: `hash` must be the 60-bit token hash (Md5Prefix60). */
+  def agg(hash: Column): Column =
+    Bridge.column(SimHashVotes(Bridge.expression(hash)).toAggregateExpression())
+}

@@ -198,16 +198,20 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair graph → cluster
     * assignment (the "keep one per cluster" step of a dedup pipeline).
-    * Iterative min-label propagation: O(diameter) rounds, each one
-    * bucketed equi-join + partial-agg min — near-dup components are tiny
-    * (duplicate families), so convergence is a handful of rounds.
-    * `localCheckpoint` truncates lineage per round. Deterministic:
+    * Iterative min-label propagation, TWO hops per round: labels flow
+    * through the pair graph twice between driver synchronization points,
+    * so a diameter-D component converges in ~D/2 rounds. Each hop is a
+    * bucketed equi-join + partial-agg min; the two hops of a round fuse
+    * into one Catalyst plan, so the driver pays one `localCheckpoint` +
+    * one convergence probe per round — the round COUNT (driver sync,
+    * scheduling, lineage truncation) is the dominant cost at scale, not
+    * the per-hop join over the (tiny) pair graph. Deterministic:
     * cluster id = min doc id of the component.
     *
-    * Throws if `maxIter` rounds pass with labels still moving: a
-    * partially-propagated assignment is a silent wrong answer (two docs
-    * of one component under different cluster ids), the worst failure
-    * mode — a component wider than `maxIter` hops must raise the limit
+    * Throws if `maxIter` rounds (2·maxIter hops) pass with labels still
+    * moving: a partially-propagated assignment is a silent wrong answer
+    * (two docs of one component under different cluster ids), the worst
+    * failure mode — a component wider than that must raise the limit
     * explicitly, not get a plausible-looking result. */
   def dedupClusters(nodes: DataFrame, id: String, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
@@ -218,34 +222,39 @@ object Dedup {
     val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
+    // one min-label hop; `orig` (the label at round start) rides through
+    // both hops so the movement flag needs no extra join per round
+    def hop(cur: DataFrame): DataFrame = {
+      val neighborMin = und
+        .join(cur.select(col("node"), col("cluster")), col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("ncluster"))
+      cur.join(neighborMin, cur("node") === neighborMin("src"), "left")
+        .select(cur("node"),
+          least(cur("cluster"), coalesce(col("ncluster"), cur("cluster")))
+            .as("cluster"),
+          cur("orig"))
+    }
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = und
-        .join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("ncluster"))
-      // the movement flag rides along in the SAME join (moved ⇔ a
-      // neighbor's label undercuts ours), so convergence detection is a
-      // filter over the checkpointed round — not a second join per round
-      val next = labels.join(neighborMin, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            .as("cluster"),
-          (col("cluster") > coalesce(col("ncluster"), col("cluster")))
-            .as("__moved"))
+      // labels only decrease, so moved-after-two-hops ⇔ final < orig;
+      // no movement across a double hop implies a single hop is also a
+      // fixpoint — the convergence condition is unchanged
+      val next = hop(hop(labels.withColumn("orig", col("cluster"))))
+        .withColumn("__moved", col("cluster") < col("orig"))
         .localCheckpoint(true)
       converged = next.filter(col("__moved")).isEmpty
-      labels = next.drop("__moved")
+      labels = next.select("node", "cluster")
       i += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge after $maxIter rounds — the pair " +
-        "graph has a component wider than maxIter hops; raise maxIter " +
-        "(returning partially-propagated labels would silently split " +
-        "one component across cluster ids)")
+      s"dedupClusters did not converge after $maxIter two-hop rounds " +
+        s"(${2 * maxIter} hops) — the pair graph has a wider component; " +
+        "raise maxIter (returning partially-propagated labels would " +
+        "silently split one component across cluster ids)")
     // no broadcast hint: AQE picks broadcast at runtime when the label
     // table is small; a fixed hint would OOM if dup families are huge
     nodes.select(col(id))
@@ -269,17 +278,38 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Fingerprint table `(doc, sim)` via explode + grouped bit votes.
-    * Semantically identical to [[simHash]] for documents with ≥1 token
-    * (token-less documents drop out — they carry no content signal).
+  /** Fingerprint table `(doc, sim)` via explode + ONE native vote
+    * aggregate ([[graft.functions.SimHashVotes]]). Semantically identical
+    * to [[simHash]] for documents with ≥1 token (token-less documents
+    * drop out — they carry no content signal).
     *
     * Why not the [[simHash]] column directly: higher-order functions run
     * interpreted (no whole-stage codegen), and the 60 per-bit folds walk
     * the token array 60 times per row. Here each token is one row, the
-    * md5 runs once, and the 60 vote sums are plain codegen'd aggregates
-    * with map-side partial aggregation — the shuffle carries only
-    * |docs|·cores partial rows, not tokens. */
-  private def simHashTable(df: DataFrame, id: String, text: String): DataFrame = {
+    * md5 runs once, and the vote fold is a single `long[60]`-buffer
+    * aggregate with map-side partial aggregation — the shuffle carries
+    * only |docs|·cores partial buffers, not tokens, and each input row
+    * pays one update call instead of 60 separate aggregate expressions
+    * (the [[simHashTableCompositional]] form, kept as the executable
+    * specification — DedupSpec pins bit-equality). */
+  private def simHashTable(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("doc"),
+        explode(TextAnalysis.tokens(col(text))).as("w"))
+      .withColumn("h", graft.functions.Md5Hash.prefix60(col("w")))
+      .groupBy(col("doc"))
+      .agg(graft.functions.SimHashVotes.agg(col("h")).as("sim"))
+
+  /** Spec-visible handle on the native fingerprint table. */
+  private[graft] def simHashPairsFingerprints(
+      df: DataFrame, id: String, text: String): DataFrame =
+    simHashTable(df, id, text)
+
+  /** Executable specification of [[simHashTable]]: the same fingerprint
+    * from 60 separate codegen'd `sum` expressions + a vote→bit
+    * post-projection. Package-visible for the bit-equality spec only —
+    * production paths use the fused native aggregate. */
+  private[graft] def simHashTableCompositional(
+      df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id).as("doc"),
       explode(TextAnalysis.tokens(col(text))).as("w"))
       .withColumn("h", graft.functions.Md5Hash.prefix60(col("w")))

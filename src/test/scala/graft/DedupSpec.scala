@@ -99,6 +99,26 @@ class DedupSpec extends SparkSpec {
       s"unexpected contamination report: $out")
   }
 
+  test("simHashTable native aggregate is bit-equal to the compositional spec") {
+    // a wider corpus than `docs`: repeated tokens (multiplicity votes),
+    // single-token docs (all-positive votes), and near-dups — exercises
+    // merge paths by repartitioning so every group spans partitions
+    val wide = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ Seq(
+      (10L, "solo"),
+      (11L, "alpha alpha alpha beta"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta"))).toSeq
+      .toDF("doc_id", "text").repartition(7)
+    val native = Dedup.simHashPairsFingerprints(wide, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val spec = Dedup.simHashTableCompositional(wide, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == spec, s"native=$native spec=$spec")
+    // and both agree with the row-local HOF definition
+    val hof = wide.select(col("doc_id"), Dedup.simHash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    native.foreach { case (d, s) => assert(hof(d) == s, s"doc $d") }
+  }
+
   test("simHash: identical texts collide, pairs carry hamming distance") {
     val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap
