@@ -511,6 +511,39 @@ object Queries {
                    CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS sig
             FROM documents"""))
 
+  /** REAL image decode, end-to-end: synthesize a solid-color PNG per doc
+    * (dims/color are closed-form functions of doc_id), resample it to
+    * 16×12 via Graphics2D, decode the re-encoded PNG with ImageIO, and
+    * emit the decoded dimensions + channel means. Solid fills survive
+    * any interpolation exactly, so every output is an exact integer the
+    * oracle computes arithmetically — a hash check over the whole
+    * encode→decode→resample→re-encode→decode chain (q25 keeps the
+    * digest-plumbing check for the text modality). */
+  private val q59 = QDef("q59_image_features",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + (id % 5).toInt
+          val blob = Multimodal.solidPng(w, h,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+          graft.ops.MediaItem(id, "image", blob, "image/png", blob.length.toLong)
+        })
+      Multimodal.extractFeatures(Multimodal.resize(items, 16, 12))
+        .select(col("item_id"),
+          element_at(col("feature"), 1).cast("int").as("width"),
+          element_at(col("feature"), 2).cast("int").as("height"),
+          element_at(col("feature"), 3).cast("double").as("mean_r"),
+          element_at(col("feature"), 4).cast("double").as("mean_g"),
+          element_at(col("feature"), 5).cast("double").as("mean_b"))
+    },
+    Some("""SELECT doc_id AS item_id, 16 AS width, 12 AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+                   CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
+            FROM documents"""), bench = true)
+
   // ------------------------------------------------ TPC-H-style scale probes
 
   private val q26 = QDef("q26_pricing_summary",
@@ -1440,7 +1473,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58)
+    q55, q56, q57, q58, q59)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,6 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** A multimodal media payload: opaque bytes + typed metadata. */
@@ -11,11 +16,12 @@ case class MediaItem(
     mime: String,
     byte_len: Long)
 
-/** Extracted features for a media item. In production the vector comes
-  * from a real decoder/model; here the decode step is STUBBED (no media
-  * codecs in this environment) with a deterministic digest-based fake so
-  * the Spark-side plumbing — schema, batching, partition shape — is real
-  * and testable. */
+/** Extracted features for a media item. Image items carry REAL decoded
+  * features (width, height, per-channel means — `javax.imageio`, in
+  * every JDK); text items carry digest-derived features; audio/video
+  * decode is STUBBED (no audio/video codecs in this environment) with a
+  * deterministic digest-based fake so the Spark-side plumbing — schema,
+  * batching, partition shape — is real and testable for every modality. */
 case class MediaFeatures(
     item_id: Long,
     media_type: String,
@@ -30,6 +36,12 @@ case class MediaFeatures(
   * batch of rows, constant memory, no driver involvement. */
 object Multimodal {
 
+  // ImageIO's default stream cache spills every decode to a temp FILE; the
+  // blobs here are already in memory, so disk caching is pure overhead
+  // (and a failure mode on read-only executor dirs). Object init runs
+  // once per JVM on first use, driver and executors alike.
+  ImageIO.setUseCache(false)
+
   /** Wrap a text column as a binary media column with metadata — the
     * ingestion shape for any opaque payload. Pure column ops. */
   def attachBinary(df: DataFrame, id: String, payload: String): DataFrame =
@@ -40,11 +52,61 @@ object Multimodal {
       lit("text/plain").as("mime"),
       octet_length(col(payload)).cast("long").as("byte_len"))
 
-  /** STUB decoder: a real implementation would decode the blob (JPEG
-    * frame, audio chunk, video keyframe) and run a feature extractor.
-    * Deterministic fake: md5 digest + 4 pseudo-features derived from the
-    * digest bytes. The partition-batched execution shape is the real
-    * contract. */
+  /** Deterministic solid-color RGB PNG — generates REAL image blobs from
+    * tabular testdata (the environment ships no media files) for specs
+    * and oracle queries: a solid fill makes every decoded feature an
+    * exact integer function of (w, h, r, g, b), so the full
+    * encode→decode→resample→re-encode→decode chain is hash-checkable
+    * against a SQL oracle computing the same closed form. */
+  def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims: ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff)
+    img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+    encodePng(img)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodeOrFail(item: MediaItem): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(item.blob))
+    require(img != null,
+      s"item ${item.item_id} (${item.mime}): blob is not a decodable image")
+    img
+  }
+
+  /** REAL image decode: dimensions + per-channel byte means via ImageIO
+    * (PNG/JPEG/BMP/GIF readers ship in every JDK — zero dependencies).
+    * Feature layout: [width, height, mean_r, mean_g, mean_b]. */
+  private def decodeImage(item: MediaItem): MediaFeatures = {
+    val img = decodeOrFail(item)
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = (w.toLong * h).toFloat
+    MediaFeatures(item.item_id, item.media_type, item.byte_len, md5Hex(item.blob),
+      Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n))
+  }
+
+  private def md5Hex(blob: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(blob)
+      .map("%02x".format(_)).mkString
+
+  /** STUB decoder for the codec-less modalities (audio/video; text keeps
+    * the same digest shape): deterministic md5 digest + 4 pseudo-features
+    * derived from the digest bytes. The partition-batched execution shape
+    * is the real contract. */
   private def decodeStub(item: MediaItem): MediaFeatures = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(item.blob)
     val hex = digest.map("%02x".format(_)).mkString
@@ -52,15 +114,16 @@ object Multimodal {
     MediaFeatures(item.item_id, item.media_type, item.byte_len, hex, feats)
   }
 
-  /** Decode + feature-extract, partition-batched. Executor-local "decoder
-    * init" happens once per partition (the expensive part for real
-    * codecs); rows then stream through it without materializing the
-    * partition. */
+  /** Decode + feature-extract, partition-batched. Image items go through
+    * the REAL ImageIO decoder; other modalities through the documented
+    * stub. Executor-local "decoder init" happens once per partition (the
+    * expensive part for real codecs); rows then stream through it without
+    * materializing the partition. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // per-partition decoder/model initialization would go here
-      it.map(decodeStub)
+      it.map(m => if (m.media_type == "image") decodeImage(m) else decodeStub(m))
     }
   }
 
@@ -71,23 +134,40 @@ object Multimodal {
   def sampleEveryNth(df: DataFrame, id: String, stride: Int): DataFrame =
     df.filter(pmod(col(id), lit(stride)) === 0)
 
-  /** Resize, partition-batched like [[extractFeatures]]. STUB transform
-    * (no image codecs in this environment): a real implementation decodes
-    * the blob, resamples to `targetW`×`targetH`, and re-encodes; the stub
-    * deterministically truncates/pads the bytes to the target's nominal
-    * size so downstream schema/partitioning/batch plumbing is real and
-    * testable. The metadata contract IS real: `byte_len` reflects the
-    * transformed blob and `mime` is preserved. */
-  def resizeStub(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[MediaItem] = {
+  /** Resize, partition-batched like [[extractFeatures]]. Image items are
+    * REALLY resampled: ImageIO decode → `Graphics2D` bilinear scale to
+    * `targetW`×`targetH` → PNG re-encode (mime becomes image/png).
+    * Audio/video/text fall back to the documented stub transform
+    * (deterministic truncate/pad to the target's nominal size — no
+    * audio/video codecs in this environment). The metadata contract is
+    * real for every branch: `byte_len` reflects the transformed blob. */
+  def resize(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     require(targetW > 0 && targetH > 0, s"bad target: ${targetW}x$targetH")
-    val nominal = targetW * targetH * 3 / 1024 + 1 // fake "encoded" size
+    val nominal = targetW * targetH * 3 / 1024 + 1 // stub "encoded" size
     items.mapPartitions { it =>
       // per-partition codec/resampler initialization would go here
       it.map { m =>
-        val blob = java.util.Arrays.copyOf(m.blob, nominal)
-        m.copy(blob = blob, byte_len = blob.length.toLong)
+        if (m.media_type == "image") {
+          val src = decodeOrFail(m)
+          val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(src, 0, 0, targetW, targetH, null)
+          g2.dispose()
+          val blob = encodePng(out)
+          m.copy(blob = blob, mime = "image/png", byte_len = blob.length.toLong)
+        } else {
+          val blob = java.util.Arrays.copyOf(m.blob, nominal)
+          m.copy(blob = blob, byte_len = blob.length.toLong)
+        }
       }
     }
   }
+
+  /** Back-compat name from the all-stub era; image items now resample for
+    * real. */
+  def resizeStub(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[MediaItem] =
+    resize(items, targetW, targetH)
 }

@@ -3,8 +3,10 @@ package graft
 import graft.ops.{MediaItem, Multimodal}
 
 /** Multimodal-column plumbing: binary attach, partition-batched feature
-  * extraction and resize (decode stubbed — no codecs in this
-  * environment; the schema/batching contracts are the real thing). */
+  * extraction and resize. Image decode/resample is REAL (javax.imageio +
+  * Graphics2D — in every JDK); audio/video decode stays stubbed (no
+  * codecs in this environment; the schema/batching contracts are the
+  * real thing for every modality). */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -27,14 +29,39 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.sig).toSeq == f2.map(_.sig).toSeq)
   }
 
-  test("resizeStub: metadata tracks the transformed blob; bad target rejected") {
+  test("resize stub branch: metadata tracks the transformed blob; bad target rejected") {
     val items = Multimodal.attachBinary(docs, "doc_id", "text").as[MediaItem]
-    val resized = Multimodal.resizeStub(items, 64, 48).collect()
+    val resized = Multimodal.resize(items, 64, 48).collect()
     val nominal = 64 * 48 * 3 / 1024 + 1
     assert(resized.forall(m =>
       m.byte_len == nominal && m.blob.length == nominal && m.mime == "text/plain"))
     intercept[IllegalArgumentException] {
-      Multimodal.resizeStub(items, 0, 48)
+      Multimodal.resize(items, 0, 48)
     }
+  }
+
+  test("image decode is real: synthesized PNG round-trips through resize") {
+    // (23, 17) @ rgb(200, 30, 77): dims and channel means must survive
+    // encode -> decode -> bilinear resample -> PNG re-encode -> decode
+    val png = Multimodal.solidPng(23, 17, 200, 30, 77)
+    assert(png.length > 8 &&
+      (png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
+      "solidPng must emit a real PNG signature")
+    val items = Seq(MediaItem(7L, "image", png, "image/png", png.length.toLong))
+      .toDS()
+    val f0 = Multimodal.extractFeatures(items).collect().head
+    assert(f0.feature.toSeq == Seq(23f, 17f, 200f, 30f, 77f),
+      s"decoded features: ${f0.feature.toSeq}")
+    val resized = Multimodal.resize(items, 16, 12).collect().head
+    assert(resized.mime == "image/png" && resized.byte_len == resized.blob.length)
+    val f1 = Multimodal.extractFeatures(Seq(resized).toDS()).collect().head
+    assert(f1.feature.toSeq == Seq(16f, 12f, 200f, 30f, 77f),
+      s"post-resize features: ${f1.feature.toSeq}")
+    // undecodable image blobs fail loudly, never silently stub
+    val bad = Seq(MediaItem(8L, "image", Array[Byte](1, 2, 3), "image/png", 3L)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad).collect()
+    }
+    assert(e.getMessage != null)
   }
 }
