@@ -159,9 +159,10 @@ private[bus] class EnvelopeScan(path: String, maxFilesPerTrigger: Option[Int],
   * compaction high-water mark). Serialized with name-sorted entries so
   * equal offsets have equal JSON (the execution engine compares offsets
   * by value). Parses the legacy plain-array form (pre-compaction
-  * checkpoints) with entry mtimes pinned to Long.MaxValue — legacy
-  * entries are never pruned (no recorded age), which costs compaction,
-  * never correctness. */
+  * checkpoints) with entry mtimes pinned to Long.MaxValue — a sentinel
+  * the stream's next `latestOffset` migrates to real listed mtimes (one
+  * listing pass), so legacy entries join normal age-based compaction
+  * instead of living in the consumed set forever. */
 private[bus] case class EnvelopeOffset(files: Map[String, Long],
                                        maxMtime: Long = Long.MinValue)
     extends Offset {
@@ -231,15 +232,36 @@ private[bus] class EnvelopeMicroBatchStream(path: String,
     val prev = start.asInstanceOf[EnvelopeOffset]
     val horizon = prev.horizon(maxFileAgeMs)
     val listed = EnvelopeSource.listFilesWithTimes(path, conf.value)
+    // Legacy-checkpoint migration: pre-compaction offsets restore with
+    // entry mtimes pinned to Long.MaxValue (no recorded age), which
+    // would keep them in the consumed set forever. One listing pass —
+    // this one — rewrites them with their REAL listed mtimes so the
+    // retention clock starts; entries no longer in the listing are
+    // pruned immediately (drop-directory files are immutable once
+    // visible, so a deleted consumed name never resurrects to be
+    // re-admitted). Real mtimes are epoch millis, so MaxValue is an
+    // unambiguous legacy sentinel.
+    val base =
+      if (!prev.files.exists(_._2 == Long.MaxValue)) prev.files
+      else {
+        val times = listed.toMap
+        prev.files.flatMap { case (f, m) =>
+          if (m != Long.MaxValue) Some(f -> m) else times.get(f).map(f -> _)
+        }
+      }
     val fresh = listed.filter { case (f, m) =>
-      m > horizon && !prev.files.contains(f)
+      m > horizon && !base.contains(f)
     }
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    if (admitted.isEmpty) prev
-    else {
+    if (admitted.isEmpty) {
+      // still surface a migrated consumed set on an otherwise idle
+      // trigger (one empty batch, once); an unmigrated idle directory
+      // keeps the byte-identical offset as before
+      if (base == prev.files) prev else EnvelopeOffset(base, prev.maxMtime)
+    } else {
       val admittedMax = admitted.iterator.map(_._2).max
       val unadmittedMin = fresh.drop(admitted.size) match {
         case rest if rest.isEmpty => Long.MaxValue
@@ -253,7 +275,7 @@ private[bus] class EnvelopeMicroBatchStream(path: String,
         else unadmittedMin - 1 + maxFileAgeMs
       val maxMtime = math.max(prev.maxMtime, math.min(admittedMax, cap))
       val newHorizon = EnvelopeOffset.horizonFor(maxMtime, maxFileAgeMs)
-      val kept = prev.files.filter { case (_, m) => m > newHorizon }
+      val kept = base.filter { case (_, m) => m > newHorizon }
       EnvelopeOffset(kept ++ admitted, maxMtime)
     }
   }

@@ -137,14 +137,38 @@ object IncrementalReport {
       when(col("max_w").isNotNull && col("max_h").isNotNull,
         format_string("%dx%d", col("max_w"), col("max_h"))).as("resolution"))
 
+  // The fold is read-modify-write over irreversible on-disk state: two
+  // concurrent folds of one stateDir (two control topics, an embedded
+  // host issuing `metrics` from its own thread) would both read meta vN,
+  // both write v(N+1), and the loser's increment would be silently
+  // dropped — or double-folded on the next command. The command loop is
+  // single-threaded today, so the guard documents-and-enforces the
+  // invariant rather than fixing a live bug. Per-stateDir monitor:
+  // distinct state dirs still fold in parallel. (Cross-PROCESS mutual
+  // exclusion is out of scope — the state dir belongs to one engine
+  // instance by construction, like a streaming checkpoint dir.)
+  private val foldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Fold newly-published files under `detectionsDir` into the state at
     * `stateDir` and return (report over the merged state, number of files
     * folded). The report is None only when nothing has ever been
     * published. `parse` maps the raw published frame to the
-    * (source_id, decode_s, inference_s, e2e_s, w, h) shape. */
+    * (source_id, decode_s, inference_s, e2e_s, w, h) shape.
+    * Thread-safe per state dir: concurrent calls serialize. */
   def foldAndReport(spark: SparkSession, detectionsDir: String,
                     stateDir: String,
                     parse: DataFrame => DataFrame): (Option[DataFrame], Int) = {
+    val lock = foldLocks.computeIfAbsent(
+      new Path(stateDir).toString, _ => new Object)
+    lock.synchronized {
+      foldAndReportLocked(spark, detectionsDir, stateDir, parse)
+    }
+  }
+
+  private def foldAndReportLocked(spark: SparkSession, detectionsDir: String,
+                                  stateDir: String,
+                                  parse: DataFrame => DataFrame): (Option[DataFrame], Int) = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(stateDir))
     val meta = loadMeta(fs, stateDir)

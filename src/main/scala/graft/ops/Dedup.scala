@@ -181,11 +181,7 @@ object Dedup {
     * Deterministic: counts of distinct grams + min ids, no floats. */
   def contaminationCheck(train: DataFrame, test: DataFrame, id: String,
                          text: String, n: Int): DataFrame = {
-    val trainGrams = train
-      .select(col(id).as("train_id"),
-        explode(wordShingles(col(text), n)).as("gram"))
-      .groupBy(md5(col("gram")).as("gh"))
-      .agg(min(col("train_id")).as("train_id"))
+    val trainGrams = trainGramInventory(train, id, text, n)
     val testGrams = test
       .select(col(id).as("test_id"),
         explode(wordShingles(col(text), n)).as("gram"))
@@ -195,6 +191,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"),
         min(col("train_id")).as("sample_train_id"))
   }
+
+  /** The train side of [[contaminationCheck]], exposed for reuse by the
+    * streaming form ([[graft.streaming.StatefulOps.streamingContaminationCheck]]):
+    * ONE row per distinct word-n-gram hash in the train corpus, with the
+    * smallest containing doc id. Join volume downstream is bounded by
+    * the distinct-gram inventory, not corpus size. Long-lived consumers
+    * (a streaming query re-reads the static side every micro-batch)
+    * should `.persist()` the result. */
+  def trainGramInventory(train: DataFrame, id: String, text: String,
+                         n: Int): DataFrame =
+    train
+      .select(col(id).as("train_id"),
+        explode(wordShingles(col(text), n)).as("gram"))
+      .groupBy(md5(col("gram")).as("gh"))
+      .agg(min(col("train_id")).as("train_id"))
 
   /** Connected components over a near-duplicate pair graph → cluster
     * assignment (the "keep one per cluster" step of a dedup pipeline).

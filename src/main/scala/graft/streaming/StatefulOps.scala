@@ -258,6 +258,39 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming benchmark decontamination — the incremental form of
+    * [[graft.ops.Dedup.contaminationCheck]]: held-out documents arrive as
+    * a STREAM and are checked against a STATIC train-gram inventory
+    * ([[graft.ops.Dedup.trainGramInventory]] — one row per distinct gram,
+    * so the join is bounded by the gram inventory, not train-corpus
+    * size). Per-doc grams explode row-locally, hit the inventory via a
+    * stream-static hash equi-join (stateless — Spark re-plans the static
+    * side per micro-batch; pass a persisted inventory), and collapse to
+    * one report row per (window, contaminated doc) with a watermark-
+    * bounded windowed aggregation in append mode: state expires with the
+    * watermark, the property that keeps this runnable on an unbounded
+    * held-out feed.
+    *
+    * Output: `(window_start, test_id, n_shared_grams, sample_train_id)` —
+    * the batch report's columns plus the window that closed the row; for
+    * docs confined to one window the counts are identical to the batch
+    * operator (StatefulOpsSpec pins the parity on the q50 fixture). */
+  def streamingContaminationCheck(heldOut: DataFrame, trainGrams: DataFrame,
+                                  id: String, text: String, ts: String, n: Int,
+                                  lateness: String, windowLen: String): DataFrame = {
+    val grams = heldOut
+      .withWatermark(ts, lateness)
+      .select(col(ts), col(id).as("test_id"),
+        explode(graft.ops.Dedup.wordShingles(col(text), n)).as("gram"))
+      .select(col(ts), col("test_id"), md5(col("gram")).as("gh"))
+    grams.join(trainGrams, Seq("gh")) // stream-static inner equi-join
+      .groupBy(window(col(ts), windowLen), col("test_id"))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        min(col("train_id")).as("sample_train_id"))
+      .select(col("window.start").as("window_start"), col("test_id"),
+        col("n_shared_grams"), col("sample_train_id"))
+  }
+
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.
     *

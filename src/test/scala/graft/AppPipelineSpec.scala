@@ -161,6 +161,43 @@ class AppPipelineSpec extends SparkSpec {
     } finally { metrics.stop(); pipeline.stop() }
   }
 
+  test("foldAndReport serializes concurrent folds on one state dir (no double-count)") {
+    val dataDir = Files.createTempDirectory("fold-data").toString
+    val stateDir = Files.createTempDirectory("fold-state").toString
+    Seq((1, 1.0, 2.0, 3.0, 10, 20), (1, 1.0, 2.0, 3.0, 10, 20),
+        (1, 1.0, 2.0, 3.0, 10, 20), (2, 1.0, 2.0, 3.0, 10, 20),
+        (2, 1.0, 2.0, 3.0, 10, 20))
+      .toDF("source_id", "decode_s", "inference_s", "e2e_s", "w", "h")
+      .repartition(2).write.mode("overwrite").parquet(dataDir)
+    // two simultaneous `metrics` commands race the first fold: unguarded,
+    // both read meta v0, both fold every file, and the state double-counts
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          graft.metrics.IncrementalReport
+            .foldAndReport(spark, dataDir, stateDir, identity)._2
+        }
+      })
+    }
+    gate.countDown()
+    val folded = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val nFiles = Files.list(Paths.get(dataDir)).toArray.map(_.toString)
+      .count { p =>
+        val n = Paths.get(p).getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    assert(folded.sorted == Seq(0, nFiles),
+      s"one racer folds all $nFiles files, the loser folds 0 — got $folded")
+    val report = graft.metrics.IncrementalReport
+      .foldAndReport(spark, dataDir, stateDir, identity)._1.get
+      .select("source_id", "n_frames").as[(Int, Long)].collect().toMap
+    assert(report == Map(1 -> 3L, 2 -> 2L), s"double-counted state: $report")
+  }
+
   test("on-demand metrics publication writes the retained report table") {
     val eventsDir = Files.createTempDirectory("app-events2").toString
     val outDir = Files.createTempDirectory("app-out2").toString

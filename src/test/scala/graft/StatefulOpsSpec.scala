@@ -157,6 +157,44 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingContaminationCheck equals batch contaminationCheck (stream-static)") {
+    implicit val ctx = spark.sqlContext
+    // the q50/DedupSpec contamination fixture: doc 10 shares one trigram,
+    // doc 12 is a verbatim train doc, doc 11 is clean
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely different text here now")).toDF("doc_id", "text")
+    val heldOut = Seq(
+      (10L, "a quick brown fox appears"),
+      (11L, "nothing in common at all"),
+      (12L, "the quick brown fox jumps"))
+    val batch = graft.ops.Dedup.contaminationCheck(
+        train, heldOut.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // persisted: the static side is re-read every micro-batch
+    val inv = graft.ops.Dedup.trainGramInventory(train, "doc_id", "text", n = 3)
+      .persist()
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StatefulOps.streamingContaminationCheck(stream, inv,
+        "doc_id", "text", "ts", n = 3,
+        lateness = "10 seconds", windowLen = "1 minute")
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
+    withQuery(q) {
+      in.addData(heldOut.map { case (i, t) => (i, ts("2024-01-01 00:00:01"), t) }: _*)
+      q.processAllAvailable()
+      // a clean far-future doc advances the watermark and closes the window
+      in.addData((99L, ts("2024-01-01 01:00:00"), "zz yy xx ww vv"))
+      q.processAllAvailable()
+      val streamed = spark.table("contam")
+        .select("test_id", "n_shared_grams", "sample_train_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream-static report must equal the batch operator: $streamed vs $batch")
+    }
+    inv.unpersist()
+  }
+
   test("ST2/ST3 contract: watermarked streaming equals batch-minus-late-rows") {
     implicit val ctx = spark.sqlContext
     // two keys in window [0,10); a flush event far ahead closes it; a late
