@@ -204,3 +204,95 @@ object SimHashVotes {
   def agg(hash: Column): Column =
     Bridge.column(SimHashVotes(Bridge.expression(hash)).toAggregateExpression())
 }
+
+/** MinHash signature fold as ONE native aggregate: input is the 60-bit
+  * shingle base hash reduced mod P ([[graft.ops.Dedup.baseHash]]);
+  * output is the full `numHashes`-wide signature array, element i =
+  * min over shingles of `(a_i·h + b_i) mod P` with the repo's
+  * deterministic linear-hash family ([[graft.ops.Dedup.minHashA]]/`B`).
+  *
+  * Same rationale as [[SimHashVotes]]: the compositional form plans
+  * `numHashes` separate `min(...)` aggregate expressions — numHashes
+  * generated update calls and buffer slots per input row, plus an
+  * array-assembly post-projection. Here one update call loads the hash
+  * word once and walks a `long[numHashes]` running-minimum buffer
+  * (two integer ops per slot); `eval` emits the signature array
+  * directly. Map-side combinable (merge = element-wise min, ships
+  * numHashes longs per group per partition), O(numHashes) state,
+  * deterministic integer arithmetic → the q17 oracle is unchanged.
+  * The HOF fold [[graft.ops.Dedup.minHashSignature]] is the executable
+  * specification (DedupSpec pins bit-equality). */
+case class MinHashSig(
+    child: Expression, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(numHashes >= 1, s"need numHashes >= 1, got $numHashes")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_sig"
+
+  private val P = graft.ops.Dedup.MinHashP
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(P)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val p = (h * (4099L * i + 1L) + (9973L * i + 7L)) % P
+        if (p < buffer(i)) buffer(i) = p
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (other(i) < buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numHashes)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSig =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSig =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Column form: `hash` must be the base hash (Dedup.baseHash — 60-bit
+    * md5 prefix mod P). */
+  def agg(hash: Column, numHashes: Int): Column =
+    Bridge.column(
+      MinHashSig(Bridge.expression(hash), numHashes).toAggregateExpression())
+}

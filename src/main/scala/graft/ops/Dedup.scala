@@ -128,10 +128,13 @@ object Dedup {
     // over every shingle) is the dominant cost and is consumed four times
     // (both self-join sides + both verification joins).
     //
-    // Signature computed via explode + numHashes codegen'd min()
-    // aggregates (map-side partial agg; shuffle carries |docs|·cores
-    // partial rows) — semantically identical to [[minHashSignature]] but
-    // outside the interpreted-HOF path, like [[simHashTable]].
+    // Signature computed via explode + ONE native running-minimum buffer
+    // aggregate (graft.functions.MinHashSig — map-side partial agg; the
+    // shuffle carries |docs|·cores partial buffers, each update call
+    // loads the shingle hash once and folds all numHashes permutations)
+    // — semantically identical to [[minHashSignature]], the executable
+    // specification, but outside the interpreted-HOF path and without
+    // numHashes separate aggregate expressions, like [[simHashTable]].
     // persisted: the shingle arrays (interpreted HOF work) feed both the
     // signature branch (explode) and the verification join
     val shingled = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
@@ -140,11 +143,8 @@ object Dedup {
     val hashed = shingled
       .select(col("doc"), explode(col("sh")).as("s"))
       .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % MinHashP)
-    val mins = (0 until numHashes).map(i =>
-      min((col("h") * minHashA(i) + minHashB(i)) % MinHashP).as(s"__m$i"))
-    val sig = hashed.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
-      .select(col("doc"),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+    val sig = hashed.groupBy(col("doc"))
+      .agg(graft.functions.MinHashSig.agg(col("h"), numHashes).as("__sig"))
     val sh = shingled.join(sig, "doc").persist()
     val banded = sh
       .select(col("doc"), explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))

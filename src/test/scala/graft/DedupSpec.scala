@@ -99,6 +99,28 @@ class DedupSpec extends SparkSpec {
       s"unexpected contamination report: $out")
   }
 
+  test("MinHashSig native aggregate is bit-equal to the HOF signature spec") {
+    // repartition so groups span partitions (merge path); include a
+    // single-shingle doc (buffer barely touched) and heavy repetition
+    val wide = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ Seq(
+      (20L, "alpha beta"),
+      (21L, "alpha beta alpha beta alpha beta gamma"))).toSeq
+      .toDF("doc_id", "text").repartition(7)
+    val numHashes = 12
+    val native = wide
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"))).as("s"))
+      .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % Dedup.MinHashP)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSig.agg(col("h"), numHashes).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val spec = wide
+      .select(col("doc_id"),
+        Dedup.minHashSignature(Dedup.wordShingles(col("text")), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == spec, s"native=$native spec=$spec")
+  }
+
   test("simHashTable native aggregate is bit-equal to the compositional spec") {
     // a wider corpus than `docs`: repeated tokens (multiplicity votes),
     // single-token docs (all-positive votes), and near-dups — exercises
