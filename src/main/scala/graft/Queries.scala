@@ -1372,6 +1372,31 @@ object Queries {
                       greatest(0.0, least(a.y2, bb.y2) - greatest(a.y1, bb.y1)))
                      >= 0.3)"""))
 
+  /** Deterministic sequence packing (Sampling.packSequences): shard by
+    * row-local hash, then fixed-token-budget bin assignment via an
+    * exclusive running sum WINDOWED PER SHARD (never a global window) —
+    * the training-shard construction step before fixed-context
+    * concatenation. Pure integer arithmetic → exact oracle. */
+  private val q60 = QDef("q60_pack_sequences",
+    (s, d) => graft.ops.Sampling.packSequences(
+        docs(s, d).select(col("doc_id"), col("text")), "doc_id",
+        TextAnalysis.tokenCount(col("text")), numShards = 8,
+        budgetTokens = 256, salt = "s5")
+      .select("doc_id", "shard", "n_tokens", "bin"),
+    Some(s"""WITH t AS (SELECT doc_id,
+                    ${sqlHash60("doc_id", "s5")} % 8 AS shard,
+                    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                      x -> x <> '')) AS BIGINT) AS n_tokens
+                  FROM documents),
+             c AS (SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+                   FROM t)
+             SELECT doc_id, shard, n_tokens, before // 256 AS bin
+             FROM c"""), bench = true)
+
   /** The flagship composition (Curation.curateForTraining): curate →
     * deterministic split → decontaminate held-out splits against the
     * train split, one declarative plan end to end. */
@@ -1479,7 +1504,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59)
+    q55, q56, q57, q58, q59, q60)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -92,6 +92,42 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic sequence packing: assign each document to a
+    * fixed-token-budget training bin (the shard-construction step that
+    * feeds fixed-context-length training: downstream, each bin's docs
+    * are concatenated and split into ~budget-token sequences).
+    *
+    * Documents are first sharded row-locally ([[shardAssign]]'s hash —
+    * embarrassingly parallel, no coordination), then packed WITHIN each
+    * shard in deterministic id order by the exclusive running token sum:
+    * `bin = tokens_before DIV budget`. The running sum is a window
+    * PARTITIONED BY shard — never a global sort or window — so the plan
+    * scales with shard count and each shard's packing is an independent
+    * task. Pure integer arithmetic over (id, salt, token counts):
+    * re-runs reproduce bins bit-for-bit on any cluster size, and the
+    * oracle can check the exact assignment.
+    *
+    * Contiguous-in-hash-order packing means a doc longer than the
+    * budget spills past its bin boundary and later bin indices may be
+    * skipped — bins are budget-sized WINDOWS of the shard's token
+    * stream, not first-fit knapsack solutions (optimal packing is
+    * NP-hard and order-dependent; this is the auditable variant).
+    * Output: input columns + (shard, n_tokens, bin). */
+  def packSequences(df: DataFrame, id: String, tokens: Column,
+                    numShards: Int, budgetTokens: Long,
+                    salt: String): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val w = Window.partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardAssign(df, id, numShards, salt)
+      .withColumn("n_tokens", tokens.cast("long"))
+      // exact long division (DIV), not double floor — a shard's lifetime
+      // token sum may pass 2^53 at extreme scale
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before DIV $budgetTokens"))
+      .drop("__before")
+  }
+
   /** Approximate distinct count per group via the native KMV sketch
     * aggregate ([[graft.functions.KmvDistinct]]): O(k) state per group,
     * map-side combinable, DETERMINISTIC (hence oracle-checkable —

@@ -83,6 +83,37 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("test") / 2000.0 - 0.125) < 0.03)
   }
 
+  test("packSequences: exact per-shard bins, oversize docs spill, layout-invariant") {
+    import org.apache.spark.sql.functions._
+    // one shard so the packing arithmetic is directly checkable:
+    // token counts 5,5,25,5,5 over budget 10 in id order
+    //   before: 0, 5, 10, 35, 40  ->  bins 0, 0, 1, 3, 4 (bin 2 skipped
+    //   by the oversize doc — bins are budget windows, not knapsacks)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, Seq.fill(25)("w").mkString(" ")),
+      (4L, "a b c d e"), (5L, "a b c d e")).toDF("doc_id", "text")
+    val out = Sampling.packSequences(docs, "doc_id",
+        graft.ops.TextAnalysis.tokenCount(col("text")),
+        numShards = 1, budgetTokens = 10L, salt = "p")
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 4L),
+      s"unexpected bins: $out")
+    // multi-shard on a wider corpus: same assignment regardless of
+    // input layout (the decision is a pure function of ids + counts)
+    val wide = (1L to 200L).map(i => (i, Seq.fill((i % 7).toInt + 1)("t")
+      .mkString(" "))).toDF("doc_id", "text")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "doc_id",
+          graft.ops.TextAnalysis.tokenCount(col("text")), 4, 16L, "p")
+        .select("doc_id", "shard", "bin")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pack(wide) == pack(wide.repartition(13).sortWithinPartitions("text")))
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(docs, "doc_id", lit(1), 1, 0L, "p")
+    }
+  }
+
   test("KMV: exact below k, layout-invariant, equals the compositional spec") {
     val df = (1L to 3000L)
       .map(i => (if (i % 3 == 0) "a" else "b", i % 997)).toDF("g", "v")
