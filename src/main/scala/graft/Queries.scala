@@ -1397,6 +1397,44 @@ object Queries {
              SELECT doc_id, shard, n_tokens, before // 256 AS bin
              FROM c"""), bench = true)
 
+  /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
+    * placeholder tokens + per-doc match counts. The testdata corpus has
+    * no organic PII, so the query PLANTS it deterministically (an email
+    * for doc_id % 3 == 0, a URL for % 5 == 0, both derived from doc_id
+    * in both engines) — the oracle then exercises both patterns, the
+    * ordering rule (URL first), and the no-match identity path. */
+  private val q61 = QDef("q61_redact",
+    (s, d) => {
+      val aug = docs(s, d).select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" see https://site"), col("doc_id").cast("string"),
+            lit(".example/page?q=1"))).otherwise(lit(""))).as("t2"))
+      TextAnalysis.redact(aug, "t2")
+        .select("doc_id", "n_urls", "n_emails", "redacted")
+    },
+    Some("""WITH aug AS (SELECT doc_id, text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' see https://site' || CAST(doc_id AS VARCHAR) || '.example/page?q=1'
+                    ELSE '' END AS t2
+             FROM documents),
+             r1 AS (SELECT doc_id, t2,
+                      regexp_replace(t2, 'https?://[^ \t\n]+', '<URL>', 'g') AS nou
+                    FROM aug)
+             SELECT doc_id,
+                    len(regexp_extract_all(t2, 'https?://[^ \t\n]+')) AS n_urls,
+                    len(regexp_extract_all(nou,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+                    regexp_replace(nou,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                      '<EMAIL>', 'g') AS redacted
+             FROM r1"""), bench = true)
+
   /** The flagship composition (Curation.curateForTraining): curate →
     * deterministic split → decontaminate held-out splits against the
     * train split, one declarative plan end to end. */
@@ -1504,7 +1542,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60)
+    q55, q56, q57, q58, q59, q60, q61)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

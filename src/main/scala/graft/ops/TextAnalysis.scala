@@ -114,6 +114,34 @@ object TextAnalysis {
           .otherwise(lit("und")).as("lang_pred"))
   }
 
+  /** PII / pattern redaction for training-data hygiene: replace email
+    * addresses and URLs with fixed placeholder tokens and report per-doc
+    * match counts (the audit trail a redaction pass must leave). Pure
+    * row-local `regexp_replace`/`regexp_extract_all` — codegen'd, no
+    * shuffle, linear at 100 TB.
+    *
+    * The patterns deliberately use only constructs with IDENTICAL
+    * semantics in Java regex (Spark) and RE2 (DuckDB, the oracle):
+    * character classes, bounded/unbounded greedy quantifiers, literal
+    * anchors — no backreferences, no lookaround, no lazy quantifiers.
+    * URLs are redacted FIRST so an email-shaped substring inside a URL
+    * (`https://x.test/a@b.cd`) counts once, as a URL — a fixed rule both
+    * engines apply identically. Production swaps in richer pattern
+    * packs (phones, SSNs, keys) under the same two-engine discipline. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val UrlPattern = "https?://[^ \\t\\n]+"
+
+  def redact(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val noUrl = regexp_replace(t, UrlPattern, "<URL>")
+    df.withColumn("n_urls",
+        size(regexp_extract_all(t, lit(UrlPattern), lit(0))))
+      .withColumn("n_emails",
+        size(regexp_extract_all(noUrl, lit(EmailPattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(noUrl, EmailPattern, "<EMAIL>"))
+  }
+
   /** Document fingerprint: minimum md5 over 8-char shingles sampled every
     * 4 chars (winnowing-style rolling selection). Row-local, deterministic,
     * and identical across engines because it is pure md5-on-substrings. */

@@ -42,6 +42,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(3).nonEmpty)
   }
 
+  test("redact: URLs first, then emails; counts audit the replacements") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@test.org or b@x.co today"),
+      (2L, "docs at https://x.test/a@b.cd and http://y.test/p?q=1"),
+      (3L, "no pii here at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(df, "text")
+      .select(col("doc_id"), col("n_urls"), col("n_emails"), col("redacted"))
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0, 2, "mail me at <EMAIL> or <EMAIL> today")), s"got ${out(1L)}")
+    // the email-shaped substring inside the first URL counts as URL only
+    assert(out(2L) == ((2, 0, "docs at <URL> and <URL>")), s"got ${out(2L)}")
+    assert(out(3L) == ((0, 0, "no pii here at all")))
+    assert(out(4L) == ((0, 0, "")))
+  }
+
   test("repetitionSignals: boilerplate scores high, varied/short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam"),       // 1/4 tokens, 1/3 bigrams, 1/2 trigrams distinct
