@@ -1397,6 +1397,34 @@ object Queries {
              SELECT doc_id, shard, n_tokens, before // 256 AS bin
              FROM c"""), bench = true)
 
+  /** REAL audio decode, end-to-end: synthesize a constant-amplitude
+    * 16-bit PCM mono WAV per doc (frames/amplitude are closed-form
+    * functions of doc_id), decode it with the JDK's WAV reader, and emit
+    * the decoded stream parameters + mean |sample|. A constant signal
+    * makes every feature an exact integer — the audio analog of q59's
+    * solid-PNG chain check. */
+  private val q62 = QDef("q62_audio_features",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val blob = Multimodal.constWav(
+            nFrames = 100 + (id % 50).toInt, sampleRate = 8000,
+            value = (1 + id % 1000).toShort)
+          graft.ops.MediaItem(id, "audio", blob, "audio/wav", blob.length.toLong)
+        })
+      Multimodal.extractFeatures(items)
+        .select(col("item_id"),
+          element_at(col("feature"), 1).cast("int").as("sample_rate"),
+          element_at(col("feature"), 2).cast("int").as("channels"),
+          element_at(col("feature"), 3).cast("long").as("n_frames"),
+          element_at(col("feature"), 4).cast("double").as("mean_abs"))
+    },
+    Some("""SELECT doc_id AS item_id, 8000 AS sample_rate, 1 AS channels,
+                   CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+                   CAST(1 + doc_id % 1000 AS DOUBLE) AS mean_abs
+            FROM documents"""), bench = true)
+
   /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
     * placeholder tokens + per-doc match counts. The testdata corpus has
     * no organic PII, so the query PLANTS it deterministically (an email
@@ -1542,7 +1570,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61)
+    q55, q56, q57, q58, q59, q60, q61, q62)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

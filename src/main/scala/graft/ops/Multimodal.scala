@@ -3,6 +3,7 @@ package graft.ops
 import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -18,10 +19,12 @@ case class MediaItem(
 
 /** Extracted features for a media item. Image items carry REAL decoded
   * features (width, height, per-channel means — `javax.imageio`, in
-  * every JDK); text items carry digest-derived features; audio/video
-  * decode is STUBBED (no audio/video codecs in this environment) with a
-  * deterministic digest-based fake so the Spark-side plumbing — schema,
-  * batching, partition shape — is real and testable for every modality. */
+  * every JDK) and audio items REAL PCM features (sample rate, channels,
+  * frames, mean |sample| — `javax.sound.sampled`, also JDK-builtin);
+  * text items carry digest-derived features; only VIDEO decode is
+  * STUBBED (no video codecs in this environment) with a deterministic
+  * digest-based fake so the Spark-side plumbing — schema, batching,
+  * partition shape — is real and testable for every modality. */
 case class MediaFeatures(
     item_id: Long,
     media_type: String,
@@ -103,8 +106,53 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(blob)
       .map("%02x".format(_)).mkString
 
-  /** STUB decoder for the codec-less modalities (audio/video; text keeps
-    * the same digest shape): deterministic md5 digest + 4 pseudo-features
+  /** Deterministic constant-amplitude 16-bit PCM mono WAV — the audio
+    * analog of [[solidPng]]: every decoded feature is an exact closed
+    * form of (nFrames, sampleRate, value), so the encode→decode chain is
+    * hash-checkable against a SQL oracle. `javax.sound.sampled` ships
+    * WAV/AIFF support in every JDK — no codec dependency. */
+  def constWav(nFrames: Int, sampleRate: Int, value: Short): Array[Byte] = {
+    require(nFrames > 0 && sampleRate > 0, s"bad wav: $nFrames frames @ $sampleRate")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // s16le mono
+    val pcm = ByteBuffer.allocate(2 * nFrames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nFrames).foreach(_ => pcm.putShort(value))
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode for WAV/AIFF payloads (JDK-builtin readers):
+    * feature layout [sample_rate, channels, n_frames, mean_abs] where
+    * mean_abs is the mean absolute 16-bit PCM sample value. */
+  private def decodeAudio(item: MediaItem): MediaFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(item.blob))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"item ${item.item_id}: only 16-bit PCM supported, got $fmt")
+      val bytes = ais.readAllBytes()
+      val bb = ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sumAbs = 0L
+      var n = 0
+      while (bb.remaining() >= 2) { sumAbs += math.abs(bb.getShort.toLong); n += 1 }
+      val frames = n / fmt.getChannels
+      MediaFeatures(item.item_id, item.media_type, item.byte_len,
+        md5Hex(item.blob),
+        Array(fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+          if (n == 0) 0f else (sumAbs.toDouble / n).toFloat))
+    } finally ais.close()
+  }
+
+  /** STUB decoder for the codec-less modality (video; text keeps the
+    * same digest shape): deterministic md5 digest + 4 pseudo-features
     * derived from the digest bytes. The partition-batched execution shape
     * is the real contract. */
   private def decodeStub(item: MediaItem): MediaFeatures = {
@@ -115,15 +163,21 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, partition-batched. Image items go through
-    * the REAL ImageIO decoder; other modalities through the documented
-    * stub. Executor-local "decoder init" happens once per partition (the
+    * the REAL ImageIO decoder and audio items through the REAL
+    * `javax.sound.sampled` WAV/AIFF reader; video (the one genuinely
+    * codec-less modality here) and text go through the documented stub.
+    * Executor-local "decoder init" happens once per partition (the
     * expensive part for real codecs); rows then stream through it without
     * materializing the partition. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // per-partition decoder/model initialization would go here
-      it.map(m => if (m.media_type == "image") decodeImage(m) else decodeStub(m))
+      it.map {
+        case m if m.media_type == "image" => decodeImage(m)
+        case m if m.media_type == "audio" => decodeAudio(m)
+        case m => decodeStub(m)
+      }
     }
   }
 
@@ -138,9 +192,11 @@ object Multimodal {
     * REALLY resampled: ImageIO decode → `Graphics2D` bilinear scale to
     * `targetW`×`targetH` → PNG re-encode (mime becomes image/png).
     * Audio/video/text fall back to the documented stub transform
-    * (deterministic truncate/pad to the target's nominal size — no
-    * audio/video codecs in this environment). The metadata contract is
-    * real for every branch: `byte_len` reflects the transformed blob. */
+    * (deterministic truncate/pad to the target's nominal size): video
+    * has no codec in this environment, and audio sample-RATE conversion
+    * is not guaranteed by the default JDK service providers (decode is —
+    * see extractFeatures). The metadata contract is real for every
+    * branch: `byte_len` reflects the transformed blob. */
   def resize(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     require(targetW > 0 && targetH > 0, s"bad target: ${targetW}x$targetH")

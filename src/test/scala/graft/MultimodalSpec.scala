@@ -40,6 +40,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio decode is real: synthesized WAV yields exact PCM features") {
+    val wav = Multimodal.constWav(nFrames = 120, sampleRate = 8000, value = 321)
+    assert(new String(wav.take(4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE",
+      "constWav must emit a real WAV container")
+    val items = Seq(graft.ops.MediaItem(9L, "audio", wav, "audio/wav",
+      wav.length.toLong)).toDS()
+    val f = Multimodal.extractFeatures(items).collect().head
+    assert(f.feature.toSeq == Seq(8000f, 1f, 120f, 321f),
+      s"decoded audio features: ${f.feature.toSeq}")
+    // undecodable audio fails loudly, never silently stubs
+    val bad = Seq(graft.ops.MediaItem(10L, "audio", Array[Byte](9, 9, 9),
+      "audio/wav", 3L)).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad).collect()
+    }
+  }
+
   test("image decode is real: synthesized PNG round-trips through resize") {
     // (23, 17) @ rgb(200, 30, 77): dims and channel means must survive
     // encode -> decode -> bilinear resample -> PNG re-encode -> decode
