@@ -1425,6 +1425,27 @@ object Queries {
                    CAST(1 + doc_id % 1000 AS DOUBLE) AS mean_abs
             FROM documents"""), bench = true)
 
+  /** Distinctive terms per doc (TextAnalysis.distinctiveTerms): TF-IDF
+    * semantics under an integer-exact lexicographic rank (df asc, tf
+    * desc, term asc) — no floating log, so the oracle is exact. */
+  private val q63 = QDef("q63_distinctive_terms",
+    (s, d) => TextAnalysis.distinctiveTerms(docs(s, d), "doc_id", "text", n = 3),
+    Some("""WITH toks AS (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                      '\s+'), x -> x <> '')) AS term
+                  FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM toks GROUP BY 1, 2),
+             dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                     FROM toks GROUP BY 1),
+             r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     CAST(row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY dfq.df ASC, tf.tf DESC, tf.term ASC)
+                       AS INT) AS rn
+                   FROM tf JOIN dfq USING (term))
+             SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= 3"""),
+    bench = true)
+
   /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
     * placeholder tokens + per-doc match counts. The testdata corpus has
     * no organic PII, so the query PLANTS it deterministically (an email
@@ -1570,7 +1591,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

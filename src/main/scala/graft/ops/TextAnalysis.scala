@@ -142,6 +142,35 @@ object TextAnalysis {
         regexp_replace(noUrl, EmailPattern, "<EMAIL>"))
   }
 
+  /** Top-N most DISTINCTIVE terms per document — the TF-IDF shape with
+    * an integer-exact ranking: rarer-in-corpus first (document frequency
+    * ascending), then more-frequent-in-doc (term frequency descending),
+    * then term ascending as the fixed tie-break. Multiplying tf by a
+    * floating log(N/df) would say the same thing with cross-engine
+    * rounding risk; the lexicographic integer order is bit-reproducible
+    * and DuckDB-oracle-checkable.
+    *
+    * Scale shape: term frequencies and document frequencies are two
+    * hash-groupBys with map-side partial aggregation (the df table is
+    * bounded by the term INVENTORY, not corpus size); the join back is a
+    * hash equi-join on the term; ranking is a window PARTITIONED BY
+    * document — never global. Output: (id, term, tf, df, rn), rn ≤ n. */
+  def distinctiveTerms(df: DataFrame, id: String, text: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = df.select(col(id),
+      explode(tokens(lower(col(text)))).as("term"))
+    val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(id), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+      .orderBy(col("df").asc, col("tf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col(id), col("term"), col("tf"), col("df"), col("rn"))
+  }
+
   /** Document fingerprint: minimum md5 over 8-char shingles sampled every
     * 4 chars (winnowing-style rolling selection). Row-local, deterministic,
     * and identical across engines because it is pure md5-on-substrings. */

@@ -42,6 +42,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(3).nonEmpty)
   }
 
+  test("distinctiveTerms ranks rare-in-corpus, frequent-in-doc, with fixed ties") {
+    val df = Seq(
+      (1L, "shared shared unique1 unique1 unique1"),
+      (2L, "shared unique2"),
+      (3L, "shared shared shared")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.distinctiveTerms(df, "doc_id", "text", n = 2)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._5).map(r =>
+        (r._2, r._3, r._4)).toSeq }
+    // unique terms (df=1) outrank the corpus-wide "shared" (df=3)
+    assert(out(1L) == Seq(("unique1", 3L, 1L), ("shared", 2L, 3L)), s"${out(1L)}")
+    assert(out(2L) == Seq(("unique2", 1L, 1L), ("shared", 1L, 3L)), s"${out(2L)}")
+    assert(out(3L) == Seq(("shared", 3L, 3L)), s"${out(3L)}")
+  }
+
   test("redact: URLs first, then emails; counts audit the replacements") {
     val df = Seq(
       (1L, "mail me at a.b+c@test.org or b@x.co today"),
