@@ -114,9 +114,10 @@ class DedupSpec extends SparkSpec {
       .agg(graft.functions.MinHashSig.agg(col("h"), numHashes).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     val spec = wide
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        Dedup.minHashSignature(Dedup.wordShingles(col("text")), numHashes).as("sig"))
-      .filter(size(col("sig")) > 0)
+        Dedup.minHashSignature(col("sh"), numHashes).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(native == spec, s"native=$native spec=$spec")
   }
@@ -139,6 +140,44 @@ class DedupSpec extends SparkSpec {
     val hof = wide.select(col("doc_id"), Dedup.simHash(col("text")))
       .as[(Long, Long)].collect().toMap
     native.foreach { case (d, s) => assert(hof(d) == s, s"doc $d") }
+  }
+
+  test("native sketch aggregates equal their specs on generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // a generated 120-doc corpus: variable length, small vocabulary (high
+    // collision/repetition rates — the regime where a buffer-update bug
+    // would show), fixed seed for reproducible failures
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "xyz", "q")
+    val docGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = Gen.listOfN(120, docGen)
+      .apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(sys.error("gen failed"))
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(9)
+    // SimHash: native buffer fold == 60 compositional sums == HOF column
+    val simNative = Dedup.simHashPairsFingerprints(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val simSpec = Dedup.simHashTableCompositional(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(simNative == simSpec)
+    // MinHash: native buffer fold == HOF signature fold
+    val mhNative = corpus
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"))).as("s"))
+      .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % Dedup.MinHashP)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSig.agg(col("h"), 12).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // shingle-less docs (single-token) carry no signature in either form:
+    // the operator filters size(sh) > 0 BEFORE signing (a fold over zero
+    // shingles would yield the degenerate all-P init array, not data)
+    val mhSpec = corpus
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Dedup.minHashSignature(col("sh"), 12).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(mhNative == mhSpec)
   }
 
   test("simHash: identical texts collide, pairs carry hamming distance") {
