@@ -142,16 +142,20 @@ class SamplingSpec extends SparkSpec {
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val df = in.toDF().toDF("doc_id", "text")
-    // one composed stateless plan: repetition signals + consistent sample
+    // one composed stateless plan: redaction + repetition signals +
+    // consistent sample (all row-local, so micro-batching can't matter)
     def shape(d: org.apache.spark.sql.DataFrame) =
-      graft.ops.TextAnalysis.repetitionSignals(
-        Sampling.consistentSample(d, "doc_id", 0.5, "st2"), "text")
-        .select("doc_id", "dup_token_ratio", "dup_bigram_ratio")
+      graft.ops.TextAnalysis.redact(
+        graft.ops.TextAnalysis.repetitionSignals(
+          Sampling.consistentSample(d, "doc_id", 0.5, "st2"), "text"), "text")
+        .select("doc_id", "dup_token_ratio", "dup_bigram_ratio",
+          "n_emails", "redacted")
     val q = shape(df).writeStream.format("memory")
       .queryName("curate_stream").outputMode("append").start()
     try {
       val data = (1L to 200L).map(i =>
-        (i, if (i % 3 == 0) "dup dup dup words" else s"unique text number $i here"))
+        (i, if (i % 3 == 0) s"dup dup dup words mail u$i@example.org"
+            else s"unique text number $i here"))
       in.addData(data: _*)
       q.processAllAvailable()
       val streamed = spark.table("curate_stream")
