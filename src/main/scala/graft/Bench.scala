@@ -8,14 +8,15 @@ import org.apache.spark.sql.SparkSession
   * benchmarks nothing). Failures are reported as error markers, never as
   * fake timings.
   *
-  * Each query runs TWICE in-process: the first (cold) execution pays
+  * Each query runs THREE times in-process (one cold, two warm): the
+  * first (cold) execution pays
   * per-plan one-time costs that a single-shot shared-JVM run mixes into
   * the query signal (whole-stage-codegen compilation of this plan's
   * generated classes, broadcast/exchange warm-up, page-cache population
   * for this query's column set); the second (warm) run re-executes the
   * identical plan and is reproducible across runs of the harness — a
   * round-4 variance study saw single-shot totals spread 38.5-60.5 s on
-  * identical code while warm runs agree within ±10% per query. The
+  * identical code while warm totals agree within ~8%. The
   * headline `value`/`queries` are the WARM times — best of two warm
   * executions, since sub-second queries still see 15-30% scheduler/GC
   * jitter on a shared box and the minimum is the stable order statistic

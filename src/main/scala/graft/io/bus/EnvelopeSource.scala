@@ -236,17 +236,27 @@ private[bus] class EnvelopeMicroBatchStream(path: String,
     // entry mtimes pinned to Long.MaxValue (no recorded age), which
     // would keep them in the consumed set forever. One listing pass —
     // this one — rewrites them with their REAL listed mtimes so the
-    // retention clock starts; entries no longer in the listing are
-    // pruned immediately (drop-directory files are immutable once
-    // visible, so a deleted consumed name never resurrects to be
-    // re-admitted). Real mtimes are epoch millis, so MaxValue is an
-    // unambiguous legacy sentinel.
+    // retention clock starts. An entry ABSENT from this listing is NOT
+    // dropped (pruning must never depend on one listing's completeness —
+    // the same rule as normal compaction above: a transient miss on an
+    // eventually-consistent store would reopen the file for replay);
+    // it is recorded at the newest LISTED mtime instead, so it stays in
+    // the consumed set for one full retention window from the migration
+    // frontier and ages out only when the horizon has passed every
+    // mtime it could truthfully have — at which point a resurfaced real
+    // mtime is behind the horizon too, and re-admission is barred.
+    // Real mtimes are epoch millis, so MaxValue is an unambiguous
+    // legacy sentinel; with an entirely empty listing there is no
+    // frontier to pin to, and entries keep the sentinel until one
+    // appears.
     val base =
-      if (!prev.files.exists(_._2 == Long.MaxValue)) prev.files
+      if (!prev.files.exists(_._2 == Long.MaxValue) || listed.isEmpty) prev.files
       else {
         val times = listed.toMap
-        prev.files.flatMap { case (f, m) =>
-          if (m != Long.MaxValue) Some(f -> m) else times.get(f).map(f -> _)
+        val frontier = listed.iterator.map(_._2).max
+        prev.files.map { case (f, m) =>
+          if (m != Long.MaxValue) f -> m
+          else f -> times.getOrElse(f, frontier)
         }
       }
     val fresh = listed.filter { case (f, m) =>

@@ -182,7 +182,12 @@ object IncrementalReport {
       if (meta.version > 0 && fs.exists(statePath))
         Some(spark.read.parquet(statePath.toString))
       else None
-    if (fresh.isEmpty) return (existing.map(report), 0)
+    // the returned report must be detached from the version files WHILE
+    // still inside the fold lock: it is lazy, escapes the lock, and a
+    // subsequent fold GC-deletes the version it would otherwise read —
+    // eager localCheckpoint pins the (fleet-sized, |sources|-row) result
+    // in block storage, independent of any later file deletion
+    if (fresh.isEmpty) return (existing.map(e => report(e).localCheckpoint(true)), 0)
 
     val partials = partial(parse(spark.read.parquet(fresh.map(_._1): _*)))
     val merged =
@@ -196,6 +201,8 @@ object IncrementalReport {
         fresh.filter(_._2 == newUntil).map(_._1)
     saveMeta(fs, stateDir, Meta(meta.version + 1, newUntil, frontier))
     if (meta.version > 0) fs.delete(statePath, true) // GC the old version
-    (Some(report(spark.read.parquet(nextPath.toString))), fresh.size)
+    // detached from v(N+1) for the same reason as the fresh.isEmpty path
+    (Some(report(spark.read.parquet(nextPath.toString)).localCheckpoint(true)),
+      fresh.size)
   }
 }

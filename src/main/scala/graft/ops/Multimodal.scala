@@ -157,9 +157,9 @@ object Multimodal {
     * is the real contract. */
   private def decodeStub(item: MediaItem): MediaFeatures = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(item.blob)
-    val hex = digest.map("%02x".format(_)).mkString
     val feats = digest.take(4).map(b => (b & 0xff).toFloat / 255.0f)
-    MediaFeatures(item.item_id, item.media_type, item.byte_len, hex, feats)
+    MediaFeatures(item.item_id, item.media_type, item.byte_len,
+      md5Hex(item.blob), feats)
   }
 
   /** Decode + feature-extract, partition-batched. Image items go through

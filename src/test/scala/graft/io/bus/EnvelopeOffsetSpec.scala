@@ -33,13 +33,18 @@ class EnvelopeOffsetSpec extends graft.SparkSpec {
       "legacy entries restore with the MaxValue sentinel")
 
     val stream = new EnvelopeMicroBatchStream(dir, None, maxFileAgeMs = 60000)
-    // idle trigger: migration alone — real mtimes recorded, the absent
-    // file pruned immediately, nothing admitted or replayed
+    // idle trigger: migration alone — listed entries get real mtimes;
+    // the absent entry is NOT dropped (one listing's completeness must
+    // never reopen a consumed file) but pinned at the listing frontier
+    // so it ages out with the retention window; nothing admitted
+    val frontier = listed.values.max
     val migrated = stream.latestOffset(prev, ReadLimit.allAvailable())
       .asInstanceOf[EnvelopeOffset]
-    assert(migrated.files.keySet == oldPaths, s"migrated: ${migrated.files}")
-    assert(migrated.files.forall { case (f, m) => m == listed(f) },
-      "entries must carry their real listed mtimes after migration")
+    assert(migrated.files.keySet == prev.files.keySet, s"migrated: ${migrated.files}")
+    assert(oldPaths.forall(f => migrated.files(f) == listed(f)),
+      "listed entries must carry their real mtimes after migration")
+    assert(migrated.files(s"file:$dir/gone.txt") == frontier,
+      "absent entries are pinned at the listing frontier, not pruned")
     assert(stream.planInputPartitions(prev, migrated).isEmpty,
       "migration must not replay consumed files")
 
