@@ -115,6 +115,64 @@ object StatefulOps {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** EVENT-TIME TTL variant of [[latestPerKeyTtlTws]] (ST1/ST2): the
+    * cache entry expires when the WATERMARK passes `winner.ts + ttl`,
+    * not when a wall clock does. Processing-time expiry is faithful to
+    * the reference's render cache but non-deterministic under replay —
+    * reprocessing yesterday's backlog through a recovered pipeline
+    * mass-expires state that was live in the original run. Event-time
+    * expiry is a pure function of the data and the watermark: replaying
+    * the same input reproduces the same expirations, the property a
+    * 100 TB backfill needs.
+    *
+    * One event-time timer per key, re-armed to the current winner's
+    * deadline on every update (the previous timer is deleted — the
+    * registry would otherwise accumulate one stale timer per update).
+    * On expiry the state drops only if the winner's deadline has truly
+    * passed, so a stale timer racing a just-refreshed entry is a no-op.
+    * Requires a watermark (TimeMode.EventTime rejects un-watermarked
+    * inputs) and the RocksDB state store provider. Event-time ranking
+    * only — "arrival order" has no meaning on a replayed timeline. */
+  private class LatestEventTimeTtlProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, KeyedEvent, KeyedEvent] {
+    @transient private var state: ValueState[KeyedEvent] = _
+
+    private def rank(e: KeyedEvent): (Long, Long) = (e.ts.getTime, e.event_id)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyedEvent]("latest",
+        Encoders.product[KeyedEvent], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                                 timers: TimerValues): Iterator[KeyedEvent] = {
+      val incoming = rows.maxBy(rank)
+      val winner = (Option(state.get()).toSeq :+ incoming).maxBy(rank)
+      state.update(winner)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(winner.ts.getTime + ttlMs)
+      Iterator.single(winner)
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[KeyedEvent] = {
+      if (Option(state.get())
+          .exists(_.ts.getTime + ttlMs <= expired.getExpiryTimeInMs))
+        state.clear()
+      Iterator.empty
+    }
+  }
+
+  /** See [[LatestEventTimeTtlProcessor]]. Caller supplies the watermark
+    * lateness; TTL and expiry both live on the event-time axis. */
+  def latestPerKeyTtlEventTime(events: Dataset[KeyedEvent], ttlMs: Long,
+                               lateness: String): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestEventTimeTtlProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Per-key rate limiter (ST4): pass at most one event per key per
     * `periodMs` of event time; state = last emitted bucket. */
   def throttlePerKey(events: Dataset[KeyedEvent], periodMs: Long): Dataset[KeyedEvent] = {

@@ -97,6 +97,49 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("latestPerKeyTtlEventTime: event-time ranking, watermark-driven expiry") {
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[KeyedEvent]
+      // ttl = 5 s of EVENT time; generous lateness keeps the watermark
+      // low so lower-ranked arrivals stay admissible for the rank check
+      val q = StatefulOps.latestPerKeyTtlEventTime(in.toDS(), ttlMs = 5000,
+        lateness = "10 minutes")
+        .writeStream.format("memory").queryName("ettl").outputMode("update").start()
+      withQuery(q) {
+        def key1Ids = spark.table("ettl").as[KeyedEvent].collect()
+          .filter(_.user_id == 1).map(_.event_id).toSeq
+        in.addData(ev(10, "2024-01-01 00:01:00", 1))
+        awaitCond("event 10 lands")(key1Ids.lastOption.contains(10L))
+        // lower event-time rank loses to live state (deterministic — no
+        // wall clock anywhere)
+        in.addData(ev(7, "2024-01-01 00:00:30", 1))
+        awaitCond("older event-time loses to live state")(
+          key1Ids.lastOption.contains(10L) && key1Ids.count(_ == 10L) >= 2)
+        // a far-future event on another key advances the watermark past
+        // key 1's deadline (00:01:05); the NEXT batch fires its timer and
+        // drops the state — observable as the state row count going to 1
+        def stateRows = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        in.addData(ev(99, "2024-01-01 00:20:00", 2))
+        q.processAllAvailable()
+        in.addData(ev(98, "2024-01-01 00:20:01", 2))
+        q.processAllAvailable()
+        awaitCond(s"expired key-1 state is dropped (rows=$stateRows)")(
+          stateRows == 1)
+      }
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("throttlePerKey emits at most one event per key per period") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
