@@ -1446,6 +1446,35 @@ object Queries {
              SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= 3"""),
     bench = true)
 
+  /** REAL video-container metadata, end-to-end: write a minimal ISO BMFF
+    * (MP4) file per doc — ftyp + moov(mvhd) with timescale/duration as
+    * closed forms of doc_id — and parse it back with the real box
+    * walker. Frame decode needs a codec (none in env; q64 checks the
+    * honestly-real metadata layer, completing the q59/q62 family). */
+  private val q64 = QDef("q64_video_meta",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val blob = Multimodal.minimalMp4(
+            timescale = 1000 + (id % 3).toInt * 500,
+            duration = 4000 + id % 2000)
+          graft.ops.MediaItem(id, "video", blob, "video/mp4", blob.length.toLong)
+        })
+      Multimodal.extractFeatures(items)
+        .select(col("item_id"),
+          element_at(col("feature"), 1).cast("int").as("timescale"),
+          element_at(col("feature"), 2).cast("long").as("duration"),
+          element_at(col("feature"), 3).cast("double").as("duration_ms"))
+    },
+    Some("""SELECT doc_id AS item_id,
+                   CAST(1000 + doc_id % 3 * 500 AS INT) AS timescale,
+                   CAST(4000 + doc_id % 2000 AS BIGINT) AS duration,
+                   CAST(CAST(CAST(4000 + doc_id % 2000 AS FLOAT) * 1000
+                     AS FLOAT) / CAST(1000 + doc_id % 3 * 500 AS FLOAT)
+                     AS DOUBLE) AS duration_ms
+            FROM documents"""), bench = true)
+
   /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
     * placeholder tokens + per-doc match counts. The testdata corpus has
     * no organic PII, so the query PLANTS it deterministically (an email
@@ -1591,7 +1620,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -4,6 +4,7 @@ import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -151,10 +152,102 @@ object Multimodal {
     } finally ais.close()
   }
 
-  /** STUB decoder for the codec-less modality (video; text keeps the
-    * same digest shape): deterministic md5 digest + 4 pseudo-features
-    * derived from the digest bytes. The partition-batched execution shape
-    * is the real contract. */
+  /** Minimal valid ISO BMFF (MP4) container: `ftyp` + `moov(mvhd)` —
+    * length-prefixed boxes per the spec, no media tracks. The video
+    * analog of [[solidPng]]/[[constWav]]: container METADATA (timescale,
+    * duration) is an exact closed form of the arguments, so the
+    * write→parse chain is hash-checkable. Frame DATA would need a codec
+    * (none in this environment) — metadata is the honestly-real layer. */
+  def minimalMp4(timescale: Int, duration: Long): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= Int.MaxValue,
+      s"bad mp4 meta: timescale=$timescale duration=$duration")
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length) // big-endian default
+      bb.putInt(8 + body.length)
+      bb.put(tpe.getBytes(StandardCharsets.US_ASCII))
+      bb.put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", ByteBuffer.allocate(16)
+      .put("isom".getBytes(StandardCharsets.US_ASCII)).putInt(512)
+      .put("isom".getBytes(StandardCharsets.US_ASCII))
+      .put("iso2".getBytes(StandardCharsets.US_ASCII)).array())
+    // mvhd version 0: flags(3) creation(4) modification(4) timescale(4)
+    // duration(4) rate(4) volume(2) reserved(10) matrix(36) predef(24)
+    // next_track_id(4)
+    val mvhd = ByteBuffer.allocate(100)
+    mvhd.putInt(0)                   // version + flags
+    mvhd.putInt(0).putInt(0)         // creation/modification (epoch 1904: 0)
+    mvhd.putInt(timescale)
+    mvhd.putInt(duration.toInt)
+    mvhd.putInt(0x00010000)          // rate 1.0
+    mvhd.putShort(0x0100.toShort)    // volume 1.0
+    mvhd.position(mvhd.position() + 10) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(mvhd.putInt)          // identity matrix
+    mvhd.position(mvhd.position() + 24) // pre_defined
+    mvhd.putInt(2)                   // next_track_id
+    ftyp ++ box("moov", box("mvhd", mvhd.array()))
+  }
+
+  /** REAL ISO BMFF box walk: top-level boxes → `moov` children → `mvhd`
+    * (version 0 or 1) → (timescale, duration). Pure byte arithmetic on
+    * the public container format — works on any MP4, not just
+    * [[minimalMp4]]'s output. Returns None when no mvhd exists or the
+    * structure is malformed. */
+  def parseMp4Meta(blob: Array[Byte]): Option[(Int, Long)] = {
+    def walk(from: Int, until: Int): Option[(Int, Long)] = {
+      var off = from
+      while (off + 8 <= until) {
+        val bb = ByteBuffer.wrap(blob, off, until - off)
+        val size = bb.getInt
+        val tpe = new String(blob, off + 4, 4, StandardCharsets.US_ASCII)
+        if (size < 8 || off + size > until) return None
+        tpe match {
+          case "moov" =>
+            val r = walk(off + 8, off + size)
+            if (r.isDefined) return r
+          case "mvhd" =>
+            val b = ByteBuffer.wrap(blob, off + 8, size - 8)
+            val version = b.get() & 0xff
+            b.position(b.position() + 3) // flags
+            return if (version == 1) {
+              b.getLong; b.getLong     // creation/modification (64-bit)
+              val ts = b.getInt
+              Some((ts, b.getLong))
+            } else {
+              b.getInt; b.getInt       // creation/modification (32-bit)
+              val ts = b.getInt
+              Some((ts, (b.getInt.toLong) & 0xffffffffL))
+            }
+          case _ => ()
+        }
+        off += size
+      }
+      None
+    }
+    try walk(0, blob.length) catch { case _: RuntimeException => None }
+  }
+
+  /** Video decode: container metadata is REAL (ISO BMFF box parse —
+    * [[parseMp4Meta]]); frame decode needs a codec this environment
+    * lacks, so the feature vector carries the parsed
+    * [timescale, duration, duration_ms] and no pixel statistics.
+    * Non-MP4 video falls back to the digest stub. */
+  private def decodeVideo(item: MediaItem): MediaFeatures =
+    parseMp4Meta(item.blob) match {
+      case Some((timescale, duration)) =>
+        MediaFeatures(item.item_id, item.media_type, item.byte_len,
+          md5Hex(item.blob),
+          Array(timescale.toFloat, duration.toFloat,
+            duration.toFloat * 1000f / timescale.toFloat))
+      case None => decodeStub(item)
+    }
+
+  /** STUB decoder for payloads with no parseable structure (non-MP4
+    * video; text keeps the same digest shape): deterministic md5 digest
+    * + 4 pseudo-features derived from the digest bytes. The
+    * partition-batched execution shape is the real contract. */
   private def decodeStub(item: MediaItem): MediaFeatures = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(item.blob)
     val feats = digest.take(4).map(b => (b & 0xff).toFloat / 255.0f)
@@ -176,6 +269,7 @@ object Multimodal {
       it.map {
         case m if m.media_type == "image" => decodeImage(m)
         case m if m.media_type == "audio" => decodeAudio(m)
+        case m if m.media_type == "video" => decodeVideo(m)
         case m => decodeStub(m)
       }
     }

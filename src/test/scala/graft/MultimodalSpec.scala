@@ -57,6 +57,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video container metadata is real: minimal MP4 round-trips the box walk") {
+    val mp4 = Multimodal.minimalMp4(timescale = 1500, duration = 4500L)
+    assert(new String(mp4.slice(4, 8)) == "ftyp" &&
+      new String(mp4.slice(28, 32)) == "moov",
+      "minimalMp4 must emit spec-shaped length-prefixed boxes")
+    assert(Multimodal.parseMp4Meta(mp4).contains((1500, 4500L)))
+    val items = Seq(graft.ops.MediaItem(11L, "video", mp4, "video/mp4",
+      mp4.length.toLong)).toDS()
+    val f = Multimodal.extractFeatures(items).collect().head
+    assert(f.feature.toSeq == Seq(1500f, 4500f, 3000f),
+      s"video features: ${f.feature.toSeq}")
+    // non-ISO-BMFF video payloads fall back to the digest stub (frame
+    // decode is the genuinely codec-blocked layer, not a parse error)
+    val junk = Seq(graft.ops.MediaItem(12L, "video", Array[Byte](1, 2, 3, 4),
+      "video/avi", 4L)).toDS()
+    val fj = Multimodal.extractFeatures(junk).collect().head
+    assert(fj.feature.length == 4 && fj.sig.length == 32)
+    // truncated/corrupt boxes are a None, never a crash
+    assert(Multimodal.parseMp4Meta(mp4.take(10)).isEmpty)
+    assert(Multimodal.parseMp4Meta(Array.empty[Byte]).isEmpty)
+  }
+
   test("image decode is real: synthesized PNG round-trips through resize") {
     // (23, 17) @ rgb(200, 30, 77): dims and channel means must survive
     // encode -> decode -> bilinear resample -> PNG re-encode -> decode
