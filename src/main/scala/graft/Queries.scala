@@ -939,11 +939,12 @@ object Queries {
     * float means are order-dependent, so a cross-engine RE-computation
     * could never hash-match; a shared literal table can). */
   private val centCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Seq[Float], Double)]]
-  private def trainedCentroids(s: SparkSession, d: String): Array[(Long, Seq[Float], Double)] =
-    centCache.getOrElseUpdate(d,
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[(Long, Seq[Float], Double)]]
+  private def trainedCentroids(s: SparkSession, d: String,
+                               k: Int = 8): Array[(Long, Seq[Float], Double)] =
+    centCache.getOrElseUpdate((d, k),
       Similarity.trainIvfCentroids(emb(s, d), "vec_id", "embedding",
-          k = 8, iters = 2)
+          k = k, iters = 2)
         .select("cent_id", "cent_vec", "cent_norm").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
         .sortBy(_._1))
@@ -1475,6 +1476,54 @@ object Queries {
                      AS DOUBLE) AS duration_ms
             FROM documents"""), bench = true)
 
+  /** Semantic dedup, SemDeDup-style (Similarity.semanticDedup): embeddings
+    * clustered by a trained k=64 k-means quantizer (many SMALL cells —
+    * the cell size, not the corpus, bounds the quadratic pair term;
+    * [[trainedCentroids]] cache, q42's training path), near-dup pairs
+    * compared within cluster cells only, greedy min-id representative
+    * kept. Threshold 0.3 ≈ +2.4σ for this corpus's cosine distribution,
+    * so the drop path is genuinely exercised. The oracle inlines the
+    * identical centroid literals (q42's pattern), mirrors the
+    * max-cos/larger-cent_id assignment tie-break, and derives kept via
+    * NOT EXISTS over the within-cell pair set. */
+  private val q65 = QDef("q65_semantic_dedup",
+    (s, d) => {
+      import s.implicits._
+      val cent = trainedCentroids(s, d, k = 64).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      Similarity.semanticDedup(emb(s, d), "vec_id", "embedding", cent,
+        threshold = 0.3)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedCentroids(s, d, k = 64).map { case (id, vec, nrm) =>
+        s"($id, CAST([${vec.mkString(", ")}] AS FLOAT[]), CAST($nrm AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT * FROM (VALUES $rows)
+              AS t(cent_id, cent_vec, cent_nrm)),
+            v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            asg AS (SELECT c_id, cell, c_vec, c_nrm FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     a.vec AS c_vec, a.nrm AS c_nrm,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC) AS rn
+              FROM v a, cent) WHERE rn = 1),
+            pairs AS (SELECT a.c_id AS a_id, b.c_id AS b_id,
+                round(list_sum(list_transform(range(1, len(a.c_vec) + 1),
+                  i -> CAST(a.c_vec[i] AS DOUBLE) * b.c_vec[i]))
+                  / (a.c_nrm * b.c_nrm), 6) AS cos
+              FROM asg a JOIN asg b ON a.cell = b.cell AND a.c_id < b.c_id)
+            SELECT a.c_id AS vec_id, a.cell,
+                   NOT EXISTS (SELECT 1 FROM pairs p
+                               WHERE p.b_id = a.c_id AND p.cos >= 0.3) AS kept
+            FROM asg a"""
+    }))
+
   /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
     * placeholder tokens + per-doc match counts. The testdata corpus has
     * no organic PII, so the query PLANTS it deterministically (an email
@@ -1620,7 +1669,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

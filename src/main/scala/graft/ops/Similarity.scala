@@ -227,16 +227,7 @@ object Similarity {
                   vec: String, k: Int, cent: DataFrame, nProbe: Int): DataFrame = {
     val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))
-    // assign each corpus vector to its best cell (max cos, tie: larger id)
-    val assigned = c.crossJoin(broadcast(cent))
-      .select(col("c_id"), col("c_vec"), col("c_norm"), col("cent_id"),
-        cosine(col("c_vec"), col("cent_vec"), col("c_norm"), col("cent_norm"))
-          .as("ccos"))
-      .groupBy(col("c_id"))
-      .agg(max(struct(col("ccos"), col("cent_id"), col("c_vec"), col("c_norm")))
-        .as("b"))
-      .select(col("c_id"), col("b.cent_id").as("cell"),
-        col("b.c_vec").as("c_vec"), col("b.c_norm").as("c_norm"))
+    val assigned = assignCells(c, cent)
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm"))
     // nProbe best cells per query (bounded by |centroids|)
@@ -254,6 +245,75 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
     topKMerge(scored, k)
+  }
+
+  /** Assign each `(c_id, c_vec, c_norm)` vector to its best centroid cell
+    * (max cosine, tie → larger cent_id — the `max(struct)` order). One
+    * broadcast of the tiny centroid table + one row-local scoring pass +
+    * one partial-aggregated reduce per vector; shared by [[ivfTopKWith]]
+    * (IVF search) and [[semanticNearDupPairs]] (semantic dedup). */
+  private[graft] def assignCells(c: DataFrame, cent: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cent))
+      .select(col("c_id"), col("c_vec"), col("c_norm"), col("cent_id"),
+        cosine(col("c_vec"), col("cent_vec"), col("c_norm"), col("cent_norm"))
+          .as("ccos"))
+      .groupBy(col("c_id"))
+      .agg(max(struct(col("ccos"), col("cent_id"), col("c_vec"), col("c_norm")))
+        .as("b"))
+      .select(col("c_id"), col("b.cent_id").as("cell"),
+        col("b.c_vec").as("c_vec"), col("b.c_norm").as("c_norm"))
+
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the trained coarse
+    * quantizer ([[trainIvfCentroids]]), then compare pairs WITHIN each
+    * cluster cell only. Candidate volume ∝ Σ_cell |cell|² — like
+    * [[hyperplaneLshPairs]] but with data-adaptive buckets, so semantically
+    * close pairs land together far more often than under random
+    * hyperplane signs (higher recall at equal candidate volume). The
+    * pair join is a cell equi-join, never a theta join; the centroid
+    * table is broadcast. Skew note: a pathological giant cell re-creates
+    * the quadratic blowup — at scale, raise k (more/smaller cells) or
+    * split hot cells with a second-level quantizer.
+    * Output: `(a_id, b_id, cell, cos)` with a<b, cos rounded to 6 BEFORE
+    * thresholding (cross-engine determinism, same as
+    * [[cosineNearDupPairs]]). */
+  def semanticNearDupPairs(df: DataFrame, id: String, vec: String,
+                           cent: DataFrame, threshold: Double): DataFrame = {
+    val c = df.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    pairsWithinCells(assignCells(c, cent), threshold)
+  }
+
+  private def pairsWithinCells(asg: DataFrame, threshold: Double): DataFrame = {
+    val a = asg.select(col("c_id").as("a_id"), col("c_vec").as("a_vec"),
+      col("c_norm").as("a_nrm"), col("cell"))
+    val b = asg.select(col("c_id").as("b_id"), col("c_vec").as("b_vec"),
+      col("c_norm").as("b_nrm"), col("cell").as("b_cell"))
+    a.join(b, col("cell") === col("b_cell") && col("a_id") < col("b_id"))
+      .withColumn("cos", round(
+        cosine(col("a_vec"), col("b_vec"), col("a_nrm"), col("b_nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cell", "cos")
+  }
+
+  /** Semantic dedup verdict per document: `(id, cell, kept)`. Greedy
+    * min-id representative policy — a vector is DROPPED iff some
+    * lower-id vector in its cell is cosine-close (≥ threshold); ties
+    * and chains resolve deterministically (in a chain a~b~c with a≁c,
+    * both b and c drop: each has a lower-id near-dup, even though b
+    * itself was dropped — the SemDeDup greedy, not connected-component
+    * clustering; see [[graft.ops.Dedup.dedupClusters]] for the latter).
+    * One assignment pass, one within-cell pair join, one left join
+    * against the distinct dropped set. */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+                    cent: DataFrame, threshold: Double): DataFrame = {
+    val c = df.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val asg = assignCells(c, cent)
+    val dropped = pairsWithinCells(asg, threshold)
+      .select(col("b_id").as("d_id")).distinct()
+    asg.join(dropped, col("c_id") === col("d_id"), "left_outer")
+      .select(col("c_id").as(id), col("cell"), col("d_id").isNull.as("kept"))
   }
 
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer: init =

@@ -110,6 +110,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("semanticDedup: within-cell pairs only, greedy min-id keep, chain drops both") {
+    val cent = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (20L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("cent_id", "cent_vec")
+      .select($"cent_id", $"cent_vec",
+        Similarity.norm($"cent_vec").as("cent_norm"))
+    // cell 10: 1~2 (cos .990) and 2~3 (cos .984) but NOT 1~3 (cos .951)
+    // cell 20: 4~5 (cos .990)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.14f, 0.0f)),
+      (3L, Seq(0.95f, 0.31f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.99f, 0.14f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+      cent, threshold = 0.98)
+      .select("a_id", "b_id", "cell").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 10L), (2L, 3L, 10L), (4L, 5L, 20L)),
+      s"got $pairs")
+    val verdict = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      cent, threshold = 0.98)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    // chain semantics: 3 drops because of DROPPED 2 (greedy, not
+    // connected-component); 1 and 4 are the min-id representatives
+    assert(verdict == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false))
+  }
+
   test("hyperplaneLshPairs: identical vectors share a bucket and pair at cos 1") {
     val dup = Seq((10L, Seq(0.5f, 0.5f, 0.5f)), (11L, Seq(0.5f, 0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
