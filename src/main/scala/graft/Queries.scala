@@ -1524,6 +1524,43 @@ object Queries {
             FROM asg a"""
     }))
 
+  /** Shared-span detection (Dedup.sharedSpanPairs): maximal runs of
+    * positionally-aligned shared bigrams ≥ 3 grams (= token spans ≥ 4),
+    * rare-gram blocked at doc-freq ≤ 40 — BINDING on this corpus (its
+    * bigram inventory tops out near 48 at sf0.01), so the cap path is
+    * oracle-exercised. UNBENCHED BY DESIGN, like q52: the synthetic
+    * corpus draws from a ~916-bigram vocabulary, so gram frequency grows
+    * linearly with sf and the rare-gram blocking contract (frequency cap
+    * ≫ typical gram frequency) cannot hold at bench scale — on a real
+    * corpus the inventory grows with the data and the cap binds only on
+    * boilerplate. */
+  private val q66 = QDef("q66_shared_spans",
+    (s, d) => Dedup.sharedSpanPairs(docs(s, d), "doc_id", "text",
+      n = 2, minRun = 3, maxDocFreq = 40),
+    Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '') AS toks FROM documents),
+             g0 AS (SELECT doc_id, list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1]) AS gs FROM toks),
+             g AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+               unnest(gs) AS gram FROM g0),
+             h AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh FROM g),
+             capped AS (SELECT doc_id, pos, gh FROM (
+               SELECT *, count(*) OVER (PARTITION BY gh) AS n FROM h)
+               WHERE n <= 40),
+             m AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                     x.pos AS pa, y.pos AS pb
+                   FROM capped x JOIN capped y
+                     ON x.gh = y.gh AND x.doc_id < y.doc_id),
+             runs AS (SELECT a_id, b_id, pa - pb AS delta, pa,
+                 pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+                   ORDER BY pa) AS grp FROM m)
+             SELECT a_id, b_id, CAST(min(pa) AS INT) AS a_start,
+                    CAST(delta AS INT) AS delta, count(*) AS run_len
+             FROM runs GROUP BY a_id, b_id, delta, grp
+             HAVING count(*) >= 3"""))
+
   /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
     * placeholder tokens + per-doc match counts. The testdata corpus has
     * no organic PII, so the query PLANTS it deterministically (an email
@@ -1669,7 +1706,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -17,19 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column, de-duplicated, order-free.
-    * n=2 by default: `["a b", "b c", ...]`. Row-local. */
-  def wordShingles(text: Column, n: Int = 2): Column = {
+  /** Word n-gram shingles of a text column IN TEXT ORDER, with
+    * multiplicity — element i is the gram starting at token i. Row-local;
+    * the positional form feeds [[sharedSpanPairs]] (where order and
+    * position carry the signal); [[wordShingles]] is its de-duplicated,
+    * order-free projection. */
+  def positionalShingles(text: Column, n: Int = 2): Column = {
     val toks = TextAnalysis.tokens(text)
     val m = size(toks)
-    if (n == 1) array_distinct(toks)
+    if (n == 1) toks
     else {
       // zip toks[0..m-2] with toks[1..m-1] (bigram case generalized below)
       val parts = (0 until n).map(i => slice(toks, lit(i + 1), greatest(m - (n - 1), lit(0))))
-      val zipped = parts.reduceLeft((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
-      array_distinct(zipped)
+      parts.reduceLeft((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
     }
   }
+
+  /** Word n-gram shingles of a text column, de-duplicated, order-free.
+    * n=2 by default: `["a b", "b c", ...]`. Row-local. */
+  def wordShingles(text: Column, n: Int = 2): Column =
+    array_distinct(positionalShingles(text, n))
 
   /** Exact dedup: group identical content by md5, keep the smallest id
     * (hash-groupBy — map-side partial agg, one shuffle on the digest). */
@@ -163,6 +170,53 @@ object Dedup {
       .withColumn("jac", round(jaccard(col("a_sh"), col("b_sh")), 4))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
+  }
+
+  /** Shared-span detection — exact-substring dedup at token-gram
+    * granularity (the relational approximation of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, which uses a suffix array): for each document
+    * pair, every maximal run of positionally-aligned shared n-grams of
+    * length ≥ `minRun` — a shared token span of L tokens is a run of
+    * L−n+1 consecutive grams. Integer-only output
+    * `(a_id, b_id, a_start, delta, run_len)` (a_start = 0-based gram
+    * position in a; delta = a_start − b_start), fully deterministic.
+    *
+    * Shape: positional grams are row-local; candidates come from a
+    * 60-bit gram-hash equi-join (never theta); runs are detected with
+    * the classic pa − row_number() trick under windows partitioned by
+    * (a, b, delta) — pair-local, tiny partitions. `maxDocFreq` drops
+    * grams appearing in more than that many gram slots corpus-wide
+    * (boilerplate blocking — the suffix-array method's common-prefix
+    * explosion shows up here as Σ_gram freq² join volume): a dropped
+    * common gram can split or hide a run that contains it, the
+    * documented recall trade; 0 disables. */
+  def sharedSpanPairs(df: DataFrame, id: String, text: String, n: Int,
+                      minRun: Int, maxDocFreq: Int = 0): DataFrame = {
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    val g = df.select(col(id).as("doc"),
+        posexplode(positionalShingles(col(text), n)).as(Seq("pos", "gram")))
+      .select(col("doc"), col("pos"),
+        graft.functions.Md5Hash.prefix60(col("gram")).as("gh"))
+    val capped =
+      if (maxDocFreq <= 0) g
+      else g.withColumn("__n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+        .filter(col("__n") <= maxDocFreq).drop("__n")
+    val m = capped.as("x").join(capped.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
+    // within (a, b, delta) each pa occurs once, so consecutive pa values
+    // share a constant pa - row_number() — one group per maximal run
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "delta").orderBy("pa")
+    m.withColumn("delta", col("pa") - col("pb"))
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("delta"), col("__grp"))
+      .agg(min(col("pa")).as("a_start"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .select("a_id", "b_id", "a_start", "delta", "run_len")
   }
 
   /** Train→test contamination check (benchmark decontamination — the

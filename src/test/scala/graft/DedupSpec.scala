@@ -180,6 +180,30 @@ class DedupSpec extends SparkSpec {
     assert(mhNative == mhSpec)
   }
 
+  test("sharedSpanPairs finds maximal aligned gram runs; doc-freq cap splits them") {
+    val d = Seq(
+      (1L, "p q r s t u"),
+      (2L, "x y r s t u"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpanPairs(d, "doc_id", "text", n = 2,
+      minRun = 3, maxDocFreq = 0)
+      .select("a_id", "b_id", "a_start", "delta", "run_len")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    // 1-3 identical (full 5-gram run); 1-2 and 2-3 share the aligned
+    // "r s t u" suffix = 3 consecutive bigrams starting at gram pos 2
+    assert(spans == Set((1L, 2L, 2, 0, 3L), (1L, 3L, 0, 0, 5L),
+      (2L, 3L, 2, 0, 3L)), s"got $spans")
+    // cap at 2 gram slots: "r s"/"s t"/"t u" (3 slots each) drop, which
+    // erases the suffix runs and truncates the 1-3 run to its "p q"/"q r"
+    // prefix — a dropped common gram splits/hides runs, the documented
+    // recall trade
+    val capped = Dedup.sharedSpanPairs(d, "doc_id", "text", n = 2,
+      minRun = 2, maxDocFreq = 2)
+      .select("a_id", "b_id", "a_start", "delta", "run_len")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    assert(capped == Set((1L, 3L, 0, 0, 2L)), s"got $capped")
+  }
+
   test("simHash: identical texts collide, pairs carry hamming distance") {
     val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap
