@@ -349,6 +349,60 @@ object StatefulOps {
         col("n_shared_grams"), col("sample_train_id"))
   }
 
+  /** Streaming semantic dedup — the ingest-time form of
+    * [[graft.ops.Similarity.semanticDedup]] for a continuous embedding
+    * feed: an arriving document is DROPPED iff the static reference
+    * corpus already holds a cosine-near neighbor (≥ threshold) in its
+    * cluster cell. Entirely STATELESS on the stream side:
+    *
+    *  - cell assignment is a row-local argmax over the centroid LITERALS
+    *    (`array_max` over `(cos, cent_id)` structs — the same
+    *    max-cos/larger-cent_id order as the batch `assignCells`
+    *    `max(struct)`, pinned by the spec). The centroid table is tiny
+    *    by construction (it is broadcast in every batch path), so
+    *    inlining it as literals trades a broadcast for zero shuffle;
+    *  - the dedup verdict is a stream-static LEFT ANTI equi-join on the
+    *    cell key with the cosine threshold as a residual condition — no
+    *    watermark, no state store, no aggregation. The static side is
+    *    re-planned every micro-batch: pass a PERSISTED
+    *    [[refAssignedCells]] result.
+    *
+    * Same cell-bounded candidate shape as the batch operator: an
+    * arriving doc is scored only against its cell's members, never the
+    * corpus. Cosine is rounded to 6 BEFORE thresholding (the batch
+    * operators' cross-engine discipline, kept here so batch and
+    * streaming verdicts agree exactly). */
+  def streamingSemanticDedupFilter(stream: DataFrame, refAssigned: DataFrame,
+      cents: Seq[(Long, Seq[Float], Double)], id: String, vec: String,
+      threshold: Double): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val nrm = graft.ops.Similarity.norm(col(vec))
+    val cellExpr = array_max(array(cents.map { case (cid, cvec, cnrm) =>
+      struct(
+        (graft.ops.Similarity.dot(col(vec), typedLit(cvec)) / (nrm * lit(cnrm)))
+          .as("ccos"),
+        lit(cid).as("cent_id"))
+    }: _*)).getField("cent_id")
+    val s = stream
+      .withColumn("cell", cellExpr)
+      .withColumn("__nrm", nrm)
+    val dupCond = s("cell") === refAssigned("cell") &&
+      s(id) =!= refAssigned("c_id") &&
+      round(graft.ops.Similarity.cosine(s(vec), refAssigned("c_vec"),
+        s("__nrm"), refAssigned("c_norm")), 6) >= threshold
+    s.join(refAssigned, dupCond, "left_anti").drop("__nrm")
+  }
+
+  /** The static side of [[streamingSemanticDedupFilter]]: the reference
+    * corpus assigned to its cells, `(c_id, cell, c_vec, c_norm)`.
+    * Long-lived consumers should `.persist()` the result. */
+  def refAssignedCells(ref: DataFrame, id: String, vec: String,
+                       cent: DataFrame): DataFrame =
+    graft.ops.Similarity.assignCells(
+      ref.select(col(id).as("c_id"), col(vec).as("c_vec"),
+        graft.ops.Similarity.norm(col(vec)).as("c_norm")),
+      cent)
+
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.
     *

@@ -238,6 +238,48 @@ class StatefulOpsSpec extends SparkSpec {
     inv.unpersist()
   }
 
+  test("streamingSemanticDedupFilter drops static near-dups; assignment matches batch") {
+    implicit val ctx = spark.sqlContext
+    val cents = Seq((10L, Seq(1.0f, 0.0f, 0.0f), 1.0),
+      (20L, Seq(0.0f, 1.0f, 0.0f), 1.0))
+    val centDf = cents.toDF("cent_id", "cent_vec", "cent_norm")
+    val ref = Seq((1L, Seq(1.0f, 0.0f, 0.0f)), (4L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val refAsg = StatefulOps.refAssignedCells(ref, "vec_id", "embedding",
+      centDf).persist()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StatefulOps.streamingSemanticDedupFilter(
+        in.toDF().toDF("vec_id", "embedding"), refAsg, cents,
+        "vec_id", "embedding", threshold = 0.98)
+      .select("vec_id", "cell")
+      .writeStream.format("memory").queryName("semdedup")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((2L, Seq(0.99f, 0.14f, 0.0f)), (3L, Seq(0.95f, 0.31f, 0.0f)),
+        (5L, Seq(0.0f, 0.99f, 0.14f)), (6L, Seq(0.0f, 0.0f, 1.0f)))
+      q.processAllAvailable()
+      val out = spark.table("semdedup").as[(Long, Long)].collect().toSet
+      // 2 and 5 are near-dups of static 1 and 4 → dropped; 3 survives
+      // (only the STATIC corpus dedups the stream — cross-arrival dedup
+      // is the batch operator's job); 6 pins the argmax tie-break
+      // (cos 0 against both centroids → larger cent_id wins)
+      assert(out == Set((3L, 10L), (6L, 20L)), s"got $out")
+    }
+    // the literal-argmax cell must equal the batch assignCells verdict
+    // (the function is plain DataFrame ops, so it runs on batch input)
+    val probe = Seq((2L, Seq(0.99f, 0.14f, 0.0f)), (3L, Seq(0.95f, 0.31f, 0.0f)),
+      (5L, Seq(0.0f, 0.99f, 0.14f)), (6L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val litCells = StatefulOps.streamingSemanticDedupFilter(probe, refAsg,
+        cents, "vec_id", "embedding", threshold = 2.0) // nothing drops
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    val batchCells = StatefulOps.refAssignedCells(probe, "vec_id", "embedding",
+        centDf)
+      .select("c_id", "cell").as[(Long, Long)].collect().toSet
+    assert(litCells == batchCells, s"$litCells vs $batchCells")
+    refAsg.unpersist()
+  }
+
   test("ST2/ST3 contract: watermarked streaming equals batch-minus-late-rows") {
     implicit val ctx = spark.sqlContext
     // two keys in window [0,10); a flush event far ahead closes it; a late
