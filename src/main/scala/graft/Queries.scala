@@ -1561,6 +1561,30 @@ object Queries {
              FROM runs GROUP BY a_id, b_id, delta, grp
              HAVING count(*) >= 3"""))
 
+  /** Mixture resampling (Sampling.mixtureSample): reweight four sources
+    * to a 2:1:1:1 target mixture. src0 binds the feasibility constant
+    * (rate 1.0, kept whole); src1-3 downsample to rate 0.5; the other
+    * sixteen sources drop (weight 0). The oracle recomputes rates from
+    * the same counts with the identical double expression order, so the
+    * exact kept row set hash-matches. */
+  private val q67 = QDef("q67_mixture_sample",
+    (s, d) => graft.ops.Sampling.mixtureSample(docs(s, d), "doc_id", "source",
+        Seq(("src0", 0.4), ("src1", 0.2), ("src2", 0.2), ("src3", 0.2)), "mix")
+      .select("doc_id", "source", "keep_rate"),
+    Some(s"""WITH w(dom, wt) AS (VALUES ('src0', 0.4), ('src1', 0.2),
+                 ('src2', 0.2), ('src3', 0.2)),
+             c AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents GROUP BY 1),
+             f AS (SELECT c.dom, n, CAST(wt AS DOUBLE) AS wt,
+                     n / CAST(wt AS DOUBLE) AS fr
+                   FROM c JOIN w USING (dom)),
+             cm AS (SELECT min(fr) AS cmin FROM f),
+             r AS (SELECT dom, wt * cmin / n AS rate FROM f, cm)
+             SELECT d.doc_id, d.source, round(r.rate, 6) AS keep_rate
+             FROM documents d JOIN r ON d.source = r.dom
+             WHERE ${sqlHash60("d.doc_id", "mix")} / 1152921504606846976.0
+                   < r.rate"""), bench = true)
+
   /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
     * placeholder tokens + per-doc match counts. The testdata corpus has
     * no organic PII, so the query PLANTS it deterministically (an email
@@ -1706,7 +1730,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -58,6 +58,46 @@ object Sampling {
     df.filter(unitHash(col(id), salt) < rate)
   }
 
+  /** Deterministic mixture resampling — static domain reweighting, the
+    * data-recipe step that follows weight optimization à la DoReMi (Xie
+    * et al. 2023, arXiv:2305.10429): given target RELATIVE weights per
+    * domain, downsample each domain so the output mixture matches them.
+    * Per-domain keep rate `r_g = w_g·C / n_g` with `C = min_g n_g/w_g` —
+    * the largest feasible output under downsampling-only (the binding
+    * domain is kept whole, up to shared double rounding); scaling all
+    * weights by a constant leaves every rate unchanged. Domains absent
+    * from `weights` are dropped (weight 0).
+    *
+    * Scale shape: ONE count partial-agg on the domain key (|domains|
+    * result rows), the tiny rates table broadcast back, and the keep
+    * decision itself is the row-local [[consistentSample]] hash band —
+    * membership stays auditable and growth-stable per domain, and the
+    * rate arithmetic is plain IEEE doubles in a fixed expression order,
+    * so a cross-engine oracle reproduces the exact row set. Output:
+    * input columns + `keep_rate` (rounded to 6 for display; the filter
+    * uses the exact rate). */
+  def mixtureSample(df: DataFrame, id: String, domain: String,
+                    weights: Seq[(String, Double)], salt: String): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"need non-empty, strictly positive weights; got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate domain in weights: ${weights.map(_._1)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("__dom", "__w")
+    val counts = df.groupBy(col(domain).as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val feas = counts.join(broadcast(w), "__dom")
+      .withColumn("__f", col("__n") / col("__w"))
+    val cMin = feas.agg(min(col("__f")).as("__c"))
+    val rates = feas.crossJoin(broadcast(cMin))
+      .select(col("__dom"), (col("__w") * col("__c") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), df(domain) === col("__dom"))
+      .filter(unitHash(col(id), salt) < col("__rate"))
+      .withColumn("keep_rate", round(col("__rate"), 6))
+      .drop("__dom", "__rate")
+  }
+
   /** Deterministic shard assignment: `hash60(id) mod numShards` — how a
     * corpus gets distributed across data-loader workers / output files
     * with a stable, re-derivable placement (resharding with a new salt

@@ -137,6 +137,39 @@ class SamplingSpec extends SparkSpec {
       s"estimate ${native("b")} too far from true $truth")
   }
 
+  test("mixtureSample: binding domain kept whole, others hash-banded, weights relative") {
+    val df = (1L to 40L).map(i => (i, if (i <= 30) "a" else "b"))
+      .toDF("doc_id", "source")
+      .union(Seq((99L, "c")).toDF("doc_id", "source")) // unweighted → dropped
+    // n_a=30, n_b=10, weights 1:1 → C = min(30, 10) = 10 →
+    // rate_a = 10/30 = 0.333…, rate_b = 1.0 (binding, kept whole)
+    val out = Sampling.mixtureSample(df, "doc_id", "source",
+      Seq(("a", 1.0), ("b", 1.0)), "mx")
+    val kept = out.select("doc_id", "source", "keep_rate")
+      .as[(Long, String, Double)].collect()
+    assert(kept.filter(_._2 == "b").map(_._1).toSet ==
+      (31L to 40L).toSet, "binding domain must be kept whole")
+    assert(!kept.exists(_._2 == "c"), "unweighted domains drop")
+    assert(kept.filter(_._2 == "a").forall(_._3 == 0.333333) &&
+      kept.filter(_._2 == "b").forall(_._3 == 1.0))
+    // the a-side keep set IS the consistentSample band at the same rate
+    val band = Sampling.consistentSample(df.filter($"source" === "a"),
+      "doc_id", 10.0 / 30.0, "mx").select("doc_id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "a").map(_._1).toSet == band)
+    // weights are relative: scaling by 10 changes nothing
+    val scaled = Sampling.mixtureSample(df, "doc_id", "source",
+      Seq(("a", 10.0), ("b", 10.0)), "mx")
+      .select("doc_id").as[Long].collect().toSet
+    assert(scaled == kept.map(_._1).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "doc_id", "source",
+        Seq(("a", 1.0), ("a", 2.0)), "mx")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "doc_id", "source", Seq(("a", 0.0)), "mx")
+    }
+  }
+
   test("stateless curation ops run unchanged on a stream (batch parity)") {
     implicit val ctx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
