@@ -1585,6 +1585,57 @@ object Queries {
              WHERE ${sqlHash60("d.doc_id", "mix")} / 1152921504606846976.0
                    < r.rate"""), bench = true)
 
+  /** The FULL training-data recipe as one plan (q54 + the q67 mixture
+    * stage, Curation.curateForTrainingBalanced): curate → balance the
+    * curated corpus to a uniform source mixture (rates from
+    * POST-curation counts — quality gates hit sources unevenly) → split
+    * → decontaminate. */
+  private val q68 = QDef("q68_curate_balanced",
+    (s, d) => graft.ops.Curation.curateForTrainingBalanced(docs(s, d),
+      "doc_id", "text", "lang", minTokens = 5, maxMeanTokenLen = 15.0,
+      domain = "source",
+      weights = (0 until 20).map(i => (s"src$i", 1.0)),
+      mixSalt = "mx8", salt = "s8",
+      splits = Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0),
+      ngram = 3),
+    Some(s"""WITH $CurationCtes,
+             b0 AS (SELECT k.doc_id, k.lang, d.text, d.source
+                    FROM kept k JOIN documents d USING (doc_id)),
+             w(dom, wt) AS (VALUES ${(0 until 20)
+               .map(i => s"('src$i', 1.0)").mkString(", ")}),
+             c AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n
+                   FROM b0 GROUP BY 1),
+             f AS (SELECT c.dom, n, CAST(wt AS DOUBLE) AS wt,
+                     n / CAST(wt AS DOUBLE) AS fr
+                   FROM c JOIN w USING (dom)),
+             cm AS (SELECT min(fr) AS cmin FROM f),
+             r AS (SELECT dom, wt * cmin / n AS rate FROM f, cm),
+             ks AS (SELECT b.doc_id, b.lang, b.text, b.source,
+                      CASE WHEN ${sqlHash60("b.doc_id", "s8")}
+                                / 1152921504606846976.0 < 0.75 THEN 'train'
+                           WHEN ${sqlHash60("b.doc_id", "s8")}
+                                / 1152921504606846976.0 < 0.875 THEN 'val'
+                           ELSE 'test' END AS split
+                    FROM b0 b JOIN r ON b.source = r.dom
+                    WHERE ${sqlHash60("b.doc_id", "mx8")}
+                          / 1152921504606846976.0 < r.rate),
+             ktoks AS (SELECT doc_id, split,
+                         list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS toks FROM ks),
+             kgrams AS (SELECT doc_id, split,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                                 toks[i + 2])) AS gs
+                        FROM ktoks),
+             kg AS (SELECT doc_id, split, unnest(gs) AS gm FROM kgrams),
+             trg AS (SELECT DISTINCT md5(gm) AS gh FROM kg
+                     WHERE split = 'train')
+             SELECT ks.doc_id, ks.lang, ks.source, ks.split FROM ks
+             WHERE ks.split = 'train' OR NOT EXISTS (
+               SELECT 1 FROM kg JOIN trg ON md5(kg.gm) = trg.gh
+               WHERE kg.doc_id = ks.doc_id AND kg.split <> 'train')"""),
+    bench = true)
+
   /** PII redaction (TextAnalysis.redact): URLs then emails replaced with
     * placeholder tokens + per-doc match counts. The testdata corpus has
     * no organic PII, so the query PLANTS it deterministically (an email
@@ -1730,7 +1781,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -61,12 +61,46 @@ object Curation {
     val keptIds = curate(docs, id, text, lang, minTokens, maxMeanTokenLen)
       .select(col(id))
     val kept = docs.join(keptIds, Seq(id), "left_semi")
+    splitAndDecontaminate(kept, id, text, salt, splits, ngram)
+      .select(col(id), col(lang), col("split"))
+  }
+
+  /** [[curateForTraining]] with a mixture-balancing stage between
+    * curation and splitting — the full pretraining data recipe: curate →
+    * reweight the CURATED corpus to the target domain mixture
+    * ([[Sampling.mixtureSample]]; rates come from post-curation counts,
+    * where the mixture actually matters — quality gates hit domains
+    * unevenly, so reweighting the raw dump would miss the target) →
+    * deterministic split → benchmark decontamination. Domains without a
+    * weight (or with no curated survivors) drop. Still one Catalyst
+    * plan, still a pure function of (docs, weights, salts, bounds).
+    * Output: (id, lang, domain, split), one row per training-ready doc. */
+  def curateForTrainingBalanced(docs: DataFrame, id: String, text: String,
+                                lang: String, minTokens: Int,
+                                maxMeanTokenLen: Double, domain: String,
+                                weights: Seq[(String, Double)], mixSalt: String,
+                                salt: String, splits: Seq[(String, Double)],
+                                ngram: Int): DataFrame = {
+    val keptIds = curate(docs, id, text, lang, minTokens, maxMeanTokenLen)
+      .select(col(id))
+    val kept = docs.join(keptIds, Seq(id), "left_semi")
+    val balanced = Sampling.mixtureSample(kept, id, domain, weights, mixSalt)
+      .drop("keep_rate")
+    splitAndDecontaminate(balanced, id, text, salt, splits, ngram)
+      .select(col(id), col(lang), col(domain), col("split"))
+  }
+
+  /** Shared tail of the two flagship compositions: split assignment on
+    * the incoming (already curated/balanced) rows, then drop every
+    * held-out doc that leaks a train-split `ngram`. */
+  private def splitAndDecontaminate(kept: DataFrame, id: String, text: String,
+                                    salt: String, splits: Seq[(String, Double)],
+                                    ngram: Int): DataFrame = {
     val withSplit = Sampling.splitAssign(kept, id, salt, splits)
     val train = withSplit.filter(col("split") === splits.head._1)
     val held = withSplit.filter(col("split") =!= splits.head._1)
     val leaked = Dedup.contaminationCheck(train, held, id, text, ngram)
       .select(col("test_id").as(id))
     withSplit.join(leaked, Seq(id), "left_anti")
-      .select(col(id), col(lang), col("split"))
   }
 }

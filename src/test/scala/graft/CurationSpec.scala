@@ -74,4 +74,35 @@ class CurationSpec extends SparkSpec {
     (heldIds - heldLeak).foreach(h => assert(out.get(h).contains("other"),
       s"clean held doc $h must survive: $out"))
   }
+
+  test("curateForTrainingBalanced: mixture rates come from CURATED counts") {
+    // domain "a": 4 raw docs, but 2 are exact duplicates → 3 curated;
+    // domain "b": 1 curated doc. Equal weights balance on (3, 1) — NOT
+    // the raw (4, 1) — so rate_a = 1/3 (binding domain b kept whole).
+    // threshold-free assertions: a full split band keeps every row, no
+    // grams shared (all texts unique words) → decontamination a no-op.
+    val docs = Seq(
+      (1L, "the unique u1 v1 of w1 and", "en", "a"),
+      (2L, "the unique u2 v2 of w2 and", "en", "a"),
+      (3L, "the unique u3 v3 of w3 and", "en", "a"),
+      (4L, "the unique u3 v3 of w3 and", "en", "a"), // dup of 3 → dropped
+      (5L, "the unique u5 v5 of w5 and", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.curateForTrainingBalanced(docs, "doc_id", "text",
+      "lang", minTokens = 5, maxMeanTokenLen = 15.0, domain = "source",
+      weights = Seq(("a", 1.0), ("b", 1.0)), mixSalt = "mb", salt = "sb",
+      splits = Seq("train" -> 1.0), ngram = 3)
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect()
+    // b's single doc is the binding domain: always kept
+    assert(out.exists(r => r._1 == 5L && r._2 == "b" && r._3 == "train"))
+    assert(!out.exists(_._1 == 4L), "dedup loser must not reappear")
+    // a is downsampled at rate 1/3 over curated ids {1,2,3}: the kept
+    // set must equal the consistent band at that exact rate
+    val expectA = graft.ops.Sampling.consistentSample(
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id", 1.0 * 1.0 / 3.0, "mb")
+      .as[Long].collect().toSet
+    assert(out.filter(_._2 == "a").map(_._1).toSet == expectA,
+      s"got ${out.toSeq} want a-side $expectA")
+  }
 }

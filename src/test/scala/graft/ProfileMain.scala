@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the heavy dedup queries (test scope only —
+  * not part of the library). `Test/runMain graft.ProfileMain <sfDir>`. */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val b = SparkSession.builder().master("local[32]")
+      .appName("profile").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Queries.table(spark, dir, "documents")
+
+    def time(name: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
+    }
+
+    time("tokens explode count") {
+      docs.select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy().count().collect()(0).getLong(0)
+    }
+    time("positional shingles explode") {
+      docs.select(explode(graft.ops.Dedup.positionalShingles(col("text"), 2)).as("s"))
+        .groupBy().count().collect()(0).getLong(0)
+    }
+    time("distinct shingles explode") {
+      docs.select(explode(graft.ops.Dedup.wordShingles(col("text"), 2)).as("s"))
+        .groupBy().count().collect()(0).getLong(0)
+    }
+    time("+ md5 prefix60") {
+      docs.select(explode(graft.ops.Dedup.wordShingles(col("text"), 2)).as("s"))
+        .select(graft.functions.Md5Hash.prefix60(col("s")).as("h"))
+        .groupBy().agg(sum("h")).count()
+    }
+    time("minhash signatures") {
+      val shingled = docs.select(col("doc_id").as("doc"),
+          graft.ops.Dedup.wordShingles(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0)
+      shingled.select(col("doc"), explode(col("sh")).as("s"))
+        .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % graft.ops.Dedup.MinHashP)
+        .groupBy(col("doc"))
+        .agg(graft.functions.MinHashSig.agg(col("h"), 12).as("sig"))
+        .count()
+    }
+    time("q17 full") {
+      graft.ops.Dedup.minHashLshPairs(docs, "doc_id", "text", 12, 4, 0.4).count()
+    }
+    time("q55 full") {
+      Queries.byName("q55_repetition")(spark, dir).count()
+    }
+    spark.stop()
+  }
+}
