@@ -1777,11 +1777,84 @@ object Queries {
                   FROM documents)
             WHERE rn <= 3"""))
 
+  /** Fixed-size token chunking with overlap (TextAnalysis.chunkDocuments)
+    * — context-window prep (RAG indexing / fixed-context slices); chunk c
+    * covers tokens [8c, 8c+16), so consecutive chunks overlap by 8.
+    * Row-local posexplode, shuffle-free. */
+  private val q69 = QDef("q69_chunk_docs",
+    (s, d) => TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text",
+      chunkTokens = 16, stride = 8),
+    Some("""WITH t AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(text, '\s+'),
+                      x -> x <> '') AS toks
+                  FROM documents),
+             st AS (SELECT doc_id, toks,
+                      unnest(range(0, ((len(toks) - 1) // 8) + 1)) AS ci
+                    FROM t WHERE len(toks) > 0)
+             SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                    array_to_string(toks[ci * 8 + 1 : ci * 8 + 16], ' ')
+                      AS chunk_text,
+                    CAST(len(toks[ci * 8 + 1 : ci * 8 + 16]) AS INT)
+                      AS n_tokens
+             FROM st"""), bench = true)
+
+  /** Corpus snapshot diff (Dedup.snapshotDiff) — incremental ingestion:
+    * deltas (added/removed/changed) between two snapshot views of the
+    * documents table, derived deterministically (old drops doc_id%7=0,
+    * new drops doc_id%5=0 and revises text of doc_id%3=0). One full-outer
+    * hash equi-join on the id; md5 row-local. */
+  private val q70 = QDef("q70_snapshot_diff",
+    (s, d) => {
+      val dd = docs(s, d)
+      val old = dd.filter(col("doc_id") % 7 =!= 0)
+      val nw = dd.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Dedup.snapshotDiff(old, nw, "doc_id", "text")
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+                       WHERE doc_id % 7 <> 0),
+             n AS (SELECT doc_id,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2'
+                              ELSE text END) AS h
+                   FROM documents WHERE doc_id % 5 <> 0)
+             SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                    CASE WHEN o.h IS NULL THEN 'added'
+                         WHEN n.h IS NULL THEN 'removed'
+                         ELSE 'changed' END AS status,
+                    n.h AS content_hash
+             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+             WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h"""),
+    bench = true)
+
+  /** Per-stratum length-outlier trim (Curation.trimLengthOutliers):
+    * exact discrete [p05, p95] bounds per language from a value-HISTOGRAM
+    * (shuffle bounded by the (lang, length) inventory, never a raw-data
+    * sort), broadcast-joined back as a row-local filter. */
+  private val q71 = QDef("q71_trim_outliers",
+    (s, d) => graft.ops.Curation.trimLengthOutliers(docs(s, d),
+        "n_chars", "lang", loQ = 0.05, hiQ = 0.95)
+      .select("doc_id", "lang", "n_chars"),
+    Some("""WITH h AS (SELECT lang, n_chars, count(*) AS c
+                       FROM documents GROUP BY 1, 2),
+             cw AS (SELECT lang, n_chars, c,
+                      SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                      SUM(c) OVER (PARTITION BY lang) AS n
+                    FROM h),
+             b AS (SELECT lang,
+                     MIN(CASE WHEN cum >= ceil(0.05 * n) THEN n_chars END) AS lo,
+                     MIN(CASE WHEN cum >= ceil(0.95 * n) THEN n_chars END) AS hi
+                   FROM cw GROUP BY 1)
+             SELECT d.doc_id, d.lang, d.n_chars
+             FROM documents d JOIN b USING (lang)
+             WHERE d.n_chars BETWEEN b.lo AND b.hi"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+    q69, q70, q71)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -90,6 +90,50 @@ object Curation {
       .select(col(id), col(lang), col(domain), col("split"))
   }
 
+  /** Exact per-stratum discrete quantile bounds over an integer-valued
+    * column, computed VALUE-HISTOGRAM-first so the shape survives 100 TB:
+    * a hash-groupBy collapses the corpus to one row per (stratum, value) —
+    * bounded by the value inventory, not row count — and the cumulative
+    * walk + bound selection run as a window over that tiny histogram,
+    * never a sort of the raw data. The bound is the classic discrete
+    * order statistic: smallest value whose cumulative count reaches
+    * ⌈q·n⌉ — exact, tie-stable, and integer-reproducible across engines
+    * (no interpolation). Output: one row per stratum, (stratum, lo, hi). */
+  def stratumQuantileBounds(df: DataFrame, value: String, stratum: String,
+                            loQ: Double, hiQ: Double): DataFrame = {
+    require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0,
+      s"need 0 <= loQ <= hiQ <= 1, got loQ=$loQ hiQ=$hiQ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum)).orderBy(col(value))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(stratum))
+    df.groupBy(col(stratum), col(value)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(col(stratum)).agg(
+        min(when(col("__cum") >= ceil(lit(loQ) * col("__n")), col(value)))
+          .as("lo"),
+        min(when(col("__cum") >= ceil(lit(hiQ) * col("__n")), col(value)))
+          .as("hi"))
+  }
+
+  /** Length-outlier trimming (winsorize-by-drop) — the quality gate that
+    * removes per-stratum tails (truncated fragments below the low
+    * quantile, concatenation accidents above the high one) without a
+    * single global threshold washing out small strata. Keeps rows whose
+    * `value` lies within the stratum's [loQ, hiQ] discrete quantile
+    * bounds from [[stratumQuantileBounds]].
+    *
+    * Scale shape: the bounds table is one row per stratum — AQE
+    * broadcasts the join back, so the trim costs one histogram groupBy
+    * plus a broadcast-joined row-local filter. */
+  def trimLengthOutliers(df: DataFrame, value: String, stratum: String,
+                         loQ: Double, hiQ: Double): DataFrame = {
+    val bounds = stratumQuantileBounds(df, value, stratum, loQ, hiQ)
+    df.join(bounds, Seq(stratum))
+      .filter(col(value) >= col("lo") && col(value) <= col("hi"))
+      .drop("lo", "hi")
+  }
+
   /** Shared tail of the two flagship compositions: split assignment on
     * the incoming (already curated/balanced) rows, then drop every
     * held-out doc that leaks a train-split `ngram`. */

@@ -328,6 +328,34 @@ object Dedup {
       .withColumn("is_kept", col(id) === col("cluster"))
   }
 
+  /** Corpus snapshot diff — the incremental-ingestion primitive: compare
+    * two snapshots of a document table by content hash and emit one row
+    * per DELTA — `added` (id only in `newDf`), `removed` (id only in
+    * `oldDf`), `changed` (both, different content). Unchanged documents
+    * are deliberately NOT emitted: at 100 TB the delta set is the small
+    * output a pipeline acts on (re-embed, re-chunk, tombstone), and the
+    * unchanged set is derivable as `newDf` anti-join the deltas.
+    * `content_hash` carries the NEW content's md5 (null for removals) so
+    * downstream stages can route without re-reading the snapshot.
+    *
+    * Scale shape: md5 is row-local; the only shuffle is one full-outer
+    * hash equi-join on the id; the filter drops the (dominant) unchanged
+    * matches before anything downstream. Deterministic — a pure function
+    * of the two snapshots. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+                   text: String): DataFrame = {
+    val o = oldDf.select(col(id), md5(col(text)).as("__old_h"))
+    val n = newDf.select(col(id), md5(col(text)).as("__new_h"))
+    o.join(n, Seq(id), "full_outer")
+      .withColumn("status",
+        when(col("__old_h").isNull, "added")
+          .when(col("__new_h").isNull, "removed")
+          .when(col("__old_h") =!= col("__new_h"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col(id), col("status"), col("__new_h").as("content_hash"))
+  }
+
   private val SimHashBits = 60 // 15 hex chars of md5 → fits a positive Long
 
   /** 60-bit SimHash over whitespace tokens (with multiplicity): bit j of

@@ -178,4 +178,35 @@ object TextAnalysis {
     val positions = sequence(lit(1), greatest(length(text) - 7, lit(1)), lit(4))
     array_min(transform(positions, i => md5(text.substr(i, lit(8)))))
   }
+
+  /** Fixed-size token chunking with overlap — the context-window
+    * preparation step (RAG indexing, fixed-context pretraining slices):
+    * chunk c covers tokens [c·stride, c·stride + chunkTokens) of the
+    * document, so consecutive chunks overlap by `chunkTokens − stride`
+    * tokens; the final chunk may be short (every token appears in ≥1
+    * chunk, none is dropped). Token-less documents produce no chunks.
+    *
+    * Entirely row-local — tokenize, generate chunk starts, slice,
+    * posexplode — so the operator is shuffle-free and scales linearly
+    * with input splits at 100 TB; chunk ordinals are per-document, never
+    * a global sequence. Deterministic: a pure function of the text.
+    * Output: (id, chunk_idx, chunk_text, n_tokens). */
+  def chunkDocuments(df: DataFrame, id: String, text: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens=$chunkTokens], got $stride " +
+        "(stride > chunkTokens would drop tokens between chunks)")
+    // last start is the largest multiple of stride < n, so every token is
+    // covered and no chunk starts past the end: numStarts = ⌊(n−1)/stride⌋+1
+    df.select(col(id), tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id), posexplode(transform(
+          sequence(lit(0L), floor((size(col("__toks")) - 1) / lit(stride))),
+          c => slice(col("__toks"), c * stride + 1, lit(chunkTokens))))
+        .as(Seq("chunk_idx", "__ctoks")))
+      .select(col(id), col("chunk_idx"),
+        array_join(col("__ctoks"), " ").as("chunk_text"),
+        size(col("__ctoks")).as("n_tokens"))
+  }
 }

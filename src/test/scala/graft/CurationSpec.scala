@@ -105,4 +105,33 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._2 == "a").map(_._1).toSet == expectA,
       s"got ${out.toSeq} want a-side $expectA")
   }
+
+  test("stratumQuantileBounds: exact discrete order statistics per stratum") {
+    // stratum "a": values 1..10 → p20 bound = value at rank ceil(0.2·10)=2,
+    // p80 at rank 8; stratum "b" has heavy ties: [5,5,5,9] → p50 at rank
+    // ceil(2)=2 → 5, p100 at rank 4 → 9
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 9L)))
+      .toDF("stratum", "v")
+    val bounds = Curation.stratumQuantileBounds(df, "v", "stratum", 0.2, 0.8)
+      .select("stratum", "lo", "hi").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bounds("a") == ((2L, 8L)), s"got $bounds")
+    val bTies = Curation.stratumQuantileBounds(df, "v", "stratum", 0.5, 1.0)
+      .select("stratum", "lo", "hi").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bTies("b") == ((5L, 9L)), s"got $bTies")
+  }
+
+  test("trimLengthOutliers keeps exactly the in-band rows per stratum") {
+    val df = ((1 to 20).map(v => (v.toLong, "a", v.toLong * 10)) ++
+      Seq((100L, "b", 7L), (101L, "b", 7000L)))
+      .toDF("doc_id", "stratum", "len")
+    val kept = Curation.trimLengthOutliers(df, "len", "stratum", 0.10, 0.90)
+      .select("doc_id").as[Long].collect().toSet
+    // "a": ranks ceil(2)=2..ceil(18)=18 → values 20..180 → ids 2..18;
+    // "b" (n=2): lo = value at ceil(0.2)=1 → 7, hi at ceil(1.8)=2 → 7000
+    // → both kept (tiny strata are not wiped out)
+    assert(kept == ((2L to 18L).toSet ++ Set(100L, 101L)), s"got $kept")
+  }
 }

@@ -204,6 +204,26 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 3L, 0, 0, 2L)), s"got $capped")
   }
 
+  test("snapshotDiff emits exactly the added/removed/changed deltas") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, nw, "doc_id", "text")
+      .select("doc_id", "status", "content_hash")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((1L, "removed"), (3L, "changed"), (4L, "added")), s"got $out")
+    // removed rows carry no new-content hash; the others carry md5(new)
+    assert(out.head._3.isEmpty)
+    assert(out(1)._3.contains(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("gamma CHANGED".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    // unchanged doc 2 is absent by contract
+    assert(!out.exists(_._1 == 2L))
+  }
+
   test("simHash: identical texts collide, pairs carry hamming distance") {
     val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap

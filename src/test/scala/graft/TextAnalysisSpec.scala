@@ -33,6 +33,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("en", "de", "und", "en"))
   }
 
+  test("chunkDocuments covers every token with the declared overlap") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, chunk=4 stride=2 → starts 0,2,4,6
+      (2L, "a b"),                  // shorter than one chunk → single short chunk
+      (3L, "  "),                   // token-less → no chunks
+      (4L, "x0 x1 x2 x3")           // exactly one chunk... plus start at 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, stride = 2)
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, "t0 t1 t2 t3", 4), (1L, 1, "t2 t3 t4 t5", 4),
+      (1L, 2, "t4 t5 t6", 3), (1L, 3, "t6", 1),
+      (2L, 0, "a b", 2),
+      (4L, 0, "x0 x1 x2 x3", 4), (4L, 1, "x2 x3", 2)))
+    // coverage invariant: per doc, Σ stride-advances + last chunk = n tokens
+    val noOverlap = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 3, stride = 3)
+      .groupBy("doc_id").agg(sum("n_tokens").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(noOverlap == Map(1L -> 7L, 2L -> 2L, 4L -> 4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "doc_id", "text", 4, 5)
+    }
+  }
+
   test("fingerprint is deterministic and respects short texts") {
     val df = Seq("identical text body", "identical text body", "different body",
       "short").toDF("t")
