@@ -1849,12 +1849,52 @@ object Queries {
              FROM documents d JOIN b USING (lang)
              WHERE d.n_chars BETWEEN b.lo AND b.hi"""), bench = true)
 
+  /** Deterministic fixed-size per-stratum sample (Sampling.fixedSizeSample):
+    * bottom-k of the uniform (id, salt) hash per language — exact-SIZE
+    * reservoir semantics without RNG, so the oracle checks the exact
+    * member set. Partitioned window, id tie-break. */
+  private val q72 = QDef("q72_fixed_size_sample",
+    (s, d) => graft.ops.Sampling.fixedSizeSample(docs(s, d), "doc_id",
+        "lang", k = 20, salt = "s9")
+      .select("doc_id", "lang", "sample_rank"),
+    Some(s"""SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+             FROM (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY ${sqlHash60("doc_id", "s9")} ASC, doc_id ASC)
+                       AS rn
+                   FROM documents)
+             WHERE rn <= 20"""), bench = true)
+
+  /** Rare-token ratio (TextAnalysis.rareTokenRatio): OOV-style quality
+    * signal — share of token occurrences with corpus document frequency
+    * < 5. Integer counts, term-inventory-bounded df join. */
+  private val q73 = QDef("q73_rare_tokens",
+    (s, d) => TextAnalysis.rareTokenRatio(docs(s, d), "doc_id", "text",
+      minDf = 5),
+    Some("""WITH toks AS (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                      '\s+'), x -> x <> '')) AS term
+                  FROM documents),
+             dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                     FROM toks GROUP BY 1),
+             per AS (SELECT t.doc_id, count(*) AS n,
+                       CAST(SUM(CASE WHEN dfq.df < 5 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS r
+                     FROM toks t JOIN dfq USING (term) GROUP BY 1)
+             SELECT d.doc_id, COALESCE(per.n, 0) AS n_tokens,
+                    COALESCE(per.r, 0) AS n_rare,
+                    round(CASE WHEN per.n > 0
+                          THEN CAST(per.r AS DOUBLE) / per.n
+                          ELSE 0.0 END, 4) AS rare_ratio
+             FROM documents d LEFT JOIN per USING (doc_id)"""),
+    bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71)
+    q69, q70, q71, q72, q73)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

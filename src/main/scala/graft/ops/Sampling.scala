@@ -98,6 +98,30 @@ object Sampling {
       .drop("__dom", "__rate")
   }
 
+  /** Deterministic fixed-SIZE per-stratum sample — reservoir-sampling
+    * semantics without the RNG: keep the `k` rows of each stratum with
+    * the smallest [[hash60]] (bottom-k of a uniform hash is a uniform
+    * without-replacement k-sample). Where [[consistentSample]] pins the
+    * RATE and lets the size float, this pins the exact SIZE
+    * (min(k, |stratum|)) — the eval-set / few-shot-pool construction
+    * primitive, where "give me exactly 1000 per language" is the
+    * contract. Membership is a pure function of (id, salt, k): adding
+    * rows to a stratum can displace only the largest-hash members
+    * (standard bottom-k semantics), never reshuffle the whole sample.
+    *
+    * Scale shape: a window PARTITIONED BY stratum ordered by the hash —
+    * the sanctioned per-key window shape (per-stratum sort, never
+    * global); hash-collision ties break by id. Output: input columns +
+    * `sample_rank` (1-based within the stratum). */
+  def fixedSizeSample(df: DataFrame, id: String, stratum: String, k: Int,
+                      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(hash60(col(id), salt).asc, col(id).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic shard assignment: `hash60(id) mod numShards` — how a
     * corpus gets distributed across data-loader workers / output files
     * with a stable, re-derivable placement (resharding with a new salt

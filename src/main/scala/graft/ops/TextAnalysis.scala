@@ -179,6 +179,36 @@ object TextAnalysis {
     array_min(transform(positions, i => md5(text.substr(i, lit(8)))))
   }
 
+  /** Rare-token ratio — the OOV-rate-style quality signal: the fraction
+    * of a document's token OCCURRENCES whose corpus-wide document
+    * frequency is below `minDf`. High values flag gibberish, OCR noise,
+    * and synthetic text (tokens nobody else uses); near-zero values flag
+    * boilerplate. Integer counts + one final rounding — deterministic
+    * and cross-engine exact, unlike a float log-probability score.
+    *
+    * Scale shape (the [[distinctiveTerms]] pattern): the document
+    * frequency table is a hash-groupBy bounded by the term INVENTORY,
+    * not corpus size; the join back is a term equi-join; the per-doc
+    * rollup is a partial-agg count. Token-less documents score 0.
+    * Output: (id, n_tokens, n_rare, rare_ratio). */
+  def rareTokenRatio(df: DataFrame, id: String, text: String,
+                     minDf: Long): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val toks = df.select(col(id), explode(tokens(lower(col(text)))).as("term"))
+    val dfreq = toks.select(col(id), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val per = toks.join(dfreq, "term")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__df") < minDf, 1L).otherwise(0L)).as("__r"))
+    df.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__r"), lit(0L)).as("n_rare"),
+        round(when(col("__n") > 0, col("__r").cast("double") / col("__n"))
+          .otherwise(0.0), 4).as("rare_ratio"))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * preparation step (RAG indexing, fixed-context pretraining slices):
     * chunk c covers tokens [c·stride, c·stride + chunkTokens) of the

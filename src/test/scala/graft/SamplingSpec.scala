@@ -170,6 +170,63 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("fixedSizeSample: exact size, rank order, bottom-k growth stability") {
+    val df = (1L to 100L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.fixedSizeSample(df, "doc_id", "lang", k = 10, "fs")
+      .select("doc_id", "lang", "sample_rank")
+      .as[(Long, String, Int)].collect()
+    // exact size per stratum (both strata have > 10 rows)
+    assert(out.count(_._2 == "en") == 10 && out.count(_._2 == "de") == 10)
+    assert(out.filter(_._2 == "en").map(_._3).sorted.toSeq == (1 to 10))
+    // a stratum smaller than k is kept whole
+    val small = Sampling.fixedSizeSample(df.filter(col("doc_id") <= 3),
+      "doc_id", "lang", k = 10, "fs").count()
+    assert(small == 3)
+    // bottom-k growth stability: doubling the corpus can only DISPLACE
+    // members (new smaller hashes), never admit a larger hash — the
+    // surviving intersection keeps identical relative order
+    val grown = Sampling.fixedSizeSample(
+      (1L to 200L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+        .toDF("doc_id", "lang"), "doc_id", "lang", k = 10, "fs")
+      .select("doc_id", "lang", "sample_rank")
+      .as[(Long, String, Int)].collect()
+    val keptBoth = out.map(_._1).toSet.intersect(grown.map(_._1).toSet)
+    for (lang <- Seq("en", "de")) {
+      val before = out.filter(r => keptBoth(r._1) && r._2 == lang)
+        .sortBy(_._3).map(_._1).toSeq
+      val after = grown.filter(r => keptBoth(r._1) && r._2 == lang)
+        .sortBy(_._3).map(_._1).toSeq
+      assert(before == after,
+        s"surviving $lang members must keep relative order")
+    }
+  }
+
+  test("chunking is batch/streaming-identical (stateless posexplode)") {
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.chunkDocuments(d, "doc_id", "text",
+        chunkTokens = 4, stride = 2)
+    val q = shape(in.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("chunk_stream").outputMode("append").start()
+    try {
+      val data = (1L to 50L).map(i =>
+        (i, (0 until (i % 7).toInt).map(j => s"w${i}_$j").mkString(" ")))
+      in.addData(data.take(25): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = shape(data.toDF("doc_id", "text"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "row-local chunking must be batch/streaming-identical")
+    } finally q.stop()
+  }
+
   test("stateless curation ops run unchanged on a stream (batch parity)") {
     implicit val ctx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime

@@ -33,6 +33,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("en", "de", "und", "en"))
   }
 
+  test("rareTokenRatio counts occurrences below the df threshold") {
+    // "common" appears in 3 docs (df=3); "mid" in 2; each uN_* in 1
+    val df = Seq(
+      (1L, "common common u1_a u1_b"),
+      (2L, "common mid u2_a"),
+      (3L, "common mid"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenRatio(df, "doc_id", "text", minDf = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // minDf=2 → rare iff df < 2, i.e. the singleton uN tokens only;
+    // doc 1: 4 occurrences, 2 rare; doc 2: 3 occ, 1 rare; doc 3: 0 rare;
+    // token-less doc 4 scores 0 but is present
+    assert(out == Seq((1L, 4L, 2L, 0.5), (2L, 3L, 1L, 0.3333),
+      (3L, 2L, 0L, 0.0), (4L, 0L, 0L, 0.0)), s"got $out")
+  }
+
   test("chunkDocuments covers every token with the declared overlap") {
     val df = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, chunk=4 stride=2 → starts 0,2,4,6
