@@ -1889,12 +1889,64 @@ object Queries {
              FROM documents d LEFT JOIN per USING (doc_id)"""),
     bench = true)
 
+  /** Dedup savings report (Dedup.dedupSavingsReport): family-size
+    * histogram with rows/bytes removable — two partial-agg hash
+    * groupBys, min_by winner sizing, integer-exact. */
+  private val q74 = QDef("q74_dedup_savings",
+    (s, d) => Dedup.dedupSavingsReport(docs(s, d), "doc_id", "text",
+      "n_chars"),
+    Some("""WITH fam AS (SELECT md5(text) AS h, count(*) AS family_size,
+                    CAST(SUM(n_chars) AS BIGINT) AS tb,
+                    min_by(n_chars, doc_id) AS wsize
+                  FROM documents GROUP BY 1)
+             SELECT family_size, count(*) AS n_families,
+                    CAST(SUM(family_size - 1) AS BIGINT) AS dup_rows,
+                    CAST(SUM(tb - wsize) AS BIGINT) AS dup_bytes
+             FROM fam GROUP BY 1"""), bench = true)
+
+  /** Incremental MinHash near-dup (Dedup.incrementalMinHashPairs): the
+    * crawl-maintenance shape — new docs (id ≥ 250) against the existing
+    * corpus (id < 250), cross-side band join only, never re-pairing
+    * existing×existing. Same signature family as q17. */
+  private val q75 = QDef("q75_incremental_minhash",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.incrementalMinHashPairs(
+        dd.filter(col("doc_id") < 250), dd.filter(col("doc_id") >= 250),
+        "doc_id", "text", numHashes = 12, bands = 4, threshold = 0.4)
+    },
+    Some(s"""WITH $ShinglesCte,
+             f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, 12), j ->
+                         list_min(list_transform(sh, x ->
+                           ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                           % 2147483647))) AS sig
+                     FROM f),
+             banded AS (SELECT doc_id,
+                          CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                            sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+                        FROM sig, generate_series(0, 3) AS t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS existing_id,
+                             y.doc_id AS incoming_id
+                      FROM banded x JOIN banded y ON x.band = y.band
+                      WHERE x.doc_id < 250 AND y.doc_id >= 250)
+             SELECT * FROM (
+               SELECT c.existing_id, c.incoming_id,
+                      round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+                        (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))),
+                        4) AS jac
+               FROM cand c JOIN f fa ON c.existing_id = fa.doc_id
+                           JOIN f fb ON c.incoming_id = fb.doc_id)
+             WHERE jac >= 0.4"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73)
+    q69, q70, q71, q72, q73, q74, q75)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -124,26 +124,24 @@ object Dedup {
     *    creates one huge bucket → one O(|bucket|²) straggler task. Buckets
     *    above the cap are dropped (those docs still pair via their other
     *    bands). 0 disables the cap. */
-  def minHashLshPairs(df: DataFrame, id: String, text: String,
-                      numHashes: Int, bands: Int, threshold: Double,
-                      maxBucket: Int = 0): DataFrame = {
-    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
-      s"need bands >= 1 and numHashes a positive multiple of bands " +
-        s"(got numHashes=$numHashes, bands=$bands)")
-    val rowsPerBand = numHashes / bands
-    // Persist the SIGNED table, not just the shingles: the signature (md5
-    // over every shingle) is the dominant cost and is consumed four times
-    // (both self-join sides + both verification joins).
-    //
-    // Signature computed via explode + ONE native running-minimum buffer
-    // aggregate (graft.functions.MinHashSig — map-side partial agg; the
-    // shuffle carries |docs|·cores partial buffers, each update call
-    // loads the shingle hash once and folds all numHashes permutations)
-    // — semantically identical to [[minHashSignature]], the executable
-    // specification, but outside the interpreted-HOF path and without
-    // numHashes separate aggregate expressions, like [[simHashTable]].
-    // persisted: the shingle arrays (interpreted HOF work) feed both the
-    // signature branch (explode) and the verification join
+  /** Shared signature stage of the MinHash operators: `(doc, sh, __sig)`
+    * — de-duplicated shingles plus the MinHash signature, persisted
+    * (the signature — md5 over every shingle — is the dominant cost and
+    * is consumed by both candidate-join sides and both verification
+    * joins).
+    *
+    * Signature computed via explode + ONE native running-minimum buffer
+    * aggregate (graft.functions.MinHashSig — map-side partial agg; the
+    * shuffle carries |docs|·cores partial buffers, each update call
+    * loads the shingle hash once and folds all numHashes permutations)
+    * — semantically identical to [[minHashSignature]], the executable
+    * specification, but outside the interpreted-HOF path and without
+    * numHashes separate aggregate expressions, like [[simHashTable]].
+    * The shingle table is persisted separately too: the (interpreted
+    * HOF) shingling feeds both the signature branch (explode) and the
+    * verification join. */
+  private def minHashSignedTable(df: DataFrame, id: String, text: String,
+                                 numHashes: Int): DataFrame = {
     val shingled = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
@@ -152,7 +150,17 @@ object Dedup {
       .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % MinHashP)
     val sig = hashed.groupBy(col("doc"))
       .agg(graft.functions.MinHashSig.agg(col("h"), numHashes).as("__sig"))
-    val sh = shingled.join(sig, "doc").persist()
+    shingled.join(sig, "doc").persist()
+  }
+
+  def minHashLshPairs(df: DataFrame, id: String, text: String,
+                      numHashes: Int, bands: Int, threshold: Double,
+                      maxBucket: Int = 0): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"need bands >= 1 and numHashes a positive multiple of bands " +
+        s"(got numHashes=$numHashes, bands=$bands)")
+    val rowsPerBand = numHashes / bands
+    val sh = minHashSignedTable(df, id, text, numHashes)
     val banded = sh
       .select(col("doc"), explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
     val capped =
@@ -171,6 +179,78 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
   }
+
+  /** Incremental MinHash near-dup detection — dedup a NEW batch against
+    * an EXISTING corpus without ever re-pairing existing×existing: the
+    * maintenance shape of a crawl pipeline, where each snapshot's
+    * additions (see [[snapshotDiff]]) are checked against everything
+    * already ingested. Same signature/band/verify machinery as
+    * [[minHashLshPairs]], but candidates come from the CROSS-side band
+    * join only, so per-batch cost is ∝ |incoming|·bands plus the
+    * existing bucket members they touch — not ∝ |corpus|². At
+    * production scale the existing side's signature table would persist
+    * once in storage and be reused across batches (signatures are pure
+    * per-document functions, so per-side computation is identical to
+    * computing over the union and filtering).
+    *
+    * `maxBucket` caps the EXISTING side's band buckets (that is where a
+    * viral duplicate accumulates over snapshots); incoming docs still
+    * pair via their other bands, the same documented recall trade as
+    * [[minHashLshPairs]]. Output: (existing_id, incoming_id, jac). */
+  def incrementalMinHashPairs(existing: DataFrame, incoming: DataFrame,
+                              id: String, text: String, numHashes: Int,
+                              bands: Int, threshold: Double,
+                              maxBucket: Int = 0): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"need bands >= 1 and numHashes a positive multiple of bands " +
+        s"(got numHashes=$numHashes, bands=$bands)")
+    val rowsPerBand = numHashes / bands
+    val ex = minHashSignedTable(existing, id, text, numHashes)
+    val inc = minHashSignedTable(incoming, id, text, numHashes)
+    def bandsOf(t: DataFrame): DataFrame = t.select(col("doc"),
+      explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
+    val exB = bandsOf(ex)
+    val exCapped =
+      if (maxBucket <= 0) exB
+      else exB.withColumn("__bn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band")))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    val cand = exCapped.as("x").join(bandsOf(inc).as("y"),
+        col("x.band") === col("y.band"))
+      .select(col("x.doc").as("existing_id"), col("y.doc").as("incoming_id"))
+      .distinct()
+    cand
+      .join(ex.select(col("doc").as("existing_id"), col("sh").as("a_sh")),
+        "existing_id")
+      .join(inc.select(col("doc").as("incoming_id"), col("sh").as("b_sh")),
+        "incoming_id")
+      .withColumn("jac", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jac") >= threshold)
+      .select("existing_id", "incoming_id", "jac")
+  }
+
+  /** Dedup savings report — the audit artifact an exact-dedup pass
+    * leaves behind: for each duplicate-family SIZE, how many families
+    * exist, how many rows deletion removes, and how many bytes those
+    * rows carry (winner = smallest id per family, consistent with
+    * [[exactDedup]]). The reporting side of dedup that capacity
+    * planning and pipeline dashboards consume.
+    *
+    * Scale shape: two hash-groupBys with map-side partial aggregation
+    * (content hash → family stats → size histogram); `min_by` keeps the
+    * winner's size inside a codegen'd hash aggregate (never a
+    * struct-min SortAggregate); output is bounded by the distinct
+    * family sizes. Deterministic integers throughout. */
+  def dedupSavingsReport(df: DataFrame, id: String, text: String,
+                         size: String): DataFrame =
+    df.groupBy(md5(col(text)).as("h"))
+      .agg(count(lit(1)).as("family_size"),
+        sum(col(size)).as("__tb"),
+        min_by(col(size), col(id)).as("__wsize"))
+      .groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("family_size") - 1).as("dup_rows"),
+        sum(col("__tb") - col("__wsize")).as("dup_bytes"))
 
   /** Shared-span detection — exact-substring dedup at token-gram
     * granularity (the relational approximation of Lee et al. 2022,

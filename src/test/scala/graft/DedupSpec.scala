@@ -204,6 +204,37 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 3L, 0, 0, 2L)), s"got $capped")
   }
 
+  test("incrementalMinHashPairs pairs only across sides") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // dup INSIDE existing
+      (3L, "totally different words entirely here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),  // dup of 1 and 2
+      (11L, "totally different words entirely here"), // dup of 3
+      (12L, "nothing shared with anything at all")).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinHashPairs(existing, incoming, "doc_id",
+        "text", numHashes = 12, bands = 4, threshold = 0.5)
+      .select("existing_id", "incoming_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L), (3L, 11L)), s"got $out")
+    // the existing-side duplicate pair (1,2) and any incoming-incoming
+    // pair must NOT appear — the operator never re-pairs within a side
+  }
+
+  test("dedupSavingsReport histogram: families, removable rows and bytes") {
+    val d = Seq(
+      (1L, "same text", 100L), (2L, "same text", 100L), (3L, "same text", 100L),
+      (4L, "other text", 50L), (5L, "other text", 50L),
+      (6L, "unique text", 33L)).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupSavingsReport(d, "doc_id", "text", "n_chars")
+      .select("family_size", "n_families", "dup_rows", "dup_bytes")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // size-1: 1 family, nothing removable; size-2: one family, 1 row /
+    // 50 bytes; size-3: one family, 2 rows / 200 bytes
+    assert(out == Seq((1L, 1L, 0L, 0L), (2L, 1L, 1L, 50L),
+      (3L, 1L, 2L, 200L)), s"got $out")
+  }
+
   test("snapshotDiff emits exactly the added/removed/changed deltas") {
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
