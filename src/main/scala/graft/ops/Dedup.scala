@@ -229,6 +229,28 @@ object Dedup {
       .select("existing_id", "incoming_id", "jac")
   }
 
+  /** The static side of
+    * [[graft.streaming.StatefulOps.streamingIncrementalMinHash]]: the
+    * existing corpus as one row per (band key, doc), carrying the doc's
+    * shingles for in-join verification — `(band, existing_id, ex_sh)`.
+    * Carrying the shingle array through the band explode duplicates it
+    * ×bands, a width trade the streaming form accepts so the verdict is
+    * ONE stream-static equi-join (no second verification join per
+    * micro-batch); the batch operator ([[incrementalMinHashPairs]])
+    * keeps bands and shingles separate instead. Long-lived consumers
+    * should `.persist()` the result — a streaming query re-plans the
+    * static side every micro-batch. */
+  def minHashBandTable(df: DataFrame, id: String, text: String,
+                       numHashes: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"need bands >= 1 and numHashes a positive multiple of bands " +
+        s"(got numHashes=$numHashes, bands=$bands)")
+    val rowsPerBand = numHashes / bands
+    minHashSignedTable(df, id, text, numHashes)
+      .select(col("doc").as("existing_id"), col("sh").as("ex_sh"),
+        explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
+  }
+
   /** Dedup savings report — the audit artifact an exact-dedup pass
     * leaves behind: for each duplicate-family SIZE, how many families
     * exist, how many rows deletion removes, and how many bytes those

@@ -316,6 +316,50 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming incremental near-dup detection — the ingest-time form of
+    * [[graft.ops.Dedup.incrementalMinHashPairs]] for a continuous feed:
+    * each arriving document is checked against a STATIC existing-corpus
+    * band table ([[graft.ops.Dedup.minHashBandTable]] — pass it
+    * persisted) and every verified near-dup pair is emitted once.
+    *
+    * Shape: the MinHash signature is computed ROW-LOCALLY on the stream
+    * side ([[graft.ops.Dedup.minHashSignature]], the executable spec the
+    * native batch aggregate is parity-pinned against — per-row HOF cost
+    * is the price of needing no stream-side aggregation); band keys
+    * explode statelessly; candidates come from ONE stream-static hash
+    * equi-join on the band key with the Jaccard check applied in-join
+    * (the static side carries the shingles); a pair matching in several
+    * bands collapses via `dropDuplicatesWithinWatermark` — the only
+    * state, bounded by the watermark, keyed by the pair. Same rounding
+    * and threshold discipline as batch, so verdicts agree exactly.
+    * Output: `(existing_id, incoming_id, jac)` in append mode. */
+  def streamingIncrementalMinHash(incoming: DataFrame, existingBands: DataFrame,
+                                  id: String, text: String, ts: String,
+                                  numHashes: Int, bands: Int, threshold: Double,
+                                  lateness: String): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"need bands >= 1 and numHashes a positive multiple of bands " +
+        s"(got numHashes=$numHashes, bands=$bands)")
+    val rowsPerBand = numHashes / bands
+    val withSig = incoming
+      .withWatermark(ts, lateness)
+      .select(col(ts), col(id).as("incoming_id"),
+        graft.ops.Dedup.wordShingles(col(text)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig",
+        graft.ops.Dedup.minHashSignature(col("__sh"), numHashes))
+    val banded = withSig.select(col(ts), col("incoming_id"), col("__sh"),
+      explode(graft.ops.Dedup.lshBands(col("__sig"), bands, rowsPerBand))
+        .as("band"))
+    banded.join(existingBands, Seq("band")) // stream-static inner equi-join
+      .withColumn("jac",
+        round(graft.ops.Dedup.jaccard(col("__sh"), col("ex_sh")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col(ts), col("existing_id"), col("incoming_id"), col("jac"))
+      .dropDuplicatesWithinWatermark("existing_id", "incoming_id")
+      .drop(ts)
+  }
+
   /** Streaming benchmark decontamination — the incremental form of
     * [[graft.ops.Dedup.contaminationCheck]]: held-out documents arrive as
     * a STREAM and are checked against a STATIC train-gram inventory
