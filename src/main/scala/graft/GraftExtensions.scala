@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVectorDot, HyperplaneProjection}
+import graft.functions.{FloatVectorDot, HyperplaneProjection, NfcNormalize}
 
 /** SparkSessionExtensions entry point: makes the native vector
   * expressions SQL-callable —
@@ -31,5 +31,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))),
     (FunctionIdentifier("hyperplane_projection"),
       new ExpressionInfo(classOf[HyperplaneProjection].getName, "hyperplane_projection"),
-      (children: Seq[Expression]) => HyperplaneProjection(children(0), children(1))))
+      (children: Seq[Expression]) => HyperplaneProjection(children(0), children(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
 }

@@ -1941,12 +1941,44 @@ object Queries {
                            JOIN f fb ON c.incoming_id = fb.doc_id)
              WHERE jac >= 0.4"""), bench = true)
 
+  /** Text cleaning (TextAnalysis.cleanText + native NfcNormalize):
+    * planted dirty text — decomposed accents (e + U+0301), tabs, double
+    * spaces — NFC-composed and whitespace-normalized; `was_dirty` is the
+    * audit flag. DuckDB's nfc_normalize implements the same Unicode
+    * transform, so the oracle is exact. */
+  private val q76 = QDef("q76_clean_text",
+    (s, d) => {
+      // the accent is DECOMPOSED in source ('e' + U+0301 combining
+      // acute), so the NFC step has real composition work — identical
+      // input bytes to the oracle's `'cafe' || chr(769)`
+      val aug = docs(s, d).withColumn("t2",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" café  x\tb")))
+          .otherwise(col("text")))
+      TextAnalysis.cleanText(aug, "t2")
+        .select("doc_id", "clean_text", "was_dirty")
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+                    CASE WHEN doc_id % 4 = 0
+                         THEN text || ' cafe' || chr(769) || '  x' ||
+                              chr(9) || 'b'
+                         ELSE text END AS t2
+                  FROM documents),
+             c AS (SELECT doc_id, t2,
+                     trim(regexp_replace(regexp_replace(nfc_normalize(t2),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '\s+', ' ', 'g')) AS clean_text
+                   FROM aug)
+             SELECT doc_id, clean_text,
+                    clean_text <> t2 AS was_dirty
+             FROM c"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75)
+    q69, q70, q71, q72, q73, q74, q75, q76)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC (canonical composition) normalization as a native
+  * codegen'd expression — the first step of text cleaning in a
+  * training-data pipeline: the same user-visible string can arrive
+  * precomposed (`é`) or decomposed (`e` + U+0301) and would otherwise
+  * defeat exact dedup, token counting, and every hash-keyed operator.
+  *
+  * Spark ships no normalization built-in, and a Scala UDF would box
+  * every row and block whole-stage codegen in exactly the hot paths
+  * (this runs BEFORE hashing/shingling, i.e. on every byte of a 100 TB
+  * corpus). NFC is a Unicode-standard transform, so DuckDB's
+  * `nfc_normalize` computes the identical value — the expression stays
+  * oracle-checkable. Already-normalized input (the overwhelming case:
+  * ASCII and most UTF-8 text) returns the INPUT object after a
+  * verification scan — no allocation on the fast path. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    TextNorm.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.TextNorm.nfc($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object TextNorm {
+
+  /** NFC-normalize one value. Fast path: `Normalizer.isNormalized` is a
+    * scan without allocation of a new string beyond the `toString`
+    * decode; only strings that actually change are re-encoded. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Column form of [[NfcNormalize]]. */
+  def nfc(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+}

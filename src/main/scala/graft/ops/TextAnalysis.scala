@@ -179,6 +179,25 @@ object TextAnalysis {
     array_min(transform(positions, i => md5(text.substr(i, lit(8)))))
   }
 
+  /** Text cleaning — the normalization pass a corpus takes BEFORE any
+    * hash-keyed operator (dedup, shingling, token counting) so that
+    * byte-level variants of the same visible text collapse: Unicode NFC
+    * composition (native [[graft.functions.NfcNormalize]] — codegen'd,
+    * fast-path zero-copy for already-normal text), control-character
+    * removal (C0 except \t \n \r, plus DEL), whitespace-run collapse,
+    * and edge trim. Entirely row-local; `was_dirty` flags rows the pass
+    * changed (the audit/monitoring hook). Every step is a
+    * Unicode-standard or RE2-identical transform, so a DuckDB oracle
+    * reproduces the exact output. */
+  def cleanText(df: DataFrame, text: String): DataFrame = {
+    val nfc = graft.functions.TextNorm.nfc(col(text))
+    val noCtl =
+      regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(noCtl, "\\s+", " "))
+    df.withColumn("clean_text", collapsed)
+      .withColumn("was_dirty", collapsed =!= col(text))
+  }
+
   /** Rare-token ratio — the OOV-rate-style quality signal: the fraction
     * of a document's token OCCURRENCES whose corpus-wide document
     * frequency is below `minDf`. High values flag gibberish, OCR noise,
