@@ -1973,12 +1973,35 @@ object Queries {
                     clean_text <> t2 AS was_dirty
              FROM c"""), bench = true)
 
+  /** Vocabulary coverage curve (TextAnalysis.vocabCoverage): top-20
+    * terms with cumulative occurrence share — term-inventory-bounded
+    * groupBy, bounded top-k, broadcast-tiny cumulative join. */
+  private val q77 = QDef("q77_vocab_coverage",
+    (s, d) => TextAnalysis.vocabCoverage(docs(s, d), "text", vocabSize = 20),
+    Some("""WITH toks AS (SELECT unnest(list_filter(
+                      regexp_split_to_array(lower(text), '\s+'),
+                      x -> x <> '')) AS term
+                  FROM documents),
+             tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+             top AS (SELECT term, tf FROM tf
+                     ORDER BY tf DESC, term ASC LIMIT 20),
+             cum AS (SELECT a.term, a.tf,
+                       CAST(count(*) AS INT) AS rank,
+                       CAST(SUM(b.tf) AS BIGINT) AS cum_tf
+                     FROM top a JOIN top b
+                       ON (b.tf > a.tf OR (b.tf = a.tf AND b.term <= a.term))
+                     GROUP BY a.term, a.tf)
+             SELECT rank, term, tf,
+                    round(CAST(cum_tf AS DOUBLE) /
+                      (SELECT count(*) FROM toks), 4) AS cum_coverage
+             FROM cum"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q76)
+    q69, q70, q71, q72, q73, q74, q75, q76, q77)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -228,6 +228,39 @@ object TextAnalysis {
           .otherwise(0.0), 4).as("rare_ratio"))
   }
 
+  /** Vocabulary coverage curve — the "how big must the vocab be"
+    * artifact a tokenizer-training / OOV-budget decision reads: the
+    * top-`vocabSize` corpus terms by occurrence count, each with its
+    * rank and the CUMULATIVE share of all token occurrences covered by
+    * the vocabulary up to it. Ties break by term ascending, so the
+    * curve is deterministic.
+    *
+    * Scale shape: term counts are one hash-groupBy (bounded by the term
+    * inventory); the top-k is a bounded `TakeOrderedAndProject` (never a
+    * global sort); the cumulative sum runs over the K-ROW result via a
+    * broadcast self-join — k² tiny rows, the sanctioned alternative to
+    * an unpartitioned window, which would drag the whole table to one
+    * partition. The occurrence total is a 1-row aggregate broadcast
+    * back. Output: (rank, term, tf, cum_coverage), rank 1..vocabSize. */
+  def vocabCoverage(df: DataFrame, text: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = df.select(explode(tokens(lower(col(text)))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("term").asc).limit(vocabSize)
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val b = top.select(col("term").as("b_term"), col("tf").as("b_tf"))
+    top.crossJoin(broadcast(b))
+      .filter(col("b_tf") > col("tf") ||
+        (col("b_tf") === col("tf") && col("b_term") <= col("term")))
+      .groupBy(col("term"), col("tf"))
+      .agg(count(lit(1)).cast("int").as("rank"),
+        sum(col("b_tf")).as("__cum"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("tf"),
+        round(col("__cum").cast("double") / col("__total"), 4)
+          .as("cum_coverage"))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * preparation step (RAG indexing, fixed-context pretraining slices):
     * chunk c covers tokens [c·stride, c·stride + chunkTokens) of the
