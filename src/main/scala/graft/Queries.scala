@@ -1996,12 +1996,32 @@ object Queries {
                       (SELECT count(*) FROM toks), 4) AS cum_coverage
              FROM cum"""), bench = true)
 
+  /** Curation funnel (Curation.curationFunnel): every doc attributed to
+    * its first failing gate or kept — counts reconcile to corpus size.
+    * Reuses the q39 oracle CTEs. */
+  private val q78 = QDef("q78_curation_funnel",
+    (s, d) => graft.ops.Curation.curationFunnel(docs(s, d), "doc_id",
+      "text", "lang", minTokens = 5, maxMeanTokenLen = 15.0),
+    Some(s"""WITH $CurationCtes,
+             r AS (SELECT d.doc_id,
+                     CASE WHEN k.doc_id IS NULL THEN 'dup_loser'
+                          WHEN lp.lang_pred <> d.lang THEN 'lang_mismatch'
+                          WHEN q.n_tokens < 5 THEN 'too_few_tokens'
+                          WHEN q.mean_token_len > 15 THEN 'token_len'
+                          ELSE 'kept' END AS reason
+                   FROM documents d
+                   LEFT JOIN keep k USING (doc_id)
+                   JOIN lp USING (doc_id)
+                   JOIN q USING (doc_id))
+             SELECT reason, count(*) AS n_docs FROM r GROUP BY 1"""),
+    bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

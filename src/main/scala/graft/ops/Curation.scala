@@ -90,6 +90,36 @@ object Curation {
       .select(col(id), col(lang), col(domain), col("split"))
   }
 
+  /** Curation funnel report — the observability artifact of [[curate]]:
+    * every input document attributed to its FIRST failing gate (fixed
+    * evaluation order: exact-dup loser → language mismatch → too few
+    * tokens → mean-token-length) or `kept`, rolled up to
+    * `(reason, n_docs)`. First-fail attribution makes the counts sum to
+    * the corpus size exactly — the property a pipeline dashboard needs
+    * to reconcile a run ("where did my documents go?").
+    *
+    * Same plan skeleton as [[curate]] (row-local signals, id-keyed
+    * joins, partial-agg rollup), so the funnel costs no more than the
+    * curation it explains; `kept` here equals [[curate]]'s output row
+    * count by construction (CurationSpec pins it). */
+  def curationFunnel(docs: DataFrame, id: String, text: String, lang: String,
+                     minTokens: Int, maxMeanTokenLen: Double): DataFrame = {
+    val enriched = TextAnalysis.qualitySignals(docs, text)
+    val winners = Dedup.exactDedup(docs, id, text)
+      .select(col("keep_id").as(id)).withColumn("__winner", lit(true))
+    val pred = TextAnalysis.langIdTable(docs, id, text)
+    enriched
+      .join(winners, Seq(id), "left")
+      .join(pred, Seq(id))
+      .select(col(id),
+        when(col("__winner").isNull, "dup_loser")
+          .when(col("lang_pred") =!= col(lang), "lang_mismatch")
+          .when(col("n_tokens") < minTokens, "too_few_tokens")
+          .when(col("mean_token_len") > maxMeanTokenLen, "token_len")
+          .otherwise("kept").as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Exact per-stratum discrete quantile bounds over an integer-valued
     * column, computed VALUE-HISTOGRAM-first so the shape survives 100 TB:
     * a hash-groupBy collapses the corpus to one row per (stratum, value) —

@@ -106,6 +106,32 @@ class CurationSpec extends SparkSpec {
       s"got ${out.toSeq} want a-side $expectA")
   }
 
+  test("curationFunnel: first-fail attribution reconciles to corpus size") {
+    val docs = Seq(
+      // kept: en markers, 5 tokens, short words
+      (1L, "the cat of war and", "en"),
+      // dup family {2,3}: 2 wins (kept), 3 is the dup loser
+      (2L, "the dog of war and", "en"),
+      (3L, "the dog of war and", "en"),
+      // lang mismatch: en-marker text declared de
+      (4L, "the bird of war and", "de"),
+      // too few tokens (en markers but 4 < 5)
+      (5L, "the a of and", "en"),
+      // mean token length over 15 (en markers + a 90-char token)
+      (6L, "the a of and " + "x" * 90, "en")
+    ).toDF("doc_id", "text", "lang")
+    val funnel = Curation.curationFunnel(docs, "doc_id", "text", "lang",
+        minTokens = 5, maxMeanTokenLen = 15.0)
+      .as[(String, Long)].collect().toMap
+    assert(funnel == Map("kept" -> 2L, "dup_loser" -> 1L,
+      "lang_mismatch" -> 1L, "too_few_tokens" -> 1L, "token_len" -> 1L),
+      s"got $funnel")
+    assert(funnel.values.sum == 6L, "counts must reconcile to corpus size")
+    // the funnel's kept count equals the curate() gate by construction
+    val kept = Curation.curate(docs, "doc_id", "text", "lang", 5, 15.0).count()
+    assert(funnel("kept") == kept)
+  }
+
   test("stratumQuantileBounds: exact discrete order statistics per stratum") {
     // stratum "a": values 1..10 → p20 bound = value at rank ceil(0.2·10)=2,
     // p80 at rank 8; stratum "b" has heavy ties: [5,5,5,9] → p50 at rank
