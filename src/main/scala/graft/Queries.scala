@@ -1983,6 +1983,7 @@ object Queries {
                       x -> x <> '')) AS term
                   FROM documents),
              tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+             tot AS (SELECT count(*) AS total FROM toks),
              top AS (SELECT term, tf FROM tf
                      ORDER BY tf DESC, term ASC LIMIT 20),
              cum AS (SELECT a.term, a.tf,
@@ -1992,9 +1993,9 @@ object Queries {
                        ON (b.tf > a.tf OR (b.tf = a.tf AND b.term <= a.term))
                      GROUP BY a.term, a.tf)
              SELECT rank, term, tf,
-                    round(CAST(cum_tf AS DOUBLE) /
-                      (SELECT count(*) FROM toks), 4) AS cum_coverage
-             FROM cum"""), bench = true)
+                    round(CAST(cum_tf AS DOUBLE) / tot.total, 4)
+                      AS cum_coverage
+             FROM cum, tot"""), bench = true)
 
   /** Curation funnel (Curation.curationFunnel): every doc attributed to
     * its first failing gate or kept — counts reconcile to corpus size.
