@@ -2017,12 +2017,30 @@ object Queries {
              SELECT reason, count(*) AS n_docs FROM r GROUP BY 1"""),
     bench = true)
 
+  /** Temperature-flattened resampling at τ=1/2 (Sampling
+    * .temperatureSample): rates sqrt(n_min/n_g) — sqrt is IEEE
+    * correctly-rounded, so the keep decision is bit-identical across
+    * engines (a general pow would not be). */
+  private val q79 = QDef("q79_temperature_sample",
+    (s, d) => graft.ops.Sampling.temperatureSample(docs(s, d), "doc_id",
+        "lang", salt = "st")
+      .select("doc_id", "lang", "keep_rate"),
+    Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                        FROM documents GROUP BY 1),
+             m AS (SELECT min(n) AS mn FROM c),
+             r AS (SELECT c.lang, sqrt(m.mn) / sqrt(c.n) AS rate
+                   FROM c, m)
+             SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
+             FROM documents d JOIN r USING (lang)
+             WHERE ${sqlHash60("d.doc_id", "st")} / 1152921504606846976.0
+               < r.rate"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -98,6 +98,39 @@ object Sampling {
       .drop("__dom", "__rate")
   }
 
+  /** Temperature-flattened mixture resampling at τ = 1/2 — the standard
+    * multilingual/multi-domain balancing move (sampling probability
+    * ∝ n_g^τ, e.g. the multilingual-BERT exponent-smoothed recipe):
+    * dominant domains are damped, the tail is boosted RELATIVELY, and
+    * under downsampling-only the smallest domain binds (kept whole) —
+    * per-domain keep rate `r_g = sqrt(n_min)/sqrt(n_g) = sqrt(n_min/n_g)`.
+    *
+    * τ is FIXED at 1/2 deliberately: `sqrt` is correctly rounded in
+    * IEEE 754, so the rate is bit-identical in any engine and the
+    * oracle checks the exact row set — a general `pow(n, τ)` is not
+    * correctly rounded and a last-ulp rate difference could flip a
+    * hash-band membership (the cross-engine straddle this module's
+    * determinism discipline exists to prevent). τ = 1/4 etc. compose as
+    * sqrt∘sqrt if ever needed.
+    *
+    * Scale shape: ONE count partial-agg on the domain key, a 1-row min
+    * broadcast back, and the keep decision is the row-local
+    * [[consistentSample]] hash band. Output: input columns +
+    * `keep_rate` (rounded to 6 for display; the filter uses the exact
+    * rate). */
+  def temperatureSample(df: DataFrame, id: String, domain: String,
+                        salt: String): DataFrame = {
+    val counts = df.groupBy(col(domain).as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val mn = counts.agg(min(col("__n")).as("__mn"))
+    val rates = counts.crossJoin(broadcast(mn))
+      .select(col("__dom"), (sqrt(col("__mn")) / sqrt(col("__n"))).as("__rate"))
+    df.join(broadcast(rates), df(domain) === col("__dom"))
+      .filter(unitHash(col(id), salt) < col("__rate"))
+      .withColumn("keep_rate", round(col("__rate"), 6))
+      .drop("__dom", "__rate")
+  }
+
   /** Deterministic fixed-SIZE per-stratum sample — reservoir-sampling
     * semantics without the RNG: keep the `k` rows of each stratum with
     * the smallest [[hash60]] (bottom-k of a uniform hash is a uniform

@@ -170,6 +170,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: sqrt-flattened rates, smallest domain binds") {
+    // domains: a=64 docs, b=16, c=4 → rates sqrt(4/64)=0.25,
+    // sqrt(4/16)=0.5, sqrt(4/4)=1.0 (exact halves: no rounding at all)
+    val df = ((1 to 64).map(i => (i.toLong, "a")) ++
+      (101 to 116).map(i => (i.toLong, "b")) ++
+      (201 to 204).map(i => (i.toLong, "c")))
+      .toDF("doc_id", "dom")
+    val out = Sampling.temperatureSample(df, "doc_id", "dom", "tp")
+      .select("doc_id", "dom", "keep_rate")
+      .as[(Long, String, Double)].collect()
+    val rates = out.map(r => r._2 -> r._3).toMap
+    assert(rates == Map("a" -> 0.25, "b" -> 0.5, "c" -> 1.0), s"got $rates")
+    // binding (smallest) domain kept whole
+    assert(out.count(_._2 == "c") == 4)
+    // kept sets equal the consistent band at the exact same rate
+    for ((dom, rate) <- rates) {
+      val ids = df.filter(col("dom") === dom)
+      val expect = Sampling.consistentSample(ids, "doc_id", rate, "tp")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out.filter(_._2 == dom).map(_._1).toSet == expect, dom)
+    }
+  }
+
   test("fixedSizeSample: exact size, rank order, bottom-k growth stability") {
     val df = (1L to 100L).map(i => (i, if (i % 4 == 0) "de" else "en"))
       .toDF("doc_id", "lang")
