@@ -60,7 +60,12 @@ object Curation {
                         ngram: Int): DataFrame = {
     val keptIds = curate(docs, id, text, lang, minTokens, maxMeanTokenLen)
       .select(col(id))
-    val kept = docs.join(keptIds, Seq(id), "left_semi")
+    // persisted: the curated set feeds the split projection, the
+    // train-gram inventory, and the anti join — without it every branch
+    // re-runs the whole curation (dedup + lang votes + signals), and the
+    // physical plan re-scans the corpus once per branch (~90 scans
+    // observed at q68). Same precedent as the MinHash signature table.
+    val kept = docs.join(keptIds, Seq(id), "left_semi").persist()
     splitAndDecontaminate(kept, id, text, salt, splits, ngram)
       .select(col(id), col(lang), col("split"))
   }
@@ -83,7 +88,9 @@ object Curation {
                                 ngram: Int): DataFrame = {
     val keptIds = curate(docs, id, text, lang, minTokens, maxMeanTokenLen)
       .select(col(id))
-    val kept = docs.join(keptIds, Seq(id), "left_semi")
+    // persisted for the same reason as [[curateForTraining]]'s kept set —
+    // here it additionally feeds the mixture count/rate branches
+    val kept = docs.join(keptIds, Seq(id), "left_semi").persist()
     val balanced = Sampling.mixtureSample(kept, id, domain, weights, mixSalt)
       .drop("keep_rate")
     splitAndDecontaminate(balanced, id, text, salt, splits, ngram)
