@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVectorDot, HyperplaneProjection, NfcNormalize}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{BloomMightContain, FloatVectorDot, HyperplaneProjection, NfcNormalize}
 
 /** SparkSessionExtensions entry point: makes the native vector
   * expressions SQL-callable —
@@ -34,5 +34,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => HyperplaneProjection(children(0), children(1))),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalize(children.head)))
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1),
+        children(2) match {
+          case Literal(k: Int, _) => k
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain: numHashes must be an INT literal, got $other")
+        })))
 }

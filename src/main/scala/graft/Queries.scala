@@ -2035,12 +2035,78 @@ object Queries {
              WHERE ${sqlHash60("d.doc_id", "st")} / 1152921504606846976.0
                < r.rate"""), bench = true)
 
+  /** Bloom-prefiltered benchmark decontamination: a broadcast bitset of
+    * the train-gram inventory drops non-member test grams row-locally
+    * before the exact verification join. The Bloom filter is pure
+    * prefilter — no false negatives, false positives removed by the
+    * exact join — so the oracle is the PLAIN exact-contamination SQL
+    * (same semantics as q50, joined on the repo's 60-bit gram hash):
+    * the hash match proves the prefilter changes nothing. */
+  private val q80 = QDef("q80_bloom_decontaminate",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.bloomDecontaminate(
+        dd.filter(col("doc_id") % 4 =!= 0),
+        dd.filter(col("doc_id") % 4 === 0), "doc_id", "text", n = 3,
+        numBits = 1 << 20, numHashes = 4)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '') AS toks FROM documents),
+             grams AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gs
+             FROM toks),
+             g0 AS (SELECT doc_id, unnest(gs) AS gm FROM grams),
+             g AS (SELECT doc_id,
+               CAST('0x' || substr(md5(gm), 1, 15) AS BIGINT) AS gh FROM g0),
+             tr AS (SELECT gh, min(doc_id) AS train_id
+                    FROM g WHERE doc_id % 4 <> 0 GROUP BY 1),
+             te AS (SELECT doc_id AS test_id, gh FROM g WHERE doc_id % 4 = 0)
+             SELECT test_id, count(*) AS n_shared_grams,
+                    min(train_id) AS sample_train_id
+             FROM te JOIN tr USING (gh) GROUP BY test_id"""), bench = true)
+
+  /** Asymmetric containment pairs: catches short-doc-quoted-in-long-doc
+    * near-dups that symmetric Jaccard misses (cont_a ≈ 1 while
+    * jac ≈ |A|/|B|). Candidates from the capped 60-bit gram-hash
+    * equi-join; both direction ratios exact. */
+  private val q81 = QDef("q81_containment_pairs",
+    (s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 3,
+      threshold = 0.4, maxDocFreq = 50),
+    Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '') AS toks FROM documents),
+             grams AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gs
+             FROM toks),
+             g0 AS (SELECT doc_id, unnest(gs) AS gm FROM grams),
+             g AS (SELECT doc_id,
+               CAST('0x' || substr(md5(gm), 1, 15) AS BIGINT) AS gh FROM g0),
+             sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+             capped AS (SELECT doc_id, gh FROM (
+               SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS n FROM g)
+               WHERE n <= 50),
+             shared AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                 count(*) AS shared
+               FROM capped x JOIN capped y
+                 ON x.gh = y.gh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+             SELECT a_id, b_id,
+                    round(CAST(shared AS DOUBLE) / sa.sz, 4) AS cont_a,
+                    round(CAST(shared AS DOUBLE) / sb.sz, 4) AS cont_b
+             FROM shared JOIN sz sa ON shared.a_id = sa.doc_id
+                         JOIN sz sb ON shared.b_id = sb.doc_id
+             WHERE greatest(round(CAST(shared AS DOUBLE) / sa.sz, 4),
+                            round(CAST(shared AS DOUBLE) / sb.sz, 4)) >= 0.4"""),
+    bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

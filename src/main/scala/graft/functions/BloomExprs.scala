@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+
+/** Deterministic Bloom filter over the repo's 60-bit md5 hashes — the
+  * broadcast-able set-membership prefilter for inventory-scale joins
+  * (benchmark decontamination: the train-gram inventory at 100 TB is
+  * billions of rows; a fixed-size bitset of it ships to every executor
+  * and drops non-members ROW-LOCALLY, so only probable matches reach
+  * the exact verification join).
+  *
+  * Bit positions come from the MinHash linear family
+  * ([[graft.ops.Dedup.minHashA]]/`B`) applied to `h mod P`
+  * (P = 2³¹−1): position_i = ((h%P)·a_i + b_i) mod P mod numBits.
+  * a_i < 2²⁰ and h%P < 2³¹ keep the product under 2⁵¹ — exact long
+  * arithmetic, no overflow, reproducible in any engine. The modulo-bias
+  * of `mod numBits` is ≤ numBits/P — negligible for any practical
+  * filter size (numBits ≪ 2³¹).
+  *
+  * One-sided error by construction: NO false negatives ever (an
+  * inserted key's bits are all set); false positives only inflate the
+  * prefiltered candidate set handed to an exact join — correctness is
+  * unaffected, which is what makes a Bloom-prefiltered operator
+  * oracle-checkable against its exact counterpart.
+  *
+  * Scale shape: the aggregation buffer is numBits/8 bytes regardless of
+  * input size; update sets k bits; merge is a byte-wise OR — map-side
+  * combinable (each partition ships ONE bitset, not its keys). */
+object BloomBits {
+  private val P = 2147483647L // 2^31 − 1, the MinHash prime
+
+  /** Bit position of hash `h` under hash function `i`. */
+  def pos(h: Long, i: Int, numBits: Int): Int = {
+    val hp = h % P
+    ((((hp * (4099L * i + 1L)) + (9973L * i + 7L)) % P) % numBits).toInt
+  }
+
+  def set(bits: Array[Byte], h: Long, numHashes: Int): Unit = {
+    val numBits = bits.length * 8
+    var i = 0
+    while (i < numHashes) {
+      val b = pos(h, i, numBits)
+      bits(b >>> 3) = (bits(b >>> 3) | (1 << (b & 7))).toByte
+      i += 1
+    }
+  }
+
+  /** Membership probe — static so [[BloomMightContain]]'s generated
+    * code can call it directly (same pattern as
+    * [[Md5Hash.prefix60]]). */
+  def mightContain(bits: Array[Byte], h: Long, numHashes: Int): Boolean = {
+    val numBits = bits.length * 8
+    var i = 0
+    while (i < numHashes) {
+      val b = pos(h, i, numBits)
+      if ((bits(b >>> 3) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Bloom-filter build as a native aggregate: input is a 60-bit hash
+  * long ([[Md5Prefix60]] or the `conv(substr(md5(..)))` composition —
+  * hashing stays OUTSIDE the aggregate so plans and oracles share one
+  * hash expression, the [[KmvDistinct]] contract); output is the
+  * finished bitset as BINARY (numBits/8 bytes), ready to broadcast. */
+case class BloomFilterAgg(
+    child: Expression, numBits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 30),
+    s"need numBits a multiple of 64 in [64, 2^30], got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"need numHashes in [1, 16], got $numHashes")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_filter_agg"
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](numBits / 8)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) BloomBits.set(buffer, v.asInstanceOf[Long], numHashes)
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < buffer.length) { buffer(j) = (buffer(j) | other(j)).toByte; j += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = buffer.clone()
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomFilterAgg =
+    copy(child = newChild)
+}
+
+object BloomFilterAgg {
+  /** Column form: `hash` must be a 60-bit hash long. */
+  def agg(hash: Column, numBits: Int, numHashes: Int): Column =
+    Bridge.column(
+      BloomFilterAgg(Bridge.expression(hash), numBits, numHashes)
+        .toAggregateExpression())
+}
+
+/** `bloom_might_contain(hash, bloom)` — codegen'd membership probe
+  * against a [[BloomFilterAgg]] bitset (numBits is implied by the
+  * bitset's length; numHashes must match the build). True for every
+  * inserted key (no false negatives); false-positive rate set by the
+  * build's sizing. */
+case class BloomMightContain(left: Expression, right: Expression,
+                             numHashes: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(numHashes >= 1 && numHashes <= 16,
+    s"need numHashes in [1, 16], got $numHashes")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(h: Any, bits: Any): Any =
+    BloomBits.mightContain(bits.asInstanceOf[Array[Byte]],
+      h.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, b) =>
+      s"graft.functions.BloomBits.mightContain($b, $h, $numHashes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  def col(hash: Column, bloom: Column, numHashes: Int): Column =
+    Bridge.column(
+      BloomMightContain(Bridge.expression(hash), Bridge.expression(bloom),
+        numHashes))
+}

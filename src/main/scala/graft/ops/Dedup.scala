@@ -363,6 +363,93 @@ object Dedup {
       .groupBy(md5(col("gram")).as("gh"))
       .agg(min(col("train_id")).as("train_id"))
 
+  /** Asymmetric containment pairs — the near-dup case Jaccard misses by
+    * construction: a short document quoted/wrapped INSIDE a much longer
+    * one (article + boilerplate shell, quoted post + thread) has
+    * containment(A→B) = |grams(A)∩grams(B)| / |grams(A)| ≈ 1 while
+    * Jaccard ≈ |A|/|B| ≈ 0, so no symmetric threshold catches it.
+    * Output: `(a_id, b_id, cont_a, cont_b)` with a<b, both directions
+    * rounded to 4, rows where either direction ≥ `threshold`.
+    *
+    * Shape: distinct grams per doc are row-local; candidates come from a
+    * 60-bit gram-hash equi-join (never theta) with shared counts by
+    * partial agg; set sizes join back on the ids. `maxDocFreq` drops
+    * grams present in more than that many gram slots corpus-wide
+    * (boilerplate blocking — join volume is Σ_gram df², exactly
+    * [[sharedSpanPairs]]'s trade): a dropped gram can only LOWER
+    * measured containment (denominators stay uncapped), the documented
+    * recall trade; 0 disables. */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+                       threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+    // persisted: feeds the size table and both candidate-join sides
+    val g = df.select(col(id).as("doc"),
+        explode(wordShingles(col(text), n)).as("gram"))
+      .select(col("doc"), graft.functions.Md5Hash.prefix60(col("gram")).as("gh"))
+      .persist()
+    val sizes = g.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val capped =
+      if (maxDocFreq <= 0) g
+      else g.withColumn("__n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+        .filter(col("__n") <= maxDocFreq).drop("__n")
+    val shared = capped.as("x").join(capped.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("cont_a", round(col("shared").cast("double") / col("a_sz"), 4))
+      .withColumn("cont_b", round(col("shared").cast("double") / col("b_sz"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("a_id", "b_id", "cont_a", "cont_b")
+  }
+
+  /** Bloom-prefiltered contamination check — [[contaminationCheck]]'s
+    * shape for when even the distinct-gram inventory is too large to
+    * shuffle the full test side against: build ONE fixed-size Bloom
+    * bitset over the train inventory's gram hashes (numBits/8 bytes —
+    * a map-side-combinable aggregate; each partition ships one bitset),
+    * broadcast it, and drop non-member test grams ROW-LOCALLY before
+    * the exact verification join. Bloom false positives only inflate
+    * the candidate set handed to the exact join — the output is
+    * IDENTICAL to the unfiltered exact join, which is why the oracle
+    * for this operator is the plain exact-contamination SQL.
+    *
+    * Gram identity is the repo's 60-bit md5 prefix
+    * ([[graft.functions.Md5Hash.prefix60]]) rather than
+    * [[contaminationCheck]]'s full md5 string — the same 60-bit gram
+    * idiom as [[sharedSpanPairs]] and MinHash (collision odds ~n²/2⁶¹;
+    * half the join-key bytes at 100 TB).
+    *
+    * Sizing: false-positive rate ≈ (1−e^(−numHashes·n/numBits))^numHashes;
+    * the default 2²² bits (512 KiB broadcast) holds ~500k grams at <2%
+    * FP with 4 hashes. At a billion-gram inventory pass numBits = 2³⁰
+    * (128 MiB — still one broadcast vs shuffling the corpus). */
+  def bloomDecontaminate(train: DataFrame, test: DataFrame, id: String,
+                         text: String, n: Int, numBits: Int = 1 << 22,
+                         numHashes: Int = 4): DataFrame = {
+    import graft.functions.{BloomFilterAgg, BloomMightContain, Md5Hash}
+    // persisted: feeds both the bloom build and the verification join
+    val inv = train
+      .select(col(id).as("train_id"), explode(wordShingles(col(text), n)).as("gram"))
+      .groupBy(Md5Hash.prefix60(col("gram")).as("gh"))
+      .agg(min(col("train_id")).as("train_id"))
+      .persist()
+    val bloom = inv.agg(
+      BloomFilterAgg.agg(col("gh"), numBits, numHashes).as("__bloom"))
+    val testGrams = test
+      .select(col(id).as("test_id"), explode(wordShingles(col(text), n)).as("gram"))
+      .select(col("test_id"), Md5Hash.prefix60(col("gram")).as("gh"))
+    testGrams.crossJoin(broadcast(bloom))
+      .filter(BloomMightContain.col(col("gh"), col("__bloom"), numHashes))
+      .drop("__bloom")
+      .join(inv, Seq("gh"))
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        min(col("train_id")).as("sample_train_id"))
+  }
+
   /** Connected components over a near-duplicate pair graph → cluster
     * assignment (the "keep one per cluster" step of a dedup pipeline).
     * Iterative min-label propagation, TWO hops per round: labels flow

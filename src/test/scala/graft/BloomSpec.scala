@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BloomBits, BloomFilterAgg, BloomMightContain}
+import graft.ops.Dedup
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NumBits = 1 << 16
+  private val NumHashes = 4
+
+  private def buildBloom(hashes: Seq[Long], partitions: Int): Array[Byte] =
+    hashes.toDF("h").repartition(partitions)
+      .agg(BloomFilterAgg.agg(col("h"), NumBits, NumHashes).as("b"))
+      .as[Array[Byte]].collect().head
+
+  // deterministic pseudo-hashes in the 60-bit domain
+  private def keys(from: Int, n: Int): Seq[Long] =
+    (from until from + n).map(i => (i * 2654435761L) % (1L << 60))
+
+  test("bloom has no false negatives and is layout-invariant") {
+    val members = keys(0, 1000)
+    val b1 = buildBloom(members, 1)
+    val b7 = buildBloom(members, 7)
+    // merge (byte-wise OR) is order/layout independent → identical bytes
+    assert(java.util.Arrays.equals(b1, b7))
+    assert(members.forall(h => BloomBits.mightContain(b1, h, NumHashes)))
+  }
+
+  test("bloom false-positive rate is within sizing bounds") {
+    val b = buildBloom(keys(0, 1000), 3)
+    // 1000 keys in 2^16 bits, 4 hashes → fp ≈ (1−e^(−4·1000/65536))^4 ≈ 1e-5
+    val probes = keys(1000000, 10000)
+    val fp = probes.count(h => BloomBits.mightContain(b, h, NumHashes))
+    assert(fp < 100, s"false-positive rate too high: $fp / 10000")
+  }
+
+  test("BloomMightContain expression agrees with the static probe") {
+    val members = keys(0, 200)
+    val b = buildBloom(members, 2)
+    val probes = (members ++ keys(5000, 200)).toDF("h")
+      .crossJoin(broadcast(Seq(Tuple1(b)).toDF("bloom")))
+    val got = probes
+      .select(col("h"), BloomMightContain.col(col("h"), col("bloom"), NumHashes).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    members.foreach(h => assert(got(h), s"member $h missing"))
+    val static = probes.select(col("h")).as[Long].collect()
+      .map(h => h -> BloomBits.mightContain(b, h, NumHashes)).toMap
+    assert(got == static)
+  }
+
+  test("bloom_might_contain is SQL-callable via GraftExtensions") {
+    org.apache.spark.sql.graftx.Registry.register(spark)
+    val b = buildBloom(keys(0, 50), 1)
+    Seq(Tuple1(b)).toDF("bloom").createOrReplaceTempView("bloom_t")
+    val hit = spark.sql(
+      s"SELECT bloom_might_contain(${keys(0, 1).head}L, bloom, $NumHashes) FROM bloom_t")
+      .as[Boolean].collect().head
+    assert(hit)
+  }
+
+  test("bloomDecontaminate equals contaminationCheck (prefilter changes nothing)") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "spark catalyst tungsten codegen whole stage fusion")
+    ).toDF("doc_id", "text")
+    val test_ = Seq(
+      (20L, "alpha beta gamma delta words appended here"), // shares grams with 10
+      (21L, "totally disjoint vocabulary nothing shared at all"),
+      (22L, "two three four exact middle run match")        // shares grams with 11
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomDecontaminate(train, test_, "doc_id", "text", n = 3,
+        numBits = 1 << 10, numHashes = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = Dedup.contaminationCheck(train, test_, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == exact)
+    assert(got.map(_._1) == Seq(20L, 22L)) // 21 is clean
+    assert(got.find(_._1 == 20L).get._3 == 10L) // sample train id
+  }
+
+  test("empty train side yields an all-clear verdict") {
+    val train = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val test_ = Seq((1L, "some words here okay")).toDF("doc_id", "text")
+    assert(Dedup.bloomDecontaminate(train, test_, "doc_id", "text", n = 2,
+      numBits = 1 << 10, numHashes = 2).isEmpty)
+  }
+
+  test("BloomFilterAgg validates sizing parameters") {
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomFilterAgg(
+        org.apache.spark.sql.graftx.Bridge.expression(lit(1L)), 100, 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomFilterAgg(
+        org.apache.spark.sql.graftx.Bridge.expression(lit(1L)), 128, 0)
+    }
+  }
+}

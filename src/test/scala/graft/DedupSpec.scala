@@ -267,4 +267,37 @@ class DedupSpec extends SparkSpec {
       assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) == hd)
     }
   }
+
+  test("containmentPairs catches a short doc quoted inside a long one") {
+    val quoted = Seq(
+      (1L, "alpha beta gamma delta"), // fully contained in 2's middle
+      (2L, "intro words here alpha beta gamma delta closing remarks follow now"),
+      (3L, "unrelated vocabulary entirely disjoint from the others completely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(quoted, "doc_id", "text", n = 2,
+        threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    // doc 1 has 3 bigrams, all present in doc 2 → cont_a = 1.0; doc 2 is
+    // much longer so cont_b is small; Jaccard would be 3/11 ≈ 0.27
+    assert(out.length == 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b, ca) == (1L, 2L, 1.0) && cb < 0.5)
+    // symmetric Jaccard at the same threshold misses this pair
+    val jac = Dedup.ngramJaccardPairs(
+      quoted.withColumn("blk", lit("all")), "doc_id", "text", "blk", 0.9)
+    assert(jac.isEmpty)
+  }
+
+  test("containmentPairs doc-freq cap only lowers measured containment") {
+    val near = Seq(
+      (1L, "x y z w v"),
+      (2L, "x y z w v tail tokens beyond")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(near, "doc_id", "text", n = 2,
+      threshold = 0.1).as[(Long, Long, Double, Double)].collect().head
+    assert(uncapped._3 == 1.0) // all 4 of doc 1's bigrams shared
+    // cap 1 drops every shared gram (each appears in 2 docs) → no pair
+    assert(Dedup.containmentPairs(near, "doc_id", "text", n = 2,
+      threshold = 0.1, maxDocFreq = 1).isEmpty)
+  }
 }
