@@ -2101,12 +2101,81 @@ object Queries {
                             round(CAST(shared AS DOUBLE) / sb.sz, 4)) >= 0.4"""),
     bench = true)
 
+  private val PqM = 8
+  private val PqKsub = 16
+  private val PqDsub = 8 // = embedding dim 64 / PqM
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Int, Seq[Float])]]
+  private def trainedPqCodebooks(s: SparkSession,
+                                 d: String): Array[(Int, Int, Seq[Float])] =
+    pqCache.getOrElseUpdate(d,
+      Similarity.trainPqCodebooks(emb(s, d), "vec_id", "embedding",
+          dim = 64, m = PqM, ksub = PqKsub, iters = 2)
+        .select("sub", "code_id", "code_vec").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+        .sortBy(t => (t._1, t._2)))
+
+  /** PQ ANN by asymmetric distance computation over TRAINED codebooks —
+    * the compressed-corpus half of IVF-PQ: corpus scanned as m codes per
+    * vector, queries carry broadcast lookup tables, candidates score
+    * with m array reads (native PqAdc). Like q42, training has no
+    * cross-engine oracle (float means); the collected codebook is handed
+    * to BOTH the Spark plan and the generated oracle, so encode + ADC
+    * search are hash-checked end-to-end. The ordered `list(ip ORDER BY
+    * sub)` fold mirrors PqAdc's sub-order summation exactly. */
+  private val q82 = QDef("q82_pq_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val cb = trainedPqCodebooks(s, d).toSeq.toDF("sub", "code_id", "code_vec")
+      Similarity.pqTopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, cb, dim = 64, m = PqM, ksub = PqKsub)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedPqCodebooks(s, d).map { case (sub, code, vec) =>
+        s"($sub, $code, CAST([${vec.mkString(", ")}] AS FLOAT[]))"
+      }.mkString(", ")
+      s"""WITH cb AS (SELECT * FROM (VALUES $rows)
+              AS t(sub, code_id, code_vec)),
+            subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+            sv AS (SELECT vec_id, subs.sub,
+                embedding[subs.sub * $PqDsub + 1 : subs.sub * $PqDsub + $PqDsub]
+                  AS svec
+              FROM embeddings, subs),
+            enc0 AS (SELECT sv.vec_id, sv.sub, cb.code_id,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> (CAST(sv.svec[i] AS DOUBLE) - cb.code_vec[i]) *
+                       (CAST(sv.svec[i] AS DOUBLE) - cb.code_vec[i]))) AS d2
+              FROM sv JOIN cb ON sv.sub = cb.sub),
+            enc AS (SELECT vec_id, sub, code_id FROM (
+                SELECT vec_id, sub, code_id, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY d2 ASC, code_id ASC) AS rn
+                FROM enc0) WHERE rn = 1),
+            dt AS (SELECT sv.vec_id AS q_id, sv.sub, cb.code_id,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> CAST(sv.svec[i] AS DOUBLE) * cb.code_vec[i])) AS ip
+              FROM sv JOIN cb ON sv.sub = cb.sub
+              WHERE sv.vec_id % 10 = 0),
+            sc AS (SELECT dt.q_id, enc.vec_id AS c_id,
+                list_sum(list(dt.ip ORDER BY dt.sub)) AS adot
+              FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code_id = dt.code_id
+              WHERE dt.q_id <> enc.vec_id
+              GROUP BY 1, 2),
+            r AS (SELECT q_id, c_id, adot, row_number() OVER (
+                PARTITION BY q_id ORDER BY adot DESC, c_id ASC) AS rn FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   round(adot, 6) AS adot
+            FROM r WHERE rn <= 5"""
+    }))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -111,6 +111,104 @@ case class HyperplaneProjection(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two float vectors: Σ (a[i]−b[i])², left fold
+  * in index order in double precision — the product-quantization
+  * training/encoding metric. Same determinism contract as
+  * [[FloatVectorDot]]: bit-identical to the HOF form and the DuckDB
+  * `list_sum(list_transform(...))` mirror. */
+case class FloatVectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Asymmetric-distance-computation lookup sum for product quantization:
+  * given a vector's `codes` (one codeword index per subspace) and a
+  * query's flattened lookup `table` (entry `sub·ksub + code` = that
+  * query-subvector·codeword inner product), the approximate inner
+  * product is Σ_sub table[sub·ksub + codes[sub]] — m array reads per
+  * CANDIDATE instead of `dim` multiplies, the reason PQ search scans
+  * compressed corpora at memory bandwidth. Left fold in sub order;
+  * null-element-free arrays by construction (both sides are generated
+  * columns). */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(ksub >= 1, s"need ksub >= 1, got $ksub")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += table.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = $a.numElements();
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $s += $b.getDouble($j * $ksub + $a.getInt($j));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column forms of the native expressions. */
   def floatDot(a: Column, b: Column): Column =
@@ -120,4 +218,12 @@ object VectorExprs {
   def hyperplaneProjection(vec: Column, planeIdx: Column): Column =
     Bridge.column(HyperplaneProjection(
       Bridge.expression(vec), Bridge.expression(planeIdx)))
+
+  def floatL2Sq(a: Column, b: Column): Column =
+    Bridge.column(FloatVectorL2Sq(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def pqAdc(codes: Column, table: Column, ksub: Int): Column =
+    Bridge.column(PqAdc(
+      Bridge.expression(codes), Bridge.expression(table), ksub))
 }

@@ -366,6 +366,147 @@ object Similarity {
     cent
   }
 
+  // ------------------------------------------------------------ PQ (ADC)
+
+  /** The m subvectors of `vec` as an exploded `(sub, sv)` pair column —
+    * shared by PQ training, encoding, and query-table construction. */
+  private def subVectors(vec: Column, m: Int, dsub: Int): Column =
+    posexplode(array((0 until m).map(j => slice(vec, j * dsub + 1, dsub)): _*))
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)):
+    * split each `dim`-float vector into `m` subvectors of dim/m and run
+    * deterministic Lloyd's k-means PER SUBSPACE (init = the subvectors
+    * of the `ksub` lowest-id corpus vectors; assignment = min squared-L2,
+    * tie → smaller code_id). Returns `(sub, code_id, code_vec)` with ALL
+    * m·ksub codewords alive — a cell that loses every member keeps its
+    * previous codeword, so downstream code/table indices stay dense
+    * (unlike [[trainIvfCentroids]], where a dropped cell only shrinks
+    * the probe set).
+    *
+    * Scale shape per round: the codebook (m·ksub·dim/m floats — KiB) is
+    * broadcast; assignment is row-local scoring + a partial-agg min that
+    * collapses map-side (subvector rows of one input vector never leave
+    * their partition); means are posexplode → groupBy(sub, code, dim)
+    * partial aggs. `localCheckpoint` truncates loop lineage. Like
+    * [[trainIvfCentroids]], the TRAINING step has no cross-engine oracle
+    * on purpose (float means are order-dependent); the search step is
+    * oracle-checked against the collected codebook (q82). */
+  def trainPqCodebooks(corpus: DataFrame, id: String, vec: String,
+                       dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"need dim divisible by m, got dim=$dim m=$m")
+    require(ksub >= 1 && iters >= 0, s"need ksub >= 1, iters >= 0; got ksub=$ksub iters=$iters")
+    val dsub = dim / m
+    val sv = corpus.select(col(id).as("c_id"),
+      subVectors(col(vec), m, dsub).as(Seq("sub", "sv")))
+    // init: ksub lowest-id vectors; code_id = rank of id among them
+    // (window over ≤ksub rows — bounded, never the full corpus)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c_id")
+    val low = corpus.select(col(id).as("c_id")).orderBy(col("c_id").asc)
+      .limit(ksub)
+      .withColumn("code_id", (row_number().over(w) - 1).cast("int"))
+    var cb = low.join(sv, "c_id")
+      .select(col("sub"), col("code_id"), col("sv").as("code_vec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = sv.join(broadcast(cb), "sub")
+        .select(col("c_id"), col("sub"), col("sv"), col("code_id"),
+          graft.functions.VectorExprs.floatL2Sq(col("sv"), col("code_vec"))
+            .as("d2"))
+        .groupBy(col("c_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code_id"), col("sv"))).as("b"))
+        .select(col("sub"), col("b.code_id").as("code_id"), col("b.sv").as("v"))
+      val means = assigned
+        .select(col("sub"), col("code_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("code_id"), col("d"))
+        .agg(avg(col("x")).as("mx"))
+        .groupBy(col("sub"), col("code_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mx")))).as("dm"))
+        .select(col("sub"), col("code_id"),
+          transform(col("dm"), e => e.getField("mx").cast("float")).as("code_vec"))
+      // empty cells keep their previous codeword — indices stay dense
+      cb = cb.as("o").join(means.as("n"), Seq("sub", "code_id"), "left")
+        .select(col("sub"), col("code_id"),
+          coalesce(col("n.code_vec"), col("o.code_vec")).as("code_vec"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** PQ-encode a corpus: each vector → `m` codeword indices (`codes`,
+    * one int per subspace — m bytes of information per vector vs
+    * dim·4 bytes of floats; at dim 64, m 8 that is 32× compression,
+    * the memory-side half of IVF-PQ). Assignment = min squared-L2,
+    * tie → smaller code_id — same rule as training.
+    *
+    * Shape: codebook broadcast; scoring row-local; the argmin partial
+    * agg collapses map-side (all m·ksub scored rows of one vector share
+    * its partition); the codes array is a bounded m-element
+    * collect_list. */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"need dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    corpus.select(col(id).as("c_id"),
+        subVectors(col(vec), m, dsub).as(Seq("sub", "sv")))
+      .join(broadcast(codebooks), "sub")
+      .select(col("c_id"), col("sub"),
+        struct(
+          graft.functions.VectorExprs.floatL2Sq(col("sv"), col("code_vec"))
+            .as("d2"),
+          col("code_id")).as("s"))
+      .groupBy(col("c_id"), col("sub"))
+      .agg(min(col("s")).as("b"))
+      .groupBy(col("c_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("b.code_id").as("code"))))
+        .as("sc"))
+      .select(col("c_id"),
+        transform(col("sc"), e => e.getField("code").cast("int")).as("codes"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation: the corpus is
+    * scanned as CODES ONLY (never its float vectors) — each query
+    * precomputes one lookup table (inner product of each query
+    * subvector with each codeword, m·ksub doubles), the tables
+    * broadcast, and every candidate scores with m array reads
+    * ([[graft.functions.PqAdc]], codegen'd). Approximate inner-product
+    * ranking (rank DESC, id ASC — recall < 1 by construction, set by
+    * m/ksub); compose with an IVF cell equi-join
+    * ([[ivfTopKWith]]'s assignment) for the full FAISS-style IVF-PQ
+    * shape when even a code scan is too wide.
+    *
+    * At 100 TB this is the difference between scanning 4·dim bytes and
+    * m bytes per candidate: the 32×-smaller code table is what actually
+    * fits the page cache. Deterministic (fixed codebooks, fixed
+    * tie-breaks) → oracle-checkable against the collected codebook. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+             k: Int, codebooks: DataFrame, dim: Int, m: Int,
+             ksub: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"need dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    val codes = pqEncode(corpus, id, vec, codebooks, dim, m)
+    // per-query flattened lookup table: slot sub·ksub + code = ⟨q_sub, cw⟩
+    val dt = queries.select(col(id).as("q_id"),
+        subVectors(col(vec), m, dsub).as(Seq("sub", "sv")))
+      .join(broadcast(codebooks), "sub")
+      .select(col("q_id"),
+        (col("sub") * ksub + col("code_id")).as("slot"),
+        graft.functions.VectorExprs.floatDot(col("sv"), col("code_vec")).as("ip"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("ip")))).as("se"))
+      .select(col("q_id"),
+        transform(col("se"), e => e.getField("ip")).as("dt"))
+    val scored = codes.crossJoin(broadcast(dt))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.pqAdc(col("codes"), col("dt"), ksub).as("cos"))
+    topKMerge(scored, k)
+      .withColumnRenamed("cos", "adot")
+  }
+
   /** ANN near-dup pairs: bucket by hyperplane signature, exact cosine
     * verification within buckets only. Candidate volume ∝ Σ_bucket
     * |bucket|² with 2^numPlanes buckets — the 100 TB path (approximate:

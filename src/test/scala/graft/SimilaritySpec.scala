@@ -148,4 +148,74 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect()
     assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 == 1.0))
   }
+
+  test("FloatVectorL2Sq and PqAdc native expressions match their HOF specs") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.5f, 0.25f), Seq(0.5f, 2.0f, -1.0f, 4.0f)))
+      .toDF("a", "b")
+    val native = df.select(
+      graft.functions.VectorExprs.floatL2Sq(col("a"), col("b")))
+      .as[Double].collect().head
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)).as[Double].collect().head
+    assert(native == hof)
+    // 2 subspaces × 2 codes, flat table: codes (1, 0) pick slots 1 and 2
+    val adc = Seq((Seq(1, 0), Seq(10.0, 20.0, 30.0, 40.0))).toDF("codes", "dt")
+      .select(graft.functions.VectorExprs.pqAdc(col("codes"), col("dt"), 2))
+      .as[Double].collect().head
+    assert(adc == 50.0)
+  }
+
+  // two separated clusters in dim 4 (m=2 subspaces of 2): ids 1/20 sit
+  // exactly on the A direction, 2/30-32 on B; the lowest two ids (one
+  // per cluster) seed the codebooks
+  private val pqCorpus = Seq(
+    (1L, Seq(4.0f, 0.0f, 4.0f, 0.0f)),   // A (query)
+    (2L, Seq(0.0f, 3.0f, 0.0f, 3.0f)),   // B
+    (20L, Seq(4.0f, 0.0f, 4.0f, 0.0f)),  // A — exact dup of 1
+    (30L, Seq(0.0f, 3.0f, 0.0f, 3.0f)),
+    (31L, Seq(0.0f, 3.0f, 0.0f, 3.0f)),
+    (32L, Seq(0.0f, 3.0f, 0.0f, 3.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("trainPqCodebooks keeps all m·ksub codewords and is layout-invariant") {
+    def train(df: org.apache.spark.sql.DataFrame) =
+      Similarity.trainPqCodebooks(df, "vec_id", "embedding",
+          dim = 4, m = 2, ksub = 2, iters = 1)
+        .as[(Int, Int, Seq[Float])].collect().sortBy(t => (t._1, t._2)).toSeq
+    val cb = train(pqCorpus)
+    assert(cb.map(t => (t._1, t._2)) ==
+      Seq((0, 0), (0, 1), (1, 0), (1, 1))) // dense m·ksub grid
+    // cluster means recovered exactly (identical members per cell)
+    assert(cb.head._3 == Seq(4.0f, 0.0f) && cb(1)._3 == Seq(0.0f, 3.0f))
+    assert(train(pqCorpus.repartition(7)) == cb)
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(pqCorpus, "vec_id", "embedding",
+        dim = 4, m = 3, ksub = 2, iters = 1)
+    }
+  }
+
+  test("pqEncode maps each vector to its cluster's codes") {
+    val cb = Similarity.trainPqCodebooks(pqCorpus, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 1)
+    val codes = Similarity.pqEncode(pqCorpus, "vec_id", "embedding", cb,
+        dim = 4, m = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(1L) == Seq(0, 0) && codes(20L) == Seq(0, 0)) // A cells
+    assert(codes(2L) == Seq(1, 1) && codes(30L) == Seq(1, 1)) // B cells
+  }
+
+  test("pqTopK ranks the exact duplicate first by approximate inner product") {
+    val cb = Similarity.trainPqCodebooks(pqCorpus, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 1)
+    val out = Similarity.pqTopK(pqCorpus.filter(col("vec_id") === 1),
+        pqCorpus, "vec_id", "embedding", k = 3, cb, dim = 4, m = 2, ksub = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    // dup id 20 shares the query's codes: adot = ⟨(4,0),(4,0)⟩·2 = 32
+    assert(out.head == ((1L, 1, 20L, 32.0)))
+    // B-coded candidates all tie at 0, id-ascending
+    assert(out.map(_._3) == Seq(20L, 2L, 30L))
+  }
 }
