@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{Dedup, EventOps, Multimodal, Protocol, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, EventOps, Multimodal, Protocol, Similarity, TextAnalysis}
 
 /** The canonical oracle-checked query inventory (SURVEY.md §2.12 Q1-Q14 +
   * the LLM-data-pipeline operators + TPC-H-style scale probes), each as a
@@ -2170,12 +2170,62 @@ object Queries {
             FROM r WHERE rn <= 5"""
     }))
 
+  /** Inverted postings index: exact df/cf per term plus the capped
+    * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
+    * before the cap, head bounded per term. */
+  private val q83 = QDef("q83_inverted_index",
+    (s, d) => TextAnalysis.invertedIndex(docs(s, d), "doc_id", "text",
+      maxPostings = 8),
+    Some("""WITH t0 AS (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '')) AS term
+                FROM documents),
+             td AS (SELECT term, doc_id, count(*) AS tf FROM t0 GROUP BY 1, 2),
+             stats AS (SELECT term, count(*) AS df,
+                 CAST(sum(tf) AS BIGINT) AS cf FROM td GROUP BY 1),
+             h AS (SELECT term, doc_id, tf, row_number() OVER (
+                 PARTITION BY term ORDER BY doc_id) AS rn FROM td),
+             heads AS (SELECT term,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings,
+                 string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS tfs
+               FROM h WHERE rn <= 8 GROUP BY 1)
+             SELECT s.term, s.df, s.cf, heads.postings, heads.tfs
+             FROM stats s JOIN heads USING (term)"""), bench = true)
+
+  /** Corpus data card: per-source release summary — doc/token/char
+    * volume, exact-dup rate, size shape. All ratios single-rounded
+    * divisions of exact integer aggregates. */
+  private val q84 = QDef("q84_data_card",
+    (s, d) => Curation.corpusDataCard(docs(s, d), "source", "doc_id", "text"),
+    Some("""WITH sig AS (SELECT source, doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                 x -> x <> '')) AS INT) AS ntok,
+               CAST(length(text) AS INT) AS nchars, md5(text) AS h
+             FROM documents),
+             fams AS (SELECT source, h, count(*) AS fam FROM sig GROUP BY 1, 2),
+             dup AS (SELECT source, CAST(sum(fam - 1) AS BIGINT) AS dup_docs,
+                 count(*) AS distinct_docs FROM fams GROUP BY 1),
+             agg AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                 CAST(sum(nchars) AS BIGINT) AS total_chars,
+                 min(ntok) AS min_tokens, max(ntok) AS max_tokens
+               FROM sig GROUP BY 1)
+             SELECT agg.source AS stratum, n_docs, distinct_docs, dup_docs,
+                    round(CAST(dup_docs AS DOUBLE) / n_docs, 4) AS dup_rate,
+                    total_tokens, total_chars,
+                    round(CAST(total_tokens AS DOUBLE) / n_docs, 4)
+                      AS avg_tokens,
+                    min_tokens, max_tokens
+             FROM agg JOIN dup USING (source)"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
+    q83, q84)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -184,4 +184,47 @@ object Curation {
       .select(col("test_id").as(id))
     withSplit.join(leaked, Seq(id), "left_anti")
   }
+
+  /** Corpus data card — the per-stratum summary a dataset release ships
+    * (docs, token/char volume, exact-duplicate rate, size shape): one
+    * row per value of `stratum` (source, language, domain...).
+    * `dup_rate` = share of rows whose content md5 is not its family's
+    * first occurrence — exactly the rows [[graft.ops.Dedup.exactDedup]]
+    * would remove. All ratios are single-rounded divisions of exact
+    * integer partial aggregates (no floating accumulation), so the
+    * card is bit-reproducible and oracle-checkable.
+    *
+    * Scale shape: signals are row-local; the only shuffles are the
+    * (stratum, content-hash) family rollup and the stratum rollup —
+    * both hash-groupBys with map-side combine, output bounded by the
+    * stratum inventory. */
+  def corpusDataCard(docs: DataFrame, stratum: String, id: String,
+                     text: String): DataFrame = {
+    val sig = docs.select(col(stratum).as("stratum"), col(id),
+      TextAnalysis.tokenCount(col(text)).as("__ntok"),
+      length(col(text)).as("__nchars"),
+      md5(col(text)).as("__h"))
+    // duplicate families WITHIN a stratum (a cross-source copy counts in
+    // each source's card — the per-stratum reading of exact dedup)
+    val fams = sig.groupBy(col("stratum"), col("__h"))
+      .agg(count(lit(1)).as("__fam"))
+    val dup = fams.groupBy(col("stratum"))
+      .agg(sum(col("__fam") - 1).as("dup_docs"),
+        count(lit(1)).as("distinct_docs"))
+    sig.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"),
+        sum(col("__nchars")).as("total_chars"),
+        min(col("__ntok")).as("min_tokens"),
+        max(col("__ntok")).as("max_tokens"))
+      .join(dup, "stratum")
+      .select(col("stratum"), col("n_docs"), col("distinct_docs"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"),
+        col("total_tokens"), col("total_chars"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens"),
+        col("min_tokens"), col("max_tokens"))
+  }
 }

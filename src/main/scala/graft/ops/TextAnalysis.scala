@@ -291,4 +291,44 @@ object TextAnalysis {
         array_join(col("__ctoks"), " ").as("chunk_text"),
         size(col("__ctoks")).as("n_tokens"))
   }
+
+  /** Inverted postings index — the retrieval-side artifact a curated
+    * corpus feeds (BM25 search, contamination lookups, concordance
+    * tooling): one row per term with document frequency, collection
+    * frequency, and the HEAD of its posting list (the `maxPostings`
+    * lowest doc ids, with per-doc term frequencies) serialized as
+    * comma-joined strings — bounded output per term no matter how viral
+    * the term, the same cap discipline as top-k everywhere else. `df`
+    * and `cf` are computed BEFORE the head cap, so stats stay exact.
+    *
+    * Scale shape: tokenize/explode is row-local; (term, doc) tf is a
+    * hash-groupBy with map-side combine; the head cut is a window
+    * PARTITIONED by term with the doc-id tie-break (the sanctioned
+    * per-key window shape). Skew note: stopword terms have the largest
+    * partitions — at 100 TB pre-filter the term inventory (drop df >
+    * threshold boilerplate terms, [[vocabCoverage]] finds them) before
+    * indexing; the stats-side groupBys are partial-agg and unaffected. */
+  def invertedIndex(df: DataFrame, id: String, text: String,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val td = df.select(col(id).as("doc"),
+        explode(tokens(lower(col(text)))).as("term"))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds the exact stats and the capped head
+    val stats = td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc")
+    val heads = td.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(array_sort(collect_list(struct(col("doc"), col("tf")))).as("ps"))
+      .select(col("term"),
+        array_join(transform(col("ps"),
+          e => e.getField("doc").cast("string")), ",").as("postings"),
+        array_join(transform(col("ps"),
+          e => e.getField("tf").cast("string")), ",").as("tfs"))
+    stats.join(heads, "term")
+  }
 }

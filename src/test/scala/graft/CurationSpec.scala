@@ -160,4 +160,22 @@ class CurationSpec extends SparkSpec {
     // → both kept (tiny strata are not wiped out)
     assert(kept == ((2L to 18L).toSet ++ Set(100L, 101L)), s"got $kept")
   }
+
+  test("corpusDataCard: per-stratum volumes and exact-dup rate") {
+    val df = Seq(
+      (1L, "s1", "aa bb cc"),    // 3 tokens, 8 chars
+      (2L, "s1", "aa bb cc"),    // exact dup of 1
+      (3L, "s1", "dd ee"),       // 2 tokens, 5 chars
+      (4L, "s2", "aa bb cc")     // same content, other stratum — not a dup there
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.corpusDataCard(df, "source", "doc_id", "text")
+      .as[(String, Long, Long, Long, Double, Long, Long, Double, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    val s1 = out("s1")
+    assert((s1._2, s1._3, s1._4, s1._5) == ((3L, 2L, 1L, 0.3333))) // docs/distinct/dups/rate
+    assert((s1._6, s1._7) == ((8L, 21L)))  // tokens, chars
+    assert((s1._9, s1._10) == ((2, 3)))    // min/max tokens
+    val s2 = out("s2")
+    assert((s2._2, s2._4, s2._5) == ((1L, 0L, 0.0)))
+  }
 }
