@@ -2170,6 +2170,90 @@ object Queries {
             FROM r WHERE rn <= 5"""
     }))
 
+  /** IVF-PQ ANN — both trained approximations composed (cell pruning ×
+    * code compression, the billion-vector index shape): the coarse
+    * quantizer restricts WHICH vectors are scored (nProbe cells), PQ
+    * restricts WHAT is read per candidate (m codes + table lookups).
+    * Oracle generated from BOTH collected tables (q42's centroids +
+    * q82's codebooks), so the full composition is hash-checked. */
+  private val q85 = QDef("q85_ivfpq_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val cent = trainedCentroids(s, d).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      val cb = trainedPqCodebooks(s, d).toSeq.toDF("sub", "code_id", "code_vec")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, cent, nProbe = 3, cb,
+        dim = 64, m = PqM, ksub = PqKsub)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val centRows = trainedCentroids(s, d).map { case (id, vec, nrm) =>
+        s"($id, CAST([${vec.mkString(", ")}] AS FLOAT[]), CAST($nrm AS DOUBLE))"
+      }.mkString(", ")
+      val cbRows = trainedPqCodebooks(s, d).map { case (sub, code, vec) =>
+        s"($sub, $code, CAST([${vec.mkString(", ")}] AS FLOAT[]))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT * FROM (VALUES $centRows)
+              AS t(cent_id, cent_vec, cent_nrm)),
+            cb AS (SELECT * FROM (VALUES $cbRows)
+              AS t(sub, code_id, code_vec)),
+            v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            asg AS (SELECT c_id, cell FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC) AS rn
+              FROM v a, cent) WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+              FROM v WHERE vec_id % 10 = 0),
+            probes AS (SELECT q_id, cell FROM (
+              SELECT q.q_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY q.q_id ORDER BY
+                       list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                         i -> CAST(q.q_vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (q.q_nrm * cent.cent_nrm) DESC, cent.cent_id ASC) AS rn
+              FROM q, cent) WHERE rn <= 3),
+            subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+            sv AS (SELECT vec_id, subs.sub,
+                embedding[subs.sub * $PqDsub + 1 : subs.sub * $PqDsub + $PqDsub]
+                  AS svec
+              FROM embeddings, subs),
+            enc0 AS (SELECT sv.vec_id, sv.sub, cb.code_id,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> (CAST(sv.svec[i] AS DOUBLE) - cb.code_vec[i]) *
+                       (CAST(sv.svec[i] AS DOUBLE) - cb.code_vec[i]))) AS d2
+              FROM sv JOIN cb ON sv.sub = cb.sub),
+            enc AS (SELECT vec_id, sub, code_id FROM (
+                SELECT vec_id, sub, code_id, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY d2 ASC, code_id ASC) AS rn
+                FROM enc0) WHERE rn = 1),
+            dt AS (SELECT sv.vec_id AS q_id, sv.sub, cb.code_id,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> CAST(sv.svec[i] AS DOUBLE) * cb.code_vec[i])) AS ip
+              FROM sv JOIN cb ON sv.sub = cb.sub
+              WHERE sv.vec_id % 10 = 0),
+            sc AS (SELECT p.q_id, a.c_id,
+                list_sum(list(dt.ip ORDER BY dt.sub)) AS adot
+              FROM probes p
+              JOIN asg a ON p.cell = a.cell
+              JOIN enc ON enc.vec_id = a.c_id
+              JOIN dt ON dt.q_id = p.q_id AND dt.sub = enc.sub
+                     AND dt.code_id = enc.code_id
+              WHERE p.q_id <> a.c_id
+              GROUP BY 1, 2),
+            r AS (SELECT q_id, c_id, adot, row_number() OVER (
+                PARTITION BY q_id ORDER BY adot DESC, c_id ASC) AS rn FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   round(adot, 6) AS adot
+            FROM r WHERE rn <= 5"""
+    }))
+
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
     * before the cap, head bounded per term. */
@@ -2225,7 +2309,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84)
+    q83, q84, q85)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

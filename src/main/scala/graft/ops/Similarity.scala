@@ -507,6 +507,64 @@ object Similarity {
       .withColumnRenamed("cos", "adot")
   }
 
+  /** IVF-PQ top-k — the two optimizations composed, the shape a
+    * billion-vector index actually runs (FAISS IndexIVFPQ; Jégou et al.
+    * 2011 §V): the coarse quantizer prunes WHICH vectors to look at
+    * (each query probes its nProbe best cells — candidate volume ∝
+    * nProbe·avg-cell-size, never |corpus|), and product quantization
+    * shrinks WHAT is read per candidate (m code bytes + m table reads,
+    * never the float vector). Both approximations are deterministic
+    * (fixed trained tables, fixed tie-breaks), so the composition stays
+    * oracle-checkable end-to-end.
+    *
+    * Plan shape: centroids and per-query lookup tables broadcast; cell
+    * assignment and encoding are the shared partial-agg passes
+    * ([[assignCells]], [[pqEncode]]); candidate generation is ONE cell
+    * equi-join against the (cell, codes) table; scoring is
+    * [[graft.functions.PqAdc]] row-local; ranking is the bounded-heap
+    * [[topKMerge]]. Ranking = approximate inner product (adot DESC,
+    * id ASC). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                vec: String, k: Int, cent: DataFrame, nProbe: Int,
+                codebooks: DataFrame, dim: Int, m: Int,
+                ksub: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"need dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val cellCodes = pqEncode(corpus, id, vec, codebooks, dim, m)
+      .join(assignCells(c, cent).select(col("c_id"), col("cell")), "c_id")
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"))
+    // nProbe best cells per query — same rule as ivfTopKWith
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"),
+        cosine(col("q_vec"), col("cent_vec"), col("q_norm"), col("cent_norm"))
+          .as("qcos"), col("cent_id"))
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("qcos")).as("n"), col("cent_id")))), 1, nProbe).as("cells"))
+      .select(col("q_id"), explode(col("cells.cent_id")).as("cell"))
+    // per-query flattened ADC lookup table, identical to pqTopK's
+    val dt = queries.select(col(id).as("q_id"),
+        subVectors(col(vec), m, dsub).as(Seq("sub", "sv")))
+      .join(broadcast(codebooks), "sub")
+      .select(col("q_id"),
+        (col("sub") * ksub + col("code_id")).as("slot"),
+        graft.functions.VectorExprs.floatDot(col("sv"), col("code_vec")).as("ip"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("ip")))).as("se"))
+      .select(col("q_id"), transform(col("se"), e => e.getField("ip")).as("dt"))
+    val scored = probes.join(dt, "q_id")
+      .join(cellCodes, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.pqAdc(col("codes"), col("dt"), ksub).as("cos"))
+    topKMerge(scored, k)
+      .withColumnRenamed("cos", "adot")
+  }
+
   /** ANN near-dup pairs: bucket by hyperplane signature, exact cosine
     * verification within buckets only. Candidate volume ∝ Σ_bucket
     * |bucket|² with 2^numPlanes buckets — the 100 TB path (approximate:

@@ -218,4 +218,25 @@ class SimilaritySpec extends SparkSpec {
     // B-coded candidates all tie at 0, id-ascending
     assert(out.map(_._3) == Seq(20L, 2L, 30L))
   }
+
+  test("ivfPqTopK prunes to probed cells, then ranks by ADC") {
+    val cent = Similarity.trainIvfCentroids(pqCorpus, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val cb = Similarity.trainPqCodebooks(pqCorpus, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 1)
+    val out = Similarity.ivfPqTopK(pqCorpus.filter(col("vec_id") === 1),
+        pqCorpus, "vec_id", "embedding", k = 3, cent, nProbe = 1, cb,
+        dim = 4, m = 2, ksub = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // nProbe=1 probes only the query's own (A) cell: the sole candidate
+    // is the exact dup — B vectors are pruned BEFORE scoring, so k=3
+    // still returns one row
+    assert(out == Seq((1L, 1, 20L, 32.0)))
+    // nProbe=2 re-admits the B cell, same ADC scores as plain pqTopK
+    val wide = Similarity.ivfPqTopK(pqCorpus.filter(col("vec_id") === 1),
+        pqCorpus, "vec_id", "embedding", k = 3, cent, nProbe = 2, cb,
+        dim = 4, m = 2, ksub = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(wide.map(_._3) == Seq(20L, 2L, 30L))
+  }
 }
