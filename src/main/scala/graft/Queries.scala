@@ -2254,6 +2254,66 @@ object Queries {
             FROM r WHERE rn <= 5"""
     }))
 
+  /** Per-vector PQ reconstruction error over the trained codebooks —
+    * the quantization-quality audit for q82/q85's index. Ordered
+    * sub-wise fold, single rounding; oracle from the collected
+    * codebook. */
+  private val q86 = QDef("q86_pq_error",
+    (s, d) => {
+      import s.implicits._
+      val cb = trainedPqCodebooks(s, d).toSeq.toDF("sub", "code_id", "code_vec")
+      Similarity.pqReconstructionError(emb(s, d), "vec_id", "embedding",
+        cb, dim = 64, m = PqM)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedPqCodebooks(s, d).map { case (sub, code, vec) =>
+        s"($sub, $code, CAST([${vec.mkString(", ")}] AS FLOAT[]))"
+      }.mkString(", ")
+      s"""WITH cb AS (SELECT * FROM (VALUES $rows)
+              AS t(sub, code_id, code_vec)),
+            subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+            sv AS (SELECT vec_id, subs.sub,
+                embedding[subs.sub * $PqDsub + 1 : subs.sub * $PqDsub + $PqDsub]
+                  AS svec
+              FROM embeddings, subs),
+            enc0 AS (SELECT sv.vec_id, sv.sub,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> (CAST(sv.svec[i] AS DOUBLE) - cb.code_vec[i]) *
+                       (CAST(sv.svec[i] AS DOUBLE) - cb.code_vec[i]))) AS d2
+              FROM sv JOIN cb ON sv.sub = cb.sub),
+            mins AS (SELECT vec_id, sub, min(d2) AS d2
+              FROM enc0 GROUP BY 1, 2)
+            SELECT vec_id, round(list_sum(list(d2 ORDER BY sub)), 6) AS qerr
+            FROM mins GROUP BY vec_id"""
+    }))
+
+  /** Exact phrase search: positional phrase grams (broadcast literal)
+    * aligned against the corpus gram-hash table — the concordance /
+    * known-prompt contamination lookup. Integer-exact. */
+  private val q87 = QDef("q87_phrase_search",
+    (s, d) => TextAnalysis.phraseSearch(docs(s, d), "doc_id", "text",
+      phrase = "fast join key", n = 2),
+    Some("""WITH pg AS (SELECT * FROM (VALUES (0, 'fast join'),
+               (1, 'join key')) AS t(gidx, gram)),
+             toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '') AS toks FROM documents),
+             g0 AS (SELECT doc_id, list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1]) AS gs FROM toks),
+             g1 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+               unnest(gs) AS gram FROM g0),
+             g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh FROM g1),
+             ph AS (SELECT gidx,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh FROM pg),
+             starts AS (SELECT g.doc_id, g.pos - ph.gidx AS start,
+                 count(DISTINCT ph.gidx) AS k
+               FROM g JOIN ph USING (gh) GROUP BY 1, 2)
+             SELECT doc_id, count(*) AS n_hits,
+                    CAST(min(start) AS INT) AS first_pos
+             FROM starts WHERE k = 2 GROUP BY doc_id"""), bench = true)
+
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
     * before the cap, head bounded per term. */
@@ -2309,7 +2369,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85)
+    q83, q84, q85, q86, q87)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -507,6 +507,36 @@ object Similarity {
       .withColumnRenamed("cos", "adot")
   }
 
+  /** Per-vector PQ reconstruction error — the audit a PQ deployment
+    * ships alongside its index (how much signal the m/ksub sizing
+    * throws away, which vectors quantize badly): qerr = Σ_sub min-L2²
+    * to the sub's nearest codeword — exactly the squared distance
+    * between the vector and its PQ decode. Deterministic: the per-sub
+    * errors are row-local folds and the m-term total folds in sub order
+    * (bounded collect + ordered sum), so the report is
+    * oracle-checkable. Same broadcast + map-side-argmin shape as
+    * [[pqEncode]]. */
+  def pqReconstructionError(corpus: DataFrame, id: String, vec: String,
+                            codebooks: DataFrame, dim: Int,
+                            m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"need dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    corpus.select(col(id).as("__id"),
+        subVectors(col(vec), m, dsub).as(Seq("sub", "sv")))
+      .join(broadcast(codebooks), "sub")
+      .select(col("__id"), col("sub"),
+        graft.functions.VectorExprs.floatL2Sq(col("sv"), col("code_vec"))
+          .as("d2"))
+      .groupBy(col("__id"), col("sub"))
+      .agg(min(col("d2")).as("d2"))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("d2")))).as("ds"))
+      .select(col("__id").as(id),
+        round(aggregate(transform(col("ds"), e => e.getField("d2")),
+          lit(0.0), (a, v) => a + v), 6).as("qerr"))
+  }
+
   /** IVF-PQ top-k — the two optimizations composed, the shape a
     * billion-vector index actually runs (FAISS IndexIVFPQ; Jégou et al.
     * 2011 §V): the coarse quantizer prunes WHICH vectors to look at

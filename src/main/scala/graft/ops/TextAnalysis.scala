@@ -331,4 +331,43 @@ object TextAnalysis {
           e => e.getField("tf").cast("string")), ",").as("tfs"))
     stats.join(heads, "term")
   }
+
+  /** Exact phrase search — find every document containing a literal
+    * token phrase, with occurrence count and first position (the
+    * concordance/grep primitive over a curated corpus, and the exact
+    * form of contamination lookup for a known benchmark prompt).
+    *
+    * Relational shape: the phrase's L−n+1 positional n-grams (a
+    * broadcast literal) equi-join the corpus's positional gram-hash
+    * table; a candidate start position is a hit iff ALL phrase grams
+    * align there (count-distinct per (doc, pos−gram_idx) — the same
+    * alignment arithmetic as [[graft.ops.Dedup.sharedSpanPairs]]).
+    * Join volume ∝ Σ_phrase-gram corpus-frequency — a few grams'
+    * posting rows, never a corpus scan of texts. Integer-exact.
+    * Output: `(id, n_hits, first_pos)` (token positions, 0-based). */
+  def phraseSearch(df: DataFrame, id: String, text: String, phrase: String,
+                   n: Int = 2): DataFrame = {
+    val ptoks = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(ptoks.size >= n,
+      s"phrase needs at least n=$n tokens, got ${ptoks.size}: '$phrase'")
+    val pGrams = ptoks.sliding(n).map(_.mkString(" ")).toSeq.zipWithIndex
+    val numGrams = pGrams.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pg = broadcast(pGrams.toDF("gram", "gidx")
+      .select(col("gidx"),
+        graft.functions.Md5Hash.prefix60(col("gram")).as("gh")))
+    val g = df.select(col(id).as("__doc"),
+        posexplode(Dedup.positionalShingles(col(text), n))
+          .as(Seq("pos", "gram")))
+      .select(col("__doc"), col("pos"),
+        graft.functions.Md5Hash.prefix60(col("gram")).as("gh"))
+    g.join(pg, "gh")
+      .groupBy(col("__doc"), (col("pos") - col("gidx")).as("start"))
+      .agg(countDistinct(col("gidx")).as("__k"))
+      .filter(col("__k") === numGrams)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+      .withColumnRenamed("__doc", id)
+  }
 }

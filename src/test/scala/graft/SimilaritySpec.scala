@@ -239,4 +239,20 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
     assert(wide.map(_._3) == Seq(20L, 2L, 30L))
   }
+
+  test("pqReconstructionError: zero on cell means, exact off-center error") {
+    val cb = Similarity.trainPqCodebooks(pqCorpus, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 1)
+    val errs = Similarity.pqReconstructionError(pqCorpus, "vec_id",
+        "embedding", cb, dim = 4, m = 2)
+      .as[(Long, Double)].collect().toMap
+    // every pqCorpus vector sits exactly on its cluster mean → qerr 0
+    assert(errs.values.forall(_ == 0.0), s"got $errs")
+    // a vector off both codewords: nearest A codeword (4,0) per sub,
+    // (5,1) is 1²+1² = 2 away in each of the 2 subspaces
+    val off = Seq((99L, Seq(5.0f, 1.0f, 5.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e99 = Similarity.pqReconstructionError(off, "vec_id", "embedding",
+      cb, dim = 4, m = 2).as[(Long, Double)].collect().head._2
+    assert(e99 == 4.0)
+  }
 }
