@@ -537,6 +537,51 @@ object Similarity {
           lit(0.0), (a, v) => a + v), 6).as("qerr"))
   }
 
+  /** The static index table of IVF-PQ: `(cell, c_id, codes)` — each
+    * corpus vector's coarse cell plus its PQ codes. Built once, reused
+    * by [[ivfPqTopK]] and the streaming search
+    * ([[graft.streaming.StatefulOps.streamingIvfPqSearch]], which
+    * re-plans the static side per micro-batch — persist it). */
+  def ivfPqIndex(corpus: DataFrame, id: String, vec: String,
+                 cent: DataFrame, codebooks: DataFrame, dim: Int,
+                 m: Int): DataFrame = {
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    pqEncode(corpus, id, vec, codebooks, dim, m)
+      .join(assignCells(c, cent).select(col("c_id"), col("cell")), "c_id")
+  }
+
+  /** ROW-LOCAL probe-cell selection from a COLLECTED centroid table —
+    * the streaming-side form of [[ivfPqTopK]]'s probes (identical
+    * expression shape: sort by (−cosine, cent_id), take nProbe): the
+    * trained centroids are tiny literal artifacts, so each query row
+    * picks its cells with k unrolled codegen'd dot products and one
+    * bounded array_sort — no aggregation, which is what makes the
+    * streaming search stateless. Returns `array<cent_id>`. */
+  def adcProbeCells(qvec: Column, cent: Seq[(Long, Seq[Float], Double)],
+                    nProbe: Int): Column = {
+    require(cent.nonEmpty, "need at least one centroid")
+    val qn = norm(qvec)
+    val scored = cent.map { case (cid, v, nrm) =>
+      struct((-(dot(qvec, typedLit(v)) / (qn * lit(nrm)))).as("n"),
+        lit(cid).as("cent_id"))
+    }
+    slice(array_sort(array(scored: _*)), 1, nProbe).getField("cent_id")
+  }
+
+  /** ROW-LOCAL ADC lookup table from a COLLECTED codebook — the
+    * streaming-side form of [[ivfPqTopK]]'s `dt` (identical expression:
+    * slot sub·ksub+code = ⟨query subvector, codeword⟩, unrolled as
+    * m·ksub codegen'd dots in slot order). Feeds
+    * [[graft.functions.PqAdc]]. */
+  def adcLookupTable(qvec: Column, cb: Seq[(Int, Int, Seq[Float])],
+                     dsub: Int): Column = {
+    require(cb.nonEmpty, "need a non-empty codebook")
+    array(cb.sortBy(t => (t._1, t._2)).map { case (sub, _, v) =>
+      dot(slice(qvec, sub * dsub + 1, dsub), typedLit(v))
+    }: _*)
+  }
+
   /** IVF-PQ top-k — the two optimizations composed, the shape a
     * billion-vector index actually runs (FAISS IndexIVFPQ; Jégou et al.
     * 2011 §V): the coarse quantizer prunes WHICH vectors to look at
@@ -561,10 +606,7 @@ object Similarity {
     require(m >= 1 && dim % m == 0,
       s"need dim divisible by m, got dim=$dim m=$m")
     val dsub = dim / m
-    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
-      norm(col(vec)).as("c_norm"))
-    val cellCodes = pqEncode(corpus, id, vec, codebooks, dim, m)
-      .join(assignCells(c, cent).select(col("c_id"), col("cell")), "c_id")
+    val cellCodes = ivfPqIndex(corpus, id, vec, cent, codebooks, dim, m)
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm"))
     // nProbe best cells per query — same rule as ivfTopKWith

@@ -447,6 +447,47 @@ object StatefulOps {
         graft.ops.Similarity.norm(col(vec)).as("c_norm")),
       cent)
 
+  /** Streaming IVF-PQ similarity search — incoming vectors (new
+    * documents' embeddings, live queries) searched against a STATIC
+    * compressed index ([[graft.ops.Similarity.ivfPqIndex]] — persist
+    * it; a streaming query re-plans the static side per micro-batch):
+    * the streaming half of q85, and the alerting shape of semantic
+    * dedup ("does this incoming item already live in the corpus?").
+    *
+    * Entirely STATELESS: the trained artifacts (centroids, codebook)
+    * are collected literals, so probe-cell selection and the ADC
+    * lookup table are row-local unrolled expressions
+    * ([[graft.ops.Similarity.adcProbeCells]]/[[graft.ops.Similarity.adcLookupTable]]
+    * — bit-identical to the batch forms); candidates come from ONE
+    * stream-static cell equi-join; scoring is the codegen'd
+    * [[graft.functions.PqAdc]]. No watermark, no state store — emits
+    * every candidate with approximate inner product ≥ `minScore`
+    * (radius/alerting semantics; per-query top-k ranking is the
+    * consumer's per-batch step, [[graft.ops.Similarity.topKMerge]]'s
+    * job in foreachBatch).
+    * Output: `(q_id, c_id, adot)` rounded to 6. */
+  def streamingIvfPqSearch(queries: DataFrame, index: DataFrame,
+      cents: Seq[(Long, Seq[Float], Double)],
+      codebook: Seq[(Int, Int, Seq[Float])],
+      id: String, vec: String, dim: Int, m: Int, ksub: Int, nProbe: Int,
+      minScore: Double): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"need dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    queries
+      .select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("dt",
+        graft.ops.Similarity.adcLookupTable(col("q_vec"), codebook, dsub))
+      .withColumn("cell", explode(
+        graft.ops.Similarity.adcProbeCells(col("q_vec"), cents, nProbe)))
+      .join(index, Seq("cell")) // stream-static inner equi-join
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(graft.functions.VectorExprs.pqAdc(col("codes"), col("dt"), ksub), 6)
+          .as("adot"))
+      .filter(col("adot") >= minScore)
+  }
+
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.
     *

@@ -241,6 +241,53 @@ class StatefulOpsSpec extends SparkSpec {
     bandTab.unpersist()
   }
 
+  test("streamingIvfPqSearch: stream-static ANN equals its batch application") {
+    implicit val ctx = spark.sqlContext
+    // two separated clusters in dim 4 (same fixture as SimilaritySpec)
+    val corpus = Seq(
+      (1L, Seq(4.0f, 0.0f, 4.0f, 0.0f)),
+      (2L, Seq(0.0f, 3.0f, 0.0f, 3.0f)),
+      (20L, Seq(4.0f, 0.0f, 4.0f, 0.0f)),
+      (30L, Seq(0.0f, 3.0f, 0.0f, 3.0f)),
+      (31L, Seq(0.0f, 3.0f, 0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = graft.ops.Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", k = 2, iters = 1)
+    val cb = graft.ops.Similarity.trainPqCodebooks(corpus, "vec_id",
+      "embedding", dim = 4, m = 2, ksub = 2, iters = 1)
+    val cents = cent.as[(Long, Seq[Float], Double)].collect().toSeq
+    val cbLit = cb.as[(Int, Int, Seq[Float])].collect().toSeq
+    // persisted: the static index is re-read every micro-batch
+    val index = graft.ops.Similarity.ivfPqIndex(corpus, "vec_id",
+      "embedding", cent, cb, dim = 4, m = 2).persist()
+    val queries = Seq(
+      (100L, Seq(4.0f, 0.0f, 4.0f, 0.0f)), // lands in the A cell
+      (200L, Seq(0.0f, 3.0f, 0.0f, 3.0f))  // lands in the B cell
+    )
+    def search(df: org.apache.spark.sql.DataFrame) =
+      StatefulOps.streamingIvfPqSearch(df, index, cents, cbLit,
+        "vec_id", "embedding", dim = 4, m = 2, ksub = 2, nProbe = 1,
+        minScore = 1.0)
+    val batch = search(queries.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Double)].collect().toSet
+    // A query sees only A members (nProbe=1 prunes B): adot = 32
+    assert(batch.contains((100L, 1L, 32.0)) && batch.contains((100L, 20L, 32.0)))
+    assert(!batch.exists(r => r._1 == 100L && Set(2L, 30L, 31L)(r._2)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = search(in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("ivfpq")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(queries: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivfpq")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stateless stream-static search must equal batch: $streamed vs $batch")
+    }
+    index.unpersist()
+  }
+
   test("streamingContaminationCheck equals batch contaminationCheck (stream-static)") {
     implicit val ctx = spark.sqlContext
     // the q50/DedupSpec contamination fixture: doc 10 shares one trigram,
