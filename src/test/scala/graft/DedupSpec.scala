@@ -288,6 +288,20 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("noveltyProfile: known grams score 0, fresh grams score 1") {
+    val ref = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "alpha beta gamma delta"),        // every bigram known
+      (11L, "totally fresh words here"),      // nothing known
+      (12L, "alpha beta something else here") // 1 of 4 bigrams known
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyProfile(probe, ref, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 3L, 3L, 0.0)))
+    assert(out(11L) == ((11L, 3L, 0L, 1.0)))
+    assert(out(12L) == ((12L, 4L, 1L, 0.75)))
+  }
+
   test("containmentPairs doc-freq cap only lowers measured containment") {
     val near = Seq(
       (1L, "x y z w v"),

@@ -103,4 +103,23 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("imageContentDedup: same content at different sizes is one family") {
+    def item(id: Long, w: Int, h: Int, r: Int, g: Int, b: Int) = {
+      val blob = Multimodal.solidPng(w, h, r, g, b)
+      graft.ops.MediaItem(id, "image", blob, "image/png", blob.length.toLong)
+    }
+    val items = Seq(
+      item(1L, 8, 6, 200, 10, 30),   // red-ish, small
+      item(2L, 20, 14, 200, 10, 30), // SAME content, different size/bytes
+      item(3L, 8, 6, 0, 250, 0)      // different content, same size as 1
+    ).toDS()
+    // byte-level dedup finds nothing: all three blobs differ
+    assert(items.collect().map(_.blob.toSeq).distinct.length == 3)
+    val fams = Multimodal.imageContentDedup(items, 16, 12)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(fams == Seq(
+      (1L, 2L, 200.0, 10.0, 30.0),
+      (3L, 1L, 0.0, 250.0, 0.0)))
+  }
 }
