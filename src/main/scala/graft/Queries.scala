@@ -2392,6 +2392,45 @@ object Queries {
              FROM g LEFT JOIN inv ON g.gh = inv.rgh
              WHERE doc_id % 3 <> 0 GROUP BY doc_id"""), bench = true)
 
+  /** In-batch negative sampling: each anchor paired with the next 3
+    * members of its consistent-hash batch (cyclic) — the contrastive
+    * pair construction, RNG-free so the oracle replays it exactly. */
+  private val q90 = QDef("q90_negative_sample",
+    (s, d) => graft.ops.Sampling.inBatchNegatives(docs(s, d), "doc_id",
+      numBatches = 16, k = 3, salt = "nb"),
+    Some(s"""WITH b AS (SELECT doc_id,
+               ${sqlHash60("doc_id", "nb")} % 16 AS batch,
+               ${sqlHash60("doc_id", "nb")} AS h
+             FROM documents),
+             r AS (SELECT doc_id, batch,
+                 row_number() OVER (PARTITION BY batch
+                   ORDER BY h, doc_id) - 1 AS rnk,
+                 count(*) OVER (PARTITION BY batch) AS bsz
+               FROM b),
+             a AS (SELECT r.doc_id AS anchor_id, r.batch, r.bsz, j.j,
+                 (r.rnk + j.j) % r.bsz AS nrnk
+               FROM r, (SELECT unnest([1, 2, 3]) AS j) j
+               WHERE j.j < r.bsz)
+             SELECT a.anchor_id, CAST(a.j AS INT) AS j, n.doc_id AS neg_id
+             FROM a JOIN r n ON a.batch = n.batch AND a.nrnk = n.rnk"""),
+    bench = true)
+
+  /** Token-length histogram: linear integer buckets (a float-log bucket
+    * boundary could move a doc across buckets cross-engine), count +
+    * single-rounded share per bucket. */
+  private val q91 = QDef("q91_length_histogram",
+    (s, d) => TextAnalysis.lengthHistogram(docs(s, d), "text",
+      bucketWidth = 16),
+    Some("""WITH n AS (SELECT CAST(len(list_filter(
+               regexp_split_to_array(text, '\s+'), t -> t <> ''))
+                 AS BIGINT) AS n FROM documents),
+             h AS (SELECT n - n % 16 AS bucket_lo, count(*) AS n_docs
+               FROM n GROUP BY 1),
+             t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM h)
+             SELECT bucket_lo, n_docs,
+                    round(CAST(n_docs AS DOUBLE) / t.total, 4) AS share
+             FROM h, t"""), bench = true)
+
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
     * before the cap, head bounded per term. */
@@ -2447,7 +2486,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85, q86, q87, q88, q89)
+    q83, q84, q85, q86, q87, q88, q89, q90, q91)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

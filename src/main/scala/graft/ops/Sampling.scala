@@ -256,4 +256,42 @@ object Sampling {
             lit(graft.functions.KmvDistinct.Space) /
             col("__hk").cast("double")), 4).as("approx_distinct")): _*)
   }
+
+  /** In-batch negative sampling — the contrastive-training pair
+    * construction (each anchor paired with the next `k` members of its
+    * hash batch, cyclically): rows are sharded into pseudo-random
+    * batches by the consistent hash (no RNG — auditable, replayable,
+    * growth-displaces like every sampler here), ordered within the
+    * batch by (hash, id), and anchor rank r takes ranks r+1..r+k mod
+    * batch-size as negatives. Batches smaller than j+1 yield fewer
+    * negatives (no self-pairs, no repeats). Output:
+    * `(anchor_id, j, neg_id)` with j in 1..k.
+    *
+    * Scale shape: the hash shard is row-local; ranking and batch size
+    * are windows PARTITIONED by batch (the sanctioned per-key shape —
+    * batch sizes concentrate around n/numBatches, so no whale
+    * partitions by construction); the negative lookup is one
+    * (batch, rank) equi-join. */
+  def inBatchNegatives(df: DataFrame, id: String, numBatches: Int, k: Int,
+                       salt: String): DataFrame = {
+    require(numBatches >= 1 && k >= 1,
+      s"need numBatches >= 1 and k >= 1, got numBatches=$numBatches k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("batch").orderBy("__h", id)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("batch")
+    val ranked = df.select(col(id),
+        (hash60(col(id), salt) % numBatches).as("batch"),
+        hash60(col(id), salt).as("__h"))
+      .withColumn("rnk", row_number().over(w) - 1)
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .persist() // feeds both the anchor side and the rank lookup
+    ranked
+      .select(col(id).as("anchor_id"), col("batch"), col("rnk"), col("bsz"),
+        explode(array((1 to k).map(lit): _*)).as("j"))
+      .filter(col("j") < col("bsz"))
+      .withColumn("nrnk", (col("rnk") + col("j")) % col("bsz"))
+      .join(ranked.select(col("batch"), col("rnk").as("nrnk"),
+        col(id).as("neg_id")), Seq("batch", "nrnk"))
+      .select(col("anchor_id"), col("j"), col("neg_id"))
+  }
 }

@@ -370,4 +370,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
       .withColumnRenamed("__doc", id)
   }
+
+  /** Token-length histogram — the sequence-length shape a data card and
+    * a packing planner both need (context-window sizing, padding-waste
+    * estimates): documents bucketed by `bucketWidth` tokens, with count
+    * and corpus share per bucket. LINEAR integer buckets on purpose —
+    * `floor(log2)`-style buckets would put a float log in the bucket
+    * boundary, and a last-ulp divergence would move a document across
+    * buckets cross-engine (the q82 lesson); integer division cannot
+    * divide differently. Share = single-rounded division of exact
+    * counts.
+    *
+    * Shape: token count and bucket are row-local; one hash-groupBy
+    * (output bounded by max-length/width); the total joins back as a
+    * broadcast 1-row aggregate. */
+  def lengthHistogram(df: DataFrame, text: String,
+                      bucketWidth: Int): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // bucket_lo = n − (n mod W): pure integer arithmetic (Column./ is
+    // double division — exact here, but integers can't even wobble)
+    val n = tokenCount(col(text)).cast("long")
+    val hist = df.select((n - pmod(n, lit(bucketWidth))).as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("__total"))))
+      .select(col("bucket_lo"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__total"), 4).as("share"))
+  }
 }

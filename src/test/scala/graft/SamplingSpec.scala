@@ -301,4 +301,31 @@ class SamplingSpec extends SparkSpec {
         s"streaming sketch must equal batch: $streamed vs $batch")
     } finally q.stop()
   }
+
+  test("inBatchNegatives: cyclic next-k within hash batches, no self-pairs") {
+    val df = (0L until 40L).toDF("doc_id")
+    val out = Sampling.inBatchNegatives(df, "doc_id", numBatches = 4, k = 2,
+        salt = "nb")
+      .as[(Long, Int, Long)].collect().toSeq
+    // reconstruct the expected batches/order with the same hash
+    val hashed = (0L until 40L).map { id =>
+      val h = spark.range(1).select(
+        Sampling.hash60(lit(id), "nb")).first().getLong(0)
+      (id, h)
+    }
+    val batches = hashed.groupBy(_._2 % 4).view.mapValues(
+      _.sortBy { case (id, h) => (h, id) }.map(_._1).toVector).toMap
+    val expected = for {
+      (_, members) <- batches.toSeq
+      (anchor, r) <- members.zipWithIndex
+      j <- 1 to 2 if j < members.size
+    } yield (anchor, j, members((r + j) % members.size))
+    assert(out.toSet == expected.toSet)
+    assert(out.size == expected.size) // no duplicate pairs
+    assert(out.forall { case (a, _, n) => a != n }) // no self-pairs
+    // layout invariance
+    val re = Sampling.inBatchNegatives(df.repartition(7), "doc_id", 4, 2, "nb")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(re == out.toSet)
+  }
 }
