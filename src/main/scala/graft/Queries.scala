@@ -2431,6 +2431,42 @@ object Queries {
                     round(CAST(n_docs AS DOUBLE) / t.total, 4) AS share
              FROM h, t"""), bench = true)
 
+  /** Key-skew report on the event stream's user key: exact top-10 heavy
+    * keys with share and load-vs-mean — the number salting/AQE
+    * thresholds are sized from. */
+  private val q92 = QDef("q92_key_skew",
+    (s, d) => graft.ops.Skew.keySkewReport(events(s, d), "user_id",
+      topN = 10),
+    Some("""WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
+               GROUP BY 1),
+             t AS (SELECT CAST(sum(n) AS BIGINT) AS nrows,
+                 count(*) AS nkeys FROM c),
+             top AS (SELECT key, n FROM c ORDER BY n DESC, key ASC LIMIT 10),
+             r AS (SELECT a.key, a.n, CAST(count(*) AS INT) AS rank
+               FROM top a JOIN top b
+                 ON (b.n > a.n OR (b.n = a.n AND b.key <= a.key))
+               GROUP BY a.key, a.n)
+             SELECT rank, key, n,
+                    round(CAST(n AS DOUBLE) / t.nrows, 4) AS share,
+                    round(CAST(n AS DOUBLE) * t.nkeys / t.nrows, 4) AS skew_x
+             FROM r, t"""), bench = true)
+
+  /** Effective-token report: raw vs post-exact-dedup corpus size in one
+    * row — the number a pretraining token budget starts from. */
+  private val q93 = QDef("q93_effective_tokens",
+    (s, d) => Dedup.effectiveTokenReport(docs(s, d), "doc_id", "text"),
+    Some("""WITH f AS (SELECT md5(text) AS h, count(*) AS c,
+               min(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '')) AS BIGINT)) AS t
+             FROM documents GROUP BY 1)
+             SELECT CAST(sum(c) AS BIGINT) AS total_docs,
+                    count(*) AS distinct_docs,
+                    CAST(sum(c * t) AS BIGINT) AS total_tokens,
+                    CAST(sum(t) AS BIGINT) AS effective_tokens,
+                    round(1.0 - CAST(sum(t) AS DOUBLE) / sum(c * t), 4)
+                      AS dup_token_share
+             FROM f"""), bench = true)
+
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
     * before the cap, head bounded per term. */
@@ -2486,7 +2522,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

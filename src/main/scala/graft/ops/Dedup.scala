@@ -555,6 +555,32 @@ object Dedup {
       .withColumn("is_kept", col(id) === col("cluster"))
   }
 
+  /** Effective-token report — the one-row answer to "how big is this
+    * corpus REALLY": raw docs/tokens, and the docs/tokens that survive
+    * exact dedup (one winner per content family). `dup_token_share` is
+    * the fraction of token mass an exact-dedup pass deletes — the first
+    * number a pretraining budget discussion needs, and the denominator
+    * honest epochs-per-token math uses.
+    *
+    * Shape: one hash-groupBy to families (identical text ⇒ identical
+    * token count, so the family carries `count × tokens`), one global
+    * 1-row rollup. Exact integers + one final rounding. */
+  def effectiveTokenReport(df: DataFrame, id: String,
+                           text: String): DataFrame =
+    df.select(md5(col(text)).as("h"),
+        TextAnalysis.tokenCount(col(text)).cast("long").as("t"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("t")).as("t"))
+      .agg(sum(col("c")).as("total_docs"),
+        count(lit(1)).as("distinct_docs"),
+        sum(col("c") * col("t")).as("total_tokens"),
+        sum(col("t")).as("effective_tokens"))
+      .select(col("total_docs"), col("distinct_docs"), col("total_tokens"),
+        col("effective_tokens"),
+        round(lit(1.0) -
+          col("effective_tokens").cast("double") / col("total_tokens"), 4)
+          .as("dup_token_share"))
+
   /** Corpus snapshot diff — the incremental-ingestion primitive: compare
     * two snapshots of a document table by content hash and emit one row
     * per DELTA — `added` (id only in `newDf`), `removed` (id only in

@@ -33,4 +33,35 @@ object Skew {
     df.select((key :+ value).map(col): _*).distinct()
       .groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"))
+
+  /** Key-skew report — the observability step BEFORE committing to a
+    * join/aggregation strategy at 100 TB: the top-N heaviest keys with
+    * exact row counts, each key's share of all rows, and its load
+    * relative to the MEAN key (`skew_x` — the number AQE's skew
+    * thresholds and [[saltedJoin]]'s salt count should be sized from;
+    * skew_x ≈ 1 everywhere means plain hash partitioning is fine).
+    *
+    * Shape: one map-side-combined hash-groupBy (output = key
+    * inventory), a bounded top-N (`TakeOrderedAndProject` via
+    * orderBy+limit — never a global sort), rank by broadcast self-join
+    * over the N survivors, totals as a broadcast 1-row aggregate.
+    * Deterministic: ties break on the key value. */
+  def keySkewReport(df: DataFrame, key: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(col(key).as("key")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("key").asc).limit(topN)
+    val tot = counts.agg(sum(col("n")).as("__rows"),
+      count(lit(1)).as("__keys"))
+    val b = top.select(col("key").as("b_key"), col("n").as("b_n"))
+    top.crossJoin(broadcast(b))
+      .filter(col("b_n") > col("n") ||
+        (col("b_n") === col("n") && col("b_key") <= col("key")))
+      .groupBy(col("key"), col("n"))
+      .agg(count(lit(1)).cast("int").as("rank"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("n"),
+        round(col("n").cast("double") / col("__rows"), 4).as("share"),
+        round(col("n").cast("double") * col("__keys") / col("__rows"), 4)
+          .as("skew_x"))
+  }
 }

@@ -288,6 +288,16 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("effectiveTokenReport: dedup-aware corpus size in one row") {
+    // docs fixture: 1 and 4 are identical (14 tokens each); 2 has 14, 3 has 9
+    val out = Dedup.effectiveTokenReport(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val (total, distinct, totTok, effTok, share) = out
+    assert((total, distinct) == ((4L, 3L)))
+    assert(totTok == 14L * 3 + 9L && effTok == 14L * 2 + 9L)
+    assert(share == 0.2745) // 14/51 single-rounded
+  }
+
   test("noveltyProfile: known grams score 0, fresh grams score 1") {
     val ref = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val probe = Seq(

@@ -55,4 +55,17 @@ class SkewSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
     assert((1L to 6L).forall(i => ok(i) == 1L))
   }
+
+  test("keySkewReport: exact heavy-hitter ranks, share, load vs mean") {
+    // key 7 has 6 rows, key 8 has 2, keys 1..4 have 1 → 12 rows, 6 keys
+    val df = (Seq.fill(6)(7L) ++ Seq.fill(2)(8L) ++ Seq(1L, 2L, 3L, 4L))
+      .toDF("k")
+    val out = Skew.keySkewReport(df, "k", topN = 3)
+      .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // mean key load = 12/6 = 2 rows; skew_x(7) = 6/2 = 3
+    assert(out == Seq(
+      (1, 7L, 6L, 0.5, 3.0),
+      (2, 8L, 2L, 0.1667, 1.0),
+      (3, 1L, 1L, 0.0833, 0.5))) // tie among 1..4 → smallest key wins the cut
+  }
 }
