@@ -2467,6 +2467,26 @@ object Queries {
                       AS dup_token_share
              FROM f"""), bench = true)
 
+  /** Per-source domain signature: grouped distinctive terms with the
+    * integer-exact rank key (sf asc, tf desc, term) — the data-card
+    * "what is this source about" panel. */
+  private val q94 = QDef("q94_domain_signature",
+    (s, d) => TextAnalysis.domainSignature(docs(s, d), "source", "text",
+      topK = 5),
+    Some("""WITH t AS (SELECT source AS stratum, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\s+'),
+                 x -> x <> '')) AS term
+               FROM documents),
+             tf AS (SELECT stratum, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             sf AS (SELECT term, count(*) AS sf FROM tf GROUP BY 1),
+             r AS (SELECT tf.stratum, tf.term, tf.tf, sf.sf,
+                 CAST(row_number() OVER (PARTITION BY tf.stratum
+                   ORDER BY sf.sf ASC, tf.tf DESC, tf.term ASC) AS INT)
+                   AS rank
+               FROM tf JOIN sf USING (term))
+             SELECT stratum, rank, term, tf, sf
+             FROM r WHERE rank <= 5"""), bench = true)
+
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
     * before the cap, head bounded per term. */
@@ -2522,7 +2542,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

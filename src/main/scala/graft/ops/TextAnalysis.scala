@@ -371,6 +371,34 @@ object TextAnalysis {
       .withColumnRenamed("__doc", id)
   }
 
+  /** Per-stratum domain signature — the grouped reading of
+    * [[distinctiveTerms]] for a data card: each source/language/domain's
+    * most characteristic terms, ranked by the integer-exact
+    * lexicographic key (appears in few OTHER strata, heavy in this one,
+    * term tie-break) instead of a floating tf·idf score — same
+    * bit-reproducibility rationale as [[distinctiveTerms]]. Output:
+    * `(stratum, rank, term, tf, sf)` where `sf` = number of strata
+    * containing the term.
+    *
+    * Shape: two inventory-bounded hash-groupBys (term counts per
+    * stratum, stratum counts per term) + a term equi-join + the
+    * sanctioned per-stratum window cut. */
+  def domainSignature(df: DataFrame, stratum: String, text: String,
+                      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tf = df.select(col(stratum).as("stratum"),
+        explode(tokens(lower(col(text)))).as("term"))
+      .groupBy(col("stratum"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy(col("term")).agg(count(lit(1)).as("sf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+      .orderBy(col("sf").asc, col("tf").desc, col("term").asc)
+    tf.join(sf, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("stratum"), col("rank"), col("term"), col("tf"), col("sf"))
+  }
+
   /** Token-length histogram — the sequence-length shape a data card and
     * a packing planner both need (context-window sizing, padding-waste
     * estimates): documents bucketed by `bucketWidth` tokens, with count
