@@ -337,14 +337,42 @@ object Multimodal {
     * map-side combine. At 100 TB the feature tuple is the only thing
     * that shuffles — never the pixels. */
   def imageContentDedup(items: Dataset[MediaItem], targetW: Int,
-                        targetH: Int): DataFrame =
-    extractFeatures(resize(items, targetW, targetH)).toDF()
-      .filter(col("media_type") === "image")
-      .select(col("item_id"),
-        element_at(col("feature"), 3).cast("double").as("mean_r"),
-        element_at(col("feature"), 4).cast("double").as("mean_g"),
-        element_at(col("feature"), 5).cast("double").as("mean_b"))
+                        targetH: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0, s"bad target: ${targetW}x$targetH")
+    // FUSED normalize+features: decode once, scale in memory, compute the
+    // channel means off the scaled raster directly — the composed
+    // resize→extractFeatures pipeline decodes every image twice and pays
+    // a PNG re-encode purely to hand pixels to the next stage. PNG is
+    // lossless, so the features are bit-identical to the composed form
+    // (same scaled pixels, same float mean arithmetic as decodeImage).
+    val feats = items.mapPartitions { it =>
+      it.filter(_.media_type == "image").map { m =>
+        val src = decodeOrFail(m)
+        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(src, 0, 0, targetW, targetH, null)
+        g2.dispose()
+        val px = out.getRGB(0, 0, targetW, targetH, null, 0, targetW)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        val n = (targetW.toLong * targetH).toFloat
+        (m.item_id, sr / n, sg / n, sb / n)
+      }
+    }.toDF("item_id", "mr", "mg", "mb")
+    feats
+      .select(col("item_id"), col("mr").cast("double").as("mean_r"),
+        col("mg").cast("double").as("mean_g"),
+        col("mb").cast("double").as("mean_b"))
       .groupBy(col("mean_r"), col("mean_g"), col("mean_b"))
       .agg(min(col("item_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies", "mean_r", "mean_g", "mean_b")
+  }
 }
