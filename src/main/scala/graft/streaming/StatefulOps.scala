@@ -393,6 +393,36 @@ object StatefulOps {
         col("n_shared_grams"), col("sample_train_id"))
   }
 
+  /** Streaming novelty profile — the ingest-time form of
+    * [[graft.ops.Dedup.noveltyProfile]]: documents arriving on a stream
+    * are scored against a STATIC reference gram inventory
+    * ([[graft.ops.Dedup.trainGramInventory]] — persist it; the static
+    * side re-plans every micro-batch), so a crawl pipeline can route
+    * low-novelty arrivals (rehash of held content) to down-sampling AT
+    * INGEST instead of in a nightly batch. Grams explode row-locally;
+    * the verdict is ONE stream-static LEFT OUTER hash equi-join
+    * (bounded by the gram inventory) and a watermark-bounded windowed
+    * aggregation in append mode — state expires with the watermark.
+    * Output: `(window_start, id, n_grams, n_known, novelty)` — the
+    * batch operator's row, windowed. */
+  def streamingNoveltyProfile(docs: DataFrame, refGrams: DataFrame,
+                              id: String, text: String, ts: String, n: Int,
+                              lateness: String, windowLen: String): DataFrame = {
+    val grams = docs
+      .withWatermark(ts, lateness)
+      .select(col(ts), col(id),
+        explode(graft.ops.Dedup.wordShingles(col(text), n)).as("gram"))
+      .select(col(ts), col(id), md5(col("gram")).as("gh"))
+    grams
+      .join(refGrams.select(col("gh"), lit(1).as("__k")), Seq("gh"), "left")
+      .groupBy(window(col(ts), windowLen), col(id))
+      .agg(count(lit(1)).as("n_grams"), count(col("__k")).as("n_known"))
+      .select(col("window.start").as("window_start"), col(id),
+        col("n_grams"), col("n_known"),
+        round(lit(1.0) - col("n_known").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+  }
+
   /** Streaming semantic dedup — the ingest-time form of
     * [[graft.ops.Similarity.semanticDedup]] for a continuous embedding
     * feed: an arriving document is DROPPED iff the static reference

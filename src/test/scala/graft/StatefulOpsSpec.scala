@@ -326,6 +326,42 @@ class StatefulOpsSpec extends SparkSpec {
     inv.unpersist()
   }
 
+  test("streamingNoveltyProfile equals batch noveltyProfile (stream-static)") {
+    implicit val ctx = spark.sqlContext
+    val ref = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "alpha beta gamma delta"),        // fully known → novelty 0
+      (11L, "totally fresh words here"),      // fully fresh → novelty 1
+      (12L, "alpha beta something else here")) // 1 of 4 known
+    val batch = graft.ops.Dedup.noveltyProfile(
+        probe.toDF("doc_id", "text"), ref, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    // persisted: the static side is re-read every micro-batch
+    val inv = graft.ops.Dedup.trainGramInventory(ref, "doc_id", "text", n = 2)
+      .persist()
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StatefulOps.streamingNoveltyProfile(
+        in.toDF().toDF("doc_id", "ts", "text"), inv,
+        "doc_id", "text", "ts", n = 2,
+        lateness = "10 seconds", windowLen = "1 minute")
+      .writeStream.format("memory").queryName("novel").outputMode("append").start()
+    withQuery(q) {
+      in.addData(probe.map { case (i, t) => (i, ts("2024-01-01 00:00:01"), t) }: _*)
+      q.processAllAvailable()
+      // a far-future doc advances the watermark and closes the window
+      in.addData((99L, ts("2024-01-01 01:00:00"), "zz yy xx ww vv"))
+      q.processAllAvailable()
+      val streamed = spark.table("novel")
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!= 99L)
+        .select("doc_id", "n_grams", "n_known", "novelty")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream-static novelty must equal the batch operator: $streamed vs $batch")
+    }
+    inv.unpersist()
+  }
+
   test("streamingSemanticDedupFilter drops static near-dups; assignment matches batch") {
     implicit val ctx = spark.sqlContext
     val cents = Seq((10L, Seq(1.0f, 0.0f, 0.0f), 1.0),
