@@ -2487,6 +2487,33 @@ object Queries {
              SELECT stratum, rank, term, tf, sf
              FROM r WHERE rank <= 5"""), bench = true)
 
+  /** One profiled column's oracle block (q95): row/null counts, the
+    * q49-style KMV order-statistic estimate, try_cast numeric range. */
+  private def profileSqlBlock(c: String): String =
+    s"""SELECT '$c' AS col_name,
+        (SELECT count(*) FROM events) AS n_rows,
+        (SELECT CAST(count(*) - count($c) AS BIGINT) FROM events) AS n_nulls,
+        (WITH h AS (SELECT DISTINCT ${sqlHash60(c, "prof")} AS h
+            FROM events WHERE $c IS NOT NULL),
+          r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+              count(*) OVER () AS nd FROM h)
+          SELECT coalesce(round(CASE WHEN max(nd) < 64
+                THEN CAST(max(nd) AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 /
+                     CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                END, 4), 0.0) FROM r) AS approx_distinct,
+        (SELECT min(TRY_CAST($c AS DOUBLE)) FROM events) AS min_num,
+        (SELECT max(TRY_CAST($c AS DOUBLE)) FROM events) AS max_num"""
+
+  /** Column profile over the event stream: null rates, KMV
+    * approx-distinct (deterministic sketch — oracle-checkable), numeric
+    * ranges. The new-table data-quality gate. */
+  private val q95 = QDef("q95_column_profile",
+    (s, d) => Curation.profileColumns(events(s, d),
+      Seq("event_id", "user_id", "event_type", "value")),
+    Some(Seq("event_id", "user_id", "event_type", "value")
+      .map(profileSqlBlock).mkString(" UNION ALL ")), bench = true)
+
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats
     * before the cap, head bounded per term. */
@@ -2542,7 +2569,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -198,6 +198,35 @@ object Curation {
     * (stratum, content-hash) family rollup and the stratum rollup —
     * both hash-groupBys with map-side combine, output bounded by the
     * stratum inventory. */
+  /** Column profile — the data-quality panel a pipeline runs on every
+    * new table before trusting it: per column, row/null counts, an
+    * approximate distinct count (the [[graft.functions.KmvDistinct]]
+    * sketch over the consistent hash — O(k) state, deterministic →
+    * oracle-checkable), and the numeric range (`try_cast` semantics:
+    * non-numeric columns profile as null range). One aggregate pass per
+    * column, unioned — every aggregate is map-side combinable, so the
+    * profile costs |cols| scans of one column each at 100 TB, never a
+    * shuffle of data rows.
+    *
+    * Cross-engine note: the distinct sketch hashes the column's STRING
+    * form; keep profiled doubles to decimal-exact values (the testdata
+    * convention) or the two engines' float formatting can diverge. */
+  def profileColumns(df: DataFrame, cols: Seq[String], k: Int = 64,
+                     salt: String = "prof"): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        round(graft.functions.KmvDistinct.agg(
+          Sampling.hash60(col(c), salt), k), 4).as("approx_distinct"),
+        min(expr(s"try_cast(`$c` as double)")).as("min_num"),
+        max(expr(s"try_cast(`$c` as double)")).as("max_num"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("approx_distinct"), col("min_num"), col("max_num"))
+    }.reduce(_ union _)
+  }
+
   def corpusDataCard(docs: DataFrame, stratum: String, id: String,
                      text: String): DataFrame = {
     val sig = docs.select(col(stratum).as("stratum"), col(id),

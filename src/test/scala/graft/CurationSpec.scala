@@ -161,6 +161,22 @@ class CurationSpec extends SparkSpec {
     assert(kept == ((2L to 18L).toSet ++ Set(100L, 101L)), s"got $kept")
   }
 
+  test("profileColumns: nulls, exact sub-k distinct, try_cast ranges") {
+    val df = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(20.0), "b"),
+      (3L, None, "a"),
+      (4L, Some(10.0), "c")
+    ).toDF("id", "v", "s")
+    val out = Curation.profileColumns(df, Seq("id", "v", "s"))
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("id") == (("id", 4L, 0L, 4.0, Some(1.0), Some(4.0))))
+    assert(out("v") == (("v", 4L, 1L, 2.0, Some(10.0), Some(20.0))))
+    // non-numeric column: exact distinct, null numeric range
+    assert(out("s") == (("s", 4L, 0L, 3.0, None, None)))
+  }
+
   test("corpusDataCard: per-stratum volumes and exact-dup rate") {
     val df = Seq(
       (1L, "s1", "aa bb cc"),    // 3 tokens, 8 chars
