@@ -2491,7 +2491,7 @@ object Queries {
     * q49-style KMV order-statistic estimate, try_cast numeric range. */
   private def profileSqlBlock(c: String): String =
     s"""SELECT '$c' AS col_name,
-        (SELECT count(*) FROM events) AS n_rows,
+        (SELECT count(*) AS c FROM events) AS n_rows,
         (SELECT CAST(count(*) - count($c) AS BIGINT) FROM events) AS n_nulls,
         (WITH h AS (SELECT DISTINCT ${sqlHash60(c, "prof")} AS h
             FROM events WHERE $c IS NOT NULL),
