@@ -68,6 +68,18 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination probes a literal, never a joined binary column") {
+    // regression pin for the r5 perf incident: carrying the bitset as a
+    // broadcast-joined column memcpy'd it into every candidate row
+    // (~4.5 s of row-widening at sf0.1; 128 MiB/row at production
+    // sizes). The fixed plan is join-free on the probe side: the only
+    // joins left are the gh-keyed verification join (hash) — no
+    // nested-loop join may reappear.
+    val bnlj = plans("q80_bloom_decontaminate").exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(!bnlj, "q80: bloom bitset is riding a BroadcastNestedLoopJoin again")
+  }
+
   test("filter-heavy scans keep their pushed filters") {
     // queries whose FIRST-class behavior is a pushable predicate on the
     // fact scan; if PushedFilters goes empty a future edit broke pushdown
