@@ -88,6 +88,26 @@ class BloomSpec extends SparkSpec {
       numBits = 1 << 10, numHashes = 2).isEmpty)
   }
 
+  test("bloom≡exact equivalence holds on generated corpora (property)") {
+    // deterministic generated corpus: vocabulary overlap between sides
+    // varies per doc, so the join hits every mix of known/unknown grams;
+    // tiny filters force false positives through the exact join
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def text(seed: Long): String =
+      (0 until 6).map(i => words(((seed * 31 + i * 7) % 8).toInt)).mkString(" ")
+    val train = (0L until 40L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val test_ = (100L until 140L).map(i => (i, text(i / 3))).toDF("doc_id", "text")
+    for (bits <- Seq(1 << 6, 1 << 10); hashes <- Seq(1, 4)) {
+      val got = Dedup.bloomDecontaminate(train, test_, "doc_id", "text",
+          n = 2, numBits = bits, numHashes = hashes)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val exact = Dedup.contaminationCheck(train, test_, "doc_id", "text", n = 2)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == exact,
+        s"bloom(bits=$bits, k=$hashes) diverged from exact: $got vs $exact")
+    }
+  }
+
   test("BloomFilterAgg validates sizing parameters") {
     intercept[IllegalArgumentException] {
       graft.functions.BloomFilterAgg(
