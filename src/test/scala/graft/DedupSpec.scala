@@ -312,6 +312,35 @@ class DedupSpec extends SparkSpec {
     assert(out(12L) == ((12L, 4L, 1L, 0.75)))
   }
 
+  test("containmentPairs equals the set-arithmetic reference on generated corpora") {
+    val words = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+    def text(seed: Long): String =
+      (0 until (3 + (seed % 4)).toInt)
+        .map(i => words(((seed * 13 + i * 5) % 6).toInt)).mkString(" ")
+    val corpus = (0L until 30L).map(i => (i, text(i)))
+    val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, threshold = 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // reference: distinct bigram sets + direct ratio arithmetic
+    def grams(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    val g = corpus.map { case (id, t) => id -> grams(t) }.toMap
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1)
+      if a < b && g(a).nonEmpty && g(b).nonEmpty
+      shared = (g(a) intersect g(b)).size
+      if shared > 0
+      ca = r4(shared.toDouble / g(a).size)
+      cb = r4(shared.toDouble / g(b).size)
+      if math.max(ca, cb) >= 0.5
+    } yield (a, b, ca, cb)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // fixture sanity: something was compared
+  }
+
   test("containmentPairs doc-freq cap only lowers measured containment") {
     val near = Seq(
       (1L, "x y z w v"),
