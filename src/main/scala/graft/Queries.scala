@@ -19,7 +19,13 @@ import graft.ops.{Curation, Dedup, EventOps, Multimodal, Protocol, Similarity, T
   *    result is independent of aggregation order (a double sum is not);
   *  - derived doubles end in a single rounding step shared by both sides;
   *  - every aggregate/computed column is aliased identically on both sides
-  *    (the driver sorts columns by name before hashing).
+  *    (the driver sorts columns by name before hashing);
+  *  - no un-cast HUGEINT reaches an oracle's output: DuckDB types
+  *    SUM(BIGINT) — windowed or aggregate — and BIGINT `//` chains on it
+  *    as HUGEINT, which pandas renders as float64 (`0.0` vs Spark's `0`),
+  *    failing the driver's canonical-string hash even when values are
+  *    equal. Wrap any such expression that reaches the SELECT list in
+  *    `CAST(... AS BIGINT)` (comparisons/predicates are exempt).
   */
 object Queries {
 
@@ -1420,7 +1426,8 @@ object Queries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS before
                    FROM t)
-             SELECT doc_id, shard, n_tokens, before // 256 AS bin
+             SELECT doc_id, shard, n_tokens,
+                    CAST(before // 256 AS BIGINT) AS bin
              FROM c"""), bench = true)
 
   /** REAL audio decode, end-to-end: synthesize a constant-amplitude

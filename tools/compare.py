@@ -3,9 +3,16 @@
 result dumped by graft.Verify, run the oracle SQL in DuckDB over the same
 parquet tables and compare (rows, schema-ish, values).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py [--tolerant] <sfDir> <verifyOutDir>
+
+Default mode is STRICT: cells are compared by canonical string (the way the
+driver's hash sees them), so an int-vs-float dtype divergence (e.g. DuckDB
+HUGEINT surfacing as float64 `0.0` against Spark's BIGINT `0`) fails even
+though the values are numerically equal. `--tolerant` restores the old
+value-equality comparison.
 """
 import sys, glob, os, json, math
+from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -35,8 +42,34 @@ def cells_equal(a, b):
         pass
     return a == b
 
+def canon_str(v):
+    """Canonical string form of a cell — the strict-mode comparator.
+    Mirrors how the driver's canonical-string hash distinguishes values:
+    float `0.0` != int `0`, but nested containers and nulls normalize."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        return "<nan>" if math.isnan(v) else repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon_str(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, Decimal):
+        # scale-insensitive: Decimal("1.50") and Decimal("1.5") canon equal
+        return "dec:" + format(v.normalize(), "f")
+    return str(v)
+
+def cells_equal_strict(a, b):
+    return canon_str(a) == canon_str(b)
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    strict = "--tolerant" not in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--tolerant"]
+    sf_dir, out_dir = argv[0], argv[1]
+    cmp_cells = cells_equal_strict if strict else cells_equal
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -74,7 +107,7 @@ def main():
         for col in a.columns:
             av, bv = a[col].tolist(), b[col].tolist()
             for i, (x, y) in enumerate(zip(av, bv)):
-                if not cells_equal(x, y):
+                if not cmp_cells(x, y):
                     bad = (col, i, x, y)
                     break
             if bad:
