@@ -86,7 +86,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = "%.3f".format(ok.map(_._3).sum)
     val totalCold = "%.3f".format(ok.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}""")
+    // Field order is deliberate: the driver's log capture keeps only the
+    // TAIL of the combined output (BENCH_r05 lost the warm headline, which
+    // led the line). Bulky cold detail goes first so truncation eats it
+    // before the warm queries / errors / headline `value` at the end; a
+    // compact headline echo after the long line is the last thing printed.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries_cold":$qsCold,"total_cold":$totalCold,"queries":$qs,"errors":$errs,"value":$total}""")
+    // Deliberately does NOT contain the `"metric"` key so a driver grep for
+    // the contract line still matches exactly one line.
+    println(s"""{"headline_total_warm_sec":$total,"total_cold_sec":$totalCold,"n_queries":${ok.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) System.exit(1)
   }

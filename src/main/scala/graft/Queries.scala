@@ -65,7 +65,7 @@ object Queries {
       name: String,
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      bench: Boolean = false,
+      bench: Boolean = true,
       // Oracle SQL that depends on the DATA (not just the schema) — e.g.
       // q42 inlines trained k-means centroids as literal VALUES. Generated
       // by Verify at dump time with the live session + sf dir.
@@ -328,6 +328,11 @@ object Queries {
     Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1"""), bench = true)
 
+  /** UNBENCHED BY DESIGN: this is the exact all-pairs-within-block
+    * verifier (the thing MinHash/LSH q17 exists to avoid) — its cost is
+    * quadratic in block size, so timing it across sf measures the
+    * synthetic corpus's block growth, not the engine. q17 is the benched
+    * scale path over the same semantics. */
   private val q16 = QDef("q16_jaccard_pairs",
     (s, d) => Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", "lang", 0.4),
     Some(s"""WITH $ShinglesCte,
@@ -338,7 +343,7 @@ object Queries {
                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                         4) AS jac
                FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-             WHERE jac >= 0.4"""))
+             WHERE jac >= 0.4"""), bench = false)
 
   private val q17 = QDef("q17_minhash_pairs",
     (s, d) => Dedup.minHashLshPairs(docs(s, d), "doc_id", "text",
@@ -1382,7 +1387,13 @@ object Queries {
 
   /** Relational NMS (EventOps.relationalNms): boxes surviving
     * suppression by any strictly-better overlapping box. One blocked
-    * self-join + left-anti — deterministic, parallel per frame key. */
+    * self-join + left-anti — deterministic, parallel per frame key.
+    * UNBENCHED BY DESIGN, like q16/q66: the self-join is quadratic in
+    * block (user_id) size, and the synthetic corpus grows per-user box
+    * counts linearly with sf — timing it measures block growth, a false
+    * scale signal (real NMS blocks are per-frame, bounded by detector
+    * output, ~dozens). q52 benches the same IoU-pair machinery under a
+    * bounded frame key. */
   private val q53 = QDef("q53_nms",
     (s, d) => EventOps.relationalNms(cornerBoxes(s, d), Seq("user_id"),
         "box", "value", "event_id", iouThreshold = 0.3)
@@ -1402,7 +1413,7 @@ object Queries {
                       (bb.x2 - bb.x1) * (bb.y2 - bb.y1) -
                       greatest(0.0, least(a.x2, bb.x2) - greatest(a.x1, bb.x1)) *
                       greatest(0.0, least(a.y2, bb.y2) - greatest(a.y1, bb.y1)))
-                     >= 0.3)"""))
+                     >= 0.3)"""), bench = false)
 
   /** Deterministic sequence packing (Sampling.packSequences): shard by
     * row-local hash, then fixed-token-budget bin assignment via an
@@ -1560,7 +1571,7 @@ object Queries {
     * positionally-aligned shared bigrams ≥ 3 grams (= token spans ≥ 4),
     * rare-gram blocked at doc-freq ≤ 40 — BINDING on this corpus (its
     * bigram inventory tops out near 48 at sf0.01), so the cap path is
-    * oracle-exercised. UNBENCHED BY DESIGN, like q52: the synthetic
+    * oracle-exercised. UNBENCHED BY DESIGN, like q16/q53: the synthetic
     * corpus draws from a ~916-bigram vocabulary, so gram frequency grows
     * linearly with sf and the rare-gram blocking contract (frequency cap
     * ≫ typical gram frequency) cannot hold at bench scale — on a real
@@ -1591,7 +1602,7 @@ object Queries {
              SELECT a_id, b_id, CAST(min(pa) AS INT) AS a_start,
                     CAST(delta AS INT) AS delta, count(*) AS run_len
              FROM runs GROUP BY a_id, b_id, delta, grp
-             HAVING count(*) >= 3"""))
+             HAVING count(*) >= 3"""), bench = false)
 
   /** Mixture resampling (Sampling.mixtureSample): reweight four sources
     * to a 2:1:1:1 target mixture. src0 binds the feasibility constant
