@@ -2462,7 +2462,8 @@ object Queries {
              top AS (SELECT key, n FROM c ORDER BY n DESC, key ASC LIMIT 10),
              r AS (SELECT a.key, a.n, CAST(count(*) AS INT) AS rank
                FROM top a JOIN top b
-                 ON (b.n > a.n OR (b.n = a.n AND b.key <= a.key))
+                 ON (b.n > a.n OR (b.n = a.n AND
+                     (b.key IS NULL OR b.key <= a.key)))
                GROUP BY a.key, a.n)
              SELECT rank, key, n,
                     round(CAST(n AS DOUBLE) / t.nrows, 4) AS share,
@@ -2507,11 +2508,15 @@ object Queries {
 
   /** One profiled column's oracle block (q95): row/null counts, the
     * q49-style KMV order-statistic estimate, try_cast numeric range. */
-  private def profileSqlBlock(c: String): String =
+  private def profileSqlBlock(c: String, isFloat: Boolean = false): String = {
+    // floating columns quantize to a scaled BIGINT before hashing (the
+    // operator's engine-independent transport; see profileColumns) —
+    // a raw double would hash its engine-specific string form
+    val hashIn = if (isFloat) s"CAST(round($c * 1e4) AS BIGINT)" else c
     s"""SELECT '$c' AS col_name,
         (SELECT count(*) AS c FROM events) AS n_rows,
         (SELECT CAST(count(*) - count($c) AS BIGINT) FROM events) AS n_nulls,
-        (WITH h AS (SELECT DISTINCT ${sqlHash60(c, "prof")} AS h
+        (WITH h AS (SELECT DISTINCT ${sqlHash60(hashIn, "prof")} AS h
             FROM events WHERE $c IS NOT NULL),
           r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
               count(*) OVER () AS nd FROM h)
@@ -2522,6 +2527,7 @@ object Queries {
                 END, 4), 0.0) FROM r) AS approx_distinct,
         (SELECT min(TRY_CAST($c AS DOUBLE)) FROM events) AS min_num,
         (SELECT max(TRY_CAST($c AS DOUBLE)) FROM events) AS max_num"""
+  }
 
   /** Column profile over the event stream: null rates, KMV
     * approx-distinct (deterministic sketch — oracle-checkable), numeric
@@ -2530,7 +2536,8 @@ object Queries {
     (s, d) => Curation.profileColumns(events(s, d),
       Seq("event_id", "user_id", "event_type", "value")),
     Some(Seq("event_id", "user_id", "event_type", "value")
-      .map(profileSqlBlock).mkString(" UNION ALL ")), bench = true)
+      .map(c => profileSqlBlock(c, isFloat = c == "value"))
+      .mkString(" UNION ALL ")), bench = true)
 
   /** Inverted postings index: exact df/cf per term plus the capped
     * posting-list head (8 lowest doc ids + tfs, comma-joined) — stats

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+
+/** Lifecycle ledger for the intermediate DataFrames that composite
+  * operators `.persist()` internally (curation's kept set, LSH signature
+  * tables, gram inventories, rank tables). The persists are load-bearing —
+  * without them the corpus re-scans once per downstream branch (measured
+  * ~90× on the curation flagship) — but a one-shot query never gets a
+  * chance to unpersist them, so a long-lived session calling these
+  * operators repeatedly would accumulate executor storage.
+  *
+  * Every internal persist is registered here; a caller releases them after
+  * its terminal action with [[Caches.release]] (idempotent, safe while
+  * other queries hold the same plan — Spark just recomputes). Bench-style
+  * harnesses that already call `spark.catalog.clearCache()` get the same
+  * effect; this is the library-surface handle for everyone else.
+  */
+object Caches {
+  private val ledger = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Register an operator-internal persisted dataset; returns it. */
+  private[graft] def track[T](ds: Dataset[T]): Dataset[T] = {
+    ledger.add(ds)
+    ds
+  }
+
+  /** Number of tracked (not yet released) internal persists. */
+  def pendingCount: Int = ledger.size()
+
+  /** Unpersist every tracked intermediate. `blocking = true` waits for
+    * the blocks to actually drop (deterministic for tests). */
+  def release(blocking: Boolean = false): Unit = {
+    var d = ledger.poll()
+    while (d != null) {
+      d.unpersist(blocking)
+      d = ledger.poll()
+    }
+  }
+}

@@ -65,7 +65,7 @@ object Curation {
     // re-runs the whole curation (dedup + lang votes + signals), and the
     // physical plan re-scans the corpus once per branch (~90 scans
     // observed at q68). Same precedent as the MinHash signature table.
-    val kept = docs.join(keptIds, Seq(id), "left_semi").persist()
+    val kept = Caches.track(docs.join(keptIds, Seq(id), "left_semi").persist())
     splitAndDecontaminate(kept, id, text, salt, splits, ngram)
       .select(col(id), col(lang), col("split"))
   }
@@ -90,7 +90,7 @@ object Curation {
       .select(col(id))
     // persisted for the same reason as [[curateForTraining]]'s kept set —
     // here it additionally feeds the mixture count/rate branches
-    val kept = docs.join(keptIds, Seq(id), "left_semi").persist()
+    val kept = Caches.track(docs.join(keptIds, Seq(id), "left_semi").persist())
     val balanced = Sampling.mixtureSample(kept, id, domain, weights, mixSalt)
       .drop("keep_rate")
     splitAndDecontaminate(balanced, id, text, salt, splits, ngram)
@@ -208,18 +208,35 @@ object Curation {
     * profile costs |cols| scans of one column each at 100 TB, never a
     * shuffle of data rows.
     *
-    * Cross-engine note: the distinct sketch hashes the column's STRING
-    * form; keep profiled doubles to decimal-exact values (the testdata
-    * convention) or the two engines' float formatting can diverge. */
+    * Cross-engine note: the distinct sketch hashes a CANONICAL string
+    * form. Strings/integers hash as-is, but a floating column's raw
+    * string form is engine-specific (Java `Double.toString` flips to
+    * scientific notation below 1e-3; DuckDB prints shortest-repr
+    * decimals), so float/double columns are first quantized to a scaled
+    * BIGINT — `round(v * 10^floatScale)` — an integer transport both
+    * engines compute bit-identically (IEEE multiply + ties-away
+    * rounding). The sketch's distinct resolution on floating columns is
+    * therefore 10^-floatScale (values closer than that collapse), and
+    * magnitudes beyond ~9e14 overflow the scaled BIGINT to null and drop
+    * from the sketch — both documented trade-offs of making the profile
+    * engine-independent rather than formatting-dependent. */
   def profileColumns(df: DataFrame, cols: Seq[String], k: Int = 64,
-                     salt: String = "prof"): DataFrame = {
+                     salt: String = "prof", floatScale: Int = 4): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     cols.map { c =>
+      val hashInput = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          // try_cast: under ANSI (Spark 4 default) a plain cast would
+          // throw on the documented ±~9e14 overflow instead of nulling
+          expr(s"try_cast(round(cast(`$c` as double) * 1e$floatScale) as bigint)")
+        case _ => col(c)
+      }
       df.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
         round(graft.functions.KmvDistinct.agg(
-          Sampling.hash60(col(c), salt), k), 4).as("approx_distinct"),
+          Sampling.hash60(hashInput, salt), k), 4).as("approx_distinct"),
         min(expr(s"try_cast(`$c` as double)")).as("min_num"),
         max(expr(s"try_cast(`$c` as double)")).as("max_num"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),

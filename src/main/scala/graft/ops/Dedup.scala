@@ -58,9 +58,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         block: String, threshold: Double): DataFrame = {
     // persisted: consumed by both sides of the self-join
-    val sh = df.select(col(id), col(block), wordShingles(col(text)).as("sh"))
+    val sh = Caches.track(df.select(col(id), col(block), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .persist())
     val a = sh.select(col(id).as("a_id"), col(block).as("a_block"), col("sh").as("a_sh"))
     val b = sh.select(col(id).as("b_id"), col(block).as("b_block"), col("sh").as("b_sh"))
     a.join(b, col("a_block") === col("b_block") && col("a_id") < col("b_id"))
@@ -142,15 +142,15 @@ object Dedup {
     * verification join. */
   private def minHashSignedTable(df: DataFrame, id: String, text: String,
                                  numHashes: Int): DataFrame = {
-    val shingled = df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
+    val shingled = Caches.track(df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .persist())
     val hashed = shingled
       .select(col("doc"), explode(col("sh")).as("s"))
       .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % MinHashP)
     val sig = hashed.groupBy(col("doc"))
       .agg(graft.functions.MinHashSig.agg(col("h"), numHashes).as("__sig"))
-    shingled.join(sig, "doc").persist()
+    Caches.track(shingled.join(sig, "doc").persist())
   }
 
   def minHashLshPairs(df: DataFrame, id: String, text: String,
@@ -386,6 +386,7 @@ object Dedup {
         explode(wordShingles(col(text), n)).as("gram"))
       .select(col("doc"), graft.functions.Md5Hash.prefix60(col("gram")).as("gh"))
       .persist()
+    Caches.track(g)
     val sizes = g.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val capped =
       if (maxDocFreq <= 0) g
@@ -436,6 +437,7 @@ object Dedup {
       .groupBy(Md5Hash.prefix60(col("gram")).as("gh"))
       .agg(min(col("train_id")).as("train_id"))
       .persist()
+    Caches.track(inv)
     // The bitset is COLLECTED (one map-side-combined aggregate job — the
     // same trained-artifact shape as collected k-means centroids) and
     // probed as a LITERAL, deliberately NOT carried as a joined column:
@@ -680,7 +682,7 @@ object Dedup {
                    maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val chunkBits = (SimHashBits + chunks - 1) / chunks
-    val withSim = simHashTable(df, id, text).persist()
+    val withSim = Caches.track(simHashTable(df, id, text).persist())
     val keyed = withSim.select(col("doc"), col("sim"), posexplode(
       array((0 until chunks).map { c =>
         shiftright(col("sim"), c * chunkBits) % (1L << chunkBits)

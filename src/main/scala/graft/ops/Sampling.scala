@@ -285,6 +285,7 @@ object Sampling {
       .withColumn("rnk", row_number().over(w) - 1)
       .withColumn("bsz", count(lit(1)).over(wb))
       .persist() // feeds both the anchor side and the rank lookup
+    Caches.track(ranked)
     ranked
       .select(col(id).as("anchor_id"), col("batch"), col("rnk"), col("bsz"),
         explode(array((1 to k).map(lit): _*)).as("j"))

@@ -392,6 +392,20 @@ object Similarity {
     * [[trainIvfCentroids]], the TRAINING step has no cross-engine oracle
     * on purpose (float means are order-dependent); the search step is
     * oracle-checked against the collected codebook (q82). */
+  /** PQ k-means initialization: the ksub lowest-id vectors, with
+    * `code_id` = rank of id among them. The window is UNPARTITIONED by
+    * construction (a global rank over the seed set), which is only safe
+    * because its input is `.limit(ksub)`-bounded — never the full corpus.
+    * Exposed `private[graft]` so PlanGuard can audit exactly this
+    * training-phase plan and fail if the bound ever disappears. */
+  private[graft] def pqInitCodes(corpus: DataFrame, id: String,
+                                 ksub: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c_id")
+    corpus.select(col(id).as("c_id")).orderBy(col("c_id").asc)
+      .limit(ksub)
+      .withColumn("code_id", (row_number().over(w) - 1).cast("int"))
+  }
+
   def trainPqCodebooks(corpus: DataFrame, id: String, vec: String,
                        dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     require(m >= 1 && dim % m == 0,
@@ -400,12 +414,7 @@ object Similarity {
     val dsub = dim / m
     val sv = corpus.select(col(id).as("c_id"),
       subVectors(col(vec), m, dsub).as(Seq("sub", "sv")))
-    // init: ksub lowest-id vectors; code_id = rank of id among them
-    // (window over ≤ksub rows — bounded, never the full corpus)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("c_id")
-    val low = corpus.select(col(id).as("c_id")).orderBy(col("c_id").asc)
-      .limit(ksub)
-      .withColumn("code_id", (row_number().over(w) - 1).cast("int"))
+    val low = pqInitCodes(corpus, id, ksub)
     var cb = low.join(sv, "c_id")
       .select(col("sub"), col("code_id"), col("sv").as("code_vec"))
       .localCheckpoint(true)

@@ -53,9 +53,13 @@ object Skew {
     val tot = counts.agg(sum(col("n")).as("__rows"),
       count(lit(1)).as("__keys"))
     val b = top.select(col("key").as("b_key"), col("n").as("b_n"))
+    // Tie-break is null-safe with NULLs ranked first (Spark's ascending
+    // default): a bare `b_key <= key` yields NULL when either side is
+    // NULL, silently dropping a NULL key from its own rank count.
     top.crossJoin(broadcast(b))
       .filter(col("b_n") > col("n") ||
-        (col("b_n") === col("n") && col("b_key") <= col("key")))
+        (col("b_n") === col("n") &&
+          (col("b_key").isNull || col("b_key") <= col("key"))))
       .groupBy(col("key"), col("n"))
       .agg(count(lit(1)).cast("int").as("rank"))
       .crossJoin(broadcast(tot))

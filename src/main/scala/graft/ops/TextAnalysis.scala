@@ -316,6 +316,7 @@ object TextAnalysis {
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"))
       .persist() // feeds the exact stats and the capped head
+    Caches.track(td)
     val stats = td.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val w = org.apache.spark.sql.expressions.Window

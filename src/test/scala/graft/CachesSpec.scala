@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Caches, Curation, Dedup}
+
+/** Lifecycle of operator-internal persists: composite operators register
+  * their cached intermediates in [[graft.ops.Caches]], and a caller's
+  * `release()` actually drops the storage — so a long-lived session
+  * invoking these operators repeatedly does not accumulate cached blocks. */
+class CachesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog again", "en"),
+    (3L, "an entirely different document with other words inside", "en"),
+    (4L, "la maison est grande et le jardin est vert aussi", "fr"),
+    (5L, "one more english document about foxes and dogs here", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  /** Cached-RDD ids not owned by this spec (the shared test session holds
+    * localCheckpoint blocks from other suites) — compare against a
+    * snapshot instead of asserting globally empty. */
+  private def cachedIds: Set[Int] =
+    spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+
+  test("curateForTraining registers its kept set; release drops the storage") {
+    Caches.release(blocking = true)
+    val before = Caches.pendingCount
+    val preexisting = cachedIds
+    val out = Curation.curateForTraining(corpus, "doc_id", "text", "lang",
+      minTokens = 2, maxMeanTokenLen = 12.0, salt = "cs1",
+      splits = Seq(("train", 0.8), ("val", 1.0)), ngram = 3)
+    out.count() // materializes the persisted intermediates
+    assert(Caches.pendingCount > before, "operator did not register its persist")
+    assert((cachedIds -- preexisting).nonEmpty,
+      "expected new cached blocks after materialization")
+    Caches.release(blocking = true)
+    assert(Caches.pendingCount == 0)
+    assert((cachedIds -- preexisting).isEmpty,
+      s"cached blocks survived release(): ${cachedIds -- preexisting}")
+    // the returned plan still computes after release (recompute, not error)
+    assert(out.count() > 0)
+  }
+
+  test("minHashLshPairs signature caches release the same way") {
+    Caches.release(blocking = true)
+    val preexisting = cachedIds
+    Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      numHashes = 8, bands = 4, threshold = 0.4).count()
+    assert(Caches.pendingCount > 0)
+    Caches.release(blocking = true)
+    assert((cachedIds -- preexisting).isEmpty)
+  }
+
+  test("release is idempotent and safe on an empty ledger") {
+    Caches.release(blocking = true)
+    Caches.release(blocking = true)
+    assert(Caches.pendingCount == 0)
+  }
+}

@@ -194,4 +194,26 @@ class CurationSpec extends SparkSpec {
     val s2 = out("s2")
     assert((s2._2, s2._4, s2._5) == ((1L, 0L, 0.0)))
   }
+
+  test("profileColumns hashes floats via scaled-integer transport") {
+    // 0.0001 is the divergence trap: Java's Double.toString renders it
+    // "1.0E-4" while DuckDB prints "0.0001" — a string-form hash would
+    // silently put the two engines' sketches on different values. The
+    // scaled-BIGINT transport (round(v * 1e4)) is engine-independent;
+    // it also sets the documented resolution (sub-1e-4 values collapse)
+    // and overflow behavior (±~9e14 drops from the sketch, not a crash
+    // under ANSI).
+    def profile(vals: Seq[Option[Double]]): (Double, Long) = {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val r = Curation.profileColumns(df, Seq("v")).collect().head
+      (r.getDouble(3), r.getLong(2)) // approx_distinct, n_nulls
+    }
+    // below k=64 the sketch is exact: 0.0001 vs 0.0002 stay distinct
+    assert(profile(Seq(Some(0.0001), Some(0.0002), Some(0.0001))) == ((2.0, 0L)))
+    // sub-resolution values collapse to one quantum
+    assert(profile(Seq(Some(0.00001), Some(0.00002)))._1 == 1.0)
+    // overflow nulls out of the sketch instead of throwing (ANSI mode)
+    assert(profile(Seq(Some(1e18)))._1 == 0.0)
+  }
 }

@@ -80,6 +80,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!bnlj, "q80: bloom bitset is riding a BroadcastNestedLoopJoin again")
   }
 
+  test("PQ training's unpartitioned init window stays limit-bounded") {
+    // Training-phase plans run during operator CONSTRUCTION, outside the
+    // final-plan audit above. The one sanctioned unpartitioned window in
+    // the codebase is PQ init's global rank over the seed set — safe only
+    // while its input is .limit(ksub)-bounded. If the bound disappears,
+    // the window sorts the full corpus on one partition.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    val ksub = 4
+    val init = graft.ops.Similarity.pqInitCodes(
+      Queries.table(spark, sfDir, "embeddings"), "vec_id", ksub)
+    val ns = nodes(init.queryExecution.executedPlan)
+    val unpartWindows = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartWindows.nonEmpty, "expected the init rank window in the plan")
+    val limits = ns.collect {
+      case g: GlobalLimitExec => g.limit
+      case l: LocalLimitExec => l.limit
+      case t: TakeOrderedAndProjectExec => t.limit
+    }
+    assert(limits.nonEmpty && limits.forall(_ <= ksub),
+      s"PQ init window lost its .limit(ksub) bound; limits in plan: $limits")
+  }
+
   test("filter-heavy scans keep their pushed filters") {
     // queries whose FIRST-class behavior is a pushable predicate on the
     // fact scan; if PushedFilters goes empty a future edit broke pushdown

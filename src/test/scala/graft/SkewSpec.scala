@@ -68,4 +68,19 @@ class SkewSpec extends SparkSpec {
       (2, 8L, 2L, 0.1667, 1.0),
       (3, 1L, 1L, 0.0833, 0.5))) // tie among 1..4 → smallest key wins the cut
   }
+
+  test("keySkewReport ranks a NULL key instead of dropping it") {
+    // NULL is a real (often the heaviest) key in dirty data; the rank
+    // self-join must be null-safe or the NULL key never matches itself
+    // and vanishes from its own report. NULLs rank before equal-count
+    // keys (Spark's ascending nulls-first order).
+    val df = (Seq.fill(4)(Option.empty[Long]) ++
+      Seq.fill(2)(Some(9L)) ++ Seq(Some(1L), Some(2L))).toDF("k")
+    val out = Skew.keySkewReport(df, "k", topN = 3)
+      .select("rank", "key", "n").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1, -1L, 4L), (2, 9L, 2L), (3, 1L, 1L)),
+      s"got $out")
+  }
 }
