@@ -1519,6 +1519,43 @@ object Queries {
                      AS DOUBLE) AS duration_ms
             FROM documents"""), bench = true)
 
+  /** REAL video FRAME decode, end-to-end: synthesize a Motion-JPEG MP4
+    * per doc (nFrames and each frame's gray level are closed-form
+    * functions of doc_id), walk its REAL stsd/stsz/stsc/stco sample
+    * table, sample every 2nd frame BEFORE decode (the filter runs on the
+    * exploded frame rows, so unsampled frames never reach the JPEG
+    * reader), and decode the survivors with the JDK JPEG reader. Solid
+    * GRAY makes the roundtrip exact (measured over all 256 levels at
+    * quality 1.0), so per-frame means are an exact integer oracle — the
+    * video analog of q59's solid-PNG chain and q62's constant-WAV. */
+  private val q96 = QDef("q96_video_frames",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 3 + (id % 4).toInt
+          val frames = (0 until n).map(j =>
+            Multimodal.solidJpeg(16, 16, ((id * 31 + j * 17) % 256).toInt))
+          val blob = Multimodal.mjpegMp4(16, 16, timescale = 1000,
+            frameDur = 100, frames)
+          graft.ops.MediaItem(id, "video", blob, "video/mp4", blob.length.toLong)
+        })
+      Multimodal.frameFeatures(
+        Multimodal.sampleEveryNth(
+          Multimodal.explodeFrames(items).toDF, "frame_idx", 2)
+          .as[graft.ops.VideoFrame])
+        .toDF()
+        .select(col("item_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    },
+    Some("""SELECT doc_id AS item_id, CAST(j AS INT) AS frame_idx,
+                   16 AS width, 16 AS height,
+                   CAST((doc_id * 31 + j * 17) % 256 AS DOUBLE) AS mean_r,
+                   CAST((doc_id * 31 + j * 17) % 256 AS DOUBLE) AS mean_g,
+                   CAST((doc_id * 31 + j * 17) % 256 AS DOUBLE) AS mean_b
+            FROM documents, UNNEST([0, 2, 4]) AS t(j)
+            WHERE j < 3 + doc_id % 4"""), bench = true)
+
   /** Semantic dedup, SemDeDup-style (Similarity.semanticDedup): embeddings
     * clustered by a trained k=64 k-means quantizer (many SMALL cells —
     * the cell size, not the corpus, bounds the quadratic pair term;
@@ -2594,7 +2631,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

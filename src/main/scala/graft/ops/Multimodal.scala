@@ -21,17 +21,45 @@ case class MediaItem(
 /** Extracted features for a media item. Image items carry REAL decoded
   * features (width, height, per-channel means — `javax.imageio`, in
   * every JDK) and audio items REAL PCM features (sample rate, channels,
-  * frames, mean |sample| — `javax.sound.sampled`, also JDK-builtin);
-  * text items carry digest-derived features; only VIDEO decode is
-  * STUBBED (no video codecs in this environment) with a deterministic
-  * digest-based fake so the Spark-side plumbing — schema, batching,
-  * partition shape — is real and testable for every modality. */
+  * frames, mean |sample| — `javax.sound.sampled`, also JDK-builtin).
+  * Video items parse the REAL ISO BMFF container (mvhd timescale and
+  * duration), and when the track is Motion-JPEG the FRAMES decode for
+  * real too ([[Multimodal.explodeFrames]] + the JDK JPEG reader) —
+  * only non-JPEG codecs (H.264 etc., absent from this environment)
+  * fall back to the documented digest stub. */
 case class MediaFeatures(
     item_id: Long,
     media_type: String,
     byte_len: Long,
     sig: String,
     feature: Array[Float])
+
+/** One video frame, sliced out of its container but not yet decoded:
+  * the row shape BETWEEN the sample-table explode and the (expensive)
+  * pixel decode, so frame-sampling filters run before any decoding. */
+case class VideoFrame(
+    item_id: Long,
+    frame_idx: Int,
+    blob: Array[Byte])
+
+/** Decoded per-frame pixel statistics for a video frame. */
+case class FrameFeatures(
+    item_id: Long,
+    frame_idx: Int,
+    width: Int,
+    height: Int,
+    mean_r: Double,
+    mean_g: Double,
+    mean_b: Double)
+
+/** A parsed MP4 video track: codec fourcc, declared dimensions, and the
+  * per-sample (absolute file offset, byte size) table reconstructed from
+  * stsc/stsz/stco (or co64). */
+case class Mp4Track(
+    codec: String,
+    width: Int,
+    height: Int,
+    samples: Seq[(Long, Int)])
 
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, and run decode/feature-extraction as a
@@ -229,18 +257,332 @@ object Multimodal {
     try walk(0, blob.length) catch { case _: RuntimeException => None }
   }
 
+  /** Deterministic solid-gray JPEG at compression quality 1.0. GRAY is
+    * the load-bearing choice: measured over all 256 gray levels, the JDK
+    * JPEG encode→decode roundtrip is EXACT (Cb=Cr=128 survives the
+    * YCbCr transform and the quality-1.0 quantizer), while arbitrary RGB
+    * is ±1 per channel — so a gray fixture gives frame decode a
+    * closed-form cross-engine oracle the way [[solidPng]] does for
+    * images. */
+  def solidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims: ${w}x$h")
+    require(gray >= 0 && gray <= 255, s"bad gray: $gray")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = gray << 16 | gray << 8 | gray
+    img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    writer.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    try writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    finally writer.dispose()
+    bos.toByteArray
+  }
+
+  /** A COMPLETE Motion-JPEG MP4: `ftyp` + `mdat` (the concatenated JPEG
+    * frames) + `moov` with a real video track — tkhd, mdhd, hdlr(vide),
+    * vmhd, dinf, and a full sample table (stsd 'jpeg' visual entry,
+    * stts, stsc, stsz, stco; one sample per chunk). Every structure is
+    * the public ISO BMFF layout, so [[parseMp4Track]] — and any other
+    * MP4 reader — can walk it. Frame PIXELS are real JPEG; this is the
+    * de-stubbed video fixture. */
+  def mjpegMp4(w: Int, h: Int, timescale: Int, frameDur: Int,
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(timescale > 0 && frameDur > 0, s"bad timing: $timescale/$frameDur")
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length)
+      bb.put(tpe.getBytes(StandardCharsets.US_ASCII))
+      bb.put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", ByteBuffer.allocate(16)
+      .put("isom".getBytes(StandardCharsets.US_ASCII)).putInt(512)
+      .put("isom".getBytes(StandardCharsets.US_ASCII))
+      .put("iso2".getBytes(StandardCharsets.US_ASCII)).array())
+    val mdat = box("mdat", frames.flatten.toArray)
+    // absolute sample offsets: mdat payload starts after ftyp + 8-byte header
+    val base = ftyp.length + 8L
+    val offsets = frames.scanLeft(base)((o, f) => o + f.length).init
+    val n = frames.size
+    val duration = n.toLong * frameDur
+
+    val mvhd = {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0); b.putInt(0).putInt(0)
+      b.putInt(timescale); b.putInt(duration.toInt)
+      b.putInt(0x00010000); b.putShort(0x0100.toShort)
+      b.position(b.position() + 10)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.position(b.position() + 24)
+      b.putInt(2)
+      b.array()
+    }
+    val tkhd = {
+      val b = ByteBuffer.allocate(84)
+      b.putInt(0x00000007)             // version 0, flags: enabled|in-movie|in-preview
+      b.putInt(0).putInt(0)            // creation/modification
+      b.putInt(1)                      // track_id
+      b.putInt(0)                      // reserved
+      b.putInt(duration.toInt)
+      b.position(b.position() + 8)     // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+      b.array()
+    }
+    val mdhd = {
+      val b = ByteBuffer.allocate(24)
+      b.putInt(0); b.putInt(0).putInt(0)
+      b.putInt(timescale); b.putInt(duration.toInt)
+      b.putShort(0x55c4.toShort)       // language 'und'
+      b.putShort(0)
+      b.array()
+    }
+    val hdlr = {
+      val b = ByteBuffer.allocate(25)
+      b.putInt(0); b.putInt(0)
+      b.put("vide".getBytes(StandardCharsets.US_ASCII))
+      b.position(b.position() + 12)
+      b.put(0.toByte)                  // empty name
+      b.array()
+    }
+    val vmhd = {
+      val b = ByteBuffer.allocate(12)
+      b.putInt(0x00000001)             // flags = 1 per spec
+      b.array()
+    }
+    val dref = {
+      val b = ByteBuffer.allocate(20)
+      b.putInt(0); b.putInt(1)         // 1 entry
+      b.putInt(12)                     // url box size
+      b.put("url ".getBytes(StandardCharsets.US_ASCII))
+      b.putInt(0x00000001)             // flag: media self-contained
+      b.array()
+    }
+    val stsd = {
+      val entry = ByteBuffer.allocate(86)
+      entry.putInt(86)
+      entry.put("jpeg".getBytes(StandardCharsets.US_ASCII))
+      entry.position(entry.position() + 6) // reserved
+      entry.putShort(1)                // data_reference_index
+      entry.position(entry.position() + 16) // predefined/reserved
+      entry.putShort(w.toShort).putShort(h.toShort)
+      entry.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+      entry.putInt(0)                  // reserved
+      entry.putShort(1)                // frame_count
+      entry.position(entry.position() + 32) // compressor name
+      entry.putShort(24)               // depth
+      entry.putShort(0xffff.toShort)   // pre_defined = -1
+      val b = ByteBuffer.allocate(8 + 86)
+      b.putInt(0); b.putInt(1)
+      b.put(entry.array())
+      b.array()
+    }
+    val stts = {
+      val b = ByteBuffer.allocate(16)
+      b.putInt(0); b.putInt(1)
+      b.putInt(n).putInt(frameDur)
+      b.array()
+    }
+    val stsc = {
+      val b = ByteBuffer.allocate(20)
+      b.putInt(0); b.putInt(1)
+      b.putInt(1).putInt(1).putInt(1)  // from chunk 1: 1 sample/chunk
+      b.array()
+    }
+    val stsz = {
+      val b = ByteBuffer.allocate(12 + 4 * n)
+      b.putInt(0); b.putInt(0)         // sample_size 0 → per-sample table
+      b.putInt(n)
+      frames.foreach(f => b.putInt(f.length))
+      b.array()
+    }
+    val stco = {
+      val b = ByteBuffer.allocate(8 + 4 * n)
+      b.putInt(0); b.putInt(n)
+      offsets.foreach(o => b.putInt(o.toInt))
+      b.array()
+    }
+    val stbl = box("stbl", box("stsd", stsd) ++ box("stts", stts) ++
+      box("stsc", stsc) ++ box("stsz", stsz) ++ box("stco", stco))
+    val minf = box("minf", box("vmhd", vmhd) ++
+      box("dinf", box("dref", dref)) ++ stbl)
+    val mdia = box("mdia", box("mdhd", mdhd) ++ box("hdlr", hdlr) ++ minf)
+    val trak = box("trak", box("tkhd", tkhd) ++ mdia)
+    val moov = box("moov", box("mvhd", mvhd) ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** REAL sample-table walk: moov → trak → mdia → minf → stbl →
+    * {stsd, stsz, stsc, stco|co64}, then per-sample absolute offsets
+    * reconstructed by the spec's chunk algorithm (stsc runs × stsz
+    * sizes accumulated from each stco chunk base). Works on any
+    * single-video-track MP4, not just [[mjpegMp4]]'s 1-sample-per-chunk
+    * layout. Returns None when no complete sample table exists (e.g.
+    * [[minimalMp4]], which has no track at all). */
+  def parseMp4Track(blob: Array[Byte]): Option[Mp4Track] = {
+    def children(from: Int, until: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = from
+      while (off + 8 <= until) {
+        val size = ByteBuffer.wrap(blob, off, 4).getInt
+        if (size < 8 || off + size > until) return out.result()
+        out += ((new String(blob, off + 4, 4, StandardCharsets.US_ASCII),
+          off + 8, off + size))
+        off += size
+      }
+      out.result()
+    }
+    def child(boxes: Seq[(String, Int, Int)], tpe: String): Option[(Int, Int)] =
+      boxes.collectFirst { case (t, f, u) if t == tpe => (f, u) }
+    try {
+      val top = children(0, blob.length)
+      val (moovF, moovU) = child(top, "moov").getOrElse(return None)
+      // first trak whose stbl is complete
+      children(moovF, moovU).collect { case ("trak", f, u) => (f, u) }
+        .flatMap { case (trakF, trakU) =>
+          for {
+            (mdiaF, mdiaU) <- child(children(trakF, trakU), "mdia")
+            (minfF, minfU) <- child(children(mdiaF, mdiaU), "minf")
+            (stblF, stblU) <- child(children(minfF, minfU), "stbl")
+            stbl = children(stblF, stblU)
+            (stsdF, _) <- child(stbl, "stsd")
+            (stszF, _) <- child(stbl, "stsz")
+            (stscF, _) <- child(stbl, "stsc")
+            co <- child(stbl, "stco").map((_, false))
+              .orElse(child(stbl, "co64").map((_, true)))
+          } yield {
+            // stsd: verflags(4) count(4) entrysize(4) fourcc(4) skip(6+2+16) w(2) h(2)
+            val sd = ByteBuffer.wrap(blob, stsdF + 8, 40)
+            sd.getInt // entry size
+            val fourcc = new String(blob, stsdF + 12, 4, StandardCharsets.US_ASCII)
+            val dims = ByteBuffer.wrap(blob, stsdF + 16 + 24, 4)
+            val w = dims.getShort & 0xffff
+            val h = dims.getShort & 0xffff
+            val sz = ByteBuffer.wrap(blob, stszF, blob.length - stszF)
+            sz.getInt // verflags
+            val fixedSize = sz.getInt
+            val nSamples = sz.getInt
+            val sizes = Array.tabulate(nSamples)(_ =>
+              if (fixedSize != 0) fixedSize else sz.getInt)
+            val ((coF, _), isCo64) = co
+            val cb = ByteBuffer.wrap(blob, coF, blob.length - coF)
+            cb.getInt // verflags
+            val nChunks = cb.getInt
+            val chunkOffsets = Array.tabulate(nChunks)(_ =>
+              if (isCo64) cb.getLong else (cb.getInt.toLong & 0xffffffffL))
+            val sc = ByteBuffer.wrap(blob, stscF, blob.length - stscF)
+            sc.getInt // verflags
+            val nRuns = sc.getInt
+            val runs = Array.tabulate(nRuns) { _ =>
+              val first = sc.getInt; val per = sc.getInt; sc.getInt // desc idx
+              (first, per)
+            }
+            val samples = Seq.newBuilder[(Long, Int)]
+            var sample = 0
+            var run = 0
+            var chunk = 1
+            while (chunk <= nChunks && sample < nSamples) {
+              while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+              var off = chunkOffsets(chunk - 1)
+              var i = 0
+              while (i < runs(run)._2 && sample < nSamples) {
+                samples += ((off, sizes(sample)))
+                off += sizes(sample)
+                sample += 1
+                i += 1
+              }
+              chunk += 1
+            }
+            Mp4Track(fourcc, w, h, samples.result())
+          }
+        }.headOption.filter(_.samples.nonEmpty)
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Explode a video item into its per-frame rows WITHOUT decoding:
+    * parse the sample table, slice each sample's bytes. Items with no
+    * parseable video track explode to nothing. Row-local (the container
+    * blob never shuffles — each output row carries only its own frame's
+    * bytes); compose with [[sampleEveryNth]] on `frame_idx` BEFORE
+    * [[frameFeatures]] so only the sampled frames ever reach the
+    * (expensive) pixel decode. */
+  def explodeFrames(items: Dataset[MediaItem]): Dataset[VideoFrame] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      parseMp4Track(m.blob).toSeq.flatMap(_.samples.zipWithIndex.collect {
+        case ((off, len), i) if off + len <= m.blob.length =>
+          VideoFrame(m.item_id, i,
+            java.util.Arrays.copyOfRange(m.blob, off.toInt, off.toInt + len))
+      })
+    }
+  }
+
+  /** REAL frame decode (JDK JPEG reader — MJPEG needs no external
+    * codec): per-frame dimensions + per-channel byte means, the video
+    * analog of [[decodeImage]]. Partition-batched like every decoder
+    * here. */
+  def frameFeatures(frames: Dataset[VideoFrame]): Dataset[FrameFeatures] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { f =>
+      val img = ImageIO.read(new ByteArrayInputStream(f.blob))
+      require(img != null,
+        s"item ${f.item_id} frame ${f.frame_idx}: not a decodable frame")
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+        i += 1
+      }
+      val n = (w.toLong * h).toDouble
+      FrameFeatures(f.item_id, f.frame_idx, w, h, sr / n, sg / n, sb / n)
+    })
+  }
+
   /** Video decode: container metadata is REAL (ISO BMFF box parse —
-    * [[parseMp4Meta]]); frame decode needs a codec this environment
-    * lacks, so the feature vector carries the parsed
-    * [timescale, duration, duration_ms] and no pixel statistics.
-    * Non-MP4 video falls back to the digest stub. */
+    * [[parseMp4Meta]]), and when the track is Motion-JPEG the first
+    * frame's pixels decode for real too (JDK JPEG reader): feature
+    * layout [timescale, duration, duration_ms] for track-less or
+    * non-JPEG containers, extended with [n_frames, mean_r, mean_g,
+    * mean_b] of frame 0 when the MJPEG sample table is walkable.
+    * Non-MP4 payloads fall back to the digest stub. */
   private def decodeVideo(item: MediaItem): MediaFeatures =
     parseMp4Meta(item.blob) match {
       case Some((timescale, duration)) =>
+        val meta = Array(timescale.toFloat, duration.toFloat,
+          duration.toFloat * 1000f / timescale.toFloat)
+        val framed = parseMp4Track(item.blob) match {
+          case Some(t) if t.codec == "jpeg" && t.samples.nonEmpty &&
+              t.samples.head._1 + t.samples.head._2 <= item.blob.length =>
+            val (off, len) = t.samples.head
+            val img = ImageIO.read(new ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(item.blob, off.toInt, off.toInt + len)))
+            if (img == null) meta
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+                i += 1
+              }
+              val n = (w.toLong * h).toFloat
+              meta ++ Array(t.samples.size.toFloat, sr / n, sg / n, sb / n)
+            }
+          case _ => meta
+        }
         MediaFeatures(item.item_id, item.media_type, item.byte_len,
-          md5Hex(item.blob),
-          Array(timescale.toFloat, duration.toFloat,
-            duration.toFloat * 1000f / timescale.toFloat))
+          md5Hex(item.blob), framed)
       case None => decodeStub(item)
     }
 

@@ -122,4 +122,52 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2L, 200.0, 10.0, 30.0),
       (3L, 1L, 0.0, 250.0, 0.0)))
   }
+
+  test("solidJpeg roundtrips exactly for every gray level") {
+    // the closed-form-oracle precondition for MJPEG frame decode: gray
+    // survives the JDK JPEG encode→decode at quality 1.0 bit-exactly
+    (0 until 256 by 17).foreach { v =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.solidJpeg(16, 16, v)))
+      val expected = 0xff000000 | v << 16 | v << 8 | v
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      assert((0 until 16).forall(y => (0 until 16).forall(x =>
+        img.getRGB(x, y) == expected)), s"gray $v did not roundtrip")
+    }
+  }
+
+  test("mjpegMp4: real sample table, real frame decode, exact means") {
+    val grays = Seq(10, 100, 250, 33)
+    val frames = grays.map(Multimodal.solidJpeg(16, 16, _))
+    val mp4 = Multimodal.mjpegMp4(16, 16, timescale = 1000, frameDur = 100, frames)
+    // the generic mvhd walk still works on the full container
+    assert(Multimodal.parseMp4Meta(mp4).contains((1000, 400L)))
+    // the sample-table walk reconstructs codec, dims and per-sample slices
+    val track = Multimodal.parseMp4Track(mp4).get
+    assert(track.codec == "jpeg" && track.width == 16 && track.height == 16)
+    assert(track.samples.map(_._2) == frames.map(_.length))
+    // a track-less container has no samples to walk
+    assert(Multimodal.parseMp4Track(Multimodal.minimalMp4(90000, 1234L)).isEmpty)
+
+    val items = Seq(MediaItem(7L, "video", mp4, "video/mp4",
+      mp4.length.toLong)).toDS()
+    val all = Multimodal.frameFeatures(Multimodal.explodeFrames(items))
+      .collect().sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(all.map(_.mean_r).toSeq == grays.map(_.toDouble))
+    assert(all.forall(f => f.mean_g == f.mean_r && f.mean_b == f.mean_r &&
+      f.width == 16 && f.height == 16))
+
+    // frame sampling composes BEFORE decode: only strided frames decode
+    val sampled = Multimodal.frameFeatures(
+      Multimodal.sampleEveryNth(
+        Multimodal.explodeFrames(items).toDF, "frame_idx", 2).as[graft.ops.VideoFrame])
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(f => (f.frame_idx, f.mean_r)).toSeq ==
+      Seq((0, 10.0), (2, 250.0)))
+
+    // extractFeatures' video branch now carries frame-0 pixels for MJPEG
+    val feat = Multimodal.extractFeatures(items).collect().head
+    assert(feat.feature.toSeq == Seq(1000f, 400f, 400f, 4f, 10f, 10f, 10f))
+  }
 }
