@@ -1,0 +1,108 @@
+package graft.io.bus
+
+import java.io.{EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+/** Minimal MQTT 3.1.1 wire codec — the public OASIS framing, implemented
+  * from the spec with zero dependencies: fixed header (packet type +
+  * flags, varint remaining length), length-prefixed UTF-8 strings, and
+  * the packet bodies the engine's transport needs (CONNECT/CONNACK,
+  * SUBSCRIBE/SUBACK, UNSUBSCRIBE/UNSUBACK, PUBLISH QoS 0/1 + PUBACK,
+  * PINGREQ/PINGRESP, DISCONNECT).
+  *
+  * This is the wire the reference system actually speaks (paho-mqtt in
+  * processor/mqtt_sink.py:104-117 and wall/mqtt_listener.py:60-69);
+  * [[MqttBridge]] serves it broker-side and [[MqttClient]] speaks it
+  * client-side, both over loopback TCP only.
+  */
+object Mqtt {
+  val Connect = 1; val ConnAck = 2; val Publish = 3; val PubAck = 4
+  val Subscribe = 8; val SubAck = 9; val Unsubscribe = 10; val UnsubAck = 11
+  val PingReq = 12; val PingResp = 13; val Disconnect = 14
+
+  /** One decoded control packet: type, fixed-header flags, body bytes. */
+  final case class Packet(tpe: Int, flags: Int, body: Array[Byte])
+
+  /** Blocking read of one packet; None at clean EOF before a header. */
+  def readPacket(in: InputStream): Option[Packet] = {
+    val first = in.read()
+    if (first < 0) return None
+    var len = 0
+    var shift = 0
+    var cont = true
+    while (cont) {
+      val b = in.read()
+      if (b < 0) throw new EOFException("mid-header EOF")
+      len |= (b & 0x7f) << shift
+      shift += 7
+      require(shift <= 28, "malformed remaining length")
+      cont = (b & 0x80) != 0
+    }
+    val body = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(body, off, len - off)
+      if (n < 0) throw new EOFException("mid-body EOF")
+      off += n
+    }
+    Some(Packet(first >> 4, first & 0x0f, body))
+  }
+
+  def writePacket(out: OutputStream, tpe: Int, flags: Int,
+                  body: Array[Byte]): Unit = out.synchronized {
+    out.write(tpe << 4 | (flags & 0x0f))
+    var len = body.length
+    do {
+      val digit = len & 0x7f
+      len >>= 7
+      out.write(if (len > 0) digit | 0x80 else digit)
+    } while (len > 0)
+    out.write(body)
+    out.flush()
+  }
+
+  /** Cursor over a packet body with the spec's primitive readers. */
+  final class Reader(body: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = { val v = body(pos) & 0xff; pos += 1; v }
+    def u16(): Int = u8() << 8 | u8()
+    def str(): String = {
+      val n = u16()
+      val s = new String(body, pos, n, StandardCharsets.UTF_8)
+      pos += n
+      s
+    }
+    def rest(): Array[Byte] = java.util.Arrays.copyOfRange(body, pos, body.length)
+    def hasMore: Boolean = pos < body.length
+  }
+
+  final class Writer {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Writer = { buf.write(v & 0xff); this }
+    def u16(v: Int): Writer = { buf.write(v >> 8 & 0xff); buf.write(v & 0xff); this }
+    def str(s: String): Writer = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      u16(b.length); buf.write(b); this
+    }
+    def raw(b: Array[Byte]): Writer = { buf.write(b); this }
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** MQTT 3.1.1 topic-filter match: `/`-separated levels, `+` matches
+    * exactly one level, a trailing `#` matches the remainder (including
+    * zero levels) — the wildcard-subscribe semantics of SURVEY S2. */
+  def topicMatches(filter: String, topic: String): Boolean = {
+    val f = filter.split("/", -1)
+    val t = topic.split("/", -1)
+    var i = 0
+    while (i < f.length) {
+      f(i) match {
+        case "#" => return i == f.length - 1
+        case "+" => if (i >= t.length) return false
+        case lit => if (i >= t.length || lit != t(i)) return false
+      }
+      i += 1
+    }
+    f.length == t.length
+  }
+}

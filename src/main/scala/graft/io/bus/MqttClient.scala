@@ -1,0 +1,135 @@
+package graft.io.bus
+
+import java.io.IOException
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Minimal blocking MQTT 3.1.1 client — the counterpart a process uses
+  * to publish into / subscribe out of [[MqttBridge]] (or any 3.1.1
+  * broker): CONNECT, PUBLISH QoS 0/1 (QoS 1 blocks for PUBACK),
+  * SUBSCRIBE, DISCONNECT. Incoming PUBLISHes that arrive while waiting
+  * for an ack are queued and drained via [[poll]].
+  *
+  * Deliberately synchronous and single-threaded: the engine's transport
+  * tests need deterministic wire sessions (send → await specific ack),
+  * not a callback reactor. `publishDup` re-sends an unacknowledged
+  * QoS-1 packet with the DUP flag — the redelivery a real client
+  * performs after a connection drop, used to prove downstream
+  * idempotence. */
+final class MqttClient(host: String, port: Int, clientId: String,
+                       timeoutMs: Int = 10000) {
+  import Mqtt._
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), timeoutMs)
+  sock.setSoTimeout(timeoutMs)
+  private val in = sock.getInputStream
+  private val out = sock.getOutputStream
+  private val packetIds = new AtomicInteger(0)
+  private val inbox = new ConcurrentLinkedQueue[(String, Array[Byte])]()
+
+  def connect(): MqttClient = {
+    val body = new Writer()
+      .str("MQTT").u8(4)   // protocol name + level
+      .u8(0x02)            // clean session
+      .u16(60)             // keepalive
+      .str(clientId)
+    writePacket(out, Connect, 0, body.bytes)
+    val ack = await(ConnAck)
+    val rc = ack.body(1) & 0xff
+    if (rc != 0) throw new IOException(s"CONNACK rc=$rc")
+    this
+  }
+
+  def nextPacketId(): Int = (packetIds.incrementAndGet() & 0xffff) max 1
+
+  def publish(topic: String, payload: String, qos: Int = 0,
+              retain: Boolean = false): Unit = {
+    require(qos >= 0 && qos <= 1, s"QoS $qos not supported")
+    val pid = if (qos == 1) nextPacketId() else 0
+    send(topic, payload, qos, pid, dup = false, retain)
+    if (qos == 1) awaitPubAck(pid)
+  }
+
+  /** QoS-1 PUBLISH without waiting for PUBACK; returns the packet id so
+    * the caller can [[publishDup]] it — simulating a client that lost
+    * the ack. */
+  def publishNoAck(topic: String, payload: String): Int = {
+    val pid = nextPacketId()
+    send(topic, payload, qos = 1, pid, dup = false, retain = false)
+    pid
+  }
+
+  /** Redeliver an unacked QoS-1 packet (DUP set), then await the ack. */
+  def publishDup(topic: String, payload: String, packetId: Int): Unit = {
+    send(topic, payload, qos = 1, packetId, dup = true, retain = false)
+    awaitPubAck(packetId)
+  }
+
+  private def send(topic: String, payload: String, qos: Int, pid: Int,
+                   dup: Boolean, retain: Boolean): Unit = {
+    val w = new Writer().str(topic)
+    if (qos >= 1) w.u16(pid)
+    w.raw(payload.getBytes(StandardCharsets.UTF_8))
+    val flags = (if (dup) 0x8 else 0) | qos << 1 | (if (retain) 0x1 else 0)
+    writePacket(out, Publish, flags, w.bytes)
+  }
+
+  def subscribe(filters: String*): Unit = {
+    val pid = nextPacketId()
+    val w = new Writer().u16(pid)
+    filters.foreach(f => w.str(f).u8(0))
+    writePacket(out, Subscribe, 0x2, w.bytes)
+    await(SubAck)
+  }
+
+  /** Next queued/incoming PUBLISH as (topic, payload), or None on
+    * timeout. */
+  def poll(ms: Int = 2000): Option[(String, String)] = {
+    val queued = Option(inbox.poll())
+      .map { case (t, p) => (t, new String(p, StandardCharsets.UTF_8)) }
+    if (queued.isDefined) return queued
+    val old = sock.getSoTimeout
+    sock.setSoTimeout(ms)
+    try readPacket(in) match {
+      case Some(Packet(Publish, flags, body)) =>
+        val r = new Reader(body)
+        val topic = r.str()
+        if ((flags >> 1 & 0x3) >= 1) r.u16()
+        Some((topic, new String(r.rest(), StandardCharsets.UTF_8)))
+      case _ => None
+    } catch { case _: SocketTimeoutException => None }
+    finally sock.setSoTimeout(old)
+  }
+
+  private def awaitPubAck(pid: Int): Unit = {
+    val ack = await(PubAck)
+    val got = new Reader(ack.body).u16()
+    if (got != pid) throw new IOException(s"PUBACK for $got, expected $pid")
+  }
+
+  /** Read until a packet of `tpe` arrives, queueing PUBLISHes. */
+  private def await(tpe: Int): Packet = {
+    while (true) {
+      readPacket(in) match {
+        case None => throw new IOException("connection closed")
+        case Some(p) if p.tpe == tpe => return p
+        case Some(Packet(Publish, flags, body)) =>
+          val r = new Reader(body)
+          val topic = r.str()
+          if ((flags >> 1 & 0x3) >= 1) r.u16()
+          inbox.add((topic, r.rest()))
+        case Some(_) => () // unrelated ack
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def disconnect(): Unit = {
+    try writePacket(out, Disconnect, 0, Array.emptyByteArray)
+    catch { case _: IOException => () }
+    try sock.close() catch { case _: IOException => () }
+  }
+}
