@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram shingling as ONE native expression — the hot first stage
+  * of every gram-based operator (MinHash, containment, decontamination,
+  * shared spans, novelty).
+  *
+  * The compositional form ([[graft.ops.Dedup.wordShinglesSpec]]:
+  * `filter(split(..)) → slice → zip_with → concat_ws → array_distinct`)
+  * runs the higher-order functions INTERPRETED — per-element lambda
+  * dispatch over every token of every document, measured as the
+  * dominant cost of the persisted shingle tables. This expression does
+  * the identical work in one compiled pass: Java-regex `\s+` split
+  * (exactly Spark's `split` semantics), empty-token filter, n-gram
+  * join, and (for the order-free form) first-occurrence dedup.
+  * Codegen'd via a static helper, so the enclosing projection keeps
+  * whole-stage codegen. The HOF form remains in the codebase as the
+  * executable specification; DedupSpec pins element-order bit-equality
+  * on adversarial whitespace (tabs, newlines, unicode NBSP — which Java
+  * `\s` does NOT match, on either path).
+  *
+  * `positional = true` keeps every gram in text order with multiplicity
+  * (element i = gram starting at token i; EMPTY when the document has
+  * fewer than n tokens — matching the spec's `slice(greatest(m-n+1,0))`
+  * bound); `positional = false` is the de-duplicated, order-free
+  * projection (`array_distinct` keeps first occurrences). */
+case class WordShinglesExpr(child: Expression, n: Int, positional: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"need n >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (positional) "positional_shingles" else "word_shingles"
+
+  override def nullSafeEval(s: Any): Any =
+    WordShinglesExpr.shingles(s.asInstanceOf[UTF8String], n, positional)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.WordShinglesExpr.shingles($in, $n, $positional)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+object WordShinglesExpr {
+  // Java regex \s — the exact pattern Spark's split("\\s+") compiles, so
+  // token boundaries (ASCII-only whitespace; NBSP is a token char) are
+  // bit-identical to the HOF specification and the DuckDB oracles'
+  // regexp_split_to_array(text, '\s+')
+  private val Space = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static helper the generated code calls. */
+  def shingles(text: UTF8String, n: Int, positional: Boolean): ArrayData = {
+    val raw = Space.split(text.toString)
+    // drop empties (a leading separator yields one leading "")
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { raw(nTok) = raw(i); nTok += 1 }
+      i += 1
+    }
+    val nGrams = math.max(nTok - n + 1, 0)
+    if (positional) {
+      val out = new Array[AnyRef](nGrams)
+      var g = 0
+      while (g < nGrams) {
+        out(g) = UTF8String.fromString(gram(raw, g, n))
+        g += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var g = 0
+      while (g < nGrams) {
+        seen.add(gram(raw, g, n))
+        g += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  private def gram(toks: Array[String], start: Int, n: Int): String =
+    if (n == 1) toks(start)
+    else {
+      val sb = new java.lang.StringBuilder(toks(start))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(start + j)); j += 1 }
+      sb.toString
+    }
+
+  def apply(text: Column, n: Int, positional: Boolean): Column =
+    Bridge.column(WordShinglesExpr(Bridge.expression(text), n, positional))
+}

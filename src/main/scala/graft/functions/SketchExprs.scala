@@ -296,3 +296,73 @@ object MinHashSig {
     Bridge.column(
       MinHashSig(Bridge.expression(hash), numHashes).toAggregateExpression())
 }
+
+/** The MinHash signature as ONE row-local scalar expression over the
+  * shingle ARRAY — no explode, no shuffle, no aggregate: the signature
+  * of a document is a pure function of its own shingles, so pushing it
+  * through explode + groupBy ([[MinHashSig]]) pays a 50×-the-corpus
+  * shuffle (one row per shingle) purely to reassemble rows Spark
+  * already had. One expression call per document walks the array once:
+  * md5-prefix60 each shingle (the repo hash idiom, shared with the
+  * DuckDB oracle), fold all `numHashes` permutation minima in a local
+  * buffer. Identical arithmetic to [[MinHashSig]] and the HOF
+  * specification [[graft.ops.Dedup.minHashSignature]] — DedupSpec pins
+  * bit-equality across all three. Codegen'd via a static helper (one
+  * call per row, the array loop stays in compiled Java), so the
+  * enclosing stage keeps whole-stage codegen. */
+case class MinHashArraySig(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(numHashes >= 1, s"need numHashes >= 1, got $numHashes")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_array_sig"
+
+  override def nullSafeEval(arr: Any): Any =
+    MinHashArraySig.sig(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.MinHashArraySig.sig($in, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashArraySig =
+    copy(child = newChild)
+}
+
+object MinHashArraySig {
+  private val P = graft.ops.Dedup.MinHashP
+
+  /** Static helper the generated code calls: one pass over the shingle
+    * array, all permutation minima folded locally. */
+  def sig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+          numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val buf = Array.fill(numHashes)(P)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Md5Hash.prefix60(arr.getUTF8String(i)) % P
+        var j = 0
+        while (j < numHashes) {
+          val p = (h * (4099L * j + 1L) + (9973L * j + 7L)) % P
+          if (p < buf(j)) buf(j) = p
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+  }
+
+  /** Column form over a shingle array column. */
+  def apply(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashArraySig(Bridge.expression(shingles), numHashes))
+}

@@ -177,6 +177,13 @@ object Curation {
   private def splitAndDecontaminate(kept: DataFrame, id: String, text: String,
                                     salt: String, splits: Seq[(String, Double)],
                                     ngram: Int): DataFrame = {
+    // Deliberately NOT materializing a shared gram table: both sides of
+    // the contamination check shingle the (persisted) kept set
+    // independently, which keeps each branch one fused codegen pipeline.
+    // Measured at sf0.1 after the native shingle expression landed, a
+    // persisted (id, split, gh) gram explode made q54 ~60% slower warm —
+    // two extra cache materializations cost more than the second
+    // (now-cheap) shingle pass they deduplicate.
     val withSplit = Sampling.splitAssign(kept, id, salt, splits)
     val train = withSplit.filter(col("split") === splits.head._1)
     val held = withSplit.filter(col("split") =!= splits.head._1)

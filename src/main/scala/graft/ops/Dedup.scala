@@ -18,11 +18,24 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles of a text column IN TEXT ORDER, with
-    * multiplicity — element i is the gram starting at token i. Row-local;
+    * multiplicity — element i is the gram starting at token i. Row-local,
+    * NATIVE ([[graft.functions.WordShinglesExpr]] — the compositional
+    * HOF chain ran interpreted and dominated every gram table's cost);
     * the positional form feeds [[sharedSpanPairs]] (where order and
     * position carry the signal); [[wordShingles]] is its de-duplicated,
     * order-free projection. */
-  def positionalShingles(text: Column, n: Int = 2): Column = {
+  def positionalShingles(text: Column, n: Int = 2): Column =
+    graft.functions.WordShinglesExpr(text, n, positional = true)
+
+  /** Word n-gram shingles of a text column, de-duplicated, order-free.
+    * n=2 by default: `["a b", "b c", ...]`. Row-local, native. */
+  def wordShingles(text: Column, n: Int = 2): Column =
+    graft.functions.WordShinglesExpr(text, n, positional = false)
+
+  /** The compositional (HOF) form of [[positionalShingles]] — the
+    * executable specification the native expression is pinned against
+    * in DedupSpec. Interpreted; not for hot paths. */
+  def positionalShinglesSpec(text: Column, n: Int = 2): Column = {
     val toks = TextAnalysis.tokens(text)
     val m = size(toks)
     if (n == 1) toks
@@ -33,10 +46,9 @@ object Dedup {
     }
   }
 
-  /** Word n-gram shingles of a text column, de-duplicated, order-free.
-    * n=2 by default: `["a b", "b c", ...]`. Row-local. */
-  def wordShingles(text: Column, n: Int = 2): Column =
-    array_distinct(positionalShingles(text, n))
+  /** HOF form of [[wordShingles]] — executable specification only. */
+  def wordShinglesSpec(text: Column, n: Int = 2): Column =
+    array_distinct(positionalShinglesSpec(text, n))
 
   /** Exact dedup: group identical content by md5, keep the smallest id
     * (hash-groupBy — map-side partial agg, one shuffle on the digest). */
@@ -130,28 +142,22 @@ object Dedup {
     * is consumed by both candidate-join sides and both verification
     * joins).
     *
-    * Signature computed via explode + ONE native running-minimum buffer
-    * aggregate (graft.functions.MinHashSig — map-side partial agg; the
-    * shuffle carries |docs|·cores partial buffers, each update call
-    * loads the shingle hash once and folds all numHashes permutations)
-    * — semantically identical to [[minHashSignature]], the executable
-    * specification, but outside the interpreted-HOF path and without
-    * numHashes separate aggregate expressions, like [[simHashTable]].
-    * The shingle table is persisted separately too: the (interpreted
-    * HOF) shingling feeds both the signature branch (explode) and the
-    * verification join. */
+    * Signature computed ROW-LOCALLY in one native expression
+    * (graft.functions.MinHashArraySig): a document's signature is a pure
+    * function of its own shingle array, so the earlier explode →
+    * groupBy-aggregate → join-back pipeline paid a one-row-per-shingle
+    * shuffle (~50× the corpus) purely to reassemble rows the plan
+    * already had. Now the whole table is scan → project (codegen'd) —
+    * ZERO shuffles before the band join. Identical arithmetic to
+    * [[minHashSignature]], the executable specification (DedupSpec pins
+    * bit-equality), so the q17 oracle is unchanged. */
   private def minHashSignedTable(df: DataFrame, id: String, text: String,
-                                 numHashes: Int): DataFrame = {
-    val shingled = Caches.track(df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
+                                 numHashes: Int): DataFrame =
+    Caches.track(df.select(col(id).as("doc"), wordShingles(col(text)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("__sig",
+        graft.functions.MinHashArraySig(col("sh"), numHashes))
       .persist())
-    val hashed = shingled
-      .select(col("doc"), explode(col("sh")).as("s"))
-      .withColumn("h", graft.functions.Md5Hash.prefix60(col("s")) % MinHashP)
-    val sig = hashed.groupBy(col("doc"))
-      .agg(graft.functions.MinHashSig.agg(col("h"), numHashes).as("__sig"))
-    Caches.track(shingled.join(sig, "doc").persist())
-  }
 
   def minHashLshPairs(df: DataFrame, id: String, text: String,
                       numHashes: Int, bands: Int, threshold: Double,

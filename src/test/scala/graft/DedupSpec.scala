@@ -25,6 +25,31 @@ class DedupSpec extends SparkSpec {
     assert(tri.toSet == Set("a b c", "b c d"))
   }
 
+  test("native shingles are bit-equal to the HOF specification") {
+    // adversarial whitespace: tabs, newlines, CR, runs, leading/trailing,
+    // and unicode NBSP (which Java \s does NOT match — it must stay a
+    // token character on BOTH paths), plus repetition (dedup order) and
+    // sub-n documents (empty positional output)
+    val texts = Seq(
+      "a b c b a b", "  leading and trailing  ", "tab\tsep\t\ttokens",
+      "line\nbreaks\r\nand runs   of spaces", "nbsp stays one token",
+      "solo", "", "x y x y x y", "one two three four five six seven")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    for (n <- Seq(1, 2, 3); positional <- Seq(true, false)) {
+      def run(c: org.apache.spark.sql.Column) =
+        df.select(col("id"), c.as("sh")).as[(Long, Seq[String])]
+          .collect().toMap
+      val native = run(
+        if (positional) Dedup.positionalShingles(col("t"), n)
+        else Dedup.wordShingles(col("t"), n))
+      val spec = run(
+        if (positional) Dedup.positionalShinglesSpec(col("t"), n)
+        else Dedup.wordShinglesSpec(col("t"), n))
+      assert(native == spec, s"n=$n positional=$positional:\n$native\nvs\n$spec")
+    }
+  }
+
   test("exactDedup groups identical content, keeps smallest id") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
@@ -120,6 +145,15 @@ class DedupSpec extends SparkSpec {
         Dedup.minHashSignature(col("sh"), numHashes).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(native == spec, s"native=$native spec=$spec")
+    // the row-local array expression (the shuffle-free production path)
+    // is bit-equal to both
+    val rowLocal = wide
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashArraySig(col("sh"), numHashes).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rowLocal == spec, s"rowLocal=$rowLocal spec=$spec")
   }
 
   test("simHashTable native aggregate is bit-equal to the compositional spec") {

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc warm-timing probe for the heavy bench lines (test scope). */
+object HeavyProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val b = SparkSession.builder().master("local[32]")
+      .appName("probe").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q17_minhash_pairs", "q34_dedup_clusters",
+        "q68_curate_balanced", "q81_containment_pairs")
+    names.foreach { n =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).write.format("noop")
+          .mode("overwrite").save()
+        spark.catalog.clearCache()
+        System.gc()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once(); val w1 = once(); val w2 = once()
+      println(f"[probe] $n%-26s cold $cold%6.2f warm ${math.min(w1, w2)}%6.2f")
+    }
+    spark.stop()
+  }
+}
