@@ -1556,6 +1556,53 @@ object Queries {
             FROM documents, UNNEST([0, 2, 4]) AS t(j)
             WHERE j < 3 + doc_id % 4"""), bench = true)
 
+  /** Line-level boilerplate removal (Dedup.stripBoilerplateLines) — the
+    * CCNet/RefinedWeb cross-document line-dedup stage. The corpus has no
+    * newlines, so (q59/q62/q96 fixture precedent) each doc is first
+    * re-lined deterministically: line j = tokens [8j, 8j+8) joined by
+    * spaces, lines joined by \n — both engines rebuild the identical
+    * text. maxDocFreq=2 BINDS via the corpus's exact-duplicate families
+    * (their every line is shared) plus any coincidental 8-gram repeats.
+    * Exact strings + integer counts → exact oracle. */
+  private val q97 = QDef("q97_strip_boilerplate",
+    (s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val lined = array_join(transform(
+        sequence(lit(0L), floor((size(toks) - 1) / lit(8))),
+        c => array_join(slice(toks, c * 8 + 1, lit(8)), " ")), "\n")
+      graft.ops.Dedup.stripBoilerplateLines(
+        docs(s, d).select(col("doc_id"), lined.as("text")),
+        "doc_id", "text", maxDocFreq = 2)
+        .select("doc_id", "clean_text", "n_kept", "n_removed")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '') AS toks FROM documents),
+             idx AS (SELECT doc_id, toks,
+                       unnest(range(0, CAST(floor((len(toks) - 1) / 8)
+                         AS BIGINT) + 1)) AS j
+                     FROM toks),
+             lines AS (SELECT doc_id, j,
+                         array_to_string(list_slice(toks, j * 8 + 1, j * 8 + 8),
+                           ' ') AS line
+                       FROM idx),
+             inv AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+                     FROM lines WHERE trim(line) <> '' GROUP BY 1),
+             boiler AS (SELECT line FROM inv WHERE n_docs >= 2),
+             keptl AS (SELECT l.doc_id, l.j, l.line FROM lines l
+                       WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                                         WHERE b.line = l.line)),
+             reb AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY j) AS clean_text,
+                       count(*) AS n_kept
+                     FROM keptl GROUP BY 1),
+             tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+             SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+                    CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                    CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT)
+                      AS n_removed
+             FROM tot t LEFT JOIN reb r USING (doc_id)"""), bench = true)
+
   /** Semantic dedup, SemDeDup-style (Similarity.semanticDedup): embeddings
     * clustered by a trained k=64 k-means quantizer (many SMALL cells —
     * the cell size, not the corpus, bounds the quadratic pair term;
@@ -2631,7 +2678,8 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
-    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+    q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
+    q97)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -271,6 +271,16 @@ object Main {
       .validate.fold(err => sys.error(s"invalid configuration: $err"), identity)
     val maxFiles = args.get("max-files-per-trigger").map(_.toInt)
 
+    // `--mqtt-port N` (0 = ephemeral): serve real MQTT 3.1.1 on loopback,
+    // spooling PUBLISHes into the SAME drop dir the connector drains — a
+    // paho-style client (the reference's transport) publishes events
+    // straight into this running pipeline; QoS-1 is durable-then-ack.
+    val mqtt = args.get("mqtt-port").map { p =>
+      val br = new graft.io.bus.MqttBridge(eventsDir, p.toInt).start()
+      println(s"[mqtt] listening on 127.0.0.1:${br.boundPort} -> $eventsDir")
+      br
+    }
+
     val harness = new ControlHarness(cfg,
       pipelineBuilder(spark, eventsDir, outDir, ckRoot, maxFiles),
       acks => if (acks.nonEmpty)
@@ -322,6 +332,7 @@ object Main {
         running = spark.streams.active.nonEmpty
       }
     }
+    mqtt.foreach(_.stop())
   }
 
   private def runReplay(spark: SparkSession, args: Map[String, String],

@@ -56,6 +56,67 @@ object Dedup {
     df.groupBy(md5(col(text)).as("h"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The boilerplate-LINE inventory behind [[stripBoilerplateLines]]:
+    * every exact line (delimiter-split, whitespace-only lines excluded)
+    * that occurs in at least `maxDocFreq` DISTINCT documents, with its
+    * document frequency — navigation bars, cookie banners, license
+    * footers: content that is common because it is furniture, not
+    * signal. One distinct + hash-groupBy; output bounded by the line
+    * inventory. */
+  def boilerplateLineInventory(df: DataFrame, id: String, text: String,
+                               maxDocFreq: Int,
+                               delim: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    df.select(col(id),
+        explode(split(col(text), java.util.regex.Pattern.quote(delim)))
+          .as("line"))
+      .filter(trim(col("line")) =!= "")
+      .distinct() // a line repeated WITHIN one doc counts once
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= maxDocFreq)
+  }
+
+  /** Line-level boilerplate removal — the CCNet/RefinedWeb pipeline
+    * stage between document dedup and quality filtering: drop every
+    * line whose EXACT text appears in ≥ `maxDocFreq` distinct documents,
+    * and reassemble each document from its surviving lines in original
+    * order. Whitespace-only lines are never counted as boilerplate (and
+    * so never removed) — blank separators are structure, not furniture.
+    * Documents losing every line survive with empty `clean_text`, so
+    * the output is row-aligned with the input (a pipeline can join the
+    * result back by id).
+    *
+    * Scale shape: line explode is row-local; the inventory is a
+    * distinct + hash-groupBy bounded by the line inventory; removal is
+    * a left-anti equi-join on the line; reassembly is one groupBy with
+    * a per-document sort of ITS OWN lines (array_sort over a
+    * collect_list — never a global or per-key window). Output:
+    * `(id, clean_text, n_kept, n_removed)`. */
+  def stripBoilerplateLines(df: DataFrame, id: String, text: String,
+                            maxDocFreq: Int,
+                            delim: String = "\n"): DataFrame = {
+    val boiler = boilerplateLineInventory(df, id, text, maxDocFreq, delim)
+      .select(col("line"))
+    val lines = df.select(col(id),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("pos", "line")))
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .as("__ls"))
+      .select(col(id),
+        array_join(transform(col("__ls"), e => e.getField("line")), delim)
+          .as("clean_text"),
+        size(col("__ls")).cast("long").as("n_kept"))
+    val totals = lines.groupBy(col(id)).agg(count(lit(1)).as("__n_lines"))
+    totals.join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Jaccard similarity of two pre-deduplicated shingle arrays as
     * |A∩B| / (|A|+|B|−|A∩B|). Exact IEEE arithmetic — portable. */
   def jaccard(a: Column, b: Column): Column = {

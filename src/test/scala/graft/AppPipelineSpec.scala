@@ -129,6 +129,38 @@ class AppPipelineSpec extends SparkSpec {
     } finally { wall.stop(); pipeline.stop() }
   }
 
+  test("MQTT transport feeds the processor pipeline end to end") {
+    // the reference's actual wire (paho-mqtt → broker → processor):
+    // a real MQTT 3.1.1 session publishes detection envelopes, the
+    // broker-bridge spools them into the pipeline's drop dir, and the
+    // streaming pipeline picks them up like any other envelope batch
+    val eventsDir = Files.createTempDirectory("mqtt-e2e-events").toString
+    val outDir = Files.createTempDirectory("mqtt-e2e-out").toString
+    val bridge = new graft.io.bus.MqttBridge(eventsDir).start()
+    val pipeline = Main.pipelineBuilder(spark, eventsDir, outDir,
+      s"$outDir/_ck", None)(
+      EngineConfig("inst-1", streamIds = Vector(1, 2)), () => false)
+    try {
+      val c = new graft.io.bus.MqttClient("127.0.0.1", bridge.boundPort,
+        "cam-sim").connect()
+      c.publish("nvr/detections/1", envLine(1, 1).split("\t")(1), qos = 1)
+      c.publish("nvr/detections/2", envLine(2, 5).split("\t")(1), qos = 1)
+      c.disconnect()
+      awaitCond("MQTT publishes must reach the spool") {
+        java.nio.file.Files.list(java.nio.file.Paths.get(eventsDir))
+          .toArray.length >= 2
+      }
+      pipeline.processAllAvailable()
+      val got = spark.read.parquet(s"$outDir/detections")
+        .select($"source_id",
+          org.apache.spark.sql.functions
+            .get_json_object($"payload", "$.frame_id").cast("long"))
+        .as[(Int, Long)].collect().toSet
+      assert(got == Set((1, 1L), (2, 5L)),
+        "MQTT-published events must flow through the pipeline")
+    } finally { pipeline.stop(); bridge.stop() }
+  }
+
   test("periodic metrics publisher maintains the retained metrics-lite table") {
     val eventsDir = Files.createTempDirectory("pm-events").toString
     val outDir = Files.createTempDirectory("pm-out").toString

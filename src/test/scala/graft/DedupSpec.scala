@@ -56,6 +56,29 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("stripBoilerplateLines: cross-doc furniture out, structure intact") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nreal content one\n\nfooter (c) site"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter (c) site"),
+      (3L, "COOKIE BANNER\nCOOKIE BANNER\nunique thoughts here"),
+      (4L, "footer (c) site") // every line boilerplate → empty survivor
+    ).toDF("doc_id", "text")
+    val inv = Dedup.boilerplateLineInventory(df, "doc_id", "text", 2)
+      .as[(String, Long)].collect().toMap
+    // within-doc repetition (doc 3) counts ONCE; blank line never counted
+    assert(inv == Map("COOKIE BANNER" -> 3L, "footer (c) site" -> 3L))
+    val out = Dedup.stripBoilerplateLines(df, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // blank separator line survives (structure, not furniture): the
+    // rebuilt text is "real content one" + "\n" + ""
+    assert(out(1L) == ((1L, "real content one\n", 2L, 2L)))
+    assert(out(2L)._2 == "real content two" && out(2L)._4 == 2L)
+    assert(out(3L)._2 == "unique thoughts here" && out(3L)._4 == 2L)
+    // full-removal doc stays row-aligned with empty text
+    assert(out(4L) == ((4L, "", 0L, 1L)))
+  }
+
   test("jaccard on known sets") {
     val out = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect().head
