@@ -264,20 +264,31 @@ object Multimodal {
     * is ±1 per channel — so a gray fixture gives frame decode a
     * closed-form cross-engine oracle the way [[solidPng]] does for
     * images. */
+  // ImageWriter construction (SPI lookup + native init) dominates a
+  // 16×16 encode; writers are not thread-safe but ARE reusable, so one
+  // per executor thread — the per-partition decoder-init discipline,
+  // realized as a thread-local because encodes happen inside codegen'd
+  // iterators with no partition hook.
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+  }
+
   def solidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims: ${w}x$h")
     require(gray >= 0 && gray <= 255, s"bad gray: $gray")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val rgb = gray << 16 | gray << 8 | gray
     img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = jpegWriter.get()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(1.0f)
     val bos = new ByteArrayOutputStream()
-    writer.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
-    try writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-    finally writer.dispose()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close()
     bos.toByteArray
   }
 
