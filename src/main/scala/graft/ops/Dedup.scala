@@ -88,33 +88,35 @@ object Dedup {
     * result back by id).
     *
     * Scale shape: line explode is row-local; the inventory is a
-    * distinct + hash-groupBy bounded by the line inventory; removal is
-    * a left-anti equi-join on the line; reassembly is one groupBy with
-    * a per-document sort of ITS OWN lines (array_sort over a
-    * collect_list — never a global or per-key window). Output:
+    * distinct + hash-groupBy bounded by the line inventory; removal
+    * marks boiler lines with ONE left equi-join on the line (the
+    * inventory side is frequency-capped small — AQE broadcasts it) and
+    * reassembly is ONE groupBy over all lines, keeping non-boiler rows
+    * via a conditional collect (collect_list skips nulls) with a
+    * per-document sort of ITS OWN lines (array_sort — never a global or
+    * per-key window). Every document reaches the groupBy, so the output
+    * stays row-aligned without a separate totals join. Output:
     * `(id, clean_text, n_kept, n_removed)`. */
   def stripBoilerplateLines(df: DataFrame, id: String, text: String,
                             maxDocFreq: Int,
                             delim: String = "\n"): DataFrame = {
     val boiler = boilerplateLineInventory(df, id, text, maxDocFreq, delim)
-      .select(col("line"))
+      .select(col("line"), lit(true).as("__boiler"))
     val lines = df.select(col(id),
       posexplode(split(col(text), java.util.regex.Pattern.quote(delim)))
         .as(Seq("pos", "line")))
-    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+    lines.join(boiler, Seq("line"), "left")
       .groupBy(col(id))
-      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
-        .as("__ls"))
+      .agg(
+        array_sort(collect_list(
+          when(col("__boiler").isNull, struct(col("pos"), col("line")))))
+          .as("__ls"),
+        count(when(col("__boiler"), lit(1))).as("n_removed"))
       .select(col(id),
         array_join(transform(col("__ls"), e => e.getField("line")), delim)
           .as("clean_text"),
-        size(col("__ls")).cast("long").as("n_kept"))
-    val totals = lines.groupBy(col(id)).agg(count(lit(1)).as("__n_lines"))
-    totals.join(rebuilt, Seq(id), "left")
-      .select(col(id),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        size(col("__ls")).cast("long").as("n_kept"),
+        col("n_removed"))
   }
 
   /** Jaccard similarity of two pre-deduplicated shingle arrays as
