@@ -1603,6 +1603,38 @@ object Queries {
                       AS n_removed
              FROM tot t LEFT JOIN reb r USING (doc_id)"""), bench = true)
 
+  /** Perceptual-hash image near-dup pairs (Multimodal.imageNearDupPairs):
+    * dHash fingerprints + pigeonhole Hamming banding. Fixture: every 5th
+    * doc renders a 9×8 horizontal gray ramp walking ±1 per column,
+    * direction = bit x of p = doc_id % 128 — dHash is then the byte p
+    * repeated rowwise (p * 0x0101010101010101, positive since p < 128),
+    * so Hamming distance is 8·popcount(p_a ⊕ p_b) in closed form and the
+    * REAL decode→hash→band→join chain checks against integer SQL.
+    * maxDist=8 ⇔ patterns within one ±1-direction flip. */
+  private val q98 = QDef("q98_image_phash_pairs",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id % 5 == 0)
+        .mapPartitions(_.map { id =>
+          val p = (id % 128).toInt
+          val grays = new Array[Int](9)
+          grays(0) = 128
+          (0 until 8).foreach(x => grays(x + 1) =
+            grays(x) + (if (((p >> x) & 1) == 1) 1 else -1))
+          val blob = Multimodal.hstripePng(grays, 8)
+          graft.ops.MediaItem(id, "image", blob, "image/png", blob.length.toLong)
+        })
+      Multimodal.imageNearDupPairs(items, maxDist = 8)
+    },
+    Some("""WITH s AS (SELECT doc_id, doc_id % 128 AS p FROM documents
+                       WHERE doc_id % 5 = 0)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(8 * bit_count(xor(a.p, b.p)) AS INT) AS hd
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.p, b.p)) <= 1"""), bench = true)
+
   /** Semantic dedup, SemDeDup-style (Similarity.semanticDedup): embeddings
     * clustered by a trained k=64 k-means quantizer (many SMALL cells —
     * the cell size, not the corpus, bounds the quadratic pair term;
@@ -2679,7 +2711,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97)
+    q97, q98)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -740,28 +740,48 @@ object Dedup {
         }.reduce(_ + _).as("sim"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
-    * Candidate generation by the pigeonhole principle: the 60-bit
+  /** Hamming-distance near-dup pairs over ANY int64 fingerprint table
+    * (SimHash text fingerprints, perceptual image dHashes, ...).
+    * Candidate generation by the pigeonhole principle: the `bits`-bit
     * fingerprint is cut into (maxDist+1) chunks; any pair within maxDist
     * must agree on at least one chunk, so an equi-join on (chunk index,
     * chunk value) has recall 1.0 — provably identical output to the O(n²)
-    * scan, at bucketed-join cost. The fingerprint table is persisted —
-    * it feeds both sides of the self-join. */
-  def simHashPairs(df: DataFrame, id: String, text: String,
+    * scan, at bucketed-join cost. Chunks slice with an UNSIGNED shift so
+    * full-width 64-bit fingerprints (sign bit set) band correctly.
+    * Output: `(a_id, b_id, hd)` with a_id < b_id. */
+  def hammingPairs(fp: DataFrame, id: String, fpCol: String, bits: Int,
                    maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64]: $bits")
+    require(maxDist >= 0 && maxDist < bits, s"bad maxDist $maxDist for $bits bits")
     val chunks = maxDist + 1
-    val chunkBits = (SimHashBits + chunks - 1) / chunks
-    val withSim = Caches.track(simHashTable(df, id, text).persist())
-    val keyed = withSim.select(col("doc"), col("sim"), posexplode(
-      array((0 until chunks).map { c =>
-        shiftright(col("sim"), c * chunkBits) % (1L << chunkBits)
+    // balanced widths (bits/chunks, +1 for the first bits%chunks chunks):
+    // every chunk non-empty and the union exactly covers [0, bits) — a
+    // ceil-width split would leave the top chunk short or empty, either
+    // losing the pigeonhole guarantee or funnelling every row into one
+    // degenerate bucket.
+    val widths = Array.tabulate(chunks)(c =>
+      bits / chunks + (if (c < bits % chunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val keyed = fp.select(col(id).as("__doc"), col(fpCol).as("__fp"),
+      posexplode(array((0 until chunks).map { c =>
+        val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1L
+        shiftrightunsigned(col(fpCol), starts(c)).bitwiseAND(mask)
       }: _*)).as(Seq("ck", "cv")))
     keyed.as("x").join(keyed.as("y"),
         col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hd"))
+          col("x.__doc") < col("y.__doc"))
+      .select(col("x.__doc").as("a_id"), col("y.__doc").as("b_id"),
+        bit_count(col("x.__fp").bitwiseXOR(col("y.__fp"))).as("hd"))
       .distinct()
       .filter(col("hd") <= maxDist)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist — the 60-bit
+    * text instantiation of [[hammingPairs]]. The fingerprint table is
+    * persisted — it feeds both sides of the self-join. */
+  def simHashPairs(df: DataFrame, id: String, text: String,
+                   maxDist: Int): DataFrame = {
+    val withSim = Caches.track(simHashTable(df, id, text).persist())
+    hammingPairs(withSim, "doc", "sim", SimHashBits, maxDist)
   }
 }

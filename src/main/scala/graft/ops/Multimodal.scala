@@ -98,6 +98,90 @@ object Multimodal {
     encodePng(img)
   }
 
+  /** Deterministic horizontal-stripe RGB PNG: column x is the solid gray
+    * level `grays(x)` in all three channels. The gradient analog of
+    * [[solidPng]]: a perceptual difference hash of such an image is an
+    * exact closed form of the gray sequence (PNG is lossless, gray
+    * luma is identity when r=g=b), so [[perceptualHash]] gets a
+    * cross-engine SQL oracle. */
+  def hstripePng(grays: Array[Int], h: Int): Array[Byte] = {
+    require(grays.nonEmpty && h > 0, s"bad dims: ${grays.length}x$h")
+    val w = grays.length
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val row = grays.map(g => (g & 0xff) << 16 | (g & 0xff) << 8 | (g & 0xff))
+    (0 until h).foreach(y => img.setRGB(0, y, w, 1, row, 0, w))
+    encodePng(img)
+  }
+
+  /** Perceptual difference hash (dHash) of image items — the standard
+    * web-scale near-duplicate fingerprint (Krawetz's dHash): decode,
+    * resample to (hashW+1)×hashH, grayscale, and set bit `y*hashW + x`
+    * iff gray(x+1,y) > gray(x,y). Robust to re-encoding, scaling, and
+    * global brightness/contrast shifts — the transformations exact
+    * content hashing ([[imageContentDedup]]) is blind to. hashW*hashH
+    * must fit the 64-bit output; grayscale is exact integer ITU-R 601
+    * luma ((299r+587g+114b)/1000), so equal-channel pixels hash
+    * engine-reproducibly. Images already at target size skip the
+    * resample (bit-exact closed form for fixture oracles).
+    *
+    * Scale shape: decode + hash are partition-batched row-local work;
+    * only (item_id, dhash) ever shuffles — never pixels. Output:
+    * `(item_id, dhash)`, one row per image item. */
+  def perceptualHash(items: Dataset[MediaItem], hashW: Int = 8,
+                     hashH: Int = 8): DataFrame = {
+    import items.sparkSession.implicits._
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"dhash bits must fit int64: ${hashW}x$hashH")
+    val w = hashW + 1
+    items.mapPartitions { it =>
+      it.filter(_.media_type == "image").map { m =>
+        val src = decodeOrFail(m)
+        val img =
+          if (src.getWidth == w && src.getHeight == hashH) src
+          else {
+            val out = new BufferedImage(w, hashH, BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(src, 0, 0, w, hashH, null)
+            g2.dispose()
+            out
+          }
+        val px = img.getRGB(0, 0, w, hashH, null, 0, w)
+        var bits = 0L
+        var y = 0
+        while (y < hashH) {
+          var x = 0
+          while (x < hashW) {
+            val a = px(y * w + x)
+            val b = px(y * w + x + 1)
+            val ga = (299 * ((a >>> 16) & 0xff) + 587 * ((a >>> 8) & 0xff) +
+              114 * (a & 0xff)) / 1000
+            val gb = (299 * ((b >>> 16) & 0xff) + 587 * ((b >>> 8) & 0xff) +
+              114 * (b & 0xff)) / 1000
+            if (gb > ga) bits |= 1L << (y * hashW + x)
+            x += 1
+          }
+          y += 1
+        }
+        (m.item_id, bits)
+      }
+    }.toDF("item_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs: [[perceptualHash]] fingerprints joined
+    * by [[Dedup.hammingPairs]]' pigeonhole banding — provably every pair
+    * within `maxDist` Hamming bits, at bucketed-equi-join cost (never an
+    * all-pairs image comparison). The fingerprint table is persisted
+    * (tracked in [[Caches]]): it feeds both sides of the self-join, and
+    * its recompute would re-decode every image. Output:
+    * `(a_id, b_id, hd)`. */
+  def imageNearDupPairs(items: Dataset[MediaItem], maxDist: Int,
+                        hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    val fp = Caches.track(perceptualHash(items, hashW, hashH).persist())
+    Dedup.hammingPairs(fp, "item_id", "dhash", hashW * hashH, maxDist)
+  }
+
   private def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)

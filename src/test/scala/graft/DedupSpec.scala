@@ -79,6 +79,30 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((4L, "", 0L, 1L)))
   }
 
+  test("hammingPairs: full-width 64-bit fingerprints, uneven chunks, exhaustive parity") {
+    // bits=64, maxDist=8 → 9 chunks of widths 8,7,…,7 — the uneven split
+    // plus sign-bit fingerprints exercise the unsigned-shift banding
+    val rnd = new scala.util.Random(7)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0 until 40).foreach { i =>
+      if (i % 2 == 0) buf += ((i.toLong, rnd.nextLong() | Long.MinValue))
+      else { // odd rows: near-dup of the previous row (≤ 8 flipped bits)
+        var v = buf(i - 1)._2
+        (0 until rnd.nextInt(9)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        buf += ((i.toLong, v))
+      }
+    }
+    val fps = buf.toSeq
+    val df = fps.toDF("id", "fp")
+    val got = Dedup.hammingPairs(df, "id", "fp", 64, 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      a <- fps; b <- fps if a._1 < b._1
+      hd = java.lang.Long.bitCount(a._2 ^ b._2) if hd <= 8
+    } yield (a._1, b._1, hd)).toSet
+    assert(got == want)
+  }
+
   test("jaccard on known sets") {
     val out = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect().head

@@ -170,4 +170,57 @@ class MultimodalSpec extends SparkSpec {
     val feat = Multimodal.extractFeatures(items).collect().head
     assert(feat.feature.toSeq == Seq(1000f, 400f, 400f, 4f, 10f, 10f, 10f))
   }
+
+  test("perceptualHash: closed-form dHash on native-size ramps; resize path stable") {
+    def ramp(p: Int): Array[Byte] = {
+      val grays = new Array[Int](9)
+      grays(0) = 128
+      (0 until 8).foreach(x => grays(x + 1) =
+        grays(x) + (if (((p >> x) & 1) == 1) 1 else -1))
+      Multimodal.hstripePng(grays, 8)
+    }
+    def item(id: Long, blob: Array[Byte]) =
+      MediaItem(id, "image", blob, "image/png", blob.length.toLong)
+    // bit x of every row byte = bit x of p → dhash = p repeated bytewise
+    val items = Seq(item(1L, ramp(0)), item(2L, ramp(127)),
+      item(3L, ramp(0x55)),
+      item(4L, Multimodal.solidPng(9, 8, 40, 40, 40))).toDS()
+    val got = Multimodal.perceptualHash(items).as[(Long, Long)]
+      .collect().sortBy(_._1).toMap
+    assert(got(1L) == 0L)
+    assert(got(2L) == 127L * 0x0101010101010101L)
+    assert(got(3L) == 0x55L * 0x0101010101010101L)
+    assert(got(4L) == 0L, "solid image: no gradient, all bits clear")
+    // resize path: a 2x-scaled ramp decodes deterministically (same hash
+    // on repeated runs) and non-image rows drop out
+    val big = Seq(item(5L, Multimodal.solidPng(18, 16, 9, 9, 9)),
+      MediaItem(6L, "text", Array[Byte](1), "text/plain", 1L)).toDS()
+    val h1 = Multimodal.perceptualHash(big).as[(Long, Long)].collect().toSeq
+    val h2 = Multimodal.perceptualHash(big).as[(Long, Long)].collect().toSeq
+    assert(h1 == h2 && h1.map(_._1) == Seq(5L))
+    assert(h1.head._2 == 0L, "solid stays solid through bilinear resample")
+  }
+
+  test("imageNearDupPairs: banded Hamming join equals the exhaustive scan") {
+    def rampFor(p: Int): Array[Byte] = {
+      val grays = new Array[Int](9)
+      grays(0) = 128
+      (0 until 8).foreach(x => grays(x + 1) =
+        grays(x) + (if (((p >> x) & 1) == 1) 1 else -1))
+      Multimodal.hstripePng(grays, 8)
+    }
+    val ps = Seq(0, 1, 2, 3, 0x0f, 0x1f, 0x55, 0x54, 127, 126)
+    val items = ps.zipWithIndex.map { case (p, i) =>
+      val b = rampFor(p)
+      MediaItem(i.toLong, "image", b, "image/png", b.length.toLong)
+    }.toDS()
+    val got = Multimodal.imageNearDupPairs(items, maxDist = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      i <- ps.indices; j <- ps.indices if i < j
+      hd = 8 * java.lang.Integer.bitCount(ps(i) ^ ps(j)) if hd <= 8
+    } yield (i.toLong, j.toLong, hd)).toSet
+    assert(got == want)
+    graft.ops.Caches.release()
+  }
 }
