@@ -1635,6 +1635,79 @@ object Queries {
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.p, b.p)) <= 1"""), bench = true)
 
+  /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
+    * character-pair frequencies within words, weighted by word frequency
+    * — the argmax table byte-pair-encoding training iterates
+    * (learnBpeMerges, spec-verified; the corpus shuffles ONCE into the
+    * vocab-bounded word table). Exact integer counts → exact oracle. */
+  private val q99 = QDef("q99_bpe_pairs",
+    (s, d) => TextAnalysis.bpePairCounts(docs(s, d), "text"),
+    Some("""WITH toks AS (SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+                  FROM documents),
+             words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+             pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS l,
+                              substr(w, CAST(i AS INT) + 1, 1) AS r, cnt
+                       FROM words, UNNEST(range(1, length(w))) AS t(i))
+             SELECT l AS "left", r AS "right", CAST(sum(cnt) AS BIGINT) AS n
+             FROM pairs GROUP BY 1, 2"""), bench = true)
+
+  /** ANN recall@k (Similarity.topKRecall): hyperplane-LSH top-5 (q31's
+    * exact plan) measured against brute-force cosine top-5 (q19's) — the
+    * index-quality gauge a pipeline runs before trusting an approximate
+    * index. Both result sets are deterministically tie-broken and
+    * individually oracle-green, so the per-query hit counts are exact
+    * integers. */
+  private val q100 = QDef("q100_ann_recall",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 5)
+      val ann = Similarity.annTopK(q, e, "vec_id", "embedding", k = 5,
+        numPlanes = 4)
+      Similarity.topKRecall(ann, exact, "q_id", "neighbor_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm,
+                list_sum(list_transform(range(0, 4), j ->
+                  CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+                      dd -> CAST(embedding[dd + 1] AS DOUBLE) *
+                        (CAST((j * 8191 + dd) * 2654435761 % 2147483647 AS DOUBLE)
+                          / 2147483647.0 - 0.5))) >= 0
+                  THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS bucket
+              FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+            scx AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                list_sum(list_transform(range(1, len(q.vec) + 1),
+                  i -> CAST(q.vec[i] AS DOUBLE) * c.vec[i])) / (q.nrm * c.nrm)
+                  AS cos
+              FROM q, v c WHERE q.vec_id <> c.vec_id),
+            rx AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM scx),
+            ex AS (SELECT q_id, c_id FROM rx WHERE rn <= 5),
+            probes AS (SELECT q.vec_id AS q_id, p.probe
+              FROM q, unnest([q.bucket, xor(q.bucket, 1), xor(q.bucket, 2),
+                              xor(q.bucket, 4), xor(q.bucket, 8)]) AS p(probe)),
+            cand AS (SELECT DISTINCT q_id, c.vec_id AS c_id
+              FROM probes JOIN v c ON probes.probe = c.bucket
+                AND probes.q_id <> c.vec_id),
+            sc AS (SELECT cand.q_id, cand.c_id,
+                list_sum(list_transform(range(1, len(a.vec) + 1),
+                  i -> CAST(a.vec[i] AS DOUBLE) * b.vec[i])) / (a.nrm * b.nrm)
+                  AS cos
+              FROM cand JOIN v a ON cand.q_id = a.vec_id
+                        JOIN v b ON cand.c_id = b.vec_id),
+            ra AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+            an AS (SELECT q_id, c_id FROM ra WHERE rn <= 5)
+            SELECT ex.q_id, count(*) AS n_exact,
+                   count(an.c_id) AS n_hit,
+                   round(CAST(count(an.c_id) AS DOUBLE) / count(*), 4)
+                     AS recall
+            FROM ex LEFT JOIN an ON ex.q_id = an.q_id AND ex.c_id = an.c_id
+            GROUP BY 1"""), bench = true)
+
   /** Semantic dedup, SemDeDup-style (Similarity.semanticDedup): embeddings
     * clustered by a trained k=64 k-means quantizer (many SMALL cells —
     * the cell size, not the corpus, bounds the quadratic pair term;
@@ -2711,7 +2784,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98)
+    q97, q98, q99, q100)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -664,4 +664,26 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Recall@k — the evaluation operator every approximate index needs
+    * next to it: per query, the fraction of the EXACT top-k an
+    * approximate result set recovered. The industry-standard quality
+    * gauge for tuning nProbe / numPlanes / PQ bit budgets against the
+    * brute-force ground truth ([[cosineTopK]]).
+    *
+    * Exact-side rows ground the denominator, so a query the approximate
+    * index returned nothing for still reports (recall 0), and extra
+    * approximate rows beyond the exact set never inflate the score.
+    * Shape: one narrow-key equi-join + one groupBy on the (tiny) result
+    * tables — evaluation never touches the corpus. Output:
+    * `(qId, n_exact, n_hit, recall)`. */
+  def topKRecall(approx: DataFrame, exact: DataFrame, qId: String,
+                 nId: String): DataFrame =
+    exact.select(col(qId), col(nId))
+      .join(approx.select(col(qId), col(nId)).withColumn("__hit", lit(true)),
+        Seq(qId, nId), "left")
+      .groupBy(col(qId))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .select(col(qId), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
 }

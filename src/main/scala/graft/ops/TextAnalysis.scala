@@ -426,4 +426,109 @@ object TextAnalysis {
       .select(col("bucket_lo"), col("n_docs"),
         round(col("n_docs").cast("double") / col("__total"), 4).as("share"))
   }
+
+  // ------------------------------------------------------------------ BPE
+
+  /** Distinct-word frequency table — the ONE corpus-scale shuffle of the
+    * BPE pipeline (map-side combinable hash-groupBy); every training
+    * round after it runs on this vocab-bounded table. */
+  private def wordCounts(df: DataFrame, text: String): DataFrame =
+    df.select(explode(tokens(col(text))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol-pair frequencies of a segmentation table
+    * `(w, cnt, syms)`: zip each word's symbol list against its own tail,
+    * weight by word frequency. */
+  private def pairCountsOf(seg: DataFrame): DataFrame =
+    seg.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("pr"))
+      .groupBy(col("pr.l").as("left"), col("pr.r").as("right"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** BPE pair statistics — round-1 of byte-pair-encoding training
+    * (Sennrich et al. 2016): frequencies of adjacent CHARACTER pairs
+    * within words, weighted by word frequency (pairs never cross word
+    * boundaries). This is the argmax table the first merge is chosen
+    * from, and the primitive [[learnBpeMerges]] iterates.
+    *
+    * Scale shape: one corpus-scale word-count groupBy, then everything
+    * runs on the distinct-word table — output bounded by |charset|².
+    * Output: `(left, right, n)`. */
+  def bpePairCounts(df: DataFrame, text: String): DataFrame =
+    pairCountsOf(wordCounts(df, text)
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms")))
+
+  /** Distributed BPE merge learning: `k` rounds of (count adjacent
+    * symbol pairs → pick the most frequent → merge it greedily
+    * left-to-right in every word). Ties break deterministically
+    * (n desc, left asc, right asc), so the learned merge table is a pure
+    * function of the corpus. Returns `(step, left, right, n)`, one row
+    * per learned merge (fewer than `k` if the vocab saturates).
+    *
+    * Scale shape: the corpus is touched ONCE (word-count groupBy);
+    * each round is a pair-count aggregate + a fold-based merge
+    * rewrite over the vocab-bounded word table, lineage-truncated per
+    * round (`localCheckpoint`). The per-round argmax is a 1-row collect —
+    * a trained artifact, not data. The merge fold is a higher-order
+    * function (interpreted, not codegen) — acceptable because it runs on
+    * distinct WORDS, never corpus rows. */
+  def learnBpeMerges(df: DataFrame, text: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    var seg = wordCounts(df, text)
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val top = pairCountsOf(seg)
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, n))
+        // greedy left-to-right merge: fold each word's symbols, replacing
+        // a trailing `l` with `l+r` when `r` arrives ("aaaa" + (a,a) →
+        // [aa, aa], leftmost-first non-overlapping — the BPE convention)
+        val prior = seg
+        seg = seg.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s)))))
+          .localCheckpoint()
+        prior.unpersist()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "n")
+  }
+
+  /** The word→subword segmentation after `k` learned merges — the
+    * vocab-bounded dictionary a corpus encoder broadcast-joins against
+    * (tokenize, join on the word, take `syms`): corpus encoding then
+    * costs one broadcast hash join, never a per-row merge loop.
+    * Output: `(w, cnt, syms)`. */
+  def bpeWordSegments(df: DataFrame, text: String, k: Int): DataFrame = {
+    val merges = learnBpeMerges(df, text, k).orderBy(col("step")).collect()
+    var seg = wordCounts(df, text)
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+    merges.foreach { row =>
+      val (l, r) = (row.getString(1), row.getString(2))
+      seg = seg.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))))
+    }
+    seg
+  }
 }

@@ -255,4 +255,17 @@ class SimilaritySpec extends SparkSpec {
       cb, dim = 4, m = 2).as[(Long, Double)].collect().head._2
     assert(e99 == 4.0)
   }
+
+  test("topKRecall: exact grounds the denominator; extras never inflate") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("q_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L), // 2/3 hit + an extra non-hit
+      (2L, 20L), (2L, 21L)             // perfect; q 3 returned nothing
+    ).toDF("q_id", "neighbor_id")
+    val out = Similarity.topKRecall(approx, exact, "q_id", "neighbor_id")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L, 2L, 0.6667), (2L, 2L, 2L, 1.0),
+      (3L, 1L, 0L, 0.0)))
+  }
 }
