@@ -1708,6 +1708,62 @@ object Queries {
             FROM ex LEFT JOIN an ON ex.q_id = an.q_id AND ex.c_id = an.c_id
             GROUP BY 1"""), bench = true)
 
+  /** BPE corpus pricing (TextAnalysis.bpeTokenCounts): per-doc token
+    * counts under a k=1-merge BPE — tokenize, broadcast-join the learned
+    * word→subword dictionary, sum. The oracle recomputes the k=1 merge
+    * in SQL (deterministic argmax over the q99 pair table) and counts
+    * its non-overlapping occurrences with the replace() trick
+    * (len − len(replace(w, pair, '')))/2 — replace's leftmost-greedy
+    * scan IS the BPE merge convention, so counts are exact integers. */
+  private val q101 = QDef("q101_bpe_token_counts",
+    (s, d) => TextAnalysis.bpeTokenCounts(docs(s, d), "doc_id", "text", k = 1),
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+                  FROM documents),
+             words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+             pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS l,
+                              substr(w, CAST(i AS INT) + 1, 1) AS r,
+                              sum(cnt) AS n
+                       FROM words, UNNEST(range(1, length(w))) AS t(i)
+                       GROUP BY 1, 2),
+             mp AS (SELECT l || r AS lr FROM pairs
+                    ORDER BY n DESC, l, r LIMIT 1)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                    CAST(sum(length(w) -
+                      (length(w) - length(replace(w, mp.lr, ''))) // 2)
+                      AS BIGINT) AS n_bpe
+             FROM toks, mp GROUP BY 1"""), bench = true)
+
+  /** Incremental image near-dup (Multimodal.incrementalImageNearDupPairs):
+    * the q98 fixture split into an accumulated corpus (even sampled ids)
+    * and an incoming batch (odd sampled ids) — cross-side band join only,
+    * cost ∝ incoming. Same closed-form dHash oracle as q98. */
+  private val q102 = QDef("q102_image_incr_neardup",
+    (s, d) => {
+      import s.implicits._
+      def side(parity: Int) = docs(s, d).select(col("doc_id").cast("long"))
+        .as[Long]
+        .filter((id: Long) => id % 5 == 0 && (id / 5) % 2 == parity)
+        .mapPartitions(_.map { id =>
+          val p = (id % 128).toInt
+          val grays = new Array[Int](9)
+          grays(0) = 128
+          (0 until 8).foreach(x => grays(x + 1) =
+            grays(x) + (if (((p >> x) & 1) == 1) 1 else -1))
+          val blob = Multimodal.hstripePng(grays, 8)
+          graft.ops.MediaItem(id, "image", blob, "image/png", blob.length.toLong)
+        })
+      Multimodal.incrementalImageNearDupPairs(side(0), side(1), maxDist = 8)
+    },
+    Some("""WITH s AS (SELECT doc_id, doc_id % 128 AS p,
+                       (doc_id // 5) % 2 AS par FROM documents
+                       WHERE doc_id % 5 = 0)
+            SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id,
+                   CAST(8 * bit_count(xor(a.p, b.p)) AS INT) AS hd
+            FROM s a, s b
+            WHERE a.par = 0 AND b.par = 1
+              AND bit_count(xor(a.p, b.p)) <= 1"""), bench = true)
+
   /** Semantic dedup, SemDeDup-style (Similarity.semanticDedup): embeddings
     * clustered by a trained k=64 k-means quantizer (many SMALL cells —
     * the cell size, not the corpus, bounds the quadratic pair term;
@@ -2784,7 +2840,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100)
+    q97, q98, q99, q100, q101, q102)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

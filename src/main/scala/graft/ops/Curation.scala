@@ -91,8 +91,14 @@ object Curation {
     // persisted for the same reason as [[curateForTraining]]'s kept set —
     // here it additionally feeds the mixture count/rate branches
     val kept = Caches.track(docs.join(keptIds, Seq(id), "left_semi").persist())
-    val balanced = Sampling.mixtureSample(kept, id, domain, weights, mixSalt)
-      .drop("keep_rate")
+    // balanced is consumed three times downstream (train filter, held
+    // filter, final anti-join) and its recompute re-runs mixtureSample's
+    // domain-count AGGREGATE from kept each time — the persist-pays
+    // condition (recompute crosses an aggregate). curateForTraining's
+    // withSplit, by contrast, is row-local from kept and stays unpersisted.
+    val balanced = Caches.track(
+      Sampling.mixtureSample(kept, id, domain, weights, mixSalt)
+        .drop("keep_rate").persist())
     splitAndDecontaminate(balanced, id, text, salt, splits, ngram)
       .select(col(id), col(lang), col(domain), col("split"))
   }

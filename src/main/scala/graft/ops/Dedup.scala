@@ -740,6 +740,25 @@ object Dedup {
         }.reduce(_ + _).as("sim"))
   }
 
+  /** Pigeonhole band keys for a fingerprint table: `(…, ck, cv)` rows,
+    * one per chunk, with BALANCED chunk widths (bits/chunks, +1 for the
+    * first bits%chunks chunks) so every chunk is non-empty and the union
+    * exactly covers [0, bits) — a ceil-width split would leave the top
+    * chunk short or empty, either losing the pigeonhole guarantee or
+    * funnelling every row into one degenerate bucket. Slices use an
+    * UNSIGNED shift so full-width 64-bit fingerprints band correctly. */
+  private def hammingKeyed(fp: DataFrame, id: String, fpCol: String,
+                           bits: Int, chunks: Int): DataFrame = {
+    val widths = Array.tabulate(chunks)(c =>
+      bits / chunks + (if (c < bits % chunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    fp.select(col(id).as("__doc"), col(fpCol).as("__fp"),
+      posexplode(array((0 until chunks).map { c =>
+        val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1L
+        shiftrightunsigned(col(fpCol), starts(c)).bitwiseAND(mask)
+      }: _*)).as(Seq("ck", "cv")))
+  }
+
   /** Hamming-distance near-dup pairs over ANY int64 fingerprint table
     * (SimHash text fingerprints, perceptual image dHashes, ...).
     * Candidate generation by the pigeonhole principle: the `bits`-bit
@@ -753,24 +772,32 @@ object Dedup {
                    maxDist: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1,64]: $bits")
     require(maxDist >= 0 && maxDist < bits, s"bad maxDist $maxDist for $bits bits")
-    val chunks = maxDist + 1
-    // balanced widths (bits/chunks, +1 for the first bits%chunks chunks):
-    // every chunk non-empty and the union exactly covers [0, bits) — a
-    // ceil-width split would leave the top chunk short or empty, either
-    // losing the pigeonhole guarantee or funnelling every row into one
-    // degenerate bucket.
-    val widths = Array.tabulate(chunks)(c =>
-      bits / chunks + (if (c < bits % chunks) 1 else 0))
-    val starts = widths.scanLeft(0)(_ + _)
-    val keyed = fp.select(col(id).as("__doc"), col(fpCol).as("__fp"),
-      posexplode(array((0 until chunks).map { c =>
-        val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1L
-        shiftrightunsigned(col(fpCol), starts(c)).bitwiseAND(mask)
-      }: _*)).as(Seq("ck", "cv")))
+    val keyed = hammingKeyed(fp, id, fpCol, bits, maxDist + 1)
     keyed.as("x").join(keyed.as("y"),
         col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv") &&
           col("x.__doc") < col("y.__doc"))
       .select(col("x.__doc").as("a_id"), col("y.__doc").as("b_id"),
+        bit_count(col("x.__fp").bitwiseXOR(col("y.__fp"))).as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxDist)
+  }
+
+  /** Incremental form of [[hammingPairs]]: pairs BETWEEN an existing
+    * fingerprint table and an incoming batch only (the snapshot-growth
+    * shape, like [[incrementalMinHashPairs]]) — existing×existing pairs
+    * were reported when those rows arrived, so the band join is
+    * cross-side-only and cost scales with the INCOMING batch, not the
+    * accumulated corpus. Same pigeonhole banding, same provable recall.
+    * Output: `(existing_id, incoming_id, hd)`. */
+  def incrementalHammingPairs(existingFp: DataFrame, incomingFp: DataFrame,
+                              id: String, fpCol: String, bits: Int,
+                              maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64]: $bits")
+    require(maxDist >= 0 && maxDist < bits, s"bad maxDist $maxDist for $bits bits")
+    hammingKeyed(existingFp, id, fpCol, bits, maxDist + 1).as("x")
+      .join(hammingKeyed(incomingFp, id, fpCol, bits, maxDist + 1).as("y"),
+        col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv"))
+      .select(col("x.__doc").as("existing_id"), col("y.__doc").as("incoming_id"),
         bit_count(col("x.__fp").bitwiseXOR(col("y.__fp"))).as("hd"))
       .distinct()
       .filter(col("hd") <= maxDist)

@@ -182,6 +182,23 @@ object Multimodal {
     Dedup.hammingPairs(fp, "item_id", "dhash", hashW * hashH, maxDist)
   }
 
+  /** Incremental image near-dup: an incoming batch checked against the
+    * accumulated corpus only ([[Dedup.incrementalHammingPairs]] — the
+    * snapshot-growth shape of [[Dedup.incrementalMinHashPairs]]). In
+    * production the existing side is a STORED fingerprint table
+    * (fingerprints are pure per-image functions, so per-side hashing
+    * equals hashing the union); here both sides hash from items so the
+    * operator is self-contained. Cost ∝ the incoming batch: only it
+    * decodes fresh, only its band keys probe. Output:
+    * `(existing_id, incoming_id, hd)`. */
+  def incrementalImageNearDupPairs(existing: Dataset[MediaItem],
+                                   incoming: Dataset[MediaItem], maxDist: Int,
+                                   hashW: Int = 8, hashH: Int = 8): DataFrame =
+    Dedup.incrementalHammingPairs(
+      perceptualHash(existing, hashW, hashH),
+      perceptualHash(incoming, hashW, hashH),
+      "item_id", "dhash", hashW * hashH, maxDist)
+
   private def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)

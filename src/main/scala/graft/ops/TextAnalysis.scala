@@ -516,6 +516,24 @@ object TextAnalysis {
     * (tokenize, join on the word, take `syms`): corpus encoding then
     * costs one broadcast hash join, never a per-row merge loop.
     * Output: `(w, cnt, syms)`. */
+  /** Per-document token counts under a `k`-merge BPE — the size gauge a
+    * token-budgeted pipeline prices corpora with. The corpus-scale path
+    * is ONE broadcast hash join: tokenize, join each word to the
+    * vocab-bounded [[bpeWordSegments]] dictionary, sum subword counts
+    * (the per-row merge loop never runs on corpus rows; production-size
+    * vocabs beyond broadcast reach drop to a shuffled equi-join on the
+    * word — same plan shape). Output: `(id, n_words, n_bpe)`; token-less
+    * documents drop (no words to price). */
+  def bpeTokenCounts(df: DataFrame, id: String, text: String,
+                     k: Int): DataFrame = {
+    val dict = bpeWordSegments(df, text, k)
+      .select(col("w"), size(col("syms")).cast("long").as("__n_sub"))
+    df.select(col(id), explode(tokens(col(text))).as("w"))
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n_sub")).as("n_bpe"))
+  }
+
   def bpeWordSegments(df: DataFrame, text: String, k: Int): DataFrame = {
     val merges = learnBpeMerges(df, text, k).orderBy(col("step")).collect()
     var seg = wordCounts(df, text)

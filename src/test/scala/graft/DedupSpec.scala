@@ -101,6 +101,18 @@ class DedupSpec extends SparkSpec {
       hd = java.lang.Long.bitCount(a._2 ^ b._2) if hd <= 8
     } yield (a._1, b._1, hd)).toSet
     assert(got == want)
+
+    // incremental form: evens as the accumulated corpus, odds incoming —
+    // cross-side pairs only, same recall guarantee
+    val ex = fps.filter(_._1 % 2 == 0).toDF("id", "fp")
+    val inc = fps.filter(_._1 % 2 == 1).toDF("id", "fp")
+    val gotInc = Dedup.incrementalHammingPairs(ex, inc, "id", "fp", 64, 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val wantInc = (for {
+      a <- fps if a._1 % 2 == 0; b <- fps if b._1 % 2 == 1
+      hd = java.lang.Long.bitCount(a._2 ^ b._2) if hd <= 8
+    } yield (a._1, b._1, hd)).toSet
+    assert(gotInc == wantInc)
   }
 
   test("jaccard on known sets") {
