@@ -747,16 +747,18 @@ object Dedup {
     * chunk short or empty, either losing the pigeonhole guarantee or
     * funnelling every row into one degenerate bucket. Slices use an
     * UNSIGNED shift so full-width 64-bit fingerprints band correctly. */
-  private def hammingKeyed(fp: DataFrame, id: String, fpCol: String,
-                           bits: Int, chunks: Int): DataFrame = {
+  private[graft] def hammingKeyed(fp: DataFrame, id: String, fpCol: String,
+                                  bits: Int, chunks: Int,
+                                  carry: Seq[String] = Nil): DataFrame = {
     val widths = Array.tabulate(chunks)(c =>
       bits / chunks + (if (c < bits % chunks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    fp.select(col(id).as("__doc"), col(fpCol).as("__fp"),
+    fp.select(Seq(col(id).as("__doc"), col(fpCol).as("__fp")) ++
+      carry.map(col) :+
       posexplode(array((0 until chunks).map { c =>
         val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1L
         shiftrightunsigned(col(fpCol), starts(c)).bitwiseAND(mask)
-      }: _*)).as(Seq("ck", "cv")))
+      }: _*)).as(Seq("ck", "cv")): _*)
   }
 
   /** Hamming-distance near-dup pairs over ANY int64 fingerprint table
@@ -780,6 +782,20 @@ object Dedup {
         bit_count(col("x.__fp").bitwiseXOR(col("y.__fp"))).as("hd"))
       .distinct()
       .filter(col("hd") <= maxDist)
+  }
+
+  /** The pre-banded static side for streaming Hamming joins
+    * ([[graft.streaming.StatefulOps.streamingImageNearDup]]): the
+    * accumulated corpus's fingerprints exploded to
+    * `(existing_id, ex_fp, ck, cv)` band rows — compute once, persist,
+    * and let every micro-batch equi-join it. */
+  def hammingBandTable(fp: DataFrame, id: String, fpCol: String, bits: Int,
+                       maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64]: $bits")
+    require(maxDist >= 0 && maxDist < bits, s"bad maxDist $maxDist for $bits bits")
+    hammingKeyed(fp, id, fpCol, bits, maxDist + 1)
+      .select(col("__doc").as("existing_id"), col("__fp").as("ex_fp"),
+        col("ck"), col("cv"))
   }
 
   /** Incremental form of [[hammingPairs]]: pairs BETWEEN an existing

@@ -132,41 +132,48 @@ object Multimodal {
     import items.sparkSession.implicits._
     require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
       s"dhash bits must fit int64: ${hashW}x$hashH")
-    val w = hashW + 1
     items.mapPartitions { it =>
-      it.filter(_.media_type == "image").map { m =>
-        val src = decodeOrFail(m)
-        val img =
-          if (src.getWidth == w && src.getHeight == hashH) src
-          else {
-            val out = new BufferedImage(w, hashH, BufferedImage.TYPE_INT_RGB)
-            val g2 = out.createGraphics()
-            g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g2.drawImage(src, 0, 0, w, hashH, null)
-            g2.dispose()
-            out
-          }
-        val px = img.getRGB(0, 0, w, hashH, null, 0, w)
-        var bits = 0L
-        var y = 0
-        while (y < hashH) {
-          var x = 0
-          while (x < hashW) {
-            val a = px(y * w + x)
-            val b = px(y * w + x + 1)
-            val ga = (299 * ((a >>> 16) & 0xff) + 587 * ((a >>> 8) & 0xff) +
-              114 * (a & 0xff)) / 1000
-            val gb = (299 * ((b >>> 16) & 0xff) + 587 * ((b >>> 8) & 0xff) +
-              114 * (b & 0xff)) / 1000
-            if (gb > ga) bits |= 1L << (y * hashW + x)
-            x += 1
-          }
-          y += 1
-        }
-        (m.item_id, bits)
-      }
+      it.filter(_.media_type == "image")
+        .map(m => (m.item_id, dhashOf(m.blob, hashW, hashH)))
     }.toDF("item_id", "dhash")
+  }
+
+  /** Row-local dHash of one encoded image blob — the shared kernel of
+    * [[perceptualHash]] and the streaming form
+    * ([[graft.streaming.StatefulOps.streamingImageNearDup]]). */
+  private[graft] def dhashOf(blob: Array[Byte], hashW: Int, hashH: Int): Long = {
+    val w = hashW + 1
+    val src = ImageIO.read(new ByteArrayInputStream(blob))
+    require(src != null, "blob is not a decodable image")
+    val img =
+      if (src.getWidth == w && src.getHeight == hashH) src
+      else {
+        val out = new BufferedImage(w, hashH, BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(src, 0, 0, w, hashH, null)
+        g2.dispose()
+        out
+      }
+    val px = img.getRGB(0, 0, w, hashH, null, 0, w)
+    var bits = 0L
+    var y = 0
+    while (y < hashH) {
+      var x = 0
+      while (x < hashW) {
+        val a = px(y * w + x)
+        val b = px(y * w + x + 1)
+        val ga = (299 * ((a >>> 16) & 0xff) + 587 * ((a >>> 8) & 0xff) +
+          114 * (a & 0xff)) / 1000
+        val gb = (299 * ((b >>> 16) & 0xff) + 587 * ((b >>> 8) & 0xff) +
+          114 * (b & 0xff)) / 1000
+        if (gb > ga) bits |= 1L << (y * hashW + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
   }
 
   /** Image near-duplicate pairs: [[perceptualHash]] fingerprints joined

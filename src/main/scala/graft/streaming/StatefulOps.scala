@@ -360,6 +360,44 @@ object StatefulOps {
       .drop(ts)
   }
 
+  /** Streaming perceptual-hash image near-dup — the ingest-time form of
+    * [[graft.ops.Multimodal.incrementalImageNearDupPairs]]: arriving
+    * image rows are dHashed ROW-LOCALLY ([[graft.ops.Multimodal]]'s
+    * shared kernel — decode never leaves the executor), band keys
+    * explode statelessly with the same balanced pigeonhole chunks as
+    * batch, and candidates come from ONE stream-static equi-join against
+    * the accumulated corpus's band table
+    * ([[graft.ops.Dedup.hammingBandTable]] — pass it persisted). A pair
+    * matching in several chunks collapses via
+    * `dropDuplicatesWithinWatermark` — the only state, bounded by the
+    * watermark. Same chunking and distance arithmetic as batch, so
+    * verdicts agree exactly (StatefulOpsSpec pins the parity).
+    * Output: `(existing_id, incoming_id, hd)` in append mode. */
+  def streamingImageNearDup(incoming: DataFrame, existingBands: DataFrame,
+                            ts: String, id: String, blob: String,
+                            maxDist: Int, lateness: String,
+                            hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    val bits = hashW * hashH
+    import incoming.sparkSession.implicits._
+    val hashed = incoming
+      .select(col(ts), col(id).cast("long"), col(blob))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .map { case (t, i, b) =>
+        (t, i, graft.ops.Multimodal.dhashOf(b, hashW, hashH))
+      }
+      .toDF(ts, "incoming_id", "__fp")
+      .withWatermark(ts, lateness)
+    val banded = graft.ops.Dedup.hammingKeyed(
+        hashed, "incoming_id", "__fp", bits, maxDist + 1, carry = Seq(ts))
+      .withColumnRenamed("__doc", "incoming_id")
+    banded.join(existingBands, Seq("ck", "cv")) // stream-static equi-join
+      .withColumn("hd", bit_count(col("__fp").bitwiseXOR(col("ex_fp"))))
+      .filter(col("hd") <= maxDist)
+      .select(col(ts), col("existing_id"), col("incoming_id"), col("hd"))
+      .dropDuplicatesWithinWatermark("existing_id", "incoming_id")
+      .drop(ts)
+  }
+
   /** Streaming benchmark decontamination — the incremental form of
     * [[graft.ops.Dedup.contaminationCheck]]: held-out documents arrive as
     * a STREAM and are checked against a STATIC train-gram inventory
