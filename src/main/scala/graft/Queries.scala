@@ -1764,6 +1764,41 @@ object Queries {
             WHERE a.par = 0 AND b.par = 1
               AND bit_count(xor(a.p, b.p)) <= 1"""), bench = true)
 
+  /** Audio near-dup pairs (Multimodal.audioNearDupPairs): energy-envelope
+    * difference hash over REAL PCM decode + the shared Hamming banding.
+    * Fixture: every 7th doc renders a 65-step WAV walking ±1 per window,
+    * direction = bit (j mod 8) of p = doc_id % 128 — the 64-bit envelope
+    * hash is then the byte p repeated (p < 128 keeps every 8th bit 0 and
+    * the value positive), so Hamming distance is 8·popcount(p_a ⊕ p_b)
+    * in closed form, exactly the q98 arithmetic on a different modality.
+    * Steps hold 4 frames and windows split 260 frames evenly, so window
+    * means are the exact step levels and the integer cross-multiplied
+    * comparisons are engine-exact. */
+  private val q103 = QDef("q103_audio_phash_pairs",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id % 7 == 0)
+        .mapPartitions(_.map { id =>
+          val p = (id % 128).toInt
+          val levels = new Array[Short](65)
+          levels(0) = 1000
+          (0 until 64).foreach(j => levels(j + 1) =
+            (levels(j) + (if (((p >> (j % 8)) & 1) == 1) 1 else -1)).toShort)
+          val blob = Multimodal.stepWav(levels, framesPerStep = 4,
+            sampleRate = 8000)
+          graft.ops.MediaItem(id, "audio", blob, "audio/wav", blob.length.toLong)
+        })
+      Multimodal.audioNearDupPairs(items, maxDist = 8)
+    },
+    Some("""WITH s AS (SELECT doc_id, doc_id % 128 AS p FROM documents
+                       WHERE doc_id % 7 = 0)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(8 * bit_count(xor(a.p, b.p)) AS INT) AS hd
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.p, b.p)) <= 1"""), bench = true)
+
   /** Semantic dedup, SemDeDup-style (Similarity.semanticDedup): embeddings
     * clustered by a trained k=64 k-means quantizer (many SMALL cells —
     * the cell size, not the corpus, bounds the quadratic pair term;
@@ -2840,7 +2875,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102)
+    q97, q98, q99, q100, q101, q102, q103)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

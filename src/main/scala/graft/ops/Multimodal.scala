@@ -263,6 +263,98 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic stepped 16-bit PCM mono WAV: level `levels(i)` held
+    * for `framesPerStep` frames — the gradient analog of [[constWav]],
+    * giving [[audioFingerprint]] a closed-form cross-engine oracle the
+    * way [[hstripePng]] does for images. */
+  def stepWav(levels: Array[Short], framesPerStep: Int,
+              sampleRate: Int): Array[Byte] = {
+    require(levels.nonEmpty && framesPerStep > 0 && sampleRate > 0,
+      s"bad wav: ${levels.length} steps × $framesPerStep @ $sampleRate")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // s16le mono
+    val n = levels.length * framesPerStep
+    val pcm = ByteBuffer.allocate(2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    levels.foreach(v => (0 until framesPerStep).foreach(_ => pcm.putShort(v)))
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm.array()), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual audio fingerprint — the energy-envelope difference hash
+    * (the audio analog of [[perceptualHash]]'s dHash): decode PCM, cut
+    * the frame sequence into `windows` equal-count windows, and set bit
+    * i iff window i+1 has a higher mean |sample| than window i. Loudness
+    * ENVELOPE SHAPE survives re-encoding, level scaling, and padding
+    * tweaks that break byte hashing. Window means compare by integer
+    * cross-multiplication (sumA·nB > sumB·nA) — no float division, so
+    * the fingerprint is bit-reproducible in any engine. Same near-dup
+    * path as images: feed the `(item_id, afp)` table to
+    * [[Dedup.hammingPairs]] / [[Dedup.incrementalHammingPairs]].
+    * Output: `(item_id, afp)`, one row per audio item with ≥ `windows`
+    * frames. */
+  def audioFingerprint(items: Dataset[MediaItem],
+                       windows: Int = 65): DataFrame = {
+    import items.sparkSession.implicits._
+    require(windows >= 2 && windows <= 65,
+      s"need 2..65 windows for an int64 fingerprint: $windows")
+    items.mapPartitions { it =>
+      it.filter(_.media_type == "audio").flatMap { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.blob))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16,
+            s"item ${m.item_id}: only 16-bit PCM supported, got $fmt")
+          val bytes = ais.readAllBytes()
+          val bb = ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ch = fmt.getChannels
+          val frames = bytes.length / (2 * ch)
+          if (frames < windows) Iterator.empty
+          else {
+            // frame f → window f*windows/frames (exact integer split)
+            val sums = new Array[Long](windows)
+            val counts = new Array[Long](windows)
+            var f = 0
+            while (f < frames) {
+              var c = 0
+              var acc = 0L
+              while (c < ch) { acc += math.abs(bb.getShort.toLong); c += 1 }
+              val w = (f.toLong * windows / frames).toInt
+              sums(w) += acc
+              counts(w) += ch
+              f += 1
+            }
+            var bits = 0L
+            var i = 0
+            while (i < windows - 1) {
+              if (sums(i + 1) * counts(i) > sums(i) * counts(i + 1))
+                bits |= 1L << i
+              i += 1
+            }
+            Iterator.single((m.item_id, bits))
+          }
+        } finally ais.close()
+      }
+    }.toDF("item_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] envelopes joined
+    * by [[Dedup.hammingPairs]]' pigeonhole banding — the audio member of
+    * the near-dup family (text SimHash / image dHash / audio envelope),
+    * all sharing one banded-join engine. Output: `(a_id, b_id, hd)`. */
+  def audioNearDupPairs(items: Dataset[MediaItem], maxDist: Int,
+                        windows: Int = 65): DataFrame = {
+    val fp = Caches.track(audioFingerprint(items, windows).persist())
+    Dedup.hammingPairs(fp, "item_id", "afp", windows - 1, maxDist)
+  }
+
   /** REAL audio decode for WAV/AIFF payloads (JDK-builtin readers):
     * feature layout [sample_rate, channels, n_frames, mean_abs] where
     * mean_abs is the mean absolute 16-bit PCM sample value. */

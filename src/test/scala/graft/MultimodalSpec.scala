@@ -201,6 +201,43 @@ class MultimodalSpec extends SparkSpec {
     assert(h1.head._2 == 0L, "solid stays solid through bilinear resample")
   }
 
+  test("audioFingerprint: closed-form envelope hash; short clips drop") {
+    def walkWav(p: Int): Array[Byte] = {
+      val levels = new Array[Short](65)
+      levels(0) = 1000
+      (0 until 64).foreach(j => levels(j + 1) =
+        (levels(j) + (if (((p >> (j % 8)) & 1) == 1) 1 else -1)).toShort)
+      Multimodal.stepWav(levels, framesPerStep = 4, sampleRate = 8000)
+    }
+    def item(id: Long, blob: Array[Byte]) =
+      MediaItem(id, "audio", blob, "audio/wav", blob.length.toLong)
+    val items = Seq(item(1L, walkWav(0)), item(2L, walkWav(1)),
+      item(3L, walkWav(0x55)), item(4L, walkWav(0x54)), item(5L, walkWav(127)),
+      item(6L, Multimodal.constWav(260, 8000, 500)), // flat: all bits clear
+      item(7L, Multimodal.constWav(10, 8000, 500)),  // < 65 frames: drops
+      MediaItem(8L, "image", Multimodal.solidPng(2, 2, 1, 2, 3),
+        "image/png", 1L)).toDS()
+    val got = Multimodal.audioFingerprint(items).as[(Long, Long)]
+      .collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) == 0L)
+    assert(got(3L) == 0x55L * 0x0101010101010101L)
+    assert(got(5L) == 127L * 0x0101010101010101L)
+    assert(got(6L) == 0L)
+    // near-dup pairs equal the exhaustive scan on the byte patterns:
+    // (1,2) and (3,4) are one pattern-bit apart (hd 8), rest are far
+    val pairs = Multimodal.audioNearDupPairs(
+        items.filter((m: MediaItem) => m.item_id <= 5L), maxDist = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val ps = Map(1L -> 0, 2L -> 1, 3L -> 0x55, 4L -> 0x54, 5L -> 127)
+    val want = (for {
+      a <- ps.keys; b <- ps.keys if a < b
+      hd = 8 * java.lang.Integer.bitCount(ps(a) ^ ps(b)) if hd <= 8
+    } yield (a, b, hd)).toSet
+    assert(pairs == want)
+    graft.ops.Caches.release()
+  }
+
   test("imageNearDupPairs: banded Hamming join equals the exhaustive scan") {
     def rampFor(p: Int): Array[Byte] = {
       val grays = new Array[Int](9)
