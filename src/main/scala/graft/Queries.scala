@@ -1635,6 +1635,46 @@ object Queries {
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.p, b.p)) <= 1"""), bench = true)
 
+  /** Perceptual image families: the q98 dHash pairs (at maxDist=0 —
+    * perceptual-exact across renders) fed to the GENERIC
+    * Dedup.dedupClusters label propagation — the multimodal composition
+    * proving the clustering engine is fingerprint-agnostic. Even ids
+    * make families of ~2 at sf0.01 (2k mod 128 collides at k±64), so
+    * the driver gate exercises real merges. Oracle: recursive CTE over
+    * the same closed-form pair set (q34 precedent). */
+  private val q104 = QDef("q104_image_families",
+    (s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id").cast("long").as("item_id"))
+        .filter(col("item_id") % 2 === 0)
+      val items = ids.as[Long].mapPartitions(_.map { id =>
+        val p = (id % 128).toInt
+        val grays = new Array[Int](9)
+        grays(0) = 128
+        (0 until 8).foreach(x => grays(x + 1) =
+          grays(x) + (if (((p >> x) & 1) == 1) 1 else -1))
+        val blob = Multimodal.hstripePng(grays, 8)
+        graft.ops.MediaItem(id, "image", blob, "image/png", blob.length.toLong)
+      })
+      Dedup.dedupClusters(ids, "item_id",
+        Multimodal.imageNearDupPairs(items, maxDist = 0))
+    },
+    Some("""WITH RECURSIVE
+             s AS (SELECT doc_id, doc_id % 128 AS p FROM documents
+                   WHERE doc_id % 2 = 0),
+             pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                       FROM s a, s b
+                       WHERE a.doc_id < b.doc_id AND a.p = b.p),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             reach(node, m) AS (
+               SELECT doc_id, doc_id FROM s
+               UNION
+               SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node)
+            SELECT node AS item_id, min(m) AS cluster,
+                   min(m) = node AS is_kept
+            FROM reach GROUP BY node"""), bench = true)
+
   /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
     * character-pair frequencies within words, weighted by word frequency
     * — the argmax table byte-pair-encoding training iterates
@@ -2875,7 +2915,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103)
+    q97, q98, q99, q100, q101, q102, q103, q104)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
