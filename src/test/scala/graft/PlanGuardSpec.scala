@@ -60,7 +60,11 @@ class PlanGuardSpec extends SparkSpec {
     // queries whose defining property is a broadcast dim join; a regression
     // to a shuffled join here multiplies cost by the fact-table size
     val mustBroadcast = Seq("q04_remap_ids", "q27_revenue_by_nation",
-      "q38_promo_share", "q45_local_supplier_revenue")
+      "q38_promo_share", "q45_local_supplier_revenue",
+      // the BPE word→subword dictionary is vocab-bounded and explicitly
+      // broadcast — a shuffled join here would shuffle the whole corpus's
+      // exploded tokens instead
+      "q101_bpe_token_counts")
     mustBroadcast.foreach { name =>
       val hasBroadcastJoin = plans(name).exists(n =>
         n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
