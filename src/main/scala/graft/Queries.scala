@@ -1683,6 +1683,22 @@ object Queries {
                    min(m) = node AS is_kept
             FROM reach GROUP BY node"""), bench = true)
 
+  /** Z-order (Morton) codes (io.Layout.zOrderCode) — the row-local bit
+    * interleave behind writeZOrdered's data-skipping layout: bit j of a →
+    * position 2j, bit j of b → 2j+1. Pure integer shifts, exact in both
+    * engines; LayoutSpec separately proves the written files cover small
+    * rectangles. */
+  private val q105 = QDef("q105_zorder_code",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      graft.io.Layout.zOrderCode(pmod(col("doc_id"), lit(32)),
+        pmod(shiftright(col("doc_id"), 5), lit(32)), bits = 5).as("z")),
+    Some("""SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 5), j ->
+                     ((((doc_id % 32) >> j) & 1) << (2 * j)) +
+                     (((((doc_id // 32) % 32) >> j) & 1) << (2 * j + 1))))
+                     AS BIGINT) AS z
+            FROM documents"""), bench = true)
+
   /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
     * character-pair frequencies within words, weighted by word frequency
     * — the argmax table byte-pair-encoding training iterates
@@ -2923,7 +2939,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the 100 TB posture: pre-partition once,
   * join/aggregate many times without exchanges.
@@ -22,4 +23,37 @@ object Layout {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Morton (Z-order) code of two non-negative integer columns: bit j of
+    * `a` lands at position 2j, bit j of `b` at 2j+1. Row-local codegen'd
+    * bit arithmetic (no UDF); `bits ≤ 31` keeps the result in a positive
+    * int64. Sorting by this code clusters rows so that a range of codes
+    * covers a RECTANGLE in (a, b) space — the property multi-dimensional
+    * data skipping needs and a single-column sort can't give. */
+  def zOrderCode(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { j =>
+      shiftleft(shiftright(a.cast("long"), j).bitwiseAND(1L), 2 * j) +
+        shiftleft(shiftright(b.cast("long"), j).bitwiseAND(1L), 2 * j + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-ordered parquet write — the layout that makes min/max file
+    * pruning work for filters on EITHER (or both) of two columns: rows
+    * range-partition and sort by [[zOrderCode]], so each output file
+    * covers a small (a, b) rectangle and its parquet column statistics
+    * exclude it from scans outside that rectangle. A sort by `a` alone
+    * gives every file the full `b` range — b-filters prune nothing.
+    * The shuffle is ONE range exchange at write time, amortized over
+    * every future pruned scan (the same pay-once economics as
+    * [[writeBucketed]]). */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+                    bits: Int, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    df.withColumn("__z", zOrderCode(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

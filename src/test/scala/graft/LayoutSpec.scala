@@ -29,4 +29,38 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS us_bucketed")
     }
   }
+
+  test("zOrderCode: known interleavings; writeZOrdered files cover small rectangles") {
+    import org.apache.spark.sql.functions.col
+    // a=3 (11), b=1 (01), bits=2 → a-bits at even positions (1 + 4),
+    // b-bit0 at position 1 (2) → 7; (0,0)→0; (0,3)→ b bits at 1,3 → 10
+    val codes = Seq((3L, 1L), (0L, 0L), (0L, 3L)).toDF("a", "b")
+      .select(Layout.zOrderCode(col("a"), col("b"), 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(codes == Seq(7L, 0L, 10L))
+
+    // 32×32 grid, 8 z-ordered files: every file's (a, b) bounding box
+    // must cover far less than the full grid — the data-skipping
+    // property. A plain a-sort would give each file the FULL b range.
+    val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZOrdered(grid, s"$dir/t", "a", "b", bits = 5, numFiles = 8)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1024) // lossless roundtrip
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    val boxes = back.groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(boxes.length == 8)
+    boxes.foreach { case (f, a0, a1, b0, b1) =>
+      val area = (a1 - a0 + 1) * (b1 - b0 + 1)
+      // each of 8 files holds 128 cells; a z-range's bounding box is at
+      // most a few times that (quadrant-aligned) — far under the full
+      // 1024-cell grid. 512 = half the grid, a safe skipping bound.
+      assert(area <= 512, s"file $f covers ${a0}-${a1} × ${b0}-${b1} " +
+        s"(area $area) — no better than an unclustered layout")
+    }
+  }
 }
