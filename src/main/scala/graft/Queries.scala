@@ -1699,6 +1699,92 @@ object Queries {
                      AS BIGINT) AS z
             FROM documents"""), bench = true)
 
+  /** Embedding Gram matrix (Similarity.gramMatrix): one-pass distributed
+    * second-moment accumulation, floor-quantized to exact int64 so the
+    * result is partition-order-independent and integer-oracle-checkable
+    * — the covariance/whitening primitive over the embeddings table. */
+  private val q106 = QDef("q106_embedding_gram",
+    (s, d) => Similarity.gramMatrix(emb(s, d), "embedding"),
+    Some("""WITH m AS (SELECT list_transform(embedding, x ->
+                    CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+                  FROM embeddings)
+            SELECT CAST(ii.i - 1 AS INT) AS i, CAST(jj.j - 1 AS INT) AS j,
+                   CAST(sum(mv[ii.i] * mv[jj.j]) AS BIGINT) AS s
+            FROM m, UNNEST(range(1, len(mv) + 1)) AS ii(i),
+                 UNNEST(range(1, len(mv) + 1)) AS jj(j)
+            WHERE jj.j >= ii.i
+            GROUP BY 1, 2"""), bench = true)
+
+  /** Trained PCA weights, one eigensolve per sf dir, cached so the q107
+    * plan and its generated oracle share bit-identical integers (the
+    * q42 trained-artifact pattern; here the artifact is ALREADY int64,
+    * so no dyadic transport is needed — integers inline exactly). */
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Long]]]
+  private def trainedPca(s: SparkSession, d: String, k: Int = 4): Array[Array[Long]] =
+    pcaCache.getOrElseUpdate((d, k),
+      Similarity.trainPcaComponents(emb(s, d), "embedding", k))
+
+  /** PCA projection (Similarity.trainPcaComponents + pcaProject):
+    * dimensionality reduction of the embedding corpus onto its top-4
+    * trained principal components. Training is exact-integer moments →
+    * driver-side Jacobi on the d×d covariance (a trained-artifact
+    * computation, like q42's k-means); application is pure int64
+    * arithmetic on floor-quantized vectors, so the projections are
+    * exact and the trained weight matrix inlines into the oracle as
+    * plain integer VALUES — no float transport at all. */
+  private val q107 = QDef("q107_pca_project",
+    (s, d) => Similarity.pcaProject(emb(s, d), "vec_id", "embedding",
+      trainedPca(s, d)),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedPca(s, d).zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (wt, j) => s"($c, ${j + 1}, $wt)" }
+      }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+               FROM embeddings),
+             w AS (SELECT * FROM (VALUES $rows) AS t(c, j, wt))
+          SELECT m.vec_id, CAST(w.c AS INT) AS c,
+                 CAST(sum(m.mv[w.j] * w.wt) AS BIGINT) AS proj
+          FROM m, w
+          GROUP BY 1, 2"""
+    }))
+
+  /** Trained quantized centroid per sf dir (q42 artifact pattern;
+    * already int64 ⇒ inlines exactly). */
+  private val muCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+  private def trainedCentroidMu(s: SparkSession, d: String): Array[Long] =
+    muCache.getOrElseUpdate(d,
+      Similarity.trainEmbeddingCentroid(emb(s, d), "embedding"))
+
+  /** Embedding outlier detection (Similarity.trainEmbeddingCentroid +
+    * centroidDistances): top-20 rows by exact integer squared distance
+    * to the trained quantized centroid — the embedding-space cleaning
+    * pass that surfaces corrupt / out-of-distribution vectors. Bounded
+    * top-k (TakeOrdered), ties broken by id so the result SET is
+    * deterministic under LIMIT in any engine. */
+  private val q108 = QDef("q108_embedding_outliers",
+    (s, d) => Similarity.centroidDistances(emb(s, d), "vec_id", "embedding",
+        trainedCentroidMu(s, d))
+      .orderBy(col("dist2").desc, col("vec_id")).limit(20),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedCentroidMu(s, d).zipWithIndex
+        .map { case (m, j) => s"(${j + 1}, $m)" }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+               FROM embeddings),
+             mu AS (SELECT * FROM (VALUES $rows) AS t(j, mu))
+          SELECT vec_id, dist2 FROM (
+            SELECT m.vec_id,
+                   CAST(sum((m.mv[mu.j] - mu.mu) * (m.mv[mu.j] - mu.mu))
+                        AS BIGINT) AS dist2
+            FROM m, mu GROUP BY 1)
+          ORDER BY dist2 DESC, vec_id LIMIT 20"""
+    }))
+
   /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
     * character-pair frequencies within words, weighted by word frequency
     * — the argmax table byte-pair-encoding training iterates
@@ -2939,7 +3025,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -686,4 +686,263 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
       .select(col(qId), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+
+  /** Distributed Gram (second-moment) matrix over an embedding column —
+    * the primitive behind covariance estimation, whitening, and PCA
+    * diagnostics of an embedding corpus. Vectors are first quantized to
+    * integers by `floor(v · 2^scaleBits)` — floor is tie-free and the
+    * float→double product with a power of two is IEEE-exact, so the
+    * quantization (unlike a half-even/half-away `round`) is reproducible
+    * in ANY engine — and all accumulation is then exact int64 arithmetic:
+    * the result is a pure function of the input regardless of partition
+    * count or merge order (the property a float-sum Gram matrix cannot
+    * have).
+    *
+    * Scale shape: the classic one-pass distributed covariance — each
+    * partition accumulates its local d×d upper triangle in a flat array
+    * (corpus scanned ONCE, no per-row shuffle), then emits d(d+1)/2
+    * partial rows; the only shuffle is the (i, j)-keyed partial-sum
+    * groupBy, bounded by d²·partitions. Output: `(i, j, s)` for i ≤ j,
+    * 0-based. */
+  def gramMatrix(df: DataFrame, vec: String, scaleBits: Int = 12): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    import df.sparkSession.implicits._
+    val scale = (1L << scaleBits).toDouble
+    df.select(col(vec)).as[Seq[Float]].mapPartitions { it =>
+      var acc: Array[Long] = null
+      var d = 0
+      it.foreach { v =>
+        if (acc == null) { d = v.length; acc = new Array[Long](d * d) }
+        require(v.length == d, s"ragged embedding: ${v.length} vs $d")
+        val m = new Array[Long](d)
+        var i = 0
+        while (i < d) { m(i) = math.floor(v(i) * scale).toLong; i += 1 }
+        var a = 0
+        while (a < d) {
+          var b = a
+          while (b < d) { acc(a * d + b) += m(a) * m(b); b += 1 }
+          a += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val dd = d
+        val fin = acc
+        for (a <- (0 until dd).iterator; b <- (a until dd).iterator)
+          yield (a, b, fin(a * dd + b))
+      }
+    }.toDF("i", "j", "s")
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+  }
+
+  /** One-pass exact integer moments of a quantized embedding corpus:
+    * count, per-dimension sums, and the full d×d second-moment grid.
+    * Each partition folds its rows into a flat local accumulator and
+    * emits ONE partial (≤ d² + d longs ≈ 33 KiB at d = 64) — the merge
+    * is a driver-side sum of per-partition partials, the trained-artifact
+    * collect shape (bounded by partitions·d², never by rows). */
+  private def quantizedMoments(df: DataFrame, vec: String, scaleBits: Int)
+      : (Long, Array[Long], Array[Long]) = {
+    import df.sparkSession.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val partials = df.select(col(vec)).as[Seq[Float]].mapPartitions { it =>
+      var n = 0L
+      var d = 0
+      var s: Array[Long] = null
+      var g: Array[Long] = null
+      it.foreach { v =>
+        if (s == null) { d = v.length; s = new Array[Long](d); g = new Array[Long](d * d) }
+        require(v.length == d, s"ragged embedding: ${v.length} vs $d")
+        n += 1
+        val m = new Array[Long](d)
+        var i = 0
+        while (i < d) { m(i) = math.floor(v(i) * scale).toLong; s(i) += m(i); i += 1 }
+        var a = 0
+        while (a < d) {
+          var b = a
+          while (b < d) { g(a * d + b) += m(a) * m(b); b += 1 }
+          a += 1
+        }
+      }
+      if (s == null) Iterator.empty else Iterator.single((n, s, g))
+    }.collect()
+    require(partials.nonEmpty, "empty corpus")
+    val d = partials.head._2.length
+    val s = new Array[Long](d)
+    val g = new Array[Long](d * d)
+    var n = 0L
+    partials.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+      i = 0
+      while (i < d * d) { g(i) += pg(i); i += 1 }
+    }
+    (n, s, g)
+  }
+
+  /** Deterministic cyclic-Jacobi eigensolver for a symmetric d×d matrix
+    * (upper triangle read). Fixed sweep order + strict JVM float
+    * semantics ⇒ bit-identical eigenpairs for identical input on any
+    * run — the property that lets a trained projection be inlined into
+    * a cross-engine oracle. Returns (eigenvalues, eigenvectors as rows),
+    * sorted by eigenvalue descending (index ascending on exact ties). */
+  private[graft] def jacobiEigen(mat: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = mat.length
+    val a = Array.tabulate(d, d)((i, j) => mat(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var frob = 0.0
+    for (i <- 0 until d; j <- 0 until d) frob += a(i)(j) * a(i)(j)
+    val tol = math.max(frob, Double.MinPositiveValue) * 1e-28
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > tol) {
+      off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) off += a(p)(q) * a(p)(q)
+      if (off > tol) {
+        for (p <- 0 until d; q <- (p + 1) until d) if (a(p)(q) != 0.0) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) match {
+            case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          var i = 0
+          while (i < d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(d)(j => v(j)(i))).toArray)
+  }
+
+  /** Train the top-k PCA projection of an embedding corpus, returned as
+    * a k×d matrix of int64 weights (`floor(eigvec · 2^scaleBits)`).
+    * Moments are accumulated exactly (see [[quantizedMoments]] — one
+    * corpus pass), the centered covariance is eigensolved driver-side
+    * on the d×d grid (a trained-artifact computation, like k-means
+    * centroids), and each component's sign is fixed so its
+    * largest-magnitude entry is positive (first index wins ties) —
+    * making the trained matrix a pure deterministic function of the
+    * corpus, safe to inline into a generated oracle. */
+  def trainPcaComponents(df: DataFrame, vec: String, k: Int,
+                         scaleBits: Int = 12): Array[Array[Long]] = {
+    val (n, s, g) = quantizedMoments(df, vec, scaleBits)
+    val d = s.length
+    require(k >= 1 && k <= d, s"bad k: $k (dim $d)")
+    val nn = n.toDouble
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      g(a * d + b) / nn - (s(a) / nn) * (s(b) / nn)
+    }
+    val (_, vecs) = jacobiEigen(cov)
+    val scale = (1L << scaleBits).toDouble
+    vecs.take(k).map { ev =>
+      var best = 0
+      var i = 1
+      while (i < d) { if (math.abs(ev(i)) > math.abs(ev(best))) best = i; i += 1 }
+      val sgn = if (ev(best) < 0.0) -1.0 else 1.0
+      ev.map(x => math.floor(x * sgn * scale).toLong)
+    }
+  }
+
+  /** Project embeddings onto trained integer components ([[trainPcaComponents]]):
+    * `proj(c) = Σ_j floor(v_j · 2^scaleBits) · w(c)(j)` — pure int64
+    * arithmetic on both the (row-local, fused-literal) Spark side and
+    * the oracle side, so the reduced representation is exact and
+    * engine-independent. The weight matrix rides the closure as a
+    * literal (k·d longs), never a joined column. Output: one row per
+    * (id, component), `(id, c, proj)`. */
+  def pcaProject(df: DataFrame, id: String, vec: String,
+                 weights: Array[Array[Long]], scaleBits: Int = 12): DataFrame = {
+    import df.sparkSession.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val w = weights.map(_.clone())
+    val k = w.length
+    df.select(col(id).cast("long"), col(vec)).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (rid, v) =>
+          val d = v.length
+          val m = new Array[Long](d)
+          var i = 0
+          while (i < d) { m(i) = math.floor(v(i) * scale).toLong; i += 1 }
+          (0 until k).iterator.map { c =>
+            require(w(c).length == d, s"weight/vec dim: ${w(c).length} vs $d")
+            var p = 0L
+            var j = 0
+            while (j < d) { p += m(j) * w(c)(j); j += 1 }
+            (rid, c, p)
+          }
+        }
+      }.toDF(id, "c", "proj")
+  }
+
+  /** Train the corpus centroid in quantized integer space: per-dimension
+    * `floorDiv(Σ floor(v_j·2^scaleBits), n)` — a pure integer function
+    * of the corpus (floorDiv, never `/`: truncating division would
+    * round negative means differently than the floor convention the
+    * whole quantized stack uses). One codegen'd posexplode + groupBy
+    * pass (shuffle bounded by d·partitions under partial aggregation);
+    * the artifact is d longs, collected once. */
+  def trainEmbeddingCentroid(df: DataFrame, vec: String,
+                             scaleBits: Int = 12): Array[Long] = {
+    val scale = (1L << scaleBits).toDouble
+    val agg = df.select(posexplode(col(vec)).as(Seq("j", "x")))
+      .select(col("j"), floor(col("x").cast("double") * scale).as("m"))
+      .groupBy(col("j")).agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(agg.nonEmpty, "empty corpus")
+    val mu = new Array[Long](agg.length)
+    agg.foreach { r =>
+      mu(r.getInt(0)) = Math.floorDiv(r.getLong(1), r.getLong(2))
+    }
+    mu
+  }
+
+  /** Squared distance of each embedding to a trained integer centroid
+    * ([[trainEmbeddingCentroid]]): `Σ_j (floor(v_j·2^s) − μ_j)²` — exact
+    * int64, row-local, centroid rides the closure as a literal. The
+    * outlier-detection primitive for embedding-space data cleaning
+    * (corrupt / out-of-distribution rows rank first under
+    * `orderBy(dist2 desc)` + limit, a bounded TakeOrdered top-k).
+    * Output: `(id, dist2)`. */
+  def centroidDistances(df: DataFrame, id: String, vec: String,
+                        mu: Array[Long], scaleBits: Int = 12): DataFrame = {
+    import df.sparkSession.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val m0 = mu.clone()
+    df.select(col(id).cast("long"), col(vec)).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (rid, v) =>
+          require(v.length == m0.length, s"centroid/vec dim: ${m0.length} vs ${v.length}")
+          var acc = 0L
+          var j = 0
+          while (j < m0.length) {
+            val dlt = math.floor(v(j) * scale).toLong - m0(j)
+            acc += dlt * dlt
+            j += 1
+          }
+          (rid, acc)
+        }
+      }.toDF(id, "dist2")
+  }
 }

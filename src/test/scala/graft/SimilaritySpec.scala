@@ -256,6 +256,95 @@ class SimilaritySpec extends SparkSpec {
     assert(e99 == 4.0)
   }
 
+  test("gramMatrix: exact quantized accumulation, partition-order-independent") {
+    // scaleBits=2 → m1 = (4, 2), m2 = (1, -2):
+    // s00 = 16+1 = 17, s01 = 8-2 = 6, s11 = 4+4 = 8 (upper triangle only)
+    val df = Seq(Seq(1.0f, 0.5f), Seq(0.25f, -0.5f)).toDF("embedding")
+    val got = Similarity.gramMatrix(df, "embedding", scaleBits = 2)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((0, 0, 17L), (0, 1, 6L), (1, 1, 8L)))
+    // partition layout must not change a single cell (exact integers)
+    val big = (1 to 97).map(i =>
+      Seq(i * 0.013f - 0.5f, i * -0.007f + 0.3f, i * 0.002f)).toDF("embedding")
+    val one = Similarity.gramMatrix(big.repartition(1), "embedding")
+      .as[(Int, Int, Long)].collect().toSet
+    val many = Similarity.gramMatrix(big.repartition(7), "embedding")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(one == many && one.size == 6)
+  }
+
+  test("jacobiEigen: diagonalizes a known symmetric matrix") {
+    // [[2,1],[1,2]] → eigenvalues (3, 1), eigenvectors (1,1)/√2, (1,-1)/√2
+    val (vals, vecs) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(vecs(0)(0)) - r) < 1e-12 &&
+      math.abs(vecs(0)(0) - vecs(0)(1)) < 1e-12)
+    assert(math.abs(math.abs(vecs(1)(0)) - r) < 1e-12 &&
+      math.abs(vecs(1)(0) + vecs(1)(1)) < 1e-12)
+  }
+
+  test("trainPcaComponents: top component aligns with the dominant axis, sign-fixed") {
+    // variance along axis 1 dwarfs axes 0/2 → first eigenvector ≈ e1,
+    // sign convention makes its largest entry POSITIVE even though the
+    // raw Jacobi vector could come out negated
+    val df = (-50 to 50).map(t =>
+      Seq(t * 0.001f, t * 0.009f, 0.2f)).toDF("embedding")
+    val w = Similarity.trainPcaComponents(df, "embedding", k = 2)
+    assert(w.length == 2 && w(0).length == 3)
+    assert(w(0)(1) > 4000L, s"dominant entry: ${w(0).toSeq}")  // ≈ floor(1.0·4096)
+    assert(math.abs(w(0)(0)) < 500L && math.abs(w(0)(2)) < 16L)
+    // deterministic: training twice is bit-identical
+    val w2 = Similarity.trainPcaComponents(df, "embedding", k = 2)
+    assert(w.map(_.toSeq).toSeq == w2.map(_.toSeq).toSeq)
+  }
+
+  test("pcaProject: exact integer projections, partition-order-independent") {
+    val df = (1 to 60).map(i =>
+      (i.toLong, Seq(i * 0.01f - 0.3f, i * -0.004f + 0.1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val w = Similarity.trainPcaComponents(df, "embedding", k = 2)
+    val one = Similarity.pcaProject(df.repartition(1), "vec_id", "embedding", w)
+      .as[(Long, Int, Long)].collect().toSet
+    val many = Similarity.pcaProject(df.repartition(7), "vec_id", "embedding", w)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(one == many && one.size == 120)
+    // spot-check one row against the integer definition
+    val v = Seq(1 * 0.01f - 0.3f, 1 * -0.004f + 0.1f, 0.05f)
+    val m = v.map(x => math.floor(x * 4096.0).toLong)
+    val exp = (0 until 2).map(c =>
+      (1L, c, m.indices.map(j => m(j) * w(c)(j)).sum)).toSet
+    assert(one.filter(_._1 == 1L) == exp)
+  }
+
+  test("trainEmbeddingCentroid: floorDiv semantics (negative means round DOWN)") {
+    // quantized: floor(-0.3·4096) = -1229, floor(0.1·4096) = 409,
+    // floor(0.15·4096) = 614 → S = -206, n = 3 → floorDiv = -69
+    // (truncating division would give -68: the spec pins the convention)
+    val df = Seq(Seq(-0.3f), Seq(0.1f), Seq(0.15f)).toDF("embedding")
+    val mu = Similarity.trainEmbeddingCentroid(df, "embedding")
+    assert(mu.toSeq == Seq(-69L))
+  }
+
+  test("centroidDistances: exact integer distance, partition-order-independent") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, Seq(i * 0.01f, 0.5f - i * 0.002f))).toDF("vec_id", "embedding")
+    val mu = Similarity.trainEmbeddingCentroid(df, "embedding")
+    val one = Similarity.centroidDistances(df.repartition(1), "vec_id",
+      "embedding", mu).as[(Long, Long)].collect().toSet
+    val many = Similarity.centroidDistances(df.repartition(5), "vec_id",
+      "embedding", mu).as[(Long, Long)].collect().toSet
+    assert(one == many && one.size == 40)
+    // spot-check against the integer definition
+    val v = Seq(1 * 0.01f, 0.5f - 1 * 0.002f)
+    val exp = v.indices.map { j =>
+      val dlt = math.floor(v(j) * 4096.0).toLong - mu(j)
+      dlt * dlt
+    }.sum
+    assert(one.find(_._1 == 1L).get._2 == exp)
+  }
+
   test("topKRecall: exact grounds the denominator; extras never inflate") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
       (3L, 30L)).toDF("q_id", "neighbor_id")
