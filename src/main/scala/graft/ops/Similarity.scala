@@ -918,31 +918,31 @@ object Similarity {
     mu
   }
 
+  /** Exact integer squared distance to a trained centroid as a fused
+    * CODEGEN'D column expression: `Σ_j (floor(v_j·2^s) − μ_j)²` expanded
+    * to d literal terms (`element_at` + `floor` are whole-stage-codegen
+    * built-ins; an `aggregate` HOF would run interpreted, the CLAUDE.md
+    * hot-path rule). Works identically over batch and streaming inputs
+    * — the centroid is a literal fused into the scan, never a joined
+    * column. */
+  def centroidDist2Expr(vecCol: Column, mu: Array[Long],
+                        scaleBits: Int = 12): Column = {
+    val scale = (1L << scaleBits).toDouble
+    mu.zipWithIndex.map { case (m, j) =>
+      val t = floor(element_at(vecCol, j + 1).cast("double") * scale) - lit(m)
+      t * t
+    }.reduce(_ + _)
+  }
+
   /** Squared distance of each embedding to a trained integer centroid
     * ([[trainEmbeddingCentroid]]): `Σ_j (floor(v_j·2^s) − μ_j)²` — exact
-    * int64, row-local, centroid rides the closure as a literal. The
+    * int64, row-local ([[centroidDist2Expr]], codegen'd). The
     * outlier-detection primitive for embedding-space data cleaning
     * (corrupt / out-of-distribution rows rank first under
     * `orderBy(dist2 desc)` + limit, a bounded TakeOrdered top-k).
     * Output: `(id, dist2)`. */
   def centroidDistances(df: DataFrame, id: String, vec: String,
-                        mu: Array[Long], scaleBits: Int = 12): DataFrame = {
-    import df.sparkSession.implicits._
-    val scale = (1L << scaleBits).toDouble
-    val m0 = mu.clone()
-    df.select(col(id).cast("long"), col(vec)).as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        it.map { case (rid, v) =>
-          require(v.length == m0.length, s"centroid/vec dim: ${m0.length} vs ${v.length}")
-          var acc = 0L
-          var j = 0
-          while (j < m0.length) {
-            val dlt = math.floor(v(j) * scale).toLong - m0(j)
-            acc += dlt * dlt
-            j += 1
-          }
-          (rid, acc)
-        }
-      }.toDF(id, "dist2")
-  }
+                        mu: Array[Long], scaleBits: Int = 12): DataFrame =
+    df.select(col(id).cast("long").as(id),
+      centroidDist2Expr(col(vec), mu, scaleBits).as("dist2"))
 }

@@ -569,6 +569,23 @@ object StatefulOps {
   def pauseGate(df: DataFrame, paused: () => Boolean): DataFrame =
     if (paused()) df.filter(lit(false)) else df
 
+  /** Embedding-outlier scoring AT INGEST: the streaming form of
+    * [[graft.ops.Similarity.centroidDistances]]. The trained integer
+    * centroid ([[graft.ops.Similarity.trainEmbeddingCentroid]]) rides
+    * the plan as a fused codegen'd literal expression
+    * ([[graft.ops.Similarity.centroidDist2Expr]]) — STATELESS, no join,
+    * no state store, so it runs in append mode at ingest line rate and
+    * the verdict is bit-identical to the batch pass (exact int64).
+    * Rows at or above `minDist2` are flagged outliers (routed to
+    * quarantine / review in a deploy); the full scored stream is
+    * returned so callers can also keep the inliers. Output: input
+    * columns + `dist2` + `is_outlier`. */
+  def streamingOutlierScore(stream: DataFrame, vec: String,
+      mu: Array[Long], minDist2: Long): DataFrame =
+    stream
+      .withColumn("dist2", graft.ops.Similarity.centroidDist2Expr(col(vec), mu))
+      .withColumn("is_outlier", col("dist2") >= lit(minDist2))
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

@@ -335,6 +335,36 @@ class StatefulOpsSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("streamingOutlierScore: ingest scoring equals batch centroidDistances exactly") {
+    implicit val ctx = spark.sqlContext
+    // one far outlier among clustered rows; threshold sits between them
+    val rows = Seq(
+      (1L, Seq(0.10f, 0.20f)), (2L, Seq(0.12f, 0.18f)),
+      (3L, Seq(0.11f, 0.21f)), (9L, Seq(0.90f, -0.80f)))
+    val batchDf = rows.toDF("vec_id", "embedding")
+    val mu = graft.ops.Similarity.trainEmbeddingCentroid(batchDf, "embedding")
+    val batch = graft.ops.Similarity
+      .centroidDistances(batchDf, "vec_id", "embedding", mu)
+      .as[(Long, Long)].collect().toMap
+    assert(batch.size == 4 && batch(9L) > batch(1L))
+    val cut = batch(9L) // exactly at the outlier's distance: >= keeps it
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StatefulOps.streamingOutlierScore(
+        in.toDF().toDF("vec_id", "embedding"), "embedding", mu, cut)
+      .writeStream.format("memory").queryName("outliers")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("outliers")
+        .select("vec_id", "dist2", "is_outlier")
+        .as[(Long, Long, Boolean)].collect().toSet
+      // exact int64 parity with the batch pass, and only row 9 flagged
+      assert(streamed == batch.map { case (id, d) => (id, d, d >= cut) }.toSet)
+      assert(streamed.count(_._3) == 1 && streamed.find(_._3).get._1 == 9L)
+    }
+  }
+
   test("streamingContaminationCheck equals batch contaminationCheck (stream-static)") {
     implicit val ctx = spark.sqlContext
     // the q50/DedupSpec contamination fixture: doc 10 shares one trigram,
