@@ -1733,23 +1733,42 @@ object Queries {
     * arithmetic on floor-quantized vectors, so the projections are
     * exact and the trained weight matrix inlines into the oracle as
     * plain integer VALUES — no float transport at all. */
+  /** The q107 projection as oracle SQL (weights inlined as integer
+    * VALUES) — shared verbatim by the q109 spectrum oracle. */
+  private def pcaProjOracleSql(s: SparkSession, d: String): String = {
+    val rows = trainedPca(s, d).zipWithIndex.flatMap { case (w, c) =>
+      w.zipWithIndex.map { case (wt, j) => s"($c, ${j + 1}, $wt)" }
+    }.mkString(", ")
+    s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+             FROM embeddings),
+           w AS (SELECT * FROM (VALUES $rows) AS t(c, j, wt))
+        SELECT m.vec_id, CAST(w.c AS INT) AS c,
+               CAST(sum(m.mv[w.j] * w.wt) AS BIGINT) AS proj
+        FROM m, w
+        GROUP BY 1, 2"""
+  }
+
   private val q107 = QDef("q107_pca_project",
     (s, d) => Similarity.pcaProject(emb(s, d), "vec_id", "embedding",
       trainedPca(s, d)),
     None, bench = true,
-    oracleGen = Some((s, d) => {
-      val rows = trainedPca(s, d).zipWithIndex.flatMap { case (w, c) =>
-        w.zipWithIndex.map { case (wt, j) => s"($c, ${j + 1}, $wt)" }
-      }.mkString(", ")
-      s"""WITH m AS (SELECT vec_id, list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
-               FROM embeddings),
-             w AS (SELECT * FROM (VALUES $rows) AS t(c, j, wt))
-          SELECT m.vec_id, CAST(w.c AS INT) AS c,
-                 CAST(sum(m.mv[w.j] * w.wt) AS BIGINT) AS proj
-          FROM m, w
-          GROUP BY 1, 2"""
-    }))
+    oracleGen = Some((s, d) => pcaProjOracleSql(s, d)))
+
+  /** PCA variance spectrum (Similarity.pcaSpectrum over the q107
+    * projection): per component, exact integer moments (n, Σp, Σp²) —
+    * n·Σp² − (Σp)² = n²·variance, so the explained-variance ranking of
+    * the trained components is integer-exact and hash-checked. */
+  private val q109 = QDef("q109_pca_spectrum",
+    (s, d) => Similarity.pcaSpectrum(
+      Similarity.pcaProject(emb(s, d), "vec_id", "embedding",
+        trainedPca(s, d))),
+    None, bench = true,
+    oracleGen = Some((s, d) =>
+      s"""SELECT c, count(*) AS n, CAST(sum(proj) AS BIGINT) AS sp,
+                 CAST(sum(proj * proj) AS BIGINT) AS spp
+          FROM (${pcaProjOracleSql(s, d)})
+          GROUP BY 1"""))
 
   /** Trained quantized centroid per sf dir (q42 artifact pattern;
     * already int64 ⇒ inlines exactly). */
@@ -3025,7 +3044,8 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
+    q109)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -918,6 +918,22 @@ object Similarity {
     mu
   }
 
+  /** Variance spectrum of a PCA projection ([[pcaProject]] output):
+    * per component, the exact integer moments `(n, Σp, Σp²)` — from
+    * which `n·Σp² − (Σp)²  =  n²·variance` exactly, so "how much energy
+    * the top-k components capture" (the explained-variance diagnostic
+    * every PCA use consults) is a pure integer fact, hash-checkable
+    * cross-engine. One partial-agg groupBy on the k-row key; the scan is
+    * the projection table, never the corpus. Int64 bound: Σp² overflows
+    * past ~10⁶ rows at embedding-scale magnitudes — ANSI makes that a
+    * LOUD failure, and the production-scale mitigation is
+    * `shiftright(proj, scaleBits)` before squaring (floor-shift, still
+    * deterministic). Output: `(c, n, sp, spp)`. */
+  def pcaSpectrum(proj: DataFrame): DataFrame =
+    proj.groupBy(col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("proj")).as("sp"),
+        sum(col("proj") * col("proj")).as("spp"))
+
   /** Exact integer squared distance to a trained centroid as a fused
     * CODEGEN'D column expression: `Σ_j (floor(v_j·2^s) − μ_j)²` expanded
     * to d literal terms (`element_at` + `floor` are whole-stage-codegen

@@ -318,6 +318,26 @@ class SimilaritySpec extends SparkSpec {
     assert(one.filter(_._1 == 1L) == exp)
   }
 
+  test("pcaSpectrum: exact moments; component variance follows eigen order") {
+    // anisotropic: axis-0 spread dwarfs axis-1 → component 0 must carry
+    // strictly more n²·variance than component 1
+    val df = (1 to 30).map(i =>
+      (i.toLong, Seq(i * 0.015f - 0.2f, (i % 3) * 0.004f))).toDF("vec_id", "embedding")
+    val w = Similarity.trainPcaComponents(df, "embedding", k = 2)
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", w)
+    val spec = Similarity.pcaSpectrum(proj)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(spec.size == 2 && spec(0)._2 == 30L && spec(1)._2 == 30L)
+    // recompute the moments from the projection rows: exact match
+    val rows = proj.as[(Long, Int, Long)].collect()
+    for (c <- 0 to 1) {
+      val ps = rows.filter(_._2 == c).map(_._3)
+      assert(spec(c) == ((c, ps.length.toLong, ps.sum, ps.map(p => p * p).sum)))
+    }
+    def nVar(c: Int) = spec(c)._2 * spec(c)._4 - spec(c)._3 * spec(c)._3
+    assert(nVar(0) > nVar(1) && nVar(1) >= 0L)
+  }
+
   test("trainEmbeddingCentroid: floorDiv semantics (negative means round DOWN)") {
     // quantized: floor(-0.3·4096) = -1229, floor(0.1·4096) = 409,
     // floor(0.15·4096) = 614 → S = -206, n = 3 → floorDiv = -69
