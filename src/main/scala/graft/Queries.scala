@@ -1804,6 +1804,46 @@ object Queries {
           ORDER BY dist2 DESC, vec_id LIMIT 20"""
     }))
 
+  /** Trained class centroids per sf dir (q42 artifact pattern). */
+  private val classMuCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Seq[(Int, Long, Array[Long])])]
+  private def trainedClassMu(s: SparkSession, d: String)
+      : (Array[Long], Seq[(Int, Long, Array[Long])]) =
+    classMuCache.getOrElseUpdate(d,
+      Similarity.trainClassCentroids(emb(s, d), "label", "embedding"))
+
+  /** Class-separability scatter (Similarity.classScatterReport): per
+    * label, exact integer within-class and between-class scatter on the
+    * quantized grid — the Fisher/LDA diagnostic answering "are my
+    * labels separable in embedding space". Centroids are trained once
+    * (floorDiv convention) and inlined into the oracle as BIGINT[]
+    * VALUES; the between term is a per-label literal, so the whole
+    * report is a pure integer fact. */
+  private val q110 = QDef("q110_class_scatter",
+    (s, d) => {
+      val (g, per) = trainedClassMu(s, d)
+      Similarity.classScatterReport(emb(s, d), "label", "embedding", g, per)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (g, per) = trainedClassMu(s, d)
+      val rows = per.map { case (l, _, mu) =>
+        val bl = mu.zip(g).map { case (a, b) => (a - b) * (a - b) }.sum
+        s"($l, CAST([${mu.mkString(", ")}] AS BIGINT[]), CAST($bl AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH m AS (SELECT label, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+               FROM embeddings),
+             mu AS (SELECT * FROM (VALUES $rows) AS t(label, muv, bl))
+          SELECT m.label, count(*) AS n,
+                 CAST(sum(list_sum(list_transform(range(1, len(mv) + 1),
+                      i -> (mv[i] - muv[i]) * (mv[i] - muv[i])))) AS BIGINT)
+                   AS within,
+                 CAST(count(*) * any_value(mu.bl) AS BIGINT) AS between
+          FROM m JOIN mu USING (label)
+          GROUP BY 1"""
+    }))
+
   /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
     * character-pair frequencies within words, weighted by word frequency
     * — the argmax table byte-pair-encoding training iterates
@@ -3045,7 +3085,7 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109)
+    q109, q110)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

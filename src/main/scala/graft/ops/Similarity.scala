@@ -934,6 +934,92 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("proj")).as("sp"),
         sum(col("proj") * col("proj")).as("spp"))
 
+  /** Per-class quantized centroids + the global centroid, for labeled
+    * embeddings: ONE codegen'd posexplode partial-agg pass over
+    * (label, j) — shuffle bounded by labels·d·partitions — then
+    * `floorDiv` means driver-side (the [[trainEmbeddingCentroid]]
+    * convention). The global centroid is floorDiv of the GLOBAL sums,
+    * not a mix of the per-class means (floorDiv does not distribute).
+    * Artifact: labels·d + d longs. Returns
+    * (globalMu, per-label (label, n, mu)) sorted by label. */
+  def trainClassCentroids(df: DataFrame, label: String, vec: String,
+      scaleBits: Int = 12): (Array[Long], Seq[(Int, Long, Array[Long])]) = {
+    val scale = (1L << scaleBits).toDouble
+    val agg = df.select(col(label).cast("int").as("l"),
+        posexplode(col(vec)).as(Seq("j", "x")))
+      .select(col("l"), col("j"),
+        floor(col("x").cast("double") * scale).as("m"))
+      .groupBy(col("l"), col("j"))
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(agg.nonEmpty, "empty corpus")
+    val d = agg.map(_.getInt(1)).max + 1
+    val byLabel = agg.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (l, rows) =>
+        val s = new Array[Long](d)
+        var n = 0L
+        rows.foreach { r => s(r.getInt(1)) = r.getLong(2); n = r.getLong(3) }
+        (l, n, s)
+    }
+    val gs = new Array[Long](d)
+    var gn = 0L
+    byLabel.foreach { case (_, n, s) =>
+      gn += n
+      var j = 0
+      while (j < d) { gs(j) += s(j); j += 1 }
+    }
+    (gs.map(Math.floorDiv(_, gn)),
+      byLabel.map { case (l, n, s) => (l, n, s.map(Math.floorDiv(_, n))) })
+  }
+
+  /** Class-separability scatter report (the Fisher/LDA diagnostic for
+    * labeled embeddings): per class, exact integer WITHIN-class scatter
+    * (Σ rows ‖m − μ_class‖²) and BETWEEN-class scatter
+    * (n_class·‖μ_class − μ_global‖²) — separable classes show
+    * between ≫ within. All int64 on the quantized grid, so the report
+    * hash-matches across engines. Shape: one corpus scan emitting
+    * (label, dist2) row-locally (centroid map rides the closure), a
+    * partial-agg groupBy on the ≤|labels| key, and a broadcast join of
+    * the |labels|-row between-term table. Output:
+    * `(label, n, within, between)`. */
+  def classScatterReport(df: DataFrame, label: String, vec: String,
+      globalMu: Array[Long], classMu: Seq[(Int, Long, Array[Long])],
+      scaleBits: Int = 12): DataFrame = {
+    import df.sparkSession.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val muMap = classMu.map { case (l, _, mu) => l -> mu }.toMap
+    val bl = classMu.map { case (l, _, mu) =>
+      var b = 0L
+      var j = 0
+      while (j < mu.length) {
+        val dlt = mu(j) - globalMu(j)
+        b += dlt * dlt
+        j += 1
+      }
+      (l, b)
+    }.toDF("label", "bl")
+    df.select(col(label).cast("int"), col(vec)).as[(Int, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (l, v) =>
+          val mu = muMap.getOrElse(l,
+            throw new IllegalArgumentException(s"untrained label: $l"))
+          var acc = 0L
+          var j = 0
+          while (j < mu.length) {
+            val dlt = math.floor(v(j) * scale).toLong - mu(j)
+            acc += dlt * dlt
+            j += 1
+          }
+          (l, acc)
+        }
+      }.toDF("label", "d2")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("within"))
+      .join(broadcast(bl), Seq("label"))
+      .select(col("label"), col("n"), col("within"),
+        (col("n") * col("bl")).as("between"))
+  }
+
   /** Exact integer squared distance to a trained centroid as a fused
     * CODEGEN'D column expression: `Σ_j (floor(v_j·2^s) − μ_j)²` expanded
     * to d literal terms (`element_at` + `floor` are whole-stage-codegen

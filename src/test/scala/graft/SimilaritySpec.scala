@@ -338,6 +338,39 @@ class SimilaritySpec extends SparkSpec {
     assert(nVar(0) > nVar(1) && nVar(1) >= 0L)
   }
 
+  test("classScatterReport: separated classes show between >> within; exact integers") {
+    // two tight clusters far apart: within ≈ quantization dust,
+    // between ≈ n·half-gap² per class
+    val rows = Seq(
+      (0, Seq(0.40f, 0.40f)), (0, Seq(0.41f, 0.40f)), (0, Seq(0.40f, 0.41f)),
+      (1, Seq(-0.40f, -0.40f)), (1, Seq(-0.41f, -0.40f)), (1, Seq(-0.40f, -0.41f)))
+    val df = rows.toDF("label", "embedding")
+    val (g, per) = Similarity.trainClassCentroids(df, "label", "embedding")
+    assert(per.map(_._1) == Seq(0, 1) && per.forall(_._2 == 3L))
+    val rep = Similarity.classScatterReport(df, "label", "embedding", g, per)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rep.size == 2)
+    for (l <- 0 to 1) {
+      val (_, n, within, between) = rep(l)
+      assert(n == 3L && between > 100L * within,
+        s"label $l: within=$within between=$between")
+      // exact recompute from the definitions
+      val mu = per.find(_._1 == l).get._3
+      val expWithin = rows.filter(_._1 == l).map { case (_, v) =>
+        v.indices.map { j =>
+          val dlt = math.floor(v(j) * 4096.0).toLong - mu(j)
+          dlt * dlt
+        }.sum
+      }.sum
+      val expBetween = 3L * mu.zip(g).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(within == expWithin && between == expBetween)
+    }
+    // partition layout must not change a cell
+    val rep7 = Similarity.classScatterReport(df.repartition(7), "label",
+      "embedding", g, per).as[(Int, Long, Long, Long)].collect().toSet
+    assert(rep7 == rep.values.toSet)
+  }
+
   test("trainEmbeddingCentroid: floorDiv semantics (negative means round DOWN)") {
     // quantized: floor(-0.3·4096) = -1229, floor(0.1·4096) = 409,
     // floor(0.15·4096) = 614 → S = -206, n = 3 → floorDiv = -69
