@@ -1844,6 +1844,41 @@ object Queries {
           GROUP BY 1"""
     }))
 
+  /** Label agreement@5 (Similarity.labelAgreementAtK): per sampled query
+    * vector, how many of its exact top-5 cosine neighbors share its
+    * label — the intrinsic embedding-quality eval (q100 evaluates the
+    * INDEX; this evaluates the SPACE). Integer output rides on q19's
+    * hash-stable top-k discipline. */
+  private val q111 = QDef("q111_label_agreement",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.labelAgreementAtK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            n AS (SELECT q_id, q_vec,
+                sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * q_vec[i]))) AS q_norm FROM q),
+            m AS (SELECT c_id, c_vec,
+                sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                  i -> CAST(c_vec[i] AS DOUBLE) * c_vec[i]))) AS c_norm FROM c),
+            sc AS (SELECT q_id, c_id,
+                list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * c_vec[i])) / (q_norm * c_norm) AS cos
+              FROM n, m WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+            lab AS (SELECT vec_id, label FROM embeddings)
+            SELECT r.q_id, ql.label AS q_label,
+                   CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same
+            FROM r JOIN lab ql ON ql.vec_id = r.q_id
+                   JOIN lab nl ON nl.vec_id = r.c_id
+            WHERE r.rn <= 5
+            GROUP BY 1, 2"""), bench = true)
+
   /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
     * character-pair frequencies within words, weighted by word frequency
     * — the argmax table byte-pair-encoding training iterates
@@ -3085,7 +3120,7 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110)
+    q109, q110, q111)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -934,6 +934,32 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("proj")).as("sp"),
         sum(col("proj") * col("proj")).as("spp"))
 
+  /** Label agreement@k — the intrinsic embedding-quality eval next to
+    * [[topKRecall]]'s index-quality eval: per query vector, how many of
+    * its exact top-k cosine neighbors share its label (high agreement =
+    * the embedding respects the labeling; collapsed or shuffled spaces
+    * score at chance). Output is pure integers `(q_id, q_label,
+    * n_same)` — the caller divides by k if a ratio is wanted — so the
+    * report is engine-exact wherever the top-k SET is (the q19
+    * tie-break discipline: cos DESC, then id).
+    *
+    * Shape: [[cosineTopK]]'s bounded-heap top-k, then two narrow-key
+    * label equi-joins (id → label, never a vector column) and a
+    * |queries|-key groupBy. */
+  def labelAgreementAtK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, label: String, k: Int): DataFrame = {
+    val nLab = corpus.select(col(id).as("neighbor_id"),
+      col(label).cast("int").as("n_label"))
+    val qLab = queries.select(col(id).as("q_id"),
+      col(label).cast("int").as("q_label"))
+    cosineTopK(queries, corpus, id, vec, k)
+      .join(nLab, Seq("neighbor_id"))
+      .join(qLab, Seq("q_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("n_label") === col("q_label"), 1).otherwise(0))
+        .as("n_same"))
+  }
+
   /** Per-class quantized centroids + the global centroid, for labeled
     * embeddings: ONE codegen'd posexplode partial-agg pass over
     * (label, j) — shuffle bounded by labels·d·partitions — then

@@ -398,6 +398,27 @@ class SimilaritySpec extends SparkSpec {
     assert(one.find(_._1 == 1L).get._2 == exp)
   }
 
+  test("labelAgreementAtK: clustered labels agree; cross-cluster queries dilute") {
+    // two tight clusters of 4; within a cluster every top-3 neighbor
+    // shares the label, so n_same = 3 for all queries
+    val rows = (1 to 4).map(i => (i.toLong, 0, Seq(0.4f + i * 0.001f, 0.4f))) ++
+      (5 to 8).map(i => (i.toLong, 1, Seq(-0.4f - i * 0.001f, -0.4f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val rep = Similarity.labelAgreementAtK(df, df, "vec_id", "embedding",
+      "label", k = 3).as[(Long, Int, Long)].collect()
+    assert(rep.length == 8 && rep.forall(_._3 == 3L))
+    assert(rep.filter(_._2 == 0).map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // flip one label: its 3 same-cluster neighbors now disagree (0 same),
+    // and each old-label clustermate loses exactly one agreeing neighbor
+    val flipped = rows.map { case (id, l, v) => (id, if (id == 1L) 1 else l, v) }
+      .toDF("vec_id", "label", "embedding")
+    val rep2 = Similarity.labelAgreementAtK(flipped, flipped, "vec_id",
+      "embedding", "label", k = 3).as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(rep2(1L) == 0L && Seq(2L, 3L, 4L).forall(rep2(_) == 2L) &&
+      Seq(5L, 6L, 7L, 8L).forall(rep2(_) == 3L))
+  }
+
   test("topKRecall: exact grounds the denominator; extras never inflate") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
       (3L, 30L)).toDF("q_id", "neighbor_id")
