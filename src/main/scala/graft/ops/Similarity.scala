@@ -945,16 +945,21 @@ object Similarity {
     *
     * Shape: [[cosineTopK]]'s bounded-heap top-k, then two narrow-key
     * label equi-joins (id → label, never a vector column) and a
-    * |queries|-key groupBy. */
+    * |queries|-key groupBy. The top-k result (|queries|·k rows by
+    * construction) is BROADCAST against the corpus-label side — the
+    * corpus's (id, label) table is the 100 TB-scale relation here and
+    * must stream through the join unshuffled, not the other way
+    * around. */
   def labelAgreementAtK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, label: String, k: Int): DataFrame = {
     val nLab = corpus.select(col(id).as("neighbor_id"),
       col(label).cast("int").as("n_label"))
     val qLab = queries.select(col(id).as("q_id"),
       col(label).cast("int").as("q_label"))
-    cosineTopK(queries, corpus, id, vec, k)
-      .join(nLab, Seq("neighbor_id"))
-      .join(qLab, Seq("q_id"))
+    nLab
+      .join(broadcast(cosineTopK(queries, corpus, id, vec, k)),
+        Seq("neighbor_id"))
+      .join(broadcast(qLab), Seq("q_id"))
       .groupBy(col("q_id"), col("q_label"))
       .agg(sum(when(col("n_label") === col("q_label"), 1).otherwise(0))
         .as("n_same"))

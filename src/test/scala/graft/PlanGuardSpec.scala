@@ -64,7 +64,11 @@ class PlanGuardSpec extends SparkSpec {
       // the BPE word→subword dictionary is vocab-bounded and explicitly
       // broadcast — a shuffled join here would shuffle the whole corpus's
       // exploded tokens instead
-      "q101_bpe_token_counts")
+      "q101_bpe_token_counts",
+      // the top-k result (|queries|·k rows) is explicitly broadcast so
+      // the corpus (id, label) table streams unshuffled — regressing to
+      // a shuffled join re-partitions the corpus-scale relation
+      "q111_label_agreement")
     mustBroadcast.foreach { name =>
       val hasBroadcastJoin = plans(name).exists(n =>
         n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
