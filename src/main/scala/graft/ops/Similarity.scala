@@ -865,36 +865,33 @@ object Similarity {
     }
   }
 
+  /** One trained PCA component as a fused CODEGEN'D column expression:
+    * `Σ_j floor(v_j · 2^scaleBits) · w(j)` expanded to d literal terms
+    * (the [[centroidDist2Expr]] pattern — `element_at`/`floor` are
+    * whole-stage-codegen built-ins; weights are literals fused into the
+    * scan, never a joined column). Exact int64 in batch and streaming
+    * alike. */
+  def pcaProjectExprs(vecCol: Column, weights: Array[Array[Long]],
+                      scaleBits: Int = 12): Seq[Column] = {
+    val scale = (1L << scaleBits).toDouble
+    weights.toSeq.map { w =>
+      w.zipWithIndex.map { case (wt, j) =>
+        floor(element_at(vecCol, j + 1).cast("double") * scale) * lit(wt)
+      }.reduce(_ + _)
+    }
+  }
+
   /** Project embeddings onto trained integer components ([[trainPcaComponents]]):
     * `proj(c) = Σ_j floor(v_j · 2^scaleBits) · w(c)(j)` — pure int64
     * arithmetic on both the (row-local, fused-literal) Spark side and
     * the oracle side, so the reduced representation is exact and
-    * engine-independent. The weight matrix rides the closure as a
-    * literal (k·d longs), never a joined column. Output: one row per
-    * (id, component), `(id, c, proj)`. */
+    * engine-independent ([[pcaProjectExprs]], codegen'd). Output: one
+    * row per (id, component), `(id, c, proj)`. */
   def pcaProject(df: DataFrame, id: String, vec: String,
-                 weights: Array[Array[Long]], scaleBits: Int = 12): DataFrame = {
-    import df.sparkSession.implicits._
-    val scale = (1L << scaleBits).toDouble
-    val w = weights.map(_.clone())
-    val k = w.length
-    df.select(col(id).cast("long"), col(vec)).as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (rid, v) =>
-          val d = v.length
-          val m = new Array[Long](d)
-          var i = 0
-          while (i < d) { m(i) = math.floor(v(i) * scale).toLong; i += 1 }
-          (0 until k).iterator.map { c =>
-            require(w(c).length == d, s"weight/vec dim: ${w(c).length} vs $d")
-            var p = 0L
-            var j = 0
-            while (j < d) { p += m(j) * w(c)(j); j += 1 }
-            (rid, c, p)
-          }
-        }
-      }.toDF(id, "c", "proj")
-  }
+                 weights: Array[Array[Long]], scaleBits: Int = 12): DataFrame =
+    df.select(col(id).cast("long").as(id),
+      posexplode(array(pcaProjectExprs(col(vec), weights, scaleBits): _*))
+        .as(Seq("c", "proj")))
 
   /** Train the corpus centroid in quantized integer space: per-dimension
     * `floorDiv(Σ floor(v_j·2^scaleBits), n)` — a pure integer function

@@ -586,6 +586,22 @@ object StatefulOps {
       .withColumn("dist2", graft.ops.Similarity.centroidDist2Expr(col(vec), mu))
       .withColumn("is_outlier", col("dist2") >= lit(minDist2))
 
+  /** PCA projection AT INGEST: the streaming form of
+    * [[graft.ops.Similarity.pcaProject]]. Trained integer weights
+    * ([[graft.ops.Similarity.trainPcaComponents]]) ride the plan as
+    * fused codegen'd literal expressions
+    * ([[graft.ops.Similarity.pcaProjectExprs]]) — STATELESS, so
+    * arriving embeddings are reduced to their k int64 coordinates in
+    * append mode with results bit-identical to the batch pass (route
+    * on components, store the compressed form, feed downstream ANN).
+    * Output: `(id, c, proj)`, one row per (row, component). */
+  def streamingPcaProject(stream: DataFrame, id: String, vec: String,
+      weights: Array[Array[Long]]): DataFrame =
+    stream.select(col(id).cast("long").as(id),
+      posexplode(array(
+        graft.ops.Similarity.pcaProjectExprs(col(vec), weights): _*))
+        .as(Seq("c", "proj")))
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

@@ -365,6 +365,31 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingPcaProject: ingest projection equals batch pcaProject exactly") {
+    implicit val ctx = spark.sqlContext
+    val rows = (1 to 12).map(i =>
+      (i.toLong, Seq(i * 0.02f - 0.1f, 0.3f - i * 0.01f, i * 0.005f)))
+    val batchDf = rows.toDF("vec_id", "embedding")
+    val w = graft.ops.Similarity.trainPcaComponents(batchDf, "embedding", k = 2)
+    val batch = graft.ops.Similarity
+      .pcaProject(batchDf, "vec_id", "embedding", w)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(batch.size == 24)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StatefulOps.streamingPcaProject(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", w)
+      .writeStream.format("memory").queryName("pcastream")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pcastream")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(streamed == batch,
+        "stateless ingest projection must equal the batch pass bit-exactly")
+    }
+  }
+
   test("streamingContaminationCheck equals batch contaminationCheck (stream-static)") {
     implicit val ctx = spark.sqlContext
     // the q50/DedupSpec contamination fixture: doc 10 shares one trigram,
