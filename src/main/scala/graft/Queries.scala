@@ -1879,6 +1879,48 @@ object Queries {
             WHERE r.rn <= 5
             GROUP BY 1, 2"""), bench = true)
 
+  /** Trained quality classifier per sf dir (q42 artifact pattern; the
+    * weights are ALREADY int64 ⇒ inline exactly). The 0/1 training
+    * label is `label <= 4` — a stand-in for a curated quality seed set;
+    * determinism of the learned weights comes from int64-quantized
+    * gradient accumulation (Curation.trainQualityClassifier). */
+  private val clfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Long)]
+  private def trainedQualityClf(s: SparkSession, d: String): (Array[Long], Long) =
+    clfCache.getOrElseUpdate(d,
+      graft.ops.Curation.trainQualityClassifier(emb(s, d), "embedding",
+        (col("label") <= 4).cast("int")))
+
+  /** Trained quality-classifier scoring (Curation.trainQualityClassifier
+    * + qualityScores): the fastText/logreg-style trained quality filter
+    * a production pipeline applies after the heuristic gates. Training
+    * is deterministic distributed full-batch logistic regression
+    * (int64-quantized gradients); apply is a fused codegen'd literal
+    * dot over floor-quantized vectors — `score = Σ W_j·floor(v_j·2¹²)
+    * + B`, keep ⇔ score ≥ 0 — exact int64, so the trained weights
+    * inline into the oracle as plain integer VALUES. */
+  private val q112 = QDef("q112_quality_classifier",
+    (s, d) => {
+      val (w, b) = trainedQualityClf(s, d)
+      graft.ops.Curation.qualityScores(emb(s, d), "vec_id", "embedding", w, b)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (w, b) = trainedQualityClf(s, d)
+      val rows = w.zipWithIndex
+        .map { case (wt, j) => s"(${j + 1}, $wt)" }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+               FROM embeddings),
+             w AS (SELECT * FROM (VALUES $rows) AS t(j, wt)),
+             sc AS (SELECT m.vec_id,
+                      CAST(sum(m.mv[w.j] * w.wt) + ($b) AS BIGINT) AS score
+                    FROM m, w GROUP BY 1)
+          SELECT vec_id, score,
+                 CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+          FROM sc"""
+    }))
+
   /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
     * character-pair frequencies within words, weighted by word frequency
     * — the argmax table byte-pair-encoding training iterates
@@ -3120,7 +3162,7 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111)
+    q109, q110, q111, q112)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

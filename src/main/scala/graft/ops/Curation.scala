@@ -257,6 +257,123 @@ object Curation {
     }.reduce(_ union _)
   }
 
+  /** Train a linear (logistic-regression) quality classifier over an
+    * embedding column — the trained quality filter every production
+    * pretraining pipeline applies after the heuristic gates
+    * (fastText/logreg-style; cf. the GPT-3/CCNet quality-classifier
+    * stage): `labelCol` is a 0/1 quality label (small curated seed set
+    * in production; any binary column here). Returns the trained
+    * artifact `(weights, bias)` as int64 — `weights(j) =
+    * floor(w_j · 2^scaleBits)`, `bias = floor(b · 2^(2·scaleBits))` —
+    * so applying it is PURE int64 arithmetic on floor-quantized vectors
+    * ([[qualityScoreExpr]]): `score = Σ_j W_j·floor(v_j·2^s) + B`,
+    * keep ⇔ score ≥ 0. Exactly the q107/q108 trained-artifact
+    * convention: already-integer weights inline into a generated oracle
+    * as plain VALUES, no float transport.
+    *
+    * Training is full-batch gradient descent, made DETERMINISTIC the
+    * same way the PCA moments are: features enter as exact dyadic
+    * rationals (`floor(v·2^s)/2^s` — exact in double), the per-row
+    * sigmoid/residual is row-local double math, and each row's gradient
+    * contribution is floor-quantized to int64 (`floor(g·2^20)`) BEFORE
+    * summation — long sums are associative, so the learned weights are
+    * a pure function of the corpus, independent of partitioning and
+    * row order.
+    *
+    * Scale shape: each epoch is one corpus pass emitting ONE (d+1)-long
+    * partial per partition (the [[Similarity.gramMatrix]] fold shape —
+    * collect is bounded by partitions·d, never rows). In production the
+    * classifier trains on a SMALL labeled seed set (quality labels are
+    * hand-curated; 10⁴-10⁶ rows) and only the apply pass
+    * ([[qualityScores]], row-local codegen) touches the 100 TB corpus —
+    * training cost is an eval-time constant, like q100's exact side. */
+  def trainQualityClassifier(df: DataFrame, vec: String, labelCol: Column,
+      epochs: Int = 30, lr: Double = 1.0, scaleBits: Int = 12)
+      : (Array[Long], Long) = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    import df.sparkSession.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val gscale = (1L << 20).toDouble
+    // quantize ONCE: training and apply see the identical integer grid
+    val rows = df.select(col(vec), labelCol.cast("int").as("__y"))
+      .as[(Seq[Float], Int)]
+    var w: Array[Double] = null
+    var b = 0.0
+    var n = 0L
+    var epoch = 0
+    while (epoch < epochs) {
+      // stable closure snapshot for this epoch (ww null ⇔ first epoch,
+      // where all weights are still zero)
+      val ww = if (w == null) null else w.clone()
+      val bb = b
+      val partials = rows.mapPartitions { it =>
+        var g: Array[Long] = null // d feature grads + bias grad + count
+        var d = 0
+        it.foreach { case (v, y) =>
+          if (g == null) { d = v.length; g = new Array[Long](d + 2) }
+          require(v.length == d, s"ragged embedding: ${v.length} vs $d")
+          val x = new Array[Double](d)
+          var z = bb
+          var j = 0
+          while (j < d) {
+            x(j) = math.floor(v(j) * scale) / scale
+            if (ww != null) z += ww(j) * x(j)
+            j += 1
+          }
+          val e = 1.0 / (1.0 + math.exp(-z)) - y
+          j = 0
+          while (j < d) {
+            g(j) += math.floor(e * x(j) * gscale).toLong
+            j += 1
+          }
+          g(d) += math.floor(e * gscale).toLong
+          g(d + 1) += 1L
+        }
+        if (g == null) Iterator.empty else Iterator.single(g)
+      }.collect()
+      require(partials.nonEmpty, "empty corpus")
+      val d = partials.head.length - 2
+      if (w == null) w = new Array[Double](d)
+      val g = new Array[Long](d + 2)
+      partials.foreach { p =>
+        var i = 0
+        while (i < d + 2) { g(i) += p(i); i += 1 }
+      }
+      n = g(d + 1)
+      var j = 0
+      while (j < d) { w(j) -= lr * (g(j) / gscale) / n; j += 1 }
+      b -= lr * (g(d) / gscale) / n
+      epoch += 1
+    }
+    (w.map(x => math.floor(x * scale).toLong),
+      math.floor(b * scale * scale).toLong)
+  }
+
+  /** The trained quality score as a fused CODEGEN'D column expression:
+    * `Σ_j floor(v_j · 2^s) · W_j + B`, expanded to d literal terms (the
+    * [[Similarity.centroidDist2Expr]] pattern — weights are literals
+    * fused into the scan, never a joined column). Exact int64, batch
+    * and streaming alike: `score ≥ 0 ⇔ p(quality) ≥ ½`. */
+  def qualityScoreExpr(vecCol: Column, weights: Array[Long], bias: Long,
+                       scaleBits: Int = 12): Column = {
+    val scale = (1L << scaleBits).toDouble
+    weights.zipWithIndex.map { case (wt, j) =>
+      floor(element_at(vecCol, j + 1).cast("double") * scale) * lit(wt)
+    }.reduceLeft(_ + _) + lit(bias)
+  }
+
+  /** Score a corpus against a trained quality classifier
+    * ([[trainQualityClassifier]]): row-local codegen'd literal dot —
+    * the corpus-scale apply pass of the trained quality filter, no
+    * shuffle, no join, exact int64 in any engine. Output:
+    * `(id, score, keep)` with `keep = 1 ⇔ score ≥ 0`. */
+  def qualityScores(df: DataFrame, id: String, vec: String,
+                    weights: Array[Long], bias: Long,
+                    scaleBits: Int = 12): DataFrame =
+    df.select(col(id).cast("long").as(id),
+        qualityScoreExpr(col(vec), weights, bias, scaleBits).as("score"))
+      .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
+
   def corpusDataCard(docs: DataFrame, stratum: String, id: String,
                      text: String): DataFrame = {
     val sig = docs.select(col(stratum).as("stratum"), col(id),

@@ -602,6 +602,22 @@ object StatefulOps {
         graft.ops.Similarity.pcaProjectExprs(col(vec), weights): _*))
         .as(Seq("c", "proj")))
 
+  /** Trained quality-classifier gate AT INGEST: the streaming form of
+    * [[graft.ops.Curation.qualityScores]]. The trained int64 weights
+    * ([[graft.ops.Curation.trainQualityClassifier]]) ride the plan as a
+    * fused codegen'd literal dot ([[graft.ops.Curation.qualityScoreExpr]])
+    * — STATELESS, no join, no state store, so arriving documents are
+    * scored in append mode at ingest line rate with verdicts
+    * bit-identical to the batch pass (exact int64). The full scored
+    * stream is returned (`keep = 1 ⇔ score ≥ 0`) so callers can route
+    * rejects to a review sink instead of dropping them blind. */
+  def streamingQualityGate(stream: DataFrame, vec: String,
+      weights: Array[Long], bias: Long): DataFrame =
+    stream
+      .withColumn("score",
+        graft.ops.Curation.qualityScoreExpr(col(vec), weights, bias))
+      .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

@@ -216,4 +216,53 @@ class CurationSpec extends SparkSpec {
     // overflow nulls out of the sketch instead of throwing (ANSI mode)
     assert(profile(Seq(Some(1e18)))._1 == 0.0)
   }
+
+  // two planted classes, linearly separable along the first axis with
+  // some noise dims — the shape a trained quality filter must crack
+  private def clfFixture: Seq[(Long, Seq[Float], Int)] =
+    (0 until 40).map { i =>
+      val y = i % 2 // 1 = "good"
+      val base = if (y == 1) 0.5f else -0.5f
+      val n1 = ((i * 37 % 11) - 5) / 50.0f
+      val n2 = ((i * 53 % 13) - 6) / 50.0f
+      (i.toLong, Seq(base + n1 / 4, n1, n2, -n1 / 2), y)
+    }
+
+  test("trainQualityClassifier separates planted good/bad classes") {
+    import org.apache.spark.sql.functions.col
+    val df = clfFixture.toDF("vec_id", "embedding", "y")
+    val (w, b) = Curation.trainQualityClassifier(df, "embedding", col("y"))
+    val scored = Curation.qualityScores(df, "vec_id", "embedding", w, b)
+      .join(df.select(col("vec_id"), col("y")), "vec_id")
+      .select("y", "keep").as[(Int, Int)].collect()
+    assert(scored.length == 40)
+    // fully separable fixture → the trained gate must classify it clean
+    assert(scored.forall { case (y, keep) => y == keep },
+      s"misclassified: ${scored.filterNot { case (y, k) => y == k }.toSeq}")
+  }
+
+  test("trainQualityClassifier is deterministic under repartitioning") {
+    import org.apache.spark.sql.functions.col
+    val df = clfFixture.toDF("vec_id", "embedding", "y")
+    val a = Curation.trainQualityClassifier(df, "embedding", col("y"))
+    val bTrained = Curation.trainQualityClassifier(
+      df.repartition(7, col("vec_id")), "embedding", col("y"))
+    // int64-quantized gradient sums ⇒ the learned artifact is a pure
+    // function of the SET of rows, not their partitioning or order
+    assert(a._1.toSeq == bTrained._1.toSeq && a._2 == bTrained._2)
+  }
+
+  test("qualityScores decision boundary: keep = 1 exactly when score >= 0") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Seq(1.0f)), (2L, Seq(-1.0f)), (3L, Seq(0.0f)))
+      .toDF("vec_id", "embedding")
+    // hand-built artifact: w = [1·2^12], b = 0 → score = floor(v·4096)·4096
+    val scored = Curation.qualityScores(df, "vec_id", "embedding",
+        Array(1L << 12), 0L)
+      .select("vec_id", "score", "keep").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scored(1L) == ((4096L * 4096L, 1)))
+    assert(scored(2L) == ((-4096L * 4096L, 0)))
+    assert(scored(3L) == ((0L, 1))) // score 0 keeps (p = 1/2 boundary)
+  }
 }

@@ -20,6 +20,32 @@ class DriverContractSpec extends SparkSpec {
     }
   }
 
+  test("ARCHITECTURE.md headline counts match the live registry") {
+    // The r6 verdict caught the doc advertising 95 oracle queries while
+    // the registry held 111 — counts in prose drift. This pins the two
+    // headline numbers to the registry so a stale doc FAILS the build.
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("ARCHITECTURE.md")), "UTF-8")
+    def extract(pattern: scala.util.matching.Regex, what: String): Int =
+      pattern.findFirstMatchIn(doc)
+        .getOrElse(fail(s"ARCHITECTURE.md no longer states '$what'"))
+        .group(1).toInt
+    val oracleCount =
+      extract("""(\d+) hash-checked oracle queries""".r, "oracle count")
+    val benchCount = extract("""(\d+) benched queries""".r, "bench count")
+    assert(oracleCount === SparkEntry.queries.size,
+      s"ARCHITECTURE.md says $oracleCount oracle queries; registry has " +
+        s"${SparkEntry.queries.size} — update the doc")
+    assert(benchCount === SparkEntry.benchQueries.size,
+      s"ARCHITECTURE.md says $benchCount benched queries; registry has " +
+        s"${SparkEntry.benchQueries.size} — update the doc")
+    // "zero rows-only": every registered query must carry an oracle
+    val withOracle = Queries.all.count(q =>
+      q.oracle.isDefined || q.oracleGen.isDefined)
+    assert(withOracle === Queries.all.size,
+      "a registered query has no oracle (rows-only checks are banned)")
+  }
+
   test("entry returns rows on sf0.001 (driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -390,6 +390,37 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingQualityGate: ingest scoring equals batch qualityScores exactly") {
+    implicit val ctx = spark.sqlContext
+    val rows = (0 until 20).map { i =>
+      val y = i % 2
+      val base = if (y == 1) 0.5f else -0.5f
+      (i.toLong, Seq(base, ((i * 37 % 11) - 5) / 50.0f), y)
+    }
+    val batchDf = rows.toDF("vec_id", "embedding", "y")
+    val (w, b) = graft.ops.Curation.trainQualityClassifier(
+      batchDf, "embedding", org.apache.spark.sql.functions.col("y"))
+    val batch = graft.ops.Curation
+      .qualityScores(batchDf, "vec_id", "embedding", w, b)
+      .as[(Long, Long, Int)].collect().toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StatefulOps.streamingQualityGate(
+        in.toDF().toDF("vec_id", "embedding"), "embedding", w, b)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(rows.map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qgate")
+        .select("vec_id", "score", "keep")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(streamed == batch,
+        "stateless ingest quality gate must equal the batch pass bit-exactly")
+      // and the gate actually separates the planted classes at ingest
+      assert(streamed.forall { case (id, _, keep) => keep == (id % 2) })
+    }
+  }
+
   test("streamingContaminationCheck equals batch contaminationCheck (stream-static)") {
     implicit val ctx = spark.sqlContext
     // the q50/DedupSpec contamination fixture: doc 10 shares one trigram,
