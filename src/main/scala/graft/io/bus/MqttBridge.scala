@@ -35,14 +35,45 @@ import scala.jdk.CollectionConverters._
   * Also forwards: live PUBLISHes fan out to matching subscribers at
   * QoS 0 (the wall/metrics listener path), so the bridge is a usable
   * mini-broker for the engine's own sinks, not only an ingest funnel.
-  * Zero-egress by construction: binds loopback only. */
+  * Zero-egress: `bindAddress` DEFAULTS to loopback; a real deployment
+  * passes the interface to listen on (the flag the r6 review called the
+  * nearest-term production gap). Restart story: a bridge re-created on
+  * the same fixed port right after a stop can race the closing socket
+  * (TIME_WAIT) — the bind retries with bounded linear backoff (and
+  * SO_REUSEADDR), so supervisor-style stop→new-bridge restarts on a
+  * pinned port succeed; the spool sequence resumes from the directory
+  * scan ([[MqttBridge.nextSeq]]), so a restarted bridge appends after
+  * the old one's files instead of clobbering them. */
 final class MqttBridge(spoolDir: String, port: Int = 0,
-                       flushEveryLines: Int = 256) {
+                       flushEveryLines: Int = 256,
+                       bindAddress: String = "127.0.0.1",
+                       bindRetries: Int = 20,
+                       bindBackoffMs: Long = 50) {
   require(flushEveryLines >= 1, "flushEveryLines must be >= 1")
+  require(bindRetries >= 0 && bindBackoffMs >= 0, "bind retry/backoff >= 0")
   import Mqtt._
 
-  private val server =
-    new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+  private val server = {
+    val s = new ServerSocket()
+    s.setReuseAddress(true)
+    val addr = new java.net.InetSocketAddress(
+      InetAddress.getByName(bindAddress), port)
+    var attempt = 0
+    var bound = false
+    while (!bound) {
+      try { s.bind(addr, 50); bound = true }
+      catch {
+        case e: IOException =>
+          attempt += 1
+          if (attempt > bindRetries) { s.close(); throw e }
+          // bounded LINEAR backoff: restart races clear in well under
+          // bindRetries·bindBackoffMs; unbounded waits would hide a
+          // genuinely-taken port from the operator
+          Thread.sleep(bindBackoffMs * attempt)
+      }
+    }
+    s
+  }
   private val seq = new AtomicLong(MqttBridge.nextSeq(spoolDir))
   private val retained = new ConcurrentHashMap[String, Array[Byte]]()
   private val conns = ConcurrentHashMap.newKeySet[Conn]()

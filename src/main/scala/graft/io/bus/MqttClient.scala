@@ -133,3 +133,32 @@ final class MqttClient(host: String, port: Int, clientId: String,
     try sock.close() catch { case _: IOException => () }
   }
 }
+
+object MqttClient {
+  /** Connect with bounded exponential backoff — the reconnect loop a
+    * real deployment runs when the broker-bridge restarts out from
+    * under it (paho's `reconnect_delay_set(min, max)` behavior): retry
+    * CONNECT up to `maxAttempts` times, doubling the delay from
+    * `initialBackoffMs` and capping it at `maxBackoffMs`. BOUNDED by
+    * design: a bridge that stays down must surface as an error to the
+    * supervisor (ST7), not an infinite silent wait. */
+  def connectWithRetry(host: String, port: Int, clientId: String,
+                       maxAttempts: Int = 10, initialBackoffMs: Long = 20,
+                       maxBackoffMs: Long = 1000): MqttClient = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var backoff = initialBackoffMs
+    while (true) {
+      attempt += 1
+      try return new MqttClient(host, port, clientId).connect()
+      catch {
+        case e: IOException =>
+          if (attempt >= maxAttempts) throw new IOException(
+            s"MQTT connect to $host:$port failed after $attempt attempts", e)
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, maxBackoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -561,20 +561,27 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair graph → cluster
     * assignment (the "keep one per cluster" step of a dedup pipeline).
-    * Iterative min-label propagation, TWO hops per round: labels flow
-    * through the pair graph twice between driver synchronization points,
-    * so a diameter-D component converges in ~D/2 rounds. Each hop is a
-    * bucketed equi-join + partial-agg min; the two hops of a round fuse
-    * into one Catalyst plan, so the driver pays one `localCheckpoint` +
-    * one convergence probe per round — the round COUNT (driver sync,
-    * scheduling, lineage truncation) is the dominant cost at scale, not
-    * the per-hop join over the (tiny) pair graph. Deterministic:
-    * cluster id = min doc id of the component.
+    * Iterative min-label propagation with POINTER JUMPING: each round
+    * runs two edge hops (labels flow through the pair graph twice) and
+    * then a jump (`label(v) ← label(label(v))` — a self-join on the
+    * label table, valid because labels are always node ids of the pair
+    * graph). The hops move the min label across edges; the jump
+    * compresses the implicit label-forest paths, doubling the distance
+    * already-labeled information travels per round — so a diameter-D
+    * component converges in O(log D) rounds (the Shiloach-Vishkin /
+    * hash-to-min shortcut), not D/2: a 10⁴-long adversarial chain
+    * closes in ~15 driver rounds instead of 5 000. Each hop/jump is a
+    * bucketed equi-join + partial-agg min; the three steps of a round
+    * fuse into one Catalyst plan, so the driver pays one
+    * `localCheckpoint` + one convergence probe per round — the round
+    * COUNT (driver sync, scheduling, lineage truncation) is the
+    * dominant cost at scale, not the per-hop join over the (tiny) pair
+    * graph. Deterministic: cluster id = min doc id of the component.
     *
-    * Throws if `maxIter` rounds (2·maxIter hops) pass with labels still
-    * moving: a partially-propagated assignment is a silent wrong answer
-    * (two docs of one component under different cluster ids), the worst
-    * failure mode — a component wider than that must raise the limit
+    * Throws if `maxIter` rounds pass with labels still moving: a
+    * partially-propagated assignment is a silent wrong answer (two docs
+    * of one component under different cluster ids), the worst failure
+    * mode — a component wider than that must raise the limit
     * explicitly, not get a plausible-looking result. */
   def dedupClusters(nodes: DataFrame, id: String, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
@@ -597,16 +604,30 @@ object Dedup {
             .as("cluster"),
           cur("orig"))
     }
+    // pointer jump: every cluster value is itself a node of the pair
+    // graph (self-labels initially; hops/jumps only ever adopt another
+    // node's label), so label(label(v)) is one self-join — the path-
+    // compression step that makes chain-shaped components close in
+    // O(log D) rounds instead of D/2
+    def jump(cur: DataFrame): DataFrame = {
+      val par = cur.select(col("node").as("pnode"), col("cluster").as("pcluster"))
+      cur.join(par, cur("cluster") === par("pnode"), "left")
+        .select(cur("node"),
+          least(cur("cluster"), coalesce(col("pcluster"), cur("cluster")))
+            .as("cluster"),
+          cur("orig"))
+    }
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // labels only decrease, so moved-after-two-hops ⇔ final < orig;
-      // no movement across a double hop implies a single hop is also a
-      // fixpoint — the convergence condition is unchanged
-      val next = hop(hop(labels.withColumn("orig", col("cluster"))))
+      // labels only decrease, so moved-this-round ⇔ final < orig; zero
+      // total movement means the edge hop alone was a no-op, which is
+      // exactly the per-edge-constant fixpoint — the jump can never be
+      // the only mover (label(label(v)) = label(v) once hops fix)
+      val next = jump(hop(hop(labels.withColumn("orig", col("cluster")))))
         .withColumn("__moved", col("cluster") < col("orig"))
         .localCheckpoint(true)
       converged = next.filter(col("__moved")).isEmpty
@@ -614,10 +635,11 @@ object Dedup {
       i += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge after $maxIter two-hop rounds " +
-        s"(${2 * maxIter} hops) — the pair graph has a wider component; " +
-        "raise maxIter (returning partially-propagated labels would " +
-        "silently split one component across cluster ids)")
+      s"dedupClusters did not converge after $maxIter hop-hop-jump " +
+        "rounds — with pointer jumping that needs a component of " +
+        "diameter ≳ 2^maxIter; raise maxIter (returning partially-" +
+        "propagated labels would silently split one component across " +
+        "cluster ids)")
     // no broadcast hint: AQE picks broadcast at runtime when the label
     // table is small; a fixed hint would OOM if dup families are huge
     nodes.select(col(id))

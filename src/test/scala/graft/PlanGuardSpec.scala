@@ -68,11 +68,35 @@ class PlanGuardSpec extends SparkSpec {
       // the top-k result (|queries|·k rows) is explicitly broadcast so
       // the corpus (id, label) table streams unshuffled — regressing to
       // a shuffled join re-partitions the corpus-scale relation
-      "q111_label_agreement")
+      "q111_label_agreement",
+      // the PQ codebook (m·ksub rows) rides every sub-vector row as a
+      // broadcast equi-join; shuffled, it would re-partition the
+      // exploded corpus m× per scan
+      "q82_pq_topk", "q85_ivfpq_topk",
+      // the |labels|-row class-centroid table: its stats are unknown at
+      // planning (aggregate output), so without the explicit hint this
+      // regresses to a SortMergeJoin that shuffles the corpus
+      "q110_class_scatter")
     mustBroadcast.foreach { name =>
       val hasBroadcastJoin = plans(name).exists(n =>
         n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
       assert(hasBroadcastJoin, s"$name: no BroadcastHashJoin in the plan")
+    }
+  }
+
+  test("PQ per-query lookup tables ride a BROADCAST nested-loop join") {
+    // q82/q85's ADC tables (m·ksub doubles per query) attach to the
+    // code scan via crossJoin(broadcast(dt)). The table is an aggregate
+    // output — planning-time stats unknown — so dropping the broadcast()
+    // hint degrades the plan to a CartesianProductExec (both sides
+    // shuffled): this pin plus the cartesian guard makes that removal a
+    // test failure, not a silent 100× regression.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    Seq("q82_pq_topk", "q85_ivfpq_topk").foreach { name =>
+      val bnlj = plans(name).count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+      assert(bnlj >= 1,
+        s"$name: the per-query ADC lookup table lost its broadcast " +
+          "nested-loop attachment")
     }
   }
 

@@ -40,9 +40,27 @@ class SkewSpec extends SparkSpec {
     assert(out(10L) == ((10L, true)) && out(11L) == ((11L, true)))
   }
 
+  test("dedupClusters closes a 10^4-long adversarial chain in <= 15 rounds") {
+    // the worst case for plain min-label propagation: one path-shaped
+    // component of diameter 9 999 would need ~5 000 two-hop rounds; the
+    // pointer-jumping step doubles covered distance per round, so
+    // maxIter = 15 (offset 2^(k+2)-4 ≥ 10^4 at k = 12, +1 quiescence
+    // round) must suffice — if the jump regresses to linear, this
+    // throws instead of hanging for thousands of driver rounds
+    val n = 10000
+    val docs = (0L until n.toLong).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("a_id", "b_id")
+    val out = Dedup.dedupClusters(docs, "doc_id", chain, maxIter = 15)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L), "one component ⇒ one cluster id (the min)")
+    assert(out.count(_._3) == 1 && out.find(_._3).get._1 == 0L)
+  }
+
   test("dedupClusters throws instead of returning partially-propagated labels") {
-    // a 6-node path graph: min-label propagation moves one hop per round,
-    // so diameter 5 needs 5 rounds + 1 to observe quiescence
+    // a 6-node path graph: even with pointer jumping, diameter 5 needs
+    // 2 moving rounds + 1 to observe quiescence
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("a_id", "b_id")

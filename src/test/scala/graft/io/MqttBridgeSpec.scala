@@ -114,6 +114,50 @@ class MqttBridgeSpec extends SparkSpec {
     } finally bridge.stop()
   }
 
+  test("bridge restart on a pinned port: client reconnects with bounded " +
+      "backoff and the spool resumes exactly-once downstream") {
+    val spool = Files.createTempDirectory("mqtt-restart").toString
+    val first = new MqttBridge(spool).start()
+    val port = first.boundPort
+    @volatile var second: MqttBridge = null
+    try {
+      val c1 = MqttClient.connectWithRetry("127.0.0.1", port, "ingest")
+      c1.publish("nvr/detections/1", envLine(1, 1, "person", 0.9), qos = 1)
+      c1.publish("nvr/detections/1", envLine(1, 2, "car", 0.8), qos = 1)
+      // kill the bridge mid-session: the live client's next QoS-1
+      // publish cannot be acked — a real client must notice and retry
+      first.stop()
+      intercept[java.io.IOException] {
+        c1.publish("nvr/detections/1", envLine(1, 3, "lost", 0.5), qos = 1)
+      }
+      // supervisor restarts the bridge on the SAME port + spool dir a
+      // beat later; the reconnect loop's early attempts hit the dead
+      // port and back off until the new bind lands
+      val restarter = new Thread(() => {
+        Thread.sleep(150)
+        second = new MqttBridge(spool, port).start()
+      })
+      restarter.start()
+      val c2 = MqttClient.connectWithRetry("127.0.0.1", port, "ingest-2")
+      c2.publish("nvr/detections/2", envLine(2, 3, "dog", 0.7), qos = 1)
+      c2.disconnect()
+      restarter.join()
+      // exactly-once across the restart: the new bridge's spool sequence
+      // resumed AFTER the old files (directory scan), so every acked
+      // publish appears exactly once — none lost, none clobbered
+      awaitCond("post-restart publish must be spooled") {
+        Files.list(Paths.get(spool)).toArray.length >= 3
+      }
+      val raw = spark.read.format("graft-bus").load(spool).collect()
+      assert(raw.length == 3, s"expected 3 spooled lines, got ${raw.length}")
+      assert(raw.map(_.getString(1)).distinct.length == 3,
+        "acked publishes must survive a bridge restart exactly once")
+    } finally {
+      first.stop()
+      if (second != null) second.stop()
+    }
+  }
+
   test("QoS-0 publishes batch and flush on disconnect") {
     val spool = Files.createTempDirectory("mqtt-qos0").toString
     val bridge = new MqttBridge(spool).start()
