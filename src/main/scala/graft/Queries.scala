@@ -1921,6 +1921,149 @@ object Queries {
           FROM sc"""
     }))
 
+  /** SQ8 scalar quantization (Similarity.trainSq8Bounds + sq8Encode):
+    * the FAISS-style one-byte-per-dim index form — per-dim trained
+    * bounds, byte codes, reconstruction error. Everything lives on the
+    * floor-quantized integer grid, so the ORACLE RECOMPUTES THE TRAINED
+    * BOUNDS RELATIONALLY (min/max per dim in SQL) — the only trained op
+    * whose artifact needs no transport at all; code_checksum =
+    * Σ j·code_j pins the exact byte sequence. */
+  private val sq8Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Array[Long])]
+  private def trainedSq8(s: SparkSession, d: String): (Array[Long], Array[Long]) =
+    sq8Cache.getOrElseUpdate(d,
+      Similarity.trainSq8Bounds(emb(s, d), "embedding"))
+
+  private val q115 = QDef("q115_sq8_encode",
+    (s, d) => {
+      val (lo, hi) = trainedSq8(s, d)
+      Similarity.sq8Encode(emb(s, d), "vec_id", "embedding", lo, hi)
+    },
+    Some("""WITH m AS (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            b AS (SELECT j, min(mv) AS lo, max(mv) AS hi FROM m GROUP BY 1),
+            cj AS (SELECT m.vec_id, m.j, m.mv, b.lo, b.hi,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE (255 * (m.mv - b.lo)) // (b.hi - b.lo)
+                     END AS code
+                   FROM m JOIN b USING (j)),
+            rj AS (SELECT vec_id, j, mv, code,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + (code * (hi - lo)) // 255 END AS r
+                   FROM cj)
+            SELECT vec_id, CAST(sum(j * code) AS BIGINT) AS code_checksum,
+                   CAST(sum((mv - r) * (mv - r)) AS BIGINT) AS err2
+            FROM rj GROUP BY 1"""), bench = true)
+
+  /** Full corpus BPE encoding (TextAnalysis.bpeEncode): per-document
+    * subword-ID sequences under a 1-merge BPE — the encoder-output form
+    * a packed-pretraining pipeline feeds the model. Token id = 1-based
+    * lexicographic rank in the learned vocabulary. Oracle: DuckDB's
+    * replace() scans leftmost non-overlapping — exactly the greedy BPE
+    * merge convention — so segmenting each word is one sentinel
+    * replace + per-char CASE (the q101 closed form, extended from
+    * counts to the actual symbol stream). */
+  private val q113 = QDef("q113_bpe_encode",
+    (s, d) => TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", k = 1),
+    Some("""WITH dt AS (SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+                  FROM documents),
+             toks AS (SELECT doc_id, wpos, ws[wpos] AS w
+                      FROM dt, UNNEST(range(1, len(ws) + 1)) AS t(wpos)),
+             words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+             pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS l,
+                              substr(w, CAST(i AS INT) + 1, 1) AS r,
+                              sum(cnt) AS n
+                       FROM words, UNNEST(range(1, length(w))) AS t(i)
+                       GROUP BY 1, 2),
+             mp AS (SELECT l || r AS lr FROM pairs
+                    ORDER BY n DESC, l, r LIMIT 1),
+             seg AS (SELECT w, replace(w, mp.lr, chr(1)) AS rep
+                     FROM words, mp),
+             wsyms AS (SELECT w, spos,
+                         CASE WHEN substr(rep, CAST(spos AS INT), 1) = chr(1)
+                              THEN mp.lr
+                              ELSE substr(rep, CAST(spos AS INT), 1) END AS sym
+                       FROM seg, mp,
+                         UNNEST(range(1, length(rep) + 1)) AS t(spos)),
+             vocab AS (SELECT sym, row_number() OVER (ORDER BY sym)
+                         AS token_id
+                       FROM (SELECT DISTINCT sym FROM wsyms)),
+             enc AS (SELECT t.doc_id, t.wpos, s.spos, v.token_id
+                     FROM toks t JOIN wsyms s ON t.w = s.w
+                     JOIN vocab v ON s.sym = v.sym)
+             SELECT doc_id,
+                    CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY wpos, spos) AS BIGINT) AS pos,
+                    CAST(token_id AS BIGINT) AS token_id
+             FROM enc"""), bench = true)
+
+  /** The full tokenize→encode→pack chain (bpeEncode → packSequences):
+    * sequence packing consuming REAL BPE token ids — `n_tokens` is the
+    * document's encoded subword count and `token_checksum` =
+    * Σ pos·token_id pins the exact id SEQUENCE (order-sensitive), so
+    * the oracle proves the ids that reached the packer, not just their
+    * count. Shard/bin arithmetic is q60's exact integer form on the
+    * encoded lengths. */
+  private val q114 = QDef("q114_bpe_pack",
+    (s, d) => {
+      val enc = TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", k = 1)
+      val sized = enc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bpe"),
+          sum(col("pos") * col("token_id")).as("token_checksum"))
+      graft.ops.Sampling.packSequences(sized, "doc_id", col("n_bpe"),
+          numShards = 8, budgetTokens = 256, salt = "s7")
+        .select("doc_id", "n_tokens", "token_checksum", "shard", "bin")
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+                  FROM documents),
+             toks AS (SELECT doc_id, wpos, ws[wpos] AS w
+                      FROM dt, UNNEST(range(1, len(ws) + 1)) AS t(wpos)),
+             words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+             pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS l,
+                              substr(w, CAST(i AS INT) + 1, 1) AS r,
+                              sum(cnt) AS n
+                       FROM words, UNNEST(range(1, length(w))) AS t(i)
+                       GROUP BY 1, 2),
+             mp AS (SELECT l || r AS lr FROM pairs
+                    ORDER BY n DESC, l, r LIMIT 1),
+             seg AS (SELECT w, replace(w, mp.lr, chr(1)) AS rep
+                     FROM words, mp),
+             wsyms AS (SELECT w, spos,
+                         CASE WHEN substr(rep, CAST(spos AS INT), 1) = chr(1)
+                              THEN mp.lr
+                              ELSE substr(rep, CAST(spos AS INT), 1) END AS sym
+                       FROM seg, mp,
+                         UNNEST(range(1, length(rep) + 1)) AS t(spos)),
+             vocab AS (SELECT sym, row_number() OVER (ORDER BY sym)
+                         AS token_id
+                       FROM (SELECT DISTINCT sym FROM wsyms)),
+             enc AS (SELECT t.doc_id, t.wpos, s.spos, v.token_id
+                     FROM toks t JOIN wsyms s ON t.w = s.w
+                     JOIN vocab v ON s.sym = v.sym),
+             encpos AS (SELECT doc_id,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY wpos, spos) AS pos,
+                          token_id FROM enc),
+             sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(sum(pos * token_id) AS BIGINT)
+                           AS token_checksum
+                       FROM encpos GROUP BY 1),
+             t AS (SELECT doc_id, n_tokens, token_checksum,
+                     ${sqlHash60("doc_id", "s7")} % 8 AS shard FROM sized),
+             c AS (SELECT doc_id, n_tokens, token_checksum, shard,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+                   FROM t)
+             SELECT doc_id, n_tokens, token_checksum, shard,
+                    CAST(before // 256 AS BIGINT) AS bin
+             FROM c"""), bench = true)
+
   /** BPE round-1 pair statistics (TextAnalysis.bpePairCounts): adjacent
     * character-pair frequencies within words, weighted by word frequency
     * — the argmax table byte-pair-encoding training iterates
@@ -3162,7 +3305,7 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112)
+    q109, q110, q111, q112, q113, q114, q115)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

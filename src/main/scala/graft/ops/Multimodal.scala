@@ -138,12 +138,48 @@ object Multimodal {
     }.toDF("item_id", "dhash")
   }
 
+  // The jpegWriter lesson applied to DECODE: `ImageIO.read` runs an SPI
+  // scan and constructs a fresh ImageReader per call — which dominates a
+  // small-image decode the way writer init dominated tiny encodes.
+  // Readers are not thread-safe but ARE reusable, so one per executor
+  // thread per format, dispatched on the blob's magic bytes (the two
+  // formats every fixture and JDK decoder here emits); anything else
+  // falls back to the SPI path unchanged.
+  private def threadLocalReader(format: String) =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        ImageIO.getImageReadersByFormatName(format).next()
+    }
+  private val jpegReader = threadLocalReader("jpeg")
+  private val pngReader = threadLocalReader("png")
+
+  /** Decode an image blob, reusing the per-thread reader for JPEG/PNG;
+    * null if undecodable (the `ImageIO.read` contract). */
+  private[graft] def decodeImageBlob(blob: Array[Byte]): BufferedImage = {
+    val reader =
+      if (blob.length >= 2 && (blob(0) & 0xff) == 0xff &&
+          (blob(1) & 0xff) == 0xd8) jpegReader.get()
+      else if (blob.length >= 4 && (blob(0) & 0xff) == 0x89 &&
+          blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G') pngReader.get()
+      else null
+    if (reader == null) ImageIO.read(new ByteArrayInputStream(blob))
+    else {
+      val ios = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(blob))
+      try {
+        reader.setInput(ios, true, true)
+        reader.read(0)
+      } catch { case _: java.io.IOException => null }
+      finally { reader.setInput(null); ios.close() }
+    }
+  }
+
   /** Row-local dHash of one encoded image blob — the shared kernel of
     * [[perceptualHash]] and the streaming form
     * ([[graft.streaming.StatefulOps.streamingImageNearDup]]). */
   private[graft] def dhashOf(blob: Array[Byte], hashW: Int, hashH: Int): Long = {
     val w = hashW + 1
-    val src = ImageIO.read(new ByteArrayInputStream(blob))
+    val src = decodeImageBlob(blob)
     require(src != null, "blob is not a decodable image")
     val img =
       if (src.getWidth == w && src.getHeight == hashH) src
@@ -213,7 +249,7 @@ object Multimodal {
   }
 
   private def decodeOrFail(item: MediaItem): BufferedImage = {
-    val img = ImageIO.read(new ByteArrayInputStream(item.blob))
+    val img = decodeImageBlob(item.blob)
     require(img != null,
       s"item ${item.item_id} (${item.mime}): blob is not a decodable image")
     img
@@ -736,11 +772,11 @@ object Multimodal {
   /** REAL frame decode (JDK JPEG reader — MJPEG needs no external
     * codec): per-frame dimensions + per-channel byte means, the video
     * analog of [[decodeImage]]. Partition-batched like every decoder
-    * here. */
+    * here; the reader is reused per thread ([[decodeImageBlob]]). */
   def frameFeatures(frames: Dataset[VideoFrame]): Dataset[FrameFeatures] = {
     import frames.sparkSession.implicits._
     frames.mapPartitions(_.map { f =>
-      val img = ImageIO.read(new ByteArrayInputStream(f.blob))
+      val img = decodeImageBlob(f.blob)
       require(img != null,
         s"item ${f.item_id} frame ${f.frame_idx}: not a decodable frame")
       val w = img.getWidth
@@ -774,8 +810,8 @@ object Multimodal {
           case Some(t) if t.codec == "jpeg" && t.samples.nonEmpty &&
               t.samples.head._1 + t.samples.head._2 <= item.blob.length =>
             val (off, len) = t.samples.head
-            val img = ImageIO.read(new ByteArrayInputStream(
-              java.util.Arrays.copyOfRange(item.blob, off.toInt, off.toInt + len)))
+            val img = decodeImageBlob(
+              java.util.Arrays.copyOfRange(item.blob, off.toInt, off.toInt + len))
             if (img == null) meta
             else {
               val w = img.getWidth; val h = img.getHeight

@@ -931,6 +931,82 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("proj")).as("sp"),
         sum(col("proj") * col("proj")).as("spp"))
 
+  /** Train SQ8 scalar-quantization bounds: per-dimension (min, max) of
+    * the floor-quantized corpus (`floor(v_j·2^scaleBits)`, the repo-wide
+    * integer grid) — the trained artifact of the FAISS-style SQ8 index
+    * form (each float dim → one byte against per-dim bounds; 4× smaller
+    * than fp32 before PQ even enters). One codegen'd posexplode +
+    * partial-agg min/max pass; artifact = 2·d longs, collected once.
+    * Exact int64 ⇒ partition/order independent. */
+  def trainSq8Bounds(df: DataFrame, vec: String, scaleBits: Int = 12)
+      : (Array[Long], Array[Long]) = {
+    val scale = (1L << scaleBits).toDouble
+    val agg = df.select(posexplode(col(vec)).as(Seq("j", "x")))
+      .select(col("j"), floor(col("x").cast("double") * scale).as("m"))
+      .groupBy(col("j")).agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .collect()
+    require(agg.nonEmpty, "empty corpus")
+    val lo = new Array[Long](agg.length)
+    val hi = new Array[Long](agg.length)
+    agg.foreach { r =>
+      lo(r.getInt(0)) = r.getLong(1); hi(r.getInt(0)) = r.getLong(2)
+    }
+    (lo, hi)
+  }
+
+  /** Exact floor division of two integer columns via the sanctioned
+    * `(a − pmod(a, b)) / b` form: the subtraction makes the quotient
+    * exactly divisible, so the double division is exact (`Column./` on
+    * integers is DOUBLE division — never use it bare). `b` must be a
+    * positive literal. */
+  private def floorDivCol(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** SQ8-encode a corpus against trained bounds ([[trainSq8Bounds]]) and
+    * audit the quantization in one pass: per vector, `code_j =
+    * clamp(255·(m_j − lo_j) DIV range_j, 0, 255)` (the byte FAISS's
+    * ScalarQuantizer stores), reconstruction `r_j = lo_j +
+    * code_j·range_j DIV 255`, and the per-vector audit `(code_checksum =
+    * Σ (j+1)·code_j, err2 = Σ (m_j − r_j)²)` — the order-sensitive
+    * checksum pins the exact byte sequence, err2 is the reconstruction
+    * error an SQ8 deployment reports next to PQ's
+    * ([[pqReconstructionError]]). All arithmetic is exact int64 on the
+    * quantized grid (floor divisions via the pmod form, clamp only
+    * reachable for out-of-corpus data), so the whole audit is
+    * engine-exact and the oracle can recompute the bounds RELATIONALLY —
+    * no artifact transport at all. Row-local fused literal expressions:
+    * no join, no shuffle — the bounds ride the plan as literals, the
+    * scan streams. Constant dims (range 0) code to 0 and reconstruct
+    * exactly. */
+  def sq8Encode(df: DataFrame, id: String, vec: String,
+                lo: Array[Long], hi: Array[Long],
+                scaleBits: Int = 12): DataFrame = {
+    require(lo.length == hi.length && lo.nonEmpty, "bad bounds")
+    require(lo.indices.forall(j => hi(j) >= lo(j)), "hi < lo")
+    val scale = (1L << scaleBits).toDouble
+    def m(j: Int): Column =
+      floor(element_at(col(vec), j + 1).cast("double") * scale)
+    def code(j: Int): Column = {
+      val range = hi(j) - lo(j)
+      if (range == 0L) lit(0L)
+      else least(greatest(floorDivCol((m(j) - lit(lo(j))) * 255, range),
+        lit(0L)), lit(255L))
+    }
+    def recon(j: Int): Column = {
+      val range = hi(j) - lo(j)
+      if (range == 0L) lit(lo(j))
+      else lit(lo(j)) + floorDivCol(code(j) * lit(range), 255L)
+    }
+    val checksum = lo.indices.map(j => code(j) * lit(j + 1L))
+      .reduceLeft(_ + _)
+    val err2 = lo.indices.map { j =>
+      val d = m(j).cast("long") - recon(j)
+      d * d
+    }.reduceLeft(_ + _)
+    df.select(col(id).cast("long").as(id),
+      checksum.as("code_checksum"), err2.as("err2"))
+  }
+
   /** Label agreement@k — the intrinsic embedding-quality eval next to
     * [[topKRecall]]'s index-quality eval: per query vector, how many of
     * its exact top-k cosine neighbors share its label (high agreement =

@@ -534,6 +534,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("__n_sub")).as("n_bpe"))
   }
 
+  /** Full corpus BPE ENCODING under `k` learned merges — per-document
+    * subword-id sequences, the encoder-output form a packed-pretraining
+    * pipeline feeds the model (so [[graft.ops.Sampling.packSequences]]
+    * can consume real token ids, not just counts). Token ids are the
+    * 1-based lexicographic rank of the subword string in the learned
+    * vocabulary — a pure function of the corpus, so the encoded stream
+    * is oracle-checkable end to end.
+    *
+    * Scale shape: the vocabulary (≤ |charset| + k entries) is collected
+    * once as the trained artifact and broadcast onto the DISTINCT-word
+    * segmentation table to form the word→ids dictionary (bounded
+    * per-word re-collect, vocab-side never shuffles the words); the
+    * corpus pass is then [[bpeTokenCounts]]'s plan — tokenize with word
+    * ordinals, ONE dictionary join, flatten — plus ONE window
+    * PARTITIONED BY document to lay out the global subword ordinal
+    * (the sanctioned per-key window shape, never a global sort).
+    * Output: `(id, pos, token_id)` — one row per subword occurrence,
+    * `pos` 1-based over the document's subword stream. Token-less
+    * documents drop, like [[bpeTokenCounts]]. */
+  def bpeEncode(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // consumed twice (vocab + dictionary) and recomputing crosses the
+    // corpus word-count shuffle — the persist-pays condition
+    val segments = bpeWordSegments(df, text, k).localCheckpoint()
+    val vocab = segments.select(explode(col("syms")).as("sym"))
+      .distinct().orderBy(col("sym")).as[String].collect()
+    val vocabDf = vocab.zipWithIndex.toSeq
+      .map { case (s, i) => (s, (i + 1).toLong) }.toDF("sym", "token_id")
+    val dict = segments
+      .select(col("w"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(broadcast(vocabDf), Seq("sym"))
+      .groupBy(col("w"))
+      .agg(array_sort(collect_list(struct(col("spos"), col("token_id"))))
+        .as("se"))
+      .select(col("w"),
+        transform(col("se"), e => e.getField("token_id")).as("ids"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("wpos"), col("spos"))
+    df.select(col(id), posexplode(tokens(col(text))).as(Seq("wpos", "w")))
+      .join(broadcast(dict), Seq("w"))
+      .select(col(id), col("wpos"),
+        posexplode(col("ids")).as(Seq("spos", "token_id")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(id), col("pos"), col("token_id"))
+  }
+
   def bpeWordSegments(df: DataFrame, text: String, k: Int): DataFrame = {
     val merges = learnBpeMerges(df, text, k).orderBy(col("step")).collect()
     var seg = wordCounts(df, text)

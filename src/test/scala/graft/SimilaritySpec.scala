@@ -398,6 +398,47 @@ class SimilaritySpec extends SparkSpec {
     assert(one.find(_._1 == 1L).get._2 == exp)
   }
 
+  test("sq8Encode: hand-computed byte codes, exact reconstruction error") {
+    // quantized grid: (0,0) → (0,0); (1,-1) → (4096,-4096);
+    // (0.5,0.25) → (2048,1024). Bounds: dim1 [0,4096] range 4096,
+    // dim2 [-4096,1024] range 5120.
+    //  v1: codes (0, 255·4096//5120=204) → checksum 0·1+204·2=408;
+    //      recon d2 = -4096 + 204·5120//255 = 0 → err2 = 0
+    //  v2: codes (255, 0) → checksum 255; both recon exact → err2 = 0
+    //  v3: codes (255·2048//4096=127, 255) → checksum 127+510=637;
+    //      recon d1 = 127·4096//255 = 2039 → err2 = (2048-2039)² = 81
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, -1f)),
+      (3L, Seq(0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val (lo, hi) = Similarity.trainSq8Bounds(df, "embedding")
+    assert(lo.toSeq == Seq(0L, -4096L) && hi.toSeq == Seq(4096L, 1024L))
+    val out = Similarity.sq8Encode(df, "vec_id", "embedding", lo, hi)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((408L, 0L)), 2L -> ((255L, 0L)),
+      3L -> ((637L, 81L))))
+  }
+
+  test("sq8Encode: constant dims code to 0 exactly; partition invariance") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, Seq(i * 0.01f, 0.7f, -i * 0.003f))).toDF("vec_id", "embedding")
+    val (lo, hi) = Similarity.trainSq8Bounds(df, "embedding")
+    assert(lo(1) == hi(1)) // dim 2 constant → range 0
+    val one = Similarity.sq8Encode(df.repartition(1), "vec_id", "embedding",
+      lo, hi).collect().map(_.toString).sorted.toSeq
+    val many = Similarity.sq8Encode(df.repartition(7), "vec_id", "embedding",
+      lo, hi).collect().map(_.toString).sorted.toSeq
+    assert(one == many && one.size == 40)
+    // a constant dim contributes 0 to both checksum and err2: re-encode
+    // without it and only the positional weights of later dims shift
+    val df2 = df.select(col("vec_id"),
+      array(col("embedding")(0), col("embedding")(2)).as("embedding"))
+    val (lo2, hi2) = Similarity.trainSq8Bounds(df2, "embedding")
+    val errA = Similarity.sq8Encode(df, "vec_id", "embedding", lo, hi)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val errB = Similarity.sq8Encode(df2, "vec_id", "embedding", lo2, hi2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(errA == errB)
+  }
+
   test("labelAgreementAtK: clustered labels agree; cross-cluster queries dilute") {
     // two tight clusters of 4; within a cluster every top-3 neighbor
     // shares the label, so n_same = 3 for all queries
