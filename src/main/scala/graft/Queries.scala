@@ -1921,6 +1921,51 @@ object Queries {
           FROM sc"""
     }))
 
+  /** Classifier calibration sweep (Curation.classifierPrCurve) over the
+    * q112 trained quality classifier: per score-band threshold, exact
+    * (kept, kept_pos) counts and the precision/recall a `score ≥ t`
+    * gate would deliver — the threshold-selection eval every production
+    * quality filter runs. Bands are exact integer floors; the sweep is
+    * a bounded broadcast inequality self-join, never a corpus window. */
+  private val q116 = QDef("q116_clf_pr_curve",
+    (s, d) => {
+      val (wts, b) = trainedQualityClf(s, d)
+      val scored = emb(s, d).select(
+        graft.ops.Curation.qualityScoreExpr(col("embedding"), wts, b)
+          .as("score"),
+        col("label"))
+      graft.ops.Curation.classifierPrCurve(scored, "score",
+        (col("label") <= 4).cast("int"), bucketBits = 20)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (wts, b) = trainedQualityClf(s, d)
+      val rows = wts.zipWithIndex
+        .map { case (wt, j) => s"(${j + 1}, $wt)" }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, label, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+               FROM embeddings),
+             w AS (SELECT * FROM (VALUES $rows) AS t(j, wt)),
+             sc AS (SELECT m.vec_id, m.label,
+                      CAST(sum(m.mv[w.j] * w.wt) + ($b) AS BIGINT) AS score
+                    FROM m, w GROUP BY 1, 2),
+             base AS (SELECT score - (((score % 1048576) + 1048576)
+                        % 1048576) AS b_lo,
+                        count(*) AS n,
+                        sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS n_pos
+                      FROM sc GROUP BY 1),
+             cum AS (SELECT t.b_lo AS threshold,
+                       sum(b.n) AS kept, sum(b.n_pos) AS kept_pos
+                     FROM base t JOIN base b ON b.b_lo >= t.b_lo
+                     GROUP BY 1),
+             tot AS (SELECT sum(n_pos) AS tot_pos FROM base)
+          SELECT threshold, CAST(kept AS BIGINT) AS kept,
+                 CAST(kept_pos AS BIGINT) AS kept_pos,
+                 round(CAST(kept_pos AS DOUBLE) / kept, 4) AS prec,
+                 round(CAST(kept_pos AS DOUBLE) / tot_pos, 4) AS recall
+          FROM cum, tot"""
+    }))
+
   /** SQ8 scalar quantization (Similarity.trainSq8Bounds + sq8Encode):
     * the FAISS-style one-byte-per-dim index form — per-dim trained
     * bounds, byte codes, reconstruction error. Everything lives on the
@@ -3305,7 +3350,7 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115)
+    q109, q110, q111, q112, q113, q114, q115, q116)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

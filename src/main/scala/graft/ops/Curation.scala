@@ -374,6 +374,43 @@ object Curation {
         qualityScoreExpr(col(vec), weights, bias, scaleBits).as("score"))
       .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
 
+  /** Calibration / precision-recall sweep for a trained classifier
+    * ([[trainQualityClassifier]] scores against a held-out 0/1 label) —
+    * the eval every production quality filter ships before its
+    * threshold is chosen: scores bucket to `2^bucketBits`-wide integer
+    * bands (`score − pmod(score, w)` — the exact floor form, never
+    * `/`), and for every band boundary t the sweep reports how many
+    * documents a `score ≥ t` gate would keep, how many of those are
+    * true positives, and the resulting precision/recall.
+    *
+    * Shape: ONE corpus pass into the band histogram (map-side
+    * combinable groupBy, ≤ score-range/2^bucketBits rows), then the
+    * cumulative sweep runs entirely on the bounded band table — a
+    * broadcast inequality self-join (B² band pairs, B in the tens),
+    * never a corpus-scale window and never an unpartitioned sort.
+    * Counts are exact ints; precision/recall are single-rounded ratios
+    * of exact ints. Output: `(threshold, kept, kept_pos, prec,
+    * recall)`. */
+  def classifierPrCurve(scored: DataFrame, score: String, label: Column,
+                        bucketBits: Int = 24): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 62, s"bad bucketBits: $bucketBits")
+    val w = 1L << bucketBits
+    val base = scored.select(
+        (col(score) - pmod(col(score), lit(w))).as("b_lo"),
+        label.cast("long").as("__y"))
+      .groupBy(col("b_lo"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val thresholds = base.select(col("b_lo").as("threshold"))
+    base.join(broadcast(thresholds), col("b_lo") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("n")).as("kept"), sum(col("n_pos")).as("kept_pos"))
+      .crossJoin(broadcast(base.agg(sum(col("n_pos")).as("__tot_pos"))))
+      .select(col("threshold"), col("kept"), col("kept_pos"),
+        round(col("kept_pos").cast("double") / col("kept"), 4).as("prec"),
+        round(col("kept_pos").cast("double") / col("__tot_pos"), 4)
+          .as("recall"))
+  }
+
   def corpusDataCard(docs: DataFrame, stratum: String, id: String,
                      text: String): DataFrame = {
     val sig = docs.select(col(stratum).as("stratum"), col(id),

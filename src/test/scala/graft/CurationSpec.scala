@@ -252,6 +252,23 @@ class CurationSpec extends SparkSpec {
     assert(a._1.toSeq == bTrained._1.toSeq && a._2 == bTrained._2)
   }
 
+  test("classifierPrCurve: exact band sweep on a hand fixture") {
+    import org.apache.spark.sql.functions.col
+    // bucketBits=2 (w=4): scores bucket to 7→4, 5→4, 3→0, 1→0,
+    // −2→−4 (pmod!), −5→−8. Bands: 4:(2,2) 0:(2,1) −4:(1,0) −8:(1,0);
+    // tot_pos = 3.
+    val df = Seq((7L, 1), (5L, 1), (3L, 0), (1L, 1), (-2L, 0), (-5L, 0))
+      .toDF("score", "y")
+    val out = Curation.classifierPrCurve(df, "score", col("y"), bucketBits = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      4L -> ((2L, 2L, 1.0, 0.6667)),
+      0L -> ((4L, 3L, 0.75, 1.0)),
+      -4L -> ((5L, 3L, 0.6, 1.0)),
+      -8L -> ((6L, 3L, 0.5, 1.0))))
+  }
+
   test("qualityScores decision boundary: keep = 1 exactly when score >= 0") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, Seq(1.0f)), (2L, Seq(-1.0f)), (3L, Seq(0.0f)))
