@@ -1921,6 +1921,86 @@ object Queries {
           FROM sc"""
     }))
 
+  /** Matryoshka truncation recall (composition: cosineTopK on a 16-dim
+    * PREFIX of the 64-dim embeddings vs cosineTopK on the full vectors,
+    * scored by Similarity.topKRecall): how much of the exact neighbor
+    * structure survives dimension truncation — the eval behind
+    * matryoshka-representation / cost-per-dim decisions. Both result
+    * sets use the q19 tie-break discipline, so the per-query hit counts
+    * are exact integers. */
+  private val q117 = QDef("q117_matryoshka_recall",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val full = Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 5)
+      val tr = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val qTr = tr.filter(col("vec_id") % 10 === 0)
+      val trunc = Similarity.cosineTopK(qTr, tr, "vec_id", "embedding", k = 5)
+      Similarity.topKRecall(trunc, full, "q_id", "neighbor_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm,
+                sqrt(list_sum(list_transform(range(1, 17),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS tnrm
+              FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+            scf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                list_sum(list_transform(range(1, len(q.vec) + 1),
+                  i -> CAST(q.vec[i] AS DOUBLE) * c.vec[i])) / (q.nrm * c.nrm)
+                  AS cos
+              FROM q, v c WHERE q.vec_id <> c.vec_id),
+            rf AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM scf),
+            ex AS (SELECT q_id, c_id FROM rf WHERE rn <= 5),
+            sct AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                list_sum(list_transform(range(1, 17),
+                  i -> CAST(q.vec[i] AS DOUBLE) * c.vec[i])) /
+                  (q.tnrm * c.tnrm) AS cos
+              FROM q, v c WHERE q.vec_id <> c.vec_id),
+            rt AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sct),
+            tr AS (SELECT q_id, c_id FROM rt WHERE rn <= 5)
+            SELECT ex.q_id, count(*) AS n_exact,
+                   count(tr.c_id) AS n_hit,
+                   round(CAST(count(tr.c_id) AS DOUBLE) / count(*), 4)
+                     AS recall
+            FROM ex LEFT JOIN tr ON ex.q_id = tr.q_id AND ex.c_id = tr.c_id
+            GROUP BY 1"""), bench = true)
+
+  /** Token-budget mixture plan (Sampling.tokenBudgetPlan): per stratum,
+    * available vs recipe-target vs granted tokens, epoch pressure in
+    * basis points, and the unmet deficit — the exact integer arithmetic
+    * between a mixture design and a training run's token budget.
+    * Targets are integer-fraction literals (2048/1024/512/512 over
+    * 4096), so every output column is engine-exact. */
+  private val q118 = QDef("q118_token_budget",
+    (s, d) => graft.ops.Sampling.tokenBudgetPlan(docs(s, d), "source",
+      TextAnalysis.tokenCount(col("text")), budgetTokens = 150000,
+      shares = Map("src0" -> 2048L, "src1" -> 1024L, "src2" -> 512L,
+        "src3" -> 512L)),
+    Some("""WITH c AS (SELECT source AS stratum,
+                  CAST(sum(len(list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '')))
+                    AS BIGINT) AS available_tokens
+                FROM documents GROUP BY 1),
+             w(stratum, tgt) AS (VALUES ('src0', 75000), ('src1', 37500),
+                 ('src2', 18750), ('src3', 18750)),
+             j AS (SELECT c.stratum, c.available_tokens,
+                     CAST(COALESCE(w.tgt, 0) AS BIGINT) AS target_tokens
+                   FROM c LEFT JOIN w USING (stratum))
+             SELECT stratum, available_tokens, target_tokens,
+                    CAST(least(available_tokens, target_tokens) AS BIGINT)
+                      AS granted_tokens,
+                    CAST(CASE WHEN available_tokens = 0 THEN 0
+                         ELSE (least(available_tokens, target_tokens)
+                           * 10000) // available_tokens END AS BIGINT)
+                      AS epochs_bp,
+                    CAST(greatest(0, target_tokens - available_tokens)
+                      AS BIGINT) AS deficit_tokens
+             FROM j"""), bench = true)
+
   /** Classifier calibration sweep (Curation.classifierPrCurve) over the
     * q112 trained quality classifier: per score-band threshold, exact
     * (kept, kept_pos) counts and the precision/recall a `score ≥ t`
@@ -3350,7 +3430,7 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

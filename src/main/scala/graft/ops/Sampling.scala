@@ -225,6 +225,53 @@ object Sampling {
       .drop("__before")
   }
 
+  /** Token-budget mixture plan — the recipe-arithmetic step between a
+    * mixture DESIGN (target shares, cf. [[mixtureSample]]'s rates) and a
+    * training run's token budget: per stratum, how many tokens exist,
+    * how many the recipe wants (`floor(budget·share/shareDenom)` —
+    * shares are INTEGER fractions so the plan is exact in any engine),
+    * how many can actually be granted (capped at available), the epoch
+    * pressure that grant implies (`epochs_bp` = basis points of one
+    * pass: 10000 ⇔ the whole stratum is consumed once; >10000 is
+    * impossible by the cap — a stratum that WOULD need repetition shows
+    * `deficit_tokens` > 0 instead, the number a recipe discussion
+    * reallocates). Strata absent from `shares` get target 0 and ride
+    * through (they are reported, not silently dropped).
+    *
+    * Shape: ONE map-side-combinable groupBy to per-stratum token sums
+    * (|strata| rows); every target is a Scala-side literal fused into
+    * the plan. Output: `(stratum, available_tokens, target_tokens,
+    * granted_tokens, epochs_bp, deficit_tokens)`. */
+  def tokenBudgetPlan(df: DataFrame, stratum: String, tokens: Column,
+                      budgetTokens: Long, shares: Map[String, Long],
+                      shareDenom: Long = 4096): DataFrame = {
+    require(budgetTokens >= 0, s"bad budget: $budgetTokens")
+    require(shareDenom >= 1 && budgetTokens <= Long.MaxValue / shareDenom,
+      s"budget·denom would overflow int64")
+    require(shares.values.forall(_ >= 0) && shares.values.sum == shareDenom,
+      s"shares must be non-negative and sum to $shareDenom (a complete " +
+        s"recipe), got ${shares.values.sum}")
+    val target = shares.foldLeft(lit(0L): Column) { case (acc, (k, sh)) =>
+      when(col("stratum") === k, lit(budgetTokens * sh / shareDenom))
+        .otherwise(acc)
+    }
+    val granted = least(col("available_tokens"), col("target_tokens"))
+    df.select(col(stratum).as("stratum"), tokens.cast("long").as("__t"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("__t")).as("available_tokens"))
+      .withColumn("target_tokens", target)
+      .withColumn("granted_tokens", granted)
+      // exact basis points: (g·10⁴ − pmod)/avail — the floor-division
+      // form; an all-empty stratum (0 available) pins to 0, not null
+      .withColumn("epochs_bp",
+        when(col("available_tokens") === 0, lit(0L))
+          .otherwise(((col("granted_tokens") * 10000 -
+            pmod(col("granted_tokens") * 10000, col("available_tokens"))) /
+            col("available_tokens")).cast("long")))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("available_tokens")))
+  }
+
   /** Approximate distinct count per group via the native KMV sketch
     * aggregate ([[graft.functions.KmvDistinct]]): O(k) state per group,
     * map-side combinable, DETERMINISTIC (hence oracle-checkable —

@@ -328,4 +328,26 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(re == out.toSet)
   }
+
+  test("tokenBudgetPlan: exact grants, epoch pressure, deficits, ride-through") {
+    // budget 128 over shares a:3072/4096, b:1024/4096 → targets 96/32.
+    // a: 100 available, 96 granted (partial pass, 9600 bp); b: capped at
+    // its 10 available (one full epoch, deficit 22); c: absent from the
+    // recipe → target 0, reported, not dropped.
+    val df = Seq(("a", 40L), ("a", 30L), ("a", 30L), ("b", 10L), ("c", 5L))
+      .toDF("src", "n")
+    val out = Sampling.tokenBudgetPlan(df, "src", col("n"),
+        budgetTokens = 128, shares = Map("a" -> 3072L, "b" -> 1024L))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out == Map(
+      "a" -> ((100L, 96L, 96L, 9600L, 0L)),
+      "b" -> ((10L, 32L, 10L, 10000L, 22L)),
+      "c" -> ((5L, 0L, 0L, 0L, 0L))))
+    // an incomplete recipe is a loud error, not a silent renormalize
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPlan(df, "src", col("n"), 128,
+        Map("a" -> 1000L))
+    }
+  }
 }
