@@ -618,6 +618,27 @@ object StatefulOps {
         graft.ops.Curation.qualityScoreExpr(col(vec), weights, bias))
       .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
 
+  /** Quality DRIFT monitor at ingest: the [[streamingQualityGate]]
+    * verdicts rolled into tumbling event-time windows — per window, how
+    * many documents arrived, how many the trained gate keeps, and the
+    * exact integer score sum (mean score = sum/n, derivable without a
+    * second pass). A falling keep-rate or score sum across windows is
+    * the first observable sign the upstream source degraded — the data
+    * dashboard a production ingest runs next to the gate itself. Same
+    * plan batch and streaming (the ST3 discipline); watermark bounds
+    * window state in append mode. Scores are exact int64, so window
+    * aggregates are engine- and order-exact. */
+  def streamingQualityDrift(stream: DataFrame, ts: String, vec: String,
+                            weights: Array[Long], bias: Long,
+                            windowSec: Int = 10,
+                            lateness: String = "10 seconds"): DataFrame =
+    streamingQualityGate(stream.withWatermark(ts, lateness), vec,
+        weights, bias)
+      .groupBy(window(col(ts), s"$windowSec seconds"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("keep")).as("n_keep"),
+        sum(col("score")).as("score_sum"))
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

@@ -421,6 +421,50 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingQualityDrift: windowed keep-rate/score-sum, late data dropped") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (0 until 12).map { i =>
+      val y = i % 2
+      val base = if (y == 1) 0.5f else -0.5f
+      // first 6 docs in window [0,10), rest in [10,20)
+      (t(s"2024-01-01 00:00:${"%02d".format(i / 6 * 10 + i % 6)}"),
+        i.toLong, Seq(base, ((i * 37 % 11) - 5) / 50.0f))
+    }
+    val batchDf = rows.toDF("ts", "vec_id", "embedding")
+    val (w, b) = graft.ops.Curation.trainQualityClassifier(
+      batchDf, "embedding", org.apache.spark.sql.functions.col("vec_id") % 2)
+    // batch expectation: same plan shape over the first window's rows
+    val expect = graft.ops.Curation
+      .qualityScores(batchDf.filter(col("ts") < t("2024-01-01 00:00:10")),
+        "vec_id", "embedding", w, b)
+      .agg(count(lit(1)), sum(col("keep")), sum(col("score")))
+      .as[(Long, Long, Long)].head()
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val q = StatefulOps.streamingQualityDrift(
+        in.toDF().toDF("ts", "vec_id", "embedding"), "ts", "embedding",
+        w, b, windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("qdrift")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(rows.take(6): _*)
+      q.processAllAvailable()
+      assert(spark.table("qdrift").isEmpty) // window [0,10) still open
+      in.addData(rows.drop(6): _*) // watermark passes 10s: first closes
+      q.processAllAvailable()
+      val closed = spark.table("qdrift")
+        .selectExpr("n", "n_keep", "score_sum").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(closed == Seq(expect),
+        s"closed window must equal the batch pass: $closed vs $expect")
+      // a straggler inside the closed window is dropped (ST2)
+      in.addData((t("2024-01-01 00:00:03"), 99L, Seq(0.5f, 0.0f)))
+      q.processAllAvailable()
+      assert(spark.table("qdrift").count() == 1)
+    }
+  }
+
   test("streamingContaminationCheck equals batch contaminationCheck (stream-static)") {
     implicit val ctx = spark.sqlContext
     // the q50/DedupSpec contamination fixture: doc 10 shares one trigram,
