@@ -2001,6 +2001,46 @@ object Queries {
                       AS BIGINT) AS deficit_tokens
              FROM j"""), bench = true)
 
+  /** First-relevant rank / reciprocal rank (Similarity.firstHitRank):
+    * per query, the rank of the first same-label exact top-5 neighbor
+    * and floor(10⁴/rank) — the MRR@k backbone, rank-sensitive where
+    * q111's agreement@k only counts. Pure integers on the q19-ranked
+    * chain. */
+  private val q119 = QDef("q119_first_hit_rank",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.firstHitRank(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            n AS (SELECT q_id, q_vec,
+                sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * q_vec[i]))) AS q_norm FROM q),
+            m AS (SELECT c_id, c_vec,
+                sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                  i -> CAST(c_vec[i] AS DOUBLE) * c_vec[i]))) AS c_norm FROM c),
+            sc AS (SELECT q_id, c_id,
+                list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * c_vec[i])) / (q_norm * c_norm)
+                  AS cos
+              FROM n, m WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+            lab AS (SELECT vec_id, label FROM embeddings),
+            agg AS (SELECT r.q_id, ql.label AS q_label,
+                     COALESCE(min(CASE WHEN nl.label = ql.label
+                       THEN r.rn END), 0) AS fr
+                    FROM r JOIN lab ql ON ql.vec_id = r.q_id
+                          JOIN lab nl ON nl.vec_id = r.c_id
+                    WHERE r.rn <= 5
+                    GROUP BY 1, 2)
+            SELECT q_id, q_label, CAST(fr AS BIGINT) AS first_rank,
+                   CAST(CASE WHEN fr = 0 THEN 0
+                        ELSE 10000 // fr END AS BIGINT) AS rr_bp
+            FROM agg"""), bench = true)
+
   /** Classifier calibration sweep (Curation.classifierPrCurve) over the
     * q112 trained quality classifier: per score-band threshold, exact
     * (kept, kept_pos) counts and the precision/recall a `score ≥ t`
@@ -3446,7 +3486,7 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

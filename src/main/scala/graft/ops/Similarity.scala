@@ -931,6 +931,44 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("proj")).as("sp"),
         sum(col("proj") * col("proj")).as("spp"))
 
+  /** First-relevant rank — the integer backbone of MRR@k, the
+    * rank-sensitive companion to [[labelAgreementAtK]] (agreement counts
+    * how MANY top-k neighbors share the label; this reports how SOON
+    * the first one appears — the number retrieval evals quote): per
+    * query, the rank (1-based) of the highest-ranked top-k neighbor
+    * sharing its label, 0 if none, plus the exact reciprocal rank in
+    * basis points (`rr_bp = floor(10⁴/rank)`; mean(rr_bp)/10⁴ = MRR@k).
+    * Pure integers ⇒ engine-exact wherever the top-k SET is (the q19
+    * tie-break discipline).
+    *
+    * Shape: [[cosineTopK]]'s bounded top-k, ranked by a window over the
+    * |queries|·k result (partitioned by query, never corpus-scale),
+    * then the q111 join discipline — the ranked top-k side is BROADCAST
+    * against the corpus (id, label) relation so the corpus streams
+    * unshuffled. */
+  def firstHitRank(queries: DataFrame, corpus: DataFrame, id: String,
+                   vec: String, label: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val ranked = cosineTopK(queries, corpus, id, vec, k)
+      .withColumn("rank", row_number().over(w))
+    val nLab = corpus.select(col(id).as("neighbor_id"),
+      col(label).cast("int").as("n_label"))
+    val qLab = queries.select(col(id).as("q_id"),
+      col(label).cast("int").as("q_label"))
+    nLab
+      .join(broadcast(ranked), Seq("neighbor_id"))
+      .join(broadcast(qLab), Seq("q_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(coalesce(min(when(col("n_label") === col("q_label"),
+          col("rank"))), lit(0)).cast("long").as("first_rank"))
+      // exact reciprocal rank: floor(10⁴/rank) via the pmod floor form
+      .withColumn("rr_bp",
+        when(col("first_rank") === 0, lit(0L))
+          .otherwise(((lit(10000L) - pmod(lit(10000L), col("first_rank"))) /
+            col("first_rank")).cast("long")))
+  }
+
   /** Train SQ8 scalar-quantization bounds: per-dimension (min, max) of
     * the floor-quantized corpus (`floor(v_j·2^scaleBits)`, the repo-wide
     * integer grid) — the trained artifact of the FAISS-style SQ8 index

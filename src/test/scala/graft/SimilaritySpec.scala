@@ -398,6 +398,33 @@ class SimilaritySpec extends SparkSpec {
     assert(one.find(_._1 == 1L).get._2 == exp)
   }
 
+  test("firstHitRank: rank of first same-label neighbor, 0 when absent") {
+    // cluster A (label 0) at (1, ~0), cluster B (label 1) at (~0, 1),
+    // one label-1 infiltrator (id 7) sitting INSIDE cluster A, one
+    // unique label (id 6). With k = 3:
+    //  q1 (label 0): nearest is the infiltrator 7 (cos 0.99999) — first
+    //    same-label neighbor is 2 at rank 2 → rr_bp 5000
+    //  q4 (label 1): nearest 5 shares the label → rank 1, rr 10000
+    //  q6 (label 2, unique): no same-label neighbor in any top-k → 0/0
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.01f), 0),
+      (3L, Seq(1.0f, 0.02f), 0), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.01f, 1.0f), 1), (6L, Seq(0.5f, 0.5f), 2),
+      (7L, Seq(1.0f, 0.005f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.firstHitRank(df, df, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 5000L)))
+    assert(out(4L) == ((1L, 10000L)))
+    assert(out(6L) == ((0L, 0L)))
+    // floor semantics of the reciprocal: rank 3 → 3333, not 3334
+    val allRanks = out.values.map(_._1).toSet
+    assert(out.forall { case (_, (fr, rr)) =>
+      rr == (if (fr == 0) 0L else 10000L / fr) }, s"rr mismatch: $out")
+    assert(allRanks.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
+
   test("sq8Encode: hand-computed byte codes, exact reconstruction error") {
     // quantized grid: (0,0) → (0,0); (1,-1) → (4096,-4096);
     // (0.5,0.25) → (2048,1024). Bounds: dim1 [0,4096] range 4096,
