@@ -1,0 +1,93 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Persistence for TRAINED ARTIFACTS — the deployment half of every
+  * train/apply split in the engine (PCA weights, embedding centroids,
+  * SQ8 bounds, quality-classifier weights, BPE merge lists): training
+  * runs once, the artifact is saved next to the data, and every later
+  * batch or streaming job loads it and fuses it into its plan as
+  * literals. Without this, "train once, apply everywhere" only works
+  * inside one driver's lifetime.
+  *
+  * Layout: ONE parquet table per store, rows `(artifact, i, j, v)` for
+  * integer artifacts and `(artifact, i, a, b)` for string-pair lists —
+  * deliberately engine-neutral (DuckDB, Trino, or a debugging notebook
+  * can read a store with no code from this repo), append-only per
+  * artifact name, tiny by construction (artifacts are vocab/d²-bounded;
+  * the corpus never passes through here).
+  *
+  * Determinism contract: artifacts are exact int64 (the repo-wide
+  * integer-quantized training discipline), so a save→load roundtrip is
+  * bit-identical and an apply pass against a LOADED artifact equals the
+  * apply against the freshly-trained one — spec-pinned, not assumed. */
+object ArtifactStore {
+
+  /** Save a flat int64 vector (centroid, SQ8 lo/hi, classifier weights
+    * + bias) under `name`. Overwrites that name only. */
+  def saveVector(spark: SparkSession, dir: String, name: String,
+                 values: Array[Long]): Unit =
+    saveMatrix(spark, dir, name, Array(values))
+
+  def loadVector(spark: SparkSession, dir: String, name: String): Array[Long] = {
+    val m = loadMatrix(spark, dir, name)
+    require(m.length == 1, s"artifact '$name' has ${m.length} rows, not 1")
+    m(0)
+  }
+
+  /** Save an int64 matrix (PCA weight rows, per-class centroids) under
+    * `name` as `(artifact, i, j, v)` rows. */
+  def saveMatrix(spark: SparkSession, dir: String, name: String,
+                 values: Array[Array[Long]]): Unit = {
+    import spark.implicits._
+    require(values.nonEmpty && values.forall(_.nonEmpty),
+      s"artifact '$name' must be non-empty")
+    val rows = for {
+      (row, i) <- values.zipWithIndex
+      (v, j) <- row.zipWithIndex
+    } yield (name, i, j, v)
+    rows.toSeq.toDF("artifact", "i", "j", "v")
+      .repartition(1) // artifacts are d²-bounded: one file, not 32
+      .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+  }
+
+  def loadMatrix(spark: SparkSession, dir: String,
+                 name: String): Array[Array[Long]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/$name.parquet")
+      .select("i", "j", "v").as[(Int, Int, Long)].collect()
+    require(rows.nonEmpty, s"artifact '$name' is empty")
+    val ni = rows.map(_._1).max + 1
+    val out = Array.tabulate(ni) { i =>
+      val r = rows.filter(_._1 == i)
+      val nj = r.map(_._2).max + 1
+      require(r.length == nj, s"artifact '$name' row $i has holes")
+      val a = new Array[Long](nj)
+      r.foreach { case (_, j, v) => a(j) = v }
+      a
+    }
+    out
+  }
+
+  /** Save a trained BPE merge list (ordered string pairs) as
+    * `(artifact, i, a, b)` rows — `i` is the merge step, order is the
+    * semantics. */
+  def saveMerges(spark: SparkSession, dir: String, name: String,
+                 merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    require(merges.nonEmpty, s"merge list '$name' must be non-empty")
+    merges.zipWithIndex.map { case ((a, b), i) => (name, i, a, b) }
+      .toDF("artifact", "i", "a", "b")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+  }
+
+  def loadMerges(spark: SparkSession, dir: String,
+                 name: String): Seq[(String, String)] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/$name.parquet")
+      .select("i", "a", "b").as[(Int, String, String)].collect()
+    require(rows.nonEmpty, s"merge list '$name' is empty")
+    rows.sortBy(_._1).map(r => (r._2, r._3)).toSeq
+  }
+}

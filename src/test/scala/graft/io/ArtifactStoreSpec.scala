@@ -1,0 +1,63 @@
+package graft.io
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.ops.{Similarity, TextAnalysis}
+
+/** Trained-artifact persistence: save→load must be bit-identical, and an
+  * apply pass against a LOADED artifact must equal the apply against the
+  * freshly-trained one — the contract that makes "train once, apply
+  * everywhere" survive across drivers. */
+class ArtifactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp: String =
+    Files.createTempDirectory("artifact-store").toString
+
+  test("int64 vector and matrix roundtrip bit-identically") {
+    val dir = tmp
+    val v = Array(0L, -1L, Long.MaxValue, Long.MinValue, 4096L)
+    ArtifactStore.saveVector(spark, dir, "bounds_lo", v)
+    assert(ArtifactStore.loadVector(spark, dir, "bounds_lo").toSeq == v.toSeq)
+    val m = Array(Array(1L, -2L, 3L), Array(-4L, 5L, -6L))
+    ArtifactStore.saveMatrix(spark, dir, "pca_w", m)
+    assert(ArtifactStore.loadMatrix(spark, dir, "pca_w").map(_.toSeq).toSeq ==
+      m.map(_.toSeq).toSeq)
+    // names are independent namespaces: saving one never clobbers another
+    assert(ArtifactStore.loadVector(spark, dir, "bounds_lo").toSeq == v.toSeq)
+  }
+
+  test("merge lists roundtrip in ORDER (order is the BPE semantics)") {
+    val dir = tmp
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    ArtifactStore.saveMerges(spark, dir, "tokenizer", merges)
+    assert(ArtifactStore.loadMerges(spark, dir, "tokenizer") == merges)
+  }
+
+  test("apply against a loaded artifact equals apply against the trained one") {
+    val dir = tmp
+    val df = (1 to 30).map(i =>
+      (i.toLong, Seq(i * 0.01f, 0.5f - i * 0.002f))).toDF("vec_id", "embedding")
+    val mu = Similarity.trainEmbeddingCentroid(df, "embedding")
+    ArtifactStore.saveVector(spark, dir, "centroid", mu)
+    val mu2 = ArtifactStore.loadVector(spark, dir, "centroid")
+    val fresh = Similarity.centroidDistances(df, "vec_id", "embedding", mu)
+      .collect().map(_.toString).sorted.toSeq
+    val loaded = Similarity.centroidDistances(df, "vec_id", "embedding", mu2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fresh == loaded && fresh.nonEmpty)
+  }
+
+  test("BPE encode against reloaded merges equals the in-memory artifact") {
+    val dir = tmp
+    val docs = Seq((1L, "low lower"), (2L, "lower low")).toDF("doc_id", "text")
+    val merges = TextAnalysis.collectMerges(docs, "text", 2)
+    ArtifactStore.saveMerges(spark, dir, "bpe", merges)
+    val reloaded = ArtifactStore.loadMerges(spark, dir, "bpe")
+    val a = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(_.toString).sorted.toSeq
+    val b = TextAnalysis.bpeEncode(docs, "doc_id", "text", reloaded)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
