@@ -2135,6 +2135,45 @@ object Queries {
     mergeCache.getOrElseUpdate((d, k),
       TextAnalysis.collectMerges(docs(s, d), "text", k))
 
+  /** SQ8 ANN top-k (Similarity.sq8TopK + the codegen'd Sq8Dot native
+    * expression): the corpus scanned as byte codes, dequantization
+    * fused into an all-int64 scoring loop — ranking is engine-exact
+    * (quantization is the only approximation), so the oracle recomputes
+    * bounds, codes, dequant, and the integer scores relationally, like
+    * q115. */
+  private val q120 = QDef("q120_sq8_topk",
+    (s, d) => {
+      val (lo, hi) = trainedSq8(s, d)
+      val e = emb(s, d)
+      Similarity.sq8TopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, lo, hi)
+    },
+    Some("""WITH m AS (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            b AS (SELECT j, min(mv) AS lo, max(mv) AS hi FROM m GROUP BY 1),
+            cj AS (SELECT m.vec_id, m.j, b.lo, b.hi,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE (255 * (m.mv - b.lo)) // (b.hi - b.lo)
+                     END AS code
+                   FROM m JOIN b USING (j)),
+            rj AS (SELECT vec_id, j,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + (code * (hi - lo)) // 255 END AS r
+                   FROM cj),
+            q AS (SELECT vec_id, j, mv FROM m WHERE vec_id % 10 = 0),
+            sc AS (SELECT q.vec_id AS q_id, rj.vec_id AS neighbor_id,
+                     sum(q.mv * rj.r) AS s
+                   FROM q JOIN rj USING (j)
+                   WHERE q.vec_id <> rj.vec_id GROUP BY 1, 2),
+            rk AS (SELECT q_id, neighbor_id, s, row_number() OVER (
+                PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rn
+              FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id,
+                   CAST(s AS BIGINT) AS iscore
+            FROM rk WHERE rn <= 5"""), bench = true)
+
   /** Full corpus BPE encoding (TextAnalysis.bpeEncode): per-document
     * subword-ID sequences under a 1-merge BPE — the encoder-output form
     * a packed-pretraining pipeline feeds the model. Token id = 1-based
@@ -3486,7 +3525,8 @@ object Queries {
     q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
+    q120)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

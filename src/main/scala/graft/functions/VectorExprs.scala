@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -209,6 +209,65 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** SQ8 asymmetric integer dot: given a corpus vector's byte `codes`
+  * (one code per dim against per-dim trained bounds) and the query's
+  * quantized grid values `mq` (`floor(v_j·2^s)` as longs), with the
+  * trained `lo`/`range` arrays baked into the expression as literals,
+  * the approximate inner product ON THE INTEGER GRID is
+  * Σ_j mq[j] · (lo[j] + codes[j]·range[j] / 255) — dequantization fused
+  * into the scoring loop, all int64, so the ranking is engine-exact
+  * (no float ADC error on top of the quantization error). The corpus
+  * side scans 1 byte of information per dim (the SQ8 point); the
+  * division is non-negative-by-construction, so Java `/` IS floor. */
+case class Sq8Dot(left: Expression, right: Expression,
+                  lo: Array[Long], range: Array[Long])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(lo.length == range.length && lo.nonEmpty, "bad SQ8 bounds")
+  require(range.forall(_ >= 0), "negative SQ8 range")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq8_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val mq = b.asInstanceOf[ArrayData]
+    val n = math.min(lo.length, math.min(codes.numElements(), mq.numElements()))
+    var s = 0L
+    var j = 0
+    while (j < n) {
+      s += mq.getLong(j) * (lo(j) + codes.getInt(j) * range(j) / 255L)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val loRef = ctx.addReferenceObj("sq8lo", lo, "long[]")
+      val rangeRef = ctx.addReferenceObj("sq8range", range, "long[]")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($loRef.length,
+         |  java.lang.Math.min($a.numElements(), $b.numElements()));
+         |long $s = 0L;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $s += $b.getLong($j) *
+         |    ($loRef[$j] + $a.getInt($j) * $rangeRef[$j] / 255L);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column forms of the native expressions. */
   def floatDot(a: Column, b: Column): Column =
@@ -226,4 +285,9 @@ object VectorExprs {
   def pqAdc(codes: Column, table: Column, ksub: Int): Column =
     Bridge.column(PqAdc(
       Bridge.expression(codes), Bridge.expression(table), ksub))
+
+  def sq8Dot(codes: Column, mq: Column, lo: Array[Long],
+             range: Array[Long]): Column =
+    Bridge.column(Sq8Dot(
+      Bridge.expression(codes), Bridge.expression(mq), lo, range))
 }

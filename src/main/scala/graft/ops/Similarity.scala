@@ -941,17 +941,14 @@ object Similarity {
     * Pure integers ⇒ engine-exact wherever the top-k SET is (the q19
     * tie-break discipline).
     *
-    * Shape: [[cosineTopK]]'s bounded top-k, ranked by a window over the
-    * |queries|·k result (partitioned by query, never corpus-scale),
-    * then the q111 join discipline — the ranked top-k side is BROADCAST
-    * against the corpus (id, label) relation so the corpus streams
-    * unshuffled. */
+    * Shape: [[cosineTopK]]'s bounded top-k (its `rank` column IS the
+    * tie-broken rank, computed on UNROUNDED scores — re-ranking on the
+    * rounded output could disagree at near-ties), then the q111 join
+    * discipline — the top-k side is BROADCAST against the corpus
+    * (id, label) relation so the corpus streams unshuffled. */
   def firstHitRank(queries: DataFrame, corpus: DataFrame, id: String,
                    vec: String, label: String, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
     val ranked = cosineTopK(queries, corpus, id, vec, k)
-      .withColumn("rank", row_number().over(w))
     val nLab = corpus.select(col(id).as("neighbor_id"),
       col(label).cast("int").as("n_label"))
     val qLab = queries.select(col(id).as("q_id"),
@@ -1016,20 +1013,25 @@ object Similarity {
     * no join, no shuffle — the bounds ride the plan as literals, the
     * scan streams. Constant dims (range 0) code to 0 and reconstruct
     * exactly. */
+  private def sq8MCol(vec: String, j: Int, scaleBits: Int): Column =
+    floor(element_at(col(vec), j + 1).cast("double") *
+      (1L << scaleBits).toDouble)
+
+  private def sq8CodeCol(vec: String, j: Int, lo: Array[Long],
+                         hi: Array[Long], scaleBits: Int): Column = {
+    val range = hi(j) - lo(j)
+    if (range == 0L) lit(0L)
+    else least(greatest(
+      floorDivCol((sq8MCol(vec, j, scaleBits) - lit(lo(j))) * 255, range),
+      lit(0L)), lit(255L))
+  }
+
   def sq8Encode(df: DataFrame, id: String, vec: String,
                 lo: Array[Long], hi: Array[Long],
                 scaleBits: Int = 12): DataFrame = {
     require(lo.length == hi.length && lo.nonEmpty, "bad bounds")
     require(lo.indices.forall(j => hi(j) >= lo(j)), "hi < lo")
-    val scale = (1L << scaleBits).toDouble
-    def m(j: Int): Column =
-      floor(element_at(col(vec), j + 1).cast("double") * scale)
-    def code(j: Int): Column = {
-      val range = hi(j) - lo(j)
-      if (range == 0L) lit(0L)
-      else least(greatest(floorDivCol((m(j) - lit(lo(j))) * 255, range),
-        lit(0L)), lit(255L))
-    }
+    def code(j: Int): Column = sq8CodeCol(vec, j, lo, hi, scaleBits)
     def recon(j: Int): Column = {
       val range = hi(j) - lo(j)
       if (range == 0L) lit(lo(j))
@@ -1038,11 +1040,62 @@ object Similarity {
     val checksum = lo.indices.map(j => code(j) * lit(j + 1L))
       .reduceLeft(_ + _)
     val err2 = lo.indices.map { j =>
-      val d = m(j).cast("long") - recon(j)
+      val d = sq8MCol(vec, j, scaleBits).cast("long") - recon(j)
       d * d
     }.reduceLeft(_ + _)
     df.select(col(id).cast("long").as(id),
       checksum.as("code_checksum"), err2.as("err2"))
+  }
+
+  /** SQ8 code table — each corpus vector as one 0..255 int per dim
+    * against the trained bounds: the 4×-compressed index form
+    * [[sq8TopK]] scans (the FAISS ScalarQuantizer SQ8 layout, before PQ
+    * enters). Row-local fused literal expressions, no shuffle. */
+  def sq8Codes(df: DataFrame, id: String, vec: String,
+               lo: Array[Long], hi: Array[Long],
+               scaleBits: Int = 12): DataFrame = {
+    require(lo.length == hi.length && lo.nonEmpty, "bad bounds")
+    df.select(col(id).cast("long").as("c_id"),
+      array(lo.indices.map(j =>
+        sq8CodeCol(vec, j, lo, hi, scaleBits).cast("int")): _*).as("codes"))
+  }
+
+  /** SQ8 ANN top-k by asymmetric integer dot ([[graft.functions.Sq8Dot]],
+    * codegen'd): the corpus is scanned as CODES ONLY — dequantization
+    * (`lo_j + code·range_j DIV 255`) is fused into the scoring loop, and
+    * both sides stay on the int64 grid, so the ranking is ENGINE-EXACT
+    * (quantization is the only approximation; there is no float-ADC
+    * noise for an oracle to disagree about, unlike float SQ
+    * implementations). Queries quantize to `floor(v·2^s)` longs and
+    * broadcast; ranking is integer-score DESC then id ([[topKMerge]]).
+    * Output: `(q_id, rank, neighbor_id, iscore)`.
+    *
+    * At 100 TB this is the SQFlat serving path: 1 byte per dim per
+    * candidate against fp32's 4 — the variant that holds when PQ's
+    * codebook error is too coarse but fp32 doesn't fit the page
+    * cache. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, id: String,
+              vec: String, k: Int, lo: Array[Long], hi: Array[Long],
+              scaleBits: Int = 12,
+              maxBroadcastQueries: Long = 500000L): DataFrame = {
+    requireBounded("sq8TopK", "query", queries, maxBroadcastQueries,
+      "maxBroadcastQueries",
+      "bucket the queries (ivfTopK-style) or raise the limit explicitly")
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val scale = (1L << scaleBits).toDouble
+    val codes = sq8Codes(corpus, id, vec, lo, hi, scaleBits)
+    val q = queries.select(col(id).cast("long").as("q_id"),
+      array(lo.indices.map(j =>
+        floor(element_at(col(vec), j + 1).cast("double") * scale)
+          .cast("long")): _*).as("mq"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.sq8Dot(col("codes"), col("mq"), lo, range)
+          .cast("double").as("cos"))
+    topKMerge(scored, k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        col("cos").cast("long").as("iscore"))
   }
 
   /** Label agreement@k — the intrinsic embedding-quality eval next to

@@ -444,6 +444,32 @@ class SimilaritySpec extends SparkSpec {
       3L -> ((637L, 81L))))
   }
 
+  test("sq8TopK: all-integer ADC ranking, hand-computed on the d=2 fixture") {
+    // bounds/codes as in the sq8Encode test; dequantized grid vectors:
+    // v1 → (0, 0), v2 → (4096, -4096), v3 → (2039, 1024). Query grid
+    // values mq: v1 (0,0), v2 (4096,-4096), v3 (2048,1024). Scores:
+    //  q1: both candidates 0 → tie broken by id: (2 then 3)
+    //  q2: s(2,3) = 4096·2039 − 4096·1024 = 4157440 > s(2,1) = 0
+    //  q3: s(3,2) = 2048·4096 − 1024·4096 = 4194304 > s(3,1) = 0
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, -1f)),
+      (3L, Seq(0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val (lo, hi) = Similarity.trainSq8Bounds(df, "embedding")
+    val out = Similarity.sq8TopK(df, df, "vec_id", "embedding", k = 2, lo, hi)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      (1L, 1) -> ((2L, 0L)), (1L, 2) -> ((3L, 0L)),
+      (2L, 1) -> ((3L, 4157440L)), (2L, 2) -> ((1L, 0L)),
+      (3L, 1) -> ((2L, 4194304L)), (3L, 2) -> ((1L, 0L))))
+    // the native expression agrees with an interpreted recompute
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val codes = Similarity.sq8Codes(df, "vec_id", "embedding", lo, hi)
+      .as[(Long, Seq[Int])].collect().toMap
+    def dequant(c: Seq[Int]): Seq[Long] =
+      c.indices.map(j => lo(j) + c(j).toLong * range(j) / 255L)
+    assert(dequant(codes(3L)) == Seq(2039L, 1024L))
+  }
+
   test("sq8Encode: constant dims code to 0 exactly; partition invariance") {
     val df = (1 to 40).map(i =>
       (i.toLong, Seq(i * 0.01f, 0.7f, -i * 0.003f))).toDF("vec_id", "embedding")
