@@ -2174,6 +2174,80 @@ object Queries {
                    CAST(s AS BIGINT) AS iscore
             FROM rk WHERE rn <= 5"""), bench = true)
 
+  /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
+    * composition: trained coarse quantizer prunes to 3 cells per query,
+    * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
+    * cell-assignment/probe CTEs (dyadic-transported centroid literals)
+    * with q120's relational SQ8 chain. */
+  private val q121 = QDef("q121_ivfsq8_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val cent = trainedCentroids(s, d).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      val (lo, hi) = trainedSq8(s, d)
+      Similarity.ivfSq8TopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, cent, nProbe = 3, lo, hi)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val centRows = trainedCentroids(s, d).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $centRows) AS t(cent_id, cent_vec)),
+            v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            asg AS (SELECT c_id, cell FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC) AS rn
+              FROM v a, cent) WHERE rn = 1),
+            qv AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+              FROM v WHERE vec_id % 10 = 0),
+            probes AS (SELECT q_id, cell FROM (
+              SELECT qv.q_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY qv.q_id ORDER BY
+                       list_sum(list_transform(range(1, len(qv.q_vec) + 1),
+                         i -> CAST(qv.q_vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (qv.q_nrm * cent.cent_nrm) DESC, cent.cent_id ASC)
+                       AS rn
+              FROM qv, cent) WHERE rn <= 3),
+            m AS (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            b AS (SELECT j, min(mv) AS lo, max(mv) AS hi FROM m GROUP BY 1),
+            cj AS (SELECT m.vec_id, m.j, b.lo, b.hi,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE (255 * (m.mv - b.lo)) // (b.hi - b.lo)
+                     END AS code
+                   FROM m JOIN b USING (j)),
+            rj AS (SELECT vec_id, j,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + (code * (hi - lo)) // 255 END AS r
+                   FROM cj),
+            qm AS (SELECT vec_id, j, mv FROM m WHERE vec_id % 10 = 0),
+            sc AS (SELECT p.q_id, a.c_id AS neighbor_id,
+                     sum(qm.mv * rj.r) AS s
+                   FROM probes p
+                   JOIN asg a ON p.cell = a.cell
+                   JOIN rj ON rj.vec_id = a.c_id
+                   JOIN qm ON qm.vec_id = p.q_id AND qm.j = rj.j
+                   WHERE p.q_id <> a.c_id
+                   GROUP BY 1, 2),
+            rk AS (SELECT q_id, neighbor_id, s, row_number() OVER (
+                PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rn
+              FROM sc)
+            SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id,
+                   CAST(s AS BIGINT) AS iscore
+            FROM rk WHERE rn <= 5"""
+    }))
+
   /** Full corpus BPE encoding (TextAnalysis.bpeEncode): per-document
     * subword-ID sequences under a 1-merge BPE — the encoder-output form
     * a packed-pretraining pipeline feeds the model. Token id = 1-based
@@ -3526,7 +3600,7 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120)
+    q120, q121)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1098,6 +1098,52 @@ object Similarity {
         col("cos").cast("long").as("iscore"))
   }
 
+  /** IVF-SQ8 top-k — the FAISS `IVFx,SQ8` index form: the trained
+    * coarse quantizer prunes to `nProbe` cells per query
+    * ([[ivfTopKWith]]'s probe discipline) and candidates score by the
+    * all-int64 SQ8 ADC ([[sq8TopK]]'s engine-exact ranking). Cell
+    * assignment happens at INDEX-BUILD time from full-precision vectors
+    * (the FAISS convention — quantization error never moves a vector
+    * across cells); the search-time scan touches only `(cell, codes)`
+    * rows. The cell equi-join is the one corpus-scale join, bucketed by
+    * construction; centroids and the quantized query table broadcast.
+    * Output: `(q_id, rank, neighbor_id, iscore)`. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, id: String,
+                 vec: String, k: Int, cent: DataFrame, nProbe: Int,
+                 lo: Array[Long], hi: Array[Long],
+                 scaleBits: Int = 12): DataFrame = {
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val scale = (1L << scaleBits).toDouble
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val cells = assignCells(c, cent).select(col("c_id"), col("cell"))
+    val index = sq8Codes(corpus, id, vec, lo, hi, scaleBits)
+      .join(cells, "c_id")
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"),
+        cosine(col("q_vec"), col("cent_vec"), col("q_norm"), col("cent_norm"))
+          .as("qcos"), col("cent_id"))
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("qcos")).as("n"), col("cent_id")))), 1, nProbe).as("cells"))
+      .select(col("q_id"), explode(col("cells.cent_id")).as("cell"))
+    val qm = queries.select(col(id).cast("long").as("q_id"),
+      array(lo.indices.map(j =>
+        floor(element_at(col(vec), j + 1).cast("double") * scale)
+          .cast("long")): _*).as("mq"))
+    val scored = probes.join(broadcast(qm), "q_id")
+      .join(index, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.sq8Dot(col("codes"), col("mq"), lo, range)
+          .cast("double").as("cos"))
+    topKMerge(scored, k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        col("cos").cast("long").as("iscore"))
+  }
+
   /** Label agreement@k — the intrinsic embedding-quality eval next to
     * [[topKRecall]]'s index-quality eval: per query vector, how many of
     * its exact top-k cosine neighbors share its label (high agreement =

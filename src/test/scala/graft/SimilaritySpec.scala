@@ -240,6 +240,29 @@ class SimilaritySpec extends SparkSpec {
     assert(wide.map(_._3) == Seq(20L, 2L, 30L))
   }
 
+  test("ivfSq8TopK prunes to probed cells, then ranks by integer ADC") {
+    val cent = Similarity.trainIvfCentroids(pqCorpus, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val (lo, hi) = Similarity.trainSq8Bounds(pqCorpus, "embedding")
+    // nProbe=1: only the query's own A cell — the sole candidate is the
+    // exact dup (20); B vectors are pruned BEFORE any scoring
+    val out = Similarity.ivfSq8TopK(pqCorpus.filter(col("vec_id") === 1),
+        pqCorpus, "vec_id", "embedding", k = 3, cent, nProbe = 1, lo, hi)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 1, 20L)))
+    // the integer score is the exact grid dot with itself: the A vector
+    // quantizes to (4·4096, 0, 4·4096, 0) and dequantizes exactly
+    // (codes 255 hit the hi bound), so iscore = 2·(4·4096)²
+    assert(out.head._4 == 2L * (4L * 4096) * (4L * 4096))
+    // nProbe=2 re-admits the B cell; integer ranking keeps the dup first
+    val wide = Similarity.ivfSq8TopK(pqCorpus.filter(col("vec_id") === 1),
+        pqCorpus, "vec_id", "embedding", k = 5, cent, nProbe = 2, lo, hi)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(wide.head._3 == 20L && wide.length == 5)
+    // B-cell candidates are orthogonal on the grid: iscore exactly 0
+    assert(wide.tail.forall(_._4 == 0L))
+  }
+
   test("pqReconstructionError: zero on cell means, exact off-center error") {
     val cb = Similarity.trainPqCodebooks(pqCorpus, "vec_id", "embedding",
       dim = 4, m = 2, ksub = 2, iters = 1)
