@@ -639,6 +639,18 @@ object StatefulOps {
         sum(col("keep")).as("n_keep"),
         sum(col("score")).as("score_sum"))
 
+  /** SQ8 encode + audit AT INGEST: the streaming form of
+    * [[graft.ops.Similarity.sq8Encode]] — trained bounds ride the plan
+    * as fused literals (STATELESS, no join, no state store), so
+    * arriving vectors byte-encode in append mode with checksums and
+    * reconstruction errors bit-identical to the batch pass. An `err2`
+    * spike at ingest is the live signal that new data has drifted
+    * outside the trained quantization bounds and the index needs
+    * retraining — the SQ8 analog of [[streamingOutlierScore]]. */
+  def streamingSq8Audit(stream: DataFrame, id: String, vec: String,
+                        lo: Array[Long], hi: Array[Long]): DataFrame =
+    graft.ops.Similarity.sq8Encode(stream, id, vec, lo, hi)
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

@@ -92,10 +92,11 @@ class PlanGuardSpec extends SparkSpec {
     // shuffled): this pin plus the cartesian guard makes that removal a
     // test failure, not a silent 100× regression.
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    Seq("q82_pq_topk", "q85_ivfpq_topk").foreach { name =>
+    // q120's quantized-query table rides the code scan the same way
+    Seq("q82_pq_topk", "q85_ivfpq_topk", "q120_sq8_topk").foreach { name =>
       val bnlj = plans(name).count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
       assert(bnlj >= 1,
-        s"$name: the per-query ADC lookup table lost its broadcast " +
+        s"$name: the per-query ADC table lost its broadcast " +
           "nested-loop attachment")
     }
   }

@@ -465,6 +465,34 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingSq8Audit: ingest encode equals the batch pass bit-exactly") {
+    implicit val ctx = spark.sqlContext
+    val rows = (1 to 20).map(i =>
+      (i.toLong, Seq(i * 0.05f, 0.7f, -i * 0.01f)))
+    val batchDf = rows.toDF("vec_id", "embedding")
+    val (lo, hi) = graft.ops.Similarity.trainSq8Bounds(batchDf, "embedding")
+    val batch = graft.ops.Similarity
+      .sq8Encode(batchDf, "vec_id", "embedding", lo, hi)
+      .as[(Long, Long, Long)].collect().toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StatefulOps.streamingSq8Audit(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", lo, hi)
+      .writeStream.format("memory").queryName("sq8audit")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sq8audit")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, "ingest SQ8 audit must equal batch")
+      // and an out-of-bounds arrival (beyond the trained hi) clamps to
+      // code 255 instead of throwing: err2 is large but finite
+      in.addData((99L, Seq(10.0f, 0.7f, 0.0f)))
+      q.processAllAvailable()
+      assert(spark.table("sq8audit").count() == 21)
+    }
+  }
+
   test("streamingContaminationCheck equals batch contaminationCheck (stream-static)") {
     implicit val ctx = spark.sqlContext
     // the q50/DedupSpec contamination fixture: doc 10 shares one trigram,
