@@ -2174,6 +2174,38 @@ object Queries {
                    CAST(s AS BIGINT) AS iscore
             FROM rk WHERE rn <= 5"""), bench = true)
 
+  /** Bucketized range join (EventOps.rangeJoin) — the brief's named
+    * "range join" custom operator: incident windows (10 min from every
+    * 50th event) matched to the events they contain via bucket
+    * equi-join + residual filter, never a theta join; rolled up to
+    * per-incident totals. Exact integers on epoch micros. */
+  private val q122 = QDef("q122_range_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val pts = ev.select(col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"))
+      val iv = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("lo_us"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("hi_us"))
+      graft.ops.EventOps.rangeJoin(pts, iv, "t_us", "lo_us", "hi_us",
+          bucketWidth = 600000000L)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+    },
+    Some("""WITH iv AS (SELECT event_id AS incident_id,
+                 epoch_us(ts) AS lo_us, epoch_us(ts) + 600000000 AS hi_us
+               FROM events WHERE event_id % 50 = 0),
+             p AS (SELECT event_id, epoch_us(ts) AS t_us, event_type
+               FROM events)
+             SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(sum(CASE WHEN event_type = 'error'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+             FROM p JOIN iv ON p.t_us BETWEEN iv.lo_us AND iv.hi_us
+             GROUP BY 1"""), bench = true)
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -3600,7 +3632,7 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121)
+    q120, q121, q122)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

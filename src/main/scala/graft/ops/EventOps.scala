@@ -233,4 +233,34 @@ object EventOps {
       .select((keys.map(col) :+ col(id)): _*).distinct()
     df.join(suppressed, keys :+ id, "left_anti")
   }
+
+  /** Interval (range) join at scale: every (point, interval) pair with
+    * `lo ≤ t ≤ hi`, WITHOUT the theta join Spark would otherwise plan
+    * (a BroadcastNestedLoopJoin, or a CartesianProduct once the
+    * interval side outgrows broadcast — quadratic either way). The
+    * standard bucketization: points key by their `bucketWidth`-floor
+    * (`t − pmod(t, w)` — exact integer flooring, never `/`), intervals
+    * EXPLODE to every bucket they overlap, and the match becomes a
+    * bucket EQUI-join + residual containment filter. Each point lives
+    * in exactly one bucket, so a qualifying pair appears exactly once —
+    * no dedup pass.
+    *
+    * Cost model: interval side inflates by ~(len/bucketWidth + 1)×; the
+    * join shuffles on the bucket key. Pick `bucketWidth` near the
+    * TYPICAL interval length (inflation ~2×, bucket population even);
+    * a whale interval degrades gracefully into many bucket rows rather
+    * than a quadratic join. All columns are caller-named; `t`/`lo`/`hi`
+    * must be integer-comparable (epoch micros here). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, t: String,
+                lo: String, hi: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val w = lit(bucketWidth)
+    val p = points.withColumn("__b", col(t) - pmod(col(t), w))
+    val iv = intervals
+      .withColumn("__b", explode(sequence(
+        col(lo) - pmod(col(lo), w), col(hi) - pmod(col(hi), w), w)))
+    p.join(iv, Seq("__b"))
+      .filter(col(t) >= col(lo) && col(t) <= col(hi))
+      .drop("__b")
+  }
 }

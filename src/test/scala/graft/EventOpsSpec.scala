@@ -172,4 +172,26 @@ class EventOpsSpec extends SparkSpec {
       .select("det_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L), s"unexpected survivors: $kept")
   }
+
+  test("rangeJoin: bucketized interval join equals the theta-join spec") {
+    import org.apache.spark.sql.functions.col
+    val pts = (0L to 10L).map(t => (t, t)).toDF("pid", "t")
+    val iv = Seq((100L, 2L, 4L), (200L, 3L, 3L), (300L, 8L, 20L))
+      .toDF("iid", "lo", "hi")
+    val out = EventOps.rangeJoin(pts, iv, "t", "lo", "hi", bucketWidth = 3)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    // inclusive at both ends; a multi-bucket interval matches each
+    // contained point exactly ONCE (points live in a single bucket)
+    assert(out == Set((100L, 2L), (100L, 3L), (100L, 4L), (200L, 3L),
+      (300L, 8L), (300L, 9L), (300L, 10L)))
+    val theta = pts.join(iv, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(out == theta, "bucketized result must equal the theta join")
+    // negative domain: pmod flooring keeps buckets aligned below zero
+    val negPts = Seq((1L, -5L), (2L, -1L)).toDF("pid", "t")
+    val negIv = Seq((9L, -6L, -2L)).toDF("iid", "lo", "hi")
+    val neg = EventOps.rangeJoin(negPts, negIv, "t", "lo", "hi", 4)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(neg == Set((9L, 1L)))
+  }
 }
