@@ -63,8 +63,9 @@ class PlanGuardSpec extends SparkSpec {
       "q38_promo_share", "q45_local_supplier_revenue",
       // the BPE word→subword dictionary is vocab-bounded and explicitly
       // broadcast — a shuffled join here would shuffle the whole corpus's
-      // exploded tokens instead
-      "q101_bpe_token_counts",
+      // exploded tokens instead (q113/q114 ride the same dictionary into
+      // the encoder and the packing chain)
+      "q101_bpe_token_counts", "q113_bpe_encode", "q114_bpe_pack",
       // the top-k result (|queries|·k rows) is explicitly broadcast so
       // the corpus (id, label) table streams unshuffled — regressing to
       // a shuffled join re-partitions the corpus-scale relation
