@@ -60,6 +60,9 @@ object ArtifactStore {
     val ni = rows.map(_._1).max + 1
     val out = Array.tabulate(ni) { i =>
       val r = rows.filter(_._1 == i)
+      // an entirely-missing row index is the same corruption as a hole —
+      // surface it as such, not as empty.max
+      require(r.nonEmpty, s"artifact '$name' row $i has holes (missing)")
       val nj = r.map(_._2).max + 1
       require(r.length == nj, s"artifact '$name' row $i has holes")
       val a = new Array[Long](nj)

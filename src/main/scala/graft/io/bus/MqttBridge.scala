@@ -63,7 +63,10 @@ final class MqttBridge(spoolDir: String, port: Int = 0,
     while (!bound) {
       try { s.bind(addr, 50); bound = true }
       catch {
-        case e: IOException =>
+        // retry ONLY the TIME_WAIT bind race this loop exists for —
+        // EADDRNOTAVAIL / permission-denied etc. are not transient and
+        // must fail fast, not after bindRetries·backoff
+        case e: java.net.BindException =>
           attempt += 1
           if (attempt > bindRetries) { s.close(); throw e }
           // bounded LINEAR backoff: restart races clear in well under

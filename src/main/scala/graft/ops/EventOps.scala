@@ -254,13 +254,23 @@ object EventOps {
   def rangeJoin(points: DataFrame, intervals: DataFrame, t: String,
                 lo: String, hi: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // collision-proof bucket key: a caller column named like it would be
+    // silently overwritten (and dropped from the output) otherwise
+    val b = "__graft_range_bucket"
+    require(!points.columns.contains(b) && !intervals.columns.contains(b),
+      s"rangeJoin: reserved column name '$b' present in an input")
     val w = lit(bucketWidth)
-    val p = points.withColumn("__b", col(t) - pmod(col(t), w))
+    val p = points.withColumn(b, col(t) - pmod(col(t), w))
+    // an inverted interval (lo > hi) is a caller contract violation —
+    // surface it by name, not as sequence()'s start>stop error
     val iv = intervals
-      .withColumn("__b", explode(sequence(
-        col(lo) - pmod(col(lo), w), col(hi) - pmod(col(hi), w), w)))
-    p.join(iv, Seq("__b"))
+      .withColumn(b, explode(when(col(lo) <= col(hi), sequence(
+        col(lo) - pmod(col(lo), w), col(hi) - pmod(col(hi), w), w))
+        .otherwise(raise_error(concat(
+          lit(s"rangeJoin: interval $lo > $hi: "),
+          col(lo).cast("string"), lit(" > "), col(hi).cast("string"))))))
+    p.join(iv, Seq(b))
       .filter(col(t) >= col(lo) && col(t) <= col(hi))
-      .drop("__b")
+      .drop(b)
   }
 }

@@ -246,8 +246,11 @@ object Sampling {
                       budgetTokens: Long, shares: Map[String, Long],
                       shareDenom: Long = 4096): DataFrame = {
     require(budgetTokens >= 0, s"bad budget: $budgetTokens")
-    require(shareDenom >= 1 && budgetTokens <= Long.MaxValue / shareDenom,
-      s"budget·denom would overflow int64")
+    // 10000: epochs_bp multiplies granted_tokens (≤ budget) by 10⁴, so
+    // the admissible budget is bounded by BOTH factors, not just denom
+    require(shareDenom >= 1 &&
+      budgetTokens <= Long.MaxValue / math.max(shareDenom, 10000L),
+      s"budget·max(denom,10000) would overflow int64")
     require(shares.values.forall(_ >= 0) && shares.values.sum == shareDenom,
       s"shares must be non-negative and sum to $shareDenom (a complete " +
         s"recipe), got ${shares.values.sum}")

@@ -1060,6 +1060,24 @@ object Similarity {
         sq8CodeCol(vec, j, lo, hi, scaleBits).cast("int")): _*).as("codes"))
   }
 
+  /** The int64 ADC scores ride through [[topKMerge]] as doubles — a
+    * score with |score| ≥ 2⁵³ would round there and silently break the
+    * engine-exact ranking claim. Bound it at call time from the trained
+    * bounds: |Σ mq_j·dq_j| ≤ Σ max(|lo_j|,|hi_j|)² (dequantized values
+    * lie in [lo,hi] by construction; queries outside the trained bounds
+    * violate the SQ contract anyway). Overflow-safe via BigInt. */
+  private[graft] def sq8ExactnessGuard(lo: Array[Long],
+                                       hi: Array[Long]): Unit = {
+    val bound = lo.indices.map { j =>
+      val m = BigInt(math.max(math.abs(lo(j)), math.abs(hi(j))))
+      m * m
+    }.sum
+    require(bound < (BigInt(1) << 53),
+      s"sq8 ADC score bound $bound >= 2^53: double-keyed topKMerge " +
+        "would lose integer exactness — reduce scaleBits or dims, or " +
+        "add a long-keyed top-k")
+  }
+
   /** SQ8 ANN top-k by asymmetric integer dot ([[graft.functions.Sq8Dot]],
     * codegen'd): the corpus is scanned as CODES ONLY — dequantization
     * (`lo_j + code·range_j DIV 255`) is fused into the scoring loop, and
@@ -1081,6 +1099,7 @@ object Similarity {
     requireBounded("sq8TopK", "query", queries, maxBroadcastQueries,
       "maxBroadcastQueries",
       "bucket the queries (ivfTopK-style) or raise the limit explicitly")
+    sq8ExactnessGuard(lo, hi)
     val range = lo.indices.map(j => hi(j) - lo(j)).toArray
     val scale = (1L << scaleBits).toDouble
     // persist the code table: under a BNLJ there is NO exchange between
@@ -1120,6 +1139,7 @@ object Similarity {
                  vec: String, k: Int, cent: DataFrame, nProbe: Int,
                  lo: Array[Long], hi: Array[Long],
                  scaleBits: Int = 12): DataFrame = {
+    sq8ExactnessGuard(lo, hi)
     val range = lo.indices.map(j => hi(j) - lo(j)).toArray
     val scale = (1L << scaleBits).toDouble
     val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
