@@ -2206,6 +2206,51 @@ object Queries {
              FROM p JOIN iv ON p.t_us BETWEEN iv.lo_us AND iv.hi_us
              GROUP BY 1"""), bench = true)
 
+  /** Trained bigram LM per sf dir — the CCNet-style reference model:
+    * fit on ONE source's documents (src0 plays Wikipedia), pruned to
+    * the 512 most frequent bigrams. Costs are ALREADY int64 (driver-
+    * quantized `floor(−2¹²·log2 p)`) ⇒ inline exactly as VALUES — the
+    * artifact, not any engine's float log, carries the transcendental
+    * arithmetic (the q112 weights discipline). */
+  private val lmCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, String, Long)], Long)]
+  private def trainedLm(s: SparkSession,
+                        d: String): (Seq[(String, String, Long)], Long) =
+    lmCache.getOrElseUpdate(d, TextAnalysis.trainBigramLm(
+      docs(s, d).filter(col("source") === "src0"), "text", topV = 512))
+
+  /** N-gram LM perplexity scoring (TextAnalysis.trainBigramLm +
+    * bigramLmScore): per-document total and per-token quantized
+    * negative log2-likelihood under the src0-trained reference model —
+    * the KenLM-Wikipedia quality gate of CCNet-descended pipelines.
+    * Apply is ONE broadcast dictionary join + integer sums; out-of-
+    * model bigrams pay the trained OOV cost. */
+  private val q123 = QDef("q123_ngram_lm_score",
+    (s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      TextAnalysis.bigramLmScore(docs(s, d), "doc_id", "text", costs, oov)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      def esc(x: String) = x.replace("'", "''")
+      val rows = costs
+        .map { case (a, b, c) => s"('${esc(a)}', '${esc(b)}', $c)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           bg AS (SELECT doc_id, ws[wpos] AS w1, ws[wpos + 1] AS w2
+                  FROM dt, UNNEST(range(1, len(ws))) AS t(wpos)),
+           c(w1, w2, cost) AS (VALUES $rows),
+           j AS (SELECT doc_id, COALESCE(c.cost, $oov) AS cost
+                 FROM bg LEFT JOIN c USING (w1, w2))
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                  CAST(sum(cost) AS BIGINT) AS total_cost,
+                  CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_q
+           FROM j GROUP BY 1"""
+    }))
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -3632,7 +3677,7 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122)
+    q120, q121, q122, q123)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -93,4 +93,26 @@ object ArtifactStore {
     require(rows.nonEmpty, s"merge list '$name' is empty")
     rows.sortBy(_._1).map(r => (r._2, r._3)).toSeq
   }
+
+  /** Save a COST-WEIGHTED string-pair list (the n-gram LM artifact:
+    * `(w1, w2, cost)` rows plus the OOV cost) as the two existing
+    * shapes — a merges-style key table ordered by row index and a
+    * parallel int64 vector `[cost_0..cost_{n-1}, oovCost]` — so no new
+    * store schema is needed and the engine-neutrality contract holds. */
+  def savePairCosts(spark: SparkSession, dir: String, name: String,
+                    rows: Seq[(String, String, Long)], oovCost: Long): Unit = {
+    require(rows.nonEmpty, s"pair-cost list '$name' must be non-empty")
+    saveMerges(spark, dir, s"${name}__keys", rows.map(r => (r._1, r._2)))
+    saveVector(spark, dir, s"${name}__cost", rows.map(_._3).toArray :+ oovCost)
+  }
+
+  def loadPairCosts(spark: SparkSession, dir: String,
+                    name: String): (Seq[(String, String, Long)], Long) = {
+    val keys = loadMerges(spark, dir, s"${name}__keys")
+    val costs = loadVector(spark, dir, s"${name}__cost")
+    require(costs.length == keys.length + 1,
+      s"pair-cost artifact '$name': ${keys.length} keys vs " +
+        s"${costs.length} costs (want keys+1 incl. oov)")
+    (keys.zip(costs).map { case ((a, b), c) => (a, b, c) }, costs.last)
+  }
 }

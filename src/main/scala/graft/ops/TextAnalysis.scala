@@ -601,6 +601,88 @@ object TextAnalysis {
     learnBpeMerges(df, text, k).orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Adjacent word pairs of a document as an exploded-ready array of
+    * `(w1, w2)` structs — zip of the token array with its own tail.
+    * Builtin slice/arrays_zip, codegen'd (the HOF-free form the hot
+    * paths require); docs with < 2 tokens yield an empty array. */
+  private def bigramPairs(text: Column): Column = {
+    val t = tokens(text)
+    val n = greatest(size(t) - 1, lit(0))
+    arrays_zip(slice(t, lit(1), n).as("w1"), slice(t, lit(2), n).as("w2"))
+  }
+
+  /** CCNet-style n-gram LM training — the "does this look like
+    * reference text" scorer every CCNet-descended pipeline runs after
+    * the heuristic gates ([[qualitySignals]]) and the trained
+    * classifier: fit word-bigram probabilities on a REFERENCE corpus,
+    * then gate candidate documents on their per-token negative
+    * log-likelihood under that model (KenLM-over-Wikipedia's role,
+    * reduced to the deterministic core).
+    *
+    * Training is relational: one corpus pass explodes adjacent word
+    * pairs ([[bigramPairs]]), ONE map-side-combinable groupBy counts
+    * them, context totals derive from the pair counts (no second
+    * pass). The model is PRUNED to the `topV` most frequent bigrams
+    * (count DESC, then pair lexicographic — deterministic), the KenLM
+    * pruning discipline that keeps the artifact vocab-bounded for
+    * broadcast. Costs quantize driver-side to the int64 grid:
+    * `cost = floor(−2ˢ·log2(c/cc))` via StrictMath (platform-pinned),
+    * so the artifact — not any engine's float log — carries all the
+    * transcendental arithmetic, and apply/oracle agree bit-for-bit.
+    * Out-of-model bigrams cost `maxCost + 2ˢ` (one bit worse than the
+    * worst in-model pair). Returns `(rows (w1, w2, cost), oovCost)` —
+    * [[graft.io.ArtifactStore.savePairCosts]] persists the shape. */
+  def trainBigramLm(df: DataFrame, text: String, topV: Int,
+                    scaleBits: Int = 12): (Seq[(String, String, Long)], Long) = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val counts = df.select(explode(bigramPairs(col(text))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("c")).as("cc"))
+    val kept = counts.join(ctx, Seq("w1"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topV)
+      .select(col("w1"), col("w2"), col("c").cast("long"),
+        col("cc").cast("long"))
+      .collect()
+    require(kept.nonEmpty, "trainBigramLm: training corpus has no bigrams")
+    val scale = (1L << scaleBits).toDouble
+    val rows = kept.map { r =>
+      val (c, cc) = (r.getLong(2), r.getLong(3))
+      val cost = math.floor(-scale *
+        (StrictMath.log(c.toDouble / cc.toDouble) / StrictMath.log(2.0))).toLong
+      (r.getString(0), r.getString(1), cost)
+    }.toSeq
+    (rows, rows.map(_._3).max + (1L << scaleBits))
+  }
+
+  /** Apply half of [[trainBigramLm]]: per-document total and per-token
+    * quantized negative log2-likelihood under the trained model —
+    * `avg_cost_q / 2ˢ` is bits-per-token, `2^(avg_cost_q/2ˢ)` the
+    * perplexity; thresholding on `avg_cost_q` is the caller's gate
+    * (lower = more reference-like). ONE broadcast dictionary join
+    * (costs are vocab-bounded literals) + a per-document integer sum —
+    * the corpus never shuffles anything wider than `(id, w1, w2)`.
+    * Documents with < 2 tokens drop (no bigrams to score), matching
+    * [[bpeTokenCounts]]'s token-less convention. Output:
+    * `(id, n_ngrams, total_cost, avg_cost_q)`, all exact int64. */
+  def bigramLmScore(df: DataFrame, id: String, text: String,
+                    costs: Seq[(String, String, Long)],
+                    oovCost: Long): DataFrame = {
+    require(costs.nonEmpty, "bigramLmScore: empty model")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = costs.toDF("w1", "w2", "cost")
+    df.select(col(id), explode(bigramPairs(col(text))).as("b"))
+      .select(col(id), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(broadcast(dict), Seq("w1", "w2"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("cost"), lit(oovCost))).as("total_cost"))
+      .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
+  }
+
   /** Apply an ALREADY-TRAINED merge list to the distinct-word table —
     * the apply half of BPE, split from training so a cached artifact
     * skips the per-round argmax passes entirely. */

@@ -60,4 +60,19 @@ class ArtifactStoreSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("pair-cost (n-gram LM) artifact roundtrips and scores identically") {
+    val dir = tmp
+    val train = Seq((1L, "a b a b c a b")).toDF("doc_id", "text")
+    val (costs, oov) = TextAnalysis.trainBigramLm(train, "text", topV = 16)
+    ArtifactStore.savePairCosts(spark, dir, "lm", costs, oov)
+    val (costs2, oov2) = ArtifactStore.loadPairCosts(spark, dir, "lm")
+    assert(costs2 == costs && oov2 == oov)
+    val score = Seq((9L, "b a b x y")).toDF("doc_id", "text")
+    val fresh = TextAnalysis.bigramLmScore(score, "doc_id", "text", costs, oov)
+      .collect().map(_.toString).sorted.toSeq
+    val loaded = TextAnalysis.bigramLmScore(score, "doc_id", "text", costs2, oov2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fresh == loaded && fresh.nonEmpty)
+  }
 }
