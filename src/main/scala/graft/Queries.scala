@@ -2251,6 +2251,63 @@ object Queries {
            FROM j GROUP BY 1"""
     }))
 
+  /** BM25 query fixture: every 25th document's first three tokens —
+    * short keyword queries with a known relevant document in-corpus. */
+  private def bm25Queries(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " ")
+          .as("qtext"))
+  private val bm25IdfCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+  private def trainedBm25Idf(s: SparkSession, d: String): Seq[(String, Long)] =
+    bm25IdfCache.getOrElseUpdate(d, TextAnalysis.bm25Stats(docs(s, d),
+      "doc_id", "text", bm25Queries(s, d), "q_id", "qtext")._1)
+
+  /** BM25 ranked retrieval (TextAnalysis.bm25TopK) over the inverted
+    * index — the sparse-retrieval baseline beside the dense eval stack
+    * (q100/q117/q119). Integer-exact end to end: driver-quantized idf
+    * inlines as VALUES (the artifact carries the log arithmetic);
+    * length norm and per-term contributions are pure int64 floor
+    * divisions DuckDB replicates bit-for-bit. */
+  private val q124 = QDef("q124_bm25_topk",
+    (s, d) => TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
+      bm25Queries(s, d), "q_id", "qtext", k = 10),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedBm25Idf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+           td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                          CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+                 FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT doc_id,
+                     (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                       AS norm_q
+                   FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+                    CAST(sum((idf_q * tf * 11 * 4096) //
+                      (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q,
+                    CAST(count(*) AS BIGINT) AS n_terms
+                  FROM q JOIN idf USING (term) JOIN td USING (term)
+                       JOIN nrm USING (doc_id)
+                  GROUP BY 1, 2),
+           r AS (SELECT q_id, doc_id, score_q, n_terms, row_number() OVER (
+                   PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+                 FROM sc)
+           SELECT q_id, CAST(rn AS INT) AS rank, doc_id, score_q, n_terms
+           FROM r WHERE rn <= 10"""
+    }))
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -3677,7 +3734,7 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123)
+    q120, q121, q122, q123, q124)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

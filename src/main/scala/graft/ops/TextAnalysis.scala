@@ -601,6 +601,120 @@ object TextAnalysis {
     learnBpeMerges(df, text, k).orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Join-ready inverted-index postings: one row per `(term, doc, tf)`
+    * with the document length attached — the queryable form behind
+    * [[invertedIndex]]'s report shape, and the table [[bm25TopK]]
+    * retrieves against. `dl` derives from the postings themselves
+    * (Σ tf per doc — no second corpus pass); attaching it at BUILD
+    * time is the standard index layout that keeps query-time joins
+    * ∝ the queried terms' postings. */
+  def indexPostings(df: DataFrame, id: String, text: String): DataFrame = {
+    val td = df.select(col(id).as("doc"),
+        explode(tokens(lower(col(text)))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = td.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    td.join(dl, Seq("doc"))
+  }
+
+  /** BM25 ranked retrieval over the inverted index — the classic
+    * sparse-retrieval baseline every RAG eval needs next to the dense
+    * stack (q19/q100/q119): per query, the top-k documents by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * standard constants k1 = 6/5, b = 3/4 held as EXACT rationals.
+    *
+    * Engine-exact by integer quantization end to end: idf quantizes
+    * DRIVER-side (`floor(2ˢ·log2(1 + (N−df+½)/(df+½)))`, StrictMath —
+    * the artifact carries the transcendental arithmetic, the q123
+    * discipline); the length normalization is the pure-integer
+    * `norm_q = (2ˢ·(T + 3·dl·N)) div (4T)` (= floor(2ˢ·(¼ + ¾·dl/avgdl))
+    * with avgdl the exact rational T/N); each term's contribution is
+    * the integer floor `(idf_q·tf·11·2ˢ) div (5·tf·2ˢ + 6·norm_q)` —
+    * clearing k1's denominator — and the document score is their exact
+    * int64 sum. Ranking: score DESC, then doc ASC (the q19 tie-break
+    * discipline).
+    *
+    * Scale shape: the postings table filters to the query vocabulary
+    * BEFORE its aggregate (the filter reaches the token scan), so the
+    * scoring join volume is ∝ Σ query-term postings (the q87
+    * discipline); the query-term/idf side is a driver-bounded
+    * broadcast; `dl`/`norm_q` ride on the postings rows from the index
+    * build. The one per-key window runs on |candidates| rows, never
+    * the corpus. Output: `(q_id, rank, doc_id, score_q, n_terms)`. */
+  /** Driver-side half of [[bm25TopK]]: the quantized-idf artifact over
+    * the query vocabulary (`(term, idf_q)`, sorted by term) plus the
+    * corpus totals `(T, N)` — the collect is ∝ distinct query terms,
+    * never corpus-proportional, and the rows are exact int64, so they
+    * inline into generated oracles as plain VALUES (and persist via
+    * [[graft.io.ArtifactStore.savePairCosts]]-style shapes). */
+  def bm25Stats(df: DataFrame, id: String, text: String,
+                queries: DataFrame, qid: String, qtext: String,
+                scaleBits: Int = 12, maxQueryTerms: Int = 10000)
+      : (Seq[(String, Long)], Long, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = queries
+      .select(explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+      .distinct().orderBy(col("term")).as[String].collect().toSeq
+    require(terms.nonEmpty, "bm25: queries contain no terms")
+    require(terms.size <= maxQueryTerms,
+      s"bm25: ${terms.size} distinct query terms exceed " +
+        s"maxQueryTerms=$maxQueryTerms — batch the queries")
+    val toks = df.select(col(id).as("doc"),
+      explode(tokens(lower(col(text)))).as("term"))
+    val (tTot, nDocs) = toks.agg(count(lit(1)), countDistinct(col("doc")))
+      .as[(Long, Long)].collect().head
+    require(tTot > 0, "bm25: corpus has no tokens")
+    val dfMap = toks.filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("term")).agg(countDistinct(col("doc")).as("df"))
+      .as[(String, Long)].collect().toMap
+    val s = 1L << scaleBits
+    val idfRows = terms.map { t =>
+      val dfT = dfMap.getOrElse(t, 0L).toDouble
+      val idf = StrictMath.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5)) /
+        StrictMath.log(2.0)
+      (t, math.floor(s * idf).toLong)
+    }
+    (idfRows, tTot, nDocs)
+  }
+
+  def bm25TopK(df: DataFrame, id: String, text: String,
+               queries: DataFrame, qid: String, qtext: String, k: Int,
+               scaleBits: Int = 12, maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (idfRows, tTot, nDocs) =
+      bm25Stats(df, id, text, queries, qid, qtext, scaleBits, maxQueryTerms)
+    val qt = queries.select(col(qid).as("q_id"),
+        explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    // postings restricted to the query vocabulary BEFORE aggregation —
+    // the literal isin reaches the token scan, so everything downstream
+    // is ∝ query postings, not corpus size
+    val toks = df.select(col(id).as("doc"),
+      explode(tokens(lower(col(text)))).as("term"))
+    val tdq = toks.filter(col("term").isin(idfRows.map(r => lit(r._1)): _*))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dld = toks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val s = 1L << scaleBits
+    val qterms = qt.join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
+    val norm = dld.withColumn("norm_q",
+      expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
+    val scored = tdq.join(broadcast(qterms), Seq("term"))
+      .join(norm, Seq("doc"))
+      .withColumn("contrib",
+        expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(sum(col("contrib")).as("score_q"), count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score_q").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("score_q"), col("n_terms"))
+  }
+
   /** Adjacent word pairs of a document as an exploded-ready array of
     * `(w1, w2)` structs — zip of the token array with its own tail.
     * Builtin slice/arrays_zip, codegen'd (the HOF-free form the hot
