@@ -2251,6 +2251,44 @@ object Queries {
            FROM j GROUP BY 1"""
     }))
 
+  /** Video near-dup families (Multimodal.videoFingerprint →
+    * videoNearDupPairs → Dedup.dedupClusters) — the last corner of the
+    * text/image/audio/video near-dup matrix: REAL container parse →
+    * frame slice → sampled JPEG decode → per-frame dHash → per-bit
+    * majority pooling → the SHARED Hamming banding → the generic
+    * clustering engine. Fixture: every 3rd doc renders an M-JPEG whose
+    * frames all carry the q98 ±step column ramp with direction bits
+    * p = doc_id % 128 at step 8 (JPEG's ±1 roundtrip error cannot flip
+    * a sign at step 8), so vhash = p·0x0101010101010101 in closed form
+    * and maxDist=0 families are exactly the doc_id%128 groups — pure
+    * integer SQL, no recursion needed. */
+  private val q125 = QDef("q125_video_families",
+    (s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id").cast("long").as("item_id"))
+        .filter(col("item_id") % 3 === 0)
+      val items = ids.as[Long].mapPartitions(_.map { id =>
+        val p = (id % 128).toInt
+        val grays = new Array[Int](9)
+        grays(0) = 128
+        (0 until 8).foreach(x => grays(x + 1) =
+          grays(x) + (if (((p >> x) & 1) == 1) 8 else -8))
+        val frames = (0 until 3 + (id % 4).toInt)
+          .map(_ => Multimodal.hstripeJpeg(grays, 8))
+        val blob = Multimodal.mjpegMp4(9, 8, timescale = 1000,
+          frameDur = 100, frames)
+        graft.ops.MediaItem(id, "video", blob, "video/mp4", blob.length.toLong)
+      })
+      Dedup.dedupClusters(ids, "item_id",
+        Multimodal.videoNearDupPairs(items, maxDist = 0))
+    },
+    Some("""WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+            SELECT doc_id AS item_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 128) AS cluster,
+                   doc_id = min(doc_id) OVER (PARTITION BY doc_id % 128)
+                     AS is_kept
+            FROM s"""), bench = true)
+
   /** BM25 query fixture: every 25th document's first three tokens —
     * short keyword queries with a known relevant document in-corpus. */
   private def bm25Queries(s: SparkSession, d: String): DataFrame =
@@ -3734,7 +3772,7 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124)
+    q120, q121, q122, q123, q124, q125)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

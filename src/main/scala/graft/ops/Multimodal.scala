@@ -528,6 +528,29 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Gray column-stripe JPEG at quality 1.0 — the [[hstripePng]] ramp
+    * pattern in the codec M-JPEG tracks carry. JPEG decode of arbitrary
+    * gray content roundtrips within ±1/channel (measured, see
+    * [[solidJpeg]]), so fixtures built on this must keep adjacent-column
+    * steps ≥ a few gray levels for sign-exact dHash comparisons. */
+  def hstripeJpeg(grays: Array[Int], h: Int): Array[Byte] = {
+    require(grays.nonEmpty && h > 0, s"bad dims: ${grays.length}x$h")
+    val w = grays.length
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val row = grays.map(g => (g & 0xff) << 16 | (g & 0xff) << 8 | (g & 0xff))
+    (0 until h).foreach(y => img.setRGB(0, y, w, 1, row, 0, w))
+    val writer = jpegWriter.get()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close()
+    bos.toByteArray
+  }
+
   /** A COMPLETE Motion-JPEG MP4: `ftyp` + `mdat` (the concatenated JPEG
     * frames) + `moov` with a real video track — tkhd, mdhd, hdlr(vide),
     * vmhd, dinf, and a full sample table (stsd 'jpeg' visual entry,
@@ -792,6 +815,58 @@ object Multimodal {
       val n = (w.toLong * h).toDouble
       FrameFeatures(f.item_id, f.frame_idx, w, h, sr / n, sg / n, sb / n)
     })
+  }
+
+  /** Per-video perceptual fingerprint — the missing corner of the
+    * text/image/audio/video near-dup matrix: sample frames
+    * ([[sampleEveryNth]] on `frame_idx`, BEFORE any pixel decode),
+    * dHash each sampled frame ([[dhashOf]], the q98 kernel), and
+    * temporally pool into one 64-bit signature by PER-BIT MAJORITY
+    * vote (bit j set iff strictly more than half the sampled frames
+    * set it; ties → 0) — robust to a minority of edited/inserted
+    * frames the way dHash is robust to re-encoding. Re-encoded,
+    * re-muxed, or frame-rate-halved copies of a video land on the
+    * same signature.
+    *
+    * Scale shape: container parse + frame slice + decode + hash are
+    * row-local partition work (the blob never shuffles); the pooling
+    * is ONE map-side-combinable groupBy of 64 conditional bit sums.
+    * Videos with no parseable track (or no sampled frames) drop.
+    * Output: `(item_id, vhash)`. */
+  def videoFingerprint(items: Dataset[MediaItem], stride: Int = 2,
+                       hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    import items.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"dhash bits must fit int64: ${hashW}x$hashH")
+    val frames = sampleEveryNth(explodeFrames(items).toDF, "frame_idx", stride)
+      .as[VideoFrame]
+    val fh = frames.mapPartitions(_.map(f =>
+      (f.item_id, dhashOf(f.blob, hashW, hashH)))).toDF("item_id", "fh")
+    val nb = hashW * hashH
+    val aggs = (0 until nb).map(j =>
+      sum(shiftright(col("fh"), j).bitwiseAND(lit(1L))).as(s"b$j")) :+
+      count(lit(1)).as("n")
+    val vote = (0 until nb).map(j =>
+      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _) // distinct bit positions: + never carries ≡ bitwise OR
+    fh.groupBy(col("item_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("item_id"), vote.as("vhash"))
+  }
+
+  /** Video near-duplicate pairs: [[videoFingerprint]] signatures joined
+    * by the SHARED pigeonhole Hamming banding ([[Dedup.hammingPairs]] —
+    * the one implementation text/image/audio already band through).
+    * The fingerprint table is persisted (Caches-tracked): it feeds both
+    * sides of the self-join and its recompute would re-decode every
+    * sampled frame. Compose with [[Dedup.dedupClusters]] for families.
+    * Output: `(a_id, b_id, hd)`. */
+  def videoNearDupPairs(items: Dataset[MediaItem], maxDist: Int,
+                        stride: Int = 2, hashW: Int = 8,
+                        hashH: Int = 8): DataFrame = {
+    val fp = Caches.track(
+      videoFingerprint(items, stride, hashW, hashH).persist())
+    Dedup.hammingPairs(fp, "item_id", "vhash", hashW * hashH, maxDist)
   }
 
   /** Video decode: container metadata is REAL (ISO BMFF box parse —

@@ -260,4 +260,46 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
     graft.ops.Caches.release()
   }
+
+  test("videoFingerprint: majority pooling, JPEG-safe closed form, banding") {
+    def stripe(p: Int): Array[Byte] = {
+      val grays = new Array[Int](9)
+      grays(0) = 128
+      (0 until 8).foreach(x => grays(x + 1) =
+        grays(x) + (if (((p >> x) & 1) == 1) 8 else -8))
+      Multimodal.hstripeJpeg(grays, 8)
+    }
+    val flat = Multimodal.solidJpeg(9, 8, 128) // dHash 0
+    def video(id: Long, frames: Seq[Array[Byte]]): MediaItem = {
+      val blob = Multimodal.mjpegMp4(9, 8, 1000, 100, frames)
+      MediaItem(id, "video", blob, "video/mp4", blob.length.toLong)
+    }
+    val items = Seq(
+      // A: minority flat frame is outvoted 2:1 → fp = pattern(5)
+      video(1L, Seq(stripe(5), flat, stripe(5))),
+      // B: single frame, same pattern → same fp as A
+      video(2L, Seq(stripe(5))),
+      // C: one direction bit differs → Hamming 8 from A/B
+      video(3L, Seq(stripe(4))),
+      // D: exact 1:1 tie on the pattern bits → ties resolve to 0
+      video(4L, Seq(stripe(5), flat))
+    ).toDS()
+    val fp = Multimodal.videoFingerprint(items, stride = 1)
+      .as[(Long, Long)].collect().toMap
+    val pat5 = 5L * 0x0101010101010101L
+    assert(fp == Map(1L -> pat5, 2L -> pat5,
+      3L -> 4L * 0x0101010101010101L, 4L -> 0L))
+    // stride skips odd frames BEFORE decode: A keeps frames 0,2 (both
+    // stripe(5)) — same fingerprint, one fewer decode
+    val strided = Multimodal.videoFingerprint(items.filter(_.item_id == 1L),
+      stride = 2).as[(Long, Long)].collect().toMap
+    assert(strided == Map(1L -> pat5))
+    val pairs = Multimodal.videoNearDupPairs(items, maxDist = 8, stride = 1)
+      .select("a_id", "b_id", "hd").as[(Long, Long, Int)].collect().toSet
+    // hd(A,B)=0; hd(A,C)=hd(B,C)=8 (one bit of p flips 8 fingerprint
+    // bits); D (fp 0) is > 8 from every pattern-5/4 signature... except
+    // popcount(4)=1 → hd(C,D)=8 qualifies too
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 8), (2L, 3L, 8), (3L, 4L, 8)))
+    graft.ops.Caches.release()
+  }
 }
