@@ -2289,6 +2289,58 @@ object Queries {
                      AS is_kept
             FROM s"""), bench = true)
 
+  /** Unified corpus dedup (Dedup.dedupCorpus): the one-call
+    * pairs→families→winners→rewritten-corpus composition, chaining the
+    * independently-proven q17 candidate generation, q34 clustering, and
+    * q74 savings arithmetic — per surviving document, its family size
+    * and the doc/char mass its family sheds. Oracle composes the q34
+    * recursive-CTE chain with the family rollup. */
+  private val q126 = QDef("q126_dedup_corpus",
+    (s, d) => Dedup.dedupCorpus(docs(s, d), "doc_id", "text", "n_chars",
+      numHashes = 12, bands = 4, threshold = 0.5),
+    Some(s"""WITH RECURSIVE $ShinglesCte,
+             f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, 12), j ->
+                         list_min(list_transform(sh, x ->
+                           ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                           % 2147483647))) AS sig
+                     FROM f),
+             banded AS (SELECT doc_id,
+                          CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                            sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+                        FROM sig, generate_series(0, 3) AS t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                      FROM banded x JOIN banded y
+                        ON x.band = y.band AND x.doc_id < y.doc_id),
+             pairs AS (SELECT * FROM (
+                 SELECT c.a_id, c.b_id,
+                        round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+                          (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))),
+                          4) AS jac
+                 FROM cand c JOIN f fa ON c.a_id = fa.doc_id
+                             JOIN f fb ON c.b_id = fb.doc_id)
+               WHERE jac >= 0.5),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             reach(node, m) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node),
+             cl AS (SELECT node AS doc_id, min(m) AS cluster
+                    FROM reach GROUP BY node),
+             st AS (SELECT cluster, count(*) AS family_size,
+                      CAST(sum(d.n_chars) AS BIGINT) AS fam_mass
+                    FROM cl JOIN documents d USING (doc_id) GROUP BY 1)
+             SELECT d.doc_id, d.text,
+                    CAST(st.family_size AS BIGINT) AS family_size,
+                    CAST(st.family_size - 1 AS BIGINT) AS dup_docs,
+                    CAST(st.fam_mass - d.n_chars AS BIGINT) AS dup_mass
+             FROM cl JOIN documents d USING (doc_id)
+                  JOIN st USING (cluster)
+             WHERE cl.doc_id = cl.cluster"""), bench = true)
+
   /** BM25 query fixture: every 25th document's first three tokens —
     * short keyword queries with a known relevant document in-corpus. */
   private def bm25Queries(s: SparkSession, d: String): DataFrame =
@@ -3772,7 +3824,7 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125)
+    q120, q121, q122, q123, q124, q125, q126)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

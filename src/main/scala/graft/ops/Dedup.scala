@@ -648,6 +648,42 @@ object Dedup {
       .withColumn("is_kept", col(id) === col("cluster"))
   }
 
+  /** END-TO-END corpus near-dedup in ONE Catalyst-planned call — the
+    * composition a pipeline user actually wants from the dedup stack:
+    * candidate pairs ([[minHashLshPairs]]: banded equi-join, exact
+    * duplicates included by construction — identical text ⇒ identical
+    * signature ⇒ every band collides), connected families
+    * ([[dedupClusters]]: log-round pointer jumping on the pair graph
+    * only), deterministic winner selection (min id per family — the
+    * repo-wide tie-break), and the REWRITTEN corpus: one row per
+    * surviving document with its family's savings attached. The pieces
+    * stay independently exposed (q17/q34/q74); this is the one-call
+    * flagship over them, the q54/q68 pattern applied to dedup.
+    *
+    * Scale shape inherits from the pieces: nothing all-pairs, the
+    * corpus text column rides only the final narrow-key joins (never a
+    * shuffle keyed on content), family stats are one groupBy of the
+    * label table. Output: `(id, text, family_size, dup_docs,
+    * dup_mass)` where `dup_mass` is the `size` mass the winner's
+    * family sheds (0 for singletons). */
+  def dedupCorpus(df: DataFrame, id: String, text: String, size: String,
+                  numHashes: Int = 12, bands: Int = 4,
+                  threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val pairs = minHashLshPairs(df, id, text, numHashes, bands, threshold,
+      maxBucket)
+    val clusters = dedupClusters(df, id, pairs)
+    val stats = df.select(col(id), col(size).cast("long").as("__sz"))
+      .join(clusters, Seq(id))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("family_size"), sum(col("__sz")).as("__fam_mass"))
+    df.join(clusters.filter(col("is_kept")).select(col(id), col("cluster")),
+        Seq(id))
+      .join(stats, Seq("cluster"))
+      .select(col(id), col(text), col("family_size"),
+        (col("family_size") - 1).as("dup_docs"),
+        (col("__fam_mass") - col(size).cast("long")).as("dup_mass"))
+  }
+
   /** Effective-token report — the one-row answer to "how big is this
     * corpus REALLY": raw docs/tokens, and the docs/tokens that survive
     * exact dedup (one winner per content family). `dup_token_share` is

@@ -446,4 +446,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containmentPairs(near, "doc_id", "text", n = 2,
       threshold = 0.1, maxDocFreq = 1).isEmpty)
   }
+
+  test("dedupCorpus: one call equals the manual pairs→clusters→stats chain") {
+    val df = Seq(
+      (1L, "aa bb cc dd", 11L), (2L, "aa bb cc dd", 11L), // exact dups
+      (3L, "aa bb cc dd ee", 14L), // near dup of 1/2 (3/4 shingles shared)
+      (4L, "zz yy xx ww", 11L),    // singleton
+      (5L, "", 0L)                 // shingle-less
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupCorpus(df, "doc_id", "text", "n_chars",
+        numHashes = 12, bands = 4, threshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // manual composition of the independently-tested pieces
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text", 12, 4, 0.5)
+    val clusters = Dedup.dedupClusters(df, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect()
+    val sizes = Map(1L -> 11L, 2L -> 11L, 3L -> 14L, 4L -> 11L, 5L -> 0L)
+    val texts = df.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val byCluster = clusters.groupBy(_._2)
+    val want = clusters.filter(_._3).map { case (id, cl, _) =>
+      val fam = byCluster(cl)
+      (id, texts(id), fam.length.toLong, fam.length - 1L,
+        fam.map(m => sizes(m._1)).sum - sizes(id))
+    }.toSeq.sortBy(_._1)
+    assert(out == want)
+    // the exact-dup family is ALWAYS found (identical signatures ⇒ every
+    // band collides): 1 wins over 2, and savings count 2's mass
+    val d1 = out.find(_._1 == 1L).get
+    assert(!out.exists(_._1 == 2L))
+    assert(d1._3 >= 2L && d1._5 >= 11L)
+    // singleton and shingle-less docs survive untouched
+    assert(out.find(_._1 == 4L).get == ((4L, "zz yy xx ww", 1L, 0L, 0L)))
+    assert(out.find(_._1 == 5L).get == ((5L, "", 1L, 0L, 0L)))
+  }
 }
