@@ -1138,15 +1138,54 @@ object Similarity {
   def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, id: String,
                  vec: String, k: Int, cent: DataFrame, nProbe: Int,
                  lo: Array[Long], hi: Array[Long],
-                 scaleBits: Int = 12): DataFrame = {
-    sq8ExactnessGuard(lo, hi)
-    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
-    val scale = (1L << scaleBits).toDouble
+                 scaleBits: Int = 12): DataFrame =
+    ivfSq8Search(ivfSq8Index(corpus, id, vec, cent, lo, hi, scaleBits),
+      queries, id, vec, k, cent, nProbe, lo, hi, scaleBits)
+
+  /** The IVF-SQ8 INDEX TABLE — `(cell, c_id, codes)`, one row per
+    * corpus vector: cell from the trained coarse quantizer (assigned on
+    * full-precision vectors, the FAISS convention), codes from the
+    * trained SQ8 bounds. This is the artifact worth PERSISTING: build
+    * once, then every search session reads it back and never touches
+    * the raw vectors. */
+  def ivfSq8Index(corpus: DataFrame, id: String, vec: String,
+                  cent: DataFrame, lo: Array[Long], hi: Array[Long],
+                  scaleBits: Int = 12): DataFrame = {
     val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))
     val cells = assignCells(c, cent).select(col("c_id"), col("cell"))
-    val index = sq8Codes(corpus, id, vec, lo, hi, scaleBits)
+    sq8Codes(corpus, id, vec, lo, hi, scaleBits)
       .join(cells, "c_id")
+      .select(col("cell"), col("c_id"), col("codes"))
+  }
+
+  /** Persist the IVF-SQ8 index BUCKETED BY CELL
+    * ([[graft.io.Layout.writeBucketed]]): a reloaded search's one
+    * corpus-scale join — probes ⋈ index on `cell` — then plans with NO
+    * exchange on the index side (the scan is already hash-partitioned
+    * by cell), so query sessions pay zero index shuffle forever. The
+    * scalar artifacts (centroids, lo/hi bounds) persist alongside via
+    * [[graft.io.ArtifactStore]]; together they make search fully
+    * restartable (SimilaritySpec pins reload ≡ rebuild). */
+  def saveIvfSq8Index(corpus: DataFrame, id: String, vec: String,
+                      cent: DataFrame, lo: Array[Long], hi: Array[Long],
+                      table: String, buckets: Int,
+                      scaleBits: Int = 12): Unit =
+    graft.io.Layout.writeBucketed(
+      ivfSq8Index(corpus, id, vec, cent, lo, hi, scaleBits),
+      table, "cell", buckets)
+
+  /** Search an ALREADY-BUILT `(cell, c_id, codes)` index (fresh from
+    * [[ivfSq8Index]] or reloaded from [[saveIvfSq8Index]]'s bucketed
+    * table): probe selection and integer ADC scoring exactly as
+    * [[ivfSq8TopK]] — same output, bit for bit. */
+  def ivfSq8Search(index: DataFrame, queries: DataFrame, id: String,
+                   vec: String, k: Int, cent: DataFrame, nProbe: Int,
+                   lo: Array[Long], hi: Array[Long],
+                   scaleBits: Int = 12): DataFrame = {
+    sq8ExactnessGuard(lo, hi)
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val scale = (1L << scaleBits).toDouble
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm"))
     val probes = q.crossJoin(broadcast(cent))

@@ -548,4 +548,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 2L, 0.6667), (2L, 2L, 2L, 1.0),
       (3L, 1L, 0L, 0.0)))
   }
+
+  test("IVF-SQ8 index persists bucketed: reload ≡ rebuild, cell join " +
+      "exchange-free on the index side") {
+    val cent = Similarity.trainIvfCentroids(pqCorpus, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val (lo, hi) = Similarity.trainSq8Bounds(pqCorpus, "embedding")
+    try {
+      Similarity.saveIvfSq8Index(pqCorpus, "vec_id", "embedding", cent,
+        lo, hi, "ivfsq8_idx", buckets = 4)
+      val reloaded = spark.table("ivfsq8_idx")
+      val q = pqCorpus.filter(col("vec_id") === 1)
+      val fresh = Similarity.ivfSq8TopK(q, pqCorpus, "vec_id", "embedding",
+          k = 5, cent, nProbe = 2, lo, hi)
+        .collect().map(_.toString).sorted.toSeq
+      val loaded = Similarity.ivfSq8Search(reloaded, q, "vec_id",
+          "embedding", k = 5, cent, nProbe = 2, lo, hi)
+        .collect().map(_.toString).sorted.toSeq
+      assert(loaded == fresh && loaded.nonEmpty)
+      // the reloaded corpus-scale join: with broadcast disabled, ONLY the
+      // probe side may exchange — the bucketed scan is already
+      // hash-partitioned by cell
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probes = Seq((1L, 1L), (1L, 5L)).toDF("q_id", "cell")
+        val plan = reloaded.join(probes, "cell")
+          .queryExecution.executedPlan.toString
+        val n = "Exchange".r.findAllMatchIn(plan).length
+        assert(n == 1,
+          s"want only the probe-side exchange, got $n in:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivfsq8_idx")
+  }
 }
