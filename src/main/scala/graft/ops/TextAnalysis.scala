@@ -528,15 +528,24 @@ object TextAnalysis {
                      k: Int): DataFrame =
     bpeTokenCounts(df, id, text, collectMerges(df, text, k))
 
+  /** The word → subword-count PRICING DICTIONARY under a trained merge
+    * list — the vocab-bounded static side [[bpeTokenCounts]] and the
+    * streaming ingest pricer
+    * ([[graft.streaming.StatefulOps.streamingBpePricing]]) broadcast.
+    * Output: `(w, n_sub)`. */
+  def bpePricingDict(corpus: DataFrame, text: String,
+                     merges: Seq[(String, String)]): DataFrame =
+    bpeWordSegments(corpus, text, merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+
   /** [[bpeTokenCounts]] against an already-trained merge list. */
   def bpeTokenCounts(df: DataFrame, id: String, text: String,
                      merges: Seq[(String, String)]): DataFrame = {
-    val dict = bpeWordSegments(df, text, merges)
-      .select(col("w"), size(col("syms")).cast("long").as("__n_sub"))
+    val dict = bpePricingDict(df, text, merges)
     df.select(col(id), explode(tokens(col(text))).as("w"))
       .join(broadcast(dict), Seq("w"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_words"), sum(col("__n_sub")).as("n_bpe"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
   }
 
   /** Full corpus BPE ENCODING under `k` learned merges — per-document

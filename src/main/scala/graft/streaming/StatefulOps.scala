@@ -651,6 +651,46 @@ object StatefulOps {
                         lo: Array[Long], hi: Array[Long]): DataFrame =
     graft.ops.Similarity.sq8Encode(stream, id, vec, lo, hi)
 
+  /** BPE token PRICING at ingest — the streaming form of
+    * [[graft.ops.TextAnalysis.bpeTokenCounts]] (q101), the size gauge a
+    * token-budgeted pipeline reads live: arriving documents tokenize
+    * row-locally, every word STREAM-STATIC broadcast-joins the trained
+    * pricing dictionary ([[graft.ops.TextAnalysis.bpePricingDict]] — the
+    * vocab-bounded artifact, trained once, fused into the plan), and a
+    * WATERMARKED per-(window, doc) aggregate emits each document's
+    * `(n_words, n_bpe)` when its event-time window closes (append mode;
+    * the watermark bounds state — the q112-gate shape with one stateful
+    * agg on top). A document's tokens share its single timestamp, so
+    * each emitted row carries the document's COMPLETE price, equal to
+    * the batch pass (StatefulOpsSpec pins the parity). Words outside
+    * the trained dictionary drop, exactly as in the batch form (the
+    * dictionary covers the training corpus's vocabulary by
+    * construction). */
+  def streamingBpePricing(stream: DataFrame, id: String, ts: String,
+                          text: String, dict: DataFrame,
+                          windowSec: Int = 10,
+                          lateness: String = "10 seconds"): DataFrame =
+    stream.withWatermark(ts, lateness)
+      .select(col(id), col(ts),
+        explode(graft.ops.TextAnalysis.tokens(col(text))).as("w"))
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(window(col(ts), s"$windowSec seconds"), col(id))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
+
+  /** Stream-static range (interval) join — the ALERTING use of
+    * [[graft.ops.EventOps.rangeJoin]] (q122): a live point stream
+    * matched against a static interval table (maintenance windows,
+    * incident spans, labeling epochs). The same bucketized plan is
+    * STATELESS under streaming — the point side's bucket key is
+    * row-local arithmetic, the interval side explodes on the static
+    * side, and the match is an append-mode stream-static equi-join +
+    * residual filter; no watermark, no state store, and therefore
+    * bit-exact batch ≡ streaming parity (StatefulOpsSpec). */
+  def streamingRangeJoin(stream: DataFrame, intervals: DataFrame,
+                         t: String, lo: String, hi: String,
+                         bucketWidth: Long): DataFrame =
+    graft.ops.EventOps.rangeJoin(stream, intervals, t, lo, hi, bucketWidth)
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

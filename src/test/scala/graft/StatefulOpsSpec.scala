@@ -717,4 +717,73 @@ class StatefulOpsSpec extends SparkSpec {
       assert(seen.toSet == Set(1L, 3L))
     }
   }
+
+  test("streamingBpePricing: windowed ingest pricing equals batch bpeTokenCounts") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val texts = Seq((1L, "low lower low"), (2L, "lower lowest"),
+      (3L, "low low low low"))
+    val corpus = texts.toDF("doc_id", "text")
+    val merges = graft.ops.TextAnalysis.collectMerges(corpus, "text", 2)
+    val dict = graft.ops.TextAnalysis.bpePricingDict(corpus, "text", merges)
+    val batch = graft.ops.TextAnalysis
+      .bpeTokenCounts(corpus, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = texts.map { case (id, tx) =>
+      (t("2024-01-01 00:00:01"), id, tx) // one open window holds each doc
+    }
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StatefulOps.streamingBpePricing(
+        in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts", "text",
+        dict, windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("bpeprice")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("bpeprice").isEmpty) // window [0,10) still open
+      // advance the watermark past the window: every doc's price emits
+      in.addData((t("2024-01-01 00:00:30"), 99L, "low"))
+      q.processAllAvailable()
+      val streamed = spark.table("bpeprice")
+        .filter(col("doc_id") < 99)
+        .select("doc_id", "n_words", "n_bpe")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"ingest pricing must equal the batch pass: $streamed vs $batch")
+    }
+  }
+
+  test("streamingRangeJoin: stream-static interval match equals batch rangeJoin") {
+    implicit val ctx = spark.sqlContext
+    val intervals = Seq((100L, 0L, 250L), (200L, 240L, 400L),
+      (300L, 1000L, 1100L)).toDF("incident_id", "lo_us", "hi_us")
+    val points = Seq((1L, 0L), (2L, 245L), (3L, 250L), (4L, 251L),
+      (5L, 399L), (6L, 1050L), (7L, 500L))
+    val batch = graft.ops.EventOps.rangeJoin(
+        points.toDF("event_id", "t_us"), intervals,
+        "t_us", "lo_us", "hi_us", bucketWidth = 100L)
+      .select("event_id", "incident_id")
+      .as[(Long, Long)].collect().toSet
+    // hand-check: p2/p3 fall in BOTH overlapping intervals, p7 in none
+    assert(batch == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 100L),
+      (3L, 200L), (4L, 200L), (5L, 200L), (6L, 300L)))
+    val in = MemoryStream[(Long, Long)]
+    val q = StatefulOps.streamingRangeJoin(
+        in.toDF().toDF("event_id", "t_us"), intervals,
+        "t_us", "lo_us", "hi_us", bucketWidth = 100L)
+      .select("event_id", "incident_id")
+      .writeStream.format("memory").queryName("rjoin")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(points.take(4): _*)
+      q.processAllAvailable()
+      in.addData(points.drop(4): _*) // stateless: arrival order is free
+      q.processAllAvailable()
+      val streamed = spark.table("rjoin").as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        "stateless stream-static range join must equal the batch pass")
+    }
+  }
 }
