@@ -617,8 +617,17 @@ object Dedup {
             .as("cluster"),
           cur("orig"))
     }
-    var labels = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("cluster"))
+    // SEEDED init: label₀ = min(node, min(neighbors)) — one groupBy over
+    // the edge list (the same shuffle the old `distinct` paid) that
+    // starts every node one hop ahead. For clique-shaped families (the
+    // common dup case) the seeded state is ALREADY the fixpoint, so the
+    // loop runs one confirming round instead of two — the r7 verdict's
+    // q34 shave. Seeds are node ids (min over a closed neighborhood),
+    // so the jump's "labels are nodes" precondition holds unchanged.
+    var labels = und.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nmin")).as("cluster"))
       .localCheckpoint(true)
     var converged = false
     var i = 0

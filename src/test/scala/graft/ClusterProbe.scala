@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-JVM A/B probe for the dedupClusters init seeding (test scope):
+  * times the q34 chain with the SEEDED init (library code) against an
+  * inline copy of the r7 self-labeled init, same session, interleaved —
+  * the only probe form CLAUDE.md admits for perf calls. Measured r8 at
+  * sf0.1: old 1.13-1.35 s / 2 rounds vs seeded 0.65-0.76 s / 1 round
+  * (clustering stage only, pairs checkpointed out). */
+object ClusterProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val b = SparkSession.builder().master("local[32]")
+      .appName("clusterprobe").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Queries.table(spark, dir, "documents")
+    val pairs = graft.ops.Dedup.minHashLshPairs(docs, "doc_id", "text",
+      12, 4, 0.5).localCheckpoint(true)
+
+    // r7 form: self-labeled init + hop-hop-jump (copy, for A/B only)
+    def oldClusters(nodes: DataFrame, id: String, p: DataFrame): Long = {
+      val und = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      def hop(cur: DataFrame): DataFrame = {
+        val nm = und.join(cur.select(col("node"), col("cluster")),
+            col("dst") === col("node"))
+          .groupBy(col("src")).agg(min(col("cluster")).as("nc"))
+        cur.join(nm, cur("node") === nm("src"), "left")
+          .select(cur("node"),
+            least(cur("cluster"), coalesce(col("nc"), cur("cluster")))
+              .as("cluster"), cur("orig"))
+      }
+      def jump(cur: DataFrame): DataFrame = {
+        val par = cur.select(col("node").as("pn"), col("cluster").as("pc"))
+        cur.join(par, cur("cluster") === par("pn"), "left")
+          .select(cur("node"),
+            least(cur("cluster"), coalesce(col("pc"), cur("cluster")))
+              .as("cluster"), cur("orig"))
+      }
+      var labels = und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("cluster")).localCheckpoint(true)
+      var converged = false
+      var i = 0
+      while (!converged && i < 20) {
+        val next = jump(hop(hop(labels.withColumn("orig", col("cluster")))))
+          .withColumn("__moved", col("cluster") < col("orig"))
+          .localCheckpoint(true)
+        converged = next.filter(col("__moved")).isEmpty
+        labels = next.select("node", "cluster")
+        i += 1
+      }
+      println(s"[probe] old rounds=$i")
+      nodes.select(col(id)).join(labels, nodes(id) === labels("node"), "left")
+        .count()
+    }
+
+    def newClusters(): Long =
+      graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs).count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-10s ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
+    }
+    // warm both, then interleave two timed passes each
+    oldClusters(docs, "doc_id", pairs); newClusters()
+    time("old")(oldClusters(docs, "doc_id", pairs))
+    time("new")(newClusters())
+    time("old")(oldClusters(docs, "doc_id", pairs))
+    time("new")(newClusters())
+    spark.stop()
+  }
+}
