@@ -2398,6 +2398,102 @@ object Queries {
            FROM r WHERE rn <= 10"""
     }))
 
+  /** Hybrid retrieval fusion (TextAnalysis.rrfFuse over bm25TopK +
+    * termOverlapTopK): reciprocal-rank fusion, the standard hybrid
+    * combiner — fused score = Σ floor(10⁶/(60+rank)) over the two
+    * rankers, integer-exact so the fused ranking is engine-exact.
+    * The oracle composes q124's relational BM25 chain with the
+    * coordination-level ranking and the same floor arithmetic. */
+  private val q127 = QDef("q127_rrf_hybrid",
+    (s, d) => {
+      val dd = docs(s, d)
+      val qs = bm25Queries(s, d)
+      TextAnalysis.rrfFuse(Seq(
+        TextAnalysis.bm25TopK(dd, "doc_id", "text", qs, "q_id", "qtext",
+          k = 10),
+        TextAnalysis.termOverlapTopK(dd, "doc_id", "text", qs, "q_id",
+          "qtext", k = 10)), k = 10)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedBm25Idf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+           td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                          CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+                 FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT doc_id,
+                     (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                       AS norm_q
+                   FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+                    CAST(sum((idf_q * tf * 11 * 4096) //
+                      (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q
+                  FROM q JOIN idf USING (term) JOIN td USING (term)
+                       JOIN nrm USING (doc_id)
+                  GROUP BY 1, 2),
+           br AS (SELECT q_id, doc_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+                  FROM sc),
+           osc AS (SELECT q.q_id, p.doc_id, count(*) AS n
+                   FROM q JOIN (SELECT DISTINCT doc_id, term FROM toks) p
+                        USING (term)
+                   GROUP BY 1, 2),
+           orank AS (SELECT q_id, doc_id, row_number() OVER (
+                       PARTITION BY q_id ORDER BY n DESC, doc_id) AS rn
+                     FROM osc),
+           ca AS (SELECT q_id, doc_id, 1000000 // (60 + rn) AS c
+                  FROM br WHERE rn <= 10
+                  UNION ALL
+                  SELECT q_id, doc_id, 1000000 // (60 + rn)
+                  FROM orank WHERE rn <= 10),
+           f AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf,
+                   CAST(count(*) AS BIGINT) AS n_rankers
+                 FROM ca GROUP BY 1, 2),
+           fr AS (SELECT q_id, doc_id, rrf, n_rankers, row_number() OVER (
+                    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rn
+                  FROM f)
+           SELECT q_id, CAST(rn AS INT) AS rank, doc_id, rrf, n_rankers
+           FROM fr WHERE rn <= 10"""
+    }))
+
+  /** Chunk-level shared-content report (Dedup.chunkSharedReport):
+    * exact dedup at 16-token chunk granularity — per doc, how many
+    * non-overlapping chunks appear verbatim in another document. The
+    * oracle reuses q69's chunk CTE at stride = chunkTokens. */
+  private val q128 = QDef("q128_chunk_shared",
+    (s, d) => Dedup.chunkSharedReport(docs(s, d), "doc_id", "text",
+      chunkTokens = 16),
+    Some("""WITH t AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(text, '\s+'),
+                      x -> x <> '') AS toks
+                  FROM documents),
+             st AS (SELECT doc_id, toks,
+                      unnest(range(0, ((len(toks) - 1) // 16) + 1)) AS ci
+                    FROM t WHERE len(toks) > 0),
+             ch AS (SELECT doc_id,
+                      md5(array_to_string(
+                        toks[ci * 16 + 1 : ci * 16 + 16], ' ')) AS h
+                    FROM st),
+             fam AS (SELECT h, count(DISTINCT doc_id) AS nd
+                     FROM ch GROUP BY 1)
+             SELECT ch.doc_id,
+                    CAST(count(*) AS BIGINT) AS n_chunks,
+                    CAST(sum(CASE WHEN fam.nd > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_shared_chunks,
+                    round(CAST(sum(CASE WHEN fam.nd > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS shared_ratio
+             FROM ch JOIN fam USING (h) GROUP BY 1"""), bench = true)
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -3824,7 +3920,7 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -657,6 +657,37 @@ object Dedup {
       .withColumn("is_kept", col(id) === col("cluster"))
   }
 
+  /** Chunk-level shared-content report — exact dedup at CHUNK
+    * granularity, between document-level exact dedup (q15: whole-text
+    * only) and line-level boilerplate stripping (q97: 8-token lines):
+    * fixed non-overlapping token chunks
+    * ([[TextAnalysis.chunkDocuments]] at stride = chunkTokens), a
+    * chunk is SHARED iff its exact text appears in more than one
+    * distinct document. Per document: chunk count, shared-chunk count,
+    * and the single-rounded shared ratio — the "how much of this doc
+    * is cross-document boilerplate" gate signal at RAG-chunk
+    * resolution.
+    *
+    * Shape: chunking is row-local posexplode; ONE hash-groupBy over
+    * chunk digests (map-side combinable) + one narrow digest join back
+    * + one per-doc groupBy. Only `(id, md5)` pairs ever shuffle —
+    * never chunk text. Output:
+    * `(id, n_chunks, n_shared_chunks, shared_ratio)`. */
+  def chunkSharedReport(df: DataFrame, id: String, text: String,
+                        chunkTokens: Int): DataFrame = {
+    val ch = TextAnalysis.chunkDocuments(df, id, text, chunkTokens,
+        stride = chunkTokens)
+      .select(col(id), md5(col("chunk_text")).as("__h"))
+    val fam = ch.groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("__nd"))
+    ch.join(fam, Seq("__h"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .withColumn("shared_ratio",
+        round(col("n_shared_chunks").cast("double") / col("n_chunks"), 4))
+  }
+
   /** END-TO-END corpus near-dedup in ONE Catalyst-planned call — the
     * composition a pipeline user actually wants from the dedup stack:
     * candidate pairs ([[minHashLshPairs]]: banded equi-join, exact

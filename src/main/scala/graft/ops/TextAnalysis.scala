@@ -724,11 +724,67 @@ object TextAnalysis {
         col("score_q"), col("n_terms"))
   }
 
+  /** Coordination-level (term-overlap) ranking — the Boolean-retrieval
+    * baseline under BM25: per query, documents ranked by HOW MANY
+    * distinct query terms they contain (score = matched-term count,
+    * ties → doc ascending, the q19 discipline). Pure integers, same
+    * ∝-query-postings join shape as [[bm25TopK]]; the second opinion
+    * [[rrfFuse]] fuses against the weighted ranking. Output:
+    * `(q_id, rank, doc_id, n_terms)`. */
+  def termOverlapTopK(df: DataFrame, id: String, text: String,
+                      queries: DataFrame, qid: String, qtext: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val present = df.select(col(id).as("doc"),
+        explode(array_distinct(tokens(lower(col(text))))).as("term"))
+    val scored = present.join(broadcast(qt), Seq("term"))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_terms").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_terms"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) — the
+    * standard hybrid-retrieval combiner: given N rankings
+    * `(q_id, rank, doc_id)`, fused score =
+    * `Σ_r floor(scale / (kRrf + rank_r))` (missing from a ranking
+    * contributes 0), re-ranked score DESC then doc ASC. The reciprocal
+    * is floored on the int64 grid so fusion is engine-exact — no float
+    * sum ordering to disagree about.
+    *
+    * Scale shape: each input is already a top-k table (|queries|·k
+    * rows); fusion is a union + one groupBy + one per-query window —
+    * never touches the corpus. Output:
+    * `(q_id, rank, doc_id, rrf, n_rankers)`. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60,
+              scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 1 && kRrf >= 0 && scale >= 1,
+      s"bad rrf params: k=$k kRrf=$kRrf scale=$scale")
+    val contribs = rankings.map(_.select(col("q_id"), col("doc_id"),
+      expr(s"$scale div ($kRrf + cast(rank as bigint))").as("c")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf"), count(lit(1)).as("n_rankers"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("n_rankers"))
+  }
+
   /** Adjacent word pairs of a document as an exploded-ready array of
     * `(w1, w2)` structs — zip of the token array with its own tail.
     * Builtin slice/arrays_zip, codegen'd (the HOF-free form the hot
     * paths require); docs with < 2 tokens yield an empty array. */
-  private def bigramPairs(text: Column): Column = {
+  private[graft] def bigramPairs(text: Column): Column = {
     val t = tokens(text)
     val n = greatest(size(t) - 1, lit(0))
     arrays_zip(slice(t, lit(1), n).as("w1"), slice(t, lit(2), n).as("w2"))
@@ -790,13 +846,20 @@ object TextAnalysis {
     * Documents with < 2 tokens drop (no bigrams to score), matching
     * [[bpeTokenCounts]]'s token-less convention. Output:
     * `(id, n_ngrams, total_cost, avg_cost_q)`, all exact int64. */
+  /** The trained LM cost table as a DataFrame `(w1, w2, cost)` — the
+    * broadcast side [[bigramLmScore]] and the ingest gate
+    * ([[graft.streaming.StatefulOps.streamingLmScore]]) join. */
+  def lmCostDict(spark: org.apache.spark.sql.SparkSession,
+                 costs: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    costs.toDF("w1", "w2", "cost")
+  }
+
   def bigramLmScore(df: DataFrame, id: String, text: String,
                     costs: Seq[(String, String, Long)],
                     oovCost: Long): DataFrame = {
     require(costs.nonEmpty, "bigramLmScore: empty model")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val dict = costs.toDF("w1", "w2", "cost")
+    val dict = lmCostDict(df.sparkSession, costs)
     df.select(col(id), explode(bigramPairs(col(text))).as("b"))
       .select(col(id), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .join(broadcast(dict), Seq("w1", "w2"), "left")

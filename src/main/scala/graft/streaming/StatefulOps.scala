@@ -677,6 +677,31 @@ object StatefulOps {
       .groupBy(window(col(ts), s"$windowSec seconds"), col(id))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
 
+  /** N-gram LM perplexity scoring AT INGEST — the streaming form of
+    * [[graft.ops.TextAnalysis.bigramLmScore]] (q123), the CCNet-style
+    * "does this look like reference text" gate applied live: arriving
+    * documents explode to adjacent word pairs (row-local), LEFT
+    * stream-static broadcast-join the trained cost dictionary (missing
+    * pair → the trained OOV cost, never a dropped row — unlike the
+    * pricing join, the LM must charge for unseen text), and a
+    * watermarked per-(window, doc) aggregate emits each document's
+    * exact `(n_ngrams, total_cost, avg_cost_q)` when its window closes
+    * — equal to the batch pass (StatefulOpsSpec). Gating on
+    * `avg_cost_q` at ingest is the live CCNet filter. */
+  def streamingLmScore(stream: DataFrame, id: String, ts: String,
+                       text: String, dict: DataFrame, oovCost: Long,
+                       windowSec: Int = 10,
+                       lateness: String = "10 seconds"): DataFrame =
+    stream.withWatermark(ts, lateness)
+      .select(col(id), col(ts),
+        explode(graft.ops.TextAnalysis.bigramPairs(col(text))).as("b"))
+      .select(col(id), col(ts), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(broadcast(dict), Seq("w1", "w2"), "left")
+      .groupBy(window(col(ts), s"$windowSec seconds"), col(id))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("cost"), lit(oovCost))).as("total_cost"))
+      .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
+
   /** Stream-static range (interval) join — the ALERTING use of
     * [[graft.ops.EventOps.rangeJoin]] (q122): a live point stream
     * matched against a static interval table (maintenance windows,

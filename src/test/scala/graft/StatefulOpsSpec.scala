@@ -755,6 +755,42 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingLmScore: ingest perplexity gate equals batch bigramLmScore") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val (costs, oov) = graft.ops.TextAnalysis.trainBigramLm(train, "text",
+      topV = 16)
+    val texts = Seq((1L, "a b a b"), (2L, "c c c"), (3L, "b c a b x"))
+    val batch = graft.ops.TextAnalysis
+      .bigramLmScore(texts.toDF("doc_id", "text"), "doc_id", "text",
+        costs, oov)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val dict = graft.ops.TextAnalysis.lmCostDict(spark, costs)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StatefulOps.streamingLmScore(
+        in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts", "text",
+        dict, oov, windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("lmgate")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(texts.map { case (id, tx) =>
+        (t("2024-01-01 00:00:01"), id, tx) }: _*)
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 00:00:30"), 99L, "a b")) // close the window
+      q.processAllAvailable()
+      val streamed = spark.table("lmgate").filter(col("doc_id") < 99)
+        .select("doc_id", "n_ngrams", "total_cost", "avg_cost_q")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"ingest LM gate must equal the batch pass: $streamed vs $batch")
+      // OOV text really pays the OOV cost at ingest (the gate separates)
+      val byId = streamed.map(r => r._1 -> r._4).toMap
+      assert(byId(1L) < byId(2L))
+    }
+  }
+
   test("streamingRangeJoin: stream-static interval match equals batch rangeJoin") {
     implicit val ctx = spark.sqlContext
     val intervals = Seq((100L, 0L, 250L), (200L, 240L, 400L),
