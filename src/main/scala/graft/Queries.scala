@@ -2494,6 +2494,129 @@ object Queries {
                       AS DOUBLE) / count(*), 4) AS shared_ratio
              FROM ch JOIN fam USING (h) GROUP BY 1"""), bench = true)
 
+  /** Known-item retrieval MRR (TextAnalysis.knownItemEval over the
+    * q124 BM25 ranking): each query is minted from a document, so that
+    * document IS the known relevant item — found_rank/rr_bp per query,
+    * the classic known-item-search protocol and the sparse analog of
+    * q119. */
+  private val q129 = QDef("q129_known_item_mrr",
+    (s, d) => {
+      val qs = bm25Queries(s, d)
+      TextAnalysis.knownItemEval(
+        TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text", qs,
+          "q_id", "qtext", k = 10),
+        qs.select(col("q_id"), col("q_id").as("doc_id")))
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedBm25Idf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+           td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                          CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+                 FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT doc_id,
+                     (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                       AS norm_q
+                   FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+                    CAST(sum((idf_q * tf * 11 * 4096) //
+                      (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q
+                  FROM q JOIN idf USING (term) JOIN td USING (term)
+                       JOIN nrm USING (doc_id)
+                  GROUP BY 1, 2),
+           rk AS (SELECT q_id, doc_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+                  FROM sc)
+           SELECT rel.q_id,
+                  CAST(COALESCE(r.rn, 0) AS BIGINT) AS found_rank,
+                  CAST(COALESCE(10000 // r.rn, 0) AS BIGINT) AS rr_bp
+           FROM (SELECT doc_id AS q_id FROM documents
+                 WHERE doc_id % 25 = 0) rel
+           LEFT JOIN (SELECT q_id, doc_id, rn FROM rk WHERE rn <= 10) r
+             ON r.q_id = rel.q_id AND r.doc_id = rel.q_id"""
+    }))
+
+  /** Video scene-cut detection (Multimodal.videoSceneCuts): every 11th
+    * doc renders an M-JPEG whose frame j carries the ±8-step ramp with
+    * direction bits `(doc_id·7 + j) % 128` — consecutive sampled-frame
+    * dHash distance is then `8·popcount(p_{j−1} ⊕ p_j)` in closed form
+    * (the q125 JPEG-safe fixture, varied per frame), pure integer
+    * SQL over the real decode→hash→lag chain. */
+  private val q130 = QDef("q130_video_scene_cuts",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id % 11 == 0)
+        .mapPartitions(_.map { id =>
+          val frames = (0 until 3 + (id % 4).toInt).map { j =>
+            val p = ((id * 7 + j) % 128).toInt
+            val grays = new Array[Int](9)
+            grays(0) = 128
+            (0 until 8).foreach(x => grays(x + 1) =
+              grays(x) + (if (((p >> x) & 1) == 1) 8 else -8))
+            Multimodal.hstripeJpeg(grays, 8)
+          }
+          val blob = Multimodal.mjpegMp4(9, 8, timescale = 1000,
+            frameDur = 100, frames)
+          graft.ops.MediaItem(id, "video", blob, "video/mp4",
+            blob.length.toLong)
+        })
+      Multimodal.videoSceneCuts(items, minDist = 8, stride = 1)
+    },
+    Some("""SELECT doc_id AS item_id, CAST(j AS INT) AS frame_idx,
+                   CAST(8 * bit_count(xor((doc_id * 7 + j - 1) % 128,
+                     (doc_id * 7 + j) % 128)) AS INT) AS hd
+            FROM documents, UNNEST(range(1, 3 + doc_id % 4)) AS t(j)
+            WHERE doc_id % 11 = 0
+              AND 8 * bit_count(xor((doc_id * 7 + j - 1) % 128,
+                (doc_id * 7 + j) % 128)) >= 8"""), bench = true)
+
+  /** Per-source LM quality panel (TextAnalysis.lmSourceReport): the
+    * q123 CCNet gate rolled into the q84 data-card shape — per source,
+    * exact scored-bigram mass, total quantized cost, and bits-per-token
+    * on the int64 grid. */
+  private val q131 = QDef("q131_lm_source_panel",
+    (s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      TextAnalysis.lmSourceReport(docs(s, d), "doc_id", "text", "source",
+        costs, oov)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      def esc(x: String) = x.replace("'", "''")
+      val rows = costs
+        .map { case (a, b, c) => s"('${esc(a)}', '${esc(b)}', $c)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           bg AS (SELECT doc_id, ws[wpos] AS w1, ws[wpos + 1] AS w2
+                  FROM dt, UNNEST(range(1, len(ws))) AS t(wpos)),
+           c(w1, w2, cost) AS (VALUES $rows),
+           j AS (SELECT doc_id, COALESCE(c.cost, $oov) AS cost
+                 FROM bg LEFT JOIN c USING (w1, w2)),
+           per AS (SELECT doc_id, count(*) AS n_ngrams,
+                     sum(cost) AS total FROM j GROUP BY 1)
+           SELECT d.source AS stratum,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(per.n_ngrams) AS BIGINT) AS n_ngrams,
+                  CAST(sum(per.total) AS BIGINT) AS total_cost,
+                  CAST(sum(per.total) // sum(per.n_ngrams) AS BIGINT)
+                    AS avg_cost_q
+           FROM per JOIN documents d USING (doc_id) GROUP BY 1"""
+    }))
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -3920,7 +4043,8 @@ object Queries {
     q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
+    q131)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -854,6 +854,40 @@ object Multimodal {
       .select(col("item_id"), vote.as("vhash"))
   }
 
+  /** Scene-cut detection: consecutive sampled-frame dHash distance —
+    * the shot-boundary primitive every video curation pipeline needs
+    * (sample one frame per shot, drop static filler, count cuts as a
+    * quality/liveliness signal): frames sample and hash exactly as
+    * [[videoFingerprint]], then a LAG window PARTITIONED BY video (the
+    * sanctioned per-key shape — partitions are per-video frame counts,
+    * tiny) emits every sampled position whose dHash is ≥ `minDist`
+    * Hamming bits from the previous sampled frame. Pixels never
+    * shuffle; only `(item_id, frame_idx, hash)` reaches the window.
+    * Output: `(item_id, frame_idx, hd)` — the LATER frame of each
+    * cut. */
+  def videoSceneCuts(items: Dataset[MediaItem], minDist: Int,
+                     stride: Int = 1, hashW: Int = 8,
+                     hashH: Int = 8): DataFrame = {
+    import items.sparkSession.implicits._
+    require(minDist >= 0, s"minDist must be >= 0, got $minDist")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"dhash bits must fit int64: ${hashW}x$hashH")
+    val frames = sampleEveryNth(explodeFrames(items).toDF, "frame_idx", stride)
+      .as[VideoFrame]
+    val fh = frames.mapPartitions(_.map(f =>
+      (f.item_id, f.frame_idx, dhashOf(f.blob, hashW, hashH))))
+      .toDF("item_id", "frame_idx", "fh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_id")).orderBy(col("frame_idx"))
+    fh.withColumn("__prev", lag(col("fh"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("hd",
+        bit_count(col("fh").bitwiseXOR(col("__prev"))).cast("int"))
+      .filter(col("hd") >= minDist)
+      .select(col("item_id"), col("frame_idx"), col("hd"))
+  }
+
   /** Video near-duplicate pairs: [[videoFingerprint]] signatures joined
     * by the SHARED pigeonhole Hamming banding ([[Dedup.hammingPairs]] —
     * the one implementation text/image/audio already band through).

@@ -780,6 +780,43 @@ object TextAnalysis {
         col("n_rankers"))
   }
 
+  /** Known-item retrieval eval — the sparse-retrieval analog of
+    * [[graft.ops.Similarity.firstHitRank]]: for each query with a KNOWN
+    * relevant document (the classic known-item-search protocol — here a
+    * query minted from a document must retrieve that document), the
+    * rank at which the ranking returns it (0 = missed) and
+    * `rr_bp = floor(10⁴/rank)` whose mean/10⁴ is MRR@k. One narrow
+    * left join of the relevance table against the top-k table — never
+    * the corpus. Output: `(q_id, found_rank, rr_bp)`. */
+  def knownItemEval(ranking: DataFrame, relevant: DataFrame): DataFrame = {
+    val r = ranking.select(col("q_id"), col("doc_id"),
+      col("rank").cast("long").as("__rank"))
+    relevant.select(col("q_id"), col("doc_id"))
+      .join(r, Seq("q_id", "doc_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__rank"), lit(0L)).as("found_rank"),
+        coalesce(expr("10000 div __rank"), lit(0L)).as("rr_bp"))
+  }
+
+  /** Per-source LM quality panel — the data-card view of [[
+    * bigramLmScore]] (the q84 shape applied to the CCNet gate): per
+    * stratum, document count, scored-bigram mass, total quantized cost,
+    * and the stratum's bits-per-token on the int64 grid
+    * (`avg_cost_q = Σcost div Σngrams`) — "which sources look least
+    * like reference text", the first panel a mixture discussion reads.
+    * One broadcast dictionary join + ONE map-side-combinable stratum
+    * groupBy. */
+  def lmSourceReport(df: DataFrame, id: String, text: String,
+                     source: String, costs: Seq[(String, String, Long)],
+                     oovCost: Long): DataFrame =
+    bigramLmScore(df, id, text, costs, oovCost)
+      .join(df.select(col(id), col(source).as("stratum")), Seq(id))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ngrams")).as("n_ngrams"),
+        sum(col("total_cost")).as("total_cost"))
+      .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
+
   /** Adjacent word pairs of a document as an exploded-ready array of
     * `(w1, w2)` structs — zip of the token array with its own tail.
     * Builtin slice/arrays_zip, codegen'd (the HOF-free form the hot

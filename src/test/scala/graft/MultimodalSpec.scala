@@ -302,4 +302,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0), (1L, 3L, 8), (2L, 3L, 8), (3L, 4L, 8)))
     graft.ops.Caches.release()
   }
+
+  test("videoSceneCuts: consecutive-frame Hamming distance, threshold, stride") {
+    def stripe(p: Int): Array[Byte] = {
+      val grays = new Array[Int](9)
+      grays(0) = 128
+      (0 until 8).foreach(x => grays(x + 1) =
+        grays(x) + (if (((p >> x) & 1) == 1) 8 else -8))
+      Multimodal.hstripeJpeg(grays, 8)
+    }
+    // frames: p = 5, 5, 4, 4 → cuts only at frame 2 (5⊕4 = 1 bit → hd 8)
+    val blob = Multimodal.mjpegMp4(9, 8, 1000, 100,
+      Seq(stripe(5), stripe(5), stripe(4), stripe(4)))
+    val items = Seq(
+      MediaItem(1L, "video", blob, "video/mp4", blob.length.toLong)).toDS()
+    val cuts = Multimodal.videoSceneCuts(items, minDist = 1, stride = 1)
+      .as[(Long, Int, Int)].collect().toSeq.sortBy(_._2)
+    assert(cuts == Seq((1L, 2, 8)))
+    // minDist above the jump suppresses it
+    assert(Multimodal.videoSceneCuts(items, minDist = 9, stride = 1).isEmpty)
+    // stride 2 samples frames 0, 2: the cut is still seen between them
+    val strided = Multimodal.videoSceneCuts(items, minDist = 1, stride = 2)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(strided == Seq((1L, 2, 8)))
+  }
 }
