@@ -2617,6 +2617,51 @@ object Queries {
            FROM per JOIN documents d USING (doc_id) GROUP BY 1"""
     }))
 
+  /** Trained DSIR weights per sf dir: target = src0 (plays the
+    * high-quality reference domain, as in q123), raw = the whole dump. */
+  private val dsirCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Long, Long)], Long)]
+  private def trainedDsir(s: SparkSession,
+                          d: String): (Seq[(Long, Long)], Long) =
+    dsirCache.getOrElseUpdate(d, Curation.trainDsirWeights(
+      docs(s, d).filter(col("source") === "src0"), docs(s, d), "text",
+      buckets = 1024))
+
+  /** DSIR importance weighting (Curation.trainDsirWeights +
+    * dsirScores): hashed-unigram log-likelihood-ratio scoring of every
+    * document against the src0 target domain — the importance-
+    * resampling data-selection stage. λ weights are driver-quantized
+    * int64 ⇒ inline exactly as VALUES; the bucket hash is the repo's
+    * md5-prefix60 idiom both engines compute bit-identically. */
+  private val q132 = QDef("q132_dsir_weights",
+    (s, d) => {
+      val (lams, dflt) = trainedDsir(s, d)
+      Curation.dsirScores(docs(s, d), "doc_id", "text", lams, dflt,
+        buckets = 1024)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (lams, dflt) = trainedDsir(s, d)
+      val rows = lams.map { case (b, l) => s"($b, $l)" }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+              FROM documents),
+           bk AS (SELECT doc_id,
+                    ((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                      % 2147483647) % 1024) AS b
+                  FROM tk),
+           lam(b, l) AS (VALUES $rows),
+           j AS (SELECT doc_id, COALESCE(lam.l, $dflt) AS l
+                 FROM bk LEFT JOIN lam USING (b)),
+           agg AS (SELECT doc_id, count(*) AS n, sum(l) AS s
+                   FROM j GROUP BY 1)
+           SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                  CAST(s AS BIGINT) AS logw_q,
+                  CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+                    AS avg_logw_q
+           FROM agg"""
+    }))
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -4044,7 +4089,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131)
+    q131, q132)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
@@ -4059,7 +4104,15 @@ object Queries {
     * centroids), generated against the live session + sf dir at Verify
     * dump time. */
   def oraclesFor(s: SparkSession, dir: String): Map[String, String] =
-    oracles ++ all.flatMap(q => q.oracleGen.map(g => q.name -> flat(g(s, dir))))
+    oraclesFor(s, dir, _ => true)
+
+  /** [[oraclesFor]] restricted to queries matching `pred` — generators
+    * for unselected queries never run (they train artifacts). */
+  def oraclesFor(s: SparkSession, dir: String,
+                 pred: String => Boolean): Map[String, String] =
+    oracles.filter(kv => pred(kv._1)) ++
+      all.filter(q => pred(q.name))
+        .flatMap(q => q.oracleGen.map(g => q.name -> flat(g(s, dir))))
 
   val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
 }

@@ -411,6 +411,79 @@ object Curation {
           .as("recall"))
   }
 
+  /** DSIR-style importance weighting (hashed n-gram importance
+    * resampling): score every raw document by how much more likely its
+    * hashed-unigram profile is under a TARGET corpus (the high-quality
+    * domain you want more of) than under the RAW pool — the trained
+    * data-selection stage that upweights target-like documents before
+    * sampling. Features are hashed token buckets (collisions are part
+    * of the method's design), so the artifact is bounded by `buckets`
+    * regardless of vocabulary size.
+    *
+    * Training: ONE token-explode + bucket-groupBy pass per corpus
+    * (map-side combinable, output ≤ `buckets` rows each), then the
+    * per-bucket log-likelihood-ratio quantizes DRIVER-side to int64:
+    * `λ(b) = floor(2^s·(log2 p̂_target(b) − log2 p̂_raw(b)))` with
+    * add-one smoothing — the artifact, not any engine's float log,
+    * carries the transcendental arithmetic (the [[TextAnalysis
+    * .trainBigramLm]] discipline). Buckets unseen in BOTH corpora pay
+    * the smoothed-only default λ₀. Returns `((bucket, λ) rows, λ₀)`.
+    *
+    * 100 TB posture: apply ([[dsirScores]]) is a row-local bucket hash,
+    * one broadcast dictionary join (≤ `buckets` rows), and a per-doc
+    * integer sum — the corpus never shuffles anything wider than
+    * `(id, bucket)`. */
+  def trainDsirWeights(target: DataFrame, raw: DataFrame, text: String,
+                       buckets: Int = 4096, scaleBits: Int = 12)
+      : (Seq[(Long, Long)], Long) = {
+    require(buckets >= 2 && buckets <= (1 << 20), s"bad buckets: $buckets")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      df.select(explode(TextAnalysis.tokens(col(text))).as("__t"))
+        .select((Dedup.baseHash(col("__t")) % buckets).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    require(ct.nonEmpty, "trainDsirWeights: target corpus has no tokens")
+    require(cr.nonEmpty, "trainDsirWeights: raw corpus has no tokens")
+    val nt = ct.valuesIterator.sum.toDouble + buckets
+    val nr = cr.valuesIterator.sum.toDouble + buckets
+    val scale = (1L << scaleBits).toDouble
+    val log2 = StrictMath.log(2.0)
+    def lam(t: Long, r: Long): Long =
+      math.floor(scale * (StrictMath.log((t + 1.0) / nt) -
+        StrictMath.log((r + 1.0) / nr)) / log2).toLong
+    val seen = (ct.keySet ++ cr.keySet).toSeq.sorted
+    (seen.map(b => b -> lam(ct.getOrElse(b, 0L), cr.getOrElse(b, 0L))),
+      lam(0L, 0L))
+  }
+
+  /** Apply half of [[trainDsirWeights]]: per-document quantized
+    * log-importance-weight `Σ_tokens λ(bucket(token))` — rank or
+    * threshold on `avg_logw_q` (per-token form, so length doesn't
+    * dominate) to select target-like documents. The mean uses the
+    * exact floor form `(s − pmod(s, n)) / n` (sums go negative — a
+    * truncating `div` would disagree cross-engine). Token-less
+    * documents drop. Output `(id, n_tokens, logw_q, avg_logw_q)`,
+    * all exact int64. */
+  def dsirScores(df: DataFrame, id: String, text: String,
+                 lambdas: Seq[(Long, Long)], defaultLambda: Long,
+                 buckets: Int = 4096): DataFrame = {
+    require(lambdas.nonEmpty, "dsirScores: empty weight table")
+    import df.sparkSession.implicits._
+    val dict = lambdas.toDF("b", "__lam")
+    df.select(col(id), explode(TextAnalysis.tokens(col(text))).as("__t"))
+      .select(col(id), (Dedup.baseHash(col("__t")) % buckets).as("b"))
+      .join(broadcast(dict), Seq("b"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__lam"), lit(defaultLambda))).as("logw_q"))
+      .withColumn("avg_logw_q",
+        ((col("logw_q") - pmod(col("logw_q"), col("n_tokens"))) /
+          col("n_tokens")).cast("long"))
+  }
+
   def corpusDataCard(docs: DataFrame, stratum: String, id: String,
                      text: String): DataFrame = {
     val sig = docs.select(col(stratum).as("stratum"), col(id),

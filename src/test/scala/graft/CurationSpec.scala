@@ -282,4 +282,39 @@ class CurationSpec extends SparkSpec {
     assert(scored(2L) == ((-4096L * 4096L, 0)))
     assert(scored(3L) == ((0L, 1))) // score 0 keeps (p = 1/2 boundary)
   }
+
+  test("dsir: target-like docs outscore raw-like docs; unseen pays default") {
+    val target = Seq((0L, "alpha beta alpha beta"), (1L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val raw = Seq((0L, "alpha beta alpha beta"), (1L, "alpha beta gamma"),
+      (2L, "zulu yankee zulu"), (3L, "yankee xray zulu"))
+      .toDF("doc_id", "text")
+    val (lams, dflt) = Curation.trainDsirWeights(target, raw, "text",
+      buckets = 256)
+    // target tokens appear in both corpora (λ > λ₀); raw-only tokens are
+    // penalized (λ < 0 since p_target is smoothed-only but p_raw is not)
+    val scored = Curation.dsirScores(raw, "doc_id", "text", lams, dflt,
+        buckets = 256)
+      .select("doc_id", "avg_logw_q").as[(Long, Long)].collect().toMap
+    assert(scored(0L) > scored(2L) && scored(1L) > scored(3L),
+      s"target-like docs must outscore raw-only docs: $scored")
+    // a doc of entirely UNSEEN tokens scores n·λ₀ exactly
+    val unseen = Seq((9L, "qqqqx wwwwx")).toDF("doc_id", "text")
+    val u = Curation.dsirScores(unseen, "doc_id", "text", lams, dflt,
+        buckets = 256)
+      .select("n_tokens", "logw_q").as[(Long, Long)].collect().head
+    assert(u == ((2L, 2L * dflt)))
+  }
+
+  test("dsir training is partition-order independent") {
+    val target = Seq((0L, "alpha beta"), (1L, "beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val raw = Seq((0L, "alpha beta"), (1L, "beta gamma alpha"),
+      (2L, "zulu yankee"), (3L, "xray zulu"))
+      .toDF("doc_id", "text")
+    val a = Curation.trainDsirWeights(target, raw, "text", buckets = 128)
+    val b = Curation.trainDsirWeights(target.repartition(7),
+      raw.repartition(5), "text", buckets = 128)
+    assert(a == b)
+  }
 }
