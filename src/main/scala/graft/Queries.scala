@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{Curation, Dedup, EventOps, Multimodal, Protocol, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, EventOps, Multimodal, Protocol, Sampling, Similarity, TextAnalysis}
 
 /** The canonical oracle-checked query inventory (SURVEY.md §2.12 Q1-Q14 +
   * the LLM-data-pipeline operators + TPC-H-style scale probes), each as a
@@ -2662,6 +2662,100 @@ object Queries {
            FROM agg"""
     }))
 
+  /** Word-bigram strings of every document (vocab² key space — the
+    * corpus vocabulary is only 31 words, so unigram sketches would be
+    * exact; bigrams give the sketches real collision pressure). */
+  private def bigramStrings(s: SparkSession, d: String,
+                            extraCols: Column*): DataFrame =
+    docs(s, d).select(extraCols :+
+      explode(TextAnalysis.bigramPairs(col("text"))).as("__b"): _*)
+      .select(extraCols :+
+        concat_ws(" ", col("__b.w1"), col("__b.w2")).as("bg"): _*)
+
+  /** The shared DuckDB bigram CTE (doc_id, source, bg). */
+  private val BigramCte =
+    """dt AS (SELECT doc_id, source, list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
+       bg AS (SELECT doc_id, source, ws[wpos] || ' ' || ws[wpos + 1] AS bg
+              FROM dt, UNNEST(range(1, len(ws))) AS t(wpos))"""
+
+  /** Count-Min sketch frequency estimation (graft.functions.CmsSketch +
+    * Sampling.cmsFrequencies): one map-side-combinable pass folds every
+    * bigram occurrence into a 4×64 counter grid; probe keys (doc 0's
+    * bigrams) read estimates row-locally off the broadcast grid beside
+    * their exact counts. The oracle rebuilds the SKETCH SEMANTICS
+    * relationally — est = min over rows of the summed colliding
+    * counts — so the driver hash-checks the estimator itself, not just
+    * row counts; est ≥ exact (CMS never underestimates) rides along. */
+  private val q133 = QDef("q133_cms_frequencies",
+    (s, d) => {
+      val probes = docs(s, d).filter(col("doc_id") === 0)
+        .select(explode(TextAnalysis.bigramPairs(col("text"))).as("__b"))
+        .select(concat_ws(" ", col("__b.w1"), col("__b.w2")).as("bg"))
+        .distinct()
+      Sampling.cmsFrequencies(bigramStrings(s, d), "bg", probes, "bg",
+        depth = 4, width = 64)
+    },
+    Some(s"""WITH $BigramCte,
+             h AS (SELECT bg.bg, (CAST('0x' || substr(md5(bg.bg), 1, 15)
+                     AS BIGINT) % 2147483647) AS bh
+                   FROM bg),
+             cnt AS (SELECT bg, bh, count(*) AS c FROM h GROUP BY 1, 2),
+             probe AS (SELECT DISTINCT bg.bg AS bg FROM bg
+                       WHERE doc_id = 0),
+             ph AS (SELECT bg, (CAST('0x' || substr(md5(bg), 1, 15)
+                      AS BIGINT) % 2147483647) AS bh
+                    FROM probe),
+             est AS (SELECT p.bg, g.i,
+                       sum(CASE WHEN ((cnt.bh * (4099 * g.i + 1)
+                             + (9973 * g.i + 7)) % 2147483647) % 64
+                           = ((p.bh * (4099 * g.i + 1)
+                             + (9973 * g.i + 7)) % 2147483647) % 64
+                           THEN cnt.c ELSE 0 END) AS s
+                     FROM ph p, generate_series(0, 3) AS g(i), cnt
+                     GROUP BY 1, 2),
+             mn AS (SELECT bg, CAST(min(s) AS BIGINT) AS est
+                    FROM est GROUP BY 1),
+             ex AS (SELECT h.bg, CAST(count(*) AS BIGINT) AS exact
+                    FROM h WHERE bg IN (SELECT bg FROM probe)
+                    GROUP BY 1)
+             SELECT mn.bg, mn.est,
+                    CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact
+             FROM mn LEFT JOIN ex USING (bg)"""), bench = true)
+
+  /** HyperLogLog distinct-count registers per source
+    * (graft.functions.HllRegisters + Sampling.hllRegisters) over the
+    * bigram inventory: merge = element-wise max ⇒ the registers are a
+    * pure function of the input SET, and the oracle rebuilds every
+    * register with `ρ = 54 − (length(bin(rem)) − 1)` — pure integer
+    * SQL; the float estimator stays driver-side
+    * (Sampling.hllEstimate), so everything hash-checked is int64. */
+  private val q134 = QDef("q134_hll_registers",
+    (s, d) => Sampling.hllRegisters(bigramStrings(s, d, col("source")),
+      Seq("source"), "bg", bucketBits = 6),
+    Some(s"""WITH $BigramCte,
+             h AS (SELECT DISTINCT source,
+                     CAST('0x' || substr(md5(bg.bg), 1, 15) AS BIGINT)
+                       AS h60
+                   FROM bg),
+             r AS (SELECT source, h60 // 18014398509481984 AS bucket,
+                     h60 % 18014398509481984 AS rem
+                   FROM h),
+             regs AS (SELECT source, bucket,
+                        max(CASE WHEN rem = 0 THEN 55
+                            ELSE 54 - (length(bin(rem)) - 1) END)
+                          AS register
+                      FROM r GROUP BY 1, 2),
+             grid AS (SELECT s.source, t.bucket
+                      FROM (SELECT DISTINCT source FROM documents) s,
+                           generate_series(0, 63) AS t(bucket))
+             SELECT g.source, CAST(g.bucket AS INT) AS bucket,
+                    CAST(COALESCE(regs.register, 0) AS BIGINT) AS register
+             FROM grid g LEFT JOIN regs
+               ON g.source = regs.source AND g.bucket = regs.bucket"""),
+    bench = true)
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -4089,7 +4183,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132)
+    q131, q132, q133, q134)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -297,6 +297,191 @@ object MinHashSig {
       MinHashSig(Bridge.expression(hash), numHashes).toAggregateExpression())
 }
 
+/** Count-Min Sketch as a native Catalyst aggregate — the bounded-state
+  * frequency-estimation sketch (Cormode & Muthukrishnan, "An improved
+  * data stream summary: the count-min sketch and its applications",
+  * J. Algorithms 2005): a depth×width counter grid where row i
+  * increments slot `h_i(x) = ((a_i·h + b_i) mod P) mod width`, and the
+  * estimate for a key is the MINIMUM of its depth counters — always an
+  * OVERestimate (collisions only add), with error ≤ εN at depth
+  * ln(1/δ), width e/ε.
+  *
+  * Determinism: the hash family is the repo's fixed minHash linear
+  * family over the md5-prefix60 base hash, and merge is element-wise
+  * long addition — associative/commutative, so the finished grid is a
+  * pure function of the multiset of inputs, independent of partitioning
+  * (the [[SimHashVotes]] property), and the DuckDB oracle can rebuild
+  * every counter relationally. RNG-seeded sketch libraries can't be
+  * oracle-checked this way.
+  *
+  * Scale shape: O(depth·width) state per group regardless of input
+  * size, map-side combinable (one grid ships per partition per group).
+  * Output is the raw `long[depth·width]` grid row-major; estimation
+  * ([[graft.ops.Sampling.cmsEstimate]]) is a row-local fold against
+  * probe-key literals. Input MUST be the 60-bit base hash mod P
+  * ([[graft.ops.Dedup.baseHash]]) so plan and oracle share the hash. */
+case class CmsSketch(
+    child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16, got $depth")
+  require(width >= 2 && width <= (1 << 20), s"bad width: $width")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  private val P = graft.ops.Dedup.MinHashP
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < depth) {
+        buffer(i * width + (((h * (4099L * i + 1L) + (9973L * i + 7L)) % P)
+          % width).toInt) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buffer.length)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketch =
+    copy(child = newChild)
+}
+
+object CmsSketch {
+  /** Column form: `hash` must be the base hash (Dedup.baseHash). */
+  def agg(hash: Column, depth: Int, width: Int): Column =
+    Bridge.column(
+      CmsSketch(Bridge.expression(hash), depth, width).toAggregateExpression())
+}
+
+/** HyperLogLog register fold as a native Catalyst aggregate (Flajolet
+  * et al., "HyperLogLog: the analysis of a near-optimal cardinality
+  * estimation algorithm", AofA 2007) — the industry-standard
+  * constant-state distinct sketch beside [[KmvDistinct]]'s order
+  * statistic: the 60-bit hash splits into a `bucketBits`-bit bucket
+  * index and a (60−bucketBits)-bit remainder whose leading-zero rank
+  * `ρ` (position of the first set bit from the top, 1-based;
+  * remainder 0 → 61−bucketBits) max-folds into register M_bucket.
+  *
+  * Merge is element-wise MAX — associative/commutative/idempotent, so
+  * the registers are a pure function of the input SET (duplicates
+  * cannot move a max), independent of partitioning AND of upstream
+  * dedup — and the DuckDB oracle rebuilds every register relationally
+  * (`ρ = (60−b) − floor(log2 rem)` via `length(bin(rem)) − 1`, pure
+  * integer SQL). The float estimator (`α_m·m²/Σ2^-M_j`) is the
+  * caller's final step ([[graft.ops.Sampling.hllEstimate]]); keeping
+  * it OUT of the aggregate keeps everything the engines exchange
+  * exact int64.
+  *
+  * Scale shape: O(2^bucketBits) bytes of state per group, map-side
+  * combinable — the contract of Spark's own approx_count_distinct,
+  * with determinism (and thus oracle-checkability) in exchange for
+  * HLL++'s bias corrections. */
+case class HllRegisters(
+    child: Expression, bucketBits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(bucketBits >= 2 && bucketBits <= 16, s"bad bucketBits: $bucketBits")
+
+  private val m = 1 << bucketBits
+  private val remBits = 60 - bucketBits
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_registers"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h >>> remBits).toInt
+      val rem = h & ((1L << remBits) - 1L)
+      val rho =
+        if (rem == 0L) remBits + 1
+        else remBits - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > buffer(bucket)) buffer(bucket) = rho.toByte
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) {
+      if (other(j) > buffer(j)) buffer(j) = other(j)
+      j += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.map(_.toLong))
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer.clone()
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegisters =
+    copy(child = newChild)
+}
+
+object HllRegisters {
+  /** Column form: `hash` must be a 60-bit hash (Md5Prefix60 /
+    * Sampling.hash60 — NOT reduced mod P, which would skew buckets). */
+  def agg(hash: Column, bucketBits: Int): Column =
+    Bridge.column(
+      HllRegisters(Bridge.expression(hash), bucketBits)
+        .toAggregateExpression())
+}
+
 /** The MinHash signature as ONE row-local scalar expression over the
   * shingle ARRAY — no explode, no shuffle, no aggregate: the signature
   * of a document is a pure function of its own shingles, so pushing it

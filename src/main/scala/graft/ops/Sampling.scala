@@ -307,6 +307,82 @@ object Sampling {
             col("__hk").cast("double")), 4).as("approx_distinct")): _*)
   }
 
+  /** Count-Min estimate as a row-local fold against the finished grid:
+    * `min over rows i of grid[i·width + h_i(keyHash)]` — `depth` literal
+    * terms (depth is small), no shuffle, no UDF. `keyHash` must be the
+    * same base hash the sketch was built over. */
+  def cmsEstimate(grid: Column, keyHash: Column, depth: Int,
+                  width: Int): Column =
+    least((0 until depth).map { i =>
+      element_at(grid,
+        (((keyHash * lit(4099L * i + 1L) + lit(9973L * i + 7L))
+          % lit(Dedup.MinHashP)) % width).cast("int") + lit(i * width + 1))
+    }: _*)
+
+  /** Heavy-hitter frequency estimation via the native Count-Min sketch
+    * ([[graft.functions.CmsSketch]]): ONE map-side-combinable pass
+    * folds every value occurrence into a depth×width counter grid
+    * (O(depth·width) state total — the 100 TB path: the corpus never
+    * shuffles, only grids merge), then each probe key reads its
+    * estimate row-locally off the broadcast 1-row grid and joins its
+    * exact count (computed over the PROBE subset only — a semi-joined
+    * groupBy, bounded by the probe inventory). Output per probe:
+    * `(value, est, exact)` with `est ≥ exact` guaranteed (CMS
+    * overestimates, never under) — the overshoot IS the collision
+    * diagnostic a sketch dashboard shows. */
+  def cmsFrequencies(df: DataFrame, value: String, probes: DataFrame,
+                     probeCol: String, depth: Int, width: Int): DataFrame = {
+    val hashed = df.select(Dedup.baseHash(col(value)).as("__h"),
+      col(value).as("__v"))
+    val grid = hashed.agg(
+      graft.functions.CmsSketch.agg(col("__h"), depth, width).as("__grid"))
+    val exact = hashed
+      .join(probes.select(col(probeCol).as("__v")).distinct(), Seq("__v"),
+        "left_semi")
+      .groupBy(col("__v")).agg(count(lit(1)).as("exact"))
+    probes.select(col(probeCol).as("__v")).distinct()
+      .join(exact, Seq("__v"), "left")
+      .crossJoin(broadcast(grid))
+      .select(col("__v").as(probeCol),
+        cmsEstimate(col("__grid"), Dedup.baseHash(col("__v")), depth, width)
+          .as("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+  }
+
+  /** HyperLogLog registers per group via the native aggregate
+    * ([[graft.functions.HllRegisters]]): one map-side-combinable pass,
+    * O(2^bucketBits) state per group, exploded to one exact-int64 row
+    * per `(group, bucket)` — the engine-exchange form (the float
+    * estimator stays OUT of the data path; see [[hllEstimate]]).
+    * `value` hashes through the repo's 60-bit md5 idiom. */
+  def hllRegisters(df: DataFrame, groupBy: Seq[String], value: String,
+                   bucketBits: Int): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(graft.functions.HllRegisters.agg(
+        graft.functions.Md5Hash.prefix60(col(value)), bucketBits).as("__regs"))
+      .select((groupBy.map(col) :+
+        posexplode(col("__regs")).as(Seq("bucket", "register"))): _*)
+
+  /** The classic HLL estimate from a finished register table
+    * ([[hllRegisters]] output): `α_m·m²/Σ2^(−M_j)` with the standard
+    * small-range linear-counting correction (`E ≤ 5m/2` and zero
+    * registers present → `m·ln(m/V)`). Driver-side arithmetic over the
+    * m-row register table — a diagnostic convenience, not a data-path
+    * operator (the oracle-checked surface is the registers). */
+  def hllEstimate(registers: Seq[Long], bucketBits: Int): Double = {
+    val m = 1 << bucketBits
+    require(registers.length == m, s"need $m registers, got ${registers.length}")
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m * m / registers.map(r => math.pow(2.0, -r.toDouble)).sum
+    val zeros = registers.count(_ == 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
   /** In-batch negative sampling — the contrastive-training pair
     * construction (each anchor paired with the next `k` members of its
     * hash batch, cyclically): rows are sharded into pseudo-random

@@ -350,4 +350,61 @@ class SamplingSpec extends SparkSpec {
         Map("a" -> 1000L))
     }
   }
+
+  test("cmsFrequencies: single-key grid is exact; est never underestimates") {
+    // one distinct key → no collisions possible → est == exact == n
+    val solo = Seq.fill(7)("only").toDF("v")
+    val probes1 = Seq("only").toDF("v")
+    val r1 = Sampling.cmsFrequencies(solo, "v", probes1, "v",
+      depth = 2, width = 4).as[(String, Long, Long)].collect().head
+    assert(r1 == (("only", 7L, 7L)))
+    // many keys into a tiny grid: collisions force est >= exact on every
+    // probe, and an absent probe key still reads est >= 0 with exact = 0
+    val vals = (0 until 40).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i"))
+      .toDF("v")
+    val probes = (Seq("k0", "k5", "k11", "absent")).toDF("v")
+    val out = Sampling.cmsFrequencies(vals, "v", probes, "v",
+      depth = 3, width = 8).as[(String, Long, Long)].collect()
+    assert(out.length == 4)
+    out.foreach { case (k, est, exact) =>
+      assert(est >= exact, s"CMS underestimated $k: est=$est exact=$exact")
+    }
+    assert(out.find(_._1 == "absent").get._3 == 0L)
+    assert(out.find(_._1 == "k0").get._3 == 1L)
+    assert(out.find(_._1 == "k11").get._3 == 3L)
+  }
+
+  test("cmsFrequencies grid is partition-order independent") {
+    val vals = (0 until 60).map(i => s"k${i % 13}").toDF("v")
+    val probes = Seq("k0", "k7").toDF("v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.cmsFrequencies(df, "v", probes, "v", depth = 4, width = 8)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(vals) == run(vals.repartition(7)))
+  }
+
+  test("hllRegisters: set semantics, partition invariance, register math") {
+    val a = Seq("x", "y", "z", "x", "x", "y").toDF("v")
+    val b = Seq("x", "y", "z").toDF("v") // same SET
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      Sampling.hllRegisters(df.withColumn("g", lit(1)), Seq("g"), "v",
+          bucketBits = 4)
+        .select("bucket", "register").as[(Int, Long)].collect().toMap
+    val ra = regs(a)
+    assert(ra == regs(b), "duplicates must not move a max-fold register")
+    assert(ra == regs(a.repartition(5)))
+    assert(ra.size == 16 && ra.keys.min == 0 && ra.keys.max == 15)
+    // spot-check one register against hand arithmetic on the real hash
+    val h = graft.functions.Md5Hash.prefix60(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x"))
+    val bucket = (h >>> 56).toInt
+    val rem = h & ((1L << 56) - 1L)
+    val rho = if (rem == 0L) 57L
+      else 56L - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+    assert(ra(bucket) >= rho)
+    // small-range estimate: linear counting is near-exact for 3 of 16
+    val est = Sampling.hllEstimate(
+      (0 until 16).map(j => ra(j)), bucketBits = 4)
+    assert(math.abs(est - 3.0) < 1.5, s"estimate $est far from 3")
+  }
 }
