@@ -2756,6 +2756,48 @@ object Queries {
                ON g.source = regs.source AND g.bucket = regs.bucket"""),
     bench = true)
 
+  /** Exact duplicate-span removal (Dedup.removeDuplicateSpans): the
+    * Lee-et-al rewrite — non-canonical occurrences of duplicated
+    * 8-grams are cut token-wise and documents reassembled, keeping one
+    * copy of every duplicated passage corpus-wide. The oracle mirrors
+    * the packed-key canonicalization and the ordered string_agg
+    * reassembly exactly. */
+  private val q135 = QDef("q135_remove_dup_spans",
+    (s, d) => Dedup.removeDuplicateSpans(docs(s, d), "doc_id", "text",
+      n = 8),
+    Some("""WITH t AS (SELECT doc_id, list_filter(
+                 regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+             tok AS (SELECT doc_id, wpos - 1 AS pos, toks[wpos] AS tk
+                     FROM t, UNNEST(range(1, len(toks) + 1)) AS u(wpos)),
+             g AS (SELECT doc_id, wpos - 1 AS pos,
+                     md5(array_to_string(toks[wpos : wpos + 7], ' ')) AS gh
+                   FROM t, UNNEST(range(1, len(toks) - 6)) AS u(wpos)
+                   WHERE len(toks) >= 8),
+             fam AS (SELECT gh, count(*) AS c,
+                       min(doc_id * 1048576 + pos) AS ck
+                     FROM g GROUP BY 1),
+             cover AS (SELECT g.doc_id, u.p
+                       FROM g JOIN fam USING (gh),
+                            UNNEST(range(g.pos, g.pos + 8)) AS u(p)
+                       WHERE fam.c > 1
+                         AND g.doc_id * 1048576 + g.pos <> fam.ck),
+             kept AS (SELECT tok.doc_id, tok.pos, tok.tk
+                      FROM tok ANTI JOIN cover
+                        ON tok.doc_id = cover.doc_id
+                       AND tok.pos = cover.p),
+             agg AS (SELECT doc_id,
+                       string_agg(tk, ' ' ORDER BY pos) AS kept_text,
+                       count(*) AS n_kept
+                     FROM kept GROUP BY 1)
+             SELECT d.doc_id, COALESCE(agg.kept_text, '') AS kept_text,
+                    CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                    CAST(tc.n - COALESCE(agg.n_kept, 0) AS BIGINT)
+                      AS n_removed
+             FROM documents d
+             JOIN (SELECT doc_id, len(toks) AS n FROM t) tc USING (doc_id)
+             LEFT JOIN agg USING (doc_id)"""), bench = true)
+
   /** IVF-SQ8 top-k (Similarity.ivfSq8TopK) — the FAISS `IVFx,SQ8`
     * composition: trained coarse quantizer prunes to 3 cells per query,
     * candidates score by the all-int64 SQ8 ADC. Oracle composes q85's
@@ -4183,7 +4225,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134)
+    q131, q132, q133, q134, q135)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

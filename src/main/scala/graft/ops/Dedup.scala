@@ -688,6 +688,63 @@ object Dedup {
         round(col("n_shared_chunks").cast("double") / col("n_chunks"), 4))
   }
 
+  /** Exact duplicate-SPAN removal — the rewrite form of exact substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022, at fixed n-gram granularity): every
+    * token position covered by a NON-CANONICAL occurrence of a
+    * duplicated n-gram is cut, and the document is reassembled from
+    * the surviving tokens — duplicated passages keep exactly one copy
+    * corpus-wide (their first occurrence by (id, pos)), unlike
+    * document-level dedup which can only drop whole rows. Also
+    * collapses WITHIN-document repetition (a k-times repeated span
+    * keeps its first copy).
+    *
+    * Canonical occurrence = min packed key `id·2²⁰ + pos` per gram —
+    * computed as ONE map-side-combinable groupBy (the W1 max-struct
+    * shape, no window), so a viral gram never builds a whale sort
+    * partition. Cover positions stay as duplicate-bearing rows (a left
+    * ANTI join ignores right-side multiplicity — no distinct shuffle),
+    * and reassembly is the q97 ordered re-aggregation (array_sort over
+    * collect_list, no window). Only `(id, pos, gram-md5)` ever
+    * shuffles; fully-removed docs stay row-aligned with empty text.
+    * Positions must fit 2²⁰ tokens/doc and ids 2⁴² (packed-key
+    * domain; both loudly exceeded, not wrapped, under ANSI).
+    * Output: `(id, kept_text, n_kept, n_removed)`. */
+  def removeDuplicateSpans(df: DataFrame, id: String, text: String,
+                           n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val t = df.select(col(id), TextAnalysis.tokens(col(text)).as("__toks"))
+    val tok = t.select(col(id),
+      posexplode(col("__toks")).as(Seq("pos", "tk")))
+    val grams = t.filter(size(col("__toks")) >= n)
+      .select(col(id), explode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => struct(i.as("pos"),
+          md5(array_join(slice(col("__toks"), i + 1, lit(n)), " ")).as("gh"))))
+        .as("g"))
+      .select(col(id), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val packed = col(id).cast("long") * lit(1048576L) + col("pos")
+    val fam = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__c"), min(packed).as("__ck"))
+    val cover = grams.join(fam, Seq("gh"))
+      .filter(col("__c") > 1 && packed =!= col("__ck"))
+      .select(col(id).as("__cid"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("__p"))
+    val kept = tok.join(cover,
+      tok(id) === cover("__cid") && tok("pos") === cover("__p"), "left_anti")
+    val agg = kept.groupBy(col(id)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tk")))),
+        x => x("tk"))).as("kept_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(id), TextAnalysis.tokenCount(col(text)).cast("long")
+        .as("__n"))
+      .join(agg, Seq(id), "left")
+      .select(col(id), coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** END-TO-END corpus near-dedup in ONE Catalyst-planned call — the
     * composition a pipeline user actually wants from the dedup stack:
     * candidate pairs ([[minHashLshPairs]]: banded equi-join, exact

@@ -481,4 +481,42 @@ class DedupSpec extends SparkSpec {
     assert(out.find(_._1 == 4L).get == ((4L, "zz yy xx ww", 1L, 0L, 0L)))
     assert(out.find(_._1 == 5L).get == ((5L, "", 1L, 0L, 0L)))
   }
+
+  test("removeDuplicateSpans: canonical copy survives, later spans cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),           // canonical for every shared gram
+      (1L, "x y a b c z"),         // embeds "a b c" → cut at pos 2..4
+      (2L, "a b c d e"),           // exact dup → fully removed
+      (3L, "p q r p q r p q r"),   // self-repetition → first copy kept
+      (4L, "hi there"),            // < n tokens: no grams, untouched
+      (5L, "")                     // token-less, stays row-aligned
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == (("a b c d e", 5L, 0L)))
+    assert(out(1L) == (("x y z", 3L, 3L)))
+    assert(out(2L) == (("", 0L, 5L)))
+    // d3 grams: pqr@{0,3,6} qrp@{1,4} rpq@{2,5}; non-canonical covers
+    // 3..8 ∪ 4..6 ∪ 5..7 = {3..8} → kept "p q r"
+    assert(out(3L) == (("p q r", 3L, 6L)))
+    assert(out(4L) == (("hi there", 2L, 0L)))
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("removeDuplicateSpans is partition-order independent") {
+    import spark.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, if (i % 3 == 0) "u v w x y z" else s"u v w x q$i r$i"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.removeDuplicateSpans(df, "doc_id", "text", n = 4)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+    // doc 0 is the canonical "u v w x y z"; every other %3==0 doc loses
+    // all 6 tokens; the near-miss docs keep their unique tails
+    val r = run(docs).map(t => t._1 -> t._2).toMap
+    assert(r(0L) == "u v w x y z" && r(3L) == "" && r(6L) == "")
+  }
 }
