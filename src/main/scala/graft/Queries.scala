@@ -2756,6 +2756,102 @@ object Queries {
                ON g.source = regs.source AND g.bucket = regs.bucket"""),
     bench = true)
 
+  /** Trained CCNet cut points per sf dir (terciles of the q123 scored
+    * corpus — two int64s, the artifact form). */
+  private val lmCutsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long)]
+  private def trainedLmCuts(s: SparkSession, d: String): (Long, Long) =
+    lmCutsCache.getOrElseUpdate(d, {
+      val (costs, oov) = trainedLm(s, d)
+      TextAnalysis.lmScoreCuts(TextAnalysis.bigramLmScore(
+        docs(s, d), "doc_id", "text", costs, oov))
+    })
+
+  /** CCNet head/middle/tail perplexity bucketing (TextAnalysis
+    * .lmScoreCuts + lmPerplexityBuckets): the q123 LM score cut at the
+    * trained tercile boundaries — CCNet's quality stratification, whose
+    * `head` is what the pipeline preferentially trains on. Cuts are
+    * exact discrete order statistics ⇒ two inlined int64 literals. */
+  private val q136 = QDef("q136_lm_ppl_buckets",
+    (s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      val (c1, c2) = trainedLmCuts(s, d)
+      TextAnalysis.lmPerplexityBuckets(
+        TextAnalysis.bigramLmScore(docs(s, d), "doc_id", "text", costs, oov),
+        (c1, c2))
+        .select(col("doc_id"), col("avg_cost_q"), col("ppl_bucket"))
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      val (c1, c2) = trainedLmCuts(s, d)
+      def esc(x: String) = x.replace("'", "''")
+      val rows = costs
+        .map { case (a, b, c) => s"('${esc(a)}', '${esc(b)}', $c)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           bg AS (SELECT doc_id, ws[wpos] AS w1, ws[wpos + 1] AS w2
+                  FROM dt, UNNEST(range(1, len(ws))) AS t(wpos)),
+           c(w1, w2, cost) AS (VALUES $rows),
+           j AS (SELECT doc_id, COALESCE(c.cost, $oov) AS cost
+                 FROM bg LEFT JOIN c USING (w1, w2)),
+           agg AS (SELECT doc_id,
+                     CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_q
+                   FROM j GROUP BY 1)
+           SELECT doc_id, avg_cost_q,
+                  CASE WHEN avg_cost_q <= $c1 THEN 'head'
+                       WHEN avg_cost_q <= $c2 THEN 'middle'
+                       ELSE 'tail' END AS ppl_bucket
+           FROM agg"""
+    }))
+
+  /** Contrastive triplet mining (Similarity.contrastiveTriplets): per
+    * anchor, its positive (first same-label exact neighbor) and hard
+    * negative (first different-label neighbor) from the top-5 — the
+    * embedding-fine-tuning pair construction over the q111 ranking
+    * chain; joins on the emitted rank, all-integer output. */
+  private val q137 = QDef("q137_contrastive_triplets",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.contrastiveTriplets(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            n AS (SELECT q_id, q_vec,
+                sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * q_vec[i]))) AS q_norm FROM q),
+            m AS (SELECT c_id, c_vec,
+                sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                  i -> CAST(c_vec[i] AS DOUBLE) * c_vec[i]))) AS c_norm FROM c),
+            sc AS (SELECT q_id, c_id,
+                list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * c_vec[i])) / (q_norm * c_norm) AS cos
+              FROM n, m WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+            lab AS (SELECT vec_id, label FROM embeddings),
+            j AS (SELECT r.q_id, ql.label AS q_label, r.c_id, r.rn,
+                         nl.label AS n_label
+                  FROM r JOIN lab ql ON ql.vec_id = r.q_id
+                       JOIN lab nl ON nl.vec_id = r.c_id
+                  WHERE r.rn <= 5),
+            sel AS (SELECT q_id, q_label,
+                     min(CASE WHEN n_label = q_label THEN rn END) AS pr,
+                     min(CASE WHEN n_label <> q_label THEN rn END) AS nr
+                    FROM j GROUP BY 1, 2)
+            SELECT sel.q_id, sel.q_label,
+                   CAST(COALESCE(sel.pr, 0) AS BIGINT) AS pos_rank,
+                   CAST(COALESCE(p.c_id, 0) AS BIGINT) AS pos_id,
+                   CAST(COALESCE(sel.nr, 0) AS BIGINT) AS neg_rank,
+                   CAST(COALESCE(ng.c_id, 0) AS BIGINT) AS neg_id
+            FROM sel LEFT JOIN j p ON p.q_id = sel.q_id AND p.rn = sel.pr
+                 LEFT JOIN j ng ON ng.q_id = sel.q_id AND ng.rn = sel.nr"""),
+    bench = true)
+
   /** Exact duplicate-span removal (Dedup.removeDuplicateSpans): the
     * Lee-et-al rewrite — non-canonical occurrences of duplicated
     * 8-grams are cut token-wise and documents reassembled, keeping one
@@ -4225,7 +4321,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135)
+    q131, q132, q133, q134, q135, q136, q137)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -966,6 +966,45 @@ object Similarity {
             col("first_rank")).cast("long")))
   }
 
+  /** Contrastive triplet mining — the training-pair construction for
+    * embedding-model fine-tuning: per anchor (query), the highest-
+    * ranked exact top-k neighbor sharing its label (the POSITIVE) and
+    * the highest-ranked one that doesn't (the HARD NEGATIVE — close in
+    * embedding space yet differently labeled, exactly the pair
+    * contrastive losses learn most from; cf. the in-batch sampler
+    * [[graft.ops.Sampling.inBatchNegatives]], which is label-blind).
+    * Ranks 0 when the top-k window holds no such neighbor — the caller
+    * filters or widens k.
+    *
+    * Shape: [[cosineTopK]]'s bounded top-k joined by the q111
+    * discipline (top-k side BROADCAST against the corpus (id, label)
+    * relation), selection = one groupBy with two min-struct folds on
+    * (rank, id) — joins on the emitted rank, never re-ranks rounded
+    * scores (the r7 near-tie lesson). Output: `(q_id, q_label,
+    * pos_rank, pos_id, neg_rank, neg_id)`, all exact integers. */
+  def contrastiveTriplets(queries: DataFrame, corpus: DataFrame, id: String,
+                          vec: String, label: String, k: Int): DataFrame = {
+    val ranked = cosineTopK(queries, corpus, id, vec, k)
+    val nLab = corpus.select(col(id).as("neighbor_id"),
+      col(label).cast("int").as("n_label"))
+    val qLab = queries.select(col(id).as("q_id"),
+      col(label).cast("int").as("q_label"))
+    nLab
+      .join(broadcast(ranked), Seq("neighbor_id"))
+      .join(broadcast(qLab), Seq("q_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        min(when(col("n_label") === col("q_label"),
+          struct(col("rank"), col("neighbor_id")))).as("__p"),
+        min(when(col("n_label") =!= col("q_label"),
+          struct(col("rank"), col("neighbor_id")))).as("__n"))
+      .select(col("q_id"), col("q_label"),
+        coalesce(col("__p.rank"), lit(0)).cast("long").as("pos_rank"),
+        coalesce(col("__p.neighbor_id"), lit(0L)).cast("long").as("pos_id"),
+        coalesce(col("__n.rank"), lit(0)).cast("long").as("neg_rank"),
+        coalesce(col("__n.neighbor_id"), lit(0L)).cast("long").as("neg_id"))
+  }
+
   /** Train SQ8 scalar-quantization bounds: per-dimension (min, max) of
     * the floor-quantized corpus (`floor(v_j·2^scaleBits)`, the repo-wide
     * integer grid) — the trained artifact of the FAISS-style SQ8 index

@@ -906,6 +906,35 @@ object TextAnalysis {
       .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
   }
 
+  /** CCNet's head/middle/tail cut points as a trained artifact: the
+    * exact discrete tercile (by default) order statistics of the scored
+    * corpus's `avg_cost_q` — two int64s, computed value-histogram-first
+    * ([[Curation.stratumQuantileBounds]]) so training never sorts raw
+    * rows. CCNet buckets candidate documents by LM perplexity against
+    * a reference corpus and trains preferentially on the `head`; these
+    * cuts are that bucketing's decision boundary. */
+  def lmScoreCuts(scored: DataFrame, loQ: Double = 1.0 / 3,
+                  hiQ: Double = 2.0 / 3): (Long, Long) = {
+    val r = Curation.stratumQuantileBounds(
+      scored.withColumn("__g", lit(1)), "avg_cost_q", "__g", loQ, hiQ)
+      .collect()
+    require(r.nonEmpty, "lmScoreCuts: empty scored corpus")
+    (r.head.getAs[Long]("lo"), r.head.getAs[Long]("hi"))
+  }
+
+  /** Apply half of [[lmScoreCuts]]: the CCNet head/middle/tail bucket
+    * per document — `head` (most reference-like) iff `avg_cost_q ≤ lo`,
+    * `middle` iff `≤ hi`, else `tail`. Row-local over the
+    * [[bigramLmScore]] output + the two-int artifact; exact integer
+    * comparisons ⇒ engine-exact bucketing. */
+  def lmPerplexityBuckets(scored: DataFrame, cuts: (Long, Long)): DataFrame = {
+    require(cuts._1 <= cuts._2, s"cuts out of order: $cuts")
+    scored.withColumn("ppl_bucket",
+      when(col("avg_cost_q") <= cuts._1, "head")
+        .when(col("avg_cost_q") <= cuts._2, "middle")
+        .otherwise("tail"))
+  }
+
   /** Apply an ALREADY-TRAINED merge list to the distinct-word table —
     * the apply half of BPE, split from training so a cached artifact
     * skips the per-round argmax passes entirely. */

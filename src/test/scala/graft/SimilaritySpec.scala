@@ -448,6 +448,33 @@ class SimilaritySpec extends SparkSpec {
     assert(allRanks.subsetOf(Set(0L, 1L, 2L, 3L)))
   }
 
+  test("contrastiveTriplets: positive + hard negative from the top-k") {
+    // the firstHitRank fixture: q1's nearest neighbor is the label-1
+    // infiltrator 7 (the HARD NEGATIVE at rank 1), first same-label at
+    // rank 2 (id 2); q4's positive is immediate (5), negative is the
+    // unique-label 6 at rank 2; q6's unique label has no positive.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.01f), 0),
+      (3L, Seq(1.0f, 0.02f), 0), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.01f, 1.0f), 1), (6L, Seq(0.5f, 0.5f), 2),
+      (7L, Seq(1.0f, 0.005f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTriplets(df, df, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((2L, 2L, 1L, 7L)))
+    assert(out(4L) == ((1L, 5L, 2L, 6L)))
+    val q6 = out(6L)
+    assert(q6._1 == 0L && q6._2 == 0L && q6._3 == 1L,
+      s"unique label: no positive, immediate negative — got $q6")
+    // triplet ranks agree with firstHitRank's first_rank on every query
+    val fr = Similarity.firstHitRank(df, df, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.forall { case (q, (pr, _, _, _)) => fr(q) == pr },
+      s"pos_rank must equal first_rank: $out vs $fr")
+  }
+
   test("sq8Encode: hand-computed byte codes, exact reconstruction error") {
     // quantized grid: (0,0) → (0,0); (1,-1) → (4096,-4096);
     // (0.5,0.25) → (2048,1024). Bounds: dim1 [0,4096] range 4096,
