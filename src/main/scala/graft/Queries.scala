@@ -2756,6 +2756,30 @@ object Queries {
                ON g.source = regs.source AND g.bucket = regs.bucket"""),
     bench = true)
 
+  /** Per-source event-rate anomaly detection (EventOps.rateAnomalies):
+    * daily windows vs each source's mean active-window rate — spike
+    * (> 2× mean) and lull (< mean/2) verdicts by integer
+    * cross-multiplication, the NVR camera-health alarm in batch form
+    * (streaming form at ingest: StatefulOps.streamingRateAnomalies). */
+  private val q138 = QDef("q138_rate_anomalies",
+    (s, d) => EventOps.rateAnomalies(events(s, d), "user_id", "ts",
+      windowSec = 86400, spikeFactor = 2L, lullFactor = 2L),
+    Some("""WITH w AS (SELECT user_id,
+                 CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT)
+                   AS win_start,
+                 count(*) AS n
+               FROM events GROUP BY 1, 2),
+             b AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_windows
+                   FROM w GROUP BY 1)
+             SELECT w.user_id, w.win_start, CAST(w.n AS BIGINT) AS n,
+                    b.total, b.n_windows,
+                    CASE WHEN w.n * b.n_windows > 2 * b.total THEN 'spike'
+                         ELSE 'lull' END AS kind
+             FROM w JOIN b USING (user_id)
+             WHERE w.n * b.n_windows > 2 * b.total
+                OR w.n * b.n_windows * 2 < b.total"""), bench = true)
+
   /** Trained CCNet cut points per sf dir (terciles of the q123 scored
     * corpus — two int64s, the artifact form). */
   private val lmCutsCache = scala.collection.concurrent.TrieMap
@@ -4321,7 +4345,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137)
+    q131, q132, q133, q134, q135, q136, q137, q138)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -133,6 +133,60 @@ object EventOps {
   def windowStartSec(ts: Column, seconds: Int): Column =
     (floor(unix_micros(ts) / (seconds * 1000000L)) * seconds).cast("long")
 
+  /** Per-key rate baseline over tumbling windows: each key's total
+    * event count and OBSERVED-window count (windows with zero events
+    * contribute nothing — the baseline is the mean of active windows,
+    * the convention a camera-health monitor wants: a source that only
+    * reports when something happens isn't "anomalously quiet" in
+    * between). One (key, window) groupBy + one key rollup, both
+    * map-side combinable; output bounded by the key inventory. */
+  def rateBaseline(df: DataFrame, key: String, ts: String,
+                   windowSec: Int): DataFrame =
+    df.groupBy(col(key), windowStartSec(col(ts), windowSec).as("win_start"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_windows"))
+
+  /** Per-key event-rate anomaly detection — the NVR health monitor's
+    * "camera went noisy / camera went quiet" alarm: a window is a
+    * `spike` iff its count exceeds `spikeFactor ×` the key's mean
+    * active-window rate, a `lull` iff it falls below `mean /
+    * lullFactor`. All comparisons are integer cross-multiplications
+    * (`n·n_windows > spikeFactor·total`) — no float means, engine-exact.
+    *
+    * Shape: the window table ([[rateBaseline]]'s first groupBy) joins
+    * its key's 1-row baseline — AQE broadcasts the key-bounded rollup —
+    * so the corpus shuffles once on (key, window). Output: flagged
+    * windows only, `(key, win_start, n, total, n_windows, kind)`. */
+  def rateAnomalies(df: DataFrame, key: String, ts: String, windowSec: Int,
+                    spikeFactor: Long, lullFactor: Long): DataFrame = {
+    require(windowSec >= 1, s"bad windowSec: $windowSec")
+    require(spikeFactor >= 1 && lullFactor >= 1,
+      s"factors must be >= 1: spike=$spikeFactor lull=$lullFactor")
+    val win = df.groupBy(col(key),
+        windowStartSec(col(ts), windowSec).as("win_start"))
+      .agg(count(lit(1)).as("n"))
+    flagRates(win, rateBaseline(df, key, ts, windowSec), key,
+      spikeFactor, lullFactor)
+  }
+
+  /** Shared flagging tail of [[rateAnomalies]] and the streaming form
+    * ([[graft.streaming.StatefulOps.streamingRateAnomalies]]): join the
+    * (key, win_start, n) window table to a (key, total, n_windows)
+    * baseline and keep spike/lull windows. */
+  private[graft] def flagRates(win: DataFrame, baseline: DataFrame,
+                               key: String, spikeFactor: Long,
+                               lullFactor: Long): DataFrame =
+    win.join(baseline, Seq(key))
+      .withColumn("kind",
+        when(col("n") * col("n_windows") > lit(spikeFactor) * col("total"),
+          "spike")
+          .when(col("n") * col("n_windows") * lit(lullFactor) < col("total"),
+            "lull"))
+      .filter(col("kind").isNotNull)
+      .select(col(key), col("win_start"), col("n"), col("total"),
+        col("n_windows"), col("kind"))
+
   /** Prediction → event construction (P1/E1, processor/mqtt_sink.py:137-176):
     * builds the nested DetectionEvent struct from a raw prediction row —
     * renames `class` → `class_name`, nests the bbox struct, converts

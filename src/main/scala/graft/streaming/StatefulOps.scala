@@ -716,6 +716,30 @@ object StatefulOps {
                          bucketWidth: Long): DataFrame =
     graft.ops.EventOps.rangeJoin(stream, intervals, t, lo, hi, bucketWidth)
 
+  /** Per-key rate anomaly detection AT INGEST — the streaming form of
+    * [[graft.ops.EventOps.rateAnomalies]], the NVR "camera went noisy /
+    * went quiet" alarm live: a WATERMARKED tumbling (key, window) count
+    * closes per window (append mode, state bounded by the watermark),
+    * then each closed window broadcast-joins the key's TRAINED baseline
+    * ([[graft.ops.EventOps.rateBaseline]] over history — the
+    * stream-static shape: live windows judged against yesterday's
+    * normal) and flags by the same integer cross-multiplications.
+    * Given the same events and baseline, verdicts are bit-identical to
+    * batch (StatefulOpsSpec). */
+  def streamingRateAnomalies(stream: DataFrame, baseline: DataFrame,
+                             key: String, ts: String, windowSec: Int,
+                             spikeFactor: Long, lullFactor: Long,
+                             lateness: String = "10 seconds"): DataFrame = {
+    val win = stream.withWatermark(ts, lateness)
+      .groupBy(col(key), window(col(ts), s"$windowSec seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(key),
+        expr("unix_micros(window.start) div 1000000").as("win_start"),
+        col("n"))
+    graft.ops.EventOps.flagRates(win, broadcast(baseline), key,
+      spikeFactor, lullFactor)
+  }
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

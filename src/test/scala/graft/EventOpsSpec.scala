@@ -194,4 +194,23 @@ class EventOpsSpec extends SparkSpec {
       .select("iid", "pid").as[(Long, Long)].collect().toSet
     assert(neg == Set((9L, 1L)))
   }
+
+  test("rateAnomalies: integer spike/lull verdicts vs the active-window mean") {
+    import org.apache.spark.sql.functions.expr
+    // key a windows (10 s): n = [1, 1, 7] → total 9, nw 3, mean 3:
+    // n=7: 21 > 2·9 spike; n=1: 1·3·2 < 9 lull. key b [2,2,2]: no flags
+    // (boundaries are strict: 2·3 = 12 is NOT > 12, 2·3·2 = 12 NOT < 6).
+    val us = Seq.fill(1)(("a", 0L)) ++ Seq(("a", 10000000L)) ++
+      Seq.fill(7)(("a", 20000000L)) ++
+      Seq(("b", 0L), ("b", 0L), ("b", 10000000L), ("b", 10000000L),
+        ("b", 20000000L), ("b", 20000000L))
+    val df = us.toDF("k", "us").withColumn("ts", expr("timestamp_micros(us)"))
+    val out = EventOps.rateAnomalies(df, "k", "ts", windowSec = 10,
+        spikeFactor = 2L, lullFactor = 2L)
+      .as[(String, Long, Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, 1L, 9L, 3L, "lull"),
+      ("a", 10L, 1L, 9L, 3L, "lull"),
+      ("a", 20L, 7L, 9L, 3L, "spike")))
+  }
 }

@@ -822,4 +822,38 @@ class StatefulOpsSpec extends SparkSpec {
         "stateless stream-static range join must equal the batch pass")
     }
   }
+
+  test("streamingRateAnomalies: live windows vs trained baseline equal batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val us = Seq(("a", 0L), ("a", 10000000L)) ++
+      Seq.fill(7)(("a", 20000000L)) ++
+      Seq(("b", 0L), ("b", 0L), ("b", 10000000L), ("b", 10000000L),
+        ("b", 20000000L), ("b", 20000000L))
+    val hist = us.toDF("k", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val baseline = graft.ops.EventOps.rateBaseline(hist, "k", "ts", 10)
+    val batch = graft.ops.EventOps.rateAnomalies(hist, "k", "ts", 10, 2L, 2L)
+      .as[(String, Long, Long, Long, Long, String)].collect().toSet
+    assert(batch.nonEmpty)
+    val in = MemoryStream[(String, Long)]
+    val q = StatefulOps.streamingRateAnomalies(
+        in.toDF().toDF("k", "us")
+          .withColumn("ts", expr("timestamp_micros(us)")),
+        baseline, "k", "ts", windowSec = 10, spikeFactor = 2L,
+        lullFactor = 2L, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("rateanom")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(us: _*)
+      q.processAllAvailable()
+      // flush: advance the watermark far past every real window
+      in.addData(("z", 1000000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("rateanom").filter(col("k") =!= "z")
+        .as[(String, Long, Long, Long, Long, String)].collect().toSet
+      assert(streamed == batch,
+        s"ingest verdicts must equal batch: $streamed vs $batch")
+    }
+  }
 }
