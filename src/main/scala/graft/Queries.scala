@@ -4335,6 +4335,107 @@ object Queries {
                     min_tokens, max_tokens
              FROM agg JOIN dup USING (source)"""), bench = true)
 
+  /** Binary-quantization ANN with exact re-rank (Similarity.bqTopK):
+    * stage 1 ranks the corpus-as-8-byte-codes by popcount Hamming
+    * distance (sign-bit codes — bit j = [floor(v_j·2¹²) ≥ 0], so the
+    * oracle compares sign patterns with zero float transport), stage 2
+    * re-scores only the 20 survivors per query with the exact int64
+    * dot. The two-stage filter-then-refine serving shape next to the
+    * single-stage SQ8/PQ paths. */
+  private val q139 = QDef("q139_bq_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.bqTopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", k = 5, candidates = 20, dim = 64)
+    },
+    Some("""WITH m AS (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            q AS (SELECT vec_id, j, mv FROM m WHERE vec_id % 10 = 0),
+            hd AS (SELECT q.vec_id AS q_id, m.vec_id AS c_id,
+                     sum(CASE WHEN (q.mv >= 0) <> (m.mv >= 0)
+                         THEN 1 ELSE 0 END) AS hd
+                   FROM q JOIN m USING (j)
+                   WHERE q.vec_id <> m.vec_id GROUP BY 1, 2),
+            cand AS (SELECT q_id, c_id, hd, row_number() OVER (
+                PARTITION BY q_id ORDER BY hd, c_id) AS crn FROM hd),
+            ref AS (SELECT c.q_id, c.c_id, c.hd, sum(q.mv * m.mv) AS iscore
+                    FROM cand c
+                    JOIN q ON q.vec_id = c.q_id
+                    JOIN m ON m.vec_id = c.c_id AND m.j = q.j
+                    WHERE c.crn <= 20 GROUP BY 1, 2, 3),
+            rk AS (SELECT q_id, c_id, hd, iscore, row_number() OVER (
+                PARTITION BY q_id ORDER BY iscore DESC, c_id) AS rn
+              FROM ref)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   CAST(hd AS INT) AS hd, CAST(iscore AS BIGINT) AS iscore
+            FROM rk WHERE rn <= 5"""), bench = true)
+
+  /** Ordered event funnel (EventOps.funnel): per user, first `view`,
+    * then first `click` within 24 h of it, then first `purchase` within
+    * 24 h of that — per-step key-bounded accumulator joins, never an
+    * event-table window or self-join. Exact epoch-micros integers. */
+  private val q140 = QDef("q140_event_funnel",
+    (s, d) => EventOps.funnel(events(s, d), "user_id", "ts",
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"), withinUs = 86400000000L),
+    Some("""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
+                 FROM events WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+                 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click'
+                   AND epoch_us(e.ts) > s1.t1_us
+                   AND epoch_us(e.ts) <= s1.t1_us + 86400000000
+                 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+                 FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase'
+                   AND epoch_us(e.ts) > s2.t2_us
+                   AND epoch_us(e.ts) <= s2.t2_us + 86400000000
+                 GROUP BY 1)
+             SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+                    CAST(CASE WHEN s3.t3_us IS NOT NULL THEN 3
+                              WHEN s2.t2_us IS NOT NULL THEN 2
+                              ELSE 1 END AS INT) AS reached
+             FROM s1 LEFT JOIN s2 USING (user_id)
+             LEFT JOIN s3 USING (user_id)"""), bench = true)
+
+  /** Per-source CUSUM drift changepoints (EventOps.cusumDrift): the
+    * sustained-creep alarm beside q138's single-window spikes — exact
+    * int64 CUSUM via cross-multiplied deviations `n·W − T` and the
+    * running-sum/running-min closed form, daily windows, alarm once the
+    * cumulative excess over the source's own mean passes 5 events. */
+  private val q141 = QDef("q141_cusum_drift",
+    (s, d) => EventOps.cusumDrift(events(s, d), "user_id", "ts",
+      windowSec = 86400, thresholdEvents = 5L),
+    Some("""WITH w AS (SELECT user_id,
+                 CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT)
+                   AS win_start,
+                 count(*) AS n
+               FROM events GROUP BY 1, 2),
+             b AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_windows
+                   FROM w GROUP BY 1),
+             d AS (SELECT w.user_id, w.win_start, w.n, b.n_windows,
+                     w.n * b.n_windows - b.total AS dev
+                   FROM w JOIN b USING (user_id)),
+             p AS (SELECT user_id, win_start, n, n_windows,
+                     sum(dev) OVER (PARTITION BY user_id ORDER BY win_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prefix
+                   FROM d),
+             s AS (SELECT user_id, win_start, n, n_windows,
+                     CAST(prefix - least(0, min(prefix) OVER (
+                       PARTITION BY user_id ORDER BY win_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                       AS BIGINT) AS cusum
+                   FROM p)
+             SELECT user_id, win_start, CAST(n AS BIGINT) AS n, cusum,
+                    CAST(CASE WHEN cusum > 5 * n_windows
+                         THEN 1 ELSE 0 END AS INT) AS alarm
+             FROM s"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -4345,7 +4446,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -327,4 +327,84 @@ object EventOps {
       .filter(col(t) >= col(lo) && col(t) <= col(hi))
       .drop(b)
   }
+
+  /** Ordered multi-step funnel per key — "did A happen, then B within Δ,
+    * then C within Δ of B" (signup→first-detection→first-alert in the
+    * NVR reading; view→click→purchase in the classic one). Per key, the
+    * FIRST event matching step 1, then the first event matching step
+    * `n` that lands strictly after step `n−1` and within `withinUs`
+    * microseconds of it.
+    *
+    * Shape: the accumulator is a key-bounded table (one row per key that
+    * completed step 1); each subsequent step is ONE equi-join of the
+    * filtered event stream against that accumulator (AQE broadcasts the
+    * small side) + a `min` groupBy — never a window over the event
+    * table, never a self-join of events against events. Cost per step ∝
+    * events matching that step's predicate.
+    *
+    * Output: `(key, t1_us .. tN_us, reached)` — `tn_us` null once a step
+    * is missed; `reached` = deepest step hit. Pure integer micros. */
+  def funnel(df: DataFrame, key: String, ts: String,
+             steps: Seq[Column], withinUs: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(withinUs >= 1, s"bad withinUs: $withinUs")
+    val t = unix_micros(col(ts))
+    var acc = df.filter(steps.head).groupBy(col(key))
+      .agg(min(t).as("t1_us"))
+    for ((p, i) <- steps.tail.zipWithIndex) {
+      val n = i + 2
+      val prev = s"t${n - 1}_us"
+      val hits = df.filter(p).select(col(key).as("__k"), t.as("__t"))
+      val nxt = acc.select(col(key), col(prev))
+        .join(hits, col(key) === col("__k") && col("__t") > col(prev) &&
+          col("__t") <= col(prev) + lit(withinUs))
+        .groupBy(col(key)).agg(min(col("__t")).as(s"t${n}_us"))
+      acc = acc.join(nxt, Seq(key), "left")
+    }
+    // ascending fold wraps each deeper step OUTSIDE the shallower ones,
+    // so the deepest non-null step wins
+    val reached = steps.indices.drop(1)
+      .foldLeft(lit(1)) { (acc0, i) =>
+        when(col(s"t${i + 1}_us").isNotNull, lit(i + 1)).otherwise(acc0)
+      }
+    acc.withColumn("reached", reached.cast("int"))
+  }
+
+  /** Per-key CUSUM drift changepoints over tumbling windows — the
+    * sustained-drift complement to [[rateAnomalies]]' single-window
+    * spikes: a slow rate creep that never trips the spike factor still
+    * accumulates. Classic one-sided CUSUM `S_i = max(0, S_{i−1} + x_i −
+    * μ)` against the key's own mean, kept EXACT on int64 by
+    * cross-multiplying the mean away: `dev_i = n_i·W − T` (W = the key's
+    * active-window count, T = its total; Σdev = 0 by construction), and
+    * the recursion closed-form `S_i = prefix_i − min(0, min_{j≤i}
+    * prefix_j)` becomes two per-key running windows (running sum +
+    * running min — per-KEY partitions, the sanctioned window shape;
+    * never a global sort).
+    *
+    * Alarm when `S_i > thresholdEvents·W` — i.e. the cumulative excess
+    * over the key's mean passes `thresholdEvents` events. Output: every
+    * active window with `(key, win_start, n, cusum, alarm)`; `cusum` is
+    * in count·W units (divide by W for events). */
+  def cusumDrift(df: DataFrame, key: String, ts: String, windowSec: Int,
+                 thresholdEvents: Long): DataFrame = {
+    require(windowSec >= 1, s"bad windowSec: $windowSec")
+    require(thresholdEvents >= 1, s"bad thresholdEvents: $thresholdEvents")
+    import org.apache.spark.sql.expressions.Window
+    val win = df.groupBy(col(key),
+        windowStartSec(col(ts), windowSec).as("win_start"))
+      .agg(count(lit(1)).as("n"))
+    val dev = win.join(rateBaseline(df, key, ts, windowSec), Seq(key))
+      .withColumn("dev", col("n") * col("n_windows") - col("total"))
+    val w = Window.partitionBy(col(key)).orderBy(col("win_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev.withColumn("prefix", sum(col("dev")).over(w))
+      .withColumn("cusum",
+        col("prefix") - least(lit(0L), min(col("prefix")).over(w)))
+      .withColumn("alarm",
+        when(col("cusum") > lit(thresholdEvents) * col("n_windows"), 1)
+          .otherwise(0).cast("int"))
+      .select(col(key), col("win_start"), col("n"), col("cusum"),
+        col("alarm"))
+  }
 }

@@ -1394,4 +1394,102 @@ object Similarity {
                         mu: Array[Long], scaleBits: Int = 12): DataFrame =
     df.select(col(id).cast("long").as(id),
       centroidDist2Expr(col(vec), mu, scaleBits).as("dist2"))
+
+  // ------------------------------------------------ binary (1-bit) quantization
+
+  /** 1-bit binary-quantization codes: bit `j` of the packed int64 code is
+    * set iff `floor(v_j·2^s) ≥ 0` (equivalently `v_j ≥ 0` — the sign
+    * pattern on the shared int64 grid, so the oracle needs no float
+    * transport). 64 dims pack into ONE long — a 256× compression over
+    * fp32 and the coarsest point on the SQ8 (8 bit, [[sq8Codes]]) / PQ
+    * ([[pqEncode]]) spectrum: the BQ/RaBitQ-style first-stage filter.
+    * Output `(c_id, bcode)`; bit 63 lands in the sign bit, which XOR /
+    * `bit_count` treat bitwise — two's-complement signedness never
+    * affects Hamming distances. */
+  def binaryCodes(df: DataFrame, id: String, vec: String, dim: Int,
+                  scaleBits: Int = 12): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"one int64 packs <= 64 bits: dim=$dim")
+    val scale = (1L << scaleBits).toDouble
+    // disjoint bit terms sum without overflow: any partial sum is a
+    // subset of bits 0..62 (< 2^63) plus possibly the 1L<<63 = MinValue
+    // term, always representable — ANSI-safe.
+    val bits = (0 until dim).map { j =>
+      when(floor(element_at(col(vec), j + 1).cast("double") * scale) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(id).cast("long").as("c_id"), bits.as("bcode"))
+  }
+
+  /** Binary-quantized ANN with exact re-rank — the standard two-stage
+    * serving shape ([[binaryCodes]] filter → integer-exact refine) none
+    * of the single-stage paths ([[sq8TopK]]/[[pqTopK]]) exercise:
+    *
+    *  1. FILTER: scan the corpus as 8-byte codes, rank by Hamming
+    *     distance `bit_count(qcode XOR bcode)` (one codegen'd popcount
+    *     per candidate — the cheapest possible first pass), keep the
+    *     `candidates` best per query via [[topKMerge]] (distance ≤ 64,
+    *     exact in the double key).
+    *  2. REFINE: re-score ONLY the `|queries|·candidates` survivors with
+    *     the exact int64 dot `Σ floor(vq_j·2^s)·floor(vc_j·2^s)` — a
+    *     narrow-key join back to the raw vectors whose volume is
+    *     candidate-bounded, never corpus-bounded — and emit the final
+    *     (iscore DESC, id) top-k by a per-query window over the tiny
+    *     candidate table (int64 end to end: no double rounding to
+    *     re-rank, the q119 lesson).
+    *
+    * At 100 TB the stage-1 scan reads 1/256th of the fp32 bytes and the
+    * expensive exact pass touches a fixed number of rows per query.
+    * The code table persists ([[graft.ops.Caches.track]]) — under the
+    * broadcast BNLJ Catalyst would otherwise collapse the 64-term code
+    * projection into the per-pair scoring project (the q120 incident);
+    * in production it is the stored index anyway.
+    * Output: `(q_id, rank, neighbor_id, hd, iscore)`. */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, id: String,
+             vec: String, k: Int, candidates: Int, dim: Int,
+             scaleBits: Int = 12,
+             maxBroadcastQueries: Long = 500000L): DataFrame = {
+    require(candidates >= k, s"refine pool $candidates < k=$k")
+    requireBounded("bqTopK", "query", queries, maxBroadcastQueries,
+      "maxBroadcastQueries",
+      "bucket the queries (ivfTopK-style) or raise the limit explicitly")
+    val scale = (1L << scaleBits).toDouble
+    val codes = graft.ops.Caches.track(
+      binaryCodes(corpus, id, vec, dim, scaleBits).persist())
+    val q = binaryCodes(queries, id, vec, dim, scaleBits)
+      .select(col("c_id").as("q_id"), col("bcode").as("qcode"))
+    val hscored = codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (-bit_count(col("bcode").bitwiseXOR(col("qcode"))))
+          .cast("double").as("cos"))
+    val cand = topKMerge(hscored, candidates)
+      .select(col("q_id"), col("neighbor_id").as("c_id"),
+        (-col("cos")).cast("int").as("hd"))
+    // refine: narrow-key join back to the raw vectors FIRST (the corpus
+    // side is pruned to the candidate set before any explode — exploding
+    // the corpus and then joining would cost |corpus|·d rows at scale),
+    // then exact integer dot via a (q_id, j) broadcast equi-join.
+    val qm = queries
+      .select(col(id).cast("long").as("q_id"),
+        posexplode(col(vec)).as(Seq("j", "__v")))
+      .select(col("q_id"), col("j"),
+        floor(col("__v").cast("double") * scale).cast("long").as("mq"))
+    val cm = cand
+      .join(corpus.select(col(id).cast("long").as("c_id"),
+        col(vec).as("__cv")), "c_id")
+      .select(col("q_id"), col("c_id"), col("hd"),
+        posexplode(col("__cv")).as(Seq("j", "__v")))
+      .select(col("q_id"), col("c_id"), col("hd"), col("j"),
+        floor(col("__v").cast("double") * scale).cast("long").as("mc"))
+      .join(broadcast(qm), Seq("q_id", "j"))
+      .groupBy(col("q_id"), col("c_id"), col("hd"))
+      .agg(sum(col("mq") * col("mc")).as("iscore"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("iscore").desc, col("c_id"))
+    cm.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
+        col("hd"), col("iscore"))
+  }
 }

@@ -213,4 +213,60 @@ class EventOpsSpec extends SparkSpec {
       ("a", 10L, 1L, 9L, 3L, "lull"),
       ("a", 20L, 7L, 9L, 3L, "spike")))
   }
+
+  test("funnel: per-key step times, within-window and strictly-after rules") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val H = 3600000000L // 1 h in µs
+    val rows = Seq(
+      // u1 completes all three steps inside the 24 h windows
+      (1L, 0L, "view"), (1L, H, "click"), (1L, 2 * H, "purchase"),
+      // u2's click lands 25 h after the view → step 2 missed
+      (2L, 0L, "view"), (2L, 25 * H, "click"),
+      // u3 reaches click; purchase is 25 h after the CLICK → missed
+      (3L, 0L, "view"), (3L, H, "click"), (3L, 26 * H, "purchase"),
+      // u4 never views → not in the funnel at all
+      (4L, 0L, "click"), (4L, H, "purchase"),
+      // u5's purchase PRECEDES the view → strictly-after drops it
+      (5L, H, "view"), (5L, 2 * H, "click"), (5L, 0L, "purchase"),
+      // u6's click at exactly view + 24 h → inclusive bound keeps it
+      (6L, 0L, "view"), (6L, 24 * H, "click"))
+    val df = rows.toDF("user_id", "us", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = EventOps.funnel(df, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), withinUs = 24 * H)
+      .select("user_id", "t1_us", "t2_us", "t3_us", "reached")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toSet
+    assert(out == Set(
+      (1L, Some(0L), Some(H), Some(2 * H), 3),
+      (2L, Some(0L), None, None, 1),
+      (3L, Some(0L), Some(H), None, 2),
+      (5L, Some(H), Some(2 * H), None, 2),
+      (6L, Some(0L), Some(24 * H), None, 2)))
+  }
+
+  test("cusumDrift: exact closed-form CUSUM, reset at mean, alarm threshold") {
+    import org.apache.spark.sql.functions.expr
+    val D = 86400L // window = 1 day
+    // key a daily counts [2,2,2,2,7]: T=15 W=5, dev = 5n−15 =
+    // [−5,−5,−5,−5,20], prefix = [−5,−10,−15,−20,0], running min
+    // (incl. 0) = [−5,−10,−15,−20,−20] → cusum [0,0,0,0,20].
+    // threshold 3 events → alarm iff cusum > 3·5 = 15: only the last.
+    // key b constant [3,3,3]: dev 0 → cusum 0 everywhere, no alarms.
+    val rows =
+      (0 until 4).flatMap(day => Seq.fill(2)(("a", day * D))) ++
+        Seq.fill(7)(("a", 4 * D)) ++
+        (0 until 3).flatMap(day => Seq.fill(3)(("b", day * D)))
+    val df = rows.zipWithIndex
+      .map { case ((k, sec), i) => (k, sec * 1000000L + i) }
+      .toDF("k", "us").withColumn("ts", expr("timestamp_micros(us)"))
+    val out = EventOps.cusumDrift(df, "k", "ts", windowSec = 86400,
+        thresholdEvents = 3L)
+      .as[(String, Long, Long, Long, Int)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, 2L, 0L, 0), ("a", D, 2L, 0L, 0), ("a", 2 * D, 2L, 0L, 0),
+      ("a", 3 * D, 2L, 0L, 0), ("a", 4 * D, 7L, 20L, 1),
+      ("b", 0L, 3L, 0L, 0), ("b", D, 3L, 0L, 0), ("b", 2 * D, 3L, 0L, 0)))
+  }
 }

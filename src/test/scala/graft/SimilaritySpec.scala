@@ -610,4 +610,44 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE IF EXISTS ivfsq8_idx")
   }
+
+  test("binaryCodes packs sign bits; bit 63 lands in the int64 sign bit") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f)), // bits 0,2 → 0b0101 = 5
+      (2L, Seq(-1.0f, -1.0f, -1.0f, -1.0f)), // all negative → 0
+      (3L, Seq(0.0f, -1.0f, -1.0f, -1.0f))) // m = 0 counts as set → 1
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.binaryCodes(vecs, "vec_id", "embedding", dim = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(codes == Map(1L -> 5L, 2L -> 0L, 3L -> 1L))
+    // 64-dim: only dim 63 positive → code = 1L<<63 = Long.MinValue, and
+    // its Hamming distance to the all-negative code is exactly 1
+    val wide = Seq(
+      (1L, Seq.fill(63)(-1.0f) :+ 1.0f),
+      (2L, Seq.fill(64)(-1.0f))).toDF("vec_id", "embedding")
+    val wcodes = Similarity.binaryCodes(wide, "vec_id", "embedding", dim = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(wcodes(1L) == Long.MinValue && wcodes(2L) == 0L)
+    assert(java.lang.Long.bitCount(wcodes(1L) ^ wcodes(2L)) == 1)
+  }
+
+  test("bqTopK: Hamming filter picks candidates, exact re-rank reorders") {
+    val q = Seq((10L, Seq(1.0f, 1.0f, -1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.8f, -0.5f, -0.5f)), // hd 0, iscore 4096·11058
+      (2L, Seq(1.0f, 1.0f, 1.0f, -1.0f)), // hd 1, iscore 4096²·2
+      (3L, Seq(0.1f, 0.1f, -0.1f, -0.1f)), // hd 0, iscore 4096·2·819
+      (4L, Seq(-1.0f, -1.0f, 1.0f, 1.0f))) // hd 4 → cut by candidates=3
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bqTopK(q, corpus, "vec_id", "embedding",
+        k = 3, candidates = 3, dim = 4)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Int, Long)].collect().toSeq
+    // candidate order was (1, 3, 2) by (hd, id); the exact refine
+    // promotes 2 over 3 — the re-rank is doing real work
+    assert(out == Seq(
+      (10L, 1, 1L, 0, 4096L * 11058L),
+      (10L, 2, 2L, 1, 4096L * 4096L * 2L),
+      (10L, 3, 3L, 0, 4096L * 2L * 819L)))
+  }
 }
