@@ -4436,6 +4436,138 @@ object Queries {
                          THEN 1 ELSE 0 END AS INT) AS alarm
              FROM s"""), bench = true)
 
+  /** Cross-split near-dup leakage (Curation.splitLeakageReport): the
+    * family-granularity contamination check — q48's deterministic
+    * splits composed with q126's LSH pairs + label-propagation
+    * families; a family straddling train and a held-out split means
+    * the held-out docs are paraphrases of training data. Output: leaky
+    * families only, with per-split member counts. */
+  private val q142 = QDef("q142_split_leakage",
+    (s, d) => Curation.splitLeakageReport(docs(s, d), "doc_id", "text",
+      "s2", Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0),
+      numHashes = 12, bands = 4, threshold = 0.5),
+    Some(s"""WITH RECURSIVE $ShinglesCte,
+             f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, 12), j ->
+                         list_min(list_transform(sh, x ->
+                           ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                           % 2147483647))) AS sig
+                     FROM f),
+             banded AS (SELECT doc_id,
+                          CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                            sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+                        FROM sig, generate_series(0, 3) AS t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                      FROM banded x JOIN banded y
+                        ON x.band = y.band AND x.doc_id < y.doc_id),
+             pairs AS (SELECT * FROM (
+                 SELECT c.a_id, c.b_id,
+                        round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+                          (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))),
+                          4) AS jac
+                 FROM cand c JOIN f fa ON c.a_id = fa.doc_id
+                             JOIN f fb ON c.b_id = fb.doc_id)
+               WHERE jac >= 0.5),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             reach(node, m) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node),
+             cl AS (SELECT node AS doc_id, min(m) AS cluster
+                    FROM reach GROUP BY node),
+             sp AS (SELECT doc_id,
+                      CASE WHEN ${sqlHash60("doc_id", "s2")}
+                                / 1152921504606846976.0 < 0.75 THEN 'train'
+                           WHEN ${sqlHash60("doc_id", "s2")}
+                                / 1152921504606846976.0 < 0.875 THEN 'val'
+                           ELSE 'test' END AS split
+                    FROM documents),
+             fam AS (SELECT cl.cluster AS family, count(*) AS n_docs,
+                       count(DISTINCT sp.split) AS n_splits,
+                       sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END)
+                         AS n_train,
+                       sum(CASE WHEN sp.split = 'val' THEN 1 ELSE 0 END)
+                         AS n_val,
+                       sum(CASE WHEN sp.split = 'test' THEN 1 ELSE 0 END)
+                         AS n_test
+                     FROM cl JOIN sp USING (doc_id) GROUP BY 1)
+             SELECT family, CAST(n_docs AS BIGINT) AS n_docs,
+                    CAST(n_splits AS BIGINT) AS n_splits,
+                    CAST(n_train AS BIGINT) AS n_train,
+                    CAST(n_val AS BIGINT) AS n_val,
+                    CAST(n_test AS BIGINT) AS n_test
+             FROM fam WHERE n_docs > 1 AND n_splits > 1"""), bench = true)
+
+  /** Header-only image metadata (Multimodal.imageHeaderMeta): format +
+    * declared dimensions from the container's leading bytes — PNG IHDR,
+    * JPEG SOF walk, GIF screen descriptor — with NO pixel decode
+    * (decode dominates every real image pass here, q96/q59), plus the
+    * corrupt-blob 'unknown' verdict. Fixture: real encoder output for
+    * png/jpeg, hand-built GIF header, garbage bytes for the unknown
+    * case; dims are a closed form of the id. */
+  private val q143 = QDef("q143_image_header_meta",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id % 3 == 0)
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 8).toInt
+          val blob = (id % 4) match {
+            case 0 => Multimodal.solidPng(w, h, 10, 20, 30)
+            case 1 => Multimodal.solidJpeg(w, h, 128)
+            case 2 => "GIF89a".getBytes("US-ASCII") ++ Array[Byte](
+              (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+              (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, 0, 0, 0)
+            case _ => s"not an image: $id".getBytes("UTF-8")
+          }
+          graft.ops.MediaItem(id, "image", blob, "application/octet-stream",
+            blob.length.toLong)
+        })
+      Multimodal.imageHeaderMeta(items).toDF()
+    },
+    Some("""SELECT doc_id AS item_id,
+              CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                   WHEN 2 THEN 'gif' ELSE 'unknown' END AS format,
+              CASE WHEN doc_id % 4 = 3 THEN NULL
+                   ELSE CAST(8 + doc_id % 16 AS INT) END AS width,
+              CASE WHEN doc_id % 4 = 3 THEN NULL
+                   ELSE CAST(8 + doc_id % 8 AS INT) END AS height
+            FROM documents WHERE doc_id % 3 = 0"""), bench = true)
+
+  /** HLL sketch-algebra union (Sampling.hllMerge): the per-source
+    * register tables of q134 rolled up to ONE global sketch by
+    * element-wise max — bit-identical to sketching the corpus directly
+    * (the oracle recomputes the global registers from raw data), which
+    * is the property that lets 100 TB keep per-shard sketches and
+    * union them instead of rescanning. */
+  private val q144 = QDef("q144_hll_union",
+    (s, d) => Sampling.hllMerge(
+      Sampling.hllRegisters(bigramStrings(s, d, col("source")),
+        Seq("source"), "bg", bucketBits = 6), Seq.empty),
+    Some(s"""WITH $BigramCte,
+             h AS (SELECT DISTINCT
+                     CAST('0x' || substr(md5(bg.bg), 1, 15) AS BIGINT)
+                       AS h60
+                   FROM bg),
+             r AS (SELECT h60 // 18014398509481984 AS bucket,
+                     h60 % 18014398509481984 AS rem
+                   FROM h),
+             regs AS (SELECT bucket,
+                        max(CASE WHEN rem = 0 THEN 55
+                            ELSE 54 - (length(bin(rem)) - 1) END)
+                          AS register
+                      FROM r GROUP BY 1),
+             grid AS (SELECT t.bucket FROM generate_series(0, 63)
+                        AS t(bucket))
+             SELECT CAST(g.bucket AS INT) AS bucket,
+                    CAST(COALESCE(regs.register, 0) AS BIGINT) AS register
+             FROM grid g LEFT JOIN regs ON g.bucket = regs.bucket"""),
+    bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -4446,7 +4578,8 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
+    q142, q143, q144)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -513,4 +513,39 @@ object Curation {
           .as("avg_tokens"),
         col("min_tokens"), col("max_tokens"))
   }
+
+  /** Cross-split near-dup leakage report — the FAMILY-granularity
+    * contamination check beside the gram-level one
+    * ([[Dedup.contaminationCheck]]): a near-duplicate family whose
+    * members straddle train and a held-out split means the held-out
+    * docs are paraphrases of training data, and every eval on them is
+    * inflated. Composes the first-class pieces — deterministic split
+    * assignment ([[Sampling.splitAssign]]), LSH candidate pairs
+    * ([[Dedup.minHashLshPairs]]), family closure
+    * ([[Dedup.dedupClusters]]) — then one |families|-key groupBy with
+    * per-split conditional sums (`n_splits` counts over ≤ |splits|
+    * values). Only leaky families (n_docs > 1 AND n_splits > 1) emit:
+    * `(family, n_docs, n_splits, one count column per split name)`.
+    *
+    * At 100 TB: the split table is row-local hashing, the pair graph is
+    * the banded equi-join, the closure iterates pairs only — this adds
+    * ONE narrow (id, split) join and a family-bounded rollup on top. */
+  def splitLeakageReport(df: DataFrame, id: String, text: String,
+                         salt: String, splits: Seq[(String, Double)],
+                         numHashes: Int = 12, bands: Int = 4,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = 0): DataFrame = {
+    val sp = Sampling.splitAssign(df.select(col(id)), id, salt, splits)
+    val pairs = Dedup.minHashLshPairs(df, id, text, numHashes, bands,
+      threshold, maxBucket)
+    val clusters = Dedup.dedupClusters(df, id, pairs)
+    val perSplit = splits.map { case (name, _) =>
+      sum(when(col("split") === name, 1L).otherwise(0L)).as(s"n_$name")
+    }
+    clusters.join(sp, Seq(id))
+      .groupBy(col("cluster").as("family"))
+      .agg(count(lit(1)).as("n_docs"),
+        (countDistinct(col("split")).as("n_splits") +: perSplit): _*)
+      .filter(col("n_docs") > 1 && col("n_splits") > 1)
+  }
 }

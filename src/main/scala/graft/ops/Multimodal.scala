@@ -52,6 +52,17 @@ case class FrameFeatures(
     mean_g: Double,
     mean_b: Double)
 
+/** Header-sniffed media metadata: container format and declared
+  * dimensions read from the LEADING BYTES only — no pixel decode.
+  * `width`/`height` are None when the format carries none or the blob
+  * is unrecognized/truncated (`format = "unknown"` — the corrupt-blob
+  * signal a cleaning pass filters on). */
+case class MediaHeader(
+    item_id: Long,
+    format: String,
+    width: Option[Int],
+    height: Option[Int])
+
 /** A parsed MP4 video track: codec fourcc, declared dimensions, and the
   * per-sample (absolute file offset, byte size) table reconstructed from
   * stsc/stsz/stco (or co64). */
@@ -1072,5 +1083,78 @@ object Multimodal {
       .groupBy(col("mean_r"), col("mean_g"), col("mean_b"))
       .agg(min(col("item_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies", "mean_r", "mean_g", "mean_b")
+  }
+
+  // ------------------------------------------------------- header sniffing
+
+  /** JPEG dimensions from the segment walk: skip marker segments until a
+    * start-of-frame (SOF0-15, minus the DHT/JPG/DAC exceptions), whose
+    * payload carries height then width big-endian. Bounds-checked —
+    * truncated or malformed streams return None, never throw. */
+  private[graft] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 1 < b.length && (b(i) & 0xff) == 0xff) {
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte padding before a marker
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+      else {
+        if (i + 3 >= b.length) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (i + 8 >= b.length) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Sniff `(format, width, height)` from a blob's LEADING BYTES — PNG
+    * IHDR, JPEG SOF walk, GIF logical-screen descriptor, BMP info
+    * header; anything else (including truncated headers) is
+    * `("unknown", None, None)`. Pure byte arithmetic, no decoder. */
+  private[graft] def sniffImageHeader(
+      b: Array[Byte]): (String, Option[Int], Option[Int]) = {
+    def u(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def le16(i: Int) = u(i) | (u(i + 1) << 8)
+    def le32(i: Int) = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    if (b.length >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' &&
+        u(3) == 'G' && u(12) == 'I' && u(13) == 'H' && u(14) == 'D' &&
+        u(15) == 'R')
+      ("png", Some(be32(16)), Some(be32(20)))
+    else if (b.length >= 4 && u(0) == 0xff && u(1) == 0xd8)
+      jpegDims(b) match {
+        case Some((w, h)) => ("jpeg", Some(w), Some(h))
+        case None => ("unknown", None, None)
+      }
+    else if (b.length >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
+        u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a')
+      ("gif", Some(le16(6)), Some(le16(8)))
+    else if (b.length >= 26 && u(0) == 'B' && u(1) == 'M')
+      ("bmp", Some(le32(18)), Some(le32(22)))
+    else ("unknown", None, None)
+  }
+
+  /** Header-only image metadata at corpus scale: `(item_id, format,
+    * width, height)` from the container header bytes, NO pixel decode —
+    * the way to profile (and corruption-gate) a 100 TB image corpus at
+    * parquet-scan cost instead of JPEG-decode cost (decode is the
+    * dominant term in every real pass here, q96/q59 measured). Rows
+    * whose blob doesn't parse come back `format = "unknown"` — the
+    * filter a cleaning pass drops or routes to quarantine. Row-local
+    * `mapPartitions`, nothing but the 4-column result ever shuffles. */
+  def imageHeaderMeta(items: Dataset[MediaItem]): Dataset[MediaHeader] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      val (fmt, w, h) = sniffImageHeader(m.blob)
+      MediaHeader(m.item_id, fmt, w, h)
+    })
   }
 }

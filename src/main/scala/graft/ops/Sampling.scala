@@ -383,6 +383,19 @@ object Sampling {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
 
+  /** Sketch-algebra union of finished HLL register tables
+    * ([[hllRegisters]] output): registers merge by element-wise MAX, so
+    * per-shard / per-source / per-snapshot sketches roll up to ANY
+    * coarser grouping without rescanning the data that built them — the
+    * whole point of keeping sketches instead of exact sets at 100 TB
+    * (per-partition sketch tables are tiny; the union is a
+    * `(keep, bucket)`-key groupBy over m-row inputs). The result is
+    * bit-identical to computing the coarser sketch directly from the
+    * raw data (registers are a pure function of the input SET). */
+  def hllMerge(registers: DataFrame, keep: Seq[String]): DataFrame =
+    registers.groupBy((keep.map(col) :+ col("bucket")): _*)
+      .agg(max(col("register")).as("register"))
+
   /** In-batch negative sampling — the contrastive-training pair
     * construction (each anchor paired with the next `k` members of its
     * hash batch, cyclically): rows are sharded into pseudo-random

@@ -317,4 +317,33 @@ class CurationSpec extends SparkSpec {
       raw.repartition(5), "text", buckets = 128)
     assert(a == b)
   }
+
+  test("splitLeakageReport: straddling families flagged, same-split and " +
+      "singleton families are not") {
+    import org.apache.spark.sql.functions.col
+    val splits = Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0)
+    // find the split each candidate id hashes to (the op uses the same
+    // deterministic assignment — the spec pins the COMPOSITION on top)
+    val probe = (1L to 200L).toDF("doc_id")
+    val assigned = graft.ops.Sampling
+      .splitAssign(probe, "doc_id", "sLeak", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainIds = (1L to 200L).filter(assigned(_) == "train")
+    val valIds = (1L to 200L).filter(assigned(_) == "val")
+    assert(trainIds.size >= 3 && valIds.nonEmpty)
+    val straddle = Seq(trainIds.head, valIds.head) // near-dups across splits
+    val sameSplit = Seq(trainIds(1), trainIds(2)) // near-dups inside train
+    val singleton = trainIds(3)
+    val t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val t2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = (straddle.map((_, t1)) ++ sameSplit.map((_, t2)) ++
+      Seq((singleton, "uniform victor whiskey xray yankee zulu one two three four")))
+      .toDF("doc_id", "text")
+    val out = Curation.splitLeakageReport(docs, "doc_id", "text", "sLeak",
+        splits, numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // exactly the straddling family: 2 docs, 2 splits, 1 train + 1 val
+    assert(out == Seq((straddle.min, 2L, 2L, 1L, 1L, 0L)))
+  }
 }

@@ -326,4 +326,42 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().toSeq
     assert(strided == Seq((1L, 2, 8)))
   }
+
+  test("sniffImageHeader: real encoder headers, hand headers, garbage") {
+    // real encoders: sniffed dims = encoded dims, no decode involved
+    assert(Multimodal.sniffImageHeader(Multimodal.solidPng(17, 9, 1, 2, 3))
+      == (("png", Some(17), Some(9))))
+    assert(Multimodal.sniffImageHeader(Multimodal.solidJpeg(23, 11, 128))
+      == (("jpeg", Some(23), Some(11))))
+    // hand-built GIF + BMP headers (LE dims at fixed offsets)
+    val gif = "GIF87a".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 7, 0, 0, 0, 0) // w = 257, h = 7
+    assert(Multimodal.sniffImageHeader(gif) == (("gif", Some(257), Some(7))))
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte; bmp(18) = 64; bmp(22) = 32
+    assert(Multimodal.sniffImageHeader(bmp) == (("bmp", Some(64), Some(32))))
+    // garbage and truncation → unknown, never a throw
+    assert(Multimodal.sniffImageHeader("plain text".getBytes("UTF-8"))
+      == (("unknown", None, None)))
+    assert(Multimodal.sniffImageHeader(
+      Multimodal.solidPng(5, 5, 0, 0, 0).take(10)) == (("unknown", None, None)))
+    assert(Multimodal.sniffImageHeader(Array(0xff.toByte, 0xd8.toByte))
+      == (("unknown", None, None))) // JPEG SOI with nothing after it
+  }
+
+  test("imageHeaderMeta: header-only metadata over a mixed batch") {
+    val png = Multimodal.solidPng(12, 8, 1, 2, 3)
+    val jpg = Multimodal.solidJpeg(10, 6, 200)
+    val bad = "corrupt".getBytes("UTF-8")
+    val items = Seq(
+      MediaItem(1L, "image", png, "image/png", png.length.toLong),
+      MediaItem(2L, "image", jpg, "image/jpeg", jpg.length.toLong),
+      MediaItem(3L, "image", bad, "image/png", bad.length.toLong)).toDS()
+    val out = Multimodal.imageHeaderMeta(items)
+      .collect().map(h => (h.item_id, h.format, h.width, h.height)).toSet
+    assert(out == Set(
+      (1L, "png", Some(12), Some(8)),
+      (2L, "jpeg", Some(10), Some(6)),
+      (3L, "unknown", None, None)))
+  }
 }

@@ -407,4 +407,26 @@ class SamplingSpec extends SparkSpec {
       (0 until 16).map(j => ra(j)), bucketBits = 4)
     assert(math.abs(est - 3.0) < 1.5, s"estimate $est far from 3")
   }
+
+  test("hllMerge: union of per-group sketches equals the direct sketch") {
+    val df = Seq(("s1", "a"), ("s1", "b"), ("s2", "b"), ("s2", "c"),
+      ("s3", "d"), ("s3", "a")).toDF("src", "v")
+    def asMap(d: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      d.select("bucket", "register").as[(Int, Long)].collect().toMap
+    val perSrc = Sampling.hllRegisters(df, Seq("src"), "v", bucketBits = 4)
+    val merged = asMap(Sampling.hllMerge(perSrc, Seq.empty))
+    val direct = asMap(Sampling.hllRegisters(
+      df.withColumn("g", lit(1)), Seq("g"), "v", bucketBits = 4))
+    assert(merged == direct,
+      "per-source sketch union must be bit-identical to a direct sketch")
+    assert(merged.size == 16)
+    // merging to an intermediate grouping works too: keep src, merge
+    // nothing away → identity
+    val kept = Sampling.hllMerge(perSrc, Seq("src"))
+      .select("src", "bucket", "register").as[(String, Int, Long)]
+      .collect().toSet
+    val orig = perSrc.select("src", "bucket", "register")
+      .as[(String, Int, Long)].collect().toSet
+    assert(kept == orig)
+  }
 }
