@@ -4568,6 +4568,95 @@ object Queries {
              FROM grid g LEFT JOIN regs ON g.bucket = regs.bucket"""),
     bench = true)
 
+  /** Cohort retention (EventOps.cohortRetention): sources grouped by
+    * first-seen day, counted as active per day offset since — the
+    * camera-fleet attrition panel. One corpus-scale (key, window)
+    * distinct; offsets by integer `div`. */
+  private val q145 = QDef("q145_cohort_retention",
+    (s, d) => EventOps.cohortRetention(events(s, d), "user_id", "ts",
+      windowSec = 86400),
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+                 CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT) AS w
+               FROM events),
+             c AS (SELECT user_id, min(w) AS cohort FROM a GROUP BY 1)
+             SELECT c.cohort, CAST((a.w - c.cohort) // 86400 AS BIGINT)
+                      AS offset_w,
+                    CAST(count(*) AS BIGINT) AS n_active
+             FROM a JOIN c USING (user_id) GROUP BY 1, 2"""), bench = true)
+
+  /** VAD-style audio activity segmentation (Multimodal
+    * .audioActivitySegments): REAL WAV decode → fixed-frame integer
+    * energies → threshold gate → gaps-and-islands runs. Fixture: 8
+    * steps of 4 samples, step k loud (1000) iff bit k of id%256 — the
+    * segments are exactly the bit runs, pure integer SQL. */
+  private val q146 = QDef("q146_audio_activity",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id % 7 == 0)
+        .mapPartitions(_.map { id =>
+          val p = (id % 256).toInt
+          val levels = (0 until 8).map(k =>
+            if (((p >> k) & 1) == 1) 1000.toShort else 0.toShort).toArray
+          val blob = Multimodal.stepWav(levels, framesPerStep = 4,
+            sampleRate = 8000)
+          graft.ops.MediaItem(id, "audio", blob, "audio/wav",
+            blob.length.toLong)
+        })
+      Multimodal.audioActivitySegments(items, samplesPerFrame = 4,
+        threshold = 500L)
+    },
+    Some("""WITH s AS (SELECT doc_id, doc_id % 256 AS p FROM documents
+                       WHERE doc_id % 7 = 0),
+             fr AS (SELECT doc_id, t.k AS frame_idx
+                    FROM s, generate_series(0, 7) AS t(k)
+                    WHERE ((p >> t.k) & 1) = 1),
+             g AS (SELECT doc_id, frame_idx,
+                     frame_idx - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx) AS grp
+                   FROM fr),
+             seg AS (SELECT doc_id AS item_id,
+                       CAST(min(frame_idx) AS INT) AS start_frame,
+                       CAST(max(frame_idx) AS INT) AS end_frame,
+                       CAST(count(*) AS BIGINT) AS n_frames
+                     FROM g GROUP BY doc_id, grp)
+             SELECT item_id, CAST(row_number() OVER (
+                 PARTITION BY item_id ORDER BY start_frame) AS INT)
+                   AS seg_idx,
+                 start_frame, end_frame, n_frames
+             FROM seg"""), bench = true)
+
+  /** Incremental inverted-index maintenance (TextAnalysis
+    * .mergeInvertedIndex): the even-id index + the odd-id batch merged
+    * relationally (df/cf add, heads re-capped from the head union) —
+    * the oracle is q83's FULL REBUILD over all documents, so the hash
+    * match proves incremental ≡ rebuild. */
+  private val q147 = QDef("q147_index_merge",
+    (s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.mergeInvertedIndex(
+        TextAnalysis.invertedIndex(dd.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", maxPostings = 8),
+        dd.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        maxPostings = 8)
+    },
+    Some("""WITH t0 AS (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '')) AS term
+                FROM documents),
+             td AS (SELECT term, doc_id, count(*) AS tf FROM t0 GROUP BY 1, 2),
+             stats AS (SELECT term, count(*) AS df,
+                 CAST(sum(tf) AS BIGINT) AS cf FROM td GROUP BY 1),
+             h AS (SELECT term, doc_id, tf, row_number() OVER (
+                 PARTITION BY term ORDER BY doc_id) AS rn FROM td),
+             heads AS (SELECT term,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings,
+                 string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS tfs
+               FROM h WHERE rn <= 8 GROUP BY 1)
+             SELECT s.term, s.df, s.cf, heads.postings, heads.tfs
+             FROM stats s JOIN heads USING (term)"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -4579,7 +4668,7 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144)
+    q142, q143, q144, q145, q146, q147)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -407,4 +407,29 @@ object EventOps {
       .select(col(key), col("win_start"), col("n"), col("cusum"),
         col("alarm"))
   }
+
+  /** Cohort retention: keys grouped by their FIRST-seen tumbling window
+    * (the cohort), counted as active per window offset since then — the
+    * "how many of the sources that appeared in week W still report k
+    * weeks later" panel (camera-fleet attrition here; user retention in
+    * the classic reading). Output: `(cohort, offset_w, n_active)` —
+    * `offset_w` in whole windows, cohort membership at offset 0 is the
+    * cohort size.
+    *
+    * Shape: ONE distinct on (key, window) — the only corpus-scale
+    * shuffle, map-side combinable — then a key-bounded min rollup, a
+    * key join, and a windows²-bounded final groupBy. Offsets divide
+    * exactly (`div`, never float `/`: both operands are multiples of
+    * `windowSec`). */
+  def cohortRetention(df: DataFrame, key: String, ts: String,
+                      windowSec: Int): DataFrame = {
+    require(windowSec >= 1, s"bad windowSec: $windowSec")
+    val act = df.select(col(key),
+      windowStartSec(col(ts), windowSec).as("__w")).distinct()
+    val cohort = act.groupBy(col(key)).agg(min(col("__w")).as("cohort"))
+    act.join(cohort, Seq(key))
+      .groupBy(col("cohort"),
+        expr(s"(__w - cohort) div $windowSec").cast("long").as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -402,6 +402,77 @@ object Multimodal {
     Dedup.hammingPairs(fp, "item_id", "afp", windows - 1, maxDist)
   }
 
+  /** Per-frame energy rows for activity analysis: the PCM stream cut
+    * into fixed `samplesPerFrame`-frame blocks, each emitting
+    * `(item_id, frame_idx, sum_abs, n_samples)` — exact integer sums
+    * (the trailing partial block keeps its own count, so means stay
+    * honest). Decode is partition-batched and row-local; only the
+    * 4-column frame rows ever shuffle, never PCM. */
+  def audioEnergyFrames(items: Dataset[MediaItem],
+                        samplesPerFrame: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    require(samplesPerFrame >= 1, s"bad samplesPerFrame: $samplesPerFrame")
+    items.mapPartitions { it =>
+      it.filter(_.media_type == "audio").flatMap { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.blob))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16,
+            s"item ${m.item_id}: only 16-bit PCM supported, got $fmt")
+          val bytes = ais.readAllBytes()
+          val bb = ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ch = fmt.getChannels
+          val frames = bytes.length / (2 * ch)
+          val nBlocks = (frames + samplesPerFrame - 1) / samplesPerFrame
+          val sums = new Array[Long](nBlocks)
+          val counts = new Array[Long](nBlocks)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            var acc = 0L
+            while (c < ch) { acc += math.abs(bb.getShort.toLong); c += 1 }
+            val b = f / samplesPerFrame
+            sums(b) += acc
+            counts(b) += ch
+            f += 1
+          }
+          (0 until nBlocks).iterator.map(b => (m.item_id, b, sums(b), counts(b)))
+        } finally ais.close()
+      }
+    }.toDF("item_id", "frame_idx", "sum_abs", "n_samples")
+  }
+
+  /** VAD-style activity segmentation: frames whose mean |sample| clears
+    * `threshold` (integer cross-multiplied: `sum_abs ≥ threshold·n` — no
+    * float means), merged into maximal consecutive runs by the
+    * gaps-and-islands `frame_idx − row_number()` trick over per-ITEM
+    * windows (clip-bounded partitions, the sanctioned shape). The
+    * silence-trim / speech-extraction primitive an audio curation pass
+    * runs before transcription. Output: one row per active segment,
+    * `(item_id, seg_idx, start_frame, end_frame, n_frames)`; fully
+    * silent clips emit nothing. */
+  def audioActivitySegments(items: Dataset[MediaItem], samplesPerFrame: Int,
+                            threshold: Long): DataFrame = {
+    require(threshold >= 1, s"bad threshold: $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val act = audioEnergyFrames(items, samplesPerFrame)
+      .filter(col("sum_abs") >= lit(threshold) * col("n_samples"))
+    val w1 = Window.partitionBy(col("item_id")).orderBy(col("frame_idx"))
+    val segs = act
+      .withColumn("__grp", col("frame_idx") - row_number().over(w1))
+      .groupBy(col("item_id"), col("__grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+    val w2 = Window.partitionBy(col("item_id")).orderBy(col("start_frame"))
+    segs.withColumn("seg_idx", row_number().over(w2).cast("int"))
+      .select(col("item_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
+  }
+
   /** REAL audio decode for WAV/AIFF payloads (JDK-builtin readers):
     * feature layout [sample_rate, channels, n_frames, mean_abs] where
     * mean_abs is the mean absolute 16-bit PCM sample value. */

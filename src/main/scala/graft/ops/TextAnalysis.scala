@@ -333,6 +333,54 @@ object TextAnalysis {
     stats.join(heads, "term")
   }
 
+  /** Incremental inverted-index maintenance: fold a NEW batch of
+    * documents into an already-built [[invertedIndex]] table without
+    * rescanning the corpus behind it — the index-refresh shape an
+    * ingestion pipeline runs per batch, cost ∝ batch postings + the
+    * touched-term inventory.
+    *
+    * CONTRACT: the batch's doc ids are disjoint from the docs behind
+    * `existing` (re-indexing an id double-counts it — route updates
+    * through a delete/replace pass first). Disjointness makes the merge
+    * purely relational: `df/cf` ADD per term (one full-outer term join),
+    * and the capped head rebuilds from the UNION of the two heads —
+    * correct because the merged head (lowest `maxPostings` doc ids
+    * overall) is always a subset of that union. Bit-identical to
+    * rebuilding from scratch over the combined corpus (the oracle
+    * proves exactly that). */
+  def mergeInvertedIndex(existing: DataFrame, batch: DataFrame, id: String,
+                         text: String, maxPostings: Int): DataFrame = {
+    val bIdx = invertedIndex(batch, id, text, maxPostings)
+    def stats(d: DataFrame, p: String) = d.select(col("term"),
+      col("df").as(s"${p}df"), col("cf").as(s"${p}cf"))
+    val mergedStats = stats(existing, "a_")
+      .join(stats(bIdx, "b_"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("a_df"), lit(0L)) + coalesce(col("b_df"), lit(0L)))
+          .as("df"),
+        (coalesce(col("a_cf"), lit(0L)) + coalesce(col("b_cf"), lit(0L)))
+          .as("cf"))
+    def headRows(d: DataFrame) = d
+      .withColumn("__tf", split(col("tfs"), ","))
+      .select(col("term"), col("__tf"),
+        posexplode(split(col("postings"), ",")).as(Seq("__i", "doc")))
+      .select(col("term"), col("doc").cast("long").as("doc"),
+        element_at(col("__tf"), col("__i") + 1).cast("long").as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc")
+    val heads = headRows(existing).unionByName(headRows(bIdx))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(array_sort(collect_list(struct(col("doc"), col("tf")))).as("ps"))
+      .select(col("term"),
+        array_join(transform(col("ps"),
+          e => e.getField("doc").cast("string")), ",").as("postings"),
+        array_join(transform(col("ps"),
+          e => e.getField("tf").cast("string")), ",").as("tfs"))
+    mergedStats.join(heads, "term")
+  }
+
   /** Exact phrase search — find every document containing a literal
     * token phrase, with occurrence count and first position (the
     * concordance/grep primitive over a curated corpus, and the exact

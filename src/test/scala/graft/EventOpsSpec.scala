@@ -269,4 +269,23 @@ class EventOpsSpec extends SparkSpec {
       ("a", 3 * D, 2L, 0L, 0), ("a", 4 * D, 7L, 20L, 1),
       ("b", 0L, 3L, 0L, 0), ("b", D, 3L, 0L, 0), ("b", 2 * D, 3L, 0L, 0)))
   }
+
+  test("cohortRetention: first-seen window cohorts, whole-window offsets") {
+    import org.apache.spark.sql.functions.expr
+    val D = 86400L
+    // u1, u2 first seen day 0; u1 active days 0,2; u2 days 0,1
+    // u3 first seen day 1; active days 1,2 (two events on day 2 count once)
+    val rows = Seq((1L, 0L), (1L, 2 * D), (2L, 0L), (2L, D),
+      (3L, D), (3L, 2 * D), (3L, 2 * D + 60))
+    val df = rows.toDF("user_id", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+    val out = EventOps.cohortRetention(df, "user_id", "ts", windowSec = 86400)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 2L), // day-0 cohort: both active at offset 0
+      (0L, 1L, 1L), // u2 at day 1
+      (0L, 2L, 1L), // u1 at day 2
+      (D, 0L, 1L), // day-1 cohort: u3
+      (D, 1L, 1L))) // u3 at day 2 = offset 1
+  }
 }

@@ -349,6 +349,32 @@ class MultimodalSpec extends SparkSpec {
       == (("unknown", None, None))) // JPEG SOI with nothing after it
   }
 
+  test("audioActivitySegments: island runs, threshold boundary, partial frame") {
+    // steps [quiet, loud, loud, quiet, loud] × 4 samples → active frames
+    // {1, 2, 4} → segments (1..2) and (4..4)
+    val blob = Multimodal.stepWav(
+      Array[Short](0, 1000, 1000, 0, 1000), framesPerStep = 4,
+      sampleRate = 8000)
+    val items = Seq(
+      MediaItem(1L, "audio", blob, "audio/wav", blob.length.toLong)).toDS()
+    val segs = Multimodal.audioActivitySegments(items, samplesPerFrame = 4,
+        threshold = 500L)
+      .as[(Long, Int, Int, Int, Long)].collect().toSeq.sortBy(_._2)
+    assert(segs == Seq((1L, 1, 1, 2, 2L), (1L, 2, 4, 4, 1L)))
+    // mean exactly at the threshold is active (>=); trailing partial
+    // frame (6 frames, blocks of 4 → 4 + 2) keeps its own honest mean
+    val const = Multimodal.constWav(6, 8000, 700.toShort)
+    val cItems = Seq(
+      MediaItem(2L, "audio", const, "audio/wav", const.length.toLong)).toDS()
+    val cSegs = Multimodal.audioActivitySegments(cItems, samplesPerFrame = 4,
+        threshold = 700L)
+      .as[(Long, Int, Int, Int, Long)].collect().toSeq
+    assert(cSegs == Seq((2L, 1, 0, 1, 2L)))
+    // one notch above silences everything
+    assert(Multimodal.audioActivitySegments(cItems, samplesPerFrame = 4,
+      threshold = 701L).isEmpty)
+  }
+
   test("imageHeaderMeta: header-only metadata over a mixed batch") {
     val png = Multimodal.solidPng(12, 8, 1, 2, 3)
     val jpg = Multimodal.solidJpeg(10, 6, 200)
