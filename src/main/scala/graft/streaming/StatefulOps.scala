@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Row
@@ -25,6 +25,12 @@ case class FrameOrEvent(seq: Long, user_id: Long, frame: Option[Frame],
 case class PairedFrame(frame_id: Long, user_id: Long,
                        ts: java.sql.Timestamp, event_id: Option[Long],
                        event_value: Option[Double])
+
+/** Live funnel progress for one key ([[StatefulOps.streamingFunnel]]):
+  * `reached` = deepest step completed so far, `step_ts_us` = the
+  * completion time of each step (epoch micros, one entry per completed
+  * step). */
+case class FunnelProgress(user_id: Long, reached: Int, step_ts_us: Seq[Long])
 
 /** Streaming forms of the reference's stateful operators. The batch forms
   * live in [[graft.ops.EventOps]]; these are the `mapGroupsWithState`
@@ -188,6 +194,58 @@ object StatefulOps {
           }
           state.update(lastBucket)
           out.iterator
+      }
+  }
+
+  /** Streaming funnel tracker — [[graft.ops.EventOps.funnel]] applied AT
+    * INGEST: per key, advance one step when the next step's predicate
+    * fires strictly after the previous step's time and within
+    * `withinUs` of it, and emit a [[FunnelProgress]] row whenever a key
+    * advances (Update mode: the live "how far did this source get"
+    * panel, e.g. signup → first detection → first alert).
+    *
+    * Contracts: step predicates are DISJOINT (an event resolves to its
+    * first matching step), and events arrive per key in event-time
+    * order across micro-batches (within a batch they are sorted here) —
+    * the [[throttlePerKey]]/[[asOfCoProcess]] arrival convention. Under
+    * it the tracker's final state is bit-identical to the batch
+    * funnel's step times (StatefulOpsSpec pins the parity; the
+    * strictly-after and inclusive-within boundaries match).
+    *
+    * State per key is `reached ≤ |steps|` longs — O(keys·steps) total,
+    * the bounded-state discipline. */
+  def streamingFunnel(events: DataFrame, key: String, ts: String,
+                      steps: Seq[Column], withinUs: Long): Dataset[FunnelProgress] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(withinUs >= 1, s"bad withinUs: $withinUs")
+    import events.sparkSession.implicits._
+    val nSteps = steps.size
+    // first matching predicate wins; non-matching events drop at the scan
+    val stepIdx = steps.zipWithIndex.foldRight(lit(0)) {
+      case ((p, i), rest) => when(p, lit(i + 1)).otherwise(rest)
+    }
+    events
+      .select(col(key).cast("long").as("k"),
+        unix_micros(col(ts)).as("t_us"), stepIdx.as("step"))
+      .filter(col("step") > 0)
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, batch, state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.empty[Long])
+          val before = times.length
+          batch.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, step) =>
+            val reached = times.length
+            if (reached < nSteps && step == reached + 1 &&
+                (reached == 0 ||
+                  (t > times.last && t <= times.last + withinUs)))
+              times = times :+ t
+          }
+          if (times.length > before) {
+            state.update(times)
+            Iterator.single(FunnelProgress(k, times.length, times))
+          } else Iterator.empty
       }
   }
 

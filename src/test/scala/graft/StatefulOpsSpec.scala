@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.streaming.{KeyedEvent, StatefulOps}
+import graft.streaming.{FunnelProgress, KeyedEvent, StatefulOps}
 import scala.collection.mutable
 
 /** Micro-batch tests for the streaming stateful operators, mirroring the
@@ -854,6 +854,60 @@ class StatefulOpsSpec extends SparkSpec {
         .as[(String, Long, Long, Long, Long, String)].collect().toSet
       assert(streamed == batch,
         s"ingest verdicts must equal batch: $streamed vs $batch")
+    }
+  }
+
+  test("streamingFunnel: live step tracking equals the batch funnel") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val H = 3600000000L // 1 h µs
+    // the EventOpsSpec funnel fixture, delivered in event-time order
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, H, "click"), (1L, 2 * H, "purchase"),
+      (2L, 0L, "view"), (2L, 25 * H, "click"),
+      (3L, 0L, "view"), (3L, H, "click"), (3L, 26 * H, "purchase"),
+      (4L, 0L, "click"), (4L, H, "purchase"),
+      (5L, 0L, "purchase"), (5L, H, "view"), (5L, 2 * H, "click"),
+      (6L, 0L, "view"), (6L, 24 * H, "click")).sortBy(_._2)
+    val steps = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val batch = graft.ops.EventOps.funnel(
+        rows.toDF("user_id", "us", "event_type")
+          .withColumn("ts", expr("timestamp_micros(us)")),
+        "user_id", "ts", steps, withinUs = 24 * H)
+      .collect().map { r =>
+        val ts = Seq(1, 2, 3).flatMap(i => Option(r.get(i)))
+          .map(_.asInstanceOf[Long])
+        (r.getLong(0), r.getInt(4), ts)
+      }.toSet
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StatefulOps.streamingFunnel(
+        in.toDF().toDF("user_id", "us", "event_type")
+          .withColumn("ts", expr("timestamp_micros(us)")),
+        "user_id", "ts", steps, withinUs = 24 * H)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    withQuery(q) {
+      // split mid-way: state must carry across micro-batches
+      val (early, late) = rows.partition(_._2 <= H)
+      in.addData(early: _*)
+      q.processAllAvailable()
+      in.addData(late: _*)
+      q.processAllAvailable()
+      // final progress per key = the row with the deepest reach
+      val streamed = spark.table("funnel")
+        .as[FunnelProgress].collect()
+        .groupBy(_.user_id)
+        .map { case (k, ps) =>
+          val last = ps.maxBy(_.reached)
+          (k, last.reached, last.step_ts_us)
+        }.toSet
+      assert(streamed == batch,
+        s"live funnel must equal batch: $streamed vs $batch")
+      // intermediate progress was emitted too: u1 reached 2 in the first
+      // micro-batch (view + click), then 3 in the second (purchase)
+      assert(spark.table("funnel").as[FunnelProgress].collect()
+        .filter(_.user_id == 1L).map(_.reached).sorted.toSeq == Seq(2, 3))
     }
   }
 }
