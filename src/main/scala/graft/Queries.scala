@@ -4657,6 +4657,241 @@ object Queries {
              SELECT s.term, s.df, s.cf, heads.postings, heads.tfs
              FROM stats s JOIN heads USING (term)"""), bench = true)
 
+  /** Trained stupid-backoff trigram LM per sf dir (src0 reference, the
+    * q123 convention): trigram + bigram cost tables, both already
+    * int64. α = 1/2 ⇒ the backoff penalty is exactly 2¹². */
+  private val backoffLmCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, String, String, Long)], Seq[(String, String, Long)], Long)]
+  private def trainedBackoffLm(s: SparkSession, d: String)
+      : (Seq[(String, String, String, Long)], Seq[(String, String, Long)], Long) =
+    backoffLmCache.getOrElseUpdate(d, TextAnalysis.trainBackoffLm(
+      docs(s, d).filter(col("source") === "src0"), "text",
+      topV3 = 512, topV2 = 512))
+
+  /** Stupid-backoff trigram LM scoring (TextAnalysis.trainBackoffLm +
+    * backoffLmScore): the next rung above q123 on the KenLM ladder —
+    * trigram cost when trained, else bigram cost + an exact 2¹²
+    * penalty (α = 1/2 keeps the penalty on the integer grid), else
+    * bigram-OOV + penalty. Two broadcast dictionary joins, exact
+    * int64; same output shape as q123 so the CCNet bucketing composes
+    * unchanged. */
+  private val q148 = QDef("q148_backoff_lm",
+    (s, d) => {
+      val (tri, bi, biOov) = trainedBackoffLm(s, d)
+      TextAnalysis.backoffLmScore(docs(s, d), "doc_id", "text", tri, bi,
+        biOov)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (tri, bi, biOov) = trainedBackoffLm(s, d)
+      def esc(x: String) = x.replace("'", "''")
+      val triRows = tri
+        .map { case (a, b, c, v) =>
+          s"('${esc(a)}', '${esc(b)}', '${esc(c)}', $v)" }
+        .mkString(", ")
+      val biRows = bi
+        .map { case (a, b, v) => s"('${esc(a)}', '${esc(b)}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           tg AS (SELECT doc_id, ws[wpos] AS w1, ws[wpos + 1] AS w2,
+                    ws[wpos + 2] AS w3
+                  FROM dt, UNNEST(range(1, len(ws) - 1)) AS t(wpos)),
+           t3(w1, w2, w3, tcost) AS (VALUES $triRows),
+           g2(b1, b2, bcost) AS (VALUES $biRows),
+           j AS (SELECT doc_id,
+                   COALESCE(t3.tcost,
+                     4096 + COALESCE(g2.bcost, $biOov)) AS cost
+                 FROM tg LEFT JOIN t3 USING (w1, w2, w3)
+                 LEFT JOIN g2 ON tg.w2 = g2.b1 AND tg.w3 = g2.b2)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                  CAST(sum(cost) AS BIGINT) AS total_cost,
+                  CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_q
+           FROM j GROUP BY 1"""
+    }))
+
+  /** Family-aware split assignment (Curation.familySplitAssign): the
+    * FIX for q142's finding — splits hash the FAMILY label, so
+    * near-duplicate families land whole in one split and cross-split
+    * paraphrase leakage is zero by construction. Oracle: the q142
+    * recursive family chain + q48's split CASE applied to the cluster
+    * label. */
+  private val q149 = QDef("q149_family_split",
+    (s, d) => Curation.familySplitAssign(docs(s, d), "doc_id", "text",
+      "s2", Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0),
+      numHashes = 12, bands = 4, threshold = 0.5),
+    Some(s"""WITH RECURSIVE $ShinglesCte,
+             f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, 12), j ->
+                         list_min(list_transform(sh, x ->
+                           ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                           % 2147483647))) AS sig
+                     FROM f),
+             banded AS (SELECT doc_id,
+                          CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                            sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+                        FROM sig, generate_series(0, 3) AS t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                      FROM banded x JOIN banded y
+                        ON x.band = y.band AND x.doc_id < y.doc_id),
+             pairs AS (SELECT * FROM (
+                 SELECT c.a_id, c.b_id,
+                        round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+                          (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))),
+                          4) AS jac
+                 FROM cand c JOIN f fa ON c.a_id = fa.doc_id
+                             JOIN f fb ON c.b_id = fb.doc_id)
+               WHERE jac >= 0.5),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             reach(node, m) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node),
+             cl AS (SELECT node AS doc_id, min(m) AS cluster
+                    FROM reach GROUP BY node)
+             SELECT doc_id,
+                    CASE WHEN ${sqlHash60("cluster", "s2")}
+                              / 1152921504606846976.0 < 0.75 THEN 'train'
+                         WHEN ${sqlHash60("cluster", "s2")}
+                              / 1152921504606846976.0 < 0.875 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM cl"""), bench = true)
+
+  /** Histogram drift (Curation.histogramDrift over q91's
+    * lengthHistogram): even-id vs odd-id snapshots compared per length
+    * bucket by the cross-multiplied share deviation
+    * `dev = n_a·N_b − n_b·N_a` — exact int64, Σ|dev| =
+    * 2·N_a·N_b·TV-distance, the ingest drift monitor. */
+  private val q150 = QDef("q150_histogram_drift",
+    (s, d) => {
+      val dd = docs(s, d)
+      def hist(f: DataFrame) =
+        TextAnalysis.lengthHistogram(f, "text", bucketWidth = 16)
+          .select(col("bucket_lo"), col("n_docs"))
+      Curation.histogramDrift(hist(dd.filter(col("doc_id") % 2 === 0)),
+        hist(dd.filter(col("doc_id") % 2 === 1)), "bucket_lo", "n_docs")
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS ntok
+               FROM documents),
+             ha AS (SELECT ntok - ntok % 16 AS bucket, count(*) AS n_a
+                    FROM n WHERE doc_id % 2 = 0 GROUP BY 1),
+             hb AS (SELECT ntok - ntok % 16 AS bucket, count(*) AS n_b
+                    FROM n WHERE doc_id % 2 = 1 GROUP BY 1),
+             j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                   FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+             t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                     CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+             SELECT j.bucket, CAST(j.n_a AS BIGINT) AS n_a,
+                    CAST(j.n_b AS BIGINT) AS n_b,
+                    CAST(j.n_a * t.tb - j.n_b * t.ta AS BIGINT) AS dev
+             FROM j, t"""), bench = true)
+
+  /** Per-source score calibration (Curation.rankCalibrate): the q123 LM
+    * score mapped to its within-source rank decile — "keep every
+    * source's best 30 %" across sources whose raw cost scales don't
+    * compare. Histogram-first (windows over the value inventory),
+    * exact int64 `cumBelow·k div n`. */
+  private val q151 = QDef("q151_rank_calibrate",
+    (s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      val scored = TextAnalysis.bigramLmScore(docs(s, d), "doc_id", "text",
+          costs, oov)
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("avg_cost_q"))
+      Curation.rankCalibrate(scored, "source", "avg_cost_q", k = 10)
+        .select(col("doc_id"), col("source"), col("avg_cost_q"),
+          col("bucket"))
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      def esc(x: String) = x.replace("'", "''")
+      val rows = costs
+        .map { case (a, b, c) => s"('${esc(a)}', '${esc(b)}', $c)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           bg AS (SELECT doc_id, ws[wpos] AS w1, ws[wpos + 1] AS w2
+                  FROM dt, UNNEST(range(1, len(ws))) AS t(wpos)),
+           c(w1, w2, cost) AS (VALUES $rows),
+           j AS (SELECT doc_id, COALESCE(c.cost, $oov) AS cost
+                 FROM bg LEFT JOIN c USING (w1, w2)),
+           agg AS (SELECT doc_id,
+                     CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_q
+                   FROM j GROUP BY 1),
+           sc AS (SELECT agg.doc_id, d.source, agg.avg_cost_q
+                  FROM agg JOIN documents d ON agg.doc_id = d.doc_id),
+           h AS (SELECT source, avg_cost_q, count(*) AS c
+                 FROM sc GROUP BY 1, 2),
+           cum AS (SELECT source, avg_cost_q, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY avg_cost_q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumv,
+                     sum(c) OVER (PARTITION BY source) AS n
+                   FROM h),
+           b AS (SELECT source, avg_cost_q,
+                   CAST(((cumv - c) * 10) // n AS INT) AS bucket
+                 FROM cum)
+           SELECT sc.doc_id, sc.source, sc.avg_cost_q, b.bucket
+           FROM sc JOIN b USING (source, avg_cost_q)"""
+    }))
+
+  /** Robust SQ8 encode (Similarity.trainSq8BoundsRobust + sq8Encode):
+    * bounds at the per-dim 1/64 / 63/64 DISCRETE quantiles instead of
+    * min/max — outliers clamp instead of stretching the code range.
+    * Like q115 this is the no-transport artifact shape: the oracle
+    * recomputes the quantile bounds relationally (histogram + window),
+    * clamp and reconstruction included, so the checksummed byte
+    * sequence is engine-exact. */
+  private val robustSq8Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Array[Long])]
+
+  private val q152 = QDef("q152_sq8_robust_encode",
+    (s, d) => {
+      val (lo, hi) = robustSq8Cache.getOrElseUpdate(d,
+        Similarity.trainSq8BoundsRobust(emb(s, d), "embedding",
+          loQ = 1.0 / 64, hiQ = 63.0 / 64))
+      Similarity.sq8Encode(emb(s, d), "vec_id", "embedding", lo, hi)
+    },
+    Some("""WITH m AS (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            h AS (SELECT j, mv, count(*) AS c FROM m GROUP BY 1, 2),
+            cum AS (SELECT j, mv, c,
+                      sum(c) OVER (PARTITION BY j ORDER BY mv
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumv,
+                      sum(c) OVER (PARTITION BY j) AS n
+                    FROM h),
+            b AS (SELECT j,
+                    min(CASE WHEN cumv >= ceil(n * 0.015625) THEN mv END)
+                      AS lo,
+                    min(CASE WHEN cumv >= ceil(n * 0.984375) THEN mv END)
+                      AS hi
+                  FROM cum GROUP BY 1),
+            cj AS (SELECT m.vec_id, m.j, m.mv, b.lo, b.hi,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE least(greatest(
+                            (255 * (m.mv - b.lo)) // (b.hi - b.lo), 0), 255)
+                     END AS code
+                   FROM m JOIN b USING (j)),
+            rj AS (SELECT vec_id, j, mv, code,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + (code * (hi - lo)) // 255 END AS r
+                   FROM cj)
+            SELECT vec_id, CAST(sum(j * code) AS BIGINT) AS code_checksum,
+                   CAST(sum((mv - r) * (mv - r)) AS BIGINT) AS err2
+            FROM rj GROUP BY 1"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -4668,7 +4903,7 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147)
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

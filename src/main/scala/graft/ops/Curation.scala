@@ -159,6 +159,39 @@ object Curation {
           .as("hi"))
   }
 
+  /** Per-stratum quantile-rank buckets — score CALIBRATION across
+    * strata whose raw scales don't compare (src A's LM costs vs src
+    * B's, different classifier versions): map each value to its
+    * within-stratum rank decile `bucket = cumBelow·k div n` (0..k−1),
+    * so "keep every stratum's best 30 %" becomes `bucket < 3·k/10`
+    * regardless of scale. Ties share a bucket (same value ⇒ same
+    * bucket), everything exact int64.
+    *
+    * Scale shape: [[stratumQuantileBounds]]'s discipline — ONE
+    * histogram groupBy, windows over the (stratum, value) INVENTORY
+    * (bounded by distinct values, never a raw-row sort), and the
+    * mapping table joins back by (stratum, value). Output:
+    * `(stratum, value, bucket)`. */
+  def stratumRankBuckets(df: DataFrame, stratum: String, value: String,
+                         k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 buckets, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum)).orderBy(col(value))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(stratum))
+    df.groupBy(col(stratum), col(value)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col(stratum), col(value),
+        expr(s"((__cum - __c) * $k) div __n").cast("int").as("bucket"))
+  }
+
+  /** Apply half of [[stratumRankBuckets]]: every input row with its
+    * within-stratum rank bucket attached (one narrow (stratum, value)
+    * join — AQE broadcasts the inventory-bounded mapping). */
+  def rankCalibrate(df: DataFrame, stratum: String, value: String,
+                    k: Int): DataFrame =
+    df.join(stratumRankBuckets(df, stratum, value, k), Seq(stratum, value))
+
   /** Length-outlier trimming (winsorize-by-drop) — the quality gate that
     * removes per-stratum tails (truncated fragments below the low
     * quantile, concatenation accidents above the high one) without a
@@ -547,5 +580,60 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         (countDistinct(col("split")).as("n_splits") +: perSplit): _*)
       .filter(col("n_docs") > 1 && col("n_splits") > 1)
+  }
+
+  /** Family-aware split assignment — the FIX for what
+    * [[splitLeakageReport]] detects: hash the FAMILY label (not the doc
+    * id) into the split bands, so every near-duplicate family lands
+    * whole in one split and cross-split paraphrase leakage is zero BY
+    * CONSTRUCTION (the Lee-et-al/BigCode dedup-then-split discipline).
+    * Composes LSH pairs + family closure with
+    * [[Sampling.splitAssign]] applied to the family-label table
+    * (family-bounded, tiny) and one narrow label join back to members;
+    * singletons hash on their own id (their family label). Split
+    * PROPORTIONS now hold at family granularity — a corpus dominated
+    * by one whale family cannot be proportionally split without
+    * leaking; that trade is the point. Output: `(id, split)` — the
+    * q48 shape, drop-in for every downstream split consumer. */
+  def familySplitAssign(df: DataFrame, id: String, text: String,
+                        salt: String, splits: Seq[(String, Double)],
+                        numHashes: Int = 12, bands: Int = 4,
+                        threshold: Double = 0.5,
+                        maxBucket: Int = 0): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(df, id, text, numHashes, bands,
+      threshold, maxBucket)
+    val clusters = Dedup.dedupClusters(df, id, pairs)
+    val famSplit = Sampling.splitAssign(
+      clusters.select(col("cluster")).distinct(), "cluster", salt, splits)
+    clusters.select(col(id), col("cluster"))
+      .join(famSplit, Seq("cluster"))
+      .select(col(id), col("split"))
+  }
+
+  /** Histogram drift between two snapshots — the ingest-monitoring
+    * answer to "did the distribution move": any two `(bucket, n)`
+    * histograms (compose with [[TextAnalysis.lengthHistogram]], q91's
+    * bucketing, or any groupBy-count) full-outer join on the bucket,
+    * and each bucket reports the cross-multiplied share deviation
+    * `dev = n_a·N_b − n_b·N_a` — EXACT int64, no float shares; Σ|dev|
+    * over buckets = 2·N_a·N_b·(total-variation distance), so ranking
+    * buckets by |dev| names the drivers of the drift. ANSI keeps the
+    * `N_a·N_b < 2^63` bound loud; beyond ~3·10⁹ rows per snapshot,
+    * pre-aggregate to coarser buckets first. Totals ride a broadcast
+    * 1-row rollup (the q32 shape), never a window. */
+  def histogramDrift(a: DataFrame, b: DataFrame, bucket: String,
+                     n: String): DataFrame = {
+    def side(d: DataFrame, out: String) =
+      d.select(col(bucket).cast("long").as("bucket"),
+        col(n).cast("long").as(out))
+    val joined = side(a, "n_a").join(side(b, "n_b"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        (col("n_a") * col("__tb") - col("n_b") * col("__ta")).as("dev"))
   }
 }

@@ -1028,6 +1028,53 @@ object Similarity {
     (lo, hi)
   }
 
+  /** Robust SQ8 bounds — per-dim DISCRETE QUANTILES of the quantized
+    * corpus instead of [[trainSq8Bounds]]' min/max: one outlier
+    * per dim otherwise stretches the trained range and burns most of
+    * the 256 code points on empty space (the classic SQ failure; FAISS
+    * ships the same idea as `QuantizerType.QT_8bit` with rangestat
+    * quantiles). Values outside [lo_j, hi_j] CLAMP at encode time
+    * ([[sq8Encode]]'s code clamp is already in place) — bounded error
+    * on the tails buys resolution for the mass of the distribution.
+    *
+    * Same artifact shape as the min/max trainer (2·d longs) and the
+    * same no-transport oracle property: quantiles are exact order
+    * statistics of the integer grid, recomputable relationally in any
+    * engine. Computed value-histogram-first (the
+    * [[graft.ops.Curation.stratumQuantileBounds]] discipline): windows
+    * run over the per-dim VALUE INVENTORY, never a raw-row sort.
+    * `loQ`/`hiQ` should be dyadic rationals (1/64, 63/64) so the
+    * `ceil(q·n)` rank is IEEE-exact cross-engine. */
+  def trainSq8BoundsRobust(df: DataFrame, vec: String, loQ: Double,
+                           hiQ: Double, scaleBits: Int = 12)
+      : (Array[Long], Array[Long]) = {
+    require(0.0 <= loQ && loQ < hiQ && hiQ <= 1.0,
+      s"need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    val scale = (1L << scaleBits).toDouble
+    val h = df.select(posexplode(col(vec)).as(Seq("j", "x")))
+      .select(col("j"),
+        floor(col("x").cast("double") * scale).cast("long").as("m"))
+      .groupBy(col("j"), col("m")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j")).orderBy(col("m"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("j"))
+    val agg = h.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(col("j")).agg(
+        min(when(col("__cum") >= ceil(lit(loQ) * col("__n")), col("m")))
+          .as("lo"),
+        min(when(col("__cum") >= ceil(lit(hiQ) * col("__n")), col("m")))
+          .as("hi"))
+      .collect()
+    require(agg.nonEmpty, "empty corpus")
+    val lo = new Array[Long](agg.length)
+    val hi = new Array[Long](agg.length)
+    agg.foreach { r =>
+      lo(r.getInt(0)) = r.getLong(1); hi(r.getInt(0)) = r.getLong(2)
+    }
+    (lo, hi)
+  }
+
   /** Exact floor division of two integer columns via the sanctioned
     * `(a − pmod(a, b)) / b` form: the subtraction makes the quotient
     * exactly divisible, so the double division is exact (`Column./` on

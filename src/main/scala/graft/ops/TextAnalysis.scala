@@ -772,6 +772,75 @@ object TextAnalysis {
         col("score_q"), col("n_terms"))
   }
 
+  /** Persist the postings index BUCKETED BY TERM
+    * ([[graft.io.Layout.writeBucketed]]) — the sparse-retrieval serving
+    * posture mirroring [[graft.ops.Similarity.saveIvfSq8Index]]'s dense
+    * one: a reloaded [[bm25Search]]'s query-vocabulary `isin` filter
+    * prunes BUCKETS at the scan (Spark bucket pruning —
+    * `SelectedBucketsCount` in the plan), so serving a query reads only
+    * the buckets its terms hash into, never the full postings table. */
+  def savePostingsIndex(df: DataFrame, id: String, text: String,
+                        table: String, buckets: Int): Unit =
+    graft.io.Layout.writeBucketed(indexPostings(df, id, text), table,
+      "term", buckets)
+
+  /** BM25 over an ALREADY-BUILT postings table ([[indexPostings]] fresh,
+    * or reloaded from [[savePostingsIndex]]'s bucketed form): identical
+    * arithmetic and output to [[bm25TopK]], bit for bit — stats (total
+    * tokens, corpus size, per-term df) recompute from the postings
+    * themselves, so the index is self-contained and the text column
+    * never needs to exist at serving time. */
+  def bm25Search(postings: DataFrame, queries: DataFrame, qid: String,
+                 qtext: String, k: Int, scaleBits: Int = 12,
+                 maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val terms = queries
+      .select(explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+      .distinct().orderBy(col("term")).as[String].collect().toSeq
+    require(terms.nonEmpty, "bm25: queries contain no terms")
+    require(terms.size <= maxQueryTerms,
+      s"bm25: ${terms.size} distinct query terms exceed " +
+        s"maxQueryTerms=$maxQueryTerms — batch the queries")
+    val (tTot, nDocs) = postings
+      .agg(sum(col("tf")), countDistinct(col("doc")))
+      .as[(Long, Long)].collect().head
+    require(tTot > 0, "bm25: corpus has no tokens")
+    // the isin literal reaches the (bucketed) scan → bucket pruning
+    val tdq = postings.filter(col("term").isin(terms.map(lit): _*))
+      .select(col("doc"), col("term"), col("tf"))
+    val dfMap = tdq.groupBy(col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .as[(String, Long)].collect().toMap
+    val s = 1L << scaleBits
+    val idfRows = terms.map { t =>
+      val dfT = dfMap.getOrElse(t, 0L).toDouble
+      val idf = StrictMath.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5)) /
+        StrictMath.log(2.0)
+      (t, math.floor(s * idf).toLong)
+    }
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val qterms = qt.join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
+    val norm = postings.select(col("doc"), col("dl")).distinct()
+      .withColumn("norm_q",
+        expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
+    val scored = tdq.join(broadcast(qterms), Seq("term"))
+      .join(norm, Seq("doc"))
+      .withColumn("contrib",
+        expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(sum(col("contrib")).as("score_q"), count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score_q").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("score_q"), col("n_terms"))
+  }
+
   /** Coordination-level (term-overlap) ranking — the Boolean-retrieval
     * baseline under BM25: per query, documents ranked by HOW MANY
     * distinct query terms they contain (score = matched-term count,
@@ -875,6 +944,15 @@ object TextAnalysis {
     arrays_zip(slice(t, lit(1), n).as("w1"), slice(t, lit(2), n).as("w2"))
   }
 
+  /** Adjacent word triples, the trigram analog of [[bigramPairs]] —
+    * row-local, empty for docs under 3 tokens. */
+  private[graft] def trigramTriples(text: Column): Column = {
+    val t = tokens(text)
+    val n = greatest(size(t) - 2, lit(0))
+    arrays_zip(slice(t, lit(1), n).as("w1"), slice(t, lit(2), n).as("w2"),
+      slice(t, lit(3), n).as("w3"))
+  }
+
   /** CCNet-style n-gram LM training — the "does this look like
     * reference text" scorer every CCNet-descended pipeline runs after
     * the heuristic gates ([[qualitySignals]]) and the trained
@@ -951,6 +1029,82 @@ object TextAnalysis {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("cost"), lit(oovCost))).as("total_cost"))
+      .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
+  }
+
+  /** Stupid-backoff trigram LM training — the next rung above
+    * [[trainBigramLm]] on the KenLM ladder (real CCNet runs a 5-gram
+    * with backoff; the structural move from "conditional bigram
+    * probabilities" to "higher-order model that FALLS BACK when the
+    * long context is unseen" happens already at order 3): score a
+    * trigram at its own cost when trained, else at the BIGRAM cost
+    * plus a fixed backoff penalty. Brants et al.'s stupid backoff uses
+    * α = 0.4; here α = 1/2 so the penalty is EXACTLY `2^scaleBits` on
+    * the quantized grid — the artifact stays pure int64 with no new
+    * transcendental arithmetic.
+    *
+    * Training is two relational count passes (trigram + the reused
+    * [[trainBigramLm]]), each one map-side-combinable groupBy; both
+    * prune to their top-V by (count desc, words) with deterministic
+    * tie-breaks; costs quantize DRIVER-side via StrictMath (the
+    * artifact carries the logs, q123 discipline). Returns
+    * `(trigramCosts, bigramCosts, bigramOov)`. */
+  def trainBackoffLm(df: DataFrame, text: String, topV3: Int, topV2: Int,
+                     scaleBits: Int = 12)
+      : (Seq[(String, String, String, Long)], Seq[(String, String, Long)], Long) = {
+    require(topV3 >= 1, s"topV3 must be >= 1, got $topV3")
+    val (bi, biOov) = trainBigramLm(df, text, topV2, scaleBits)
+    val counts = df.select(explode(trigramTriples(col(text))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val ctx = counts.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cc"))
+    val kept = counts.join(ctx, Seq("w1", "w2"))
+      .orderBy(col("c").desc, col("w1"), col("w2"), col("w3"))
+      .limit(topV3)
+      .select(col("w1"), col("w2"), col("w3"), col("c").cast("long"),
+        col("cc").cast("long"))
+      .collect()
+    require(kept.nonEmpty, "trainBackoffLm: training corpus has no trigrams")
+    val scale = (1L << scaleBits).toDouble
+    val tri = kept.map { r =>
+      val (c, cc) = (r.getLong(3), r.getLong(4))
+      val cost = math.floor(-scale *
+        (StrictMath.log(c.toDouble / cc.toDouble) / StrictMath.log(2.0))).toLong
+      (r.getString(0), r.getString(1), r.getString(2), cost)
+    }.toSeq
+    (tri, bi, biOov)
+  }
+
+  /** Apply half of [[trainBackoffLm]]: per-document quantized cost under
+    * the backoff chain `cost(w1w2w3) = tri(w1,w2,w3)` if trained, else
+    * `2^s + bi(w2,w3)` if the bigram is trained, else `2^s + bigramOov`
+    * — TWO broadcast dictionary joins (both vocab-bounded literals) +
+    * one per-doc integer sum; the corpus never shuffles anything wider
+    * than `(id, w1, w2, w3)`. Documents under 3 tokens drop (no
+    * trigrams). Output: `(id, n_ngrams, total_cost, avg_cost_q)`,
+    * exact int64 — same shape as [[bigramLmScore]], so the CCNet
+    * bucketing ([[lmScoreCuts]]/[[lmPerplexityBuckets]]) composes
+    * unchanged on top. */
+  def backoffLmScore(df: DataFrame, id: String, text: String,
+                     tri: Seq[(String, String, String, Long)],
+                     bi: Seq[(String, String, Long)], biOov: Long,
+                     scaleBits: Int = 12): DataFrame = {
+    require(tri.nonEmpty && bi.nonEmpty, "backoffLmScore: empty model")
+    import df.sparkSession.implicits._
+    val penalty = 1L << scaleBits // α = 1/2 exactly
+    val triDict = tri.toDF("w1", "w2", "w3", "tcost")
+    val biDict = bi.toDF("b1", "b2", "bcost")
+    df.select(col(id), explode(trigramTriples(col(text))).as("g"))
+      .select(col(id), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .join(broadcast(triDict), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(biDict),
+        col("w2") === col("b1") && col("w3") === col("b2"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("tcost"),
+          lit(penalty) + coalesce(col("bcost"), lit(biOov))))
+          .as("total_cost"))
       .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
   }
 

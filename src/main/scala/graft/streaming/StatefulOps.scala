@@ -798,6 +798,56 @@ object StatefulOps {
       spikeFactor, lullFactor)
   }
 
+  /** CUSUM state for one key ([[StatefulOps.streamingCusum]]): running
+    * deviation prefix and its running minimum (the closed-form pair
+    * behind `S = max(0, S + dev)`). */
+  case class CusumState(prefix: Long, minPrefix: Long)
+
+  /** Streaming CUSUM drift at ingest —
+    * [[graft.ops.EventOps.cusumDrift]]'s accumulator applied live to a
+    * stream of CLOSED window-count rows `(key, win_start, n)` (the
+    * second stage of a real monitoring pipeline: a watermarked window
+    * agg — [[streamingRateAnomalies]]'s first half — publishes closed
+    * windows; this op consumes them, so each query holds ONE stateful
+    * operator). The trained baseline `(key, total, n_windows)` joins
+    * stream-static broadcast (stateless); per key the running
+    * `prefix`/`min(prefix)` pair lives in two longs of state and emits
+    * `(key, win_start, n, cusum, alarm)` per window — verdicts
+    * bit-identical to the batch pass when windows arrive in win_start
+    * order per key (sorted within each micro-batch here; the
+    * [[throttlePerKey]] arrival convention). */
+  def streamingCusum(windowCounts: DataFrame, baseline: DataFrame,
+                     key: String, thresholdEvents: Long): DataFrame = {
+    require(thresholdEvents >= 1, s"bad thresholdEvents: $thresholdEvents")
+    import windowCounts.sparkSession.implicits._
+    windowCounts
+      .join(broadcast(baseline), Seq(key))
+      .select(col(key).cast("long").as("k"), col("win_start").cast("long"),
+        col("n").cast("long"),
+        (col("n") * col("n_windows") - col("total")).as("dev"),
+        col("n_windows").cast("long"))
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, (Long, Long, Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (k, batch, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = batch.toSeq.sortBy(_._2).map {
+            case (_, winStart, n, dev, nWindows) =>
+              val prefix = st.prefix + dev
+              val minP = math.min(st.minPrefix, prefix)
+              st = CusumState(prefix, minP)
+              val cusum = prefix - math.min(0L, minP)
+              (k, winStart, n, cusum,
+                if (cusum > thresholdEvents * nWindows) 1 else 0)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("k", "win_start", "n", "cusum", "alarm")
+      .withColumnRenamed("k", key)
+  }
+
   /** Streaming pause gate done right: a `foreachBatch` writer that checks
     * the flag once per micro-batch on the driver and drops the whole batch
     * while paused. `process` receives only un-paused batches. */

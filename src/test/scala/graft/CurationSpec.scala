@@ -346,4 +346,57 @@ class CurationSpec extends SparkSpec {
     // exactly the straddling family: 2 docs, 2 splits, 1 train + 1 val
     assert(out == Seq((straddle.min, 2L, 2L, 1L, 1L, 0L)))
   }
+
+  test("familySplitAssign: near-dup families land whole in one split; " +
+      "singletons hash on their own id") {
+    import org.apache.spark.sql.functions.col
+    val splits = Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0)
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val tB = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = (Seq(3L, 41L, 107L).map((_, tA)) ++ Seq(8L, 55L).map((_, tB)) ++
+      Seq((99L, "uniform victor whiskey xray yankee zulu one two three")))
+      .toDF("doc_id", "text")
+    val out = Curation.familySplitAssign(docs, "doc_id", "text", "sFam",
+        splits).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(3L, 41L, 107L, 8L, 55L, 99L))
+    // each family shares one split — zero cross-split leakage
+    assert(Set(out(3L), out(41L), out(107L)).size == 1)
+    assert(Set(out(8L), out(55L)).size == 1)
+    // a singleton's family label is its own id → plain splitAssign
+    val solo = graft.ops.Sampling.splitAssign(
+      Seq(99L).toDF("doc_id"), "doc_id", "sFam", splits)
+      .collect().head.getString(1)
+    assert(out(99L) == solo)
+  }
+
+  test("histogramDrift: exact cross-multiplied deviations, TV identity") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((0L, 2L), (16L, 2L)).toDF("bucket_lo", "n_docs") // N_a 4
+    val b = Seq((0L, 1L), (32L, 3L)).toDF("bucket_lo", "n_docs") // N_b 4
+    val out = Curation.histogramDrift(a, b, "bucket_lo", "n_docs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // dev = n_a·N_b − n_b·N_a; missing buckets zero-fill on either side
+    assert(out == Set(
+      (0L, 2L, 1L, 4L),
+      (16L, 2L, 0L, 8L),
+      (32L, 0L, 3L, -12L)))
+    // Σ|dev| = 2·N_a·N_b·TV: shares (.5,.5,0) vs (.25,0,.75) → TV .75
+    assert(out.toSeq.map(r => math.abs(r._4)).sum == (2 * 4 * 4 * 3) / 4)
+  }
+
+  test("stratumRankBuckets / rankCalibrate: within-stratum deciles, " +
+      "ties share a bucket, strata calibrate independently") {
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 10L), ("s", 3L, 20L),
+      ("s", 4L, 30L), ("t", 5L, 999L)).toDF("src", "id", "score")
+    // stratum s (n=4, k=2): value 10 cumBelow 0 → 0; 20 cumBelow 2 →
+    // 2·2 div 4 = 1; 30 cumBelow 3 → 1. stratum t: its huge raw score
+    // still lands in bucket 0 — calibration is per-stratum by design.
+    val buckets = Curation.stratumRankBuckets(df, "src", "score", k = 2)
+      .as[(String, Long, Int)].collect().toSet
+    assert(buckets == Set(("s", 10L, 0), ("s", 20L, 1), ("s", 30L, 1),
+      ("t", 999L, 0)))
+    val applied = Curation.rankCalibrate(df, "src", "score", k = 2)
+      .select("id", "bucket").as[(Long, Int)].collect().toSet
+    assert(applied == Set((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 0)))
+  }
 }

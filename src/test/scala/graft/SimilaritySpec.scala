@@ -650,4 +650,28 @@ class SimilaritySpec extends SparkSpec {
       (10L, 2, 2L, 1, 4096L * 4096L * 2L),
       (10L, 3, 3L, 0, 4096L * 2L * 819L)))
   }
+
+  test("trainSq8BoundsRobust: quantile bounds shed outliers; clamped " +
+      "encode keeps the mass exact") {
+    // 128 1-dim vectors: one −10/+10 outlier each side, the mass at
+    // 0.1 (m=409) and 0.5 (m=2048). 1/64–63/64 quantile ranks are
+    // ceil(128/64)=2 and ceil(126)=126 → bounds (409, 2048); min/max
+    // training would burn the range on (−40960, 40960).
+    val vecs = (Seq(-10.0f) ++ Seq.fill(63)(0.1f) ++ Seq.fill(63)(0.5f) ++
+      Seq(10.0f)).zipWithIndex.map { case (v, i) => (i.toLong, Seq(v)) }
+      .toDF("vec_id", "embedding")
+    val (rl, rh) = Similarity.trainSq8BoundsRobust(vecs, "embedding",
+      loQ = 1.0 / 64, hiQ = 63.0 / 64)
+    assert(rl.toSeq == Seq(409L) && rh.toSeq == Seq(2048L))
+    val (ml, mh) = Similarity.trainSq8Bounds(vecs, "embedding")
+    assert(ml.toSeq == Seq(-40960L) && mh.toSeq == Seq(40960L))
+    // under the robust bounds the mass reconstructs EXACTLY (err2 = 0:
+    // 409 codes to 0, 2048 to 255 with range 1639 dividing evenly);
+    // the outliers clamp to the edge codes with bounded error
+    val errs = Similarity.sq8Encode(vecs, "vec_id", "embedding", rl, rh)
+      .select("vec_id", "err2").as[(Long, Long)].collect().toMap
+    assert((1L to 126L).forall(errs(_) == 0L))
+    assert(errs(0L) == (-40960L - 409L) * (-40960L - 409L))
+    assert(errs(127L) == (40960L - 2048L) * (40960L - 2048L))
+  }
 }

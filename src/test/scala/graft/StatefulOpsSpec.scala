@@ -910,4 +910,46 @@ class StatefulOpsSpec extends SparkSpec {
         .filter(_.user_id == 1L).map(_.reached).sorted.toSeq == Seq(2, 3))
     }
   }
+
+  test("streamingCusum: live accumulator equals the batch closed form") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val D = 86400L
+    // the batch cusumDrift fixture with integer keys: key 1 daily counts
+    // [2,2,2,2,7] (cusum [0,0,0,0,20], alarm on the last at threshold 3);
+    // key 2 constant [3,3,3]
+    val events =
+      ((0 until 4).flatMap(day => Seq.fill(2)((1L, day * D))) ++
+        Seq.fill(7)((1L, 4 * D)) ++
+        (0 until 3).flatMap(day => Seq.fill(3)((2L, day * D))))
+        .zipWithIndex.map { case ((k, sec), i) => (k, sec * 1000000L + i) }
+        .toDF("user_id", "us")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+    val batch = graft.ops.EventOps.cusumDrift(events, "user_id", "ts",
+        windowSec = 86400, thresholdEvents = 3L)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val baseline = graft.ops.EventOps.rateBaseline(events, "user_id", "ts",
+      windowSec = 86400)
+    val wins = Seq((1L, 0L, 2L), (1L, D, 2L), (1L, 2 * D, 2L),
+      (1L, 3 * D, 2L), (1L, 4 * D, 7L),
+      (2L, 0L, 3L), (2L, D, 3L), (2L, 2 * D, 3L))
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StatefulOps.streamingCusum(
+        in.toDF().toDF("user_id", "win_start", "n"), baseline,
+        "user_id", thresholdEvents = 3L)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    withQuery(q) {
+      // split mid-way: the accumulator must carry across micro-batches
+      val (early, late) = wins.partition(_._2 <= 2 * D)
+      in.addData(early: _*)
+      q.processAllAvailable()
+      in.addData(late: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum")
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+      assert(streamed == batch,
+        s"live CUSUM must equal batch: $streamed vs $batch")
+    }
+  }
 }
