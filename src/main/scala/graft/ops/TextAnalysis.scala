@@ -841,6 +841,27 @@ object TextAnalysis {
         col("score_q"), col("n_terms"))
   }
 
+  /** [[termOverlapTopK]] over an already-built postings table — postings
+    * rows are unique (doc, term) pairs by construction, exactly the
+    * distinct-presence relation the overlap count needs. Same output,
+    * bit for bit. */
+  def termOverlapSearch(postings: DataFrame, queries: DataFrame,
+                        qid: String, qtext: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val scored = postings.select(col("doc"), col("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_terms").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_terms"))
+  }
+
   /** Coordination-level (term-overlap) ranking — the Boolean-retrieval
     * baseline under BM25: per query, documents ranked by HOW MANY
     * distinct query terms they contain (score = matched-term count,
