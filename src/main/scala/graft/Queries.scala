@@ -4903,6 +4903,60 @@ object Queries {
                    CAST(sum((mv - r) * (mv - r)) AS BIGINT) AS err2
             FROM rj GROUP BY 1"""), bench = true)
 
+  /** Packed-span metadata (Sampling.packSpans): q60's packer with the
+    * loader-facing positions — where each doc starts inside its bin
+    * and how far it overruns the boundary, the table attention/loss
+    * masks are built from. Exact long arithmetic, same shard hash and
+    * running sum as q60. */
+  private val q153 = QDef("q153_pack_spans",
+    (s, d) => Sampling.packSpans(
+      docs(s, d).select(col("doc_id"), col("text")), "doc_id",
+      TextAnalysis.tokenCount(col("text")), numShards = 8,
+      budgetTokens = 256, salt = "s5"),
+    Some(s"""WITH t AS (SELECT doc_id,
+                    ${sqlHash60("doc_id", "s5")} % 8 AS shard,
+                    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                      x -> x <> '')) AS BIGINT) AS n_tokens
+                  FROM documents),
+             c AS (SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+                   FROM t)
+             SELECT shard, CAST(before // 256 AS BIGINT) AS bin, doc_id,
+                    CAST(before % 256 AS BIGINT) AS start_pos, n_tokens,
+                    CAST(greatest(0, before % 256 + n_tokens - 256)
+                      AS BIGINT) AS overflow_tokens
+             FROM c"""), bench = true)
+
+  /** Fill-in-the-middle transform (Sampling.fimSplit): hash-derived
+    * deterministic PSM cuts per document — the code-model augmentation,
+    * RNG-free so the oracle replays the exact cut points. */
+  private val q154 = QDef("q154_fim_split",
+    (s, d) => Sampling.fimSplit(docs(s, d), "doc_id", "text", "fim"),
+    Some(s"""WITH t AS (SELECT doc_id, list_filter(
+                  regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+                FROM documents),
+             c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+                     ${sqlHash60("doc_id", "fim:1")} % (len(ws) + 1) AS p1
+                   FROM t),
+             c2 AS (SELECT doc_id, ws, n, p1,
+                      p1 + ${sqlHash60("doc_id", "fim:2")} % (n - p1 + 1)
+                        AS p2
+                    FROM c)
+             SELECT doc_id, n AS n_tokens, CAST(p1 AS BIGINT) AS p1,
+                    CAST(p2 AS BIGINT) AS p2,
+                    COALESCE(array_to_string(ws[1:CAST(p1 AS INT)], ' '),
+                      '') AS prefix,
+                    COALESCE(array_to_string(
+                      ws[CAST(p1 + 1 AS INT):CAST(p2 AS INT)], ' '), '')
+                      AS middle,
+                    COALESCE(array_to_string(
+                      ws[CAST(p2 + 1 AS INT):CAST(n AS INT)], ' '), '')
+                      AS suffix
+             FROM c2"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -4914,7 +4968,8 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
+    q153, q154)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

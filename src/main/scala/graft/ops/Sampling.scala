@@ -225,6 +225,59 @@ object Sampling {
       .drop("__before")
   }
 
+  /** Packed-span metadata — the loader-facing half of [[packSequences]]:
+    * where exactly each document lands inside its bin
+    * (`start_pos = tokens-before mod budget`) and how far it overruns
+    * the bin boundary (`overflow_tokens` — the packer assigns a doc to
+    * the bin its FIRST token falls in; the tail past the budget is what
+    * a fixed-context loader truncates or wraps). This is the table
+    * attention-boundary / loss masks are built from — without it a
+    * packed corpus can't mask cross-document attention. Same shard
+    * hash, same per-shard running sum, same exact long arithmetic as
+    * the packer, so `(shard, bin)` agree row-for-row with
+    * [[packSequences]] (SamplingSpec pins it). */
+  def packSpans(df: DataFrame, id: String, tokens: Column,
+                numShards: Int, budgetTokens: Long,
+                salt: String): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val w = Window.partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardAssign(df, id, numShards, salt)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before DIV $budgetTokens"))
+      .withColumn("start_pos", pmod(col("__before"), lit(budgetTokens)))
+      .withColumn("overflow_tokens", greatest(lit(0L),
+        col("start_pos") + col("n_tokens") - lit(budgetTokens)))
+      .select(col("shard"), col("bin"), col(id), col("start_pos"),
+        col("n_tokens"), col("overflow_tokens"))
+  }
+
+  /** Fill-in-the-middle (FIM) transform — the code-model data
+    * augmentation (Bavarian et al.): deterministically cut each
+    * document's token sequence at two hash-derived points and emit the
+    * PSM re-ordering `prefix / suffix / middle` a FIM-trained model
+    * consumes. RNG-free like every sampler here: `p1 = h1 mod (n+1)`,
+    * `p2 = p1 + (h2 mod (n − p1 + 1))` from two salted row-local
+    * hashes — auditable, replayable, growth-stable. Degenerate cuts
+    * (empty prefix/middle/suffix) are legitimate FIM samples and pass
+    * through. Row-local token slicing, no shuffle. Output:
+    * `(id, n_tokens, p1, p2, prefix, middle, suffix)`. */
+  def fimSplit(df: DataFrame, id: String, text: String,
+               salt: String): DataFrame = {
+    val t = TextAnalysis.tokens(col(text))
+    val n = size(t).cast("long")
+    val p1 = pmod(hash60(col(id), salt + ":1"), n + lit(1L))
+    val p2 = p1 + pmod(hash60(col(id), salt + ":2"), n - p1 + lit(1L))
+    def joinSlice(from: Column, len: Column): Column =
+      array_join(slice(t, (from + lit(1L)).cast("int"),
+        greatest(len, lit(0L)).cast("int")), " ")
+    df.select(col(id), n.as("n_tokens"), p1.as("p1"), p2.as("p2"),
+        joinSlice(lit(0L), p1).as("prefix"),
+        joinSlice(p1, p2 - p1).as("middle"),
+        joinSlice(p2, n - p2).as("suffix"))
+  }
+
   /** Token-budget mixture plan — the recipe-arithmetic step between a
     * mixture DESIGN (target shares, cf. [[mixtureSample]]'s rates) and a
     * training run's token budget: per stratum, how many tokens exist,

@@ -408,6 +408,56 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(est - 3.0) < 1.5, s"estimate $est far from 3")
   }
 
+  test("packSpans: positions agree with the packer; overflow at the boundary") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // one shard keeps the running sum deterministic end to end
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 40L))
+      .toDF("doc_id", "nt")
+    val spans = Sampling.packSpans(df, "doc_id", col("nt"), numShards = 1,
+        budgetTokens = 256, salt = "sp")
+      .select("doc_id", "bin", "start_pos", "overflow_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, c, dd) => a -> ((b, c, dd)) }.toMap
+    // before = 0,100,200,300 → bins 0,0,0,1; doc 3 starts at 200 and
+    // overruns 256 by 44
+    assert(spans == Map(1L -> ((0L, 0L, 0L)), 2L -> ((0L, 100L, 0L)),
+      3L -> ((0L, 200L, 44L)), 4L -> ((1L, 44L, 0L))))
+    // (shard, bin) agree with packSequences row-for-row on real shards
+    val multi = Seq.tabulate(50)(i => (i.toLong, (i % 7 + 1) * 10L))
+      .toDF("doc_id", "nt")
+    val packed = Sampling.packSequences(multi, "doc_id", col("nt"),
+        numShards = 4, budgetTokens = 64, salt = "sp")
+      .select("doc_id", "shard", "bin")
+      .as[(Long, Long, Long)].collect().toSet
+    val fromSpans = Sampling.packSpans(multi, "doc_id", col("nt"),
+        numShards = 4, budgetTokens = 64, salt = "sp")
+      .select("doc_id", "shard", "bin")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromSpans == packed)
+  }
+
+  test("fimSplit: cuts are ordered and in range; PSM pieces reassemble " +
+      "the document; deterministic") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, ""),
+      (4L, "one two three four five")).toDF("doc_id", "text")
+    val out = Sampling.fimSplit(docs, "doc_id", "text", "fim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5), r.getString(6)))
+    out.foreach { case (id, n, p1, p2, pre, mid, suf) =>
+      assert(0 <= p1 && p1 <= p2 && p2 <= n, s"doc $id cuts out of range")
+      val reassembled = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      val orig = docs.filter($"doc_id" === id).collect().head.getString(1)
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(reassembled == orig, s"doc $id does not reassemble")
+    }
+    def tuples(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5), r.getString(6)))
+        .sortBy(_._1).toSeq
+    assert(tuples(Sampling.fimSplit(docs.repartition(5), "doc_id", "text",
+      "fim")) == out.sortBy(_._1).toSeq)
+  }
+
   test("hllMerge: union of per-group sketches equals the direct sketch") {
     val df = Seq(("s1", "a"), ("s1", "b"), ("s2", "b"), ("s2", "c"),
       ("s3", "d"), ("s3", "a")).toDF("src", "v")
