@@ -1,0 +1,120 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot publishing with ATOMIC visibility — the minimal
+  * transactional layer a corpus pipeline needs to publish tables other
+  * jobs read while it writes (the operational half of the snapshot-diff
+  * operator, [[graft.ops.Dedup.snapshotDiff]]):
+  *
+  *  - each publish writes parquet into a fresh `v=N` directory, then
+  *    commits it by writing `manifest-N` via CREATE_NEW + atomic rename
+  *    of a temp file — readers either see the whole snapshot or none of
+  *    it (a crashed writer leaves an orphan `v=N` directory that no
+  *    manifest points to, invisible forever);
+  *  - `readLatest` resolves the HIGHEST committed manifest — concurrent
+  *    publishes can't tear a read, and a reader pinned to `readVersion`
+  *    is immune to later publishes (time travel for reproducible runs);
+  *  - version numbers are monotone (max committed + 1); the CREATE_NEW
+  *    manifest write makes a lost race LOUD (FileAlreadyExistsException)
+  *    instead of silently overwriting a concurrent publisher.
+  *
+  * Local-filesystem semantics (rename atomicity) match this
+  * environment; on an object store the same protocol rides the store's
+  * conditional-put. Layout: parquet files under `root/v=N/` plus
+  * `root/manifest-N` (content = the data directory name, one line). */
+object Snapshots {
+
+  private def manifestVersions(root: Path): Seq[Long] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("manifest-"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("manifest-").toLong).toOption)
+          .toSeq
+      } finally s.close()
+    }
+
+  /** Highest committed version, or None if nothing was ever published. */
+  def latestVersion(root: String): Option[Long] = {
+    val vs = manifestVersions(Paths.get(root))
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Publish `df` as the next snapshot version and return it. The data
+    * write happens BEFORE the manifest commit; a crash in between
+    * leaves an uncommitted (invisible) directory. */
+  def publish(df: DataFrame, root: String): Long = {
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+    val v = latestVersion(root).getOrElse(-1L) + 1L
+    val dataDir = s"v=$v"
+    df.write.mode("overwrite").parquet(rootPath.resolve(dataDir).toString)
+    val tmp = Files.createTempFile(rootPath, s".manifest-$v", ".tmp")
+    Files.write(tmp, dataDir.getBytes(StandardCharsets.UTF_8))
+    val target = rootPath.resolve(s"manifest-$v")
+    try
+      // no REPLACE_EXISTING: an already-committed manifest-N makes the
+      // move throw — a lost publish race fails LOUD instead of silently
+      // clobbering the winner. (The protocol assumes one writer per
+      // root at a time — the usual pipeline-owns-its-output contract;
+      // readers are always safe regardless.)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"snapshot publish race: version $v already committed", e)
+    }
+    v
+  }
+
+  /** Read a specific committed version (time travel). */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val manifest = Paths.get(root).resolve(s"manifest-$v")
+    require(Files.exists(manifest),
+      s"snapshot version $v is not committed under $root")
+    val dataDir = new String(Files.readAllBytes(manifest),
+      StandardCharsets.UTF_8).trim
+    spark.read.parquet(Paths.get(root).resolve(dataDir).toString)
+  }
+
+  /** Read the latest committed snapshot. Uncommitted (crashed) writes
+    * are invisible by construction. */
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $root"))
+    readVersion(spark, root, v)
+  }
+
+  /** Drop all but the newest `keep` committed snapshots (manifest first,
+    * then data — a reader racing the retention pass sees a missing
+    * manifest, never a torn table). */
+  def expire(root: String, keep: Int): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val rootPath = Paths.get(root)
+    val drop = manifestVersions(rootPath).sorted.dropRight(keep)
+    drop.foreach { v =>
+      val manifest = rootPath.resolve(s"manifest-$v")
+      val dataDir = new String(Files.readAllBytes(manifest),
+        StandardCharsets.UTF_8).trim
+      Files.deleteIfExists(manifest)
+      val dir = rootPath.resolve(dataDir)
+      if (Files.isDirectory(dir)) {
+        val s = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        } finally s.close()
+      }
+    }
+  }
+}

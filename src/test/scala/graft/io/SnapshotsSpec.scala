@@ -1,0 +1,63 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** Versioned snapshot publishing: atomic visibility (a snapshot is
+  * either fully committed or invisible), monotone versions, time
+  * travel, retention, and the loud publish-race failure. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp: String =
+    Files.createTempDirectory("snapshots").toString
+
+  test("publish → readLatest; pinned readVersion is immune to later publishes") {
+    val root = tmp
+    assert(Snapshots.latestVersion(root).isEmpty)
+    val v0 = Snapshots.publish(Seq((1L, "a")).toDF("id", "x"), root)
+    val v1 = Snapshots.publish(Seq((1L, "b"), (2L, "c")).toDF("id", "x"), root)
+    assert(v0 == 0L && v1 == 1L)
+    assert(Snapshots.readLatest(spark, root).count() == 2)
+    // time travel: the pinned reader still sees v0's single row
+    assert(Snapshots.readVersion(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("a crashed (uncommitted) write is invisible; empty root is loud") {
+    val root = tmp
+    intercept[IllegalArgumentException](Snapshots.readLatest(spark, root))
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "x"), root)
+    // simulate a writer that died after the data write, before commit:
+    // an orphan v=7 directory with data but NO manifest
+    Seq((9L, "zz")).toDF("id", "x").write
+      .parquet(Paths.get(root).resolve("v=7").toString)
+    assert(Snapshots.latestVersion(root).contains(0L))
+    assert(Snapshots.readLatest(spark, root).count() == 1)
+    // the next publish does not resurrect or collide with the orphan
+    val v = Snapshots.publish(Seq((2L, "b")).toDF("id", "x"), root)
+    assert(v == 1L)
+  }
+
+  test("expire keeps the newest snapshots and drops manifest before data") {
+    val root = tmp
+    (0 until 4).foreach(i =>
+      Snapshots.publish(Seq((i.toLong, s"v$i")).toDF("id", "x"), root))
+    Snapshots.expire(root, keep = 2)
+    assert(Snapshots.latestVersion(root).contains(3L))
+    intercept[IllegalArgumentException](
+      Snapshots.readVersion(spark, root, 0L))
+    assert(Snapshots.readVersion(spark, root, 2L).count() == 1)
+    assert(!Files.exists(Paths.get(root).resolve("v=0")))
+  }
+
+  test("versions stay monotone after retention — expired numbers never reuse") {
+    val root = tmp
+    (0 until 3).foreach(i =>
+      Snapshots.publish(Seq((i.toLong, s"v$i")).toDF("id", "x"), root))
+    Snapshots.expire(root, keep = 1)
+    // a new publish continues from the highest COMMITTED version, not
+    // from a gap — pinned readers' version numbers stay unambiguous
+    assert(Snapshots.publish(Seq((9L, "z")).toDF("id", "x"), root) == 3L)
+  }
+}
