@@ -2341,17 +2341,15 @@ object Queries {
                   JOIN st USING (cluster)
              WHERE cl.doc_id = cl.cluster"""), bench = true)
 
-  /** Shared persisted postings table per sf dir — the q124/q127/q129
-    * retrieval family all consume the same `(doc, term, tf, dl)`
-    * relation, and its recompute crosses the (doc, term) shuffle: the
-    * persist-pays condition (measured: the three lines re-tokenized the
-    * corpus once each). bm25Search/termOverlapSearch over it are
-    * bit-identical to the from-text forms (TextAnalysisSpec pins it). */
-  private val postingsCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
-  private def corpusPostings(s: SparkSession, d: String): DataFrame =
-    postingsCache.getOrElseUpdate(d, graft.ops.Caches.track(
-      TextAnalysis.indexPostings(docs(s, d), "doc_id", "text").persist()))
+  // A shared persisted postings table for q124/q127/q129 was tried in r8
+  // and REVERTED by measurement: materializing the FULL-vocabulary
+  // (doc, term) aggregation costs more than re-running the
+  // query-vocabulary-filtered scans each query (the from-text forms
+  // filter BEFORE the groupBy, so only query-term tokens ever shuffle) —
+  // the persist-pays rule from the other side, again. The index-serving
+  // path (bm25Search/termOverlapSearch over an ALREADY-persisted bucketed
+  // table, where build cost is sunk) remains in TextAnalysis, spec-pinned
+  // bit-identical.
 
   /** BM25 query fixture: every 25th document's first three tokens —
     * short keyword queries with a known relevant document in-corpus. */
@@ -2373,7 +2371,7 @@ object Queries {
     * length norm and per-term contributions are pure int64 floor
     * divisions DuckDB replicates bit-for-bit. */
   private val q124 = QDef("q124_bm25_topk",
-    (s, d) => TextAnalysis.bm25Search(corpusPostings(s, d),
+    (s, d) => TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
       bm25Queries(s, d), "q_id", "qtext", k = 10),
     None, bench = true,
     oracleGen = Some((s, d) => {
@@ -2418,12 +2416,13 @@ object Queries {
     * coordination-level ranking and the same floor arithmetic. */
   private val q127 = QDef("q127_rrf_hybrid",
     (s, d) => {
-      val ps = corpusPostings(s, d)
+      val dd = docs(s, d)
       val qs = bm25Queries(s, d)
       TextAnalysis.rrfFuse(Seq(
-        TextAnalysis.bm25Search(ps, qs, "q_id", "qtext", k = 10),
-        TextAnalysis.termOverlapSearch(ps, qs, "q_id", "qtext", k = 10)),
-        k = 10)
+        TextAnalysis.bm25TopK(dd, "doc_id", "text", qs, "q_id", "qtext",
+          k = 10),
+        TextAnalysis.termOverlapTopK(dd, "doc_id", "text", qs, "q_id",
+          "qtext", k = 10)), k = 10)
     },
     None, bench = true,
     oracleGen = Some((s, d) => {
@@ -2514,7 +2513,7 @@ object Queries {
     (s, d) => {
       val qs = bm25Queries(s, d)
       TextAnalysis.knownItemEval(
-        TextAnalysis.bm25Search(corpusPostings(s, d), qs,
+        TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text", qs,
           "q_id", "qtext", k = 10),
         qs.select(col("q_id"), col("q_id").as("doc_id")))
     },
@@ -4957,6 +4956,39 @@ object Queries {
                       AS suffix
              FROM c2"""), bench = true)
 
+  /** Pairwise audience overlap from KMV sketches (Sampling
+    * .kmvPairwiseOverlap): for every event-type pair, the exact
+    * integer inputs of the Jaccard/intersection estimators — union-
+    * sketch size, shared-in-union count, k-th order statistic —
+    * computed from |groups|·k sketch rows, never a re-scan. The
+    * sketch-algebra INTERSECTION beside q144's union. */
+  private val q155 = QDef("q155_kmv_overlap",
+    (s, d) => Sampling.kmvPairwiseOverlap(events(s, d), "event_type",
+      "user_id", k = 64, salt = "s3"),
+    Some(s"""WITH h AS (SELECT DISTINCT event_type,
+                    ${sqlHash60("user_id", "s3")} AS h FROM events
+                  WHERE user_id IS NOT NULL),
+             r AS (SELECT event_type, h, row_number() OVER (
+                 PARTITION BY event_type ORDER BY h) AS rn FROM h),
+             sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+             g AS (SELECT DISTINCT event_type FROM sk),
+             p AS (SELECT a.event_type AS g_a, b.event_type AS g_b
+                   FROM g a JOIN g b ON a.event_type < b.event_type),
+             t AS (SELECT p.g_a, p.g_b, s.h, 1 AS in_a, 0 AS in_b
+                   FROM p JOIN sk s ON s.event_type = p.g_a
+                   UNION ALL
+                   SELECT p.g_a, p.g_b, s.h, 0, 1
+                   FROM p JOIN sk s ON s.event_type = p.g_b),
+             m AS (SELECT g_a, g_b, h, max(in_a) AS in_a,
+                     max(in_b) AS in_b
+                   FROM t GROUP BY 1, 2, 3),
+             rk AS (SELECT g_a, g_b, h, in_a, in_b, row_number() OVER (
+                 PARTITION BY g_a, g_b ORDER BY h) AS rn FROM m)
+             SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_union_k,
+                    CAST(sum(in_a * in_b) AS BIGINT) AS shared_k,
+                    CAST(max(h) AS BIGINT) AS kth_hash
+             FROM rk WHERE rn <= 64 GROUP BY 1, 2"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -4969,7 +5001,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154)
+    q153, q154, q155)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -436,6 +436,77 @@ object Sampling {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
 
+  /** Per-group KMV sketch TABLE — the k smallest distinct salted hashes
+    * of `value` per group, the join-able form of [[kmvDistinct]]'s
+    * aggregate (one row per retained hash: `(group, __h)`). Inventory-
+    * bounded: distinct (group, hash) pairs shuffle once, the per-group
+    * window is capped at k rows out. */
+  def kmvSketchTable(df: DataFrame, group: String, value: String, k: Int,
+                     salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = df.select(col(group), hash60(col(value), salt).as("__h"))
+      .filter(col("__h").isNotNull) // null values skip, like the native sketch
+      .distinct()
+    val w = Window.partitionBy(col(group)).orderBy(col("__h"))
+    h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(group), col("__h"))
+  }
+
+  /** Pairwise set-overlap estimation from KMV sketches — the
+    * sketch-algebra INTERSECTION beside [[hllMerge]]'s union: for every
+    * group pair, the k-smallest hashes of the UNION of the two sketches
+    * (a valid KMV sketch of the union — the k smallest of A∪B are
+    * always among the k smallest of A plus the k smallest of B), how
+    * many of them live in BOTH sketches (`shared_k` — the numerator of
+    * the Jaccard estimate Ĵ = shared_k/n_union_k), and the k-th union
+    * hash (the order statistic the union-cardinality estimate reads).
+    * The audience-overlap / cross-source-containment question answered
+    * WITHOUT re-scanning raw data: sketches are |groups|·k rows.
+    *
+    * Everything hash-checked is exact int64 (the q49/q134 convention —
+    * the float estimator [[kmvOverlapEstimate]] stays driver-side).
+    * Output: `(g_a, g_b, n_union_k, shared_k, kth_hash)`, g_a < g_b. */
+  def kmvPairwiseOverlap(df: DataFrame, group: String, value: String,
+                         k: Int, salt: String): DataFrame = {
+    val sk = graft.ops.Caches.track(
+      kmvSketchTable(df, group, value, k, salt).persist())
+    val sideA = sk.select(col(group).as("g_a"), col("__h"),
+      lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val sideB = sk.select(col(group).as("g_b"), col("__h"),
+      lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val groups = sk.select(col(group)).distinct()
+    val pairs = groups.select(col(group).as("g_a"))
+      .join(broadcast(groups.select(col(group).as("g_b"))),
+        col("g_a") < col("g_b"))
+    val tagged = pairs.join(sideA, Seq("g_a"))
+      .unionByName(pairs.join(sideB, Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("__h"), col("in_a"),
+          col("in_b")))
+    val merged = tagged.groupBy(col("g_a"), col("g_b"), col("__h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("__h"))
+    merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_union_k"),
+        sum(col("in_a") * col("in_b")).as("shared_k"),
+        max(col("__h")).as("kth_hash"))
+  }
+
+  /** The classic KMV estimates from a [[kmvPairwiseOverlap]] row:
+    * (Jaccard, union cardinality, intersection cardinality). Driver-side
+    * float arithmetic — a diagnostic, like [[hllEstimate]]. */
+  def kmvOverlapEstimate(nUnionK: Long, sharedK: Long, kthHash: Long,
+                         k: Int): (Double, Double, Double) = {
+    require(nUnionK >= 1, "empty union sketch")
+    val unionEst =
+      if (nUnionK < k) nUnionK.toDouble
+      else (k - 1).toDouble * graft.functions.KmvDistinct.Space / kthHash
+    val j = sharedK.toDouble / nUnionK
+    (j, unionEst, j * unionEst)
+  }
+
   /** Sketch-algebra union of finished HLL register tables
     * ([[hllRegisters]] output): registers merge by element-wise MAX, so
     * per-shard / per-source / per-snapshot sketches roll up to ANY

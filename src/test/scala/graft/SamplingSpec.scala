@@ -458,6 +458,36 @@ class SamplingSpec extends SparkSpec {
       "fim")) == out.sortBy(_._1).toSeq)
   }
 
+  test("kmvPairwiseOverlap: exact below k, matches hand-derived sketches " +
+      "above, estimator recovers the intersection") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 2L),
+      ("B", 2L), ("B", 3L), ("B", 4L), ("C", 9L)).toDF("g", "v")
+    // k ≥ |A∪B|: the union sketch IS the union — counts are exact
+    val big = Sampling.kmvPairwiseOverlap(df, "g", "v", k = 10, salt = "t")
+      .select("g_a", "g_b", "n_union_k", "shared_k")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(big == Set(("A", "B", 4L, 2L), ("A", "C", 4L, 0L),
+      ("B", "C", 4L, 0L)))
+    // small-range estimator: n_union_k < k → union exact, I = J·U = 2
+    val (j, u, i) = Sampling.kmvOverlapEstimate(4L, 2L, Long.MaxValue, 10)
+    assert(j == 0.5 && u == 4.0 && i == 2.0)
+    // k = 2: agree with sketches derived from the raw hashes by hand
+    val hashes = df.select(col("g"),
+        Sampling.hash60(col("v"), "t").as("h"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, hs) =>
+        g -> hs.map(_._2).sorted.take(2).toSet }
+    val unionK = (hashes("A") ++ hashes("B")).toSeq.sorted.take(2)
+    val expectShared = unionK.count(h =>
+      hashes("A").contains(h) && hashes("B").contains(h)).toLong
+    val small = Sampling.kmvPairwiseOverlap(df, "g", "v", k = 2, salt = "t")
+      .filter(col("g_a") === "A" && col("g_b") === "B")
+      .select("n_union_k", "shared_k", "kth_hash")
+      .as[(Long, Long, Long)].collect().head
+    assert(small == ((2L, expectShared, unionK.max)))
+  }
+
   test("hllMerge: union of per-group sketches equals the direct sketch") {
     val df = Seq(("s1", "a"), ("s1", "b"), ("s2", "b"), ("s2", "c"),
       ("s3", "d"), ("s3", "a")).toDF("src", "v")
