@@ -77,7 +77,14 @@ class PlanGuardSpec extends SparkSpec {
       // the |labels|-row class-centroid table: its stats are unknown at
       // planning (aggregate output), so without the explicit hint this
       // regresses to a SortMergeJoin that shuffles the corpus
-      "q110_class_scatter")
+      "q110_class_scatter",
+      // the backoff LM's two cost dictionaries (trigram + bigram
+      // literals) attach to the exploded corpus trigrams — shuffled,
+      // each would re-partition the corpus-scale trigram relation
+      "q148_backoff_lm",
+      // bqTopK's refine stage: the exploded query table must broadcast
+      // onto the candidate-bounded (q_id, j) join
+      "q139_bq_topk")
     mustBroadcast.foreach { name =>
       val hasBroadcastJoin = plans(name).exists(n =>
         n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
