@@ -59,11 +59,13 @@ class SkewSpec extends SparkSpec {
   }
 
   test("dedupClusters throws instead of returning partially-propagated labels") {
-    // a 6-node path graph: even with pointer jumping, diameter 5 needs
-    // 2 moving rounds + 1 to observe quiescence
-    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
-    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
-      .toDF("a_id", "b_id")
+    // a 64-node path: seeded init + 2 hop-hop-jump rounds cover a
+    // distance of ~2^(2+2)−4 = 12 ≪ diameter 63, so maxIter = 2 MUST
+    // throw rather than return partially-propagated labels (a 6-node
+    // path no longer works here — the r8 closed-neighborhood seeding
+    // converges it within 2 rounds)
+    val docs = (1L to 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val path = (1L to 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val e = intercept[IllegalStateException] {
       Dedup.dedupClusters(docs, "doc_id", path, maxIter = 2)
     }
@@ -71,7 +73,7 @@ class SkewSpec extends SparkSpec {
     // with enough rounds the whole path collapses onto the min id
     val ok = Dedup.dedupClusters(docs, "doc_id", path, maxIter = 10)
       .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
-    assert((1L to 6L).forall(i => ok(i) == 1L))
+    assert((1L to 64L).forall(i => ok(i) == 1L))
   }
 
   test("keySkewReport: exact heavy-hitter ranks, share, load vs mean") {
