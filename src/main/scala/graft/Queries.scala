@@ -4989,6 +4989,34 @@ object Queries {
                     CAST(max(h) AS BIGINT) AS kth_hash
              FROM rk WHERE rn <= 64 GROUP BY 1, 2"""), bench = true)
 
+  /** Per-dimension embedding drift (Similarity.embeddingDrift): exact
+    * quantized first moments of two snapshots (even vs odd vec_ids)
+    * cross-multiplied per dim — the new-encoder / corrupted-batch alarm,
+    * q150's drift discipline applied to the embedding space. */
+  private val q156 = QDef("q156_embedding_drift",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.embeddingDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "embedding")
+    },
+    Some("""WITH m AS (SELECT vec_id, j - 1 AS j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            a AS (SELECT j, CAST(sum(mv) AS BIGINT) AS s_a,
+                    CAST(count(*) AS BIGINT) AS n_a
+                  FROM m WHERE vec_id % 2 = 0 GROUP BY 1),
+            b AS (SELECT j, CAST(sum(mv) AS BIGINT) AS s_b,
+                    CAST(count(*) AS BIGINT) AS n_b
+                  FROM m WHERE vec_id % 2 = 1 GROUP BY 1),
+            f AS (SELECT COALESCE(a.j, b.j) AS j,
+                    COALESCE(n_a, 0) AS n_a, COALESCE(s_a, 0) AS s_a,
+                    COALESCE(n_b, 0) AS n_b, COALESCE(s_b, 0) AS s_b
+                  FROM a FULL OUTER JOIN b ON a.j = b.j)
+            SELECT CAST(j AS INT) AS j, n_a, s_a, n_b, s_b,
+                   CAST(s_a * n_b - s_b * n_a AS BIGINT) AS dev
+            FROM f"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5001,7 +5029,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155)
+    q153, q154, q155, q156)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

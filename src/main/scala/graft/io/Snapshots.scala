@@ -94,6 +94,19 @@ object Snapshots {
     readVersion(spark, root, v)
   }
 
+  /** Compact the latest snapshot into `numFiles` output files and
+    * publish the result as a NEW version — the small-files remedy (a
+    * streaming or per-batch publisher accumulates thousands of
+    * KB-scale files whose per-file open/footer cost eventually
+    * dominates scans; at 100 TB, compaction planning is a standing
+    * background job). Readers pinned to the old version are untouched;
+    * `expire` reclaims it later. Returns the new version. */
+  def compactLatest(spark: SparkSession, root: String,
+                    numFiles: Int): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    publish(readLatest(spark, root).repartition(numFiles), root)
+  }
+
   /** Drop all but the newest `keep` committed snapshots (manifest first,
     * then data — a reader racing the retention pass sees a missing
     * manifest, never a torn table). */

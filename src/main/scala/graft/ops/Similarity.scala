@@ -1442,6 +1442,35 @@ object Similarity {
     df.select(col(id).cast("long").as(id),
       centroidDist2Expr(col(vec), mu, scaleBits).as("dist2"))
 
+  /** Per-dimension embedding drift between two snapshots — "did the
+    * embedding distribution move" on the int64 grid: each snapshot
+    * contributes exact first moments `(n, Σ floor(v_j·2^s))` per dim
+    * (ONE posexplode partial-agg pass each, d-bounded output), and the
+    * mean shift surfaces cross-multiplied as `dev_j = s_a·n_b − s_b·n_a`
+    * (sign = direction; `dev_j / (n_a·n_b·2^s)` is the mean difference
+    * in embedding units) — the [[graft.ops.Curation.histogramDrift]]
+    * discipline applied per dimension. The new-encoder / corrupted-batch
+    * alarm next to [[centroidDistances]]' per-row outliers. ANSI keeps
+    * the documented `s·n < 2^63` bound loud; shard-and-average first
+    * past ~10⁹ rows per snapshot. Output:
+    * `(j, n_a, s_a, n_b, s_b, dev)`. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vec: String,
+                     scaleBits: Int = 12): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    def moments(d: DataFrame, s: String, n: String) =
+      d.select(posexplode(col(vec)).as(Seq("j", "x")))
+        .select(col("j"),
+          floor(col("x").cast("double") * scale).cast("long").as("m"))
+        .groupBy(col("j")).agg(sum(col("m")).as(s), count(lit(1)).as(n))
+    moments(a, "s_a", "n_a").join(moments(b, "s_b", "n_b"), Seq("j"),
+        "full_outer")
+      .select(col("j"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("s_a"), lit(0L)).as("s_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("s_b"), lit(0L)).as("s_b"))
+      .withColumn("dev", col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+  }
+
   // ------------------------------------------------ binary (1-bit) quantization
 
   /** 1-bit binary-quantization codes: bit `j` of the packed int64 code is

@@ -651,6 +651,20 @@ class SimilaritySpec extends SparkSpec {
       (10L, 3, 3L, 0, 4096L * 2L * 819L)))
   }
 
+  test("embeddingDrift: exact cross-multiplied mean shift per dimension") {
+    val a = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Seq(0.5f, -1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(a, b, "embedding")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    // dim 0: s_a = 2·4096, n_a = 2; s_b = 2048, n_b = 1 →
+    // dev = 8192·1 − 2048·2 = 4096 (snapshot a's mean is higher).
+    // dim 1: identical distributions → dev = 0.
+    assert(out == Set(
+      (0, 2L, 8192L, 1L, 2048L, 4096L),
+      (1, 2L, -8192L, 1L, -4096L, 0L)))
+  }
+
   test("trainSq8BoundsRobust: quantile bounds shed outliers; clamped " +
       "encode keeps the mass exact") {
     // 128 1-dim vectors: one −10/+10 outlier each side, the mass at

@@ -51,6 +51,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root).resolve("v=0")))
   }
 
+  test("compactLatest: fewer files, same rows, old version untouched") {
+    val root = tmp
+    Snapshots.publish(
+      spark.range(1000).toDF("id").repartition(16), root)
+    val before = Files.list(Paths.get(root).resolve("v=0")).count()
+    val v = Snapshots.compactLatest(spark, root, numFiles = 1)
+    assert(v == 1L)
+    val dataFiles = Files.list(Paths.get(root).resolve("v=1"))
+    try {
+      import scala.jdk.CollectionConverters._
+      val parquets = dataFiles.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(parquets == 1, s"expected 1 compacted file, got $parquets")
+    } finally dataFiles.close()
+    assert(before > 2) // the fixture really was fragmented
+    assert(Snapshots.readLatest(spark, root).count() == 1000)
+    assert(Snapshots.readVersion(spark, root, 0L).count() == 1000)
+  }
+
   test("versions stay monotone after retention — expired numbers never reuse") {
     val root = tmp
     (0 until 3).foreach(i =>
