@@ -5017,6 +5017,37 @@ object Queries {
                    CAST(s_a * n_b - s_b * n_a AS BIGINT) AS dev
             FROM f"""), bench = true)
 
+  /** Cross-source shared-content matrix (Dedup.crossSourceSharedGrams):
+    * for every source pair, how many distinct 5-gram signatures both
+    * carry — the mirror-site / scraped-twice panel a mixture design
+    * needs before weighting sources as independent (whole-doc hashing
+    * finds nothing here — the overlap lives at gram granularity, which
+    * is the point of the granular matrix core). */
+  private val q157 = QDef("q157_source_overlap",
+    (s, d) => Dedup.crossSourceSharedGrams(docs(s, d), "source", "text",
+      n = 5),
+    Some("""WITH toks AS (SELECT source,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                   t -> t <> '') AS toks FROM documents),
+             g0 AS (SELECT source, unnest(list_distinct(list_transform(
+                     range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                          toks[i + 2] || ' ' || toks[i + 3] || ' ' ||
+                          toks[i + 4]))) AS gm
+                   FROM toks),
+             sig AS (SELECT DISTINCT source, md5(gm) AS h FROM g0),
+             tot AS (SELECT source, count(*) AS n FROM sig GROUP BY 1),
+             p AS (SELECT a.source AS src_a, b.source AS src_b,
+                     count(*) AS n_shared
+                   FROM sig a JOIN sig b
+                     ON a.h = b.h AND a.source < b.source
+                   GROUP BY 1, 2)
+             SELECT src_a, src_b, CAST(ta.n AS BIGINT) AS n_a,
+                    CAST(tb.n AS BIGINT) AS n_b,
+                    CAST(p.n_shared AS BIGINT) AS n_shared
+             FROM p JOIN tot ta ON p.src_a = ta.source
+                  JOIN tot tb ON p.src_b = tb.source"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5029,7 +5060,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156)
+    q153, q154, q155, q156, q157)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -807,6 +807,63 @@ object Dedup {
           col("effective_tokens").cast("double") / col("total_tokens"), 4)
           .as("dup_token_share"))
 
+  /** Cross-source duplication matrix — "how much of source A is copies
+    * of source B": for every source pair, the number of distinct
+    * content hashes BOTH carry, next to each side's distinct-content
+    * total (shared/n_a = the fraction of A's distinct content that also
+    * lives in B — the mirror-site / scraped-twice panel a mixture
+    * design needs before weighting sources as if they were
+    * independent). Within-source duplicates collapse first (the
+    * distinct), so the matrix reports CONTENT overlap, not copy counts.
+    *
+    * Shape: one (source, md5) distinct — the only corpus-scale shuffle,
+    * map-side combinable — then a hash-keyed self-join whose per-hash
+    * pair term is bounded by |sources|² (tens), and a |sources|-row
+    * totals join. Output: `(src_a, src_b, n_a, n_b, n_shared)`,
+    * src_a < src_b; pairs with zero overlap are omitted. */
+  def crossSourceDupMatrix(df: DataFrame, source: String,
+                           text: String): DataFrame =
+    sourceOverlapMatrix(
+      df.select(col(source), md5(col(text)).as("__sig")), source, "__sig")
+
+  /** [[crossSourceDupMatrix]] at N-GRAM granularity — catches the
+    * cross-source overlap whole-document hashing misses (sources that
+    * quote, wrap, or partially mirror each other share grams long
+    * before they share full documents): signatures are the native
+    * shingle hashes, everything else is the same matrix core. */
+  def crossSourceSharedGrams(df: DataFrame, source: String, text: String,
+                             n: Int): DataFrame =
+    sourceOverlapMatrix(
+      df.select(col(source), explode(wordShingles(col(text), n)).as("__g"))
+        .select(col(source), md5(col("__g")).as("__sig")),
+      source, "__sig")
+
+  /** The matrix core shared by [[crossSourceDupMatrix]] (whole-document
+    * md5), [[crossSourceSharedGrams]] (shingle hashes), and any caller
+    * with its own signature relation (minhash bands, image dHashes):
+    * distinct (source, signature) once — the only corpus-scale
+    * shuffle — then a signature-keyed self-join whose per-signature
+    * pair term is bounded by |sources|², and a |sources|-row broadcast
+    * totals join. */
+  def sourceOverlapMatrix(sig0: DataFrame, source: String,
+                          h: String): DataFrame = {
+    val sig = Caches.track(sig0.select(col(source).as("__src"),
+      col(h).as("__h")).distinct().persist())
+    val totals = sig.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val pairs = sig.select(col("__src").as("src_a"), col("__h"))
+      .join(sig.select(col("__src").as("src_b"), col("__h")), Seq("__h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("__src").as("src_a"),
+        col("__n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("__src").as("src_b"),
+        col("__n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"))
+  }
+
   /** Corpus snapshot diff — the incremental-ingestion primitive: compare
     * two snapshots of a document table by content hash and emit one row
     * per DELTA — `added` (id only in `newDf`), `removed` (id only in

@@ -1456,12 +1456,9 @@ object Similarity {
     * `(j, n_a, s_a, n_b, s_b, dev)`. */
   def embeddingDrift(a: DataFrame, b: DataFrame, vec: String,
                      scaleBits: Int = 12): DataFrame = {
-    val scale = (1L << scaleBits).toDouble
     def moments(d: DataFrame, s: String, n: String) =
-      d.select(posexplode(col(vec)).as(Seq("j", "x")))
-        .select(col("j"),
-          floor(col("x").cast("double") * scale).cast("long").as("m"))
-        .groupBy(col("j")).agg(sum(col("m")).as(s), count(lit(1)).as(n))
+      embeddingMoments(d, vec, scaleBits)
+        .select(col("j"), col("s").as(s), col("n").as(n))
     moments(a, "s_a", "n_a").join(moments(b, "s_b", "n_b"), Seq("j"),
         "full_outer")
       .select(col("j"), coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -1469,6 +1466,19 @@ object Similarity {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("s_b"), lit(0L)).as("s_b"))
       .withColumn("dev", col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+  }
+
+  /** The per-dim exact first moments `(j, s = Σ floor(v_j·2^s), n)` one
+    * snapshot contributes to [[embeddingDrift]] — exposed so a trained
+    * REFERENCE snapshot's moments can persist and broadcast against a
+    * live stream ([[graft.streaming.StatefulOps.streamingEmbeddingDrift]]). */
+  def embeddingMoments(df: DataFrame, vec: String,
+                       scaleBits: Int = 12): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    df.select(posexplode(col(vec)).as(Seq("j", "x")))
+      .select(col("j"),
+        floor(col("x").cast("double") * scale).cast("long").as("m"))
+      .groupBy(col("j")).agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
   }
 
   // ------------------------------------------------ binary (1-bit) quantization

@@ -798,6 +798,38 @@ object StatefulOps {
       spikeFactor, lullFactor)
   }
 
+  /** Streaming per-dimension embedding drift at ingest — the live form
+    * of [[graft.ops.Similarity.embeddingDrift]]: incoming vectors fold
+    * into per-(window, dim) exact quantized moments (watermarked
+    * tumbling agg — the one stateful op), each closed window joins the
+    * TRAINED reference moments ([[graft.ops.Similarity
+    * .embeddingMoments]] of the snapshot the encoder was blessed on,
+    * broadcast stream-static) and emits the cross-multiplied mean-shift
+    * `dev = s_a·n_ref − s_ref·n_a` per dim — a sudden |dev| spike at
+    * ingest = the upstream encoder changed or a batch arrived corrupted,
+    * caught before it pollutes an index build. Append mode, exact
+    * int64, bit-identical to the batch op on the same window's rows. */
+  def streamingEmbeddingDrift(stream: DataFrame, ts: String, vec: String,
+                              refMoments: DataFrame, windowSec: Int,
+                              lateness: String = "10 seconds",
+                              scaleBits: Int = 12): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    stream.withWatermark(ts, lateness)
+      .select(col(ts), posexplode(col(vec)).as(Seq("j", "x")))
+      .select(col(ts), col("j"),
+        floor(col("x").cast("double") * scale).cast("long").as("m"))
+      .groupBy(window(col(ts), s"$windowSec seconds"), col("j"))
+      .agg(sum(col("m")).as("s_a"), count(lit(1)).as("n_a"))
+      .select(expr("unix_micros(window.start) div 1000000").as("win_start"),
+        col("j"), col("n_a"), col("s_a"))
+      .join(broadcast(refMoments.select(col("j"), col("s").as("s_ref"),
+        col("n").as("n_ref"))), Seq("j"))
+      .withColumn("dev",
+        col("s_a") * col("n_ref") - col("s_ref") * col("n_a"))
+      .select(col("win_start"), col("j"), col("n_a"), col("s_a"),
+        col("n_ref"), col("s_ref"), col("dev"))
+  }
+
   /** CUSUM state for one key ([[StatefulOps.streamingCusum]]): running
     * deviation prefix and its running minimum (the closed-form pair
     * behind `S = max(0, S + dev)`). */

@@ -519,4 +519,25 @@ class DedupSpec extends SparkSpec {
     val r = run(docs).map(t => t._1 -> t._2).toMap
     assert(r(0L) == "u v w x y z" && r(3L) == "" && r(6L) == "")
   }
+
+  test("sourceOverlapMatrix: whole-doc and gram granularity, zero pairs drop") {
+    val docs = Seq(
+      ("X", 1L, "the quick brown fox jumps"),
+      ("X", 2L, "lorem ipsum dolor sit amet"),
+      ("Y", 3L, "lorem ipsum dolor sit amet"), // exact copy of X's doc 2
+      ("Y", 4L, "a quick brown fox jumps high"), // shares grams with X/1 only
+      ("Z", 5L, "entirely unrelated content here now"))
+      .toDF("source", "doc_id", "text")
+    // whole-document hashing: only the exact X/Y copy registers
+    val whole = Dedup.crossSourceDupMatrix(docs, "source", "text")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(whole == Set(("X", "Y", 2L, 2L, 1L)))
+    // 3-gram granularity additionally sees the partial X/Y mirror:
+    // "quick brown fox", "brown fox jumps" live in both doc 1 and doc 4
+    val grams = Dedup.crossSourceSharedGrams(docs, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // doc1: 3 grams, doc2: 3 grams → X 6; doc3: 3, doc4: 4 → Y 7; shared:
+    // doc2≡doc3 (3) + the two fox grams = 5
+    assert(grams == Set(("X", "Y", 6L, 7L, 5L)))
+  }
 }

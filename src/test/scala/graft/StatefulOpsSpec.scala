@@ -911,6 +911,43 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingEmbeddingDrift: windowed ingest moments equal the batch op") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ref = Seq((10L, Seq(0.5f, -1.0f)), (11L, Seq(0.5f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val live = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(1.0f, -0.5f)))
+    val batch = graft.ops.Similarity.embeddingDrift(
+        live.toDF("vec_id", "embedding"), ref, "embedding")
+      .select("j", "n_a", "s_a", "n_b", "s_b", "dev")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    val refM = graft.ops.Similarity.embeddingMoments(ref, "embedding")
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val q = StatefulOps.streamingEmbeddingDrift(
+        in.toDF().toDF("ts", "vec_id", "embedding"), "ts", "embedding",
+        refM, windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("embdrift")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(live.map { case (id, v) =>
+        (t("2024-01-01 00:00:01"), id, v) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("embdrift").isEmpty) // window still open
+      in.addData((t("2024-01-01 00:00:30"), 99L, Seq(0.0f, 0.0f)))
+      q.processAllAvailable()
+      val w0 = spark.table("embdrift")
+        .agg(org.apache.spark.sql.functions.min(col("win_start")))
+        .as[Long].collect().head
+      val streamed = spark.table("embdrift")
+        .filter(col("win_start") === w0)
+        .select("j", "n_a", "s_a", "n_ref", "s_ref", "dev")
+        .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"ingest drift must equal the batch op: $streamed vs $batch")
+    }
+  }
+
   test("streamingCusum: live accumulator equals the batch closed form") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.expr
