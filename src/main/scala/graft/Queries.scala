@@ -5048,6 +5048,112 @@ object Queries {
              FROM p JOIN tot ta ON p.src_a = ta.source
                   JOIN tot tb ON p.src_b = tb.source"""), bench = true)
 
+  /** NDCG@5 discount table (static, data-free): D(i) = floor(2²⁰ /
+    * log2(i+1)) and its prefix sums — both sides consume the SAME
+    * integers, so no engine computes a log. */
+  private val ndcgDisc = (1 to 5).map(i =>
+    math.floor((1L << 20).toDouble /
+      (StrictMath.log(i + 1.0) / StrictMath.log(2.0))).toLong)
+  private val ndcgPrefix = ndcgDisc.scanLeft(0L)(_ + _).tail
+
+  /** NDCG@k over the exact cosine ranking (Similarity.ndcgAtK): the
+    * position-weighted retrieval eval completing the stack next to
+    * recall (q100), MRR (q119) and agreement (q111) — integer DCG/IDCG
+    * on the quantized discount grid, ideal from the corpus-wide
+    * relevant count, single-rounded ratio. */
+  private val q158 = QDef("q158_ndcg_at_k",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.ndcgAtK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            n AS (SELECT q_id, q_vec,
+                sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * q_vec[i]))) AS q_norm FROM q),
+            m AS (SELECT c_id, c_vec,
+                sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                  i -> CAST(c_vec[i] AS DOUBLE) * c_vec[i]))) AS c_norm FROM c),
+            sc AS (SELECT q_id, c_id,
+                list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * c_vec[i])) / (q_norm * c_norm)
+                  AS cos
+              FROM n, m WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+            dt(i, dv) AS (VALUES ${ndcgDisc.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")}),
+            pt(i, pv) AS (VALUES ${ndcgPrefix.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")}),
+            lab AS (SELECT vec_id, label FROM embeddings),
+            dcg AS (SELECT r.q_id, ql.label AS q_label,
+                      CAST(sum(CASE WHEN nl.label = ql.label
+                        THEN dt.dv ELSE 0 END) AS BIGINT) AS dcg_q
+                    FROM r JOIN lab ql ON ql.vec_id = r.q_id
+                          JOIN lab nl ON nl.vec_id = r.c_id
+                          JOIN dt ON dt.i = r.rn
+                    WHERE r.rn <= 5 GROUP BY 1, 2),
+            lc AS (SELECT label, count(*) AS nl FROM lab GROUP BY 1),
+            fin AS (SELECT dcg.q_id, dcg.q_label, dcg.dcg_q,
+                      CAST(CASE WHEN lc.nl - 1 >= 1
+                        THEN COALESCE(pt.pv, 0) ELSE 0 END AS BIGINT)
+                        AS idcg_q
+                    FROM dcg JOIN lc ON lc.label = dcg.q_label
+                    LEFT JOIN pt ON pt.i = least(lc.nl - 1, 5))
+            SELECT q_id, q_label, dcg_q, idcg_q,
+                   CASE WHEN idcg_q > 0
+                     THEN round(CAST(dcg_q AS DOUBLE) / idcg_q, 6)
+                     ELSE 0.0 END AS ndcg
+            FROM fin"""), bench = true)
+
+  /** Language-ID confusion matrix (declared vs predicted, q22's
+    * classifier rolled into the data-card shape): per (lang,
+    * lang_pred) exact counts + the single-rounded share of the
+    * declared language — the mislabeled-metadata panel a multilingual
+    * mixture design checks before trusting the `lang` column. */
+  private val q159 = QDef("q159_lang_confusion",
+    (s, d) => {
+      val dd = docs(s, d)
+      val joined = dd.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.langIdTable(dd, "doc_id", "text"), "doc_id")
+      val counts = joined.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val totals = joined.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      counts.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"), col("n_lang"),
+          round(col("n").cast("double") / col("n_lang"), 4).as("share"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '') AS toks
+              FROM documents),
+            sc AS (SELECT doc_id, lang,
+              len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
+              len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+              len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
+              len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+              len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+              FROM t),
+            pred AS (SELECT doc_id, lang,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+              FROM sc),
+            cnt AS (SELECT lang, lang_pred, count(*) AS n
+                    FROM pred GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+                    FROM pred GROUP BY 1)
+            SELECT cnt.lang, cnt.lang_pred, CAST(cnt.n AS BIGINT) AS n,
+                   tot.n_lang,
+                   round(CAST(cnt.n AS DOUBLE) / tot.n_lang, 4) AS share
+            FROM cnt JOIN tot ON cnt.lang = tot.lang"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5060,7 +5166,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157)
+    q153, q154, q155, q156, q157, q158, q159)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -966,6 +966,55 @@ object Similarity {
             col("first_rank")).cast("long")))
   }
 
+  /** NDCG@k with binary label relevance — the rank-position-weighted
+    * retrieval eval completing the stack (recall@k counts hits, MRR@k
+    * scores the first, NDCG scores them ALL by position): per query,
+    * `DCG = Σ_hit D(rank)` with the discount table
+    * `D(i) = floor(2^discBits / log2(i+1))` — k driver-side integers
+    * (StrictMath carries the logs, the LM-cost artifact discipline), so
+    * DCG/IDCG are exact int64 and `ndcg` is their single-rounded ratio.
+    * The IDEAL uses the corpus-wide relevant count (docs sharing the
+    * query's label, minus the query itself, capped at k) — the honest
+    * denominator: a query whose label has ≤ k members can still reach
+    * 1.0, one with none scores 0.
+    *
+    * Shape: [[cosineTopK]]'s bounded ranking + the q111 broadcast label
+    * joins + a |labels|-row corpus-count join; discounts and their
+    * prefix sums ride as literal arrays (`element_at` by rank). Output:
+    * `(q_id, q_label, dcg_q, idcg_q, ndcg)`. */
+  def ndcgAtK(queries: DataFrame, corpus: DataFrame, id: String,
+              vec: String, label: String, k: Int,
+              discBits: Int = 20): DataFrame = {
+    require(k >= 1 && discBits >= 1 && discBits <= 40,
+      s"bad k=$k / discBits=$discBits")
+    val disc = (1 to k).map(i => math.floor((1L << discBits).toDouble /
+      (StrictMath.log(i + 1.0) / StrictMath.log(2.0))).toLong)
+    val prefix = disc.scanLeft(0L)(_ + _).tail
+    val ranked = cosineTopK(queries, corpus, id, vec, k)
+    val nLab = corpus.select(col(id).as("neighbor_id"),
+      col(label).cast("int").as("n_label"))
+    val qLab = queries.select(col(id).as("q_id"),
+      col(label).cast("int").as("q_label"))
+    val labCounts = corpus.groupBy(col(label).cast("int").as("q_label"))
+      .agg(count(lit(1)).as("__n_lab"))
+    val dCol = element_at(array(disc.map(lit): _*), col("rank"))
+    val dcg = nLab.join(broadcast(ranked), Seq("neighbor_id"))
+      .join(broadcast(qLab), Seq("q_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("n_label") === col("q_label"), dCol)
+        .otherwise(lit(0L))).as("dcg_q"))
+    val idcgCol = when(col("__n_lab") - 1 >= 1,
+      element_at(array(prefix.map(lit): _*),
+        least(col("__n_lab") - 1, lit(k.toLong)).cast("int")))
+      .otherwise(lit(0L))
+    dcg.join(broadcast(labCounts), Seq("q_label"))
+      .select(col("q_id"), col("q_label"), col("dcg_q"),
+        idcgCol.as("idcg_q"))
+      .withColumn("ndcg", when(col("idcg_q") > 0,
+        round(col("dcg_q").cast("double") / col("idcg_q"), 6))
+        .otherwise(lit(0.0)))
+  }
+
   /** Contrastive triplet mining — the training-pair construction for
     * embedding-model fine-tuning: per anchor (query), the highest-
     * ranked exact top-k neighbor sharing its label (the POSITIVE) and

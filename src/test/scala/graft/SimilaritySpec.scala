@@ -651,6 +651,32 @@ class SimilaritySpec extends SparkSpec {
       (10L, 3, 3L, 0, 4096L * 2L * 819L)))
   }
 
+  test("ndcgAtK: integer DCG on the discount grid, corpus-wide ideal, " +
+      "unique-label query scores 0") {
+    def disc(i: Int): Long = math.floor((1L << 20).toDouble /
+      (StrictMath.log(i + 1.0) / StrictMath.log(2.0))).toLong
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f), 1), // query; excluded from its own ranking
+      (1L, Seq(0.99f, 0.1f), 1), // rank 1, hit
+      (2L, Seq(0.9f, 0.2f), 0), // rank 2, miss
+      (3L, Seq(0.8f, 0.3f), 1), // rank 3, hit
+      (4L, Seq(0.1f, 0.9f), 0),
+      (20L, Seq(0.0f, 1.0f), 7)) // second query: label 7 is unique
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ndcgAtK(
+        corpus.filter($"vec_id" >= 10L), corpus, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // label 1 has 3 corpus members; minus the query → ideal over 2 ranks
+    val (dcg, idcg) = (disc(1) + disc(3), disc(1) + disc(2))
+    val expected = BigDecimal(dcg.toDouble / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) == ((10L, 1, dcg, idcg, expected)))
+    // no other doc carries label 7 → idcg 0 → ndcg 0.0, never a NaN
+    assert(out(20L) == ((20L, 7, 0L, 0L, 0.0)))
+  }
+
   test("embeddingDrift: exact cross-multiplied mean shift per dimension") {
     val a = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(1.0f, -1.0f)))
       .toDF("vec_id", "embedding")
