@@ -215,7 +215,7 @@ object Curation {
     * held-out doc that leaks a train-split `ngram`. */
   private def splitAndDecontaminate(kept: DataFrame, id: String, text: String,
                                     salt: String, splits: Seq[(String, Double)],
-                                    ngram: Int): DataFrame = {
+                                    ngram: Int): DataFrame =
     // Deliberately NOT materializing a shared gram table: both sides of
     // the contamination check shingle the (persisted) kept set
     // independently, which keeps each branch one fused codegen pipeline.
@@ -223,12 +223,43 @@ object Curation {
     // persisted (id, split, gh) gram explode made q54 ~60% slower warm —
     // two extra cache materializations cost more than the second
     // (now-cheap) shingle pass they deduplicate.
-    val withSplit = Sampling.splitAssign(kept, id, salt, splits)
+    decontaminateSplits(Sampling.splitAssign(kept, id, salt, splits),
+      id, text, splits, ngram)
+
+  /** Decontamination tail shared by the hash-split and family-split
+    * flagships: drop every held-out doc leaking a train-split gram. */
+  private def decontaminateSplits(withSplit: DataFrame, id: String,
+                                  text: String, splits: Seq[(String, Double)],
+                                  ngram: Int): DataFrame = {
     val train = withSplit.filter(col("split") === splits.head._1)
     val held = withSplit.filter(col("split") =!= splits.head._1)
     val leaked = Dedup.contaminationCheck(train, held, id, text, ngram)
       .select(col("test_id").as(id))
     withSplit.join(leaked, Seq(id), "left_anti")
+  }
+
+  /** [[curateForTraining]] with FAMILY-AWARE splits — the q142→q149 loop
+    * closed inside the flagship: near-duplicate families of the CURATED
+    * set land whole in one split ([[familySplitAssign]]), so paraphrase
+    * leakage across splits is zero by construction, and the gram-level
+    * decontamination that remains only ever fires on sub-near-dup
+    * overlap (shared spans below the LSH threshold) — the
+    * belt-and-braces a benchmark-grade split ships with. Same output
+    * shape as [[curateForTraining]]: `(id, lang, split)`. */
+  def curateForTrainingLeakFree(docs: DataFrame, id: String, text: String,
+                                lang: String, minTokens: Int,
+                                maxMeanTokenLen: Double, salt: String,
+                                splits: Seq[(String, Double)], ngram: Int,
+                                numHashes: Int = 12, bands: Int = 4,
+                                threshold: Double = 0.5): DataFrame = {
+    val keptIds = curate(docs, id, text, lang, minTokens, maxMeanTokenLen)
+      .select(col(id))
+    val kept = Caches.track(docs.join(keptIds, Seq(id), "left_semi").persist())
+    val withSplit = kept.join(
+      familySplitAssign(kept, id, text, salt, splits, numHashes, bands,
+        threshold), Seq(id))
+    decontaminateSplits(withSplit, id, text, splits, ngram)
+      .select(col(id), col(lang), col("split"))
   }
 
   /** Corpus data card — the per-stratum summary a dataset release ships

@@ -384,6 +384,44 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq.map(r => math.abs(r._4)).sum == (2 * 4 * 4 * 3) / 4)
   }
 
+  test("curateForTrainingLeakFree: families never straddle splits; " +
+      "output agrees with the manual composition") {
+    import org.apache.spark.sql.functions.col
+    val splits = Seq("train" -> 0.75, "val" -> 0.875, "test" -> 1.0)
+    val base = "the quick brown fox and a dog of note"
+    // 40 near-dup pairs (likely some straddle under plain hash splits)
+    // plus 20 singletons; all pass the quality gates
+    val docs = ((0L until 40L).flatMap(i => Seq(
+      (2 * i, s"$base group$i one two three"),
+      (2 * i + 1, s"$base group$i one two four"))) ++
+      (100L until 120L).map(i => (i, s"unique$i " + base)))
+      .map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+    val out = Curation.curateForTrainingLeakFree(docs, "doc_id", "text",
+        "lang", minTokens = 3, maxMeanTokenLen = 99.0, salt = "lf",
+        splits, ngram = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.nonEmpty)
+    // the defining property: both members of every surviving near-dup
+    // pair share one split (ngram=50 > doc length keeps gram-level
+    // decontamination out of the way so the family property is visible)
+    (0L until 40L).foreach { i =>
+      val (a, b) = (2 * i, 2 * i + 1)
+      if (out.contains(a) && out.contains(b))
+        assert(out(a) == out(b), s"pair $i straddles: ${out(a)}/${out(b)}")
+    }
+    // and the hash-split flagship on the same fixture DOES straddle at
+    // least one pair — the leak the family variant exists to remove
+    val plain = Curation.curateForTraining(docs, "doc_id", "text", "lang",
+        minTokens = 3, maxMeanTokenLen = 99.0, salt = "lf", splits,
+        ngram = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val straddles = (0L until 40L).count { i =>
+      plain.contains(2 * i) && plain.contains(2 * i + 1) &&
+        plain(2 * i) != plain(2 * i + 1)
+    }
+    assert(straddles > 0, "fixture too small to demonstrate the leak")
+  }
+
   test("stratumRankBuckets / rankCalibrate: within-stratum deciles, " +
       "ties share a bucket, strata calibrate independently") {
     val df = Seq(("s", 1L, 10L), ("s", 2L, 10L), ("s", 3L, 20L),
