@@ -821,6 +821,29 @@ object Dedup {
     * pair term is bounded by |sources|² (tens), and a |sources|-row
     * totals join. Output: `(src_a, src_b, n_a, n_b, n_shared)`,
     * src_a < src_b; pairs with zero overlap are omitted. */
+  /** Soft dedup — keep every near-duplicate but DOWN-WEIGHT it: each doc
+    * carries `weight_bp = 10⁴ div family_size`, so a family's total
+    * sampling mass ≈ one document's regardless of copy count (the
+    * "sample ∝ 1/duplicates" alternative to [[dedupCorpus]]'s hard
+    * removal — preferred when duplicates carry meaningful variation, e.g.
+    * quoted-with-commentary, and a downstream weighted sampler exists).
+    * Same pair→family machinery as the hard path; one |families|-key
+    * size rollup + a narrow label join on top. Output:
+    * `(id, family, family_size, weight_bp)` — singletons weigh 10⁴. */
+  def softDedupWeights(df: DataFrame, id: String, text: String,
+                       numHashes: Int = 12, bands: Int = 4,
+                       threshold: Double = 0.5,
+                       maxBucket: Int = 0): DataFrame = {
+    val clusters = dedupClusters(df, id,
+      minHashLshPairs(df, id, text, numHashes, bands, threshold, maxBucket))
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("family_size"))
+    clusters.select(col(id), col("cluster").as("family"))
+      .join(sizes.withColumnRenamed("cluster", "family"), Seq("family"))
+      .select(col(id), col("family"), col("family_size"),
+        expr("10000 div family_size").cast("long").as("weight_bp"))
+  }
+
   def crossSourceDupMatrix(df: DataFrame, source: String,
                            text: String): DataFrame =
     sourceOverlapMatrix(

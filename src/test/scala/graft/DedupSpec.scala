@@ -520,6 +520,18 @@ class DedupSpec extends SparkSpec {
     assert(r(0L) == "u v w x y z" && r(3L) == "" && r(6L) == "")
   }
 
+  test("softDedupWeights: family mass ≈ one doc; singletons weigh 10^4") {
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val docs = (Seq(1L, 2L, 3L).map((_, t)) ++ // exact triplet → family of 3
+      Seq((7L, "kilo lima mike november oscar papa quebec romeo sierra")))
+      .toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 3L, 3333L), (2L, 1L, 3L, 3333L), (3L, 1L, 3L, 3333L),
+      (7L, 7L, 1L, 10000L)))
+  }
+
   test("sourceOverlapMatrix: whole-doc and gram granularity, zero pairs drop") {
     val docs = Seq(
       ("X", 1L, "the quick brown fox jumps"),
