@@ -2349,7 +2349,11 @@ object Queries {
   // the persist-pays rule from the other side, again. The index-serving
   // path (bm25Search/termOverlapSearch over an ALREADY-persisted bucketed
   // table, where build cost is sunk) remains in TextAnalysis, spec-pinned
-  // bit-identical.
+  // bit-identical. WITHIN one query the sharing DOES pay: bm25Core
+  // persists only the per-doc length table and the QUERY-vocabulary tf
+  // table (both shuffle-crossing, both tiny), deriving totals and df
+  // from them — 4 corpus tokenize passes → 2 per bm25 query, and
+  // hybridRrfTopK's two rankers share one core (5 → 2 for q127).
 
   /** BM25 query fixture: every 25th document's first three tokens —
     * short keyword queries with a known relevant document in-corpus. */
@@ -2415,15 +2419,8 @@ object Queries {
     * The oracle composes q124's relational BM25 chain with the
     * coordination-level ranking and the same floor arithmetic. */
   private val q127 = QDef("q127_rrf_hybrid",
-    (s, d) => {
-      val dd = docs(s, d)
-      val qs = bm25Queries(s, d)
-      TextAnalysis.rrfFuse(Seq(
-        TextAnalysis.bm25TopK(dd, "doc_id", "text", qs, "q_id", "qtext",
-          k = 10),
-        TextAnalysis.termOverlapTopK(dd, "doc_id", "text", qs, "q_id",
-          "qtext", k = 10)), k = 10)
-    },
+    (s, d) => TextAnalysis.hybridRrfTopK(docs(s, d), "doc_id", "text",
+      bm25Queries(s, d), "q_id", "qtext", k = 10),
     None, bench = true,
     oracleGen = Some((s, d) => {
       val rows = trainedBm25Idf(s, d)

@@ -704,11 +704,26 @@ object TextAnalysis {
     * never corpus-proportional, and the rows are exact int64, so they
     * inline into generated oracles as plain VALUES (and persist via
     * [[graft.io.ArtifactStore.savePairCosts]]-style shapes). */
-  def bm25Stats(df: DataFrame, id: String, text: String,
-                queries: DataFrame, qid: String, qtext: String,
-                scaleBits: Int = 12, maxQueryTerms: Int = 10000)
-      : (Seq[(String, Long)], Long, Long) = {
-    val spark = df.sparkSession
+  /** Shared idf quantization: `floor(2ˢ·log2(1 + (N−df+½)/(df+½)))` per
+    * term, StrictMath so the artifact is bit-identical wherever it is
+    * computed — [[bm25Stats]], [[bm25TopK]] and [[bm25Search]] all feed
+    * their (terms, df, N) through this one function. */
+  private def quantizedIdf(terms: Seq[String], dfMap: Map[String, Long],
+                           nDocs: Long, scaleBits: Int): Seq[(String, Long)] = {
+    val s = 1L << scaleBits
+    terms.map { t =>
+      val dfT = dfMap.getOrElse(t, 0L).toDouble
+      val idf = StrictMath.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5)) /
+        StrictMath.log(2.0)
+      (t, math.floor(s * idf).toLong)
+    }
+  }
+
+  /** The sorted distinct query vocabulary (driver-bounded by contract —
+    * `maxQueryTerms` rejects un-broadcastable query sets). */
+  private def queryVocab(queries: DataFrame, qtext: String,
+                         maxQueryTerms: Int): Seq[String] = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val terms = queries
       .select(explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
@@ -717,6 +732,16 @@ object TextAnalysis {
     require(terms.size <= maxQueryTerms,
       s"bm25: ${terms.size} distinct query terms exceed " +
         s"maxQueryTerms=$maxQueryTerms — batch the queries")
+    terms
+  }
+
+  def bm25Stats(df: DataFrame, id: String, text: String,
+                queries: DataFrame, qid: String, qtext: String,
+                scaleBits: Int = 12, maxQueryTerms: Int = 10000)
+      : (Seq[(String, Long)], Long, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = queryVocab(queries, qtext, maxQueryTerms)
     val toks = df.select(col(id).as("doc"),
       explode(tokens(lower(col(text)))).as("term"))
     val (tTot, nDocs) = toks.agg(count(lit(1)), countDistinct(col("doc")))
@@ -725,35 +750,54 @@ object TextAnalysis {
     val dfMap = toks.filter(col("term").isin(terms.map(lit): _*))
       .groupBy(col("term")).agg(countDistinct(col("doc")).as("df"))
       .as[(String, Long)].collect().toMap
-    val s = 1L << scaleBits
-    val idfRows = terms.map { t =>
-      val dfT = dfMap.getOrElse(t, 0L).toDouble
-      val idf = StrictMath.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5)) /
-        StrictMath.log(2.0)
-      (t, math.floor(s * idf).toLong)
-    }
-    (idfRows, tTot, nDocs)
+    (quantizedIdf(terms, dfMap, nDocs, scaleBits), tTot, nDocs)
   }
 
-  def bm25TopK(df: DataFrame, id: String, text: String,
-               queries: DataFrame, qid: String, qtext: String, k: Int,
-               scaleBits: Int = 12, maxQueryTerms: Int = 10000): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+  /** Shared heavy half of the from-text retrieval family: the persisted
+    * per-doc length table, the persisted query-vocabulary `(doc, term,
+    * tf)` table, and the derived corpus stats. TWO corpus tokenize
+    * passes, not four: both persists' recomputes cross a doc-keyed
+    * shuffle (the persist-pays rule), the corpus totals derive FROM the
+    * length table (tTot = Σdl, nDocs = number of dl rows — identical
+    * values to a direct count/countDistinct over the token stream), and
+    * the per-term df derives from the tf table's rows instead of a
+    * second filtered scan. */
+  private def bm25Core(df: DataFrame, id: String, text: String,
+                       queries: DataFrame, qtext: String,
+                       scaleBits: Int, maxQueryTerms: Int)
+      : (DataFrame, DataFrame, Long, Long, Seq[(String, Long)]) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (idfRows, tTot, nDocs) =
-      bm25Stats(df, id, text, queries, qid, qtext, scaleBits, maxQueryTerms)
-    val qt = queries.select(col(qid).as("q_id"),
-        explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val terms = queryVocab(queries, qtext, maxQueryTerms)
+    val toks = df.select(col(id).as("doc"),
+      explode(tokens(lower(col(text)))).as("term"))
+    val dld = Caches.track(
+      toks.groupBy(col("doc")).agg(count(lit(1)).as("dl")).persist())
+    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
+      .as[(Long, Long)].collect().head
+    require(tTot > 0, "bm25: corpus has no tokens")
     // postings restricted to the query vocabulary BEFORE aggregation —
     // the literal isin reaches the token scan, so everything downstream
     // is ∝ query postings, not corpus size
-    val toks = df.select(col(id).as("doc"),
-      explode(tokens(lower(col(text)))).as("term"))
-    val tdq = toks.filter(col("term").isin(idfRows.map(r => lit(r._1)): _*))
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-    val dld = toks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val tdq = Caches.track(
+      toks.filter(col("term").isin(terms.map(lit): _*))
+        .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist())
+    val dfMap = tdq.groupBy(col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .as[(String, Long)].collect().toMap
+    (tdq, dld, tTot, nDocs, quantizedIdf(terms, dfMap, nDocs, scaleBits))
+  }
+
+  /** The ranking half of [[bm25TopK]] over an already-built core. */
+  private def bm25Rank(tdq: DataFrame, dld: DataFrame, tTot: Long,
+                       nDocs: Long, idfRows: Seq[(String, Long)],
+                       queries: DataFrame, qid: String, qtext: String,
+                       k: Int, scaleBits: Int): DataFrame = {
+    val spark = tdq.sparkSession
+    import spark.implicits._
+    val qt = queries.select(col(qid).as("q_id"),
+        explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
     val s = 1L << scaleBits
     val qterms = qt.join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
     val norm = dld.withColumn("norm_q",
@@ -770,6 +814,43 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
         col("score_q"), col("n_terms"))
+  }
+
+  def bm25TopK(df: DataFrame, id: String, text: String,
+               queries: DataFrame, qid: String, qtext: String, k: Int,
+               scaleBits: Int = 12, maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val (tdq, dld, tTot, nDocs, idfRows) =
+      bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
+    bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid, qtext, k,
+      scaleBits)
+  }
+
+  /** Hybrid sparse retrieval in one call: BM25 and the coordination-level
+    * (term-overlap) ranking computed from ONE shared pair of persisted
+    * core tables, fused by [[rrfFuse]] — the composition
+    * `rrfFuse(bm25TopK, termOverlapTopK)` costs four-plus-one corpus
+    * tokenize passes; this costs two. The overlap ranking reads the
+    * query-vocabulary tf table's `(doc, term)` rows, which are exactly
+    * the distinct-presence relation [[termOverlapTopK]] builds (rows
+    * outside every query's vocabulary can never score), so the fused
+    * output is bit-identical to the composition. */
+  def hybridRrfTopK(df: DataFrame, id: String, text: String,
+                    queries: DataFrame, qid: String, qtext: String, k: Int,
+                    kRrf: Int = 60, scale: Long = 1000000L,
+                    scaleBits: Int = 12, maxQueryTerms: Int = 10000)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val (tdq, dld, tTot, nDocs, idfRows) =
+      bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
+    val bm25 = bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid,
+      qtext, k, scaleBits)
+    val overlap = termOverlapSearch(
+      tdq.select(col("doc"), col("term"), col("tf")), queries, qid,
+      qtext, k)
+    rrfFuse(Seq(bm25, overlap), k, kRrf, scale)
   }
 
   /** Persist the postings index BUCKETED BY TERM
@@ -797,13 +878,7 @@ object TextAnalysis {
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val spark = postings.sparkSession
     import spark.implicits._
-    val terms = queries
-      .select(explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
-      .distinct().orderBy(col("term")).as[String].collect().toSeq
-    require(terms.nonEmpty, "bm25: queries contain no terms")
-    require(terms.size <= maxQueryTerms,
-      s"bm25: ${terms.size} distinct query terms exceed " +
-        s"maxQueryTerms=$maxQueryTerms — batch the queries")
+    val terms = queryVocab(queries, qtext, maxQueryTerms)
     val (tTot, nDocs) = postings
       .agg(sum(col("tf")), countDistinct(col("doc")))
       .as[(Long, Long)].collect().head
@@ -814,13 +889,8 @@ object TextAnalysis {
     val dfMap = tdq.groupBy(col("term"))
       .agg(countDistinct(col("doc")).as("df"))
       .as[(String, Long)].collect().toMap
+    val idfRows = quantizedIdf(terms, dfMap, nDocs, scaleBits)
     val s = 1L << scaleBits
-    val idfRows = terms.map { t =>
-      val dfT = dfMap.getOrElse(t, 0L).toDouble
-      val idf = StrictMath.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5)) /
-        StrictMath.log(2.0)
-      (t, math.floor(s * idf).toLong)
-    }
     val qt = queries.select(col(qid).as("q_id"),
       explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
     val qterms = qt.join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
