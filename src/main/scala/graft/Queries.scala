@@ -5198,6 +5198,51 @@ object Queries {
                     CAST(10000 // sz.family_size AS BIGINT) AS weight_bp
              FROM cl JOIN sz USING (cluster)"""), bench = true)
 
+  /** kNN majority-vote classification (Similarity.knnClassify): each
+    * query's label predicted by its exact top-5 cosine neighbors — the
+    * semi-supervised label-extension / noisy-label-audit pass; winner =
+    * most votes, ties to the class with the closest neighbor, then the
+    * smallest label. Oracle: the q158 ranking chain + the vote/argmax
+    * window. */
+  private val q161 = QDef("q161_knn_classify",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.knnClassify(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            n AS (SELECT q_id, q_vec,
+                sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * q_vec[i]))) AS q_norm FROM q),
+            m AS (SELECT c_id, c_vec,
+                sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                  i -> CAST(c_vec[i] AS DOUBLE) * c_vec[i]))) AS c_norm FROM c),
+            sc AS (SELECT q_id, c_id,
+                list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * c_vec[i])) / (q_norm * c_norm)
+                  AS cos
+              FROM n, m WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc),
+            lab AS (SELECT vec_id, label FROM embeddings),
+            v AS (SELECT r.q_id, nl.label AS n_label,
+                    count(*) AS votes, min(r.rn) AS best_rank
+                  FROM r JOIN lab nl ON nl.vec_id = r.c_id
+                  WHERE r.rn <= 5 GROUP BY 1, 2),
+            w AS (SELECT q_id, n_label, votes, best_rank, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY votes DESC, best_rank, n_label) AS wr
+                  FROM v)
+            SELECT w.q_id, ql.label AS q_label,
+                   CAST(w.n_label AS BIGINT) AS pred_label,
+                   CAST(w.votes AS BIGINT) AS votes,
+                   CAST(w.best_rank AS BIGINT) AS best_rank,
+                   w.n_label = ql.label AS agree
+            FROM w JOIN lab ql ON ql.vec_id = w.q_id
+            WHERE w.wr = 1"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5210,7 +5255,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

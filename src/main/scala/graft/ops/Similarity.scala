@@ -1054,6 +1054,50 @@ object Similarity {
         coalesce(col("__n.neighbor_id"), lit(0L)).cast("long").as("neg_id"))
   }
 
+  /** kNN majority-vote classification — the semi-supervised labeling
+    * pass a curation pipeline runs to EXTEND a small labeled seed set
+    * over an unlabeled corpus (and, applied to already-labeled rows as
+    * here, the leave-one-out noisy-label audit: a row whose neighbors
+    * outvote its own label is a mislabeling candidate — the relabeling
+    * counterpart of the eval-only q111/q119/q158 stack).
+    *
+    * Per query: exact top-k cosine neighbors ([[cosineTopK]] — its
+    * `rank` is the tie-broken rank on UNROUNDED scores), one vote per
+    * neighbor label; winner = most votes, ties broken by the class
+    * holding the CLOSEST neighbor (min rank — joins on the emitted
+    * rank, never re-ranks rounded scores), then smallest label. All
+    * integers ⇒ engine-exact wherever the top-k set is.
+    *
+    * Shape: the q111 join discipline (top-k side BROADCAST against the
+    * corpus (id, label) relation, corpus streams unshuffled), one
+    * (query, label) vote groupBy (≤ |queries|·k rows), one min-struct
+    * argmax fold per query. Output: `(q_id, q_label, pred_label,
+    * votes, best_rank, agree)`. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, id: String,
+                  vec: String, label: String, k: Int): DataFrame = {
+    val ranked = cosineTopK(queries, corpus, id, vec, k)
+    val nLab = corpus.select(col(id).as("neighbor_id"),
+      col(label).cast("int").as("n_label"))
+    val qLab = queries.select(col(id).as("q_id"),
+      col(label).cast("int").as("q_label"))
+    val votes = nLab
+      .join(broadcast(ranked), Seq("neighbor_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    // deterministic argmax: min over (−votes, best_rank, label) — most
+    // votes first, closest class on a vote tie, smallest label last
+    votes
+      .groupBy(col("q_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("best_rank"),
+        col("n_label"))).as("__w"))
+      .join(broadcast(qLab), Seq("q_id"))
+      .select(col("q_id"), col("q_label"),
+        col("__w.n_label").cast("long").as("pred_label"),
+        (-col("__w.nv")).cast("long").as("votes"),
+        col("__w.best_rank").cast("long").as("best_rank"),
+        (col("__w.n_label") === col("q_label")).as("agree"))
+  }
+
   /** Train SQ8 scalar-quantization bounds: per-dimension (min, max) of
     * the floor-quantized corpus (`floor(v_j·2^scaleBits)`, the repo-wide
     * integer grid) — the trained artifact of the FAISS-style SQ8 index

@@ -475,6 +475,28 @@ class SimilaritySpec extends SparkSpec {
       s"pos_rank must equal first_rank: $out vs $fr")
   }
 
+  test("knnClassify: majority outvotes the nearest; vote ties go to the closest class") {
+    // the firstHitRank fixture, k = 3:
+    //  q1 (label 0): nearest neighbor is the label-1 infiltrator 7, but
+    //    label 0 holds 2 of 3 votes (ids 2, 3) — majority beats proximity
+    //  q4 (label 1): top-3 = {5 (label 1), 6 (label 2), 3 (label 0)},
+    //    one vote each — the class with the CLOSEST neighbor wins the tie
+    //  q6 (label 2, unique): neighbors can never vote its own label
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.01f), 0),
+      (3L, Seq(1.0f, 0.02f), 0), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.01f, 1.0f), 1), (6L, Seq(0.5f, 0.5f), 2),
+      (7L, Seq(1.0f, 0.005f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(df, df, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((0L, 2L, 2L, true)), s"got ${out(1L)}")
+    assert(out(4L) == ((1L, 1L, 1L, true)), s"got ${out(4L)}")
+    assert(!out(6L)._4, s"unique label predicted for q6: ${out(6L)}")
+    assert(out.size == 7)
+  }
+
   test("sq8Encode: hand-computed byte codes, exact reconstruction error") {
     // quantized grid: (0,0) → (0,0); (1,-1) → (4096,-4096);
     // (0.5,0.25) → (2048,1024). Bounds: dim1 [0,4096] range 4096,
