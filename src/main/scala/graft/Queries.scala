@@ -5243,6 +5243,57 @@ object Queries {
             FROM w JOIN lab ql ON ql.vec_id = w.q_id
             WHERE w.wr = 1"""), bench = true)
 
+  /** Declarative data-quality constraint suite (Curation.checkConstraints,
+    * the Deequ-style pre-publish validation): all row-local checks fuse
+    * into ONE corpus aggregate, uniqueness is one groupBy rollup, the
+    * foreign key one left join folded straight into counts. The
+    * in_range(l_linenumber,1,4) rule is deliberately violated by TPC-H
+    * data (linenumber runs to 7) so the suite exercises a failing row. */
+  private val q162 = QDef("q162_check_constraints",
+    (s, d) => Curation.checkConstraints(table(s, d, "lineitem"), Seq(
+      Curation.NotNull("l_quantity"),
+      Curation.InRange("l_quantity", 1, 50),
+      Curation.InRange("l_linenumber", 1, 4),
+      Curation.AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+      Curation.UniqueKey(Seq("l_orderkey", "l_linenumber")),
+      Curation.ForeignKey("l_orderkey", "orders", table(s, d, "orders"),
+        "o_orderkey"))),
+    Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+                       FROM lineitem),
+            u AS (
+              SELECT 'not_null(l_quantity)' AS rule, t.n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                      WHERE l_quantity IS NULL) AS n_violations FROM t
+              UNION ALL
+              SELECT 'in_range(l_quantity,1,50)', t.n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND (l_quantity < 1 OR l_quantity > 50)) FROM t
+              UNION ALL
+              SELECT 'in_range(l_linenumber,1,4)', t.n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                      WHERE l_linenumber IS NOT NULL
+                        AND (l_linenumber < 1 OR l_linenumber > 4)) FROM t
+              UNION ALL
+              SELECT 'accepted_values(l_returnflag)', t.n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                      WHERE l_returnflag IS NOT NULL
+                        AND l_returnflag NOT IN ('A', 'N', 'R')) FROM t
+              UNION ALL
+              SELECT 'unique(l_orderkey+l_linenumber)', t.n_rows,
+                     t.n_rows - (SELECT CAST(count(*) AS BIGINT) FROM
+                       (SELECT DISTINCT l_orderkey, l_linenumber
+                        FROM lineitem)) FROM t
+              UNION ALL
+              SELECT 'fk(l_orderkey->orders.o_orderkey)', t.n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                      WHERE l.l_orderkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) FROM t)
+            SELECT rule, n_rows, n_violations,
+                   n_violations = 0 AS pass
+            FROM u"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5255,7 +5306,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -667,4 +667,95 @@ object Curation {
       .select(col("bucket"), col("n_a"), col("n_b"),
         (col("n_a") * col("__tb") - col("n_b") * col("__ta")).as("dev"))
   }
+
+  /** Declarative data-quality constraints (the Deequ-style validation
+    * suite a 100 TB ingest runs before publishing a snapshot). Nulls are
+    * judged ONLY by [[NotNull]]: [[InRange]]/[[AcceptedValues]] skip null
+    * values (separation of concerns — a null is a completeness defect,
+    * not a domain defect), and a null foreign key is not an orphan. */
+  sealed trait Constraint
+  /** `column` must never be null. */
+  final case class NotNull(column: String) extends Constraint
+  /** Non-null `column` values must lie in `[lo, hi]` (inclusive). */
+  final case class InRange(column: String, lo: Long, hi: Long)
+      extends Constraint
+  /** Non-null `column` values must be one of `values`. */
+  final case class AcceptedValues(column: String, values: Seq[String])
+      extends Constraint
+  /** The `columns` tuple must be unique; violations = excess rows
+    * (`n_rows − n_distinct_tuples`, null-keyed rows grouped like any
+    * other value). */
+  final case class UniqueKey(columns: Seq[String]) extends Constraint
+  /** Every non-null `column` value must exist in `ref.refColumn`
+    * (`refName` only labels the output row). */
+  final case class ForeignKey(column: String, refName: String,
+                              ref: DataFrame, refColumn: String)
+      extends Constraint
+
+  /** Evaluate a constraint suite in as few passes as the constraint mix
+    * allows: ALL row-local checks ([[NotNull]]/[[InRange]]/
+    * [[AcceptedValues]]) fuse into ONE map-side-combinable aggregate
+    * over the table (a 50-constraint suite still scans once), unstacked
+    * to one output row per constraint by a projection; each
+    * [[UniqueKey]] is one groupBy whose rollup yields both the row total
+    * (Σ group counts) and the excess (Σ (count−1)); each [[ForeignKey]]
+    * is one LEFT join against the distinct reference keys folded
+    * directly into a count — no orphan row set ever materializes.
+    * Output: `(rule, n_rows, n_violations, pass)`, one row per
+    * constraint. */
+  def checkConstraints(df: DataFrame, constraints: Seq[Constraint])
+      : DataFrame = {
+    require(constraints.nonEmpty, "checkConstraints: empty suite")
+    val rowLocal: Seq[(String, Column)] = constraints.collect {
+      case NotNull(c) => (s"not_null($c)", col(c).isNull)
+      case InRange(c, lo, hi) =>
+        require(lo <= hi, s"in_range($c): lo $lo > hi $hi")
+        (s"in_range($c,$lo,$hi)",
+          col(c).isNotNull && (col(c) < lit(lo) || col(c) > lit(hi)))
+      case AcceptedValues(c, vs) =>
+        require(vs.nonEmpty, s"accepted_values($c): empty value list")
+        (s"accepted_values($c)",
+          col(c).isNotNull && !col(c).isin(vs.map(lit): _*))
+    }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (rowLocal.nonEmpty) {
+      val aggs = count(lit(1)).cast("long").as("__n") +:
+        rowLocal.zipWithIndex.map { case ((_, bad), i) =>
+          sum(when(bad, lit(1L)).otherwise(lit(0L))).as(s"__v$i")
+        }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = rowLocal.zipWithIndex
+        .map { case ((lbl, _), i) => s"'$lbl', coalesce(__v$i, 0L)" }
+        .mkString(", ")
+      parts += one.select(
+        expr(s"stack(${rowLocal.size}, $stacked) as (rule, n_violations)"),
+        col("__n").as("n_rows"))
+        .select(col("rule"), col("n_rows"), col("n_violations"))
+    }
+    constraints.foreach {
+      case UniqueKey(cols) =>
+        require(cols.nonEmpty, "unique: empty column list")
+        val lbl = s"unique(${cols.mkString("+")})"
+        parts += df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+            coalesce(sum(col("__c") - 1), lit(0L)).as("n_violations"))
+          .select(lit(lbl).as("rule"), col("n_rows"),
+            col("n_violations"))
+      case ForeignKey(c, refName, ref, refCol) =>
+        val lbl = s"fk($c->$refName.$refCol)"
+        val keys = ref.select(col(refCol).as("__r")).distinct()
+          .withColumn("__hit", lit(1))
+        parts += df.select(col(c).as("__f"))
+          .join(keys, col("__f") === col("__r"), "left")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            coalesce(sum(when(col("__f").isNotNull && col("__hit").isNull,
+              lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_violations"))
+          .select(lit(lbl).as("rule"), col("n_rows"),
+            col("n_violations"))
+      case _ => ()
+    }
+    parts.reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }

@@ -437,4 +437,44 @@ class CurationSpec extends SparkSpec {
       .select("id", "bucket").as[(Long, Int)].collect().toSet
     assert(applied == Set((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 0)))
   }
+
+  test("checkConstraints: fused row-local counts, unique excess, FK orphans") {
+    // one planted violation per rule: row 2 null v + bad flag, row 3 out
+    // of range, rows 1/2 share key 10, row 4's key 12 has no ref match,
+    // row 5's null key is neither an orphan nor exempt from uniqueness
+    val t = Seq(
+      (1L, Option(5L), "A", Option(10L)),
+      (2L, Option.empty[Long], "X", Option(10L)),
+      (3L, Option(99L), "A", Option(11L)),
+      (4L, Option(7L), "B", Option(12L)),
+      (5L, Option(6L), "A", Option.empty[Long]))
+      .toDF("id", "v", "flag", "k")
+    val ref = Seq(10L, 11L).toDF("r")
+    val out = Curation.checkConstraints(t, Seq(
+        Curation.NotNull("v"),
+        Curation.InRange("v", 1, 50),
+        Curation.InRange("id", 1, 100),
+        Curation.AcceptedValues("flag", Seq("A", "B")),
+        Curation.UniqueKey(Seq("k")),
+        Curation.ForeignKey("k", "ref", ref, "r")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("not_null(v)") == ((5L, 1L, false)))
+    // null v is judged by not_null only — in_range skips it
+    assert(out("in_range(v,1,50)") == ((5L, 1L, false)))
+    assert(out("in_range(id,1,100)") == ((5L, 0L, true)))
+    assert(out("accepted_values(flag)") == ((5L, 1L, false)))
+    // keys {10, 10, 11, 12, null} → 4 distinct tuples → 1 excess row
+    assert(out("unique(k)") == ((5L, 1L, false)))
+    // k = 12 is the only orphan; the null key is not one
+    assert(out("fk(k->ref.r)") == ((5L, 1L, false)))
+    assert(out.size == 6)
+    // the empty table passes every rule with zeroed exact counts
+    val empty = Curation.checkConstraints(t.filter(t("id") < 0L), Seq(
+        Curation.NotNull("v"), Curation.UniqueKey(Seq("k")),
+        Curation.ForeignKey("k", "ref", ref, "r")))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(empty.length == 3 &&
+      empty.forall(r => r._2 == 0L && r._3 == 0L && r._4))
+  }
 }
