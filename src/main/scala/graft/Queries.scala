@@ -5294,6 +5294,36 @@ object Queries {
                    n_violations = 0 AS pass
             FROM u"""), bench = true)
 
+  /** Mutual-kNN pair mining (Similarity.mutualKnnPairs): (a, b) kept iff
+    * each is in the other's exact top-5 — the precision filter behind
+    * bitext/pair harvesting; margin = the RRF arithmetic over the two
+    * directions' ranks. Oracle: the q158 ranking chain self-joined on
+    * the emitted ranks. */
+  private val q163 = QDef("q163_mutual_knn",
+    (s, d) => Similarity.mutualKnnPairs(emb(s, d), "vec_id", "embedding",
+      k = 5),
+    Some("""WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+            n AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> CAST(v[i] AS DOUBLE) * v[i]))) AS nrm FROM c),
+            sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> CAST(a.v[i] AS DOUBLE) * b.v[i])) / (a.nrm * b.nrm)
+                  AS cos
+              FROM n a, n b WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc
+              QUALIFY rn <= 5),
+            f AS (SELECT q_id AS a_id, c_id AS b_id, rn AS rank_ab FROM r),
+            bk AS (SELECT c_id AS a_id, q_id AS b_id, rn AS rank_ba FROM r)
+            SELECT f.a_id, f.b_id, CAST(f.rank_ab AS BIGINT) AS rank_ab,
+                   CAST(bk.rank_ba AS BIGINT) AS rank_ba,
+                   CAST(1000000 // (60 + f.rank_ab) +
+                        1000000 // (60 + bk.rank_ba) AS BIGINT)
+                     AS margin_x1000
+            FROM f JOIN bk ON f.a_id = bk.a_id AND f.b_id = bk.b_id
+            WHERE f.a_id < f.b_id"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5306,7 +5336,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

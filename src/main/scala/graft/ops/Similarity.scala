@@ -1098,6 +1098,41 @@ object Similarity {
         (col("__w.n_label") === col("q_label")).as("agree"))
   }
 
+  /** Mutual k-nearest-neighbor pair mining — the high-precision
+    * candidate filter behind parallel-pair construction (LASER/CCMatrix
+    * bitext mining, duplicate-entity resolution, anchor-positive pair
+    * harvesting): emit `(a, b)` iff b is in a's exact top-k AND a is in
+    * b's (mutuality is the classic precision filter — a hub vector that
+    * merely sits near everything fails the reverse test). Rank-based
+    * and integer-exact: the pair relation joins the emitted ranks of
+    * ONE shared top-k table (never re-ranks rounded scores — the r7
+    * lesson), so the output is engine-exact wherever the top-k sets
+    * are. `margin_x1000 = floor(10⁶/(60+rank_ab)) + floor(10⁶/(60+
+    * rank_ba))` ranks pairs by mutual prominence on the int64 grid (the
+    * RRF arithmetic applied to the two directions).
+    *
+    * Shape: one [[cosineTopK]] over the set (the n·k ranking), then a
+    * self-join of that |n|·k-row narrow table on (a, b) — never a
+    * second corpus pass; `a < b` dedups the symmetric pair. Output:
+    * `(a_id, b_id, rank_ab, rank_ba, margin_x1000)`. */
+  def mutualKnnPairs(df: DataFrame, id: String, vec: String, k: Int,
+                     maxBroadcastQueries: Long = 500000L): DataFrame = {
+    val ranked = Caches.track(
+      cosineTopK(df, df, id, vec, k, maxBroadcastQueries).persist())
+    val fwd = ranked.select(col("q_id").as("a_id"),
+      col("neighbor_id").as("b_id"), col("rank").as("rank_ab"))
+    val bwd = ranked.select(col("neighbor_id").as("a_id"),
+      col("q_id").as("b_id"), col("rank").as("rank_ba"))
+    fwd.join(bwd, Seq("a_id", "b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        col("rank_ab").cast("long").as("rank_ab"),
+        col("rank_ba").cast("long").as("rank_ba"),
+        (expr("1000000 div (60 + cast(rank_ab as bigint))") +
+          expr("1000000 div (60 + cast(rank_ba as bigint))"))
+          .as("margin_x1000"))
+  }
+
   /** Train SQ8 scalar-quantization bounds: per-dimension (min, max) of
     * the floor-quantized corpus (`floor(v_j·2^scaleBits)`, the repo-wide
     * integer grid) — the trained artifact of the FAISS-style SQ8 index

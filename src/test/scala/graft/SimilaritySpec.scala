@@ -497,6 +497,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("mutualKnnPairs: mutuality filters hub asymmetry; RRF margin arithmetic") {
+    // 1↔2 are each other's NN; 4 sits between the (1,2) cluster and 3.
+    // k = 2 top-2 sets: 1→{2,4}, 2→{1,4}, 3→{4,2}, 4→{2,1}.
+    // Mutual pairs: (1,2) ranks (1,1); (1,4) ranks (2,2); (2,4) ranks
+    // (2,1). 3→4 is NOT mutual (4's top-2 excludes 3) — the hub case.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.9f, 0.44f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mutualKnnPairs(df, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, 1L, 16393L + 16393L),
+      (1L, 4L, 2L, 2L, 16129L + 16129L),
+      (2L, 4L, 2L, 1L, 16129L + 16393L)), s"got $out")
+  }
+
   test("sq8Encode: hand-computed byte codes, exact reconstruction error") {
     // quantized grid: (0,0) → (0,0); (1,-1) → (4096,-4096);
     // (0.5,0.25) → (2048,1024). Bounds: dim1 [0,4096] range 4096,
