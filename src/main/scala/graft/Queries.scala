@@ -5324,6 +5324,32 @@ object Queries {
             FROM f JOIN bk ON f.a_id = bk.a_id AND f.b_id = bk.b_id
             WHERE f.a_id < f.b_id"""), bench = true)
 
+  /** Tokenizer fertility panel (TextAnalysis.tokenizerFertility): per
+    * language, subwords-per-word and chars-per-subword on the exact
+    * int64 grid — the sequence-length-cost panel a multilingual
+    * tokenizer/vocabulary discussion reads first. */
+  private val q164 = QDef("q164_tokenizer_fertility",
+    (s, d) => TextAnalysis.tokenizerFertility(docs(s, d), "text", "lang"),
+    Some("""WITH per AS (SELECT lang, length(text) AS nc,
+                len(list_filter(regexp_split_to_array(text, '\s+'),
+                  x -> x <> '')) AS nw,
+                len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS ns
+              FROM documents),
+            agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(sum(nw) AS BIGINT) AS n_words,
+                CAST(sum(ns) AS BIGINT) AS n_subwords
+              FROM per GROUP BY 1)
+            SELECT lang, n_docs, n_chars, n_words, n_subwords,
+                   CAST(CASE WHEN n_words > 0
+                     THEN (1000 * n_subwords) // n_words
+                     ELSE 0 END AS BIGINT) AS fertility_x1000,
+                   CAST(CASE WHEN n_subwords > 0
+                     THEN (1000 * n_chars) // n_subwords
+                     ELSE 0 END AS BIGINT) AS chars_per_subword_x1000
+            FROM agg"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5336,7 +5362,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

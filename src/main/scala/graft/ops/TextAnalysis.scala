@@ -1014,6 +1014,31 @@ object TextAnalysis {
     * like reference text", the first panel a mixture discussion reads.
     * One broadcast dictionary join + ONE map-side-combinable stratum
     * groupBy. */
+  /** Tokenizer fertility / compression panel — per stratum (language or
+    * source), the numbers a tokenizer-vocabulary discussion starts from:
+    * doc/char/word/subword totals, `fertility_x1000 = (10³·subwords)
+    * div words` (subwords per word — the fertility metric multilingual
+    * tokenizer papers report; a language far above the corpus mean pays
+    * proportionally more sequence length per sentence) and
+    * `chars_per_subword_x1000` (the compression rate). Subword counts
+    * use the deterministic [[bpeishTokenCount]] segmentation; all
+    * ratios are exact int64 floor divisions. ONE row-local-counts
+    * groupBy, map-side combinable, output bounded by the stratum
+    * inventory. */
+  def tokenizerFertility(df: DataFrame, text: String, stratum: String)
+      : DataFrame =
+    df.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(text)).cast("long")).as("n_chars"),
+        sum(tokenCount(col(text)).cast("long")).as("n_words"),
+        sum(bpeishTokenCount(col(text)).cast("long")).as("n_subwords"))
+      .withColumn("fertility_x1000",
+        when(col("n_words") > 0,
+          expr("(1000 * n_subwords) div n_words")).otherwise(lit(0L)))
+      .withColumn("chars_per_subword_x1000",
+        when(col("n_subwords") > 0,
+          expr("(1000 * n_chars) div n_subwords")).otherwise(lit(0L)))
+
   def lmSourceReport(df: DataFrame, id: String, text: String,
                      source: String, costs: Seq[(String, String, Long)],
                      oovCost: Long): DataFrame =
