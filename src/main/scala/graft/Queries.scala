@@ -5350,6 +5350,33 @@ object Queries {
                      ELSE 0 END AS BIGINT) AS chars_per_subword_x1000
             FROM agg"""), bench = true)
 
+  /** Mergeable log-histogram quantile sketch (Sampling.logHistogram):
+    * per-language dyadic-bucket histogram of n_chars — the fixed-size
+    * quantile sketch for unbounded value domains (exact below 16,
+    * ≤ 12.5 % relative error above at subBits = 3); per-shard
+    * histograms SUM to the global one. Oracle: the same bin()-length
+    * msb arithmetic both engines compute bit-identically (the q134
+    * idiom). */
+  private val q165 = QDef("q165_log_histogram",
+    (s, d) => Sampling.logHistogram(docs(s, d), "lang", "n_chars"),
+    Some("""WITH m AS (SELECT lang,
+                CASE WHEN n_chars < 0 THEN -1
+                     ELSE greatest(0, length(bin(n_chars)) - 1 - 3) * 8
+                          + (n_chars >> CAST(greatest(0,
+                              length(bin(n_chars)) - 1 - 3) AS INT))
+                END AS bucket
+              FROM documents),
+            g AS (SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM m GROUP BY 1, 2)
+            SELECT lang, bucket, n,
+                   CAST(CASE WHEN bucket < 0 THEN -1
+                     ELSE (bucket - greatest(0, bucket // 8 - 1) * 8)
+                          * (CAST(1 AS BIGINT) << CAST(greatest(0,
+                              bucket // 8 - 1) AS INT))
+                   END AS BIGINT) AS lo
+            FROM g"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5362,7 +5389,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -558,4 +558,80 @@ object Sampling {
         col(id).as("neg_id")), Seq("batch", "nrnk"))
       .select(col("anchor_id"), col("j"), col("neg_id"))
   }
+
+  /** Mergeable log-histogram quantile sketch (the HDR-histogram /
+    * DDSketch idea on the dyadic grid): non-negative int64 values map
+    * row-locally to `bucket = shift·2^subBits + (v >> shift)` with
+    * `shift = max(0, floor(log2 v) − subBits)` — exact below
+    * `2^(subBits+1)`, relative error ≤ `2^−subBits` above, O(subBits·64)
+    * buckets TOTAL regardless of the value range. The fourth sketch in
+    * the algebra (KMV distinct, CMS frequency, HLL union): buckets are a
+    * pure row function, so per-shard histograms SUM to the global one
+    * bit-for-bit ([[logHistMerge]], the q144 property) — 100 TB keeps
+    * per-shard quantile sketches and merges, never re-scans. Negative
+    * values land in diagnostic bucket −1 (lo −1) rather than vanishing.
+    * `lo` = the bucket's smallest member, the value [[logHistQuantile]]
+    * reports. The deterministic bounded-size complement of the EXACT
+    * histogram-quantile ops (q71's bounds are exact but ∝ the value
+    * inventory; this is fixed-size for unbounded domains). */
+  def logHistogram(df: DataFrame, group: String, value: String,
+                   subBits: Int = 3): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, s"bad subBits: $subBits")
+    val sb = 1L << subBits
+    val v = col(value).cast("long")
+    val shift = greatest(lit(0L),
+      (length(bin(v)) - 1 - subBits).cast("long"))
+    val bucket = when(v < 0, lit(-1L))
+      .otherwise(shift * sb + expr(s"shiftright(cast($value as bigint), " +
+        s"cast(greatest(0, length(bin(cast($value as bigint))) - 1 - " +
+        s"$subBits) as int))"))
+    df.select(col(group), bucket.as("bucket"))
+      .groupBy(col(group), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", logHistLoCol(col("bucket"), subBits))
+  }
+
+  /** Lower bound of a bucket as a column expression (shared by the
+    * sketch builder and the merge so both emit the same `lo`). */
+  private def logHistLoCol(b: Column, subBits: Int): Column = {
+    val sb = 1L << subBits
+    val shift = greatest(lit(0L), (b / sb).cast("long") - 1)
+    when(b < 0, lit(-1L))
+      .otherwise((b - shift * sb) * pow(lit(2.0), shift).cast("long"))
+  }
+
+  /** Union per-shard log-histograms to any coarser grouping — counts
+    * ADD (bucket is a pure row function of the value, so merge ≡
+    * sketching the union directly, bit for bit). */
+  def logHistMerge(hists: DataFrame, keep: Seq[String],
+                   subBits: Int = 3): DataFrame =
+    hists.groupBy((keep :+ "bucket").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+      .withColumn("lo", logHistLoCol(col("bucket"), subBits))
+
+  /** Driver-side bucket lower bound (the value a quantile reports). */
+  def logHistBucketLo(bucket: Long, subBits: Int = 3): Long = {
+    if (bucket < 0) return -1L
+    val sb = 1L << subBits
+    val shift = math.max(0L, bucket / sb - 1)
+    (bucket - shift * sb) << shift
+  }
+
+  /** Driver-side quantile estimate from a collected histogram: the `lo`
+    * of the bucket containing rank `ceil(qBp·N/10⁴)` (qBp in basis
+    * points, 5000 = median). Deterministic: buckets walk in ascending
+    * order, integer rank arithmetic. */
+  def logHistQuantile(hist: Seq[(Long, Long)], qBp: Long,
+                      subBits: Int = 3): Long = {
+    require(qBp >= 0 && qBp <= 10000, s"bad quantile bp: $qBp")
+    require(hist.nonEmpty && hist.forall(_._2 > 0), "empty/invalid hist")
+    val total = hist.map(_._2).sum
+    val rank = math.max(1L, (qBp * total + 9999L) / 10000L)
+    var cum = 0L
+    for ((b, n) <- hist.sortBy(_._1)) {
+      cum += n
+      if (cum >= rank) return logHistBucketLo(b, subBits)
+    }
+    logHistBucketLo(hist.map(_._1).max, subBits)
+  }
 }

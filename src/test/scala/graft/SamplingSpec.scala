@@ -509,4 +509,36 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSet
     assert(kept == orig)
   }
+
+  test("logHistogram: hand bucket/lo table incl. octave boundaries and negatives") {
+    // subBits = 3: exact below 16; v=16/17 share bucket 16 (lo 16),
+    // 31 → 23 (lo 30), 32 → 24 (lo 32), 255 → 47 (lo 240); −3 → −1
+    val df = Seq(0L, 5L, 15L, 16L, 17L, 31L, 32L, 255L, -3L)
+      .map(("g", _)).toDF("g", "v")
+    val out = Sampling.logHistogram(df, "g", "v")
+      .select("bucket", "n", "lo").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L, 0L), (5L, 1L, 5L), (15L, 1L, 15L),
+      (16L, 2L, 16L), (23L, 1L, 30L), (24L, 1L, 32L), (47L, 1L, 240L),
+      (-1L, 1L, -1L)), s"got $out")
+    out.foreach { case (b, _, lo) =>
+      assert(lo == Sampling.logHistBucketLo(b), s"lo mismatch at $b")
+    }
+  }
+
+  test("logHistogram: per-shard sketches merge to the direct global, bit for bit") {
+    val vals = (0L until 200L).map(i => (s"s${i % 3}", i * i % 4093))
+    val df = vals.toDF("shard", "v")
+    val direct = df.withColumn("g", lit("all"))
+    val global = Sampling.logHistogram(direct, "g", "v")
+      .select("bucket", "n", "lo").as[(Long, Long, Long)].collect().toSet
+    val merged = Sampling.logHistMerge(
+        Sampling.logHistogram(df, "shard", "v"), keep = Seq())
+      .select("bucket", "n", "lo").as[(Long, Long, Long)].collect().toSet
+    assert(merged == global)
+    // driver-side quantile walk: rank arithmetic + bucket lower bounds
+    val hist = Seq((5L, 1L), (16L, 2L), (24L, 1L))
+    assert(Sampling.logHistQuantile(hist, 0) == 5L)
+    assert(Sampling.logHistQuantile(hist, 5000) == 16L)
+    assert(Sampling.logHistQuantile(hist, 10000) == 32L)
+  }
 }
