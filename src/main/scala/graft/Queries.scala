@@ -5377,6 +5377,87 @@ object Queries {
                    END AS BIGINT) AS lo
             FROM g"""), bench = true)
 
+  /** Graph centrality over the mutual-kNN graph (Dedup.pairGraphRank ∘
+    * Similarity.mutualKnnPairs): damped PageRank with α = 17/20 as an
+    * exact rational on the int64 grid — prototypicality weights for
+    * coreset selection. Oracle: q163's pair chain + three unrolled
+    * integer iterations. */
+  private val q166 = QDef("q166_graph_rank",
+    (s, d) => Dedup.pairGraphRank(
+      Similarity.mutualKnnPairs(emb(s, d), "vec_id", "embedding", k = 5)
+        .select(col("a_id"), col("b_id")), iters = 3),
+    Some("""WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+            n AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> CAST(v[i] AS DOUBLE) * v[i]))) AS nrm FROM c),
+            sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> CAST(a.v[i] AS DOUBLE) * b.v[i])) / (a.nrm * b.nrm)
+                  AS cos
+              FROM n a, n b WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc
+              QUALIFY rn <= 5),
+            f AS (SELECT q_id AS a_id, c_id AS b_id, rn FROM r),
+            bk AS (SELECT c_id AS a_id, q_id AS b_id, rn FROM r),
+            mut AS (SELECT f.a_id, f.b_id
+                    FROM f JOIN bk ON f.a_id = bk.a_id AND f.b_id = bk.b_id
+                    WHERE f.a_id < f.b_id),
+            e AS (SELECT a_id AS src, b_id AS dst FROM mut
+                  UNION ALL SELECT b_id, a_id FROM mut),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                    FROM e GROUP BY 1),
+            r0 AS (SELECT DISTINCT src AS node,
+                     CAST(1048576 AS BIGINT) AS r FROM e),
+            r1 AS (SELECT e.dst AS node,
+                     CAST((3 * 1048576 + 17 * sum(r0.r // deg.d)) // 20
+                       AS BIGINT) AS r
+                   FROM e JOIN r0 ON r0.node = e.src
+                        JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS node,
+                     CAST((3 * 1048576 + 17 * sum(r1.r // deg.d)) // 20
+                       AS BIGINT) AS r
+                   FROM e JOIN r1 ON r1.node = e.src
+                        JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS node,
+                     CAST((3 * 1048576 + 17 * sum(r2.r // deg.d)) // 20
+                       AS BIGINT) AS r
+                   FROM e JOIN r2 ON r2.node = e.src
+                        JOIN deg ON deg.src = e.src GROUP BY e.dst)
+            SELECT r3.node, deg.d AS degree, r3.r AS rank_q
+            FROM r3 JOIN deg ON deg.src = r3.node"""), bench = true)
+
+  /** Markup stripping (TextAnalysis.stripMarkup): both engines wrap each
+    * document in the same deterministic tag/entity/comment scaffolding,
+    * then the full strip chain (comment-first, entity decode with &amp;
+    * last, whitespace collapse) must reproduce identical clean text and
+    * tag counts. */
+  private val q167 = QDef("q167_strip_markup",
+    (s, d) => TextAnalysis.stripMarkup(
+      docs(s, d).select(col("doc_id"),
+        concat(lit("<p class=\"x\">"), col("text"),
+          lit("</p> &amp; <!-- note -->tail")).as("dirty")),
+      "doc_id", "dirty"),
+    Some("""WITH d AS (SELECT doc_id,
+                '<p class="x">' || text || '</p> &amp; <!-- note -->tail'
+                  AS dirty
+              FROM documents),
+            s1 AS (SELECT doc_id, dirty,
+                regexp_replace(dirty, '(?s)<!--.*?-->', ' ', 'g') AS a
+              FROM d),
+            s2 AS (SELECT doc_id, dirty,
+                regexp_replace(a, '<[^>]*>', ' ', 'g') AS b FROM s1),
+            s3 AS (SELECT doc_id, dirty,
+                replace(replace(replace(replace(replace(replace(b,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS c
+              FROM s2)
+            SELECT doc_id,
+                   trim(regexp_replace(c, '\s+', ' ', 'g')) AS clean_text,
+                   CAST(len(regexp_extract_all(dirty, '<[^>]*>')) AS INT)
+                     AS n_tags
+            FROM s3"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5389,7 +5470,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

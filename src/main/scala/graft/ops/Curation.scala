@@ -703,20 +703,27 @@ object Curation {
     * directly into a count — no orphan row set ever materializes.
     * Output: `(rule, n_rows, n_violations, pass)`, one row per
     * constraint. */
+  /** The row-local subset of a suite as (label, violation-predicate)
+    * pairs — shared by [[checkConstraints]] and the streaming monitor
+    * ([[graft.streaming.StatefulOps.streamingConstraintCheck]]) so both
+    * judge rows with literally the same expressions. */
+  private[graft] def rowRules(constraints: Seq[Constraint])
+      : Seq[(String, Column)] = constraints.collect {
+    case NotNull(c) => (s"not_null($c)", col(c).isNull)
+    case InRange(c, lo, hi) =>
+      require(lo <= hi, s"in_range($c): lo $lo > hi $hi")
+      (s"in_range($c,$lo,$hi)",
+        col(c).isNotNull && (col(c) < lit(lo) || col(c) > lit(hi)))
+    case AcceptedValues(c, vs) =>
+      require(vs.nonEmpty, s"accepted_values($c): empty value list")
+      (s"accepted_values($c)",
+        col(c).isNotNull && !col(c).isin(vs.map(lit): _*))
+  }
+
   def checkConstraints(df: DataFrame, constraints: Seq[Constraint])
       : DataFrame = {
     require(constraints.nonEmpty, "checkConstraints: empty suite")
-    val rowLocal: Seq[(String, Column)] = constraints.collect {
-      case NotNull(c) => (s"not_null($c)", col(c).isNull)
-      case InRange(c, lo, hi) =>
-        require(lo <= hi, s"in_range($c): lo $lo > hi $hi")
-        (s"in_range($c,$lo,$hi)",
-          col(c).isNotNull && (col(c) < lit(lo) || col(c) > lit(hi)))
-      case AcceptedValues(c, vs) =>
-        require(vs.nonEmpty, s"accepted_values($c): empty value list")
-        (s"accepted_values($c)",
-          col(c).isNotNull && !col(c).isin(vs.map(lit): _*))
-    }
+    val rowLocal: Seq[(String, Column)] = rowRules(constraints)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (rowLocal.nonEmpty) {
       val aggs = count(lit(1)).cast("long").as("__n") +:

@@ -1062,4 +1062,43 @@ object Dedup {
     val withSim = Caches.track(simHashTable(df, id, text).persist())
     hammingPairs(withSim, "doc", "sim", SimHashBits, maxDist)
   }
+
+  /** Deterministic integer PageRank over ANY undirected pair graph
+    * (near-dup pairs, mutual-kNN pairs, shared-span pairs — the same
+    * fingerprint-agnostic posture as [[dedupClusters]]): the
+    * graph-centrality weight a curation pass uses to pick PROTOTYPICAL
+    * members (coreset selection — high rank = densely endorsed by its
+    * neighborhood) or to flag spam hubs (a node whose rank dwarfs its
+    * family's). Classic damped iteration, kept engine-exact on the
+    * int64 grid: `r₀ = 2²⁰`, `r_{k+1}(v) = (3·2²⁰ + 17·Σ_{u~v}
+    * floor(r_k(u) div deg(u))) div 20` — α = 17/20 as an exact
+    * rational, every step a floor division, so `iters` rounds produce
+    * the same integers in any engine (no float accumulation to
+    * disagree about).
+    *
+    * Shape: the iteration runs on the PAIR GRAPH only (the
+    * dedupClusters discipline — never the corpus): one degree groupBy,
+    * then per round one edge⋈rank equi-join + one dst groupBy, lineage
+    * truncated by the persisted edge table. Isolated nodes (no pairs)
+    * are absent — their rank is the base by definition. Output:
+    * `(node, degree, rank_q)` with rank_q/2²⁰ the centrality. */
+  def pairGraphRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"bad iters: $iters")
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edgesDeg = Caches.track(edges.join(deg, Seq("src")).persist())
+    var r = edgesDeg.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1048576L))
+    for (_ <- 1 to iters) {
+      r = edgesDeg.join(r, col("src") === col("node"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr("(3 * 1048576 + 17 * s) div 20").as("r"))
+    }
+    r.join(deg.select(col("src").as("node"), col("d")), Seq("node"))
+      .select(col("node"), col("d").cast("long").as("degree"),
+        col("r").as("rank_q"))
+  }
 }

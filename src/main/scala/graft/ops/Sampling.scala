@@ -574,26 +574,30 @@ object Sampling {
     * reports. The deterministic bounded-size complement of the EXACT
     * histogram-quantile ops (q71's bounds are exact but ∝ the value
     * inventory; this is fixed-size for unbounded domains). */
-  def logHistogram(df: DataFrame, group: String, value: String,
-                   subBits: Int = 3): DataFrame = {
+  /** The row-local bucket mapping (shared by the batch sketch and the
+    * streaming form so both bucket bit-identically). */
+  private[graft] def logBucketCol(value: String, subBits: Int): Column = {
     require(subBits >= 1 && subBits <= 8, s"bad subBits: $subBits")
     val sb = 1L << subBits
     val v = col(value).cast("long")
     val shift = greatest(lit(0L),
       (length(bin(v)) - 1 - subBits).cast("long"))
-    val bucket = when(v < 0, lit(-1L))
+    when(v < 0, lit(-1L))
       .otherwise(shift * sb + expr(s"shiftright(cast($value as bigint), " +
         s"cast(greatest(0, length(bin(cast($value as bigint))) - 1 - " +
         s"$subBits) as int))"))
-    df.select(col(group), bucket.as("bucket"))
+  }
+
+  def logHistogram(df: DataFrame, group: String, value: String,
+                   subBits: Int = 3): DataFrame =
+    df.select(col(group), logBucketCol(value, subBits).as("bucket"))
       .groupBy(col(group), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("lo", logHistLoCol(col("bucket"), subBits))
-  }
 
   /** Lower bound of a bucket as a column expression (shared by the
     * sketch builder and the merge so both emit the same `lo`). */
-  private def logHistLoCol(b: Column, subBits: Int): Column = {
+  private[graft] def logHistLoCol(b: Column, subBits: Int): Column = {
     val sb = 1L << subBits
     val shift = greatest(lit(0L), (b / sb).cast("long") - 1)
     when(b < 0, lit(-1L))

@@ -1014,6 +1014,32 @@ object TextAnalysis {
     * like reference text", the first panel a mixture discussion reads.
     * One broadcast dictionary join + ONE map-side-combinable stratum
     * groupBy. */
+  /** HTML/markup stripping — the extraction stage every web-crawl
+    * pipeline runs BEFORE quality scoring (tags and entities inflate
+    * char counts, poison token statistics, and leak into n-gram
+    * signatures): comments drop FIRST (`(?s)<!--.*?-->` — a comment may
+    * contain `>` inside, so tag-stripping alone would truncate it),
+    * then angle-bracket spans → space, then the five standard named
+    * entities + `&#39;` decode with `&amp;` LAST (decoding it first
+    * would double-decode `&amp;lt;`), then whitespace collapses and
+    * trims. All row-local regex/replace chains restricted to
+    * Java-regex/RE2-identical constructs (the q61 redaction
+    * discipline), fully codegen'd, no shuffle. `n_tags` counts the
+    * angle-bracket spans of the ORIGINAL text (comments included) —
+    * the markup-density signal a quarantine gate thresholds. Output:
+    * `(id, clean_text, n_tags)`. */
+  def stripMarkup(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val noComment = regexp_replace(t, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    df.select(col(id),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"),
+      size(regexp_extract_all(t, lit("<[^>]*>"), lit(0))).as("n_tags"))
+  }
+
   /** Tokenizer fertility / compression panel — per stratum (language or
     * source), the numbers a tokenizer-vocabulary discussion starts from:
     * doc/char/word/subword totals, `fertility_x1000 = (10³·subwords)

@@ -697,6 +697,67 @@ object StatefulOps {
         sum(col("keep")).as("n_keep"),
         sum(col("score")).as("score_sum"))
 
+  /** Data-quality constraints AT INGEST — the streaming half of
+    * [[graft.ops.Curation.checkConstraints]]: the suite's ROW-LOCAL
+    * rules (not_null / in_range / accepted_values — judged by literally
+    * the shared [[graft.ops.Curation.rowRules]] expressions, so
+    * verdicts are bit-identical to batch) fuse into ONE watermarked
+    * tumbling-window aggregate, unstacked to a row per (window, rule)
+    * when the window closes (append mode; the watermark bounds state).
+    * The live "is this feed clean" panel a pipeline alarms on before a
+    * bad batch lands in a snapshot. UniqueKey/ForeignKey need the full
+    * corpus by definition — run them in the batch suite. Output:
+    * `(window_start, window_end, rule, n_rows, n_violations, pass)`. */
+  def streamingConstraintCheck(stream: DataFrame, ts: String,
+                               constraints: Seq[graft.ops.Curation.Constraint],
+                               windowSec: Int = 10,
+                               lateness: String = "10 seconds"): DataFrame = {
+    val rules = graft.ops.Curation.rowRules(constraints)
+    require(rules.nonEmpty, "streamingConstraintCheck: no row-local " +
+      "rules (unique/fk need the full corpus — use batch checkConstraints)")
+    val aggs = count(lit(1)).cast("long").as("__n") +:
+      rules.zipWithIndex.map { case ((_, bad), i) =>
+        sum(when(bad, lit(1L)).otherwise(lit(0L))).as(s"__v$i") }
+    val stacked = rules.zipWithIndex
+      .map { case ((lbl, _), i) => s"'$lbl', coalesce(__v$i, 0L)" }
+      .mkString(", ")
+    stream.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), s"$windowSec seconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        expr(s"stack(${rules.size}, $stacked) as (rule, n_violations)"),
+        col("__n").as("n_rows"))
+      .select(col("window_start"), col("window_end"), col("rule"),
+        col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  /** Log-histogram quantile sketch AT INGEST — the streaming form of
+    * [[graft.ops.Sampling.logHistogram]]: arriving values bucket
+    * row-locally (the SHARED dyadic mapping, bit-identical to batch)
+    * into a watermarked tumbling-window aggregate; each closed window
+    * emits its `(group, bucket, n)` sketch rows, which
+    * [[graft.ops.Sampling.logHistMerge]] folds into the corpus sketch
+    * (counts add — the merge property that makes a live latency/size
+    * distribution panel cost O(buckets) per window, never a re-scan).
+    * Output: `(window_start, group, bucket, n, lo)`. */
+  def streamingLogHistogram(stream: DataFrame, ts: String, group: String,
+                            value: String, subBits: Int = 3,
+                            windowSec: Int = 10,
+                            lateness: String = "10 seconds"): DataFrame = {
+    val sk = graft.ops.Sampling
+    stream.withWatermark(ts, lateness)
+      .select(col(ts), col(group),
+        sk.logBucketCol(value, subBits).as("bucket"))
+      .groupBy(window(col(ts), s"$windowSec seconds"), col(group),
+        col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(group),
+        col("bucket"), col("n"),
+        sk.logHistLoCol(col("bucket"), subBits).as("lo"))
+  }
+
   /** SQ8 encode + audit AT INGEST: the streaming form of
     * [[graft.ops.Similarity.sq8Encode]] — trained bounds ride the plan
     * as fused literals (STATELESS, no join, no state store), so

@@ -552,4 +552,21 @@ class DedupSpec extends SparkSpec {
     // doc2≡doc3 (3) + the two fox grams = 5
     assert(grams == Set(("X", "Y", 6L, 7L, 5L)))
   }
+
+  test("pairGraphRank: hand-computed integer rounds on a path graph") {
+    // path 1–2–3, degrees (1, 2, 1), base 2^20 = 1048576:
+    //  round 1: leaves (3·2^20 + 17·⌊2^20/2⌋) div 20 = 602931,
+    //           center (3·2^20 + 17·(2^20 + 2^20)) div 20 = 1939865
+    //  round 2: leaves ← ⌊1939865/2⌋ = 969932 → 981728,
+    //           center ← 602931·2 → 1182269
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.pairGraphRank(pairs, iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 981728L)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1182269L)), s"got ${out(2L)}")
+    assert(out(3L) == ((1L, 981728L)))
+    // the endorsed center outranks the leaves; symmetry is exact
+    assert(out(2L)._2 > out(1L)._2 && out(1L) == out(3L))
+  }
 }

@@ -465,6 +465,81 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingConstraintCheck: windowed row-local suite, late data dropped") {
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rules = Seq(graft.ops.Curation.NotNull("v"),
+      graft.ops.Curation.InRange("v", 1, 50),
+      graft.ops.Curation.AcceptedValues("flag", Seq("A", "B")))
+    val in = MemoryStream[(java.sql.Timestamp, Option[Long], String)]
+    val q = StatefulOps.streamingConstraintCheck(
+        in.toDF().toDF("ts", "v", "flag"), "ts", rules,
+        windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("ccheck")
+      .outputMode("append").start()
+    withQuery(q) {
+      // window [0,10): one violation per rule (null v, 99 out of range,
+      // flag X not accepted) across 4 rows
+      in.addData((t("2024-01-01 00:00:00"), Some(5L), "A"),
+        (t("2024-01-01 00:00:01"), None, "A"),
+        (t("2024-01-01 00:00:02"), Some(99L), "X"),
+        (t("2024-01-01 00:00:03"), Some(7L), "B"))
+      q.processAllAvailable()
+      assert(spark.table("ccheck").isEmpty) // window still open
+      in.addData((t("2024-01-01 00:00:16"), Some(3L), "A"))
+      q.processAllAvailable()
+      val closed = spark.table("ccheck")
+        .selectExpr("rule", "n_rows", "n_violations", "pass")
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(closed == Set(
+        ("not_null(v)", 4L, 1L, false),
+        ("in_range(v,1,50)", 4L, 1L, false),
+        ("accepted_values(flag)", 4L, 1L, false)), s"got $closed")
+      // a straggler inside the closed window is dropped (ST2)
+      in.addData((t("2024-01-01 00:00:04"), None, "X"))
+      q.processAllAvailable()
+      assert(spark.table("ccheck").count() == 3)
+    }
+    // a suite with no row-local rules cannot stream
+    intercept[IllegalArgumentException] {
+      StatefulOps.streamingConstraintCheck(in.toDF().toDF("ts", "v", "flag"),
+        "ts", Seq(graft.ops.Curation.UniqueKey(Seq("v"))))
+    }
+  }
+
+  test("streamingLogHistogram: windowed sketch rows merge to the batch sketch") {
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // window [0,10): values 0,5,16,17 → buckets 0,5,16,16
+    val w1 = Seq((t("2024-01-01 00:00:00"), "g", 0L),
+      (t("2024-01-01 00:00:01"), "g", 5L),
+      (t("2024-01-01 00:00:02"), "g", 16L),
+      (t("2024-01-01 00:00:03"), "g", 17L))
+    val in = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = StatefulOps.streamingLogHistogram(
+        in.toDF().toDF("ts", "g", "v"), "ts", "g", "v",
+        windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("loghist")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(w1: _*)
+      q.processAllAvailable()
+      assert(spark.table("loghist").isEmpty)
+      in.addData((t("2024-01-01 00:00:16"), "g", 255L))
+      q.processAllAvailable()
+      val closed = spark.table("loghist")
+        .select("bucket", "n", "lo").as[(Long, Long, Long)].collect().toSet
+      assert(closed == Set((0L, 1L, 0L), (5L, 1L, 5L), (16L, 2L, 16L)),
+        s"got $closed")
+      // the closed window's rows ARE a valid sketch: merging them
+      // reproduces the batch logHistogram of the same rows bit-for-bit
+      val batch = graft.ops.Sampling.logHistogram(
+          w1.toDF("ts", "g", "v"), "g", "v")
+        .select("bucket", "n", "lo").as[(Long, Long, Long)].collect().toSet
+      assert(batch == closed)
+    }
+  }
+
   test("streamingSq8Audit: ingest encode equals the batch pass bit-exactly") {
     implicit val ctx = spark.sqlContext
     val rows = (1 to 20).map(i =>
