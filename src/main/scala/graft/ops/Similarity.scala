@@ -56,15 +56,24 @@ object Similarity {
     * queries. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String,
                  vec: String, k: Int,
-                 maxBroadcastQueries: Long = 500000L): DataFrame = {
+                 maxBroadcastQueries: Long = 500000L,
+                 materializeCorpusNorms: Boolean = false): DataFrame = {
     requireBounded("cosineTopK", "query", queries, maxBroadcastQueries,
       "maxBroadcastQueries",
       "use annTopK or ivfTopK for large query sets, raise the limit " +
         "explicitly, or pass Long.MaxValue to keep the plan fully lazy")
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm"))
-    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+    // Under the BNLJ there is no exchange to materialize the streamed
+    // side's projection (the q120 lesson): c_norm lands in the post-join
+    // project and re-evaluates PER PAIR — d extra multiplies × |queries|
+    // per corpus row. Negligible for small query sets (the common case;
+    // persisting the corpus would cost corpus-scale storage), dominant
+    // when |queries| ≈ |corpus| (mutual-kNN) — opt in to persist the
+    // (id, vec, norm) projection so the scan READS the norm instead.
+    val c0 = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))
+    val c = if (materializeCorpusNorms) Caches.track(c0.persist()) else c0
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cos"))
@@ -1117,8 +1126,12 @@ object Similarity {
     * `(a_id, b_id, rank_ab, rank_ba, margin_x1000)`. */
   def mutualKnnPairs(df: DataFrame, id: String, vec: String, k: Int,
                      maxBroadcastQueries: Long = 500000L): DataFrame = {
+    // |queries| = |corpus| here — exactly the regime where the per-pair
+    // corpus-norm recompute dominates; materialize (bounded by the same
+    // broadcast guardrail that already caps this op's input)
     val ranked = Caches.track(
-      cosineTopK(df, df, id, vec, k, maxBroadcastQueries).persist())
+      cosineTopK(df, df, id, vec, k, maxBroadcastQueries,
+        materializeCorpusNorms = true).persist())
     val fwd = ranked.select(col("q_id").as("a_id"),
       col("neighbor_id").as("b_id"), col("rank").as("rank_ab"))
     val bwd = ranked.select(col("neighbor_id").as("a_id"),

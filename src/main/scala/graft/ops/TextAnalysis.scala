@@ -762,7 +762,7 @@ object TextAnalysis {
     * values to a direct count/countDistinct over the token stream), and
     * the per-term df derives from the tf table's rows instead of a
     * second filtered scan. */
-  private def bm25Core(df: DataFrame, id: String, text: String,
+  private[graft] def bm25Core(df: DataFrame, id: String, text: String,
                        queries: DataFrame, qtext: String,
                        scaleBits: Int, maxQueryTerms: Int)
       : (DataFrame, DataFrame, Long, Long, Seq[(String, Long)]) = {
@@ -790,7 +790,7 @@ object TextAnalysis {
   }
 
   /** The ranking half of [[bm25TopK]] over an already-built core. */
-  private def bm25Rank(tdq: DataFrame, dld: DataFrame, tTot: Long,
+  private[graft] def bm25Rank(tdq: DataFrame, dld: DataFrame, tTot: Long,
                        nDocs: Long, idfRows: Seq[(String, Long)],
                        queries: DataFrame, qid: String, qtext: String,
                        k: Int, scaleBits: Int): DataFrame = {

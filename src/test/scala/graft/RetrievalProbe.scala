@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc A/B probe for the retrieval/similarity hot lines (test scope
+  * only): same-session relative timings — absolute numbers are NOT
+  * bench-comparable. `Test/runMain graft.RetrievalProbe <sfDir>`. */
+object RetrievalProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val b = SparkSession.builder().master("local[32]")
+      .appName("rprobe").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Unit): Unit = {
+      f // warm
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.catalog.clearCache(); System.gc()
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val emb = Queries.table(spark, dir, "embeddings")
+    time("mutualKnn (materialized norms)") {
+      noop(graft.ops.Similarity.mutualKnnPairs(emb, "vec_id", "embedding", 5))
+    }
+    time("cosineTopK all-vs-all plain") {
+      noop(graft.ops.Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        5))
+    }
+    time("cosineTopK all-vs-all matNorms") {
+      noop(graft.ops.Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        5, materializeCorpusNorms = true))
+    }
+
+    val docs = Queries.table(spark, dir, "documents")
+    val qs = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3),
+          " ").as("qtext"))
+    time("bm25TopK (q124 shape)") {
+      noop(graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text", qs,
+        "q_id", "qtext", 10))
+    }
+    time("hybridRrfTopK (q127 shape)") {
+      noop(graft.ops.TextAnalysis.hybridRrfTopK(docs, "doc_id", "text", qs,
+        "q_id", "qtext", 10))
+    }
+    time("termOverlapTopK alone") {
+      noop(graft.ops.TextAnalysis.termOverlapTopK(docs, "doc_id", "text",
+        qs, "q_id", "qtext", 10))
+    }
+    // fine-grained: where does hybrid's delta over bm25 go?
+    locally {
+      val ta = graft.ops.TextAnalysis
+      val t0 = System.nanoTime()
+      val (tdq, dld, tTot, nDocs, idf) =
+        ta.bm25Core(docs, "doc_id", "text", qs, "qtext", 12, 10000)
+      println(f"[probe] core build (collects+persists)  ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t1 = System.nanoTime()
+      noop(ta.bm25Rank(tdq, dld, tTot, nDocs, idf, qs, "q_id", "qtext",
+        10, 12))
+      println(f"[probe] bm25Rank from core            ${(System.nanoTime() - t1) / 1e9}%.3f s")
+      val t2 = System.nanoTime()
+      noop(ta.termOverlapSearch(tdq.select(col("doc"), col("term"),
+        col("tf")), qs, "q_id", "qtext", 10))
+      println(f"[probe] overlap from cached tdq       ${(System.nanoTime() - t2) / 1e9}%.3f s")
+      val t3 = System.nanoTime()
+      noop(ta.rrfFuse(Seq(
+        ta.bm25Rank(tdq, dld, tTot, nDocs, idf, qs, "q_id", "qtext", 10, 12),
+        ta.termOverlapSearch(tdq.select(col("doc"), col("term"),
+          col("tf")), qs, "q_id", "qtext", 10)), 10))
+      println(f"[probe] fuse(bm25+overlap) from core  ${(System.nanoTime() - t3) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
