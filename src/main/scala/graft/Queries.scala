@@ -5458,6 +5458,76 @@ object Queries {
                      AS n_tags
             FROM s3"""), bench = true)
 
+  /** Deterministic per-epoch loader order (Sampling.epochOrder): stable
+    * shard placement + a fresh RNG-free permutation per epoch, replayed
+    * bit-for-bit by any re-run — the "shuffle each epoch" contract made
+    * auditable. */
+  private val q168 = QDef("q168_epoch_order",
+    (s, d) => Sampling.epochOrder(docs(s, d), "doc_id", salt = "ep",
+      numShards = 8, epoch = 3),
+    Some(s"""SELECT doc_id, ${sqlHash60("doc_id", "ep")} % 8 AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY ${sqlHash60("doc_id", "ep")} % 8
+                 ORDER BY ${sqlHash60("doc_id", "ep:epoch3")}, doc_id)
+                 AS BIGINT) AS epoch_rank
+             FROM documents"""), bench = true)
+
+  /** Quality-aware dedup canonicalization (Dedup.dedupCorpusBest): the
+    * q126 pipeline keeping the LONGEST copy per family (score =
+    * n_chars) instead of the min id — near-dup crawls differ in
+    * truncation, so the winner choice changes which text survives.
+    * Oracle: q126's recursive chain with an argmax winner window. */
+  private val q169 = QDef("q169_dedup_best",
+    (s, d) => Dedup.dedupCorpusBest(docs(s, d), "doc_id", "text",
+      "n_chars", "n_chars", numHashes = 12, bands = 4, threshold = 0.5),
+    Some(s"""WITH RECURSIVE $ShinglesCte,
+             f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, 12), j ->
+                         list_min(list_transform(sh, x ->
+                           ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                             % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                           % 2147483647))) AS sig
+                     FROM f),
+             banded AS (SELECT doc_id,
+                          CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                            sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+                        FROM sig, generate_series(0, 3) AS t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                      FROM banded x JOIN banded y
+                        ON x.band = y.band AND x.doc_id < y.doc_id),
+             pairs AS (SELECT * FROM (
+                 SELECT c.a_id, c.b_id,
+                        round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+                          (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))),
+                          4) AS jac
+                 FROM cand c JOIN f fa ON c.a_id = fa.doc_id
+                             JOIN f fb ON c.b_id = fb.doc_id)
+               WHERE jac >= 0.5),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             reach(node, m) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node),
+             cl AS (SELECT node AS doc_id, min(m) AS cluster
+                    FROM reach GROUP BY node),
+             st AS (SELECT cluster, count(*) AS family_size,
+                      CAST(sum(d.n_chars) AS BIGINT) AS fam_mass
+                    FROM cl JOIN documents d USING (doc_id) GROUP BY 1),
+             win AS (SELECT cluster, doc_id FROM (
+                 SELECT cl.cluster, cl.doc_id, row_number() OVER (
+                     PARTITION BY cl.cluster
+                     ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+                 FROM cl JOIN documents d USING (doc_id))
+               WHERE rn = 1)
+             SELECT d.doc_id, d.text,
+                    CAST(st.family_size AS BIGINT) AS family_size,
+                    CAST(st.family_size - 1 AS BIGINT) AS dup_docs,
+                    CAST(st.fam_mass - d.n_chars AS BIGINT) AS dup_mass
+             FROM win JOIN documents d USING (doc_id)
+                  JOIN st USING (cluster)"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5470,7 +5540,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

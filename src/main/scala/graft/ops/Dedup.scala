@@ -781,6 +781,37 @@ object Dedup {
         (col("__fam_mass") - col(size).cast("long")).as("dup_mass"))
   }
 
+  /** [[dedupCorpus]] with QUALITY-AWARE winner selection — keep the
+    * highest-scoring copy per near-dup family instead of the smallest
+    * id (the RefinedWeb-style canonicalization: near-duplicate crawls
+    * differ in truncation and boilerplate, so "longest" or "highest
+    * quality-classifier score" keeps the best text while min-id keeps
+    * an arbitrary one). Winner = argmax(score), ties to the smaller id
+    * — a `max_by` over a unique (score, −id) key, codegen'd (never a
+    * struct-max SortAggregate). Same pair→family machinery and savings
+    * columns as [[dedupCorpus]]; `score` is any int64 column
+    * (`n_chars`, a q112 classifier score, a q123 LM score…). */
+  def dedupCorpusBest(df: DataFrame, id: String, text: String,
+                      size: String, score: String, numHashes: Int = 12,
+                      bands: Int = 4, threshold: Double = 0.5,
+                      maxBucket: Int = 0): DataFrame = {
+    val pairs = minHashLshPairs(df, id, text, numHashes, bands, threshold,
+      maxBucket)
+    val clusters = dedupClusters(df, id, pairs)
+    val slim = df.select(col(id), col(size).cast("long").as("__sz"),
+        col(score).cast("long").as("__sc"))
+      .join(clusters.select(col(id), col("cluster")), Seq(id))
+    val fam = slim.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("family_size"),
+        sum(col("__sz")).as("__fam_mass"),
+        max_by(col(id), struct(col("__sc"), -col(id))).as("__win"))
+    df.join(fam.select(col("__win").as(id), col("family_size"),
+        col("__fam_mass")), Seq(id))
+      .select(col(id), col(text), col("family_size"),
+        (col("family_size") - 1).as("dup_docs"),
+        (col("__fam_mass") - col(size).cast("long")).as("dup_mass"))
+  }
+
   /** Effective-token report — the one-row answer to "how big is this
     * corpus REALLY": raw docs/tokens, and the docs/tokens that survive
     * exact dedup (one winner per content family). `dup_token_share` is

@@ -166,6 +166,29 @@ object Sampling {
     df.withColumn("shard", hash60(col(id), salt) % numShards)
   }
 
+  /** Deterministic per-epoch data-loader order — the "shuffle each
+    * epoch" contract of a training run made auditable: each row lands in
+    * its stable shard ([[shardAssign]]'s hash, so placement never moves
+    * across epochs — no re-shuffling data between workers) and receives
+    * an epoch-specific rank from an (id, salt:epoch) hash — a fresh
+    * deterministic permutation per epoch that any re-run (or a resumed
+    * job recovering mid-epoch) reproduces bit-for-bit, RNG-free like
+    * every sampler here. The window partitions by shard (per-worker
+    * order, bounded partitions), never a global sort. Output:
+    * `(id, shard, epoch_rank)`. */
+  def epochOrder(df: DataFrame, id: String, salt: String, numShards: Int,
+                 epoch: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__eh"), col(id))
+    df.select(col(id),
+        (hash60(col(id), salt) % numShards).as("shard"),
+        hash60(col(id), s"$salt:epoch$epoch").as("__eh"))
+      .withColumn("epoch_rank", row_number().over(w).cast("long"))
+      .drop("__eh")
+  }
+
   /** Deterministic train/val/test (or any) split assignment by hash
     * bands: `splits` maps label → UPPER bound on the unit hash, in
     * ascending order, last bound covering 1.0. Bounds are taken verbatim

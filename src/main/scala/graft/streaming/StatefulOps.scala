@@ -758,6 +758,31 @@ object StatefulOps {
         sk.logHistLoCol(col("bucket"), subBits).as("lo"))
   }
 
+  /** HyperLogLog distinct registers AT INGEST — the streaming form of
+    * [[graft.ops.Sampling.hllRegisters]]: the same native
+    * TypedImperativeAggregate runs inside a watermarked tumbling window
+    * (its element-wise-MAX merge is what makes it legal in streaming
+    * aggregation), each closed window emitting its exact-int64
+    * `(bucket, register)` rows. Registers are a pure function of the
+    * window's value SET, so the emitted rows equal the batch sketch of
+    * the same rows bit-for-bit, and [[graft.ops.Sampling.hllMerge]]
+    * folds them into running daily/weekly cardinality panels (the live
+    * "distinct users this window" gauge at O(2^bucketBits) state).
+    * Output: `(window_start, <groupBy...>, bucket, register)`. */
+  def streamingHllRegisters(stream: DataFrame, ts: String,
+                            groupBy: Seq[String], value: String,
+                            bucketBits: Int, windowSec: Int = 10,
+                            lateness: String = "10 seconds"): DataFrame = {
+    val keys = window(col(ts), s"$windowSec seconds") +: groupBy.map(col)
+    stream.withWatermark(ts, lateness)
+      .groupBy(keys: _*)
+      .agg(graft.functions.HllRegisters.agg(
+        graft.functions.Md5Hash.prefix60(col(value)), bucketBits)
+        .as("__regs"))
+      .select((col("window.start").as("window_start") +: groupBy.map(col) :+
+        posexplode(col("__regs")).as(Seq("bucket", "register"))): _*)
+  }
+
   /** SQ8 encode + audit AT INGEST: the streaming form of
     * [[graft.ops.Similarity.sq8Encode]] — trained bounds ride the plan
     * as fused literals (STATELESS, no join, no state store), so

@@ -482,6 +482,28 @@ class DedupSpec extends SparkSpec {
     assert(out.find(_._1 == 5L).get == ((5L, "", 1L, 0L, 0L)))
   }
 
+  test("dedupCorpusBest: highest score wins the family, not the min id") {
+    // docs 1/2/3 form one near-dup family; 3 is the LONGEST (score =
+    // n_chars), so it survives where dedupCorpus keeps min-id 1.
+    // docs 6/7 are exact dups with equal scores → tie to the smaller id.
+    val df = Seq(
+      (1L, "aa bb cc dd", 11L), (2L, "aa bb cc dd", 11L),
+      (3L, "aa bb cc dd ee", 14L),
+      (4L, "zz yy xx ww", 11L),
+      (6L, "pp qq rr ss", 11L), (7L, "pp qq rr ss", 11L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupCorpusBest(df, "doc_id", "text", "n_chars",
+        "n_chars", numHashes = 12, bands = 4, threshold = 0.5)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(3L, 4L, 6L))
+    // family {1,2,3}: 3 wins; savings = 11 + 11 of the dropped copies
+    assert(out(3L) == ((3L, 2L, 22L)), s"got ${out(3L)}")
+    // equal-score tie breaks to the smaller id
+    assert(out(6L) == ((2L, 1L, 11L)))
+    assert(out(4L) == ((1L, 0L, 0L)))
+  }
+
   test("removeDuplicateSpans: canonical copy survives, later spans cut") {
     import spark.implicits._
     val docs = Seq(

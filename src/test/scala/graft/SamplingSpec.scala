@@ -510,6 +510,25 @@ class SamplingSpec extends SparkSpec {
     assert(kept == orig)
   }
 
+  test("epochOrder: stable shards, fresh permutation per epoch, replay identity") {
+    val df = (1L to 60L).toDF("id")
+    def run(epoch: Int) = Sampling.epochOrder(df, "id", "s", 4, epoch)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val e1 = run(1)
+    // replay reproduces the epoch's order bit-for-bit
+    assert(run(1) == e1)
+    val e2 = run(2)
+    // shard placement never moves across epochs…
+    assert(e1.forall { case (id, (sh, _)) => e2(id)._1 == sh })
+    // …but the within-shard order is a fresh permutation
+    assert(e1.exists { case (id, (_, r)) => e2(id)._2 != r })
+    // per-shard ranks are contiguous 1..n
+    e1.groupBy(_._2._1).foreach { case (_, rows) =>
+      assert(rows.values.map(_._2).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+  }
+
   test("logHistogram: hand bucket/lo table incl. octave boundaries and negatives") {
     // subBits = 3: exact below 16; v=16/17 share bucket 16 (lo 16),
     // 31 → 23 (lo 30), 32 → 24 (lo 32), 255 → 47 (lo 240); −3 → −1

@@ -540,6 +540,34 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingHllRegisters: closed window equals the batch registers") {
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w1 = Seq((t("2024-01-01 00:00:00"), "g", "a"),
+      (t("2024-01-01 00:00:01"), "g", "b"),
+      (t("2024-01-01 00:00:02"), "g", "c"),
+      (t("2024-01-01 00:00:03"), "g", "a")) // dup cannot move registers
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = StatefulOps.streamingHllRegisters(
+        in.toDF().toDF("ts", "g", "v"), "ts", Seq("g"), "v",
+        bucketBits = 4, windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("shll")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(w1: _*)
+      q.processAllAvailable()
+      assert(spark.table("shll").isEmpty)
+      in.addData((t("2024-01-01 00:00:16"), "g", "z"))
+      q.processAllAvailable()
+      val closed = spark.table("shll").select("bucket", "register")
+        .as[(Int, Long)].collect().toSet
+      val batch = graft.ops.Sampling.hllRegisters(
+          w1.toDF("ts", "g", "v"), Seq("g"), "v", bucketBits = 4)
+        .select("bucket", "register").as[(Int, Long)].collect().toSet
+      assert(closed == batch, s"stream $closed vs batch $batch")
+    }
+  }
+
   test("streamingSq8Audit: ingest encode equals the batch pass bit-exactly") {
     implicit val ctx = spark.sqlContext
     val rows = (1 to 20).map(i =>
