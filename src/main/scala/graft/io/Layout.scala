@@ -24,6 +24,20 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Append a batch to an existing bucketed table, preserving the
+    * bucketing contract (`buckets` must match the table's spec — Spark
+    * rejects a mismatch loudly, never silently degrades): each append
+    * adds one file per touched bucket, so the exchange-free join and
+    * bucket-pruning properties survive incremental growth. Appends
+    * accumulate small files per bucket — periodically rewrite the head
+    * with [[writeBucketed]] (the compaction move, cf.
+    * [[Snapshots.compactLatest]]). */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Morton (Z-order) code of two non-negative integer columns: bit j of
     * `a` lands at position 2j, bit j of `b` at 2j+1. Row-local codegen'd
     * bit arithmetic (no UDF); `bits ≤ 31` keeps the result in a positive

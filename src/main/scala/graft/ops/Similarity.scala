@@ -1402,6 +1402,25 @@ object Similarity {
       ivfSq8Index(corpus, id, vec, cent, lo, hi, scaleBits),
       table, "cell", buckets)
 
+  /** Incrementally grow a persisted IVF-SQ8 index: encode a NEW batch
+    * with the index's EXISTING trained artifacts (centroids + bounds —
+    * no retrain; cost ∝ the batch, the q147 inverted-index-merge
+    * posture applied to the dense side) and append it to the bucketed
+    * table, preserving the exchange-free search property
+    * ([[graft.io.Layout.appendBucketed]]). Vectors outside the trained
+    * SQ8 bounds clamp at encode (the
+    * [[graft.streaming.StatefulOps.streamingSq8Audit]] err2 signal
+    * says when drift warrants a retrain + [[saveIvfSq8Index]] rebuild).
+    * Search-after-append ≡ search over a full rebuild, bit for bit
+    * (SimilaritySpec pins it). */
+  def appendIvfSq8Index(batch: DataFrame, id: String, vec: String,
+                        cent: DataFrame, lo: Array[Long], hi: Array[Long],
+                        table: String, buckets: Int,
+                        scaleBits: Int = 12): Unit =
+    graft.io.Layout.appendBucketed(
+      ivfSq8Index(batch, id, vec, cent, lo, hi, scaleBits),
+      table, "cell", buckets)
+
   /** Search an ALREADY-BUILT `(cell, c_id, codes)` index (fresh from
     * [[ivfSq8Index]] or reloaded from [[saveIvfSq8Index]]'s bucketed
     * table): probe selection and integer ADC scoring exactly as

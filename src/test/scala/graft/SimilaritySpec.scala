@@ -650,6 +650,33 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivfsq8_idx")
   }
 
+  test("appendIvfSq8Index: incremental growth ≡ full rebuild, bit for bit") {
+    // artifacts train on the FIRST batch only — incremental maintenance
+    // never retrains; the second batch encodes with the frozen
+    // centroids/bounds in both the append and the rebuild paths
+    val first = pqCorpus.filter(col("vec_id") % 2 === 0)
+    val second = pqCorpus.filter(col("vec_id") % 2 === 1)
+    val cent = Similarity.trainIvfCentroids(first, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val (lo, hi) = Similarity.trainSq8Bounds(first, "embedding")
+    try {
+      Similarity.saveIvfSq8Index(first, "vec_id", "embedding", cent,
+        lo, hi, "ivfsq8_inc", buckets = 4)
+      Similarity.appendIvfSq8Index(second, "vec_id", "embedding", cent,
+        lo, hi, "ivfsq8_inc", buckets = 4)
+      val q = pqCorpus.filter(col("vec_id") === 1)
+      val incremental = Similarity.ivfSq8Search(spark.table("ivfsq8_inc"),
+          q, "vec_id", "embedding", k = 5, cent, nProbe = 2, lo, hi)
+        .collect().map(_.toString).sorted.toSeq
+      val rebuilt = Similarity.ivfSq8Search(
+          Similarity.ivfSq8Index(pqCorpus, "vec_id", "embedding", cent,
+            lo, hi), q, "vec_id", "embedding", k = 5, cent, nProbe = 2,
+          lo, hi)
+        .collect().map(_.toString).sorted.toSeq
+      assert(incremental == rebuilt && incremental.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS ivfsq8_inc")
+  }
+
   test("binaryCodes packs sign bits; bit 63 lands in the int64 sign bit") {
     val vecs = Seq(
       (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f)), // bits 0,2 → 0b0101 = 5
