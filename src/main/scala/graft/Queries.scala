@@ -5528,6 +5528,58 @@ object Queries {
              FROM win JOIN documents d USING (doc_id)
                   JOIN st USING (cluster)"""), bench = true)
 
+  /** BM25 hard-negative mining (TextAnalysis.hardNegatives over the q124
+    * ranking): each query's top results minus its known positive,
+    * re-ranked — the DPR-style training negatives a dense retriever
+    * learns from. Oracle: q129's relational chain + the anti filter and
+    * re-rank window. */
+  private val q170 = QDef("q170_hard_negatives",
+    (s, d) => {
+      val qs = bm25Queries(s, d)
+      TextAnalysis.hardNegatives(
+        TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text", qs,
+          "q_id", "qtext", k = 10),
+        qs.select(col("q_id"), col("q_id").as("doc_id")),
+        maxNegatives = 5)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedBm25Idf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+           td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                          CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+                 FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT doc_id,
+                     (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                       AS norm_q
+                   FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+                    CAST(sum((idf_q * tf * 11 * 4096) //
+                      (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q
+                  FROM q JOIN idf USING (term) JOIN td USING (term)
+                       JOIN nrm USING (doc_id)
+                  GROUP BY 1, 2),
+           rk AS (SELECT q_id, doc_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+                  FROM sc),
+           neg AS (SELECT q_id, doc_id, rn AS orig_rank, row_number() OVER (
+                     PARTITION BY q_id ORDER BY rn) AS neg_rank
+                   FROM rk WHERE rn <= 10 AND doc_id <> q_id)
+           SELECT q_id, CAST(neg_rank AS INT) AS neg_rank, doc_id,
+                  CAST(orig_rank AS BIGINT) AS orig_rank
+           FROM neg WHERE neg_rank <= 5"""
+    }))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5540,7 +5592,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

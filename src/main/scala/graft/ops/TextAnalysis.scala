@@ -1006,6 +1006,30 @@ object TextAnalysis {
         coalesce(expr("10000 div __rank"), lit(0L)).as("rr_bp"))
   }
 
+  /** Hard-negative mining from a ranking (the DPR recipe: BM25 top
+    * results that are NOT the known positive are the hard negatives a
+    * dense retriever trains against — lexically close, semantically
+    * wrong; the sparse complement of
+    * [[graft.ops.Similarity.contrastiveTriplets]]'s dense negatives):
+    * drop each query's relevant documents from its top-k ([[
+    * knownItemEval]]'s relevance table shape), re-rank the survivors
+    * 1..m, cap at `maxNegatives`. Pure rank-table arithmetic — one
+    * anti-join + one per-query window over |queries|·k rows, never the
+    * corpus. Output: `(q_id, neg_rank, doc_id, orig_rank)`. */
+  def hardNegatives(ranking: DataFrame, relevant: DataFrame,
+                    maxNegatives: Int): DataFrame = {
+    require(maxNegatives >= 1, s"bad maxNegatives: $maxNegatives")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rank"))
+    ranking.select(col("q_id"), col("rank"), col("doc_id"))
+      .join(relevant.select(col("q_id"), col("doc_id")),
+        Seq("q_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= maxNegatives)
+      .select(col("q_id"), col("neg_rank"), col("doc_id"),
+        col("rank").cast("long").as("orig_rank"))
+  }
+
   /** Per-source LM quality panel — the data-card view of [[
     * bigramLmScore]] (the q84 shape applied to the CCNet gate): per
     * stratum, document count, scored-bigram mass, total quantized cost,
