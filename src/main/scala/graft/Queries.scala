@@ -5580,6 +5580,24 @@ object Queries {
            FROM neg WHERE neg_rank <= 5"""
     }))
 
+  /** Recency-decay sampling weights (Sampling.recencyWeights): half-life
+    * decay on the exact integer grid — `10⁴ div 2^(age div halfLife)`
+    * from a PINNED as-of instant (2024-02-01, one week half-life over
+    * the January event month), never a wall clock. */
+  private val q171 = QDef("q171_recency_weights",
+    (s, d) => Sampling.recencyWeights(
+      events(s, d).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us")),
+      "ts_us", asOfUs = 1706745600000000L, halfLifeUs = 604800000000L),
+    Some("""SELECT event_id, ts_us, age_hl,
+                   CAST(CASE WHEN age_hl >= 62 THEN 0
+                     ELSE 10000 // (CAST(1 AS BIGINT) << CAST(age_hl AS INT))
+                   END AS BIGINT) AS weight_bp
+            FROM (SELECT event_id, epoch_us(ts) AS ts_us,
+                    CAST(greatest(0, 1706745600000000 - epoch_us(ts))
+                      // 604800000000 AS BIGINT) AS age_hl
+                  FROM events)"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5592,7 +5610,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -166,6 +166,29 @@ object Sampling {
     df.withColumn("shard", hash60(col(id), salt) % numShards)
   }
 
+  /** Recency-decay sampling weights — the freshness prior a mixture
+    * design adds when newer data should dominate (news/code corpora age
+    * fast): half-life decay kept EXACT on the integer grid,
+    * `weight_bp = 10⁴ div 2^(age div halfLifeUs)` with age measured
+    * from a caller-pinned `asOfUs` (never a wall clock — the weight of
+    * a row must be a pure function of the data for replay/oracle
+    * equality; shifts past 62 half-lives floor to 0, guarding the
+    * Java mod-64 shift wrap). Future-dated rows (age < 0) clamp to age
+    * 0 — full weight, not an overflow. Row-local, codegen'd, composes
+    * with any weighted sampler (q160's soft-dedup weights share the
+    * basis-point convention). Output: input + `(age_hl, weight_bp)`. */
+  def recencyWeights(df: DataFrame, tsUs: String, asOfUs: Long,
+                     halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be > 0: $halfLifeUs")
+    // integer floor division via div — Column./ is DOUBLE division
+    val ageHl = expr(s"greatest(0L, ${asOfUs}L - cast($tsUs as bigint)) " +
+      s"div ${halfLifeUs}L")
+    df.withColumn("age_hl", ageHl.cast("long"))
+      .withColumn("weight_bp",
+        when(col("age_hl") >= 62, lit(0L))
+          .otherwise(expr("10000 div (cast(1 as bigint) << cast(age_hl as int))")))
+  }
+
   /** Deterministic per-epoch data-loader order — the "shuffle each
     * epoch" contract of a training run made auditable: each row lands in
     * its stable shard ([[shardAssign]]'s hash, so placement never moves

@@ -510,6 +510,25 @@ class SamplingSpec extends SparkSpec {
     assert(kept == orig)
   }
 
+  test("recencyWeights: half-life halving, future clamp, deep-age floor") {
+    // asOf = 1000, halfLife = 100: ages 0/99 → hl 0 (10000), 100 → 1
+    // (5000), 250 → 2 (2500), future ts 1200 clamps to hl 0, and a
+    // 62-half-life-old row floors to exactly 0
+    val df = Seq((1L, 1000L), (2L, 901L), (3L, 900L), (4L, 750L),
+      (5L, 1200L), (6L, 1000L - 6200L))
+      .toDF("id", "ts_us")
+    val out = Sampling.recencyWeights(df, "ts_us", asOfUs = 1000L,
+        halfLifeUs = 100L)
+      .select("id", "age_hl", "weight_bp").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 10000L)))
+    assert(out(2L) == ((0L, 10000L)))
+    assert(out(3L) == ((1L, 5000L)))
+    assert(out(4L) == ((2L, 2500L)))
+    assert(out(5L) == ((0L, 10000L)), s"future clamp: ${out(5L)}")
+    assert(out(6L) == ((62L, 0L)))
+  }
+
   test("epochOrder: stable shards, fresh permutation per epoch, replay identity") {
     val df = (1L to 60L).toDF("id")
     def run(epoch: Int) = Sampling.epochOrder(df, "id", "s", 4, epoch)
