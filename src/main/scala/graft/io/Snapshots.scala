@@ -76,6 +76,30 @@ object Snapshots {
     v
   }
 
+  /** Gated publish: evaluate a [[graft.ops.Curation.checkConstraints]]
+    * suite FIRST and refuse to commit a snapshot containing violations
+    * — the "don't publish a bad batch" contract that turns the
+    * validation suite from a report into a gate (its streaming form
+    * alarms at ingest; this is the last line at the table boundary).
+    * The constraint pass scans `df` before the write (two source scans
+    * — a gate cannot share the write's pass without trusting it);
+    * failing rules throw with their violation counts, nothing is
+    * written, readers never see a torn or dirty table. Returns the
+    * committed version. */
+  def publishChecked(df: DataFrame, root: String,
+                     constraints: Seq[graft.ops.Curation.Constraint])
+      : Long = {
+    val failed = graft.ops.Curation.checkConstraints(df, constraints)
+      .filter(!org.apache.spark.sql.functions.col("pass"))
+      .select("rule", "n_violations")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"publishChecked: refusing to commit — violated rules: " +
+          failed.mkString(", "))
+    publish(df, root)
+  }
+
   /** Read a specific committed version (time travel). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val manifest = Paths.get(root).resolve(s"manifest-$v")

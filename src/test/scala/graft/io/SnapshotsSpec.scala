@@ -79,4 +79,20 @@ class SnapshotsSpec extends SparkSpec {
     // from a gap — pinned readers' version numbers stay unambiguous
     assert(Snapshots.publish(Seq((9L, "z")).toDF("id", "x"), root) == 3L)
   }
+
+  test("publishChecked: a violating batch never commits; a clean one does") {
+    val root = tmp
+    val dirty = Seq((1L, Option(5L)), (2L, Option.empty[Long]))
+      .toDF("id", "v")
+    val rules = Seq(graft.ops.Curation.NotNull("v"))
+    val e = intercept[IllegalStateException] {
+      Snapshots.publishChecked(dirty, root, rules)
+    }
+    assert(e.getMessage.contains("not_null(v)=1"))
+    // nothing became visible — not even a version number
+    intercept[IllegalArgumentException](Snapshots.readLatest(spark, root))
+    val clean = Seq((1L, Option(5L)), (2L, Option(6L))).toDF("id", "v")
+    assert(Snapshots.publishChecked(clean, root, rules) == 0L)
+    assert(Snapshots.readLatest(spark, root).count() == 2L)
+  }
 }
