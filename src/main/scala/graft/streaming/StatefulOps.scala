@@ -758,6 +758,25 @@ object StatefulOps {
         sk.logHistLoCol(col("bucket"), subBits).as("lo"))
   }
 
+  /** Count-Min frequency sketch AT INGEST — the streaming form of
+    * [[graft.ops.Sampling.cmsFrequencies]]'s grid build: the same
+    * native element-wise-ADD aggregate inside a watermarked tumbling
+    * window, each closed window emitting its O(depth·width) int64 grid.
+    * Probes read estimates row-locally off the emitted grid via
+    * [[graft.ops.Sampling.cmsEstimate]], and grids from consecutive
+    * windows ADD into coarser panels (the CMS merge property — the
+    * frequency mirror of [[streamingHllRegisters]]'s cardinality
+    * panel). Output: `(window_start, grid)`. */
+  def streamingCmsSketch(stream: DataFrame, ts: String, value: String,
+                         depth: Int, width: Int, windowSec: Int = 10,
+                         lateness: String = "10 seconds"): DataFrame =
+    stream.withWatermark(ts, lateness)
+      .select(col(ts), graft.ops.Dedup.baseHash(col(value)).as("__h"))
+      .groupBy(window(col(ts), s"$windowSec seconds"))
+      .agg(graft.functions.CmsSketch.agg(col("__h"), depth, width)
+        .as("grid"))
+      .select(col("window.start").as("window_start"), col("grid"))
+
   /** HyperLogLog distinct registers AT INGEST — the streaming form of
     * [[graft.ops.Sampling.hllRegisters]]: the same native
     * TypedImperativeAggregate runs inside a watermarked tumbling window

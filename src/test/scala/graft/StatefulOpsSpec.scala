@@ -540,6 +540,36 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingCmsSketch: closed window grid equals the batch grid") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w1 = Seq((t("2024-01-01 00:00:00"), "a"),
+      (t("2024-01-01 00:00:01"), "b"), (t("2024-01-01 00:00:02"), "a"))
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StatefulOps.streamingCmsSketch(
+        in.toDF().toDF("ts", "v"), "ts", "v", depth = 3, width = 16,
+        windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(w1: _*)
+      q.processAllAvailable()
+      assert(spark.table("scms").isEmpty)
+      in.addData((t("2024-01-01 00:00:16"), "z"))
+      q.processAllAvailable()
+      val closed = spark.table("scms").select("grid")
+        .as[Seq[Long]].head()
+      val batch = w1.toDF("ts", "v")
+        .select(graft.ops.Dedup.baseHash(c("v")).as("__h"))
+        .agg(graft.functions.CmsSketch.agg(c("__h"), 3, 16).as("grid"))
+        .as[Seq[Long]].head()
+      assert(closed == batch)
+      // the grid really counts: every increment lands once per depth row
+      assert(closed.sum == 3L * 3L)
+    }
+  }
+
   test("streamingHllRegisters: closed window equals the batch registers") {
     implicit val ctx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
