@@ -5598,6 +5598,35 @@ object Queries {
                       // 604800000000 AS BIGINT) AS age_hl
                   FROM events)"""), bench = true)
 
+  /** Padded-batch planning (Sampling.paddedBatchPlan): length-sorted
+    * token-budget bins per stable shard — similar lengths share a
+    * batch, so the exact `pad_waste = n·max − Σ` column prices what
+    * random batching would burn as padding. */
+  private val q172 = QDef("q172_padded_batches",
+    (s, d) => Sampling.paddedBatchPlan(
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tk")),
+      "doc_id", "tk", numShards = 4, batchTokens = 2048L, salt = "pb"),
+    Some(s"""WITH t AS (SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS tk,
+                ${sqlHash60("doc_id", "pb")} % 4 AS shard
+              FROM documents),
+            r AS (SELECT shard, tk,
+                COALESCE(sum(tk) OVER (PARTITION BY shard
+                  ORDER BY tk DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS runx
+              FROM t)
+            SELECT shard, CAST(runx // 2048 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(max(tk) AS BIGINT) AS max_tokens,
+                   CAST(sum(tk) AS BIGINT) AS sum_tokens,
+                   CAST(count(*) * max(tk) AS BIGINT) AS padded_tokens,
+                   CAST(count(*) * max(tk) - sum(tk) AS BIGINT)
+                     AS pad_waste
+            FROM r GROUP BY 1, 2"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5610,7 +5639,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -166,6 +166,35 @@ object Sampling {
     df.withColumn("shard", hash60(col(id), salt) % numShards)
   }
 
+  /** Length-sorted padded-batch planning — the padding-waste reducer
+    * for fixed-shape inference/training batches: within each stable
+    * hash shard, documents order by (tokens DESC, id) and fill
+    * token-budget bins via the [[packSequences]] exclusive-running-sum
+    * arithmetic — descending order means each bin's FIRST member is its
+    * max, so similar lengths share a batch and the padded cost
+    * `n_docs·max_tokens` stays near `sum_tokens` (random batching pads
+    * every short doc to the batch's longest). Output per batch:
+    * `(shard, bin, n_docs, max_tokens, sum_tokens, padded_tokens,
+    * pad_waste)`, all exact int64; the per-shard window is the
+    * sanctioned per-key sort, never global. */
+  def paddedBatchPlan(df: DataFrame, id: String, tokens: String,
+                      numShards: Int, batchTokens: Long,
+                      salt: String): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    require(batchTokens >= 1, s"batchTokens must be >= 1: $batchTokens")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__t").desc, col(id))
+    df.select(col(id), col(tokens).cast("long").as("__t"),
+        (hash60(col(id), salt) % numShards).as("shard"))
+      .withColumn("__run", sum(col("__t")).over(w) - col("__t"))
+      .withColumn("bin", expr(s"__run div ${batchTokens}L"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), max(col("__t")).as("max_tokens"),
+        sum(col("__t")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_tokens"))
+      .withColumn("pad_waste", col("padded_tokens") - col("sum_tokens"))
+  }
+
   /** Recency-decay sampling weights — the freshness prior a mixture
     * design adds when newer data should dominate (news/code corpora age
     * fast): half-life decay kept EXACT on the integer grid,

@@ -510,6 +510,21 @@ class SamplingSpec extends SparkSpec {
     assert(kept == orig)
   }
 
+  test("paddedBatchPlan: hand bins by descending length, exact padding waste") {
+    // one shard, budget 20; lengths 10,9,5,4,1 → exclusive runs
+    // 0,10,19,24,28 → bins {10,9,5} and {4,1}; the first bin pads its
+    // two shorter members to 10 (waste 6), the second to 4 (waste 3)
+    val df = Seq((1L, 10L), (2L, 9L), (3L, 5L), (4L, 4L), (5L, 1L))
+      .toDF("id", "tk")
+    val out = Sampling.paddedBatchPlan(df, "id", "tk", numShards = 1,
+        batchTokens = 20L, salt = "x")
+      .select("bin", "n_docs", "max_tokens", "sum_tokens",
+        "padded_tokens", "pad_waste")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 3L, 10L, 24L, 30L, 6L),
+      (1L, 2L, 4L, 5L, 8L, 3L)), s"got $out")
+  }
+
   test("recencyWeights: half-life halving, future clamp, deep-age floor") {
     // asOf = 1000, halfLife = 100: ages 0/99 → hl 0 (10000), 100 → 1
     // (5000), 250 → 2 (2500), future ts 1200 clamps to hl 0, and a
