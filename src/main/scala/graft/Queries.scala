@@ -5627,6 +5627,55 @@ object Queries {
                      AS pad_waste
             FROM r GROUP BY 1, 2"""), bench = true)
 
+  /** TextRank keywords (TextAnalysis.textRankKeywords): the q166
+    * integer PageRank over the adjacent-word co-occurrence graph —
+    * corpus keywording by graph centrality. Oracle: positional pair
+    * extraction + the three unrolled integer iterations + the top-50
+    * window. */
+  private val q173 = QDef("q173_textrank_keywords",
+    (s, d) => TextAnalysis.textRankKeywords(docs(s, d), "doc_id", "text",
+      iters = 3, topK = 50, minPairCount = 2L),
+    Some("""WITH t AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+                  AS ws
+              FROM documents),
+            pt AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                   FROM t WHERE len(ws) >= 2),
+            pr AS (SELECT least(ws[i], ws[i + 1]) AS a_id,
+                     greatest(ws[i], ws[i + 1]) AS b_id
+                   FROM pt WHERE ws[i] <> ws[i + 1]),
+            mp AS (SELECT a_id, b_id FROM (
+                     SELECT a_id, b_id, count(*) AS n FROM pr GROUP BY 1, 2)
+                   WHERE n >= 2),
+            e AS (SELECT a_id AS src, b_id AS dst FROM mp
+                  UNION ALL SELECT b_id, a_id FROM mp),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                    FROM e GROUP BY 1),
+            r0 AS (SELECT DISTINCT src AS node,
+                     CAST(1048576 AS BIGINT) AS r FROM e),
+            r1 AS (SELECT e.dst AS node,
+                     CAST((3 * 1048576 + 17 * sum(r0.r // deg.d)) // 20
+                       AS BIGINT) AS r
+                   FROM e JOIN r0 ON r0.node = e.src
+                        JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS node,
+                     CAST((3 * 1048576 + 17 * sum(r1.r // deg.d)) // 20
+                       AS BIGINT) AS r
+                   FROM e JOIN r1 ON r1.node = e.src
+                        JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS node,
+                     CAST((3 * 1048576 + 17 * sum(r2.r // deg.d)) // 20
+                       AS BIGINT) AS r
+                   FROM e JOIN r2 ON r2.node = e.src
+                        JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            fin AS (SELECT r3.node, deg.d AS degree, r3.r AS rank_q,
+                      row_number() OVER (ORDER BY r3.r DESC, r3.node)
+                        AS rank
+                    FROM r3 JOIN deg ON deg.src = r3.node)
+            SELECT CAST(rank AS INT) AS rank, node AS word, degree,
+                   rank_q
+            FROM fin WHERE rank <= 50"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5639,7 +5688,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

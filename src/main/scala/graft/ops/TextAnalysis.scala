@@ -1006,6 +1006,46 @@ object TextAnalysis {
         coalesce(expr("10000 div __rank"), lit(0L)).as("rr_bp"))
   }
 
+  /** TextRank-style keyword ranking (Mihalcea & Tarau's graph method):
+    * corpus keywords = the most central words in the adjacent-word
+    * co-occurrence graph, ranked by the SAME damped integer PageRank
+    * that scores dedup families ([[graft.ops.Dedup.pairGraphRank]] is
+    * graph-agnostic by design — string nodes work as well as doc ids).
+    * Centrality beats raw frequency for keywording: a word that
+    * co-occurs with MANY DISTINCT words outranks one repeated inside a
+    * single phrase.
+    *
+    * Shape: one positional-token pass self-joined at distance 1
+    * (corpus-scale but narrow), collapsed to the DISTINCT pair
+    * inventory (vocabulary²-bounded, in practice tiny) with a
+    * `minPairCount` noise floor; the rank iteration then never touches
+    * the corpus. Top-k via TakeOrdered, ranks assigned on the k
+    * survivors. Output: `(rank, word, degree, rank_q)`. */
+  def textRankKeywords(df: DataFrame, id: String, text: String,
+                       iters: Int = 3, topK: Int = 50,
+                       minPairCount: Long = 2L): DataFrame = {
+    require(topK >= 1, s"bad topK: $topK")
+    val t = df.select(col(id).as("__d"),
+      posexplode(tokens(lower(col(text)))).as(Seq("__p", "__w")))
+    val a = t.select(col("__d"), col("__p"), col("__w").as("__w1"))
+    val b = t.select(col("__d"), (col("__p") - 1).as("__p"),
+      col("__w").as("__w2"))
+    val pairs = a.join(b, Seq("__d", "__p"))
+      .filter(col("__w1") =!= col("__w2"))
+      .select(least(col("__w1"), col("__w2")).as("a_id"),
+        greatest(col("__w1"), col("__w2")).as("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPairCount)
+      .select(col("a_id"), col("b_id"))
+    val ranked = graft.ops.Dedup.pairGraphRank(pairs, iters)
+    val top = ranked.orderBy(col("rank_q").desc, col("node")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_q").desc, col("node"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("node").as("word"), col("degree"),
+        col("rank_q"))
+  }
+
   /** Hard-negative mining from a ranking (the DPR recipe: BM25 top
     * results that are NOT the known positive are the hard negatives a
     * dense retriever trains against — lexically close, semantically
