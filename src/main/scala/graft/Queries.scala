@@ -5676,6 +5676,56 @@ object Queries {
                    rank_q
             FROM fin WHERE rank <= 50"""), bench = true)
 
+  /** IVF cluster-quality report (Similarity.cellQualityReport): per
+    * trained cell — member count, corpus share, exact int64 L2 cohesion
+    * on the dyadic grid (both the member floats and the dyadic-transport
+    * centroids floor-quantize exactly) — the junk-drawer-cell / dominant-
+    * cell panel read before trusting an index build. */
+  private val q174 = QDef("q174_cell_quality",
+    (s, d) => {
+      import s.implicits._
+      val cent = trainedCentroids(s, d, k = 64).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      Similarity.cellQualityReport(emb(s, d), "vec_id", "embedding", cent)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedCentroids(s, d, k = 64).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $rows) AS t(cent_id, cent_vec)),
+            v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            asg AS (SELECT c_id, cell, c_vec FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     a.vec AS c_vec,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC) AS rn
+              FROM v a, cent) WHERE rn = 1),
+            wc AS (SELECT asg.cell, asg.c_id,
+                     CAST(list_sum(list_transform(range(1, len(asg.c_vec) + 1),
+                       i -> CAST(floor(CAST(asg.c_vec[i] AS DOUBLE) * 4096)
+                              - floor(cent.cent_vec[i] * 4096) AS BIGINT)
+                          * CAST(floor(CAST(asg.c_vec[i] AS DOUBLE) * 4096)
+                              - floor(cent.cent_vec[i] * 4096) AS BIGINT)))
+                       AS BIGINT) AS d2
+                   FROM asg JOIN cent ON cent.cent_id = asg.cell),
+            per AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(d2) AS BIGINT) AS s,
+                      CAST(max(d2) AS BIGINT) AS mx
+                    FROM wc GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per)
+            SELECT cell, n, CAST((10000 * n) // t AS BIGINT) AS share_bp,
+                   s AS sum_d2, mx AS max_d2,
+                   CAST(s // n AS BIGINT) AS mean_d2
+            FROM per, tot"""
+    }))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5688,7 +5738,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

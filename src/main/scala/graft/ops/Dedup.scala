@@ -1094,6 +1094,29 @@ object Dedup {
     hammingPairs(withSim, "doc", "sim", SimHashBits, maxDist)
   }
 
+  /** LSH parameter planning (driver-side analysis, no data touched):
+    * with `bands` bands of `rows` hashes, a pair at Jaccard similarity
+    * `s` collides in ≥1 band with probability `1 − (1 − s^rows)^bands`
+    * (the S-curve), and the curve's threshold — where catch probability
+    * crosses ~½ — sits near `(1/bands)^(1/rows)`. A pipeline sizes
+    * (bands, rows) by checking the catch rate AT its dedup threshold
+    * and the false-candidate rate below it; this makes the existing
+    * `numHashes = bands·rows` choice auditable instead of folklore.
+    * Pure driver floats (an ADVISORY number, never data-path — the
+    * data path stays on exact hashes). */
+  def lshCatchProbability(s: Double, bands: Int, rows: Int): Double = {
+    require(s >= 0.0 && s <= 1.0, s"similarity out of [0,1]: $s")
+    require(bands >= 1 && rows >= 1, s"bad bands=$bands rows=$rows")
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+  }
+
+  /** The S-curve's approximate threshold `(1/bands)^(1/rows)` — pairs
+    * above it are mostly caught, below it mostly skipped. */
+  def lshThreshold(bands: Int, rows: Int): Double = {
+    require(bands >= 1 && rows >= 1, s"bad bands=$bands rows=$rows")
+    math.pow(1.0 / bands, 1.0 / rows)
+  }
+
   /** Deterministic integer PageRank over ANY undirected pair graph
     * (near-dup pairs, mutual-kNN pairs, shared-span pairs — the same
     * fingerprint-agnostic posture as [[dedupClusters]]): the

@@ -272,6 +272,49 @@ object Similarity {
       .select(col("c_id"), col("b.cent_id").as("cell"),
         col("b.c_vec").as("c_vec"), col("b.c_norm").as("c_norm"))
 
+  /** IVF cluster-quality report — the "is my quantizer healthy" panel
+    * read before trusting an index build: per trained cell, its member
+    * count and corpus share (a dominant cell re-creates the quadratic
+    * blowup semantic dedup and IVF pruning exist to avoid — the signal
+    * to raise k or split the cell), plus exact int64 L2 cohesion on the
+    * dyadic grid (`dd_j = floor(x_j·2¹²) − floor(c_j·2¹²)`, both sides
+    * exact: float·2¹² is exact in double, and the trained centroid's
+    * floats are dyadic rationals) — sum/max/mean squared distance to
+    * the OWN-cell centroid; a cell whose mean dwarfs the others is a
+    * junk-drawer cell. Shape: one assignment pass, one posexplode
+    * groupBy (n·d rows collapse to n, map-side combinable), a
+    * |cells|-row rollup with a broadcast 1-row total. Output:
+    * `(cell, n, share_bp, sum_d2, max_d2, mean_d2)`; empty cells are
+    * absent (their row would be all zeros). */
+  def cellQualityReport(df: DataFrame, id: String, vec: String,
+                        cent: DataFrame): DataFrame = {
+    val c = df.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val asg = assignCells(c, cent)
+    val centExploded = cent.select(col("cent_id").as("cell"),
+        posexplode(col("cent_vec")).as(Seq("j", "cx")))
+      .select(col("cell"), col("j"),
+        floor(col("cx").cast("double") * 4096).cast("long").as("cq"))
+    val d2 = asg
+      .select(col("cell"), col("c_id"),
+        posexplode(col("c_vec")).as(Seq("j", "x")))
+      .join(broadcast(centExploded), Seq("cell", "j"))
+      .select(col("cell"), col("c_id"),
+        (floor(col("x").cast("double") * 4096).cast("long") - col("cq"))
+          .as("dd"))
+      .groupBy(col("cell"), col("c_id"))
+      .agg(sum(col("dd") * col("dd")).as("d2"))
+    val per = d2.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"),
+        max(col("d2")).as("max_d2"))
+    val tot = per.agg(sum(col("n")).as("__t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"),
+        expr("(10000 * n) div __t").as("share_bp"),
+        col("sum_d2"), col("max_d2"),
+        expr("sum_d2 div n").as("mean_d2"))
+  }
+
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the trained coarse
     * quantizer ([[trainIvfCentroids]]), then compare pairs WITHIN each

@@ -575,6 +575,17 @@ class DedupSpec extends SparkSpec {
     assert(grams == Set(("X", "Y", 6L, 7L, 5L)))
   }
 
+  test("lsh planning helpers: S-curve catch probability and threshold") {
+    // bands=4, rows=3 (the q17 configuration): threshold (1/4)^(1/3)
+    assert(math.abs(Dedup.lshThreshold(4, 3) - 0.6299605) < 1e-6)
+    // hand S-curve: s=0.9 → 1 − (1 − 0.729)^4
+    assert(math.abs(Dedup.lshCatchProbability(0.9, 4, 3) -
+      (1 - math.pow(1 - 0.729, 4))) < 1e-12)
+    // far below threshold mostly skipped; far above mostly caught
+    assert(Dedup.lshCatchProbability(0.2, 4, 3) < 0.04)
+    assert(Dedup.lshCatchProbability(0.95, 4, 3) > 0.99)
+  }
+
   test("pairGraphRank: hand-computed integer rounds on a path graph") {
     // path 1–2–3, degrees (1, 2, 1), base 2^20 = 1048576:
     //  round 1: leaves (3·2^20 + 17·⌊2^20/2⌋) div 20 = 602931,

@@ -497,6 +497,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("cellQualityReport: exact dyadic-grid cohesion and share arithmetic") {
+    // member 2 sits in cell 1 offset by 0.25 on dim 1 → dd = 1024,
+    // d2 = 1024² ; member 3 is cell 2's only member at twice the
+    // centroid's length → dd = 4096, d2 = 4096²
+    val cent = Seq((1L, Seq(1.0f, 0.0f), 1.0), (2L, Seq(0.0f, 1.0f), 1.0))
+      .toDF("cent_id", "cent_vec", "cent_norm")
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.25f)),
+      (3L, Seq(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.cellQualityReport(df, "vec_id", "embedding", cent)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((2L, 6666L, 1048576L, 1048576L, 524288L)),
+      s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 3333L, 16777216L, 16777216L, 16777216L)))
+    assert(out.size == 2)
+  }
+
   test("mutualKnnPairs: mutuality filters hub asymmetry; RRF margin arithmetic") {
     // 1↔2 are each other's NN; 4 sits between the (1,2) cluster and 3.
     // k = 2 top-2 sets: 1→{2,4}, 2→{1,4}, 3→{4,2}, 4→{2,1}.
