@@ -5726,6 +5726,39 @@ object Queries {
             FROM per, tot"""
     }))
 
+  /** Active-learning uncertainty sampling (Curation.uncertaintySample):
+    * the 50 documents whose trained-classifier score sits closest to
+    * the decision boundary — the label-next set that closes the
+    * train→score→label→retrain loop; exact integer scores make the
+    * selection engine-reproducible. */
+  private val q175 = QDef("q175_uncertainty_sample",
+    (s, d) => {
+      val (wts, b) = trainedQualityClf(s, d)
+      Curation.uncertaintySample(emb(s, d), "vec_id", "embedding",
+        wts, b, k = 50)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (wts, b) = trainedQualityClf(s, d)
+      val rows = wts.zipWithIndex
+        .map { case (wt, j) => s"(${j + 1}, $wt)" }.mkString(", ")
+      s"""WITH m AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS mv
+               FROM embeddings),
+             w AS (SELECT * FROM (VALUES $rows) AS t(j, wt)),
+             sc AS (SELECT m.vec_id,
+                      CAST(sum(m.mv[w.j] * w.wt) + ($b) AS BIGINT) AS score
+                    FROM m, w GROUP BY 1),
+             r AS (SELECT vec_id, score, CAST(abs(score) AS BIGINT)
+                       AS abs_score,
+                     row_number() OVER (ORDER BY abs(score), vec_id)
+                       AS sel_rank
+                   FROM sc)
+          SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, score,
+                 abs_score
+          FROM r WHERE sel_rank <= 50"""
+    }))
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5738,7 +5771,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -668,6 +668,30 @@ object Curation {
         (col("n_a") * col("__tb") - col("n_b") * col("__ta")).as("dev"))
   }
 
+  /** Uncertainty sampling — the active-learning selection step that
+    * closes the classifier loop (train on a seed → score the corpus →
+    * LABEL NEXT the documents the model is least sure about → retrain):
+    * the k rows whose integer score sits closest to the decision
+    * boundary (|score| ascending, id tie-break — all exact, so the
+    * selected set is engine-reproducible, unlike margin sampling on
+    * float probabilities). Scoring is the row-local codegen'd
+    * [[qualityScoreExpr]] literal dot; selection is a bounded
+    * TakeOrdered, never a corpus sort. Output:
+    * `(sel_rank, id, score, abs_score)`. */
+  def uncertaintySample(df: DataFrame, id: String, vec: String,
+                        weights: Array[Long], bias: Long,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val scored = df.select(col(id),
+        qualityScoreExpr(col(vec), weights, bias).as("score"))
+      .withColumn("abs_score", abs(col("score")))
+    val top = scored.orderBy(col("abs_score").asc, col(id).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("abs_score").asc, col(id).asc)
+    top.withColumn("sel_rank", row_number().over(w).cast("int"))
+      .select(col("sel_rank"), col(id), col("score"), col("abs_score"))
+  }
+
   /** Declarative data-quality constraints (the Deequ-style validation
     * suite a 100 TB ingest runs before publishing a snapshot). Nulls are
     * judged ONLY by [[NotNull]]: [[InRange]]/[[AcceptedValues]] skip null

@@ -438,6 +438,22 @@ class CurationSpec extends SparkSpec {
     assert(applied == Set((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 0)))
   }
 
+  test("uncertaintySample: boundary-closest first, id tie-break, cap") {
+    // weights (4096, 0), bias 0 → score = floor(x·4096)·4096: ids at
+    // x = 0.25, −0.5, 1.0 score 4194304, −8388608, 16777216 → |score|
+    // order 1, 2, 3; ids 4/5 tie at x = 0.25 → id ascending
+    val df = Seq((1L, Seq(0.25f, 0.9f)), (2L, Seq(-0.5f, 0.1f)),
+      (3L, Seq(1.0f, -0.7f)), (4L, Seq(0.25f, 0.0f)),
+      (5L, Seq(0.25f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Curation.uncertaintySample(df, "vec_id", "embedding",
+        Array(4096L, 0L), 0L, k = 4)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 4L, 5L, 2L), s"got $out")
+    assert(out.map(_._1) == Seq(1, 2, 3, 4))
+    assert(out.head._3 == 4194304L && out.head._4 == 4194304L)
+    assert(out(3)._3 == -8388608L && out(3)._4 == 8388608L)
+  }
+
   test("checkConstraints: fused row-local counts, unique excess, FK orphans") {
     // one planted violation per rule: row 2 null v + bad flag, row 3 out
     // of range, rows 1/2 share key 10, row 4's key 12 has no ref match,
