@@ -5759,6 +5759,48 @@ object Queries {
           FROM r WHERE sel_rank <= 50"""
     }))
 
+  /** Shot-aware keyframes (Multimodal.videoKeyframes over the q130
+    * M-JPEG fixture): one representative frame per detected shot —
+    * consecutive-frame dHash distance is `8·popcount(p_{j−1} ⊕ p_j)`
+    * in closed form, so shots and keyframes are pure integer SQL over
+    * the real decode→hash→segment chain. */
+  private val q176 = QDef("q176_video_keyframes",
+    (s, d) => {
+      import s.implicits._
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id % 11 == 0)
+        .mapPartitions(_.map { id =>
+          val frames = (0 until 3 + (id % 4).toInt).map { j =>
+            val p = ((id * 7 + j) % 128).toInt
+            val grays = new Array[Int](9)
+            grays(0) = 128
+            (0 until 8).foreach(x => grays(x + 1) =
+              grays(x) + (if (((p >> x) & 1) == 1) 8 else -8))
+            Multimodal.hstripeJpeg(grays, 8)
+          }
+          val blob = Multimodal.mjpegMp4(9, 8, timescale = 1000,
+            frameDur = 100, frames)
+          graft.ops.MediaItem(id, "video", blob, "video/mp4",
+            blob.length.toLong)
+        })
+      Multimodal.videoKeyframes(items, minDist = 24, stride = 1)
+    },
+    Some("""WITH fr AS (SELECT doc_id, j,
+                CASE WHEN j >= 1 AND 8 * bit_count(xor(
+                    (doc_id * 7 + j - 1) % 128,
+                    (doc_id * 7 + j) % 128)) >= 24
+                  THEN 1 ELSE 0 END AS is_cut
+              FROM documents, UNNEST(range(0, 3 + doc_id % 4)) AS t(j)
+              WHERE doc_id % 11 = 0),
+            sh AS (SELECT doc_id, j,
+                     sum(is_cut) OVER (PARTITION BY doc_id ORDER BY j)
+                       AS shot
+                   FROM fr)
+            SELECT doc_id AS item_id, CAST(shot AS BIGINT) AS shot,
+                   CAST(min(j) AS BIGINT) AS key_frame_idx,
+                   CAST(count(*) AS BIGINT) AS n_frames
+            FROM sh GROUP BY 1, 2"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5771,7 +5813,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -970,6 +970,42 @@ object Multimodal {
       .select(col("item_id"), col("frame_idx"), col("hd"))
   }
 
+  /** Shot-aware keyframe selection — the curation sampler one step
+    * smarter than a fixed stride ([[sampleEveryNth]]): segment each
+    * video at its detected scene cuts (the [[videoSceneCuts]] dHash
+    * distance, threshold `minDist`) and keep ONE representative frame
+    * per shot (its first) — a static shot contributes one frame no
+    * matter how long, a rapid montage keeps one per cut. Per-video
+    * lag + running-cut-count windows (tiny per-key partitions, the
+    * sanctioned shape); pixels never shuffle — only `(item, frame,
+    * hash)` rows do. Output: `(item_id, shot, key_frame_idx,
+    * n_frames)`. */
+  def videoKeyframes(items: Dataset[MediaItem], minDist: Int,
+                     stride: Int = 1, hashW: Int = 8,
+                     hashH: Int = 8): DataFrame = {
+    import items.sparkSession.implicits._
+    require(minDist >= 0, s"minDist must be >= 0, got $minDist")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"dhash bits must fit int64: ${hashW}x$hashH")
+    val frames = sampleEveryNth(explodeFrames(items).toDF, "frame_idx",
+      stride).as[VideoFrame]
+    val fh = frames.mapPartitions(_.map(f =>
+      (f.item_id, f.frame_idx, dhashOf(f.blob, hashW, hashH))))
+      .toDF("item_id", "frame_idx", "fh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_id")).orderBy(col("frame_idx"))
+    fh.withColumn("__prev", lag(col("fh"), 1).over(w))
+      .withColumn("__cut",
+        when(col("__prev").isNotNull &&
+          bit_count(col("fh").bitwiseXOR(col("__prev"))) >= minDist,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("shot", sum(col("__cut")).over(w))
+      .groupBy(col("item_id"), col("shot"))
+      .agg(min(col("frame_idx")).cast("long").as("key_frame_idx"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Video near-duplicate pairs: [[videoFingerprint]] signatures joined
     * by the SHARED pigeonhole Hamming banding ([[Dedup.hammingPairs]] —
     * the one implementation text/image/audio already band through).

@@ -327,6 +327,29 @@ class MultimodalSpec extends SparkSpec {
     assert(strided == Seq((1L, 2, 8)))
   }
 
+  test("videoKeyframes: one representative per shot, static tail collapses") {
+    def stripe(p: Int): Array[Byte] = {
+      val grays = new Array[Int](9)
+      grays(0) = 128
+      (0 until 8).foreach(x => grays(x + 1) =
+        grays(x) + (if (((p >> x) & 1) == 1) 8 else -8))
+      Multimodal.hstripeJpeg(grays, 8)
+    }
+    // frames: p = 5, 5, 4, 4, 4 → one cut at frame 2 → shot 0 = {0, 1},
+    // shot 1 = {2, 3, 4}: the long static tail contributes ONE keyframe
+    val blob = Multimodal.mjpegMp4(9, 8, 1000, 100,
+      Seq(stripe(5), stripe(5), stripe(4), stripe(4), stripe(4)))
+    val items = Seq(
+      MediaItem(1L, "video", blob, "video/mp4", blob.length.toLong)).toDS()
+    val shots = Multimodal.videoKeyframes(items, minDist = 1, stride = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(shots == Seq((1L, 0L, 0L, 2L), (1L, 1L, 2L, 3L)), s"got $shots")
+    // a threshold above every jump keeps the whole video as one shot
+    val one = Multimodal.videoKeyframes(items, minDist = 9, stride = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 0L, 0L, 5L)))
+  }
+
   test("sniffImageHeader: real encoder headers, hand headers, garbage") {
     // real encoders: sniffed dims = encoded dims, no decode involved
     assert(Multimodal.sniffImageHeader(Multimodal.solidPng(17, 9, 1, 2, 3))
