@@ -685,10 +685,18 @@ object Curation {
     val scored = df.select(col(id),
         qualityScoreExpr(col(vec), weights, bias).as("score"))
       .withColumn("abs_score", abs(col("score")))
-    val top = scored.orderBy(col("abs_score").asc, col(id).asc).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("abs_score").asc, col(id).asc)
-    top.withColumn("sel_rank", row_number().over(w).cast("int"))
+    // bounded TakeOrdered; ranks on the ≤k survivors via the
+    // broadcast-tiny self-join (q77 idiom), never an unpartitioned
+    // window; persisted so both join sides reuse one scoring pass
+    val top = Caches.track(
+      scored.orderBy(col("abs_score").asc, col(id).asc).limit(k)
+        .persist())
+    val b = top.select(col("abs_score").as("__ba"), col(id).as("__bi"))
+    top.join(broadcast(b),
+        col("__ba") < col("abs_score") ||
+          (col("__ba") === col("abs_score") && col("__bi") <= col(id)))
+      .groupBy(col(id), col("score"), col("abs_score"))
+      .agg(count(lit(1)).cast("int").as("sel_rank"))
       .select(col("sel_rank"), col(id), col("score"), col("abs_score"))
   }
 

@@ -1038,10 +1038,19 @@ object TextAnalysis {
       .filter(col("__n") >= minPairCount)
       .select(col("a_id"), col("b_id"))
     val ranked = graft.ops.Dedup.pairGraphRank(pairs, iters)
-    val top = ranked.orderBy(col("rank_q").desc, col("node")).limit(topK)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rank_q").desc, col("node"))
-    top.withColumn("rank", row_number().over(w).cast("int"))
+    // bounded top-k via TakeOrdered; ranks on the ≤k survivors come
+    // from a broadcast-tiny self-join (the q77 idiom — an unpartitioned
+    // row_number window is the plan shape PlanGuard bans), persisted
+    // because both sides would otherwise re-run the whole rank chain
+    val top = Caches.track(
+      ranked.orderBy(col("rank_q").desc, col("node")).limit(topK)
+        .persist())
+    val rb = top.select(col("rank_q").as("__rq"), col("node").as("__bn"))
+    top.join(broadcast(rb),
+        col("__rq") > col("rank_q") ||
+          (col("__rq") === col("rank_q") && col("__bn") <= col("node")))
+      .groupBy(col("node"), col("degree"), col("rank_q"))
+      .agg(count(lit(1)).cast("int").as("rank"))
       .select(col("rank"), col("node").as("word"), col("degree"),
         col("rank_q"))
   }
