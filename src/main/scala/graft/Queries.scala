@@ -5801,6 +5801,25 @@ object Queries {
                    CAST(count(*) AS BIGINT) AS n_frames
             FROM sh GROUP BY 1, 2"""), bench = true)
 
+  /** Per-window trending (EventOps.topKPerWindow): the 5 busiest
+    * sources each day — one (window, key) groupBy + a window-partitioned
+    * rank, exact epoch-second window starts. */
+  private val q177 = QDef("q177_trending",
+    (s, d) => EventOps.topKPerWindow(events(s, d), "user_id", "ts",
+      windowSec = 86400L, k = 5),
+    Some("""WITH c AS (SELECT
+                CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000)
+                    + 86400000000) % 86400000000) // 1000000 AS BIGINT)
+                  AS win_start,
+                user_id, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT win_start, user_id, n, row_number() OVER (
+                    PARTITION BY win_start ORDER BY n DESC, user_id)
+                    AS rank
+                  FROM c)
+            SELECT win_start, CAST(rank AS INT) AS rank, user_id, n
+            FROM r WHERE rank <= 5"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5813,7 +5832,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

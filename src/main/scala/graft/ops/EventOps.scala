@@ -432,4 +432,31 @@ object EventOps {
         expr(s"(__w - cohort) div $windowSec").cast("long").as("offset_w"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Per-window top-k trending — "what was hottest each hour/day": per
+    * tumbling window, the k keys with the most events, ranked count
+    * DESC then key ASC (the q19 tie-break). ONE (window, key) groupBy
+    * (map-side combinable — the only corpus-scale shuffle), then the
+    * rank window PARTITIONED BY WINDOW over the per-window key
+    * inventory (the sanctioned per-key window shape — never a global
+    * sort). Windows bucket by the exact integer `ts − ts mod w` form.
+    * Output: `(win_start, rank, key, n)`. */
+  def topKPerWindow(df: DataFrame, key: String, ts: String,
+                    windowSec: Long, k: Int): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1: $windowSec")
+    require(k >= 1, s"k must be >= 1: $k")
+    val us = windowSec * 1000000L
+    val counts = df
+      .select(col(key).as("__k"),
+        expr(s"(unix_micros($ts) - pmod(unix_micros($ts), ${us}L)) " +
+          s"div 1000000").as("win_start"))
+      .groupBy(col("win_start"), col("__k"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start"))
+      .orderBy(col("n").desc, col("__k"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("win_start"), col("rank"), col("__k").as(key), col("n"))
+  }
 }

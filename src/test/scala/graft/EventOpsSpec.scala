@@ -288,4 +288,26 @@ class EventOpsSpec extends SparkSpec {
       (D, 0L, 1L), // day-1 cohort: u3
       (D, 1L, 1L))) // u3 at day 2 = offset 1
   }
+
+  test("topKPerWindow: per-window counts, tie to smaller key, cap") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // window [0,10): u1×2, u2×2, u3×1 → ranks u1, u2 (tie 2-2 → smaller
+    // key), u3 cut by k = 2; window [10,20): u3×1 alone
+    val df = Seq(
+      (t("2024-01-01 00:00:01"), 1L), (t("2024-01-01 00:00:02"), 1L),
+      (t("2024-01-01 00:00:03"), 2L), (t("2024-01-01 00:00:04"), 2L),
+      (t("2024-01-01 00:00:05"), 3L), (t("2024-01-01 00:00:15"), 3L))
+      .toDF("ts", "user_id")
+    val out = EventOps.topKPerWindow(df, "user_id", "ts",
+        windowSec = 10L, k = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val w0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // win_start is epoch-seconds of the local-session timestamp; derive
+    // from the data itself to stay timezone-agnostic
+    val starts = out.map(_._1).toSeq.sorted
+    assert(starts.distinct.size == 2 && starts.max - starts.min == 10L)
+    val lo = starts.min
+    assert(out == Set((lo, 1, 1L, 2L), (lo, 2, 2L, 2L),
+      (lo + 10L, 1, 3L, 1L)), s"got $out (w0=$w0)")
+  }
 }
