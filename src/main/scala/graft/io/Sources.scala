@@ -83,4 +83,40 @@ object Sources {
       .filter(col("cmd.command").isNotNull)
       .select(carried :+ col("cmd.*"): _*)
   }
+
+  /** JSONL corpus ingestion with corrupt-row QUARANTINE — the entry
+    * point of the training-data pipeline (raw crawls/dumps arrive as
+    * JSON lines, and some lines are always garbage): parse each line
+    * against the declared schema; lines that are not valid JSON route
+    * to the quarantine side WITH their raw text (debuggable, never
+    * silently dropped — the row-count reconciliation a pipeline
+    * dashboard needs: good + quarantined = input). Field-LEVEL
+    * validation deliberately stays out: compose the good side with
+    * [[graft.ops.Curation.checkConstraints]] (nulls, ranges, keys) and
+    * gate the publish with [[Snapshots.publishChecked]] — together the
+    * full ingest→validate→publish story. Row-local `from_json`, no
+    * shuffle; both sides are lazy views of one text scan. */
+  def jsonlCorpus(spark: SparkSession, path: String,
+                  schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    // the corrupt-record column is the reliable malformed test —
+    // PERMISSIVE from_json partial-parses garbage like "{broken" into a
+    // struct of nulls, so j IS NOT NULL alone under-quarantines
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema may not declare _corrupt_record")
+    val withCorrupt = schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value"),
+        from_json(col("value"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+    val good = parsed
+      .filter(col("j").isNotNull && col("j._corrupt_record").isNull)
+      .select("j.*").drop("_corrupt_record")
+    val quarantined = parsed
+      .filter(col("j").isNull || col("j._corrupt_record").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, quarantined)
+  }
 }

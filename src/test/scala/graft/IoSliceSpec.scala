@@ -96,4 +96,24 @@ class IoSliceSpec extends SparkSpec {
     assert(out.getAs[String]("topic") == "nvr/detections/7")
     assert(out.getAs[String]("payload").contains("\"frame_id\":1"))
   }
+
+  test("jsonlCorpus: good lines parse, garbage quarantines with raw text") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("jsonl")
+    val f = dir.resolve("part.jsonl")
+    Files.write(f, String.join("\n",
+      """{"doc_id": 1, "text": "hello"}""",
+      "not json at all",
+      """{"doc_id": 2, "text": "world"}""",
+      "{broken").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val (good, bad) = Sources.jsonlCorpus(spark, f.toString, schema)
+    assert(good.as[(Long, String)].collect().toSet ==
+      Set((1L, "hello"), (2L, "world")))
+    // quarantine keeps the raw line, and the split reconciles exactly
+    assert(bad.as[String].collect().toSet ==
+      Set("not json at all", "{broken"))
+    assert(good.count() + bad.count() == 4L)
+  }
 }
