@@ -5820,6 +5820,54 @@ object Queries {
             SELECT win_start, CAST(rank AS INT) AS rank, user_id, n
             FROM r WHERE rank <= 5"""), bench = true)
 
+  /** Cohen's κ of declared vs predicted language (Curation.cohenKappa
+    * over the q159 confusion relation): chance-corrected agreement —
+    * the one-number answer to "can I trust the lang column", exact
+    * int64 terms + one single-rounded ratio. */
+  private val q178 = QDef("q178_label_kappa",
+    (s, d) => {
+      val dd = docs(s, d)
+      Curation.cohenKappa(
+        dd.select(col("doc_id"), col("lang"))
+          .join(TextAnalysis.langIdTable(dd, "doc_id", "text"), "doc_id"),
+        "lang", "lang_pred")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x <> '') AS toks
+              FROM documents),
+            sc AS (SELECT doc_id, lang,
+              len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
+              len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+              len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
+              len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+              len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+              FROM t),
+            pred AS (SELECT doc_id, lang,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+              FROM sc),
+            cf AS (SELECT lang AS a, lang_pred AS b, count(*) AS cn
+                   FROM pred GROUP BY 1, 2),
+            tt AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+                     CAST(COALESCE(sum(CASE WHEN a = b THEN cn END), 0)
+                       AS BIGINT) AS n_agree
+                   FROM cf),
+            r AS (SELECT a AS k, sum(cn) AS ra FROM cf GROUP BY 1),
+            c AS (SELECT b AS k, sum(cn) AS cb FROM cf GROUP BY 1),
+            rc AS (SELECT CAST(COALESCE(sum(ra * cb), 0) AS BIGINT)
+                       AS sum_rc
+                   FROM r JOIN c USING (k))
+            SELECT n, n_agree, sum_rc,
+                   CASE WHEN n * n - sum_rc = 0 THEN 0.0
+                     ELSE round(CAST(n * n_agree - sum_rc AS DOUBLE) /
+                       (n * n - sum_rc), 6) END AS kappa
+            FROM tt, rc"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5832,7 +5880,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

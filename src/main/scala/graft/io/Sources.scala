@@ -96,8 +96,12 @@ object Sources {
     * gate the publish with [[Snapshots.publishChecked]] — together the
     * full ingest→validate→publish story. Row-local `from_json`, no
     * shuffle; both sides are lazy views of one text scan. */
-  def jsonlCorpus(spark: SparkSession, path: String,
-                  schema: org.apache.spark.sql.types.StructType)
+  /** The parse/quarantine split over ANY `value: string` line relation
+    * — batch ([[jsonlCorpus]]) and streaming ([[jsonlCorpusStream]])
+    * share it, so verdicts are identical by construction. Both sides
+    * are lazy row-local views of the same scan. */
+  def jsonlParse(lines: DataFrame,
+                 schema: org.apache.spark.sql.types.StructType)
       : (DataFrame, DataFrame) = {
     // the corrupt-record column is the reliable malformed test —
     // PERMISSIVE from_json partial-parses garbage like "{broken" into a
@@ -106,7 +110,7 @@ object Sources {
       "schema may not declare _corrupt_record")
     val withCorrupt = schema
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .select(col("value"),
         from_json(col("value"), withCorrupt,
           Map("mode" -> "PERMISSIVE",
@@ -119,4 +123,22 @@ object Sources {
       .select(col("value").as("raw_line"))
     (good, quarantined)
   }
+
+  def jsonlCorpus(spark: SparkSession, path: String,
+                  schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) =
+    jsonlParse(spark.read.text(path), schema)
+
+  /** Streaming JSONL ingest with quarantine: the same stateless
+    * [[jsonlParse]] split over a file stream — route `good` into the
+    * pipeline and `quarantined` to a dead-letter sink (two writeStreams
+    * over one source; both append-mode, no state). Corrupt lines are
+    * VISIBLE at ingest instead of poisoning a batch downstream. */
+  def jsonlCorpusStream(spark: SparkSession, dir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        maxFilesPerTrigger: Int = 16)
+      : (DataFrame, DataFrame) =
+    jsonlParse(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(dir), schema)
 }

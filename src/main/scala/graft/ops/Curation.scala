@@ -668,6 +668,38 @@ object Curation {
         (col("n_a") * col("__tb") - col("n_b") * col("__ta")).as("dev"))
   }
 
+  /** Inter-annotator agreement (Cohen's κ) — the labeling-pipeline
+    * health check chance-corrected agreement gives and raw accuracy
+    * doesn't (two annotators who always answer the majority class agree
+    * often by luck alone): `κ = (n·n_agree − Σ_k row_k·col_k) /
+    * (n² − Σ_k row_k·col_k)`, every term an exact int64 from ONE
+    * corpus pass into the label-bounded confusion table (persisted —
+    * four consumers, recompute crosses the aggregate), the ratio
+    * single-rounded; a degenerate chance term (pe = 1) reports 0.
+    * Works on any two categorical columns — annotator pairs, declared
+    * vs predicted metadata, model vs model. Output: one row
+    * `(n, n_agree, sum_rc, kappa)`. */
+  def cohenKappa(df: DataFrame, a: String, b: String): DataFrame = {
+    val conf = Caches.track(
+      df.select(col(a).cast("string").as("__a"),
+          col(b).cast("string").as("__b"))
+        .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("n"))
+        .persist())
+    val tot = conf.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("n"))
+        .otherwise(lit(0L))), lit(0L)).as("n_agree"))
+    val rows = conf.groupBy(col("__a").as("k")).agg(sum(col("n")).as("ra"))
+    val cols = conf.groupBy(col("__b").as("k")).agg(sum(col("n")).as("cb"))
+    val rc = rows.join(cols, Seq("k"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("sum_rc"))
+    tot.crossJoin(broadcast(rc))
+      .select(col("n"), col("n_agree"), col("sum_rc"),
+        when(col("n") * col("n") - col("sum_rc") === 0L, lit(0.0))
+          .otherwise(round(
+            (col("n") * col("n_agree") - col("sum_rc")).cast("double") /
+              (col("n") * col("n") - col("sum_rc")), 6)).as("kappa"))
+  }
+
   /** Uncertainty sampling — the active-learning selection step that
     * closes the classifier loop (train on a seed → score the corpus →
     * LABEL NEXT the documents the model is least sure about → retrain):

@@ -438,6 +438,29 @@ class CurationSpec extends SparkSpec {
     assert(applied == Set((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 0)))
   }
 
+  test("cohenKappa: hand confusion, the always-majority trap, edge cases") {
+    // classic 2×2: yy 20, yn 5, ny 10, nn 15 → po 0.7, pe 0.5, κ 0.4
+    def rep(a: String, b: String, k: Int) = Seq.fill(k)((a, b))
+    val cls = (rep("y", "y", 20) ++ rep("y", "n", 5) ++ rep("n", "y", 10)
+      ++ rep("n", "n", 15)).toDF("a", "b")
+    val out = Curation.cohenKappa(cls, "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(out == ((50L, 35L, 1250L, 0.4)), s"got $out")
+    // an annotator who always answers the majority class scores 60 %
+    // raw accuracy but EXACTLY κ = 0 — the chance correction working
+    val lazyB = (rep("y", "y", 3) ++ rep("n", "y", 2)).toDF("a", "b")
+    assert(Curation.cohenKappa(lazyB, "a", "b")
+      .as[(Long, Long, Long, Double)].head() == ((5L, 3L, 15L, 0.0)))
+    // perfect diverse agreement → 1; constant-both (pe = 1) → 0 by
+    // convention, not a division blow-up
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(Curation.cohenKappa(perfect, "a", "b")
+      .as[(Long, Long, Long, Double)].head()._4 == 1.0)
+    val const = rep("x", "x", 3).toDF("a", "b")
+    assert(Curation.cohenKappa(const, "a", "b")
+      .as[(Long, Long, Long, Double)].head() == ((3L, 3L, 9L, 0.0)))
+  }
+
   test("uncertaintySample: boundary-closest first, id tie-break, cap") {
     // weights (4096, 0), bias 0 → score = floor(x·4096)·4096: ids at
     // x = 0.25, −0.5, 1.0 score 4194304, −8388608, 16777216 → |score|

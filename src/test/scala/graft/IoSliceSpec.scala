@@ -115,5 +115,19 @@ class IoSliceSpec extends SparkSpec {
     assert(bad.as[String].collect().toSet ==
       Set("not json at all", "{broken"))
     assert(good.count() + bad.count() == 4L)
+    // the streaming form shares the parse: same split over a file stream
+    val (goodS, badS) = Sources.jsonlCorpusStream(spark, dir.toString,
+      schema)
+    val q1 = goodS.writeStream.format("memory").queryName("jl_good")
+      .outputMode("append").start()
+    val q2 = badS.writeStream.format("memory").queryName("jl_bad")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("jl_good").as[(Long, String)].collect().toSet ==
+        good.as[(Long, String)].collect().toSet)
+      assert(spark.table("jl_bad").as[String].collect().toSet ==
+        bad.as[String].collect().toSet)
+    } finally { q1.stop(); q2.stop() }
   }
 }
