@@ -5868,6 +5868,19 @@ object Queries {
                        (n * n - sum_rc), 6) END AS kappa
             FROM tt, rc"""), bench = true)
 
+  /** k-fold CV assignment (Sampling.kFoldAssign): 5 folds by
+    * (id, salt)-hash — per fold, size and id checksum pin the exact
+    * membership. */
+  private val q179 = QDef("q179_kfold_assign",
+    (s, d) => Sampling.kFoldAssign(docs(s, d), "doc_id", k = 5,
+        salt = "cv")
+      .groupBy("fold").agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum")),
+    Some(s"""SELECT ${sqlHash60("doc_id", "cv")} % 5 AS fold,
+                    count(*) AS n_docs,
+                    CAST(sum(doc_id) AS BIGINT) AS id_sum
+             FROM documents GROUP BY 1"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5880,7 +5893,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

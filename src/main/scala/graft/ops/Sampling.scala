@@ -241,6 +241,20 @@ object Sampling {
       .drop("__eh")
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold =
+    * `hash60(id, salt) mod k` — every row in exactly one fold, folds
+    * near-equal by hash uniformity, membership auditable and
+    * growth-stable like every split here ([[splitAssign]] covers
+    * weighted named splits; this is the equal-k eval protocol). Train
+    * set for round j = rows with `fold ≠ j`; compose with
+    * [[graft.ops.Curation.familySplitAssign]]'s family closure when
+    * near-dup leakage matters across folds. */
+  def kFoldAssign(df: DataFrame, id: String, k: Int,
+                  salt: String): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    df.withColumn("fold", pmod(hash60(col(id), salt), lit(k.toLong)))
+  }
+
   /** Deterministic train/val/test (or any) split assignment by hash
     * bands: `splits` maps label → UPPER bound on the unit hash, in
     * ascending order, last bound covering 1.0. Bounds are taken verbatim

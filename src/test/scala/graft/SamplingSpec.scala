@@ -510,6 +510,21 @@ class SamplingSpec extends SparkSpec {
     assert(kept == orig)
   }
 
+  test("kFoldAssign: exact partition, deterministic, roughly balanced") {
+    val df = (1L to 500L).toDF("id")
+    val folds = Sampling.kFoldAssign(df, "id", k = 5, salt = "cv")
+      .as[(Long, Long)].collect().toMap
+    // every row lands in exactly one fold in [0, 5)
+    assert(folds.size == 500 && folds.values.forall(f => f >= 0 && f < 5))
+    // deterministic replay
+    assert(Sampling.kFoldAssign(df, "id", k = 5, salt = "cv")
+      .as[(Long, Long)].collect().toMap == folds)
+    // all folds populated, none dominant (hash uniformity, loose bound)
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(n => n > 50 && n < 150),
+      s"got $sizes")
+  }
+
   test("paddedBatchPlan: hand bins by descending length, exact padding waste") {
     // one shard, budget 20; lengths 10,9,5,4,1 → exclusive runs
     // 0,10,19,24,28 → bins {10,9,5} and {4,1}; the first bin pads its
