@@ -1,0 +1,82 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B benchmark — the regression-attribution protocol the
+  * single-shot [[Bench]] can't provide: run-to-run machine-load swings
+  * (±25 % whole-run, documented in ARCHITECTURE.md) make two separate
+  * Bench runs incomparable at the per-query level, so "did THIS change
+  * move THIS query" keeps depending on luck. This main runs a named
+  * query set INTERLEAVED (q1,q2,…,qn, q1,q2,…,qn, …) for N rounds in
+  * ONE JVM, so every query samples the same load profile, and reports
+  * per-query min / median / max plus, for any pair named `x` and
+  * `x__old` (the convention for temporarily-registered baseline
+  * variants of a refactored query), the paired delta round by round.
+  *
+  * Usage:
+  * {{{
+  * sbt "runMain graft.BenchAB <sfDir> <rounds> <name1,name2,...>"
+  * }}}
+  * Same execution discipline as [[Bench]]: noop sink (whole plan
+  * executes), untimed warm-up pass of every listed query first (JIT +
+  * codegen + page cache), clearCache + GC between timed runs. Absolute
+  * numbers are NOT comparable to Bench headline numbers (different
+  * JVM/session history) — only the WITHIN-RUN comparisons mean
+  * anything. */
+object BenchAB {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: BenchAB <sfDir> <rounds> <q1,q2,...>")
+    val sfDir = args(0)
+    val rounds = args(1).toInt
+    val names = args(2).split(",").toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def runOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      dt
+    }
+    // untimed warm-up of every query (cold costs are per-plan)
+    names.foreach(runOnce)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { r =>
+      names.foreach { n =>
+        val t = runOnce(n)
+        times(n) = times(n) :+ t
+        println(f"[ab] round $r%2d $n%-28s $t%7.3f s")
+      }
+    }
+    def med(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    println("[ab] ---- summary (interleaved, one JVM) ----")
+    names.foreach { n =>
+      val v = times(n)
+      println(f"[ab] $n%-28s min ${v.min}%7.3f  med ${med(v)}%7.3f  " +
+        f"max ${v.max}%7.3f  (n=${v.size})")
+    }
+    // paired deltas for x vs x__old variants
+    names.filter(n => names.contains(n + "__old")).foreach { n =>
+      val a = times(n); val b = times(n + "__old")
+      val deltas = a.zip(b).map { case (x, y) => x - y }
+      println(f"[ab] PAIRED $n%-22s vs __old: med new ${med(a)}%7.3f  " +
+        f"med old ${med(b)}%7.3f  med paired delta ${med(deltas)}%+7.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -678,7 +678,15 @@ object Curation {
     * single-rounded; a degenerate chance term (pe = 1) reports 0.
     * Works on any two categorical columns — annotator pairs, declared
     * vs predicted metadata, model vs model. Output: one row
-    * `(n, n_agree, sum_rc, kappa)`. */
+    * `(n, n_agree, sum_rc, kappa)`.
+    *
+    * Bound: the exact-int64 chance term computes `n²` and
+    * `Σ row·col`, which overflow (ANSI throw — loud, never silent)
+    * once n exceeds ~3.03e9 labeled rows. Agreement tables are
+    * human-label-bounded in practice (millions, not billions); past
+    * that bound, κ on a consistent sample is statistically
+    * indistinguishable — sample, don't rescale to floats (a double
+    * chance term would cost the engine-exact hash contract). */
   def cohenKappa(df: DataFrame, a: String, b: String): DataFrame = {
     val conf = Caches.track(
       df.select(col(a).cast("string").as("__a"),
@@ -796,7 +804,10 @@ object Curation {
         }
       val one = df.agg(aggs.head, aggs.tail: _*)
       val stacked = rowLocal.zipWithIndex
-        .map { case ((lbl, _), i) => s"'$lbl', coalesce(__v$i, 0L)" }
+        // labels embed user column names — escape quotes so a name with
+        // an apostrophe can't break (or inject into) the stack() SQL
+        .map { case ((lbl, _), i) =>
+          s"'${lbl.replace("'", "''")}', coalesce(__v$i, 0L)" }
         .mkString(", ")
       parts += one.select(
         expr(s"stack(${rowLocal.size}, $stacked) as (rule, n_violations)"),

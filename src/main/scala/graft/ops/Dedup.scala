@@ -804,7 +804,11 @@ object Dedup {
     val fam = slim.groupBy(col("cluster"))
       .agg(count(lit(1)).as("family_size"),
         sum(col("__sz")).as("__fam_mass"),
-        max_by(col(id), struct(col("__sc"), -col(id))).as("__win"))
+        // min over (-score, id) = best score, tie -> smallest id — stays
+        // type-generic over any orderable id (negating the id instead
+        // would demand a signed numeric id and overflow at Long.MinValue;
+        // __sc is already declared int64 so -__sc is safe)
+        min_by(col(id), struct(-col("__sc"), col(id))).as("__win"))
     df.join(fam.select(col("__win").as(id), col("family_size"),
         col("__fam_mass")), Seq(id))
       .select(col(id), col(text), col("family_size"),

@@ -688,7 +688,11 @@ object Sampling {
     * sketch builder and the merge so both emit the same `lo`). */
   private[graft] def logHistLoCol(b: Column, subBits: Int): Column = {
     val sb = 1L << subBits
-    val shift = greatest(lit(0L), (b / sb).cast("long") - 1)
+    // bucket div 2^subBits as an exact integer shift (Column./ is DOUBLE
+    // division — exact only while buckets stay under 2^53; shiftright has
+    // no such cliff, and the b<0 guard means only the non-negative floor
+    // matters here)
+    val shift = greatest(lit(0L), shiftright(b.cast("long"), subBits) - 1)
     when(b < 0, lit(-1L))
       .otherwise((b - shift * sb) * pow(lit(2.0), shift).cast("long"))
   }

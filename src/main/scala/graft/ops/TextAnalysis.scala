@@ -754,14 +754,15 @@ object TextAnalysis {
   }
 
   /** Shared heavy half of the from-text retrieval family: the persisted
-    * per-doc length table, the persisted query-vocabulary `(doc, term,
-    * tf)` table, and the derived corpus stats. TWO corpus tokenize
-    * passes, not four: both persists' recomputes cross a doc-keyed
-    * shuffle (the persist-pays rule), the corpus totals derive FROM the
+    * per-doc length table, the query-vocabulary `(doc, term, tf)`
+    * table, and the derived corpus stats. ONE corpus tokenize pass
+    * (r7 had four, r8 two): a single (doc, vocab-term-or-NULL)
+    * aggregate feeds both tables, the corpus totals derive FROM the
     * length table (tTot = Σdl, nDocs = number of dl rows — identical
     * values to a direct count/countDistinct over the token stream), and
     * the per-term df derives from the tf table's rows instead of a
-    * second filtered scan. */
+    * second filtered scan. The persists cross the doc-keyed shuffle
+    * (the persist-pays rule). */
   private[graft] def bm25Core(df: DataFrame, id: String, text: String,
                        queries: DataFrame, qtext: String,
                        scaleBits: Int, maxQueryTerms: Int)
@@ -771,18 +772,26 @@ object TextAnalysis {
     val terms = queryVocab(queries, qtext, maxQueryTerms)
     val toks = df.select(col(id).as("doc"),
       explode(tokens(lower(col(text)))).as("term"))
+    // ONE corpus tokenize pass, not two (r8 had separate dld and tdq
+    // scans): aggregate at (doc, term-if-in-query-vocab-else-NULL)
+    // granularity — map-side combine collapses every out-of-vocabulary
+    // token to a single (doc, NULL) partial per doc per partition, so
+    // the one shuffle carries ≈ query-postings + one-row-per-doc. Both
+    // core tables derive from it with identical values: dl sums ALL the
+    // group counts per doc (vocab + the null group), tf is the non-null
+    // rows verbatim.
+    val grouped = Caches.track(
+      toks.groupBy(col("doc"),
+          when(col("term").isin(terms.map(lit): _*), col("term"))
+            .as("__t"))
+        .agg(count(lit(1)).as("cnt")).persist())
     val dld = Caches.track(
-      toks.groupBy(col("doc")).agg(count(lit(1)).as("dl")).persist())
+      grouped.groupBy(col("doc")).agg(sum(col("cnt")).as("dl")).persist())
     val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
       .as[(Long, Long)].collect().head
     require(tTot > 0, "bm25: corpus has no tokens")
-    // postings restricted to the query vocabulary BEFORE aggregation —
-    // the literal isin reaches the token scan, so everything downstream
-    // is ∝ query postings, not corpus size
-    val tdq = Caches.track(
-      toks.filter(col("term").isin(terms.map(lit): _*))
-        .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist())
+    val tdq = grouped.filter(col("__t").isNotNull)
+      .select(col("doc"), col("__t").as("term"), col("cnt").as("tf"))
     val dfMap = tdq.groupBy(col("term"))
       .agg(countDistinct(col("doc")).as("df"))
       .as[(String, Long)].collect().toMap
@@ -793,38 +802,130 @@ object TextAnalysis {
   private[graft] def bm25Rank(tdq: DataFrame, dld: DataFrame, tTot: Long,
                        nDocs: Long, idfRows: Seq[(String, Long)],
                        queries: DataFrame, qid: String, qtext: String,
-                       k: Int, scaleBits: Int): DataFrame = {
+                       k: Int, scaleBits: Int,
+                       prune: Boolean = false): DataFrame = {
     val spark = tdq.sparkSession
     import spark.implicits._
     val qt = queries.select(col(qid).as("q_id"),
         explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
     val s = 1L << scaleBits
-    val qterms = qt.join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
     val norm = dld.withColumn("norm_q",
       expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
-    val scored = tdq.join(broadcast(qterms), Seq("term"))
+    // The contribution has NO query dependence (idf is a per-term
+    // constant), so compute it once per POSTING — Σdf rows — before the
+    // q_id expansion. The r8 shape joined norm and evaluated the div
+    // chain on the Σdf·qf expanded relation, shuffling it through a
+    // sort-merge join; this shape's only expanded-row work is a
+    // broadcast q_id attach + the final (q_id, doc) aggregate. Same
+    // integers per row, so scores and hashes are unchanged.
+    val contribs = tdq
+      .join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
       .join(norm, Seq("doc"))
       .withColumn("contrib",
         expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
-      .groupBy(col("q_id"), col("doc"))
-      .agg(sum(col("contrib")).as("score_q"), count(lit(1)).as("n_terms"))
+      .select(col("doc"), col("term"), col("contrib"))
+    rankTopK(contribs, qt, k, prune)
+  }
+
+  /** Shared exact ranking over a per-posting contribution table
+    * `(doc, term, contrib)` + query terms `(q_id, term)`: per query the
+    * top-k docs by `Σ contrib` (score DESC, doc ASC), output
+    * `(q_id, rank, doc_id, score_q, n_terms)`.
+    *
+    * `prune = false` is term-at-a-time brute force: expand by a
+    * broadcast q_id attach (Σ_t df(t)·qf(t) rows — every posting row
+    * joins every query sharing its term), aggregate, window.
+    *
+    * `prune = true` is an EXACT MaxScore-style candidate pruning
+    * (Turtle & Flood's upper-bound idea, batch-relational form) for the
+    * regime where the expansion explodes — large query batches sharing
+    * common (high-df, low-idf) terms:
+    *
+    *  1. per-term max contribution `mc(t) = max_doc contrib` (one pass
+    *     over the persisted contribution table, output ∝ vocabulary);
+    *  2. a LOWER bound θ(q) on the final k-th score: each query's
+    *     anchor term = its max-mc term; θ = k-th highest single-term
+    *     contribution among the anchor's postings (partial scores are
+    *     lower bounds — contributions are non-negative);
+    *  3. essential terms: sort q's terms by mc ascending; the maximal
+    *     prefix with cumulative Σmc < θ (STRICT) is non-essential — a
+    *     doc matching ONLY those terms scores ≤ that prefix sum < θ,
+    *     while ≥ k docs (step 2's seeds) score ≥ θ, so it can never
+    *     reach the top k under any tie-break;
+    *  4. candidates = docs matching ≥ 1 essential term (every true
+    *     top-k doc does: its score ≥ θ exceeds the non-essential
+    *     prefix sum, so non-essential matches alone can't produce it);
+    *     candidates are then scored by the untouched exact chain.
+    *
+    * Queries with fewer than k seed postings get θ = null → no pruning
+    * (every term essential) → the brute plan. Both paths produce
+    * identical rows; the switch is pure plan shape. The pruned path
+    * pays ~3 extra passes over the (persisted) contribution table to
+    * shrink the expansion, so it wins only when qf is large — measured
+    * at sf0.1 with qf ≈ 2-3 the brute expansion is already ≈ the agg
+    * floor, hence the default stays brute; flip it for query batches
+    * in the 10⁵+ range. */
+  private[graft] def rankTopK(contribs0: DataFrame, qt: DataFrame, k: Int,
+                              prune: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("score_q").desc, col("doc"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
-        col("score_q"), col("n_terms"))
+    def finish(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+          col("score_q"), col("n_terms"))
+    if (!prune) {
+      finish(contribs0.join(broadcast(qt), Seq("term"))
+        .groupBy(col("q_id"), col("doc"))
+        .agg(sum(col("contrib")).as("score_q"),
+          count(lit(1)).as("n_terms")))
+    } else {
+      // consumed 4× below and its recompute crosses the tdq cache + the
+      // norm join — the persist-pays rule
+      val contribs = Caches.track(contribs0.persist())
+      val mc = contribs.groupBy(col("term"))
+        .agg(max(col("contrib")).as("__mc"))
+      val qtm = qt.join(broadcast(mc), Seq("term"))
+      val anchor = qtm.groupBy(col("q_id"))
+        .agg(min_by(col("term"), struct(-col("__mc"), col("term")))
+          .as("term"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("contrib").desc, col("doc"))
+      val theta = contribs.join(broadcast(anchor), Seq("term"))
+        .select(col("q_id"), col("doc"), col("contrib"))
+        .withColumn("__rn", row_number().over(ws))
+        .filter(col("__rn") === k)
+        .select(col("q_id"), col("contrib").as("__theta"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("__mc").asc, col("term").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ess = qtm.withColumn("__cum", sum(col("__mc")).over(wc))
+        .join(broadcast(theta), Seq("q_id"), "left")
+        .filter(col("__theta").isNull || col("__cum") >= col("__theta"))
+        .select(col("q_id"), col("term"))
+      val cand = contribs.join(broadcast(ess), Seq("term"))
+        .select(col("q_id"), col("doc")).distinct()
+      finish(cand.join(contribs, Seq("doc"))
+        .join(broadcast(qt), Seq("q_id", "term"))
+        .groupBy(col("q_id"), col("doc"))
+        .agg(sum(col("contrib")).as("score_q"),
+          count(lit(1)).as("n_terms")))
+    }
   }
 
   def bm25TopK(df: DataFrame, id: String, text: String,
                queries: DataFrame, qid: String, qtext: String, k: Int,
-               scaleBits: Int = 12, maxQueryTerms: Int = 10000): DataFrame = {
+               scaleBits: Int = 12, maxQueryTerms: Int = 10000,
+               prune: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val (tdq, dld, tTot, nDocs, idfRows) =
       bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
     bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid, qtext, k,
-      scaleBits)
+      scaleBits, prune)
   }
 
   /** Hybrid sparse retrieval in one call: BM25 and the coordination-level
@@ -873,7 +974,8 @@ object TextAnalysis {
     * never needs to exist at serving time. */
   def bm25Search(postings: DataFrame, queries: DataFrame, qid: String,
                  qtext: String, k: Int, scaleBits: Int = 12,
-                 maxQueryTerms: Int = 10000): DataFrame = {
+                 maxQueryTerms: Int = 10000,
+                 prune: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val spark = postings.sparkSession
@@ -893,22 +995,19 @@ object TextAnalysis {
     val s = 1L << scaleBits
     val qt = queries.select(col(qid).as("q_id"),
       explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
-    val qterms = qt.join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
     val norm = postings.select(col("doc"), col("dl")).distinct()
       .withColumn("norm_q",
         expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
-    val scored = tdq.join(broadcast(qterms), Seq("term"))
+    // per-POSTING contribution before the q_id expansion — same
+    // reordering (and the same bit-identical-integers argument) as
+    // [[bm25Rank]]
+    val contribs = tdq
+      .join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
       .join(norm, Seq("doc"))
       .withColumn("contrib",
         expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
-      .groupBy(col("q_id"), col("doc"))
-      .agg(sum(col("contrib")).as("score_q"), count(lit(1)).as("n_terms"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("score_q").desc, col("doc"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
-        col("score_q"), col("n_terms"))
+      .select(col("doc"), col("term"), col("contrib"))
+    rankTopK(contribs, qt, k, prune)
   }
 
   /** [[termOverlapTopK]] over an already-built postings table — postings

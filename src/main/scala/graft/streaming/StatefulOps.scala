@@ -719,7 +719,10 @@ object StatefulOps {
       rules.zipWithIndex.map { case ((_, bad), i) =>
         sum(when(bad, lit(1L)).otherwise(lit(0L))).as(s"__v$i") }
     val stacked = rules.zipWithIndex
-      .map { case ((lbl, _), i) => s"'$lbl', coalesce(__v$i, 0L)" }
+      // same quote-escaping as batch checkConstraints — labels embed
+      // user column names
+      .map { case ((lbl, _), i) =>
+        s"'${lbl.replace("'", "''")}', coalesce(__v$i, 0L)" }
       .mkString(", ")
     stream.withWatermark(ts, lateness)
       .groupBy(window(col(ts), s"$windowSec seconds"))

@@ -77,6 +77,20 @@ object RetrievalProbe {
         ta.termOverlapSearch(tdq.select(col("doc"), col("term"),
           col("tf")), qs, "q_id", "qtext", 10)), 10))
       println(f"[probe] fuse(bm25+overlap) from core  ${(System.nanoTime() - t3) / 1e9}%.3f s")
+
+      // Interleaved A/B: MaxScore-pruned exact ranking vs brute
+      // (same core tables, alternating runs)
+      def rank(prune: Boolean): org.apache.spark.sql.DataFrame =
+        ta.bm25Rank(tdq, dld, tTot, nDocs, idf, qs, "q_id", "qtext", 10,
+          12, prune)
+      noop(rank(false)); noop(rank(true)) // warm both plans
+      (1 to 3).foreach { r =>
+        val ta0 = System.nanoTime(); noop(rank(false))
+        val dB = (System.nanoTime() - ta0) / 1e9
+        val tb0 = System.nanoTime(); noop(rank(true))
+        val dP = (System.nanoTime() - tb0) / 1e9
+        println(f"[probe] rank A/B round $r brute $dB%.3f s  pruned $dP%.3f s")
+      }
     }
     spark.stop()
   }
