@@ -708,7 +708,7 @@ object TextAnalysis {
     * term, StrictMath so the artifact is bit-identical wherever it is
     * computed — [[bm25Stats]], [[bm25TopK]] and [[bm25Search]] all feed
     * their (terms, df, N) through this one function. */
-  private def quantizedIdf(terms: Seq[String], dfMap: Map[String, Long],
+  private[graft] def quantizedIdf(terms: Seq[String], dfMap: Map[String, Long],
                            nDocs: Long, scaleBits: Int): Seq[(String, Long)] = {
     val s = 1L << scaleBits
     terms.map { t =>
@@ -964,6 +964,26 @@ object TextAnalysis {
   def savePostingsIndex(df: DataFrame, id: String, text: String,
                         table: String, buckets: Int): Unit =
     graft.io.Layout.writeBucketed(indexPostings(df, id, text), table,
+      "term", buckets)
+
+  /** Incremental append into a persisted [[savePostingsIndex]] table —
+    * the sparse mirror of [[graft.ops.Similarity.appendIvfSq8Index]]:
+    * encode ONLY the new batch's postings and append them per
+    * term-bucket, cost ∝ batch. No existing row needs touching because
+    * the postings row shape is self-contained per doc — `dl` is the
+    * appended doc's own length, and [[bm25Search]] recomputes df/tTot/N
+    * from the postings at serving time, so stats "update" by
+    * construction. `buckets` must equal the existing table's bucket
+    * count (Spark refuses a mismatched append — loud, never silent
+    * corruption), which keeps the bucketing contract and therefore
+    * `SelectedBucketsCount` query-vocabulary pruning intact.
+    *
+    * CONTRACT (the [[mergeInvertedIndex]] one): the batch's doc ids are
+    * disjoint from the docs already indexed — re-appending an id
+    * double-counts it; route updates through a delete/replace pass. */
+  def appendPostingsIndex(batch: DataFrame, id: String, text: String,
+                          table: String, buckets: Int): Unit =
+    graft.io.Layout.appendBucketed(indexPostings(batch, id, text), table,
       "term", buckets)
 
   /** BM25 over an ALREADY-BUILT postings table ([[indexPostings]] fresh,

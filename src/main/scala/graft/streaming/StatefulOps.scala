@@ -614,6 +614,106 @@ object StatefulOps {
       .filter(col("adot") >= minScore)
   }
 
+  /** Streaming BM25 serving — a live query stream against a persisted
+    * postings index ([[graft.ops.TextAnalysis.savePostingsIndex]] /
+    * [[graft.ops.TextAnalysis.appendPostingsIndex]]), the online half of
+    * the RAG stack whose batch side q124/q127/q129 eval. Same integer
+    * arithmetic as [[graft.ops.TextAnalysis.bm25Search]], bit for bit:
+    * the static side enriches each posting with its exact int64
+    * contribution ONCE at plan build (corpus stats + the StrictMath
+    * idf artifact collect at build time — the streamingIvfPqSearch
+    * trained-artifact shape — and the enriched index persists, since a
+    * streaming static side re-executes EVERY micro-batch: the
+    * build cost is sunk, exactly when a pre-built index pays); arriving
+    * queries explode to distinct terms (row-local), stream-static
+    * equi-join the enriched postings, and ONE watermarked
+    * per-(window, query, doc) aggregate emits exact scores when the
+    * window closes. Threshold (`minScore`) semantics rather than
+    * top-k — the [[streamingIvfPqSearch]] radius convention (a global
+    * per-query ranking needs a second stateful stage; gate then rank
+    * the survivors downstream). Output: `(window_start, window_end,
+    * q_id, doc_id, score_q, n_terms)`.
+    *
+    * The idf collect is ∝ FULL index vocabulary (queries are unknown at
+    * plan build — serving can't pre-filter the dictionary the way batch
+    * [[graft.ops.TextAnalysis.bm25Core]] does); `maxVocabTerms` bounds
+    * it loudly, the q123 LM-dictionary posture. */
+  def streamingBm25Search(stream: DataFrame, postings: DataFrame,
+      qid: String, ts: String, qtext: String, minScore: Long,
+      scaleBits: Int = 12, maxVocabTerms: Int = 1000000,
+      windowSec: Int = 10, lateness: String = "10 seconds"): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val ta = graft.ops.TextAnalysis
+    val (tTot, nDocs) = postings
+      .agg(sum(col("tf")), countDistinct(col("doc")))
+      .as[(Long, Long)].collect().head
+    require(tTot > 0, "streamingBm25Search: postings index is empty")
+    val dfRows = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .limit(maxVocabTerms + 1).as[(String, Long)].collect()
+    require(dfRows.length <= maxVocabTerms,
+      s"streamingBm25Search: index vocabulary exceeds " +
+        s"maxVocabTerms=$maxVocabTerms — raise the bound explicitly")
+    val idfRows = ta.quantizedIdf(dfRows.map(_._1).sorted.toSeq,
+      dfRows.toMap, nDocs, scaleBits)
+    val s = 1L << scaleBits
+    val enriched = graft.ops.Caches.track(postings
+      .join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
+      .withColumn("norm_q",
+        expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
+      .withColumn("contrib",
+        expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
+      .select(col("term"), col("doc"), col("contrib"))
+      .persist())
+    stream.withWatermark(ts, lateness)
+      .select(col(qid).as("q_id"), col(ts).as("__ts"),
+        explode(array_distinct(ta.tokens(lower(col(qtext))))).as("term"))
+      .join(enriched, Seq("term")) // stream-static inner equi-join
+      .groupBy(window(col("__ts"), s"$windowSec seconds"), col("q_id"),
+        col("doc"))
+      .agg(sum(col("contrib")).as("score_q"), count(lit(1)).as("n_terms"))
+      .filter(col("score_q") >= minScore)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("q_id"),
+        col("doc").as("doc_id"), col("score_q"), col("n_terms"))
+  }
+
+  /** Streaming IVF-SQ8 serving — the dense twin of
+    * [[streamingBm25Search]] over a persisted
+    * [[graft.ops.Similarity.saveIvfSq8Index]] table, closing the online
+    * half on the vector side: probe cells come from the collected
+    * trained centroids as a row-local literal expression
+    * ([[graft.ops.Similarity.adcProbeCells]] — identical cell choice to
+    * the batch search's per-query sort), the query quantizes row-locally
+    * onto the SQ8 grid, and candidates score by the all-int64 codegen'd
+    * [[graft.functions.VectorExprs.sq8Dot]] after ONE stateless
+    * stream-static cell equi-join — no watermark, no state store
+    * (the [[streamingIvfPqSearch]] shape), so batch ≡ streaming is
+    * bit-exact per candidate. Radius semantics: rows with
+    * `iscore >= minScore` pass. Output: `(q_id, c_id, iscore)`. */
+  def streamingIvfSq8Search(stream: DataFrame, index: DataFrame,
+      cents: Seq[(Long, Seq[Float], Double)], id: String, vec: String,
+      nProbe: Int, lo: Array[Long], hi: Array[Long], minScore: Long,
+      scaleBits: Int = 12): DataFrame = {
+    graft.ops.Similarity.sq8ExactnessGuard(lo, hi)
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val scale = (1L << scaleBits).toDouble
+    stream.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("mq", array(lo.indices.map(j =>
+        floor(element_at(col("q_vec"), j + 1).cast("double") * scale)
+          .cast("long")): _*))
+      .withColumn("cell", explode(
+        graft.ops.Similarity.adcProbeCells(col("q_vec"), cents, nProbe)))
+      .join(index, Seq("cell")) // stream-static inner equi-join
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.sq8Dot(col("codes"), col("mq"), lo,
+          range).as("iscore"))
+      .filter(col("iscore") >= minScore)
+  }
+
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.
     *

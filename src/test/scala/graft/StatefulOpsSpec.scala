@@ -335,6 +335,90 @@ class StatefulOpsSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("streamingBm25Search: live queries vs postings index equal batch bm25Search") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry date egg"), (4L, "apple date")).toDF("doc_id", "text")
+    val postings = graft.ops.TextAnalysis
+      .indexPostings(docs, "doc_id", "text").persist()
+    val queries = Seq((100L, "apple date"), (200L, "cherry"),
+      (300L, "absent banana"))
+    // batch reference: every candidate (k ≥ corpus) at the same threshold
+    val batch = graft.ops.TextAnalysis.bm25Search(postings,
+        queries.toDF("q_id", "qtext"), "q_id", "qtext", k = 10)
+      .filter(col("score_q") >= 1000L)
+      .select("q_id", "doc_id", "score_q", "n_terms")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StatefulOps.streamingBm25Search(
+        in.toDF().toDF("ts", "q_id", "qtext"), postings, "q_id", "ts",
+        "qtext", minScore = 1000L, windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("bm25live")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(queries.map { case (id, tx) =>
+        (t("2024-01-01 00:00:01"), id, tx) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("bm25live").isEmpty) // window [0,10) still open
+      in.addData((t("2024-01-01 00:00:30"), 999L, "zzz")) // close it
+      q.processAllAvailable()
+      val streamed = spark.table("bm25live")
+        .select("q_id", "doc_id", "score_q", "n_terms")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"live serving must equal the batch search: $streamed vs $batch")
+    }
+    postings.unpersist()
+  }
+
+  test("streamingIvfSq8Search: stream-static dense serving equals batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, Seq(4.0f, 0.0f, 4.0f, 0.0f)),
+      (2L, Seq(0.0f, 3.0f, 0.0f, 3.0f)),
+      (20L, Seq(4.0f, 0.25f, 4.0f, 0.0f)),
+      (30L, Seq(0.0f, 3.0f, 0.25f, 3.0f)),
+      (31L, Seq(0.25f, 3.0f, 0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = graft.ops.Similarity.trainIvfCentroids(corpus, "vec_id",
+      "embedding", k = 2, iters = 1)
+    val (lo, hi) = graft.ops.Similarity.trainSq8Bounds(corpus, "embedding")
+    val cents = cent.as[(Long, Seq[Float], Double)].collect().toSeq
+    val index = graft.ops.Similarity.ivfSq8Index(corpus, "vec_id",
+      "embedding", cent, lo, hi).persist()
+    val queries = Seq(
+      (100L, Seq(4.0f, 0.0f, 4.0f, 0.0f)),
+      (200L, Seq(0.0f, 3.0f, 0.0f, 3.0f)))
+    // batch reference: the ranked search at k ≥ cell population,
+    // re-thresholded on the integer score
+    val batch = graft.ops.Similarity.ivfSq8Search(index,
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 10, cent, nProbe = 1, lo, hi)
+      .filter(col("iscore") >= 1L)
+      .select(col("q_id"), col("neighbor_id"), col("iscore"))
+      .as[(Long, Long, Long)].collect().toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StatefulOps.streamingIvfSq8Search(
+        in.toDF().toDF("vec_id", "embedding"), index, cents, "vec_id",
+        "embedding", nProbe = 1, lo, hi, minScore = 1L)
+      .writeStream.format("memory").queryName("sq8live")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(queries: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sq8live")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"stateless stream-static serving must equal batch: $streamed vs $batch")
+      // nProbe=1 really prunes: no cross-cluster candidates
+      assert(!streamed.exists(r => r._1 == 100L && Set(2L, 30L, 31L)(r._2)))
+    }
+    index.unpersist()
+  }
+
   test("streamingOutlierScore: ingest scoring equals batch centroidDistances exactly") {
     implicit val ctx = spark.sqlContext
     // one far outlier among clustered rows; threshold sits between them
