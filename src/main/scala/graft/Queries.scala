@@ -5881,6 +5881,78 @@ object Queries {
                     CAST(sum(doc_id) AS BIGINT) AS id_sum
              FROM documents GROUP BY 1"""), bench = true)
 
+  /** Script/charset composition panel (TextAnalysis.scriptComposition):
+    * per doc, exact codepoint counts by Unicode script block (row-local
+    * codegen'd regexp_count — the one range table drives both engines'
+    * character classes), dominant script + its basis-point share
+    * (integer div) and the mixed-script flag. The testdata corpus is
+    * all-ASCII so the non-Latin paths are exercised by the planted
+    * TextAnalysisSpec docs; the oracle still hash-checks the full
+    * arithmetic chain. */
+  private val q180 = QDef("q180_script_panel",
+    (s, d) => TextAnalysis.scriptComposition(docs(s, d), "doc_id", "text"),
+    Some {
+      val cnts = TextAnalysis.ScriptBlocks.map { case (n, rs) =>
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.scriptClassRe2(rs)}')) AS BIGINT) AS n_$n"
+      }.mkString(",\n                ")
+      val names = TextAnalysis.ScriptBlocks.map(_._1)
+      val lettersSum = names.map(n => s"n_$n").mkString(" + ")
+      val lst = names.map(n => s"n_$n").mkString("[", ", ", "]")
+      val caseChain = names.map(n =>
+        s"WHEN n_$n = l[1] THEN '$n'").mkString("\n                    ")
+      s"""WITH c AS (SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                $cnts
+              FROM documents),
+            d AS (SELECT *, CAST($lettersSum AS BIGINT) AS n_letters,
+                list_sort($lst, 'DESC') AS l
+              FROM c)
+            SELECT doc_id, n_chars,
+                   ${names.map(n => s"n_$n").mkString(", ")},
+                   n_letters,
+                   CASE WHEN n_letters = 0 THEN 'none'
+                    $caseChain
+                    ELSE 'none' END AS script,
+                   CASE WHEN n_letters = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((10000 * l[1]) // n_letters AS BIGINT)
+                   END AS dom_bp,
+                   n_letters > 0 AND l[2] * 10 >= n_letters AS mixed_script
+            FROM d"""
+    }, bench = true)
+
+  /** Per-source script rollup (TextAnalysis.scriptSourcePanel) beside
+    * q159's language confusion matrix: (source, dominant script) →
+    * docs, mixed-script docs, script-codepoint mass. */
+  private val q181 = QDef("q181_script_sources",
+    (s, d) => TextAnalysis.scriptSourcePanel(docs(s, d), "doc_id", "text",
+      "source"),
+    Some {
+      val cnts = TextAnalysis.ScriptBlocks.map { case (n, rs) =>
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.scriptClassRe2(rs)}')) AS BIGINT) AS n_$n"
+      }.mkString(",\n                ")
+      val names = TextAnalysis.ScriptBlocks.map(_._1)
+      val lettersSum = names.map(n => s"n_$n").mkString(" + ")
+      val lst = names.map(n => s"n_$n").mkString("[", ", ", "]")
+      val caseChain = names.map(n =>
+        s"WHEN n_$n = l[1] THEN '$n'").mkString("\n                    ")
+      s"""WITH c AS (SELECT doc_id, source, $cnts FROM documents),
+            d AS (SELECT *, CAST($lettersSum AS BIGINT) AS n_letters,
+                list_sort($lst, 'DESC') AS l
+              FROM c),
+            p AS (SELECT source,
+                CASE WHEN n_letters = 0 THEN 'none'
+                    $caseChain
+                    ELSE 'none' END AS script,
+                n_letters,
+                n_letters > 0 AND l[2] * 10 >= n_letters AS mixed
+              FROM d)
+            SELECT source, script, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_mixed,
+                   CAST(sum(n_letters) AS BIGINT) AS letters
+            FROM p GROUP BY 1, 2"""
+    }, bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5893,7 +5965,9 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
-    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
+    q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
+    q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
+    q175, q176, q177, q178, q179, q180, q181)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

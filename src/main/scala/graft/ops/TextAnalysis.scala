@@ -114,6 +114,87 @@ object TextAnalysis {
           .otherwise(lit("und")).as("lang_pred"))
   }
 
+  /** Unicode script blocks — the SINGLE source of truth for
+    * [[scriptComposition]] and its generated oracles: BMP-only
+    * codepoint ranges spelled as character classes with IDENTICAL
+    * semantics in Java regex (Spark) and RE2 (DuckDB). First-listed
+    * wins dominant-script ties, so order is part of the contract. */
+  private[graft] val ScriptBlocks: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq((0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)),
+    "cyrillic" -> Seq((0x0400, 0x04FF)),
+    "greek" -> Seq((0x0370, 0x03FF)),
+    "arabic" -> Seq((0x0600, 0x06FF)),
+    "hebrew" -> Seq((0x0590, 0x05FF)),
+    "devanagari" -> Seq((0x0900, 0x097F)),
+    "han" -> Seq((0x4E00, 0x9FFF)),
+    "kana" -> Seq((0x3040, 0x30FF)),
+    "hangul" -> Seq((0xAC00, 0xD7AF)))
+
+  private[graft] def scriptClassJava(ranges: Seq[(Int, Int)]): String =
+    "[" + ranges.map { case (a, b) => f"\\u$a%04X-\\u$b%04X" }
+      .mkString + "]"
+
+  private[graft] def scriptClassRe2(ranges: Seq[(Int, Int)]): String =
+    "[" + ranges.map { case (a, b) => f"\\x{$a%04X}-\\x{$b%04X}" }
+      .mkString + "]"
+
+  /** Script/charset composition panel — the standard multilingual
+    * curation gate beside [[langIdTable]]'s token-marker vote (which is
+    * blind to languages outside its marker lists and to
+    * encoding-damaged text): per document, the exact count of
+    * codepoints in each major script block ([[ScriptBlocks]]), the
+    * dominant script (max count; first-listed block wins ties; `none`
+    * for script-less text), its share of all script codepoints in
+    * basis points, and a `mixed_script` flag — second script ≥ 10 % of
+    * script codepoints, the classic spam / wrong-charset / injected-
+    * content signal. Pure row-local codegen'd `regexp_count` — no
+    * shuffle, linear at 100 TB; every output is exact int64 (the share
+    * is an integer `div`), so the panel hashes identically in any
+    * engine. `keep` passes metadata columns (source, lang) through for
+    * rollups. Output: `(id, keep…, n_chars, n_<block>…, n_letters,
+    * script, dom_bp, mixed_script)`. */
+  def scriptComposition(df: DataFrame, id: String, text: String,
+                        keep: Seq[String] = Nil): DataFrame = {
+    val counts = ScriptBlocks.map { case (name, rs) =>
+      regexp_count(col(text), lit(scriptClassJava(rs)))
+        .cast("long").as(s"n_$name")
+    }
+    val base = df.select(col(id) +: keep.map(col) ++:
+      length(col(text)).cast("long").as("n_chars") +: counts: _*)
+    val letterCols = ScriptBlocks.map { case (n, _) => col(s"n_$n") }
+    val arr = sort_array(array(letterCols: _*), asc = false)
+    // first-listed block wins ties: the when-chain tests in declared order
+    val dominant = ScriptBlocks.foldRight(lit("none"): Column) {
+      case ((n, _), e) => when(col(s"n_$n") === col("__mx"), lit(n))
+        .otherwise(e)
+    }
+    base
+      .withColumn("n_letters", letterCols.reduce(_ + _))
+      .withColumn("__mx", element_at(arr, 1))
+      .withColumn("__n2", element_at(arr, 2))
+      .withColumn("script",
+        when(col("n_letters") === 0, lit("none")).otherwise(dominant))
+      .withColumn("dom_bp", when(col("n_letters") === 0, lit(0L))
+        .otherwise(expr("(10000 * __mx) div n_letters")))
+      .withColumn("mixed_script",
+        col("n_letters") > 0 && col("__n2") * 10 >= col("n_letters"))
+      .drop("__mx", "__n2")
+  }
+
+  /** Per-source script rollup beside q159's language confusion matrix —
+    * the corpus-level view of [[scriptComposition]]: for every
+    * (source, dominant script), how many documents, how many of them
+    * mixed-script, and the script-codepoint mass. One
+    * inventory-bounded groupBy over the row-local panel. Output:
+    * `(source, script, n_docs, n_mixed, letters)`. */
+  def scriptSourcePanel(df: DataFrame, id: String, text: String,
+                        source: String): DataFrame =
+    scriptComposition(df, id, text, keep = Seq(source))
+      .groupBy(col(source), col("script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mixed_script"), 1L).otherwise(0L)).as("n_mixed"),
+        sum(col("n_letters")).as("letters"))
+
   /** PII / pattern redaction for training-data hygiene: replace email
     * addresses and URLs with fixed placeholder tokens and report per-doc
     * match counts (the audit trail a redaction pass must leave). Pure
