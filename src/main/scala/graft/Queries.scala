@@ -5953,6 +5953,64 @@ object Queries {
             FROM p GROUP BY 1, 2"""
     }, bench = true)
 
+  /** Composable filter-then-refine (Similarity.refineTopK): the SQ8
+    * coarse stage pools top-25 candidates per query (q120's exact
+    * integer chain), the exact-cosine fine stage re-scores ONLY those
+    * pairs, top-5 by the q19 discipline. The oracle is literally the
+    * q120 candidate CTE composed with q19's cosine re-rank — the
+    * composition is as exact as its parts. */
+  private val q182 = QDef("q182_refine_topk",
+    (s, d) => {
+      val (lo, hi) = trainedSq8(s, d)
+      val e = emb(s, d)
+      Similarity.refineTopK(e.filter(col("vec_id") % 10 === 0), e, k = 5,
+        Similarity.sq8Candidates("vec_id", "embedding", 25, lo, hi),
+        Similarity.exactCosineScorer("vec_id", "embedding"))
+    },
+    Some("""WITH m AS (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            b AS (SELECT j, min(mv) AS lo, max(mv) AS hi FROM m GROUP BY 1),
+            cj AS (SELECT m.vec_id, m.j, b.lo, b.hi,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE (255 * (m.mv - b.lo)) // (b.hi - b.lo)
+                     END AS code
+                   FROM m JOIN b USING (j)),
+            rj AS (SELECT vec_id, j,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + (code * (hi - lo)) // 255 END AS r
+                   FROM cj),
+            qm AS (SELECT vec_id, j, mv FROM m WHERE vec_id % 10 = 0),
+            sc AS (SELECT qm.vec_id AS q_id, rj.vec_id AS c_id,
+                     sum(qm.mv * rj.r) AS s
+                   FROM qm JOIN rj USING (j)
+                   WHERE qm.vec_id <> rj.vec_id GROUP BY 1, 2),
+            cand AS (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY s DESC, c_id) AS rn
+                FROM sc) WHERE rn <= 25),
+            n AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i])))
+                  AS q_norm
+              FROM embeddings WHERE vec_id % 10 = 0),
+            mm AS (SELECT vec_id AS c_id, embedding AS c_vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i])))
+                  AS c_norm
+              FROM embeddings),
+            sc2 AS (SELECT cand.q_id, cand.c_id,
+                list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> CAST(q_vec[i] AS DOUBLE) * c_vec[i]))
+                  / (q_norm * c_norm) AS cos
+              FROM cand JOIN n USING (q_id) JOIN mm USING (c_id)),
+            r AS (SELECT q_id, c_id, cos, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sc2)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+                   round(cos, 6) AS cos
+            FROM r WHERE rn <= 5"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -5967,7 +6025,7 @@ object Queries {
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q180, q181)
+    q175, q176, q177, q178, q179, q180, q181, q182)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1781,4 +1781,114 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
         col("hd"), col("iscore"))
   }
+
+  // ------------------------------------------------ filter-then-refine
+  // Composable coarse→fine serving (the generalization of q139's
+  // hard-coded BQ→exact): a CandidateGen shrinks the corpus to a
+  // per-query candidate pool, a PairScorer re-scores ONLY those pairs,
+  // and [[refineTopK]] composes any (coarse, fine) point on the
+  // recall/cost curve declaratively — BQ→SQ8, SQ8→exact,
+  // IVF-SQ8→exact, … — with [[topKRecall]] reporting each
+  // composition's recall against the exact ranking. Scale shape: every
+  // fine stage is a NARROW pair-keyed join (|queries|·candidates rows
+  // against the (id, vec/codes) projection — vectors never shuffle
+  // with the pairs), so refine cost ∝ candidate pool, never corpus.
+
+  /** (queries, corpus) → per-query candidate pairs `(q_id, c_id)`. */
+  type CandidateGen = (DataFrame, DataFrame) => DataFrame
+
+  /** (pairs, queries, corpus) → scored pairs `(q_id, c_id, cos)` —
+    * `cos` double for [[topKMerge]]; integer scorers stay exact below
+    * 2⁵³ ([[sq8ExactnessGuard]]'s argument). */
+  type PairScorer = (DataFrame, DataFrame, DataFrame) => DataFrame
+
+  /** Top-`candidates` binary-quantization (sign-bit Hamming) pool —
+    * [[bqTopK]]'s coarse half as a composable stage. */
+  def bqCandidates(id: String, vec: String, candidates: Int, dim: Int,
+                   scaleBits: Int = 12,
+                   maxBroadcastQueries: Long = 500000L): CandidateGen =
+    (queries, corpus) => {
+      require(candidates >= 1, s"bad candidate pool: $candidates")
+      requireBounded("bqCandidates", "query", queries, maxBroadcastQueries,
+        "maxBroadcastQueries",
+        "bucket the queries or raise the limit explicitly")
+      val codes = graft.ops.Caches.track(
+        binaryCodes(corpus, id, vec, dim, scaleBits).persist())
+      val q = binaryCodes(queries, id, vec, dim, scaleBits)
+        .select(col("c_id").as("q_id"), col("bcode").as("qcode"))
+      val hscored = codes.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          (-bit_count(col("bcode").bitwiseXOR(col("qcode"))))
+            .cast("double").as("cos"))
+      topKMerge(hscored, candidates)
+        .select(col("q_id"), col("neighbor_id").as("c_id"))
+    }
+
+  /** Top-`candidates` full-scan SQ8 pool ([[sq8TopK]] as a stage). */
+  def sq8Candidates(id: String, vec: String, candidates: Int,
+                    lo: Array[Long], hi: Array[Long],
+                    scaleBits: Int = 12): CandidateGen =
+    (queries, corpus) =>
+      sq8TopK(queries, corpus, id, vec, candidates, lo, hi, scaleBits)
+        .select(col("q_id"), col("neighbor_id").as("c_id"))
+
+  /** Top-`candidates` cell-pruned IVF-SQ8 pool ([[ivfSq8TopK]] as a
+    * stage — the corpus-scale coarse generator). */
+  def ivfSq8Candidates(id: String, vec: String, candidates: Int,
+                       cent: DataFrame, nProbe: Int,
+                       lo: Array[Long], hi: Array[Long],
+                       scaleBits: Int = 12): CandidateGen =
+    (queries, corpus) =>
+      ivfSq8TopK(queries, corpus, id, vec, candidates, cent, nProbe, lo,
+        hi, scaleBits)
+        .select(col("q_id"), col("neighbor_id").as("c_id"))
+
+  /** Exact float cosine over candidate pairs — the full-precision
+    * refiner ending every composition that must agree with
+    * [[cosineTopK]] on its survivors. */
+  def exactCosineScorer(id: String, vec: String): PairScorer =
+    (pairs, queries, corpus) => {
+      val q = queries.select(col(id).cast("long").as("q_id"),
+        col(vec).as("q_vec"), norm(col(vec)).as("q_norm"))
+      val c = corpus.select(col(id).cast("long").as("c_id"),
+        col(vec).as("c_vec"), norm(col(vec)).as("c_norm"))
+      pairs.join(c, Seq("c_id")).join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+            .as("cos"))
+    }
+
+  /** All-int64 SQ8 ADC over candidate pairs — the mid-fidelity refiner
+    * (e.g. BQ→SQ8 when raw vectors are too hot to touch at serve
+    * time). */
+  def sq8PairScorer(id: String, vec: String, lo: Array[Long],
+                    hi: Array[Long], scaleBits: Int = 12): PairScorer =
+    (pairs, queries, corpus) => {
+      sq8ExactnessGuard(lo, hi)
+      val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+      val scale = (1L << scaleBits).toDouble
+      val codes = sq8Codes(corpus, id, vec, lo, hi, scaleBits)
+      val qm = queries.select(col(id).cast("long").as("q_id"),
+        array(lo.indices.map(j =>
+          floor(element_at(col(vec), j + 1).cast("double") * scale)
+            .cast("long")): _*).as("mq"))
+      pairs.join(codes, Seq("c_id")).join(broadcast(qm), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          graft.functions.VectorExprs.sq8Dot(col("codes"), col("mq"), lo,
+            range).cast("double").as("cos"))
+    }
+
+  /** The composition: coarse candidate pool → fine re-score → exact
+    * top-k ([[topKMerge]]'s cos DESC, id ASC discipline; rounding only
+    * at the very end). Callers pick the recall/cost point by choosing
+    * the stages and the pool size (`candidates ≥ k`, checked by the
+    * generators' pool arguments); recall reports come from
+    * [[topKRecall]] against the exact ranking. Output:
+    * `(q_id, rank, neighbor_id, cos)`. */
+  def refineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 coarse: CandidateGen, fine: PairScorer): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    topKMerge(fine(coarse(queries, corpus), queries, corpus), k)
+  }
 }

@@ -797,4 +797,47 @@ class SimilaritySpec extends SparkSpec {
     assert(errs(0L) == (-40960L - 409L) * (-40960L - 409L))
     assert(errs(127L) == (40960L - 2048L) * (40960L - 2048L))
   }
+
+  test("refineTopK compositions: full pool ≡ fine stage alone; recall harness") {
+    import org.apache.spark.sql.functions.col
+    val queries = pqCorpus.filter(col("vec_id") === 1)
+    val (lo, hi) = Similarity.trainSq8Bounds(pqCorpus, "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("q_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    // with the candidate pool = whole corpus, SQ8→exact must equal the
+    // exact ranking (the coarse stage drops nothing)
+    val exact = rows(Similarity.cosineTopK(queries, pqCorpus, "vec_id",
+      "embedding", k = 3))
+    val sq8ThenExact = rows(Similarity.refineTopK(queries, pqCorpus, 3,
+      Similarity.sq8Candidates("vec_id", "embedding", 10, lo, hi),
+      Similarity.exactCosineScorer("vec_id", "embedding")))
+    assert(sq8ThenExact == exact && exact.nonEmpty)
+    // BQ→SQ8 with a full pool equals the full-scan SQ8 ranking
+    val sq8Alone = Similarity.sq8TopK(queries, pqCorpus, "vec_id",
+        "embedding", k = 3, lo, hi)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        col("iscore").cast("double").as("cos"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bqThenSq8 = rows(Similarity.refineTopK(queries, pqCorpus, 3,
+      Similarity.bqCandidates("vec_id", "embedding", candidates = 10,
+        dim = 4),
+      Similarity.sq8PairScorer("vec_id", "embedding", lo, hi)))
+    assert(bqThenSq8 == sq8Alone)
+    // IVF-SQ8→exact with nProbe=1 prunes the far cluster; the recall
+    // harness reports the cost of that pruning against the exact set
+    val cent = Similarity.trainIvfCentroids(pqCorpus, "vec_id",
+      "embedding", k = 2, iters = 1)
+    val ivfThenExact = Similarity.refineTopK(queries, pqCorpus, 3,
+      Similarity.ivfSq8Candidates("vec_id", "embedding", 10, cent,
+        nProbe = 1, lo, hi),
+      Similarity.exactCosineScorer("vec_id", "embedding"))
+    val rec = Similarity.topKRecall(ivfThenExact,
+        Similarity.cosineTopK(queries, pqCorpus, "vec_id", "embedding",
+          k = 3), "q_id", "neighbor_id")
+      .as[(Long, Long, Long, Double)].collect().head
+    // query 1's cell holds only its exact dup (20): 1 of 3 exact
+    // neighbors survives the nProbe=1 composition
+    assert(rec._2 == 3L && rec._3 == 1L)
+  }
 }
