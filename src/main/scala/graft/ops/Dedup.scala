@@ -1142,8 +1142,15 @@ object Dedup {
     * `(node, degree, rank_q)` with rank_q/2²⁰ the centrality. */
   def pairGraphRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"bad iters: $iters")
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // persist the INPUT pair table, not just edgesDeg below: edges reads
+    // it twice (the column-swapped union branches) and deg scans edges
+    // again, so an unpersisted pair plan — often an expensive generator
+    // like q166's mutual-kNN chain — would evaluate up to 4× while
+    // edgesDeg materializes. The pair table is tiny and its recompute
+    // crosses shuffles + aggregates: the persist-pays rule's easy case.
+    val p = Caches.track(pairs.persist())
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val edgesDeg = Caches.track(edges.join(deg, Seq("src")).persist())
     var r = edgesDeg.select(col("src").as("node")).distinct()
