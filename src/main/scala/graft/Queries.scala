@@ -6011,6 +6011,46 @@ object Queries {
                    round(cos, 6) AS cos
             FROM r WHERE rn <= 5"""), bench = true)
 
+  /** Top-n-gram concentration (TextAnalysis.topNgramShare): the Gopher
+    * "fraction in most common n-gram" repetition rule for n = 2, 3, 4 —
+    * per doc the winning gram (ties → gram ascending), its count, the
+    * gram-slot total, and the integer basis-point share; sub-n docs
+    * report zero rows. */
+  private val q183 = QDef("q183_top_ngram",
+    (s, d) => TextAnalysis.topNgramShare(docs(s, d), "doc_id", "text"),
+    Some {
+      def gram(n: Int): String =
+        (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+      def block(n: Int): String =
+        s"""g$n AS (SELECT doc_id, ${gram(n)} AS g
+               FROM t, UNNEST(range(1, len(toks) - ${n - 2})) AS r(i)),
+            c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2),
+            w$n AS (SELECT doc_id, g, c,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY c DESC, g) AS rn,
+                sum(c) OVER (PARTITION BY doc_id) AS n_grams,
+                max(c) OVER (PARTITION BY doc_id) AS top_n
+              FROM c$n),
+            p$n AS (SELECT doc_id, g AS top_gram, top_n, n_grams
+                    FROM w$n WHERE rn = 1),
+            f$n AS (SELECT d.doc_id, $n AS n, p.top_gram,
+                CAST(COALESCE(p.top_n, 0) AS BIGINT) AS top_n,
+                CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN p$n p USING (doc_id))"""
+      s"""WITH t AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> x <> '') AS toks
+            FROM documents),
+          ${Seq(2, 3, 4).map(block).mkString(",\n          ")}
+          SELECT doc_id, n, top_gram, top_n, n_grams,
+                 CASE WHEN n_grams = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST((10000 * top_n) // n_grams AS BIGINT)
+                 END AS share_bp
+          FROM (SELECT * FROM f2 UNION ALL SELECT * FROM f3
+                UNION ALL SELECT * FROM f4)"""
+    }, bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -6025,7 +6065,7 @@ object Queries {
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q180, q181, q182)
+    q175, q176, q177, q178, q179, q180, q181, q182, q183)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -63,6 +63,42 @@ object TextAnalysis {
       .withColumn("dup_trigram_ratio", dupRatio(3))
   }
 
+  /** Top-n-gram concentration — the Gopher repetition rule
+    * [[repetitionSignals]]'s duplicate-ratio family doesn't cover: the
+    * share of a document's n-gram slots occupied by its SINGLE most
+    * frequent word n-gram (Rae et al.'s "fraction in most common
+    * n-gram"; crawler loops and templated boilerplate concentrate mass
+    * in one gram long before the overall duplicate ratio looks bad).
+    * Per document and per n: the winning gram (max count, ties → gram
+    * ascending), its count, the total gram slots, and the share in
+    * basis points on the integer grid. Documents shorter than n tokens
+    * report a zero row (never silently drop a doc from a quality
+    * panel). Shape: explode the native positional shingles → one
+    * (id, gram) map-side-combinable count → one per-doc rollup — the
+    * q87 inventory-bounded discipline, linear at 100 TB. Output:
+    * `(id, n, top_gram, top_n, n_grams, share_bp)`. */
+  def topNgramShare(df: DataFrame, id: String, text: String,
+                    ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"bad n-gram sizes: $ns")
+    ns.map { n =>
+      val counts = df
+        .select(col(id),
+          explode(Dedup.positionalShingles(col(text), n)).as("g"))
+        .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+      val perDoc = counts.groupBy(col(id))
+        .agg(sum(col("c")).as("n_grams"),
+          max(col("c")).as("top_n"),
+          min_by(col("g"), struct(-col("c"), col("g"))).as("top_gram"))
+      df.select(col(id)).join(perDoc, Seq(id), "left")
+        .select(col(id), lit(n).as("n"), col("top_gram"),
+          coalesce(col("top_n"), lit(0L)).as("top_n"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+        .withColumn("share_bp", when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("(10000 * top_n) div n_grams")))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Language-ID by marker-word voting: deterministic n-gram/stopword
     * heuristic. Counts occurrences of per-language marker words; argmax
     * with ties broken by language code ascending; all-zero → "und".

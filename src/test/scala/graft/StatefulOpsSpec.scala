@@ -419,6 +419,29 @@ class StatefulOpsSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("scriptComposition at ingest: stateless row-local panel equals batch") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq((1L, "hello мир"), (2L, "汉字漢字 ok"), (3L, "123"))
+    val batch = graft.ops.TextAnalysis
+      .scriptComposition(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "script", "mixed_script", "n_letters", "dom_bp")
+      .as[(Long, String, Boolean, Long, Long)].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    // no watermark, no state store: the quality gate runs at line rate
+    val q = graft.ops.TextAnalysis
+      .scriptComposition(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "script", "mixed_script", "n_letters", "dom_bp")
+      .writeStream.format("memory").queryName("scriptgate")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scriptgate")
+        .as[(Long, String, Boolean, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    }
+  }
+
   test("streamingOutlierScore: ingest scoring equals batch centroidDistances exactly") {
     implicit val ctx = spark.sqlContext
     // one far outlier among clustered rows; threshold sits between them
