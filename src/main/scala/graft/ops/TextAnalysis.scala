@@ -99,6 +99,37 @@ object TextAnalysis {
     }.reduce(_.unionByName(_))
   }
 
+  /** Row-local form of [[topNgramShare]]'s concentration number — the
+    * Gopher repetition gate AT INGEST: a document's grams all live in
+    * its own row, so the max gram multiplicity computes with a sorted
+    * array and one linear fold (longest equal-adjacent run), no
+    * explode, no state store — the panel's exact integers at stream
+    * line rate. HOF folds run interpreted (the CLAUDE rule), which is
+    * the right trade for a gate: the batch PANEL keeps the codegen'd
+    * explode+aggregate shape; the gate pays interpretation to stay
+    * stateless. Adds `(share_bp, keep)`; `keep` = share ≤ `maxShareBp`
+    * (sub-n docs concentrate nothing and pass). */
+  def topNgramGate(df: DataFrame, text: String, n: Int,
+                   maxShareBp: Long): DataFrame = {
+    require(n >= 1 && n <= 8, s"bad n: $n")
+    require(maxShareBp >= 0 && maxShareBp <= 10000, s"bad bp: $maxShareBp")
+    val grams = array_sort(Dedup.positionalShingles(col(text), n))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    val best = aggregate(grams, zero, (acc, g) => {
+      val run = when(g === acc.getField("prev"),
+        acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    }, acc => acc.getField("best"))
+    df.withColumn("__top", best)
+      .withColumn("__tot", size(grams).cast("long"))
+      .withColumn("share_bp", when(col("__tot") === 0, lit(0L))
+        .otherwise(expr("(10000 * __top) div __tot")))
+      .withColumn("keep", col("share_bp") <= maxShareBp)
+      .drop("__top", "__tot")
+  }
+
   /** Language-ID by marker-word voting: deterministic n-gram/stopword
     * heuristic. Counts occurrences of per-language marker words; argmax
     * with ties broken by language code ascending; all-zero → "und".

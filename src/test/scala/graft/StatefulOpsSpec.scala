@@ -442,6 +442,39 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("topNgramGate at ingest: row-local fold equals the batch panel share") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b a b a b"), (2L, "x"), (3L, "u v w"),
+      (4L, "spam spam spam spam spam"))
+    val panel = graft.ops.TextAnalysis
+      .topNgramShare(docs.toDF("doc_id", "text"), "doc_id", "text",
+        ns = Seq(2))
+      .select("doc_id", "share_bp")
+      .as[(Long, Long)].collect().toMap
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis
+      .topNgramGate(in.toDF().toDF("doc_id", "text"), "text", n = 2,
+        maxShareBp = 6000L)
+      .select("doc_id", "share_bp", "keep")
+      .writeStream.format("memory").queryName("ngramgate")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ngramgate")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      docs.foreach { case (id, _) =>
+        assert(streamed(id)._2 == panel(id),
+          s"doc $id: gate ${streamed(id)._2} vs panel ${panel(id)}")
+      }
+      assert(streamed(1L)._3)   // 6000 ≤ 6000
+      assert(streamed(2L)._3)   // sub-n passes
+      assert(!streamed(4L)._3)  // "spam spam"×4 of 4 → 10000, gated
+    }
+  }
+
   test("streamingOutlierScore: ingest scoring equals batch centroidDistances exactly") {
     implicit val ctx = spark.sqlContext
     // one far outlier among clustered rows; threshold sits between them
