@@ -92,6 +92,36 @@ object RetrievalProbe {
         println(f"[probe] rank A/B round $r brute $dB%.3f s  pruned $dP%.3f s")
       }
     }
+
+    // The regime MaxScore targets, which the 31-term closed-vocabulary
+    // testdata can't produce: a zipf-ish corpus (rare tail appended to
+    // the real docs) + a high-fan-out query batch mixing one rare term
+    // with two df≈3800 common terms. Brute expansion ≈ Σ df·qf ≈ 15M
+    // rows at 2k queries (150M at 20k); pruning's anchor θ (rare-term contribution ≈ idf ≫ the
+    // common terms' summed max contributions) eliminates the common
+    // posting lists entirely.
+    locally {
+      val ta = graft.ops.TextAnalysis
+      val corpus2 = docs.select(col("doc_id"),
+        concat(col("text"), lit(" tok"),
+          (col("doc_id") % 500).cast("string")).as("text"))
+      val qs2 = spark.range(20000).select(col("id").as("q_id"),
+        concat(lit("tok"), (col("id") % 500).cast("string"),
+          lit(" table data")).as("qtext"))
+      val (tdq, dld, tTot, nDocs, idf) =
+        ta.bm25Core(corpus2, "doc_id", "text", qs2, "qtext", 12, 10000)
+      def rank(p: Boolean): Unit =
+        noop(ta.bm25Rank(tdq, dld, tTot, nDocs, idf, qs2, "q_id",
+          "qtext", 5, 12, p))
+      rank(false); rank(true)
+      (1 to 3).foreach { r =>
+        val t0 = System.nanoTime(); rank(false)
+        val dB = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); rank(true)
+        val dP = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] high-qf A/B round $r brute $dB%.3f s  pruned $dP%.3f s")
+      }
+    }
     spark.stop()
   }
 }
