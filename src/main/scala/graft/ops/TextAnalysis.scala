@@ -1064,16 +1064,54 @@ object TextAnalysis {
     }
   }
 
+  /** Driver-side size of the brute rank expansion, Σ_t df(t)·qf(t) —
+    * every posting row of term t joins every query containing t. One
+    * tiny job: a per-term rollup of the (persisted) tf table joined to
+    * the per-term query counts, output ∝ query vocabulary. */
+  private[graft] def rankExpansion(tdq: DataFrame, queries: DataFrame,
+                                   qtext: String): Long = {
+    val spark = tdq.sparkSession
+    import spark.implicits._
+    val dfT = tdq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qf = queries
+      .select(explode(array_distinct(tokens(lower(col(qtext)))))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("qf"))
+    dfT.join(qf, Seq("term"))
+      .agg(coalesce(sum(col("df") * col("qf")), lit(0L)))
+      .as[Long].collect().head
+  }
+
+  /** The cost-based plan switch for the rank phase: `"off"`/`"on"`
+    * force brute / MaxScore-pruned; `"auto"` (the default) picks
+    * pruning exactly when the estimated brute expansion
+    * ([[rankExpansion]]) reaches `threshold` — default 10⁸ rows, the
+    * measured local[32] crossover (probe: 4× loss at the sf0.1 bench
+    * shape, wash at ~1.5·10⁷, 8× win at ~1.5·10⁸). The statistics are
+    * already driver-adjacent (df rides the persisted tf table, qf is a
+    * query-side rollup), so the estimate is exact, not sampled. */
+  private[graft] def resolvePrune(mode: String, threshold: Long,
+                                  tdq: DataFrame, queries: DataFrame,
+                                  qtext: String): Boolean = mode match {
+    case "on"   => true
+    case "off"  => false
+    case "auto" => rankExpansion(tdq, queries, qtext) >= threshold
+    case other => throw new IllegalArgumentException(
+      s"bad pruneMode: '$other' (auto|on|off)")
+  }
+
   def bm25TopK(df: DataFrame, id: String, text: String,
                queries: DataFrame, qid: String, qtext: String, k: Int,
                scaleBits: Int = 12, maxQueryTerms: Int = 10000,
-               prune: Boolean = false): DataFrame = {
+               pruneMode: String = "auto",
+               pruneThreshold: Long = 100000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val (tdq, dld, tTot, nDocs, idfRows) =
       bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
     bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid, qtext, k,
-      scaleBits, prune)
+      scaleBits,
+      resolvePrune(pruneMode, pruneThreshold, tdq, queries, qtext))
   }
 
   /** Hybrid sparse retrieval in one call: BM25 and the coordination-level
@@ -1088,14 +1126,17 @@ object TextAnalysis {
   def hybridRrfTopK(df: DataFrame, id: String, text: String,
                     queries: DataFrame, qid: String, qtext: String, k: Int,
                     kRrf: Int = 60, scale: Long = 1000000L,
-                    scaleBits: Int = 12, maxQueryTerms: Int = 10000)
+                    scaleBits: Int = 12, maxQueryTerms: Int = 10000,
+                    pruneMode: String = "auto",
+                    pruneThreshold: Long = 100000000L)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val (tdq, dld, tTot, nDocs, idfRows) =
       bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
     val bm25 = bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid,
-      qtext, k, scaleBits)
+      qtext, k, scaleBits,
+      resolvePrune(pruneMode, pruneThreshold, tdq, queries, qtext))
     val overlap = termOverlapSearch(
       tdq.select(col("doc"), col("term"), col("tf")), queries, qid,
       qtext, k)
@@ -1143,7 +1184,8 @@ object TextAnalysis {
   def bm25Search(postings: DataFrame, queries: DataFrame, qid: String,
                  qtext: String, k: Int, scaleBits: Int = 12,
                  maxQueryTerms: Int = 10000,
-                 prune: Boolean = false): DataFrame = {
+                 pruneMode: String = "auto",
+                 pruneThreshold: Long = 100000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val spark = postings.sparkSession
@@ -1175,7 +1217,8 @@ object TextAnalysis {
       .withColumn("contrib",
         expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
       .select(col("doc"), col("term"), col("contrib"))
-    rankTopK(contribs, qt, k, prune)
+    rankTopK(contribs, qt, k,
+      resolvePrune(pruneMode, pruneThreshold, tdq, queries, qtext))
   }
 
   /** [[termOverlapTopK]] over an already-built postings table — postings
