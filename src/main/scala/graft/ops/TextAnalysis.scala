@@ -1221,6 +1221,26 @@ object TextAnalysis {
       resolvePrune(pruneMode, pruneThreshold, tdq, queries, qtext))
   }
 
+  /** [[hybridRrfTopK]] over an already-built postings table — the
+    * serving composition: BM25 ([[bm25Search]]) and the
+    * coordination-level overlap ([[termOverlapSearch]]) both read the
+    * SAME postings relation (two bucket-pruned scans of the persisted
+    * index — the text column never needs to exist at serving time),
+    * fused by [[rrfFuse]]. Output identical to [[hybridRrfTopK]] over
+    * the corpus the index was built from, bit for bit (same postings
+    * semantics end to end). */
+  def hybridRrfSearch(postings: DataFrame, queries: DataFrame,
+                      qid: String, qtext: String, k: Int, kRrf: Int = 60,
+                      scale: Long = 1000000L, scaleBits: Int = 12,
+                      maxQueryTerms: Int = 10000,
+                      pruneMode: String = "auto",
+                      pruneThreshold: Long = 100000000L): DataFrame = {
+    val bm25 = bm25Search(postings, queries, qid, qtext, k, scaleBits,
+      maxQueryTerms, pruneMode, pruneThreshold)
+    val overlap = termOverlapSearch(postings, queries, qid, qtext, k)
+    rrfFuse(Seq(bm25, overlap), k, kRrf, scale)
+  }
+
   /** [[termOverlapTopK]] over an already-built postings table — postings
     * rows are unique (doc, term) pairs by construction, exactly the
     * distinct-presence relation the overlap count needs. Same output,

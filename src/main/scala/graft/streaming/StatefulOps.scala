@@ -1096,4 +1096,34 @@ object StatefulOps {
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!paused()) process(batch, id)
     }
+
+  /** EXACT top-k retrieval serving — the full-fidelity complement to
+    * [[streamingBm25Search]]'s threshold form: each micro-batch of
+    * queries runs the UNMODIFIED batch ranker against the persisted
+    * postings index inside `foreachBatch` (per-batch batch semantics —
+    * ranked top-k plus RRF fusion, which a pure streaming plan can't
+    * express without a second stateful stage), and `process` receives
+    * the finished `(q_id, rank, doc_id, …)` table per batch. The batch
+    * op IS the serving op, so parity is by construction; `hybrid`
+    * chooses [[graft.ops.TextAnalysis.hybridRrfSearch]] (BM25 +
+    * overlap + RRF) over plain [[graft.ops.TextAnalysis.bm25Search]].
+    * Empty micro-batches skip (the ranker's nonempty-vocabulary
+    * contract). */
+  def bm25ServeWriter(stream: DataFrame, postings: DataFrame,
+      qid: String, qtext: String, k: Int, hybrid: Boolean = false,
+      scaleBits: Int = 12, maxQueryTerms: Int = 10000)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val ranked =
+          if (hybrid)
+            graft.ops.TextAnalysis.hybridRrfSearch(postings, batch, qid,
+              qtext, k, scaleBits = scaleBits,
+              maxQueryTerms = maxQueryTerms)
+          else
+            graft.ops.TextAnalysis.bm25Search(postings, batch, qid,
+              qtext, k, scaleBits, maxQueryTerms)
+        process(ranked, id)
+      }
+    }
 }

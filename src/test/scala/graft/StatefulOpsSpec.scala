@@ -373,6 +373,38 @@ class StatefulOpsSpec extends SparkSpec {
     postings.unpersist()
   }
 
+  test("bm25ServeWriter: per-batch exact top-k (and hybrid fusion) equals batch") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry date egg"), (4L, "apple date")).toDF("doc_id", "text")
+    val postings = graft.ops.TextAnalysis
+      .indexPostings(docs, "doc_id", "text").persist()
+    val queries = Seq((100L, "apple date"), (200L, "cherry banana"))
+    def served(hybrid: Boolean): Set[Seq[Any]] = {
+      val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.bm25ServeWriter(
+          in.toDF().toDF("q_id", "qtext"), postings, "q_id", "qtext",
+          k = 3, hybrid = hybrid) { (ranked, _) =>
+        buf ++= ranked.collect().map(_.toSeq)
+      }.start()
+      withQuery(q) {
+        in.addData(queries: _*)
+        q.processAllAvailable()
+      }
+      buf.toSet
+    }
+    val bmBatch = graft.ops.TextAnalysis.bm25Search(postings,
+        queries.toDF("q_id", "qtext"), "q_id", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served(hybrid = false) == bmBatch && bmBatch.nonEmpty)
+    val hyBatch = graft.ops.TextAnalysis.hybridRrfSearch(postings,
+        queries.toDF("q_id", "qtext"), "q_id", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served(hybrid = true) == hyBatch && hyBatch.nonEmpty)
+    postings.unpersist()
+  }
+
   test("streamingIvfSq8Search: stream-static dense serving equals batch") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
