@@ -714,6 +714,22 @@ object StatefulOps {
       .filter(col("iscore") >= minScore)
   }
 
+  /** The dense twin of [[bm25ServeWriter]]: exact ranked top-k ANN
+    * serving over a persisted IVF-SQ8 index by running the unmodified
+    * batch [[graft.ops.Similarity.ivfSq8Search]] per query micro-batch
+    * inside `foreachBatch` — full [[graft.ops.Similarity.topKMerge]]
+    * ranking semantics online, parity by construction (vs
+    * [[streamingIvfSq8Search]]'s stateless radius form). */
+  def ivfSq8ServeWriter(stream: DataFrame, index: DataFrame, id: String,
+      vec: String, k: Int, cent: DataFrame, nProbe: Int,
+      lo: Array[Long], hi: Array[Long], scaleBits: Int = 12)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Similarity.ivfSq8Search(index, batch, id, vec,
+          k, cent, nProbe, lo, hi, scaleBits), bid)
+    }
+
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.
     *

@@ -448,6 +448,23 @@ class StatefulOpsSpec extends SparkSpec {
       // nProbe=1 really prunes: no cross-cluster candidates
       assert(!streamed.exists(r => r._1 == 100L && Set(2L, 30L, 31L)(r._2)))
     }
+    // the foreachBatch twin: exact ranked top-k per micro-batch
+    val ranked = graft.ops.Similarity.ivfSq8Search(index,
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 3, cent, nProbe = 1, lo, hi)
+      .collect().map(_.toSeq).toSet
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StatefulOps.ivfSq8ServeWriter(
+        in2.toDF().toDF("vec_id", "embedding"), index, "vec_id",
+        "embedding", k = 3, cent, nProbe = 1, lo, hi) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q2) {
+      in2.addData(queries: _*)
+      q2.processAllAvailable()
+    }
+    assert(buf.toSet == ranked && ranked.nonEmpty)
     index.unpersist()
   }
 
