@@ -721,13 +721,24 @@ object Dedup {
     val t = df.select(col(id), TextAnalysis.tokens(col(text)).as("__toks"))
     val tok = t.select(col(id),
       posexplode(col("__toks")).as(Seq("pos", "tk")))
-    val grams = t.filter(size(col("__toks")) >= n)
+    // PERSISTED: the two consumers below (the gh-keyed family aggregate
+    // and the gh-keyed cover join) cannot share an exchange — the
+    // aggregate's exchange carries partially-aggregated rows, the
+    // join's carries raw grams — so without the persist the md5-per-gram
+    // generation runs twice (measured: 2.2-2.6 → 1.9-2.3 s at sf0.1).
+    // This is the exception to the "row-local recompute beats a cache"
+    // rule (q54): an md5 over every sliding window is heavier than the
+    // cache materialization. The alternative (count/min as a window
+    // over gh — one shuffle, no persist) is deliberately rejected: a
+    // viral gram would build a whale partition.
+    val grams = Caches.track(t.filter(size(col("__toks")) >= n)
       .select(col(id), explode(transform(
         sequence(lit(0), size(col("__toks")) - n),
         i => struct(i.as("pos"),
           md5(array_join(slice(col("__toks"), i + 1, lit(n)), " ")).as("gh"))))
         .as("g"))
       .select(col(id), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      .persist())
     val packed = col(id).cast("long") * lit(1048576L) + col("pos")
     val fam = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("__c"), min(packed).as("__ck"))
