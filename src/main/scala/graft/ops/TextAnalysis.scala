@@ -869,19 +869,30 @@ object TextAnalysis {
 
   /** The sorted distinct query vocabulary (driver-bounded by contract —
     * `maxQueryTerms` rejects un-broadcastable query sets). */
-  private def queryVocab(queries: DataFrame, qtext: String,
-                         maxQueryTerms: Int): Seq[String] = {
+  /** The sorted distinct query vocabulary WITH per-term query counts
+    * (`qf`) — the counts ride the same single collect the vocabulary
+    * already needed, so the cost-based prune estimate
+    * ([[rankExpansion]]) is pure driver arithmetic, zero extra jobs
+    * (an earlier DataFrame-job estimator cost ~0.8 s of per-query
+    * stage overhead at bench scale — measured and reverted). */
+  private def queryVocabCounts(queries: DataFrame, qtext: String,
+                               maxQueryTerms: Int): Seq[(String, Long)] = {
     val spark = queries.sparkSession
     import spark.implicits._
     val terms = queries
       .select(explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
-      .distinct().orderBy(col("term")).as[String].collect().toSeq
+      .groupBy(col("term")).agg(count(lit(1)).as("qf"))
+      .orderBy(col("term")).as[(String, Long)].collect().toSeq
     require(terms.nonEmpty, "bm25: queries contain no terms")
     require(terms.size <= maxQueryTerms,
       s"bm25: ${terms.size} distinct query terms exceed " +
         s"maxQueryTerms=$maxQueryTerms — batch the queries")
     terms
   }
+
+  private def queryVocab(queries: DataFrame, qtext: String,
+                         maxQueryTerms: Int): Seq[String] =
+    queryVocabCounts(queries, qtext, maxQueryTerms).map(_._1)
 
   def bm25Stats(df: DataFrame, id: String, text: String,
                 queries: DataFrame, qid: String, qtext: String,
@@ -914,10 +925,11 @@ object TextAnalysis {
   private[graft] def bm25Core(df: DataFrame, id: String, text: String,
                        queries: DataFrame, qtext: String,
                        scaleBits: Int, maxQueryTerms: Int)
-      : (DataFrame, DataFrame, Long, Long, Seq[(String, Long)]) = {
+      : (DataFrame, DataFrame, Long, Long, Seq[(String, Long)], Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val terms = queryVocab(queries, qtext, maxQueryTerms)
+    val vocab = queryVocabCounts(queries, qtext, maxQueryTerms)
+    val terms = vocab.map(_._1)
     val toks = df.select(col(id).as("doc"),
       explode(tokens(lower(col(text)))).as("term"))
     // ONE corpus tokenize pass, not two (r8 had separate dld and tdq
@@ -943,7 +955,8 @@ object TextAnalysis {
     val dfMap = tdq.groupBy(col("term"))
       .agg(countDistinct(col("doc")).as("df"))
       .as[(String, Long)].collect().toMap
-    (tdq, dld, tTot, nDocs, quantizedIdf(terms, dfMap, nDocs, scaleBits))
+    (tdq, dld, tTot, nDocs, quantizedIdf(terms, dfMap, nDocs, scaleBits),
+      rankExpansion(dfMap, vocab))
   }
 
   /** The ranking half of [[bm25TopK]] over an already-built core. */
@@ -1065,40 +1078,31 @@ object TextAnalysis {
   }
 
   /** Driver-side size of the brute rank expansion, Σ_t df(t)·qf(t) —
-    * every posting row of term t joins every query containing t. One
-    * tiny job: a per-term rollup of the (persisted) tf table joined to
-    * the per-term query counts, output ∝ query vocabulary. */
-  private[graft] def rankExpansion(tdq: DataFrame, queries: DataFrame,
-                                   qtext: String): Long = {
-    val spark = tdq.sparkSession
-    import spark.implicits._
-    val dfT = tdq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qf = queries
-      .select(explode(array_distinct(tokens(lower(col(qtext)))))
-        .as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("qf"))
-    dfT.join(qf, Seq("term"))
-      .agg(coalesce(sum(col("df") * col("qf")), lit(0L)))
-      .as[Long].collect().head
-  }
+    * every posting row of term t joins every query containing t. PURE
+    * driver arithmetic: both statistics are already collected (df for
+    * the idf artifact, qf riding the vocabulary collect), so the
+    * estimate is exact AND free — no extra Spark job (an earlier
+    * DataFrame-job form cost ~0.8 s of per-query stage overhead at
+    * bench scale). */
+  private[graft] def rankExpansion(dfMap: Map[String, Long],
+                                   qf: Seq[(String, Long)]): Long =
+    qf.iterator.map { case (t, c) => dfMap.getOrElse(t, 0L) * c }.sum
 
   /** The cost-based plan switch for the rank phase: `"off"`/`"on"`
     * force brute / MaxScore-pruned; `"auto"` (the default) picks
     * pruning exactly when the estimated brute expansion
     * ([[rankExpansion]]) reaches `threshold` — default 10⁸ rows, the
     * measured local[32] crossover (probe: 4× loss at the sf0.1 bench
-    * shape, wash at ~1.5·10⁷, 8× win at ~1.5·10⁸). The statistics are
-    * already driver-adjacent (df rides the persisted tf table, qf is a
-    * query-side rollup), so the estimate is exact, not sampled. */
+    * shape, wash at ~1.5·10⁷, 8× win at ~1.5·10⁸). */
   private[graft] def resolvePrune(mode: String, threshold: Long,
-                                  tdq: DataFrame, queries: DataFrame,
-                                  qtext: String): Boolean = mode match {
-    case "on"   => true
-    case "off"  => false
-    case "auto" => rankExpansion(tdq, queries, qtext) >= threshold
-    case other => throw new IllegalArgumentException(
-      s"bad pruneMode: '$other' (auto|on|off)")
-  }
+                                  expansion: => Long): Boolean =
+    mode match {
+      case "on"   => true
+      case "off"  => false
+      case "auto" => expansion >= threshold
+      case other => throw new IllegalArgumentException(
+        s"bad pruneMode: '$other' (auto|on|off)")
+    }
 
   def bm25TopK(df: DataFrame, id: String, text: String,
                queries: DataFrame, qid: String, qtext: String, k: Int,
@@ -1107,11 +1111,10 @@ object TextAnalysis {
                pruneThreshold: Long = 100000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
-    val (tdq, dld, tTot, nDocs, idfRows) =
+    val (tdq, dld, tTot, nDocs, idfRows, expansion) =
       bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
     bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid, qtext, k,
-      scaleBits,
-      resolvePrune(pruneMode, pruneThreshold, tdq, queries, qtext))
+      scaleBits, resolvePrune(pruneMode, pruneThreshold, expansion))
   }
 
   /** Hybrid sparse retrieval in one call: BM25 and the coordination-level
@@ -1132,11 +1135,11 @@ object TextAnalysis {
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
-    val (tdq, dld, tTot, nDocs, idfRows) =
+    val (tdq, dld, tTot, nDocs, idfRows, expansion) =
       bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
     val bm25 = bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid,
       qtext, k, scaleBits,
-      resolvePrune(pruneMode, pruneThreshold, tdq, queries, qtext))
+      resolvePrune(pruneMode, pruneThreshold, expansion))
     val overlap = termOverlapSearch(
       tdq.select(col("doc"), col("term"), col("tf")), queries, qid,
       qtext, k)
@@ -1190,7 +1193,8 @@ object TextAnalysis {
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val spark = postings.sparkSession
     import spark.implicits._
-    val terms = queryVocab(queries, qtext, maxQueryTerms)
+    val vocab = queryVocabCounts(queries, qtext, maxQueryTerms)
+    val terms = vocab.map(_._1)
     val (tTot, nDocs) = postings
       .agg(sum(col("tf")), countDistinct(col("doc")))
       .as[(Long, Long)].collect().head
@@ -1218,7 +1222,7 @@ object TextAnalysis {
         expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
       .select(col("doc"), col("term"), col("contrib"))
     rankTopK(contribs, qt, k,
-      resolvePrune(pruneMode, pruneThreshold, tdq, queries, qtext))
+      resolvePrune(pruneMode, pruneThreshold, rankExpansion(dfMap, vocab)))
   }
 
   /** [[hybridRrfTopK]] over an already-built postings table — the

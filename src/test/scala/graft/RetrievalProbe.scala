@@ -60,7 +60,7 @@ object RetrievalProbe {
     locally {
       val ta = graft.ops.TextAnalysis
       val t0 = System.nanoTime()
-      val (tdq, dld, tTot, nDocs, idf) =
+      val (tdq, dld, tTot, nDocs, idf, _) =
         ta.bm25Core(docs, "doc_id", "text", qs, "qtext", 12, 10000)
       println(f"[probe] core build (collects+persists)  ${(System.nanoTime() - t0) / 1e9}%.3f s")
       val t1 = System.nanoTime()
@@ -108,7 +108,7 @@ object RetrievalProbe {
       val qs2 = spark.range(20000).select(col("id").as("q_id"),
         concat(lit("tok"), (col("id") % 500).cast("string"),
           lit(" table data")).as("qtext"))
-      val (tdq, dld, tTot, nDocs, idf) =
+      val (tdq, dld, tTot, nDocs, idf, _) =
         ta.bm25Core(corpus2, "doc_id", "text", qs2, "qtext", 12, 10000)
       def rank(p: Boolean): Unit =
         noop(ta.bm25Rank(tdq, dld, tTot, nDocs, idf, qs2, "q_id",
