@@ -6051,6 +6051,146 @@ object Queries {
                 UNION ALL SELECT * FROM f4)"""
     }, bench = true)
 
+  /** Line-structure fixture: the flat testdata text has no newlines, so
+    * structure is synthesized identically on both sides (the q167
+    * markup convention): 'table' becomes a line break, then a copy of
+    * the first line (a guaranteed within-doc duplicate), two bullet
+    * lines and an ellipsis line are appended. */
+  private def lineFixture(s: SparkSession, d: String): DataFrame = {
+    val st = replace(col("text"), lit("table"), lit("\n"))
+    docs(s, d).select(col("doc_id"),
+      concat(st, lit("\n"), trim(element_at(split(st, "\n"), 1)),
+        lit("\n- bullet item\n* second one\ntrailing thought..."))
+        .as("ltext"))
+  }
+  private val LineFixtureSql =
+    """d0 AS (SELECT doc_id, replace(text, 'table', chr(10)) AS st
+              FROM documents),
+       fx AS (SELECT doc_id, st || chr(10) ||
+                trim(string_split(st, chr(10))[1]) || chr(10) ||
+                '- bullet item' || chr(10) || '* second one' || chr(10) ||
+                'trailing thought...' AS lt
+              FROM d0)"""
+
+  /** Gopher line-structure quality panel (TextAnalysis
+    * .lineStructureSignals): bullet/ellipsis line shares plus
+    * duplicate-line and duplicate-line-char fractions, exact basis
+    * points. */
+  private val q184 = QDef("q184_line_panel",
+    (s, d) => TextAnalysis.lineStructureSignals(lineFixture(s, d),
+      "doc_id", "ltext"),
+    Some(s"""WITH $LineFixtureSql,
+          t AS (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM fx),
+          l AS (SELECT doc_id, trim(ls[i]) AS tl
+                FROM t, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+          ne AS (SELECT doc_id, tl, count(*) AS c
+                 FROM l WHERE tl <> '' GROUP BY 1, 2),
+          roll AS (SELECT doc_id, sum(c) AS n,
+              sum(CASE WHEN tl LIKE '- %' OR tl LIKE '* %'
+                       OR tl LIKE '•%' THEN c ELSE 0 END) AS b,
+              sum(CASE WHEN tl LIKE '%...' THEN c ELSE 0 END) AS e,
+              sum(c - 1) AS dd,
+              sum((c - 1) * len(tl)) AS dch,
+              sum(c * len(tl)) AS tch
+            FROM ne GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(COALESCE(n, 0) AS BIGINT) AS n_lines,
+            CAST(CASE WHEN COALESCE(n, 0) = 0 THEN 0
+                 ELSE (10000 * b) // n END AS BIGINT) AS bullet_bp,
+            CAST(CASE WHEN COALESCE(n, 0) = 0 THEN 0
+                 ELSE (10000 * e) // n END AS BIGINT) AS ellipsis_bp,
+            CAST(CASE WHEN COALESCE(n, 0) = 0 THEN 0
+                 ELSE (10000 * dd) // n END AS BIGINT) AS dup_line_bp,
+            CAST(CASE WHEN COALESCE(tch, 0) = 0 THEN 0
+                 ELSE (10000 * dch) // tch END AS BIGINT) AS dup_char_bp
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN roll USING (doc_id)"""), bench = true)
+
+  /** C4 line-level cleaning (TextAnalysis.c4LineFilter): terminal
+    * punctuation + min-words + no-"javascript" line rules, lorem-ipsum
+    * and brace document rules; 'vector'→'javascript' and
+    * 'spark'→' end.' rewrites plant rule hits, doc_id%37 plants
+    * dropped docs. */
+  private val q185 = QDef("q185_c4_filter",
+    (s, d) => {
+      val st = replace(replace(replace(col("text"),
+          lit("vector"), lit("javascript")),
+          lit("spark"), lit(" end.")),
+          lit("table"), lit("\n"))
+      TextAnalysis.c4LineFilter(
+        docs(s, d).select(col("doc_id"),
+          concat(st, when(col("doc_id") % 37 === 0, lit(" lorem ipsum"))
+            .otherwise(lit(""))).as("ltext")),
+        "doc_id", "ltext", minWords = 3)
+    },
+    Some("""WITH d AS (SELECT doc_id,
+              replace(replace(replace(text, 'vector', 'javascript'),
+                'spark', ' end.'), 'table', chr(10)) ||
+              CASE WHEN doc_id % 37 = 0 THEN ' lorem ipsum' ELSE '' END
+                AS lt
+            FROM documents),
+          t AS (SELECT doc_id, string_split(lt, chr(10)) AS ls,
+              contains(lower(lt), 'lorem ipsum') OR contains(lt, '{')
+                AS dropped
+            FROM d),
+          k AS (SELECT doc_id, dropped,
+              list_filter(list_transform(ls, x -> trim(x)), y ->
+                y <> '' AND (y LIKE '%.' OR y LIKE '%!' OR y LIKE '%?'
+                  OR y LIKE '%"') AND
+                len(list_filter(regexp_split_to_array(y, '\s+'),
+                  w -> w <> '')) >= 3 AND
+                NOT contains(lower(y), 'javascript')) AS kept,
+              len(list_filter(ls, x -> trim(x) <> '')) AS ne
+            FROM t)
+          SELECT doc_id,
+            CASE WHEN dropped THEN ''
+                 ELSE COALESCE(array_to_string(kept, chr(10)), '')
+            END AS clean_text,
+            CAST(CASE WHEN dropped THEN 0 ELSE len(kept) END AS BIGINT)
+              AS n_lines_kept,
+            CAST(ne - CASE WHEN dropped THEN 0 ELSE len(kept) END
+              AS BIGINT) AS n_lines_dropped,
+            dropped AS doc_dropped
+          FROM k"""), bench = true)
+
+  /** Corpus-wide boilerplate line removal (Dedup
+    * .removeBoilerplateLines): trimmed lines in ≥3 distinct docs
+    * removed everywhere; doc_id%5 plants a newsletter footer, and the
+    * word-soup's short common lines are organic boilerplate. */
+  private val q186 = QDef("q186_boiler_lines",
+    (s, d) => Dedup.removeBoilerplateLines(
+      docs(s, d).select(col("doc_id"),
+        concat(replace(col("text"), lit("table"), lit("\n")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nsubscribe to our newsletter")).otherwise(lit("")))
+          .as("ltext")),
+      "doc_id", "ltext", minDocs = 3),
+    Some("""WITH d AS (SELECT doc_id,
+              replace(text, 'table', chr(10)) ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || 'subscribe to our newsletter'
+                   ELSE '' END AS lt
+            FROM documents),
+          t AS (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM d),
+          l AS (SELECT doc_id, i AS pos, ls[i] AS raw, trim(ls[i]) AS tl
+                FROM t, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+          b AS (SELECT tl FROM (
+                  SELECT tl, count(DISTINCT doc_id) AS nd
+                  FROM l WHERE tl <> '' GROUP BY 1)
+                WHERE nd >= 3),
+          m AS (SELECT l.*,
+              (l.tl <> '' AND l.tl IN (SELECT tl FROM b)) AS rm
+            FROM l)
+          SELECT doc_id,
+            COALESCE(string_agg(CASE WHEN rm THEN NULL ELSE raw END,
+              chr(10) ORDER BY pos), '') AS clean_text,
+            CAST(count(*) AS BIGINT) AS n_lines,
+            CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_removed,
+            CAST(sum(CASE WHEN rm THEN len(raw) ELSE 0 END) AS BIGINT)
+              AS chars_removed
+          FROM m GROUP BY doc_id"""), bench = true)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -6065,7 +6205,8 @@ object Queries {
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q180, q181, q182, q183)
+    q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
+    q186)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

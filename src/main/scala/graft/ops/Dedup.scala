@@ -761,6 +761,56 @@ object Dedup {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Corpus-wide BOILERPLATE LINE removal — the line-level sibling of
+    * [[removeDuplicateSpans]] (RefinedWeb §3.1 / CCNet-style: nav
+    * menus, cookie banners, "subscribe" footers repeat VERBATIM as
+    * whole lines across many pages). A line whose trimmed form appears
+    * in at least `minDocs` DISTINCT documents is boilerplate and is
+    * removed from EVERY document (unlike span dedup, which keeps the
+    * first occurrence — boilerplate has no canonical owner worth
+    * keeping). Empty-after-trim lines are never candidates and are
+    * always kept (they carry document structure, not content).
+    *
+    * Shape: lines carry an md5 key so the corpus-frequency aggregate
+    * and the marking join shuffle a 32-char hash, not the line text;
+    * the distinct-doc count is the two-phase distinct (`(gh, id)`
+    * pre-distinct feeding a map-side-combinable count — no
+    * count-distinct expand); reassembly is the q97 ordered
+    * re-aggregation (array_sort over collect_list, no window). Docs
+    * whose every line is boilerplate stay row-aligned with empty text.
+    * Output: `(id, clean_text, n_lines, n_removed, chars_removed)`. */
+  def removeBoilerplateLines(df: DataFrame, id: String, text: String,
+                             minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val lines = df
+      .select(col(id), posexplode(split(col(text), "\n"))
+        .as(Seq("pos", "__l")))
+      .withColumn("__t", trim(col("__l")))
+      .withColumn("__gh", when(col("__t") =!= "", md5(col("__t"))))
+    val boiler = lines.filter(col("__gh").isNotNull)
+      .select(col("__gh"), col(id)).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__gh").as("__bh"))
+    val marked = lines.join(boiler, lines("__gh") === boiler("__bh"),
+      "left")
+    val agg = marked.groupBy(col(id)).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__bh").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("__bh").isNotNull, length(col("__l")))
+        .otherwise(0L)).as("chars_removed"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(when(col("__bh").isNull,
+          struct(col("pos"), col("__l"))))),
+        x => x("__l"))).as("clean_text"))
+    df.select(col(id)).join(agg, Seq(id), "left")
+      .select(col(id), coalesce(col("clean_text"), lit(""))
+          .as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"))
+  }
+
   /** END-TO-END corpus near-dedup in ONE Catalyst-planned call — the
     * composition a pipeline user actually wants from the dedup stack:
     * candidate pairs ([[minHashLshPairs]]: banded equi-join, exact

@@ -130,6 +130,108 @@ object TextAnalysis {
       .drop("__top", "__tot")
   }
 
+  /** Per-document LINE-structure signals — the Gopher structural
+    * quality rules the n-gram panels above cannot see (Rae et al.
+    * §A1.1: bullet-point and ellipsis line shares; RefinedWeb §3.1:
+    * duplicate-line and duplicate-line-character fractions). Nav
+    * menus, cookie banners and crawler loops repeat whole LINES while
+    * their n-gram stats still look plausible. A line is a
+    * '\n'-delimited segment whose trimmed form is nonempty; duplicate
+    * mass counts every occurrence past the first of an identical
+    * trimmed line. Shares are exact basis points on the integer grid
+    * (`10000·x div n` — cross-engine-exact, never a double ratio).
+    * Line-less docs report a zero row (never silently drop a doc from
+    * a quality panel).
+    *
+    * Shape: one map-side-combinable `(id, line)` count, one per-doc
+    * rollup, one row-aligned left join — only `(id, trimmed-line)`
+    * shuffles, never the document text; linear at corpus scale.
+    * Output: `(id, n_lines, bullet_bp, ellipsis_bp, dup_line_bp,
+    * dup_char_bp)`. */
+  def lineStructureSignals(df: DataFrame, id: String, text: String)
+      : DataFrame = {
+    val perLine = df
+      .select(col(id), explode(split(col(text), "\n")).as("__l"))
+      .select(col(id), trim(col("__l")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(id), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val isBullet = col("__t").like("- %") || col("__t").like("* %") ||
+      col("__t").like("•%")
+    val roll = perLine.groupBy(col(id)).agg(
+      sum(col("__c")).as("__n"),
+      sum(when(isBullet, col("__c")).otherwise(0L)).as("__b"),
+      sum(when(col("__t").like("%..."), col("__c")).otherwise(0L)).as("__e"),
+      sum(col("__c") - 1).as("__d"),
+      sum((col("__c") - 1) * length(col("__t"))).as("__dch"),
+      sum(col("__c") * length(col("__t"))).as("__tch"))
+    def bp(num: String, den: String): Column =
+      when(col(den) === 0, lit(0L))
+        .otherwise(expr(s"(10000 * $num) div $den"))
+    df.select(col(id)).join(roll, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__n"), lit(0L)).as("n_lines"),
+        coalesce(col("__b"), lit(0L)).as("__b"),
+        coalesce(col("__e"), lit(0L)).as("__e"),
+        coalesce(col("__d"), lit(0L)).as("__d"),
+        coalesce(col("__dch"), lit(0L)).as("__dch"),
+        coalesce(col("__tch"), lit(0L)).as("__tch"))
+      .select(col(id), col("n_lines"),
+        bp("__b", "n_lines").as("bullet_bp"),
+        bp("__e", "n_lines").as("ellipsis_bp"),
+        bp("__d", "n_lines").as("dup_line_bp"),
+        bp("__dch", "__tch").as("dup_char_bp"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. §2.2, the rules that
+    * are a pure function of the text): keep a line only if its trimmed
+    * form ends in terminal punctuation (`.` `!` `?` `"`), has at least
+    * `minWords` whitespace words, and does not contain the (lowercased)
+    * word "javascript"; drop a DOCUMENT entirely if its lowercased text
+    * contains any of `docBadPhrases` (C4's "lorem ipsum" and `{`
+    * code-brace rules). Dropped docs stay row-aligned with empty
+    * `clean_text` and `doc_dropped = true` — a curation pass must
+    * account for every input row.
+    *
+    * Deliberately ROW-LOCAL: the per-line predicate folds over the
+    * split array with HOFs (interpreted — the CLAUDE rule), because the
+    * alternative (explode + ordered re-aggregation) shuffles the whole
+    * corpus text just to preserve line order. Paying interpretation to
+    * stay shuffle-free is the right trade for a transform whose output
+    * is per-input-row; the [[lineStructureSignals]] PANEL keeps the
+    * codegen'd explode+aggregate shape because its output is narrow.
+    * Output: `(id, clean_text, n_lines_kept, n_lines_dropped,
+    * doc_dropped)`. */
+  def c4LineFilter(df: DataFrame, id: String, text: String,
+                   minWords: Int = 3,
+                   docBadPhrases: Seq[String] = Seq("lorem ipsum", "{"))
+      : DataFrame = {
+    require(minWords >= 1, s"bad minWords: $minWords")
+    val lowered = lower(col(text))
+    val bad = docBadPhrases
+      .map(p => lowered.contains(lit(p.toLowerCase)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val lines = split(col(text), "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      val nWords = size(filter(split(t, "\\s+"), w => w =!= ""))
+      (t.like("%.") || t.like("%!") || t.like("%?") || t.like("%\"")) &&
+        nWords >= minWords && !lower(t).contains(lit("javascript"))
+    }
+    val keptArr = filter(lines, l => trim(l) =!= "" && keepLine(l))
+    val nonEmpty = size(filter(lines, l => trim(l) =!= ""))
+    df.withColumn("__dropped", bad)
+      .withColumn("__kept", when(col("__dropped"),
+        array().cast("array<string>")).otherwise(keptArr))
+      .select(col(id),
+        array_join(transform(col("__kept"), l => trim(l)), "\n")
+          .as("clean_text"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        (nonEmpty.cast("long") - size(col("__kept")))
+          .as("n_lines_dropped"),
+        col("__dropped").as("doc_dropped"))
+  }
+
   /** Language-ID by marker-word voting: deterministic n-gram/stopword
     * heuristic. Counts occurrences of per-language marker words; argmax
     * with ties broken by language code ascending; all-zero → "und".

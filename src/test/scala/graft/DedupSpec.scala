@@ -542,6 +542,28 @@ class DedupSpec extends SparkSpec {
     assert(r(0L) == "u v w x y z" && r(3L) == "" && r(6L) == "")
   }
 
+  test("removeBoilerplateLines: corpus lines cut, within-doc dups survive") {
+    val docs = Seq(
+      (1L, "unique one\nSubscribe now\nbody text a"),
+      (2L, "Subscribe now\nbody text b"),
+      (3L, "intro\n  Subscribe now  \nclose"), // whitespace-normalized hit
+      (4L, "all alone"),
+      (5L, "dup me\ndup me") // same doc twice ≠ two DOCS → kept
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.removeBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .sortBy(_._1).toSeq
+    val out = run(docs).map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "unique one\nbody text a", 3L, 1L, 13L)))
+    assert(out(2L) == ((2L, "body text b", 2L, 1L, 13L)))
+    // raw untrimmed line (17 chars) is what gets removed and billed
+    assert(out(3L) == ((3L, "intro\nclose", 3L, 1L, 17L)))
+    assert(out(4L) == ((4L, "all alone", 1L, 0L, 0L)))
+    assert(out(5L) == ((5L, "dup me\ndup me", 2L, 0L, 0L)))
+    assert(run(docs) == run(docs.repartition(7)))
+  }
+
   test("softDedupWeights: family mass ≈ one doc; singletons weigh 10^4") {
     val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
     val docs = (Seq(1L, 2L, 3L).map((_, t)) ++ // exact triplet → family of 3
