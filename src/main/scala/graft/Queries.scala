@@ -6191,6 +6191,104 @@ object Queries {
               AS chars_removed
           FROM m GROUP BY doc_id"""), bench = true)
 
+  private val RelationalBm25Core =
+    """dt AS (SELECT doc_id, list_filter(
+            regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+          FROM documents),
+       toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+       td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM toks GROUP BY 1),
+       tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                      CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+       q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+             FROM dt WHERE doc_id % 25 = 0),
+       nrm AS (SELECT doc_id,
+                 (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                   AS norm_q
+               FROM dl, tot),
+       sc AS (SELECT q.q_id, td.doc_id,
+                CAST(sum((idf_q * tf * 11 * 4096) //
+                  (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q,
+                CAST(count(*) AS BIGINT) AS n_terms
+              FROM q JOIN idf USING (term) JOIN td USING (term)
+                   JOIN nrm USING (doc_id)
+              GROUP BY 1, 2),
+       r AS (SELECT q_id, doc_id, score_q, n_terms, row_number() OVER (
+               PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+             FROM sc),
+       fb AS (SELECT q_id, doc_id FROM r WHERE rn <= 3),
+       ft AS (SELECT fb.q_id, t.term, CAST(count(*) AS BIGINT) AS weight
+              FROM fb JOIN toks t USING (doc_id) GROUP BY 1, 2),
+       er AS (SELECT q_id, term, weight, row_number() OVER (
+                PARTITION BY q_id ORDER BY weight DESC, term) AS ern
+              FROM ft
+              WHERE NOT EXISTS (SELECT 1 FROM q qq
+                WHERE qq.q_id = ft.q_id AND qq.term = ft.term))"""
+
+  /** PRF expansion-term mining (TextAnalysis.prfExpansionTerms): top-3
+    * BM25 feedback docs per query, 5 heaviest non-query terms by exact
+    * tf mass. The idf artifact is the SECOND-round (expanded-vocab)
+    * one — a superset of q124's whose overlap values are identical, so
+    * one VALUES table serves both rounds. */
+  private val q187 = QDef("q187_prf_terms",
+    (s, d) => TextAnalysis.prfExpansionTerms(docs(s, d), "doc_id",
+      "text", bm25Queries(s, d), "q_id", "qtext", fbDocs = 3,
+      fbTerms = 5),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedPrfIdf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH idf(term, idf_q) AS (VALUES $rows),
+           $RelationalBm25Core
+           SELECT q_id, CAST(ern AS INT) AS rank, term, weight
+           FROM er WHERE ern <= 5"""
+    }))
+
+  /** BM25 with pseudo-relevance feedback (TextAnalysis.bm25PrfTopK):
+    * two exact retrieval rounds — rank, expand each query with its
+    * feedback docs' wording, rank the expanded queries. */
+  private val q188 = QDef("q188_prf_topk",
+    (s, d) => TextAnalysis.bm25PrfTopK(docs(s, d), "doc_id", "text",
+      bm25Queries(s, d), "q_id", "qtext", k = 10, fbDocs = 3,
+      fbTerms = 5),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedPrfIdf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH idf(term, idf_q) AS (VALUES $rows),
+           $RelationalBm25Core,
+           q2 AS (SELECT q_id, term FROM q
+                  UNION SELECT q_id, term FROM er WHERE ern <= 5),
+           sc2 AS (SELECT q2.q_id, td.doc_id,
+                     CAST(sum((idf_q * tf * 11 * 4096) //
+                       (5 * tf * 4096 + 6 * norm_q)) AS BIGINT)
+                       AS score_q,
+                     CAST(count(*) AS BIGINT) AS n_terms
+                   FROM q2 JOIN idf USING (term) JOIN td USING (term)
+                        JOIN nrm USING (doc_id)
+                   GROUP BY 1, 2),
+           r2 AS (SELECT q_id, doc_id, score_q, n_terms, row_number()
+                    OVER (PARTITION BY q_id
+                          ORDER BY score_q DESC, doc_id) AS rn
+                  FROM sc2)
+           SELECT q_id, CAST(rn AS INT) AS rank, doc_id, score_q, n_terms
+           FROM r2 WHERE rn <= 10"""
+    }))
+
+  private val prfIdfCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+  /** Second-round idf artifact: trained on exactly the expanded-query
+    * table the op itself retrieves with. */
+  private def trainedPrfIdf(s: SparkSession, d: String): Seq[(String, Long)] =
+    prfIdfCache.getOrElseUpdate(d, TextAnalysis.bm25Stats(docs(s, d),
+      "doc_id", "text",
+      TextAnalysis.prfExpandedQueries(docs(s, d), "doc_id", "text",
+        bm25Queries(s, d), "q_id", "qtext", fbDocs = 3, fbTerms = 5),
+      "q_id", "qtext2")._1)
+
   val all: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
@@ -6206,7 +6304,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186)
+    q186, q187, q188)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

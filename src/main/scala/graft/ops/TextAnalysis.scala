@@ -1254,6 +1254,95 @@ object TextAnalysis {
     rrfFuse(Seq(bm25, overlap), k, kRrf, scale)
   }
 
+  /** Pseudo-relevance-feedback expansion terms (the Rocchio/RM recipe
+    * in exact-integer form): run [[bm25TopK]] for the top `fbDocs`
+    * feedback documents per query, mine the `fbTerms` heaviest
+    * NON-QUERY terms from their token streams (weight = Σ term
+    * frequency over the feedback docs — exact int64; ties → term
+    * ascending), and report them ranked. This is the classic
+    * vocabulary-mismatch fix for sparse retrieval: a query phrased
+    * differently from its relevant docs pulls in the docs' own
+    * wording for a second pass ([[bm25PrfTopK]]).
+    *
+    * Scale shape: the feedback set is query-bounded (|queries|·fbDocs
+    * rows) and BROADCAST, so mining is a map-side semi-join on the
+    * token scan — the corpus shuffles only its feedback-doc tokens,
+    * grouped (q_id, term) with map-side combine; the top-fbTerms
+    * window runs per query on the mined table, never the corpus.
+    * Output: `(q_id, rank, term, weight)`. */
+  def prfExpansionTerms(df: DataFrame, id: String, text: String,
+                        queries: DataFrame, qid: String, qtext: String,
+                        fbDocs: Int = 3, fbTerms: Int = 5,
+                        scaleBits: Int = 12, maxQueryTerms: Int = 10000)
+      : DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val fb = bm25TopK(df, id, text, queries, qid, qtext, k = fbDocs,
+      scaleBits, maxQueryTerms).select(col("q_id"), col("doc_id"))
+    val mined = df
+      .select(col(id).as("doc_id"),
+        explode(tokens(lower(col(text)))).as("term"))
+      .join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("q_id"), col("term"))
+      .agg(count(lit(1)).as("weight"))
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("weight").desc, col("term"))
+    mined.join(qt, Seq("q_id", "term"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= fbTerms)
+      .select(col("q_id"), col("rank"), col("term"), col("weight"))
+  }
+
+  /** The expanded-query table behind [[bm25PrfTopK]]: each query's text
+    * plus its [[prfExpansionTerms]] (sorted, space-joined — scoring
+    * distincts terms, so order and one-vs-many occurrences don't
+    * matter). PERSISTED: the second retrieval round reads it several
+    * times (vocabulary collect, term explode) and its recompute is the
+    * entire first round — the persist-pays rule's clearest case.
+    * Exposed so oracle generation can train the second-round idf
+    * artifact on exactly this table. Output: `(q_id, qtext2)`. */
+  def prfExpandedQueries(df: DataFrame, id: String, text: String,
+                         queries: DataFrame, qid: String, qtext: String,
+                         fbDocs: Int = 3, fbTerms: Int = 5,
+                         scaleBits: Int = 12, maxQueryTerms: Int = 10000)
+      : DataFrame = {
+    val exp = prfExpansionTerms(df, id, text, queries, qid, qtext,
+        fbDocs, fbTerms, scaleBits, maxQueryTerms)
+      .groupBy(col("q_id"))
+      .agg(concat_ws(" ", array_sort(collect_list(col("term"))))
+        .as("__exp"))
+    Caches.track(queries
+      .select(col(qid).as("q_id"), col(qtext).as("__qt"))
+      .join(exp, Seq("q_id"), "left")
+      .select(col("q_id"),
+        concat_ws(" ", col("__qt"), coalesce(col("__exp"), lit("")))
+          .as("qtext2"))
+      .persist())
+  }
+
+  /** BM25 with pseudo-relevance feedback — two exact retrieval rounds:
+    * rank, expand each query with its feedback docs' wording
+    * ([[prfExpansionTerms]]), rank again with the expanded queries.
+    * Every stage is the existing integer-exact machinery, so the
+    * result is engine-exact like plain [[bm25TopK]]; the second round
+    * trains its own idf artifact over the expanded vocabulary (original
+    * terms keep identical idf values — same corpus statistics).
+    * Output: `(q_id, rank, doc_id, score_q, n_terms)`. */
+  def bm25PrfTopK(df: DataFrame, id: String, text: String,
+                  queries: DataFrame, qid: String, qtext: String, k: Int,
+                  fbDocs: Int = 3, fbTerms: Int = 5,
+                  scaleBits: Int = 12, maxQueryTerms: Int = 10000,
+                  pruneMode: String = "auto",
+                  pruneThreshold: Long = 100000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q2 = prfExpandedQueries(df, id, text, queries, qid, qtext,
+      fbDocs, fbTerms, scaleBits, maxQueryTerms)
+    bm25TopK(df, id, text, q2, "q_id", "qtext2", k, scaleBits,
+      maxQueryTerms, pruneMode, pruneThreshold)
+  }
+
   /** Persist the postings index BUCKETED BY TERM
     * ([[graft.io.Layout.writeBucketed]]) — the sparse-retrieval serving
     * posture mirroring [[graft.ops.Similarity.saveIvfSq8Index]]'s dense
