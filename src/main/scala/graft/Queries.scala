@@ -6278,6 +6278,70 @@ object Queries {
            FROM r2 WHERE rn <= 10"""
     }))
 
+  /** One-call Gopher quality gate (TextAnalysis.gopherFilter) over the
+    * line fixture: per-rule verdicts + conjunction keep. Thresholds
+    * chosen to split the corpus on every data-driven rule (token count
+    * 18-194 → 60; mean word length 387-524 c → 420; bullet share 2/n
+    * lines → 2500 bp; ellipsis 1/n → 1200 bp; stop list hits). */
+  private val q189 = QDef("q189_gopher_gate",
+    (s, d) => TextAnalysis.gopherFilter(lineFixture(s, d), "doc_id",
+      "ltext", minTokens = 60, maxTokens = 100000, minWordLenC = 420,
+      maxWordLenC = 1000, maxBulletBp = 2500, maxEllipsisBp = 1200,
+      stopList = Seq("the", "a", "of", "and"), minStopHits = 2),
+    Some(s"""WITH $LineFixtureSql,
+          tk AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(lt, '\\s+'),
+                x -> x <> '') AS ws,
+              CAST(len(regexp_extract_all(lt, '#')) +
+                len(regexp_extract_all(lt, '\\.\\.\\.')) AS BIGINT)
+                AS symbols
+            FROM fx),
+          rowm AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n,
+              CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0)
+                AS BIGINT) AS sumlen,
+              CAST(len(list_filter(ws,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
+              (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+                AS stophits,
+              symbols
+            FROM tk),
+          t AS (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM fx),
+          l AS (SELECT doc_id, trim(ls[i]) AS tl
+                FROM t, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+          ne AS (SELECT doc_id, tl, count(*) AS c
+                 FROM l WHERE tl <> '' GROUP BY 1, 2),
+          roll AS (SELECT doc_id, sum(c) AS nl,
+              sum(CASE WHEN tl LIKE '- %' OR tl LIKE '* %'
+                       OR tl LIKE '•%' THEN c ELSE 0 END) AS b,
+              sum(CASE WHEN tl LIKE '%...' THEN c ELSE 0 END) AS e
+            FROM ne GROUP BY 1),
+          lr AS (SELECT doc_id,
+              CASE WHEN COALESCE(nl, 0) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((10000 * b) // nl AS BIGINT) END AS bbp,
+              CASE WHEN COALESCE(nl, 0) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((10000 * e) // nl AS BIGINT) END AS ebp
+            FROM (SELECT doc_id FROM documents) dd LEFT JOIN roll
+              USING (doc_id))
+          SELECT doc_id, n AS n_tokens,
+            (n >= 60 AND n <= 100000) AS ok_tokens,
+            (n > 0 AND 100 * sumlen >= 420 * n AND
+              100 * sumlen <= 1000 * n) AS ok_word_len,
+            (symbols * 10 <= n) AS ok_symbol,
+            (bbp <= 2500) AS ok_bullet,
+            (ebp <= 1200) AS ok_ellipsis,
+            (n > 0 AND alpha * 5 >= n * 4) AS ok_alpha,
+            (stophits >= 2) AS ok_stopword,
+            ((n >= 60 AND n <= 100000) AND
+             (n > 0 AND 100 * sumlen >= 420 * n AND
+              100 * sumlen <= 1000 * n) AND
+             (symbols * 10 <= n) AND (bbp <= 2500) AND (ebp <= 1200) AND
+             (n > 0 AND alpha * 5 >= n * 4) AND (stophits >= 2)) AS keep
+          FROM rowm JOIN lr USING (doc_id)"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6304,7 +6368,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188)
+    q186, q187, q188, q189)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -232,6 +232,66 @@ object TextAnalysis {
         col("__dropped").as("doc_dropped"))
   }
 
+  /** ONE-CALL Gopher quality gate (Rae et al. §A1.1) — the
+    * quality-filtering composition a pipeline user actually wants,
+    * mirroring [[graft.ops.Dedup.dedupCorpus]]'s role on the dedup
+    * side: every document against the full structural rule set, with
+    * PER-RULE verdicts (a curation pass must say WHY it dropped a doc,
+    * not just that it did) and `keep` = their conjunction. All
+    * thresholds are exact integers — counts, centi-chars, basis
+    * points — so the gate is engine-exact end to end.
+    *
+    * Rules (each a column): token count within bounds; mean word
+    * length within centi-char bounds; symbol-to-word ratio ≤ 1/10
+    * (`#` and `...` occurrences); bullet-line share ≤ maxBulletBp and
+    * ellipsis-line share ≤ maxEllipsisBp (from
+    * [[lineStructureSignals]]); ≥ 4/5 of words contain an alphabetic
+    * character; at least `minStopHits` DISTINCT stop-list words
+    * present.
+    *
+    * Shape: the token rules are row-local HOF folds (the
+    * [[qualitySignals]] convention — interpreted, but shuffle-free);
+    * the line rules ride the panel's narrow (id, metrics) join. Output:
+    * `(id, n_tokens, ok_tokens, ok_word_len, ok_symbol, ok_bullet,
+    * ok_ellipsis, ok_alpha, ok_stopword, keep)`. */
+  def gopherFilter(df: DataFrame, id: String, text: String,
+                   minTokens: Long = 50, maxTokens: Long = 100000,
+                   minWordLenC: Long = 300, maxWordLenC: Long = 1000,
+                   maxBulletBp: Long = 2500, maxEllipsisBp: Long = 3000,
+                   stopList: Seq[String] =
+                     Seq("the", "be", "to", "of", "and", "that", "have",
+                       "with"),
+                   minStopHits: Int = 2): DataFrame = {
+    require(stopList.nonEmpty, "gopherFilter: empty stop list")
+    val toks = tokens(col(text))
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+    val symbols = (regexp_count(col(text), lit("#")) +
+      regexp_count(col(text), lit("\\.\\.\\."))).cast("long")
+    val alphaWords =
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = stopList.map(s =>
+        when(array_contains(toks, lit(s)), 1).otherwise(0))
+      .reduce(_ + _)
+    val rowRules = df.select(col(id), n.as("n_tokens"),
+      (n >= minTokens && n <= maxTokens).as("ok_tokens"),
+      (n > 0 && lit(100L) * sumLen >= lit(minWordLenC) * n &&
+        lit(100L) * sumLen <= lit(maxWordLenC) * n).as("ok_word_len"),
+      (symbols * 10 <= n).as("ok_symbol"),
+      (n > 0 && alphaWords * 5 >= n * 4).as("ok_alpha"),
+      (stopHits >= minStopHits).as("ok_stopword"))
+    val lineRules = lineStructureSignals(df, id, text)
+      .select(col(id), (col("bullet_bp") <= maxBulletBp).as("ok_bullet"),
+        (col("ellipsis_bp") <= maxEllipsisBp).as("ok_ellipsis"))
+    rowRules.join(lineRules, Seq(id))
+      .select(col(id), col("n_tokens"), col("ok_tokens"),
+        col("ok_word_len"), col("ok_symbol"), col("ok_bullet"),
+        col("ok_ellipsis"), col("ok_alpha"), col("ok_stopword"),
+        (col("ok_tokens") && col("ok_word_len") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopword")).as("keep"))
+  }
+
   /** Language-ID by marker-word voting: deterministic n-gram/stopword
     * heuristic. Counts occurrences of per-language marker words; argmax
     * with ties broken by language code ascending; all-zero → "und".
