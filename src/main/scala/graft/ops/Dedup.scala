@@ -782,18 +782,43 @@ object Dedup {
   def removeBoilerplateLines(df: DataFrame, id: String, text: String,
                              minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    applyBoilerplateLines(df, id, text,
+      boilerplateLineSet(df, id, text, minDocs))
+  }
+
+  /** The corpus-frequency half of [[removeBoilerplateLines]]: the md5
+    * keys of trimmed lines appearing in ≥ `minDocs` distinct docs —
+    * the artifact worth PERSISTING (train once on the reference
+    * corpus, apply to any stream/batch via
+    * [[applyBoilerplateLines]]). Output: `(line_md5, n_docs)`. */
+  def boilerplateLineSet(df: DataFrame, id: String, text: String,
+                         minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    df.select(col(id),
+        explode(split(col(text), "\n")).as("__l"))
+      .select(col(id), trim(col("__l")).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(md5(col("__t")).as("line_md5"), col(id)).distinct()
+      .groupBy(col("line_md5")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** The rewrite half of [[removeBoilerplateLines]] against an
+    * ALREADY-BUILT line set (sunk build cost — the serving posture):
+    * mark each doc's lines against `boiler` by md5 equi-join,
+    * reassemble in order. Per-micro-batch safe (no corpus statistics
+    * recomputed), which is what
+    * [[graft.streaming.StatefulOps.boilerplateFilterWriter]] runs. */
+  def applyBoilerplateLines(df: DataFrame, id: String, text: String,
+                            boiler: DataFrame): DataFrame = {
     val lines = df
       .select(col(id), posexplode(split(col(text), "\n"))
         .as(Seq("pos", "__l")))
       .withColumn("__t", trim(col("__l")))
       .withColumn("__gh", when(col("__t") =!= "", md5(col("__t"))))
-    val boiler = lines.filter(col("__gh").isNotNull)
-      .select(col("__gh"), col(id)).distinct()
-      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("__gh").as("__bh"))
-    val marked = lines.join(boiler, lines("__gh") === boiler("__bh"),
-      "left")
+    val marked = lines.join(
+      boiler.select(col("line_md5").as("__bh")),
+      lines("__gh") === col("__bh"), "left")
     val agg = marked.groupBy(col(id)).agg(
       count(lit(1)).as("n_lines"),
       sum(when(col("__bh").isNotNull, 1L).otherwise(0L)).as("n_removed"),

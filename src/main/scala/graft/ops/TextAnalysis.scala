@@ -292,6 +292,59 @@ object TextAnalysis {
           col("ok_stopword")).as("keep"))
   }
 
+  /** Row-local form of [[gopherFilter]] — the at-ingest STREAMING gate
+    * (the [[topNgramGate]] convention): identical columns and
+    * verdicts, zero shuffle, valid on an unbounded stream. The line
+    * shares come from HOF folds over the split array instead of the
+    * panel's explode+aggregate, and the bp thresholds are applied
+    * WITHOUT division: `floor(10⁴·x/n) ≤ m ⟺ 10⁴·x < (m+1)·n`
+    * (exact integer algebra — no `Column./` double-division trap), so
+    * the verdicts match [[gopherFilter]]'s bit for bit. Line-less docs
+    * pass the line rules (a zero-share panel row also passes).
+    * Interpreted HOFs are the right trade for a stateless gate; batch
+    * panels should keep [[gopherFilter]]'s codegen'd shape. */
+  def gopherGate(df: DataFrame, id: String, text: String,
+                 minTokens: Long = 50, maxTokens: Long = 100000,
+                 minWordLenC: Long = 300, maxWordLenC: Long = 1000,
+                 maxBulletBp: Long = 2500, maxEllipsisBp: Long = 3000,
+                 stopList: Seq[String] =
+                   Seq("the", "be", "to", "of", "and", "that", "have",
+                     "with"),
+                 minStopHits: Int = 2): DataFrame = {
+    require(stopList.nonEmpty, "gopherGate: empty stop list")
+    val toks = tokens(col(text))
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+    val symbols = (regexp_count(col(text), lit("#")) +
+      regexp_count(col(text), lit("\\.\\.\\."))).cast("long")
+    val alphaWords =
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = stopList.map(s =>
+        when(array_contains(toks, lit(s)), 1).otherwise(0))
+      .reduce(_ + _)
+    val lns = filter(transform(split(col(text), "\n"), l => trim(l)),
+      t => t =!= "")
+    val nl = size(lns).cast("long")
+    val bullets = size(filter(lns, t =>
+      t.like("- %") || t.like("* %") || t.like("•%"))).cast("long")
+    val ellipses = size(filter(lns, t => t.like("%..."))).cast("long")
+    df.select(col(id), n.as("n_tokens"),
+      (n >= minTokens && n <= maxTokens).as("ok_tokens"),
+      (n > 0 && lit(100L) * sumLen >= lit(minWordLenC) * n &&
+        lit(100L) * sumLen <= lit(maxWordLenC) * n).as("ok_word_len"),
+      (symbols * 10 <= n).as("ok_symbol"),
+      (nl === 0 || lit(10000L) * bullets < lit(maxBulletBp + 1) * nl)
+        .as("ok_bullet"),
+      (nl === 0 || lit(10000L) * ellipses < lit(maxEllipsisBp + 1) * nl)
+        .as("ok_ellipsis"),
+      (n > 0 && alphaWords * 5 >= n * 4).as("ok_alpha"),
+      (stopHits >= minStopHits).as("ok_stopword"))
+      .withColumn("keep",
+        col("ok_tokens") && col("ok_word_len") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopword"))
+  }
+
   /** Language-ID by marker-word voting: deterministic n-gram/stopword
     * heuristic. Counts occurrences of per-language marker words; argmax
     * with ties broken by language code ascending; all-zero → "und".

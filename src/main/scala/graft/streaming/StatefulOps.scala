@@ -1125,6 +1125,24 @@ object StatefulOps {
     * overlap + RRF) over plain [[graft.ops.TextAnalysis.bm25Search]].
     * Empty micro-batches skip (the ranker's nonempty-vocabulary
     * contract). */
+  /** Boilerplate-line removal at stream ingest against an
+    * ALREADY-TRAINED line set ([[graft.ops.Dedup.boilerplateLineSet]]
+    * — sunk build cost, the persisted-artifact rule): each micro-batch
+    * runs the batch rewrite
+    * ([[graft.ops.Dedup.applyBoilerplateLines]]) verbatim, so
+    * streaming output ≡ batch output row for row. foreachBatch because
+    * the rewrite regroups a doc's lines (an ordered per-doc
+    * re-aggregation — not expressible as an append-mode stream-static
+    * join). */
+  def boilerplateFilterWriter(stream: DataFrame, boiler: DataFrame,
+      id: String, text: String)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Dedup.applyBoilerplateLines(batch, id, text,
+          boiler), bid)
+    }
+
   def bm25ServeWriter(stream: DataFrame, postings: DataFrame,
       qid: String, qtext: String, k: Int, hybrid: Boolean = false,
       scaleBits: Int = 12, maxQueryTerms: Int = 10000)(

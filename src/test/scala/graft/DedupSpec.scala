@@ -564,6 +564,23 @@ class DedupSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(7)))
   }
 
+  test("boilerplateLineSet + apply: serving against a trained set") {
+    val ref = Seq(
+      (1L, "Subscribe now\nreal text a"),
+      (2L, "Subscribe now\nreal text b"),
+      (3L, "Subscribe now\nreal text c")
+    ).toDF("doc_id", "text")
+    val boiler = Dedup.boilerplateLineSet(ref, "doc_id", "text",
+      minDocs = 3)
+    assert(boiler.select("n_docs").as[Long].collect().toSeq == Seq(3L))
+    // NEW docs never seen at training time still get the line cut
+    val batch = Seq((9L, "fresh intro\n  Subscribe now  \nfresh close"))
+      .toDF("doc_id", "text")
+    val out = Dedup.applyBoilerplateLines(batch, "doc_id", "text", boiler)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((9L, "fresh intro\nfresh close", 3L, 1L, 17L)))
+  }
+
   test("softDedupWeights: family mass ≈ one doc; singletons weigh 10^4") {
     val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
     val docs = (Seq(1L, 2L, 3L).map((_, t)) ++ // exact triplet → family of 3

@@ -373,6 +373,32 @@ class StatefulOpsSpec extends SparkSpec {
     postings.unpersist()
   }
 
+  test("boilerplateFilterWriter: trained line set applied at ingest equals batch") {
+    implicit val ctx = spark.sqlContext
+    val ref = Seq((1L, "Subscribe now\na"), (2L, "Subscribe now\nb"),
+      (3L, "Subscribe now\nc")).toDF("doc_id", "text")
+    val boiler = graft.ops.Dedup
+      .boilerplateLineSet(ref, "doc_id", "text", minDocs = 3).persist()
+    val incoming = Seq((9L, "keep me\nSubscribe now"),
+      (10L, "only body"))
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.boilerplateFilterWriter(
+        in.toDF().toDF("doc_id", "text"), boiler, "doc_id", "text") {
+      (cleaned, _) => buf ++= cleaned.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+    }
+    val batch = graft.ops.Dedup.applyBoilerplateLines(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", boiler)
+      .collect().map(_.toSeq).toSet
+    assert(buf.toSet == batch && batch.nonEmpty)
+    assert(buf.exists(r => r.head == 9L && r(1) == "keep me"))
+    boiler.unpersist()
+  }
+
   test("bm25ServeWriter: per-batch exact top-k (and hybrid fusion) equals batch") {
     implicit val ctx = spark.sqlContext
     val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
