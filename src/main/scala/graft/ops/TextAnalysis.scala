@@ -1185,11 +1185,22 @@ object TextAnalysis {
                        nDocs: Long, idfRows: Seq[(String, Long)],
                        queries: DataFrame, qid: String, qtext: String,
                        k: Int, scaleBits: Int,
-                       prune: Boolean = false): DataFrame = {
+                       prune: Boolean = false): DataFrame =
+    bm25RankTerms(tdq, dld, tTot, nDocs, idfRows,
+      queries.select(col(qid).as("q_id"),
+        explode(array_distinct(tokens(lower(col(qtext))))).as("term")),
+      k, scaleBits, prune)
+
+  /** [[bm25Rank]] against an already-exploded `(q_id, term)` table —
+    * the entry point for callers whose query terms don't come from a
+    * text column (PRF's expanded term sets). */
+  private[graft] def bm25RankTerms(tdq: DataFrame, dld: DataFrame,
+                       tTot: Long, nDocs: Long,
+                       idfRows: Seq[(String, Long)], qt: DataFrame,
+                       k: Int, scaleBits: Int,
+                       prune: Boolean): DataFrame = {
     val spark = tdq.sparkSession
     import spark.implicits._
-    val qt = queries.select(col(qid).as("q_id"),
-        explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
     val s = 1L << scaleBits
     val norm = dld.withColumn("norm_q",
       expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
@@ -1392,14 +1403,28 @@ object TextAnalysis {
     require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
     val fb = bm25TopK(df, id, text, queries, qid, qtext, k = fbDocs,
       scaleBits, maxQueryTerms).select(col("q_id"), col("doc_id"))
+    prfMine(df, id, text, fb,
+      queries.select(col(qid).as("q_id"),
+        explode(array_distinct(tokens(lower(col(qtext))))).as("term")),
+      fbTerms)
+  }
+
+  /** The mining half of [[prfExpansionTerms]] against an
+    * already-ranked feedback set. */
+  private def prfMine(df: DataFrame, id: String, text: String,
+                      fb: DataFrame, qt: DataFrame, fbTerms: Int)
+      : DataFrame = {
+    // join BEFORE the generator: the broadcast feedback filter lands on
+    // the raw scan, so tokenize+explode runs on |queries|·fbDocs rows,
+    // not the corpus (explode-first left the whole-corpus tokenize in
+    // front of the join — measured below as the mining pass's cost)
     val mined = df
-      .select(col(id).as("doc_id"),
-        explode(tokens(lower(col(text)))).as("term"))
+      .select(col(id).as("doc_id"), col(text))
       .join(broadcast(fb), Seq("doc_id"))
+      .select(col("q_id"),
+        explode(tokens(lower(col(text)))).as("term"))
       .groupBy(col("q_id"), col("term"))
       .agg(count(lit(1)).as("weight"))
-    val qt = queries.select(col(qid).as("q_id"),
-      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("weight").desc, col("term"))
     mined.join(qt, Seq("q_id", "term"), "left_anti")
@@ -1450,10 +1475,67 @@ object TextAnalysis {
                   pruneMode: String = "auto",
                   pruneThreshold: Long = 100000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val q2 = prfExpandedQueries(df, id, text, queries, qid, qtext,
-      fbDocs, fbTerms, scaleBits, maxQueryTerms)
-    bm25TopK(df, id, text, q2, "q_id", "qtext2", k, scaleBits,
-      maxQueryTerms, pruneMode, pruneThreshold)
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE core serves round 1, mining and round 2 (a naïve second
+    // bm25TopK call rebuilt the whole expanded-vocabulary core —
+    // re-tokenizing the corpus and re-deriving per-doc lengths that
+    // cannot have changed; measured 5.3 s warm at sf0.1, the bench's
+    // heaviest line). Round 2 reuses dld/tTot/nDocs/original postings
+    // verbatim and scans the corpus ONLY for the globally-new
+    // expansion terms — shuffle ∝ new-term postings, no per-doc rows.
+    val (tdq, dld, tTot, nDocs, idfRows, est1) =
+      bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val fb = bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid,
+        qtext, fbDocs, scaleBits,
+        resolvePrune(pruneMode, pruneThreshold, est1))
+      .select(col("q_id"), col("doc_id"))
+    val exp = prfMine(df, id, text, fb, qt, fbTerms)
+      .select(col("q_id"), col("term"))
+    // the expansion set is query-bounded (≤ |queries|·fbTerms rows) —
+    // collect it once; it drives the new-term scan filter, the idf
+    // extension AND the round-2 term table
+    val expRows = exp.collect()
+    val expLocal = spark.createDataFrame(
+      java.util.Arrays.asList(expRows: _*), exp.schema)
+    val origTerms = idfRows.map(_._1).toSet
+    val expTerms = expRows.map(_.getString(1))
+    val newTerms = expTerms.distinct.filterNot(origTerms).sorted.toSeq
+    val newPost =
+      if (newTerms.isEmpty) tdq.filter(lit(false))
+      else Caches.track(df
+        .select(col(id).as("doc"),
+          explode(tokens(lower(col(text)))).as("term"))
+        .filter(col("term").isin(newTerms.map(lit): _*))
+        .groupBy(col("doc"), col("term"))
+        .agg(count(lit(1)).as("tf")).persist())
+    val newDfMap =
+      if (newTerms.isEmpty) Map.empty[String, Long]
+      else newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .as[(String, Long)].collect().toMap
+    val idf2 = idfRows ++
+      quantizedIdf(newTerms, newDfMap, nDocs, scaleBits)
+    // prune estimate for round 2: round 1's Σ df·qf plus the expansion
+    // rows' df mass (old-vocab expansion terms priced from the cached
+    // postings — a row count on the persisted narrow table)
+    val qfExp = expTerms.groupBy(identity).map { case (t, o) =>
+      (t, o.size.toLong) }
+    val oldExp = qfExp.keys.filter(origTerms).toSeq
+    val oldDfMap =
+      if (oldExp.isEmpty) Map.empty[String, Long]
+      else tdq.filter(col("term").isin(oldExp.map(lit): _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .as[(String, Long)].collect().toMap
+    val est2 = est1 + qfExp.iterator.map { case (t, c) =>
+      (newDfMap.getOrElse(t, 0L) + oldDfMap.getOrElse(t, 0L)) * c }.sum
+    bm25RankTerms(
+      if (newTerms.isEmpty) tdq else tdq.unionByName(newPost),
+      dld, tTot, nDocs, idf2, qt.unionByName(expLocal), k, scaleBits,
+      resolvePrune(pruneMode, pruneThreshold, est2))
   }
 
   /** Persist the postings index BUCKETED BY TERM
