@@ -5863,9 +5863,14 @@ object Queries {
                        AS sum_rc
                    FROM r JOIN c USING (k))
             SELECT n, n_agree, sum_rc,
-                   CASE WHEN n * n - sum_rc = 0 THEN 0.0
-                     ELSE round(CAST(n * n_agree - sum_rc AS DOUBLE) /
-                       (n * n - sum_rc), 6) END AS kappa
+                   CASE WHEN n = 0
+                          OR 1.0 - (CAST(sum_rc AS DOUBLE) / n / n) = 0
+                     THEN 0.0
+                     ELSE round(
+                       ((CAST(n_agree AS DOUBLE) / n)
+                          - (CAST(sum_rc AS DOUBLE) / n / n)) /
+                       (1.0 - (CAST(sum_rc AS DOUBLE) / n / n)), 6)
+                   END AS kappa
             FROM tt, rc"""), bench = true)
 
   /** k-fold CV assignment (Sampling.kFoldAssign): 5 folds by

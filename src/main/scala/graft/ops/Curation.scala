@@ -700,12 +700,18 @@ object Curation {
     val cols = conf.groupBy(col("__b").as("k")).agg(sum(col("n")).as("cb"))
     val rc = rows.join(cols, Seq("k"))
       .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("sum_rc"))
+    // the ratio runs in DOUBLE space off the exact int64 marginals
+    // (po = agree/n, pe = sum_rc/n/n, left-associated so any engine
+    // evaluates the identical IEEE op sequence) — the int64 form
+    // n*n − sum_rc overflows (ANSI throw) past ~3e9 rows, at odds
+    // with the corpus-scale posture
+    val pe = col("sum_rc").cast("double") / col("n") / col("n")
     tot.crossJoin(broadcast(rc))
       .select(col("n"), col("n_agree"), col("sum_rc"),
-        when(col("n") * col("n") - col("sum_rc") === 0L, lit(0.0))
+        when(col("n") === 0L || lit(1.0) - pe === 0.0, lit(0.0))
           .otherwise(round(
-            (col("n") * col("n_agree") - col("sum_rc")).cast("double") /
-              (col("n") * col("n") - col("sum_rc")), 6)).as("kappa"))
+            (col("n_agree").cast("double") / col("n") - pe) /
+              (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** Uncertainty sampling — the active-learning selection step that
