@@ -6347,6 +6347,21 @@ object Queries {
              (n > 0 AND alpha * 5 >= n * 4) AND (stophits >= 2)) AS keep
           FROM rowm JOIN lr USING (doc_id)"""), bench = true)
 
+  /** Edit-distance near-dup pairs (Dedup.editDistancePairs): same-source
+    * pairs within 24 chars of length and Levenshtein distance ≤ 60,
+    * found by the banded length-bucket equi-join + threshold-banded
+    * verify. The oracle is the brute-force definition — the banding must
+    * reproduce it exactly, boundary straddlers included. */
+  private val q190 = QDef("q190_editdist_pairs",
+    (s, d) => Dedup.editDistancePairs(docs(s, d), "doc_id", "text",
+      within = Seq("source"), maxLenDiff = 24, maxDist = 60),
+    Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM documents a JOIN documents b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 24
+            WHERE levenshtein(a.text, b.text) <= 60"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6373,7 +6388,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189)
+    q186, q187, q188, q189, q190)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

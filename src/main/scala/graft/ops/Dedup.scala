@@ -1199,6 +1199,67 @@ object Dedup {
     * `numHashes = bands·rows` choice auditable instead of folklore.
     * Pure driver floats (an ADVISORY number, never data-path — the
     * data path stays on exact hashes). */
+  /** Edit-distance near-duplicate pairs: every unordered pair of rows in
+    * the same `within` group whose text lengths differ by at most
+    * `maxLenDiff` and whose Levenshtein distance is at most `maxDist`
+    * (exact — insert/delete/substitute at unit cost), as
+    * `(id_a, id_b, dist)` with `id_a < id_b`.
+    *
+    * Candidate generation is a banded length-bucket equi-join (the same
+    * pigeonhole shape as [[hammingPairs]]): bucket width `maxLenDiff + 1`
+    * guarantees a qualifying pair lands in the same or adjacent buckets,
+    * so the probe side is exploded to buckets `(k, k+1)` and joined
+    * against the plain side's own bucket — never a length theta-join.
+    * Each unordered pair is matched EXACTLY once (same-bucket pairs match
+    * in both orientations, the strict `(len, id)` lexicographic order
+    * keeps one; adjacent-bucket pairs only ever match with the shorter
+    * text on the probe side), so no post-join `distinct` and the
+    * distance is computed once per pair. Verification uses Spark's
+    * threshold form of `levenshtein` — the banded O(len·maxDist)
+    * algorithm, not the full O(len²) table — and the length filter
+    * rejects before any distance work.
+    *
+    * Note `dist >= |len_a - len_b|` always, so `maxLenDiff >= maxDist`
+    * is the lossless configuration; a tighter `maxLenDiff` is an
+    * explicit candidate cap (documents of very different lengths cannot
+    * be near-dups at small `maxDist` anyway).
+    *
+    * 100 TB posture: candidate volume is bounded by the length-band ×
+    * `within`-group co-occurrence, the join is a plain equi-join AQE can
+    * re-plan, and the only wide column shuffled is the text itself —
+    * which any exact distributed edit-distance verifier must move. */
+  def editDistancePairs(df: DataFrame, id: String, text: String,
+                        within: Seq[String], maxLenDiff: Int,
+                        maxDist: Int): DataFrame = {
+    require(maxLenDiff >= 0, s"need maxLenDiff >= 0, got $maxLenDiff")
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val w = maxLenDiff + 1
+    val base = df.select(
+      (col(id) +: col(text) +: within.map(col)) :+
+        length(col(text)).cast("long").as("__len"): _*)
+      // integer bucketing: `div`, never `/` (double division)
+      .withColumn("__b", expr(s"__len div $w"))
+    def side(p: String) = base.select(
+      col(id).as(s"${p}_id") +: col(text).as(s"__t$p") +:
+        col("__len").as(s"__l$p") +: col("__b").as(s"__b$p") +:
+        within.map(c => col(c).as(s"__w${p}_$c")): _*)
+    val probe = side("a")
+      .withColumn("__k", explode(array(col("__ba"), col("__ba") + 1)))
+      .drop("__ba")
+    val build = side("b")
+    val cond = within.map(c => col(s"__wa_$c") === col(s"__wb_$c"))
+      .foldLeft(col("__k") === col("__bb") &&
+        (col("__la") < col("__lb") ||
+          (col("__la") === col("__lb") && col("a_id") < col("b_id"))))(_ && _)
+    probe.join(build, cond)
+      .filter(col("__lb") - col("__la") <= maxLenDiff)
+      .withColumn("__d",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("__d") >= 0L) // threshold form returns -1 past maxDist
+      .select(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"), col("__d").as("dist"))
+  }
+
   def lshCatchProbability(s: Double, bands: Int, rows: Int): Double = {
     require(s >= 0.0 && s <= 1.0, s"similarity out of [0,1]: $s")
     require(bands >= 1 && rows >= 1, s"bad bands=$bands rows=$rows")

@@ -641,4 +641,34 @@ class DedupSpec extends SparkSpec {
     // the endorsed center outranks the leaves; symmetry is exact
     assert(out(2L)._2 > out(1L)._2 && out(1L) == out(3L))
   }
+
+  test("editDistancePairs: exact distances, banding edges, exactly-once") {
+    // maxLenDiff = 4 → bucket width 5; maxDist = 3. Planted geometry
+    // (all decoys ≥ distance 4 from everything — edit distance is at
+    // least max(len) − LCS, so disjoint-alphabet strings are far):
+    //  1/2: same bucket (len 6, 7), dist 3 (kitten→sitting)
+    //  3/4: ADJACENT buckets (len 4 → bucket 0, len 5 → bucket 1),
+    //       dist 1 — the boundary straddler the +1 explode must catch
+    //  5/6: len diff 5 > maxLenDiff → excluded even though dist 5 small
+    //  7/8: len match but dist 6 > maxDist → excluded by the verify
+    //  9/10: kitten/sitting again but in different groups → excluded
+    val rows = Seq(
+      (1L, "g1", "kitten"), (2L, "g1", "sitting"),
+      (3L, "g1", "abcd"), (4L, "g1", "abcde"),
+      (5L, "g1", "mmmmm"), (6L, "g1", "mmmmmmmmmm"),
+      (7L, "g1", "pppppp"), (8L, "g1", "qqqqqq"),
+      (9L, "g2", "kitten"), (10L, "g3", "sitting")
+    ).toDF("doc_id", "grp", "text")
+    val out = Dedup.editDistancePairs(rows, "doc_id", "text",
+      within = Seq("grp"), maxLenDiff = 4, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // exactly-once: no duplicate pair rows from the banded join
+    assert(out.size == out.toSet.size, s"duplicate pair rows: $out")
+    assert(out.toSet == Set((1L, 2L, 3L), (3L, 4L, 1L)), s"got $out")
+    // exact dup (dist 0) surfaces; id order normalized
+    val dup = Seq((20L, "g", "same text"), (7L, "g", "same text"))
+      .toDF("doc_id", "grp", "text")
+    assert(Dedup.editDistancePairs(dup, "doc_id", "text", Seq("grp"), 4, 3)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((7L, 20L, 0L)))
+  }
 }
