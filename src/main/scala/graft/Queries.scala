@@ -6362,6 +6362,64 @@ object Queries {
              AND abs(length(a.text) - length(b.text)) <= 24
             WHERE levenshtein(a.text, b.text) <= 60"""), bench = true)
 
+  /** Clipped n-gram overlap on the q190 pair relation
+    * (TextAnalysis.ngramOverlapScores): BLEU-style modified-precision
+    * numerator + integer basis-point precision/recall per pair for
+    * n ∈ {1,2} — the "what do these near-dups actually share"
+    * explainability metric, all-int64. */
+  private val q191 = QDef("q191_pair_ngram_overlap",
+    (s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.ngramOverlapScores(dd, "doc_id", "text",
+        Dedup.editDistancePairs(dd, "doc_id", "text",
+          within = Seq("source"), maxLenDiff = 24, maxDist = 60))
+    },
+    Some("""WITH prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+               AND abs(length(a.text) - length(b.text)) <= 24
+              WHERE levenshtein(a.text, b.text) <= 60),
+            ids AS (SELECT DISTINCT id FROM
+              (SELECT id_a AS id FROM prs
+               UNION ALL SELECT id_b AS id FROM prs)),
+            tk AS (SELECT d.doc_id,
+                list_filter(regexp_split_to_array(d.text, '\s+'),
+                  x -> x <> '') AS t
+              FROM documents d JOIN ids ON d.doc_id = ids.id),
+            g1 AS (SELECT doc_id, 1 AS n, u.g
+                   FROM tk, UNNEST(t) AS u(g)),
+            g2 AS (SELECT doc_id, 2 AS n, t[i] || ' ' || t[i + 1] AS g
+                   FROM tk, UNNEST(range(1, len(t))) AS r(i)),
+            cnt AS (SELECT doc_id, n, g, count(*) AS c
+                    FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+                    GROUP BY 1, 2, 3),
+            tot AS (SELECT doc_id, n, sum(c) AS t FROM cnt GROUP BY 1, 2),
+            ov AS (SELECT p.id_a, p.id_b, ca.n,
+                     sum(least(ca.c, cb.c)) AS overlap
+                   FROM prs p
+                   JOIN cnt ca ON ca.doc_id = p.id_a
+                   JOIN cnt cb ON cb.doc_id = p.id_b AND cb.n = ca.n
+                                AND cb.g = ca.g
+                   GROUP BY 1, 2, 3),
+            base AS (SELECT id_a, id_b, n
+                     FROM prs, (SELECT 1 AS n UNION ALL SELECT 2) nn)
+            SELECT b.id_a, b.id_b, CAST(b.n AS BIGINT) AS n,
+              CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+              CAST(COALESCE(ta.t, 0) AS BIGINT) AS total_a,
+              CAST(COALESCE(tb.t, 0) AS BIGINT) AS total_b,
+              CAST(CASE WHEN COALESCE(ta.t, 0) = 0 THEN 0
+                ELSE (10000 * COALESCE(ov.overlap, 0)) // ta.t END
+                AS BIGINT) AS p_bp,
+              CAST(CASE WHEN COALESCE(tb.t, 0) = 0 THEN 0
+                ELSE (10000 * COALESCE(ov.overlap, 0)) // tb.t END
+                AS BIGINT) AS r_bp
+            FROM base b
+            LEFT JOIN ov ON ov.id_a = b.id_a AND ov.id_b = b.id_b
+                          AND ov.n = b.n
+            LEFT JOIN tot ta ON ta.doc_id = b.id_a AND ta.n = b.n
+            LEFT JOIN tot tb ON tb.doc_id = b.id_b AND tb.n = b.n"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6388,7 +6446,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190)
+    q186, q187, q188, q189, q190, q191)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

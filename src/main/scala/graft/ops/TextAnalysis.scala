@@ -1850,6 +1850,69 @@ object TextAnalysis {
     * ratios are exact int64 floor divisions. ONE row-local-counts
     * groupBy, map-side combinable, output bounded by the stratum
     * inventory. */
+  /** BLEU-style clipped n-gram overlap between document PAIRS — the
+    * standard "how much do these two near-dups actually share"
+    * explainability metric over a candidate pair relation (edit-distance
+    * pairs, LSH pairs, retrieval results vs references). For each pair
+    * and each n in `ns`, emits the clipped overlap
+    * `Σ_g min(cnt_a(g), cnt_b(g))` (the BLEU modified-precision
+    * numerator), both totals, and integer basis-point precision/recall
+    * (`10000·overlap div total` — single floor division, engine-exact).
+    *
+    * Shape: the pair relation FILTERS the corpus before any
+    * tokenization (semi-join on the pair ids, then explode — the
+    * generator-pushdown rule: Catalyst won't push a join below a
+    * generator, so the join must come first); gram counting is one
+    * groupBy per involved doc; the pair scoring joins each side's
+    * count table on the pair key and gram. Everything is a narrow-key
+    * equi-join — pair-bounded, never corpus².
+    *
+    * 100 TB posture: cost ∝ involved docs + Σ_pair shared-gram rows,
+    * both bounded by the candidate generator that produced `pairs`;
+    * AQE broadcasts the pair side when small. */
+  def ngramOverlapScores(df: DataFrame, id: String, text: String,
+                         pairs: DataFrame, aCol: String = "id_a",
+                         bCol: String = "id_b",
+                         ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes $ns")
+    val p = pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+    val ids = p.select(col("id_a").as("__id"))
+      .union(p.select(col("id_b").as("__id"))).distinct()
+    // join FIRST (ids filter the corpus), THEN tokenize/explode
+    val involved = df.select(col(id).as("__id"), col(text).as("__t"))
+      .join(ids, "__id")
+    val grams = ns.map { n =>
+      involved.select(col("__id"), lit(n).as("n"),
+        explode(Dedup.positionalShingles(col("__t"), n)).as("g"))
+    }.reduce(_ unionAll _)
+    val cnt = grams.groupBy(col("__id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("__id"), col("n"))
+      .agg(sum(col("c")).as("t"))
+    // clipped overlap per (pair, n): inner join of the two sides' counts
+    val ov = p.join(cnt.select(col("__id").as("id_a"), col("n"),
+          col("g"), col("c").as("__ca")), Seq("id_a"))
+      .join(cnt.select(col("__id").as("id_b"), col("n"), col("g"),
+          col("c").as("__cb")), Seq("id_b", "n", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("n"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("overlap"))
+    // every (pair, n) row survives even with zero overlap / empty sides
+    p.withColumn("n", explode(array(ns.map(n => lit(n)): _*)))
+      .join(ov, Seq("id_a", "id_b", "n"), "left")
+      .join(tot.select(col("__id").as("id_a"), col("n"),
+        col("t").as("__ta")), Seq("id_a", "n"), "left")
+      .join(tot.select(col("__id").as("id_b"), col("n"),
+        col("t").as("__tb")), Seq("id_b", "n"), "left")
+      .select(col("id_a"), col("id_b"), col("n").cast("long").as("n"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("__ta"), lit(0L)).as("total_a"),
+        coalesce(col("__tb"), lit(0L)).as("total_b"),
+        when(coalesce(col("__ta"), lit(0L)) === 0L, lit(0L)).otherwise(
+          expr("(10000 * coalesce(overlap, 0L)) div __ta")).as("p_bp"),
+        when(coalesce(col("__tb"), lit(0L)) === 0L, lit(0L)).otherwise(
+          expr("(10000 * coalesce(overlap, 0L)) div __tb")).as("r_bp"))
+  }
+
   def tokenizerFertility(df: DataFrame, text: String, stratum: String)
       : DataFrame =
     df.groupBy(col(stratum))
