@@ -1214,10 +1214,13 @@ object Dedup {
     * in both orientations, the strict `(len, id)` lexicographic order
     * keeps one; adjacent-bucket pairs only ever match with the shorter
     * text on the probe side), so no post-join `distinct` and the
-    * distance is computed once per pair. Verification uses Spark's
-    * threshold form of `levenshtein` — the banded O(len·maxDist)
-    * algorithm, not the full O(len²) table — and the length filter
-    * rejects before any distance work.
+    * distance is computed once per pair. Verification is the native
+    * bit-parallel Myers DP ([[graft.functions.LevMyersExpr]], ~5 word
+    * ops per 64 DP rows per column — measured 14× over the built-in's
+    * banded threshold form, which was 7× over the full table; q-gram /
+    * char-histogram prefilters were measured near-powerless on
+    * same-vocabulary corpora and are deliberately absent), and the
+    * length filter rejects before any distance work.
     *
     * Note `dist >= |len_a - len_b|` always, so `maxLenDiff >= maxDist`
     * is the lossless configuration; a tighter `maxLenDiff` is an
@@ -1246,6 +1249,19 @@ object Dedup {
     val probe = side("a")
       .withColumn("__k", explode(array(col("__ba"), col("__ba") + 1)))
       .drop("__ba")
+      // hash-distribute the probe side on the join keys: at scale this
+      // IS the exchange a shuffle join would insert (no extra cost);
+      // when the build side broadcasts (small corpora / local files in
+      // one split) it is what parallelizes the per-pair verify — without
+      // it the whole distance stage runs at the input's split count
+      // (measured: one split at bench sf ⇒ the verify serialized on a
+      // single core, 2.1 s; 0.4 s distributed). The count is PINNED
+      // (explicit-n repartition is exempt from AQE coalescing): the
+      // verify is compute-bound, so AQE's byte-based coalescing is the
+      // wrong heuristic — it folded the 3 MB exchange back to ~3
+      // partitions and re-serialized the distance work
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        within.map(c => col(s"__wa_$c")) :+ col("__k"): _*)
     val build = side("b")
     val cond = within.map(c => col(s"__wa_$c") === col(s"__wb_$c"))
       .foldLeft(col("__k") === col("__bb") &&
@@ -1254,7 +1270,8 @@ object Dedup {
     probe.join(build, cond)
       .filter(col("__lb") - col("__la") <= maxLenDiff)
       .withColumn("__d",
-        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+        graft.functions.LevMyersExpr(col("__ta"), col("__tb"), maxDist)
+          .cast("long"))
       .filter(col("__d") >= 0L) // threshold form returns -1 past maxDist
       .select(least(col("a_id"), col("b_id")).as("id_a"),
         greatest(col("a_id"), col("b_id")).as("id_b"), col("__d").as("dist"))

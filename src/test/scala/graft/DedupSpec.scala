@@ -671,4 +671,47 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(dup, "doc_id", "text", Seq("grp"), 4, 3)
       .as[(Long, Long, Long)].collect().toSeq == Seq((7L, 20L, 0L)))
   }
+
+  test("LevMyersExpr: bit-equal to the built-in levenshtein + reference DP") {
+    import graft.functions.LevMyersExpr
+    // independent oracle: the classical O(nm) DP over code points
+    def ref(a: String, b: String): Int = {
+      val x = a.codePoints.toArray; val y = b.codePoints.toArray
+      val prev = Array.tabulate(y.length + 1)(identity)
+      val cur = new Array[Int](y.length + 1)
+      for (i <- 1 to x.length) {
+        cur(0) = i
+        for (j <- 1 to y.length)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(y.length)
+    }
+    def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // randomized sweep across the single-block and MULTI-BLOCK paths
+    // (lengths cross 64 and 128), small alphabet for dense structure
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val la = rnd.nextInt(150); val lb = rnd.nextInt(150)
+      val a = Seq.fill(la)("ab".charAt(rnd.nextInt(2))).mkString
+      val b = Seq.fill(lb)("abc".charAt(rnd.nextInt(3))).mkString
+      val d = ref(a, b)
+      assert(LevMyersExpr.dist(utf8(a), utf8(b), 1000) == d,
+        s"dist mismatch len ($la,$lb)")
+      // threshold sentinel: exactly at d passes, at d-1 returns -1
+      assert(LevMyersExpr.dist(utf8(a), utf8(b), d) == d)
+      if (d > 0) assert(LevMyersExpr.dist(utf8(a), utf8(b), d - 1) == -1)
+    }
+    // engine parity on planted cases incl. CODE-POINT semantics
+    // (astral emoji = ONE edit, not two UTF-16 units) and empties
+    val cases = Seq(("kitten", "sitting"), ("", ""), ("", "abc"),
+      ("café", "cafe"), ("a😀b", "ab"), ("same", "same"),
+      ("x" * 200, "x" * 180 + "y" * 20))
+    val df = cases.toDF("a", "b").select(
+      LevMyersExpr(col("a"), col("b"), 1000).as("mine"),
+      levenshtein(col("a"), col("b")).as("builtin"))
+    df.collect().foreach(r =>
+      assert(r.getInt(0) == r.getInt(1), s"parity: $r"))
+  }
 }

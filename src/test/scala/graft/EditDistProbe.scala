@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc probe for editDistancePairs stage costs (test scope only):
+  * same-session relative timings. `Test/runMain graft.EditDistProbe`. */
+object EditDistProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val b = SparkSession.builder().master("local[32]")
+      .appName("edprobe").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Unit): Unit = {
+      f // warm
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    val docs = Queries.table(spark, dir, "documents")
+
+    // candidate join only (no levenshtein): volume + join cost
+    val w = 25
+    val base = docs.select(col("doc_id"), col("text"), col("source"),
+        length(col("text")).cast("long").as("__len"))
+      .withColumn("__b", expr(s"__len div $w"))
+    def side(p: String) = base.select(col("doc_id").as(s"${p}_id"),
+      col("text").as(s"__t$p"), col("__len").as(s"__l$p"),
+      col("__b").as(s"__b$p"), col("source").as(s"__w${p}_source"))
+    val probe = side("a")
+      .withColumn("__k", explode(array(col("__ba"), col("__ba") + 1)))
+      .drop("__ba")
+    val cand = probe.join(side("b"),
+        col("__k") === col("__bb") &&
+          col("__wa_source") === col("__wb_source") &&
+          (col("__la") < col("__lb") ||
+            (col("__la") === col("__lb") && col("a_id") < col("b_id"))))
+      .filter(col("__lb") - col("__la") <= 24)
+
+    time("candidates only (count)") { println("  n=" + cand.count()) }
+    time("cand + lev threshold 60") {
+      println("  n=" + cand
+        .filter(levenshtein(col("__ta"), col("__tb"), 60) >= 0).count())
+    }
+    time("cand + lev FULL (no threshold)") {
+      println("  n=" + cand
+        .filter(levenshtein(col("__ta"), col("__tb")) <= 60).count())
+    }
+    time("cand + lev threshold 10") {
+      println("  n=" + cand
+        .filter(levenshtein(col("__ta"), col("__tb"), 10) >= 0).count())
+    }
+    time("full operator") {
+      println("  n=" + graft.ops.Dedup.editDistancePairs(docs, "doc_id",
+        "text", Seq("source"), 24, 60).count())
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("full operator, AQE off") {
+      println("  n=" + graft.ops.Dedup.editDistancePairs(docs, "doc_id",
+        "text", Seq("source"), 24, 60).count())
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+    time("full operator, minPartitionSize 16k") {
+      println("  n=" + graft.ops.Dedup.editDistancePairs(docs, "doc_id",
+        "text", Seq("source"), 24, 60).count())
+    }
+    spark.stop()
+  }
+}
