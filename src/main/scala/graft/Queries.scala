@@ -6420,6 +6420,31 @@ object Queries {
             LEFT JOIN tot tb ON tb.doc_id = b.id_b AND tb.n = b.n"""),
     bench = true)
 
+  /** Incremental edit-distance near-dup
+    * (Dedup.incrementalEditDistancePairs): the mod-40 low half of
+    * doc_ids is the accumulated corpus, the high half the incoming
+    * batch (the testdata's near-dups sit at id gaps that are multiples
+    * of 20, so this split actually crosses) — cross-side pairs only,
+    * cost ∝ batch. The oracle is again the brute-force cross-pair
+    * definition; the 3-bucket probe explode must reproduce it exactly
+    * in both straddle directions. */
+  private val q192 = QDef("q192_editdist_incr",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.incrementalEditDistancePairs(
+        dd.filter(pmod(col("doc_id"), lit(40)) < 20),
+        dd.filter(pmod(col("doc_id"), lit(40)) >= 20),
+        "doc_id", "text", within = Seq("source"), maxLenDiff = 24,
+        maxDist = 60)
+    },
+    Some("""SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM documents a JOIN documents b
+              ON a.source = b.source
+             AND a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
+             AND abs(length(a.text) - length(b.text)) <= 24
+            WHERE levenshtein(a.text, b.text) <= 60"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6446,7 +6471,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191)
+    q186, q187, q188, q189, q190, q191, q192)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1277,6 +1277,78 @@ object Dedup {
         greatest(col("a_id"), col("b_id")).as("id_b"), col("__d").as("dist"))
   }
 
+  /** The static side of the incremental / streaming edit-distance
+    * forms: the corpus keyed by its length bucket (width
+    * `maxLenDiff + 1`), one row per document — persist (or write
+    * bucketed) once, probe with each incoming batch. Columns:
+    * `existing_id, ex_text, ex_len, __bb` + the `within` group
+    * columns unchanged. */
+  def editDistBandTable(df: DataFrame, id: String, text: String,
+                        within: Seq[String], maxLenDiff: Int): DataFrame = {
+    require(maxLenDiff >= 0, s"need maxLenDiff >= 0, got $maxLenDiff")
+    val w = maxLenDiff + 1
+    df.select(
+        (col(id).as("existing_id") +: col(text).as("ex_text") +:
+          length(col(text)).cast("long").as("ex_len") +:
+          within.map(col)): _*)
+      .withColumn("__bb", expr(s"ex_len div $w"))
+  }
+
+  /** Incremental [[editDistancePairs]]: pairs BETWEEN an existing corpus
+    * and an incoming batch only (existing×existing pairs were found
+    * when their rows arrived) — the snapshot-growth shape, cost ∝
+    * incoming batch. The incoming side explodes to buckets
+    * `(k−1, k, k+1)` so every cross pair within `maxLenDiff` is matched
+    * exactly once against the existing side's own bucket; verify is the
+    * same native Myers DP. */
+  def incrementalEditDistancePairs(existing: DataFrame, incoming: DataFrame,
+                                   id: String, text: String,
+                                   within: Seq[String], maxLenDiff: Int,
+                                   maxDist: Int): DataFrame = {
+    val probe = edProbeSide(incoming, id, text, within, maxLenDiff)
+      // pinned-count distribution on the join keys — the AQE-coalescing
+      // lesson from editDistancePairs applies identically
+      .repartition(
+        existing.sparkSession.sessionState.conf.numShufflePartitions,
+        within.map(col) :+ col("__k"): _*)
+    crossEditPairs(probe,
+      editDistBandTable(existing, id, text, within, maxLenDiff),
+      within, maxLenDiff, maxDist)
+  }
+
+  /** The incoming side of the cross-corpus edit-distance forms: length,
+    * bucket, and the 3-bucket explode (row-local — streaming-safe). */
+  private[graft] def edProbeSide(incoming: DataFrame, id: String,
+                                 text: String, within: Seq[String],
+                                 maxLenDiff: Int): DataFrame = {
+    require(maxLenDiff >= 0, s"need maxLenDiff >= 0, got $maxLenDiff")
+    val w = maxLenDiff + 1
+    incoming.select(
+        (col(id).as("incoming_id") +: col(text).as("__ti") +:
+          length(col(text)).cast("long").as("__li") +:
+          within.map(col)): _*)
+      .withColumn("__bi", expr(s"__li div $w"))
+      .withColumn("__k",
+        explode(array(col("__bi") - 1, col("__bi"), col("__bi") + 1)))
+      .drop("__bi")
+  }
+
+  /** Probe-vs-band-table join + Myers verify shared by the incremental
+    * and streaming cross-corpus forms (stateless — stream-static safe). */
+  private[graft] def crossEditPairs(probe: DataFrame, bands: DataFrame,
+                                    within: Seq[String], maxLenDiff: Int,
+                                    maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    probe.join(bands.withColumnRenamed("__bb", "__k"),
+        ("__k" +: within).toSeq)
+      .filter(abs(col("ex_len") - col("__li")) <= maxLenDiff)
+      .withColumn("__d",
+        graft.functions.LevMyersExpr(col("ex_text"), col("__ti"), maxDist)
+          .cast("long"))
+      .filter(col("__d") >= 0L)
+      .select(col("existing_id"), col("incoming_id"), col("__d").as("dist"))
+  }
+
   def lshCatchProbability(s: Double, bands: Int, rows: Int): Double = {
     require(s >= 0.0 && s <= 1.0, s"similarity out of [0,1]: $s")
     require(bands >= 1 && rows >= 1, s"bad bands=$bands rows=$rows")

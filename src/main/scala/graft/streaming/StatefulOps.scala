@@ -418,6 +418,25 @@ object StatefulOps {
       .drop(ts)
   }
 
+  /** Streaming edit-distance near-dup — the ingest-time form of
+    * [[graft.ops.Dedup.incrementalEditDistancePairs]]: arriving docs
+    * compute length + bucket row-locally, explode to the three adjacent
+    * length buckets statelessly, and probe a persisted corpus band table
+    * ([[graft.ops.Dedup.editDistBandTable]]) with ONE stream-static
+    * equi-join; verify is the same native Myers DP. Each cross pair
+    * matches exactly one band row, so the query is fully STATELESS (no
+    * watermark, no dedup state) and runs in append mode. Same banding
+    * and distance arithmetic as batch — verdicts agree exactly
+    * (StatefulOpsSpec pins the parity). Output:
+    * `(existing_id, incoming_id, dist)`. */
+  def streamingEditDistPairs(incoming: DataFrame, existingBands: DataFrame,
+                             id: String, text: String,
+                             within: Seq[String], maxLenDiff: Int,
+                             maxDist: Int): DataFrame =
+    graft.ops.Dedup.crossEditPairs(
+      graft.ops.Dedup.edProbeSide(incoming, id, text, within, maxLenDiff),
+      existingBands, within, maxLenDiff, maxDist)
+
   /** Streaming perceptual-hash image near-dup — the ingest-time form of
     * [[graft.ops.Multimodal.incrementalImageNearDupPairs]]: arriving
     * image rows are dHashed ROW-LOCALLY ([[graft.ops.Multimodal]]'s

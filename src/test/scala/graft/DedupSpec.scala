@@ -672,6 +672,32 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq == Seq((7L, 20L, 0L)))
   }
 
+  test("incrementalEditDistancePairs: cross-side only, both straddle directions") {
+    // maxLenDiff 4 → width 5. Incoming doc 11 (len 4, bucket 0) must
+    // reach existing in bucket 1 via +1; incoming doc 12 (len 7,
+    // bucket 1) must reach existing in bucket 0 via −1 — BOTH explode
+    // directions exercised. Existing×existing (1,2) and
+    // incoming×incoming (11,12) pairs must NOT appear.
+    val existing = Seq((1L, "abcde"), (2L, "abcdf"), (3L, "zzz"))
+      .toDF("doc_id", "text") // lens 5,5,3 → buckets 1,1,0
+    val incoming = Seq((11L, "abcd"), (12L, "abcdefg"))
+      .toDF("doc_id", "text") // lens 4,7 → buckets 0,1
+    val out = Dedup.incrementalEditDistancePairs(existing, incoming,
+        "doc_id", "text", within = Nil, maxLenDiff = 4, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // dist(abcde,abcd)=1 (drop e), dist(abcdf,abcd)=1 (drop f),
+    // dist(abcde,abcdefg)=2 (append fg), dist(abcdf,abcdefg)=2
+    // (insert e before f, append g); zzz is far from everything;
+    // the length gate excludes nothing here (all diffs ≤ 4)
+    assert(out == Set((1L, 11L, 1L), (2L, 11L, 1L), (1L, 12L, 2L),
+      (2L, 12L, 2L)), s"got $out")
+    // within-group isolation on the incremental form too
+    val ex2 = Seq((1L, "g1", "abcde")).toDF("doc_id", "grp", "text")
+    val in2 = Seq((9L, "g2", "abcde")).toDF("doc_id", "grp", "text")
+    assert(Dedup.incrementalEditDistancePairs(ex2, in2, "doc_id", "text",
+      Seq("grp"), 4, 3).count() == 0)
+  }
+
   test("LevMyersExpr: bit-equal to the built-in levenshtein + reference DP") {
     import graft.functions.LevMyersExpr
     // independent oracle: the classical O(nm) DP over code points

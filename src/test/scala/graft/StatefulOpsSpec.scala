@@ -241,6 +241,37 @@ class StatefulOpsSpec extends SparkSpec {
     bandTab.unpersist()
   }
 
+  test("streamingEditDistPairs equals batch incrementalEditDistancePairs") {
+    implicit val ctx = spark.sqlContext
+    val existing = Seq((1L, "abcde"), (2L, "abcdf"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((11L, "abcd"), (12L, "abcdefg"), (13L, "qqqqqq"))
+    val batch = graft.ops.Dedup.incrementalEditDistancePairs(existing,
+        incoming.toDF("doc_id", "text"), "doc_id", "text", Nil, 4, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty) // fixture sanity
+    val bandTab = graft.ops.Dedup.editDistBandTable(existing, "doc_id",
+      "text", Nil, maxLenDiff = 4).persist()
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.streamingEditDistPairs(
+        in.toDF().toDF("doc_id", "text"), bandTab, "doc_id", "text",
+        Nil, maxLenDiff = 4, maxDist = 3)
+      .writeStream.format("memory").queryName("editnd")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("editnd")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream-static detection must equal the batch operator: " +
+          s"$streamed vs $batch")
+      // stateless exactly-once: one output row per qualifying pair
+      assert(spark.table("editnd").count() == batch.size)
+    }
+    bandTab.unpersist()
+  }
+
   test("streamingImageNearDup equals batch incrementalImageNearDupPairs") {
     implicit val ctx = spark.sqlContext
     import graft.ops.{MediaItem, Multimodal}
