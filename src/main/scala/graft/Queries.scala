@@ -6445,6 +6445,58 @@ object Queries {
              AND abs(length(a.text) - length(b.text)) <= 24
             WHERE levenshtein(a.text, b.text) <= 60"""), bench = true)
 
+  /** Winnowing fingerprints (Dedup.winnowingFingerprints, MOSS): the
+    * full selected-fingerprint table — min-hash-in-window with
+    * rightmost tie via ONE packed-integer window min, k=3 / win=4. */
+  private val q193 = QDef("q193_winnow_fp",
+    (s, d) => Dedup.winnowingFingerprints(docs(s, d), "doc_id", "text"),
+    Some(s"""WITH tk AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '') AS t FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                  FROM tk, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            h AS (SELECT doc_id, pos,
+                    (${sqlHash60("g", "winnow")} // 131072) * 1048576
+                      + (1048575 - pos) AS p
+                  FROM g WHERE pos < 1048576),
+            w AS (SELECT doc_id, pos, min(p) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS sel
+                  FROM h)
+            SELECT DISTINCT doc_id, sel // 1048576 AS fp,
+              1048575 - sel % 1048576 AS fp_pos
+            FROM w WHERE pos >= 3"""), bench = true)
+
+  /** MOSS overlap pairs (Dedup.winnowingPairs): documents sharing ≥ 5
+    * winnowing fingerprints (maxBucket 50 drops viral/boilerplate
+    * fingerprints before pairing). */
+  private val q194 = QDef("q194_winnow_pairs",
+    (s, d) => Dedup.winnowingPairs(docs(s, d), "doc_id", "text",
+      minShared = 5, maxBucket = 50),
+    Some(s"""WITH tk AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '') AS t FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                  FROM tk, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            h AS (SELECT doc_id, pos,
+                    (${sqlHash60("g", "winnow")} // 131072) * 1048576
+                      + (1048575 - pos) AS p
+                  FROM g WHERE pos < 1048576),
+            w AS (SELECT doc_id, pos, min(p) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS sel
+                  FROM h),
+            fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+                   FROM w WHERE pos >= 3),
+            ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+            fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(count(*) AS BIGINT) AS shared
+            FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 5"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6471,7 +6523,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

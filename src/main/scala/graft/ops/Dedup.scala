@@ -1349,6 +1349,71 @@ object Dedup {
       .select(col("existing_id"), col("incoming_id"), col("__d").as("dist"))
   }
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003 —
+    * the MOSS local fingerprinting algorithm): hash every word `k`-gram,
+    * slide a window of `win` consecutive gram positions, select each
+    * window's MINIMUM hash (rightmost on ties), emit the distinct
+    * selections as `(id, fp, fp_pos)`. The winnowing guarantee: any
+    * shared token run of at least `win + k − 1` tokens between two
+    * documents yields at least one shared fingerprint — position-robust
+    * detection with ~2/(win+1) of the grams retained.
+    *
+    * Engine-exact: gram hash is the repo's 60-bit md5 idiom truncated to
+    * 43 bits and PACKED with the bit-complemented position
+    * (`h43·2^20 + (2^20−1−pos)`), so "min hash, rightmost tie" is ONE
+    * integer `min` — computed as a per-document ROWS window (partitioned
+    * by id — never an unpartitioned window; positions past 2^20 grams
+    * are out of fingerprint range, the standard practical cap, applied
+    * identically in the oracles). Fully row-local until the per-doc
+    * window; no corpus-wide shuffle. */
+  def winnowingFingerprints(df: DataFrame, id: String, text: String,
+                            k: Int = 3, win: Int = 4,
+                            salt: String = "winnow"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(win >= 1, s"need win >= 1, got $win")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    df.select(col(id),
+        posexplode(positionalShingles(col(text), k)).as(Seq("pos", "__g")))
+      .filter(col("pos") < (1L << 20))
+      .withColumn("__h", Sampling.hash60(col("__g"), salt))
+      // integer div/mod only — Column./ is double division
+      .withColumn("__p",
+        expr("(__h div 131072) * 1048576 + (1048575 - pos)"))
+      .withColumn("__sel", min(col("__p")).over(w))
+      .filter(col("pos") >= win - 1)
+      .select(col(id), expr("__sel div 1048576").as("fp"),
+        (lit(1048575L) - pmod(col("__sel"), lit(1048576L))).as("fp_pos"))
+      .distinct()
+  }
+
+  /** MOSS-style overlap detection on [[winnowingFingerprints]]: pairs of
+    * documents sharing at least `minShared` distinct fingerprints, with
+    * the shared count. Candidate generation is the fingerprint
+    * equi-join — never all-pairs; `maxBucket` drops fingerprints held by
+    * more than that many documents (boilerplate/viral grams — the same
+    * skew cap as the LSH band join, and at `win+k−1`-token resolution a
+    * fingerprint shared by hundreds of documents is boilerplate by
+    * definition, not evidence). */
+  def winnowingPairs(df: DataFrame, id: String, text: String,
+                     k: Int = 3, win: Int = 4, minShared: Int = 2,
+                     maxBucket: Int = 0,
+                     salt: String = "winnow"): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    val fp = winnowingFingerprints(df, id, text, k, win, salt)
+      .select(col(id), col("fp")).distinct()
+    val capped =
+      if (maxBucket <= 0) fp
+      else fp.join(fp.groupBy("fp").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket).select("fp"), "fp")
+    capped.select(col(id).as("a_id"), col("fp"))
+      .join(capped.select(col(id).as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def lshCatchProbability(s: Double, bands: Int, rows: Int): Double = {
     require(s >= 0.0 && s <= 1.0, s"similarity out of [0,1]: $s")
     require(bands >= 1 && rows >= 1, s"bad bands=$bands rows=$rows")

@@ -698,6 +698,40 @@ class DedupSpec extends SparkSpec {
       Seq("grp"), 4, 3).count() == 0)
   }
 
+  test("winnowing: guarantee, rightmost tie, short docs, viral cap") {
+    // the winnowing GUARANTEE: a shared run of win+k-1 = 6 tokens must
+    // yield >= 1 shared fingerprint, wherever it sits in either doc
+    val shared = "p q r s t u"
+    val df = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two $shared three four five six"),
+      (3L, "totally unrelated words nothing common here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(df, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"guarantee violated: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // rightmost tie-break: 5 identical grams, win=4 → the two full
+    // windows (ending at pos 3 and 4) each select their RIGHTMOST row
+    val rep = Seq((9L, "a a a a a a a")).toDF("doc_id", "text")
+    val sel = Dedup.winnowingFingerprints(rep, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(sel.map(_._2).distinct.length == 1) // one gram → one fp
+    assert(sel.map(_._3).toSet == Set(3L, 4L), s"got ${sel.toSeq}")
+    // fewer grams than the window → no full window → no fingerprints
+    val short = Seq((5L, "a b c d e")).toDF("doc_id", "text") // 3 grams
+    assert(Dedup.winnowingFingerprints(short, "doc_id", "text")
+      .count() == 0)
+    // a fingerprint held by 3 docs dies under maxBucket = 2
+    val viral = Seq((1L, shared), (2L, shared), (3L, shared))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowingPairs(viral, "doc_id", "text",
+      minShared = 1).count() == 3)
+    assert(Dedup.winnowingPairs(viral, "doc_id", "text", minShared = 1,
+      maxBucket = 2).count() == 0)
+  }
+
   test("LevMyersExpr: bit-equal to the built-in levenshtein + reference DP") {
     import graft.functions.LevMyersExpr
     // independent oracle: the classical O(nm) DP over code points
