@@ -6497,6 +6497,80 @@ object Queries {
             FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 5"""), bench = true)
 
+  /** Trained pointwise LTR reranker per sf dir: features are the BM25
+    * rank / matched-term count / length bucket (small integers, exact
+    * on the float→floor(·2¹²) grid), label is the known-item relevance
+    * (q_id == doc_id — the query was derived from that document), and
+    * the weights come from the SAME deterministic int64-gradient
+    * trainer as q112. */
+  private val ltrCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Long)]
+  private def trainedLtr(s: SparkSession, d: String): (Array[Long], Long) =
+    ltrCache.getOrElseUpdate(d, {
+      val feats = TextAnalysis.ltrFeatures(docs(s, d), "doc_id", "text",
+        bm25Queries(s, d), "q_id", "qtext", k = 10)
+      graft.ops.Curation.trainQualityClassifier(feats, "fvec",
+        (col("doc_id") === col("q_id")).cast("int"))
+    })
+
+  /** Learning-to-rank rerank (TextAnalysis.ltrFeatures + ltrRerank):
+    * the cross-encoder-rerank stage of a retrieval pipeline in exact
+    * integer form — BM25 top-10 candidates rescored by a trained linear
+    * ranker, re-ranked per query. The oracle replays the full
+    * relational BM25 chain, inlines the trained weights as int64
+    * literals, and re-derives both rankings. */
+  private val q195 = QDef("q195_ltr_rerank",
+    (s, d) => {
+      val (w, b) = trainedLtr(s, d)
+      TextAnalysis.ltrRerank(
+        TextAnalysis.ltrFeatures(docs(s, d), "doc_id", "text",
+          bm25Queries(s, d), "q_id", "qtext", k = 10), w, b)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (w, b) = trainedLtr(s, d)
+      val idf = trainedBm25Idf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+           td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                          CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+                 FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $idf),
+           nrm AS (SELECT doc_id,
+                     (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                       AS norm_q
+                   FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+                    CAST(sum((idf_q * tf * 11 * 4096) //
+                      (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q,
+                    CAST(count(*) AS BIGINT) AS n_terms
+                  FROM q JOIN idf USING (term) JOIN td USING (term)
+                       JOIN nrm USING (doc_id)
+                  GROUP BY 1, 2),
+           r AS (SELECT q_id, doc_id, score_q, n_terms, row_number() OVER (
+                   PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+                 FROM sc),
+           f AS (SELECT r.q_id, r.doc_id, CAST(r.rn AS INT) AS bm25_rank,
+                   r.n_terms, dl.dl // 64 AS dlb,
+                   CAST(r.rn * 4096 * (${w(0)}) +
+                        r.n_terms * 4096 * (${w(1)}) +
+                        (dl.dl // 64) * 4096 * (${w(2)}) + ($b)
+                     AS BIGINT) AS ltr_score
+                 FROM r JOIN dl USING (doc_id) WHERE r.rn <= 10)
+           SELECT q_id, doc_id, bm25_rank, n_terms, dlb, ltr_score,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ltr_score DESC, doc_id) AS INT) AS new_rank
+           FROM f"""
+    }))
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6523,7 +6597,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1913,6 +1913,54 @@ object TextAnalysis {
           expr("(10000 * coalesce(overlap, 0L)) div __tb")).as("r_bp"))
   }
 
+  /** Pointwise learning-to-rank FEATURES over BM25 candidates: for each
+    * of a query's top-`k` documents, the BM25 rank, the matched-term
+    * count, and the document-length bucket (`dl div dlBucket`) — all
+    * SMALL integers, stored in a float vector where they are exactly
+    * representable, so [[graft.ops.Curation.trainQualityClassifier]]'s
+    * `floor(v·2¹²)` quantization grid reproduces them EXACTLY
+    * (`floor(f·4096) = f·4096` for integral f) and the whole
+    * train → apply → rerank chain stays engine-exact int64 — the q112
+    * artifact discipline extended to ranking features.
+    *
+    * Shape: candidates come from the existing [[bm25TopK]] chain
+    * (query-vocab-filtered, O(k) rows per query); the only additions
+    * are one row-local length projection and a narrow doc-keyed join. */
+  def ltrFeatures(df: DataFrame, id: String, text: String,
+                  queries: DataFrame, qid: String, qtext: String,
+                  k: Int = 10, dlBucket: Int = 64): DataFrame = {
+    require(dlBucket >= 1, s"need dlBucket >= 1, got $dlBucket")
+    val cand = bm25TopK(df, id, text, queries, qid, qtext, k)
+    val dlb = df
+      .withColumn("__dl", tokenCount(col(text)).cast("long"))
+      .select(col(id).as("doc_id"), expr(s"__dl div $dlBucket").as("dlb"))
+    cand.join(dlb, "doc_id")
+      .select(col("q_id"), col("doc_id"), col("rank"), col("n_terms"),
+        col("dlb"),
+        array(col("rank").cast("float"), col("n_terms").cast("float"),
+          col("dlb").cast("float")).as("fvec"))
+  }
+
+  /** Apply a trained pointwise ranker ([[ltrFeatures]] weights from
+    * [[graft.ops.Curation.trainQualityClassifier]], already int64) and
+    * re-rank each query's candidate list by the learned score —
+    * the cross-encoder-rerank stage of a retrieval pipeline in its
+    * exact-integer form. `new_rank` is a per-query ROWS window
+    * (partitioned — never corpus-wide), ties to the smaller doc_id.
+    * Output keeps the BM25 rank beside the learned one so downstream
+    * evals (MRR deltas, [[knownItemEval]]) can compare rankers. */
+  def ltrRerank(features: DataFrame, weights: Array[Long],
+                bias: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("ltr_score").desc, col("doc_id"))
+    features.withColumn("ltr_score",
+        Curation.qualityScoreExpr(col("fvec"), weights, bias))
+      .withColumn("new_rank", row_number().over(w).cast("int"))
+      .select(col("q_id"), col("doc_id"), col("rank").as("bm25_rank"),
+        col("n_terms"), col("dlb"), col("ltr_score"), col("new_rank"))
+  }
+
   def tokenizerFertility(df: DataFrame, text: String, stratum: String)
       : DataFrame =
     df.groupBy(col(stratum))
