@@ -1388,6 +1388,61 @@ object Dedup {
       .distinct()
   }
 
+  /** ROW-LOCAL form of [[winnowingFingerprints]] — the same selected
+    * fingerprints computed entirely within each row (gram array →
+    * packed-hash array → per-window `array_min` → distinct), no window,
+    * no shuffle. Interpreted HOFs, so the batch path keeps the codegen
+    * window form; this form exists because it is STREAMING-SAFE (a
+    * stateless projection — the ingest-time plagiarism gate runs it per
+    * arriving document). DedupSpec pins bit-equality of the two forms.
+    * Output: `(id, fp, fp_pos)` — identical to the window form. */
+  def winnowingFingerprintsLocal(df: DataFrame, id: String, text: String,
+                                 k: Int = 3, win: Int = 4,
+                                 salt: String = "winnow"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(win >= 1, s"need win >= 1, got $win")
+    // identical arithmetic to the window form: 43-bit hash packed with
+    // the bit-complemented position; 2^17 / 2^20 factors as shifts
+    // (hash60 is non-negative) — integer div/mul, never Column./
+    val grams = slice(positionalShingles(col(text), k), 1, 1 << 20)
+    val packed = transform(grams, (g, i) =>
+      shiftleft(shiftright(Sampling.hash60(g, salt), 17), 20) +
+        (lit(1048575) - i))
+    df.select(col(id), packed.as("__pk"))
+      .select(col(id),
+        explode(when(size(col("__pk")) < win,
+            array().cast("array<bigint>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(win), size(col("__pk"))),
+            p => array_min(slice(col("__pk"), p - win + 1, lit(win)))))))
+          .as("__sel"))
+      .select(col(id), shiftright(col("__sel"), 20).as("fp"),
+        (lit(1048575L) - pmod(col("__sel"), lit(1048576L))).as("fp_pos"))
+  }
+
+  /** Match an incoming batch's winnowing fingerprints against an
+    * ALREADY-BUILT fingerprint table (`(id, fp)` rows from
+    * [[winnowingFingerprints]] — persisted, the sunk-cost index): pairs
+    * `(existing_id, incoming_id, shared)` with at least `minShared`
+    * shared fingerprints. The incoming side is fingerprinted ROW-LOCALLY
+    * ([[winnowingFingerprintsLocal]]) so the only shuffle is the
+    * fingerprint equi-join + the pair count — cost ∝ batch, and the
+    * same call is streaming-safe (see
+    * [[graft.streaming.StatefulOps.winnowServeWriter]]). */
+  def winnowMatchAgainst(incoming: DataFrame, existingFp: DataFrame,
+                         id: String, text: String, exId: String = "doc_id",
+                         k: Int = 3, win: Int = 4, minShared: Int = 2,
+                         salt: String = "winnow"): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    winnowingFingerprintsLocal(incoming, id, text, k, win, salt)
+      .select(col(id).as("incoming_id"), col("fp")).distinct()
+      .join(existingFp.select(col(exId).as("existing_id"), col("fp"))
+        .distinct(), Seq("fp"))
+      .groupBy(col("existing_id"), col("incoming_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MOSS-style overlap detection on [[winnowingFingerprints]]: pairs of
     * documents sharing at least `minShared` distinct fingerprints, with
     * the shared count. Candidate generation is the fingerprint

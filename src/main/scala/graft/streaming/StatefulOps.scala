@@ -418,6 +418,24 @@ object StatefulOps {
       .drop(ts)
   }
 
+  /** Ingest-time plagiarism/overlap gate: each arriving document is
+    * winnowing-fingerprinted ROW-LOCALLY
+    * ([[graft.ops.Dedup.winnowingFingerprintsLocal]] — a stateless
+    * projection, bit-equal to the batch window form) and matched against
+    * a persisted corpus fingerprint table via
+    * [[graft.ops.Dedup.winnowMatchAgainst]]. The pair-count aggregation
+    * is per micro-batch (foreachBatch — batch-local, exact), mirroring
+    * [[bm25ServeWriter]]/[[ivfSq8ServeWriter]]. */
+  def winnowServeWriter(stream: DataFrame, existingFp: DataFrame,
+      id: String, text: String, exId: String = "doc_id", k: Int = 3,
+      win: Int = 4, minShared: Int = 2, salt: String = "winnow")(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Dedup.winnowMatchAgainst(batch, existingFp,
+          id, text, exId, k, win, minShared, salt), bid)
+    }
+
   /** Streaming edit-distance near-dup — the ingest-time form of
     * [[graft.ops.Dedup.incrementalEditDistancePairs]]: arriving docs
     * compute length + bucket row-locally, explode to the three adjacent

@@ -732,6 +732,25 @@ class DedupSpec extends SparkSpec {
       maxBucket = 2).count() == 0)
   }
 
+  test("winnowingFingerprintsLocal ≡ window form, bit-equal") {
+    // edges: repeated identical grams (tie-breaks), fewer grams than
+    // the window, empty text, plus pseudo-random multi-window docs
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("ab", "cd", "ef", "gh", "ij", "kl")
+    val randDocs = (100L to 104L).map(i =>
+      (i, Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = (Seq(
+      (1L, "alpha beta gamma p q r s t u delta"),
+      (2L, "a a a a a a a"), (3L, "a b c d e"), (4L, "")
+    ) ++ randDocs).toDF("doc_id", "text")
+    val win = Dedup.winnowingFingerprints(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val local = Dedup.winnowingFingerprintsLocal(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(win.nonEmpty && win == local,
+      s"forms diverge: only-window=${win -- local} only-local=${local -- win}")
+  }
+
   test("LevMyersExpr: bit-equal to the built-in levenshtein + reference DP") {
     import graft.functions.LevMyersExpr
     // independent oracle: the classical O(nm) DP over code points

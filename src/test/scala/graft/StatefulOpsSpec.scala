@@ -430,6 +430,38 @@ class StatefulOpsSpec extends SparkSpec {
     boiler.unpersist()
   }
 
+  test("winnowServeWriter: ingest-time overlap gate equals batch match") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma p q r s t u delta epsilon"),
+      (2L, "x y z w v m n o")).toDF("doc_id", "text")
+    val fpTab = graft.ops.Dedup.winnowingFingerprints(corpus, "doc_id",
+      "text").select("doc_id", "fp").persist()
+    val incoming = Seq((11L, "one two p q r s t u three"),
+      (12L, "nothing here matches that corpus whatsoever today"))
+    val batch = graft.ops.Dedup.winnowMatchAgainst(
+        incoming.toDF("doc_id", "text"), fpTab, "doc_id", "text",
+        minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // the guarantee: doc 11 shares the 6-token run with corpus doc 1
+    assert(batch.exists(p => p._1 == 1L && p._2 == 11L))
+    assert(!batch.exists(_._2 == 12L))
+    val buf = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.winnowServeWriter(
+        in.toDF().toDF("doc_id", "text"), fpTab, "doc_id", "text",
+        minShared = 1) { (m, _) =>
+      buf ++= m.as[(Long, Long, Long)].collect()
+    }.start()
+    withQuery(q) {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+    }
+    assert(buf.toSet == batch,
+      s"ingest gate must equal the batch match: $buf vs $batch")
+    fpTab.unpersist()
+  }
+
   test("bm25ServeWriter: per-batch exact top-k (and hybrid fusion) equals batch") {
     implicit val ctx = spark.sqlContext
     val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
