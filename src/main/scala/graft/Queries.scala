@@ -6608,6 +6608,46 @@ object Queries {
               AND a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
             GROUP BY 1, 2 HAVING count(*) >= 2"""), bench = true)
 
+  /** Gopher duplicate n-gram coverage (TextAnalysis.dupNgramCoverage):
+    * per (doc, n), the token positions covered by within-doc duplicated
+    * n-grams as an interval UNION (sorted sweep over a per-doc window).
+    * ns = 2..5 here because the synthetic corpus's within-doc repetition
+    * lives at n ≤ 4 (n = 5 exercises the all-zero path); the operator's
+    * default is Gopher's 5..10. */
+  private val q197 = QDef("q197_dup_ngram_cov",
+    (s, d) => TextAnalysis.dupNgramCoverage(docs(s, d), "doc_id", "text",
+      ns = Seq(2, 3, 4, 5)),
+    Some("""WITH tk AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents),
+            ns(n) AS (VALUES (2), (3), (4), (5)),
+            g AS (SELECT doc_id, ns.n, i - 1 AS pos,
+                    array_to_string(t[i:i+ns.n-1], ' ') AS g
+                  FROM tk, ns, UNNEST(range(1, len(t) - ns.n + 2)) AS r(i)),
+            occ AS (SELECT doc_id, n, pos FROM (
+                      SELECT doc_id, n, pos, count(*) OVER (
+                        PARTITION BY doc_id, n, g) AS c FROM g)
+                    WHERE c >= 2),
+            sw AS (SELECT doc_id, n, pos, max(pos + n) OVER (
+                     PARTITION BY doc_id, n ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS pe
+                   FROM occ),
+            cov AS (SELECT doc_id, n, sum(greatest(0, pos + n -
+                      greatest(pos, COALESCE(pe, pos)))) AS covered
+                    FROM sw GROUP BY 1, 2),
+            tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS total
+                    FROM tk)
+            SELECT tot.doc_id, CAST(ns.n AS BIGINT) AS n,
+              CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered,
+              tot.total,
+              CAST(CASE WHEN tot.total = 0 THEN 0
+                ELSE (10000 * COALESCE(cov.covered, 0)) // tot.total END
+                AS BIGINT) AS dup_bp
+            FROM tot CROSS JOIN ns
+            LEFT JOIN cov ON cov.doc_id = tot.doc_id AND cov.n = ns.n"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6634,7 +6674,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

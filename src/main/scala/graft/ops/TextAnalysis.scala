@@ -1961,6 +1961,56 @@ object TextAnalysis {
         col("n_terms"), col("dlb"), col("ltr_score"), col("new_rank"))
   }
 
+  /** Gopher's remaining repetition family: duplicate n-gram COVERAGE —
+    * for each n, the fraction of token positions covered by occurrences
+    * of n-grams that appear at least twice within the document
+    * (overlapping occurrences counted once: the measure is the UNION of
+    * the `[pos, pos+n)` intervals, computed with the classic
+    * sorted-interval sweep — running max of previous interval ends over
+    * a per-(doc, n) window, never corpus-wide). Complements q183's
+    * top-n-gram concentration (n = 2..4 single-gram mass) with the
+    * n = 5..10 "any duplicated long gram" signal the Gopher paper
+    * gates on. Exact int64: coverage in token positions, basis points
+    * by floor division.
+    *
+    * Output: one row per (document, n) — `(id, n, covered, total,
+    * dup_bp)`, zero rows never dropped (docs with no duplication emit
+    * covered = 0). */
+  def dupNgramCoverage(df: DataFrame, id: String, text: String,
+                       ns: Seq[Int] = 5 to 10): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes $ns")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(id), col(text))
+    val grams = ns.map { n =>
+      base.select(col(id), lit(n).as("n"),
+        posexplode(Dedup.positionalShingles(col(text), n))
+          .as(Seq("pos", "g")))
+    }.reduce(_ unionAll _)
+    // occurrences of grams duplicated WITHIN the doc, with positions
+    val occ = grams
+      .withColumn("__c",
+        count(lit(1)).over(Window.partitionBy(col(id), col("n"), col("g"))))
+      .filter(col("__c") >= 2)
+    // interval-union sweep: contribution of [pos, pos+n) minus whatever
+    // earlier intervals already covered
+    val sweep = Window.partitionBy(col(id), col("n")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = occ
+      .withColumn("__pe", max(col("pos") + col("n")).over(sweep))
+      .withColumn("__add",
+        greatest(lit(0), col("pos") + col("n") -
+          greatest(col("pos"), coalesce(col("__pe"), col("pos")))))
+      .groupBy(col(id), col("n"))
+      .agg(sum(col("__add")).cast("long").as("covered"))
+    base.select(col(id), tokenCount(col(text)).cast("long").as("total"))
+      .withColumn("n", explode(array(ns.map(n => lit(n)): _*)))
+      .join(covered, Seq(id, "n"), "left")
+      .select(col(id), col("n").cast("long").as("n"),
+        coalesce(col("covered"), lit(0L)).as("covered"), col("total"),
+        when(col("total") === 0L, lit(0L)).otherwise(
+          expr("(10000 * coalesce(covered, 0L)) div total")).as("dup_bp"))
+  }
+
   def tokenizerFertility(df: DataFrame, text: String, stratum: String)
       : DataFrame =
     df.groupBy(col(stratum))
