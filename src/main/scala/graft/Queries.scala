@@ -6648,6 +6648,82 @@ object Queries {
             LEFT JOIN cov ON cov.doc_id = tot.doc_id AND cov.n = ns.n"""),
     bench = true)
 
+  /** Near-dup DETECTOR agreement matrix (Dedup.pairAgreement over the
+    * edit-distance, winnowing, and SimHash pair relations): how the
+    * detector families overlap on the same corpus — each one's unique
+    * contribution is the eval that justifies running (or dropping) it.
+    * The oracle replays all three relational chains and full-joins the
+    * pair sets. */
+  private val q198 = QDef("q198_dedup_agreement",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.pairAgreement(Seq(
+        "edit" -> Dedup.editDistancePairs(dd, "doc_id", "text",
+          within = Seq("source"), maxLenDiff = 24, maxDist = 60),
+        "winnow" -> Dedup.winnowingPairs(dd, "doc_id", "text",
+            minShared = 5, maxBucket = 50)
+          .withColumnRenamed("a_id", "id_a")
+          .withColumnRenamed("b_id", "id_b"),
+        "simhash" -> Dedup.simHashPairs(dd, "doc_id", "text", maxDist = 3)
+          .withColumnRenamed("a_id", "id_a")
+          .withColumnRenamed("b_id", "id_b")))
+    },
+    Some(s"""WITH ed AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+               AND abs(length(a.text) - length(b.text)) <= 24
+              WHERE levenshtein(a.text, b.text) <= 60),
+            tk AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                  FROM tk, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            h AS (SELECT doc_id, pos,
+                    (${sqlHash60("g", "winnow")} // 131072) * 1048576
+                      + (1048575 - pos) AS p
+                  FROM g WHERE pos < 1048576),
+            w AS (SELECT doc_id, pos, min(p) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS sel FROM h),
+            fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+                   FROM w WHERE pos >= 3),
+            ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+            fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp)),
+            wp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM fpk a JOIN fpk b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 5),
+            toks AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+              FROM documents),
+            hs AS (SELECT doc_id, list_transform(toks, w2 ->
+                CAST('0x' || substr(md5(w2), 1, 15) AS BIGINT)) AS hs
+              FROM toks),
+            sim AS (SELECT doc_id,
+                list_sum(list_transform(range(0, 60), j ->
+                  CASE WHEN list_sum(list_transform(hs, hx ->
+                    CASE WHEN (hx >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS sim
+              FROM hs),
+            keyed AS (SELECT doc_id, sim, t.ck,
+                (sim >> CAST(t.ck * 15 AS INT)) & 32767 AS cv
+              FROM sim, generate_series(0, 3) AS t(ck)),
+            sh AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                   FROM keyed x JOIN keyed y
+                     ON x.ck = y.ck AND x.cv = y.cv AND x.doc_id < y.doc_id
+                   WHERE bit_count(xor(x.sim, y.sim)) <= 3),
+            edt AS (SELECT id_a, id_b, true AS ie FROM ed),
+            wpt AS (SELECT id_a, id_b, true AS iw FROM wp),
+            sht AS (SELECT id_a, id_b, true AS ish FROM sh)
+            SELECT COALESCE(ie, false) AS in_edit,
+                   COALESCE(iw, false) AS in_winnow,
+                   COALESCE(ish, false) AS in_simhash,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM edt FULL JOIN wpt USING (id_a, id_b)
+                     FULL JOIN sht USING (id_a, id_b)
+            GROUP BY 1, 2, 3"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6674,7 +6750,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

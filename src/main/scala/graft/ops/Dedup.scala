@@ -1469,6 +1469,28 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Agreement matrix between near-dup DETECTORS: given named pair
+    * relations (edit-distance, winnowing, SimHash, LSH — anything
+    * emitting ordered id pairs), the count of pairs in each membership
+    * combination — the eval that says which detector families fire
+    * where, and what each one uniquely contributes. Full outer joins on
+    * the (already candidate-bounded) pair relations only — never the
+    * corpus; output is 2^|sets| − 1 rows at most. */
+  def pairAgreement(sets: Seq[(String, DataFrame)],
+                    aCol: String = "id_a",
+                    bCol: String = "id_b"): DataFrame = {
+    require(sets.size >= 2, s"need >= 2 pair sets, got ${sets.size}")
+    require(sets.map(_._1).distinct.size == sets.size, "duplicate set names")
+    val marked = sets.map { case (nm, df) =>
+      df.select(col(aCol).as("id_a"), col(bCol).as("id_b")).distinct()
+        .withColumn(s"in_$nm", lit(true))
+    }
+    marked.reduce((x, y) => x.join(y, Seq("id_a", "id_b"), "full"))
+      .groupBy(sets.map { case (nm, _) =>
+        coalesce(col(s"in_$nm"), lit(false)).as(s"in_$nm") }: _*)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def lshCatchProbability(s: Double, bands: Int, rows: Int): Double = {
     require(s >= 0.0 && s <= 1.0, s"similarity out of [0,1]: $s")
     require(bands >= 1 && rows >= 1, s"bad bands=$bands rows=$rows")

@@ -751,6 +751,17 @@ class DedupSpec extends SparkSpec {
       s"forms diverge: only-window=${win -- local} only-local=${local -- win}")
   }
 
+  test("pairAgreement: membership combinations, absent-row coalesce") {
+    val a = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val b = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val c = Seq((4L, 5L), (4L, 5L)).toDF("id_a", "id_b") // dup rows dedupe
+    val out = Dedup.pairAgreement(Seq("a" -> a, "b" -> b, "c" -> c))
+      .as[(Boolean, Boolean, Boolean, Long)].collect().toSet
+    assert(out == Set((true, true, false, 1L),  // (1,2): a+b
+      (true, false, false, 1L),                 // (1,3): a only
+      (false, true, true, 1L)), s"got $out")    // (4,5): b+c, deduped
+  }
+
   test("LevMyersExpr: bit-equal to the built-in levenshtein + reference DP") {
     import graft.functions.LevMyersExpr
     // independent oracle: the classical O(nm) DP over code points
