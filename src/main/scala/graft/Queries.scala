@@ -6724,6 +6724,86 @@ object Queries {
                      FULL JOIN sht USING (id_a, id_b)
             GROUP BY 1, 2, 3"""), bench = true)
 
+  /** Reranker A/B eval (knownItemEval on both rankings out of ONE
+    * q195 rerank table): per query, the known item's rank and
+    * reciprocal-rank bp under raw BM25 and under the trained LTR
+    * reranker — the "did the reranker actually help" eval that closes
+    * the LTR loop. The rerank table is persisted across the two
+    * differently-projected eval branches (the input-fan-out rule). */
+  private val q199 = QDef("q199_ltr_mrr_ab",
+    (s, d) => {
+      val (w, b) = trainedLtr(s, d)
+      val rr = graft.ops.Caches.track(TextAnalysis.ltrRerank(
+        TextAnalysis.ltrFeatures(docs(s, d), "doc_id", "text",
+          bm25Queries(s, d), "q_id", "qtext", k = 10), w, b).persist())
+      val rel = bm25Queries(s, d)
+        .select(col("q_id"), col("q_id").as("doc_id"))
+      TextAnalysis.knownItemEval(rr.select(col("q_id"), col("doc_id"),
+            col("bm25_rank").as("rank")), rel)
+        .withColumn("ranker", lit("bm25"))
+        .unionByName(
+          TextAnalysis.knownItemEval(rr.select(col("q_id"), col("doc_id"),
+              col("new_rank").as("rank")), rel)
+            .withColumn("ranker", lit("ltr")))
+        .select(col("ranker"), col("q_id"), col("found_rank"), col("rr_bp"))
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (w, b) = trainedLtr(s, d)
+      val idf = trainedBm25Idf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+           td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                          CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+                 FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $idf),
+           nrm AS (SELECT doc_id,
+                     (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                       AS norm_q
+                   FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+                    CAST(sum((idf_q * tf * 11 * 4096) //
+                      (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q,
+                    CAST(count(*) AS BIGINT) AS n_terms
+                  FROM q JOIN idf USING (term) JOIN td USING (term)
+                       JOIN nrm USING (doc_id)
+                  GROUP BY 1, 2),
+           r AS (SELECT q_id, doc_id, score_q, n_terms, row_number() OVER (
+                   PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+                 FROM sc),
+           f AS (SELECT r.q_id, r.doc_id, CAST(r.rn AS INT) AS bm25_rank,
+                   CAST(r.rn * 4096 * (${w(0)}) +
+                        r.n_terms * 4096 * (${w(1)}) +
+                        (dl.dl // 64) * 4096 * (${w(2)}) + ($b)
+                     AS BIGINT) AS ltr_score
+                 FROM r JOIN dl USING (doc_id) WHERE r.rn <= 10),
+           rr AS (SELECT q_id, doc_id, bm25_rank,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY ltr_score DESC, doc_id) AS INT) AS new_rank
+                  FROM f),
+           rel AS (SELECT doc_id AS q_id, doc_id
+                   FROM documents WHERE doc_id % 25 = 0)
+           SELECT 'bm25' AS ranker, rel.q_id,
+             CAST(COALESCE(rr.bm25_rank, 0) AS BIGINT) AS found_rank,
+             CAST(COALESCE(10000 // rr.bm25_rank, 0) AS BIGINT) AS rr_bp
+           FROM rel LEFT JOIN rr ON rr.q_id = rel.q_id
+                                AND rr.doc_id = rel.doc_id
+           UNION ALL
+           SELECT 'ltr' AS ranker, rel.q_id,
+             CAST(COALESCE(rr.new_rank, 0) AS BIGINT) AS found_rank,
+             CAST(COALESCE(10000 // rr.new_rank, 0) AS BIGINT) AS rr_bp
+           FROM rel LEFT JOIN rr ON rr.q_id = rel.q_id
+                                AND rr.doc_id = rel.doc_id"""
+    }))
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6750,7 +6830,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
