@@ -6804,6 +6804,36 @@ object Queries {
                                 AND rr.doc_id = rel.doc_id"""
     }))
 
+  /** T5 span-corruption layout (Sampling.spanCorruption): deterministic
+    * seq2seq pre-training pairs — numbered sentinels in the input, the
+    * masked spans as the target, offsets from the (id, block) hash.
+    * blockSize 16 / spanLen 3 (≈19% corruption). */
+  private val q200 = QDef("q200_span_corruption", {
+    (s, d) => Sampling.spanCorruption(docs(s, d), "doc_id", "text")
+  }, {
+    val off = "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' " +
+      "|| CAST(k AS VARCHAR) || ':spancorr'), 1, 15) AS BIGINT) % 14)"
+    Some(s"""WITH tk AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            b AS (SELECT doc_id, t, len(t) AS m, len(t) // 16 AS nb
+                  FROM tk)
+            SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
+              CAST(nb AS BIGINT) AS n_spans,
+              COALESCE(array_to_string(flatten(list_concat(
+                list_transform(range(0, nb), k ->
+                  t[k*16+1 : k*16 + $off] ||
+                  ['<extra_id_' || CAST(k AS VARCHAR) || '>'] ||
+                  t[k*16 + $off + 4 : (k+1)*16]),
+                [t[nb*16+1 : m]])), ' '), '') AS input_text,
+              COALESCE(array_to_string(list_transform(range(0, nb), k ->
+                array_to_string(
+                  ['<extra_id_' || CAST(k AS VARCHAR) || '>'] ||
+                  t[k*16 + $off + 1 : k*16 + $off + 3], ' ')), ' '), '')
+                AS target_text
+            FROM b""")
+  }, bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6830,7 +6860,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -352,6 +352,58 @@ object Sampling {
     * (empty prefix/middle/suffix) are legitimate FIM samples and pass
     * through. Row-local token slicing, no shuffle. Output:
     * `(id, n_tokens, p1, p2, prefix, middle, suffix)`. */
+  /** T5-style span-corruption layout — the seq2seq pre-training data
+    * shape (Raffel et al. 2020): mask spans of `spanLen` tokens, replace
+    * each with a numbered sentinel in the input, and emit the masked
+    * spans (each prefixed by its sentinel) as the target. Deterministic
+    * and RNG-free like [[fimSplit]]: the corpus is cut into complete
+    * blocks of `blockSize` tokens and each block masks one span whose
+    * offset is the (id, block)-hash mod (blockSize − spanLen + 1) —
+    * corruption rate spanLen/blockSize, spans never overlap by
+    * construction, re-runs and engines agree exactly. The partial tail
+    * block is left unmasked.
+    *
+    * Fully ROW-LOCAL (block arithmetic via slices and flatten — no
+    * per-token division, no shuffle, streaming-safe). Token-level
+    * semantics: input/target re-join tokens with single spaces. */
+  def spanCorruption(df: DataFrame, id: String, text: String,
+                     blockSize: Int = 16, spanLen: Int = 3,
+                     salt: String = "spancorr"): DataFrame = {
+    require(spanLen >= 1, s"need spanLen >= 1, got $spanLen")
+    require(blockSize > spanLen,
+      s"need blockSize > spanLen, got $blockSize <= $spanLen")
+    val w = blockSize
+    val l = spanLen
+    val r = (w - l + 1).toLong
+    def off(k: Column): Column = pmod(hash60(
+      concat(col(id).cast("string"), lit(":"), k.cast("string")), salt),
+      lit(r)).cast("int")
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val blocks = when(col("__nb") > 0L,
+      sequence(lit(0L), col("__nb") - 1L)).otherwise(
+      array().cast("array<bigint>"))
+    df.select(col(id), col(text))
+      .withColumn("__t", graft.ops.TextAnalysis.tokens(col(text)))
+      .withColumn("__nb", expr(s"size(__t) div $w").cast("long"))
+      .select(col(id), size(col("__t")).cast("long").as("n_tokens"),
+        col("__nb").as("n_spans"),
+        array_join(flatten(concat(
+          transform(blocks, k => concat(
+            slice(col("__t"), (k * w + 1).cast("int"), off(k)),
+            array(sentinel(k)),
+            slice(col("__t"), (k * w + 1).cast("int") + off(k) + l,
+              lit(w) - off(k) - l))),
+          array(slice(col("__t"), (col("__nb") * w + 1).cast("int"),
+            size(col("__t")) - (col("__nb") * w).cast("int"))))), " ")
+          .as("input_text"),
+        array_join(transform(blocks, k => array_join(
+          concat(array(sentinel(k)),
+            slice(col("__t"), (k * w + 1).cast("int") + off(k), lit(l))),
+          " ")),
+          " ").as("target_text"))
+  }
+
   def fimSplit(df: DataFrame, id: String, text: String,
                salt: String): DataFrame = {
     val t = TextAnalysis.tokens(col(text))

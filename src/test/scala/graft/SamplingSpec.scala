@@ -609,4 +609,53 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.logHistQuantile(hist, 5000) == 16L)
     assert(Sampling.logHistQuantile(hist, 10000) == 32L)
   }
+
+  test("spanCorruption: reference parity, reconstruction, short docs") {
+    // independent reference: md5-prefix offset + block slicing in Scala
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def ref(id: Long, text: String, w: Int, l: Int): (Long, Long, String, String) = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      val nb = t.length / w
+      val inB = Seq.newBuilder[String]
+      val tgB = Seq.newBuilder[String]
+      for (k <- 0 until nb) {
+        val o = (h60(s"$id:$k:spancorr") % (w - l + 1)).toInt
+        inB ++= t.slice(k * w, k * w + o)
+        inB += s"<extra_id_$k>"
+        inB ++= t.slice(k * w + o + l, (k + 1) * w)
+        tgB += (s"<extra_id_$k>" +: t.slice(k * w + o, k * w + o + l))
+          .mkString(" ")
+      }
+      inB ++= t.drop(nb * w)
+      (t.length.toLong, nb.toLong, inB.result().mkString(" "),
+        tgB.result().mkString(" "))
+    }
+    val docs = Seq(
+      (1L, (1 to 35).map(i => s"t$i").mkString(" ")), // 2 blocks + tail 3
+      (2L, (1 to 16).map(i => s"u$i").mkString(" ")), // exactly 1 block
+      (3L, "a b c"),                                  // shorter than block
+      (4L, ""))                                       // empty
+      .toDF("doc_id", "text")
+    val out = Sampling.spanCorruption(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    docs.as[(Long, String)].collect().foreach { case (i, tx) =>
+      val (n, nb, in, tg) = ref(i, tx, 16, 3)
+      assert(out(i) == ((n, nb, in, tg)), s"doc $i: ${out(i)}")
+    }
+    // reconstruction: replacing each sentinel in the input with its
+    // target span (sans sentinel) reproduces the original token stream
+    val (_, _, in1, tg1) = ref(1L, (1 to 35).map(i => s"t$i").mkString(" "), 16, 3)
+    val spans = tg1.split("<extra_id_\\d+> ?").filter(_.nonEmpty)
+      .map(_.trim).zipWithIndex.map { case (s, k) => s"<extra_id_$k>" -> s }
+      .toMap
+    val rebuilt = in1.split(" ").flatMap(tok =>
+      spans.get(tok).map(_.split(" ").toSeq).getOrElse(Seq(tok))).mkString(" ")
+    assert(rebuilt == (1 to 35).map(i => s"t$i").mkString(" "))
+  }
 }
