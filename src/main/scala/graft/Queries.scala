@@ -6834,6 +6834,30 @@ object Queries {
             FROM b""")
   }, bench = true)
 
+  /** Gap sessionization (EventOps.sessionize): 6-hour-gap sessions per
+    * user over the events stream — per-key ordered sweep, exact epoch-µs
+    * bounds. The streaming twin (StatefulOps.streamingSessionize on the
+    * native session_window) is pinned ≡ batch in StatefulOpsSpec. */
+  private val q201 = QDef("q201_sessionize",
+    (s, d) => EventOps.sessionize(events(s, d), "user_id", "ts",
+      gapUs = 21600000000L),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            l AS (SELECT user_id, us, lag(us) OVER (
+                    PARTITION BY user_id ORDER BY us) AS prev FROM e),
+            f AS (SELECT user_id, us, CASE WHEN prev IS NULL
+                    OR us - prev > 21600000000 THEN 1 ELSE 0 END AS nw
+                  FROM l),
+            s AS (SELECT user_id, us, sum(nw) OVER (
+                    PARTITION BY user_id ORDER BY us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+                  FROM f)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_n,
+              CAST(min(us) AS BIGINT) AS session_start_us,
+              CAST(max(us) AS BIGINT) AS session_end_us,
+              CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY 1, 2"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6860,7 +6884,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

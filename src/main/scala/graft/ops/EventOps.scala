@@ -421,6 +421,37 @@ object EventOps {
     * key join, and a windows²-bounded final groupBy. Offsets divide
     * exactly (`div`, never float `/`: both operands are multiples of
     * `windowSec`). */
+  /** Gap-based sessionization: per key, events closer than `gapUs`
+    * belong to one session; a larger gap starts the next. Output one row
+    * per session — `(key, session_n, session_start_us, session_end_us,
+    * n_events)`, `session_n` 1-based in time order, bounds as exact
+    * epoch-µs longs (the oracle determinism rule), `session_end_us` =
+    * the LAST EVENT's time (not +gap — the streaming twin subtracts the
+    * gap from `session_window.end` so the two forms agree exactly).
+    *
+    * Plan: the standard per-key ordered sweep — `lag` diff → new-session
+    * flag → running count → one groupBy. Both windows are KEY-partitioned
+    * (never corpus-wide); at scale this is one sort within the key
+    * partitioning, the canonical sessionization shape. Ties (equal
+    * timestamps) cannot straddle a boundary (their gap is 0), so session
+    * bounds and counts are engine-exact regardless of tie order. */
+  def sessionize(df: DataFrame, key: String, ts: String,
+                 gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"need gapUs > 0, got $gapUs")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(key)).orderBy(col("__us"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(key), unix_micros(col(ts)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(ord))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .groupBy(col(key), col("__sid").as("session_n"))
+      .agg(min(col("__us")).as("session_start_us"),
+        max(col("__us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   def cohortRetention(df: DataFrame, key: String, ts: String,
                       windowSec: Int): DataFrame = {
     require(windowSec >= 1, s"bad windowSec: $windowSec")

@@ -418,6 +418,27 @@ object StatefulOps {
       .drop(ts)
   }
 
+  /** Streaming gap sessionization — the ingest-time form of
+    * [[graft.ops.EventOps.sessionize]] on Structured Streaming's native
+    * `session_window` (watermark-closed sessions, append mode, state
+    * O(open sessions)). `session_window.end` is last-event + gap by
+    * definition, so the gap is subtracted back to emit the SAME
+    * `(key, session_start_us, session_end_us, n_events)` rows the batch
+    * operator produces (batch's `session_n` running index has no
+    * streaming analogue — compare on the bounds). */
+  def streamingSessionize(stream: DataFrame, key: String, ts: String,
+                          gapUs: Long, lateness: String): DataFrame = {
+    require(gapUs > 0, s"need gapUs > 0, got $gapUs")
+    stream.withWatermark(ts, lateness)
+      .groupBy(col(key), session_window(col(ts), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(key),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        (unix_micros(col("session_window.end")) - gapUs)
+          .as("session_end_us"),
+        col("n_events"))
+  }
+
   /** Ingest-time plagiarism/overlap gate: each arriving document is
     * winnowing-fingerprinted ROW-LOCALLY
     * ([[graft.ops.Dedup.winnowingFingerprintsLocal]] — a stateless

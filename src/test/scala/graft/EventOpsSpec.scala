@@ -310,4 +310,21 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Set((lo, 1, 1L, 2L), (lo, 2, 2L, 2L),
       (lo + 10L, 1, 3L, 1L)), s"got $out (w0=$w0)")
   }
+
+  test("sessionize: gap boundary inclusive, ties, per-key isolation") {
+    import org.apache.spark.sql.functions.expr
+    // key a, gap 10 µs: events 0, 10 (diff == gap → SAME session),
+    // 21 (diff 11 > gap → new), 21 again (tie), 25 → sessions
+    // [0,10]×2 and [21,25]×3. key b: one event → singleton session.
+    val rows = Seq(("a", 0L), ("a", 10L), ("a", 21L), ("a", 21L),
+      ("a", 25L), ("b", 1000L))
+    val df = rows.toDF("k", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = EventOps.sessionize(df, "k", "ts", gapUs = 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 1L, 0L, 10L, 2L),
+      ("a", 2L, 21L, 25L, 3L),
+      ("b", 1L, 1000L, 1000L, 1L)), s"got $out")
+  }
 }

@@ -430,6 +430,45 @@ class StatefulOpsSpec extends SparkSpec {
     boiler.unpersist()
   }
 
+  test("streamingSessionize: watermark-closed sessions equal batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    // gap 10 s: key a sessions [1,8]×2 and [30,31]×2; key b singleton.
+    // A far-future event per key advances the watermark past 31+10 so
+    // every session closes and append mode emits it.
+    val evs = Seq(("a", 1L), ("a", 8L), ("a", 30L), ("a", 31L),
+      ("b", 5L), ("a", 1000L), ("b", 1000L))
+    val batch = graft.ops.EventOps.sessionize(
+        evs.toDF("k", "sec").withColumn("ts",
+          expr("timestamp_micros(sec * 1000000)")),
+        "k", "ts", gapUs = 10000000L)
+      .select("k", "session_start_us", "session_end_us", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val in = MemoryStream[(String, Long)]
+    val q = StatefulOps.streamingSessionize(
+        in.toDF().toDF("k", "sec")
+          .withColumn("ts", expr("timestamp_micros(sec * 1000000)")),
+        "k", "ts", gapUs = 10000000L, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(evs.filter(_._2 < 100L): _*)
+      q.processAllAvailable()
+      in.addData(evs.filter(_._2 >= 100L): _*) // watermark push
+      q.processAllAvailable()
+      in.addData(("a", 2000L)) // close the 1000-sec sessions too? no —
+      q.processAllAvailable()  // they stay open; compare closed subset
+      val streamed = spark.table("sess")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // every streamed (closed) session must match batch exactly, and
+      // all pre-watermark sessions must have closed
+      assert(streamed.subsetOf(batch), s"streamed $streamed vs $batch")
+      val early = batch.filter(_._3 < 100000000L)
+      assert(early.subsetOf(streamed),
+        s"missing closed sessions: ${early -- streamed}")
+    }
+  }
+
   test("winnowServeWriter: ingest-time overlap gate equals batch match") {
     implicit val ctx = spark.sqlContext
     val corpus = Seq(
