@@ -1934,11 +1934,35 @@ object TextAnalysis {
     val dlb = df
       .withColumn("__dl", tokenCount(col(text)).cast("long"))
       .select(col(id).as("doc_id"), expr(s"__dl div $dlBucket").as("dlb"))
+    ltrAssemble(cand, dlb)
+  }
+
+  /** The feature-vector assembly shared by [[ltrFeatures]] (corpus form)
+    * and [[ltrSearch]] (index-serving form): candidates + length bucket
+    * → the small-integer float vector the trainer/apply grid reproduces
+    * exactly. */
+  private def ltrAssemble(cand: DataFrame, dlb: DataFrame): DataFrame =
     cand.join(dlb, "doc_id")
       .select(col("q_id"), col("doc_id"), col("rank"), col("n_terms"),
         col("dlb"),
         array(col("rank").cast("float"), col("n_terms").cast("float"),
           col("dlb").cast("float")).as("fvec"))
+
+  /** [[ltrFeatures]] + [[ltrRerank]] against an ALREADY-BUILT postings
+    * index ([[savePostingsIndex]] — the sunk-cost serving posture):
+    * BM25 top-k candidates from [[bm25Search]], length buckets straight
+    * from the index's `(doc, dl)` projection (no corpus text touched),
+    * reranked by the trained weights. The online half of the rerank
+    * story; per-micro-batch streaming form in
+    * [[graft.streaming.StatefulOps.ltrServeWriter]]. */
+  def ltrSearch(postings: DataFrame, queries: DataFrame, qid: String,
+                qtext: String, k: Int, weights: Array[Long], bias: Long,
+                dlBucket: Int = 64): DataFrame = {
+    require(dlBucket >= 1, s"need dlBucket >= 1, got $dlBucket")
+    val dlb = postings.select(col("doc").as("doc_id"), col("dl")).distinct()
+      .select(col("doc_id"), expr(s"dl div $dlBucket").as("dlb"))
+    ltrRerank(ltrAssemble(
+      bm25Search(postings, queries, qid, qtext, k), dlb), weights, bias)
   }
 
   /** Apply a trained pointwise ranker ([[ltrFeatures]] weights from

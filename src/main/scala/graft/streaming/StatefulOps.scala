@@ -772,6 +772,21 @@ object StatefulOps {
       .filter(col("iscore") >= minScore)
   }
 
+  /** Serve-time LTR rerank — [[bm25ServeWriter]] with the trained
+    * pointwise ranker applied per micro-batch
+    * ([[graft.ops.TextAnalysis.ltrSearch]] against the persisted
+    * postings index): the online retrieval + rerank stage in one
+    * writer. */
+  def ltrServeWriter(stream: DataFrame, postings: DataFrame, qid: String,
+      qtext: String, k: Int, weights: Array[Long], bias: Long,
+      dlBucket: Int = 64)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.ltrSearch(postings, batch, qid,
+          qtext, k, weights, bias, dlBucket), bid)
+    }
+
   /** The dense twin of [[bm25ServeWriter]]: exact ranked top-k ANN
     * serving over a persisted IVF-SQ8 index by running the unmodified
     * batch [[graft.ops.Similarity.ivfSq8Search]] per query micro-batch

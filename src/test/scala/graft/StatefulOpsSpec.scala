@@ -501,6 +501,33 @@ class StatefulOpsSpec extends SparkSpec {
     fpTab.unpersist()
   }
 
+  test("ltrServeWriter: per-batch reranked serving equals batch ltrSearch") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry date egg"), (4L, "apple date")).toDF("doc_id", "text")
+    val postings = graft.ops.TextAnalysis
+      .indexPostings(docs, "doc_id", "text").persist()
+    val queries = Seq((100L, "apple date"), (200L, "cherry banana"))
+    val w = Array(-1L, 500L, 2L)
+    val batch = graft.ops.TextAnalysis.ltrSearch(postings,
+        queries.toDF("q_id", "qtext"), "q_id", "qtext", k = 3, w, 7L)
+      .collect().map(_.toSeq).toSet
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.ltrServeWriter(
+        in.toDF().toDF("q_id", "qtext"), postings, "q_id", "qtext",
+        k = 3, w, 7L) { (ranked, _) =>
+      buf ++= ranked.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) {
+      in.addData(queries: _*)
+      q.processAllAvailable()
+    }
+    assert(batch.nonEmpty && buf.toSet == batch,
+      s"served rerank must equal batch: $buf vs $batch")
+    postings.unpersist()
+  }
+
   test("bm25ServeWriter: per-batch exact top-k (and hybrid fusion) equals batch") {
     implicit val ctx = spark.sqlContext
     val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
