@@ -6858,6 +6858,44 @@ object Queries {
               CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY 1, 2"""), bench = true)
 
+  /** One-call corpus dedup driven by the EDIT-DISTANCE detector
+    * (Dedup.dedupCorpusFromPairs): the pluggable-pair-stage form of
+    * q126 — same pointer-doubled families / min-id winner / family
+    * stats, different candidate generator. Oracle: recursive-CTE
+    * reachability over the brute-force edit pair relation. */
+  private val q202 = QDef("q202_dedup_editdist",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.dedupCorpusFromPairs(dd, "doc_id", "text", "n_chars",
+        Dedup.editDistancePairs(dd, "doc_id", "text",
+            within = Seq("source"), maxLenDiff = 24, maxDist = 60)
+          .select(col("id_a").as("a_id"), col("id_b").as("b_id")))
+    },
+    Some("""WITH RECURSIVE ed AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM documents a JOIN documents b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+               AND abs(length(a.text) - length(b.text)) <= 24
+              WHERE levenshtein(a.text, b.text) <= 60),
+            edges AS (SELECT a_id AS src, b_id AS dst FROM ed
+                      UNION ALL SELECT b_id, a_id FROM ed),
+            reach(node, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node),
+            cl AS (SELECT node AS doc_id, min(m) AS cluster
+                   FROM reach GROUP BY node),
+            st AS (SELECT cluster, count(*) AS family_size,
+                     CAST(sum(d.n_chars) AS BIGINT) AS fam_mass
+                   FROM cl JOIN documents d USING (doc_id) GROUP BY 1)
+            SELECT d.doc_id, d.text,
+                   CAST(st.family_size AS BIGINT) AS family_size,
+                   CAST(st.family_size - 1 AS BIGINT) AS dup_docs,
+                   CAST(st.fam_mass - d.n_chars AS BIGINT) AS dup_mass
+            FROM cl JOIN documents d USING (doc_id)
+                 JOIN st USING (cluster)
+            WHERE cl.doc_id = cl.cluster"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6884,7 +6922,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -856,9 +856,17 @@ object Dedup {
     * family sheds (0 for singletons). */
   def dedupCorpus(df: DataFrame, id: String, text: String, size: String,
                   numHashes: Int = 12, bands: Int = 4,
-                  threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
-    val pairs = minHashLshPairs(df, id, text, numHashes, bands, threshold,
-      maxBucket)
+                  threshold: Double = 0.5, maxBucket: Int = 0): DataFrame =
+    dedupCorpusFromPairs(df, id, text, size,
+      minHashLshPairs(df, id, text, numHashes, bands, threshold, maxBucket))
+
+  /** [[dedupCorpus]]'s family/winner/stats machinery over ANY pair
+    * relation (`(a_id, b_id)` columns — edit-distance, winnowing,
+    * SimHash, semantic, or a fused set): the detector is a pluggable
+    * first stage, everything downstream (pointer-doubled clustering,
+    * min-id winner, family stats) is shared. */
+  def dedupCorpusFromPairs(df: DataFrame, id: String, text: String,
+                           size: String, pairs: DataFrame): DataFrame = {
     val clusters = dedupClusters(df, id, pairs)
     val stats = df.select(col(id), col(size).cast("long").as("__sz"))
       .join(clusters, Seq(id))
