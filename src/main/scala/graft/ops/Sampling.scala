@@ -383,24 +383,30 @@ object Sampling {
     val blocks = when(col("__nb") > 0L,
       sequence(lit(0L), col("__nb") - 1L)).otherwise(
       array().cast("array<bigint>"))
+    // one md5 per block: (start, offset, sentinel) precomputed as
+    // structs, then both texts read the fields — the inlined-off(k)
+    // form paid 4 digests per block
+    val blockInfo = transform(blocks, k =>
+      struct((k * w + 1).cast("int").as("st"), off(k).as("o"),
+        sentinel(k).as("sn")))
     df.select(col(id), col(text))
       .withColumn("__t", graft.ops.TextAnalysis.tokens(col(text)))
       .withColumn("__nb", expr(s"size(__t) div $w").cast("long"))
+      .withColumn("__bi", blockInfo)
       .select(col(id), size(col("__t")).cast("long").as("n_tokens"),
         col("__nb").as("n_spans"),
         array_join(flatten(concat(
-          transform(blocks, k => concat(
-            slice(col("__t"), (k * w + 1).cast("int"), off(k)),
-            array(sentinel(k)),
-            slice(col("__t"), (k * w + 1).cast("int") + off(k) + l,
-              lit(w) - off(k) - l))),
+          transform(col("__bi"), b => concat(
+            slice(col("__t"), b("st"), b("o")),
+            array(b("sn")),
+            slice(col("__t"), b("st") + b("o") + l,
+              lit(w) - b("o") - l))),
           array(slice(col("__t"), (col("__nb") * w + 1).cast("int"),
             size(col("__t")) - (col("__nb") * w).cast("int"))))), " ")
           .as("input_text"),
-        array_join(transform(blocks, k => array_join(
-          concat(array(sentinel(k)),
-            slice(col("__t"), (k * w + 1).cast("int") + off(k), lit(l))),
-          " ")),
+        array_join(transform(col("__bi"), b => array_join(
+          concat(array(b("sn")),
+            slice(col("__t"), b("st") + b("o"), lit(l))), " ")),
           " ").as("target_text"))
   }
 

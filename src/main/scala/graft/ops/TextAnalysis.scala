@@ -1875,7 +1875,10 @@ object TextAnalysis {
                          bCol: String = "id_b",
                          ns: Seq[Int] = Seq(1, 2)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes $ns")
+    // dedupe defensively: a fused/unioned detector output with repeated
+    // pairs would otherwise double-count the clipped overlap
     val p = pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .distinct()
     val ids = p.select(col("id_a").as("__id"))
       .union(p.select(col("id_b").as("__id"))).distinct()
     // join FIRST (ids filter the corpus), THEN tokenize/explode
@@ -1959,10 +1962,19 @@ object TextAnalysis {
                 qtext: String, k: Int, weights: Array[Long], bias: Long,
                 dlBucket: Int = 64): DataFrame = {
     require(dlBucket >= 1, s"need dlBucket >= 1, got $dlBucket")
-    val dlb = postings.select(col("doc").as("doc_id"), col("dl")).distinct()
+    // persisted: the candidate list feeds both the doc-set broadcast and
+    // the feature assembly (the input-fan-out rule), and it bounds the
+    // dl lookup — bm25Search already pays one corpus-scale (doc, dl)
+    // distinct for its norms, so the serving path must not pay a second;
+    // the broadcast doc set reaches the postings scan as a filter
+    val cand = Caches.track(
+      bm25Search(postings, queries, qid, qtext, k).persist())
+    val dlb = postings
+      .join(broadcast(cand.select(col("doc_id").as("doc")).distinct()),
+        Seq("doc"))
+      .select(col("doc").as("doc_id"), col("dl")).distinct()
       .select(col("doc_id"), expr(s"dl div $dlBucket").as("dlb"))
-    ltrRerank(ltrAssemble(
-      bm25Search(postings, queries, qid, qtext, k), dlb), weights, bias)
+    ltrRerank(ltrAssemble(cand, dlb), weights, bias)
   }
 
   /** Apply a trained pointwise ranker ([[ltrFeatures]] weights from
