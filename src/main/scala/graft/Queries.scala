@@ -6896,6 +6896,52 @@ object Queries {
                  JOIN st USING (cluster)
             WHERE cl.doc_id = cl.cluster"""), bench = true)
 
+  /** Per-line language spans (TextAnalysis.lineLanguageSpans): CCNet's
+    * segmentation cut — consecutive same-language lines grouped into
+    * spans via the gaps-and-islands sweep, language per line from the
+    * fixed marker profile. The synthetic corpus is single-language per
+    * doc, so most docs emit one span (multi-span behavior is pinned on
+    * planted docs in TextAnalysisSpec); the chain — line split, per-line
+    * langid, lag/cumsum islands — is hash-checked end to end. */
+  private val q203 = QDef("q203_line_lang_spans",
+    (s, d) => TextAnalysis.lineLanguageSpans(docs(s, d), "doc_id", "text"),
+    Some("""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents),
+            l AS (SELECT doc_id, i - 1 AS ln,
+                    list_filter(regexp_split_to_array(lower(ls[i]),
+                      '\s+'), x -> x <> '') AS toks
+                  FROM ls, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+            sc AS (SELECT doc_id, ln,
+              len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
+              len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+              len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
+              len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+              len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+              FROM l),
+            pred AS (SELECT doc_id, ln,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang
+              FROM sc),
+            isl AS (SELECT doc_id, ln, lang,
+                      CASE WHEN lag(lang) OVER (PARTITION BY doc_id
+                             ORDER BY ln) IS DISTINCT FROM lang
+                           THEN 1 ELSE 0 END AS nw
+                    FROM pred),
+            sp AS (SELECT doc_id, ln, lang, sum(nw) OVER (
+                     PARTITION BY doc_id ORDER BY ln
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS span_n
+                   FROM isl)
+            SELECT doc_id, CAST(span_n AS BIGINT) AS span_n, min(lang) AS lang,
+              CAST(min(ln) AS BIGINT) AS line_start,
+              CAST(max(ln) AS BIGINT) AS line_end,
+              CAST(count(*) AS BIGINT) AS n_lines
+            FROM sp GROUP BY 1, 2"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6922,7 +6968,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

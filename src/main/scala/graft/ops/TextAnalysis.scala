@@ -374,6 +374,33 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** CCNet-style per-line language segmentation: language-ID each line
+    * ([[langId]] — row-local) and group CONSECUTIVE same-language lines
+    * into spans (the gaps-and-islands sweep: lag → change flag → running
+    * count, both windows per-document). The multilingual-curation cut
+    * that lets a pipeline keep a document's English body while routing
+    * its embedded French quote block to the fr pile — per-document
+    * language shares alone can't express that. Output: `(id, span_n,
+    * lang, line_start, line_end, n_lines)`, spans 1-based in line
+    * order. */
+  def lineLanguageSpans(df: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(id)).orderBy(col("ln"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(id),
+        posexplode(split(col(text), "\n")).as(Seq("ln", "__line")))
+      .withColumn("lang", langId(col("__line")))
+      .withColumn("__prev", lag(col("lang"), 1).over(ord))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("lang") =!= col("__prev"), 1L).otherwise(0L))
+      .withColumn("span_n", sum(col("__new")).over(cum))
+      .groupBy(col(id), col("span_n"))
+      .agg(min(col("lang")).as("lang"), // constant within a span
+        min(col("ln")).cast("long").as("line_start"),
+        max(col("ln")).cast("long").as("line_end"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Table form of [[langId]]: explode + codegen'd conditional sums with
     * map-side partial aggregation, replacing one interpreted HOF pass per
     * language. Returns `(id, lang_pred)`; token-less documents are "und".
