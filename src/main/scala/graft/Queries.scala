@@ -6942,6 +6942,47 @@ object Queries {
               CAST(count(*) AS BIGINT) AS n_lines
             FROM sp GROUP BY 1, 2"""), bench = true)
 
+  /** Winnowing match FORENSICS (Dedup.winnowMatchSpans): q196's
+    * incremental match with the positional extent of the shared
+    * material on both sides — which part of the incoming doc copies
+    * which part of the corpus doc. */
+  private val q204 = QDef("q204_winnow_spans",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.winnowMatchSpans(
+        dd.filter(pmod(col("doc_id"), lit(40)) >= 20),
+        Dedup.winnowingFingerprints(
+          dd.filter(pmod(col("doc_id"), lit(40)) < 20), "doc_id", "text"),
+        "doc_id", "text", minShared = 2)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '') AS t FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                  FROM tk, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            h AS (SELECT doc_id, pos,
+                    (${sqlHash60("g", "winnow")} // 131072) * 1048576
+                      + (1048575 - pos) AS p
+                  FROM g WHERE pos < 1048576),
+            w AS (SELECT doc_id, pos, min(p) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS sel
+                  FROM h),
+            fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp,
+                     1048575 - sel % 1048576 AS fpp
+                   FROM w WHERE pos >= 3)
+            SELECT a.doc_id AS existing_id, b.doc_id AS incoming_id,
+              CAST(count(DISTINCT a.fp) AS BIGINT) AS shared,
+              CAST(min(a.fpp) AS BIGINT) AS ex_pos_min,
+              CAST(max(a.fpp) AS BIGINT) AS ex_pos_max,
+              CAST(min(b.fpp) AS BIGINT) AS in_pos_min,
+              CAST(max(b.fpp) AS BIGINT) AS in_pos_max
+            FROM fp a JOIN fp b ON a.fp = b.fp
+              AND a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
+            GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -6968,7 +7009,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1451,6 +1451,32 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** [[winnowMatchAgainst]] with FORENSICS: for each matching pair, the
+    * positional EXTENT of the shared material on both sides (min/max
+    * gram position of the matched fingerprints) beside the shared
+    * count — the "which part of the incoming doc copies which part of
+    * the corpus doc" report a plagiarism/licensing reviewer needs, not
+    * just the verdict. Requires the existing fingerprint table to keep
+    * `fp_pos` (as [[winnowingFingerprints]] emits it). Same join shape
+    * and cost as the verdict form. */
+  def winnowMatchSpans(incoming: DataFrame, existingFp: DataFrame,
+                       id: String, text: String, exId: String = "doc_id",
+                       k: Int = 3, win: Int = 4, minShared: Int = 2,
+                       salt: String = "winnow"): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    val inc = winnowingFingerprintsLocal(incoming, id, text, k, win, salt)
+      .select(col(id).as("incoming_id"), col("fp"),
+        col("fp_pos").as("__ip"))
+    val ex = existingFp.select(col(exId).as("existing_id"), col("fp"),
+      col("fp_pos").as("__ep"))
+    inc.join(ex, Seq("fp"))
+      .groupBy(col("existing_id"), col("incoming_id"))
+      .agg(count_distinct(col("fp")).as("shared"),
+        min(col("__ep")).as("ex_pos_min"), max(col("__ep")).as("ex_pos_max"),
+        min(col("__ip")).as("in_pos_min"), max(col("__ip")).as("in_pos_max"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MOSS-style overlap detection on [[winnowingFingerprints]]: pairs of
     * documents sharing at least `minShared` distinct fingerprints, with
     * the shared count. Candidate generation is the fingerprint

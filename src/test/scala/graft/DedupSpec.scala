@@ -751,6 +751,30 @@ class DedupSpec extends SparkSpec {
       s"forms diverge: only-window=${win -- local} only-local=${local -- win}")
   }
 
+  test("winnowMatchSpans: extents bracket the copied run on both sides") {
+    // corpus doc 1 carries the 6-token run at positions 3..8; incoming
+    // doc 11 carries the same run at positions 2..7 — the matched
+    // fingerprints' extents must sit inside those windows on each side
+    val corpus = Seq((1L, "alpha beta gamma p q r s t u delta epsilon"))
+      .toDF("doc_id", "text")
+    val fpTab = Dedup.winnowingFingerprints(corpus, "doc_id", "text")
+    val incoming = Seq((11L, "one two p q r s t u three four five"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowMatchSpans(incoming, fpTab, "doc_id", "text",
+        minShared = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (e, i, sh, exLo, exHi, inLo, inHi) = (out.head._1, out.head._2,
+      out.head._3, out.head._4, out.head._5, out.head._6, out.head._7)
+    assert(e == 1L && i == 11L && sh >= 1L)
+    // gram positions of the shared run: corpus 3..8 (grams 3..6),
+    // incoming 2..7 (grams 2..5); extents must stay inside and the
+    // side offsets must differ by exactly the run's displacement
+    assert(exLo >= 3L && exHi <= 6L, s"ex extent $exLo..$exHi")
+    assert(inLo >= 2L && inHi <= 5L, s"in extent $inLo..$inHi")
+    assert(exLo - inLo == 1L && exHi - inHi == 1L)
+  }
+
   test("pairAgreement: membership combinations, absent-row coalesce") {
     val a = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val b = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
