@@ -1457,23 +1457,29 @@ object Dedup {
     * count — the "which part of the incoming doc copies which part of
     * the corpus doc" report a plagiarism/licensing reviewer needs, not
     * just the verdict. Requires the existing fingerprint table to keep
-    * `fp_pos` (as [[winnowingFingerprints]] emits it). Same join shape
-    * and cost as the verdict form. */
+    * `fp_pos` (as [[winnowingFingerprints]] emits it). Each side is
+    * pre-aggregated to one `(id, fp, min_pos, max_pos)` row BEFORE the
+    * join — a fingerprint selected at P positions on one side and Q on
+    * the other joins 1×1, not P×Q (boilerplate-heavy docs repeat
+    * selected grams, exactly where the fan-out would bite), and the
+    * extent/count arithmetic is unchanged (min of per-fp mins = global
+    * min; one row per fp ⇒ `count(*)` = distinct fps). */
   def winnowMatchSpans(incoming: DataFrame, existingFp: DataFrame,
                        id: String, text: String, exId: String = "doc_id",
                        k: Int = 3, win: Int = 4, minShared: Int = 2,
                        salt: String = "winnow"): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
     val inc = winnowingFingerprintsLocal(incoming, id, text, k, win, salt)
-      .select(col(id).as("incoming_id"), col("fp"),
-        col("fp_pos").as("__ip"))
-    val ex = existingFp.select(col(exId).as("existing_id"), col("fp"),
-      col("fp_pos").as("__ep"))
+      .groupBy(col(id).as("incoming_id"), col("fp"))
+      .agg(min(col("fp_pos")).as("__ipl"), max(col("fp_pos")).as("__iph"))
+    val ex = existingFp
+      .groupBy(col(exId).as("existing_id"), col("fp"))
+      .agg(min(col("fp_pos")).as("__epl"), max(col("fp_pos")).as("__eph"))
     inc.join(ex, Seq("fp"))
       .groupBy(col("existing_id"), col("incoming_id"))
-      .agg(count_distinct(col("fp")).as("shared"),
-        min(col("__ep")).as("ex_pos_min"), max(col("__ep")).as("ex_pos_max"),
-        min(col("__ip")).as("in_pos_min"), max(col("__ip")).as("in_pos_max"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("__epl")).as("ex_pos_min"), max(col("__eph")).as("ex_pos_max"),
+        min(col("__ipl")).as("in_pos_min"), max(col("__iph")).as("in_pos_max"))
       .filter(col("shared") >= minShared)
   }
 

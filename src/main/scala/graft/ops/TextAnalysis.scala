@@ -387,9 +387,32 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy(col(id)).orderBy(col("ln"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(id),
-        posexplode(split(col(text), "\n")).as(Seq("ln", "__line")))
-      .withColumn("lang", langId(col("__line")))
+    // per-line scoring in the CODEGEN [[langIdTable]] shape keyed by
+    // (id, ln) — explode + conditional sums, not 5 interpreted HOF
+    // filter passes per line ([[langId]] stays as the row-local spec;
+    // token-less lines fall through the left join to "und" exactly as
+    // langId("") does)
+    val lines = df.select(col(id),
+      posexplode(split(col(text), "\n")).as(Seq("ln", "__line")))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("w").isin(markers.map(lit): _*), 1L).otherwise(0L))
+        .as(s"s_$lang")
+    }
+    val votes = lines
+      .select(col(id), col("ln"), explode(tokens(lower(col("__line"))))
+        .as("w"))
+      .groupBy(col(id), col("ln")).agg(scores.head, scores.tail: _*)
+    val n = LangMarkers.size
+    val best = array_max(array(LangMarkers.zipWithIndex.map {
+      case ((lang, _), i) =>
+        struct(col(s"s_$lang").as("score"), lit(n - i).as("prio"),
+          lit(lang).as("lang"))
+    }: _*))
+    lines.select(col(id), col("ln"))
+      .join(votes, Seq(id, "ln"), "left")
+      .select(col(id), col("ln"),
+        when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as("lang"))
       .withColumn("__prev", lag(col("lang"), 1).over(ord))
       .withColumn("__new", when(col("__prev").isNull ||
         col("lang") =!= col("__prev"), 1L).otherwise(0L))
