@@ -6983,6 +6983,44 @@ object Queries {
             GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2"""),
     bench = true)
 
+  /** Monolingual line filter (TextAnalysis.keepLanguageLines): CCNet's
+    * action on the q203 cut — keep English lines only, reassembled in
+    * order, with kept/removed counts. On the single-language synthetic
+    * corpus en docs pass whole and others empty out, exercising both
+    * the reassembly and the zero-kept row-alignment path. */
+  private val q205 = QDef("q205_keep_lang_lines",
+    (s, d) => TextAnalysis.keepLanguageLines(docs(s, d), "doc_id", "text",
+      keep = "en"),
+    Some("""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents),
+            l AS (SELECT doc_id, i - 1 AS ln, ls[i] AS line,
+                    list_filter(regexp_split_to_array(lower(ls[i]),
+                      '\s+'), x -> x <> '') AS toks
+                  FROM ls, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+            sc AS (SELECT doc_id, ln, line,
+              len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de,
+              len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+              len(list_filter(toks, x -> x IN ('el','la','los','que'))) AS s_es,
+              len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+              len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+              FROM l),
+            pred AS (SELECT doc_id, ln, line,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang
+              FROM sc)
+            SELECT doc_id,
+              COALESCE(string_agg(CASE WHEN lang = 'en' THEN line END,
+                chr(10) ORDER BY ln), '') AS kept_text,
+              CAST(COALESCE(sum(CASE WHEN lang = 'en' THEN 1 END), 0)
+                AS BIGINT) AS n_kept,
+              CAST(COALESCE(sum(CASE WHEN lang <> 'en' THEN 1 END), 0)
+                AS BIGINT) AS n_removed
+            FROM pred GROUP BY 1"""), bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7009,7 +7047,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -387,11 +387,26 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy(col(id)).orderBy(col("ln"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // per-line scoring in the CODEGEN [[langIdTable]] shape keyed by
-    // (id, ln) — explode + conditional sums, not 5 interpreted HOF
-    // filter passes per line ([[langId]] stays as the row-local spec;
-    // token-less lines fall through the left join to "und" exactly as
-    // langId("") does)
+    lineLangTable(df, id, text).select(col(id), col("ln"), col("lang"))
+      .withColumn("__prev", lag(col("lang"), 1).over(ord))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("lang") =!= col("__prev"), 1L).otherwise(0L))
+      .withColumn("span_n", sum(col("__new")).over(cum))
+      .groupBy(col(id), col("span_n"))
+      .agg(min(col("lang")).as("lang"), // constant within a span
+        min(col("ln")).cast("long").as("line_start"),
+        max(col("ln")).cast("long").as("line_end"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** The per-LINE language table shared by [[lineLanguageSpans]] and
+    * [[keepLanguageLines]]: `(id, ln, __line, lang)` — per-line scoring
+    * in the CODEGEN [[langIdTable]] shape keyed by (id, ln) (explode +
+    * conditional sums, not 5 interpreted HOF filter passes per line;
+    * [[langId]] stays as the row-local spec). Token-less lines fall
+    * through the left join to "und" exactly as `langId("")` does. */
+  private def lineLangTable(df: DataFrame, id: String,
+                            text: String): DataFrame = {
     val lines = df.select(col(id),
       posexplode(split(col(text), "\n")).as(Seq("ln", "__line")))
     val scores = LangMarkers.map { case (lang, markers) =>
@@ -408,21 +423,29 @@ object TextAnalysis {
         struct(col(s"s_$lang").as("score"), lit(n - i).as("prio"),
           lit(lang).as("lang"))
     }: _*))
-    lines.select(col(id), col("ln"))
-      .join(votes, Seq(id, "ln"), "left")
-      .select(col(id), col("ln"),
+    lines.join(votes, Seq(id, "ln"), "left")
+      .select(col(id), col("ln"), col("__line"),
         when(best.getField("score") > 0, best.getField("lang"))
           .otherwise(lit("und")).as("lang"))
-      .withColumn("__prev", lag(col("lang"), 1).over(ord))
-      .withColumn("__new", when(col("__prev").isNull ||
-        col("lang") =!= col("__prev"), 1L).otherwise(0L))
-      .withColumn("span_n", sum(col("__new")).over(cum))
-      .groupBy(col(id), col("span_n"))
-      .agg(min(col("lang")).as("lang"), // constant within a span
-        min(col("ln")).cast("long").as("line_start"),
-        max(col("ln")).cast("long").as("line_end"),
-        count(lit(1)).as("n_lines"))
   }
+
+  /** CCNet's ACTION on the per-line language cut: keep only the lines
+    * whose language is `keep`, reassemble them in order, and report the
+    * kept/removed line counts — the filtered corpus a monolingual
+    * training run actually consumes (the q97 ordered-reassembly idiom:
+    * conditional `collect_list` + `array_sort`, no windows; documents
+    * with zero kept lines stay row-aligned with empty text). */
+  def keepLanguageLines(df: DataFrame, id: String, text: String,
+                        keep: String): DataFrame =
+    lineLangTable(df, id, text)
+      .groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("lang") === keep,
+            struct(col("ln"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("kept_text"),
+        sum(when(col("lang") === keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("lang") =!= keep, 1L).otherwise(0L)).as("n_removed"))
 
   /** Table form of [[langId]]: explode + codegen'd conditional sums with
     * map-side partial aggregation, replacing one interpreted HOF pass per
