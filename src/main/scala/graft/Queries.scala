@@ -7021,6 +7021,24 @@ object Queries {
                 AS BIGINT) AS n_removed
             FROM pred GROUP BY 1"""), bench = true)
 
+  /** C4-style blocklist gate (TextAnalysis.blocklistFilter): whole-token
+    * case-insensitive hit counts + the keep verdict, every row
+    * preserved. The demo blocklist is a mid-frequency corpus token so
+    * both verdicts are exercised at corpus scale. */
+  private val q206 = QDef("q206_blocklist_gate",
+    (s, d) => TextAnalysis.blocklistFilter(docs(s, d), "doc_id", "text",
+      blocklist = Seq("dup")),
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '')) AS w
+              FROM documents),
+            h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM t WHERE w IN ('dup') GROUP BY 1)
+            SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n, 0) = 0 AS keep
+            FROM documents d LEFT JOIN h USING (doc_id)"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7047,7 +7065,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -399,6 +399,38 @@ object TextAnalysis {
         count(lit(1)).as("n_lines"))
   }
 
+  /** C4-style blocklist document gate: count whole-token,
+    * case-insensitive blocklist hits per document and keep only
+    * hit-free documents — the "bad words" corpus drop every web
+    * pipeline runs (C4 dropped any page containing a blocklisted
+    * word). Output: `(id, n_hits, keep)`, every input row preserved.
+    *
+    * Shape: the hit FILTER runs inside the token-generate stage, so
+    * only blocklisted token occurrences ever shuffle into the per-doc
+    * count — corpus-scale cost is the row-local scan. */
+  def blocklistFilter(df: DataFrame, id: String, text: String,
+                      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter: empty blocklist")
+    val low = blocklist.map(_.toLowerCase)
+    val hits = df
+      .select(col(id), explode(tokens(lower(col(text)))).as("w"))
+      .filter(col("w").isin(low.map(lit): _*))
+      .groupBy(col(id)).agg(count(lit(1)).as("__n"))
+    df.select(col(id))
+      .join(hits, Seq(id), "left")
+      .select(col(id), coalesce(col("__n"), lit(0L)).as("n_hits"),
+        (coalesce(col("__n"), lit(0L)) === 0L).as("keep"))
+  }
+
+  /** Row-local hit count for the streaming gate path (interpreted HOF —
+    * per-arriving-row work, the ingest-gate trade the other row-local
+    * gates make). Semantics identical to [[blocklistFilter]]'s
+    * `n_hits`. */
+  def blocklistHitsCol(text: Column, blocklist: Seq[String]): Column = {
+    val low = blocklist.map(_.toLowerCase).map(lit)
+    size(filter(tokens(lower(text)), w => w.isin(low: _*))).cast("long")
+  }
+
   /** The per-LINE language table shared by [[lineLanguageSpans]] and
     * [[keepLanguageLines]]: `(id, ln, __line, lang)` — per-line scoring
     * in the CODEGEN [[langIdTable]] shape keyed by (id, ln) (explode +
