@@ -425,10 +425,15 @@ object TextAnalysis {
   /** Row-local hit count for the streaming gate path (interpreted HOF —
     * per-arriving-row work, the ingest-gate trade the other row-local
     * gates make). Semantics identical to [[blocklistFilter]]'s
-    * `n_hits`. */
+    * `n_hits`, INCLUDING null text → 0 (without the coalesce a NULL
+    * would propagate through size() and a `=== 0` gate predicate would
+    * silently drop the row the batch gate keeps). */
   def blocklistHitsCol(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklistHitsCol: empty blocklist")
     val low = blocklist.map(_.toLowerCase).map(lit)
-    size(filter(tokens(lower(text)), w => w.isin(low: _*))).cast("long")
+    coalesce(
+      size(filter(tokens(lower(text)), w => w.isin(low: _*))).cast("long"),
+      lit(0L))
   }
 
   /** The per-LINE language table shared by [[lineLanguageSpans]] and
@@ -439,26 +444,19 @@ object TextAnalysis {
     * through the left join to "und" exactly as `langId("")` does. */
   private def lineLangTable(df: DataFrame, id: String,
                             text: String): DataFrame = {
+    // null text coalesces to "" so every input row keeps its one
+    // ("und") line — posexplode(split(NULL)) would DROP the row and
+    // break the callers' every-row-preserved contracts
     val lines = df.select(col(id),
-      posexplode(split(col(text), "\n")).as(Seq("ln", "__line")))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      sum(when(col("w").isin(markers.map(lit): _*), 1L).otherwise(0L))
-        .as(s"s_$lang")
-    }
+      posexplode(split(coalesce(col(text), lit("")), "\n"))
+        .as(Seq("ln", "__line")))
     val votes = lines
       .select(col(id), col("ln"), explode(tokens(lower(col("__line"))))
         .as("w"))
-      .groupBy(col(id), col("ln")).agg(scores.head, scores.tail: _*)
-    val n = LangMarkers.size
-    val best = array_max(array(LangMarkers.zipWithIndex.map {
-      case ((lang, _), i) =>
-        struct(col(s"s_$lang").as("score"), lit(n - i).as("prio"),
-          lit(lang).as("lang"))
-    }: _*))
+      .groupBy(col(id), col("ln"))
+      .agg(markerScores.head, markerScores.tail: _*)
     lines.join(votes, Seq(id, "ln"), "left")
-      .select(col(id), col("ln"), col("__line"),
-        when(best.getField("score") > 0, best.getField("lang"))
-          .otherwise(lit("und")).as("lang"))
+      .select(col(id), col("ln"), col("__line"), bestLang.as("lang"))
   }
 
   /** CCNet's ACTION on the per-line language cut: keep only the lines
@@ -485,20 +483,35 @@ object TextAnalysis {
     * Semantics identical to [[langId]] (kept as the executable spec). */
   def langIdTable(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id), explode(tokens(lower(col(text)))).as("w"))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      sum(when(col("w").isin(markers.map(lit): _*), 1L).otherwise(0L)).as(s"s_$lang")
-    }
-    val votes = toks.groupBy(col(id)).agg(scores.head, scores.tail: _*)
-    val n = LangMarkers.size
-    val best = array_max(array(LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
-      struct(col(s"s_$lang").as("score"), lit(n - i).as("prio"),
-        lit(lang).as("lang"))
-    }: _*))
+    val votes = toks.groupBy(col(id))
+      .agg(markerScores.head, markerScores.tail: _*)
     // null score (no tokens) > 0 is null → falls through to "und"
     df.select(col(id)).join(votes, Seq(id), "left")
-      .select(col(id),
-        when(best.getField("score") > 0, best.getField("lang"))
-          .otherwise(lit("und")).as("lang_pred"))
+      .select(col(id), bestLang.as("lang_pred"))
+  }
+
+  /** The conditional-sum marker scores over an exploded token column
+    * `w` — ONE definition shared by the per-document ([[langIdTable]])
+    * and per-line ([[lineLangTable]]) codegen paths, so the tie-break
+    * encoding the generated oracles pin cannot diverge between them. */
+  private def markerScores: Seq[Column] = LangMarkers.map {
+    case (lang, markers) =>
+      sum(when(col("w").isin(markers.map(lit): _*), 1L).otherwise(0L))
+        .as(s"s_$lang")
+  }
+
+  /** argmax(score) with earliest-language tie-break over the
+    * [[markerScores]] columns; all-zero (or all-null after an outer
+    * join) → "und". The twin of [[langId]]'s row-local encoding. */
+  private def bestLang: Column = {
+    val n = LangMarkers.size
+    val best = array_max(array(LangMarkers.zipWithIndex.map {
+      case ((lang, _), i) =>
+        struct(col(s"s_$lang").as("score"), lit(n - i).as("prio"),
+          lit(lang).as("lang"))
+    }: _*))
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Unicode script blocks — the SINGLE source of truth for
