@@ -7039,6 +7039,123 @@ object Queries {
             FROM documents d LEFT JOIN h USING (doc_id)"""),
     bench = true)
 
+  /** Exact phrase retrieval over the POSITIONAL postings index
+    * (TextAnalysis.phraseSearchPositional over indexPostingsPositional):
+    * every 25th document's first two tokens as a literal phrase, ranked
+    * by exact-occurrence count with the first match position. The
+    * oracle replays the alignment relationally: each phrase offset
+    * matching a token position votes for start = pos − ofs; a start
+    * with all offsets voting is an occurrence. Pure integers. */
+  private val q207 = QDef("q207_phrase_search",
+    (s, d) => {
+      val phrases = docs(s, d).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 2), " ")
+            .as("qtext"))
+      TextAnalysis.phraseSearchPositional(
+        TextAnalysis.indexPostingsPositional(docs(s, d), "doc_id", "text"),
+        phrases, "q_id", "qtext", k = 10)
+    },
+    Some("""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tp AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS p,
+                     unnest(ws) AS term FROM dt),
+            ph AS (SELECT doc_id AS q_id,
+                     generate_subscripts(ws[1:2], 1) - 1 AS ofs,
+                     unnest(ws[1:2]) AS term
+                   FROM dt WHERE doc_id % 25 = 0),
+            plen AS (SELECT q_id, count(*) AS len FROM ph GROUP BY 1),
+            al AS (SELECT ph.q_id, tp.doc_id, tp.p - ph.ofs AS start
+                   FROM ph JOIN tp USING (term) WHERE tp.p - ph.ofs >= 0),
+            st AS (SELECT q_id, doc_id, start, count(*) AS hit
+                   FROM al GROUP BY 1, 2, 3),
+            m AS (SELECT st.q_id, st.doc_id,
+                    CAST(count(*) AS BIGINT) AS n_matches,
+                    CAST(min(start) AS BIGINT) AS first_pos
+                  FROM st JOIN plen USING (q_id) WHERE st.hit = plen.len
+                  GROUP BY 1, 2),
+            r AS (SELECT q_id, doc_id, n_matches, first_pos, row_number()
+                    OVER (PARTITION BY q_id ORDER BY n_matches DESC, doc_id)
+                    AS rn
+                  FROM m)
+            SELECT q_id, CAST(rn AS INT) AS rank, doc_id, n_matches,
+                   first_pos
+            FROM r WHERE rn <= 10"""),
+    bench = true)
+
+  /** Proximity-boosted BM25 (TextAnalysis.bm25ProximityTopK over the
+    * positional index): exact BM25@20 candidates, then the Tao-Zhai
+    * MinDist boost — min token distance between two DIFFERENT matched
+    * query terms (one lag window per (q, doc); the minimizing pair is
+    * always position-adjacent), boost = 4096 div min_gap, re-ranked
+    * top-10. Same idf artifact and integer chain as q124; the gap half
+    * is pure-relational lag arithmetic DuckDB replays bit-for-bit. */
+  private val q208 = QDef("q208_bm25_proximity",
+    (s, d) => {
+      val idx = graft.ops.Caches.track(TextAnalysis
+        .indexPostingsPositional(docs(s, d), "doc_id", "text").persist())
+      TextAnalysis.bm25ProximityTopK(idx, bm25Queries(s, d), "q_id",
+        "qtext", k = 10, kCand = 20)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedBm25Idf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS (SELECT doc_id, unnest(ws) AS term FROM dt),
+           td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                  FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                          CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+                 FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT doc_id,
+                     (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot)
+                       AS norm_q
+                   FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+                    CAST(sum((idf_q * tf * 11 * 4096) //
+                      (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q
+                  FROM q JOIN idf USING (term) JOIN td USING (term)
+                       JOIN nrm USING (doc_id)
+                  GROUP BY 1, 2),
+           r0 AS (SELECT q_id, doc_id, score_q, row_number() OVER (
+                    PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+                  FROM sc),
+           cand AS (SELECT q_id, doc_id, score_q FROM r0 WHERE rn <= 20),
+           tp AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS p,
+                    unnest(ws) AS term FROM dt),
+           occ AS (SELECT c.q_id, c.doc_id, tp.term, tp.p
+                   FROM cand c JOIN tp ON tp.doc_id = c.doc_id
+                        JOIN q ON q.q_id = c.q_id AND q.term = tp.term),
+           lg AS (SELECT q_id, doc_id, term, p,
+                    lag(term) OVER (PARTITION BY q_id, doc_id ORDER BY p)
+                      AS pt,
+                    lag(p) OVER (PARTITION BY q_id, doc_id ORDER BY p) AS pp
+                  FROM occ),
+           mg AS (SELECT q_id, doc_id, CAST(min(p - pp) AS BIGINT) AS mgap
+                  FROM lg WHERE pt IS NOT NULL AND pt <> term
+                  GROUP BY 1, 2),
+           b AS (SELECT c.q_id, c.doc_id, c.score_q,
+                   CAST(COALESCE(mg.mgap, 0) AS BIGINT) AS min_gap,
+                   CAST(c.score_q + CASE WHEN mg.mgap IS NULL THEN 0
+                     ELSE 4096 // mg.mgap END AS BIGINT) AS score_prox
+                 FROM cand c LEFT JOIN mg USING (q_id, doc_id)),
+           rr AS (SELECT q_id, doc_id, score_q, min_gap, score_prox,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY score_prox DESC, doc_id) AS rn
+                  FROM b)
+           SELECT q_id, CAST(rn AS INT) AS rank, doc_id, score_q, min_gap,
+                  score_prox
+           FROM rr WHERE rn <= 10"""
+    }))
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7065,7 +7182,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1802,6 +1802,177 @@ object TextAnalysis {
         col("n_terms"))
   }
 
+  // ------------------------------------------------------- positional index
+
+  /** Positional postings index — [[indexPostings]]'s layout plus each
+    * term's 0-based occurrence positions within the document's token
+    * stream (`pos: array of int`, ascending): the standard inverted-index
+    * extension phrase and proximity retrieval need. A STRICT superset of
+    * the plain row shape, so [[bm25Search]] / [[termOverlapSearch]] /
+    * [[hybridRrfSearch]] serve from a positional table unchanged (they
+    * project doc/term/tf/dl and never read `pos`). The positions cost
+    * ≈ 4 bytes per occurrence — the classic positional-index space
+    * trade; keep [[savePostingsIndex]]'s non-positional form when
+    * phrase/proximity isn't served. One tokenize pass: positions ride
+    * the same (doc, term) shuffle the tf aggregate already pays
+    * (`collect_list` then one row-local sort — never a per-doc window). */
+  def indexPostingsPositional(df: DataFrame, id: String,
+                              text: String): DataFrame = {
+    val tp = df.select(col(id).as("doc"),
+      posexplode(tokens(lower(col(text)))).as(Seq("p", "term")))
+    val td = tp.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("p"))).as("pos"))
+    val dl = td.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    td.join(dl, Seq("doc"))
+  }
+
+  /** Persist the positional index bucketed by term — same serving
+    * contract as [[savePostingsIndex]] (query-vocabulary `isin` prunes
+    * buckets at the scan), positions included. */
+  def savePositionalIndex(df: DataFrame, id: String, text: String,
+                          table: String, buckets: Int): Unit =
+    graft.io.Layout.writeBucketed(
+      indexPostingsPositional(df, id, text), table, "term", buckets)
+
+  /** Incremental append into a persisted [[savePositionalIndex]] table —
+    * [[appendPostingsIndex]]'s contract verbatim (disjoint batch doc
+    * ids; stats recompute at serving time; bucket count must match). */
+  def appendPositionalIndex(batch: DataFrame, id: String, text: String,
+                            table: String, buckets: Int): Unit =
+    graft.io.Layout.appendBucketed(
+      indexPostingsPositional(batch, id, text), table, "term", buckets)
+
+  /** Exact phrase retrieval over a positional postings table
+    * ([[indexPostingsPositional]] fresh, or reloaded from
+    * [[savePositionalIndex]]): per phrase, the documents containing the
+    * exact token sequence, ranked by occurrence count (ties → doc
+    * ascending), with the first match position. Pure relational
+    * adjacency — each phrase term at offset `ofs` matching a document
+    * position `p` votes for candidate start `p − ofs`; a start with ALL
+    * offsets voting is an exact occurrence (repeated phrase terms work:
+    * votes are per (offset, position), so every offset must find its
+    * own aligned copy).
+    *
+    * Scale shape: the phrase table is collected once (query-bounded —
+    * `maxQueryTerms` rejects un-broadcastable sets) and BROADCAST; the
+    * postings scan filters to the phrase vocabulary (`isin` reaches the
+    * bucketed scan → bucket pruning), so the explode+join volume is
+    * ∝ phrase-term postings, never the corpus; the vote count is one
+    * (q, doc, start) hash aggregate with map-side combine. Output:
+    * `(q_id, rank, doc_id, n_matches, first_pos)`. */
+  def phraseSearchPositional(postings: DataFrame, phrases: DataFrame,
+                             pid: String, ptext: String, k: Int,
+                             maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = postings.sparkSession
+    val ph = phrases.select(col(pid).as("q_id"),
+      posexplode(tokens(lower(col(ptext)))).as(Seq("ofs", "term")))
+    val phRows = ph.collect()
+    require(phRows.nonEmpty,
+      "phraseSearchPositional: phrases contain no terms")
+    require(phRows.length <= maxQueryTerms,
+      s"phraseSearchPositional: ${phRows.length} phrase terms exceed " +
+        s"maxQueryTerms=$maxQueryTerms — batch the phrases")
+    val phLocal = spark.createDataFrame(
+      java.util.Arrays.asList(phRows: _*), ph.schema)
+    val terms = phRows.map(_.getString(2)).distinct.sorted.toSeq
+    // per-phrase length over the LOCAL relation — q_id type stays generic
+    val lenLocal = phLocal.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("len"))
+    // isin literal reaches the (bucketed) scan → bucket pruning
+    val occ = postings.filter(col("term").isin(terms.map(lit): _*))
+      .select(col("doc"), col("term"), explode(col("pos")).as("p"))
+    val votes = occ.join(broadcast(phLocal), Seq("term"))
+      .select(col("q_id"), col("doc"),
+        (col("p") - col("ofs")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("q_id"), col("doc"), col("start"))
+      .agg(count(lit(1)).as("hit"))
+    val matches = votes.join(broadcast(lenLocal), Seq("q_id"))
+      .filter(col("hit") === col("len"))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_matches").desc, col("doc"))
+    matches.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("n_matches"), col("first_pos"))
+  }
+
+  /** Proximity-boosted BM25 (Tao & Zhai's MinDist heuristic in exact
+    * integer form) — the standard two-stage serving posture: retrieve
+    * `kCand` candidates per query with the untouched [[bm25Search]]
+    * arithmetic, then boost each candidate by how CLOSE its matched
+    * query terms sit: `min_gap` = the minimum token distance between
+    * occurrences of two DIFFERENT query terms in the document (0 when
+    * fewer than two distinct terms match — never a real gap, which is
+    * ≥ 1), `score_prox = score_q + (2ˢ div min_gap)` (no boost at 0),
+    * re-ranked score DESC then doc ASC, top `k`. A rerank of the
+    * candidate pool by contract — the exactness statement is "exact
+    * MinDist over exact BM25@kCand", the two-stage guarantee every
+    * production proximity stack documents.
+    *
+    * The gap scan is candidate-bounded: positions explode only for
+    * query-vocabulary postings of candidate documents (broadcast
+    * doc-set semi-join into the bucket-pruned scan), and the minimum
+    * different-term pair distance is found with ONE lag window per
+    * (query, doc) ordered by position — the minimizing pair is always
+    * adjacent in position order (any position strictly between two
+    * paired occurrences forms a closer different-term pair with one of
+    * the endpoints, whichever endpoint's term it differs from). Output:
+    * `(q_id, rank, doc_id, score_q, min_gap, score_prox)`. */
+  def bm25ProximityTopK(postings: DataFrame, queries: DataFrame,
+                        qid: String, qtext: String, k: Int,
+                        kCand: Int = 20, scaleBits: Int = 12,
+                        maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val s = 1L << scaleBits
+    val cand = Caches.track(
+      bm25Search(postings, queries, qid, qtext, kCand, scaleBits,
+        maxQueryTerms)
+        .select(col("q_id"), col("doc_id").as("doc"), col("score_q"))
+        .persist())
+    // candidate docs are query-bounded (≤ |queries|·kCand) — broadcast
+    // them into the postings scan so positions explode only for them
+    val candDocs = cand.select(col("doc")).distinct()
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val terms = qt.select(col("term")).distinct()
+      .as[String].collect().sorted.toSeq
+    val occ = postings.filter(col("term").isin(terms.map(lit): _*))
+      .join(broadcast(candDocs), Seq("doc"))
+      .select(col("doc"), col("term"), explode(col("pos")).as("p"))
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(cand.select(col("q_id"), col("doc"))),
+        Seq("q_id", "doc"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("doc")).orderBy(col("p"))
+    val gaps = occ
+      .withColumn("__pt", lag(col("term"), 1).over(wp))
+      .withColumn("__pp", lag(col("p"), 1).over(wp))
+      .filter(col("__pt").isNotNull && col("__pt") =!= col("term"))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(min(col("p") - col("__pp")).cast("long").as("min_gap"))
+    val boosted = cand.join(gaps, Seq("q_id", "doc"), "left")
+      .withColumn("min_gap", coalesce(col("min_gap"), lit(0L)))
+      .withColumn("score_prox",
+        col("score_q") + when(col("min_gap") > 0,
+          expr(s"$s div min_gap")).otherwise(lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score_prox").desc, col("doc"))
+    boosted.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("score_q"), col("min_gap"), col("score_prox"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) — the
     * standard hybrid-retrieval combiner: given N rankings
     * `(q_id, rank, doc_id)`, fused score =
