@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delete/replace lifecycle for the persisted bucketed indexes (sparse
+  * postings, positional postings, dense IVF-SQ8) — the piece the
+  * append-only contract deferred: `appendBucketed` grows an index in
+  * O(batch), but updating a live document needs its OLD rows gone, and a
+  * bucketed-by-term table can't rewrite "one document" cheaply (a doc's
+  * postings scatter across term buckets).
+  *
+  * Model: LSM/Lucene-style TOMBSTONES with generation sequencing, so
+  * delete and replace stay O(batch) and the full-table cost is paid only
+  * at explicit compaction:
+  *
+  *  - every persisted index row carries a `gen` (long): 0 at initial
+  *    save/compaction, else the tombstone sequence current at append
+  *    time;
+  *  - a delete batch appends `(id, seq)` rows to a sidecar
+  *    `<table>__tombstones` with seq = previous max + 1 (the sidecar is
+  *    delete-batch-scale by contract — TINY, so the max lookup and the
+  *    serving broadcast are both cheap);
+  *  - a row is LIVE iff no tombstone for its id has `seq > gen` — so
+  *    replace = tombstone the id (seq n+1), then append the new rows
+  *    stamped gen = n+1: the old rows (gen ≤ n) die, the new ones
+  *    survive, and a second replace repeats the pattern at n+2;
+  *  - [[load]] is the serving view: the bucketed table LEFT ANTI joined
+  *    to the broadcast tombstones on `id AND seq > gen`. Predicates on
+  *    the bucket key (a query vocabulary `isin`, a probe-cell set) push
+  *    below the anti join to the scan, so bucket pruning survives the
+  *    delete machinery (spec-asserted);
+  *  - [[compact]] rewrites the live rows (gen reset to 0), preserves the
+  *    bucketing contract, and drops the tombstones — amortized cleanup,
+  *    run when the tombstone share warrants it.
+  *
+  * At 100 TB posture: delete/replace touch only batch-scale data; the
+  * serving overhead is one broadcast anti join against a tiny sidecar;
+  * compaction is the only table-scale operation and is caller-scheduled.
+  */
+object IndexMaintenance {
+
+  def tombstoneTable(table: String): String = table + "__tombstones"
+
+  /** Current max tombstone sequence for `table` (0 when none). The
+    * sidecar is delete-batch-scale — this is a tiny-table aggregate. */
+  def currentSeq(spark: SparkSession, table: String): Long = {
+    val tt = tombstoneTable(table)
+    if (!spark.catalog.tableExists(tt)) 0L
+    else spark.table(tt).agg(coalesce(max(col("seq")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Stamp an index batch with the generation that makes it survive the
+    * tombstones written so far (the append half of replace). */
+  private[graft] def genStamp(df: DataFrame, table: String): DataFrame =
+    df.withColumn("gen", lit(currentSeq(df.sparkSession, table)))
+
+  /** Tombstone `ids` (one column, named `idCol` in the index) — rows of
+    * those ids with gen < the new sequence become invisible to [[load]].
+    * Returns the sequence assigned to this delete batch. O(batch). */
+  def delete(spark: SparkSession, table: String, idCol: String,
+             ids: DataFrame): Long = {
+    val seq = currentSeq(spark, table) + 1L
+    ids.select(col(idCol).as("id")).distinct()
+      .withColumn("seq", lit(seq))
+      .write.mode("append").format("parquet")
+      .saveAsTable(tombstoneTable(table))
+    seq
+  }
+
+  /** The serving view of a maintained index: live rows only. Bucket-key
+    * predicates push below the broadcast anti join to the scan, so the
+    * pruning contract of the underlying table is intact. */
+  def load(spark: SparkSession, table: String, idCol: String): DataFrame = {
+    val t = spark.table(table)
+    val tt = tombstoneTable(table)
+    if (!spark.catalog.tableExists(tt)) t
+    else {
+      val tomb = spark.table(tt)
+      t.join(broadcast(tomb),
+        t(idCol) === tomb("id") && tomb("seq") > t("gen"), "left_anti")
+    }
+  }
+
+  /** Rewrite the live rows as a fresh generation-0 bucketed table and
+    * drop the tombstones — the amortized table-scale cleanup. The
+    * rewrite goes through a sibling table + rename (Spark refuses to
+    * overwrite a table its own plan reads). */
+  def compact(spark: SparkSession, table: String, key: String,
+              buckets: Int, idCol: String): Unit = {
+    val tmp = table + "__compact"
+    Layout.writeBucketed(
+      load(spark, table, idCol).withColumn("gen", lit(0L)),
+      tmp, key, buckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${tombstoneTable(table)}`")
+  }
+}

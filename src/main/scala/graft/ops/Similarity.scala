@@ -1442,7 +1442,8 @@ object Similarity {
                       table: String, buckets: Int,
                       scaleBits: Int = 12): Unit =
     graft.io.Layout.writeBucketed(
-      ivfSq8Index(corpus, id, vec, cent, lo, hi, scaleBits),
+      ivfSq8Index(corpus, id, vec, cent, lo, hi, scaleBits)
+        .withColumn("gen", lit(0L)),
       table, "cell", buckets)
 
   /** Incrementally grow a persisted IVF-SQ8 index: encode a NEW batch
@@ -1461,8 +1462,31 @@ object Similarity {
                         table: String, buckets: Int,
                         scaleBits: Int = 12): Unit =
     graft.io.Layout.appendBucketed(
-      ivfSq8Index(batch, id, vec, cent, lo, hi, scaleBits),
+      graft.io.IndexMaintenance.genStamp(
+        ivfSq8Index(batch, id, vec, cent, lo, hi, scaleBits), table),
       table, "cell", buckets)
+
+  /** The serving view of a maintained IVF-SQ8 table — live rows only
+    * ([[graft.io.IndexMaintenance.load]]; cell-probe bucket pruning
+    * intact below the broadcast tombstone anti join). */
+  def loadIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+                      table: String): DataFrame =
+    graft.io.IndexMaintenance.load(spark, table, "c_id")
+
+  /** Update vectors in place — the dense twin of
+    * [[graft.ops.TextAnalysis.replaceInPostingsIndex]]: tombstone the
+    * batch's ids (O(batch)), re-encode the batch with the index's
+    * EXISTING trained artifacts and append it at the new generation.
+    * Physical cleanup is [[graft.io.IndexMaintenance.compact]]. */
+  def replaceInIvfSq8Index(batch: DataFrame, id: String, vec: String,
+                           cent: DataFrame, lo: Array[Long],
+                           hi: Array[Long], table: String, buckets: Int,
+                           scaleBits: Int = 12): Unit = {
+    graft.io.IndexMaintenance.delete(batch.sparkSession, table, "c_id",
+      batch.select(col(id).as("c_id")))
+    appendIvfSq8Index(batch, id, vec, cent, lo, hi, table, buckets,
+      scaleBits)
+  }
 
   /** Search an ALREADY-BUILT `(cell, c_id, codes)` index (fresh from
     * [[ivfSq8Index]] or reloaded from [[saveIvfSq8Index]]'s bucketed

@@ -1665,7 +1665,8 @@ object TextAnalysis {
     * the buckets its terms hash into, never the full postings table. */
   def savePostingsIndex(df: DataFrame, id: String, text: String,
                         table: String, buckets: Int): Unit =
-    graft.io.Layout.writeBucketed(indexPostings(df, id, text), table,
+    graft.io.Layout.writeBucketed(
+      indexPostings(df, id, text).withColumn("gen", lit(0L)), table,
       "term", buckets)
 
   /** Incremental append into a persisted [[savePostingsIndex]] table —
@@ -1682,11 +1683,45 @@ object TextAnalysis {
     *
     * CONTRACT (the [[mergeInvertedIndex]] one): the batch's doc ids are
     * disjoint from the docs already indexed — re-appending an id
-    * double-counts it; route updates through a delete/replace pass. */
+    * double-counts it; route updates through [[replaceInPostingsIndex]]
+    * (which tombstones the old rows first). */
   def appendPostingsIndex(batch: DataFrame, id: String, text: String,
                           table: String, buckets: Int): Unit =
-    graft.io.Layout.appendBucketed(indexPostings(batch, id, text), table,
-      "term", buckets)
+    graft.io.Layout.appendBucketed(
+      graft.io.IndexMaintenance.genStamp(
+        indexPostings(batch, id, text), table),
+      table, "term", buckets)
+
+  /** The serving view of a maintained postings table — live rows only
+    * (tombstoned docs filtered by a broadcast anti join against the
+    * tiny sidecar; bucket pruning on the term scan intact). Every
+    * serving read of a table that has seen [[deleteFromPostingsIndex]]
+    * or [[replaceInPostingsIndex]] must go through this. */
+  def loadPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame =
+    graft.io.IndexMaintenance.load(spark, table, "doc")
+
+  /** Tombstone documents out of a persisted postings (or positional)
+    * index — O(ids); the rows disappear from [[loadPostingsIndex]]
+    * immediately and physically at the next
+    * [[graft.io.IndexMaintenance.compact]]. */
+  def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, ids: DataFrame,
+                              idCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, idCol,
+      ids.select(col(idCol).as("doc")))
+
+  /** Update documents in place: tombstone the batch's ids, then append
+    * the re-encoded batch at the new generation — cost ∝ batch, the
+    * delete/replace pass [[appendPostingsIndex]]'s disjoint-id contract
+    * routes updates through. Ids new to the index are a plain append
+    * (tombstoning a non-indexed id is harmless). */
+  def replaceInPostingsIndex(batch: DataFrame, id: String, text: String,
+                             table: String, buckets: Int): Unit = {
+    graft.io.IndexMaintenance.delete(batch.sparkSession, table, "doc",
+      batch.select(col(id).as("doc")))
+    appendPostingsIndex(batch, id, text, table, buckets)
+  }
 
   /** BM25 over an ALREADY-BUILT postings table ([[indexPostings]] fresh,
     * or reloaded from [[savePostingsIndex]]'s bucketed form): identical
@@ -1833,7 +1868,8 @@ object TextAnalysis {
   def savePositionalIndex(df: DataFrame, id: String, text: String,
                           table: String, buckets: Int): Unit =
     graft.io.Layout.writeBucketed(
-      indexPostingsPositional(df, id, text), table, "term", buckets)
+      indexPostingsPositional(df, id, text).withColumn("gen", lit(0L)),
+      table, "term", buckets)
 
   /** Incremental append into a persisted [[savePositionalIndex]] table —
     * [[appendPostingsIndex]]'s contract verbatim (disjoint batch doc
@@ -1841,7 +1877,17 @@ object TextAnalysis {
   def appendPositionalIndex(batch: DataFrame, id: String, text: String,
                             table: String, buckets: Int): Unit =
     graft.io.Layout.appendBucketed(
-      indexPostingsPositional(batch, id, text), table, "term", buckets)
+      graft.io.IndexMaintenance.genStamp(
+        indexPostingsPositional(batch, id, text), table),
+      table, "term", buckets)
+
+  /** [[replaceInPostingsIndex]] for a positional table. */
+  def replaceInPositionalIndex(batch: DataFrame, id: String, text: String,
+                               table: String, buckets: Int): Unit = {
+    graft.io.IndexMaintenance.delete(batch.sparkSession, table, "doc",
+      batch.select(col(id).as("doc")))
+    appendPositionalIndex(batch, id, text, table, buckets)
+  }
 
   /** Exact phrase retrieval over a positional postings table
     * ([[indexPostingsPositional]] fresh, or reloaded from

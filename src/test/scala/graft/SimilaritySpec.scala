@@ -694,6 +694,43 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivfsq8_inc")
   }
 
+  test("replaceInIvfSq8Index: tombstone replace ≡ rebuild, compaction") {
+    // artifacts frozen from the full corpus; the replaced vector
+    // re-encodes with them — exactly the maintenance contract
+    val cent = Similarity.trainIvfCentroids(pqCorpus, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val (lo, hi) = Similarity.trainSq8Bounds(pqCorpus, "embedding")
+    // the replacement: vec 2 moves from the B cluster to the A cluster
+    val moved = Seq((2L, Seq(4.0f, 0.0f, 4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val v2 = pqCorpus.filter(col("vec_id") =!= 2).unionByName(moved)
+    try {
+      Similarity.saveIvfSq8Index(pqCorpus, "vec_id", "embedding", cent,
+        lo, hi, "ivfsq8_maint", buckets = 4)
+      Similarity.replaceInIvfSq8Index(moved, "vec_id", "embedding", cent,
+        lo, hi, "ivfsq8_maint", buckets = 4)
+      val q = pqCorpus.filter(col("vec_id") === 1)
+      def run(idx: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfSq8Search(idx, q, "vec_id", "embedding", k = 5,
+          cent, nProbe = 2, lo, hi).collect().map(_.toString).sorted.toSeq
+      val want = run(Similarity.ivfSq8Index(v2, "vec_id", "embedding",
+        cent, lo, hi))
+      assert(run(Similarity.loadIvfSq8Index(spark, "ivfsq8_maint")) == want
+        && want.nonEmpty)
+      // dead code rows present until compaction, gone after, serving same
+      val live = Similarity.loadIvfSq8Index(spark, "ivfsq8_maint").count()
+      assert(spark.table("ivfsq8_maint").count() > live)
+      graft.io.IndexMaintenance.compact(spark, "ivfsq8_maint", "cell", 4,
+        "c_id")
+      assert(spark.table("ivfsq8_maint").count() == live)
+      assert(!spark.catalog.tableExists("ivfsq8_maint__tombstones"))
+      assert(run(Similarity.loadIvfSq8Index(spark, "ivfsq8_maint")) == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfsq8_maint")
+      spark.sql("DROP TABLE IF EXISTS ivfsq8_maint__tombstones")
+    }
+  }
+
   test("binaryCodes packs sign bits; bit 63 lands in the int64 sign bit") {
     val vecs = Seq(
       (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f)), // bits 0,2 → 0b0101 = 5
