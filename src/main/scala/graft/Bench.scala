@@ -47,41 +47,103 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // Per-query execution-profile columns (r9 verdict item: the
+    // driver-vs-builder retrieval-family divergence could only be
+    // re-litigated, never attributed, because the artifact carried
+    // timings alone). stages/shuffle come from a per-run SparkListener;
+    // GC time is the whole-JVM MX-bean delta — in local mode driver and
+    // executors share the JVM, so it is exact for the run.
+    final class RunProfile extends org.apache.spark.scheduler.SparkListener {
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+      private val jobsStarted = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val jobsEnded = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsStarted.incrementAndGet()
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsEnded.incrementAndGet()
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      }
+      /** Listener events are async — bounded wait for the run's jobs to
+        * settle so the counts cover the whole query. */
+      def settle(): Unit = {
+        val deadline = System.nanoTime() + 500000000L
+        while (jobsEnded.get() < jobsStarted.get() &&
+               System.nanoTime() < deadline) Thread.sleep(5)
+      }
+    }
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    final case class Profile(stages: Int, gcMs: Long, shuffleBytes: Long,
+                             peakTaskMem: Long)
     // one timed execution of one query: build plan, noop-sink, then drop
     // tables persisted inside operators (LSH signature caches) and
     // collect garbage so queries don't inherit each other's memory
     // pressure (md5-heavy queries showed multi-second GC spikes)
-    def runOnce(name: String): (Double, Either[String, Unit]) = {
+    def runOnce(name: String): (Double, Profile, Either[String, Unit]) = {
       val fn = SparkEntry.queries(name)
+      val listener = new RunProfile
+      spark.sparkContext.addSparkListener(listener)
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val res =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gcInRun = gcMillis() - gc0
+      listener.settle()
+      spark.sparkContext.removeSparkListener(listener)
+      val prof = Profile(listener.stages.get(), gcInRun,
+        listener.shuffleBytes.get(), listener.peakTaskMem.get())
       spark.catalog.clearCache()
       System.gc()
-      (dt, res)
+      (dt, prof, res)
     }
     val timed = SparkEntry.benchQueries.map { name =>
-      val (cold, res1) = runOnce(name)
+      val (cold, _, res1) = runOnce(name)
       res1 match {
-        case Left(m) => (name, cold, cold, Left(m))
+        case Left(m) => (name, cold, cold, Profile(0, 0, 0, 0), Left(m))
         case Right(_) =>
-          val (w1, res2) = runOnce(name)
+          val (w1, p1, res2) = runOnce(name)
           res2 match {
-            case Left(m) => (name, cold, w1, Left(m))
+            case Left(m) => (name, cold, w1, p1, Left(m))
             case Right(_) =>
-              val (w2, res3) = runOnce(name)
-              (name, cold, math.min(w1, w2), res3)
+              val (w2, p2, res3) = runOnce(name)
+              // profile follows the warm run the headline reports
+              val (w, p) = if (w1 <= w2) (w1, p1) else (w2, p2)
+              (name, cold, w, p, res3)
           }
       }
     }
-    val ok = timed.collect { case (n, c, w, Right(_)) => (n, c, w) }
-    val failed = timed.collect { case (n, _, _, Left(m)) => n -> m }
-    val qs = ok.map { case (k, _, w) => s"${jstr(k)}:${"%.3f".format(w)}" }
+    val ok = timed.collect { case (n, c, w, p, Right(_)) => (n, c, w, p) }
+    val failed = timed.collect { case (n, _, _, _, Left(m)) => n -> m }
+    val qs = ok.map { case (k, _, w, _) => s"${jstr(k)}:${"%.3f".format(w)}" }
       .mkString("{", ",", "}")
-    val qsCold = ok.map { case (k, c, _) => s"${jstr(k)}:${"%.3f".format(c)}" }
+    val qsCold = ok.map { case (k, c, _, _) => s"${jstr(k)}:${"%.3f".format(c)}" }
       .mkString("{", ",", "}")
+    // per-query profile of the reported warm run: stage count, JVM GC ms,
+    // shuffle-write bytes, max per-stage peak task memory — the columns
+    // that let a slow line be attributed (stage-heavy? GC-bound?
+    // shuffle-bound?) from the artifact alone
+    val qsProf = ok.map { case (k, _, _, p) =>
+      s"${jstr(k)}:{" +
+        s""""stages":${p.stages},"gc_ms":${p.gcMs},""" +
+        s""""shuffle_mb":${"%.1f".format(p.shuffleBytes / 1048576.0)},""" +
+        s""""peak_task_mem_mb":${"%.1f".format(p.peakTaskMem / 1048576.0)}}"""
+    }.mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(300))}" }
       .mkString("{", ",", "}")
     val total = "%.3f".format(ok.map(_._3).sum)
@@ -91,7 +153,7 @@ object Bench {
     // led the line). Bulky cold detail goes first so truncation eats it
     // before the warm queries / errors / headline `value` at the end; a
     // compact headline echo after the long line is the last thing printed.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries_cold":$qsCold,"total_cold":$totalCold,"queries":$qs,"errors":$errs,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries_cold":$qsCold,"queries_profile":$qsProf,"total_cold":$totalCold,"queries":$qs,"errors":$errs,"value":$total}"""
     // The stdout tail capture front-truncated the per-query maps two
     // rounds running (BENCH_r05/r06 each lost ~40 warm entries), so the
     // complete line is ALSO written to a file the capture can't eat; the
