@@ -7156,6 +7156,122 @@ object Queries {
            FROM rr WHERE rn <= 10"""
     }))
 
+  /** Multi-vector token bags for the late-interaction family: four
+    * consecutive embedding rows form one pseudo-document's token bag;
+    * every 25th pseudo-doc's first two tokens are a query bag. */
+  private def maxSimDocTokens(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(expr("vec_id div 4").as("doc_id"), col("embedding"))
+  private def maxSimQueryTokens(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(expr("(vec_id div 4) % 25 = 0") &&
+        col("vec_id") % 4 < 2)
+      .select(expr("vec_id div 4").as("q_id"),
+        (col("vec_id") % 4).as("q_tok"), col("embedding"))
+
+  /** Shared oracle CTE prefix for q209/q210: per-dim explosions of the
+    * doc/query token bags with the fused floor(2¹²·v) quantization —
+    * float→double widening is exact and 4096 is a power of two, so both
+    * engines floor identical integers (no literal transport needed; the
+    * vectors come from the shared parquet). */
+  private val maxSimCtes =
+    """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       d AS (SELECT vec_id AS d_tok, vec_id // 4 AS doc_id, v FROM e),
+       q AS (SELECT vec_id // 4 AS q_id, vec_id % 4 AS q_tok, v FROM e
+             WHERE (vec_id // 4) % 25 = 0 AND vec_id % 4 < 2),
+       de AS (SELECT d_tok, doc_id, generate_subscripts(v, 1) AS dim,
+                CAST(floor(CAST(unnest(v) AS DOUBLE) * 4096) AS BIGINT)
+                  AS mx
+              FROM d),
+       qe AS (SELECT q_id, q_tok, generate_subscripts(v, 1) AS dim,
+                CAST(floor(CAST(unnest(v) AS DOUBLE) * 4096) AS BIGINT)
+                  AS my
+              FROM q),
+       dots AS (SELECT q_id, q_tok, doc_id, d_tok,
+                  CAST(sum(mx * my) AS BIGINT) AS dot
+                FROM de JOIN qe USING (dim) GROUP BY 1, 2, 3, 4),
+       best AS (SELECT q_id, q_tok, doc_id, max(dot) AS b
+                FROM dots GROUP BY 1, 2, 3),
+       sc AS (SELECT q_id, doc_id, CAST(sum(b) AS BIGINT) AS iscore,
+                CAST(count(*) AS BIGINT) AS n_qtok
+              FROM best GROUP BY 1, 2),
+       msr AS (SELECT q_id, doc_id, iscore, n_qtok, row_number() OVER (
+                 PARTITION BY q_id ORDER BY iscore DESC, doc_id) AS rn
+               FROM sc)"""
+
+  /** Late-interaction (ColBERT-style maxsim) retrieval
+    * (Similarity.maxSimTopK): Σ over query tokens of the max doc-token
+    * fused-quantized dot, top-10 per query — the multi-vector retrieval
+    * family beside single-vector cosine (q19) and sparse BM25 (q124).
+    * Exact int64 end to end; the oracle replays the token-bag
+    * construction and the dot/max/sum chain relationally. */
+  private val q209 = QDef("q209_maxsim_topk",
+    (s, d) => Similarity.maxSimTopK(maxSimDocTokens(s, d), "doc_id",
+      "embedding", maxSimQueryTokens(s, d), "q_id", "q_tok", k = 10),
+    Some(s"""$maxSimCtes
+            SELECT q_id, CAST(rn AS INT) AS rank, doc_id, iscore, n_qtok
+            FROM msr WHERE rn <= 10"""),
+    bench = true)
+
+  /** Late-interaction vs single-vector A/B (Similarity.maxSimTopK vs
+    * sumPooledDotTopK): per query, how much the maxsim ranking differs
+    * from retrieval with each bag SUM-pooled to one quantized vector —
+    * top-10 overlap count and the pooled rank of maxsim's top-1 doc
+    * (0 = pooled misses it entirely). Integer sums make pooling
+    * aggregation-order-free; both rankings and the comparison are
+    * relational in the oracle. */
+  private val q210 = QDef("q210_maxsim_vs_pooled",
+    (s, d) => {
+      val ms = graft.ops.Caches.track(
+        Similarity.maxSimTopK(maxSimDocTokens(s, d), "doc_id",
+          "embedding", maxSimQueryTokens(s, d), "q_id", "q_tok", k = 10)
+          .persist())
+      val pl = graft.ops.Caches.track(
+        Similarity.sumPooledDotTopK(maxSimDocTokens(s, d), "doc_id",
+          "embedding", maxSimQueryTokens(s, d), "q_id", k = 10)
+          .persist())
+      val overlap = ms.select(col("q_id"), col("doc_id"))
+        .join(pl.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("overlap_at_k"))
+      val top1 = ms.filter(col("rank") === 1)
+        .select(col("q_id"), col("doc_id"))
+        .join(pl.select(col("q_id"), col("doc_id"),
+          col("rank").as("__pr")), Seq("q_id", "doc_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("__pr"), lit(0)).as("top1_pooled_rank"))
+      ms.select(col("q_id")).distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .join(top1, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+          col("top1_pooled_rank"))
+    },
+    Some(s"""$maxSimCtes,
+            dp AS (SELECT doc_id, dim, CAST(sum(mx) AS BIGINT) AS m
+                   FROM de GROUP BY 1, 2),
+            qp AS (SELECT q_id, dim, CAST(sum(my) AS BIGINT) AS mq
+                   FROM qe GROUP BY 1, 2),
+            ps AS (SELECT q_id, doc_id, CAST(sum(m * mq) AS BIGINT) AS pi
+                   FROM dp JOIN qp USING (dim) GROUP BY 1, 2),
+            plr AS (SELECT q_id, doc_id, row_number() OVER (
+                      PARTITION BY q_id ORDER BY pi DESC, doc_id) AS rn
+                    FROM ps),
+            m10 AS (SELECT q_id, doc_id, rn FROM msr WHERE rn <= 10),
+            p10 AS (SELECT q_id, doc_id, rn FROM plr WHERE rn <= 10),
+            ov AS (SELECT m.q_id, CAST(count(*) AS BIGINT) AS o
+                   FROM m10 m JOIN p10 p
+                     ON m.q_id = p.q_id AND m.doc_id = p.doc_id
+                   GROUP BY 1),
+            t1 AS (SELECT m.q_id,
+                     COALESCE(CAST(p.rn AS INT), 0) AS top1_pooled_rank
+                   FROM m10 m LEFT JOIN p10 p
+                     ON m.q_id = p.q_id AND m.doc_id = p.doc_id
+                   WHERE m.rn = 1)
+            SELECT b.q_id, CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap_at_k,
+                   t1.top1_pooled_rank
+            FROM (SELECT DISTINCT q_id FROM m10) b
+            LEFT JOIN ov ON b.q_id = ov.q_id
+            LEFT JOIN t1 ON b.q_id = t1.q_id"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7182,7 +7298,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -268,11 +268,69 @@ case class Sq8Dot(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused quantize-and-dot of two float vectors on the exact int64 grid:
+  * `Σ floor(2ˢ·a[i]) · floor(2ˢ·b[i])`, left fold in index order. The
+  * float→double widening is exact and ·2ˢ is a power-of-two scale, so
+  * every engine computing in doubles floors the SAME integers — the
+  * engine-exact scoring primitive for late-interaction (maxsim)
+  * retrieval, where per-pair quantization must live INSIDE the codegen'd
+  * loop (a pre-quantized projection under a broadcast nested-loop join
+  * re-evaluates per pair anyway — the q120 projection-collapse rule). */
+case class QuantVectorDot(left: Expression, right: Expression,
+                          scaleBits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quant_vector_dot"
+
+  private val scale: Double = (1L << scaleBits).toDouble
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(x.getFloat(i).toDouble * scale).toLong *
+        math.floor(y.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) java.lang.Math.floor((double) $a.getFloat($i) * $scale)
+         |      * (long) java.lang.Math.floor((double) $b.getFloat($i) * $scale);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column forms of the native expressions. */
   def floatDot(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(
       Bridge.expression(a), Bridge.expression(b)))
+
+  def quantDot(a: Column, b: Column, scaleBits: Int): Column =
+    Bridge.column(QuantVectorDot(
+      Bridge.expression(a), Bridge.expression(b), scaleBits))
 
   def hyperplaneProjection(vec: Column, planeIdx: Column): Column =
     Bridge.column(HyperplaneProjection(

@@ -1915,4 +1915,87 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     topKMerge(fine(coarse(queries, corpus), queries, corpus), k)
   }
+
+  // ------------------------------------------- multi-vector (maxsim)
+
+  /** Late-interaction (ColBERT-style maxsim) retrieval — the remaining
+    * standard retrieval family beside single-vector cosine and sparse
+    * BM25: documents and queries are BAGS of token vectors, and
+    * `score(q, d) = Σ_{query token} max_{doc token} dot` — each query
+    * token independently finds its best-matching doc token, so a
+    * multi-aspect query isn't forced through one pooled vector.
+    *
+    * Engine-exact on the int64 grid: each dot is the fused
+    * quantize-and-dot [[graft.functions.VectorExprs.quantDot]]
+    * (`Σ floor(2ˢ·a_i)·floor(2ˢ·b_i)` — float→double widening and the
+    * power-of-two scale make both engines floor identical integers);
+    * max and sum are exact. Rank: score DESC, doc ASC (q19 discipline).
+    *
+    * Shape: the query-token table is query-bounded and BROADCAST; doc
+    * tokens stream through the nested-loop join once — |docTokens|·|q
+    * tokens| fused-codegen dots, then ONE hash aggregate at
+    * (q, q_tok, doc) granularity (map-side combine collapses doc
+    * tokens) and one at (q, doc). This is the exact brute baseline, the
+    * [[cosineTopK]] posture; at corpus scale compose an ANN prefilter
+    * via [[refineTopK]]-style candidate generation and rescore
+    * candidates only. Output: `(q_id, rank, doc_id, iscore, n_qtok)`. */
+  def maxSimTopK(docTokens: DataFrame, id: String, vec: String,
+                 queryTokens: DataFrame, qid: String, qtok: String,
+                 k: Int, scaleBits: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val d = docTokens.select(col(id).as("doc_id"), col(vec).as("__dv"))
+    val q = queryTokens.select(col(qid).as("q_id"), col(qtok).as("__qt"),
+      col(vec).as("__qv"))
+    val tokBest = d.crossJoin(broadcast(q))
+      .select(col("q_id"), col("__qt"), col("doc_id"),
+        graft.functions.VectorExprs.quantDot(col("__dv"), col("__qv"),
+          scaleBits).as("__dot"))
+      .groupBy(col("q_id"), col("__qt"), col("doc_id"))
+      .agg(max(col("__dot")).as("__best"))
+    val scored = tokBest.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__best")).as("iscore"), count(lit(1)).as("n_qtok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("iscore"),
+        col("n_qtok"))
+  }
+
+  /** The single-vector baseline maxsim is compared against: SUM-pool
+    * each side's token bag on the QUANTIZED grid (per-dim Σ of
+    * `floor(2ˢ·v)` — integer sums are aggregation-order-free, where a
+    * float mean is not), score by the exact integer dot of the pooled
+    * vectors, rank identically. Pooling and scoring stay relational —
+    * `(id, dim, Σm)` tables joined on dim — so no float array is ever
+    * rebuilt. Output: `(q_id, rank, doc_id, iscore)`.
+    *
+    * Shape: two explode+hash-agg passes (dims ride the narrow (id, dim)
+    * key), one broadcast dim-join against the query side's pooled
+    * table, one (q, doc) aggregate. */
+  def sumPooledDotTopK(docTokens: DataFrame, id: String, vec: String,
+                       queryTokens: DataFrame, qid: String, k: Int,
+                       scaleBits: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    def pooled(df: DataFrame, keyCol: String, outKey: String): DataFrame =
+      df.select(col(keyCol).as(outKey),
+          posexplode(col(vec)).as(Seq("dim", "__v")))
+        .groupBy(col(outKey), col("dim"))
+        .agg(sum(floor(col("__v").cast("double") * scale).cast("long"))
+          .as("__m"))
+    val dp = pooled(docTokens, id, "doc_id")
+    val qp = pooled(queryTokens, qid, "q_id")
+      .withColumnRenamed("__m", "__mq")
+    val scored = dp.join(broadcast(qp), Seq("dim"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__m") * col("__mq")).as("iscore"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("iscore"))
+  }
 }

@@ -731,6 +731,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maxSimTopK: per-query-token max, sum, floor on negatives; pooled") {
+    // scaleBits=2 (scale 4): doc1 tokens quantize to [4,0],[0,4];
+    // doc2 [2,2]; doc3 [-2,0] (floor(-1.2) = -2, toward -inf);
+    // query tokens [4,0] and [0,2]
+    val docToks = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(-0.3f, 0.0f))).toDF("doc_id", "embedding")
+    val qToks = Seq(
+      (9L, 0, Seq(1.0f, 0.0f)),
+      (9L, 1, Seq(0.0f, 0.5f))).toDF("q_id", "q_tok", "embedding")
+    val ms = Similarity.maxSimTopK(docToks, "doc_id", "embedding",
+        qToks, "q_id", "q_tok", k = 3, scaleBits = 2)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    // tok0 maxes: doc1 16, doc2 8, doc3 -8; tok1: doc1 8, doc2 4, doc3 0
+    assert(ms == Set((9L, 1, 1L, 24L, 2L), (9L, 2, 2L, 12L, 2L),
+      (9L, 3, 3L, -8L, 2L)))
+    // sum-pooled baseline: doc1 pools to [4,4], doc2 [2,2], doc3 [-2,0];
+    // query pools to [4,2] -> identical scores on this fixture
+    val pl = Similarity.sumPooledDotTopK(docToks, "doc_id", "embedding",
+        qToks, "q_id", k = 3, scaleBits = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(pl == Set((9L, 1, 1L, 24L), (9L, 2, 2L, 12L),
+      (9L, 3, 3L, -8L)))
+    // a case where the two DISAGREE — pooling's failure mode is token
+    // interference: doc1's two specialist tokens pool to [4,4], which
+    // matches the diagonal query strongly although NO single token
+    // does; maxsim scores the real best token match (doc5's [3,3])
+    val docs2 = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (5L, Seq(0.8f, 0.8f))).toDF("doc_id", "embedding")
+    val q2 = Seq((9L, 0, Seq(1.0f, 1.0f)))
+      .toDF("q_id", "q_tok", "embedding")
+    val ms2 = Similarity.maxSimTopK(docs2, "doc_id", "embedding", q2,
+        "q_id", "q_tok", k = 1, scaleBits = 2)
+      .as[(Long, Int, Long, Long, Long)].collect().head
+    val pl2 = Similarity.sumPooledDotTopK(docs2, "doc_id", "embedding",
+        q2, "q_id", k = 1, scaleBits = 2)
+      .as[(Long, Int, Long, Long)].collect().head
+    assert(ms2._3 == 5L && ms2._4 == 24L) // [3,3]·[4,4]=24 beats max(16,16)
+    assert(pl2._3 == 1L && pl2._4 == 32L) // pooled [4,4]·[4,4]=32 beats 24
+  }
+
   test("binaryCodes packs sign bits; bit 63 lands in the int64 sign bit") {
     val vecs = Seq(
       (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f)), // bits 0,2 → 0b0101 = 5
