@@ -1216,6 +1216,46 @@ object StatefulOps {
           boiler), bid)
     }
 
+  /** CCNet line-language spans at stream ingest
+    * ([[graft.ops.TextAnalysis.lineLanguageSpans]] per micro-batch —
+    * the op's windows are PER DOCUMENT and a document's lines arrive in
+    * its one row, so micro-batch output ≡ batch output row for row;
+    * foreachBatch because the span numbering is an ordered per-doc
+    * re-aggregation). Uniform ingest-gate posture with
+    * [[boilerplateFilterWriter]]. */
+  def lineLanguageSpanWriter(stream: DataFrame, id: String, text: String)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.lineLanguageSpans(batch, id, text),
+          bid)
+    }
+
+  /** CCNet monolingual line filter at stream ingest
+    * ([[graft.ops.TextAnalysis.keepLanguageLines]] per micro-batch —
+    * row-local per document, same parity-by-construction argument). */
+  def keepLanguageLinesWriter(stream: DataFrame, id: String, text: String,
+      keep: String)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.keepLanguageLines(batch, id, text,
+          keep), bid)
+    }
+
+  /** C4 blocklist gate at stream ingest
+    * ([[graft.ops.TextAnalysis.blocklistFilter]] per micro-batch; the
+    * blocklist is a driver-side constant, so the gate is a pure
+    * document-local decision — parity by construction). */
+  def blocklistGateWriter(stream: DataFrame, id: String, text: String,
+      blocklist: Seq[String])(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.blocklistFilter(batch, id, text,
+          blocklist), bid)
+    }
+
   def bm25ServeWriter(stream: DataFrame, postings: DataFrame,
       qid: String, qtext: String, k: Int, hybrid: Boolean = false,
       scaleBits: Int = 12, maxQueryTerms: Int = 10000)(

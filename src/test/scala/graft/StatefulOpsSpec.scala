@@ -430,6 +430,52 @@ class StatefulOpsSpec extends SparkSpec {
     boiler.unpersist()
   }
 
+  test("line-gate writers: spans, monolingual filter, blocklist equal batch") {
+    implicit val ctx = spark.sqlContext
+    val incoming = Seq(
+      (1L, "the cat of doom\nder hund und die katze\nthe end"),
+      (2L, "dup dup der\nthe cat"),
+      (3L, "only body"))
+    // spans
+    val spanBuf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StatefulOps.lineLanguageSpanWriter(
+        in1.toDF().toDF("doc_id", "text"), "doc_id", "text") {
+      (out, _) => spanBuf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q1) { in1.addData(incoming: _*); q1.processAllAvailable() }
+    val spanBatch = graft.ops.TextAnalysis.lineLanguageSpans(
+        incoming.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(spanBuf.toSet == spanBatch && spanBatch.nonEmpty)
+    // monolingual keep
+    val keepBuf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StatefulOps.keepLanguageLinesWriter(
+        in2.toDF().toDF("doc_id", "text"), "doc_id", "text", "en") {
+      (out, _) => keepBuf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q2) { in2.addData(incoming: _*); q2.processAllAvailable() }
+    val keepBatch = graft.ops.TextAnalysis.keepLanguageLines(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", "en")
+      .collect().map(_.toSeq).toSet
+    assert(keepBuf.toSet == keepBatch && keepBatch.nonEmpty)
+    // blocklist gate
+    val gateBuf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = StatefulOps.blocklistGateWriter(
+        in3.toDF().toDF("doc_id", "text"), "doc_id", "text", Seq("dup")) {
+      (out, _) => gateBuf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q3) { in3.addData(incoming: _*); q3.processAllAvailable() }
+    val gateBatch = graft.ops.TextAnalysis.blocklistFilter(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", Seq("dup"))
+      .collect().map(_.toSeq).toSet
+    assert(gateBuf.toSet == gateBatch && gateBatch.nonEmpty)
+    assert(gateBuf.exists(r => r.head == 2L && r(1) == 2L &&
+      r(2) == false))
+  }
+
   test("streamingSessionize: watermark-closed sessions equal batch") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr}
