@@ -1140,10 +1140,23 @@ object Dedup {
     * full-width 64-bit fingerprints (sign bit set) band correctly.
     * Output: `(a_id, b_id, hd)` with a_id < b_id. */
   def hammingPairs(fp: DataFrame, id: String, fpCol: String, bits: Int,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, maxBucket: Int = 0): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1,64]: $bits")
     require(maxDist >= 0 && maxDist < bits, s"bad maxDist $maxDist for $bits bits")
-    val keyed = hammingKeyed(fp, id, fpCol, bits, maxDist + 1)
+    val keyed0 = hammingKeyed(fp, id, fpCol, bits, maxDist + 1)
+    // maxBucket = 0 (default) keeps the provable pigeonhole recall; > 0
+    // drops band buckets larger than the cap — the skew valve for a
+    // viral fingerprint value shared by a crowd (that crowd is a
+    // mass-duplicate CLUSTER, better handled by exact-key dedup than by
+    // a quadratic pair explosion; a capped run loses only pairs whose
+    // EVERY agreeing chunk is crowd-shared)
+    val keyed =
+      if (maxBucket <= 0) keyed0
+      else keyed0.join(
+        keyed0.groupBy(col("ck"), col("cv"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket).select(col("ck"), col("cv")),
+        Seq("ck", "cv"))
     keyed.as("x").join(keyed.as("y"),
         col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv") &&
           col("x.__doc") < col("y.__doc"))

@@ -828,4 +828,112 @@ class DedupSpec extends SparkSpec {
     df.collect().foreach(r =>
       assert(r.getInt(0) == r.getInt(1), s"parity: $r"))
   }
+
+  test("planted hot band key: maxBucket caps bite, tasks stay balanced") {
+    import org.apache.spark.sql.functions.col
+    // 40 viral exact-duplicate docs (one hot band bucket per band), one
+    // genuine near-dup pair in cold buckets, 40 distinct cold docs
+    val viral = (0L until 40L).map(i =>
+      (i, "subscribe to our newsletter for daily updates now and share " +
+        "this with all your friends to unlock exclusive member content"))
+    val pairDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val cold = (200L until 240L).map(i =>
+      (i, s"cold$i word${i}a word${i}b word${i}c word${i}d word${i}e"))
+    val docs = (viral ++ pairDocs ++ cold).toDF("doc_id", "text")
+
+    final class ShuffleReadStats
+        extends org.apache.spark.scheduler.SparkListener {
+      val maxRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+      val totalRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          maxRecords.getAndUpdate(p => math.max(p, r))
+          totalRecords.addAndGet(r)
+        }
+      }
+    }
+    def shuffleStats(body: => Unit): (Long, Long) = {
+      val l = new ShuffleReadStats
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      (l.maxRecords.get(), l.totalRecords.get())
+    }
+
+    // ---- LSH band join (force the shuffle join so task metrics SEE the
+    // band distribution — broadcast would hide it — and pin AQE off so
+    // its byte-based coalescing doesn't fold this toy fixture's 32 hash
+    // partitions into one task and average the hot bucket away; at real
+    // scale the hot bucket exceeds the coalesce target and concentrates
+    // exactly as the un-coalesced shape shows)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      var capped: Set[(Long, Long)] = null
+      var uncapped: Set[(Long, Long)] = null
+      val (cappedMax, cappedTotal) = shuffleStats {
+        capped = graft.ops.Dedup.minHashLshPairs(docs, "doc_id", "text",
+            numHashes = 8, bands = 4, threshold = 0.5, maxBucket = 5)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      }
+      val (_, uncappedTotal) = shuffleStats {
+        uncapped = graft.ops.Dedup.minHashLshPairs(docs, "doc_id", "text",
+            numHashes = 8, bands = 4, threshold = 0.5)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      }
+      // the cap kills the 780 viral pairs but keeps the cold-bucket pair
+      assert(capped == Set((100L, 101L)), s"got $capped")
+      assert(uncapped.size == 40 * 39 / 2 + 1 && uncapped((100L, 101L)))
+      // the quadratic pair mass is gone from the capped plan's shuffles
+      // (the hot bucket's 780 pairs flow through distinct + two verify
+      // joins uncapped; capped shuffles stay linear)
+      assert(cappedTotal * 2 <= uncappedTotal,
+        s"capped total shuffle read $cappedTotal vs $uncappedTotal")
+      // and no capped task reads more than a LINEAR share: the cap's own
+      // count pass must see the hot bucket once (O(bucket)), but nothing
+      // downstream re-reads it quadratically — bound by both sides of
+      // the band join (82 docs × 4 bands × 2 sides)
+      val linearBound = 2L * 4 * (40 + 2 + 40)
+      assert(cappedMax <= linearBound,
+        s"capped max task read $cappedMax exceeds linear bound $linearBound")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+
+    // ---- winnowing fingerprint join: boilerplate fingerprints held by
+    // the crowd are dropped; the rare-fingerprint pair survives
+    val wCapped = graft.ops.Dedup.winnowingPairs(docs, "doc_id", "text",
+        minShared = 2, maxBucket = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(wCapped == Set((100L, 101L)), s"got $wCapped")
+    val wUncapped = graft.ops.Dedup.winnowingPairs(docs, "doc_id", "text",
+        minShared = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(wUncapped.size == 40 * 39 / 2 + 1 && wUncapped((100L, 101L)))
+
+    // ---- hamming band join: 40 identical fingerprints = every chunk a
+    // hot bucket; the capped run drops the crowd (a mass-dup CLUSTER for
+    // exact dedup, not pair evidence) and keeps the hd-1 pair whose
+    // chunks are cold
+    val fps = ((0L until 40L).map(i => (i, 0x1111L)) ++
+      Seq((100L, 0x5555L), (101L, 0x5554L),
+        (200L, 0x00FFL), (201L, 0xFF00L), (202L, 0x0F0FL)))
+      .toDF("doc_id", "fp")
+    val hCapped = graft.ops.Dedup.hammingPairs(fps, "doc_id", "fp",
+        bits = 16, maxDist = 2, maxBucket = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hCapped == Set((100L, 101L, 1L)), s"got $hCapped")
+    val hUncapped = graft.ops.Dedup.hammingPairs(fps, "doc_id", "fp",
+        bits = 16, maxDist = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(hUncapped.size == 40 * 39 / 2 + 1 && hUncapped((100L, 101L)))
+  }
 }
