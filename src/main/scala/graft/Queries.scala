@@ -7272,6 +7272,268 @@ object Queries {
             LEFT JOIN t1 ON b.q_id = t1.q_id"""),
     bench = true)
 
+  /** End-to-end pretraining-curation FLAGSHIP (Curation.curationFunnel):
+    * raw → holdout → Gopher gate → blocklist → C4 line cleaning →
+    * trained boilerplate removal → exact dedup → MinHash-LSH near-dup →
+    * 8-gram decontamination vs the benchmark holdout → per-source
+    * mixture balance → token packing, reported as an 11-row per-stage
+    * attrition funnel. Every stage is an operator with its OWN green
+    * oracle (q189/q206/q185/q186/q15/q17/q153); this query hash-checks
+    * the COMPOSITION. The fixture line-ifies the corpus ('table'→'\n'),
+    * plants sentence endings ('spark'→' end.' — C4's terminal-
+    * punctuation rule needs them) and a newsletter footer on every 5th
+    * doc (boilerplate with ≥3-doc support that SURVIVES the C4 line
+    * rule: ends in '.', ≥3 words). */
+  private val q211 = QDef("q211_curation_funnel",
+    (s, d) => {
+      val fx = docs(s, d).select(col("doc_id"), col("source"),
+        concat(
+          replace(replace(col("text"), lit("spark"), lit(" end.")),
+            lit("table"), lit("\n")),
+          when(col("doc_id") % 41 === 0, lit(" verboten"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nsubscribe to our newsletter today now."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 89 === 0 || col("doc_id") % 97 === 0,
+            concat(lit("\nthis shared benchmark sentence must never " +
+              "leak into training data run "),
+              col("doc_id").cast("string"), lit(".")))
+            .otherwise(lit(""))).as("ltext"))
+      graft.ops.Curation.pretrainingFunnel(fx, "doc_id", "ltext",
+        "source", blocklist = Seq("verboten"))
+    },
+    Some(s"""WITH d AS MATERIALIZED (SELECT doc_id, source,
+              replace(replace(text, 'spark', ' end.'), 'table', chr(10)) ||
+              CASE WHEN doc_id % 41 = 0 THEN ' verboten' ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || 'subscribe to our newsletter today now.'
+                   ELSE '' END ||
+              CASE WHEN doc_id % 89 = 0 OR doc_id % 97 = 0
+                   THEN chr(10) || 'this shared benchmark sentence must ' ||
+                     'never leak into training data run ' ||
+                     CAST(doc_id AS VARCHAR) || '.'
+                   ELSE '' END AS lt
+            FROM documents),
+          bench AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 = 0),
+          pool AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 <> 0),
+          gtk AS MATERIALIZED (SELECT doc_id,
+              list_filter(regexp_split_to_array(lt, '\\s+'),
+                x -> x <> '') AS ws,
+              CAST(len(regexp_extract_all(lt, '#')) +
+                len(regexp_extract_all(lt, '\\.\\.\\.')) AS BIGINT)
+                AS symbols
+            FROM pool),
+          growm AS MATERIALIZED (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n,
+              CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0)
+                AS BIGINT) AS sumlen,
+              CAST(len(list_filter(ws,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
+              (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+                AS stophits,
+              symbols
+            FROM gtk),
+          glines AS MATERIALIZED (SELECT doc_id, trim(ls[i]) AS tl
+              FROM (SELECT doc_id, string_split(lt, chr(10)) AS ls
+                    FROM pool) t,
+                   UNNEST(range(1, len(ls) + 1)) AS r(i)),
+          gne AS MATERIALIZED (SELECT doc_id, tl, count(*) AS c
+                  FROM glines WHERE tl <> '' GROUP BY 1, 2),
+          groll AS MATERIALIZED (SELECT doc_id, sum(c) AS nl,
+              sum(CASE WHEN tl LIKE '- %' OR tl LIKE '* %'
+                       OR tl LIKE '•%' THEN c ELSE 0 END) AS b,
+              sum(CASE WHEN tl LIKE '%...' THEN c ELSE 0 END) AS e
+            FROM gne GROUP BY 1),
+          glr AS MATERIALIZED (SELECT p.doc_id,
+              CASE WHEN COALESCE(nl, 0) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((10000 * b) // nl AS BIGINT) END AS bbp,
+              CASE WHEN COALESCE(nl, 0) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((10000 * e) // nl AS BIGINT) END AS ebp
+            FROM pool p LEFT JOIN groll USING (doc_id)),
+          s2 AS MATERIALIZED (SELECT pool.* FROM pool
+                 JOIN growm USING (doc_id) JOIN glr USING (doc_id)
+                 WHERE n >= 20 AND n <= 100000
+                   AND n > 0 AND 100 * sumlen >= 300 * n
+                   AND 100 * sumlen <= 1000 * n
+                   AND symbols * 10 <= n
+                   AND bbp <= 2500 AND ebp <= 3000
+                   AND alpha * 5 >= n * 4
+                   AND stophits >= 1),
+          bhits AS MATERIALIZED (SELECT doc_id, count(*) AS nh
+              FROM (SELECT doc_id, unnest(list_filter(
+                      regexp_split_to_array(lower(lt), '\\s+'),
+                      x -> x <> '')) AS w
+                    FROM s2) t
+              WHERE w IN ('verboten') GROUP BY 1),
+          s3 AS MATERIALIZED (SELECT s2.* FROM s2 LEFT JOIN bhits USING (doc_id)
+                 WHERE COALESCE(nh, 0) = 0),
+          c4t AS MATERIALIZED (SELECT doc_id, source, string_split(lt, chr(10)) AS ls,
+              contains(lower(lt), 'lorem ipsum') OR contains(lt, '{')
+                AS dropped
+            FROM s3),
+          c4k AS MATERIALIZED (SELECT doc_id, source, dropped,
+              list_filter(list_transform(ls, x -> trim(x)), y ->
+                y <> '' AND (y LIKE '%.' OR y LIKE '%!' OR y LIKE '%?'
+                  OR y LIKE '%"') AND
+                len(list_filter(regexp_split_to_array(y, '\\s+'),
+                  w -> w <> '')) >= 3 AND
+                NOT contains(lower(y), 'javascript')) AS kept
+            FROM c4t),
+          s4 AS MATERIALIZED (SELECT doc_id, source,
+              COALESCE(array_to_string(kept, chr(10)), '') AS ct
+            FROM c4k WHERE NOT dropped AND len(kept) > 0),
+          bl AS MATERIALIZED (SELECT doc_id, i AS pos, ls[i] AS raw, trim(ls[i]) AS tl
+                 FROM (SELECT doc_id, string_split(ct, chr(10)) AS ls
+                       FROM s4) t,
+                      UNNEST(range(1, len(ls) + 1)) AS r(i)),
+          bset AS MATERIALIZED (SELECT tl FROM (
+                     SELECT tl, count(DISTINCT doc_id) AS nd
+                     FROM bl WHERE tl <> '' GROUP BY 1)
+                   WHERE nd >= 3),
+          bclean AS MATERIALIZED (SELECT doc_id,
+              COALESCE(string_agg(
+                CASE WHEN tl <> '' AND tl IN (SELECT tl FROM bset)
+                     THEN NULL ELSE raw END, chr(10) ORDER BY pos), '')
+                AS ct
+            FROM bl GROUP BY 1),
+          s5 AS MATERIALIZED (SELECT b.doc_id, s4.source, b.ct
+                 FROM bclean b JOIN s4 USING (doc_id) WHERE b.ct <> ''),
+          s6 AS MATERIALIZED (SELECT s5.* FROM s5 JOIN (
+                   SELECT md5(ct) AS h, min(doc_id) AS doc_id
+                   FROM s5 GROUP BY 1) k USING (doc_id)),
+          msh AS MATERIALIZED (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS sh
+            FROM (SELECT doc_id, list_filter(
+                    regexp_split_to_array(ct, '\\s+'), x -> x <> '') AS toks
+                  FROM s6)),
+          mf AS MATERIALIZED (SELECT doc_id, sh FROM msh WHERE len(sh) > 0),
+          msig AS MATERIALIZED (SELECT doc_id, sh,
+              list_transform(range(0, 12), j ->
+                list_min(list_transform(sh, x ->
+                  ((CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                    % 2147483647) * (j * 4099 + 1) + (j * 9973 + 7))
+                  % 2147483647))) AS sig
+            FROM mf),
+          mband AS MATERIALIZED (SELECT doc_id,
+              CAST(t.b AS VARCHAR) || '#' || sig[t.b * 3 + 1] || '#' ||
+                sig[t.b * 3 + 2] || '#' || sig[t.b * 3 + 3] AS band
+            FROM msig, generate_series(0, 3) AS t(b)),
+          mcand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                    FROM mband x JOIN mband y
+                      ON x.band = y.band AND x.doc_id < y.doc_id),
+          mdrop AS MATERIALIZED (SELECT DISTINCT b_id AS doc_id FROM (
+              SELECT c.a_id, c.b_id,
+                     round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+                       / (len(fa.sh) + len(fb.sh)
+                          - len(list_intersect(fa.sh, fb.sh))), 4) AS jac
+              FROM mcand c JOIN mf fa ON c.a_id = fa.doc_id
+                           JOIN mf fb ON c.b_id = fb.doc_id)
+            WHERE jac >= 0.5),
+          s7 AS MATERIALIZED (SELECT s6.* FROM s6
+                 WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
+          bg AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct(
+                   list_transform(range(1, len(ws) - 6), i ->
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                     ws[i+6] || ' ' || ws[i+7]))) AS g
+                 FROM (SELECT list_filter(regexp_split_to_array(lt, '\\s+'),
+                         x -> x <> '') AS ws FROM bench)),
+          tg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(ws) - 6), i ->
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                     ws[i+6] || ' ' || ws[i+7]))) AS g
+                 FROM (SELECT doc_id, list_filter(
+                         regexp_split_to_array(ct, '\\s+'),
+                         x -> x <> '') AS ws FROM s7)),
+          contam AS MATERIALIZED (SELECT DISTINCT doc_id FROM tg JOIN bg USING (g)),
+          s8 AS MATERIALIZED (SELECT s7.* FROM s7
+                 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          q9 AS MATERIALIZED (SELECT min(n) AS q FROM (
+                   SELECT source, count(*) AS n FROM s8 GROUP BY 1)),
+          s9 AS MATERIALIZED (SELECT doc_id, source, ct FROM (
+                   SELECT s8.*, row_number() OVER (
+                     PARTITION BY source ORDER BY doc_id) AS rn
+                   FROM s8), q9
+                 WHERE rn <= q),
+          pk AS MATERIALIZED (SELECT doc_id,
+              ${sqlHash60("doc_id", "fun")} % 8 AS shard,
+              CAST(len(list_filter(regexp_split_to_array(ct, '\\s+'),
+                x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM s9),
+          pc AS MATERIALIZED (SELECT shard,
+              COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 256 AS bin,
+              n_tokens
+            FROM pk),
+          f0 AS (SELECT CAST(0 AS INT) AS stage_n, 'raw' AS stage,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(lt, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) AS n_tokens FROM d),
+          f1 AS (SELECT CAST(1 AS INT), 'holdout',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(lt, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM pool),
+          f2 AS (SELECT CAST(2 AS INT), 'gopher',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(lt, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s2),
+          f3 AS (SELECT CAST(3 AS INT), 'blocklist',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(lt, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s3),
+          f4 AS (SELECT CAST(4 AS INT), 'c4',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(ct, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s4),
+          f5 AS (SELECT CAST(5 AS INT), 'boiler',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(ct, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s5),
+          f6 AS (SELECT CAST(6 AS INT), 'exact',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(ct, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s6),
+          f7 AS (SELECT CAST(7 AS INT), 'neardup',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(ct, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s7),
+          f8 AS (SELECT CAST(8 AS INT), 'decontam',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(ct, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s8),
+          f9 AS (SELECT CAST(9 AS INT), 'mixture',
+              CAST(count(*) AS BIGINT),
+              CAST(COALESCE(sum(len(list_filter(
+                regexp_split_to_array(ct, '\\s+'), x -> x <> ''))), 0)
+                AS BIGINT) FROM s9),
+          f10 AS (SELECT CAST(10 AS INT), 'packed',
+              CAST(count(DISTINCT (shard, bin)) AS BIGINT),
+              CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM pc)
+          SELECT * FROM f0 UNION ALL SELECT * FROM f1
+          UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+          UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5
+          UNION ALL SELECT * FROM f6 UNION ALL SELECT * FROM f7
+          UNION ALL SELECT * FROM f8 UNION ALL SELECT * FROM f9
+          UNION ALL SELECT * FROM f10"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7298,7 +7560,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -846,4 +846,144 @@ object Curation {
     parts.reduce(_.unionByName(_))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** End-to-end pretraining-curation FLAGSHIP — raw corpus → benchmark
+    * holdout → quality gates → line cleaning → dedup → decontamination →
+    * mixture → packing, with a per-stage attrition funnel as the output:
+    * the proof that the first-class operators COMPOSE into one plan
+    * without pathologies, and the one-look data card of where a corpus's
+    * mass goes. Each stage calls the operator the standalone queries
+    * check (gopherFilter q189, blocklistFilter q206, c4LineFilter q185,
+    * removeBoilerplateLines q186, exactDedup q15, minHashLshPairs q17,
+    * wordShingles-gram decontamination per Lee et al., packSpans q153),
+    * so the funnel's stage semantics are each independently
+    * oracle-checked, and q211 hash-checks the composition itself.
+    *
+    * Stages (`stage_n`, name — n_docs / n_tokens of the SURVIVING set,
+    * tokens counted on the stage's current text):
+    *  0 raw          every input row
+    *  1 holdout      benchmark docs (id % benchMod == 0) held out of the
+    *                 training pool (they drive stage 8)
+    *  2 gopher       structural quality gate, conjunction of rule verdicts
+    *  3 blocklist    C4 "bad words" document drop
+    *  4 c4           line-level C4 cleaning; docs dropped by the bad-phrase
+    *                 rule or cleaned to zero lines leave; TEXT REWRITTEN
+    *  5 boiler       corpus-trained boilerplate-line removal (trained on
+    *                 stage-4 survivors); emptied docs leave; TEXT REWRITTEN
+    *  6 exact        exact dedup on the cleaned text, min-id winner
+    *  7 neardup      MinHash-LSH near-dup pairs; the larger id of every
+    *                 verified pair leaves (pair rule, not chain)
+    *  8 decontam     drop docs sharing any distinct `decontamN`-token
+    *                 shingle with a BENCHMARK doc's raw text
+    *  9 mixture      per-source balance: rank by id within source, keep
+    *                 rank ≤ the smallest source's survivor count
+    * 10 packed       greedy token packing (packSpans): n_docs = number of
+    *                 (shard, bin) packs, n_tokens = packed token mass
+    *
+    * Persist discipline ACROSS stages (the r9 per-op rule applied to the
+    * composition — and its composition-specific sharpening): every stage
+    * from the first text rewrite on is consumed at least twice (its
+    * funnel row + the next stage), and from stage 5 on each recompute
+    * crosses a shuffle (line inventory, dedup groupBy, band join, gram
+    * join). But `.persist()` alone is NOT enough here: each stage's
+    * plan embeds its input two-to-four times (gate semi-joins, the
+    * boiler train+apply pair, the LSH signature reuse), so the LOGICAL
+    * tree grows exponentially down the chain (~1000 copies of the
+    * prefix by stage 9 — analysis-time OOM, measured at sf0.001), and
+    * cache substitution happens only AFTER analysis. Stage boundaries
+    * therefore `localCheckpoint()` (eager, lineage-truncating): each
+    * stage's plan starts from a materialized leaf, the per-stage tree
+    * stays shallow, and the checkpointed blocks are GC'd with the
+    * DataFrames. The row-local gate stages (2, 3) recompute instead:
+    * their second consumer costs one codegen scan.
+    * Output: `(stage_n, stage, n_docs, n_tokens)`, 11 rows. */
+  def pretrainingFunnel(df: DataFrame, id: String, text: String,
+                     source: String, benchMod: Long = 97,
+                     blocklist: Seq[String] = Seq("dup"),
+                     minTokens: Long = 20,
+                     stopList: Seq[String] = Seq("the", "a", "of", "and"),
+                     minStopHits: Int = 1, boilerMinDocs: Int = 3,
+                     numHashes: Int = 12, bands: Int = 4,
+                     threshold: Double = 0.5, decontamN: Int = 8,
+                     numShards: Int = 8, budgetTokens: Long = 256,
+                     packSalt: String = "fun"): DataFrame = {
+    require(benchMod >= 2, s"bad benchMod: $benchMod")
+    require(decontamN >= 2, s"bad decontamN: $decontamN")
+    def row(n: Int, name: String, set: DataFrame, t: String): DataFrame =
+      set.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(TextAnalysis.tokenCount(col(t)).cast("long")),
+            lit(0L)).as("n_tokens"))
+        .select(lit(n).as("stage_n"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val base = df.select(col(id).as("doc_id"), col(text).as("t"),
+      col(source).as("src"))
+    val bench = base.filter(col("doc_id") % benchMod === 0)
+    val pool = base.filter(col("doc_id") % benchMod =!= 0)
+    val s2 = pool.join(
+      TextAnalysis.gopherFilter(pool, "doc_id", "t",
+          minTokens = minTokens, stopList = stopList,
+          minStopHits = minStopHits)
+        .filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"))
+    val s3 = s2.join(
+      TextAnalysis.blocklistFilter(s2, "doc_id", "t", blocklist)
+        .filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"))
+    // first text rewrite — consumed by its funnel row, the boilerplate
+    // INVENTORY and the boilerplate APPLY (3 consumers); checkpoint
+    val s4 = TextAnalysis.c4LineFilter(s3, "doc_id", "t")
+      .filter(!col("doc_dropped") && col("n_lines_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("ct"))
+      .join(s3.select(col("doc_id"), col("src")), Seq("doc_id"))
+      .localCheckpoint()
+    val s5 = Dedup.removeBoilerplateLines(s4, "doc_id", "ct", boilerMinDocs)
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text").as("ct"))
+      .join(s4.select(col("doc_id"), col("src")), Seq("doc_id"))
+      .localCheckpoint()
+    val s6 = s5.join(
+        Dedup.exactDedup(s5, "doc_id", "ct")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    val s7 = s6.join(
+        Dedup.minHashLshPairs(s6, "doc_id", "ct", numHashes, bands,
+            threshold)
+          .select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val benchGrams = bench
+      .select(explode(Dedup.wordShingles(col("t"), decontamN)).as("g"))
+      .distinct()
+    val contaminated = s7
+      .select(col("doc_id"),
+        explode(Dedup.wordShingles(col("ct"), decontamN)).as("g"))
+      .join(benchGrams, Seq("g"))
+      .select(col("doc_id")).distinct()
+    val s8 = s7.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("doc_id"))
+    val quota = s8.groupBy(col("src")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__q"))
+    val s9 = s8.withColumn("__rn", row_number().over(wq))
+      .crossJoin(broadcast(quota))
+      .filter(col("__rn") <= col("__q")).drop("__rn", "__q")
+      .localCheckpoint()
+    val packs = Sampling.packSpans(s9.select(col("doc_id"), col("ct")),
+      "doc_id", TextAnalysis.tokenCount(col("ct")), numShards,
+      budgetTokens, packSalt)
+    val packed = packs.agg(
+        countDistinct(col("shard"), col("bin")).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(10).as("stage_n"), lit("packed").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    Seq(
+      row(0, "raw", base, "t"), row(1, "holdout", pool, "t"),
+      row(2, "gopher", s2, "t"), row(3, "blocklist", s3, "t"),
+      row(4, "c4", s4, "ct"), row(5, "boiler", s5, "ct"),
+      row(6, "exact", s6, "ct"), row(7, "neardup", s7, "ct"),
+      row(8, "decontam", s8, "ct"), row(9, "mixture", s9, "ct"))
+      .reduce(_.unionByName(_)).unionByName(packed)
+  }
 }

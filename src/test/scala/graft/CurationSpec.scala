@@ -516,4 +516,54 @@ class CurationSpec extends SparkSpec {
     assert(empty.length == 3 &&
       empty.forall(r => r._2 == 0L && r._3 == 0L && r._4))
   }
+
+  test("pretrainingFunnel: stage semantics, monotone attrition, 11 rows") {
+    import org.apache.spark.sql.functions.col
+    // 20 quality docs (pass every gate), with:
+    //  - doc 0: benchmark holdout (id % 5 == 0 with benchMod = 5)
+    //  - doc 3: exact duplicate of doc 1 (dies at stage 6)
+    //  - doc 4: blocklisted token (dies at stage 3)
+    //  - doc 6: shares an 8-gram with benchmark doc 0 (dies at decontam)
+    //  - doc 7: too short (dies at the gopher gate, minTokens)
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "the dog wakes up to chase of all things a very quick cat."
+    val docs = Seq(
+      (0L, "an entirely separate benchmark body sharing no long gram " +
+        "with training text. shared benchmark eight token gram one " +
+        "two three four five.", "a"),
+      (1L, good + " first unique tail words here.", "a"),
+      (2L, good + " second unique tail words here.", "b"),
+      (3L, good + " first unique tail words here.", "a"), // == doc 1
+      (4L, good + " blocked verboten word.", "b"),
+      (6L, good + " shared benchmark eight token gram one two three four five but different.", "a"),
+      (7L, "too short.", "b"),
+      (8L, good + " third unique tail words here.", "b"),
+      (9L, good + " fourth unique tail words here.", "a"))
+      .toDF("doc_id", "text", "src")
+    val funnel = graft.ops.Curation.pretrainingFunnel(docs, "doc_id",
+        "text", "src", benchMod = 5, blocklist = Seq("verboten"),
+        minTokens = 10, boilerMinDocs = 9, numHashes = 12, bands = 4,
+        threshold = 0.9, decontamN = 8, numShards = 2,
+        budgetTokens = 40, packSalt = "t")
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(funnel.size == 11)
+    assert(funnel(0)._3 == 9L)  // raw
+    // docs 0 and 5-multiple ids held out: 0 only (5 absent) -> pool 8
+    assert(funnel(1)._3 == 8L)
+    assert(funnel(2)._3 == 7L)  // doc 7 fails minTokens
+    assert(funnel(3)._3 == 6L)  // doc 4 blocklisted
+    assert(funnel(4)._3 == 6L)  // every doc has a kept '.'-line
+    assert(funnel(5)._3 == 6L)  // boilerMinDocs = 9: nothing trained
+    assert(funnel(6)._3 == 5L)  // doc 3 exact-dups doc 1
+    assert(funnel(8)._3 < funnel(7)._3,
+      "doc 6 must fall to benchmark decontamination")
+    // mixture: per-source quota = smallest source count
+    val bySrc = funnel(9)._3
+    assert(bySrc % 2 == 0 && bySrc > 0, s"balanced count: $bySrc")
+    // monotone attrition through the doc-count stages
+    (2 to 9).foreach(i => assert(funnel(i)._3 <= funnel(i - 1)._3))
+    assert(funnel(10)._3 >= 1L) // at least one pack
+    assert(funnel(10)._4 == funnel(9)._4) // packing preserves tokens
+  }
 }
