@@ -7534,6 +7534,84 @@ object Queries {
           UNION ALL SELECT * FROM f10"""),
     bench = true)
 
+  /** NEAR / min-cover proximity retrieval (TextAnalysis.nearSearch over
+    * the positional index): documents containing ALL of a query's terms
+    * within a 12-token window, ranked by the exact minimum covering
+    * span. The oracle replays the occurrence self-join form (every
+    * optimal window ends at an occurrence; its start is the minimum of
+    * per-term last-seen positions). */
+  private val q212 = QDef("q212_near_search",
+    (s, d) => TextAnalysis.nearSearch(
+      TextAnalysis.indexPostingsPositional(docs(s, d), "doc_id", "text"),
+      bm25Queries(s, d), "q_id", "qtext", window = 12, k = 10),
+    Some("""WITH dt AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tp AS MATERIALIZED (SELECT doc_id,
+                generate_subscripts(ws, 1) - 1 AS p, unnest(ws) AS term
+              FROM dt),
+            q AS MATERIALIZED (SELECT doc_id AS q_id,
+                unnest(list_distinct(ws[1:3])) AS term
+              FROM dt WHERE doc_id % 25 = 0),
+            kq AS MATERIALIZED (SELECT q_id, count(*) AS kq
+              FROM q GROUP BY 1),
+            ev AS MATERIALIZED (SELECT q.q_id, tp.doc_id, tp.term, tp.p
+              FROM q JOIN tp USING (term)),
+            fl AS MATERIALIZED (SELECT j.q_id, j.doc_id FROM (
+                SELECT q_id, doc_id, count(DISTINCT term) AS nt
+                FROM ev GROUP BY 1, 2) j
+              JOIN kq USING (q_id) WHERE j.nt = kq.kq),
+            fev AS MATERIALIZED (SELECT ev.* FROM ev
+              JOIN fl USING (q_id, doc_id)),
+            ls AS MATERIALIZED (SELECT e1.q_id, e1.doc_id, e1.p AS pe,
+                e2.term, max(e2.p) AS lp
+              FROM fev e1 JOIN fev e2
+                ON e1.q_id = e2.q_id AND e1.doc_id = e2.doc_id
+                  AND e2.p <= e1.p
+              GROUP BY 1, 2, 3, 4),
+            cov AS MATERIALIZED (SELECT q_id, doc_id, pe,
+                count(*) AS nt, min(lp) AS st
+              FROM ls GROUP BY 1, 2, 3),
+            sp AS MATERIALIZED (SELECT c.q_id, c.doc_id,
+                CAST(min(c.pe - c.st + 1) AS BIGINT) AS min_span
+              FROM cov c JOIN kq USING (q_id) WHERE c.nt = kq.kq
+              GROUP BY 1, 2),
+            r AS (SELECT q_id, doc_id, min_span, row_number() OVER (
+                PARTITION BY q_id ORDER BY min_span, doc_id) AS rn
+              FROM sp WHERE min_span <= 12)
+            SELECT q_id, CAST(rn AS INT) AS rank, doc_id, min_span
+            FROM r WHERE rn <= 10"""),
+    bench = true)
+
+  /** Two-stage late-interaction serving (Similarity.maxSimRerank): the
+    * cheap pooled single-vector pass nominates 20 candidates per query,
+    * the exact maxsim chain re-scores only those — the production
+    * ColBERT shape (filter-then-refine on the multi-vector family).
+    * Oracle = q209's token-bag chain restricted to the pooled-top-20
+    * candidate pairs. */
+  private val q213 = QDef("q213_maxsim_rerank",
+    (s, d) => Similarity.maxSimRerank(maxSimDocTokens(s, d), "doc_id",
+      "embedding", maxSimQueryTokens(s, d), "q_id", "q_tok", k = 10,
+      kCand = 20),
+    Some(s"""$maxSimCtes,
+            dp AS (SELECT doc_id, dim, CAST(sum(mx) AS BIGINT) AS m
+                   FROM de GROUP BY 1, 2),
+            qp AS (SELECT q_id, dim, CAST(sum(my) AS BIGINT) AS mq
+                   FROM qe GROUP BY 1, 2),
+            ps AS (SELECT q_id, doc_id, CAST(sum(m * mq) AS BIGINT) AS pi
+                   FROM dp JOIN qp USING (dim) GROUP BY 1, 2),
+            plr AS (SELECT q_id, doc_id, row_number() OVER (
+                      PARTITION BY q_id ORDER BY pi DESC, doc_id) AS rn
+                    FROM ps),
+            cand AS (SELECT q_id, doc_id FROM plr WHERE rn <= 20),
+            rsc AS (SELECT sc.* FROM sc JOIN cand USING (q_id, doc_id)),
+            rr AS (SELECT q_id, doc_id, iscore, n_qtok, row_number() OVER (
+                     PARTITION BY q_id ORDER BY iscore DESC, doc_id) AS rn
+                   FROM rsc)
+            SELECT q_id, CAST(rn AS INT) AS rank, doc_id, iscore, n_qtok
+            FROM rr WHERE rn <= 10"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7560,7 +7638,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

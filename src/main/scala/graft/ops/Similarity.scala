@@ -1963,6 +1963,47 @@ object Similarity {
         col("n_qtok"))
   }
 
+  /** Two-stage late-interaction retrieval — the production ColBERT
+    * serving shape: a CHEAP single-vector pass ([[sumPooledDotTopK]] —
+    * one pooled dot per (query, doc)) nominates `kCand` candidates per
+    * query, and the exact maxsim chain re-scores ONLY those (token-pair
+    * dots ∝ |candidate doc tokens|·|query tokens|, never corpus-wide).
+    * The [[refineTopK]] filter-then-refine posture applied to the
+    * multi-vector family; recall vs brute [[maxSimTopK]] is the
+    * caller's kCand dial (the spec pins kCand = corpus ⇒ bit-equal).
+    * Output: `(q_id, rank, doc_id, iscore, n_qtok)` — identical shape
+    * and arithmetic to [[maxSimTopK]] on the candidate pool. */
+  def maxSimRerank(docTokens: DataFrame, id: String, vec: String,
+                   queryTokens: DataFrame, qid: String, qtok: String,
+                   k: Int, kCand: Int, scaleBits: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cand = Caches.track(
+      sumPooledDotTopK(docTokens, id, vec, queryTokens, qid, kCand,
+          scaleBits)
+        .select(col("q_id"), col("doc_id")).persist())
+    val candDocs = cand.select(col("doc_id").as(id)).distinct()
+    val d = docTokens.join(broadcast(candDocs), Seq(id))
+      .select(col(id).as("doc_id"), col(vec).as("__dv"))
+    val q = queryTokens.select(col(qid).as("q_id"), col(qtok).as("__qt"),
+      col(vec).as("__qv"))
+    val tokBest = d.crossJoin(broadcast(q))
+      .join(broadcast(cand), Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("__qt"), col("doc_id"),
+        graft.functions.VectorExprs.quantDot(col("__dv"), col("__qv"),
+          scaleBits).as("__dot"))
+      .groupBy(col("q_id"), col("__qt"), col("doc_id"))
+      .agg(max(col("__dot")).as("__best"))
+    val scored = tokBest.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__best")).as("iscore"), count(lit(1)).as("n_qtok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("iscore"),
+        col("n_qtok"))
+  }
+
   /** The single-vector baseline maxsim is compared against: SUM-pool
     * each side's token bag on the QUANTIZED grid (per-dim Σ of
     * `floor(2ˢ·v)` — integer sums are aggregation-order-free, where a

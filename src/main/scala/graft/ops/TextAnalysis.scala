@@ -1948,6 +1948,79 @@ object TextAnalysis {
         col("n_matches"), col("first_pos"))
   }
 
+  /** NEAR retrieval — min-cover proximity search over a positional
+    * postings table (Tao & Zhai's MinCover in exact relational form):
+    * per query, the documents containing ALL of the query's distinct
+    * terms within a token window of at most `window`, ranked by the
+    * MINIMUM covering span (tokens, inclusive; ties → doc ascending).
+    * The classic "A NEAR/n B" operator, and the span statistic itself
+    * is the standard proximity feature.
+    *
+    * Exact without a sequential sweep: for every query-term occurrence
+    * treated as a candidate window END, the tightest window ending
+    * there starts at `min over terms of (that term's last occurrence ≤
+    * end)` — a self-join of the occurrence table on (query, doc) with
+    * `p ≤ end.p`, one (end, term) max, one (end) roll-up; an end with
+    * all terms seen yields span = end − start + 1, and the per-doc min
+    * over ends is exactly the min cover (every optimal window ends at
+    * an occurrence). Quadratic ONLY in a document's query-term
+    * occurrence count, and only for documents already containing every
+    * term (the all-terms semi-join runs first); the corpus-scale scan
+    * stays the bucket-pruned vocabulary filter. Output:
+    * `(q_id, rank, doc_id, min_span)`. */
+  def nearSearch(postings: DataFrame, queries: DataFrame, qid: String,
+                 qtext: String, window: Int, k: Int,
+                 maxQueryTerms: Int = 10000): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val qtRows = qt.collect()
+    require(qtRows.nonEmpty, "nearSearch: queries contain no terms")
+    require(qtRows.length <= maxQueryTerms,
+      s"nearSearch: ${qtRows.length} query terms exceed " +
+        s"maxQueryTerms=$maxQueryTerms — batch the queries")
+    val qtLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qt.schema)
+    val kq = qtLocal.groupBy(col("q_id")).agg(count(lit(1)).as("kq"))
+    val terms = qtRows.map(_.getString(1)).distinct.sorted.toSeq
+    val ev = postings.filter(col("term").isin(terms.map(lit): _*))
+      .select(col("doc"), col("term"), explode(col("pos")).as("p"))
+      .join(broadcast(qtLocal), Seq("term"))
+    // only documents containing EVERY query term enter the quadratic half
+    val full = ev.groupBy(col("q_id"), col("doc"))
+      .agg(countDistinct(col("term")).as("__nt"))
+      .join(broadcast(kq), Seq("q_id"))
+      .filter(col("__nt") === col("kq"))
+      .select(col("q_id"), col("doc"))
+    val fev = Caches.track(
+      ev.join(full, Seq("q_id", "doc")).persist())
+    val ends = fev.select(col("q_id"), col("doc"), col("p").as("pe"))
+    val lastSeen = ends.join(fev.select(col("q_id"), col("doc"),
+          col("term"), col("p")),
+        Seq("q_id", "doc"))
+      .filter(col("p") <= col("pe"))
+      .groupBy(col("q_id"), col("doc"), col("pe"), col("term"))
+      .agg(max(col("p")).as("__lp"))
+    val covers = lastSeen.groupBy(col("q_id"), col("doc"), col("pe"))
+      .agg(count(lit(1)).as("__nt"), min(col("__lp")).as("__start"))
+      .join(broadcast(kq), Seq("q_id"))
+      .filter(col("__nt") === col("kq"))
+      .select(col("q_id"), col("doc"),
+        (col("pe") - col("__start") + 1).cast("long").as("span"))
+    val spans = covers.groupBy(col("q_id"), col("doc"))
+      .agg(min(col("span")).as("min_span"))
+      .filter(col("min_span") <= window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("min_span"), col("doc"))
+    spans.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("min_span"))
+  }
+
   /** Proximity-boosted BM25 (Tao & Zhai's MinDist heuristic in exact
     * integer form) — the standard two-stage serving posture: retrieve
     * `kCand` candidates per query with the untouched [[bm25Search]]

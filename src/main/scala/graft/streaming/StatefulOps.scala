@@ -1256,6 +1256,30 @@ object StatefulOps {
           blocklist), bid)
     }
 
+  /** Exact phrase / NEAR serving from the persisted POSITIONAL index
+    * ([[graft.ops.TextAnalysis.savePositionalIndex]] — sunk build
+    * cost): each phrase-query micro-batch runs the unmodified batch
+    * ranker ([[graft.ops.TextAnalysis.phraseSearchPositional]], or
+    * [[graft.ops.TextAnalysis.nearSearch]] when `window > 0`) inside
+    * foreachBatch — the [[bm25ServeWriter]] posture for positional
+    * retrieval, parity by construction. */
+  def phraseServeWriter(stream: DataFrame, postings: DataFrame,
+      qid: String, qtext: String, k: Int, window: Int = 0,
+      maxQueryTerms: Int = 10000)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val ranked =
+          if (window > 0)
+            graft.ops.TextAnalysis.nearSearch(postings, batch, qid,
+              qtext, window, k, maxQueryTerms)
+          else
+            graft.ops.TextAnalysis.phraseSearchPositional(postings,
+              batch, qid, qtext, k, maxQueryTerms)
+        process(ranked, bid)
+      }
+    }
+
   def bm25ServeWriter(stream: DataFrame, postings: DataFrame,
       qid: String, qtext: String, k: Int, hybrid: Boolean = false,
       scaleBits: Int = 12, maxQueryTerms: Int = 10000)(

@@ -774,6 +774,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pl2._3 == 1L && pl2._4 == 32L) // pooled [4,4]·[4,4]=32 beats 24
   }
 
+  test("maxSimRerank: full pool ≡ brute; tight pool returns pooled picks") {
+    val docToks = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (5L, Seq(0.8f, 0.8f)),
+      (7L, Seq(0.2f, 0.1f))).toDF("doc_id", "embedding")
+    val qToks = Seq((9L, 0, Seq(1.0f, 1.0f))).toDF("q_id", "q_tok", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Int, Long, Long, Long)].collect().toSet
+    // candidate pool = whole corpus → bit-equal to brute maxsim
+    val brute = rows(Similarity.maxSimTopK(docToks, "doc_id", "embedding",
+      qToks, "q_id", "q_tok", k = 3, scaleBits = 2))
+    val full = rows(Similarity.maxSimRerank(docToks, "doc_id", "embedding",
+      qToks, "q_id", "q_tok", k = 3, kCand = 3, scaleBits = 2))
+    assert(full == brute && brute.nonEmpty)
+    // kCand = 1: the POOLED pass picks doc 1 (token interference, the
+    // maxSimTopK disagreement case) and the rerank can only rescore it —
+    // the recall/cost dial visible end to end
+    val tight = rows(Similarity.maxSimRerank(docToks, "doc_id",
+      "embedding", qToks, "q_id", "q_tok", k = 1, kCand = 1,
+      scaleBits = 2))
+    assert(tight == Set((9L, 1, 1L, 16L, 1L)), s"got $tight")
+    val bruteTop = brute.find(_._2 == 1).get
+    assert(bruteTop._3 == 5L) // brute disagrees — doc 5 wins by maxsim
+  }
+
   test("binaryCodes packs sign bits; bit 63 lands in the int64 sign bit") {
     val vecs = Seq(
       (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f)), // bits 0,2 → 0b0101 = 5

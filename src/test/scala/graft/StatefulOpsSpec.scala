@@ -1512,4 +1512,38 @@ class StatefulOpsSpec extends SparkSpec {
         s"live CUSUM must equal batch: $streamed vs $batch")
     }
   }
+
+  test("phraseServeWriter: streamed phrase and NEAR equal batch") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq((1L, "a b c a b"), (2L, "b a b c"), (3L, "a x x b"))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.TextAnalysis.indexPostingsPositional(docs, "doc_id", "text")
+      .persist()
+    val phrases = Seq((100L, "a b"), (200L, "b c"))
+    val batchP = graft.ops.TextAnalysis.phraseSearchPositional(idx,
+        phrases.toDF("q_id", "qtext"), "q_id", "qtext", k = 5)
+      .collect().map(_.toSeq).toSet
+    val bufP = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.phraseServeWriter(
+        in.toDF().toDF("q_id", "qtext"), idx, "q_id", "qtext", k = 5) {
+      (out, _) => bufP ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) { in.addData(phrases: _*); q.processAllAvailable() }
+    assert(bufP.toSet == batchP && batchP.nonEmpty)
+    // NEAR mode (window > 0)
+    val batchN = graft.ops.TextAnalysis.nearSearch(idx,
+        phrases.toDF("q_id", "qtext"), "q_id", "qtext", window = 4, k = 5)
+      .collect().map(_.toSeq).toSet
+    val bufN = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StatefulOps.phraseServeWriter(
+        in2.toDF().toDF("q_id", "qtext"), idx, "q_id", "qtext", k = 5,
+        window = 4) {
+      (out, _) => bufN ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q2) { in2.addData(phrases: _*); q2.processAllAvailable() }
+    assert(bufN.toSet == batchN && batchN.nonEmpty)
+    idx.unpersist()
+  }
 }
