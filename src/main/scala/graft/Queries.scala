@@ -7612,6 +7612,44 @@ object Queries {
             FROM rr WHERE rn <= 10"""),
     bench = true)
 
+  /** Collocation mining (TextAnalysis.collocations): adjacent word
+    * pairs ranked by integer-grid LIFT — monotone in PMI for a fixed
+    * corpus, so the ranking IS the PMI ranking with zero
+    * transcendentals; minCount 5 kills low-support noise. Global top-30
+    * via TakeOrdered + a k-bounded rank count (no unpartitioned
+    * window — the PlanGuard rule). */
+  private val q214 = QDef("q214_collocations",
+    (s, d) => TextAnalysis.collocations(docs(s, d), "text",
+      minCount = 5, topK = 30),
+    Some("""WITH t AS MATERIALIZED (SELECT list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+            nn AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS n
+              FROM uni),
+            bi AS MATERIALIZED (SELECT gram,
+                CAST(count(*) AS BIGINT) AS c_ab
+              FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS gram FROM t)
+              GROUP BY 1 HAVING count(*) >= 5),
+            sc AS MATERIALIZED (SELECT gram, c_ab, ua.c AS c_a,
+                ub.c AS c_b,
+                CAST((c_ab * nn.n * 4096) // (ua.c * ub.c) AS BIGINT)
+                  AS lift_q
+              FROM bi CROSS JOIN nn
+              JOIN uni ua ON ua.w = split_part(gram, ' ', 1)
+              JOIN uni ub ON ub.w = split_part(gram, ' ', 2)),
+            tp AS MATERIALIZED (SELECT * FROM sc
+              ORDER BY lift_q DESC, gram LIMIT 30)
+            SELECT CAST(1 + (SELECT count(*) FROM tp y
+                WHERE y.lift_q > x.lift_q
+                  OR (y.lift_q = x.lift_q AND y.gram < x.gram)) AS INT)
+                AS rank,
+              x.gram, x.c_ab, x.c_a, x.c_b, x.lift_q
+            FROM tp x"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7638,7 +7676,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -83,6 +83,20 @@ object IndexMaintenance {
     }
   }
 
+  /** Dead-row accounting for compaction scheduling: physical rows, live
+    * rows, dead rows and the dead share in basis points — the number a
+    * maintenance loop compares against its compaction threshold
+    * ("compact at ≥ 20% dead"). Two counts over the bucketed table
+    * (one anti-joined); no data moves. */
+  def tombstoneStats(spark: SparkSession, table: String,
+                     idCol: String): (Long, Long, Long, Long) = {
+    val physical = spark.table(table).count()
+    val live = load(spark, table, idCol).count()
+    val dead = physical - live
+    val deadBp = if (physical == 0) 0L else 10000L * dead / physical
+    (physical, live, dead, deadBp)
+  }
+
   /** Rewrite the live rows as a fresh generation-0 bucketed table and
     * drop the tombstones — the amortized table-scale cleanup. The
     * rewrite goes through a sibling table + rename (Spark refuses to

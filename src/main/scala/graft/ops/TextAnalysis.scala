@@ -1948,6 +1948,64 @@ object TextAnalysis {
         col("n_matches"), col("first_pos"))
   }
 
+  /** Collocation mining — the corpus's most associated adjacent word
+    * pairs, ranked by LIFT on the exact integer grid:
+    * `lift_q = (c_ab · N · 2ˢ) div (c_a · c_b)` where `c_ab` is the
+    * bigram count, `c_a`/`c_b` the unigram counts and `N` the corpus
+    * token total. For a fixed corpus, lift is a strictly monotone
+    * transform of PMI (`PMI = log lift − log(N_bi/N)` up to the slot
+    * convention), so the RANKING is the PMI ranking without any
+    * transcendental leaving the engine — the q123 discipline applied to
+    * association mining. `minCount` kills the low-support noise PMI is
+    * notorious for; ties → gram ascending.
+    *
+    * Shape: one positional-bigram explode + count (map-side combine,
+    * output ∝ bigram inventory), one unigram count (∝ vocabulary), two
+    * inventory-bounded term joins, and a global top-k (TakeOrdered —
+    * never a full sort at the driver). Output:
+    * `(rank, gram, c_ab, c_a, c_b, lift_q)`. */
+  def collocations(df: DataFrame, text: String, minCount: Long = 5,
+                   topK: Int = 50, scaleBits: Int = 12): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = 1L << scaleBits
+    val uni = df.select(explode(tokens(lower(col(text)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c"))).as[Long].collect().head
+    require(n > 0, "collocations: corpus has no tokens")
+    val bi = df.select(
+        explode(Dedup.positionalShingles(lower(col(text)), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = bi
+      .withColumn("__a", split(col("gram"), " ").getItem(0))
+      .withColumn("__b", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("w").as("__a"), col("c").as("c_a")), Seq("__a"))
+      .join(uni.select(col("w").as("__b"), col("c").as("c_b")), Seq("__b"))
+      .withColumn("lift_q",
+        expr(s"(c_ab * $n * $s) div (c_a * c_b)"))
+    // global top-k WITHOUT an unpartitioned window (the PlanGuard rule):
+    // TakeOrdered cuts to topK rows, then ranks assign by counting
+    // strictly-better rows inside the k-bounded set (one broadcast
+    // nested-loop over ≤ k² pairs — never corpus-scale)
+    val top = scored.orderBy(col("lift_q").desc, col("gram")).limit(topK)
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift_q"))
+    top.as("x").join(broadcast(top.as("y")),
+        col("y.lift_q") > col("x.lift_q") ||
+          (col("y.lift_q") === col("x.lift_q") &&
+            col("y.gram") < col("x.gram")), "left")
+      .groupBy(col("x.gram").as("gram"), col("x.c_ab").as("c_ab"),
+        col("x.c_a").as("c_a"), col("x.c_b").as("c_b"),
+        col("x.lift_q").as("lift_q"))
+      .agg((count(col("y.gram")) + 1).cast("int").as("rank"))
+      .select(col("rank"), col("gram"), col("c_ab"), col("c_a"),
+        col("c_b"), col("lift_q"))
+  }
+
   /** NEAR retrieval — min-cover proximity search over a positional
     * postings table (Tao & Zhai's MinCover in exact relational form):
     * per query, the documents containing ALL of the query's distinct

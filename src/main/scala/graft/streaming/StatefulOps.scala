@@ -1280,6 +1280,24 @@ object StatefulOps {
       }
     }
 
+  /** Late-interaction serving: each query-token micro-batch runs the
+    * two-stage [[graft.ops.Similarity.maxSimRerank]] (pooled prefilter
+    * → exact maxsim rescore) against the static doc-token corpus — the
+    * multi-vector member of the foreachBatch serving family
+    * ([[bm25ServeWriter]] / [[phraseServeWriter]] /
+    * `ivfSq8ServeWriter`), parity by construction. The query batch must
+    * carry complete token bags per query id (the stream's unit is a
+    * QUERY, arriving as its token rows in one batch). */
+  def maxSimServeWriter(stream: DataFrame, docTokens: DataFrame,
+      id: String, vec: String, qid: String, qtok: String, k: Int,
+      kCand: Int, scaleBits: Int = 12)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Similarity.maxSimRerank(docTokens, id, vec,
+          batch, qid, qtok, k, kCand, scaleBits), bid)
+    }
+
   def bm25ServeWriter(stream: DataFrame, postings: DataFrame,
       qid: String, qtext: String, k: Int, hybrid: Boolean = false,
       scaleBits: Int = 12, maxQueryTerms: Int = 10000)(

@@ -1546,4 +1546,29 @@ class StatefulOpsSpec extends SparkSpec {
     assert(bufN.toSet == batchN && batchN.nonEmpty)
     idx.unpersist()
   }
+
+  test("maxSimServeWriter: streamed late-interaction equals batch rerank") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docToks = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (5L, Seq(0.8f, 0.8f)), (7L, Seq(0.2f, 0.1f)))
+      .toDF("doc_id", "embedding").persist()
+    val qToks = Seq((9L, 0, Seq(1.0f, 1.0f)), (9L, 1, Seq(1.0f, 0.0f)))
+    val batch = graft.ops.Similarity.maxSimRerank(docToks, "doc_id",
+        "embedding", qToks.toDF("q_id", "q_tok", "embedding"),
+        "q_id", "q_tok", k = 3, kCand = 3, scaleBits = 2)
+      .collect().map(_.toSeq).toSet
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, Int, Seq[Float])]
+    val q = StatefulOps.maxSimServeWriter(
+        in.toDF().toDF("q_id", "q_tok", "embedding"), docToks,
+        "doc_id", "embedding", "q_id", "q_tok", k = 3, kCand = 3,
+        scaleBits = 2) {
+      (out, _) => buf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) { in.addData(qToks: _*); q.processAllAvailable() }
+    assert(buf.toSet == batch && batch.nonEmpty)
+    docToks.unpersist()
+  }
 }
