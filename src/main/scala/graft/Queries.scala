@@ -7642,7 +7642,7 @@ object Queries {
               JOIN uni ub ON ub.w = split_part(gram, ' ', 2)),
             tp AS MATERIALIZED (SELECT * FROM sc
               ORDER BY lift_q DESC, gram LIMIT 30)
-            SELECT CAST(1 + (SELECT count(*) FROM tp y
+            SELECT CAST(1 + (SELECT count(1) FROM tp y
                 WHERE y.lift_q > x.lift_q
                   OR (y.lift_q = x.lift_q AND y.gram < x.gram)) AS INT)
                 AS rank,
