@@ -7650,6 +7650,37 @@ object Queries {
             FROM tp x"""),
     bench = true)
 
+  /** Length-bucketed batch planning with padding accounting
+    * (Sampling.paddedBatches): 16-token length buckets filled into
+    * batches of 8 in (length, id) order, each priced by the padding its
+    * longest member forces — the wasted-FLOPs share of a training run,
+    * measurable before any batch is built. Pure integer windows and
+    * rollups, bucketed by `len − pmod(len, width)` (the no-double-
+    * division rule). */
+  private val q215 = QDef("q215_padded_batches",
+    (s, d) => Sampling.paddedBatches(docs(s, d), "doc_id",
+      TextAnalysis.tokenCount(col("text")), bucketWidth = 16,
+      batchSize = 8),
+    Some("""WITH t AS (SELECT doc_id, CAST(len(list_filter(
+                regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                AS BIGINT) AS n
+              FROM documents),
+            b AS (SELECT doc_id, n, n - (n % 16) AS bucket FROM t),
+            r AS (SELECT doc_id, n, bucket, row_number() OVER (
+                PARTITION BY bucket ORDER BY n, doc_id) AS rn FROM b),
+            g AS (SELECT bucket, (rn - 1) // 8 AS batch,
+                count(*) AS n_seqs, max(n) AS max_len, sum(n) AS sum_len
+              FROM r GROUP BY 1, 2)
+            SELECT bucket, CAST(batch AS BIGINT) AS batch,
+              CAST(n_seqs AS BIGINT) AS n_seqs, max_len,
+              CAST(sum_len AS BIGINT) AS sum_len,
+              CAST(n_seqs * max_len - sum_len AS BIGINT) AS padded,
+              CASE WHEN max_len = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((10000 * (n_seqs * max_len - sum_len)) //
+                     (n_seqs * max_len) AS BIGINT) END AS pad_bp
+            FROM g"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7676,7 +7707,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

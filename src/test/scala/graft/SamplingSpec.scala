@@ -658,4 +658,36 @@ class SamplingSpec extends SparkSpec {
       spans.get(tok).map(_.split(" ").toSeq).getOrElse(Seq(tok))).mkString(" ")
     assert(rebuilt == (1 to 35).map(i => s"t$i").mkString(" "))
   }
+
+  test("paddedBatches: bucket fill order, padding price, zero-len") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // width 10, batch 2: lens 3,7 → bucket 0; 12,14,19 → bucket 10;
+    // doc 6 empty → bucket 0 len 0
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d e f g"),
+      (3L, "a b c d e f g h i j k l"),
+      (4L, "a b c d e f g h i j k l m n"),
+      (5L, "a b c d e f g h i j k l m n o p q r s"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = graft.ops.Sampling.paddedBatches(docs, "doc_id",
+        graft.ops.TextAnalysis.tokenCount(col("text")),
+        bucketWidth = 10, batchSize = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // bucket 0, batch 0: lens (0, 3) -> padded 2·3−3 = 3, bp 5000
+    assert(out((0L, 0L)) == ((0L, 0L, 2L, 3L, 3L, 3L, 5000L)))
+    // bucket 0, batch 1: len (7) alone -> no padding
+    assert(out((0L, 1L)) == ((0L, 1L, 1L, 7L, 7L, 0L, 0L)))
+    // bucket 10, batch 0: lens (12, 14) -> padded 28−26 = 2
+    assert(out((10L, 0L)) == ((10L, 0L, 2L, 14L, 26L, 2L, 714L)))
+    assert(out((10L, 1L)) == ((10L, 1L, 1L, 19L, 19L, 0L, 0L)))
+    assert(out.size == 4)
+    // all-empty bucket: a batch of zero-length docs pads nothing (the
+    // max_len = 0 guard)
+    val z = graft.ops.Sampling.paddedBatches(
+        Seq((1L, ""), (2L, "")).toDF("doc_id", "text"), "doc_id",
+        graft.ops.TextAnalysis.tokenCount(col("text")), 10, 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(z == ((0L, 0L, 2L, 0L, 0L, 0L, 0L)))
+  }
 }
