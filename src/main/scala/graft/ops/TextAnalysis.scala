@@ -1740,21 +1740,31 @@ object TextAnalysis {
     import spark.implicits._
     val vocab = queryVocabCounts(queries, qtext, maxQueryTerms)
     val terms = vocab.map(_._1)
-    val (tTot, nDocs) = postings
-      .agg(sum(col("tf")), countDistinct(col("doc")))
+    // ONE per-doc relation serves both the corpus stats and the length
+    // norm (r10: the old shape paid a separate full-index sum(tf) +
+    // countDistinct(doc) pass; dl = Σ tf per doc by construction, so
+    // sum(dl)/count over the distinct (doc, dl) table are the SAME
+    // integers). Persisted: consumed by the stats collect and the norm
+    // join, and its recompute crosses the distinct's shuffle.
+    val dld = Caches.track(
+      postings.select(col("doc"), col("dl")).distinct().persist())
+    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
       .as[(Long, Long)].collect().head
     require(tTot > 0, "bm25: corpus has no tokens")
     // the isin literal reaches the (bucketed) scan → bucket pruning
     val tdq = postings.filter(col("term").isin(terms.map(lit): _*))
       .select(col("doc"), col("term"), col("tf"))
+    // postings rows are unique per (doc, term) — indexPostings aggregates
+    // them that way and the maintenance loader preserves it — so df is a
+    // plain count, not an expand-based countDistinct
     val dfMap = tdq.groupBy(col("term"))
-      .agg(countDistinct(col("doc")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
     val idfRows = quantizedIdf(terms, dfMap, nDocs, scaleBits)
     val s = 1L << scaleBits
     val qt = queries.select(col(qid).as("q_id"),
       explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
-    val norm = postings.select(col("doc"), col("dl")).distinct()
+    val norm = dld
       .withColumn("norm_q",
         expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
     // per-POSTING contribution before the q_id expansion — same
