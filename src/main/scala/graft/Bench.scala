@@ -41,6 +41,25 @@ object Bench {
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/events.parquet").limit(100)
       .write.format("noop").mode("overwrite").save()
+    // Calibration probe (r10 verdict item 3): committed cross-round
+    // totals twice diverged ~40% UNIFORMLY on untouched queries (machine
+    // state, not code). This fixed synthetic query — FROZEN FOREVER, by
+    // contract never edited — is timed per bench run and reported as
+    // calibration_s (start) / calibration_end_s (after the suite), so a
+    // future diff can normalize totals from the artifacts alone:
+    // inflation ≈ calibration_s(new) / calibration_s(old). Min of three
+    // warm runs, the suite's own order statistic. Excluded from totals.
+    def calibrationOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8000000).selectExpr("id % 4096 k", "id v",
+          "md5(cast(id as string)) h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.max("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibration(): Double = { calibrationOnce(); (1 to 3).map(_ => calibrationOnce()).min }
+    val calibStart = calibration()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -74,12 +93,19 @@ object Bench {
           peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
         }
       }
-      /** Listener events are async — bounded wait for the run's jobs to
-        * settle so the counts cover the whole query. */
+      /** Listener events are async — drain the bus (bridged
+        * `waitUntilEmpty`), then a bounded wait for in-flight jobs: the
+        * old jobsEnded >= jobsStarted poll alone could satisfy before a
+        * job's START event was delivered (both counters ride the same
+        * async bus — r10 advice), undercounting stages/shuffle. */
       def settle(): Unit = {
+        org.apache.spark.sql.graftx.Listeners.drain(spark.sparkContext)
         val deadline = System.nanoTime() + 500000000L
         while (jobsEnded.get() < jobsStarted.get() &&
-               System.nanoTime() < deadline) Thread.sleep(5)
+               System.nanoTime() < deadline) {
+          Thread.sleep(5)
+          org.apache.spark.sql.graftx.Listeners.drain(spark.sparkContext)
+        }
       }
     }
     def gcMillis(): Long = {
@@ -146,14 +172,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(300))}" }
       .mkString("{", ",", "}")
+    val calibEnd = calibration()
     val total = "%.3f".format(ok.map(_._3).sum)
     val totalCold = "%.3f".format(ok.map(_._2).sum)
+    val calib = s""""calibration_s":${"%.3f".format(calibStart)},"calibration_end_s":${"%.3f".format(calibEnd)}"""
     // Field order is deliberate: the driver's log capture keeps only the
     // TAIL of the combined output (BENCH_r05 lost the warm headline, which
     // led the line). Bulky cold detail goes first so truncation eats it
     // before the warm queries / errors / headline `value` at the end; a
     // compact headline echo after the long line is the last thing printed.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries_cold":$qsCold,"queries_profile":$qsProf,"total_cold":$totalCold,"queries":$qs,"errors":$errs,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${ok.size},"queries_cold":$qsCold,"queries_profile":$qsProf,"total_cold":$totalCold,$calib,"queries":$qs,"errors":$errs,"value":$total}"""
     // The stdout tail capture front-truncated the per-query maps two
     // rounds running (BENCH_r05/r06 each lost ~40 warm entries), so the
     // complete line is ALSO written to a file the capture can't eat; the
@@ -170,7 +198,7 @@ object Bench {
     // Deliberately does NOT contain the `"metric"` key so a driver grep for
     // the contract line still matches exactly one line.
     val detail = if (wrote) s""","detail_file":${jstr(detailFile)}""" else ""
-    println(s"""{"headline_total_warm_sec":$total,"total_cold_sec":$totalCold,"n_queries":${ok.size},"n_errors":${failed.size},"sf":"$sfDir"$detail}""")
+    println(s"""{"headline_total_warm_sec":$total,"total_cold_sec":$totalCold,$calib,"n_queries":${ok.size},"n_errors":${failed.size},"sf":"$sfDir"$detail}""")
     spark.stop()
     if (failed.nonEmpty) System.exit(1)
   }

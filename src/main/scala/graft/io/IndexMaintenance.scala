@@ -100,15 +100,34 @@ object IndexMaintenance {
   /** Rewrite the live rows as a fresh generation-0 bucketed table and
     * drop the tombstones — the amortized table-scale cleanup. The
     * rewrite goes through a sibling table + rename (Spark refuses to
-    * overwrite a table its own plan reads). */
+    * overwrite a table its own plan reads), and the swap is
+    * rename-then-drop-old so the prior data is never the only casualty
+    * of a crash: stale siblings from a failed prior run are cleared
+    * first, then live rows land in `<table>__compact`, the serving name
+    * moves to `<table>__precompact`, the compacted table takes the
+    * serving name, and only then do the tombstones and the old data go.
+    *
+    * CRASH RECOVERY (compaction assumes exclusive access — it is a
+    * maintenance operation, not a concurrent writer): if a run died
+    * mid-swap, `<table>__precompact` exists. When `<table>` also exists
+    * the swap completed — drop `<table>__tombstones` and
+    * `<table>__precompact` (rerunning [[compact]] does NOT do this for
+    * you; it assumes `<table>` is the un-compacted source). When
+    * `<table>` is missing, rename `<table>__precompact` back and rerun.
+    * A leftover `<table>__compact` alone is harmless — the next run
+    * clears it. */
   def compact(spark: SparkSession, table: String, key: String,
               buckets: Int, idCol: String): Unit = {
     val tmp = table + "__compact"
+    val old = table + "__precompact"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    spark.sql(s"DROP TABLE IF EXISTS `$old`")
     Layout.writeBucketed(
       load(spark, table, idCol).withColumn("gen", lit(0L)),
       tmp, key, buckets)
-    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     spark.sql(s"DROP TABLE IF EXISTS `${tombstoneTable(table)}`")
+    spark.sql(s"DROP TABLE `$old`")
   }
 }

@@ -1708,7 +1708,10 @@ object TextAnalysis {
   def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                               table: String, ids: DataFrame,
                               idCol: String): Unit =
-    graft.io.IndexMaintenance.delete(spark, table, idCol,
+    // the select below already normalizes the caller's column to the
+    // index's "doc" — delete must address the NORMALIZED name (r10
+    // advice: passing idCol through broke any caller column ≠ "doc")
+    graft.io.IndexMaintenance.delete(spark, table, "doc",
       ids.select(col(idCol).as("doc")))
 
   /** Update documents in place: tombstone the batch's ids, then append
@@ -1728,7 +1731,14 @@ object TextAnalysis {
     * arithmetic and output to [[bm25TopK]], bit for bit — stats (total
     * tokens, corpus size, per-term df) recompute from the postings
     * themselves, so the index is self-contained and the text column
-    * never needs to exist at serving time. */
+    * never needs to exist at serving time.
+    *
+    * PRECONDITION: rows unique per (doc, term), one (doc, dl) per doc —
+    * what [[indexPostings]] emits and [[loadPostingsIndex]] preserves.
+    * A maintained table that has seen [[deleteFromPostingsIndex]] or
+    * [[replaceInPostingsIndex]] MUST be read via [[loadPostingsIndex]]
+    * (never a raw `spark.table`): dead generations would double-count
+    * df and (doc, dl) rows — silently wrong scores, no error. */
   def bm25Search(postings: DataFrame, queries: DataFrame, qid: String,
                  qtext: String, k: Int, scaleBits: Int = 12,
                  maxQueryTerms: Int = 10000,
@@ -1973,7 +1983,17 @@ object TextAnalysis {
     * output ∝ bigram inventory), one unigram count (∝ vocabulary), two
     * inventory-bounded term joins, and a global top-k (TakeOrdered —
     * never a full sort at the driver). Output:
-    * `(rank, gram, c_ab, c_a, c_b, lift_q)`. */
+    * `(rank, gram, c_ab, c_a, c_b, lift_q)`.
+    *
+    * Overflow posture (r10 advice): the numerator `c_ab · N · 2ˢ` is
+    * computed on DECIMAL(38,0) — exact integer arithmetic up to 10³⁸,
+    * so it stays total far past int64 (a 100 TB corpus has N ≈ 10¹³
+    * tokens; worst case c_ab = N gives ~4·10²⁹ ≪ 10³⁸, where the old
+    * int64 form threw under ANSI at ~4·10¹⁹). The QUOTIENT is still a
+    * BIGINT (`div` on decimals returns long): it is bounded by
+    * `N · 2ˢ / c_b ≤ N · 2ˢ`, so the op is total while
+    * `N < 2⁶³⁻ˢ` ≈ 2.25·10¹⁵ tokens at the default s = 12 — beyond any
+    * single-corpus scale this engine targets. */
   def collocations(df: DataFrame, text: String, minCount: Long = 5,
                    topK: Int = 50, scaleBits: Int = 12): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
@@ -1996,7 +2016,8 @@ object TextAnalysis {
       .join(uni.select(col("w").as("__a"), col("c").as("c_a")), Seq("__a"))
       .join(uni.select(col("w").as("__b"), col("c").as("c_b")), Seq("__b"))
       .withColumn("lift_q",
-        expr(s"(c_ab * $n * $s) div (c_a * c_b)"))
+        expr(s"(cast(c_ab as decimal(38,0)) * $n * $s) div " +
+          s"(cast(c_a as decimal(38,0)) * c_b)"))
     // global top-k WITHOUT an unpartitioned window (the PlanGuard rule):
     // TakeOrdered cuts to topK rows, then ranks assign by counting
     // strictly-better rows inside the k-bounded set (one broadcast
@@ -2024,18 +2045,29 @@ object TextAnalysis {
     * The classic "A NEAR/n B" operator, and the span statistic itself
     * is the standard proximity feature.
     *
-    * Exact without a sequential sweep: for every query-term occurrence
-    * treated as a candidate window END, the tightest window ending
-    * there starts at `min over terms of (that term's last occurrence ≤
-    * end)` — a self-join of the occurrence table on (query, doc) with
-    * `p ≤ end.p`, one (end, term) max, one (end) roll-up; an end with
-    * all terms seen yields span = end − start + 1, and the per-doc min
-    * over ends is exactly the min cover (every optimal window ends at
-    * an occurrence). Quadratic ONLY in a document's query-term
-    * occurrence count, and only for documents already containing every
-    * term (the all-terms semi-join runs first); the corpus-scale scan
-    * stays the bucket-pruned vocabulary filter. Output:
-    * `(q_id, rank, doc_id, min_span)`. */
+    * Exact AND linear: for every query-term occurrence treated as a
+    * candidate window END, the tightest window ending there starts at
+    * `min over the query's terms of (that term's last occurrence ≤
+    * end)` — and "last occurrence ≤ end" is a RUNNING conditional max,
+    * one `max(when(ti = i, p))` window per query-term slot over
+    * (q_id, doc) ordered by p, rows unbounded preceding → current (all
+    * slots share one WindowExec pass; running frames evaluate
+    * incrementally). An end whose k slots are all non-null yields
+    * span = end − start + 1, and the per-doc min over ends is exactly
+    * the min cover (every optimal window ends at an occurrence; every
+    * optimal window's start is some term's last occurrence before the
+    * end). O(m·k) for m query-term occurrences and k query terms —
+    * the r10 verdict's fix for the previous occurrence self-join,
+    * whose m² rows posted the fleet-worst 17.4 GB peak task memory and
+    * would not survive a stopword query against one long document.
+    * Documents missing a term never fill all slots, so no separate
+    * all-terms gate is needed; the corpus-scale scan stays the
+    * bucket-pruned vocabulary filter. Slot indexes are PER QUERY
+    * (terms sorted, indexed 0..kq−1), so multi-query batches with
+    * differing term sets share the slot columns; the per-row start is
+    * a kq-dispatched least() over the first kq slots with explicit
+    * null propagation (a missing term must void the cover — `least`
+    * alone skips nulls). Output: `(q_id, rank, doc_id, min_span)`. */
   def nearSearch(postings: DataFrame, queries: DataFrame, qid: String,
                  qtext: String, window: Int, k: Int,
                  maxQueryTerms: Int = 10000): DataFrame = {
@@ -2050,34 +2082,51 @@ object TextAnalysis {
     require(qtRows.length <= maxQueryTerms,
       s"nearSearch: ${qtRows.length} query terms exceed " +
         s"maxQueryTerms=$maxQueryTerms — batch the queries")
+    // per-query term-slot assignment (terms sorted, ti in 0..kq-1): the
+    // slot columns below are shared across queries with different term
+    // sets because the window partitions by q_id
+    val slotted = qtRows.groupBy(_.get(0)).valuesIterator.flatMap { rs =>
+      val sortedTs = rs.sortBy(_.getString(1))
+      sortedTs.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ i :+ sortedTs.length)
+      }
+    }.toArray
+    val maxKq = qtRows.groupBy(_.get(0)).valuesIterator.map(_.length).max
+    val qtSchema = qt.schema
+      .add("ti", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("kq", org.apache.spark.sql.types.IntegerType, nullable = false)
     val qtLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qtRows: _*), qt.schema)
-    val kq = qtLocal.groupBy(col("q_id")).agg(count(lit(1)).as("kq"))
+      java.util.Arrays.asList(slotted: _*), qtSchema)
     val terms = qtRows.map(_.getString(1)).distinct.sorted.toSeq
     val ev = postings.filter(col("term").isin(terms.map(lit): _*))
       .select(col("doc"), col("term"), explode(col("pos")).as("p"))
       .join(broadcast(qtLocal), Seq("term"))
-    // only documents containing EVERY query term enter the quadratic half
-    val full = ev.groupBy(col("q_id"), col("doc"))
-      .agg(countDistinct(col("term")).as("__nt"))
-      .join(broadcast(kq), Seq("q_id"))
-      .filter(col("__nt") === col("kq"))
-      .select(col("q_id"), col("doc"))
-    val fev = Caches.track(
-      ev.join(full, Seq("q_id", "doc")).persist())
-    val ends = fev.select(col("q_id"), col("doc"), col("p").as("pe"))
-    val lastSeen = ends.join(fev.select(col("q_id"), col("doc"),
-          col("term"), col("p")),
-        Seq("q_id", "doc"))
-      .filter(col("p") <= col("pe"))
-      .groupBy(col("q_id"), col("doc"), col("pe"), col("term"))
-      .agg(max(col("p")).as("__lp"))
-    val covers = lastSeen.groupBy(col("q_id"), col("doc"), col("pe"))
-      .agg(count(lit(1)).as("__nt"), min(col("__lp")).as("__start"))
-      .join(broadcast(kq), Seq("q_id"))
-      .filter(col("__nt") === col("kq"))
+      .select(col("q_id"), col("doc"), col("p").cast("long").as("p"),
+        col("ti"), col("kq"))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("doc")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lsCols = (0 until maxKq).map(i =>
+      max(when(col("ti") === i, col("p"))).over(sweep).as(s"__ls$i"))
+    val withLs = ev.select(
+      Seq(col("q_id"), col("doc"), col("p"), col("kq")) ++ lsCols: _*)
+    // start = least over the first kq slots, NULL if any slot is null
+    // (least() skips nulls — a doc missing a term must NOT cover)
+    val startExpr = (1 to maxKq).foldLeft(lit(null).cast("long")) {
+      (acc, n) =>
+        val cs = (0 until n).map(i => col(s"__ls$i"))
+        val anyNull = cs.map(_.isNull).reduce(_ || _)
+        val mn = if (n == 1) cs.head else least(cs: _*)
+        when(col("kq") === n,
+          when(anyNull, lit(null).cast("long")).otherwise(mn))
+          .otherwise(acc)
+    }
+    val covers = withLs.withColumn("__start", startExpr)
+      .filter(col("__start").isNotNull)
       .select(col("q_id"), col("doc"),
-        (col("pe") - col("__start") + 1).cast("long").as("span"))
+        (col("p") - col("__start") + 1).cast("long").as("span"))
     val spans = covers.groupBy(col("q_id"), col("doc"))
       .agg(min(col("span")).as("min_span"))
       .filter(col("min_span") <= window)

@@ -14,6 +14,17 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Synchronous drain of the async listener bus — `listenerBus` and
+  * `waitUntilEmpty` are `private[spark]`, hence the bridge. Used by the
+  * bench profiler: job/stage events are delivered async, so a
+  * "jobsEnded >= jobsStarted" poll can satisfy before the start event
+  * of an in-flight job has even arrived; draining the bus after the
+  * query returns makes the per-run stage/shuffle counters complete. */
+object Listeners {
+  def drain(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
+
 /** Post-hoc SQL registration of the graft native functions on an
   * already-built session (the extensions path, `graft.GraftExtensions`,
   * covers spark-submit). Session-state access is `private[sql]`, hence
