@@ -7681,6 +7681,158 @@ object Queries {
             FROM g"""),
     bench = true)
 
+  /** Fielded view of the documents corpus for BM25F: title = the first
+    * 8 tokens, body = the rest — long form `(doc_id, field, ftext)`.
+    * Rejoining lowercased tokens with single spaces makes the fielded
+    * re-tokenization reproduce the slice exactly on both engines. */
+  private def fieldedDocs(s: SparkSession, d: String): DataFrame = {
+    val t = TextAnalysis.tokens(lower(col("text")))
+    docs(s, d).select(col("doc_id"), lit("title").as("field"),
+        array_join(slice(t, lit(1), lit(8)), " ").as("ftext"))
+      .unionByName(docs(s, d).select(col("doc_id"),
+        lit("body").as("field"),
+        array_join(slice(t, lit(9), greatest(size(t) - 8, lit(0))), " ")
+          .as("ftext")))
+  }
+  private val bm25fWeights = Seq("title" -> 3L, "body" -> 1L)
+  private val bm25fIdfCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+  private def trainedBm25fIdf(s: SparkSession, d: String)
+      : Seq[(String, Long)] =
+    bm25fIdfCache.getOrElseUpdate(d, TextAnalysis.bm25fIdf(
+      TextAnalysis.indexPostingsFielded(fieldedDocs(s, d), "doc_id",
+        "field", "ftext"),
+      bm25fWeights, bm25Queries(s, d), "qtext"))
+
+  /** Field-weighted BM25F (TextAnalysis.bm25fSearch over
+    * indexPostingsFielded): title = first 8 tokens at weight 3, body =
+    * the rest at weight 1 — weighted-field-concatenation BM25F on the
+    * exact integer grid (wtf = Σ w_f·tf_f, wdl = Σ w_f·dl_f, then the
+    * untouched bm25 floor divisions). The idf artifact — trained over
+    * the weighted fields — inlines as VALUES (q124 transport). */
+  private val q216 = QDef("q216_bm25f",
+    (s, d) => TextAnalysis.bm25fSearch(
+      TextAnalysis.indexPostingsFielded(fieldedDocs(s, d), "doc_id",
+        "field", "ftext"),
+      bm25Queries(s, d), "q_id", "qtext", k = 10, weights = bm25fWeights),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedBm25fIdf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           fl AS MATERIALIZED (
+             SELECT doc_id, 'title' AS field, ws[1:8] AS fts FROM dt
+             UNION ALL
+             SELECT doc_id, 'body' AS field, ws[9:] AS fts FROM dt),
+           fnz AS MATERIALIZED (SELECT doc_id, field, fts FROM fl
+             WHERE len(fts) > 0),
+           wts(field, w) AS (VALUES ('title', 3), ('body', 1)),
+           tfq AS (SELECT doc_id, field, term,
+               CAST(count(*) AS BIGINT) AS ctf
+             FROM (SELECT doc_id, field, unnest(fts) AS term FROM fnz)
+             GROUP BY 1, 2, 3),
+           fdl AS (SELECT doc_id, field, CAST(len(fts) AS BIGINT) AS fdl
+             FROM fnz),
+           dl AS (SELECT doc_id, CAST(sum(w * fdl) AS BIGINT) AS dl
+             FROM fdl JOIN wts USING (field) GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                     CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+             FROM dt WHERE doc_id % 25 = 0),
+           td AS (SELECT doc_id, term, CAST(sum(w * ctf) AS BIGINT) AS wtf
+             FROM tfq JOIN wts USING (field) GROUP BY 1, 2),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT doc_id,
+               (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot) AS norm_q
+             FROM dl, tot),
+           sc AS (SELECT q.q_id, td.doc_id,
+               CAST(sum((idf_q * wtf * 11 * 4096) //
+                 (5 * wtf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q,
+               CAST(count(*) AS BIGINT) AS n_terms
+             FROM q JOIN idf USING (term) JOIN td USING (term)
+                  JOIN nrm USING (doc_id)
+             GROUP BY 1, 2),
+           r AS (SELECT q_id, doc_id, score_q, n_terms, row_number() OVER (
+               PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+             FROM sc)
+           SELECT q_id, CAST(rn AS INT) AS rank, doc_id, score_q, n_terms
+           FROM r WHERE rn <= 10"""
+    }))
+
+  /** Trigram collocations (TextAnalysis.collocationsN, n = 3): phrase
+    * mining over adjacent word triples, ranked by the integer-grid
+    * n-way lift (numerator on DECIMAL(38,0) ≡ DuckDB HUGEINT — both
+    * exact to 10³⁸); top-20 via TakeOrdered + k-bounded rank join. */
+  private val q217 = QDef("q217_collocations3",
+    (s, d) => TextAnalysis.collocationsN(docs(s, d), "text", n = 3,
+      minCount = 3, topK = 20),
+    Some("""WITH t AS MATERIALIZED (SELECT list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+            nn AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS n
+              FROM uni),
+            tri AS MATERIALIZED (SELECT gram,
+                CAST(count(*) AS BIGINT) AS c_gram
+              FROM (SELECT unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                      AS gram FROM t)
+              GROUP BY 1 HAVING count(*) >= 3),
+            sc AS MATERIALIZED (SELECT gram, c_gram,
+                CAST((CAST(c_gram AS HUGEINT) * nn.n * nn.n * 4096) //
+                  (CAST(ua.c AS HUGEINT) * ub.c * uc.c) AS BIGINT)
+                  AS lift_q
+              FROM tri CROSS JOIN nn
+              JOIN uni ua ON ua.w = split_part(gram, ' ', 1)
+              JOIN uni ub ON ub.w = split_part(gram, ' ', 2)
+              JOIN uni uc ON uc.w = split_part(gram, ' ', 3)),
+            tp AS MATERIALIZED (SELECT * FROM sc
+              ORDER BY lift_q DESC, gram LIMIT 20)
+            SELECT CAST(1 + (SELECT count(1) FROM tp y
+                WHERE y.lift_q > x.lift_q
+                  OR (y.lift_q = x.lift_q AND y.gram < x.gram)) AS INT)
+                AS rank,
+              x.gram, x.c_gram, x.lift_q
+            FROM tp x"""),
+    bench = true)
+
+  /** Embedding-based decontamination (Similarity.semanticDecontaminate):
+    * held-out benchmark vectors (vec_id % 500 = 0, broadcast) scanned
+    * against the disjoint training pool (vec_id % 50 ≠ 0) — per pool
+    * vector the count of cosine-near benchmark hits (round-6 then a
+    * DYADIC threshold 29/32, IEEE-exact in both engines), the nearest
+    * benchmark cosine, and the kept verdict. One fused BNLJ pass +
+    * map-side-combined per-doc aggregate. */
+  private val q218 = QDef("q218_semantic_decontam",
+    (s, d) => Similarity.semanticDecontaminate(
+      emb(s, d).filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+      emb(s, d).filter(col("vec_id") % 500 === 0), "embedding",
+      threshold = 0.90625),
+    Some("""WITH v AS MATERIALIZED (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            c AS (SELECT * FROM v WHERE vec_id % 50 <> 0),
+            h AS (SELECT vec AS h_vec, nrm AS h_nrm FROM v
+              WHERE vec_id % 500 = 0),
+            p AS (SELECT c.vec_id,
+                round(list_sum(list_transform(range(1, len(c.vec) + 1),
+                  i -> CAST(c.vec[i] AS DOUBLE) * h.h_vec[i]))
+                  / (c.nrm * h.h_nrm), 6) AS cos
+              FROM c, h)
+            SELECT vec_id,
+              CAST(sum(CASE WHEN cos >= 29.0/32.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+              max(cos) AS max_cos,
+              (sum(CASE WHEN cos >= 29.0/32.0 THEN 1 ELSE 0 END) = 0)
+                AS kept
+            FROM p GROUP BY 1"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7707,7 +7859,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -97,6 +97,38 @@ object IndexMaintenance {
     (physical, live, dead, deadBp)
   }
 
+  /** The compaction POLICY driver (r10 verdict item 4 — `tombstoneStats`
+    * existed but nothing drove it): compact `table` exactly when its
+    * dead-row share reaches `maxDeadBp` basis points. Returns true iff a
+    * compaction ran. The intended shape of a maintenance loop is
+    * "after every delete/replace batch (or on a timer), call
+    * `compactIfNeeded`": the stats probe is two counts (one bucket scan,
+    * one anti-joined), so probing every batch is cheap relative to the
+    * batch itself, and the amortized rewrite cost is bounded — at a
+    * threshold of d basis points, each table-scale rewrite absorbs at
+    * least d/10000 of the table in deletions, so total compaction work
+    * is ≤ 10000/d × the deletion volume. Thresholds near 0 degrade to
+    * rewrite-per-delete (the policy [[compact]]'s LSM design exists to
+    * avoid); 2000-5000 bp is the useful band. `maxDeadBp = 0` is
+    * rejected — it would compact on every probe once a single tombstone
+    * lands, including no-op probes after a compaction already ran.
+    *
+    * SCHEDULING NOTE: like [[compact]], this assumes exclusive access
+    * for the duration of the rewrite (a maintenance window, not a
+    * concurrent writer). Serving reads through [[load]] are identical
+    * before and after (spec-proven); reads DURING the swap see the
+    * crash-recovery states documented on [[compact]]. */
+  def compactIfNeeded(spark: SparkSession, table: String, key: String,
+                      buckets: Int, idCol: String,
+                      maxDeadBp: Long): Boolean = {
+    require(maxDeadBp >= 1 && maxDeadBp <= 10000,
+      s"maxDeadBp must be in [1, 10000], got $maxDeadBp")
+    val (_, _, _, deadBp) = tombstoneStats(spark, table, idCol)
+    val fire = deadBp >= maxDeadBp
+    if (fire) compact(spark, table, key, buckets, idCol)
+    fire
+  }
+
   /** Rewrite the live rows as a fresh generation-0 bucketed table and
     * drop the tombstones — the amortized table-scale cleanup. The
     * rewrite goes through a sibling table + rename (Spark refuses to
@@ -129,5 +161,16 @@ object IndexMaintenance {
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     spark.sql(s"DROP TABLE IF EXISTS `${tombstoneTable(table)}`")
     spark.sql(s"DROP TABLE `$old`")
+    // the rename swap leaves the session's cached file index for the
+    // serving name pointing at the pre-compaction files — refresh, or
+    // the next read throws FAILED_READ_FILE on the dropped parquet.
+    // NOTE for long-lived sessions: operator-INTERNAL persists (the
+    // graft.ops.Caches ledger — e.g. bm25Search's stats relation) hold
+    // their own resolved file listings and are matched by CANONICAL
+    // plan, so a pre-compaction persist can be substituted into a
+    // post-compaction query and read dropped files; callers must
+    // `Caches.release()` after their terminal actions (the documented
+    // ledger contract) before compacting.
+    spark.catalog.refreshTable(table)
   }
 }

@@ -874,7 +874,12 @@ object Curation {
     *  7 neardup      MinHash-LSH near-dup pairs; the larger id of every
     *                 verified pair leaves (pair rule, not chain)
     *  8 decontam     drop docs sharing any distinct `decontamN`-token
-    *                 shingle with a BENCHMARK doc's raw text
+    *                 shingle with a BENCHMARK doc's raw text; with
+    *                 `semanticEmb` supplied, ALSO drop docs whose
+    *                 embedding is cosine-close (≥ `semanticTau`, rounded
+    *                 to 6) to any benchmark doc's — the paraphrase leak
+    *                 the n-gram gate cannot see
+    *                 ([[graft.ops.Similarity.semanticDecontaminate]])
     *  9 mixture      per-source balance: rank by id within source, keep
     *                 rank ≤ the smallest source's survivor count
     * 10 packed       greedy token packing (packSpans): n_docs = number of
@@ -906,7 +911,11 @@ object Curation {
                      numHashes: Int = 12, bands: Int = 4,
                      threshold: Double = 0.5, decontamN: Int = 8,
                      numShards: Int = 8, budgetTokens: Long = 256,
-                     packSalt: String = "fun"): DataFrame = {
+                     packSalt: String = "fun",
+                     semanticEmb: Option[DataFrame] = None,
+                     semanticEmbId: String = "vec_id",
+                     semanticEmbVec: String = "embedding",
+                     semanticTau: Double = 0.90625): DataFrame = {
     require(benchMod >= 2, s"bad benchMod: $benchMod")
     require(decontamN >= 2, s"bad decontamN: $decontamN")
     def row(n: Int, name: String, set: DataFrame, t: String): DataFrame =
@@ -960,8 +969,26 @@ object Curation {
         explode(Dedup.wordShingles(col("ct"), decontamN)).as("g"))
       .join(benchGrams, Seq("g"))
       .select(col("doc_id")).distinct()
-    val s8 = s7.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    // stage 8's semantic EXTENSION (r10 verdict item 7): when document
+    // embeddings are supplied, docs whose embedding is cosine-close to
+    // any BENCHMARK doc's embedding leave too — the n-gram gate catches
+    // verbatim leakage, the semantic gate catches paraphrases; a real
+    // curation run wants both. Docs without an embedding row keep (no
+    // evidence). Default None keeps the q211 contract bit-identical.
+    val s8base = s7.join(contaminated, Seq("doc_id"), "left_anti")
+    val s8 = (semanticEmb match {
+      case None => s8base
+      case Some(e) =>
+        val ev = e.select(col(semanticEmbId).as("doc_id"),
+          col(semanticEmbVec).as("__v"))
+        val he = ev.join(bench.select(col("doc_id")), Seq("doc_id"))
+        val ce = ev.join(s8base.select(col("doc_id")), Seq("doc_id"))
+        val dropped = graft.ops.Similarity
+          .semanticDecontaminate(ce, "doc_id", "__v",
+            he.select(col("__v")), "__v", semanticTau)
+          .filter(!col("kept")).select(col("doc_id"))
+        s8base.join(dropped, Seq("doc_id"), "left_anti")
+    }).localCheckpoint()
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("doc_id"))
     val quota = s8.groupBy(col("src")).agg(count(lit(1)).as("__n"))

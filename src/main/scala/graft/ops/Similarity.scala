@@ -368,6 +368,56 @@ object Similarity {
       .select(col("c_id").as(id), col("cell"), col("d_id").isNull.as("kept"))
   }
 
+  /** Embedding-based decontamination — the SEMANTIC form of the n-gram
+    * eval-leak gate ([[graft.ops.Dedup]]'s `decontaminate` family, and
+    * stage 8 of [[graft.ops.Curation.pretrainingFunnel]]): a corpus
+    * document is CONTAMINATED iff its embedding is cosine-close to ANY
+    * holdout/benchmark embedding — the check that catches PARAPHRASED
+    * leakage exact n-gram overlap cannot see. Cosine is rounded to 6
+    * digits BEFORE thresholding (the [[cosineNearDupPairs]] cross-engine
+    * discipline); pick a dyadic threshold (e.g. 29/32 = 0.90625) so the
+    * comparison literal is IEEE-exact in any engine. Output: one row per
+    * corpus id — `(id, n_hits, max_cos, kept)` with
+    * `kept = (n_hits == 0)`; `max_cos` is reported over ALL holdout
+    * vectors (an audit column — how close the nearest benchmark item
+    * is, flagged or not).
+    *
+    * Scale shape: the holdout side is benchmark-scale by contract
+    * (`maxBroadcastHoldout` guards it) and BROADCASTS; the corpus
+    * streams through ONE fused nested-loop pass, and the per-doc
+    * aggregate map-side-combines the |holdout| pair rows before the
+    * shuffle — corpus-scan cost, zero corpus-scale join. The corpus-side
+    * norm lands in the post-BNLJ project and re-evaluates per pair (the
+    * q120 collapse); `materializeCorpusNorms` opts into persisting the
+    * (id, vec, norm) projection when |holdout| is large enough to make
+    * that dominant ([[cosineTopK]]'s measured tradeoff). */
+  def semanticDecontaminate(corpus: DataFrame, id: String, vec: String,
+                            holdout: DataFrame, hvec: String,
+                            threshold: Double,
+                            maxBroadcastHoldout: Long = 500000L,
+                            materializeCorpusNorms: Boolean = false)
+      : DataFrame = {
+    requireBounded("semanticDecontaminate", "holdout", holdout,
+      maxBroadcastHoldout, "maxBroadcastHoldout",
+      "shard the holdout set and AND the kept flags, or raise the limit")
+    require(!holdout.isEmpty,
+      "semanticDecontaminate: empty holdout set (nothing to check " +
+        "against — a cross join would silently drop every corpus row)")
+    val h = holdout.select(col(hvec).as("h_vec"),
+      norm(col(hvec)).as("h_norm"))
+    val c0 = corpus.select(col(id), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val c = if (materializeCorpusNorms) Caches.track(c0.persist()) else c0
+    c.crossJoin(broadcast(h))
+      .select(col(id),
+        round(cosine(col("c_vec"), col("h_vec"), col("c_norm"),
+          col("h_norm")), 6).as("cos"))
+      .groupBy(col(id))
+      .agg(sum(when(col("cos") >= threshold, 1L).otherwise(0L))
+        .as("n_hits"), max(col("cos")).as("max_cos"))
+      .withColumn("kept", col("n_hits") === 0L)
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer: init =
     * the `k` lowest-id corpus vectors, then `iters` rounds of
     * (assign to max-cosine centroid, tie → larger cent_id) →

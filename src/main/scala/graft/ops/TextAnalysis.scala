@@ -1656,6 +1656,127 @@ object TextAnalysis {
       resolvePrune(pruneMode, pruneThreshold, est2))
   }
 
+  // ------------------------------------------------- fielded (BM25F)
+
+  /** Fielded postings — the multi-field inverted-index layout
+    * ([[indexPostings]] with a `field` dimension): one row per
+    * `(doc, field, term)` with the within-field `tf` and the field's own
+    * token length `fdl`. Input is LONG FORM — one row per (doc, field)
+    * with that field's text — so callers choose the field synthesis
+    * (title/body/anchor/...) and the index layout never hard-codes a
+    * schema. Fields with zero tokens simply have no rows (the
+    * [[indexPostings]] empty-doc convention, per field). Output:
+    * `(doc, field, term, tf, fdl)` — a strict superset of the plain
+    * postings row shape, same bucketing key. */
+  def indexPostingsFielded(df: DataFrame, id: String, field: String,
+                           text: String): DataFrame = {
+    val td = df.select(col(id).as("doc"), col(field).as("field"),
+        explode(tokens(lower(col(text)))).as("term"))
+      .groupBy(col("doc"), col("field"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val fdl = td.groupBy(col("doc"), col("field"))
+      .agg(sum(col("tf")).as("fdl"))
+    td.join(fdl, Seq("doc", "field"))
+  }
+
+  /** Persist a fielded postings index bucketed by term — identical
+    * serving contract to [[savePostingsIndex]] (bucket-pruned query
+    * vocabulary scans, [[graft.io.IndexMaintenance]] lifecycle via the
+    * `gen` column and [[loadPostingsIndex]]). */
+  def saveFieldedPostingsIndex(df: DataFrame, id: String, field: String,
+                               text: String, table: String,
+                               buckets: Int): Unit =
+    graft.io.Layout.writeBucketed(
+      indexPostingsFielded(df, id, field, text).withColumn("gen", lit(0L)),
+      table, "term", buckets)
+
+  /** Shared heavy half of BM25F: the weighted-collapsed tf table, the
+    * weighted per-doc length table, corpus totals and the quantized idf
+    * artifact. Weights are INTEGER per-field boosts (the exactness
+    * grid); fields absent from `weights` are ignored entirely — the
+    * weighted view's corpus is "the weighted fields only", consistently
+    * for lengths, df and N. */
+  private def bm25fCore(fposts: DataFrame, queries: DataFrame,
+                        qtext: String, weights: Seq[(String, Long)],
+                        scaleBits: Int, maxQueryTerms: Int)
+      : (DataFrame, DataFrame, Long, Long, Seq[(String, Long)]) = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 1),
+      s"bm25f: weights must be a non-empty (field, w >= 1) list, " +
+        s"got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"bm25f: duplicate field in weights: $weights")
+    val spark = fposts.sparkSession
+    import spark.implicits._
+    val vocab = queryVocabCounts(queries, qtext, maxQueryTerms)
+    val terms = vocab.map(_._1)
+    val wdf = broadcast(weights.toDF("field", "__w"))
+    // ONE distinct (doc, field, fdl) relation feeds lengths and N (the
+    // bm25Search single-stats-relation discipline); persisted — consumed
+    // by the totals collect and the norm join, recompute crosses the
+    // distinct's shuffle
+    val dld = Caches.track(
+      fposts.select(col("doc"), col("field"), col("fdl")).distinct()
+        .join(wdf, Seq("field"))
+        .groupBy(col("doc")).agg(sum(col("__w") * col("fdl")).as("dl"))
+        .persist())
+    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
+      .as[(Long, Long)].collect().head
+    require(tTot > 0, "bm25f: corpus has no tokens in weighted fields")
+    // weighted tf: the bucket-pruning isin reaches the term scan FIRST,
+    // then the per-field rows collapse to (doc, term) with the boost
+    // folded in — rows unique per (doc, field, term) by construction,
+    // so df below is a plain count over the collapsed table
+    val tdq = fposts.filter(col("term").isin(terms.map(lit): _*))
+      .join(wdf, Seq("field"))
+      .groupBy(col("doc"), col("term"))
+      .agg(sum(col("__w") * col("tf")).as("tf"))
+    val dfMap = tdq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    (tdq, dld, tTot, nDocs, quantizedIdf(terms, dfMap, nDocs, scaleBits))
+  }
+
+  /** The trained BM25F idf artifact `(term, idf_q)` over the weighted
+    * fields — exact int64, so it inlines into generated oracles as
+    * plain VALUES (the q124 transport pattern). df = documents whose
+    * WEIGHTED fields contain the term; N = documents with any weighted
+    * token (idf depends on the weighted field SET, not the values). */
+  def bm25fIdf(fposts: DataFrame, weights: Seq[(String, Long)],
+               queries: DataFrame, qtext: String, scaleBits: Int = 12,
+               maxQueryTerms: Int = 10000): Seq[(String, Long)] =
+    bm25fCore(fposts, queries, qtext, weights, scaleBits,
+      maxQueryTerms)._5
+
+  /** BM25F — field-weighted ranked retrieval over a fielded postings
+    * table ([[indexPostingsFielded]] fresh, or reloaded via
+    * [[loadPostingsIndex]]), the standard multi-field form every search
+    * stack ships (title hits outrank body hits): the WEIGHTED-FIELD
+    * CONCATENATION BM25F (Robertson & Zaragoza's simple form with a
+    * shared length normalization) —
+    * `wtf(t,d) = Σ_f w_f · tf(t,d,f)`, `wdl(d) = Σ_f w_f · dl_f(d)`,
+    * then the untouched [[bm25TopK]] integer arithmetic on (wtf, wdl):
+    * idf from document-level df over the weighted fields, the same
+    * `norm_q`/contribution floor divisions, score DESC then doc ASC.
+    * Integer field weights keep every intermediate on the exact int64
+    * grid, so the ranking is engine-exact like the rest of the family.
+    * Equal weights over one field degenerate to [[bm25Search]] exactly
+    * (spec-pinned). Scale shape = [[bm25Search]]'s: bucket-pruned
+    * vocabulary scan, one collapse aggregate (∝ query-field postings),
+    * driver-bounded idf broadcast, [[rankTopK]] ranking. Output:
+    * `(q_id, rank, doc_id, score_q, n_terms)`. */
+  def bm25fSearch(fposts: DataFrame, queries: DataFrame, qid: String,
+                  qtext: String, k: Int, weights: Seq[(String, Long)],
+                  scaleBits: Int = 12,
+                  maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val (tdq, dld, tTot, nDocs, idfRows) =
+      bm25fCore(fposts, queries, qtext, weights, scaleBits, maxQueryTerms)
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    bm25RankTerms(tdq, dld, tTot, nDocs, idfRows, qt, k, scaleBits,
+      prune = false)
+  }
+
   /** Persist the postings index BUCKETED BY TERM
     * ([[graft.io.Layout.writeBucketed]]) — the sparse-retrieval serving
     * posture mirroring [[graft.ops.Similarity.saveIvfSq8Index]]'s dense
@@ -2035,6 +2156,65 @@ object TextAnalysis {
       .agg((count(col("y.gram")) + 1).cast("int").as("rank"))
       .select(col("rank"), col("gram"), col("c_ab"), col("c_a"),
         col("c_b"), col("lift_q"))
+  }
+
+  /** N-gram collocations / multiword-expression mining — [[collocations]]
+    * generalized past bigrams (r10 verdict item 8): adjacent n-grams
+    * ranked by the integer-grid LIFT against the independence baseline,
+    * `lift_q = (c_gram · N^(n−1) · 2ˢ) div (Π_i c_wᵢ)` — the n-way PMI's
+    * monotone transform (`PMI_n = log(p(w₁..wₙ) / Π p(wᵢ))` up to the
+    * fixed slot convention), zero transcendentals. The standard phrase
+    * miner for tokenizer evaluation: high-lift trigrams are the
+    * multiword expressions a subword vocabulary should keep whole.
+    *
+    * Numerator on DECIMAL(38,0) (the [[collocations]] overflow posture,
+    * one N factor deeper): exact while `c_gram · N^(n−1) · 2ˢ < 10³⁸`
+    * (n = 3: fine to N ≈ 10¹² even with c_gram = 10⁶-frequent phrases);
+    * the BIGINT quotient is bounded by `N^(n−1)·2ˢ / Π c ≤ N·2ˢ` for any
+    * gram whose words each appear at least c_gram times. Same shape as
+    * [[collocations]]: one positional-shingle explode + count, n
+    * inventory-bounded unigram joins, TakeOrdered top-k with the
+    * k-bounded rank join. Output: `(rank, gram, c_gram, lift_q)`. */
+  def collocationsN(df: DataFrame, text: String, n: Int,
+                    minCount: Long = 5, topK: Int = 50,
+                    scaleBits: Int = 12): DataFrame = {
+    require(n >= 2 && n <= 5, s"n must be in [2, 5], got $n")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = 1L << scaleBits
+    val uni = df.select(explode(tokens(lower(col(text)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c"))).as[Long].collect().head
+    require(nTok > 0, "collocationsN: corpus has no tokens")
+    val gr = df.select(
+        explode(Dedup.positionalShingles(lower(col(text)), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_gram"))
+      .filter(col("c_gram") >= minCount)
+    val joined = (0 until n).foldLeft(
+      gr.withColumn("__ws", split(col("gram"), " "))) { (acc, i) =>
+        acc.withColumn(s"__w$i", col("__ws").getItem(i))
+          .join(uni.select(col("w").as(s"__w$i"), col("c").as(s"__c$i")),
+            Seq(s"__w$i"))
+    }
+    val numer = s"cast(c_gram as decimal(38,0))" +
+      (" * " + nTok.toString) * (n - 1) + s" * $s"
+    val denom = s"cast(__c0 as decimal(38,0))" +
+      (1 until n).map(i => s" * __c$i").mkString
+    val scored = joined.withColumn("lift_q",
+      expr(s"($numer) div ($denom)"))
+    val top = scored.orderBy(col("lift_q").desc, col("gram")).limit(topK)
+      .select(col("gram"), col("c_gram"), col("lift_q"))
+    top.as("x").join(broadcast(top.as("y")),
+        col("y.lift_q") > col("x.lift_q") ||
+          (col("y.lift_q") === col("x.lift_q") &&
+            col("y.gram") < col("x.gram")), "left")
+      .groupBy(col("x.gram").as("gram"), col("x.c_gram").as("c_gram"),
+        col("x.lift_q").as("lift_q"))
+      .agg((count(col("y.gram")) + 1).cast("int").as("rank"))
+      .select(col("rank"), col("gram"), col("c_gram"), col("lift_q"))
   }
 
   /** NEAR retrieval — min-cover proximity search over a positional

@@ -566,4 +566,42 @@ class CurationSpec extends SparkSpec {
     assert(funnel(10)._3 >= 1L) // at least one pack
     assert(funnel(10)._4 == funnel(9)._4) // packing preserves tokens
   }
+
+  test("pretrainingFunnel: semantic decontamination catches the planted " +
+      "paraphrase the n-gram gate cannot see") {
+    import org.apache.spark.sql.functions.col
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "the dog wakes up to chase of all things a very quick cat."
+    val docs = Seq(
+      (0L, "an entirely separate benchmark body sharing no long gram " +
+        "with training text.", "a"),
+      (1L, good + " first unique tail words here.", "a"),
+      (2L, good + " second unique tail words here.", "b"),
+      (8L, good + " third unique tail words here.", "b"),
+      (9L, good + " fourth unique tail words here.", "a"))
+      .toDF("doc_id", "text", "src")
+    // doc 8 is a PARAPHRASE of benchmark doc 0: zero shared 8-grams,
+    // near-identical embedding (colinear). Docs without a row keep.
+    val embs = Seq(
+      (0L, Seq(1f, 0f)),
+      (8L, Seq(0.8f, 0.001f)),
+      (1L, Seq(0f, 1f)),
+      (2L, Seq(-1f, 0.2f))).toDF("vec_id", "embedding")
+    def run(e: Option[org.apache.spark.sql.DataFrame]) =
+      graft.ops.Curation.pretrainingFunnel(docs, "doc_id", "text", "src",
+          benchMod = 5, blocklist = Seq("verboten"), minTokens = 10,
+          boilerMinDocs = 9, numHashes = 12, bands = 4, threshold = 0.9,
+          decontamN = 8, numShards = 2, budgetTokens = 40,
+          packSalt = "t", semanticEmb = e)
+        .as[(Int, String, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+    val base = run(None)
+    val sem = run(Some(embs))
+    (0 to 7).foreach(i =>
+      assert(sem(i) == base(i), s"stage $i must be untouched"))
+    assert(base(8) == base(7),
+      "n-gram gate alone must NOT see the paraphrase")
+    assert(sem(8) == base(8) - 1,
+      s"the paraphrase doc must fall at stage 8: base=${base(8)} sem=${sem(8)}")
+  }
 }

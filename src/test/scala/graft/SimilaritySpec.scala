@@ -945,4 +945,25 @@ class SimilaritySpec extends SparkSpec {
     // neighbors survives the nProbe=1 composition
     assert(rec._2 == 3L && rec._3 == 1L)
   }
+
+  test("semanticDecontaminate: paraphrase flagged, audit columns, " +
+      "empty holdout rejected") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),   // colinear with holdout h1 -> the planted hit
+      (2L, Seq(0f, 1f)),   // orthogonal to h1, anti-parallel to h2 -> kept
+      (3L, Seq(-1f, 0f))).toDF("vec_id", "embedding") // anti-parallel h1
+    val holdout = Seq((100L, Seq(0.5f, 0f)), (101L, Seq(0f, -2f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, "vec_id",
+        "embedding", holdout, "embedding", threshold = 0.90625)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1.0, false)), s"got ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._4 && out(2L)._3 == 0.0)
+    assert(out(3L)._2 == 0L && out(3L)._4 && out(3L)._3 == 0.0)
+    // an empty holdout must fail loudly, never silently keep everything
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+        holdout.filter(col("vec_id") < 0), "embedding", 0.90625)
+    }
+  }
 }
