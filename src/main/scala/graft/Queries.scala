@@ -7833,6 +7833,55 @@ object Queries {
             FROM p GROUP BY 1"""),
     bench = true)
 
+  /** SQ8-served maxsim (Similarity.maxSimRerankSq8): the doc token bag
+    * read as 1-byte-per-dim codes against the q115 trained bounds —
+    * pooled nomination from dequantized codes (top-20), fused ADC
+    * maxsim rerank, all int64. The oracle recomputes bounds → codes →
+    * dequant relationally (the q115/q120 transport-free shape) on top
+    * of the shared maxsim CTE prefix. */
+  private val q219 = QDef("q219_maxsim_sq8",
+    (s, d) => {
+      val (lo, hi) = trainedSq8(s, d)
+      Similarity.maxSimRerankSq8(maxSimDocTokens(s, d), "doc_id",
+        "embedding", maxSimQueryTokens(s, d), "q_id", "q_tok", k = 10,
+        kCand = 20, lo, hi)
+    },
+    Some(s"""$maxSimCtes,
+            b AS (SELECT dim, min(mx) AS lo, max(mx) AS hi
+              FROM de GROUP BY 1),
+            dq AS MATERIALIZED (SELECT d_tok, doc_id, dim,
+                CASE WHEN b.hi = b.lo THEN b.lo
+                     ELSE b.lo + (((255 * (mx - b.lo)) // (b.hi - b.lo))
+                       * (b.hi - b.lo)) // 255
+                END AS r
+              FROM de JOIN b USING (dim)),
+            dp2 AS (SELECT doc_id, dim, CAST(sum(r) AS BIGINT) AS m
+              FROM dq GROUP BY 1, 2),
+            qp2 AS (SELECT q_id, dim, CAST(sum(my) AS BIGINT) AS mq
+              FROM qe GROUP BY 1, 2),
+            ps2 AS (SELECT q_id, doc_id, CAST(sum(m * mq) AS BIGINT) AS pi
+              FROM dp2 JOIN qp2 USING (dim) GROUP BY 1, 2),
+            plr2 AS (SELECT q_id, doc_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY pi DESC, doc_id) AS rn
+              FROM ps2),
+            cand2 AS (SELECT q_id, doc_id FROM plr2 WHERE rn <= 20),
+            dots2 AS (SELECT c.q_id, qe.q_tok, dq.doc_id, dq.d_tok,
+                CAST(sum(dq.r * qe.my) AS BIGINT) AS dot
+              FROM dq JOIN cand2 c ON dq.doc_id = c.doc_id
+                   JOIN qe ON qe.q_id = c.q_id AND qe.dim = dq.dim
+              GROUP BY 1, 2, 3, 4),
+            best2 AS (SELECT q_id, q_tok, doc_id, max(dot) AS bst
+              FROM dots2 GROUP BY 1, 2, 3),
+            sc2 AS (SELECT q_id, doc_id, CAST(sum(bst) AS BIGINT) AS iscore,
+                CAST(count(1) AS BIGINT) AS n_qtok
+              FROM best2 GROUP BY 1, 2),
+            rr2 AS (SELECT q_id, doc_id, iscore, n_qtok, row_number() OVER (
+                PARTITION BY q_id ORDER BY iscore DESC, doc_id) AS rn
+              FROM sc2)
+            SELECT q_id, CAST(rn AS INT) AS rank, doc_id, iscore, n_qtok
+            FROM rr2 WHERE rn <= 10"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7859,7 +7908,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

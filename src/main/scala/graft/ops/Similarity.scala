@@ -2054,6 +2054,93 @@ object Similarity {
         col("n_qtok"))
   }
 
+  /** SQ8-served late-interaction retrieval (r10 verdict item 5) — the
+    * storage-honest form of [[maxSimRerank]]: at corpus scale the doc
+    * TOKEN BAG is the dominant index storage (tokens × dims × 4 bytes
+    * fp32), so serving reads the docs' token vectors as SQ8 CODES — 1
+    * byte per dim against trained bounds ([[trainSq8Bounds]]), the
+    * [[sq8TopK]] layout lifted to the multi-vector family. Both stages
+    * run from the code table alone; the float token vectors never need
+    * to exist at serving time:
+    *
+    *  1. NOMINATION: per-doc pooled vectors summed from the DEQUANTIZED
+    *     codes (`r_j = lo_j + code·range_j div 255`, exact int64), one
+    *     pooled integer dot per (query, doc), top `kCand` per query —
+    *     [[sumPooledDotTopK]]'s shape with the doc side reconstructed
+    *     relationally from codes;
+    *  2. RERANK: the candidates' token codes scored against the
+    *     quantized query tokens by the fused asymmetric ADC
+    *     ([[graft.functions.Sq8Dot]], codegen) — max per query token,
+    *     sum per (query, doc), rank DESC then doc ASC.
+    *
+    * All-int64 like the rest of the SQ8 family, so the ranking is
+    * engine-exact and the oracle recomputes bounds → codes → dequant →
+    * dots RELATIONALLY (the q115/q120 transport-free artifact shape).
+    * When every token value sits ON a trained bound, reconstruction is
+    * exact and the output equals [[maxSimRerank]] bit for bit
+    * (spec-pinned); in general the quantization error is the only
+    * divergence — the SQ8 recall/storage tradeoff, chosen by using this
+    * op at all. The code table is persisted — it IS the stored index,
+    * and every consumer below it is a BNLJ (the q120 projection-collapse
+    * lesson). Output: `(q_id, rank, doc_id, iscore, n_qtok)`. */
+  def maxSimRerankSq8(docTokens: DataFrame, id: String, vec: String,
+                      queryTokens: DataFrame, qid: String, qtok: String,
+                      k: Int, kCand: Int, lo: Array[Long],
+                      hi: Array[Long], scaleBits: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    sq8ExactnessGuard(lo, hi)
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val scale = (1L << scaleBits).toDouble
+    val codes = Caches.track(
+      sq8Codes(docTokens, id, vec, lo, hi, scaleBits)
+        .withColumnRenamed("c_id", "doc_id").persist())
+    // stage 1: pooled nomination from the codes alone
+    val loLit = typedLit(lo.toSeq)
+    val rgLit = typedLit(range.toSeq)
+    val dp = codes
+      .select(col("doc_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+      .withColumn("__lo", element_at(loLit, col("dim") + 1))
+      .withColumn("__rg", element_at(rgLit, col("dim") + 1))
+      .withColumn("__r", expr("__lo + (code * __rg) div 255"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("__r")).as("__m"))
+    val qp = queryTokens
+      .select(col(qid).as("q_id"), posexplode(col(vec)).as(Seq("dim", "__v")))
+      .groupBy(col("q_id"), col("dim"))
+      .agg(sum(floor(col("__v").cast("double") * scale).cast("long"))
+        .as("__mq"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__pi").desc, col("doc_id"))
+    val cand = Caches.track(dp.join(broadcast(qp), Seq("dim"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__m") * col("__mq")).as("__pi"))
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= kCand)
+      .select(col("q_id"), col("doc_id")).persist())
+    // stage 2: fused ADC maxsim over the candidates' token codes
+    val q = queryTokens.select(col(qid).as("q_id"), col(qtok).as("__qt"),
+      array(lo.indices.map(j =>
+        floor(element_at(col(vec), j + 1).cast("double") * scale)
+          .cast("long")): _*).as("__mqv"))
+    val candDocs = cand.select(col("doc_id")).distinct()
+    val tokBest = codes.join(broadcast(candDocs), Seq("doc_id"))
+      .crossJoin(broadcast(q))
+      .join(broadcast(cand), Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("__qt"), col("doc_id"),
+        graft.functions.VectorExprs.sq8Dot(col("codes"), col("__mqv"),
+          lo, range).as("__dot"))
+      .groupBy(col("q_id"), col("__qt"), col("doc_id"))
+      .agg(max(col("__dot")).as("__best"))
+    val scored = tokBest.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__best")).as("iscore"), count(lit(1)).as("n_qtok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("iscore"),
+        col("n_qtok"))
+  }
+
   /** The single-vector baseline maxsim is compared against: SUM-pool
     * each side's token bag on the QUANTIZED grid (per-dim Σ of
     * `floor(2ˢ·v)` — integer sums are aggregation-order-free, where a

@@ -966,4 +966,37 @@ class SimilaritySpec extends SparkSpec {
         holdout.filter(col("vec_id") < 0), "embedding", 0.90625)
     }
   }
+
+  test("maxSimRerankSq8: on-bounds fixture equals float rerank bit for " +
+      "bit; off-grid pool shape") {
+    // every per-dim value sits ON a trained bound (code 0 or 255
+    // reconstructs exactly), so the SQ8 serving path must reproduce the
+    // float rerank bit for bit — nomination, rerank, scores, ranks
+    val dt = Seq(
+      (0L, Seq(1f, 0f)), (0L, Seq(0f, 1f)),
+      (1L, Seq(1f, 1f)), (1L, Seq(0f, 0f)),
+      (2L, Seq(1f, 0f)), (2L, Seq(1f, 0f))).toDF("doc_id", "embedding")
+    val qt = Seq((0L, 0L, Seq(1f, 0f)), (0L, 1L, Seq(0f, 1f)))
+      .toDF("q_id", "q_tok", "embedding")
+    val (lo, hi) = Similarity.trainSq8Bounds(dt, "embedding")
+    val sq8 = Similarity.maxSimRerankSq8(dt, "doc_id", "embedding", qt,
+        "q_id", "q_tok", k = 3, kCand = 3, lo, hi)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val flt = Similarity.maxSimRerank(dt, "doc_id", "embedding", qt,
+        "q_id", "q_tok", k = 3, kCand = 3)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(sq8 == flt && sq8.nonEmpty, s"sq8=$sq8 float=$flt")
+    // off-grid values: quantization error is allowed, the CONTRACT shape
+    // is not — k rows per query, contiguous ranks, n_qtok = |query bag|
+    val dt2 = Seq((0L, Seq(0.3f, -0.7f)), (0L, Seq(0.11f, 0.52f)),
+      (1L, Seq(-0.25f, 0.9f)), (1L, Seq(0.8f, 0.05f)),
+      (2L, Seq(0.4f, 0.4f)), (2L, Seq(-0.6f, -0.2f)))
+      .toDF("doc_id", "embedding")
+    val (lo2, hi2) = Similarity.trainSq8Bounds(dt2, "embedding")
+    val out = Similarity.maxSimRerankSq8(dt2, "doc_id", "embedding", qt,
+        "q_id", "q_tok", k = 2, kCand = 3, lo2, hi2)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(out.length == 2 && out.map(_._2).sorted.sameElements(Array(1, 2)))
+    assert(out.forall(_._5 == 2L))
+  }
 }
