@@ -1315,4 +1315,214 @@ object StatefulOps {
         process(ranked, id)
       }
     }
+  /** Ingest-time pretraining curation — the streaming composition of
+    * [[graft.ops.Curation.pretrainingFunnel]] (r10 verdict item 2):
+    * every gate of the batch funnel applied per micro-batch in arrival
+    * order, with the cross-document state the batch form derives from
+    * the whole corpus carried EXPLICITLY across batches. Returns a
+    * [[CurationFunnelStream]]: `.writer` is the foreachBatch sink
+    * (`process` receives each batch's stage-8 survivors
+    * `(doc_id, ct, src)`), `.report()` emits the same 11 attrition rows
+    * as the batch funnel, `.keptSet` is the accumulated curated corpus.
+    *
+    * Contracts (each one the already-established posture of the
+    * corresponding standalone streaming op):
+    *  - TRAINED artifacts are SUNK inputs (the persisted-artifact rule,
+    *    [[boilerplateFilterWriter]]): the boilerplate line set
+    *    ([[graft.ops.Dedup.boilerplateLineSet]]) and the benchmark
+    *    corpus (decontamination grams derive from it once here) are
+    *    given, never re-trained mid-stream;
+    *  - EXACT-DEDUP state is the md5 set of every stage-6 INPUT doc
+    *    (not just survivors — the batch winner is chosen among ALL
+    *    copies), near-dup state is every stage-7 input doc (the batch
+    *    pair rule drops the larger id even when the smaller one also
+    *    dropped); both are `localCheckpoint`ed per batch (the funnel's
+    *    own lineage lesson);
+    *  - ARRIVAL-ORDER CONVENTION: the batch funnel's duplicate winners
+    *    are min-id; the stream keeps the EARLIEST-ARRIVED copy (min id
+    *    within a micro-batch). When docs arrive in id order — the
+    *    append-log convention — `report()` is bit-identical to the
+    *    batch funnel on the same corpus (spec-pinned);
+    *  - stages 9 (mixture quota) and 10 (packing) are corpus-GLOBAL
+    *    decisions no ingest gate can finalize; they run at `report()`
+    *    time over the accumulated kept set, with the batch funnel's own
+    *    code.
+    *
+    * Per-batch cost: the gates are batch-local; the cross-batch checks
+    * are one hash anti-join and one [[graft.ops.Dedup
+    * .incrementalMinHashPairs]] (incoming×existing bands only, never
+    * existing×existing) — at production scale persist the existing
+    * side's signature table per that op's scaladoc. */
+  def curationFunnelWriter(stream: DataFrame, id: String, text: String,
+      source: String, bench: DataFrame, boiler: DataFrame,
+      benchMod: Long = 97, blocklist: Seq[String] = Seq("dup"),
+      minTokens: Long = 20,
+      stopList: Seq[String] = Seq("the", "a", "of", "and"),
+      minStopHits: Int = 1, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, decontamN: Int = 8, numShards: Int = 8,
+      budgetTokens: Long = 256, packSalt: String = "fun")(
+      process: (DataFrame, Long) => Unit): CurationFunnelStream =
+    new CurationFunnelStream(stream, id, text, source, bench, boiler,
+      benchMod, blocklist, minTokens, stopList, minStopHits, numHashes,
+      bands, threshold, decontamN, numShards, budgetTokens, packSalt,
+      process)
+}
+
+/** State holder + sink for [[StatefulOps.curationFunnelWriter]] — see
+  * that factory's scaladoc for the contracts. */
+final class CurationFunnelStream private[streaming](
+    stream: DataFrame, id: String, text: String, source: String,
+    bench: DataFrame, boiler: DataFrame, benchMod: Long,
+    blocklist: Seq[String], minTokens: Long, stopList: Seq[String],
+    minStopHits: Int, numHashes: Int, bands: Int, threshold: Double,
+    decontamN: Int, numShards: Int, budgetTokens: Long, packSalt: String,
+    process: (DataFrame, Long) => Unit) {
+  require(benchMod >= 2, s"bad benchMod: $benchMod")
+  require(decontamN >= 2, s"bad decontamN: $decontamN")
+  import graft.ops.{Dedup, TextAnalysis, Sampling, Caches}
+
+  private val spark = stream.sparkSession
+  private val stageNames = Seq("raw", "holdout", "gopher", "blocklist",
+    "c4", "boiler", "exact", "neardup", "decontam")
+  private val nDocs = Array.fill(stageNames.size)(0L)
+  private val nToks = Array.fill(stageNames.size)(0L)
+  // cross-batch state (all localCheckpointed per batch)
+  private var kept: DataFrame = _      // (doc_id, ct, src) — stage-8 out
+  private var seenH: DataFrame = _     // (__h) — every stage-6 input
+  private var s7seen: DataFrame = _    // (doc_id, ct) — every stage-7 input
+  private val benchGrams = Caches.track(
+    bench.select(explode(Dedup.wordShingles(col(text), decontamN)).as("g"))
+      .distinct().persist())
+
+  private def bump(i: Int, set: DataFrame, t: String): Unit = {
+    val r = set.agg(count(lit(1)),
+      coalesce(sum(TextAnalysis.tokenCount(col(t)).cast("long")),
+        lit(0L))).head()
+    nDocs(i) += r.getLong(0)
+    nToks(i) += r.getLong(1)
+  }
+
+  private[streaming] def onBatch(batch: DataFrame, bid: Long): Unit = {
+    val b0 = batch.select(col(id).as("doc_id"), col(text).as("t"),
+      col(source).as("src")).localCheckpoint()
+    bump(0, b0, "t")
+    val pool = b0.filter(col("doc_id") % benchMod =!= 0)
+    bump(1, pool, "t")
+    val s2 = pool.join(
+      TextAnalysis.gopherFilter(pool, "doc_id", "t",
+          minTokens = minTokens, stopList = stopList,
+          minStopHits = minStopHits)
+        .filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"))
+    bump(2, s2, "t")
+    val s3 = s2.join(
+      TextAnalysis.blocklistFilter(s2, "doc_id", "t", blocklist)
+        .filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"))
+    bump(3, s3, "t")
+    val s4 = TextAnalysis.c4LineFilter(s3, "doc_id", "t")
+      .filter(!col("doc_dropped") && col("n_lines_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("ct"))
+      .join(s3.select(col("doc_id"), col("src")), Seq("doc_id"))
+      .localCheckpoint()
+    bump(4, s4, "ct")
+    val s5 = Dedup.applyBoilerplateLines(s4, "doc_id", "ct", boiler)
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text").as("ct"))
+      .join(s4.select(col("doc_id"), col("src")), Seq("doc_id"))
+      .localCheckpoint()
+    bump(5, s5, "ct")
+    // stage 6: in-batch min-id winner, then anti vs earlier-seen hashes
+    val withH = s5.withColumn("__h", md5(col("ct"))).localCheckpoint()
+    val inBatchWin = withH.join(
+      withH.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("__h", "doc_id"))
+    val s6 = (if (seenH == null) inBatchWin
+              else inBatchWin.join(seenH, Seq("__h"), "left_anti"))
+      .drop("__h").localCheckpoint()
+    seenH = (if (seenH == null) withH.select(col("__h")).distinct()
+             else seenH.unionByName(withH.select(col("__h"))).distinct())
+      .localCheckpoint()
+    bump(6, s6, "ct")
+    // stage 7: within-batch pair rule + incremental probe of all
+    // earlier stage-7 input docs
+    val withinDrop = Dedup.minHashLshPairs(s6, "doc_id", "ct",
+        numHashes, bands, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    val dropped7 =
+      if (s7seen == null) withinDrop
+      else withinDrop.unionByName(
+        Dedup.incrementalMinHashPairs(s7seen, s6, "doc_id", "ct",
+            numHashes, bands, threshold)
+          .select(col("incoming_id").as("doc_id")).distinct()).distinct()
+    val s7 = s6.join(dropped7, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    s7seen = {
+      val nb = s6.select(col("doc_id"), col("ct"))
+      (if (s7seen == null) nb else s7seen.unionByName(nb))
+        .localCheckpoint()
+    }
+    bump(7, s7, "ct")
+    // stage 8: decontamination against the static benchmark grams
+    val contaminated = s7
+      .select(col("doc_id"),
+        explode(Dedup.wordShingles(col("ct"), decontamN)).as("g"))
+      .join(benchGrams, Seq("g"))
+      .select(col("doc_id")).distinct()
+    val s8 = s7.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    bump(8, s8, "ct")
+    kept = (if (kept == null) s8 else kept.unionByName(s8))
+      .localCheckpoint()
+    process(s8, bid)
+  }
+
+  /** The foreachBatch sink; start it like any other writer. */
+  def writer: DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) onBatch(batch, bid)
+    }
+
+  /** The accumulated curated corpus `(doc_id, ct, src)` — stage-8
+    * survivors of every batch so far. */
+  def keptSet: DataFrame = {
+    require(kept != null, "keptSet before any data arrived")
+    kept
+  }
+
+  /** The batch funnel's 11 attrition rows over everything ingested so
+    * far: stages 0-8 from the cumulative counters, stages 9-10 computed
+    * over the kept set with the batch funnel's own mixture/packing
+    * code. Bit-identical to [[graft.ops.Curation.pretrainingFunnel]] on
+    * the same corpus under id-ordered arrival. */
+  def report(): DataFrame = {
+    import spark.implicits._
+    require(kept != null, "report() before any data arrived")
+    val head = stageNames.indices
+      .map(i => (i, stageNames(i), nDocs(i), nToks(i)))
+      .toDF("stage_n", "stage", "n_docs", "n_tokens")
+      .select(col("stage_n"), col("stage"), col("n_docs"),
+        col("n_tokens"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("doc_id"))
+    val quota = kept.groupBy(col("src")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__q"))
+    val s9 = kept.withColumn("__rn", row_number().over(wq))
+      .crossJoin(broadcast(quota))
+      .filter(col("__rn") <= col("__q")).drop("__rn", "__q")
+    val r9 = s9.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TextAnalysis.tokenCount(col("ct")).cast("long")),
+          lit(0L)).as("n_tokens"))
+      .select(lit(9).as("stage_n"), lit("mixture").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val packs = Sampling.packSpans(s9.select(col("doc_id"), col("ct")),
+      "doc_id", TextAnalysis.tokenCount(col("ct")), numShards,
+      budgetTokens, packSalt)
+    val packed = packs.agg(
+        countDistinct(col("shard"), col("bin")).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(10).as("stage_n"), lit("packed").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    head.unionByName(r9).unionByName(packed)
+  }
 }

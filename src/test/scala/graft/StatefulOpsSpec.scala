@@ -1571,4 +1571,67 @@ class StatefulOpsSpec extends SparkSpec {
     assert(buf.toSet == batch && batch.nonEmpty)
     docToks.unpersist()
   }
+
+  test("curationFunnelWriter: streamed funnel equals batch funnel, " +
+      "kept set identical") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "the dog wakes up to chase of all things a very quick cat."
+    val docs = Seq(
+      (0L, "an entirely separate benchmark body sharing no long gram " +
+        "with training text. shared benchmark eight token gram one " +
+        "two three four five.", "a"),
+      (1L, good + " first unique tail words here.", "a"),
+      (2L, good + " second unique tail words here.", "b"),
+      (3L, good + " first unique tail words here.", "a"), // exact dup of 1
+      (4L, good + " blocked verboten word.", "b"),
+      (6L, good + " shared benchmark eight token gram one two three " +
+        "four five but different.", "a"),
+      (7L, "too short.", "b"),
+      (8L, good + " third unique tail words here.", "b"),
+      (9L, good + " fourth unique tail words here.", "a"),
+      // near-dup of doc 8 (its text twice: distinct-shingle jaccard
+      // n/(n+1) ≈ 0.97, not an exact dup), arriving a batch LATER:
+      // exercises the cross-batch incremental LSH path at stage 7
+      (11L, good + " third unique tail words here. " +
+        good + " third unique tail words here.", "b"))
+    val docsDf = docs.toDF("doc_id", "text", "src")
+    val batchRows = graft.ops.Curation.pretrainingFunnel(docsDf, "doc_id",
+        "text", "src", benchMod = 5, blocklist = Seq("verboten"),
+        minTokens = 10, boilerMinDocs = 9, numHashes = 12, bands = 4,
+        threshold = 0.9, decontamN = 8, numShards = 2,
+        budgetTokens = 40, packSalt = "t")
+      .as[(Int, String, Long, Long)].collect().toSet
+    val bench = docsDf.filter(col("doc_id") % 5 === 0)
+    val emptyBoiler = Seq.empty[(String, Long)].toDF("line_md5", "n_docs")
+    val in = MemoryStream[(Long, String, String)]
+    val keptStreamed = scala.collection.mutable.Set.empty[Long]
+    val fun = StatefulOps.curationFunnelWriter(
+        in.toDF().toDF("doc_id", "text", "src"), "doc_id", "text", "src",
+        bench, emptyBoiler, benchMod = 5, blocklist = Seq("verboten"),
+        minTokens = 10, numHashes = 12, bands = 4, threshold = 0.9,
+        decontamN = 8, numShards = 2, budgetTokens = 40,
+        packSalt = "t") { (out, _) =>
+      keptStreamed ++= out.select("doc_id").collect().map(_.getLong(0))
+    }
+    val q = fun.writer.start()
+    withQuery(q) {
+      // id-ordered arrival in three micro-batches — the append-log
+      // convention the parity contract requires; the exact dup (3) and
+      // the near-dup (11) arrive in LATER batches than their winners
+      in.addData(docs.take(3): _*); q.processAllAvailable()
+      in.addData(docs.slice(3, 7): _*); q.processAllAvailable()
+      in.addData(docs.drop(7): _*); q.processAllAvailable()
+    }
+    val streamed = fun.report().as[(Int, String, Long, Long)]
+      .collect().toSet
+    assert(streamed == batchRows,
+      s"streamed=${streamed.toSeq.sortBy(_._1)}\nbatch=${batchRows.toSeq.sortBy(_._1)}")
+    // the near-dup must have fallen at stage 7 in BOTH forms
+    assert(batchRows.find(_._1 == 7).get._3 ==
+      batchRows.find(_._1 == 6).get._3 - 1)
+    val keptIds = fun.keptSet.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(1L, 2L, 8L, 9L) && keptIds == keptStreamed.toSet)
+  }
 }
