@@ -1315,6 +1315,82 @@ object StatefulOps {
         process(ranked, id)
       }
     }
+  /** Ingest-time INDEX MAINTENANCE — the CDC→index loop as one sink
+    * (the Lucene soft-delete + background-merge shape on the
+    * [[graft.io.IndexMaintenance]] tombstone machinery): each
+    * micro-batch carries commands `(id, text, op)` with op ∈
+    * {"upsert", "delete"}; deletes tombstone first, upserts run
+    * [[graft.ops.TextAnalysis.replaceInPostingsIndex]] (replace ≡
+    * delete + append, so NEW ids are a plain append and UPDATED ids
+    * supersede — true upsert semantics), and after every batch
+    * [[graft.io.IndexMaintenance.compactIfNeeded]] fires the amortized
+    * rewrite exactly when the dead share reaches `maxDeadBp`.
+    * `onBatch(batchId, compacted)` reports whether this batch paid the
+    * compaction. Unknown op values fail the batch loudly. Serving reads
+    * continue through [[graft.ops.TextAnalysis.loadPostingsIndex]]
+    * untouched; long-lived serving sessions must
+    * [[graft.ops.Caches.release]] before a compaction can land (the
+    * compact scaladoc's cache-substitution note), and — standard Spark
+    * cross-session table semantics — a reader session OTHER than the
+    * micro-batch's (which is a clone) must `refreshTable` to see the
+    * batch's appends, or it serves its stale cached file listing.
+    * O(batch) per batch except the threshold-gated compaction. */
+  def postingsMaintenanceWriter(stream: DataFrame, id: String,
+      text: String, op: String, table: String, buckets: Int,
+      maxDeadBp: Long = 3000)(
+      onBatch: (Long, Boolean) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val bad = batch.filter(!col(op).isin("upsert", "delete"))
+        require(bad.isEmpty,
+          s"postingsMaintenanceWriter: unknown op values " +
+            s"${bad.select(col(op)).distinct().collect().mkString(",")}")
+        val dels = batch.filter(col(op) === "delete").select(col(id))
+        val ups = batch.filter(col(op) === "upsert")
+          .select(col(id), col(text))
+        if (!dels.isEmpty)
+          graft.ops.TextAnalysis.deleteFromPostingsIndex(spark, table,
+            dels, id)
+        if (!ups.isEmpty)
+          graft.ops.TextAnalysis.replaceInPostingsIndex(ups, id, text,
+            table, buckets)
+        val compacted = graft.io.IndexMaintenance.compactIfNeeded(spark,
+          table, "term", buckets, "doc", maxDeadBp)
+        onBatch(bid, compacted)
+      }
+    }
+
+  /** BM25F serving from a persisted FIELDED index
+    * ([[graft.ops.TextAnalysis.saveFieldedPostingsIndex]] — sunk build
+    * cost): each query micro-batch runs the unmodified
+    * [[graft.ops.TextAnalysis.bm25fSearch]] — the [[bm25ServeWriter]]
+    * posture for multi-field retrieval, parity by construction. */
+  def bm25fServeWriter(stream: DataFrame, postings: DataFrame,
+      qid: String, qtext: String, k: Int, weights: Seq[(String, Long)],
+      scaleBits: Int = 12, maxQueryTerms: Int = 10000)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.bm25fSearch(postings, batch, qid,
+          qtext, k, weights, scaleBits, maxQueryTerms), bid)
+    }
+
+  /** Semantic decontamination at stream ingest
+    * ([[graft.ops.Similarity.semanticDecontaminate]] per micro-batch
+    * against the STATIC holdout/benchmark embeddings — stream-static by
+    * nature since the benchmark set is fixed before the crawl; parity
+    * by construction, the [[blocklistGateWriter]] posture for the
+    * embedding-space gate). */
+  def semanticDecontamWriter(stream: DataFrame, id: String, vec: String,
+      holdout: DataFrame, hvec: String, threshold: Double)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Similarity.semanticDecontaminate(batch, id,
+          vec, holdout, hvec, threshold), bid)
+    }
+
   /** Ingest-time pretraining curation — the streaming composition of
     * [[graft.ops.Curation.pretrainingFunnel]] (r10 verdict item 2):
     * every gate of the batch funnel applied per micro-batch in arrival

@@ -1634,4 +1634,107 @@ class StatefulOpsSpec extends SparkSpec {
     val keptIds = fun.keptSet.select("doc_id").as[Long].collect().toSet
     assert(keptIds == Set(1L, 2L, 8L, 9L) && keptIds == keptStreamed.toSet)
   }
+
+  test("postingsMaintenanceWriter: CDC upsert/delete stream, compaction " +
+      "fires, serving equals rebuilt-from-scratch at every step") {
+    implicit val ctx = spark.sqlContext
+    import scala.collection.mutable
+    val corpus = mutable.LinkedHashMap[Long, String]()
+    val queries = Seq((1L, "apple date cherry")).toDF("q_id", "qtext")
+    def want() = graft.ops.TextAnalysis.bm25Search(
+      graft.ops.TextAnalysis.indexPostings(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text"),
+      queries, "q_id", "qtext", k = 10).collect().map(_.toSeq).toSet
+    def serving() = graft.ops.TextAnalysis.bm25Search(
+      graft.ops.TextAnalysis.loadPostingsIndex(spark, "cdc_idx"),
+      queries, "q_id", "qtext", k = 10).collect().map(_.toSeq).toSet
+    try {
+      graft.ops.TextAnalysis.savePostingsIndex(
+        Seq((1L, "apple banana")).toDF("doc_id", "text"),
+        "doc_id", "text", "cdc_idx", buckets = 8)
+      corpus(1L) = "apple banana"
+      var compactions = 0
+      val in = MemoryStream[(Long, String, String)]
+      val q = StatefulOps.postingsMaintenanceWriter(
+          in.toDF().toDF("doc_id", "text", "op"), "doc_id", "text",
+          "op", "cdc_idx", buckets = 8, maxDeadBp = 2500) {
+        (_, fired) => if (fired) compactions += 1
+      }.start()
+      def step(cmds: (Long, String, String)*): Unit = {
+        // release BEFORE the maintenance batch: a compaction inside it
+        // would otherwise race the previous step's serving persists
+        // (the compact scaladoc's cache-substitution note)
+        graft.ops.Caches.release(blocking = true)
+        cmds.foreach { case (i, t, o) =>
+          if (o == "delete") corpus.remove(i) else corpus(i) = t }
+        in.addData(cmds: _*); q.processAllAvailable()
+        // the maintenance writes ran on the micro-batch's CLONED
+        // session; this session's cached table relations are stale
+        // (standard cross-session semantics — see the writer scaladoc)
+        spark.catalog.refreshTable("cdc_idx")
+        if (spark.catalog.tableExists("cdc_idx__tombstones"))
+          spark.catalog.refreshTable("cdc_idx__tombstones")
+        assert(serving() == want(), s"after $cmds")
+      }
+      withQuery(q) {
+        step((2L, "banana cherry", "upsert"), (3L, "cherry date", "upsert"))
+        step((2L, "", "delete"), (4L, "apple date egg", "upsert"))
+        step((3L, "date date egg", "upsert")) // in-place replace
+        step((4L, "", "delete"))
+      }
+      assert(compactions >= 1, "the dead-share threshold must fire")
+      assert(!spark.catalog.tableExists("cdc_idx__tombstones") ||
+        graft.io.IndexMaintenance.tombstoneStats(spark, "cdc_idx",
+          "doc")._4 < 2500)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cdc_idx")
+      spark.sql("DROP TABLE IF EXISTS cdc_idx__tombstones")
+      spark.sql("DROP TABLE IF EXISTS cdc_idx__compact")
+      spark.sql("DROP TABLE IF EXISTS cdc_idx__precompact")
+    }
+  }
+
+  test("bm25fServeWriter / semanticDecontamWriter: streamed equals batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs2 = Seq(
+      (1L, "apple pie", "banana banana cherry"),
+      (2L, "cherry tart", "apple apple apple banana"),
+      (3L, "banana split", "cherry date egg"))
+      .toDF("doc_id", "title", "body")
+    val longForm = docs2.select(col("doc_id"), lit("title").as("field"),
+        col("title").as("ftext"))
+      .unionByName(docs2.select(col("doc_id"), lit("body").as("field"),
+        col("body").as("ftext")))
+    val fidx = graft.ops.TextAnalysis.indexPostingsFielded(longForm,
+      "doc_id", "field", "ftext")
+    val w = Seq("title" -> 3L, "body" -> 1L)
+    val qs = Seq((9L, "apple banana"))
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.bm25fServeWriter(in.toDF().toDF("q_id", "qtext"),
+        fidx, "q_id", "qtext", k = 10, weights = w) {
+      (out, _) => buf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) { in.addData(qs: _*); q.processAllAvailable() }
+    val fBatch = graft.ops.TextAnalysis.bm25fSearch(fidx,
+        qs.toDF("q_id", "qtext"), "q_id", "qtext", k = 10, weights = w)
+      .collect().map(_.toSeq).toSet
+    assert(buf.toSet == fBatch && fBatch.nonEmpty)
+    val hold = Seq((100L, Seq(0.5f, 0f))).toDF("vec_id", "embedding")
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val buf2 = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StatefulOps.semanticDecontamWriter(
+        in2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        hold, "embedding", threshold = 0.90625) {
+      (out, _) => buf2 ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q2) { in2.addData(vecs: _*); q2.processAllAvailable() }
+    val sBatch = graft.ops.Similarity.semanticDecontaminate(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", hold,
+        "embedding", threshold = 0.90625)
+      .collect().map(_.toSeq).toSet
+    assert(buf2.toSet == sBatch && sBatch.nonEmpty)
+  }
 }
