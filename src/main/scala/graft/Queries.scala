@@ -7681,27 +7681,14 @@ object Queries {
             FROM g"""),
     bench = true)
 
-  /** Fielded view of the documents corpus for BM25F: title = the first
-    * 8 tokens, body = the rest — long form `(doc_id, field, ftext)`.
-    * Rejoining lowercased tokens with single spaces makes the fielded
-    * re-tokenization reproduce the slice exactly on both engines. */
-  private def fieldedDocs(s: SparkSession, d: String): DataFrame = {
-    val t = TextAnalysis.tokens(lower(col("text")))
-    docs(s, d).select(col("doc_id"), lit("title").as("field"),
-        array_join(slice(t, lit(1), lit(8)), " ").as("ftext"))
-      .unionByName(docs(s, d).select(col("doc_id"),
-        lit("body").as("field"),
-        array_join(slice(t, lit(9), greatest(size(t) - 8, lit(0))), " ")
-          .as("ftext")))
-  }
   private val bm25fWeights = Seq("title" -> 3L, "body" -> 1L)
   private val bm25fIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   private def trainedBm25fIdf(s: SparkSession, d: String)
       : Seq[(String, Long)] =
     bm25fIdfCache.getOrElseUpdate(d, TextAnalysis.bm25fIdf(
-      TextAnalysis.indexPostingsFielded(fieldedDocs(s, d), "doc_id",
-        "field", "ftext"),
+      TextAnalysis.indexPostingsFieldedSplit(docs(s, d), "doc_id",
+        "text", titleTokens = 8),
       bm25fWeights, bm25Queries(s, d), "qtext"))
 
   /** Field-weighted BM25F (TextAnalysis.bm25fSearch over
@@ -7712,8 +7699,8 @@ object Queries {
     * the weighted fields — inlines as VALUES (q124 transport). */
   private val q216 = QDef("q216_bm25f",
     (s, d) => TextAnalysis.bm25fSearch(
-      TextAnalysis.indexPostingsFielded(fieldedDocs(s, d), "doc_id",
-        "field", "ftext"),
+      TextAnalysis.indexPostingsFieldedSplit(docs(s, d), "doc_id",
+        "text", titleTokens = 8),
       bm25Queries(s, d), "q_id", "qtext", k = 10, weights = bm25fWeights),
     None, bench = true,
     oracleGen = Some((s, d) => {
@@ -7882,6 +7869,138 @@ object Queries {
             FROM rr2 WHERE rn <= 10"""),
     bench = true)
 
+  /** Sliding-window passage chunking (TextAnalysis.chunkPassages):
+    * 32-token windows every 16 tokens — the RAG/passage-ranking
+    * splitter; row-local sequence + explode, final windows shorter. */
+  private val q220 = QDef("q220_chunk_passages",
+    (s, d) => TextAnalysis.chunkPassages(docs(s, d), "doc_id", "text",
+      window = 32, stride = 16),
+    Some("""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents)
+            SELECT doc_id AS doc, CAST(s // 16 AS INT) AS p_id,
+              CAST(s AS BIGINT) AS p_start,
+              CAST(least(32, len(ws) - s) AS BIGINT) AS p_tokens,
+              COALESCE(array_to_string(ws[s + 1 : s + 32], ' '), '')
+                AS p_text
+            FROM dt, UNNEST(range(0, len(ws), 16)) AS t(s)"""),
+    bench = true)
+
+  private val maxpIdfCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+  private def trainedMaxPIdf(s: SparkSession, d: String)
+      : Seq[(String, Long)] =
+    maxpIdfCache.getOrElseUpdate(d, {
+      val pas = TextAnalysis.chunkPassages(docs(s, d), "doc_id", "text",
+          window = 32, stride = 16)
+        .select((col("doc").cast("long") * 1048576L + col("p_id"))
+          .as("pk"), col("p_text"))
+      TextAnalysis.bm25Stats(pas, "pk", "p_text", bm25Queries(s, d),
+        "q_id", "qtext")._1
+    })
+
+  /** BM25-MaxP passage retrieval (TextAnalysis.bm25MaxPTopK): passages
+    * scored as independent units over the PASSAGE corpus's own
+    * statistics (q124's integer arithmetic with passages as docs), a
+    * document's score = its best passage's (tie → earliest passage),
+    * docs ranked top-10. Passage-level idf inlines as VALUES. */
+  private val q221 = QDef("q221_bm25_maxp",
+    (s, d) => TextAnalysis.bm25MaxPTopK(docs(s, d), "doc_id", "text",
+      bm25Queries(s, d), "q_id", "qtext", k = 10, window = 32,
+      stride = 16),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = trainedMaxPIdf(s, d)
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           p AS MATERIALIZED (SELECT doc_id,
+               doc_id * 1048576 + (s // 16) AS pk,
+               ws[s + 1 : s + 32] AS pts
+             FROM dt, UNNEST(range(0, len(ws), 16)) AS t(s)),
+           toks AS MATERIALIZED (SELECT pk, unnest(pts) AS term FROM p),
+           td AS (SELECT term, pk, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+           dl AS MATERIALIZED (SELECT pk, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                     CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:3])) AS term
+             FROM dt WHERE doc_id % 25 = 0),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT pk,
+               (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot) AS norm_q
+             FROM dl, tot),
+           sc AS (SELECT q.q_id, td.pk,
+               CAST(sum((idf_q * tf * 11 * 4096) //
+                 (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS p_score
+             FROM q JOIN idf USING (term) JOIN td USING (term)
+                  JOIN nrm USING (pk)
+             GROUP BY 1, 2),
+           pd AS (SELECT q_id, pk // 1048576 AS doc_id,
+               pk % 1048576 AS p_id, p_score FROM sc),
+           mx AS (SELECT q_id, doc_id, max(p_score) AS score_q,
+               CAST(count(1) AS BIGINT) AS n_pass
+             FROM pd GROUP BY 1, 2),
+           bp AS (SELECT pd.q_id, pd.doc_id,
+               CAST(min(pd.p_id) AS BIGINT) AS best_p
+             FROM pd JOIN mx ON pd.q_id = mx.q_id
+               AND pd.doc_id = mx.doc_id AND pd.p_score = mx.score_q
+             GROUP BY 1, 2),
+           r AS (SELECT mx.q_id, mx.doc_id, mx.score_q, bp.best_p,
+               mx.n_pass, row_number() OVER (PARTITION BY mx.q_id
+                 ORDER BY mx.score_q DESC, mx.doc_id) AS rn
+             FROM mx JOIN bp ON mx.q_id = bp.q_id
+               AND mx.doc_id = bp.doc_id)
+           SELECT q_id, CAST(rn AS INT) AS rank, doc_id, score_q,
+             best_p, n_pass
+           FROM r WHERE rn <= 10"""
+    }))
+
+  /** Dense PRF / Rocchio rerank (Similarity.densePrfTopK): integer-dot
+    * round 1 nominates 3 feedback docs per query, round 2 re-ranks with
+    * the division-free Rocchio query 2·n_fb·q + 1·Σ feedback — all
+    * int64, fully relational oracle (no transport). */
+  private val q222 = QDef("q222_dense_prf",
+    (s, d) => Similarity.densePrfTopK(
+      emb(s, d).filter(col("vec_id") % 10 === 0), emb(s, d), "vec_id",
+      "embedding", k = 5, fbDocs = 3, alpha = 2L, beta = 1L),
+    Some("""WITH m AS MATERIALIZED (SELECT vec_id AS c_id, j - 1 AS dim,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS m
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            qm AS MATERIALIZED (SELECT c_id AS q_id, dim, m AS mq
+              FROM m WHERE c_id % 10 = 0),
+            r1 AS (SELECT q_id, c_id,
+                CAST(sum(m.m * qm.mq) AS BIGINT) AS s1
+              FROM m JOIN qm USING (dim) WHERE q_id <> c_id
+              GROUP BY 1, 2),
+            fb AS MATERIALIZED (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY s1 DESC, c_id) AS rn FROM r1)
+              WHERE rn <= 3),
+            fbn AS (SELECT q_id, CAST(count(1) AS BIGINT) AS n
+              FROM fb GROUP BY 1),
+            cent AS (SELECT fb.q_id, m.dim, CAST(sum(m.m) AS BIGINT) AS sm
+              FROM fb JOIN m USING (c_id) GROUP BY 1, 2),
+            q2 AS MATERIALIZED (SELECT qm.q_id, qm.dim,
+                2 * fbn.n * qm.mq + 1 * COALESCE(cent.sm, 0) AS mq2
+              FROM qm JOIN fbn USING (q_id)
+              LEFT JOIN cent ON cent.q_id = qm.q_id AND cent.dim = qm.dim),
+            r2 AS (SELECT q2.q_id, m.c_id,
+                CAST(sum(m.m * q2.mq2) AS BIGINT) AS iscore
+              FROM m JOIN q2 USING (dim) WHERE q2.q_id <> m.c_id
+              GROUP BY 1, 2),
+            r AS (SELECT q_id, c_id, iscore, row_number() OVER (
+                PARTITION BY q_id ORDER BY iscore DESC, c_id) AS rn
+              FROM r2)
+            SELECT q_id, CAST(rn AS INT) AS rank, c_id AS neighbor_id,
+              iscore
+            FROM r WHERE rn <= 5"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -7908,7 +8027,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

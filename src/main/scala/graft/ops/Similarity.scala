@@ -368,6 +368,79 @@ object Similarity {
       .select(col("c_id").as(id), col("cell"), col("d_id").isNull.as("kept"))
   }
 
+  /** Dense pseudo-relevance feedback (Rocchio on the quantized grid) —
+    * the embedding-space mirror of [[graft.ops.TextAnalysis.prfTopK]]'s
+    * sparse query expansion: round 1 ranks the corpus by the exact
+    * integer dot of `floor(2ˢ·v)` vectors (queries broadcast, the q19
+    * posture with dot instead of cosine — the inner-product convention
+    * for L2-normalized embedding spaces, which is the caller's
+    * contract); the top `fbDocs` neighbors per query are assumed
+    * relevant, and round 2 re-ranks with the Rocchio query
+    * `q' = α·q + β·mean(feedback vectors)` — computed WITHOUT division
+    * as `q'' = α·n_fb·q + β·Σ feedback` (a positive per-query scaling,
+    * so the dot RANKING is identical to the mean form and every
+    * intermediate stays exact int64; no floor-vs-truncate cross-engine
+    * hazard ever arises). Self-matches are excluded in both rounds;
+    * feedback docs may re-rank (standard PRF). All integers — the
+    * oracle recomputes everything relationally, no artifact transport.
+    * Output: `(q_id, rank, neighbor_id, iscore)` with iscore the
+    * round-2 integer dot. */
+  def densePrfTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                   vec: String, k: Int, fbDocs: Int, alpha: Long,
+                   beta: Long, scaleBits: Int = 12,
+                   maxBroadcastQueries: Long = 500000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(alpha >= 1 && beta >= 0,
+      s"need alpha >= 1, beta >= 0, got alpha=$alpha beta=$beta")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    requireBounded("densePrfTopK", "query", queries, maxBroadcastQueries,
+      "maxBroadcastQueries", "batch the queries or raise the limit")
+    val scale = (1L << scaleBits).toDouble
+    // the (c_id, dim, m) relation is consumed three times (round 1,
+    // feedback gather, round 2) and its recompute crosses nothing —
+    // but each consumer SHUFFLES it by dim/c_id, so the persist crosses
+    // a shuffle boundary per the persist-pays rule
+    val cm = Caches.track(corpus
+      .select(col(id).cast("long").as("c_id"),
+        posexplode(col(vec)).as(Seq("dim", "__x")))
+      .select(col("c_id"), col("dim"),
+        floor(col("__x").cast("double") * scale).cast("long").as("m"))
+      .persist())
+    val qm = queries
+      .select(col(id).cast("long").as("q_id"),
+        posexplode(col(vec)).as(Seq("dim", "__x")))
+      .select(col("q_id"), col("dim"),
+        floor(col("__x").cast("double") * scale).cast("long").as("mq"))
+    val r1 = cm.join(broadcast(qm), Seq("dim"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("m") * col("mq")).as("iscore"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("c_id"))
+    val fb = r1.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= fbDocs)
+      .select(col("q_id"), col("c_id"))
+    val fbN = fb.groupBy(col("q_id")).agg(count(lit(1)).as("__n"))
+    val cent = cm.join(broadcast(fb), Seq("c_id"))
+      .groupBy(col("q_id"), col("dim")).agg(sum(col("m")).as("__sm"))
+    val q2 = qm.join(broadcast(fbN), Seq("q_id"))
+      .join(broadcast(cent), Seq("q_id", "dim"), "left")
+      .select(col("q_id"), col("dim"),
+        (lit(alpha) * col("__n") * col("mq") +
+          lit(beta) * coalesce(col("__sm"), lit(0L))).as("mq2"))
+    val r2 = cm.join(broadcast(q2), Seq("dim"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("m") * col("mq2")).as("iscore"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("c_id"))
+    r2.withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
+        col("iscore"))
+  }
+
   /** Embedding-based decontamination — the SEMANTIC form of the n-gram
     * eval-leak gate ([[graft.ops.Dedup]]'s `decontaminate` family, and
     * stage 8 of [[graft.ops.Curation.pretrainingFunnel]]): a corpus

@@ -1679,6 +1679,33 @@ object TextAnalysis {
     td.join(fdl, Seq("doc", "field"))
   }
 
+  /** ONE-PASS fielded builder for the positional field convention
+    * (title = the first `titleTokens` tokens, body = the rest): the
+    * long-form [[indexPostingsFielded]] path synthesizes per-field TEXT
+    * (slice → rejoin → re-tokenize — the corpus tokenizes once per
+    * field branch plus once per rebuild), where the split is really
+    * just a predicate on token POSITION. This builder tokenizes ONCE
+    * with positions and assigns the field in the same projection —
+    * identical output rows (spec-pinned), roughly half the build cost
+    * measured at bench scale. Use it whenever the field convention is
+    * positional; the long form remains for genuinely separate field
+    * texts. */
+  def indexPostingsFieldedSplit(df: DataFrame, id: String, text: String,
+                                titleTokens: Int): DataFrame = {
+    require(titleTokens >= 1, s"titleTokens must be >= 1, got $titleTokens")
+    val td = df.select(col(id).as("doc"),
+        posexplode(tokens(lower(col(text)))).as(Seq("__p", "term")))
+      .select(col("doc"),
+        when(col("__p") < titleTokens, lit("title")).otherwise(lit("body"))
+          .as("field"),
+        col("term"))
+      .groupBy(col("doc"), col("field"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val fdl = td.groupBy(col("doc"), col("field"))
+      .agg(sum(col("tf")).as("fdl"))
+    td.join(fdl, Seq("doc", "field"))
+  }
+
   /** Persist a fielded postings index bucketed by term — identical
     * serving contract to [[savePostingsIndex]] (bucket-pruned query
     * vocabulary scans, [[graft.io.IndexMaintenance]] lifecycle via the
@@ -2156,6 +2183,126 @@ object TextAnalysis {
       .agg((count(col("y.gram")) + 1).cast("int").as("rank"))
       .select(col("rank"), col("gram"), col("c_ab"), col("c_a"),
         col("c_b"), col("lift_q"))
+  }
+
+  /** Sliding-window passage chunking — the retrieval-stack splitter
+    * every RAG/passage-ranking pipeline needs in front of the doc-level
+    * rankers: token windows of `window` tokens every `stride` tokens
+    * (the final windows are shorter when the doc runs out; a start is
+    * emitted for every multiple of `stride` below the doc length, so a
+    * non-empty doc always yields at least one passage and passage 0
+    * always starts at token 0). Rejoining lowercased whitespace tokens
+    * with single spaces makes downstream re-tokenization reproduce the
+    * slice exactly (the fieldedDocs convention). Row-local: one
+    * sequence + explode, no shuffle, no window function. Output:
+    * `(doc, p_id, p_start, p_tokens, p_text)`. */
+  def chunkPassages(df: DataFrame, id: String, text: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got stride=$stride window=$window")
+    val t = tokens(lower(col(text)))
+    df.select(col(id).as("doc"), t.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      // sequence(a, b) DESCENDS when a > b (the repo's twice-bitten
+      // gotcha) — __n > 0 guarantees 0 <= __n - 1 here
+      .select(col("doc"), col("__t"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as("p_start"))
+      .select(col("doc"),
+        expr(s"int(p_start div $stride)").as("p_id"),
+        col("p_start").cast("long").as("p_start"),
+        least(lit(window), col("__n") - col("p_start")).cast("long")
+          .as("p_tokens"),
+        array_join(slice(col("__t"), col("p_start") + 1, lit(window)), " ")
+          .as("p_text"))
+  }
+
+  /** BM25-MaxP passage retrieval (Dai & Callan's MaxP: a document's
+    * score is its BEST PASSAGE's BM25 score) — the standard long-document
+    * answer to BM25's length saturation: score passages as independent
+    * retrieval units over the passage corpus's own statistics (passage
+    * dl, passage df/idf, passage-corpus averages — exactly
+    * [[bm25TopK]]'s integer arithmetic with passages as the documents),
+    * then per (query, document) keep the max passage score (ties → the
+    * EARLIEST passage) and rank documents score DESC, doc ASC. No
+    * passage-rank cut before the max — the doc ranking is exact MaxP,
+    * not a top-passages approximation. Passage keys pack as
+    * `doc·2²⁰ + p_id` (bounds guarded loudly) so the whole scoring path
+    * is the plain integer-keyed postings machinery. Output:
+    * `(q_id, rank, doc_id, score_q, best_p, n_pass)` — `best_p` the
+    * winning passage's p_id, `n_pass` the doc's matching-passage count. */
+  def bm25MaxPTopK(df: DataFrame, id: String, text: String,
+                   queries: DataFrame, qid: String, qtext: String,
+                   k: Int, window: Int, stride: Int,
+                   scaleBits: Int = 12,
+                   maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pidCap = 1L << 20
+    val pas = Caches.track(
+      chunkPassages(df, id, text, window, stride).persist())
+    val guard = pas.agg(max(col("p_id")).as("mp"),
+        min(col("doc").cast("long")).as("lo"),
+        max(col("doc").cast("long")).as("hi"))
+      .as[(Int, Long, Long)].collect().headOption
+    guard.foreach { case (mp, lo, hi) =>
+      require(mp < pidCap && lo >= 0 && hi < (Long.MaxValue / pidCap),
+        s"bm25MaxPTopK: passage key doc*2^20+p_id would overflow " +
+          s"(max p_id=$mp, doc range [$lo, $hi]) — shorten docs via " +
+          "stride, or use smaller ids")
+    }
+    val pk = pas.select(
+      (col("doc").cast("long") * pidCap + col("p_id")).as("doc"),
+      col("p_text"))
+    val posts = indexPostings(pk, "doc", "p_text")
+    // passage-corpus statistics — the bm25Search path verbatim, minus
+    // the per-passage top-k cut (MaxP needs every matching passage)
+    val vocab = queryVocabCounts(queries, qtext, maxQueryTerms)
+    val terms = vocab.map(_._1)
+    val dld = Caches.track(
+      posts.select(col("doc"), col("dl")).distinct().persist())
+    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
+      .as[(Long, Long)].collect().head
+    require(tTot > 0, "bm25MaxP: corpus has no tokens")
+    val s = 1L << scaleBits
+    val tdq = posts.filter(col("term").isin(terms.map(lit): _*))
+      .select(col("doc"), col("term"), col("tf"))
+    val dfMap = tdq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val idfRows = quantizedIdf(terms, dfMap, nDocs, scaleBits)
+    val norm = dld.withColumn("norm_q",
+      expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
+    val contribs = tdq
+      .join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
+      .join(norm, Seq("doc"))
+      .withColumn("contrib",
+        expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
+      .select(col("doc"), col("term"), col("contrib"))
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val pScored = contribs.join(broadcast(qt), Seq("term"))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(sum(col("contrib")).as("p_score"))
+    val perDoc = pScored
+      .select(col("q_id"),
+        expr(s"doc div $pidCap").as("doc_id"),
+        pmod(col("doc"), lit(pidCap)).cast("long").as("p_id"),
+        col("p_score"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(max(struct(col("p_score").as("s"), (-col("p_id")).as("np")))
+        .as("__b"), count(lit(1)).as("n_pass"))
+      .select(col("q_id"), col("doc_id"), col("__b.s").as("score_q"),
+        (-col("__b.np")).as("best_p"), col("n_pass"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score_q").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_q"),
+        col("best_p"), col("n_pass"))
   }
 
   /** N-gram collocations / multiword-expression mining — [[collocations]]

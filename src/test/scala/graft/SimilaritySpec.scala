@@ -999,4 +999,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 2 && out.map(_._2).sorted.sameElements(Array(1, 2)))
     assert(out.forall(_._5 == 2L))
   }
+
+  test("densePrfTopK: hand-computed Rocchio rerank, exact integers") {
+    // m: c1=(3686,409) c2=(3276,819) c3=(409,3686) c4=(0,4096); q=(4096,0)
+    // round1 dots: c1 15097856, c2 13418496, c3 1675264, c4 0 -> fb {c1,c2}
+    // q'' = 1*2*(4096,0) + (3686+3276, 409+819) = (15154, 1228)
+    // round2: c1 56359896, c2 50650236, c3 10724394, c4 5029888
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.2f)),
+      (3L, Seq(0.1f, 0.9f)), (4L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.densePrfTopK(queries, corpus, "vec_id",
+        "embedding", k = 4, fbDocs = 2, alpha = 1L, beta = 1L)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(out == Set(
+      (100L, 1, 1L, 56359896L), (100L, 2, 2L, 50650236L),
+      (100L, 3, 3L, 10724394L), (100L, 4, 4L, 5029888L)), s"got $out")
+  }
 }
