@@ -7698,10 +7698,9 @@ object Queries {
     * untouched bm25 floor divisions). The idf artifact — trained over
     * the weighted fields — inlines as VALUES (q124 transport). */
   private val q216 = QDef("q216_bm25f",
-    (s, d) => TextAnalysis.bm25fSearch(
-      TextAnalysis.indexPostingsFieldedSplit(docs(s, d), "doc_id",
-        "text", titleTokens = 8),
-      bm25Queries(s, d), "q_id", "qtext", k = 10, weights = bm25fWeights),
+    (s, d) => TextAnalysis.bm25fTopK(docs(s, d), "doc_id", "text",
+      titleTokens = 8, bm25Queries(s, d), "q_id", "qtext", k = 10,
+      weights = bm25fWeights),
     None, bench = true,
     oracleGen = Some((s, d) => {
       val rows = trainedBm25fIdf(s, d)

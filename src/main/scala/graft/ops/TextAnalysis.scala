@@ -1804,6 +1804,67 @@ object TextAnalysis {
       prune = false)
   }
 
+  /** From-TEXT BM25F for the positional field convention — the in-query
+    * twin of [[bm25fSearch]] ∘ [[indexPostingsFieldedSplit]] with the
+    * [[bm25Core]] one-pass null-group build: the corpus tokenizes ONCE,
+    * each token's field comes from its position in the same projection,
+    * and a single `(doc, field, vocab-term-or-NULL)` aggregate feeds
+    * both the weighted length table and the weighted tf table (map-side
+    * combine collapses out-of-vocabulary tokens to one partial per
+    * (doc, field) per partition — the shuffle carries ≈ query-field
+    * postings + two rows per doc, never the full vocabulary). Identical
+    * integers to the build-then-search composition (the q216 hash
+    * re-checked on the swap); use THIS for ad-hoc from-text queries and
+    * the persisted-index path for serving. */
+  def bm25fTopK(df: DataFrame, id: String, text: String,
+                titleTokens: Int, queries: DataFrame, qid: String,
+                qtext: String, k: Int, weights: Seq[(String, Long)],
+                scaleBits: Int = 12,
+                maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(titleTokens >= 1, s"titleTokens must be >= 1, got $titleTokens")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    require(weights.nonEmpty && weights.forall(_._2 >= 1),
+      s"bm25f: weights must be a non-empty (field, w >= 1) list, " +
+        s"got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"bm25f: duplicate field in weights: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = queryVocabCounts(queries, qtext, maxQueryTerms)
+    val terms = vocab.map(_._1)
+    val wdf = broadcast(weights.toDF("field", "__w"))
+    val toks = df.select(col(id).as("doc"),
+        posexplode(tokens(lower(col(text)))).as(Seq("__p", "term")))
+      .select(col("doc"),
+        when(col("__p") < titleTokens, lit("title")).otherwise(lit("body"))
+          .as("field"),
+        col("term"))
+    val grouped = Caches.track(toks.groupBy(col("doc"), col("field"),
+        when(col("term").isin(terms.map(lit): _*), col("term")).as("__t"))
+      .agg(count(lit(1)).as("cnt")).persist())
+    val dld = Caches.track(grouped.groupBy(col("doc"), col("field"))
+      .agg(sum(col("cnt")).as("fdl"))
+      .join(wdf, Seq("field"))
+      .groupBy(col("doc")).agg(sum(col("__w") * col("fdl")).as("dl"))
+      .persist())
+    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
+      .as[(Long, Long)].collect().head
+    require(tTot > 0, "bm25f: corpus has no tokens in weighted fields")
+    val tdq = grouped.filter(col("__t").isNotNull)
+      .join(wdf, Seq("field"))
+      .groupBy(col("doc"), col("__t"))
+      .agg(sum(col("__w") * col("cnt")).as("tf"))
+      .select(col("doc"), col("__t").as("term"), col("tf"))
+    val dfMap = tdq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val idfRows = quantizedIdf(terms, dfMap, nDocs, scaleBits)
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    bm25RankTerms(tdq, dld, tTot, nDocs, idfRows, qt, k, scaleBits,
+      prune = false)
+  }
+
   /** Persist the postings index BUCKETED BY TERM
     * ([[graft.io.Layout.writeBucketed]]) — the sparse-retrieval serving
     * posture mirroring [[graft.ops.Similarity.saveIvfSq8Index]]'s dense
@@ -2243,34 +2304,50 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val pidCap = 1L << 20
-    val pas = Caches.track(
-      chunkPassages(df, id, text, window, stride).persist())
-    val guard = pas.agg(max(col("p_id")).as("mp"),
-        min(col("doc").cast("long")).as("lo"),
-        max(col("doc").cast("long")).as("hi"))
+    // ONE corpus tokenize pass (the bm25Core null-group discipline —
+    // the first cut of this op built the full passage postings via
+    // chunkPassages text rebuild + indexPostings and measured ~10 s at
+    // bench sf vs q124's 2.4 s): token positions explode directly to
+    // their ⌈window/stride⌉ passage memberships (a token at p belongs
+    // to every start s ≡ 0 mod stride with p−window < s ≤ p — the same
+    // sets chunkPassages' slices produce, spec-pinned via the whole-doc
+    // degeneration and the hash-checked oracle), and ONE
+    // (passage, vocab-term-or-NULL) aggregate feeds both the passage
+    // lengths and the query-vocabulary tf table.
+    val tokPos = df.select(col(id).cast("long").as("d"),
+      posexplode(tokens(lower(col(text)))).as(Seq("p", "term")))
+    val guard = tokPos.agg(max(col("p")).as("mp"),
+        min(col("d")).as("lo"), max(col("d")).as("hi"))
       .as[(Int, Long, Long)].collect().headOption
     guard.foreach { case (mp, lo, hi) =>
-      require(mp < pidCap && lo >= 0 && hi < (Long.MaxValue / pidCap),
+      require(mp.toLong < stride.toLong * pidCap && lo >= 0 &&
+        hi < (Long.MaxValue / pidCap),
         s"bm25MaxPTopK: passage key doc*2^20+p_id would overflow " +
-          s"(max p_id=$mp, doc range [$lo, $hi]) — shorten docs via " +
+          s"(max pos=$mp, doc range [$lo, $hi]) — shorten docs via " +
           "stride, or use smaller ids")
     }
-    val pk = pas.select(
-      (col("doc").cast("long") * pidCap + col("p_id")).as("doc"),
-      col("p_text"))
-    val posts = indexPostings(pk, "doc", "p_text")
-    // passage-corpus statistics — the bm25Search path verbatim, minus
-    // the per-passage top-k cut (MaxP needs every matching passage)
+    val smin = when(col("p") <= window - 1, lit(0)).otherwise(
+      expr(s"((p - ${window - 1}) + ${stride - 1}) div $stride * $stride"))
+    val member = tokPos
+      .select(col("d"),
+        explode(sequence(smin, expr(s"p div $stride * $stride"),
+          lit(stride))).as("s"),
+        col("term"))
+      .select((col("d") * pidCap + expr(s"s div $stride")).as("doc"),
+        col("term"))
     val vocab = queryVocabCounts(queries, qtext, maxQueryTerms)
     val terms = vocab.map(_._1)
+    val grouped = Caches.track(member.groupBy(col("doc"),
+        when(col("term").isin(terms.map(lit): _*), col("term")).as("__t"))
+      .agg(count(lit(1)).as("cnt")).persist())
     val dld = Caches.track(
-      posts.select(col("doc"), col("dl")).distinct().persist())
+      grouped.groupBy(col("doc")).agg(sum(col("cnt")).as("dl")).persist())
     val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
       .as[(Long, Long)].collect().head
     require(tTot > 0, "bm25MaxP: corpus has no tokens")
     val s = 1L << scaleBits
-    val tdq = posts.filter(col("term").isin(terms.map(lit): _*))
-      .select(col("doc"), col("term"), col("tf"))
+    val tdq = grouped.filter(col("__t").isNotNull)
+      .select(col("doc"), col("__t").as("term"), col("cnt").as("tf"))
     val dfMap = tdq.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
     val idfRows = quantizedIdf(terms, dfMap, nDocs, scaleBits)
