@@ -8000,6 +8000,155 @@ object Queries {
             FROM r WHERE rn <= 5"""),
     bench = true)
 
+  /** Typo'd query fixture: the bm25 queries with the FIRST token's
+    * second character deleted (when it has one) — a deterministic
+    * misspelling whose correction is in-corpus by construction. */
+  private def typoQueries(s: SparkSession, d: String): DataFrame =
+    bm25Queries(s, d).select(col("q_id"),
+      array_join(transform(TextAnalysis.tokens(col("qtext")),
+        (x, i) => when(i === 0 && length(x) >= 2,
+          concat(x.substr(lit(1), lit(1)), x.substr(lit(3), length(x))))
+          .otherwise(x)), " ").as("qtext"))
+
+  /** SymSpell typo correction against the index vocabulary
+    * (TextAnalysis.fuzzyQueryRewrite): depth-1 delete-neighborhood keys
+    * gate candidates, exact levenshtein decides, best = dist ASC then
+    * df DESC then term ASC; per query the sorted corrected term set +
+    * correction/drop counts. */
+  private val q223 = QDef("q223_fuzzy_rewrite",
+    (s, d) => TextAnalysis.fuzzyQueryRewrite(
+      TextAnalysis.indexPostings(docs(s, d), "doc_id", "text"),
+      typoQueries(s, d), "q_id", "qtext"),
+    Some("""WITH dtr AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\s+'), x -> x <> '') AS wsr
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+                AS term
+              FROM documents),
+            vocab AS MATERIALIZED (SELECT term,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks GROUP BY 1),
+            q0 AS (SELECT doc_id AS q_id, wsr[1:3] AS qs FROM dtr
+              WHERE doc_id % 25 = 0),
+            qt AS MATERIALIZED (SELECT DISTINCT q_id, lower(term) AS term
+              FROM (SELECT q_id, unnest(list_concat(
+                  [CASE WHEN len(qs[1]) >= 2
+                        THEN substr(qs[1], 1, 1) || substr(qs[1], 3)
+                        ELSE qs[1] END],
+                  qs[2:])) AS term FROM q0)),
+            vk AS MATERIALIZED (SELECT w, df, unnest(list_distinct(
+                list_prepend(w, list_transform(range(1, len(w) + 1),
+                  i -> substr(w, 1, i - 1) || substr(w, i + 1, len(w))))))
+                AS key
+              FROM (SELECT term AS w, df FROM vocab)),
+            qk AS (SELECT q_id, term, unnest(list_distinct(
+                list_prepend(term, list_transform(range(1, len(term) + 1),
+                  i -> substr(term, 1, i - 1) ||
+                    substr(term, i + 1, len(term)))))) AS key
+              FROM qt),
+            verified AS MATERIALIZED (SELECT q_id, term, w, df,
+                CAST(levenshtein(term, w) AS BIGINT) AS dist
+              FROM (SELECT DISTINCT q_id, term, w, df
+                    FROM qk JOIN vk USING (key))
+              WHERE levenshtein(term, w) <= 1),
+            best AS MATERIALIZED (SELECT q_id, term, w, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id, term
+                  ORDER BY dist, df DESC, w) AS rn FROM verified)
+              WHERE rn = 1),
+            agg AS (SELECT q_id,
+                array_to_string(list_sort(list_distinct(list(w))), ' ')
+                  AS qtext2,
+                CAST(sum(CASE WHEN dist >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_corrected,
+                CAST(count(1) AS BIGINT) AS nb
+              FROM best GROUP BY 1),
+            nq AS (SELECT q_id, CAST(count(1) AS BIGINT) AS nt
+              FROM qt GROUP BY 1)
+            SELECT nq.q_id, COALESCE(agg.qtext2, '') AS qtext2,
+              COALESCE(agg.n_corrected, 0) AS n_corrected,
+              nq.nt - COALESCE(agg.nb, 0) AS n_dropped
+            FROM nq LEFT JOIN agg USING (q_id)"""),
+    bench = true)
+
+  /** Typo-tolerant BM25 (TextAnalysis.fuzzyBm25Search): the q223
+    * correction chain feeding the untouched q124 ranking arithmetic —
+    * idf trained on the CORRECTED queries inlines as VALUES. */
+  private val q224 = QDef("q224_fuzzy_bm25",
+    (s, d) => TextAnalysis.fuzzyBm25Search(
+      TextAnalysis.indexPostings(docs(s, d), "doc_id", "text"),
+      typoQueries(s, d), "q_id", "qtext", k = 10),
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rw = TextAnalysis.fuzzyQueryRewrite(
+        TextAnalysis.indexPostings(docs(s, d), "doc_id", "text"),
+        typoQueries(s, d), "q_id", "qtext")
+      val rows = TextAnalysis.bm25Stats(docs(s, d), "doc_id", "text",
+          rw, "q_id", "qtext2")._1
+        .map { case (t, v) => s"('${t.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      s"""WITH dtr AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS wsr
+              FROM documents),
+           dt AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           toks AS MATERIALIZED (SELECT doc_id, unnest(ws) AS term FROM dt),
+           vocab AS MATERIALIZED (SELECT term,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks GROUP BY 1),
+           q0 AS (SELECT doc_id AS q_id, wsr[1:3] AS qs FROM dtr
+              WHERE doc_id % 25 = 0),
+           qt AS MATERIALIZED (SELECT DISTINCT q_id, lower(term) AS term
+              FROM (SELECT q_id, unnest(list_concat(
+                  [CASE WHEN len(qs[1]) >= 2
+                        THEN substr(qs[1], 1, 1) || substr(qs[1], 3)
+                        ELSE qs[1] END],
+                  qs[2:])) AS term FROM q0)),
+           vk AS MATERIALIZED (SELECT w, df, unnest(list_distinct(
+                list_prepend(w, list_transform(range(1, len(w) + 1),
+                  i -> substr(w, 1, i - 1) || substr(w, i + 1, len(w))))))
+                AS key
+              FROM (SELECT term AS w, df FROM vocab)),
+           qk AS (SELECT q_id, term, unnest(list_distinct(
+                list_prepend(term, list_transform(range(1, len(term) + 1),
+                  i -> substr(term, 1, i - 1) ||
+                    substr(term, i + 1, len(term)))))) AS key
+              FROM qt),
+           verified AS MATERIALIZED (SELECT q_id, term, w, df,
+                CAST(levenshtein(term, w) AS BIGINT) AS dist
+              FROM (SELECT DISTINCT q_id, term, w, df
+                    FROM qk JOIN vk USING (key))
+              WHERE levenshtein(term, w) <= 1),
+           best AS MATERIALIZED (SELECT q_id, term, w, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id, term
+                  ORDER BY dist, df DESC, w) AS rn FROM verified)
+              WHERE rn = 1),
+           qt2 AS MATERIALIZED (SELECT DISTINCT q_id, w AS term FROM best),
+           td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2),
+           dl AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+                     CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+           idf(term, idf_q) AS (VALUES $rows),
+           nrm AS (SELECT doc_id,
+               (4096 * (t_tot + 3 * dl * n_docs)) // (4 * t_tot) AS norm_q
+             FROM dl, tot),
+           sc AS (SELECT qt2.q_id, td.doc_id,
+               CAST(sum((idf_q * tf * 11 * 4096) //
+                 (5 * tf * 4096 + 6 * norm_q)) AS BIGINT) AS score_q,
+               CAST(count(*) AS BIGINT) AS n_terms
+             FROM qt2 JOIN idf USING (term) JOIN td USING (term)
+                  JOIN nrm USING (doc_id)
+             GROUP BY 1, 2),
+           r AS (SELECT q_id, doc_id, score_q, n_terms, row_number() OVER (
+               PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rn
+             FROM sc)
+           SELECT q_id, CAST(rn AS INT) AS rank, doc_id, score_q, n_terms
+           FROM r WHERE rn <= 10"""
+    }))
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -8026,7 +8175,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

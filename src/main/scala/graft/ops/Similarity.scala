@@ -397,42 +397,66 @@ object Similarity {
     requireBounded("densePrfTopK", "query", queries, maxBroadcastQueries,
       "maxBroadcastQueries", "batch the queries or raise the limit")
     val scale = (1L << scaleBits).toDouble
-    // the (c_id, dim, m) relation is consumed three times (round 1,
-    // feedback gather, round 2) and its recompute crosses nothing —
-    // but each consumer SHUFFLES it by dim/c_id, so the persist crosses
-    // a shuffle boundary per the persist-pays rule
-    val cm = Caches.track(corpus
-      .select(col(id).cast("long").as("c_id"),
-        posexplode(col(vec)).as(Seq("dim", "__x")))
-      .select(col("c_id"), col("dim"),
-        floor(col("__x").cast("double") * scale).cast("long").as("m"))
-      .persist())
-    val qm = queries
-      .select(col(id).cast("long").as("q_id"),
-        posexplode(col(vec)).as(Seq("dim", "__x")))
-      .select(col("q_id"), col("dim"),
-        floor(col("__x").cast("double") * scale).cast("long").as("mq"))
-    val r1 = cm.join(broadcast(qm), Seq("dim"))
+    val dims = queries.select(size(col(vec))).head().getInt(0)
+    // BOTH dot rounds run as fused-codegen BNLJ passes, never the
+    // relational (id, dim, m) expansion (a first cut dim-joined both
+    // rounds — |corpus|·d·|queries| joined rows through a hash agg,
+    // measured ~4x the fused form at bench scale): round 1 is the q209
+    // quantize-and-dot over the raw float pair; round 2 scores the
+    // int-quantized corpus against the MODIFIED integer query via
+    // Sq8Dot with identity dequantization (lo = 0, range = 255 makes
+    // `lo + code·range div 255` = code exactly, signs included) — the
+    // same Σ floor(2ˢ·c)·mq2 integers as the relational form.
+    val q1 = queries.select(col(id).cast("long").as("q_id"),
+      col(vec).as("q_vec"))
+    val c1 = corpus.select(col(id).cast("long").as("c_id"),
+      col(vec).as("c_vec"))
+    val r1 = c1.crossJoin(broadcast(q1))
       .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("m") * col("mq")).as("iscore"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.quantDot(col("c_vec"), col("q_vec"),
+          scaleBits).as("iscore"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("c_id"))
     val fb = r1.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= fbDocs)
       .select(col("q_id"), col("c_id"))
     val fbN = fb.groupBy(col("q_id")).agg(count(lit(1)).as("__n"))
-    val cent = cm.join(broadcast(fb), Seq("c_id"))
-      .groupBy(col("q_id"), col("dim")).agg(sum(col("m")).as("__sm"))
+    // feedback centroid sums: |fb| ≤ fbDocs·|queries| rows explode —
+    // query-bounded, never corpus-scale
+    val cent = c1.join(broadcast(fb), Seq("c_id"))
+      .select(col("q_id"), posexplode(col("c_vec")).as(Seq("dim", "__x")))
+      .groupBy(col("q_id"), col("dim"))
+      .agg(sum(floor(col("__x").cast("double") * scale).cast("long"))
+        .as("__sm"))
+    val qm = queries
+      .select(col(id).cast("long").as("q_id"),
+        posexplode(col(vec)).as(Seq("dim", "__x")))
+      .select(col("q_id"), col("dim"),
+        floor(col("__x").cast("double") * scale).cast("long").as("mq"))
     val q2 = qm.join(broadcast(fbN), Seq("q_id"))
       .join(broadcast(cent), Seq("q_id", "dim"), "left")
       .select(col("q_id"), col("dim"),
         (lit(alpha) * col("__n") * col("mq") +
           lit(beta) * coalesce(col("__sm"), lit(0L))).as("mq2"))
-    val r2 = cm.join(broadcast(q2), Seq("dim"))
+      // pivot the per-dim rows back to one array per query (the
+      // trainIvfCentroids means-pivot pattern; query-bounded rows)
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mq2"))))
+        .as("dm"))
+      .select(col("q_id"),
+        transform(col("dm"), e => e.getField("mq2")).as("mq2arr"))
+    val codes = c1.select(col("c_id"),
+      array((0 until dims).map(j =>
+        floor(element_at(col("c_vec"), j + 1).cast("double") * scale)
+          .cast("int")): _*).as("codes"))
+    val zeros = Array.fill(dims)(0L)
+    val ident = Array.fill(dims)(255L)
+    val r2 = codes.crossJoin(broadcast(q2))
       .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("m") * col("mq2")).as("iscore"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.sq8Dot(col("codes"), col("mq2arr"),
+          zeros, ident).as("iscore"))
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("c_id"))
     r2.withColumn("rank", row_number().over(w2).cast("int"))

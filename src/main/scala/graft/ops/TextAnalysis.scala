@@ -1804,6 +1804,101 @@ object TextAnalysis {
       prune = false)
   }
 
+  /** The SymSpell depth-1 delete neighborhood of a string column: the
+    * string itself plus every single-character deletion, de-duplicated.
+    * Two strings within Levenshtein distance 1 ALWAYS share a key
+    * (equal → the identity key; substitution → the deletion at the
+    * differing position; insertion/deletion → the shorter string is a
+    * deletion of the longer), so the key equi-join is a complete
+    * candidate generator for distance ≤ 1 — never a cross join.
+    * Code-point substring semantics on both engines. */
+  private def delNeighborhood(s: Column): Column =
+    array_distinct(concat(array(s),
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+
+  /** Typo-tolerant query rewriting — SymSpell symmetric-delete matching
+    * against the INDEX VOCABULARY (Garbe's algorithm, relational form):
+    * a query term already in the vocabulary keeps itself (distance 0
+    * wins); a missing term is replaced by the vocabulary term within
+    * Levenshtein distance ≤ 1 with the HIGHEST document frequency
+    * (dist ASC, df DESC, term ASC — the "most common plausible
+    * correction" rule every spell-corrector ships); terms with no
+    * near-miss drop. Output: one row per query —
+    * `(q_id, qtext2, n_corrected, n_dropped)` with `qtext2` the sorted
+    * distinct corrected terms (possibly empty).
+    *
+    * Scale shape: the query side is driver-bounded and BROADCASTS with
+    * its keys; the vocabulary side is one full-vocab df aggregate plus
+    * a row-local key explode (×(len+1)) — the SymSpell KEY TABLE, the
+    * artifact a serving deployment persists once. Candidates come from
+    * ONE key equi-join; the exact `levenshtein` verify runs on the tiny
+    * candidate set (the [[graft.ops.Dedup.editDistancePairs]] verify
+    * discipline — keys only GATE, distance decides, so the key-set
+    * completeness argument above is the correctness proof). */
+  def fuzzyQueryRewrite(postings: DataFrame, queries: DataFrame,
+                        qid: String, qtext: String, maxDist: Int = 1,
+                        maxQueryTerms: Int = 10000): DataFrame = {
+    require(maxDist == 1,
+      "fuzzyQueryRewrite: only maxDist = 1 is supported (the SymSpell " +
+        "depth-1 neighborhood; deeper distances need depth-d key sets)")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val qtRows = qt.collect()
+    require(qtRows.nonEmpty, "fuzzy: queries contain no terms")
+    require(qtRows.length <= maxQueryTerms,
+      s"fuzzy: ${qtRows.length} query terms exceed " +
+        s"maxQueryTerms=$maxQueryTerms — batch the queries")
+    val qtLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qt.schema)
+    val qk = qtLocal.select(col("q_id"), col("term"),
+      explode(delNeighborhood(col("term"))).as("key"))
+    // postings rows are unique per (doc, term) -> df is a plain count
+    val vk = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term").as("w"), col("df"))
+      .select(col("w"), col("df"),
+        explode(delNeighborhood(col("w"))).as("key"))
+    val verified = vk.join(broadcast(qk), Seq("key"))
+      .select(col("q_id"), col("term"), col("w"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("term"), col("w")).cast("long"))
+      .filter(col("dist") <= maxDist)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("term"))
+      .orderBy(col("dist"), col("df").desc, col("w"))
+    val best = verified.withColumn("__rn", row_number().over(wnd))
+      .filter(col("__rn") === 1)
+    val agg = best.groupBy(col("q_id")).agg(
+      array_join(array_sort(collect_set(col("w"))), " ").as("qtext2"),
+      sum(when(col("dist") >= 1, 1L).otherwise(0L)).as("n_corrected"),
+      count(lit(1)).as("__nb"))
+    val nq = qtLocal.groupBy(col("q_id")).agg(count(lit(1)).as("__nt"))
+    nq.join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("qtext2"), lit("")).as("qtext2"),
+        coalesce(col("n_corrected"), lit(0L)).as("n_corrected"),
+        (col("__nt") - coalesce(col("__nb"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Typo-tolerant BM25: [[fuzzyQueryRewrite]] then the untouched
+    * [[bm25Search]] over the corrected queries — the full
+    * "did-you-mean" retrieval composition. Queries whose every term
+    * dropped retrieve nothing (filtered before the ranker's
+    * nonempty-vocabulary contract). The rewrite is persisted: consumed
+    * twice inside bm25Search (vocabulary collect + the q_id attach) and
+    * its recompute crosses the vocabulary aggregate and the best-match
+    * window. */
+  def fuzzyBm25Search(postings: DataFrame, queries: DataFrame,
+                      qid: String, qtext: String, k: Int,
+                      maxDist: Int = 1, scaleBits: Int = 12,
+                      maxQueryTerms: Int = 10000): DataFrame =
+    bm25Search(postings,
+      Caches.track(fuzzyQueryRewrite(postings, queries, qid, qtext,
+          maxDist, maxQueryTerms)
+        .filter(col("qtext2") =!= "").persist()),
+      "q_id", "qtext2", k, scaleBits, maxQueryTerms)
+
   /** From-TEXT BM25F for the positional field convention — the in-query
     * twin of [[bm25fSearch]] ∘ [[indexPostingsFieldedSplit]] with the
     * [[bm25Core]] one-pass null-group build: the corpus tokenizes ONCE,
