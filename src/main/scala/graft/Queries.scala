@@ -8149,6 +8149,70 @@ object Queries {
            FROM r WHERE rn <= 10"""
     }))
 
+  /** Proximity snippets (TextAnalysis.nearSnippets): the q212 NEAR
+    * ranking with each hit's tightest covering window sliced out of the
+    * raw text (earliest among equal-span covers). Oracle extends q212's
+    * relational min-cover chain with the argmin-start rule and the raw
+    * token slice. */
+  private val q225 = QDef("q225_near_snippets",
+    (s, d) => TextAnalysis.nearSnippets(
+      TextAnalysis.indexPostingsPositional(docs(s, d), "doc_id", "text"),
+      docs(s, d), "doc_id", "text",
+      bm25Queries(s, d), "q_id", "qtext", window = 12, k = 10),
+    Some("""WITH dt AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            dtr AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\s+'), x -> x <> '') AS wsr
+              FROM documents),
+            tp AS MATERIALIZED (SELECT doc_id,
+                generate_subscripts(ws, 1) - 1 AS p, unnest(ws) AS term
+              FROM dt),
+            q AS MATERIALIZED (SELECT doc_id AS q_id,
+                unnest(list_distinct(ws[1:3])) AS term
+              FROM dt WHERE doc_id % 25 = 0),
+            kq AS MATERIALIZED (SELECT q_id, count(*) AS kq
+              FROM q GROUP BY 1),
+            ev AS MATERIALIZED (SELECT q.q_id, tp.doc_id, tp.term, tp.p
+              FROM q JOIN tp USING (term)),
+            fl AS MATERIALIZED (SELECT j.q_id, j.doc_id FROM (
+                SELECT q_id, doc_id, count(DISTINCT term) AS nt
+                FROM ev GROUP BY 1, 2) j
+              JOIN kq USING (q_id) WHERE j.nt = kq.kq),
+            fev AS MATERIALIZED (SELECT ev.* FROM ev
+              JOIN fl USING (q_id, doc_id)),
+            ls AS MATERIALIZED (SELECT e1.q_id, e1.doc_id, e1.p AS pe,
+                e2.term, max(e2.p) AS lp
+              FROM fev e1 JOIN fev e2
+                ON e1.q_id = e2.q_id AND e1.doc_id = e2.doc_id
+                  AND e2.p <= e1.p
+              GROUP BY 1, 2, 3, 4),
+            cov AS MATERIALIZED (SELECT q_id, doc_id, pe,
+                count(*) AS nt, min(lp) AS st
+              FROM ls GROUP BY 1, 2, 3),
+            cs AS MATERIALIZED (SELECT c.q_id, c.doc_id,
+                CAST(c.pe - c.st + 1 AS BIGINT) AS span,
+                CAST(c.st AS BIGINT) AS st
+              FROM cov c JOIN kq USING (q_id) WHERE c.nt = kq.kq),
+            mx AS (SELECT q_id, doc_id, min(span) AS min_span
+              FROM cs GROUP BY 1, 2),
+            bs AS (SELECT cs.q_id, cs.doc_id, mx.min_span,
+                min(cs.st) AS snip_start
+              FROM cs JOIN mx ON cs.q_id = mx.q_id
+                AND cs.doc_id = mx.doc_id AND cs.span = mx.min_span
+              GROUP BY 1, 2, 3),
+            r AS (SELECT q_id, doc_id, min_span, snip_start,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY min_span, doc_id) AS rn
+              FROM bs WHERE min_span <= 12)
+            SELECT r.q_id, CAST(rn AS INT) AS rank, r.doc_id, r.min_span,
+              r.snip_start,
+              COALESCE(array_to_string(wsr[CAST(snip_start + 1 AS INT) :
+                CAST(snip_start + min_span AS INT)], ' '), '') AS snippet
+            FROM r JOIN dtr ON dtr.doc_id = r.doc_id
+            WHERE rn <= 10"""),
+    bench = true)
+
   private val prfIdfCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, Long)]]
   /** Second-round idf artifact: trained on exactly the expanded-query
@@ -8175,7 +8239,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

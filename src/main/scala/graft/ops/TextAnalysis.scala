@@ -2570,8 +2570,28 @@ object TextAnalysis {
   def nearSearch(postings: DataFrame, queries: DataFrame, qid: String,
                  qtext: String, window: Int, k: Int,
                  maxQueryTerms: Int = 10000): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
     require(k >= 1, s"k must be >= 1, got $k")
+    val spans = nearSpans(postings, queries, qid, qtext, window,
+      maxQueryTerms)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("min_span"), col("doc"))
+    spans.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
+        col("min_span"))
+  }
+
+  /** The [[nearSearch]] sweep, returning per (query, doc) the minimum
+    * covering span AND its position — `(q_id, doc, min_span,
+    * snip_start)` with `snip_start` the 0-based token index of the
+    * tightest cover's start (among equal-span covers, the earliest —
+    * the min-struct tie rule). Shared by [[nearSearch]] (which drops
+    * the position) and [[nearSnippets]] (which slices it out of the
+    * raw text). */
+  private[graft] def nearSpans(postings: DataFrame, queries: DataFrame,
+                               qid: String, qtext: String, window: Int,
+                               maxQueryTerms: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
     val spark = postings.sparkSession
     import spark.implicits._
     val qt = queries.select(col(qid).as("q_id"),
@@ -2625,16 +2645,43 @@ object TextAnalysis {
     val covers = withLs.withColumn("__start", startExpr)
       .filter(col("__start").isNotNull)
       .select(col("q_id"), col("doc"),
-        (col("p") - col("__start") + 1).cast("long").as("span"))
-    val spans = covers.groupBy(col("q_id"), col("doc"))
-      .agg(min(col("span")).as("min_span"))
+        (col("p") - col("__start") + 1).cast("long").as("span"),
+        col("__start").as("cstart"))
+    covers.groupBy(col("q_id"), col("doc"))
+      .agg(min(struct(col("span"), col("cstart"))).as("__b"))
+      .select(col("q_id"), col("doc"), col("__b.span").as("min_span"),
+        col("__b.cstart").as("snip_start"))
       .filter(col("min_span") <= window)
+  }
+
+  /** Snippet generation — the display half of proximity retrieval: the
+    * [[nearSearch]] ranking with each hit's TIGHTEST covering window
+    * sliced out of the raw document text (`snip_start` = the cover's
+    * 0-based token index, earliest among equal-span covers; the snippet
+    * is exactly `min_span` raw tokens rejoined with single spaces —
+    * positions in the positional index refer to whitespace tokens, so
+    * the raw-case token list aligns index-for-index with the lowered
+    * one the index was built from). The doc-text join touches only the
+    * ≤ k ranked hits per query (broadcast of a query-bounded id set at
+    * serving scale, a plain join here). Output:
+    * `(q_id, rank, doc_id, min_span, snip_start, snippet)`. */
+  def nearSnippets(postings: DataFrame, docs: DataFrame, id: String,
+                   text: String, queries: DataFrame, qid: String,
+                   qtext: String, window: Int, k: Int,
+                   maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spans = nearSpans(postings, queries, qid, qtext, window,
+      maxQueryTerms)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("min_span"), col("doc"))
-    spans.withColumn("rank", row_number().over(w).cast("int"))
+    val ranked = spans.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
+    ranked.join(docs.select(col(id).as("doc"),
+        tokens(col(text)).as("__tk")), Seq("doc"))
       .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
-        col("min_span"))
+        col("min_span"), col("snip_start"),
+        array_join(slice(col("__tk"), (col("snip_start") + 1).cast("int"),
+          col("min_span").cast("int")), " ").as("snippet"))
   }
 
   /** Proximity-boosted BM25 (Tao & Zhai's MinDist heuristic in exact
