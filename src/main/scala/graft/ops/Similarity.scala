@@ -399,11 +399,12 @@ object Similarity {
     val scale = (1L << scaleBits).toDouble
     val dims = queries.select(size(col(vec))).head().getInt(0)
     // BOTH dot rounds run as fused-codegen BNLJ passes, never the
-    // relational (id, dim, m) expansion (a first cut dim-joined both
-    // rounds — |corpus|·d·|queries| joined rows through a hash agg,
-    // measured ~4x the fused form at bench scale): round 1 is the q209
-    // quantize-and-dot over the raw float pair; round 2 scores the
-    // int-quantized corpus against the MODIFIED integer query via
+    // relational (id, dim, m) expansion (|corpus|·d·|queries| joined
+    // rows through a hash agg — same-instrument A/B: the relational
+    // form ran at 2.4× the q124 yardstick, this form at 0.5×, ~4.5× on
+    // the ratio basis ONCE the code table below persists): round 1 is
+    // the q209 quantize-and-dot over the raw float pair; round 2 scores
+    // the int-quantized corpus against the MODIFIED integer query via
     // Sq8Dot with identity dequantization (lo = 0, range = 255 makes
     // `lo + code·range div 255` = code exactly, signs included) — the
     // same Σ floor(2ˢ·c)·mq2 integers as the relational form.
@@ -446,10 +447,15 @@ object Similarity {
         .as("dm"))
       .select(col("q_id"),
         transform(col("dm"), e => e.getField("mq2")).as("mq2arr"))
-    val codes = c1.select(col("c_id"),
+    // persist the code projection: under the round-2 BNLJ there is no
+    // exchange, so the 64-term quantize array would collapse into the
+    // post-join project and re-evaluate PER PAIR (the q120 lesson —
+    // re-learned here the hard way: the unpersisted first cut measured
+    // SLOWER than the relational dim-join it replaced)
+    val codes = Caches.track(c1.select(col("c_id"),
       array((0 until dims).map(j =>
         floor(element_at(col("c_vec"), j + 1).cast("double") * scale)
-          .cast("int")): _*).as("codes"))
+          .cast("int")): _*).as("codes")).persist())
     val zeros = Array.fill(dims)(0L)
     val ident = Array.fill(dims)(255L)
     val r2 = codes.crossJoin(broadcast(q2))
