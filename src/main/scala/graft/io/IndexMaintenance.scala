@@ -123,6 +123,7 @@ object IndexMaintenance {
                       maxDeadBp: Long): Boolean = {
     require(maxDeadBp >= 1 && maxDeadBp <= 10000,
       s"maxDeadBp must be in [1, 10000], got $maxDeadBp")
+    guardCrashState(spark, table)
     val (_, _, _, deadBp) = tombstoneStats(spark, table, idCol)
     val fire = deadBp >= maxDeadBp
     if (fire) compact(spark, table, key, buckets, idCol)
@@ -141,17 +142,33 @@ object IndexMaintenance {
     *
     * CRASH RECOVERY (compaction assumes exclusive access — it is a
     * maintenance operation, not a concurrent writer): if a run died
-    * mid-swap, `<table>__precompact` exists. When `<table>` also exists
-    * the swap completed — drop `<table>__tombstones` and
-    * `<table>__precompact` (rerunning [[compact]] does NOT do this for
-    * you; it assumes `<table>` is the un-compacted source). When
-    * `<table>` is missing, rename `<table>__precompact` back and rerun.
-    * A leftover `<table>__compact` alone is harmless — the next run
-    * clears it. */
+    * mid-swap, `<table>__precompact` exists, and rerunning [[compact]]
+    * (or [[compactIfNeeded]]) resolves the state instead of destroying
+    * it (r11 verdict finding 1 — the old code dropped the siblings
+    * unconditionally, so a rerun in the between-renames state deleted
+    * the ONLY surviving copies of the data):
+    *
+    *  - `<table>` missing + `<table>__precompact` present is the
+    *    unambiguous between-renames crash — the data lives only in the
+    *    sibling. Rerun AUTO-RECOVERS: the sibling is renamed back to
+    *    the serving name and compaction proceeds normally (the
+    *    tombstones are still intact, so the rewrite is exactly the one
+    *    the crashed run attempted).
+    *  - `<table>` present + `<table>__precompact` present means the
+    *    swap COMPLETED but cleanup didn't. Rerun REFUSES with the
+    *    manual steps (drop `<table>__tombstones` and
+    *    `<table>__precompact`): blindly re-compacting here would apply
+    *    pre-swap tombstones to the already-compacted gen-0 rows —
+    *    silently deleting replaced documents — so the resolution is
+    *    left to the operator who knows whether post-crash deletes ran.
+    *  - a leftover `<table>__compact` alone is harmless — the next run
+    *    clears it (the rewrite never got to the first rename, so the
+    *    serving table is untouched). */
   def compact(spark: SparkSession, table: String, key: String,
               buckets: Int, idCol: String): Unit = {
     val tmp = table + "__compact"
     val old = table + "__precompact"
+    guardCrashState(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
     spark.sql(s"DROP TABLE IF EXISTS `$old`")
     Layout.writeBucketed(
@@ -172,5 +189,34 @@ object IndexMaintenance {
     // `Caches.release()` after their terminal actions (the documented
     // ledger contract) before compacting.
     spark.catalog.refreshTable(table)
+  }
+
+  /** The crash-state gate both compaction entry points run BEFORE any
+    * destructive step (see the recovery contract on [[compact]]):
+    * auto-recovers the unambiguous between-renames state, refuses the
+    * ambiguous post-swap state, and fails loudly when the serving table
+    * simply doesn't exist (instead of dropping siblings first and then
+    * failing with the data already gone). */
+  private def guardCrashState(spark: SparkSession, table: String): Unit = {
+    val old = table + "__precompact"
+    val haveTable = spark.catalog.tableExists(table)
+    val haveOld = spark.catalog.tableExists(old)
+    if (!haveTable && haveOld) {
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+      spark.catalog.refreshTable(table)
+    } else if (haveTable && haveOld) {
+      throw new IllegalStateException(
+        s"compact: both '$table' and its crash-recovery sibling '$old' " +
+          "exist — a prior compaction completed its swap but not its " +
+          "cleanup. Re-compacting now could apply pre-swap tombstones " +
+          "to already-compacted rows. Resolve manually: verify " +
+          s"'$table' serves the expected data, then DROP TABLE " +
+          s"`${tombstoneTable(table)}` (if present) and DROP TABLE " +
+          s"`$old`, and rerun.")
+    } else if (!haveTable) {
+      throw new IllegalStateException(
+        s"compact: serving table '$table' does not exist (and no " +
+          s"'$old' recovery sibling is present) — nothing to compact.")
+    }
   }
 }

@@ -419,9 +419,25 @@ object Similarity {
           scaleBits).as("iscore"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("iscore").desc, col("c_id"))
-    val fb = r1.withColumn("__rn", row_number().over(w1))
+    // persisted: consumed by the centroid join, the per-query counts,
+    // AND the zero-feedback guard below, and its recompute crosses the
+    // round-1 corpus BNLJ + the top-fbDocs window shuffle — without the
+    // persist each consumer re-ran the full round-1 pass
+    val fb = Caches.track(r1.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= fbDocs)
-      .select(col("q_id"), col("c_id"))
+      .select(col("q_id"), col("c_id")).persist())
+    // a query with ZERO round-1 neighbors (its only corpus match is
+    // itself, or the corpus is effectively empty) has no feedback
+    // centroid and would silently vanish through the inner joins below
+    // — fail loudly instead, matching the family's posture (both counts
+    // are query-bounded; fb is persisted so this re-runs nothing)
+    val nQ = q1.select(col("q_id")).distinct().count()
+    val nFb = fb.select(col("q_id")).distinct().count()
+    require(nFb == nQ,
+      s"densePrfTopK: ${nQ - nFb} quer(ies) have zero round-1 feedback " +
+        "neighbors (only corpus match is the query itself, or the " +
+        "corpus is empty) — they would silently drop from the output; " +
+        "remove them from the query batch or fix the corpus")
     val fbN = fb.groupBy(col("q_id")).agg(count(lit(1)).as("__n"))
     // feedback centroid sums: |fb| ≤ fbDocs·|queries| rows explode —
     // query-bounded, never corpus-scale
@@ -511,10 +527,17 @@ object Similarity {
     val c0 = corpus.select(col(id), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))
     val c = if (materializeCorpusNorms) Caches.track(c0.persist()) else c0
+    // a zero-norm vector on either side makes cosine 0/0 = NaN, and
+    // Spark orders NaN ABOVE all doubles (max_cos would go NaN, and
+    // NaN >= threshold is TRUE under Spark's ordering-based comparison)
+    // while other engines disagree — null the undefined pairs out
+    // explicitly instead: a degenerate embedding matches nothing and is
+    // invisible to the audit max (sum/max skip nulls in every engine)
     c.crossJoin(broadcast(h))
       .select(col(id),
-        round(cosine(col("c_vec"), col("h_vec"), col("c_norm"),
-          col("h_norm")), 6).as("cos"))
+        when(col("c_norm") > 0 && col("h_norm") > 0,
+          round(cosine(col("c_vec"), col("h_vec"), col("c_norm"),
+            col("h_norm")), 6)).as("cos"))
       .groupBy(col(id))
       .agg(sum(when(col("cos") >= threshold, 1L).otherwise(0L))
         .as("n_hits"), max(col("cos")).as("max_cos"))

@@ -1334,10 +1334,22 @@ object StatefulOps {
     * cross-session table semantics — a reader session OTHER than the
     * micro-batch's (which is a clone) must `refreshTable` to see the
     * batch's appends, or it serves its stale cached file listing.
-    * O(batch) per batch except the threshold-gated compaction. */
+    * O(batch) per batch except the threshold-gated compaction.
+    *
+    * MULTIPLE COMMANDS PER ID PER BATCH (normal for CDC sources): the
+    * batch is collapsed to the LATEST command per id by `orderCol`
+    * (last-writer-wins — the Debezium/compacted-topic convention)
+    * before anything is applied; ordering values must totally order
+    * each id's events (ties pick an arbitrary winner). Without
+    * `orderCol` there is no order to collapse by, so the writer
+    * REQUIRES at most one command per id per batch and fails the batch
+    * loudly otherwise — applying them blindly would run all deletes
+    * before all upserts (an upsert-then-delete resurrects the doc) and
+    * merge two upserts' token streams into one document (silently
+    * wrong BM25 stats). */
   def postingsMaintenanceWriter(stream: DataFrame, id: String,
       text: String, op: String, table: String, buckets: Int,
-      maxDeadBp: Long = 3000)(
+      maxDeadBp: Long = 3000, orderCol: Option[String] = None)(
       onBatch: (Long, Boolean) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       if (!batch.isEmpty) {
@@ -1346,8 +1358,27 @@ object StatefulOps {
         require(bad.isEmpty,
           s"postingsMaintenanceWriter: unknown op values " +
             s"${bad.select(col(op)).distinct().collect().mkString(",")}")
-        val dels = batch.filter(col(op) === "delete").select(col(id))
-        val ups = batch.filter(col(op) === "upsert")
+        val cmds = orderCol match {
+          case Some(oc) =>
+            // one narrow batch-scale aggregate; the winning struct
+            // carries both payload columns
+            batch.groupBy(col(id))
+              .agg(max_by(struct(col(text).as("__t"), col(op).as("__o")),
+                col(oc)).as("__c"))
+              .select(col(id), col("__c.__t").as(text),
+                col("__c.__o").as(op))
+          case None =>
+            val dup = batch.groupBy(col(id)).agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1)
+            require(dup.isEmpty,
+              "postingsMaintenanceWriter: multiple commands for id(s) " +
+                dup.select(col(id)).limit(5).collect().mkString(",") +
+                " in one micro-batch with no orderCol — pass orderCol " +
+                "so the batch can collapse to the latest command per id")
+            batch
+        }
+        val dels = cmds.filter(col(op) === "delete").select(col(id))
+        val ups = cmds.filter(col(op) === "upsert")
           .select(col(id), col(text))
         if (!dels.isEmpty)
           graft.ops.TextAnalysis.deleteFromPostingsIndex(spark, table,

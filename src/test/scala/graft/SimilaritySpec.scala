@@ -965,6 +965,24 @@ class SimilaritySpec extends SparkSpec {
       Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
         holdout.filter(col("vec_id") < 0), "embedding", 0.90625)
     }
+    // degenerate (zero-norm) vectors: cosine is undefined (0/0) — the
+    // pair must be NULLed, never NaN (Spark orders NaN above all
+    // doubles, so an unguarded max_cos would go NaN and the threshold
+    // comparison would silently flip true — the r11 advice hazard)
+    val degen = Similarity.semanticDecontaminate(
+        corpus.unionByName(Seq((4L, Seq(0f, 0f)))
+          .toDF("vec_id", "embedding")),
+        "vec_id", "embedding",
+        holdout.unionByName(Seq((102L, Seq(0f, 0f)))
+          .toDF("vec_id", "embedding")),
+        "embedding", threshold = 0.90625)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    // the zero corpus vector matches nothing and audits as null
+    assert(degen(4L) == ((0L, None, true)), s"got ${degen(4L)}")
+    // real vectors are untouched by the zero holdout vector's presence
+    assert(degen(1L) == ((1L, Some(1.0), false)) && !degen.values
+      .exists(v => v._2.exists(_.asInstanceOf[Double].isNaN)))
   }
 
   test("maxSimRerankSq8: on-bounds fixture equals float rerank bit for " +
@@ -1015,5 +1033,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set(
       (100L, 1, 1L, 56359896L), (100L, 2, 2L, 50650236L),
       (100L, 3, 3L, 10724394L), (100L, 4, 4L, 5029888L)), s"got $out")
+    // a query whose ONLY corpus match is itself has zero feedback docs
+    // — it must fail loudly, never silently vanish from the output
+    // (the r11 advice's silent-drop hazard)
+    val lonely = Seq((7L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.densePrfTopK(lonely, lonely, "vec_id", "embedding",
+        k = 1, fbDocs = 2, alpha = 1L, beta = 1L)
+    }
+    assert(e.getMessage.contains("zero round-1 feedback"))
   }
 }

@@ -1694,6 +1694,76 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("postingsMaintenanceWriter: multiple commands per id per batch " +
+      "collapse to the latest by orderCol; no orderCol refuses loudly") {
+    implicit val ctx = spark.sqlContext
+    val queries = Seq((1L, "apple date cherry")).toDF("q_id", "qtext")
+    def serving() = graft.ops.TextAnalysis.bm25Search(
+      graft.ops.TextAnalysis.loadPostingsIndex(spark, "cdc_idx2"),
+      queries, "q_id", "qtext", k = 10).collect().map(_.toSeq).toSet
+    def want(rows: Seq[(Long, String)]) = graft.ops.TextAnalysis
+      .bm25Search(graft.ops.TextAnalysis.indexPostings(
+        rows.toDF("doc_id", "text"), "doc_id", "text"),
+        queries, "q_id", "qtext", k = 10).collect().map(_.toSeq).toSet
+    try {
+      graft.ops.TextAnalysis.savePostingsIndex(
+        Seq((1L, "apple banana"), (2L, "banana cherry"))
+          .toDF("doc_id", "text"), "doc_id", "text", "cdc_idx2",
+        buckets = 8)
+      val in = MemoryStream[(Long, String, String, Long)]
+      val q = StatefulOps.postingsMaintenanceWriter(
+          in.toDF().toDF("doc_id", "text", "op", "seq"), "doc_id",
+          "text", "op", "cdc_idx2", buckets = 8, maxDeadBp = 9999,
+          orderCol = Some("seq")) { (_, _) => () }
+        .start()
+      withQuery(q) {
+        // ONE batch exercising every collision the r11 advice named:
+        //  doc 1: upsert then DELETE (old code resurrected it — all
+        //         deletes ran before all upserts)
+        //  doc 2: delete then UPSERT (old code dropped the new text's
+        //         tombstone ordering)
+        //  doc 3: two upserts — old code merged both texts' tokens
+        //         into one doc (summed tf/dl); latest must win alone
+        in.addData(
+          (1L, "apple apple", "upsert", 10L),
+          (1L, "", "delete", 11L),
+          (2L, "", "delete", 10L),
+          (2L, "cherry cherry date", "upsert", 11L),
+          (3L, "stale stale stale", "upsert", 10L),
+          (3L, "date egg", "upsert", 11L))
+        q.processAllAvailable()
+      }
+      spark.catalog.refreshTable("cdc_idx2")
+      if (spark.catalog.tableExists("cdc_idx2__tombstones"))
+        spark.catalog.refreshTable("cdc_idx2__tombstones")
+      assert(serving() == want(Seq(2L -> "cherry cherry date",
+        3L -> "date egg")), "last command per id must win")
+      graft.ops.Caches.release(blocking = true)
+      // without orderCol, two commands for one id must fail the batch
+      val in2 = MemoryStream[(Long, String, String)]
+      val q2 = StatefulOps.postingsMaintenanceWriter(
+          in2.toDF().toDF("doc_id", "text", "op"), "doc_id", "text",
+          "op", "cdc_idx2", buckets = 8, maxDeadBp = 9999) {
+        (_, _) => ()
+      }.start()
+      val err = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        in2.addData((7L, "a", "upsert"), (7L, "b", "upsert"))
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      assert(Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(_.getMessage.contains("orderCol")), err.getMessage)
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      spark.sql("DROP TABLE IF EXISTS cdc_idx2")
+      spark.sql("DROP TABLE IF EXISTS cdc_idx2__tombstones")
+      spark.sql("DROP TABLE IF EXISTS cdc_idx2__compact")
+      spark.sql("DROP TABLE IF EXISTS cdc_idx2__precompact")
+    }
+  }
+
   test("bm25fServeWriter / semanticDecontamWriter: streamed equals batch") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit}
