@@ -7084,20 +7084,20 @@ object Queries {
             FROM r WHERE rn <= 10"""),
     bench = true)
 
-  /** Proximity-boosted BM25 (TextAnalysis.bm25ProximityTopK over the
-    * positional index): exact BM25@20 candidates, then the Tao-Zhai
-    * MinDist boost — min token distance between two DIFFERENT matched
-    * query terms (one lag window per (q, doc); the minimizing pair is
-    * always position-adjacent), boost = 4096 div min_gap, re-ranked
-    * top-10. Same idf artifact and integer chain as q124; the gap half
-    * is pure-relational lag arithmetic DuckDB replays bit-for-bit. */
+  /** Proximity-boosted BM25 (TextAnalysis.bm25ProximityFromText):
+    * exact BM25@20 candidates, then the Tao-Zhai MinDist boost — min
+    * token distance between two DIFFERENT matched query terms (one lag
+    * window per (q, doc); the minimizing pair is always
+    * position-adjacent), boost = 4096 div min_gap, re-ranked top-10.
+    * Same idf artifact and integer chain as q124; the gap half is
+    * pure-relational lag arithmetic DuckDB replays bit-for-bit. r12:
+    * swapped from build-full-positional-index-then-search to the
+    * one-pass query-vocabulary null-group core (the q216 lesson applied
+    * to the positional family — r11 verdict item 1); stats, scores and
+    * hashes are identical by construction, spec-pinned. */
   private val q208 = QDef("q208_bm25_proximity",
-    (s, d) => {
-      val idx = graft.ops.Caches.track(TextAnalysis
-        .indexPostingsPositional(docs(s, d), "doc_id", "text").persist())
-      TextAnalysis.bm25ProximityTopK(idx, bm25Queries(s, d), "q_id",
-        "qtext", k = 10, kCand = 20)
-    },
+    (s, d) => TextAnalysis.bm25ProximityFromText(docs(s, d), "doc_id",
+      "text", bm25Queries(s, d), "q_id", "qtext", k = 10, kCand = 20),
     None, bench = true,
     oracleGen = Some((s, d) => {
       val rows = trainedBm25Idf(s, d)
@@ -8149,6 +8149,98 @@ object Queries {
            FROM r WHERE rn <= 10"""
     }))
 
+  /** Distance-2 typo fixture: the first token loses its 2nd and (orig)
+    * 4th characters when long enough — two deletions, the fat-finger
+    * class depth-1 SymSpell cannot reach; shorter tokens fall back to
+    * the q223 single deletion. */
+  private def typo2Queries(s: SparkSession, d: String): DataFrame =
+    bm25Queries(s, d).select(col("q_id"),
+      array_join(transform(TextAnalysis.tokens(col("qtext")),
+        (x, i) => when(i === 0 && length(x) >= 5,
+          concat(x.substr(lit(1), lit(1)), x.substr(lit(3), lit(1)),
+            x.substr(lit(5), length(x))))
+          .when(i === 0 && length(x) >= 2,
+            concat(x.substr(lit(1), lit(1)), x.substr(lit(3), length(x))))
+          .otherwise(x)), " ").as("qtext"))
+
+  /** SymSpell at maxDist = 2 (TextAnalysis.fuzzyQueryRewrite): depth-2
+    * delete neighborhoods on BOTH sides (complete for lev ≤ 2 — the
+    * alignment argument on delNeighborhood2), exact levenshtein ≤ 2
+    * verify, best = dist ASC then df DESC then term ASC. The planted
+    * typos delete TWO characters, so depth-1 (q223's shape) would drop
+    * them. The vocab side filters len(w) ≤ 34 = maxTermLen + maxDist —
+    * mirrored in the oracle, provably lossless (|len diff| ≤ lev). */
+  private val q226 = QDef("q226_fuzzy_rewrite2",
+    (s, d) => TextAnalysis.fuzzyQueryRewrite(
+      TextAnalysis.indexPostings(docs(s, d), "doc_id", "text"),
+      typo2Queries(s, d), "q_id", "qtext", maxDist = 2),
+    Some("""WITH dtr AS MATERIALIZED (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\s+'), x -> x <> '') AS wsr
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+                AS term
+              FROM documents),
+            vocab AS MATERIALIZED (SELECT term,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks GROUP BY 1),
+            q0 AS (SELECT doc_id AS q_id, wsr[1:3] AS qs FROM dtr
+              WHERE doc_id % 25 = 0),
+            qt AS MATERIALIZED (SELECT DISTINCT q_id, lower(term) AS term
+              FROM (SELECT q_id, unnest(list_concat(
+                  [CASE WHEN len(qs[1]) >= 5
+                        THEN substr(qs[1], 1, 1) || substr(qs[1], 3, 1)
+                          || substr(qs[1], 5)
+                        WHEN len(qs[1]) >= 2
+                        THEN substr(qs[1], 1, 1) || substr(qs[1], 3)
+                        ELSE qs[1] END],
+                  qs[2:])) AS term FROM q0)),
+            vk AS MATERIALIZED (SELECT w, df, unnest(list_distinct(
+                list_concat(list_concat([w], d1),
+                  flatten(list_transform(d1, t ->
+                    list_transform(range(1, len(t) + 1), j ->
+                      substr(t, 1, j - 1) || substr(t, j + 1, len(t)))))
+                ))) AS key
+              FROM (SELECT w, df, list_transform(range(1, len(w) + 1),
+                      i -> substr(w, 1, i - 1) || substr(w, i + 1, len(w)))
+                      AS d1
+                    FROM (SELECT term AS w, df FROM vocab
+                          WHERE len(term) <= 34))),
+            qk AS (SELECT q_id, term, unnest(list_distinct(
+                list_concat(list_concat([term], d1),
+                  flatten(list_transform(d1, t ->
+                    list_transform(range(1, len(t) + 1), j ->
+                      substr(t, 1, j - 1) || substr(t, j + 1, len(t)))))
+                ))) AS key
+              FROM (SELECT q_id, term,
+                      list_transform(range(1, len(term) + 1),
+                        i -> substr(term, 1, i - 1) ||
+                          substr(term, i + 1, len(term))) AS d1
+                    FROM qt)),
+            verified AS MATERIALIZED (SELECT q_id, term, w, df,
+                CAST(levenshtein(term, w) AS BIGINT) AS dist
+              FROM (SELECT DISTINCT q_id, term, w, df
+                    FROM qk JOIN vk USING (key))
+              WHERE levenshtein(term, w) <= 2),
+            best AS MATERIALIZED (SELECT q_id, term, w, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id, term
+                  ORDER BY dist, df DESC, w) AS rn FROM verified)
+              WHERE rn = 1),
+            agg AS (SELECT q_id,
+                array_to_string(list_sort(list_distinct(list(w))), ' ')
+                  AS qtext2,
+                CAST(sum(CASE WHEN dist >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_corrected,
+                CAST(count(1) AS BIGINT) AS nb
+              FROM best GROUP BY 1),
+            nq AS (SELECT q_id, CAST(count(1) AS BIGINT) AS nt
+              FROM qt GROUP BY 1)
+            SELECT nq.q_id, COALESCE(agg.qtext2, '') AS qtext2,
+              COALESCE(agg.n_corrected, 0) AS n_corrected,
+              nq.nt - COALESCE(agg.nb, 0) AS n_dropped
+            FROM nq LEFT JOIN agg USING (q_id)"""),
+    bench = true)
+
   /** Proximity snippets (TextAnalysis.nearSnippets): the q212 NEAR
     * ranking with each hit's tightest covering window sliced out of the
     * raw text (earliest among equal-span covers). Oracle extends q212's
@@ -8239,7 +8331,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

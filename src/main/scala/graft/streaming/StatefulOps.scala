@@ -1392,6 +1392,25 @@ object StatefulOps {
       }
     }
 
+  /** Typo-tolerant BM25 serving — the full "did-you-mean" composition
+    * from TWO persisted artifacts (the [[bm25ServeWriter]] posture):
+    * each query micro-batch rewrites through the bucket-pruned
+    * [[graft.ops.TextAnalysis.saveSymSpellIndex]] key table, then ranks
+    * with the untouched bm25Search over the postings index. Parity with
+    * the batch [[graft.ops.TextAnalysis.fuzzyBm25SearchFromIndex]] by
+    * construction. */
+  def fuzzyBm25ServeWriter(stream: DataFrame, postings: DataFrame,
+      keyTable: String, qid: String, qtext: String, k: Int,
+      maxDist: Int = 1, scaleBits: Int = 12, maxQueryTerms: Int = 10000,
+      maxTermLen: Int = 32)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.fuzzyBm25SearchFromIndex(
+          postings, keyTable, batch, qid, qtext, k, maxDist, scaleBits,
+          maxQueryTerms, maxTermLen), bid)
+    }
+
   /** BM25F serving from a persisted FIELDED index
     * ([[graft.ops.TextAnalysis.saveFieldedPostingsIndex]] — sunk build
     * cost): each query micro-batch runs the unmodified

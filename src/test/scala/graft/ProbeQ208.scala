@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway stage-level probe for q208's from-text proximity (r12). */
+object ProbeQ208 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val builder = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.TextAnalysis
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+    val docs = Queries.table(spark, sfDir, "documents")
+    val queries = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 3),
+          " ").as("qtext"))
+    println(s"[probe] docs=${docs.count()} queries=${queries.count()}")
+    for (round <- 1 to 3) {
+      println(s"[probe] ---- round $round ----")
+      def step(name: String)(f: => Unit): Unit = {
+        graft.ops.Caches.release(blocking = true)
+        spark.catalog.clearCache()
+        System.gc()
+        t(name)(f)
+      }
+      step("FULL bm25TopK@20") {
+        TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "q_id",
+            "qtext", k = 20)
+          .write.format("noop").mode("overwrite").save()
+      }
+      step("FULL proximityFromText") {
+        TextAnalysis.bm25ProximityFromText(docs, "doc_id", "text",
+            queries, "q_id", "qtext", k = 10, kCand = 20)
+          .write.format("noop").mode("overwrite").save()
+      }
+      step("FULL proximity via index") {
+        val idx = graft.ops.Caches.track(TextAnalysis
+          .indexPostingsPositional(docs, "doc_id", "text").persist())
+        TextAnalysis.bm25ProximityTopK(idx, queries, "q_id", "qtext",
+            k = 10, kCand = 20)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

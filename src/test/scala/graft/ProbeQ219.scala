@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway stage-level probe for q219's nomination reshape (r12).
+  * Not a spec; run manually: Test/runMain graft.ProbeQ219 <sfDir>. */
+object ProbeQ219 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val builder = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+    def table(name: String) =
+      Queries.table(spark, sfDir, name)
+    val emb = table("embeddings")
+    val docTokens = emb.select(expr("vec_id div 4").as("doc_id"),
+      col("embedding"))
+    val queryTokens = emb.filter(expr("(vec_id div 4) % 25 = 0") &&
+        col("vec_id") % 4 < 2)
+      .select(expr("vec_id div 4").as("q_id"),
+        (col("vec_id") % 4).as("q_tok"), col("embedding"))
+    println(s"[probe] docTokens=${docTokens.count()} " +
+      s"queryTokens=${queryTokens.count()}")
+    for (round <- 1 to 3) {
+      println(s"[probe] ---- round $round ----")
+      val (lo, hi) = t("trainSq8Bounds") {
+        graft.ops.Similarity.trainSq8Bounds(docTokens, "embedding")
+      }
+      val range = lo.indices.map(j => hi(j) - lo(j)).toArray
+      val codes = graft.ops.Caches.track(
+        graft.ops.Similarity.sq8Codes(docTokens, "doc_id", "embedding",
+          lo, hi, 12).withColumnRenamed("c_id", "doc_id").persist())
+      t("codes materialize") { codes.count() }
+      val dims = lo.length
+      val docSums = (0 until dims).map(j => sum(expr(
+        s"CAST(${lo(j)} AS BIGINT) + (CAST(element_at(codes, ${j + 1}) " +
+          s"AS BIGINT) * ${range(j)}) div 255")).as(s"__s$j"))
+      val pooledDocs = graft.ops.Caches.track(codes.groupBy(col("doc_id"))
+        .agg(docSums.head, docSums.tail: _*)
+        .select(col("doc_id"),
+          array((0 until dims).map(j => col(s"__s$j")): _*).as("pooled"))
+        .persist())
+      t("pooledDocs build") { pooledDocs.count() }
+      val scale = 4096.0
+      val qSums = (0 until dims).map(j =>
+        sum(floor(element_at(col("embedding"), j + 1).cast("double") *
+          scale).cast("long")).as(s"__q$j"))
+      val qp = queryTokens.select(col("q_id"), col("embedding"))
+        .groupBy(col("q_id"))
+        .agg(qSums.head, qSums.tail: _*)
+        .select(col("q_id"),
+          array((0 until dims).map(j => col(s"__q$j").cast("int")): _*)
+            .as("__qc"))
+      t("qp build+collect") { qp.collect().length }
+      val zeros = Array.fill(dims)(0L)
+      val ident = Array.fill(dims)(255L)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("__pi").desc, col("doc_id"))
+      val cand = graft.ops.Caches.track(pooledDocs.crossJoin(broadcast(qp))
+        .select(col("q_id"), col("doc_id"),
+          graft.functions.VectorExprs.sq8Dot(col("__qc"), col("pooled"),
+            zeros, ident).as("__pi"))
+        .withColumn("__rn", row_number().over(wc))
+        .filter(col("__rn") <= 20)
+        .select(col("q_id"), col("doc_id")).persist())
+      t("cand (BNLJ+window)") { cand.count() }
+      val full = t("FULL maxSimRerankSq8") {
+        graft.ops.Similarity.maxSimRerankSq8(docTokens, "doc_id",
+          "embedding", queryTokens, "q_id", "q_tok", k = 10, kCand = 20,
+          lo, hi).write.format("noop").mode("overwrite").save()
+      }
+      graft.ops.Caches.release(blocking = true)
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -1016,6 +1016,22 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Long, Long)].collect()
     assert(out.length == 2 && out.map(_._2).sorted.sameElements(Array(1, 2)))
     assert(out.forall(_._5 == 2L))
+    // the persisted-index serving path (precomputed pooled arrays,
+    // identity-dequant nomination) must equal the in-query op bit for
+    // bit — same corpus, same bounds, off-grid values included
+    try {
+      Similarity.saveMaxSimSq8Index(dt2, "doc_id", "embedding",
+        "maxsim_sq8_idx", buckets = 4, lo2, hi2)
+      val served = Similarity.maxSimSearchSq8(spark, "maxsim_sq8_idx",
+          qt, "q_id", "q_tok", "embedding", k = 2, kCand = 3, lo2, hi2)
+        .as[(Long, Int, Long, Long, Long)].collect()
+      assert(served.toSet == out.toSet && served.nonEmpty,
+        s"served=${served.toSet} inQuery=${out.toSet}")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      spark.sql("DROP TABLE IF EXISTS maxsim_sq8_idx")
+      spark.sql("DROP TABLE IF EXISTS maxsim_sq8_idx__pooled")
+    }
   }
 
   test("densePrfTopK: hand-computed Rocchio rerank, exact integers") {

@@ -1764,6 +1764,36 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyBm25ServeWriter: streamed equals batch from both " +
+      "persisted artifacts") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      (1L, "apple pie apple"), (2L, "apple tart"), (3L, "banana split"),
+      (4L, "cat cradle"), (5L, "cat nap")).toDF("doc_id", "text")
+    val idx = graft.ops.TextAnalysis.indexPostings(docs, "doc_id", "text")
+    try {
+      graft.ops.TextAnalysis.saveSymSpellIndex(idx, "fuzzy_serve_keys",
+        buckets = 4)
+      val qs = Seq((1L, "aple banana"), (2L, "caz"))
+      val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.fuzzyBm25ServeWriter(
+          in.toDF().toDF("q_id", "qtext"), idx, "fuzzy_serve_keys",
+          "q_id", "qtext", k = 5) {
+        (out, _) => buf ++= out.collect().map(_.toSeq)
+      }.start()
+      withQuery(q) { in.addData(qs: _*); q.processAllAvailable() }
+      val want = graft.ops.TextAnalysis.fuzzyBm25SearchFromIndex(idx,
+          "fuzzy_serve_keys", qs.toDF("q_id", "qtext"), "q_id", "qtext",
+          k = 5).collect().map(_.toSeq).toSet
+      assert(buf.toSet == want && want.nonEmpty)
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      spark.sql("DROP TABLE IF EXISTS fuzzy_serve_keys")
+      spark.sql("DROP TABLE IF EXISTS fuzzy_serve_keys__tombstones")
+    }
+  }
+
   test("bm25fServeWriter / semanticDecontamWriter: streamed equals batch") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit}
