@@ -8149,6 +8149,138 @@ object Queries {
            FROM r WHERE rn <= 10"""
     }))
 
+  /** IVF-nominated dense PRF vs brute dense PRF, as a recall row per
+    * query (the q100 eval pattern): round 1 of the IVF form reads only
+    * nProbe=3 of the 8 trained cells' SQ8 codes — the corpus-scale PRF
+    * posture — and round 2 rescores exactly; recall against the
+    * brute-round-1 form measures what the cell pruning costs. Oracle
+    * replays BOTH chains relationally: the brute chain is q222's, the
+    * IVF round 1 is q121's probe/assign/dequant chain at k=fbDocs, and
+    * the Rocchio + exact round 2 are shared CTE shapes; centroids
+    * inline as dyadic VALUES (the q42/q121 transport). */
+  private val q227 = QDef("q227_dense_prf_ivf_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val cent = trainedCentroids(s, d).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      val (lo, hi) = trainedSq8(s, d)
+      val brute = Similarity.densePrfTopK(q, e, "vec_id", "embedding",
+        k = 5, fbDocs = 3, alpha = 2L, beta = 1L)
+      val ivf = Similarity.densePrfIvfTopK(q, e, "vec_id", "embedding",
+        k = 5, fbDocs = 3, alpha = 2L, beta = 1L, cent, nProbe = 3, lo,
+        hi)
+      Similarity.topKRecall(ivf, brute, "q_id", "neighbor_id")
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val centRows = trainedCentroids(s, d).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $centRows) AS t(cent_id, cent_vec)),
+            v AS MATERIALIZED (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            m AS MATERIALIZED (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+            qm AS MATERIALIZED (SELECT vec_id AS q_id, j, mv AS mvq
+              FROM m WHERE vec_id % 10 = 0),
+            r1 AS (SELECT qm.q_id, m.vec_id AS c_id,
+                CAST(sum(m.mv * qm.mvq) AS BIGINT) AS s1
+              FROM m JOIN qm ON m.j = qm.j WHERE qm.q_id <> m.vec_id
+              GROUP BY 1, 2),
+            fb_b AS MATERIALIZED (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY s1 DESC, c_id) AS rn FROM r1)
+              WHERE rn <= 3),
+            fbn_b AS (SELECT q_id, CAST(count(1) AS BIGINT) AS n
+              FROM fb_b GROUP BY 1),
+            cent_b AS (SELECT fb_b.q_id, m.j, CAST(sum(m.mv) AS BIGINT)
+                  AS sm
+              FROM fb_b JOIN m ON m.vec_id = fb_b.c_id GROUP BY 1, 2),
+            q2_b AS MATERIALIZED (SELECT qm.q_id, qm.j,
+                2 * fbn_b.n * qm.mvq + 1 * COALESCE(cent_b.sm, 0) AS mq2
+              FROM qm JOIN fbn_b USING (q_id)
+              LEFT JOIN cent_b ON cent_b.q_id = qm.q_id
+                AND cent_b.j = qm.j),
+            r2_b AS (SELECT q2_b.q_id, m.vec_id AS c_id,
+                CAST(sum(m.mv * q2_b.mq2) AS BIGINT) AS s2
+              FROM m JOIN q2_b ON m.j = q2_b.j
+              WHERE q2_b.q_id <> m.vec_id GROUP BY 1, 2),
+            ex AS MATERIALIZED (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY s2 DESC, c_id) AS rn FROM r2_b)
+              WHERE rn <= 5),
+            asg AS MATERIALIZED (SELECT c_id, cell FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC)
+                       AS rn
+              FROM v a, cent) WHERE rn = 1),
+            qv AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+              FROM v WHERE vec_id % 10 = 0),
+            probes AS (SELECT q_id, cell FROM (
+              SELECT qv.q_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY qv.q_id ORDER BY
+                       list_sum(list_transform(range(1, len(qv.q_vec) + 1),
+                         i -> CAST(qv.q_vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (qv.q_nrm * cent.cent_nrm) DESC, cent.cent_id ASC)
+                       AS rn
+              FROM qv, cent) WHERE rn <= 3),
+            b AS (SELECT j, min(mv) AS lo, max(mv) AS hi FROM m GROUP BY 1),
+            cj AS (SELECT m.vec_id, m.j, b.lo, b.hi,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE (255 * (m.mv - b.lo)) // (b.hi - b.lo)
+                     END AS code
+                   FROM m JOIN b USING (j)),
+            rj AS MATERIALIZED (SELECT vec_id, j,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + (code * (hi - lo)) // 255 END AS r
+                   FROM cj),
+            sc1 AS (SELECT p.q_id, a.c_id,
+                     CAST(sum(qm.mvq * rj.r) AS BIGINT) AS s
+                   FROM probes p
+                   JOIN asg a ON p.cell = a.cell
+                   JOIN rj ON rj.vec_id = a.c_id
+                   JOIN qm ON qm.q_id = p.q_id AND qm.j = rj.j
+                   WHERE p.q_id <> a.c_id
+                   GROUP BY 1, 2),
+            fb_i AS MATERIALIZED (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY s DESC, c_id) AS rn FROM sc1)
+              WHERE rn <= 3),
+            fbn_i AS (SELECT q_id, CAST(count(1) AS BIGINT) AS n
+              FROM fb_i GROUP BY 1),
+            cent_i AS (SELECT fb_i.q_id, m.j, CAST(sum(m.mv) AS BIGINT)
+                  AS sm
+              FROM fb_i JOIN m ON m.vec_id = fb_i.c_id GROUP BY 1, 2),
+            q2_i AS MATERIALIZED (SELECT qm.q_id, qm.j,
+                2 * fbn_i.n * qm.mvq + 1 * COALESCE(cent_i.sm, 0) AS mq2
+              FROM qm JOIN fbn_i USING (q_id)
+              LEFT JOIN cent_i ON cent_i.q_id = qm.q_id
+                AND cent_i.j = qm.j),
+            r2_i AS (SELECT q2_i.q_id, m.vec_id AS c_id,
+                CAST(sum(m.mv * q2_i.mq2) AS BIGINT) AS s2
+              FROM m JOIN q2_i ON m.j = q2_i.j
+              WHERE q2_i.q_id <> m.vec_id GROUP BY 1, 2),
+            an AS MATERIALIZED (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY s2 DESC, c_id) AS rn FROM r2_i)
+              WHERE rn <= 5)
+            SELECT ex.q_id, count(*) AS n_exact, count(an.c_id) AS n_hit,
+                   round(CAST(count(an.c_id) AS DOUBLE) / count(*), 4)
+                     AS recall
+            FROM ex LEFT JOIN an USING (q_id, c_id)
+            GROUP BY 1"""
+    }))
+
   /** Distance-2 typo fixture: the first token loses its 2nd and (orig)
     * 4th characters when long enough — two deletions, the fat-finger
     * class depth-1 SymSpell cannot reach; shorter tokens fall back to
@@ -8331,7 +8463,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

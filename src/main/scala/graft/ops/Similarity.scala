@@ -396,8 +396,6 @@ object Similarity {
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
     requireBounded("densePrfTopK", "query", queries, maxBroadcastQueries,
       "maxBroadcastQueries", "batch the queries or raise the limit")
-    val scale = (1L << scaleBits).toDouble
-    val dims = queries.select(size(col(vec))).head().getInt(0)
     // BOTH dot rounds run as fused-codegen BNLJ passes, never the
     // relational (id, dim, m) expansion (|corpus|·d·|queries| joined
     // rows through a hash agg — same-instrument A/B: the relational
@@ -426,6 +424,63 @@ object Similarity {
     val fb = Caches.track(r1.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= fbDocs)
       .select(col("q_id"), col("c_id")).persist())
+    densePrfRescore(queries, corpus, id, vec, fb, k, alpha, beta,
+      scaleBits)
+  }
+
+  /** [[densePrfTopK]] with round 1 nominated by the cell-pruned
+    * IVF-SQ8 scan ([[ivfSq8TopK]]) instead of the brute corpus BNLJ —
+    * the corpus-scale PRF form (r11 verdict item 7): at 10⁹ docs the
+    * brute round 1 is the wrong tool; the IVF probe reads `nProbe`
+    * cells' codes per query, and everything downstream — the Rocchio
+    * centroid from the feedback docs' full-precision vectors, the
+    * division-free q'' scaling, and round 2's EXACT fused-codegen
+    * identity-dequant rescore over the whole corpus — is
+    * [[densePrfTopK]]'s arithmetic verbatim (shared code). Recall vs
+    * brute PRF is the caller's (nProbe, centroid-quality) dial,
+    * reported by [[topKRecall]]; when every vector sits ON the trained
+    * SQ8 bounds and every cell is probed, round-1 scores reconstruct
+    * exactly and the output equals [[densePrfTopK]] bit for bit
+    * (spec-pinned). Output: `(q_id, rank, neighbor_id, iscore)`. */
+  def densePrfIvfTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                      vec: String, k: Int, fbDocs: Int, alpha: Long,
+                      beta: Long, cent: DataFrame, nProbe: Int,
+                      lo: Array[Long], hi: Array[Long],
+                      scaleBits: Int = 12,
+                      maxBroadcastQueries: Long = 500000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(alpha >= 1 && beta >= 0,
+      s"need alpha >= 1, beta >= 0, got alpha=$alpha beta=$beta")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    requireBounded("densePrfIvfTopK", "query", queries,
+      maxBroadcastQueries, "maxBroadcastQueries",
+      "batch the queries or raise the limit")
+    val fb = Caches.track(
+      ivfSq8TopK(queries, corpus, id, vec, fbDocs, cent, nProbe, lo, hi,
+        scaleBits)
+        .select(col("q_id"), col("neighbor_id").as("c_id")).persist())
+    densePrfRescore(queries, corpus, id, vec, fb, k, alpha, beta,
+      scaleBits)
+  }
+
+  /** The shared Rocchio + exact-rescore half of the dense-PRF family:
+    * feedback centroid sums from the feedback docs' FULL-PRECISION
+    * vectors (query-bounded explode), division-free q'' =
+    * α·|fb|·q + β·Σfb on the int grid, round 2 as the fused
+    * identity-dequant Sq8Dot BNLJ over the persisted corpus code
+    * table. `fb` must be persisted by the caller (consumed by the
+    * guard, the counts, and the centroid join). */
+  private def densePrfRescore(queries: DataFrame, corpus: DataFrame,
+                              id: String, vec: String, fb: DataFrame,
+                              k: Int, alpha: Long, beta: Long,
+                              scaleBits: Int): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    val dims = queries.select(size(col(vec))).head().getInt(0)
+    val q1 = queries.select(col(id).cast("long").as("q_id"),
+      col(vec).as("q_vec"))
+    val c1 = corpus.select(col(id).cast("long").as("c_id"),
+      col(vec).as("c_vec"))
     // a query with ZERO round-1 neighbors (its only corpus match is
     // itself, or the corpus is effectively empty) has no feedback
     // centroid and would silently vanish through the inner joins below
@@ -434,7 +489,7 @@ object Similarity {
     val nQ = q1.select(col("q_id")).distinct().count()
     val nFb = fb.select(col("q_id")).distinct().count()
     require(nFb == nQ,
-      s"densePrfTopK: ${nQ - nFb} quer(ies) have zero round-1 feedback " +
+      s"densePrf: ${nQ - nFb} quer(ies) have zero round-1 feedback " +
         "neighbors (only corpus match is the query itself, or the " +
         "corpus is empty) — they would silently drop from the output; " +
         "remove them from the query batch or fix the corpus")

@@ -1717,6 +1717,30 @@ object TextAnalysis {
       indexPostingsFielded(df, id, field, text).withColumn("gen", lit(0L)),
       table, "term", buckets)
 
+  /** Incremental append into a persisted [[saveFieldedPostingsIndex]]
+    * table — [[appendPostingsIndex]]'s contract (disjoint batch doc
+    * ids; per-field stats are row-local so serving recomputes them;
+    * bucket count must match). */
+  def appendFieldedPostingsIndex(batch: DataFrame, id: String,
+                                 field: String, text: String,
+                                 table: String, buckets: Int): Unit =
+    graft.io.Layout.appendBucketed(
+      graft.io.IndexMaintenance.genStamp(
+        indexPostingsFielded(batch, id, field, text), table),
+      table, "term", buckets)
+
+  /** [[replaceInPostingsIndex]] for a fielded table: tombstone the
+    * batch's doc ids (ALL their field rows die — the anti-join is on
+    * `doc` alone, field-agnostic by design), then append the
+    * re-encoded batch at the new generation. */
+  def replaceInFieldedPostingsIndex(batch: DataFrame, id: String,
+                                    field: String, text: String,
+                                    table: String, buckets: Int): Unit = {
+    graft.io.IndexMaintenance.delete(batch.sparkSession, table, "doc",
+      batch.select(col(id).as("doc")))
+    appendFieldedPostingsIndex(batch, id, field, text, table, buckets)
+  }
+
   /** Shared heavy half of BM25F: the weighted-collapsed tf table, the
     * weighted per-doc length table, corpus totals and the quantized idf
     * artifact. Weights are INTEGER per-field boosts (the exactness

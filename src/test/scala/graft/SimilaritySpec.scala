@@ -1059,4 +1059,38 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("zero round-1 feedback"))
   }
+
+  test("densePrfIvfTopK: on-bounds fixture with all cells probed " +
+      "equals brute PRF bit for bit; narrower probes keep the contract") {
+    // every per-dim value sits ON a trained bound, so SQ8 round-1
+    // scores reconstruct the exact floor grid; probing ALL cells makes
+    // the candidate universe the whole corpus minus self — the feedback
+    // sets, Rocchio q'', and exact round-2 rescore must then agree with
+    // the brute form on every row
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)),
+      (4L, Seq(1f, 0f)), (5L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(1L, 2L))
+    val cent = Seq((0L, Seq(1f, 0f), 1.0), (1L, Seq(0f, 1f), 1.0))
+      .toDF("cent_id", "cent_vec", "cent_norm")
+    val (lo, hi) = Similarity.trainSq8Bounds(corpus, "embedding")
+    val brute = Similarity.densePrfTopK(queries, corpus, "vec_id",
+        "embedding", k = 4, fbDocs = 2, alpha = 2L, beta = 1L)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val ivf = Similarity.densePrfIvfTopK(queries, corpus, "vec_id",
+        "embedding", k = 4, fbDocs = 2, alpha = 2L, beta = 1L, cent,
+        nProbe = 2, lo, hi)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(ivf == brute && ivf.nonEmpty, s"ivf=$ivf brute=$brute")
+    // nProbe = 1: feedback comes only from the query's own cell — the
+    // output contract (k rows per query, contiguous ranks) holds even
+    // when the feedback set differs from brute
+    val narrow = Similarity.densePrfIvfTopK(queries, corpus, "vec_id",
+        "embedding", k = 4, fbDocs = 2, alpha = 2L, beta = 1L, cent,
+        nProbe = 1, lo, hi)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(narrow.count(_._1 == 1L) == 4 && narrow.count(_._1 == 2L) == 4)
+    assert(narrow.filter(_._1 == 1L).map(_._2).sorted.sameElements(
+      Array(1, 2, 3, 4)))
+  }
 }
