@@ -1286,14 +1286,27 @@ object TextAnalysis {
         .agg(count(lit(1)).as("cnt")).persist())
     val dld = Caches.track(
       grouped.groupBy(col("doc")).agg(sum(col("cnt")).as("dl")).persist())
-    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
-      .as[(Long, Long)].collect().head
+    // ONE collect job for the corpus stats AND the per-term df rows
+    // (r12: these were two separate actions — two job-submission
+    // round-trips per bm25 call on plans that are mostly fixed
+    // overhead at bench scale; the union runs both aggregate subtrees
+    // inside a single job over the just-persisted core). The null-key
+    // row carries (tTot, nDocs); per-term rows carry df (grouped rows
+    // are unique per (doc, term), so df is a plain count).
+    val merged = grouped.filter(col("__t").isNotNull)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("a"), lit(0L).as("b"))
+      .unionByName(dld
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("a"),
+          count(lit(1)).as("b"))
+        .select(lit(null).cast("string").as("__t"), col("a"), col("b")))
+      .as[(Option[String], Long, Long)].collect()
+    val (statsRows, dfRows) = merged.partition(_._1.isEmpty)
+    val (tTot, nDocs) = (statsRows.head._2, statsRows.head._3)
     require(tTot > 0, "bm25: corpus has no tokens")
     val tdq = grouped.filter(col("__t").isNotNull)
       .select(col("doc"), col("__t").as("term"), col("cnt").as("tf"))
-    val dfMap = tdq.groupBy(col("term"))
-      .agg(countDistinct(col("doc")).as("df"))
-      .as[(String, Long)].collect().toMap
+    val dfMap = dfRows.map(r => r._1.get -> r._2).toMap
     (tdq, dld, tTot, nDocs, quantizedIdf(terms, dfMap, nDocs, scaleBits),
       rankExpansion(dfMap, vocab))
   }
@@ -1770,9 +1783,6 @@ object TextAnalysis {
         .join(wdf, Seq("field"))
         .groupBy(col("doc")).agg(sum(col("__w") * col("fdl")).as("dl"))
         .persist())
-    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
-      .as[(Long, Long)].collect().head
-    require(tTot > 0, "bm25f: corpus has no tokens in weighted fields")
     // weighted tf: the bucket-pruning isin reaches the term scan FIRST,
     // then the per-field rows collapse to (doc, term) with the boost
     // folded in — rows unique per (doc, field, term) by construction,
@@ -1781,8 +1791,19 @@ object TextAnalysis {
       .join(wdf, Seq("field"))
       .groupBy(col("doc"), col("term"))
       .agg(sum(col("__w") * col("tf")).as("tf"))
-    val dfMap = tdq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .as[(String, Long)].collect().toMap
+    // ONE collect job for corpus stats and per-term df (the bm25Core
+    // merged-collect shape)
+    val merged = tdq.groupBy(col("term"))
+      .agg(count(lit(1)).as("a"), lit(0L).as("b"))
+      .unionByName(dld
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("a"),
+          count(lit(1)).as("b"))
+        .select(lit(null).cast("string").as("term"), col("a"), col("b")))
+      .as[(Option[String], Long, Long)].collect()
+    val (statsRows, dfRows) = merged.partition(_._1.isEmpty)
+    val (tTot, nDocs) = (statsRows.head._2, statsRows.head._3)
+    require(tTot > 0, "bm25f: corpus has no tokens in weighted fields")
+    val dfMap = dfRows.map(r => r._1.get -> r._2).toMap
     (tdq, dld, tTot, nDocs, quantizedIdf(terms, dfMap, nDocs, scaleBits))
   }
 
@@ -2269,18 +2290,24 @@ object TextAnalysis {
     // join, and its recompute crosses the distinct's shuffle.
     val dld = Caches.track(
       postings.select(col("doc"), col("dl")).distinct().persist())
-    val (tTot, nDocs) = dld.agg(sum(col("dl")), count(lit(1)))
-      .as[(Long, Long)].collect().head
-    require(tTot > 0, "bm25: corpus has no tokens")
     // the isin literal reaches the (bucketed) scan → bucket pruning
     val tdq = postings.filter(col("term").isin(terms.map(lit): _*))
       .select(col("doc"), col("term"), col("tf"))
-    // postings rows are unique per (doc, term) — indexPostings aggregates
-    // them that way and the maintenance loader preserves it — so df is a
+    // ONE collect job for corpus stats and per-term df (the bm25Core
+    // merged-collect shape — two job submissions were pure fixed
+    // overhead); postings rows are unique per (doc, term), so df is a
     // plain count, not an expand-based countDistinct
-    val dfMap = tdq.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .as[(String, Long)].collect().toMap
+    val merged = tdq.groupBy(col("term"))
+      .agg(count(lit(1)).as("a"), lit(0L).as("b"))
+      .unionByName(dld
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("a"),
+          count(lit(1)).as("b"))
+        .select(lit(null).cast("string").as("term"), col("a"), col("b")))
+      .as[(Option[String], Long, Long)].collect()
+    val (statsRows, dfRows) = merged.partition(_._1.isEmpty)
+    val (tTot, nDocs) = (statsRows.head._2, statsRows.head._3)
+    require(tTot > 0, "bm25: corpus has no tokens")
+    val dfMap = dfRows.map(r => r._1.get -> r._2).toMap
     val idfRows = quantizedIdf(terms, dfMap, nDocs, scaleBits)
     val s = 1L << scaleBits
     val qt = queries.select(col(qid).as("q_id"),
