@@ -8281,6 +8281,119 @@ object Queries {
             GROUP BY 1"""
     }))
 
+  /** Margin-based bitext mining (Similarity.bitextMineTopK): the
+    * Artetxe-Schwenk ratio margin over two disjoint embedding slices
+    * (src = vec_id % 20 = 0, tgt = vec_id % 20 = 10) - per src item the
+    * top-3 of its 5 forward neighbors by margin. Oracle mirrors the
+    * exact determinism discipline: unrounded-cos ranking for the two
+    * top-5 selections (the topKMerge contract), round-6 outputs,
+    * floor((1+cos)*10^6) int64 neighborhood masses, one final division
+    * of identical int64s, margin round 6, b_id tie-break. */
+  private val q229 = QDef("q229_bitext_margin",
+    (s, d) => Similarity.bitextMineTopK(
+      emb(s, d).filter(col("vec_id") % 20 === 0),
+      emb(s, d).filter(col("vec_id") % 20 === 10),
+      "vec_id", "embedding", k = 3, kNbr = 5),
+    Some("""WITH n AS (SELECT vec_id, embedding AS v,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            s AS (SELECT vec_id AS a_id, v, nrm FROM n
+              WHERE vec_id % 20 = 0),
+            t AS (SELECT vec_id AS b_id, v, nrm FROM n
+              WHERE vec_id % 20 = 10),
+            sc AS MATERIALIZED (SELECT s.a_id, t.b_id,
+                list_sum(list_transform(range(1, len(s.v) + 1),
+                  i -> CAST(s.v[i] AS DOUBLE) * t.v[i])) / (s.nrm * t.nrm)
+                  AS cos
+              FROM s, t),
+            f AS MATERIALIZED (SELECT a_id, b_id, round(cos, 6) AS cos
+              FROM (SELECT a_id, b_id, cos, row_number() OVER (
+                  PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+                FROM sc)
+              WHERE rn <= 5),
+            bk AS MATERIALIZED (SELECT b_id, a_id, round(cos, 6) AS cos
+              FROM (SELECT b_id, a_id, cos, row_number() OVER (
+                  PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn
+                FROM sc)
+              WHERE rn <= 5),
+            ma AS (SELECT a_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
+                AS BIGINT)) AS BIGINT) AS ma
+              FROM f GROUP BY 1),
+            mb AS (SELECT b_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
+                AS BIGINT)) AS BIGINT) AS mb
+              FROM bk GROUP BY 1),
+            m AS (SELECT f.a_id, f.b_id, f.cos,
+                round(CAST(CAST(floor((1 + f.cos) * 1000000) AS BIGINT)
+                    * 2 * 5 AS DOUBLE)
+                  / greatest(ma.ma + mb.mb, 1), 6) AS margin
+              FROM f JOIN ma USING (a_id) JOIN mb USING (b_id)),
+            r AS (SELECT a_id, b_id, cos, margin, row_number() OVER (
+                PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
+              FROM m)
+            SELECT a_id, CAST(rn AS INT) AS rank, b_id, cos, margin
+            FROM r WHERE rn <= 3"""),
+    bench = true)
+
+  /** Cluster topic labeling (TextAnalysis.clusterTopTerms): docs
+    * clustered by their first token embedding against the 8 trained
+    * centroids (the q121 assignment convention: cosine DESC, cent_id
+    * DESC tie-break), then per cluster the top-8 characteristic terms
+    * by the integer-exact class-TF-IDF `tf_c * (2^20 div (1 + cdf))`.
+    * Oracle: the q121 asg CTE over the doc vectors + pure integer
+    * tf/cdf/score/window arithmetic. */
+  private val q228 = QDef("q228_cluster_topics",
+    (s, d) => {
+      import s.implicits._
+      val cent = trainedCentroids(s, d).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      val dv = emb(s, d).filter(col("vec_id") % 4 === 0)
+        .select(expr("vec_id div 4").as("c_id"),
+          col("embedding").as("c_vec"),
+          Similarity.norm(col("embedding")).as("c_norm"))
+      val assign = Similarity.assignCells(dv, cent)
+        .select(col("c_id").as("doc_id"), col("cell"))
+      TextAnalysis.clusterTopTerms(docs(s, d), "doc_id", "text", assign,
+        "doc_id", "cell", topK = 8)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val centRows = trainedCentroids(s, d).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $centRows) AS t(cent_id, cent_vec)),
+            dv AS (SELECT vec_id // 4 AS doc_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings WHERE vec_id % 4 = 0),
+            asg AS MATERIALIZED (SELECT doc_id, cell FROM (
+              SELECT dv.doc_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY dv.doc_id ORDER BY
+                       list_sum(list_transform(range(1, len(dv.vec) + 1),
+                         i -> CAST(dv.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (dv.nrm * cent.cent_nrm) DESC, cent.cent_id DESC)
+                       AS rn
+              FROM dv, cent) WHERE rn = 1),
+            toks AS (SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))
+                AS term
+              FROM documents),
+            tf AS MATERIALIZED (SELECT asg.cell, toks.term,
+                CAST(count(*) AS BIGINT) AS tf
+              FROM toks JOIN asg USING (doc_id) GROUP BY 1, 2),
+            cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf
+              FROM tf GROUP BY 1),
+            sc AS (SELECT tf.cell, tf.term, tf.tf, cdf.cdf,
+                tf.tf * (1048576 // (1 + cdf.cdf)) AS score_q
+              FROM tf JOIN cdf USING (term)),
+            r AS (SELECT cell, term, tf, cdf, score_q, row_number() OVER (
+                PARTITION BY cell ORDER BY score_q DESC, term) AS rn
+              FROM sc)
+            SELECT cell, CAST(rn AS INT) AS rank, term, tf, cdf, score_q
+            FROM r WHERE rn <= 8"""
+    }))
+
   /** Distance-2 typo fixture: the first token loses its 2nd and (orig)
     * 4th characters when long enough — two deletions, the fat-finger
     * class depth-1 SymSpell cannot reach; shorter tokens fall back to
@@ -8463,7 +8576,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -80,6 +80,82 @@ object Similarity {
     topKMerge(scored, k)
   }
 
+  /** Margin-based bitext / nearest-neighbor pair mining (Artetxe &
+    * Schwenk's ratio-margin criterion, the standard parallel-pair miner
+    * for training-data pipelines): a forward neighbor y of x is a
+    * strong match not when cos(x, y) is high in absolute terms but when
+    * it stands out against BOTH points' neighborhoods —
+    * `margin(x, y) = sim(x, y) / mean(NNk sims of x in tgt ∪ NNk sims
+    * of y in src)`. Hubs (points similar to everything) get discounted;
+    * isolated true pairs rise.
+    *
+    * Cross-engine determinism discipline: similarities are the rounded
+    * cosines the top-k family already hash-checks, SHIFTED to
+    * `1 + cos ∈ [0, 2]` so the ratio is division-safe on arbitrary
+    * (unnormalized, sign-indefinite) embedding spaces, then floored
+    * onto the 10⁶ integer grid — neighborhood masses are exact int64
+    * SUMS (order-free), and the single final division of two identical
+    * int64s yields identical doubles in every engine. Output per src
+    * item: top `k` of its `kNbr` forward neighbors by margin DESC then
+    * tgt id ASC — `(a_id, rank, b_id, cos, margin)` with margin rounded
+    * to 6.
+    *
+    * Scale shape: two brute top-k passes (src→tgt and tgt→src — each
+    * side broadcasts once, so BOTH sides are bounded by the guardrail;
+    * at corpus scale run per src-batch, or nominate with the ANN
+    * compositions and rescore), both persisted (each feeds a mass
+    * aggregate AND the candidate join); everything after is
+    * |src|·kNbr-bounded. Ids of the two sides may overlap freely — no
+    * self-exclusion applies across corpora (mining x against a tgt
+    * copy of itself is [[mutualKnnPairs]]' job, not this one). */
+  def bitextMineTopK(src: DataFrame, tgt: DataFrame, id: String,
+                     vec: String, k: Int, kNbr: Int,
+                     maxBroadcastSide: Long = 500000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kNbr >= k, s"kNbr ($kNbr) must be >= k ($k)")
+    requireBounded("bitextMineTopK", "src", src, maxBroadcastSide,
+      "maxBroadcastSide", "mine in src batches")
+    requireBounded("bitextMineTopK", "tgt", tgt, maxBroadcastSide,
+      "maxBroadcastSide", "nominate with an ANN composition and " +
+        "rescore, or raise the limit")
+    val a = src.select(col(id).cast("long").as("a_id"),
+      col(vec).as("a_vec"), norm(col(vec)).as("a_norm"))
+    val b = tgt.select(col(id).cast("long").as("b_id"),
+      col(vec).as("b_vec"), norm(col(vec)).as("b_norm"))
+    val fwd = Caches.track(topKMerge(
+      b.join(broadcast(a), lit(true))
+        .select(col("a_id").as("q_id"), col("b_id").as("c_id"),
+          cosine(col("a_vec"), col("b_vec"), col("a_norm"),
+            col("b_norm")).as("cos")),
+      kNbr).persist())
+    val bwd = Caches.track(topKMerge(
+      a.join(broadcast(b), lit(true))
+        .select(col("b_id").as("q_id"), col("a_id").as("c_id"),
+          cosine(col("a_vec"), col("b_vec"), col("a_norm"),
+            col("b_norm")).as("cos")),
+      kNbr).persist())
+    def shifted(c: Column): Column =
+      floor((lit(1.0) + c) * lit(1000000.0)).cast("long")
+    val massA = fwd.groupBy(col("q_id").as("a_id"))
+      .agg(sum(shifted(col("cos"))).as("__ma"))
+    val massB = bwd.groupBy(col("q_id").as("b_id"))
+      .agg(sum(shifted(col("cos"))).as("__mb"))
+    val cand = fwd
+      .select(col("q_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("cos"), (shifted(col("cos")) * 2 * kNbr).as("__num"))
+      .join(massA, Seq("a_id"))
+      .join(massB, Seq("b_id"))
+      .withColumn("margin",
+        round(col("__num").cast("double") /
+          greatest(col("__ma") + col("__mb"), lit(1L)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("margin").desc, col("b_id"))
+    cand.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("a_id"), col("rank"), col("b_id"), col("cos"),
+        col("margin"))
+  }
+
   /** Shared two-phase top-k: input (q_id, c_id, cos) → (q_id, rank, c_id,
     * cos rounded to 6). Deterministic total order (cos DESC, c_id ASC).
     *

@@ -2188,6 +2188,49 @@ object TextAnalysis {
       prune = false)
   }
 
+  /** Cluster topic terms — BERTopic's class-TF-IDF reshaped onto the
+    * int64 grid: given per-document cluster assignments (typically the
+    * IVF cell assignment over the doc embeddings,
+    * [[graft.ops.Similarity]]'s `assignCells`/`trainIvfCentroids`), the
+    * `topK` most characteristic terms per cluster. Characteristic =
+    * high in-cluster frequency × cluster rarity:
+    * `score_q = tf_c · (2ˢ div (1 + cdf))` where `tf_c` is the term's
+    * occurrence count inside the cluster and `cdf` the number of
+    * clusters containing it — the integer-exact monotone sibling of
+    * c-TF-IDF's `tf · log(C / df)` (both rank by "frequent here, rare
+    * across clusters"; the reciprocal form needs no `ln`, whose last-ulp
+    * behavior engines disagree about). Ties → term ASC. Output:
+    * `(cell, rank, term, tf, cdf, score_q)` — the corpus-audit view
+    * that tells a pipeline operator what each embedding cluster IS.
+    *
+    * Scale shape: one corpus tokenize joined to the narrow (id, cell)
+    * assignment on the doc key, ONE (cell, term) hash aggregate
+    * (map-side combine collapses within-doc repeats), a
+    * vocabulary×clusters-bounded cdf aggregate, and a per-cluster
+    * window over (clusters · vocabulary) rows — never a corpus-scale
+    * shuffle beyond the first join. */
+  def clusterTopTerms(docs: DataFrame, id: String, text: String,
+                      assign: DataFrame, aid: String, cell: String,
+                      topK: Int, scaleBits: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(scaleBits >= 1 && scaleBits <= 30, s"bad scaleBits: $scaleBits")
+    val s = 1L << scaleBits
+    val toks = docs.select(col(id).as("doc"),
+      explode(tokens(lower(col(text)))).as("term"))
+    val a = assign.select(col(aid).as("doc"), col(cell).as("cell"))
+    val tf = toks.join(a, Seq("doc"))
+      .groupBy(col("cell"), col("term")).agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val scored = tf.join(cdf, Seq("term"))
+      .withColumn("score_q", col("tf") * expr(s"$s div (1 + cdf)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("score_q").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("cell"), col("rank"), col("term"), col("tf"),
+        col("cdf"), col("score_q"))
+  }
+
   /** Persist the postings index BUCKETED BY TERM
     * ([[graft.io.Layout.writeBucketed]]) — the sparse-retrieval serving
     * posture mirroring [[graft.ops.Similarity.saveIvfSq8Index]]'s dense

@@ -1060,6 +1060,63 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("zero round-1 feedback"))
   }
 
+  test("bitextMineTopK: margins match a driver-side reference mirror, " +
+      "hub discount demotes the promiscuous neighbor") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def sh(c: Double): Long =
+      math.floor((1.0 + round6(c)) * 1000000.0).toLong
+    // t1 is a HUB: cos ~0.577 to EVERY src point — for src 1 it BEATS
+    // the dedicated partner t2 (cos 0.5) on raw cosine, but its
+    // neighborhood mass is ~3x t2's, so the margin must flip the order
+    val srcRows = Seq(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f))
+    val tgtRows = Seq(1L -> Seq(0.6f, 0.6f, 0.6f, 0f), // hub (id overlap OK)
+      2L -> Seq(0.5f, 0f, 0f, 0.866f), 3L -> Seq(0f, 0.9f, 0f, 0.1f))
+    val src = srcRows.toDF("vec_id", "embedding")
+    val tgt = tgtRows.toDF("vec_id", "embedding")
+    val kNbr = 3
+    val out = Similarity.bitextMineTopK(src, tgt, "vec_id", "embedding",
+        k = 3, kNbr = kNbr)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    // driver-side mirror of the exact contract arithmetic
+    val cosAll = for ((ai, av) <- srcRows; (bi, bv) <- tgtRows)
+      yield (ai, bi, cosRef(av, bv))
+    def topk(rows: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(r => (-r._3, r._2)).take(kNbr) }
+    val fwd = topk(cosAll)
+    val bwd = topk(cosAll.map(r => (r._2, r._1, r._3)))
+    val ma = fwd.groupBy(_._1).map { case (a, g) =>
+      a -> g.map(r => sh(r._3)).sum }
+    val mb = bwd.groupBy(_._1).map { case (b, g) =>
+      b -> g.map(r => sh(r._3)).sum }
+    val expected = fwd.map { case (a, b, c) =>
+      val margin = round6(
+        (sh(c) * 2 * kNbr).toDouble /
+          math.max(ma(a) + mb(b), 1L).toDouble)
+      (a, b, round6(c), margin)
+    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (-r._4, r._2)).zipWithIndex
+        .map { case ((a, b, c, m), i) => (a, i + 1, b, c, m) } }.toSet
+    assert(out.toSet == expected && out.nonEmpty,
+      s"got ${out.toSet}\nwant $expected")
+    // the hub discount: src 1's raw cosine may like the hub, but its
+    // dedicated partner t2 must out-MARGIN the hub
+    val s1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(s1.head._3 == 2L,
+      s"hub not discounted for src 1: $s1")
+  }
+
   test("densePrfIvfTopK: on-bounds fixture with all cells probed " +
       "equals brute PRF bit for bit; narrower probes keep the contract") {
     // every per-dim value sits ON a trained bound, so SQ8 round-1
