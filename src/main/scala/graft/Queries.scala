@@ -8335,6 +8335,63 @@ object Queries {
             FROM r WHERE rn <= 3"""),
     bench = true)
 
+  /** Per-key daily activity fingerprint (EventOps.activityFingerprint):
+    * the 24-hour event-count rhythm symbolized into one 48-bit int64 -
+    * hour from epoch-microseconds (pure integer), per-key quartile
+    * symbols via a total-ordered ntile(4), 2 bits per hour. Rank-based
+    * symbolization (not z-normalized SAX breakpoints) keeps the whole
+    * chain int64-exact in both engines. */
+  private val q230 = QDef("q230_activity_fp",
+    (s, d) => EventOps.activityFingerprint(events(s, d), "user_id", "ts"),
+    Some("""WITH hrs AS (SELECT user_id AS k,
+                CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+            dense AS (SELECT g.k, g.hr, COALESCE(hrs.cnt, 0) AS cnt
+              FROM (SELECT k, unnest(range(0, 24)) AS hr
+                    FROM (SELECT DISTINCT k FROM hrs)) g
+              LEFT JOIN hrs ON hrs.k = g.k AND hrs.hr = g.hr),
+            sym AS (SELECT k, hr,
+                CAST(ntile(4) OVER (PARTITION BY k ORDER BY cnt, hr) - 1
+                  AS BIGINT) AS sym
+              FROM dense),
+            f AS MATERIALIZED (SELECT k,
+                CAST(sum(sym * (CAST(1 AS BIGINT) << CAST(2 * hr AS INT)))
+                  AS BIGINT) AS fp
+              FROM sym GROUP BY 1)
+            SELECT k AS user_id, fp FROM f"""),
+    bench = true)
+
+  /** Similar daily rhythms (EventOps.similarActivityPairs): the q230
+    * fingerprints through the shared pigeonhole Hamming banding
+    * (13 balanced chunks of 48 bits for maxDist 12, recall 1.0) with
+    * the exact bit_count verify. Oracle is the brute n-squared scan the
+    * pigeonhole argument guarantees the banding reproduces. */
+  private val q231 = QDef("q231_similar_activity",
+    (s, d) => EventOps.similarActivityPairs(events(s, d), "user_id",
+      "ts", maxDist = 12),
+    Some("""WITH hrs AS (SELECT user_id AS k,
+                CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+            dense AS (SELECT g.k, g.hr, COALESCE(hrs.cnt, 0) AS cnt
+              FROM (SELECT k, unnest(range(0, 24)) AS hr
+                    FROM (SELECT DISTINCT k FROM hrs)) g
+              LEFT JOIN hrs ON hrs.k = g.k AND hrs.hr = g.hr),
+            sym AS (SELECT k, hr,
+                CAST(ntile(4) OVER (PARTITION BY k ORDER BY cnt, hr) - 1
+                  AS BIGINT) AS sym
+              FROM dense),
+            f AS MATERIALIZED (SELECT k,
+                CAST(sum(sym * (CAST(1 AS BIGINT) << CAST(2 * hr AS INT)))
+                  AS BIGINT) AS fp
+              FROM sym GROUP BY 1)
+            SELECT a.k AS a_id, b.k AS b_id,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hd
+            FROM f a JOIN f b ON a.k < b.k
+            WHERE bit_count(xor(a.fp, b.fp)) <= 12"""),
+    bench = true)
+
   /** Cluster topic labeling (TextAnalysis.clusterTopTerms): docs
     * clustered by their first token embedding against the 8 trained
     * centroids (the q121 assignment convention: cosine DESC, cent_id
@@ -8576,7 +8633,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

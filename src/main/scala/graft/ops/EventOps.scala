@@ -490,4 +490,55 @@ object EventOps {
       .filter(col("rank") <= k)
       .select(col("win_start"), col("rank"), col("__k").as(key), col("n"))
   }
+
+  /** Per-key daily ACTIVITY FINGERPRINT — the NVR operator behind
+    * "which cameras behave alike": each key's 24-hour event-count
+    * profile, symbolized SAX-style into one int64. Hour-of-day =
+    * `(epoch_µs div 3600000000) % 24` (pure integer — engine-exact);
+    * missing hours are explicit zero slots (a camera dark at night and
+    * one missing data look the same to the rhythm, by design); each
+    * slot's symbol is its quartile WITHIN the key's own 24-slot
+    * distribution (`ntile(4)` over a (cnt, hr)-total-ordered 24-row
+    * window — deterministic, and scale-free: a busy camera and a quiet
+    * one with the same SHAPE get the same word), packed 2 bits per
+    * hour into a 48-bit fingerprint. Rank-based symbolization instead
+    * of SAX's z-normalized Gaussian breakpoints keeps the whole chain
+    * on the int64 grid (z-scores are float means/stds — exactly the
+    * cross-engine hazard the oracle discipline exists to avoid). NULL
+    * keys are dropped (no identity, no rhythm). Output: `(key, fp)`.
+    *
+    * Scale shape: one (key, hour) count aggregate (map-side combined —
+    * the only corpus-scale shuffle), a keys×24 dense frame (narrow),
+    * one 24-row-per-key window, one per-key pack aggregate. */
+  def activityFingerprint(events: DataFrame, key: String,
+                          ts: String): DataFrame = {
+    val hr = expr(s"pmod(unix_micros($ts) div 3600000000, 24)")
+    val cnts = events.filter(col(key).isNotNull)
+      .select(col(key).as("__k"), hr.as("hr"))
+      .groupBy(col("__k"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val dense = cnts.select(col("__k")).distinct()
+      .select(col("__k"), explode(sequence(lit(0L), lit(23L))).as("hr"))
+      .join(cnts, Seq("__k", "hr"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("cnt"), col("hr"))
+    dense.withColumn("sym", (ntile(4).over(w) - 1).cast("long"))
+      .groupBy(col("__k").as(key))
+      .agg(sum(expr("sym * shiftleft(cast(1 as bigint), " +
+        "cast(2 * hr as int))")).as("fp"))
+  }
+
+  /** Keys with SIMILAR daily rhythms: [[activityFingerprint]] fed
+    * through the shared pigeonhole Hamming machinery
+    * ([[graft.ops.Dedup.hammingPairs]] — recall 1.0 vs the brute n²
+    * scan by the pigeonhole argument, banded-equi-join cost; the
+    * fingerprint table is persisted because the band join consumes it
+    * on both sides). Output: `(a_id, b_id, hd)` with a < b. */
+  def similarActivityPairs(events: DataFrame, key: String, ts: String,
+                           maxDist: Int,
+                           maxBucket: Int = 0): DataFrame =
+    graft.ops.Dedup.hammingPairs(
+      graft.ops.Caches.track(
+        activityFingerprint(events, key, ts).persist()),
+      key, "fp", bits = 48, maxDist = maxDist, maxBucket = maxBucket)
 }

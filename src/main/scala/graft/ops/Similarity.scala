@@ -560,10 +560,18 @@ object Similarity {
     // a query with ZERO round-1 neighbors (its only corpus match is
     // itself, or the corpus is effectively empty) has no feedback
     // centroid and would silently vanish through the inner joins below
-    // — fail loudly instead, matching the family's posture (both counts
-    // are query-bounded; fb is persisted so this re-runs nothing)
-    val nQ = q1.select(col("q_id")).distinct().count()
-    val nFb = fb.select(col("q_id")).distinct().count()
+    // — fail loudly instead, matching the family's posture. ONE
+    // union-collect job for both query-bounded counts (the bm25Core
+    // merged-collect shape; two separate count() actions measured as
+    // pure job overhead on q222's bench line)
+    val guardCounts = q1.select(col("q_id")).distinct()
+      .select(lit(1).as("__side"))
+      .unionByName(fb.select(col("q_id")).distinct()
+        .select(lit(2).as("__side")))
+      .groupBy(col("__side")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nQ = guardCounts.getOrElse(1, 0L)
+    val nFb = guardCounts.getOrElse(2, 0L)
     require(nFb == nQ,
       s"densePrf: ${nQ - nFb} quer(ies) have zero round-1 feedback " +
         "neighbors (only corpus match is the query itself, or the " +

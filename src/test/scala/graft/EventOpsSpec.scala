@@ -311,6 +311,48 @@ class EventOpsSpec extends SparkSpec {
       (lo + 10L, 1, 3L, 1L)), s"got $out (w0=$w0)")
   }
 
+  test("activityFingerprint: hand-packed word, scale invariance, " +
+      "similar pairs equal the brute Hamming scan") {
+    import org.apache.spark.sql.functions.expr
+    val hourUs = 3600000000L
+    // key 1: 5 events in hour 0, 3 in hour 1, rest silent.
+    // ntile(4) over 24 slots ordered (cnt, hr): zeros at hrs 2..23
+    // fill tiles 1..3 (hrs 2..7 -> sym 0, 8..13 -> sym 1,
+    // 14..19 -> sym 2), tile 4 = hrs 20..23 zeros + (3,hr1) + (5,hr0)
+    // -> sym 3 each
+    def ev(k: Long, hr: Long, n: Int) =
+      (1 to n).map(i => (k, hr * hourUs + i))
+    val rows1 = ev(1L, 0, 5) ++ ev(1L, 1, 3)
+    // key 2: SAME SHAPE x10 -> identical fingerprint (scale-free)
+    val rows2 = ev(2L, 0, 50) ++ ev(2L, 1, 30)
+    // key 3: inverted rhythm (busy hours 22/23) -> different word
+    val rows3 = ev(3L, 22, 5) ++ ev(3L, 23, 3)
+    val df = (rows1 ++ rows2 ++ rows3).toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val fps = EventOps.activityFingerprint(df, "user_id", "ts")
+      .as[(Long, Long)].collect().toMap
+    val expected1 = 3L + (3L << 2) +
+      (8 to 13).map(h => 1L << (2 * h)).sum +
+      (14 to 19).map(h => 2L << (2 * h)).sum +
+      (20 to 23).map(h => 3L << (2 * h)).sum
+    assert(fps(1L) == expected1, s"got ${fps(1L)}, want $expected1")
+    assert(fps(2L) == fps(1L), "same shape at 10x scale must match")
+    assert(fps(3L) != fps(1L))
+    // pairs == the brute-force Hamming scan (recall 1.0)
+    for (maxDist <- Seq(0, 8, 24, 47)) {
+      val got = EventOps.similarActivityPairs(df, "user_id", "ts",
+          maxDist = maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      val ids = fps.keys.toSeq.sorted
+      val want = (for {
+        i <- ids; j <- ids if i < j
+        hd = java.lang.Long.bitCount(fps(i) ^ fps(j))
+        if hd <= maxDist
+      } yield (i, j, hd.toLong)).toSet
+      assert(got == want, s"maxDist=$maxDist got=$got want=$want")
+    }
+  }
+
   test("sessionize: gap boundary inclusive, ties, per-key isolation") {
     import org.apache.spark.sql.functions.expr
     // key a, gap 10 µs: events 0, 10 (diff == gap → SAME session),
