@@ -511,11 +511,26 @@ object EventOps {
     * the only corpus-scale shuffle), a keys×24 dense frame (narrow),
     * one 24-row-per-key window, one per-key pack aggregate. */
   def activityFingerprint(events: DataFrame, key: String,
-                          ts: String): DataFrame = {
+                          ts: String): DataFrame =
+    fingerprintFromHourCounts(hourCounts(events, key, ts), key)
+
+  /** The (key, hour-of-day, count) aggregate both fingerprint forms
+    * share — the batch op consumes it directly; the streaming writer
+    * accumulates these partials per micro-batch (counts are
+    * ADD-mergeable, so incremental maintenance is exact). */
+  private[graft] def hourCounts(events: DataFrame, key: String,
+                                ts: String): DataFrame = {
     val hr = expr(s"pmod(unix_micros($ts) div 3600000000, 24)")
-    val cnts = events.filter(col(key).isNotNull)
+    events.filter(col(key).isNotNull)
       .select(col(key).as("__k"), hr.as("hr"))
       .groupBy(col("__k"), col("hr")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Symbolize + pack an already-aggregated `(__k, hr, cnt)` relation
+    * (one row per OBSERVED hour; missing hours become explicit zero
+    * slots here). */
+  private[graft] def fingerprintFromHourCounts(cnts: DataFrame,
+                                               key: String): DataFrame = {
     val dense = cnts.select(col("__k")).distinct()
       .select(col("__k"), explode(sequence(lit(0L), lit(23L))).as("hr"))
       .join(cnts, Seq("__k", "hr"), "left")

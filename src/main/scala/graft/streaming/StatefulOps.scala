@@ -1392,6 +1392,36 @@ object StatefulOps {
       }
     }
 
+  /** Streaming activity-fingerprint maintenance — the ingest-time twin
+    * of [[graft.ops.EventOps.activityFingerprint]]: each micro-batch's
+    * (key, hour) count PARTIALS append to `countsTable` (counts are
+    * ADD-mergeable, so the accumulated table re-aggregated on read is
+    * EXACTLY the batch aggregate over all rows seen — no state store,
+    * O(batch) writes), and the current fingerprints of every known key
+    * are recomputed from it (keys×24 rows — cheap) and handed to
+    * `process`. Streamed ≡ batch at every prefix (spec-pinned).
+    * Periodic compaction of the partials table is the caller's
+    * amortized cleanup ([[graft.io.IndexMaintenance]] posture); the
+    * usual foreachBatch cross-session caveat applies — OTHER sessions
+    * reading `countsTable` must `refreshTable`. */
+  def activityFingerprintWriter(stream: DataFrame, key: String,
+      ts: String, countsTable: String)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        graft.ops.EventOps.hourCounts(batch, key, ts)
+          .write.mode("append").format("parquet")
+          .saveAsTable(countsTable)
+        spark.catalog.refreshTable(countsTable)
+        val merged = spark.table(countsTable)
+          .groupBy(col("__k"), col("hr"))
+          .agg(sum(col("cnt")).as("cnt"))
+        process(graft.ops.EventOps.fingerprintFromHourCounts(merged,
+          key), bid)
+      }
+    }
+
   /** Typo-tolerant BM25 serving — the full "did-you-mean" composition
     * from TWO persisted artifacts (the [[bm25ServeWriter]] posture):
     * each query micro-batch rewrites through the bucket-pruned

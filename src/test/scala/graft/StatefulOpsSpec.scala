@@ -1764,6 +1764,42 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("activityFingerprintWriter: streamed fingerprints equal batch " +
+      "at every prefix") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val hourUs = 3600000000L
+    def ev(k: Long, hr: Long, n: Int) =
+      (1 to n).map(i => (k, hr * hourUs + i))
+    val b1 = ev(1L, 0, 3) ++ ev(1L, 5, 1) ++ ev(2L, 12, 4)
+    val b2 = ev(1L, 5, 2) ++ ev(2L, 12, 1) ++ ev(3L, 7, 2)
+    def asDf(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    try {
+      val emitted = scala.collection.mutable.Map.empty[Long, Set[Seq[Any]]]
+      val in = MemoryStream[(Long, Long)]
+      val q = StatefulOps.activityFingerprintWriter(
+          in.toDF().toDF("user_id", "us")
+            .withColumn("ts", expr("timestamp_micros(us)")),
+          "user_id", "ts", "act_counts") {
+        (fp, bid) => emitted(bid) = fp.collect().map(_.toSeq).toSet
+      }.start()
+      withQuery(q) {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      }
+      val want1 = graft.ops.EventOps.activityFingerprint(asDf(b1),
+        "user_id", "ts").collect().map(_.toSeq).toSet
+      val want2 = graft.ops.EventOps.activityFingerprint(
+        asDf(b1 ++ b2), "user_id", "ts").collect().map(_.toSeq).toSet
+      assert(emitted(0L) == want1 && emitted(1L) == want2 &&
+        want2.size == 3,
+        s"emitted=$emitted\nwant1=$want1\nwant2=$want2")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS act_counts")
+    }
+  }
+
   test("fuzzyBm25ServeWriter: streamed equals batch from both " +
       "persisted artifacts") {
     implicit val ctx = spark.sqlContext
