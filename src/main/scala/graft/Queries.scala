@@ -8318,15 +8318,18 @@ object Queries {
                 FROM sc)
               WHERE rn <= 5),
             ma AS (SELECT a_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
-                AS BIGINT)) AS BIGINT) AS ma
+                AS BIGINT)) AS BIGINT) AS ma,
+                CAST(count(1) AS BIGINT) AS na
               FROM f GROUP BY 1),
             mb AS (SELECT b_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
-                AS BIGINT)) AS BIGINT) AS mb
+                AS BIGINT)) AS BIGINT) AS mb,
+                CAST(count(1) AS BIGINT) AS nb
               FROM bk GROUP BY 1),
             m AS (SELECT f.a_id, f.b_id, f.cos,
                 round(CAST(CAST(floor((1 + f.cos) * 1000000) AS BIGINT)
-                    * 2 * 5 AS DOUBLE)
-                  / greatest(ma.ma + mb.mb, 1), 6) AS margin
+                    * 2 * ma.na * mb.nb AS DOUBLE)
+                  / greatest(ma.ma * mb.nb + mb.mb * ma.na, 1), 6)
+                  AS margin
               FROM f JOIN ma USING (a_id) JOIN mb USING (b_id)),
             r AS (SELECT a_id, b_id, cos, margin, row_number() OVER (
                 PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
@@ -8344,7 +8347,8 @@ object Queries {
   private val q230 = QDef("q230_activity_fp",
     (s, d) => EventOps.activityFingerprint(events(s, d), "user_id", "ts"),
     Some("""WITH hrs AS (SELECT user_id AS k,
-                CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hr,
+                CAST(((epoch_us(ts) // 3600000000) % 24 + 24) % 24
+                  AS BIGINT) AS hr,
                 CAST(count(*) AS BIGINT) AS cnt
               FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
             dense AS (SELECT g.k, g.hr, COALESCE(hrs.cnt, 0) AS cnt
@@ -8371,7 +8375,8 @@ object Queries {
     (s, d) => EventOps.similarActivityPairs(events(s, d), "user_id",
       "ts", maxDist = 12),
     Some("""WITH hrs AS (SELECT user_id AS k,
-                CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hr,
+                CAST(((epoch_us(ts) // 3600000000) % 24 + 24) % 24
+                  AS BIGINT) AS hr,
                 CAST(count(*) AS BIGINT) AS cnt
               FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
             dense AS (SELECT g.k, g.hr, COALESCE(hrs.cnt, 0) AS cnt

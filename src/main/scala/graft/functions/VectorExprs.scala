@@ -217,8 +217,17 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
   * Σ_j mq[j] · (lo[j] + codes[j]·range[j] / 255) — dequantization fused
   * into the scoring loop, all int64, so the ranking is engine-exact
   * (no float ADC error on top of the quantization error). The corpus
-  * side scans 1 byte of information per dim (the SQ8 point); the
-  * division is non-negative-by-construction, so Java `/` IS floor. */
+  * side scans 1 byte of information per dim (the SQ8 point).
+  *
+  * SIGN CONTRACT for the `codes` side: true SQ8 codes are in [0, 255],
+  * where Java's truncating `/` IS floor and the dequantization is the
+  * documented `lo + c·range/255`. ONE sanctioned exception feeds
+  * SIGNED ints through the codes slot: identity dequantization
+  * (`lo(j) = 0, range(j) = 255`), where `c·255/255 = c` is EXACT for
+  * any sign — no division remainder exists to truncate
+  * (maxSimSearchSq8 rides pooled query ints through this slot). Any
+  * OTHER (lo, range) with negative codes would silently differ from
+  * floor semantics (Java `/` truncates toward zero), so don't. */
 case class Sq8Dot(left: Expression, right: Expression,
                   lo: Array[Long], range: Array[Long])
     extends BinaryExpression with ExpectsInputTypes {

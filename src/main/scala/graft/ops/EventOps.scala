@@ -494,7 +494,9 @@ object EventOps {
   /** Per-key daily ACTIVITY FINGERPRINT — the NVR operator behind
     * "which cameras behave alike": each key's 24-hour event-count
     * profile, symbolized SAX-style into one int64. Hour-of-day =
-    * `(epoch_µs div 3600000000) % 24` (pure integer — engine-exact);
+    * `pmod(floorDiv(epoch_µs, 3600000000), 24)` (pure integer —
+    * engine-exact, FLOOR division so pre-epoch timestamps land in the
+    * right slot too);
     * missing hours are explicit zero slots (a camera dark at night and
     * one missing data look the same to the rhythm, by design); each
     * slot's symbol is its quartile WITHIN the key's own 24-slot
@@ -520,7 +522,16 @@ object EventOps {
     * ADD-mergeable, so incremental maintenance is exact). */
   private[graft] def hourCounts(events: DataFrame, key: String,
                                 ts: String): DataFrame = {
-    val hr = expr(s"pmod(unix_micros($ts) div 3600000000, 24)")
+    // hour-of-day needs FLOOR division of epoch-µs by the hour width;
+    // Spark's `div` truncates toward zero, which disagrees with floor
+    // exactly on pre-1970 timestamps (r12 advice). `a - pmod(a, w)` is
+    // the exact floor multiple (pmod is non-negative), so the `div` on
+    // it is exact; the outer pmod wraps negative hour indexes into
+    // [0, 24). The oracles mirror with ((us // w) % 24 + 24) % 24 —
+    // DuckDB's // IS floor but its % is sign-preserving.
+    val us = s"unix_micros($ts)"
+    val hr = expr(
+      s"pmod(($us - pmod($us, 3600000000)) div 3600000000, 24)")
     events.filter(col(key).isNotNull)
       .select(col(key).as("__k"), hr.as("hr"))
       .groupBy(col("__k"), col("hr")).agg(count(lit(1)).as("cnt"))

@@ -95,16 +95,25 @@ object Similarity {
     * (unnormalized, sign-indefinite) embedding spaces, then floored
     * onto the 10⁶ integer grid — neighborhood masses are exact int64
     * SUMS (order-free), and the single final division of two identical
-    * int64s yields identical doubles in every engine. Output per src
+    * int64s yields identical doubles in every engine. The denominator
+    * averages each side's mass over its ACTUAL neighbor count (`margin
+    * = 2·sim·nA·nB / (massA·nB + massB·nA)`, all-int64 numerator and
+    * denominator) — when both sides have full `kNbr` neighborhoods
+    * this is identical to the fixed-2k form, and when a side is
+    * SHORTER than `kNbr` the mean is still a mean (the fixed-2k form
+    * silently inflated margins there — r12 advice). Output per src
     * item: top `k` of its `kNbr` forward neighbors by margin DESC then
     * tgt id ASC — `(a_id, rank, b_id, cos, margin)` with margin rounded
     * to 6.
     *
     * Scale shape: two brute top-k passes (src→tgt and tgt→src — each
     * side broadcasts once, so BOTH sides are bounded by the guardrail;
-    * at corpus scale run per src-batch, or nominate with the ANN
-    * compositions and rescore), both persisted (each feeds a mass
-    * aggregate AND the candidate join); everything after is
+    * at corpus scale use [[bitextMineTopKAnn]] — ANN nomination +
+    * exact rescore, recall-evaluated the q227 way). The fwd pass is
+    * persisted (feeds the mass aggregate AND the candidate join); the
+    * bwd pass has a SINGLE consumer (its mass aggregate), where a
+    * persist is one materialization + read-back for nothing — left
+    * unpersisted by the persist-pays rule. Everything after is
     * |src|·kNbr-bounded. Ids of the two sides may overlap freely — no
     * self-exclusion applies across corpora (mining x against a tgt
     * copy of itself is [[mutualKnnPairs]]' job, not this one). */
@@ -128,26 +137,41 @@ object Similarity {
           cosine(col("a_vec"), col("b_vec"), col("a_norm"),
             col("b_norm")).as("cos")),
       kNbr).persist())
-    val bwd = Caches.track(topKMerge(
+    val bwd = topKMerge(
       a.join(broadcast(b), lit(true))
         .select(col("b_id").as("q_id"), col("a_id").as("c_id"),
           cosine(col("a_vec"), col("b_vec"), col("a_norm"),
             col("b_norm")).as("cos")),
-      kNbr).persist())
+      kNbr)
+    bitextMarginChain(fwd, bwd, k)
+  }
+
+  /** The margin arithmetic both bitext forms share, over precomputed
+    * per-direction neighbor tables in [[topKMerge]] shape — `fwd` keyed
+    * by src (`q_id` = a, `neighbor_id` = b), `bwd` keyed by tgt. All
+    * int64 until ONE final division (see [[bitextMineTopK]]'s
+    * determinism note); masses normalized by each side's actual
+    * neighbor count. `fwd` is consumed twice (mass aggregate +
+    * candidate join) — callers persist it; `bwd` once — they don't. */
+  private[graft] def bitextMarginChain(fwd: DataFrame, bwd: DataFrame,
+                                       k: Int): DataFrame = {
     def shifted(c: Column): Column =
       floor((lit(1.0) + c) * lit(1000000.0)).cast("long")
     val massA = fwd.groupBy(col("q_id").as("a_id"))
-      .agg(sum(shifted(col("cos"))).as("__ma"))
+      .agg(sum(shifted(col("cos"))).as("__ma"),
+        count(lit(1)).as("__na"))
     val massB = bwd.groupBy(col("q_id").as("b_id"))
-      .agg(sum(shifted(col("cos"))).as("__mb"))
+      .agg(sum(shifted(col("cos"))).as("__mb"),
+        count(lit(1)).as("__nb"))
     val cand = fwd
       .select(col("q_id").as("a_id"), col("neighbor_id").as("b_id"),
-        col("cos"), (shifted(col("cos")) * 2 * kNbr).as("__num"))
+        col("cos"), shifted(col("cos")).as("__s"))
       .join(massA, Seq("a_id"))
       .join(massB, Seq("b_id"))
       .withColumn("margin",
-        round(col("__num").cast("double") /
-          greatest(col("__ma") + col("__mb"), lit(1L)), 6))
+        round((col("__s") * 2 * col("__na") * col("__nb")).cast("double") /
+          greatest(col("__ma") * col("__nb") + col("__mb") * col("__na"),
+            lit(1L)), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("margin").desc, col("b_id"))
     cand.withColumn("rank", row_number().over(w).cast("int"))

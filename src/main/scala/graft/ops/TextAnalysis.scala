@@ -2010,9 +2010,11 @@ object TextAnalysis {
     * Σ_terms (1 + L) rows at depth 1, Σ_terms (1 + L + L(L−1)/2) at
     * depth 2, bounded by the `maxTermLen` guard (terms longer than
     * `maxTermLen + maxDist` are provably unreachable from legal query
-    * terms — see [[symSpellKeys]]). Rows carry `maxd` (the built
-    * depth; serving at a deeper distance than the table was built for
-    * is refused — completeness needs depth-d keys on BOTH sides) and
+    * terms — see [[symSpellKeys]]). Rows carry `maxd`/`maxtl` (the
+    * built depth and term-length bound; serving at a deeper distance
+    * or a larger length bound than the table was built at is refused —
+    * completeness needs depth-d keys on both sides and vocab key
+    * coverage up to the serve-time `maxTermLen + maxDist`) and
     * `gen` for the [[graft.io.IndexMaintenance]] tombstone lifecycle,
     * keyed by `w`: df is baked in at build time, so vocabulary changes
     * route through [[replaceInSymSpellIndex]]. */
@@ -2021,7 +2023,9 @@ object TextAnalysis {
                         maxTermLen: Int = 32): Unit =
     graft.io.Layout.writeBucketed(
       symSpellKeys(postings, maxDist, maxTermLen)
-        .withColumn("maxd", lit(maxDist)).withColumn("gen", lit(0L)),
+        .withColumn("maxd", lit(maxDist))
+        .withColumn("maxtl", lit(maxTermLen))
+        .withColumn("gen", lit(0L)),
       table, "key", buckets)
 
   /** The serving view of a maintained key table — live rows only. */
@@ -2046,14 +2050,39 @@ object TextAnalysis {
                              termCol: String, table: String,
                              buckets: Int, maxDist: Int = 1,
                              maxTermLen: Int = 32): Unit = {
-    deleteFromSymSpellIndex(postings.sparkSession, table, terms, termCol)
+    val spark = postings.sparkSession
+    // verify the caller's params against the STORED build params before
+    // anything is tombstoned (r12 advice: a replace at a different
+    // depth/length bound creates a mixed-depth table whose shallow rows
+    // silently lose lev<=d candidate completeness). One tiny-agg job
+    // over the live view; an empty table (fresh/rebuilt) has nothing to
+    // contradict.
+    val stored = loadSymSpellIndex(spark, table)
+      .agg(min(col("maxd")), max(col("maxd")),
+        min(col("maxtl")), max(col("maxtl"))).head()
+    if (!stored.isNullAt(0)) {
+      require(stored.getInt(0) == maxDist && stored.getInt(1) == maxDist,
+        s"replaceInSymSpellIndex: '$table' was built at depth " +
+          s"${stored.getInt(0)}..${stored.getInt(1)} but this replace " +
+          s"would append depth-$maxDist keys — a mixed-depth table " +
+          "silently loses candidate completeness; pass the table's own " +
+          "maxDist, or rebuild with saveSymSpellIndex to change depth")
+      require(stored.getInt(2) == maxTermLen &&
+          stored.getInt(3) == maxTermLen,
+        s"replaceInSymSpellIndex: '$table' was built with maxTermLen " +
+          s"${stored.getInt(2)}..${stored.getInt(3)}, not $maxTermLen — " +
+          "mixed length bounds silently lose candidate completeness; " +
+          "rebuild with saveSymSpellIndex to change the bound")
+    }
+    deleteFromSymSpellIndex(spark, table, terms, termCol)
     val batch = postings.join(
       broadcast(terms.select(col(termCol).as("term"))), Seq("term"),
       "left_semi")
     graft.io.Layout.appendBucketed(
       graft.io.IndexMaintenance.genStamp(
         symSpellKeys(batch, maxDist, maxTermLen)
-          .withColumn("maxd", lit(maxDist)), table),
+          .withColumn("maxd", lit(maxDist))
+          .withColumn("maxtl", lit(maxTermLen)), table),
       table, "key", buckets)
   }
 
@@ -2076,13 +2105,24 @@ object TextAnalysis {
     import spark.implicits._
     val qtLocal = localQueryTerms(spark, queries, qid, qtext,
       maxQueryTerms, maxDist, maxTermLen)
-    val depth = spark.table(table).select(col("maxd")).limit(1)
-      .as[Int].collect().headOption.getOrElse(maxDist)
+    // MIN over the LIVE view, not one arbitrary raw row (r12 advice: a
+    // tombstoned or deeper-built row could vouch for vocabulary rows
+    // that only carry shallower keys). One tiny-agg job; empty table →
+    // nothing to contradict (the rewrite then finds no candidates).
+    val stored = loadSymSpellIndex(spark, table)
+      .agg(min(col("maxd")), min(col("maxtl"))).head()
+    val depth = if (stored.isNullAt(0)) maxDist else stored.getInt(0)
     require(depth >= maxDist,
-      s"fuzzyQueryRewriteFromIndex: '$table' was built at depth $depth " +
-        s"but maxDist=$maxDist needs depth-$maxDist keys on both sides " +
-        "— rebuild the key table with saveSymSpellIndex(maxDist = " +
-        s"$maxDist)")
+      s"fuzzyQueryRewriteFromIndex: '$table' has live rows built at " +
+        s"depth $depth but maxDist=$maxDist needs depth-$maxDist keys " +
+        "on both sides — rebuild the key table with " +
+        s"saveSymSpellIndex(maxDist = $maxDist)")
+    require(stored.isNullAt(1) || stored.getInt(1) >= maxTermLen,
+      s"fuzzyQueryRewriteFromIndex: '$table' was built with " +
+        s"maxTermLen ${stored.getInt(1)} < $maxTermLen — vocabulary " +
+        s"terms up to length $maxTermLen + $maxDist are reachable from " +
+        "legal query terms but have no keys in the table; rebuild with " +
+        s"saveSymSpellIndex(maxTermLen = $maxTermLen)")
     val keys = qtLocal
       .select(explode(delKeys(col("term"), maxDist)).as("key"))
       .distinct().as[String].collect().sorted.toSeq

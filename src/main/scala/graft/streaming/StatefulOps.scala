@@ -1339,8 +1339,12 @@ object StatefulOps {
     * MULTIPLE COMMANDS PER ID PER BATCH (normal for CDC sources): the
     * batch is collapsed to the LATEST command per id by `orderCol`
     * (last-writer-wins — the Debezium/compacted-topic convention)
-    * before anything is applied; ordering values must totally order
-    * each id's events (ties pick an arbitrary winner). Without
+    * before anything is applied; ordering values should totally order
+    * each id's events, and residual ties break DETERMINISTICALLY by
+    * (orderCol, op, text) so an at-least-once replay of the batch
+    * collapses to the SAME winner as the failed attempt (an arbitrary
+    * tie pick would make the replay non-idempotent with the first
+    * attempt's partial effects — r12 advice). Without
     * `orderCol` there is no order to collapse by, so the writer
     * REQUIRES at most one command per id per batch and fails the batch
     * loudly otherwise — applying them blindly would run all deletes
@@ -1361,10 +1365,13 @@ object StatefulOps {
         val cmds = orderCol match {
           case Some(oc) =>
             // one narrow batch-scale aggregate; the winning struct
-            // carries both payload columns
+            // carries both payload columns. The ordering key is
+            // (orderCol, op, text) — struct comparison is
+            // lexicographic — so orderCol ties break deterministically
+            // and a replayed batch picks the identical winner.
             batch.groupBy(col(id))
               .agg(max_by(struct(col(text).as("__t"), col(op).as("__o")),
-                col(oc)).as("__c"))
+                struct(col(oc), col(op), col(text))).as("__c"))
               .select(col(id), col("__c.__t").as(text),
                 col("__c.__o").as(op))
           case None =>

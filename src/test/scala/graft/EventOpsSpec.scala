@@ -353,6 +353,22 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("hourCounts: hour-of-day uses FLOOR division of epoch-µs — " +
+      "pre-epoch timestamps land in the right slot (r12 advice)") {
+    import org.apache.spark.sql.functions.expr
+    val hourUs = 3600000000L
+    // -1 µs is 1969-12-31T23:59:59.999999 → hour 23 (truncating `div`
+    // rounded toward zero and gave hour 0); -1 h exactly → 23:00:00,
+    // still hour 23; one µs earlier → hour 22; the epoch itself → 0
+    val rows = Seq((1L, -1L), (1L, -hourUs), (1L, -hourUs - 1L), (1L, 0L))
+    val df = rows.toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val got = EventOps.hourCounts(df, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 23L, 2L), (1L, 22L, 1L), (1L, 0L, 1L)),
+      s"got $got")
+  }
+
   test("sessionize: gap boundary inclusive, ties, per-key isolation") {
     import org.apache.spark.sql.functions.expr
     // key a, gap 10 µs: events 0, 10 (diff == gap → SAME session),

@@ -1096,18 +1096,27 @@ class SimilaritySpec extends SparkSpec {
         g.sortBy(r => (-r._3, r._2)).take(kNbr) }
     val fwd = topk(cosAll)
     val bwd = topk(cosAll.map(r => (r._2, r._1, r._3)))
-    val ma = fwd.groupBy(_._1).map { case (a, g) =>
-      a -> g.map(r => sh(r._3)).sum }
-    val mb = bwd.groupBy(_._1).map { case (b, g) =>
-      b -> g.map(r => sh(r._3)).sum }
-    val expected = fwd.map { case (a, b, c) =>
-      val margin = round6(
-        (sh(c) * 2 * kNbr).toDouble /
-          math.max(ma(a) + mb(b), 1L).toDouble)
-      (a, b, round6(c), margin)
-    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
-      g.sortBy(r => (-r._4, r._2)).zipWithIndex
-        .map { case ((a, b, c, m), i) => (a, i + 1, b, c, m) } }.toSet
+    // actual-count-normalized margin mirror (r12 advice: the fixed-2k
+    // numerator inflated margins whenever a side had < kNbr neighbors)
+    def marginMirror(fwd: Seq[(Long, Long, Double)],
+                     bwd: Seq[(Long, Long, Double)],
+                     k: Int): Set[(Long, Int, Long, Double, Double)] = {
+      val ma = fwd.groupBy(_._1).map { case (a, g) =>
+        a -> g.map(r => sh(r._3)).sum }
+      val mb = bwd.groupBy(_._1).map { case (b, g) =>
+        b -> g.map(r => sh(r._3)).sum }
+      val na = fwd.groupBy(_._1).map { case (a, g) => a -> g.size.toLong }
+      val nb = bwd.groupBy(_._1).map { case (b, g) => b -> g.size.toLong }
+      fwd.map { case (a, b, c) =>
+        val margin = round6(
+          (sh(c) * 2 * na(a) * nb(b)).toDouble /
+            math.max(ma(a) * nb(b) + mb(b) * na(a), 1L).toDouble)
+        (a, b, round6(c), margin)
+      }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(r => (-r._4, r._2)).take(k).zipWithIndex
+          .map { case ((a, b, c, m), i) => (a, i + 1, b, c, m) } }.toSet
+    }
+    val expected = marginMirror(fwd, bwd, 3)
     assert(out.toSet == expected && out.nonEmpty,
       s"got ${out.toSet}\nwant $expected")
     // the hub discount: src 1's raw cosine may like the hub, but its
@@ -1115,6 +1124,21 @@ class SimilaritySpec extends SparkSpec {
     val s1 = out.filter(_._1 == 1L).sortBy(_._2)
     assert(s1.head._3 == 2L,
       s"hub not discounted for src 1: $s1")
+    // SHORT-side normalization: a 2-row tgt under kNbr = 3 means every
+    // src's forward neighborhood has only 2 sims — the mass mean must
+    // divide by the ACTUAL 2, not the requested 3 (and full-side ids
+    // keep their full counts), or margins inflate
+    val tgtShort = tgtRows.take(2)
+    val outS = Similarity.bitextMineTopK(src,
+        tgtShort.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 2, kNbr = kNbr)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    val cosS = for ((ai, av) <- srcRows; (bi, bv) <- tgtShort)
+      yield (ai, bi, cosRef(av, bv))
+    val expS = marginMirror(topk(cosS),
+      topk(cosS.map(r => (r._2, r._1, r._3))), 2)
+    assert(outS.toSet == expS && outS.nonEmpty,
+      s"short-side: got ${outS.toSet}\nwant $expS")
   }
 
   test("densePrfIvfTopK: on-bounds fixture with all cells probed " +

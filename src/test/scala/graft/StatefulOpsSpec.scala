@@ -1724,20 +1724,32 @@ class StatefulOpsSpec extends SparkSpec {
         //         tombstone ordering)
         //  doc 3: two upserts — old code merged both texts' tokens
         //         into one doc (summed tf/dl); latest must win alone
+        //  doc 4: two upserts TIED on orderCol — the collapse key is
+        //         (orderCol, op, text), so the lexicographically larger
+        //         text wins deterministically (an arbitrary pick would
+        //         make an at-least-once replay non-idempotent with the
+        //         first attempt's partial effects — r12 advice)
+        //  doc 5: delete and upsert tied on orderCol — "upsert" >
+        //         "delete" in the op tiebreak, deterministically kept
         in.addData(
           (1L, "apple apple", "upsert", 10L),
           (1L, "", "delete", 11L),
           (2L, "", "delete", 10L),
           (2L, "cherry cherry date", "upsert", 11L),
           (3L, "stale stale stale", "upsert", 10L),
-          (3L, "date egg", "upsert", 11L))
+          (3L, "date egg", "upsert", 11L),
+          (4L, "apple alpha", "upsert", 10L),
+          (4L, "apple zeta", "upsert", 10L),
+          (5L, "", "delete", 10L),
+          (5L, "date kept", "upsert", 10L))
         q.processAllAvailable()
       }
       spark.catalog.refreshTable("cdc_idx2")
       if (spark.catalog.tableExists("cdc_idx2__tombstones"))
         spark.catalog.refreshTable("cdc_idx2__tombstones")
       assert(serving() == want(Seq(2L -> "cherry cherry date",
-        3L -> "date egg")), "last command per id must win")
+        3L -> "date egg", 4L -> "apple zeta", 5L -> "date kept")),
+        "last command per id must win; ties deterministic by (op, text)")
       graft.ops.Caches.release(blocking = true)
       // without orderCol, two commands for one id must fail the batch
       val in2 = MemoryStream[(Long, String, String)]
