@@ -22,7 +22,14 @@ import org.apache.spark.sql.SparkSession
   * jitter on a shared box and the minimum is the stable order statistic
   * (what the engine costs once JIT'd — comparable across rounds);
   * `queries_cold` retains the first-run times for honesty, and all
-  * three runs must succeed. */
+  * three runs must succeed. Each query's `queries_profile` entry also
+  * carries `warm_spread` = |warm1 − warm2| (r12 verdict: same-code
+  * driver-vs-builder runs showed ±2× single-line scatter that three
+  * rounds of forensics re-attributed to session profile — the spread
+  * column makes the noise band READABLE from one artifact, so a
+  * cross-round per-line delta within either run's spread is dismissed
+  * without re-litigation; the comparison rule lives in
+  * ARCHITECTURE.md's bench-methodology note). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,34 +148,38 @@ object Bench {
     val timed = SparkEntry.benchQueries.map { name =>
       val (cold, _, res1) = runOnce(name)
       res1 match {
-        case Left(m) => (name, cold, cold, Profile(0, 0, 0, 0), Left(m))
+        case Left(m) =>
+          (name, cold, cold, 0.0, Profile(0, 0, 0, 0), Left(m))
         case Right(_) =>
           val (w1, p1, res2) = runOnce(name)
           res2 match {
-            case Left(m) => (name, cold, w1, p1, Left(m))
+            case Left(m) => (name, cold, w1, 0.0, p1, Left(m))
             case Right(_) =>
               val (w2, p2, res3) = runOnce(name)
               // profile follows the warm run the headline reports
               val (w, p) = if (w1 <= w2) (w1, p1) else (w2, p2)
-              (name, cold, w, p, res3)
+              (name, cold, w, math.abs(w1 - w2), p, res3)
           }
       }
     }
-    val ok = timed.collect { case (n, c, w, p, Right(_)) => (n, c, w, p) }
-    val failed = timed.collect { case (n, _, _, _, Left(m)) => n -> m }
-    val qs = ok.map { case (k, _, w, _) => s"${jstr(k)}:${"%.3f".format(w)}" }
-      .mkString("{", ",", "}")
-    val qsCold = ok.map { case (k, c, _, _) => s"${jstr(k)}:${"%.3f".format(c)}" }
-      .mkString("{", ",", "}")
+    val ok = timed.collect {
+      case (n, c, w, sp, p, Right(_)) => (n, c, w, sp, p) }
+    val failed = timed.collect { case (n, _, _, _, _, Left(m)) => n -> m }
+    val qs = ok.map { case (k, _, w, _, _) =>
+      s"${jstr(k)}:${"%.3f".format(w)}" }.mkString("{", ",", "}")
+    val qsCold = ok.map { case (k, c, _, _, _) =>
+      s"${jstr(k)}:${"%.3f".format(c)}" }.mkString("{", ",", "}")
     // per-query profile of the reported warm run: stage count, JVM GC ms,
     // shuffle-write bytes, max per-stage peak task memory — the columns
     // that let a slow line be attributed (stage-heavy? GC-bound?
-    // shuffle-bound?) from the artifact alone
-    val qsProf = ok.map { case (k, _, _, p) =>
+    // shuffle-bound?) from the artifact alone — plus warm_spread, the
+    // |warm1 − warm2| session-noise band for cross-round comparison
+    val qsProf = ok.map { case (k, _, _, sp, p) =>
       s"${jstr(k)}:{" +
         s""""stages":${p.stages},"gc_ms":${p.gcMs},""" +
         s""""shuffle_mb":${"%.1f".format(p.shuffleBytes / 1048576.0)},""" +
-        s""""peak_task_mem_mb":${"%.1f".format(p.peakTaskMem / 1048576.0)}}"""
+        s""""peak_task_mem_mb":${"%.1f".format(p.peakTaskMem / 1048576.0)},""" +
+        s""""warm_spread":${"%.3f".format(sp)}}"""
     }.mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(300))}" }
       .mkString("{", ",", "}")

@@ -8338,6 +8338,193 @@ object Queries {
             FROM r WHERE rn <= 3"""),
     bench = true)
 
+  /** ANN-nominated bitext mining recall eval
+    * (Similarity.bitextMineTopKAnn vs the brute bitextMineTopK — the
+    * q227/q100 pattern): each direction's kNbr neighborhood comes from
+    * the IVF-SQ8 candidate generator (trained centroids, nProbe 3 of 8,
+    * pool 8), exact cosines rescore candidates only, the int64 margin
+    * chain is unchanged. Oracle replays BOTH chains: the q229 brute
+    * margin SQL and the q227 IVF-SQ8 CTE patterns (cell assignment
+    * cos DESC/cent_id DESC, probes cos DESC/cent_id ASC, relational
+    * SQ8 bounds, ADC candidate order s DESC/c_id) feeding the same
+    * actual-count margin arithmetic, then the recall join. */
+  private val q232 = QDef("q232_bitext_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val src = e.filter(col("vec_id") % 20 === 0)
+      val tgt = e.filter(col("vec_id") % 20 === 10)
+      val cent = trainedCentroids(s, d).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      val (lo, hi) = trainedSq8(s, d)
+      val gen = Similarity.ivfSq8Candidates("vec_id", "embedding",
+        candidates = 8, cent, nProbe = 3, lo, hi)
+      val ann = Similarity.bitextMineTopKAnn(src, tgt, "vec_id",
+        "embedding", k = 3, kNbr = 5, gen, gen)
+      val brute = Similarity.bitextMineTopK(src, tgt, "vec_id",
+        "embedding", k = 3, kNbr = 5)
+      Similarity.topKRecall(ann, brute, "a_id", "b_id")
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val centRows = trainedCentroids(s, d).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $centRows) AS c(cent_id, cent_vec)),
+            n AS MATERIALIZED (SELECT vec_id, embedding AS v,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            m AS MATERIALIZED (SELECT vec_id, j,
+                CAST(floor(CAST(embedding[j] AS DOUBLE) * 4096.0) AS BIGINT)
+                  AS mv
+              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(j)),
+            b AS (SELECT j, min(mv) AS lo, max(mv) AS hi FROM m GROUP BY 1),
+            rj AS MATERIALIZED (SELECT m.vec_id, m.j,
+                CASE WHEN b.hi = b.lo THEN b.lo
+                     ELSE b.lo + ((CASE WHEN b.hi = b.lo THEN 0
+                       ELSE (255 * (m.mv - b.lo)) // (b.hi - b.lo) END)
+                       * (b.hi - b.lo)) // 255 END AS r
+              FROM m JOIN b USING (j)),
+            s AS MATERIALIZED (SELECT vec_id AS a_id, v, nrm FROM n
+              WHERE vec_id % 20 = 0),
+            t AS MATERIALIZED (SELECT vec_id AS b_id, v, nrm FROM n
+              WHERE vec_id % 20 = 10),
+            sc AS MATERIALIZED (SELECT s.a_id, t.b_id,
+                list_sum(list_transform(range(1, len(s.v) + 1),
+                  i -> CAST(s.v[i] AS DOUBLE) * t.v[i])) / (s.nrm * t.nrm)
+                  AS cos
+              FROM s, t),
+            f AS MATERIALIZED (SELECT a_id, b_id, round(cos, 6) AS cos
+              FROM (SELECT a_id, b_id, cos, row_number() OVER (
+                  PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+                FROM sc)
+              WHERE rn <= 5),
+            bk AS MATERIALIZED (SELECT b_id, a_id, round(cos, 6) AS cos
+              FROM (SELECT b_id, a_id, cos, row_number() OVER (
+                  PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn
+                FROM sc)
+              WHERE rn <= 5),
+            ma AS (SELECT a_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
+                AS BIGINT)) AS BIGINT) AS ma,
+                CAST(count(1) AS BIGINT) AS na
+              FROM f GROUP BY 1),
+            mb AS (SELECT b_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
+                AS BIGINT)) AS BIGINT) AS mb,
+                CAST(count(1) AS BIGINT) AS nb
+              FROM bk GROUP BY 1),
+            mg AS (SELECT f.a_id, f.b_id,
+                round(CAST(CAST(floor((1 + f.cos) * 1000000) AS BIGINT)
+                    * 2 * ma.na * mb.nb AS DOUBLE)
+                  / greatest(ma.ma * mb.nb + mb.mb * ma.na, 1), 6)
+                  AS margin
+              FROM f JOIN ma USING (a_id) JOIN mb USING (b_id)),
+            ex AS MATERIALIZED (SELECT a_id, b_id FROM (
+                SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+                  ORDER BY margin DESC, b_id) AS rn FROM mg)
+              WHERE rn <= 3),
+            asgt AS MATERIALIZED (SELECT c_id, cell FROM (
+              SELECT t.b_id AS c_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY t.b_id ORDER BY
+                       list_sum(list_transform(range(1, len(t.v) + 1),
+                         i -> CAST(t.v[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (t.nrm * cent.cent_nrm) DESC, cent.cent_id DESC)
+                       AS rn
+              FROM t, cent) WHERE rn = 1),
+            asgs AS MATERIALIZED (SELECT c_id, cell FROM (
+              SELECT s.a_id AS c_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY s.a_id ORDER BY
+                       list_sum(list_transform(range(1, len(s.v) + 1),
+                         i -> CAST(s.v[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (s.nrm * cent.cent_nrm) DESC, cent.cent_id DESC)
+                       AS rn
+              FROM s, cent) WHERE rn = 1),
+            prs AS (SELECT q_id, cell FROM (
+              SELECT s.a_id AS q_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY s.a_id ORDER BY
+                       list_sum(list_transform(range(1, len(s.v) + 1),
+                         i -> CAST(s.v[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (s.nrm * cent.cent_nrm) DESC, cent.cent_id ASC)
+                       AS rn
+              FROM s, cent) WHERE rn <= 3),
+            prt AS (SELECT q_id, cell FROM (
+              SELECT t.b_id AS q_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY t.b_id ORDER BY
+                       list_sum(list_transform(range(1, len(t.v) + 1),
+                         i -> CAST(t.v[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (t.nrm * cent.cent_nrm) DESC, cent.cent_id ASC)
+                       AS rn
+              FROM t, cent) WHERE rn <= 3),
+            qms AS (SELECT vec_id AS q_id, j, mv FROM m
+              WHERE vec_id % 20 = 0),
+            qmt AS (SELECT vec_id AS q_id, j, mv FROM m
+              WHERE vec_id % 20 = 10),
+            scf AS (SELECT p.q_id, a.c_id,
+                CAST(sum(q.mv * rj.r) AS BIGINT) AS sc
+              FROM prs p JOIN asgt a ON p.cell = a.cell
+              JOIN rj ON rj.vec_id = a.c_id
+              JOIN qms q ON q.q_id = p.q_id AND q.j = rj.j
+              WHERE p.q_id <> a.c_id GROUP BY 1, 2),
+            cndf AS MATERIALIZED (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY sc DESC, c_id) AS rn FROM scf)
+              WHERE rn <= 8),
+            scb AS (SELECT p.q_id, a.c_id,
+                CAST(sum(q.mv * rj.r) AS BIGINT) AS sc
+              FROM prt p JOIN asgs a ON p.cell = a.cell
+              JOIN rj ON rj.vec_id = a.c_id
+              JOIN qmt q ON q.q_id = p.q_id AND q.j = rj.j
+              WHERE p.q_id <> a.c_id GROUP BY 1, 2),
+            cndb AS MATERIALIZED (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY sc DESC, c_id) AS rn FROM scb)
+              WHERE rn <= 8),
+            fa AS MATERIALIZED (SELECT a_id, b_id, round(cos, 6) AS cos
+              FROM (SELECT a_id, b_id, cos, row_number() OVER (
+                  PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+                FROM (SELECT cn.q_id AS a_id, cn.c_id AS b_id,
+                    list_sum(list_transform(range(1, len(s.v) + 1),
+                      i -> CAST(s.v[i] AS DOUBLE) * t.v[i]))
+                      / (s.nrm * t.nrm) AS cos
+                  FROM cndf cn JOIN s ON s.a_id = cn.q_id
+                  JOIN t ON t.b_id = cn.c_id))
+              WHERE rn <= 5),
+            bka AS MATERIALIZED (SELECT b_id, a_id, round(cos, 6) AS cos
+              FROM (SELECT b_id, a_id, cos, row_number() OVER (
+                  PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn
+                FROM (SELECT cn.q_id AS b_id, cn.c_id AS a_id,
+                    list_sum(list_transform(range(1, len(s.v) + 1),
+                      i -> CAST(s.v[i] AS DOUBLE) * t.v[i]))
+                      / (s.nrm * t.nrm) AS cos
+                  FROM cndb cn JOIN t ON t.b_id = cn.q_id
+                  JOIN s ON s.a_id = cn.c_id))
+              WHERE rn <= 5),
+            maa AS (SELECT a_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
+                AS BIGINT)) AS BIGINT) AS ma,
+                CAST(count(1) AS BIGINT) AS na
+              FROM fa GROUP BY 1),
+            mba AS (SELECT b_id, CAST(sum(CAST(floor((1 + cos) * 1000000)
+                AS BIGINT)) AS BIGINT) AS mb,
+                CAST(count(1) AS BIGINT) AS nb
+              FROM bka GROUP BY 1),
+            mga AS (SELECT fa.a_id, fa.b_id,
+                round(CAST(CAST(floor((1 + fa.cos) * 1000000) AS BIGINT)
+                    * 2 * maa.na * mba.nb AS DOUBLE)
+                  / greatest(maa.ma * mba.nb + mba.mb * maa.na, 1), 6)
+                  AS margin
+              FROM fa JOIN maa USING (a_id) JOIN mba USING (b_id)),
+            an AS MATERIALIZED (SELECT a_id, b_id FROM (
+                SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+                  ORDER BY margin DESC, b_id) AS rn FROM mga)
+              WHERE rn <= 3)
+            SELECT ex.a_id, count(*) AS n_exact, count(an.b_id) AS n_hit,
+                   round(CAST(count(an.b_id) AS DOUBLE) / count(*), 4)
+                     AS recall
+            FROM ex LEFT JOIN an USING (a_id, b_id)
+            GROUP BY 1"""
+    }))
+
   /** Per-key daily activity fingerprint (EventOps.activityFingerprint):
     * the 24-hour event-count rhythm symbolized into one 48-bit int64 -
     * hour from epoch-microseconds (pure integer), per-key quartile
@@ -8638,7 +8825,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

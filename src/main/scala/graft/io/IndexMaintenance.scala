@@ -72,12 +72,20 @@ object IndexMaintenance {
   /** The serving view of a maintained index: live rows only. Bucket-key
     * predicates push below the broadcast anti join to the scan, so the
     * pruning contract of the underlying table is intact. */
-  def load(spark: SparkSession, table: String, idCol: String): DataFrame = {
+  def load(spark: SparkSession, table: String, idCol: String): DataFrame =
+    loadWith(spark, table, idCol, tombstoneTable(table))
+
+  /** [[load]] against an EXPLICIT tombstone sidecar — the serving view
+    * for secondary tables of a maintained PAIR (e.g. a maxsim token
+    * table's `__pooled` sibling), which share the primary's sidecar so
+    * one delete hides a doc from BOTH tables atomically. */
+  private[graft] def loadWith(spark: SparkSession, table: String,
+                              idCol: String,
+                              tombTable: String): DataFrame = {
     val t = spark.table(table)
-    val tt = tombstoneTable(table)
-    if (!spark.catalog.tableExists(tt)) t
+    if (!spark.catalog.tableExists(tombTable)) t
     else {
-      val tomb = spark.table(tt)
+      val tomb = spark.table(tombTable)
       t.join(broadcast(tomb),
         t(idCol) === tomb("id") && tomb("seq") > t("gen"), "left_anti")
     }
@@ -189,6 +197,52 @@ object IndexMaintenance {
     // `Caches.release()` after their terminal actions (the documented
     // ledger contract) before compacting.
     spark.catalog.refreshTable(table)
+  }
+
+  /** [[compact]] for a maintained PAIR — a primary table and a
+    * secondary sibling that share the primary's tombstone sidecar and
+    * must stay doc-consistent (the maxsim SQ8 index: token codes +
+    * `__pooled` nomination operand — r12 verdict finding 1: a pooled
+    * row surviving its doc's delete keeps winning stage-1 nomination
+    * slots and stage 2 scores it from stale codes). Both live views
+    * are rewritten to gen 0 and swapped behind the same crash guard;
+    * the SHARED tombstones drop only after BOTH swaps complete, so a
+    * crash at any point leaves every surviving table pair serving
+    * identical live doc sets through the anti-join views.
+    *
+    * Crash recovery follows [[compact]]'s rules per table, checked on
+    * BOTH tables up front: the unambiguous between-renames state
+    * auto-recovers; a completed-swap-without-cleanup state REFUSES
+    * with manual steps (a crash between the primary's swap and the
+    * secondary's lands here — the tombstones are still present, so
+    * serving stayed correct throughout; resolve per the error text). */
+  def compactPair(spark: SparkSession, primary: String,
+                  secondary: String, keyP: String, keyS: String,
+                  buckets: Int, idCol: String): Unit = {
+    guardCrashState(spark, primary)
+    guardCrashState(spark, secondary)
+    val tomb = tombstoneTable(primary)
+    val tmpP = primary + "__compact"
+    val tmpS = secondary + "__compact"
+    val oldP = primary + "__precompact"
+    val oldS = secondary + "__precompact"
+    Seq(tmpP, tmpS, oldP, oldS).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Layout.writeBucketed(
+      loadWith(spark, primary, idCol, tomb).withColumn("gen", lit(0L)),
+      tmpP, keyP, buckets)
+    Layout.writeBucketed(
+      loadWith(spark, secondary, idCol, tomb).withColumn("gen", lit(0L)),
+      tmpS, keyS, buckets)
+    spark.sql(s"ALTER TABLE `$primary` RENAME TO `$oldP`")
+    spark.sql(s"ALTER TABLE `$tmpP` RENAME TO `$primary`")
+    spark.sql(s"ALTER TABLE `$secondary` RENAME TO `$oldS`")
+    spark.sql(s"ALTER TABLE `$tmpS` RENAME TO `$secondary`")
+    spark.sql(s"DROP TABLE IF EXISTS `$tomb`")
+    spark.sql(s"DROP TABLE `$oldP`")
+    spark.sql(s"DROP TABLE `$oldS`")
+    spark.catalog.refreshTable(primary)
+    spark.catalog.refreshTable(secondary)
   }
 
   /** The crash-state gate both compaction entry points run BEFORE any

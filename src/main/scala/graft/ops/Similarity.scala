@@ -180,6 +180,36 @@ object Similarity {
         col("margin"))
   }
 
+  /** Corpus-scale bitext mining — the ANN-nominated form
+    * [[bitextMineTopK]]'s scaladoc promises: each direction's `kNbr`
+    * neighborhood comes from a [[CandidateGen]] (e.g.
+    * [[ivfSq8Candidates]] with a pool ≥ kNbr) instead of a brute
+    * broadcast pass, EXACT float cosines re-score the candidates only
+    * (the [[refineTopK]] discipline — scoring cost ∝ candidate pool,
+    * never |src|·|tgt|), and the int64 margin chain is unchanged. When
+    * the generators recall every true neighbor the output is
+    * bit-identical to [[bitextMineTopK]] (spec-pinned); in general the
+    * recall/cost point is the generator's — measured by the q232
+    * recall eval row exactly as q227 does for dense PRF.
+    *
+    * Self-pair convention: the shared generators exclude `q_id ==
+    * c_id` (the intra-corpus rule), so sides whose id spaces OVERLAP
+    * would lose the (x, x) cross-corpus candidate that the brute form
+    * keeps — use disjoint id spaces (the normal bitext setup) or the
+    * brute/batched form. */
+  def bitextMineTopKAnn(src: DataFrame, tgt: DataFrame, id: String,
+                        vec: String, k: Int, kNbr: Int,
+                        fwdGen: CandidateGen,
+                        bwdGen: CandidateGen): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kNbr >= k, s"kNbr ($kNbr) must be >= k ($k)")
+    val scorer = exactCosineScorer(id, vec)
+    val fwd = Caches.track(
+      topKMerge(scorer(fwdGen(src, tgt), src, tgt), kNbr).persist())
+    val bwd = topKMerge(scorer(bwdGen(tgt, src), tgt, src), kNbr)
+    bitextMarginChain(fwd, bwd, k)
+  }
+
   /** Shared two-phase top-k: input (q_id, c_id, cos) → (q_id, rank, c_id,
     * cos rounded to 6). Deterministic total order (cos DESC, c_id ASC).
     *
@@ -2497,13 +2527,26 @@ object Similarity {
                          table: String, buckets: Int, lo: Array[Long],
                          hi: Array[Long], scaleBits: Int = 12): Unit = {
     sq8ExactnessGuard(lo, hi)
-    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
     val codes = sq8Codes(docTokens, id, vec, lo, hi, scaleBits)
       .withColumnRenamed("c_id", "doc_id")
+      .withColumn("gen", lit(0L))
     graft.io.Layout.writeBucketed(codes, table, "doc_id", buckets)
+    graft.io.Layout.writeBucketed(
+      maxSimPooledFromCodes(codes, lo, hi).withColumn("gen", lit(0L)),
+      table + "__pooled", "doc_id", buckets)
+  }
+
+  /** The `__pooled` nomination operand derived from token-code rows —
+    * per doc the per-dim int64 sums of the dequantized codes. Shared by
+    * the initial save and the append/replace batch paths so an
+    * incrementally maintained pooled table is bit-identical to a
+    * rebuilt one. */
+  private def maxSimPooledFromCodes(codes: DataFrame, lo: Array[Long],
+                                    hi: Array[Long]): DataFrame = {
+    val range = lo.indices.map(j => hi(j) - lo(j)).toArray
     val loLit = typedLit(lo.toSeq)
     val rgLit = typedLit(range.toSeq)
-    val pooled = codes
+    codes
       .select(col("doc_id"), posexplode(col("codes")).as(Seq("dim", "code")))
       .withColumn("__lo", element_at(loLit, col("dim") + 1))
       .withColumn("__rg", element_at(rgLit, col("dim") + 1))
@@ -2514,9 +2557,74 @@ object Similarity {
         .as("dm"))
       .select(col("doc_id"),
         transform(col("dm"), e => e.getField("__m")).as("pooled"))
-    graft.io.Layout.writeBucketed(pooled, table + "__pooled", "doc_id",
-      buckets)
   }
+
+  /** Append NEW docs' token bags to a maintained [[saveMaxSimSq8Index]]
+    * pair — BOTH tables gain the batch's rows under ONE generation
+    * stamp (computed once, so a concurrent-looking delete can't split
+    * the pair). O(batch). Updates to EXISTING docs must route through
+    * [[replaceInMaxSimSq8Index]] — a bare append would leave two live
+    * token bags for the doc. */
+  def appendToMaxSimSq8Index(docTokens: DataFrame, id: String,
+                             vec: String, table: String, buckets: Int,
+                             lo: Array[Long], hi: Array[Long],
+                             scaleBits: Int = 12): Unit = {
+    sq8ExactnessGuard(lo, hi)
+    val spark = docTokens.sparkSession
+    val gen = graft.io.IndexMaintenance.currentSeq(spark, table)
+    val codes = sq8Codes(docTokens, id, vec, lo, hi, scaleBits)
+      .withColumnRenamed("c_id", "doc_id")
+      .withColumn("gen", lit(gen))
+    graft.io.Layout.appendBucketed(codes, table, "doc_id", buckets)
+    graft.io.Layout.appendBucketed(
+      maxSimPooledFromCodes(codes, lo, hi).withColumn("gen", lit(gen)),
+      table + "__pooled", "doc_id", buckets)
+  }
+
+  /** Tombstone docs out of a maintained maxsim pair — the ONE shared
+    * sidecar hides each doc from the token table AND the pooled table
+    * atomically (r12 verdict finding 1: a surviving pooled row keeps
+    * winning stage-1 nomination slots for a deleted doc, and stage 2
+    * then scores it from stale codes). O(batch). */
+  def deleteFromMaxSimSq8Index(spark: org.apache.spark.sql.SparkSession,
+                               table: String, ids: DataFrame,
+                               idCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, "doc_id",
+      ids.select(col(idCol).as("doc_id")))
+
+  /** Replace docs' token bags in a maintained maxsim pair: tombstone,
+    * then append the new bags — the old rows (both tables) die behind
+    * the new sequence, the new rows survive. ≡ rebuild (spec-pinned). */
+  def replaceInMaxSimSq8Index(docTokens: DataFrame, id: String,
+                              vec: String, table: String, buckets: Int,
+                              lo: Array[Long], hi: Array[Long],
+                              scaleBits: Int = 12): Unit = {
+    deleteFromMaxSimSq8Index(docTokens.sparkSession, table,
+      docTokens.select(col(id)).distinct(), id)
+    appendToMaxSimSq8Index(docTokens, id, vec, table, buckets, lo, hi,
+      scaleBits)
+  }
+
+  /** The serving views of a maintained maxsim pair: live token codes
+    * and live pooled rows, both anti-joined against the ONE shared
+    * tombstone sidecar. */
+  def loadMaxSimSq8Index(spark: org.apache.spark.sql.SparkSession,
+                         table: String): (DataFrame, DataFrame) = {
+    val tomb = graft.io.IndexMaintenance.tombstoneTable(table)
+    (graft.io.IndexMaintenance.loadWith(spark, table, "doc_id", tomb),
+      graft.io.IndexMaintenance.loadWith(spark, table + "__pooled",
+        "doc_id", tomb))
+  }
+
+  /** Compact a maintained maxsim pair: both tables' live rows rewrite
+    * to gen 0 and swap behind [[graft.io.IndexMaintenance.compactPair]]'s
+    * crash guard; the shared tombstones drop only after both swaps.
+    * Serving through [[maxSimSearchSq8]] is identical before and after
+    * (spec-pinned). */
+  def compactMaxSimSq8Index(spark: org.apache.spark.sql.SparkSession,
+                            table: String, buckets: Int): Unit =
+    graft.io.IndexMaintenance.compactPair(spark, table,
+      table + "__pooled", "doc_id", "doc_id", buckets, "doc_id")
 
   /** SQ8-served maxsim from a persisted [[saveMaxSimSq8Index]] — the
     * serving twin of [[maxSimRerankSq8]], bit-identical output over the
@@ -2527,20 +2635,48 @@ object Similarity {
     * makes `lo + c·range div 255 = c` exactly, signs included, so the
     * pooled query ints ride the code side and the int64 pooled doc
     * sums the `mq` side); stage 2 is the shared fused ADC rerank. The
-    * float token vectors never need to exist at serving time. */
+    * float token vectors never need to exist at serving time.
+    *
+    * Reads the LIVE views of the maintained pair
+    * ([[loadMaxSimSq8Index]]), so deleted/replaced docs neither
+    * nominate (no wasted `kCand` slot) nor rerank. `verifyConsistency`
+    * (default on) runs ONE union-collect job checking the two live
+    * views agree on doc count and max generation — the guard against
+    * pointing single-table maintenance at the token table alone (a
+    * stale pooled row = silent recall loss at serving); a long-lived
+    * serving session that batches many queries between maintenance
+    * events can verify once and pass false afterwards. */
   def maxSimSearchSq8(spark: org.apache.spark.sql.SparkSession,
                       table: String, queryTokens: DataFrame,
                       qid: String, qtok: String, vec: String, k: Int,
                       kCand: Int, lo: Array[Long], hi: Array[Long],
-                      scaleBits: Int = 12): DataFrame = {
+                      scaleBits: Int = 12,
+                      verifyConsistency: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
     sq8ExactnessGuard(lo, hi)
     val range = lo.indices.map(j => hi(j) - lo(j)).toArray
     val scale = (1L << scaleBits).toDouble
     val dims = lo.length
-    val codes = spark.table(table)
-    val pooled = spark.table(table + "__pooled")
+    val (codes, pooled) = loadMaxSimSq8Index(spark, table)
+    if (verifyConsistency) {
+      // one job, two tiny aggregate subtrees under one collect (the
+      // r12 union-collect discipline)
+      val chk = codes.agg(countDistinct(col("doc_id")).as("n"),
+          coalesce(max(col("gen")), lit(0L)).as("g"))
+        .select(lit("codes").as("side"), col("n"), col("g"))
+        .unionByName(pooled.agg(countDistinct(col("doc_id")).as("n"),
+            coalesce(max(col("gen")), lit(0L)).as("g"))
+          .select(lit("pooled").as("side"), col("n"), col("g")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      require(chk("codes") == chk("pooled"),
+        s"maxSimSearchSq8: '$table' and '${table}__pooled' disagree — " +
+          s"live (docs, maxGen) = ${chk("codes")} vs ${chk("pooled")}. " +
+          "The pair must be maintained TOGETHER (appendTo/deleteFrom/" +
+          "replaceIn/compactMaxSimSq8Index); single-table maintenance " +
+          "leaves stale nomination rows that silently lose recall.")
+    }
     // the pooled query ints must fit int32 — ANSI cast throws loudly
     val qp = maxSimPooledQueries(queryTokens, qid, vec, scale)
       .select(col("q_id"),

@@ -1034,6 +1034,102 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maxsim SQ8 index lifecycle: append/delete/replace keep the " +
+      "pair consistent, serving == rebuild, deleted docs don't waste " +
+      "nomination slots, compaction invisible, drift refused") {
+    // doc 9 is a nomination HUB: large-magnitude tokens give it the
+    // biggest pooled dot, so with kCand = 2 it always wins a stage-1
+    // slot while live — the r12 finding is exactly that a DELETED
+    // hub's surviving pooled row keeps winning that slot and the doc
+    // then vanishes at rerank (stale codes), silently costing a live
+    // doc its nomination
+    val base = Seq(
+      (1L, Seq(0.5f, 0.1f)), (1L, Seq(0.2f, 0.3f)),
+      (2L, Seq(0.1f, 0.6f)), (2L, Seq(0.4f, 0.2f)),
+      (9L, Seq(1f, 1f)), (9L, Seq(0.9f, 1f)), (9L, Seq(1f, 0.9f)))
+      .toDF("doc_id", "embedding")
+    val extra = Seq((3L, Seq(0.3f, 0.5f)), (3L, Seq(0.6f, 0.1f)))
+      .toDF("doc_id", "embedding")
+    val doc2v2 = Seq((2L, Seq(0.7f, 0.7f)), (2L, Seq(0.05f, 0.8f)))
+      .toDF("doc_id", "embedding")
+    val universe = base.unionByName(extra)
+    val (lo, hi) = Similarity.trainSq8Bounds(universe, "embedding")
+    val qt = Seq((0L, 0L, Seq(0.5f, 0.4f)), (0L, 1L, Seq(0.1f, 0.7f)))
+      .toDF("q_id", "q_tok", "embedding")
+    def serve(table: String, k: Int, kCand: Int) =
+      Similarity.maxSimSearchSq8(spark, table, qt, "q_id", "q_tok",
+        "embedding", k, kCand, lo, hi).collect().map(_.toSeq).toSet
+    def rebuildServe(docs: org.apache.spark.sql.DataFrame, k: Int,
+                     kCand: Int) = {
+      spark.sql("DROP TABLE IF EXISTS ms_ref")
+      spark.sql("DROP TABLE IF EXISTS ms_ref__pooled")
+      Similarity.saveMaxSimSq8Index(docs, "doc_id", "embedding",
+        "ms_ref", buckets = 4, lo, hi)
+      val out = serve("ms_ref", k, kCand)
+      graft.ops.Caches.release(blocking = true)
+      out
+    }
+    def liveViews() = {
+      val (c, p) = Similarity.loadMaxSimSq8Index(spark, "ms_idx")
+      (c.drop("gen").collect().map(_.toSeq).toSet,
+        p.drop("gen").collect().map(_.toSeq).toSet)
+    }
+    def refViews() = {
+      (spark.table("ms_ref").drop("gen").collect().map(_.toSeq).toSet,
+        spark.table("ms_ref__pooled").drop("gen").collect()
+          .map(_.toSeq).toSet)
+    }
+    try {
+      // save + append: serving and BOTH live views == a fresh rebuild
+      Similarity.saveMaxSimSq8Index(base, "doc_id", "embedding",
+        "ms_idx", buckets = 4, lo, hi)
+      Similarity.appendToMaxSimSq8Index(extra, "doc_id", "embedding",
+        "ms_idx", buckets = 4, lo, hi)
+      assert(serve("ms_idx", 2, 3) == rebuildServe(universe, 2, 3))
+      assert(liveViews() == refViews(), "append != rebuild")
+      // replace == rebuild bit for bit (views AND serving)
+      Similarity.replaceInMaxSimSq8Index(doc2v2, "doc_id", "embedding",
+        "ms_idx", buckets = 4, lo, hi)
+      val replacedUniverse = base.filter(col("doc_id") =!= 2L)
+        .unionByName(extra).unionByName(doc2v2)
+      assert(serve("ms_idx", 2, 3) == rebuildServe(replacedUniverse, 2, 3))
+      assert(liveViews() == refViews(), "replace != rebuild")
+      // delete the hub with kCand = 2: doc 9 must neither appear NOR
+      // consume a nomination slot — the k=2 result must equal the
+      // rebuild WITHOUT doc 9 (a stale pooled row would hand doc 9 a
+      // slot, leaving only one live doc nominated)
+      Similarity.deleteFromMaxSimSq8Index(spark, "ms_idx",
+        Seq(9L).toDF("doc_id"), "doc_id")
+      val afterDelete = serve("ms_idx", 2, 2)
+      val wantAfterDelete = rebuildServe(
+        replacedUniverse.filter(col("doc_id") =!= 9L), 2, 2)
+      assert(afterDelete == wantAfterDelete && afterDelete.size == 2,
+        s"got $afterDelete want $wantAfterDelete")
+      assert(!afterDelete.exists(_.contains(9L)), "deleted doc served")
+      // compaction: serving identical before/after; tombstones gone;
+      // physical == live on both tables
+      Similarity.compactMaxSimSq8Index(spark, "ms_idx", buckets = 4)
+      assert(serve("ms_idx", 2, 2) == wantAfterDelete,
+        "serving changed across compaction")
+      assert(!spark.catalog.tableExists("ms_idx__tombstones"))
+      assert(spark.table("ms_idx__pooled").count() == 3L)
+      // drift guard: a pooled-only row (single-table maintenance, the
+      // r12 footgun) must be REFUSED at serve time
+      graft.io.Layout.appendBucketed(
+        Seq((99L, Seq(1L, 1L), 0L)).toDF("doc_id", "pooled", "gen"),
+        "ms_idx__pooled", "doc_id", 4)
+      val e = intercept[IllegalArgumentException] { serve("ms_idx", 2, 2) }
+      assert(e.getMessage.contains("maintained TOGETHER"), e.getMessage)
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("ms_idx", "ms_idx__pooled", "ms_idx__tombstones",
+        "ms_idx__compact", "ms_idx__precompact",
+        "ms_idx__pooled__compact", "ms_idx__pooled__precompact",
+        "ms_ref", "ms_ref__pooled").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("densePrfTopK: hand-computed Rocchio rerank, exact integers") {
     // m: c1=(3686,409) c2=(3276,819) c3=(409,3686) c4=(0,4096); q=(4096,0)
     // round1 dots: c1 15097856, c2 13418496, c3 1675264, c4 0 -> fb {c1,c2}
@@ -1139,6 +1235,51 @@ class SimilaritySpec extends SparkSpec {
       topk(cosS.map(r => (r._2, r._1, r._3))), 2)
     assert(outS.toSet == expS && outS.nonEmpty,
       s"short-side: got ${outS.toSet}\nwant $expS")
+  }
+
+  test("bitextMineTopKAnn: full-recall generators reproduce the brute " +
+      "margins bit for bit; narrower probes keep the output contract") {
+    // disjoint id spaces (the normal bitext setup — the generators'
+    // self-exclusion must never bite)
+    val srcRows = Seq(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f))
+    val tgtRows = Seq(11L -> Seq(0.6f, 0.6f, 0.6f, 0f),
+      12L -> Seq(0.5f, 0f, 0f, 0.866f), 13L -> Seq(0f, 0.9f, 0f, 0.1f))
+    val src = srcRows.toDF("vec_id", "embedding")
+    val tgt = tgtRows.toDF("vec_id", "embedding")
+    val all = src.unionByName(tgt)
+    val (lo, hi) = Similarity.trainSq8Bounds(all, "embedding")
+    def nrm(v: Seq[Float]) =
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val centRows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 1f, 0f)))
+    val cent = centRows.map { case (i, v) => (i, v, nrm(v)) }
+      .toDF("cent_id", "cent_vec", "cent_norm")
+    // full recall: every cell probed, pool >= the whole other side —
+    // the candidate set is the full pair space, so exact rescore +
+    // margin chain must equal the brute operator bit for bit
+    val genFull = Similarity.ivfSq8Candidates("vec_id", "embedding",
+      candidates = 10, cent, nProbe = 2, lo, hi)
+    val ann = Similarity.bitextMineTopKAnn(src, tgt, "vec_id",
+        "embedding", k = 3, kNbr = 3, genFull, genFull)
+      .as[(Long, Int, Long, Double, Double)].collect().toSet
+    val brute = Similarity.bitextMineTopK(src, tgt, "vec_id",
+        "embedding", k = 3, kNbr = 3)
+      .as[(Long, Int, Long, Double, Double)].collect().toSet
+    assert(ann == brute && ann.nonEmpty, s"ann=$ann\nbrute=$brute")
+    // narrow probes: recall may drop but the contract shape holds —
+    // ranks contiguous from 1 per surviving a_id, margins in (0, 2]
+    val genNarrow = Similarity.ivfSq8Candidates("vec_id", "embedding",
+      candidates = 2, cent, nProbe = 1, lo, hi)
+    val narrow = Similarity.bitextMineTopKAnn(src, tgt, "vec_id",
+        "embedding", k = 3, kNbr = 3, genNarrow, genNarrow)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(narrow.nonEmpty)
+    narrow.groupBy(_._1).foreach { case (a, g) =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length),
+        s"ranks not contiguous for $a: ${g.toSeq}")
+    }
+    assert(narrow.forall(r => r._5 > 0.0 && r._5 <= 2.0))
   }
 
   test("densePrfIvfTopK: on-bounds fixture with all cells probed " +
