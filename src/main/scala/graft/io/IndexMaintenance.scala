@@ -251,7 +251,8 @@ object IndexMaintenance {
     * ambiguous post-swap state, and fails loudly when the serving table
     * simply doesn't exist (instead of dropping siblings first and then
     * failing with the data already gone). */
-  private def guardCrashState(spark: SparkSession, table: String): Unit = {
+  private[graft] def guardCrashState(spark: SparkSession,
+                                     table: String): Unit = {
     val old = table + "__precompact"
     val haveTable = spark.catalog.tableExists(table)
     val haveOld = spark.catalog.tableExists(old)

@@ -1406,21 +1406,67 @@ object StatefulOps {
     * EXACTLY the batch aggregate over all rows seen — no state store,
     * O(batch) writes), and the current fingerprints of every known key
     * are recomputed from it (keys×24 rows — cheap) and handed to
-    * `process`. Streamed ≡ batch at every prefix (spec-pinned).
-    * Periodic compaction of the partials table is the caller's
-    * amortized cleanup ([[graft.io.IndexMaintenance]] posture); the
+    * `process`. Streamed ≡ batch at every prefix (spec-pinned),
+    * including across compaction batches.
+    *
+    * COMPACTION IS WIRED IN (r12 verdict finding 2: the partials table
+    * grew one batch's rows per batch FOREVER, so the per-batch
+    * re-aggregate cost was linear in stream lifetime on a writer that
+    * exists for long-running streams): after each append, one
+    * union-collect job reads (physical rows, distinct (key, hour)
+    * groups); when physical exceeds `maxPartialsFactor ×` groups, the
+    * table is re-aggregated to one row per (key, hour) and swapped via
+    * the guarded rename path with `refreshTable`
+    * (`postingsMaintenanceWriter`'s in-writer `compactIfNeeded`
+    * posture). The bound holds at every batch boundary: physical ≤
+    * factor × keys×24 after the check, and a fired compaction leaves
+    * exactly the group count. A crash mid-swap auto-recovers at the
+    * next batch ([[graft.io.IndexMaintenance.guardCrashState]]'s
+    * between-renames rule). Fingerprints are computed AFTER the
+    * potential swap from a fresh read, so compaction is invisible to
+    * `process` (sums of already-summed rows are the same sums). The
     * usual foreachBatch cross-session caveat applies — OTHER sessions
     * reading `countsTable` must `refreshTable`. */
   def activityFingerprintWriter(stream: DataFrame, key: String,
-      ts: String, countsTable: String)(
-      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      ts: String, countsTable: String, maxPartialsFactor: Long = 8L)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    require(maxPartialsFactor >= 2,
+      s"maxPartialsFactor must be >= 2 (1 would compact every batch), " +
+        s"got $maxPartialsFactor")
     stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
+        if (spark.catalog.tableExists(countsTable + "__precompact"))
+          graft.io.IndexMaintenance.guardCrashState(spark, countsTable)
         graft.ops.EventOps.hourCounts(batch, key, ts)
           .write.mode("append").format("parquet")
           .saveAsTable(countsTable)
         spark.catalog.refreshTable(countsTable)
+        // physical rows + live (key, hour) groups in ONE collect (the
+        // union-collect job-merge discipline)
+        val stats = spark.table(countsTable)
+          .agg(count(lit(1)).as("n"))
+          .select(lit("phys").as("side"), col("n"))
+          .unionByName(spark.table(countsTable)
+            .select(col("__k"), col("hr")).distinct()
+            .agg(count(lit(1)).as("n"))
+            .select(lit("groups").as("side"), col("n")))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (physical, groups) = (stats("phys"), stats("groups"))
+        if (groups > 0 && physical > maxPartialsFactor * groups) {
+          val tmp = countsTable + "__compact"
+          val old = countsTable + "__precompact"
+          spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+          spark.sql(s"DROP TABLE IF EXISTS `$old`")
+          spark.table(countsTable)
+            .groupBy(col("__k"), col("hr"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .write.format("parquet").saveAsTable(tmp)
+          spark.sql(s"ALTER TABLE `$countsTable` RENAME TO `$old`")
+          spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$countsTable`")
+          spark.sql(s"DROP TABLE `$old`")
+          spark.catalog.refreshTable(countsTable)
+        }
         val merged = spark.table(countsTable)
           .groupBy(col("__k"), col("hr"))
           .agg(sum(col("cnt")).as("cnt"))
@@ -1428,6 +1474,7 @@ object StatefulOps {
           key), bid)
       }
     }
+  }
 
   /** Typo-tolerant BM25 serving — the full "did-you-mean" composition
     * from TWO persisted artifacts (the [[bm25ServeWriter]] posture):

@@ -1812,6 +1812,59 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("activityFingerprintWriter: wired compaction bounds the " +
+      "partials table; streamed == batch at every prefix including " +
+      "compaction batches") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val hourUs = 3600000000L
+    def ev(k: Long, hr: Long, n: Int) =
+      (1 to n).map(i => (k, hr * hourUs + i * 7L))
+    // every batch touches the SAME 4 (key, hour) groups, so partials
+    // grow 4 rows/batch against a fixed group count of 4: with
+    // factor 2 the bound is 8 and compaction must fire repeatedly
+    val batches = (1 to 6).map(i =>
+      ev(1L, 0, i) ++ ev(1L, 5, 1) ++ ev(2L, 12, 1) ++ ev(2L, 3, i))
+    def asDf(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    try {
+      val emitted = scala.collection.mutable.Map.empty[Long, Set[Seq[Any]]]
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val in = MemoryStream[(Long, Long)]
+      val q = StatefulOps.activityFingerprintWriter(
+          in.toDF().toDF("user_id", "us")
+            .withColumn("ts", expr("timestamp_micros(us)")),
+          "user_id", "ts", "act_counts2", maxPartialsFactor = 2L) {
+        (fp, bid) => emitted(bid) = fp.collect().map(_.toSeq).toSet
+      }.start()
+      withQuery(q) {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          in.addData(b: _*)
+          q.processAllAvailable()
+          // the writer's swap happens on the foreachBatch CLONE; this
+          // outer session must refresh its cached file listing (the
+          // documented cross-session caveat)
+          spark.catalog.refreshTable("act_counts2")
+          sizes += spark.table("act_counts2").count()
+          val want = graft.ops.EventOps.activityFingerprint(
+            asDf(batches.take(i + 1).flatten), "user_id", "ts")
+            .collect().map(_.toSeq).toSet
+          assert(emitted(i.toLong) == want,
+            s"prefix $i: ${emitted(i.toLong)} != $want")
+        }
+      }
+      // the bound holds at EVERY batch boundary (factor 2 × 4 groups),
+      // and compaction actually fired (24 raw partials were appended)
+      assert(sizes.forall(_ <= 8L), s"partials unbounded: $sizes")
+      assert(sizes.exists(_ == 4L),
+        s"no compaction ever fired: $sizes")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS act_counts2")
+      spark.sql("DROP TABLE IF EXISTS act_counts2__compact")
+      spark.sql("DROP TABLE IF EXISTS act_counts2__precompact")
+    }
+  }
+
   test("fuzzyBm25ServeWriter: streamed equals batch from both " +
       "persisted artifacts") {
     implicit val ctx = spark.sqlContext
