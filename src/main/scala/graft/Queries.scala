@@ -8525,6 +8525,117 @@ object Queries {
             GROUP BY 1"""
     }))
 
+  /** The planted multi-length subword vocabulary for q233/q234 —
+    * nested prefix chains (s < st < str < stream, wi < win < wind)
+    * exercise the longest-vs-first distinction on the corpus words
+    * ("stream" must match whole, "window" must split wind|ow, never
+    * w|i|n|d|o|w), and f/q-as-fallback words (query, filter, fast,
+    * value) produce out-of-vocabulary single-char pieces so the
+    * `in_vocab` audit column carries both values. */
+  private val WpVocab: Seq[String] = Seq(
+    "a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m", "n", "o",
+    "p", "r", "s", "t", "u", "w",
+    "th", "the", "st", "str", "stream", "wi", "win", "wind", "ow",
+    "or", "ord", "order", "jo", "join", "da", "data", "me", "merge",
+    "li", "line", "qu", "que", "ba", "batch", "sc", "scan", "ke",
+    "key", "ro", "row", "sl", "slow", "sm", "small", "ha", "hash",
+    "pa", "part", "ag", "agg", "co", "col", "cu", "cust", "du", "dup",
+    "bi", "big", "sp", "spark", "ta", "table", "so", "sort", "gr",
+    "group", "va", "val", "fi", "fil")
+  private def sqlWpVocab: String =
+    WpVocab.map(v => s"('$v')").mkString(", ")
+  /** The greedy longest-match recursive CTE both oracles share: one
+    * step row per (word, cursor), piece = longest vocab prefix via a
+    * correlated subquery, single-char fallback — exactly
+    * [[graft.functions.GreedyPiecesExpr]]'s loop. Expects a `words(w)`
+    * CTE in scope. */
+  private def sqlWpStep: String =
+    """step(w, pos, spos, piece) AS (
+      SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), '' FROM words
+      UNION ALL
+      SELECT s.w, s.pos + length(s.piece), s.spos + 1, s.piece FROM (
+        SELECT w, pos, spos,
+          coalesce((SELECT v FROM vocab
+              WHERE substr(s2.w, CAST(s2.pos AS INT), length(v)) = v
+              ORDER BY length(v) DESC LIMIT 1),
+            substr(s2.w, CAST(s2.pos AS INT), 1)) AS piece
+        FROM step s2 WHERE s2.pos <= length(s2.w)) s)"""
+
+  /** Greedy longest-match subword encoding
+    * (TextAnalysis.wordPieceEncode + the GreedyPiecesExpr native
+    * expression) — the WordPiece-style APPLY path against the planted
+    * [[WpVocab]]. Oracle: greedy segmentation is pure string
+    * arithmetic, replayed exactly by a recursive CTE whose step picks
+    * the longest matching vocab prefix via a correlated subquery
+    * (ties impossible — equal-length matches are the same string). */
+  private val q233 = QDef("q233_wordpiece_encode",
+    (s, d) => TextAnalysis.wordPieceEncode(docs(s, d), "doc_id", "text",
+      WpVocab),
+    Some(s"""WITH RECURSIVE vocab(v) AS (
+                SELECT * FROM (VALUES $sqlWpVocab) vv(v)),
+            dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            toks AS MATERIALIZED (SELECT doc_id, wpos, ws[wpos] AS w
+              FROM dt, UNNEST(range(1, len(ws) + 1)) AS t(wpos)),
+            words AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+            $sqlWpStep,
+            seg AS MATERIALIZED (SELECT w, spos, piece FROM step
+              WHERE spos >= 1),
+            enc AS (SELECT t.doc_id, t.wpos, g.spos, g.piece
+              FROM toks t JOIN seg g ON t.w = g.w)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY wpos, spos) AS BIGINT) AS pos,
+                   piece,
+                   piece IN (SELECT v FROM vocab) AS in_vocab
+            FROM enc"""),
+    bench = true)
+
+  /** Fertility A/B of greedy-vocab vs trained-BPE apply on the same
+    * corpus (TextAnalysis.subwordFertilityAB): occurrence-weighted
+    * subword totals and the q164 `(10³·subwords) div words` fertility,
+    * all integer. Oracle: the q233 recursive CTE for the greedy side;
+    * the q101 replace-sentinel closed form (symbols after one merge =
+    * length of the sentinel-replaced word) for the BPE side. */
+  private val q234 = QDef("q234_subword_fertility",
+    (s, d) => TextAnalysis.subwordFertilityAB(docs(s, d), "text",
+      WpVocab, trainedMerges(s, d, 1)),
+    Some(s"""WITH RECURSIVE vocab(v) AS (
+                SELECT * FROM (VALUES $sqlWpVocab) vv(v)),
+            dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            toks AS (SELECT doc_id, wpos, ws[wpos] AS w
+              FROM dt, UNNEST(range(1, len(ws) + 1)) AS t(wpos)),
+            wcnt AS MATERIALIZED (SELECT w, CAST(count(1) AS BIGINT)
+                AS cnt FROM toks GROUP BY 1),
+            words AS MATERIALIZED (SELECT w FROM wcnt),
+            $sqlWpStep,
+            wp_np AS (SELECT w, CAST(count(1) AS BIGINT) AS np
+              FROM step WHERE spos >= 1 GROUP BY 1),
+            wp AS (SELECT 'greedy_vocab' AS encoder,
+                CAST(sum(wcnt.cnt) AS BIGINT) AS n_words,
+                CAST(sum(wcnt.cnt * wp_np.np) AS BIGINT) AS n_subwords
+              FROM wcnt JOIN wp_np USING (w)),
+            pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS l,
+                substr(w, CAST(i AS INT) + 1, 1) AS r, sum(cnt) AS n
+              FROM wcnt, UNNEST(range(1, length(w))) AS t(i)
+              GROUP BY 1, 2),
+            mp AS (SELECT l || r AS lr FROM pairs
+              ORDER BY n DESC, l, r LIMIT 1),
+            bpe AS (SELECT 'bpe' AS encoder,
+                CAST(sum(cnt) AS BIGINT) AS n_words,
+                CAST(sum(cnt * length(replace(w, mp.lr, chr(1))))
+                  AS BIGINT) AS n_subwords
+              FROM wcnt, mp),
+            u AS (SELECT * FROM wp UNION ALL SELECT * FROM bpe)
+            SELECT encoder, n_words, n_subwords,
+                   CAST((1000 * n_subwords) // n_words AS BIGINT)
+                     AS fertility_x1000
+            FROM u"""),
+    bench = true)
+
   /** Per-key daily activity fingerprint (EventOps.activityFingerprint):
     * the 24-hour event-count rhythm symbolized into one 48-bit int64 -
     * hour from epoch-microseconds (pure integer), per-key quartile
@@ -8825,7 +8936,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

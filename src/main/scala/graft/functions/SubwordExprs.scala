@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match subword segmentation against a TRAINED
+  * vocabulary — the apply convention most deployed tokenizers run
+  * (WordPiece/BERT's `tokenize`, minus the `##` continuation-marker
+  * surface form): at each cursor the LONGEST vocabulary piece matching
+  * the remaining word is emitted and the cursor advances past it; a
+  * position with no vocabulary match emits its single character (the
+  * char-fallback convention, so segmentation is total and
+  * deterministic — no [UNK] collapse, callers see exactly which pieces
+  * were out-of-vocabulary). Longest-match is what distinguishes this
+  * family from first-match tries: vocab {ab, abc} on "abcab" yields
+  * [abc, ab], never [ab, c, ab].
+  *
+  * Pure string arithmetic — no floats, no RNG — so the DuckDB oracle
+  * replays it exactly with a recursive CTE (correlated longest-prefix
+  * subquery per step; q233). Determinism: two same-length vocab pieces
+  * cannot both match one prefix (same substring), so "longest" is
+  * unambiguous.
+  *
+  * Codegen calls a referenced matcher object (HashSet probe per
+  * candidate length, longest first), keeping the enclosing projection
+  * inside whole-stage codegen; the interpreted path runs the same
+  * matcher. Applied per DISTINCT word (the bpeEncode dictionary
+  * posture), so cost is corpus-vocabulary-bounded, never corpus-row. */
+case class GreedyPiecesExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+    "greedy_pieces: vocab must be non-empty strings")
+  require(vocab.distinct.size == vocab.size,
+    "greedy_pieces: duplicate vocab piece")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_pieces"
+
+  @transient private lazy val matcher =
+    new GreedyPiecesExpr.Matcher(vocab.toArray)
+
+  override def nullSafeEval(s: Any): Any =
+    matcher.split(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("greedyMatcher", matcher,
+      classOf[GreedyPiecesExpr.Matcher].getName)
+    defineCodeGen(ctx, ev, in => s"$m.split($in)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GreedyPiecesExpr =
+    copy(child = newChild)
+}
+
+object GreedyPiecesExpr {
+
+  /** The per-expression match state the generated code references:
+    * vocabulary HashSet + max piece length. Serializable — it ships
+    * inside the codegen references array. */
+  final class Matcher(vocab: Array[String]) extends Serializable {
+    private val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](vocab.length * 2)
+      vocab.foreach(s.add)
+      s
+    }
+    private val maxLen: Int = {
+      var m = 1
+      vocab.foreach(v => if (v.length > m) m = v.length)
+      m
+    }
+
+    def split(text: UTF8String): ArrayData = {
+      val w = text.toString
+      val out = new java.util.ArrayList[AnyRef]()
+      var i = 0
+      while (i < w.length) {
+        var l = math.min(maxLen, w.length - i)
+        var piece: String = null
+        while (piece == null && l >= 1) {
+          val cand = w.substring(i, i + l)
+          if (set.contains(cand)) piece = cand else l -= 1
+        }
+        if (piece == null) piece = w.substring(i, i + 1)
+        out.add(UTF8String.fromString(piece))
+        i += piece.length
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  def apply(text: Column, vocab: Seq[String]): Column =
+    Bridge.column(GreedyPiecesExpr(Bridge.expression(text), vocab))
+}

@@ -1138,6 +1138,74 @@ object TextAnalysis {
   def bpeWordSegments(df: DataFrame, text: String, k: Int): DataFrame =
     bpeWordSegments(df, text, collectMerges(df, text, k))
 
+  /** Greedy longest-match subword encoding against a GIVEN vocabulary —
+    * the WordPiece-style APPLY path (what deployed tokenizers run; BPE
+    * above is the trainer family). Segmentation semantics live in
+    * [[graft.functions.GreedyPiecesExpr]] (longest vocab piece at each
+    * cursor, single-char fallback — total and deterministic); this
+    * operator is the corpus plan: segment each DISTINCT word once
+    * (the [[bpeEncode]] dictionary posture — the native expression
+    * runs corpus-vocabulary-bounded times, never per occurrence),
+    * broadcast the word→pieces dictionary onto the tokenized corpus,
+    * and lay out the per-document subword ordinal with the sanctioned
+    * per-key window. Output: `(id, pos, piece, in_vocab)` — `pos`
+    * 1-based over the document's subword stream, `in_vocab` false
+    * exactly for char-fallback pieces outside the vocabulary (the
+    * out-of-vocabulary audit column an [UNK] collapse would destroy).
+    * Token-less documents drop, like [[bpeEncode]]. */
+  def wordPieceEncode(df: DataFrame, id: String, text: String,
+                      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "wordPieceEncode: empty vocab")
+    require(vocab.size <= 100000,
+      s"wordPieceEncode: vocab has ${vocab.size} pieces — the isin " +
+        "literal and the broadcast matcher assume a bounded trained " +
+        "vocabulary")
+    val dict = df.select(explode(tokens(col(text))).as("w")).distinct()
+      .select(col("w"),
+        graft.functions.GreedyPiecesExpr(col("w"), vocab).as("pieces"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("wpos"), col("spos"))
+    df.select(col(id), posexplode(tokens(col(text))).as(Seq("wpos", "w")))
+      .join(broadcast(dict), Seq("w"))
+      .select(col(id), col("wpos"),
+        posexplode(col("pieces")).as(Seq("spos", "piece")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(id), col("pos"), col("piece"),
+        col("piece").isin(vocab: _*).as("in_vocab"))
+  }
+
+  /** Fertility A/B of the two subword APPLY paths on one corpus —
+    * greedy longest-match ([[wordPieceEncode]]'s segmentation) vs the
+    * trained BPE merges ([[bpeWordSegments]]): one row per encoder with
+    * total word occurrences, total subword occurrences, and
+    * `fertility_x1000 = (10³·subwords) div words` (the q164 fertility
+    * convention — lower is better compression). Both sides reuse the
+    * ONE distinct-word count table; subword totals are
+    * occurrence-weighted (`Σ cnt·pieces(w)`), so the comparison is
+    * corpus-true, not vocabulary-flat. All integer — oracle-exact. */
+  def subwordFertilityAB(df: DataFrame, text: String,
+                         vocab: Seq[String],
+                         merges: Seq[(String, String)]): DataFrame = {
+    require(vocab.nonEmpty, "subwordFertilityAB: empty vocab")
+    val words = Caches.track(wordCounts(df, text).persist())
+    val wp = words
+      .select(col("cnt"),
+        size(graft.functions.GreedyPiecesExpr(col("w"), vocab)).as("np"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("np")).as("n_subwords"))
+      .select(lit("greedy_vocab").as("encoder"), col("n_words"),
+        col("n_subwords"))
+    val bpe = bpeSegmentsFromWords(words, merges)
+      .select(col("cnt"), size(col("syms")).as("np"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("np")).as("n_subwords"))
+      .select(lit("bpe").as("encoder"), col("n_words"),
+        col("n_subwords"))
+    wp.unionByName(bpe)
+      .withColumn("fertility_x1000",
+        expr("(1000 * n_subwords) div n_words"))
+  }
+
   /** Extract the trained merge list as a driver-side artifact — the
     * form worth CACHING across queries (train once per corpus, apply
     * many times: counts, encode, packing all reuse it). */
@@ -3749,8 +3817,16 @@ object TextAnalysis {
     * the apply half of BPE, split from training so a cached artifact
     * skips the per-round argmax passes entirely. */
   def bpeWordSegments(df: DataFrame, text: String,
-                      merges: Seq[(String, String)]): DataFrame = {
-    var seg = wordCounts(df, text)
+                      merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentsFromWords(wordCounts(df, text), merges)
+
+  /** The merge-apply half of [[bpeWordSegments]] over an
+    * already-computed `(w, cnt)` word table — split out so callers
+    * that share the word table across encoders
+    * ([[subwordFertilityAB]]) don't tokenize the corpus twice. */
+  private[graft] def bpeSegmentsFromWords(
+      words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var seg = words
       .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
     merges.foreach { case (l, r) =>
       seg = seg.withColumn("syms",
