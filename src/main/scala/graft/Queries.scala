@@ -7284,26 +7284,11 @@ object Queries {
     * punctuation rule needs them) and a newsletter footer on every 5th
     * doc (boilerplate with ≥3-doc support that SURVIVES the C4 line
     * rule: ends in '.', ≥3 words). */
-  private val q211 = QDef("q211_curation_funnel",
-    (s, d) => {
-      val fx = docs(s, d).select(col("doc_id"), col("source"),
-        concat(
-          replace(replace(col("text"), lit("spark"), lit(" end.")),
-            lit("table"), lit("\n")),
-          when(col("doc_id") % 41 === 0, lit(" verboten"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 5 === 0,
-            lit("\nsubscribe to our newsletter today now."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 89 === 0 || col("doc_id") % 97 === 0,
-            concat(lit("\nthis shared benchmark sentence must never " +
-              "leak into training data run "),
-              col("doc_id").cast("string"), lit(".")))
-            .otherwise(lit(""))).as("ltext"))
-      graft.ops.Curation.pretrainingFunnel(fx, "doc_id", "ltext",
-        "source", blocklist = Seq("verboten"))
-    },
-    Some(s"""WITH d AS MATERIALIZED (SELECT doc_id, source,
+  /** The q211 funnel oracle's stage fragments (d ... s9) — shared
+    * with the q235 reasons oracle, which attributes each doc to the
+    * first stage it left instead of counting survivors. */
+  private def sqlFunnelStagesPrefix: String =
+    """d AS MATERIALIZED (SELECT doc_id, source,
               replace(replace(text, 'spark', ' end.'), 'table', chr(10)) ||
               CASE WHEN doc_id % 41 = 0 THEN ' verboten' ELSE '' END ||
               CASE WHEN doc_id % 5 = 0
@@ -7318,10 +7303,10 @@ object Queries {
           bench AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 = 0),
           pool AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 <> 0),
           gtk AS MATERIALIZED (SELECT doc_id,
-              list_filter(regexp_split_to_array(lt, '\\s+'),
+              list_filter(regexp_split_to_array(lt, '\s+'),
                 x -> x <> '') AS ws,
               CAST(len(regexp_extract_all(lt, '#')) +
-                len(regexp_extract_all(lt, '\\.\\.\\.')) AS BIGINT)
+                len(regexp_extract_all(lt, '\.\.\.')) AS BIGINT)
                 AS symbols
             FROM pool),
           growm AS MATERIALIZED (SELECT doc_id,
@@ -7365,7 +7350,7 @@ object Queries {
                    AND stophits >= 1),
           bhits AS MATERIALIZED (SELECT doc_id, count(*) AS nh
               FROM (SELECT doc_id, unnest(list_filter(
-                      regexp_split_to_array(lower(lt), '\\s+'),
+                      regexp_split_to_array(lower(lt), '\s+'),
                       x -> x <> '')) AS w
                     FROM s2) t
               WHERE w IN ('verboten') GROUP BY 1),
@@ -7379,7 +7364,7 @@ object Queries {
               list_filter(list_transform(ls, x -> trim(x)), y ->
                 y <> '' AND (y LIKE '%.' OR y LIKE '%!' OR y LIKE '%?'
                   OR y LIKE '%"') AND
-                len(list_filter(regexp_split_to_array(y, '\\s+'),
+                len(list_filter(regexp_split_to_array(y, '\s+'),
                   w -> w <> '')) >= 3 AND
                 NOT contains(lower(y), 'javascript')) AS kept
             FROM c4t),
@@ -7409,7 +7394,7 @@ object Queries {
               list_distinct(list_transform(range(1, len(toks)),
                 i -> toks[i] || ' ' || toks[i + 1])) AS sh
             FROM (SELECT doc_id, list_filter(
-                    regexp_split_to_array(ct, '\\s+'), x -> x <> '') AS toks
+                    regexp_split_to_array(ct, '\s+'), x -> x <> '') AS toks
                   FROM s6)),
           mf AS MATERIALIZED (SELECT doc_id, sh FROM msh WHERE len(sh) > 0),
           msig AS MATERIALIZED (SELECT doc_id, sh,
@@ -7441,7 +7426,7 @@ object Queries {
                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
                      ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
                      ws[i+6] || ' ' || ws[i+7]))) AS g
-                 FROM (SELECT list_filter(regexp_split_to_array(lt, '\\s+'),
+                 FROM (SELECT list_filter(regexp_split_to_array(lt, '\s+'),
                          x -> x <> '') AS ws FROM bench)),
           tg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
                    list_transform(range(1, len(ws) - 6), i ->
@@ -7449,7 +7434,7 @@ object Queries {
                      ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
                      ws[i+6] || ' ' || ws[i+7]))) AS g
                  FROM (SELECT doc_id, list_filter(
-                         regexp_split_to_array(ct, '\\s+'),
+                         regexp_split_to_array(ct, '\s+'),
                          x -> x <> '') AS ws FROM s7)),
           contam AS MATERIALIZED (SELECT DISTINCT doc_id FROM tg JOIN bg USING (g)),
           s8 AS MATERIALIZED (SELECT s7.* FROM s7
@@ -7460,7 +7445,31 @@ object Queries {
                    SELECT s8.*, row_number() OVER (
                      PARTITION BY source ORDER BY doc_id) AS rn
                    FROM s8), q9
-                 WHERE rn <= q),
+                 WHERE rn <= q)"""
+
+  /** The q211/q235 funnel fixture: documents text enriched with
+    * newlines, a blocklist token, a boilerplate line, and planted
+    * benchmark-leak sentences so every funnel stage has work to do. */
+  private def funnelFixture(s: SparkSession, d: String) =
+    docs(s, d).select(col("doc_id"), col("source"),
+      concat(
+        replace(replace(col("text"), lit("spark"), lit(" end.")),
+          lit("table"), lit("\n")),
+        when(col("doc_id") % 41 === 0, lit(" verboten"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nsubscribe to our newsletter today now."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 89 === 0 || col("doc_id") % 97 === 0,
+          concat(lit("\nthis shared benchmark sentence must never " +
+            "leak into training data run "),
+            col("doc_id").cast("string"), lit(".")))
+          .otherwise(lit(""))).as("ltext"))
+
+  private val q211 = QDef("q211_curation_funnel",
+    (s, d) => graft.ops.Curation.pretrainingFunnel(funnelFixture(s, d),
+      "doc_id", "ltext", "source", blocklist = Seq("verboten")),
+    Some(s"""WITH $sqlFunnelStagesPrefix,
           pk AS MATERIALIZED (SELECT doc_id,
               ${sqlHash60("doc_id", "fun")} % 8 AS shard,
               CAST(len(list_filter(regexp_split_to_array(ct, '\\s+'),
@@ -7532,6 +7541,41 @@ object Queries {
           UNION ALL SELECT * FROM f6 UNION ALL SELECT * FROM f7
           UNION ALL SELECT * FROM f8 UNION ALL SELECT * FROM f9
           UNION ALL SELECT * FROM f10"""),
+    bench = true)
+
+  /** Per-doc funnel drop provenance
+    * (Curation.pretrainingFunnelReasons over the q211 fixture): WHICH
+    * stage dropped each doc — last-survived membership max over the
+    * same stage chain, first-dropped stage named; survivors NULL.
+    * Oracle: the q211 stage fragments + a union-max attribution. The
+    * reason histogram telescopes exactly into q211's n_docs deltas
+    * (spec-pinned on the same fixture). */
+  private val q235 = QDef("q235_funnel_reasons",
+    (s, d) => graft.ops.Curation.pretrainingFunnelReasons(
+      funnelFixture(s, d), "doc_id", "ltext", "source",
+      blocklist = Seq("verboten")),
+    Some(s"""WITH $sqlFunnelStagesPrefix,
+          lastn AS (SELECT doc_id, max(n) AS ln FROM (
+              SELECT doc_id, 0 AS n FROM d
+              UNION ALL SELECT doc_id, 1 FROM pool
+              UNION ALL SELECT doc_id, 2 FROM s2
+              UNION ALL SELECT doc_id, 3 FROM s3
+              UNION ALL SELECT doc_id, 4 FROM s4
+              UNION ALL SELECT doc_id, 5 FROM s5
+              UNION ALL SELECT doc_id, 6 FROM s6
+              UNION ALL SELECT doc_id, 7 FROM s7
+              UNION ALL SELECT doc_id, 8 FROM s8
+              UNION ALL SELECT doc_id, 9 FROM s9) u GROUP BY 1)
+          SELECT doc_id,
+                 CASE WHEN ln >= 9 THEN NULL
+                      ELSE CAST(ln + 1 AS INT) END AS dropped_at_n,
+                 CASE CAST(ln AS INT) WHEN 0 THEN 'holdout'
+                      WHEN 1 THEN 'gopher' WHEN 2 THEN 'blocklist'
+                      WHEN 3 THEN 'c4' WHEN 4 THEN 'boiler'
+                      WHEN 5 THEN 'exact' WHEN 6 THEN 'neardup'
+                      WHEN 7 THEN 'decontam' WHEN 8 THEN 'mixture'
+                      ELSE NULL END AS dropped_at
+          FROM lastn"""),
     bench = true)
 
   /** NEAR / min-cover proximity retrieval (TextAnalysis.nearSearch over
@@ -8936,7 +8980,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -916,14 +916,115 @@ object Curation {
                      semanticEmbId: String = "vec_id",
                      semanticEmbVec: String = "embedding",
                      semanticTau: Double = 0.90625): DataFrame = {
-    require(benchMod >= 2, s"bad benchMod: $benchMod")
-    require(decontamN >= 2, s"bad decontamN: $decontamN")
+    val st = funnelStages(df, id, text, source, benchMod, blocklist,
+      minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
+      threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
+      semanticTau)
     def row(n: Int, name: String, set: DataFrame, t: String): DataFrame =
       set.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(TextAnalysis.tokenCount(col(t)).cast("long")),
             lit(0L)).as("n_tokens"))
         .select(lit(n).as("stage_n"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
+    val packs = Sampling.packSpans(
+      st.s9.select(col("doc_id"), col("ct")),
+      "doc_id", TextAnalysis.tokenCount(col("ct")), numShards,
+      budgetTokens, packSalt)
+    val packed = packs.agg(
+        countDistinct(col("shard"), col("bin")).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(10).as("stage_n"), lit("packed").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    Seq(
+      row(0, "raw", st.base, "t"), row(1, "holdout", st.pool, "t"),
+      row(2, "gopher", st.s2, "t"), row(3, "blocklist", st.s3, "t"),
+      row(4, "c4", st.s4, "ct"), row(5, "boiler", st.s5, "ct"),
+      row(6, "exact", st.s6, "ct"), row(7, "neardup", st.s7, "ct"),
+      row(8, "decontam", st.s8, "ct"), row(9, "mixture", st.s9, "ct"))
+      .reduce(_.unionByName(_)).unionByName(packed)
+  }
+
+  /** Per-doc drop PROVENANCE of the funnel — the audit column every
+    * real curation run wants first (r12 verdict item 6): q211's
+    * attrition rows say HOW MANY docs each stage dropped, this says
+    * WHICH stage dropped each doc. Same stage chain, same checkpoints
+    * ([[funnelStages]] — the gates already compute per-doc verdicts;
+    * attribution is a union of the stage sets' `(doc_id, n)`
+    * memberships and one max aggregate, no new scans of the texts).
+    * Output: `(doc_id, dropped_at_n, dropped_at)` for EVERY input doc —
+    * `dropped_at_n` ∈ 1..9 names the FIRST stage the doc left at
+    * (1 = holdout … 9 = mixture; a doc can only leave once), NULL for
+    * docs that survive to the mixture-balanced set (stage 10 packs
+    * spans, it never drops docs). The reason histogram over this
+    * output telescopes exactly into the funnel's n_docs deltas
+    * (spec-pinned). */
+  def pretrainingFunnelReasons(df: DataFrame, id: String, text: String,
+                     source: String, benchMod: Long = 97,
+                     blocklist: Seq[String] = Seq("dup"),
+                     minTokens: Long = 20,
+                     stopList: Seq[String] = Seq("the", "a", "of", "and"),
+                     minStopHits: Int = 1, boilerMinDocs: Int = 3,
+                     numHashes: Int = 12, bands: Int = 4,
+                     threshold: Double = 0.5, decontamN: Int = 8,
+                     semanticEmb: Option[DataFrame] = None,
+                     semanticEmbId: String = "vec_id",
+                     semanticEmbVec: String = "embedding",
+                     semanticTau: Double = 0.90625): DataFrame = {
+    val st = funnelStages(df, id, text, source, benchMod, blocklist,
+      minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
+      threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
+      semanticTau)
+    funnelReasonsFromStages(Seq(
+      st.base, st.pool, st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
+      st.s8, st.s9), FunnelDropNames)
+  }
+
+  /** Stage names by the index of the LAST stage a doc survived: a doc
+    * whose last-survived index is i was dropped AT stage i+1, named
+    * `FunnelDropNames(i)`. Shared with the streaming form (which stops
+    * at decontam — mixture is a corpus-global report()-time decision). */
+  private[graft] val FunnelDropNames: Seq[String] = Seq("holdout",
+    "gopher", "blocklist", "c4", "boiler", "exact", "neardup",
+    "decontam", "mixture")
+
+  /** (doc_id, dropped_at_n, dropped_at) from an ordered list of stage
+    * membership sets (index 0 = every doc): union the memberships, max
+    * per doc, convert last-survived index to first-dropped stage; docs
+    * surviving the final listed stage get NULLs. */
+  private[graft] def funnelReasonsFromStages(
+      stages: Seq[DataFrame], names: Seq[String]): DataFrame = {
+    val last = names.size
+    val reached = stages.zipWithIndex.map { case (s, n) =>
+      s.select(col("doc_id"), lit(n).as("__n")) }
+      .reduce(_.unionByName(_))
+    reached.groupBy(col("doc_id")).agg(max(col("__n")).as("__last"))
+      .select(col("doc_id"),
+        when(col("__last") >= last, lit(null))
+          .otherwise(col("__last") + 1).cast("int").as("dropped_at_n"),
+        when(col("__last") >= last, lit(null).cast("string"))
+          .otherwise(element_at(typedLit(names), col("__last") + 1))
+          .as("dropped_at"))
+  }
+
+  /** The shared stage chain of [[pretrainingFunnel]] /
+    * [[pretrainingFunnelReasons]] — see the funnel scaladoc for stage
+    * semantics and the checkpoint discipline. */
+  private[graft] final case class FunnelStages(
+      base: DataFrame, bench: DataFrame, pool: DataFrame,
+      s2: DataFrame, s3: DataFrame, s4: DataFrame, s5: DataFrame,
+      s6: DataFrame, s7: DataFrame, s8: DataFrame, s9: DataFrame)
+
+  private def funnelStages(df: DataFrame, id: String, text: String,
+                     source: String, benchMod: Long,
+                     blocklist: Seq[String], minTokens: Long,
+                     stopList: Seq[String], minStopHits: Int,
+                     boilerMinDocs: Int, numHashes: Int, bands: Int,
+                     threshold: Double, decontamN: Int,
+                     semanticEmb: Option[DataFrame],
+                     semanticEmbId: String, semanticEmbVec: String,
+                     semanticTau: Double): FunnelStages = {
+    require(benchMod >= 2, s"bad benchMod: $benchMod")
+    require(decontamN >= 2, s"bad decontamN: $decontamN")
     val base = df.select(col(id).as("doc_id"), col(text).as("t"),
       col(source).as("src"))
     val bench = base.filter(col("doc_id") % benchMod === 0)
@@ -997,20 +1098,6 @@ object Curation {
       .crossJoin(broadcast(quota))
       .filter(col("__rn") <= col("__q")).drop("__rn", "__q")
       .localCheckpoint()
-    val packs = Sampling.packSpans(s9.select(col("doc_id"), col("ct")),
-      "doc_id", TextAnalysis.tokenCount(col("ct")), numShards,
-      budgetTokens, packSalt)
-    val packed = packs.agg(
-        countDistinct(col("shard"), col("bin")).as("n_docs"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
-      .select(lit(10).as("stage_n"), lit("packed").as("stage"),
-        col("n_docs"), col("n_tokens"))
-    Seq(
-      row(0, "raw", base, "t"), row(1, "holdout", pool, "t"),
-      row(2, "gopher", s2, "t"), row(3, "blocklist", s3, "t"),
-      row(4, "c4", s4, "ct"), row(5, "boiler", s5, "ct"),
-      row(6, "exact", s6, "ct"), row(7, "neardup", s7, "ct"),
-      row(8, "decontam", s8, "ct"), row(9, "mixture", s9, "ct"))
-      .reduce(_.unionByName(_)).unionByName(packed)
+    FunnelStages(base, bench, pool, s2, s3, s4, s5, s6, s7, s8, s9)
   }
 }

@@ -1570,12 +1570,13 @@ object StatefulOps {
       stopList: Seq[String] = Seq("the", "a", "of", "and"),
       minStopHits: Int = 1, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5, decontamN: Int = 8, numShards: Int = 8,
-      budgetTokens: Long = 256, packSalt: String = "fun")(
+      budgetTokens: Long = 256, packSalt: String = "fun",
+      reasonsProcess: Option[(DataFrame, Long) => Unit] = None)(
       process: (DataFrame, Long) => Unit): CurationFunnelStream =
     new CurationFunnelStream(stream, id, text, source, bench, boiler,
       benchMod, blocklist, minTokens, stopList, minStopHits, numHashes,
       bands, threshold, decontamN, numShards, budgetTokens, packSalt,
-      process)
+      process, reasonsProcess)
 }
 
 /** State holder + sink for [[StatefulOps.curationFunnelWriter]] — see
@@ -1586,7 +1587,8 @@ final class CurationFunnelStream private[streaming](
     blocklist: Seq[String], minTokens: Long, stopList: Seq[String],
     minStopHits: Int, numHashes: Int, bands: Int, threshold: Double,
     decontamN: Int, numShards: Int, budgetTokens: Long, packSalt: String,
-    process: (DataFrame, Long) => Unit) {
+    process: (DataFrame, Long) => Unit,
+    reasonsProcess: Option[(DataFrame, Long) => Unit] = None) {
   require(benchMod >= 2, s"bad benchMod: $benchMod")
   require(decontamN >= 2, s"bad decontamN: $decontamN")
   import graft.ops.{Dedup, TextAnalysis, Sampling, Caches}
@@ -1684,6 +1686,17 @@ final class CurationFunnelStream private[streaming](
     bump(8, s8, "ct")
     kept = (if (kept == null) s8 else kept.unionByName(s8))
       .localCheckpoint()
+    // per-batch drop provenance (the batch
+    // [[graft.ops.Curation.pretrainingFunnelReasons]] column, carried
+    // through the stream): attribution over the per-doc gates this
+    // batch ran (holdout … decontam); batch survivors get NULLs —
+    // the mixture quota is a corpus-global report()-time decision no
+    // ingest batch can attribute.
+    reasonsProcess.foreach { rp =>
+      rp(graft.ops.Curation.funnelReasonsFromStages(
+        Seq(b0, pool, s2, s3, s4, s5, s6, s7, s8),
+        graft.ops.Curation.FunnelDropNames.take(8)), bid)
+    }
     process(s8, bid)
   }
 

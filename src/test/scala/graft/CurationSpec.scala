@@ -567,6 +567,62 @@ class CurationSpec extends SparkSpec {
     assert(funnel(10)._4 == funnel(9)._4) // packing preserves tokens
   }
 
+  test("pretrainingFunnelReasons: per-doc attribution including the " +
+      "mixture quota, histogram telescopes into the funnel deltas") {
+    import org.apache.spark.sql.functions.col
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "the dog wakes up to chase of all things a very quick cat."
+    // the 11-row funnel fixture plus doc 11 (source a, NOT a benchMod
+    // multiple) — three a-source survivors against two b-source ones,
+    // so the mixture quota drops exactly doc 11 (largest id in source)
+    val docs = Seq(
+      (0L, "an entirely separate benchmark body sharing no long gram " +
+        "with training text. shared benchmark eight token gram one " +
+        "two three four five.", "a"),
+      (1L, good + " first unique tail words here.", "a"),
+      (2L, good + " second unique tail words here.", "b"),
+      (3L, good + " first unique tail words here.", "a"), // == doc 1
+      (4L, good + " blocked verboten word.", "b"),
+      (6L, good + " shared benchmark eight token gram one two three " +
+        "four five but different.", "a"),
+      (7L, "too short.", "b"),
+      (8L, good + " third unique tail words here.", "b"),
+      (9L, good + " fourth unique tail words here.", "a"),
+      (11L, good + " fifth unique tail words here.", "a"))
+      .toDF("doc_id", "text", "src")
+    val reasons = graft.ops.Curation.pretrainingFunnelReasons(docs,
+        "doc_id", "text", "src", benchMod = 5,
+        blocklist = Seq("verboten"), minTokens = 10, boilerMinDocs = 9,
+        numHashes = 12, bands = 4, threshold = 0.9, decontamN = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getString(2)))))
+      .toMap
+    assert(reasons.size == 10, "every input doc must be attributed")
+    assert(reasons(0L) == Some((1, "holdout")), s"got ${reasons(0L)}")
+    assert(reasons(7L) == Some((2, "gopher")))
+    assert(reasons(4L) == Some((3, "blocklist")))
+    assert(reasons(3L) == Some((6, "exact")))
+    assert(reasons(6L) == Some((8, "decontam")))
+    assert(reasons(11L) == Some((9, "mixture")))
+    Seq(1L, 2L, 8L, 9L).foreach(i =>
+      assert(reasons(i).isEmpty, s"survivor $i attributed: ${reasons(i)}"))
+    // the reason histogram telescopes EXACTLY into the funnel's n_docs
+    // deltas — the two views of the same chain must agree stage by stage
+    val funnel = graft.ops.Curation.pretrainingFunnel(docs, "doc_id",
+        "text", "src", benchMod = 5, blocklist = Seq("verboten"),
+        minTokens = 10, boilerMinDocs = 9, numHashes = 12, bands = 4,
+        threshold = 0.9, decontamN = 8, numShards = 2,
+        budgetTokens = 40, packSalt = "t")
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    (1 to 9).foreach { k =>
+      val dropped = reasons.values.count(_.exists(_._1 == k))
+      assert(dropped == funnel(k - 1) - funnel(k),
+        s"stage $k: histogram $dropped != delta ${funnel(k - 1) - funnel(k)}")
+    }
+    assert(reasons.values.count(_.isEmpty) == funnel(9))
+  }
+
   test("pretrainingFunnel: semantic decontamination catches the planted " +
       "paraphrase the n-gram gate cannot see") {
     import org.apache.spark.sql.functions.col

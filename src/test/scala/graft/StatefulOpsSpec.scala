@@ -1607,12 +1607,18 @@ class StatefulOpsSpec extends SparkSpec {
     val emptyBoiler = Seq.empty[(String, Long)].toDF("line_md5", "n_docs")
     val in = MemoryStream[(Long, String, String)]
     val keptStreamed = scala.collection.mutable.Set.empty[Long]
+    val streamedReasons =
+      scala.collection.mutable.Map.empty[Long, Option[(Int, String)]]
     val fun = StatefulOps.curationFunnelWriter(
         in.toDF().toDF("doc_id", "text", "src"), "doc_id", "text", "src",
         bench, emptyBoiler, benchMod = 5, blocklist = Seq("verboten"),
         minTokens = 10, numHashes = 12, bands = 4, threshold = 0.9,
         decontamN = 8, numShards = 2, budgetTokens = 40,
-        packSalt = "t") { (out, _) =>
+        packSalt = "t",
+        reasonsProcess = Some((rdf, _) => rdf.collect().foreach(r =>
+          streamedReasons(r.getLong(0)) =
+            (if (r.isNullAt(1)) None
+             else Some((r.getInt(1), r.getString(2))))))) { (out, _) =>
       keptStreamed ++= out.select("doc_id").collect().map(_.getLong(0))
     }
     val q = fun.writer.start()
@@ -1633,6 +1639,23 @@ class StatefulOpsSpec extends SparkSpec {
       batchRows.find(_._1 == 6).get._3 - 1)
     val keptIds = fun.keptSet.select("doc_id").as[Long].collect().toSet
     assert(keptIds == Set(1L, 2L, 8L, 9L) && keptIds == keptStreamed.toSet)
+    // drop provenance carried through the stream: per-batch reasons
+    // union equals the batch attribution for every per-doc gate (the
+    // stream cannot attribute the corpus-global mixture quota, so
+    // batch 'mixture' rows map to the stream's NULL)
+    val batchReasons = graft.ops.Curation.pretrainingFunnelReasons(
+        docsDf, "doc_id", "text", "src", benchMod = 5,
+        blocklist = Seq("verboten"), minTokens = 10, boilerMinDocs = 9,
+        numHashes = 12, bands = 4, threshold = 0.9, decontamN = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getString(2)))))
+      .toMap.map { case (k, v) =>
+        k -> v.filterNot(_._2 == "mixture") }
+    assert(streamedReasons.toMap == batchReasons,
+      s"streamed=$streamedReasons\nbatch=$batchReasons")
+    // the cross-batch drops are attributed where they fell
+    assert(streamedReasons(3L) == Some((6, "exact")) &&
+      streamedReasons(11L) == Some((7, "neardup")), s"$streamedReasons")
   }
 
   test("postingsMaintenanceWriter: CDC upsert/delete stream, compaction " +
