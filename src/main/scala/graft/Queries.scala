@@ -8636,6 +8636,53 @@ object Queries {
             FROM enc"""),
     bench = true)
 
+  /** TRAINED-vocabulary greedy subword encode
+    * (TextAnalysis.trainSubwordVocab → collectSubwordVocab →
+    * wordPieceEncode): the full train/apply chain — top-48 substrings
+    * (length ≤ 4) by occurrence-weighted frequency with the
+    * (freq DESC, piece ASC) total order, then the q233 greedy encoder
+    * under that vocabulary. The oracle RECOMPUTES the trained
+    * vocabulary relationally (exact integer counts + deterministic
+    * ORDER/LIMIT — the q115 transport-free artifact shape) and feeds
+    * it to the same recursive greedy CTE; chars outside the trained
+    * top-48 (q, j, …) surface as in_vocab=false fallback pieces.
+    * The vocab CTE is deliberately NOT MATERIALIZED: DuckDB silently
+    * mis-evaluates a correlated subquery against a MATERIALIZED CTE
+    * inside a recursive term (measured here: longest-match degraded to
+    * mostly-1-char picks, +17% rows) — its cheap parents (wcnt) carry
+    * the materialization instead. */
+  private val q236 = QDef("q236_wordpiece_trained",
+    (s, d) => TextAnalysis.wordPieceEncode(docs(s, d), "doc_id", "text",
+      TextAnalysis.collectSubwordVocab(docs(s, d), "text",
+        vocabSize = 48, maxPieceLen = 4)),
+    Some(s"""WITH RECURSIVE dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            toks AS MATERIALIZED (SELECT doc_id, wpos, ws[wpos] AS w
+              FROM dt, UNNEST(range(1, len(ws) + 1)) AS t(wpos)),
+            wcnt AS MATERIALIZED (SELECT w, CAST(count(1) AS BIGINT)
+                AS cnt FROM toks GROUP BY 1),
+            cand AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT))
+                AS piece, cnt
+              FROM wcnt, UNNEST(range(1, length(w) + 1)) AS u(i),
+                UNNEST(range(1, least(4, length(w) - i + 1) + 1)) AS v(l)),
+            vocab AS (SELECT piece AS v FROM (
+                SELECT piece, sum(cnt) AS freq FROM cand GROUP BY 1)
+              ORDER BY freq DESC, piece LIMIT 48),
+            words AS MATERIALIZED (SELECT w FROM wcnt),
+            $sqlWpStep,
+            seg AS MATERIALIZED (SELECT w, spos, piece FROM step
+              WHERE spos >= 1),
+            enc AS (SELECT t.doc_id, t.wpos, g.spos, g.piece
+              FROM toks t JOIN seg g ON t.w = g.w)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY wpos, spos) AS BIGINT) AS pos,
+                   piece,
+                   piece IN (SELECT v FROM vocab) AS in_vocab
+            FROM enc"""),
+    bench = true)
+
   /** Fertility A/B of greedy-vocab vs trained-BPE apply on the same
     * corpus (TextAnalysis.subwordFertilityAB): occurrence-weighted
     * subword totals and the q164 `(10³·subwords) div words` fertility,
@@ -8980,7 +9027,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1174,6 +1174,57 @@ object TextAnalysis {
         col("piece").isin(vocab: _*).as("in_vocab"))
   }
 
+  /** Train a subword vocabulary for the greedy longest-match encoder —
+    * the frequency-based trainer completing [[wordPieceEncode]]'s
+    * train/apply pair (the BPE family has [[learnBpeMerges]] /
+    * [[bpeEncode]]; this is the WordPiece-flavored sibling): candidate
+    * pieces are ALL substrings of length 1..`maxPieceLen` of the
+    * corpus's distinct words, scored by occurrence count weighted by
+    * word frequency (exact int64 — every position of every occurrence
+    * counts, so "ab" in "abab" scores twice per word occurrence); the
+    * vocabulary is the top `vocabSize` by (freq DESC, piece ASC) — a
+    * deterministic TOTAL order (pieces are unique), so the artifact is
+    * engine-exact and the oracle RECOMPUTES it relationally (the q115
+    * transport-free artifact shape; no float ever appears). Output:
+    * `(piece, freq)` — the selection order is the stated total order
+    * (global top-k plans as TakeOrdered, never an unpartitioned
+    * window; rank, when a caller needs it, is the driver-side sort of
+    * the k-bounded artifact — [[collectSubwordVocab]]).
+    *
+    * Scale shape: one corpus tokenize into the word-count table (the
+    * only corpus-scale shuffle), then substring candidates explode off
+    * DISTINCT words (Σ len·maxPieceLen per distinct word — vocabulary-
+    * bounded, never corpus-row) into one hash aggregate + one
+    * vocabSize-bounded TakeOrdered. */
+  def trainSubwordVocab(df: DataFrame, text: String, vocabSize: Int,
+                        maxPieceLen: Int = 4): DataFrame = {
+    require(vocabSize >= 1, s"bad vocabSize: $vocabSize")
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"bad maxPieceLen: $maxPieceLen")
+    val words = wordCounts(df, text)
+    val cand = words
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("cnt"), col("i"), explode(
+        sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("i") + 1)))
+        .as("l"))
+      .select(expr("substring(w, i, l)").as("piece"), col("cnt"))
+    cand.groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("piece")).limit(vocabSize)
+  }
+
+  /** [[trainSubwordVocab]] collected as the driver-side artifact
+    * [[wordPieceEncode]] consumes, in rank order (freq DESC, piece
+    * ASC — re-sorted driver-side over the k-bounded rows; the
+    * `sequence` guards hold because [[tokens]] never yields an empty
+    * word, so both sequence bounds are ≥ their starts). */
+  def collectSubwordVocab(df: DataFrame, text: String, vocabSize: Int,
+                          maxPieceLen: Int = 4): Seq[String] =
+    trainSubwordVocab(df, text, vocabSize, maxPieceLen)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, f) => (-f, p) }.map(_._1).toSeq
+
   /** Fertility A/B of the two subword APPLY paths on one corpus —
     * greedy longest-match ([[wordPieceEncode]]'s segmentation) vs the
     * trained BPE merges ([[bpeWordSegments]]): one row per encoder with

@@ -1399,6 +1399,80 @@ object StatefulOps {
       }
     }
 
+  /** CDC maintenance for the maxsim SQ8 PAIR index — the late-
+    * interaction twin of [[postingsMaintenanceWriter]], over the r13
+    * [[graft.ops.Similarity.saveMaxSimSq8Index]] lifecycle: each
+    * micro-batch carries commands `(id, vecs, op)` with `vecs` the
+    * doc's FULL token bag (`array<array<float>>` — one row per doc
+    * command, so multi-token docs never split across rows) and op ∈
+    * {"upsert", "delete"}; deletes tombstone BOTH tables through the
+    * one shared sidecar, upserts run
+    * [[graft.ops.Similarity.replaceInMaxSimSq8Index]] (replace ≡
+    * delete + append — new ids are a plain append, updated ids
+    * supersede), and after every batch the token table's dead share
+    * drives threshold compaction of the PAIR
+    * ([[graft.ops.Similarity.compactMaxSimSq8Index]] — both tables
+    * swap, serving identical across it). Multiple commands per id per
+    * batch collapse LAST-WRITER-WINS by `orderCol` with the
+    * deterministic (orderCol, op, vecs) tie-break; without `orderCol`
+    * the writer requires one command per id per batch, loudly.
+    * `onBatch(batchId, compacted)` reports the compaction. Serving
+    * reads go through [[graft.ops.Similarity.maxSimSearchSq8]] (live
+    * views + pair-consistency check) — and, standard cross-session
+    * semantics, a reader session other than the micro-batch's clone
+    * must `refreshTable` after maintenance batches. O(batch) per
+    * batch except the threshold-gated compaction. */
+  def maxSimMaintenanceWriter(stream: DataFrame, id: String,
+      vecs: String, op: String, table: String, buckets: Int,
+      lo: Array[Long], hi: Array[Long], scaleBits: Int = 12,
+      maxDeadBp: Long = 3000, orderCol: Option[String] = None)(
+      onBatch: (Long, Boolean) => Unit): DataStreamWriter[Row] = {
+    require(maxDeadBp >= 1 && maxDeadBp <= 10000,
+      s"maxDeadBp must be in [1, 10000], got $maxDeadBp")
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val bad = batch.filter(!col(op).isin("upsert", "delete"))
+        require(bad.isEmpty,
+          s"maxSimMaintenanceWriter: unknown op values " +
+            s"${bad.select(col(op)).distinct().collect().mkString(",")}")
+        val cmds = orderCol match {
+          case Some(oc) =>
+            batch.groupBy(col(id))
+              .agg(max_by(struct(col(vecs).as("__v"), col(op).as("__o")),
+                struct(col(oc), col(op), col(vecs))).as("__c"))
+              .select(col(id), col("__c.__v").as(vecs),
+                col("__c.__o").as(op))
+          case None =>
+            val dup = batch.groupBy(col(id)).agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1)
+            require(dup.isEmpty,
+              "maxSimMaintenanceWriter: multiple commands for id(s) " +
+                dup.select(col(id)).limit(5).collect().mkString(",") +
+                " in one micro-batch with no orderCol — pass orderCol " +
+                "so the batch can collapse to the latest command per id")
+            batch
+        }
+        val dels = cmds.filter(col(op) === "delete").select(col(id))
+        val ups = cmds.filter(col(op) === "upsert")
+          .select(col(id), explode(col(vecs)).as("__tok"))
+        if (!dels.isEmpty)
+          graft.ops.Similarity.deleteFromMaxSimSq8Index(spark, table,
+            dels, id)
+        if (!ups.isEmpty)
+          graft.ops.Similarity.replaceInMaxSimSq8Index(ups, id, "__tok",
+            table, buckets, lo, hi, scaleBits)
+        val (_, _, _, deadBp) = graft.io.IndexMaintenance
+          .tombstoneStats(spark, table, "doc_id")
+        val fire = deadBp >= maxDeadBp
+        if (fire)
+          graft.ops.Similarity.compactMaxSimSq8Index(spark, table,
+            buckets)
+        onBatch(bid, fire)
+      }
+    }
+  }
+
   /** Streaming activity-fingerprint maintenance — the ingest-time twin
     * of [[graft.ops.EventOps.activityFingerprint]]: each micro-batch's
     * (key, hour) count PARTIALS append to `countsTable` (counts are

@@ -1835,6 +1835,97 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("maxSimMaintenanceWriter: CDC upsert/delete with LWW collapse " +
+      "keeps serving == rebuild at every step; threshold compaction " +
+      "fires and is invisible") {
+    implicit val ctx = spark.sqlContext
+    import scala.collection.mutable
+    val bag1 = Seq(Seq(0.5f, 0.1f), Seq(0.2f, 0.3f))
+    val bag2 = Seq(Seq(0.1f, 0.6f), Seq(0.4f, 0.2f))
+    val bag2v2 = Seq(Seq(0.7f, 0.7f))
+    val bag9 = Seq(Seq(1f, 1f), Seq(0.9f, 1f))
+    val bag3a = Seq(Seq(0.3f, 0.3f))
+    val bag3b = Seq(Seq(0.6f, 0.05f))
+    val bag5 = Seq(Seq(0.05f, 0.8f))
+    val universe = (bag1 ++ bag2 ++ bag2v2 ++ bag9 ++ bag3a ++ bag3b ++
+      bag5).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "embedding")
+    val (lo, hi) = graft.ops.Similarity.trainSq8Bounds(universe,
+      "embedding")
+    val qt = Seq((0L, 0L, Seq(0.5f, 0.4f)), (0L, 1L, Seq(0.1f, 0.7f)))
+      .toDF("q_id", "q_tok", "embedding")
+    val state = mutable.LinkedHashMap.empty[Long, Seq[Seq[Float]]]
+    def want() = {
+      spark.sql("DROP TABLE IF EXISTS ms_ref2")
+      spark.sql("DROP TABLE IF EXISTS ms_ref2__pooled")
+      graft.ops.Similarity.saveMaxSimSq8Index(
+        state.toSeq.flatMap { case (d, bag) => bag.map(v => (d, v)) }
+          .toDF("doc_id", "embedding"),
+        "doc_id", "embedding", "ms_ref2", buckets = 4, lo, hi)
+      val out = graft.ops.Similarity.maxSimSearchSq8(spark, "ms_ref2",
+        qt, "q_id", "q_tok", "embedding", k = 2, kCand = 3, lo, hi)
+        .collect().map(_.toSeq).toSet
+      graft.ops.Caches.release(blocking = true)
+      out
+    }
+    def got() = {
+      Seq("ms_cdc", "ms_cdc__pooled", "ms_cdc__tombstones").foreach(t =>
+        if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t))
+      val out = graft.ops.Similarity.maxSimSearchSq8(spark, "ms_cdc",
+        qt, "q_id", "q_tok", "embedding", k = 2, kCand = 3, lo, hi)
+        .collect().map(_.toSeq).toSet
+      graft.ops.Caches.release(blocking = true)
+      out
+    }
+    try {
+      val in = MemoryStream[(Long, Seq[Seq[Float]], String, Long)]
+      var compactions = 0
+      val q = StatefulOps.maxSimMaintenanceWriter(
+          in.toDF().toDF("doc_id", "vecs", "op", "seq"), "doc_id",
+          "vecs", "op", "ms_cdc", buckets = 4, lo, hi,
+          maxDeadBp = 2000, orderCol = Some("seq")) { (_, c) =>
+        if (c) compactions += 1
+      }.start()
+      withQuery(q) {
+        // batch 1: three creations
+        in.addData((1L, bag1, "upsert", 10L), (2L, bag2, "upsert", 10L),
+          (9L, bag9, "upsert", 10L))
+        q.processAllAvailable()
+        state ++= Seq(1L -> bag1, 2L -> bag2, 9L -> bag9)
+        assert(got() == want(), "after batch 1")
+        // batch 2, every collision class: doc 9 upsert-then-DELETE
+        // (delete wins by seq); doc 2 delete-then-UPSERT (new bag
+        // wins); doc 3 two upserts TIED on seq (larger vecs wins by
+        // the deterministic tie-break); doc 5 plain create
+        in.addData(
+          (9L, bag9, "upsert", 20L), (9L, Seq.empty[Seq[Float]], "delete", 21L),
+          (2L, Seq.empty[Seq[Float]], "delete", 20L), (2L, bag2v2, "upsert", 21L),
+          (3L, bag3a, "upsert", 20L), (3L, bag3b, "upsert", 20L),
+          (5L, bag5, "upsert", 20L))
+        q.processAllAvailable()
+        state -= 9L
+        state(2L) = bag2v2
+        state(3L) = bag3b // (0.6,0.05) > (0.3,0.3) lexicographically
+        state(5L) = bag5
+        assert(got() == want(), "after batch 2")
+        // batch 3: one more delete — drives the dead share over the
+        // threshold if batch 2's compaction already reset it
+        in.addData((5L, Seq.empty[Seq[Float]], "delete", 30L))
+        q.processAllAvailable()
+        state -= 5L
+        assert(got() == want(), "after batch 3")
+      }
+      assert(compactions >= 1, "threshold compaction never fired")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("ms_cdc", "ms_cdc__pooled", "ms_cdc__tombstones",
+        "ms_cdc__compact", "ms_cdc__precompact",
+        "ms_cdc__pooled__compact", "ms_cdc__pooled__precompact",
+        "ms_ref2", "ms_ref2__pooled").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("activityFingerprintWriter: wired compaction bounds the " +
       "partials table; streamed == batch at every prefix including " +
       "compaction batches") {
