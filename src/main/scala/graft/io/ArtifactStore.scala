@@ -94,6 +94,28 @@ object ArtifactStore {
     rows.sortBy(_._1).map(r => (r._2, r._3)).toSeq
   }
 
+  /** Save an ORDERED word/piece list (the greedy-subword vocabulary
+    * artifact — list order IS the rank semantics, like the merge
+    * list's step order) as `(artifact, i, w)` rows. */
+  def saveWordList(spark: SparkSession, dir: String, name: String,
+                   words: Seq[String]): Unit = {
+    import spark.implicits._
+    require(words.nonEmpty, s"word list '$name' must be non-empty")
+    words.zipWithIndex.map { case (w, i) => (name, i, w) }
+      .toDF("artifact", "i", "w")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+  }
+
+  def loadWordList(spark: SparkSession, dir: String,
+                   name: String): Seq[String] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/$name.parquet")
+      .select("i", "w").as[(Int, String)].collect()
+    require(rows.nonEmpty, s"word list '$name' is empty")
+    rows.sortBy(_._1).map(_._2).toSeq
+  }
+
   /** Save a COST-WEIGHTED string-pair list (the n-gram LM artifact:
     * `(w1, w2, cost)` rows plus the OOV cost) as the two existing
     * shapes — a merges-style key table ordered by row index and a

@@ -2237,6 +2237,25 @@ object Similarity {
         hi, scaleBits)
         .select(col("q_id"), col("neighbor_id").as("c_id"))
 
+  /** [[ivfSq8Candidates]] off a PERSISTED [[saveIvfSq8Index]] table —
+    * the serving-side generator: the composition's corpus argument is
+    * IGNORED (the maintained index IS the corpus — live rows via
+    * [[loadIvfSq8Index]], bucket pruning intact), so [[refineTopK]]
+    * and [[bitextMineTopKAnn]] nominate against a sunk artifact with
+    * zero index-side shuffle. The caller passes the SAME trained
+    * artifacts (centroids, bounds) the index was built with —
+    * [[graft.io.ArtifactStore]] persists them alongside. */
+  def ivfSq8CandidatesFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                table: String, id: String, vec: String,
+                                candidates: Int, cent: DataFrame,
+                                nProbe: Int, lo: Array[Long],
+                                hi: Array[Long],
+                                scaleBits: Int = 12): CandidateGen =
+    (queries, _) =>
+      ivfSq8Search(loadIvfSq8Index(spark, table), queries, id, vec,
+        candidates, cent, nProbe, lo, hi, scaleBits)
+        .select(col("q_id"), col("neighbor_id").as("c_id"))
+
   /** Exact float cosine over candidate pairs — the full-precision
     * refiner ending every composition that must agree with
     * [[cosineTopK]] on its survivors. */

@@ -1280,6 +1280,32 @@ class SimilaritySpec extends SparkSpec {
         s"ranks not contiguous for $a: ${g.toSeq}")
     }
     assert(narrow.forall(r => r._5 > 0.0 && r._5 <= 2.0))
+    // serving form: generators off PERSISTED IVF-SQ8 indexes (one per
+    // direction's corpus — fwd nominates against the tgt index, bwd
+    // against the src index) must reproduce the in-query composition
+    // bit for bit over the same corpora and trained artifacts
+    try {
+      Similarity.saveIvfSq8Index(tgt, "vec_id", "embedding", cent, lo,
+        hi, "bx_tgt_idx", buckets = 4)
+      Similarity.saveIvfSq8Index(src, "vec_id", "embedding", cent, lo,
+        hi, "bx_src_idx", buckets = 4)
+      val fwdIdx = Similarity.ivfSq8CandidatesFromIndex(spark,
+        "bx_tgt_idx", "vec_id", "embedding", candidates = 10, cent,
+        nProbe = 2, lo, hi)
+      val bwdIdx = Similarity.ivfSq8CandidatesFromIndex(spark,
+        "bx_src_idx", "vec_id", "embedding", candidates = 10, cent,
+        nProbe = 2, lo, hi)
+      val served = Similarity.bitextMineTopKAnn(src, tgt, "vec_id",
+          "embedding", k = 3, kNbr = 3, fwdIdx, bwdIdx)
+        .as[(Long, Int, Long, Double, Double)].collect().toSet
+      assert(served == brute && served.nonEmpty,
+        s"from-index: $served\nbrute: $brute")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("bx_tgt_idx", "bx_src_idx", "bx_tgt_idx__tombstones",
+        "bx_src_idx__tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("densePrfIvfTopK: on-bounds fixture with all cells probed " +

@@ -61,6 +61,24 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("word-list (subword vocab) artifact roundtrips in ORDER and " +
+      "encodes identically after reload") {
+    val dir = tmp
+    val docs = Seq((1L, "abab ab ba")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.collectSubwordVocab(docs, "text",
+      vocabSize = 4, maxPieceLen = 2)
+    ArtifactStore.saveWordList(spark, dir, "wp_vocab", vocab)
+    val reloaded = ArtifactStore.loadWordList(spark, dir, "wp_vocab")
+    assert(reloaded == vocab && vocab.nonEmpty,
+      s"order lost: $reloaded vs $vocab")
+    val fresh = TextAnalysis.wordPieceEncode(docs, "doc_id", "text", vocab)
+      .collect().map(_.toString).sorted.toSeq
+    val loaded = TextAnalysis.wordPieceEncode(docs, "doc_id", "text",
+        reloaded)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fresh == loaded && fresh.nonEmpty)
+  }
+
   test("pair-cost (n-gram LM) artifact roundtrips and scores identically") {
     val dir = tmp
     val train = Seq((1L, "a b a b c a b")).toDF("doc_id", "text")
