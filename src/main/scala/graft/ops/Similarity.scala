@@ -109,11 +109,10 @@ object Similarity {
     * Scale shape: two brute top-k passes (src→tgt and tgt→src — each
     * side broadcasts once, so BOTH sides are bounded by the guardrail;
     * at corpus scale use [[bitextMineTopKAnn]] — ANN nomination +
-    * exact rescore, recall-evaluated the q227 way). The fwd pass is
-    * persisted (feeds the mass aggregate AND the candidate join); the
-    * bwd pass has a SINGLE consumer (its mass aggregate), where a
-    * persist is one materialization + read-back for nothing — left
-    * unpersisted by the persist-pays rule. Everything after is
+    * exact rescore, recall-evaluated the q227 way). BOTH passes are
+    * persisted: fwd feeds two consumers; bwd only one, but the r13
+    * BenchAB kept its persist by measurement (see the inline note).
+    * Everything after is
     * |src|·kNbr-bounded. Ids of the two sides may overlap freely — no
     * self-exclusion applies across corpora (mining x against a tgt
     * copy of itself is [[mutualKnnPairs]]' job, not this one). */
@@ -137,12 +136,19 @@ object Similarity {
           cosine(col("a_vec"), col("b_vec"), col("a_norm"),
             col("b_norm")).as("cos")),
       kNbr).persist())
-    val bwd = topKMerge(
+    // bwd has a SINGLE consumer (its mass aggregate), where the
+    // persist-pays rule predicts dead weight — but the r13 BenchAB
+    // measured the persisted form consistently FASTER (paired +0.13 s
+    // of 0.93 s at sf0.1, positive in every interleaved round): the
+    // materialized kNbr-bounded top-k table is tiny, and the margin
+    // join plans better off it than off the inlined shuffle+mapGroups
+    // chain. Measurement beats the rule; it stays persisted.
+    val bwd = Caches.track(topKMerge(
       a.join(broadcast(b), lit(true))
         .select(col("b_id").as("q_id"), col("a_id").as("c_id"),
           cosine(col("a_vec"), col("b_vec"), col("a_norm"),
             col("b_norm")).as("cos")),
-      kNbr)
+      kNbr).persist())
     bitextMarginChain(fwd, bwd, k)
   }
 
@@ -151,8 +157,8 @@ object Similarity {
     * by src (`q_id` = a, `neighbor_id` = b), `bwd` keyed by tgt. All
     * int64 until ONE final division (see [[bitextMineTopK]]'s
     * determinism note); masses normalized by each side's actual
-    * neighbor count. `fwd` is consumed twice (mass aggregate +
-    * candidate join) — callers persist it; `bwd` once — they don't. */
+    * neighbor count. Callers persist both inputs (fwd: two consumers;
+    * bwd: one, kept persisted by the r13 BenchAB measurement). */
   private[graft] def bitextMarginChain(fwd: DataFrame, bwd: DataFrame,
                                        k: Int): DataFrame = {
     def shifted(c: Column): Column =
@@ -206,7 +212,8 @@ object Similarity {
     val scorer = exactCosineScorer(id, vec)
     val fwd = Caches.track(
       topKMerge(scorer(fwdGen(src, tgt), src, tgt), kNbr).persist())
-    val bwd = topKMerge(scorer(bwdGen(tgt, src), tgt, src), kNbr)
+    val bwd = Caches.track(
+      topKMerge(scorer(bwdGen(tgt, src), tgt, src), kNbr).persist())
     bitextMarginChain(fwd, bwd, k)
   }
 
