@@ -2251,6 +2251,51 @@ object Queries {
            FROM j GROUP BY 1"""
     }))
 
+  /** Min-K% Prob membership signal (TextAnalysis.minKProbScore over
+    * the q123 trained bigram LM, k = 20%): per doc the integer mean of
+    * its 20% highest-cost bigrams — members of the training set score
+    * LOW (their worst tokens are un-surprising). Oracle inlines the
+    * trained costs as VALUES (q123 transport) and replays the
+    * deterministic selection: row_number by (cost DESC, position),
+    * cut m = max(1, (20·n) div 100), one floor division. */
+  private val q237 = QDef("q237_mink_prob",
+    (s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      TextAnalysis.minKProbScore(docs(s, d), "doc_id", "text", costs,
+        oov, kPct = 20)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (costs, oov) = trainedLm(s, d)
+      def esc(x: String) = x.replace("'", "''")
+      val rows = costs
+        .map { case (a, b, c) => s"('${esc(a)}', '${esc(b)}', $c)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           bg AS (SELECT doc_id, wpos, ws[wpos] AS w1, ws[wpos + 1] AS w2
+                  FROM dt, UNNEST(range(1, len(ws))) AS t(wpos)),
+           c(w1, w2, cost) AS (VALUES $rows),
+           j AS (SELECT doc_id, wpos, COALESCE(c.cost, $oov) AS cost
+                 FROM bg LEFT JOIN c USING (w1, w2)),
+           r AS (SELECT doc_id, cost,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cost DESC, wpos) AS rn,
+                   count(1) OVER (PARTITION BY doc_id) AS n
+                 FROM j),
+           g AS (SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_ngrams,
+                   CAST(greatest(1, (20 * max(n)) // 100) AS BIGINT)
+                     AS k_ngrams,
+                   CAST(sum(CASE WHEN rn <= greatest(1, (20 * n) // 100)
+                     THEN cost END) AS BIGINT) AS topk_cost
+                 FROM r GROUP BY 1)
+           SELECT doc_id, n_ngrams, k_ngrams, topk_cost,
+                  CAST(topk_cost // k_ngrams AS BIGINT) AS mink_cost_q
+           FROM g"""
+    }))
+
   /** Video near-dup families (Multimodal.videoFingerprint →
     * videoNearDupPairs → Dedup.dedupClusters) — the last corner of the
     * text/image/audio/video near-dup matrix: REAL container parse →
@@ -9027,7 +9072,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -3759,6 +3759,59 @@ object TextAnalysis {
       .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
   }
 
+  /** Min-K% Prob membership / contamination signal (Shi et al. 2024,
+    * "Detecting Pretraining Data from Large Language Models" — the
+    * standard black-box test for "was this document in the training
+    * set"): a member document's WORST tokens are anomalously
+    * un-surprising, so score each doc by the mean cost of its k%
+    * HIGHEST-cost bigrams under the trained LM (cost = the q123
+    * integer −log₂p grid; averaging the k% lowest probabilities ≡
+    * averaging the k% highest costs) — members score LOW, novel text
+    * scores high. The eval-side complement of the q80/q218 ingest
+    * gates: those stop contamination going IN, this detects what
+    * already leaked.
+    *
+    * All int64: per-bigram costs are the trained artifact's integers
+    * (OOV included), the selection is deterministic (cost DESC, then
+    * bigram position ASC — ties cannot change the sum), the cut is
+    * `m = max(1, (kPct·n) div 100)`, and the final mean is one floor
+    * division of non-negative int64s. `kPct = 100` degenerates to
+    * [[bigramLmScore]]'s average (spec-pinned). Docs with no bigram
+    * drop, like [[bigramLmScore]]. Output:
+    * `(id, n_ngrams, k_ngrams, topk_cost, mink_cost_q)`.
+    *
+    * Scale shape: one bigram explode + ONE broadcast dictionary join,
+    * one per-doc window (key-partitioned, the sanctioned shape), one
+    * groupBy — corpus tokenized once. */
+  def minKProbScore(df: DataFrame, id: String, text: String,
+                    costs: Seq[(String, String, Long)], oovCost: Long,
+                    kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"kPct must be in [1,100]: $kPct")
+    require(costs.nonEmpty, "minKProbScore: empty model")
+    val dict = lmCostDict(df.sparkSession, costs)
+    val tokC = df
+      .select(col(id), posexplode(bigramPairs(col(text)))
+        .as(Seq("__p", "__b")))
+      .select(col(id), col("__p"), col("__b.w1").as("w1"),
+        col("__b.w2").as("w2"))
+      .join(broadcast(dict), Seq("w1", "w2"), "left")
+      .select(col(id), col("__p"),
+        coalesce(col("cost"), lit(oovCost)).as("__c"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__c").desc, col("__p"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+    tokC.withColumn("__rn", row_number().over(wSel))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__m",
+        greatest(lit(1L), expr(s"(cast($kPct as bigint) * __n) div 100")))
+      .groupBy(col(id))
+      .agg(max(col("__n")).as("n_ngrams"),
+        max(col("__m")).as("k_ngrams"),
+        sum(when(col("__rn") <= col("__m"), col("__c"))).as("topk_cost"))
+      .withColumn("mink_cost_q", expr("topk_cost div k_ngrams"))
+  }
+
   /** Stupid-backoff trigram LM training — the next rung above
     * [[trainBigramLm]] on the KenLM ladder (real CCNet runs a 5-gram
     * with backoff; the structural move from "conditional bigram
