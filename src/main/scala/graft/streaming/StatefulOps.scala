@@ -1399,6 +1399,22 @@ object StatefulOps {
       }
     }
 
+  /** Min-K% Prob scoring at ingest — the streaming twin of
+    * [[graft.ops.TextAnalysis.minKProbScore]] (the q112/q123 writer
+    * posture): the trained LM is a SUNK artifact, each micro-batch's
+    * documents score independently (the per-doc window sees whole docs
+    * in single rows, so batch parity holds by construction) — the
+    * membership/leak alarm wired where documents arrive. */
+  def minKProbWriter(stream: DataFrame, id: String, text: String,
+      costs: Seq[(String, String, Long)], oovCost: Long,
+      kPct: Int = 20)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.minKProbScore(batch, id, text,
+          costs, oovCost, kPct), bid)
+    }
+
   /** CDC maintenance for the maxsim SQ8 PAIR index — the late-
     * interaction twin of [[postingsMaintenanceWriter]], over the r13
     * [[graft.ops.Similarity.saveMaxSimSq8Index]] lifecycle: each

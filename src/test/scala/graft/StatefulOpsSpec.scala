@@ -1835,6 +1835,27 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("minKProbWriter: streamed scores equal batch") {
+    implicit val ctx = spark.sqlContext
+    val costs = Seq(("a", "b", 10L), ("b", "a", 100L))
+    val docs = Seq((1L, "a b a b x"), (2L, "a b a b a"), (3L, "a b"))
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.minKProbWriter(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", costs,
+        oovCost = 500L, kPct = 50) {
+      (out, _) => buf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    }
+    val want = graft.ops.TextAnalysis.minKProbScore(
+        docs.toDF("doc_id", "text"), "doc_id", "text", costs, 500L, 50)
+      .collect().map(_.toSeq).toSet
+    assert(buf.toSet == want && want.size == 3)
+  }
+
   test("maxSimMaintenanceWriter: CDC upsert/delete with LWW collapse " +
       "keeps serving == rebuild at every step; threshold compaction " +
       "fires and is invisible") {
