@@ -1969,6 +1969,77 @@ object Queries {
             FROM ex LEFT JOIN tr ON ex.q_id = tr.q_id AND ex.c_id = tr.c_id
             GROUP BY 1"""), bench = true)
 
+  /** Kendall-tau rank agreement (Similarity.rankAgreement) between the
+    * full-dimension and 16-dim-prefix cosine rankings — the ORDER
+    * complement of q117's set recall (two rankers can return the same
+    * items and fully invert them). Exact integer concordant/discordant
+    * pair counts over the shared top-5 items; tau = one final division
+    * of identical int64s, round 4. Oracle composes q117's two ranking
+    * chains with the pairwise-concordance SQL. */
+  private val q238 = QDef("q238_rank_agreement",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val full = Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 5)
+      val tr = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val qTr = tr.filter(col("vec_id") % 10 === 0)
+      val trunc = Similarity.cosineTopK(qTr, tr, "vec_id", "embedding",
+        k = 5)
+      Similarity.rankAgreement(full, trunc, "q_id", "neighbor_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm,
+                sqrt(list_sum(list_transform(range(1, 17),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS tnrm
+              FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+            scf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                list_sum(list_transform(range(1, len(q.vec) + 1),
+                  i -> CAST(q.vec[i] AS DOUBLE) * c.vec[i])) / (q.nrm * c.nrm)
+                  AS cos
+              FROM q, v c WHERE q.vec_id <> c.vec_id),
+            fa AS MATERIALIZED (SELECT q_id, c_id, rn FROM (
+                SELECT q_id, c_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                FROM scf) WHERE rn <= 5),
+            sct AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                list_sum(list_transform(range(1, 17),
+                  i -> CAST(q.vec[i] AS DOUBLE) * c.vec[i])) /
+                  (q.tnrm * c.tnrm) AS cos
+              FROM q, v c WHERE q.vec_id <> c.vec_id),
+            fb AS MATERIALIZED (SELECT q_id, c_id, rn FROM (
+                SELECT q_id, c_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                FROM sct) WHERE rn <= 5),
+            na AS (SELECT q_id, CAST(count(1) AS BIGINT) AS n_a
+              FROM fa GROUP BY 1),
+            nb AS (SELECT q_id, CAST(count(1) AS BIGINT) AS n_b
+              FROM fb GROUP BY 1),
+            sh AS MATERIALIZED (SELECT fa.q_id, fa.c_id, fa.rn AS ra,
+                fb.rn AS rb
+              FROM fa JOIN fb USING (q_id, c_id)),
+            ns AS (SELECT q_id, CAST(count(1) AS BIGINT) AS n_shared
+              FROM sh GROUP BY 1),
+            pr AS (SELECT x.q_id,
+                CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+              FROM sh x JOIN sh y ON x.q_id = y.q_id AND x.c_id < y.c_id
+              GROUP BY 1)
+            SELECT na.q_id, n_a, n_b,
+                   COALESCE(n_shared, 0) AS n_shared,
+                   COALESCE(c, 0) AS concordant,
+                   COALESCE(d, 0) AS discordant,
+                   round(CAST(COALESCE(c, 0) - COALESCE(d, 0) AS DOUBLE)
+                     / greatest(COALESCE(c, 0) + COALESCE(d, 0), 1), 4)
+                     AS tau
+            FROM na JOIN nb USING (q_id) LEFT JOIN ns USING (q_id)
+            LEFT JOIN pr USING (q_id)"""),
+    bench = true)
+
   /** Token-budget mixture plan (Sampling.tokenBudgetPlan): per stratum,
     * available vs recipe-target vs granted tokens, epoch pressure in
     * basis points, and the unmet deficit — the exact integer arithmetic
@@ -9072,7 +9143,7 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1115,6 +1115,60 @@ object Similarity {
       .select(col(qId), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
 
+  /** Rank agreement between two retrieval systems' top-k tables —
+    * Kendall's tau over the SHARED items (the rank-correlation eval
+    * beside [[topKRecall]]'s set overlap: recall says the systems
+    * return the same items, tau says they ORDER them the same way —
+    * two rankers can agree on membership and fully invert the order).
+    * Inputs are [[topKMerge]]-shaped `(qId, rank, nId, …)` tables.
+    * Per query: both sides' sizes, the shared-item count, exact
+    * concordant/discordant pair counts over shared items (ranks are
+    * unique within a ranking, so no tie terms exist), and
+    * `tau = (C − D) / max(C + D, 1)` as ONE final division of
+    * identical int64s (the q229 discipline — never integer-divide a
+    * possibly-negative numerator, where Spark truncates and DuckDB
+    * floors), rounded to 4. Queries with < 2 shared items report
+    * C = D = 0, tau 0.
+    *
+    * Shape: result-table-bounded — two tiny groupBys, one (q, item)
+    * equi-join, one per-query k²-bounded pair self-join; the corpus is
+    * never touched. Output:
+    * `(q_id, n_a, n_b, n_shared, concordant, discordant, tau)`. */
+  def rankAgreement(a: DataFrame, b: DataFrame, qId: String,
+                    nId: String): DataFrame = {
+    val ra = a.select(col(qId).as("q_id"), col(nId).as("__i"),
+      col("rank").as("__ra"))
+    val rb = b.select(col(qId).as("q_id"), col(nId).as("__i"),
+      col("rank").as("__rb"))
+    val na = ra.groupBy(col("q_id")).agg(count(lit(1)).as("n_a"))
+    val nb = rb.groupBy(col("q_id")).agg(count(lit(1)).as("n_b"))
+    val shared = ra.join(rb, Seq("q_id", "__i"))
+    val ns = shared.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val x = shared.select(col("q_id"), col("__i").as("i1"),
+      col("__ra").as("ra1"), col("__rb").as("rb1"))
+    val y = shared.select(col("q_id"), col("__i").as("i2"),
+      col("__ra").as("ra2"), col("__rb").as("rb2"))
+    val pr = x.join(y, Seq("q_id"))
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when((col("ra1") - col("ra2")) * (col("rb1") - col("rb2"))
+          > 0, 1L).otherwise(0L)).as("__c"),
+        sum(when((col("ra1") - col("ra2")) * (col("rb1") - col("rb2"))
+          < 0, 1L).otherwise(0L)).as("__d"))
+    na.join(nb, Seq("q_id"))
+      .join(ns, Seq("q_id"), "left")
+      .join(pr, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("__c"), lit(0L)).as("concordant"),
+        coalesce(col("__d"), lit(0L)).as("discordant"))
+      .withColumn("tau",
+        round((col("concordant") - col("discordant")).cast("double") /
+          greatest(col("concordant") + col("discordant"), lit(1L)), 4))
+  }
+
   /** Distributed Gram (second-moment) matrix over an embedding column —
     * the primitive behind covariance estimation, whitening, and PCA
     * diagnostics of an embedding corpus. Vectors are first quantized to

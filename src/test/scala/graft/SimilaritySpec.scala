@@ -1130,6 +1130,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rankAgreement: hand-computed Kendall tau — identical, " +
+      "inverted, partial-overlap and disjoint rankings") {
+    def topk(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("q_id", "rank", "neighbor_id")
+    // q1: identical order on items 1..3 → C=3, D=0, tau 1.0
+    // q2: fully inverted (1,2,3) vs (3,2,1) → C=0, D=3, tau -1.0
+    // q3: partial overlap {1,2} of a={1,2,9}, b={2,1,8}: shared ranks
+    //     a(1)=1,a(2)=2 vs b(1)=2,b(2)=1 → one discordant pair, tau -1
+    // q4: disjoint item sets → n_shared 0, zero pairs, tau 0
+    val a = topk(Seq(
+      (1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L),
+      (2L, 1, 1L), (2L, 2, 2L), (2L, 3, 3L),
+      (3L, 1, 1L), (3L, 2, 2L), (3L, 3, 9L),
+      (4L, 1, 1L), (4L, 2, 2L)))
+    val b = topk(Seq(
+      (1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L),
+      (2L, 1, 3L), (2L, 2, 2L), (2L, 3, 1L),
+      (3L, 1, 2L), (3L, 2, 1L), (3L, 3, 8L),
+      (4L, 1, 7L), (4L, 2, 8L)))
+    val out = Similarity.rankAgreement(a, b, "q_id", "neighbor_id")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(1L) == ((3L, 3L, 3L, 3L, 0L, 1.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 3L, 3L, 0L, 3L, -1.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 3L, 2L, 0L, 1L, -1.0)), s"got ${out(3L)}")
+    assert(out(4L) == ((2L, 2L, 0L, 0L, 0L, 0.0)), s"got ${out(4L)}")
+  }
+
   test("densePrfTopK: hand-computed Rocchio rerank, exact integers") {
     // m: c1=(3686,409) c2=(3276,819) c3=(409,3686) c4=(0,4096); q=(4096,0)
     // round1 dots: c1 15097856, c2 13418496, c3 1675264, c4 0 -> fb {c1,c2}
