@@ -2029,14 +2029,14 @@ object Queries {
                   THEN 1 ELSE 0 END) AS BIGINT) AS d
               FROM sh x JOIN sh y ON x.q_id = y.q_id AND x.c_id < y.c_id
               GROUP BY 1)
-            SELECT na.q_id, n_a, n_b,
+            SELECT q_id, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
                    COALESCE(n_shared, 0) AS n_shared,
                    COALESCE(c, 0) AS concordant,
                    COALESCE(d, 0) AS discordant,
                    round(CAST(COALESCE(c, 0) - COALESCE(d, 0) AS DOUBLE)
                      / greatest(COALESCE(c, 0) + COALESCE(d, 0), 1), 4)
                      AS tau
-            FROM na JOIN nb USING (q_id) LEFT JOIN ns USING (q_id)
+            FROM na FULL JOIN nb USING (q_id) LEFT JOIN ns USING (q_id)
             LEFT JOIN pr USING (q_id)"""),
     bench = true)
 

@@ -75,6 +75,14 @@ object GreedyPiecesExpr {
       m
     }
 
+    /** Candidates and the fallback step on CODE-POINT boundaries (r13
+      * advice): a candidate ending between a surrogate pair's halves is
+      * skipped (it cannot be a real vocabulary piece, and matching it
+      * would emit an invalid half), and the no-match fallback emits the
+      * full code point — `Character.charCount` chars — so non-BMP text
+      * (emoji, supplementary CJK) segments into valid strings with the
+      * same cursor semantics as the DuckDB oracle's code-point
+      * substr()/length(). */
     def split(text: UTF8String): ArrayData = {
       val w = text.toString
       val out = new java.util.ArrayList[AnyRef]()
@@ -83,10 +91,16 @@ object GreedyPiecesExpr {
         var l = math.min(maxLen, w.length - i)
         var piece: String = null
         while (piece == null && l >= 1) {
-          val cand = w.substring(i, i + l)
-          if (set.contains(cand)) piece = cand else l -= 1
+          val splitsPair = Character.isHighSurrogate(w.charAt(i + l - 1)) &&
+            i + l < w.length && Character.isLowSurrogate(w.charAt(i + l))
+          if (!splitsPair) {
+            val cand = w.substring(i, i + l)
+            if (set.contains(cand)) piece = cand
+          }
+          if (piece == null) l -= 1
         }
-        if (piece == null) piece = w.substring(i, i + 1)
+        if (piece == null)
+          piece = w.substring(i, i + Character.charCount(w.codePointAt(i)))
         out.add(UTF8String.fromString(piece))
         i += piece.length
       }

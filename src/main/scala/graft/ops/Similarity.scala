@@ -1128,7 +1128,11 @@ object Similarity {
     * identical int64s (the q229 discipline — never integer-divide a
     * possibly-negative numerator, where Spark truncates and DuckDB
     * floors), rounded to 4. Queries with < 2 shared items report
-    * C = D = 0, tau 0.
+    * C = D = 0, tau 0. A query present in only ONE system's table is
+    * REPORTED (other side's size coalesced to 0, n_shared 0) rather
+    * than dropped — the n_a/n_b columns exist precisely to audit that
+    * asymmetry (r13 advice: the old inner join hid one-sided queries
+    * entirely).
     *
     * Shape: result-table-bounded — two tiny groupBys, one (q, item)
     * equi-join, one per-query k²-bounded pair self-join; the corpus is
@@ -1157,10 +1161,11 @@ object Similarity {
           > 0, 1L).otherwise(0L)).as("__c"),
         sum(when((col("ra1") - col("ra2")) * (col("rb1") - col("rb2"))
           < 0, 1L).otherwise(0L)).as("__d"))
-    na.join(nb, Seq("q_id"))
+    na.join(nb, Seq("q_id"), "full_outer")
       .join(ns, Seq("q_id"), "left")
       .join(pr, Seq("q_id"), "left")
-      .select(col("q_id"), col("n_a"), col("n_b"),
+      .select(col("q_id"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         coalesce(col("__c"), lit(0L)).as("concordant"),
         coalesce(col("__d"), lit(0L)).as("discordant"))

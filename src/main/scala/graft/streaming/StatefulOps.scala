@@ -1358,7 +1358,11 @@ object StatefulOps {
     stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
-        val bad = batch.filter(!col(op).isin("upsert", "delete"))
+        // NULL must be caught explicitly: three-valued logic drops NULL
+        // rows from a bare !isin filter, silently ignoring the command
+        // (r13 advice)
+        val bad = batch.filter(col(op).isNull ||
+          !col(op).isin("upsert", "delete"))
         require(bad.isEmpty,
           s"postingsMaintenanceWriter: unknown op values " +
             s"${bad.select(col(op)).distinct().collect().mkString(",")}")
@@ -1387,14 +1391,20 @@ object StatefulOps {
         val dels = cmds.filter(col(op) === "delete").select(col(id))
         val ups = cmds.filter(col(op) === "upsert")
           .select(col(id), col(text))
-        if (!dels.isEmpty)
+        // Deletes before the index exists are no-ops (nothing indexed
+        // to hide) — running them would write an orphan sidecar and
+        // the stats probe below would throw on the missing table,
+        // failing the stream on a legal delete-only first batch (r13
+        // advice).
+        if (!dels.isEmpty && spark.catalog.tableExists(table))
           graft.ops.TextAnalysis.deleteFromPostingsIndex(spark, table,
             dels, id)
         if (!ups.isEmpty)
           graft.ops.TextAnalysis.replaceInPostingsIndex(ups, id, text,
             table, buckets)
-        val compacted = graft.io.IndexMaintenance.compactIfNeeded(spark,
-          table, "term", buckets, "doc", maxDeadBp)
+        val compacted = spark.catalog.tableExists(table) &&
+          graft.io.IndexMaintenance.compactIfNeeded(spark,
+            table, "term", buckets, "doc", maxDeadBp)
         onBatch(bid, compacted)
       }
     }
@@ -1448,10 +1458,26 @@ object StatefulOps {
     stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
-        val bad = batch.filter(!col(op).isin("upsert", "delete"))
+        // NULL ops must be caught explicitly (three-valued logic drops
+        // them from a bare !isin — the postingsMaintenanceWriter gap
+        // repeated here, r13 advice)
+        val bad = batch.filter(col(op).isNull ||
+          !col(op).isin("upsert", "delete"))
         require(bad.isEmpty,
           s"maxSimMaintenanceWriter: unknown op values " +
             s"${bad.select(col(op)).distinct().collect().mkString(",")}")
+        // an upsert with no token vectors would VANISH in the explode
+        // below — neither replacing nor deleting, stale rows keep
+        // serving. A delete is spelled "delete"; reject the ambiguity
+        // loudly (r13 advice).
+        val emptyUps = batch.filter(col(op) === "upsert" &&
+          (col(vecs).isNull || size(col(vecs)) === 0))
+        require(emptyUps.isEmpty,
+          "maxSimMaintenanceWriter: upsert with an empty/NULL token " +
+            "bag for id(s) " +
+            emptyUps.select(col(id)).limit(5).collect().mkString(",") +
+            " — an upsert must carry the doc's full token bag; spell " +
+            "a removal as op = 'delete'")
         val cmds = orderCol match {
           case Some(oc) =>
             batch.groupBy(col(id))
@@ -1472,15 +1498,21 @@ object StatefulOps {
         val dels = cmds.filter(col(op) === "delete").select(col(id))
         val ups = cmds.filter(col(op) === "upsert")
           .select(col(id), explode(col(vecs)).as("__tok"))
-        if (!dels.isEmpty)
+        // deletes before the pair exists are no-ops — running them
+        // would leave an orphan sidecar and the dead-share probe would
+        // throw on the missing token table, failing the stream on a
+        // legal delete-only first batch (r13 advice)
+        if (!dels.isEmpty && spark.catalog.tableExists(table))
           graft.ops.Similarity.deleteFromMaxSimSq8Index(spark, table,
             dels, id)
         if (!ups.isEmpty)
           graft.ops.Similarity.replaceInMaxSimSq8Index(ups, id, "__tok",
             table, buckets, lo, hi, scaleBits)
-        val (_, _, _, deadBp) = graft.io.IndexMaintenance
-          .tombstoneStats(spark, table, "doc_id")
-        val fire = deadBp >= maxDeadBp
+        val fire = spark.catalog.tableExists(table) && {
+          val (_, _, _, deadBp) = graft.io.IndexMaintenance
+            .tombstoneStats(spark, table, "doc_id")
+          deadBp >= maxDeadBp
+        }
         if (fire)
           graft.ops.Similarity.compactMaxSimSq8Index(spark, table,
             buckets)

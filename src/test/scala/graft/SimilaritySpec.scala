@@ -723,7 +723,7 @@ class SimilaritySpec extends SparkSpec {
       graft.io.IndexMaintenance.compact(spark, "ivfsq8_maint", "cell", 4,
         "c_id")
       assert(spark.table("ivfsq8_maint").count() == live)
-      assert(!spark.catalog.tableExists("ivfsq8_maint__tombstones"))
+      assertSidecarClean("ivfsq8_maint")
       assert(run(Similarity.loadIvfSq8Index(spark, "ivfsq8_maint")) == want)
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivfsq8_maint")
@@ -1111,7 +1111,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.compactMaxSimSq8Index(spark, "ms_idx", buckets = 4)
       assert(serve("ms_idx", 2, 2) == wantAfterDelete,
         "serving changed across compaction")
-      assert(!spark.catalog.tableExists("ms_idx__tombstones"))
+      assertSidecarClean("ms_idx")
       assert(spark.table("ms_idx__pooled").count() == 3L)
       // drift guard: a pooled-only row (single-table maintenance, the
       // r12 footgun) must be REFUSED at serve time
@@ -1139,23 +1139,31 @@ class SimilaritySpec extends SparkSpec {
     // q3: partial overlap {1,2} of a={1,2,9}, b={2,1,8}: shared ranks
     //     a(1)=1,a(2)=2 vs b(1)=2,b(2)=1 → one discordant pair, tau -1
     // q4: disjoint item sets → n_shared 0, zero pairs, tau 0
+    // q5/q6: present in only ONE system — REPORTED with the other
+    //        side's size 0, never dropped (r13 advice: the old inner
+    //        join hid exactly the asymmetry n_a/n_b exist to audit)
     val a = topk(Seq(
       (1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L),
       (2L, 1, 1L), (2L, 2, 2L), (2L, 3, 3L),
       (3L, 1, 1L), (3L, 2, 2L), (3L, 3, 9L),
-      (4L, 1, 1L), (4L, 2, 2L)))
+      (4L, 1, 1L), (4L, 2, 2L),
+      (5L, 1, 1L), (5L, 2, 2L)))
     val b = topk(Seq(
       (1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L),
       (2L, 1, 3L), (2L, 2, 2L), (2L, 3, 1L),
       (3L, 1, 2L), (3L, 2, 1L), (3L, 3, 8L),
-      (4L, 1, 7L), (4L, 2, 8L)))
+      (4L, 1, 7L), (4L, 2, 8L),
+      (6L, 1, 1L)))
     val out = Similarity.rankAgreement(a, b, "q_id", "neighbor_id")
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out.size == 6)
     assert(out(1L) == ((3L, 3L, 3L, 3L, 0L, 1.0)), s"got ${out(1L)}")
     assert(out(2L) == ((3L, 3L, 3L, 0L, 3L, -1.0)), s"got ${out(2L)}")
     assert(out(3L) == ((3L, 3L, 2L, 0L, 1L, -1.0)), s"got ${out(3L)}")
     assert(out(4L) == ((2L, 2L, 0L, 0L, 0L, 0.0)), s"got ${out(4L)}")
+    assert(out(5L) == ((2L, 0L, 0L, 0L, 0L, 0.0)), s"got ${out(5L)}")
+    assert(out(6L) == ((0L, 1L, 0L, 0L, 0L, 0.0)), s"got ${out(6L)}")
   }
 
   test("densePrfTopK: hand-computed Rocchio rerank, exact integers") {

@@ -21,6 +21,21 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 
+  /** Post-compaction sidecar invariant (the r14 gen-stamp scheme):
+    * the tombstone table is either absent (no delete ever ran) or
+    * collapsed to the single NULL-id counter sentinel that keeps the
+    * delete sequence monotonic — it must hide no doc. */
+  def assertSidecarClean(table: String): Unit = {
+    val tt = table + "__tombstones"
+    if (spark.catalog.tableExists(tt)) {
+      spark.catalog.refreshTable(tt)
+      assert(spark.table(tt)
+        .filter(org.apache.spark.sql.functions.col("id").isNotNull)
+        .count() == 0,
+        s"$tt still holds doc tombstones after compaction")
+    }
+  }
+
   /** Poll-until for timeout-registered streaming queries, where
     * `processAllAvailable` can livelock (the engine keeps scheduling
     * empty batches to fire processing-time timeouts). */

@@ -1706,9 +1706,8 @@ class StatefulOpsSpec extends SparkSpec {
         step((4L, "", "delete"))
       }
       assert(compactions >= 1, "the dead-share threshold must fire")
-      assert(!spark.catalog.tableExists("cdc_idx__tombstones") ||
-        graft.io.IndexMaintenance.tombstoneStats(spark, "cdc_idx",
-          "doc")._4 < 2500)
+      assert(graft.io.IndexMaintenance.tombstoneStats(spark, "cdc_idx",
+        "doc")._4 < 2500)
     } finally {
       spark.sql("DROP TABLE IF EXISTS cdc_idx")
       spark.sql("DROP TABLE IF EXISTS cdc_idx__tombstones")
@@ -1997,6 +1996,141 @@ class StatefulOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS act_counts2")
       spark.sql("DROP TABLE IF EXISTS act_counts2__compact")
       spark.sql("DROP TABLE IF EXISTS act_counts2__precompact")
+    }
+  }
+
+  test("activityFingerprintWriter: a batch killed after the swap " +
+      "(both tables present) auto-recovers on the next batch") {
+    // r13 verdict finding 1: the shared crash guard REFUSED the
+    // post-swap state, permanently halting an unattended stream on a
+    // provably-safe condition (the counts table has no tombstones —
+    // both tables hold equal-sum content, dropping the sibling is
+    // always correct). The guard now auto-drops it; this spec
+    // constructs the crash state by hand and pins that the next batch
+    // proceeds without intervention, fingerprints exact.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val hourUs = 3600000000L
+    val b1 = Seq((1L, 2 * hourUs + 5L), (1L, 2 * hourUs + 9L),
+      (2L, 7 * hourUs + 1L))
+    val b2 = Seq((1L, 2 * hourUs + 11L), (2L, 9 * hourUs + 3L))
+    def asDf(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    try {
+      val emitted = mutable.Map.empty[Long, Set[Seq[Any]]]
+      val in = MemoryStream[(Long, Long)]
+      val q = StatefulOps.activityFingerprintWriter(
+          in.toDF().toDF("user_id", "us")
+            .withColumn("ts", expr("timestamp_micros(us)")),
+          "user_id", "ts", "act_counts3", maxPartialsFactor = 8L) {
+        (fp, bid) => emitted(bid) = fp.collect().map(_.toSeq).toSet
+      }.start()
+      withQuery(q) {
+        in.addData(b1: _*)
+        q.processAllAvailable()
+        // simulate the kill-after-swap crash: serving table AND the
+        // __precompact sibling both exist (equal-sum content)
+        spark.catalog.refreshTable("act_counts3")
+        spark.table("act_counts3").write
+          .saveAsTable("act_counts3__precompact")
+        in.addData(b2: _*)
+        q.processAllAvailable() // must NOT throw
+        spark.catalog.refreshTable("act_counts3")
+        assert(!spark.catalog.tableExists("act_counts3__precompact"),
+          "next batch must auto-drop the superseded sibling")
+        val want = graft.ops.EventOps.activityFingerprint(
+          asDf(b1 ++ b2), "user_id", "ts")
+          .collect().map(_.toSeq).toSet
+        assert(emitted(1L) == want, s"${emitted(1L)} != $want")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS act_counts3")
+      spark.sql("DROP TABLE IF EXISTS act_counts3__compact")
+      spark.sql("DROP TABLE IF EXISTS act_counts3__precompact")
+    }
+  }
+
+  test("maintenance writers: delete-only first batch is a no-op, " +
+      "NULL ops and empty-bag upserts fail loudly") {
+    implicit val ctx = spark.sqlContext
+    // r13 advice: a delete against a not-yet-created index wrote an
+    // orphan sidecar then threw from the stats probe, failing the
+    // stream on a legal first batch; NULL ops slipped through the
+    // three-valued !isin filter; an upsert with an empty token bag
+    // vanished in the explode (neither replacing nor deleting).
+    val lo = Array(0L, 0L); val hi = Array(4096L, 4096L)
+    try {
+      // (a) delete-only FIRST batch: no-op, no orphan sidecar, stream
+      // stays alive for the following upsert batch
+      val in = MemoryStream[(Long, Seq[Seq[Float]], String, Long)]
+      val q = StatefulOps.maxSimMaintenanceWriter(
+          in.toDF().toDF("doc_id", "vecs", "op", "seq"), "doc_id",
+          "vecs", "op", "ms_first", buckets = 2, lo, hi,
+          orderCol = Some("seq")) { (_, _) => () }.start()
+      withQuery(q) {
+        in.addData((7L, Seq.empty[Seq[Float]], "delete", 1L))
+        q.processAllAvailable()
+        assert(!spark.catalog.tableExists("ms_first") &&
+          !spark.catalog.tableExists("ms_first__tombstones"),
+          "delete-only first batch must create nothing")
+        in.addData((1L, Seq(Seq(0.5f, 0.5f)), "upsert", 2L))
+        q.processAllAvailable()
+        spark.catalog.refreshTable("ms_first")
+        assert(spark.table("ms_first").count() == 1L)
+      }
+      // (b) NULL op fails the batch loudly
+      val inN = MemoryStream[(Long, Seq[Seq[Float]], String, Long)]
+      val qN = StatefulOps.maxSimMaintenanceWriter(
+          inN.toDF().selectExpr("_1 AS doc_id", "_2 AS vecs",
+            "CASE WHEN _3 = 'null' THEN NULL ELSE _3 END AS op",
+            "_4 AS seq"), "doc_id",
+          "vecs", "op", "ms_nullop", buckets = 2, lo, hi,
+          orderCol = Some("seq")) { (_, _) => () }.start()
+      def chain(e: Throwable): String = {
+        val sb = new StringBuilder; var t = e
+        while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+        sb.toString
+      }
+      val eN = intercept[Exception] {
+        inN.addData((1L, Seq(Seq(0.1f, 0.1f)), "null", 1L))
+        qN.processAllAvailable()
+      }
+      qN.stop()
+      assert(chain(eN).contains("unknown op"), chain(eN))
+      // (c) empty-bag upsert fails the batch loudly
+      val inE = MemoryStream[(Long, Seq[Seq[Float]], String, Long)]
+      val qE = StatefulOps.maxSimMaintenanceWriter(
+          inE.toDF().toDF("doc_id", "vecs", "op", "seq"), "doc_id",
+          "vecs", "op", "ms_emptyup", buckets = 2, lo, hi,
+          orderCol = Some("seq")) { (_, _) => () }.start()
+      val eE = intercept[Exception] {
+        inE.addData((1L, Seq.empty[Seq[Float]], "upsert", 1L))
+        qE.processAllAvailable()
+      }
+      qE.stop()
+      assert(chain(eE).contains("empty/NULL token"), chain(eE))
+      // (d) postings twin: delete-only first batch is a no-op too
+      val inP = MemoryStream[(Long, String, String)]
+      val qP = StatefulOps.postingsMaintenanceWriter(
+          inP.toDF().toDF("doc_id", "text", "op"), "doc_id", "text",
+          "op", "pg_first", buckets = 2) { (_, _) => () }.start()
+      withQuery(qP) {
+        inP.addData((7L, "", "delete"))
+        qP.processAllAvailable()
+        assert(!spark.catalog.tableExists("pg_first") &&
+          !spark.catalog.tableExists("pg_first__tombstones"))
+        inP.addData((1L, "apple banana", "upsert"))
+        qP.processAllAvailable()
+        spark.catalog.refreshTable("pg_first")
+        assert(spark.table("pg_first").count() == 2L)
+      }
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("ms_first", "ms_first__pooled", "ms_first__tombstones",
+        "ms_nullop", "ms_nullop__pooled", "ms_nullop__tombstones",
+        "ms_emptyup", "ms_emptyup__pooled", "ms_emptyup__tombstones",
+        "pg_first", "pg_first__tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
