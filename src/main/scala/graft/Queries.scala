@@ -2040,6 +2040,195 @@ object Queries {
             LEFT JOIN pr USING (q_id)"""),
     bench = true)
 
+  /** The shared-span detection → interval-merge → rebuild CTE chain
+    * shared by q239/q240 (trigram spans, minRun 2 ⇒ token spans ≥ 4,
+    * uncapped — the trigram inventory's max doc-freq is 25 at sf0.1,
+    * so the join volume stays bounded without the q66 cap). `mrg` is
+    * deliberately NOT materialized and probed via a plain LEFT JOIN —
+    * never a correlated subquery into a MATERIALIZED CTE (the q236
+    * DuckDB hazard). */
+  private val SharedSpanCtes =
+    """toks AS (SELECT doc_id, text,
+            list_filter(regexp_split_to_array(text, '\s+'),
+              t -> t <> '') AS wsr FROM documents),
+       g0 AS (SELECT doc_id, list_transform(range(1, len(wsr) - 1),
+            i -> wsr[i] || ' ' || wsr[i + 1] || ' ' || wsr[i + 2]) AS gs
+          FROM toks),
+       g AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+            unnest(gs) AS gram FROM g0),
+       h AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+            CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh FROM g),
+       m AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+            x.pos AS pa, y.pos AS pb
+          FROM h x JOIN h y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+       runs AS (SELECT a_id, b_id, pa - pb AS delta, pa,
+            pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+              ORDER BY pa) AS grp FROM m),
+       sp AS MATERIALIZED (SELECT b_id AS doc,
+            CAST(min(pa) - delta AS INT) AS s,
+            CAST(min(pa) - delta + count(*) + 1 AS INT) AS e
+          FROM runs GROUP BY a_id, b_id, delta, grp
+          HAVING count(*) >= 2),
+       mg AS (SELECT doc, s, e,
+            CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END AS nw
+          FROM (SELECT doc, s, e, max(e) OVER (PARTITION BY doc
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING) AS pm FROM sp)),
+       mrg AS (SELECT doc, grp, min(s) AS s, max(e) AS e
+          FROM (SELECT doc, s, e, sum(nw) OVER (PARTITION BY doc
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS grp FROM mg) GROUP BY doc, grp),
+       mdoc AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_spans
+          FROM mrg GROUP BY doc),
+       tp AS (SELECT t.doc_id, generate_subscripts(wsr, 1) - 1 AS pos,
+            unnest(wsr) AS tok
+          FROM toks t JOIN mdoc ON mdoc.doc = t.doc_id),
+       keptT AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+          LEFT JOIN mrg ON mrg.doc = tp.doc_id
+            AND tp.pos >= mrg.s AND tp.pos <= mrg.e
+          WHERE mrg.doc IS NULL),
+       reb AS (SELECT doc_id,
+            COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS text_out,
+            count(*) AS n_kept FROM keptT GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(wsr) AS n_toks FROM toks),
+       exc AS (SELECT d.doc_id,
+            CASE WHEN mdoc.doc IS NULL THEN d.text
+                 ELSE COALESCE(reb.text_out, '') END AS text_out,
+            COALESCE(mdoc.n_spans, 0) AS n_spans,
+            CAST(CASE WHEN mdoc.doc IS NULL THEN 0
+                 ELSE tot.n_toks - COALESCE(reb.n_kept, 0) END AS BIGINT)
+              AS n_tokens_removed,
+            CAST(tot.n_toks AS BIGINT) AS n_toks
+          FROM documents d
+          LEFT JOIN mdoc ON mdoc.doc = d.doc_id
+          LEFT JOIN reb ON reb.doc_id = d.doc_id
+          JOIN tot ON tot.doc_id = d.doc_id)"""
+
+  /** Shared-span EXCISION (Dedup.exciseSharedSpans) — the apply form of
+    * q66's detection (Lee et al. 2022's actual pipeline output is the
+    * REWRITTEN corpus): the lowest doc id keeps each duplicated span,
+    * every other holder has it cut at token boundaries after per-doc
+    * interval merge. Trigram grams, token spans ≥ 4, uncapped (the
+    * trigram doc-freq tops out at 25 on this corpus, so the gram join
+    * is bounded without the q66 rare-gram cap — and unlike q66 the
+    * semantics hold at bench sf, so this row IS benched). */
+  private val q239 = QDef("q239_excise_spans",
+    (s, d) => Dedup.exciseSharedSpans(docs(s, d), "doc_id", "text",
+      n = 3, minRun = 2),
+    Some(s"""WITH $SharedSpanCtes
+             SELECT doc_id, text_out, n_spans, n_tokens_removed
+             FROM exc"""), bench = true)
+
+  /** Corpus savings of the span excision (Dedup.sharedSpanSavings) —
+    * the before/after effective-token row (q74's savings shape for
+    * exact-substring dedup): one aggregate over q239's rewrite. */
+  private val q240 = QDef("q240_span_savings",
+    (s, d) => Dedup.sharedSpanSavings(docs(s, d), "doc_id", "text",
+      n = 3, minRun = 2),
+    Some(s"""WITH $SharedSpanCtes
+             SELECT CAST(count(CASE WHEN n_spans > 0 THEN 1 END)
+                 AS BIGINT) AS n_docs_touched,
+               CAST(sum(n_spans) AS BIGINT) AS n_spans,
+               CAST(sum(n_toks) AS BIGINT) AS tokens_before,
+               CAST(sum(n_toks - n_tokens_removed) AS BIGINT)
+                 AS tokens_after,
+               CAST(sum(n_tokens_removed) AS BIGINT) AS tokens_removed,
+               CAST((10000 * sum(n_tokens_removed)) //
+                 greatest(sum(n_toks), 1) AS BIGINT) AS removed_bp
+             FROM exc"""), bench = true)
+
+  /** FULL PII redaction pack (TextAnalysis.redactFull — r13 verdict
+    * item 2): URL → EMAIL → KEY → PHONE → SSN → IPV4 in the documented
+    * most-specific-first order with per-pattern audit counts. The
+    * corpus has no organic PII, so the query PLANTS every pattern
+    * deterministically from doc_id (the q61 convention), including the
+    * overlap cases the order exists for: an email AND a hex key inside
+    * a URL (count once, as the URL), a dashed NA phone (3-3-4 — never
+    * SSN's 3-2-4), and dotted quads (disjoint from phones by the
+    * no-dot-separator rule). */
+  private val q241 = QDef("q241_redact_full",
+    (s, d) => {
+      val id = col("doc_id")
+      def p(m: Int, added: Column) =
+        when(pmod(id, lit(m)) === 0, added).otherwise(lit(""))
+      val aug = docs(s, d).select(id, concat(col("text"),
+        p(3, concat(lit(" contact u"), id.cast("string"),
+          lit("@example.com"))),
+        p(5, concat(lit(" see https://h"), id.cast("string"),
+          lit(".example/k/a1b2c3d4e5f6a7b8c9d0a1b2c3d4e5f6?u=x@y.zz"))),
+        p(7, concat(lit(" call +1 202-555-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))),
+        p(11, concat(lit(" ssn 123-45-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))),
+        p(13, concat(lit(" host 10."),
+          pmod(id, lit(256)).cast("string"), lit(".0.1"))),
+        p(17, concat(lit(" key AKIAABCDEFGHIJKL"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))),
+        p(19, concat(lit(" tok deadbeefdeadbeefdeadbeef"),
+          lpad(pmod(id, lit(100000000)).cast("string"), 8, "0")))
+      ).as("t2"))
+      TextAnalysis.redactFull(aug, "t2")
+        .select("doc_id", "n_urls", "n_emails", "n_keys", "n_phones",
+          "n_ssns", "n_ips", "redacted")
+    },
+    Some("""WITH aug AS (SELECT doc_id, text ||
+               CASE WHEN doc_id % 3 = 0 THEN ' contact u' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' see https://h' ||
+                 CAST(doc_id AS VARCHAR) ||
+                 '.example/k/a1b2c3d4e5f6a7b8c9d0a1b2c3d4e5f6?u=x@y.zz'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0 THEN ' call +1 202-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0 THEN ' host 10.' ||
+                 CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END ||
+               CASE WHEN doc_id % 17 = 0 THEN ' key AKIAABCDEFGHIJKL' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END ||
+               CASE WHEN doc_id % 19 = 0 THEN
+                 ' tok deadbeefdeadbeefdeadbeef' ||
+                 lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+                 ELSE '' END AS t2
+             FROM documents),
+             r1 AS (SELECT doc_id, t2,
+               regexp_replace(t2, 'https?://[^ \t\n]+', '<URL>', 'g')
+                 AS s1 FROM aug),
+             r2 AS (SELECT doc_id, t2, s1, regexp_replace(s1,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+               '<EMAIL>', 'g') AS s2 FROM r1),
+             r3 AS (SELECT *, regexp_replace(s2,
+               'AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{16,}|ghp_[A-Za-z0-9]{20,}|[0-9a-fA-F]{32,}',
+               '<KEY>', 'g') AS s3 FROM r2),
+             r4 AS (SELECT *, regexp_replace(s3,
+               '\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,4}|\([0-9]{3}\)[- ][0-9]{3}[- ][0-9]{4}|[0-9]{3}-[0-9]{3}-[0-9]{4}',
+               '<PHONE>', 'g') AS s4 FROM r3),
+             r5 AS (SELECT *, regexp_replace(s4,
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS s5 FROM r4)
+             SELECT doc_id,
+               len(regexp_extract_all(t2, 'https?://[^ \t\n]+')) AS n_urls,
+               len(regexp_extract_all(s1,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+                 AS n_emails,
+               len(regexp_extract_all(s2,
+                 'AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{16,}|ghp_[A-Za-z0-9]{20,}|[0-9a-fA-F]{32,}'))
+                 AS n_keys,
+               len(regexp_extract_all(s3,
+                 '\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,4}|\([0-9]{3}\)[- ][0-9]{3}[- ][0-9]{4}|[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                 AS n_phones,
+               len(regexp_extract_all(s4, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+                 AS n_ssns,
+               len(regexp_extract_all(s5,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                 AS n_ips,
+               regexp_replace(s5,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                 '<IP>', 'g') AS redacted
+             FROM r5"""), bench = true)
+
   /** Token-budget mixture plan (Sampling.tokenBudgetPlan): per stratum,
     * available vs recipe-target vs granted tokens, epoch pressure in
     * basis points, and the unmet deficit — the exact integer arithmetic
@@ -4834,6 +5023,59 @@ object Queries {
            FROM j GROUP BY 1"""
     }))
 
+  /** Min-K% Prob membership over the BACKOFF TRIGRAM LM
+    * (TextAnalysis.minKProbScoreBackoff — r13 verdict item 6, q237's
+    * selection discipline over q148's better model): per doc the
+    * integer mean of its 20% highest-cost trigrams under the backoff
+    * chain. Oracle: q148's two-table backoff join + q237's windowed
+    * selection, trained artifact inlined as VALUES. */
+  private val q245 = QDef("q245_mink_backoff",
+    (s, d) => {
+      val (tri, bi, biOov) = trainedBackoffLm(s, d)
+      TextAnalysis.minKProbScoreBackoff(docs(s, d), "doc_id", "text",
+        tri, bi, biOov, kPct = 20)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (tri, bi, biOov) = trainedBackoffLm(s, d)
+      def esc(x: String) = x.replace("'", "''")
+      val triRows = tri
+        .map { case (a, b, c, v) =>
+          s"('${esc(a)}', '${esc(b)}', '${esc(c)}', $v)" }
+        .mkString(", ")
+      val biRows = bi
+        .map { case (a, b, v) => s"('${esc(a)}', '${esc(b)}', $v)" }
+        .mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+           tg AS (SELECT doc_id, wpos, ws[wpos] AS w1,
+                    ws[wpos + 1] AS w2, ws[wpos + 2] AS w3
+                  FROM dt, UNNEST(range(1, len(ws) - 1)) AS t(wpos)),
+           t3(w1, w2, w3, tcost) AS (VALUES $triRows),
+           g2(b1, b2, bcost) AS (VALUES $biRows),
+           j AS (SELECT doc_id, wpos,
+                   COALESCE(t3.tcost,
+                     4096 + COALESCE(g2.bcost, $biOov)) AS cost
+                 FROM tg LEFT JOIN t3 USING (w1, w2, w3)
+                 LEFT JOIN g2 ON tg.w2 = g2.b1 AND tg.w3 = g2.b2),
+           r AS (SELECT doc_id, cost,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cost DESC, wpos) AS rn,
+                   count(1) OVER (PARTITION BY doc_id) AS n
+                 FROM j),
+           g AS (SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_ngrams,
+                   CAST(greatest(1, (20 * max(n)) // 100) AS BIGINT)
+                     AS k_ngrams,
+                   CAST(sum(CASE WHEN rn <= greatest(1, (20 * n) // 100)
+                     THEN cost END) AS BIGINT) AS topk_cost
+                 FROM r GROUP BY 1)
+           SELECT doc_id, n_ngrams, k_ngrams, topk_cost,
+                  CAST(topk_cost // k_ngrams AS BIGINT) AS mink_cost_q
+           FROM g"""
+    }))
+
   /** Family-aware split assignment (Curation.familySplitAssign): the
     * FIX for q142's finding — splits hash the FAMILY label, so
     * near-duplicate families land whole in one split and cross-split
@@ -7400,10 +7642,9 @@ object Queries {
     * punctuation rule needs them) and a newsletter footer on every 5th
     * doc (boilerplate with ≥3-doc support that SURVIVES the C4 line
     * rule: ends in '.', ≥3 words). */
-  /** The q211 funnel oracle's stage fragments (d ... s9) — shared
-    * with the q235 reasons oracle, which attributes each doc to the
-    * first stage it left instead of counting survivors. */
-  private def sqlFunnelStagesPrefix: String =
+  /** The q211 funnel fixture CTE (`d`) — split from the stage chain so
+    * q244 can interpose the URL-curation front stage between them. */
+  private def sqlFunnelFixtureCte: String =
     """d AS MATERIALIZED (SELECT doc_id, source,
               replace(replace(text, 'spark', ' end.'), 'table', chr(10)) ||
               CASE WHEN doc_id % 41 = 0 THEN ' verboten' ELSE '' END ||
@@ -7415,9 +7656,16 @@ object Queries {
                      'never leak into training data run ' ||
                      CAST(doc_id AS VARCHAR) || '.'
                    ELSE '' END AS lt
-            FROM documents),
-          bench AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 = 0),
-          pool AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 <> 0),
+            FROM documents)"""
+
+  /** The q211 funnel oracle's stage fragments (bench ... s9), chained
+    * off `src` (the raw fixture `d`, or q244's URL-curated `dcur`) —
+    * shared with the q235/q244 reasons oracles, which attribute each
+    * doc to the first stage it left instead of counting survivors. */
+  private def sqlFunnelStagesAfter(src: String): String =
+    s"""bench AS MATERIALIZED (SELECT * FROM $src WHERE doc_id % 97 = 0),
+          pool AS MATERIALIZED (SELECT * FROM $src WHERE doc_id % 97 <> 0),""" +
+    """
           gtk AS MATERIALIZED (SELECT doc_id,
               list_filter(regexp_split_to_array(lt, '\s+'),
                 x -> x <> '') AS ws,
@@ -7562,6 +7810,10 @@ object Queries {
                      PARTITION BY source ORDER BY doc_id) AS rn
                    FROM s8), q9
                  WHERE rn <= q)"""
+
+  /** The full q211/q235 prefix: fixture + stage chain off `d`. */
+  private def sqlFunnelStagesPrefix: String =
+    sqlFunnelFixtureCte + ",\n          " + sqlFunnelStagesAfter("d")
 
   /** The q211/q235 funnel fixture: documents text enriched with
     * newlines, a blocklist token, a boilerplate line, and planted
@@ -8799,17 +9051,57 @@ object Queries {
             FROM enc"""),
     bench = true)
 
-  /** Fertility A/B of greedy-vocab vs trained-BPE apply on the same
-    * corpus (TextAnalysis.subwordFertilityAB): occurrence-weighted
-    * subword totals and the q164 `(10³·subwords) div words` fertility,
-    * all integer. Oracle: the q233 recursive CTE for the greedy side;
-    * the q101 replace-sentinel closed form (symbols after one merge =
-    * length of the sentinel-replaced word) for the BPE side. */
+  /** Static length-derived piece costs over [[WpVocab]] for q234's
+    * Viterbi row: `cost(p) = (8 − len(p)) · 2¹²` — longer pieces
+    * cheaper, char fallback one step worse than any piece. Static on
+    * both sides, so q234's oracle stays data-independent SQL. */
+  private val WpCosts: Seq[(String, Long)] =
+    WpVocab.map(v => (v, (8L - v.length) * 4096L))
+  private val WpCharCost: Long = 8L * 4096L
+
+  /** The Viterbi min-cost DP recursive CTE shared by q234/q242 — one
+    * row per (word, prefix length) carrying the whole dp LIST, so the
+    * recursive term only needs the previous level (DuckDB recursion
+    * sees just that) while the DP reads every dp[j] from the list.
+    * Candidate lookup is a correlated min over the plain (never
+    * MATERIALIZED — the q236 hazard) `pcost(p, enc)` table with
+    * `enc = cost · 2¹⁶ + 1`, exactly
+    * [[graft.functions.ViterbiCostExpr]]'s integer encoding; `CHARENC`
+    * is the caller-substituted fallback. Expects `words(w)` and
+    * `pcost(p, enc)` in scope. */
+  private def sqlViterbiDp(charEnc: Long): String =
+    s"""vdp(w, i, dp) AS (
+      SELECT w, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)] FROM words
+      UNION ALL
+      SELECT r.w, r.i + 1, r.dp || [least(
+          r.dp[CAST(r.i + 1 AS INT)] + $charEnc,
+          COALESCE((SELECT min(r.dp[CAST(r.i + 2 - length(pc.p) AS INT)]
+              + pc.enc) FROM pcost pc
+            WHERE length(pc.p) <= r.i + 1
+              AND substr(r.w, CAST(r.i + 2 - length(pc.p) AS INT),
+                length(pc.p)) = pc.p),
+            r.dp[CAST(r.i + 1 AS INT)] + $charEnc))]
+      FROM vdp r WHERE r.i < length(r.w)),
+    venc AS MATERIALIZED (SELECT w,
+        dp[CAST(length(w) + 1 AS INT)] AS enc
+      FROM vdp WHERE i = length(w))"""
+
+  /** Fertility A/B/C of the three subword APPLY conventions on one
+    * corpus (TextAnalysis.subwordFertility3 — r13 verdict item 3):
+    * greedy longest-match, trained-BPE merge replay, and
+    * Viterbi-OPTIMAL min-cost segmentation under the static
+    * length-derived [[WpCosts]]. Occurrence-weighted subword totals,
+    * the q164 `(10³·subwords) div words` fertility, all integer.
+    * Oracle: the q233 recursive CTE for the greedy side; the q101
+    * replace-sentinel closed form for the BPE side; the shared
+    * [[sqlViterbiDp]] integer DP for the optimal side. */
   private val q234 = QDef("q234_subword_fertility",
-    (s, d) => TextAnalysis.subwordFertilityAB(docs(s, d), "text",
-      WpVocab, trainedMerges(s, d, 1)),
+    (s, d) => TextAnalysis.subwordFertility3(docs(s, d), "text",
+      WpVocab, trainedMerges(s, d, 1), WpCosts, WpCharCost),
     Some(s"""WITH RECURSIVE vocab(v) AS (
                 SELECT * FROM (VALUES $sqlWpVocab) vv(v)),
+            pcost(p, enc) AS (SELECT v,
+                (8 - length(v)) * 4096 * 65536 + 1 FROM vocab),
             dt AS (SELECT doc_id, list_filter(
                 regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
               FROM documents),
@@ -8819,12 +9111,18 @@ object Queries {
                 AS cnt FROM toks GROUP BY 1),
             words AS MATERIALIZED (SELECT w FROM wcnt),
             $sqlWpStep,
+            ${sqlViterbiDp(WpCharCost * 65536L + 1L)},
             wp_np AS (SELECT w, CAST(count(1) AS BIGINT) AS np
               FROM step WHERE spos >= 1 GROUP BY 1),
             wp AS (SELECT 'greedy_vocab' AS encoder,
                 CAST(sum(wcnt.cnt) AS BIGINT) AS n_words,
                 CAST(sum(wcnt.cnt * wp_np.np) AS BIGINT) AS n_subwords
               FROM wcnt JOIN wp_np USING (w)),
+            vit AS (SELECT 'viterbi_costs' AS encoder,
+                CAST(sum(wcnt.cnt) AS BIGINT) AS n_words,
+                CAST(sum(wcnt.cnt * (venc.enc % 65536)) AS BIGINT)
+                  AS n_subwords
+              FROM wcnt JOIN venc USING (w)),
             pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS l,
                 substr(w, CAST(i AS INT) + 1, 1) AS r, sum(cnt) AS n
               FROM wcnt, UNNEST(range(1, length(w))) AS t(i)
@@ -8836,11 +9134,160 @@ object Queries {
                 CAST(sum(cnt * length(replace(w, mp.lr, chr(1))))
                   AS BIGINT) AS n_subwords
               FROM wcnt, mp),
-            u AS (SELECT * FROM wp UNION ALL SELECT * FROM bpe)
+            u AS (SELECT * FROM wp UNION ALL SELECT * FROM bpe
+              UNION ALL SELECT * FROM vit)
             SELECT encoder, n_words, n_subwords,
                    CAST((1000 * n_subwords) // n_words AS BIGINT)
                      AS fertility_x1000
             FROM u"""),
+    bench = true)
+
+  private val pieceCostsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, Long)], Long)]
+  /** Trained unigram-LM-style piece costs (TextAnalysis.trainPieceCosts
+    * over the q236 vocabulary parameters) — cached per sf dir; the
+    * artifact is pure int64 so q242's oracle inlines it as plain
+    * VALUES (the q107 transport rule). */
+  private def trainedPieceCosts(s: SparkSession, d: String)
+      : (Seq[(String, Long)], Long) =
+    pieceCostsCache.getOrElseUpdate(d, TextAnalysis.trainPieceCosts(
+      docs(s, d), "text", vocabSize = 48, maxPieceLen = 4))
+
+  /** Viterbi-optimal subword encode under TRAINED piece costs
+    * (TextAnalysis.trainPieceCosts → viterbiEncodeStats): the
+    * unigram-LM/SentencePiece apply convention completing the
+    * tokenizer-family triple (BPE replay q99-q114, greedy q233/q236,
+    * min-cost here). Per doc: words, OPTIMAL piece count, total
+    * quantized cost. The trained costs are already int64 → inlined
+    * VALUES; the oracle replays the identical integer DP via
+    * [[sqlViterbiDp]] (tie-break = fewest pieces, carried in the
+    * encoding's low 16 bits). */
+  private val q242 = QDef("q242_viterbi_encode",
+    (s, d) => {
+      val (pieces, charCost) = trainedPieceCosts(s, d)
+      TextAnalysis.viterbiEncodeStats(docs(s, d), "doc_id", "text",
+        pieces, charCost)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (pieces, charCost) = trainedPieceCosts(s, d)
+      val rows = pieces
+        .map { case (p, c) => s"('$p', ${c * 65536L + 1L})" }
+        .mkString(", ")
+      s"""WITH RECURSIVE pcost(p, enc) AS (
+            SELECT * FROM (VALUES $rows) pp(p, enc)),
+          dt AS (SELECT doc_id, list_filter(
+              regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+            FROM documents),
+          toks AS MATERIALIZED (SELECT doc_id, ws[wpos] AS w
+            FROM dt, UNNEST(range(1, len(ws) + 1)) AS t(wpos)),
+          words AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+          ${sqlViterbiDp(charCost * 65536L + 1L)}
+          SELECT doc_id, CAST(count(1) AS BIGINT) AS n_words,
+              CAST(sum(venc.enc % 65536) AS BIGINT) AS n_pieces,
+              CAST(sum(venc.enc // 65536) AS BIGINT) AS total_cost
+          FROM toks JOIN venc USING (w) GROUP BY doc_id"""
+    }))
+
+  /** Synthetic URL fixture shared by q243/q244 (the corpus has no URL
+    * column; derived from doc_id identically in both engines, the q61
+    * planting convention): 20 hosts; every 25th doc is a host-relative
+    * '/landing' re-crawl (exact-URL duplicate families across ids
+    * ≡ mod 100), the rest unique deep links. Deliberately exercises
+    * every host-extraction rule: mixed-case host, userinfo, port,
+    * path/query cut. */
+  private def urlFixtureCol: Column = {
+    val id = col("doc_id")
+    when(pmod(id, lit(25)) === 0,
+      concat(lit("https://WWW@h"), pmod(id, lit(20)).cast("string"),
+        lit(".Example.COM:80/landing")))
+      .otherwise(concat(lit("https://u:p@h"),
+        pmod(id, lit(20)).cast("string"),
+        lit(".example.com:8080/p/"), id.cast("string"), lit("?x=1")))
+  }
+  private val sqlUrlFixture: String =
+    """CASE WHEN doc_id % 25 = 0 THEN 'https://WWW@h' ||
+       CAST(doc_id % 20 AS VARCHAR) || '.Example.COM:80/landing'
+       ELSE 'https://u:p@h' || CAST(doc_id % 20 AS VARCHAR) ||
+       '.example.com:8080/p/' || CAST(doc_id AS VARCHAR) || '?x=1'
+       END"""
+  /** The DuckDB replay of Curation.urlHost + verdicts over a CTE
+    * `uaug(doc_id, url)` — yields `ub` (host per doc) and `ukept`
+    * (curation survivors). */
+  private def sqlUrlVerdictCtes(cap: Int, salt: String): String =
+    s"""ub AS MATERIALIZED (SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '^[a-z][a-z0-9+.-]*://', ''), '[/?#].*$$', ''),
+             '^[^/@]*@', ''), ':[0-9]+$$', '') AS host
+         FROM uaug),
+       uwin AS (SELECT min(doc_id) AS doc_id FROM ub GROUP BY url),
+       urnk AS MATERIALIZED (SELECT ub.doc_id, ub.host,
+           row_number() OVER (PARTITION BY ub.host
+             ORDER BY ${sqlHash60("ub.doc_id", salt)}, ub.doc_id) AS rn
+         FROM ub JOIN uwin USING (doc_id)),
+       ukept AS (SELECT doc_id FROM urnk WHERE rn <= $cap)"""
+
+  /** URL/domain curation verdicts (Curation.urlCurationVerdicts — r13
+    * verdict item 5, the C4/RefinedWeb stage-0 the funnel lacked):
+    * host extraction by pure string ops, exact-URL dedup (min id
+    * keeps), per-domain cap 10 hash-ranked (the q47 salt discipline).
+    * Per-doc verdict rows with the drop reason. */
+  private val q243 = QDef("q243_url_curation",
+    (s, d) => Curation.urlCurationVerdicts(
+      docs(s, d).select(col("doc_id"), urlFixtureCol.as("url")),
+      "doc_id", "url", maxPerDomain = 10, salt = "uq"),
+    Some(s"""WITH uaug AS (SELECT doc_id, $sqlUrlFixture AS url
+               FROM documents),
+             ${sqlUrlVerdictCtes(10, "uq")}
+             SELECT ub.doc_id, ub.host,
+               COALESCE(r.rn <= 10, FALSE) AS kept,
+               CASE WHEN r.doc_id IS NULL THEN 'url_dup'
+                    WHEN r.rn > 10 THEN 'domain_cap'
+                    ELSE NULL END AS reason
+             FROM ub LEFT JOIN urnk r USING (doc_id)"""),
+    bench = true)
+
+  /** Funnel drop provenance WITH the URL front stage enabled
+    * (pretrainingFunnelReasons(urlCol=...) over the q211 fixture + the
+    * q243 URL fixture): stage numbering shifts by one, 'urlcurate'
+    * becomes reason 1, and the q235 attribution telescopes unchanged
+    * after it (the spec pins histogram↔funnel-delta telescoping; this
+    * row pins the full per-doc attribution at both sfs). Cap 30 binds
+    * only at bench scale — at sf0.01 the stage drops exactly the
+    * landing-page re-crawl families. */
+  private val q244 = QDef("q244_funnel_url_reasons",
+    (s, d) => graft.ops.Curation.pretrainingFunnelReasons(
+      funnelFixture(s, d).withColumn("url", urlFixtureCol),
+      "doc_id", "ltext", "source", blocklist = Seq("verboten"),
+      urlCol = Some("url"), maxPerDomain = 30, urlSalt = "uq"),
+    Some(s"""WITH $sqlFunnelFixtureCte,
+          uaug AS (SELECT doc_id, $sqlUrlFixture AS url FROM documents),
+          ${sqlUrlVerdictCtes(30, "uq")},
+          dcur AS MATERIALIZED (SELECT d.* FROM d
+            JOIN ukept USING (doc_id)),
+          ${sqlFunnelStagesAfter("dcur")},
+          lastn AS (SELECT doc_id, max(n) AS ln FROM (
+              SELECT doc_id, 0 AS n FROM d
+              UNION ALL SELECT doc_id, 1 FROM dcur
+              UNION ALL SELECT doc_id, 2 FROM pool
+              UNION ALL SELECT doc_id, 3 FROM s2
+              UNION ALL SELECT doc_id, 4 FROM s3
+              UNION ALL SELECT doc_id, 5 FROM s4
+              UNION ALL SELECT doc_id, 6 FROM s5
+              UNION ALL SELECT doc_id, 7 FROM s6
+              UNION ALL SELECT doc_id, 8 FROM s7
+              UNION ALL SELECT doc_id, 9 FROM s8
+              UNION ALL SELECT doc_id, 10 FROM s9) u GROUP BY 1)
+          SELECT doc_id,
+                 CASE WHEN ln >= 10 THEN NULL
+                      ELSE CAST(ln + 1 AS INT) END AS dropped_at_n,
+                 CASE CAST(ln AS INT) WHEN 0 THEN 'urlcurate'
+                      WHEN 1 THEN 'holdout' WHEN 2 THEN 'gopher'
+                      WHEN 3 THEN 'blocklist' WHEN 4 THEN 'c4'
+                      WHEN 5 THEN 'boiler' WHEN 6 THEN 'exact'
+                      WHEN 7 THEN 'neardup' WHEN 8 THEN 'decontam'
+                      WHEN 9 THEN 'mixture' ELSE NULL END AS dropped_at
+          FROM lastn"""),
     bench = true)
 
   /** Per-key daily activity fingerprint (EventOps.activityFingerprint):
@@ -9143,7 +9590,8 @@ object Queries {
     q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
+    q244, q245)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -111,3 +111,122 @@ object GreedyPiecesExpr {
   def apply(text: Column, vocab: Seq[String]): Column =
     Bridge.column(GreedyPiecesExpr(Bridge.expression(text), vocab))
 }
+
+/** Viterbi-OPTIMAL subword segmentation cost against a trained
+  * `(piece, cost)` vocabulary — the min-cost convention the third
+  * deployed tokenizer family applies (unigram-LM / SentencePiece's
+  * decode step; BPE replays merges, WordPiece matches greedily, this
+  * one picks the GLOBALLY cheapest segmentation by dynamic program).
+  * Positions with no vocabulary piece fall back to a single code point
+  * at `charCost`, so segmentation is total, like [[GreedyPiecesExpr]].
+  *
+  * Returns the per-word optimum ENCODED as one int64:
+  * `total_cost · 2¹⁶ + n_pieces` — the encoding makes the DP value
+  * itself the lexicographic (cost, piece-count) order, so "minimize
+  * cost, tie-break fewest pieces" is a single integer `min` and the
+  * result is deterministic and engine-exact (the DuckDB oracle replays
+  * the identical integer DP in a recursive CTE). Callers decode with
+  * `div`/`pmod`. Piece costs must be non-negative and small enough
+  * that `Σ cost · 2¹⁶` stays in int64 — guarded at construction
+  * against the documented bound (costs < 2³², words < 2¹⁶ chars).
+  *
+  * Codegen calls a referenced DP object (HashMap probe per candidate
+  * substring, O(len · maxPieceLen) per word), keeping the enclosing
+  * projection in whole-stage codegen; applied per DISTINCT word (the
+  * bpeEncode dictionary posture), so cost is vocabulary-bounded.
+  * Candidate windows and the fallback respect code-point boundaries
+  * (the [[GreedyPiecesExpr]] surrogate rule). */
+case class ViterbiCostExpr(child: Expression, pieces: Seq[(String, Long)],
+                           charCost: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(pieces.nonEmpty && pieces.forall(_._1.nonEmpty),
+    "viterbi_cost: pieces must be non-empty strings")
+  require(pieces.map(_._1).distinct.size == pieces.size,
+    "viterbi_cost: duplicate vocab piece")
+  require(pieces.forall(p => p._2 >= 0 && p._2 < (1L << 32)) &&
+    charCost >= 0 && charCost < (1L << 32),
+    "viterbi_cost: costs must be in [0, 2^32)")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def prettyName: String = "viterbi_cost"
+
+  @transient private lazy val dp =
+    new ViterbiCostExpr.Dp(pieces.map(_._1).toArray,
+      pieces.map(_._2).toArray, charCost)
+
+  override def nullSafeEval(s: Any): Any =
+    dp.encode(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("viterbiDp", dp,
+      classOf[ViterbiCostExpr.Dp].getName)
+    defineCodeGen(ctx, ev, in => s"$m.encode($in)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ViterbiCostExpr =
+    copy(child = newChild)
+}
+
+object ViterbiCostExpr {
+
+  final class Dp(vocab: Array[String], costs: Array[Long],
+                 charCost: Long) extends Serializable {
+    private val map: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](vocab.length * 2)
+      var i = 0
+      while (i < vocab.length) { m.put(vocab(i), costs(i)); i += 1 }
+      m
+    }
+    private val maxLen: Int = {
+      var m = 1
+      vocab.foreach(v => if (v.length > m) m = v.length)
+      m
+    }
+
+    def encode(text: UTF8String): Long = {
+      val w = text.toString
+      val n = w.length
+      require(n < (1 << 16), s"viterbi_cost: word of $n chars")
+      if (n == 0) return 0L
+      // boundary(i): position i does not split a surrogate pair
+      def boundary(i: Int): Boolean =
+        i == 0 || i == n ||
+          !(Character.isHighSurrogate(w.charAt(i - 1)) &&
+            Character.isLowSurrogate(w.charAt(i)))
+      val INF = Long.MaxValue / 2
+      val dp = new Array[Long](n + 1)
+      var i = 1
+      while (i <= n) {
+        dp(i) = INF
+        if (boundary(i)) {
+          // single-code-point fallback
+          val cc = if (i >= 2 && Character.isHighSurrogate(w.charAt(i - 2))
+            && Character.isLowSurrogate(w.charAt(i - 1))) 2 else 1
+          val fb = dp(i - cc)
+          if (fb < INF) dp(i) = fb + (charCost << 16) + 1L
+          // vocabulary pieces ending at i
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            if (dp(j) < INF && boundary(j)) {
+              val c = map.get(w.substring(j, i))
+              if (c != null) {
+                val cand = dp(j) + (c.longValue() << 16) + 1L
+                if (cand < dp(i)) dp(i) = cand
+              }
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      dp(n)
+    }
+  }
+
+  def apply(text: Column, pieces: Seq[(String, Long)],
+            charCost: Long): Column =
+    Bridge.column(ViterbiCostExpr(Bridge.expression(text), pieces,
+      charCost))
+}

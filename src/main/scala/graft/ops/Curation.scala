@@ -19,6 +19,64 @@ import org.apache.spark.sql.functions._
   * total, each on the narrow id key. */
 object Curation {
 
+  /** Host (registrable authority) extraction from a URL column — pure
+    * row-local string ops, identical in Java regex and RE2: lowercase,
+    * strip the scheme, cut the authority at the first `/`, `?` or `#`,
+    * drop userinfo (`user:pass@`) and the port. No PSL — the public
+    * suffix list is an external artifact; per-domain caps on the raw
+    * host are the C4/RefinedWeb stage-0 convention. */
+  def urlHost(url: Column): Column = {
+    val noScheme = regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://", "")
+    val auth = regexp_replace(noScheme, "[/?#].*$", "")
+    val noUser = regexp_replace(auth, "^[^/@]*@", "")
+    regexp_replace(noUser, ":[0-9]+$", "")
+  }
+
+  /** URL/domain curation verdicts — the stage-0 web-corpus gate every
+    * C4/RefinedWeb-style pipeline runs BEFORE any text is read (r13
+    * verdict item 5): exact-URL dedup (min doc id keeps — re-crawls
+    * and mirror hits collapse) and a per-domain document cap
+    * (deterministic HASH-ranked within host, the q47 salt discipline —
+    * a biased "first N crawled" cap would skew toward crawl order;
+    * ties on the hash break by doc id). Output: one row per input doc
+    * `(doc_id, host, kept, reason)` with reason ∈
+    * {'url_dup', 'domain_cap', NULL}.
+    *
+    * Scale shape: host extraction is row-local; URL dedup is one
+    * hash-groupBy on the exact URL (map-side combine); the cap is a
+    * window PARTITIONED BY host over URL-dedup SURVIVORS only — never
+    * a global sort. All integer/string — engine-exact. */
+  def urlCurationVerdicts(df: DataFrame, id: String, url: String,
+                          maxPerDomain: Long,
+                          salt: String = "url"): DataFrame = {
+    require(maxPerDomain >= 1, s"bad maxPerDomain: $maxPerDomain")
+    val base = df.select(col(id).as("doc_id"), col(url).as("__u"),
+      urlHost(col(url)).as("host"))
+    val urlWin = Dedup.exactDedup(base, "doc_id", "__u")
+      .select(col("keep_id").as("doc_id"))
+    val survivors = base.join(urlWin, Seq("doc_id"))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(Sampling.hash60(col("doc_id"), salt), col("doc_id"))
+    val capped = survivors
+      .withColumn("__rn", row_number().over(wCap))
+      .select(col("doc_id"),
+        (col("__rn") <= maxPerDomain).as("__capKeep"))
+    base.join(capped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("__capKeep"), lit(false)).as("kept"),
+        when(col("__capKeep").isNull, lit("url_dup"))
+          .when(!col("__capKeep"), lit("domain_cap"))
+          .otherwise(lit(null).cast("string")).as("reason"))
+  }
+
+  /** The kept set of [[urlCurationVerdicts]] as a narrow (doc_id) —
+    * the semi-join side the funnel's optional front stage consumes. */
+  def urlCurate(df: DataFrame, id: String, url: String,
+                maxPerDomain: Long, salt: String = "url"): DataFrame =
+    urlCurationVerdicts(df, id, url, maxPerDomain, salt)
+      .filter(col("kept")).select(col("doc_id"))
+
   /** Curate `docs`: keep exact-dedup winners whose language-ID prediction
     * agrees with the declared `lang` column and whose quality signals pass
     * the gates. Output: (id, lang, lang_pred, n_tokens, mean_token_len),
@@ -915,17 +973,28 @@ object Curation {
                      semanticEmb: Option[DataFrame] = None,
                      semanticEmbId: String = "vec_id",
                      semanticEmbVec: String = "embedding",
-                     semanticTau: Double = 0.90625): DataFrame = {
+                     semanticTau: Double = 0.90625,
+                     urlCol: Option[String] = None,
+                     maxPerDomain: Long = 1000000L,
+                     urlSalt: String = "url"): DataFrame = {
     val st = funnelStages(df, id, text, source, benchMod, blocklist,
       minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
       threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
-      semanticTau)
+      semanticTau, urlCol, maxPerDomain, urlSalt)
     def row(n: Int, name: String, set: DataFrame, t: String): DataFrame =
       set.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(TextAnalysis.tokenCount(col(t)).cast("long")),
             lit(0L)).as("n_tokens"))
         .select(lit(n).as("stage_n"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
+    val named: Seq[(String, DataFrame, String)] =
+      Seq(("raw", st.base, "t")) ++
+        st.urlKept.map(u => ("urlcurate", u, "t")).toSeq ++
+        Seq(("holdout", st.pool, "t"), ("gopher", st.s2, "t"),
+          ("blocklist", st.s3, "t"), ("c4", st.s4, "ct"),
+          ("boiler", st.s5, "ct"), ("exact", st.s6, "ct"),
+          ("neardup", st.s7, "ct"), ("decontam", st.s8, "ct"),
+          ("mixture", st.s9, "ct"))
     val packs = Sampling.packSpans(
       st.s9.select(col("doc_id"), col("ct")),
       "doc_id", TextAnalysis.tokenCount(col("ct")), numShards,
@@ -933,14 +1002,10 @@ object Curation {
     val packed = packs.agg(
         countDistinct(col("shard"), col("bin")).as("n_docs"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
-      .select(lit(10).as("stage_n"), lit("packed").as("stage"),
+      .select(lit(named.size).as("stage_n"), lit("packed").as("stage"),
         col("n_docs"), col("n_tokens"))
-    Seq(
-      row(0, "raw", st.base, "t"), row(1, "holdout", st.pool, "t"),
-      row(2, "gopher", st.s2, "t"), row(3, "blocklist", st.s3, "t"),
-      row(4, "c4", st.s4, "ct"), row(5, "boiler", st.s5, "ct"),
-      row(6, "exact", st.s6, "ct"), row(7, "neardup", st.s7, "ct"),
-      row(8, "decontam", st.s8, "ct"), row(9, "mixture", st.s9, "ct"))
+    named.zipWithIndex
+      .map { case ((nm, set, t), n) => row(n, nm, set, t) }
       .reduce(_.unionByName(_)).unionByName(packed)
   }
 
@@ -969,14 +1034,19 @@ object Curation {
                      semanticEmb: Option[DataFrame] = None,
                      semanticEmbId: String = "vec_id",
                      semanticEmbVec: String = "embedding",
-                     semanticTau: Double = 0.90625): DataFrame = {
+                     semanticTau: Double = 0.90625,
+                     urlCol: Option[String] = None,
+                     maxPerDomain: Long = 1000000L,
+                     urlSalt: String = "url"): DataFrame = {
     val st = funnelStages(df, id, text, source, benchMod, blocklist,
       minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
       threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
-      semanticTau)
-    funnelReasonsFromStages(Seq(
-      st.base, st.pool, st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
-      st.s8, st.s9), FunnelDropNames)
+      semanticTau, urlCol, maxPerDomain, urlSalt)
+    funnelReasonsFromStages(
+      Seq(st.base) ++ st.urlKept.toSeq ++ Seq(
+        st.pool, st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
+        st.s8, st.s9),
+      st.urlKept.map(_ => "urlcurate").toSeq ++ FunnelDropNames)
   }
 
   /** Stage names by the index of the LAST stage a doc survived: a doc
@@ -1008,9 +1078,15 @@ object Curation {
 
   /** The shared stage chain of [[pretrainingFunnel]] /
     * [[pretrainingFunnelReasons]] — see the funnel scaladoc for stage
-    * semantics and the checkpoint discipline. */
+    * semantics and the checkpoint discipline. `urlKept` is the optional
+    * URL-curation front stage (r13 verdict item 5 — the C4/RefinedWeb
+    * stage-0 the funnel previously lacked): Some exactly when a URL
+    * column was supplied, in which case the holdout split and every
+    * later stage chain off it; None keeps the q211/q235 contract
+    * bit-identical. */
   private[graft] final case class FunnelStages(
-      base: DataFrame, bench: DataFrame, pool: DataFrame,
+      base: DataFrame, urlKept: Option[DataFrame],
+      bench: DataFrame, pool: DataFrame,
       s2: DataFrame, s3: DataFrame, s4: DataFrame, s5: DataFrame,
       s6: DataFrame, s7: DataFrame, s8: DataFrame, s9: DataFrame)
 
@@ -1022,13 +1098,26 @@ object Curation {
                      threshold: Double, decontamN: Int,
                      semanticEmb: Option[DataFrame],
                      semanticEmbId: String, semanticEmbVec: String,
-                     semanticTau: Double): FunnelStages = {
+                     semanticTau: Double,
+                     urlCol: Option[String] = None,
+                     maxPerDomain: Long = 1000000L,
+                     urlSalt: String = "url"): FunnelStages = {
     require(benchMod >= 2, s"bad benchMod: $benchMod")
     require(decontamN >= 2, s"bad decontamN: $decontamN")
     val base = df.select(col(id).as("doc_id"), col(text).as("t"),
       col(source).as("src"))
-    val bench = base.filter(col("doc_id") % benchMod === 0)
-    val pool = base.filter(col("doc_id") % benchMod =!= 0)
+    // optional stage-0: URL-exact dedup + per-domain caps BEFORE the
+    // holdout split (a URL-duplicate benchmark doc is as useless as a
+    // URL-duplicate training doc). Narrow semi-join on doc_id.
+    val urlKept = urlCol.map { u =>
+      base.join(
+        urlCurate(df.select(col(id), col(u)), id, u, maxPerDomain,
+          urlSalt),
+        Seq("doc_id"))
+    }
+    val cur = urlKept.getOrElse(base)
+    val bench = cur.filter(col("doc_id") % benchMod === 0)
+    val pool = cur.filter(col("doc_id") % benchMod =!= 0)
     val s2 = pool.join(
       TextAnalysis.gopherFilter(pool, "doc_id", "t",
           minTokens = minTokens, stopList = stopList,
@@ -1098,6 +1187,7 @@ object Curation {
       .crossJoin(broadcast(quota))
       .filter(col("__rn") <= col("__q")).drop("__rn", "__q")
       .localCheckpoint()
-    FunnelStages(base, bench, pool, s2, s3, s4, s5, s6, s7, s8, s9)
+    FunnelStages(base, urlKept, bench, pool, s2, s3, s4, s5, s6, s7,
+      s8, s9)
   }
 }

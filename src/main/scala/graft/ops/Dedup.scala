@@ -390,6 +390,99 @@ object Dedup {
       .select("a_id", "b_id", "a_start", "delta", "run_len")
   }
 
+  /** Shared-span EXCISION — the APPLY form of [[sharedSpanPairs]] and
+    * the actual output of Lee et al. 2022's exact-substring pipeline
+    * (arXiv:2107.06499 §3.2: each duplicated span is removed from all
+    * but ONE occurrence; the corpus is REWRITTEN, not just flagged).
+    * Keep rule: the span's occurrence in the LOWEST doc id survives —
+    * [[sharedSpanPairs]] already orients every pair a_id < b_id, so the
+    * spans to remove are exactly the b-side token intervals
+    * `[a_start − delta, a_start − delta + run_len + n − 2]` (a run of
+    * `run_len` n-grams covers `run_len + n − 1` tokens). Transitive
+    * families resolve correctly without a chain step: every holder
+    * except the global minimum id is some pair's b side, so exactly one
+    * copy survives. Per doc, intervals from ALL pairs merge
+    * (overlapping or adjacent) before excision; the rewritten text is
+    * the surviving tokens joined by single spaces (token-boundary
+    * excision — the rebuilt text re-tokenizes to exactly the kept token
+    * stream). Excising can join previously-distant tokens, so up to
+    * n − 1 NEW seam grams appear per interval; a second detection pass
+    * over the output is clean on any corpus whose seams don't
+    * re-duplicate (spec-pinned on a transitive fixture) — the same
+    * single-cut convention the reference pipeline ships.
+    *
+    * Output: one row per input doc —
+    * `(doc_id, text_out, n_spans, n_tokens_removed)`; untouched docs
+    * pass through with their ORIGINAL text and zeros.
+    *
+    * Scale shape: the pair set is [[sharedSpanPairs]]'s gram-hash
+    * equi-join (never theta; `maxDocFreq` caps boilerplate blow-up);
+    * interval merge is the classic running-max grouping under windows
+    * PARTITIONED BY doc over pair-bounded rows; the rebuild splits the
+    * corpus into an anti-join passthrough (codegen, no token work) and
+    * the touched docs (pair-bounded), which alone pay the interpreted
+    * index-filter HOF over their token arrays. One corpus scan beyond
+    * the detection pass. */
+  def exciseSharedSpans(df: DataFrame, id: String, text: String, n: Int,
+                        minRun: Int, maxDocFreq: Int = 0): DataFrame = {
+    val pairs = sharedSpanPairs(df, id, text, n, minRun, maxDocFreq)
+    val spans = pairs.select(col("b_id").as("doc"),
+      (col("a_start") - col("delta")).cast("int").as("s"),
+      (col("a_start") - col("delta") + col("run_len") + lit(n - 2))
+        .cast("int").as("e"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("s", "e")
+    val wPrev = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val merged = spans
+      .withColumn("__pm", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("s") > col("__pm") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__g", sum(col("__new")).over(wOrd))
+      .groupBy(col("doc"), col("__g"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val iv = merged.groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("iv"),
+        count(lit(1)).as("n_spans"))
+    val base = df.select(col(id).as("doc_id"), col(text).as("__t"))
+    val ivK = iv.withColumnRenamed("doc", "doc_id")
+    val touched = base.join(ivK, Seq("doc_id"))
+      .withColumn("__toks", TextAnalysis.tokens(col("__t")))
+      .withColumn("__kept", filter(col("__toks"), (_, i) =>
+        !exists(col("iv"),
+          v => i >= v.getField("s") && i <= v.getField("e"))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__kept")).as("text_out"),
+        col("n_spans"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"))
+    val untouched = base.join(ivK.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select(col("doc_id"), col("__t").as("text_out"),
+        lit(0L).as("n_spans"), lit(0L).as("n_tokens_removed"))
+    untouched.unionByName(touched)
+  }
+
+  /** Corpus-level savings report of [[exciseSharedSpans]] — the
+    * before/after effective-token row a capacity plan reads (the q74
+    * savings shape for span dedup): docs touched, spans excised, token
+    * mass before/after, and removed share in basis points. One
+    * aggregate over the excision output. */
+  def sharedSpanSavings(df: DataFrame, id: String, text: String, n: Int,
+                        minRun: Int, maxDocFreq: Int = 0): DataFrame =
+    exciseSharedSpans(df, id, text, n, minRun, maxDocFreq)
+      .select(col("n_spans"), col("n_tokens_removed"),
+        (size(TextAnalysis.tokens(col("text_out"))).cast("long") +
+          col("n_tokens_removed")).as("__before"))
+      .agg(count(when(col("n_spans") > 0, 1)).as("n_docs_touched"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("__before")).as("tokens_before"),
+        sum(col("__before") - col("n_tokens_removed")).as("tokens_after"),
+        sum(col("n_tokens_removed")).as("tokens_removed"))
+      .withColumn("removed_bp",
+        expr("(10000 * tokens_removed) div greatest(tokens_before, 1)"))
+
   /** Train→test contamination check (benchmark decontamination — the
     * step an LLM data pipeline runs before any eval split is trusted):
     * for each `test` document, how many of its distinct word `n`-grams

@@ -607,10 +607,37 @@ object TextAnalysis {
     * anchors — no backreferences, no lookaround, no lazy quantifiers.
     * URLs are redacted FIRST so an email-shaped substring inside a URL
     * (`https://x.test/a@b.cd`) counts once, as a URL — a fixed rule both
-    * engines apply identically. Production swaps in richer pattern
-    * packs (phones, SSNs, keys) under the same two-engine discipline. */
+    * engines apply identically. [[redactFull]] is the complete pack
+    * (phones, SSNs, IPv4, keys) under the same discipline. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
   val UrlPattern = "https?://[^ \\t\\n]+"
+
+  /** Key/token-shaped strings: the deployed-credential prefixes
+    * (AWS access key ids, `sk-`/`ghp_`-style API tokens) plus bare
+    * 32+-digit hex (MD5/SHA/hex API keys). Alternation of anchored
+    * prefixes — never a bare "long word" rule, which would eat ordinary
+    * text. */
+  val KeyPattern =
+    "AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{16,}|ghp_[A-Za-z0-9]{20,}|" +
+      "[0-9a-fA-F]{32,}"
+
+  /** Phones, two deployed shapes: E.164-ish international
+    * (`+` then 7-15 digits, optional single space/dash group
+    * separators) and the North-American `(nnn) nnn-nnnn` /
+    * `nnn-nnn-nnnn` forms. Dots are deliberately NOT phone separators —
+    * that keeps the phone and IPv4 patterns disjoint by construction
+    * (no ordering subtlety between them). */
+  val PhonePattern =
+    "\\+[0-9]{1,3}[- ]?[0-9]{2,4}[- ]?[0-9]{3,4}[- ]?[0-9]{2,4}|" +
+      "\\([0-9]{3}\\)[- ][0-9]{3}[- ][0-9]{4}|" +
+      "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** US Social Security Numbers in the canonical dashed form. */
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** IPv4 dotted quads (redaction-grade: no octet-range check — a
+    * false positive redacts a version string, the safe direction). */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   def redact(df: DataFrame, text: String): DataFrame = {
     val t = col(text)
@@ -621,6 +648,37 @@ object TextAnalysis {
         size(regexp_extract_all(noUrl, lit(EmailPattern), lit(0))))
       .withColumn("redacted",
         regexp_replace(noUrl, EmailPattern, "<EMAIL>"))
+  }
+
+  /** The COMPLETE redaction pack (r13 verdict item 2 — [[redact]]'s
+    * scaladoc promised phones/SSNs/keys and shipped URL+email): six
+    * patterns applied in the documented MOST-SPECIFIC-FIRST order
+    *
+    *   URL → EMAIL → KEY → PHONE → SSN → IPV4
+    *
+    * so substring-shaped patterns never double-fire: an email, hex key
+    * or dotted quad inside a URL counts once as the URL; an SSN-shaped
+    * `ddd-dd-dddd` inside an international phone counts once as the
+    * phone; phones and IPv4 are disjoint by construction (dots are not
+    * phone separators). Each stage counts its matches on the PREVIOUS
+    * stage's text, then replaces — the per-pattern audit counts a
+    * redaction pass must leave. Pure row-local regexp chains: codegen,
+    * no shuffle, linear at 100 TB. Output: input columns +
+    * `(n_urls, n_emails, n_keys, n_phones, n_ssns, n_ips, redacted)`. */
+  def redactFull(df: DataFrame, text: String): DataFrame = {
+    val stages = Seq(
+      ("n_urls", UrlPattern, "<URL>"),
+      ("n_emails", EmailPattern, "<EMAIL>"),
+      ("n_keys", KeyPattern, "<KEY>"),
+      ("n_phones", PhonePattern, "<PHONE>"),
+      ("n_ssns", SsnPattern, "<SSN>"),
+      ("n_ips", Ipv4Pattern, "<IP>"))
+    val (out, last) = stages.foldLeft((df, col(text))) {
+      case ((d, cur), (cnt, pat, tok)) =>
+        (d.withColumn(cnt, size(regexp_extract_all(cur, lit(pat), lit(0)))),
+          regexp_replace(cur, pat, tok))
+    }
+    out.withColumn("redacted", last)
   }
 
   /** Top-N most DISTINCTIVE terms per document — the TF-IDF shape with
@@ -1270,6 +1328,99 @@ object TextAnalysis {
       .select(lit("bpe").as("encoder"), col("n_words"),
         col("n_subwords"))
     wp.unionByName(bpe)
+      .withColumn("fertility_x1000",
+        expr("(1000 * n_subwords) div n_words"))
+  }
+
+  /** Unigram-LM-style piece COSTS from the [[trainSubwordVocab]]
+    * frequency artifact: `cost(p) = floor(−2ˢ · log₂(freq_p / Σfreq))`
+    * — the q123 integer grid, quantized DRIVER-side via StrictMath so
+    * the artifact is pure int64 and inlines into any engine's oracle as
+    * plain VALUES. Returns `(pieces, charCost)` with
+    * `charCost = max piece cost + 2ˢ` (one bit worse than the rarest
+    * trained piece — the q123 OOV convention), the fallback price
+    * [[viterbiEncodeStats]] charges for out-of-vocabulary code points. */
+  def trainPieceCosts(df: DataFrame, text: String, vocabSize: Int,
+                      maxPieceLen: Int = 4, scaleBits: Int = 12)
+      : (Seq[(String, Long)], Long) = {
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val fr = trainSubwordVocab(df, text, vocabSize, maxPieceLen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(fr.nonEmpty, "trainPieceCosts: empty vocabulary")
+    val total = fr.map(_._2).sum.toDouble
+    val scale = (1L << scaleBits).toDouble
+    val pieces = fr.map { case (p, f) =>
+      (p, math.floor(-scale *
+        (StrictMath.log(f.toDouble / total) / StrictMath.log(2.0))).toLong)
+    }
+    (pieces, pieces.map(_._2).max + (1L << scaleBits))
+  }
+
+  /** Viterbi-OPTIMAL subword segmentation stats — the min-cost apply
+    * convention (unigram-LM / SentencePiece) beside greedy
+    * longest-match ([[wordPieceEncode]]) and BPE merge replay: per
+    * document, word count, OPTIMAL piece count and total quantized
+    * cost under the trained `(piece, cost)` artifact, with single-
+    * code-point fallback at `charCost`. Greedy can be strictly worse —
+    * the spec pins a fixture where longest-match pays more than the
+    * optimum — and the DP's tie-break (fewest pieces at equal cost) is
+    * deterministic by the int64 encoding (see
+    * [[graft.functions.ViterbiCostExpr]]).
+    *
+    * Scale shape: the DP runs once per DISTINCT word (the bpeEncode
+    * dictionary posture — corpus-vocabulary-bounded, never per
+    * occurrence) inside whole-stage codegen; the corpus pass is one
+    * tokenize + ONE broadcast dictionary join + a per-doc sum.
+    * Token-less documents drop. Output:
+    * `(id, n_words, n_pieces, total_cost)`, all exact int64. */
+  def viterbiEncodeStats(df: DataFrame, id: String, text: String,
+                         pieces: Seq[(String, Long)],
+                         charCost: Long): DataFrame = {
+    require(pieces.nonEmpty, "viterbiEncodeStats: empty vocabulary")
+    val dict = df.select(explode(tokens(col(text))).as("w")).distinct()
+      .select(col("w"),
+        graft.functions.ViterbiCostExpr(col("w"), pieces, charCost)
+          .as("__enc"))
+    df.select(col(id), explode(tokens(col(text))).as("w"))
+      .join(broadcast(dict), Seq("w"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("__enc % 65536")).as("n_pieces"),
+        sum(expr("__enc div 65536")).as("total_cost"))
+  }
+
+  /** Three-way fertility A/B over ONE corpus — [[subwordFertilityAB]]'s
+    * table plus the Viterbi-optimal row (r13 verdict item 3): greedy
+    * longest-match vs trained BPE merges vs min-cost segmentation
+    * under `pieceCosts`. All three reuse the ONE distinct-word count
+    * table; subword totals are occurrence-weighted; all integer.
+    * The optimal row's piece count is ≤ greedy's on every word whose
+    * vocabulary coincides (spec-pinned where they differ). */
+  def subwordFertility3(df: DataFrame, text: String,
+                        vocab: Seq[String],
+                        merges: Seq[(String, String)],
+                        pieceCosts: Seq[(String, Long)],
+                        charCost: Long): DataFrame = {
+    require(vocab.nonEmpty && pieceCosts.nonEmpty,
+      "subwordFertility3: empty vocab")
+    val words = Caches.track(wordCounts(df, text).persist())
+    def row(name: String, np: Column) = words
+      .select(col("cnt"), np.as("np"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("np")).as("n_subwords"))
+      .select(lit(name).as("encoder"), col("n_words"), col("n_subwords"))
+    val wp = row("greedy_vocab",
+      size(graft.functions.GreedyPiecesExpr(col("w"), vocab)))
+    val vit = row("viterbi_costs",
+      (graft.functions.ViterbiCostExpr(col("w"), pieceCosts, charCost)
+        % 65536).cast("int"))
+    val bpe = bpeSegmentsFromWords(words, merges)
+      .select(col("cnt"), size(col("syms")).as("np"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("np")).as("n_subwords"))
+      .select(lit("bpe").as("encoder"), col("n_words"),
+        col("n_subwords"))
+    wp.unionByName(bpe).unionByName(vit)
       .withColumn("fertility_x1000",
         expr("(1000 * n_subwords) div n_words"))
   }
@@ -3814,6 +3965,56 @@ object TextAnalysis {
       .join(broadcast(dict), Seq("w1", "w2"), "left")
       .select(col(id), col("__p"),
         coalesce(col("cost"), lit(oovCost)).as("__c"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__c").desc, col("__p"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+    tokC.withColumn("__rn", row_number().over(wSel))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__m",
+        greatest(lit(1L), expr(s"(cast($kPct as bigint) * __n) div 100")))
+      .groupBy(col(id))
+      .agg(max(col("__n")).as("n_ngrams"),
+        max(col("__m")).as("k_ngrams"),
+        sum(when(col("__rn") <= col("__m"), col("__c"))).as("topk_cost"))
+      .withColumn("mink_cost_q", expr("topk_cost div k_ngrams"))
+  }
+
+  /** Min-K% Prob over the BACKOFF TRIGRAM LM (r13 verdict item 6 —
+    * [[minKProbScore]] uses bigram costs; the better LM was already
+    * trained by [[trainBackoffLm]], this composes them): per trigram
+    * the backoff-chain cost (`tri` when trained, else `2ˢ + bi`, else
+    * `2ˢ + bigramOov` — [[backoffLmScore]]'s exact integers), then the
+    * identical deterministic top-k% selection (cost DESC, position
+    * ASC; `m = max(1, (kPct·n) div 100)`; one floor division).
+    * `kPct = 100` degenerates to [[backoffLmScore]]'s average
+    * (spec-pinned). Docs under 3 tokens drop. Output:
+    * `(id, n_ngrams, k_ngrams, topk_cost, mink_cost_q)`.
+    *
+    * Scale shape: one trigram explode + TWO broadcast dictionary
+    * joins, one key-partitioned window, one groupBy. */
+  def minKProbScoreBackoff(df: DataFrame, id: String, text: String,
+                           tri: Seq[(String, String, String, Long)],
+                           bi: Seq[(String, String, Long)], biOov: Long,
+                           scaleBits: Int = 12,
+                           kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"kPct must be in [1,100]: $kPct")
+    require(tri.nonEmpty && bi.nonEmpty, "minKProbScoreBackoff: empty model")
+    import df.sparkSession.implicits._
+    val penalty = 1L << scaleBits
+    val triDict = tri.toDF("w1", "w2", "w3", "tcost")
+    val biDict = bi.toDF("b1", "b2", "bcost")
+    val tokC = df
+      .select(col(id), posexplode(trigramTriples(col(text)))
+        .as(Seq("__p", "__g")))
+      .select(col(id), col("__p"), col("__g.w1").as("w1"),
+        col("__g.w2").as("w2"), col("__g.w3").as("w3"))
+      .join(broadcast(triDict), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(biDict),
+        col("w2") === col("b1") && col("w3") === col("b2"), "left")
+      .select(col(id), col("__p"),
+        coalesce(col("tcost"),
+          lit(penalty) + coalesce(col("bcost"), lit(biOov))).as("__c"))
     val wSel = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("__c").desc, col("__p"))
     val wAll = org.apache.spark.sql.expressions.Window

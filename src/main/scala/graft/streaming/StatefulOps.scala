@@ -1425,6 +1425,21 @@ object StatefulOps {
           costs, oovCost, kPct), bid)
     }
 
+  /** PII redaction at ingest — the streaming twin of
+    * [[graft.ops.TextAnalysis.redactFull]] (the minKProbWriter
+    * posture): each micro-batch's documents redact independently
+    * (row-local regexp chains, so batch parity holds by construction) —
+    * the hygiene gate wired where documents arrive, composable in
+    * front of the curation writer the way the batch op fronts the
+    * funnel. `process` receives the batch with the six audit counts
+    * and the `redacted` column. */
+  def redactionWriter(stream: DataFrame, text: String)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.redactFull(batch, text), bid)
+    }
+
   /** CDC maintenance for the maxsim SQ8 PAIR index — the late-
     * interaction twin of [[postingsMaintenanceWriter]], over the r13
     * [[graft.ops.Similarity.saveMaxSimSq8Index]] lifecycle: each

@@ -623,6 +623,99 @@ class CurationSpec extends SparkSpec {
     assert(reasons.values.count(_.isEmpty) == funnel(9))
   }
 
+  test("urlCurationVerdicts: host extraction rules, exact-URL dedup " +
+      "keeps min id, hash-ranked domain cap, reasons exact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "https://u:p@WWW.Example.COM:8080/a/b?q=1#f"),
+      (2L, "http://www.example.com/other"),   // same host as 1
+      (3L, "https://u:p@WWW.Example.COM:8080/a/b?q=1#f"), // exact dup of 1
+      (4L, "ftp://Files.Example.ORG/x"),      // scheme variety
+      (5L, "https://files.example.org:21/y"), // same host as 4
+      (6L, "no-scheme.example.net/path")      // scheme-less: host = authority
+    ).toDF("doc_id", "url")
+    val out = Curation.urlCurationVerdicts(docs, "doc_id", "url",
+        maxPerDomain = 1, salt = "t")
+      .as[(Long, String, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, Option(r._4)))).toMap
+    assert(out(1L)._1 == "www.example.com", s"got ${out(1L)}")
+    assert(out(4L)._1 == "files.example.org")
+    assert(out(6L)._1 == "no-scheme.example.net")
+    // doc 3 is the exact-URL loser (min id 1 keeps)
+    assert(out(3L) == (("www.example.com", false, Some("url_dup"))))
+    // cap 1 per host: exactly one of {1,2} and one of {4,5} kept,
+    // the other reported domain_cap; the hash rank decides which
+    assert(Seq(1L, 2L).count(out(_)._2) == 1)
+    assert(Seq(4L, 5L).count(out(_)._2) == 1)
+    Seq(1L, 2L, 4L, 5L).filterNot(out(_)._2).foreach(i =>
+      assert(out(i)._3 == Some("domain_cap"), s"doc $i: ${out(i)}"))
+    assert(out(6L) == (("no-scheme.example.net", true, None)))
+  }
+
+  test("pretrainingFunnel with URL stage: stage rows shift by one, " +
+      "reasons gain 'urlcurate', telescoping intact, None unchanged") {
+    import org.apache.spark.sql.functions.col
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "the dog wakes up to chase of all things a very quick cat."
+    val docs = Seq(
+      (0L, "an entirely separate benchmark body sharing no long gram " +
+        "with training text at all.", "a", "https://h1.t/same"),
+      (1L, good + " first unique tail words here.", "a", "https://h1.t/p1"),
+      (2L, good + " second unique tail words here.", "b", "https://h1.t/p2"),
+      (3L, good + " third unique tail words here.", "a", "https://h1.t/same"),
+      (7L, "too short.", "b", "https://h2.t/p7"),
+      (8L, good + " fourth unique tail words here.", "b", "https://h2.t/p8"),
+      (9L, good + " fifth unique tail words here.", "a", "https://h2.t/p9"),
+      (11L, good + " sixth unique tail words here.", "a", "https://h2.t/p11"))
+      .toDF("doc_id", "text", "src", "url")
+    // URL stage: doc 3 is an exact-URL dup of doc 0 (min id keeps);
+    // cap 10 never binds. Then the usual chain: 0 holdout (benchMod 5),
+    // 7 gopher; survivors a:{1,9,11} b:{2,8} → mixture quota 2 drops
+    // the largest-id a-source survivor (11).
+    val reasons = graft.ops.Curation.pretrainingFunnelReasons(docs,
+        "doc_id", "text", "src", benchMod = 5,
+        blocklist = Seq("verboten"), minTokens = 10, boilerMinDocs = 9,
+        numHashes = 12, bands = 4, threshold = 0.9, decontamN = 8,
+        urlCol = Some("url"), maxPerDomain = 10, urlSalt = "t")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getString(2)))))
+      .toMap
+    assert(reasons.size == 8)
+    assert(reasons(3L) == Some((1, "urlcurate")), s"got ${reasons(3L)}")
+    assert(reasons(0L) == Some((2, "holdout")))
+    assert(reasons(7L) == Some((3, "gopher")))
+    assert(reasons(11L) == Some((10, "mixture")), s"got ${reasons(11L)}")
+    Seq(1L, 2L, 8L, 9L).foreach(i => assert(reasons(i).isEmpty, s"$i"))
+    // funnel rows: 12 rows, urlcurate at stage 1, telescoping intact
+    val funnel = graft.ops.Curation.pretrainingFunnel(docs, "doc_id",
+        "text", "src", benchMod = 5, blocklist = Seq("verboten"),
+        minTokens = 10, boilerMinDocs = 9, numHashes = 12, bands = 4,
+        threshold = 0.9, decontamN = 8, numShards = 2,
+        budgetTokens = 40, packSalt = "t",
+        urlCol = Some("url"), maxPerDomain = 10, urlSalt = "t")
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(funnel.size == 12)
+    assert(funnel(1)._1 == "urlcurate" && funnel(1)._2 == 7L,
+      s"got ${funnel(1)}")
+    assert(funnel(11)._1 == "packed")
+    (1 to 10).foreach { k =>
+      val dropped = reasons.values.count(_.exists(_._1 == k))
+      assert(dropped == funnel(k - 1)._2 - funnel(k)._2,
+        s"stage $k: $dropped != ${funnel(k - 1)._2 - funnel(k)._2}")
+    }
+    // default None: output identical to the pre-URL contract (11 rows,
+    // holdout at stage 1) — the q211/q235 bit-compat guarantee
+    val off = graft.ops.Curation.pretrainingFunnel(docs, "doc_id",
+        "text", "src", benchMod = 5, blocklist = Seq("verboten"),
+        minTokens = 10, boilerMinDocs = 9, numHashes = 12, bands = 4,
+        threshold = 0.9, decontamN = 8, numShards = 2,
+        budgetTokens = 40, packSalt = "t")
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(off.size == 11 && off(1) == "holdout" && off(10) == "packed")
+  }
+
   test("pretrainingFunnel: semantic decontamination catches the planted " +
       "paraphrase the n-gram gate cannot see") {
     import org.apache.spark.sql.functions.col

@@ -297,6 +297,55 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 3L, 0, 0, 2L)), s"got $capped")
   }
 
+  test("exciseSharedSpans: lowest id keeps the span, transitive family " +
+      "leaves ONE copy, untouched docs pass through, second pass clean") {
+    val d = Seq(
+      (1L, "p q r s t u"),
+      (2L, "x y r s t u"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    // detection (pinned above): (1,2) suffix run, (1,3) full run,
+    // (2,3) suffix run. Excision: doc 1 keeps everything (lowest id);
+    // doc 2 loses tokens [2,5] ("r s t u"); doc 3 loses [0,5] from
+    // (1,3) — the (2,3) interval [2,5] merges into it — so the
+    // identical triple-held span survives in EXACTLY one doc.
+    val out = Dedup.exciseSharedSpans(d, "doc_id", "text", n = 2,
+        minRun = 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "p q r s t u", 0L, 0L),
+      (2L, "x y", 1L, 4L),
+      (3L, "", 1L, 6L)), s"got $out")
+    // idempotence on this corpus: a second detection pass over the
+    // rewritten text finds no runs >= minRun
+    val again = d.select(col("doc_id")).join(
+      Dedup.exciseSharedSpans(d, "doc_id", "text", 2, 3)
+        .select(col("doc_id"), col("text_out").as("text")), Seq("doc_id"))
+    assert(Dedup.sharedSpanPairs(again, "doc_id", "text", n = 2,
+      minRun = 3).isEmpty, "second pass must find nothing to excise")
+  }
+
+  test("exciseSharedSpans merges overlapping intervals from different " +
+      "partners; sharedSpanSavings integer report") {
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "c d e f g"),
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    // doc 3 loses [0,4] vs doc 1 and [2,6] vs doc 2 → merged [0,6],
+    // ONE span, 7 tokens; docs 1 and 2 share only a 2-gram run (< 3)
+    // and pass through untouched
+    val out = Dedup.exciseSharedSpans(d, "doc_id", "text", n = 2,
+        minRun = 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "a b c d e", 0L, 0L),
+      (2L, "c d e f g", 0L, 0L),
+      (3L, "h", 1L, 7L)), s"got $out")
+    val sav = Dedup.sharedSpanSavings(d, "doc_id", "text", n = 2,
+        minRun = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sav == Seq((1L, 1L, 18L, 11L, 7L, 3888L)), s"got $sav")
+  }
+
   test("incrementalMinHashPairs pairs only across sides") {
     val existing = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
