@@ -1440,6 +1440,83 @@ object StatefulOps {
         process(graft.ops.TextAnalysis.redactFull(batch, text), bid)
     }
 
+  /** URL/domain curation at CRAWL INGEST — the streaming twin of
+    * [[graft.ops.Curation.urlCurationVerdicts]] (web-corpus stage 0
+    * where it actually runs: on the arriving crawl, before any text is
+    * stored). State is ONE persisted registry table of ADMITTED urls
+    * `(uh, host, doc_id)` — naturally bounded by `maxPerDomain` rows
+    * per host, so unlike the activity writer no compaction is ever
+    * needed; the per-domain quota is a host-cardinality aggregate over
+    * it. Per micro-batch: exact-URL dedup within the batch (min doc id
+    * wins — deterministic), anti-join against the registry (re-crawls
+    * of admitted urls report `url_dup`), then hash-ranked admission of
+    * novel urls into each host's REMAINING quota (the q47 salt
+    * discipline within the batch; across batches admission is
+    * arrival-ordered — the only order a stream has, documented
+    * divergence from the batch operator's global hash rank, which
+    * coincides whenever the cap doesn't bind). Admitted rows append to
+    * the registry; `process` receives the batch's full verdict table
+    * `(doc_id, host, kept, reason)`.
+    *
+    * Invariants (spec-pinned): a URL is admitted at most once across
+    * the stream's lifetime; a host is admitted at most `maxPerDomain`
+    * times; with a non-binding cap the admitted set equals the batch
+    * operator's kept set over the same rows. O(batch + hosts·cap) per
+    * batch. */
+  def urlCurationWriter(stream: DataFrame, id: String, url: String,
+      table: String, maxPerDomain: Long, salt: String = "url")(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    require(maxPerDomain >= 1, s"bad maxPerDomain: $maxPerDomain")
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val b = batch.select(col(id).as("doc_id"), col(url).as("__u"))
+          .withColumn("host", graft.ops.Curation.urlHost(col("__u")))
+          .withColumn("__uh", md5(col("__u")))
+        val wU = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__uh")).orderBy(col("doc_id"))
+        val bb = b.withColumn("__urn", row_number().over(wU))
+        val haveReg = spark.catalog.tableExists(table)
+        if (haveReg) spark.catalog.refreshTable(table)
+        val seen =
+          if (haveReg) spark.table(table).select(col("__uh"))
+          else b.select(col("__uh")).limit(0)
+        val quota =
+          if (haveReg) spark.table(table).groupBy(col("host"))
+            .agg(count(lit(1)).as("__c"))
+          else b.select(col("host")).limit(0)
+            .withColumn("__c", lit(0L))
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(graft.ops.Sampling.hash60(col("doc_id"), salt),
+            col("doc_id"))
+        // eager materialization BEFORE the registry append: the plan
+        // reads the registry (seen/quota), so a lazy re-evaluation for
+        // the verdicts join after the append would see this batch's own
+        // admitted rows and mis-report them as duplicates
+        val novel = bb.filter(col("__urn") === 1)
+          .join(seen, Seq("__uh"), "left_anti")
+          .join(quota, Seq("host"), "left")
+          .withColumn("__rn", row_number().over(wH))
+          .withColumn("__keep",
+            col("__rn") + coalesce(col("__c"), lit(0L)) <= maxPerDomain)
+          .localCheckpoint()
+        novel.filter(col("__keep"))
+          .select(col("__uh"), col("host"), col("doc_id"))
+          .write.mode("append").format("parquet").saveAsTable(table)
+        val verdicts = bb
+          .join(novel.select(col("doc_id"), col("__keep")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("host"),
+            coalesce(col("__keep"), lit(false)).as("kept"),
+            when(col("__keep").isNull, lit("url_dup"))
+              .when(!col("__keep"), lit("domain_cap"))
+              .otherwise(lit(null).cast("string")).as("reason"))
+        process(verdicts, bid)
+      }
+    }
+  }
+
   /** CDC maintenance for the maxsim SQ8 PAIR index — the late-
     * interaction twin of [[postingsMaintenanceWriter]], over the r13
     * [[graft.ops.Similarity.saveMaxSimSq8Index]] lifecycle: each

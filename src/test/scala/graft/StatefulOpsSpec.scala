@@ -1855,6 +1855,79 @@ class StatefulOpsSpec extends SparkSpec {
     assert(buf.toSet == want && want.size == 3)
   }
 
+  test("urlCurationWriter: admitted-once per URL, cap-bounded per " +
+      "host, registry bounded, non-binding cap equals batch kept set") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val verdicts = mutable.Map.empty[Long, (String, Boolean, String)]
+    def record(df: DataFrame): Unit =
+      df.collect().foreach(r => verdicts(r.getLong(0)) =
+        ((r.getString(1), r.getBoolean(2),
+          if (r.isNullAt(3)) null else r.getString(3))))
+    val u = (h: Int, p: String) => s"https://h$h.test/$p"
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.urlCurationWriter(
+          in.toDF().toDF("doc_id", "url"), "doc_id", "url",
+          "url_reg", maxPerDomain = 2, salt = "t") {
+        (out, _) => record(out)
+      }.start()
+      withQuery(q) {
+        // batch 1: host 1 gets two admits (cap exactly), an exact dup
+        // within the batch (min id wins), host 2 one admit
+        in.addData((1L, u(1, "a")), (2L, u(1, "a")), (3L, u(1, "b")),
+          (4L, u(2, "x")))
+        q.processAllAvailable()
+        assert(verdicts(2L) == (("h1.test", false, "url_dup")),
+          s"got ${verdicts(2L)}")
+        assert(verdicts(1L)._2 && verdicts(3L)._2 && verdicts(4L)._2,
+          s"$verdicts")
+        // batch 2: host 1 is FULL — a novel url reports domain_cap; a
+        // re-crawl of an admitted url reports url_dup; host 2 has one
+        // slot left — exactly one of the two novel urls admits
+        in.addData((5L, u(1, "c")), (6L, u(1, "a")),
+          (7L, u(2, "y")), (8L, u(2, "z")))
+        q.processAllAvailable()
+        assert(verdicts(5L) == (("h1.test", false, "domain_cap")),
+          s"got ${verdicts(5L)}")
+        assert(verdicts(6L) == (("h1.test", false, "url_dup")),
+          s"got ${verdicts(6L)}")
+        assert(Seq(7L, 8L).count(verdicts(_)._2) == 1, s"$verdicts")
+        assert(Seq(7L, 8L).filterNot(verdicts(_)._2)
+          .forall(verdicts(_)._3 == "domain_cap"))
+        // registry bounded by cap per host and admitted-once overall
+        spark.catalog.refreshTable("url_reg")
+        val reg = spark.table("url_reg")
+        assert(reg.count() == 4L)
+        assert(reg.groupBy("host").count().collect()
+          .forall(_.getLong(1) <= 2L))
+      }
+      // non-binding cap: streamed admitted set == batch kept set
+      val docs2 = Seq((1L, u(3, "a")), (2L, u(3, "a")), (3L, u(3, "b")),
+        (4L, u(4, "x")))
+      val in2 = MemoryStream[(Long, String)]
+      val got2 = mutable.Set.empty[Long]
+      val q2 = StatefulOps.urlCurationWriter(
+          in2.toDF().toDF("doc_id", "url"), "doc_id", "url",
+          "url_reg2", maxPerDomain = 100, salt = "t") {
+        (out, _) => got2 ++= out.filter(col("kept")).collect()
+          .map(_.getLong(0))
+      }.start()
+      withQuery(q2) {
+        in2.addData(docs2.take(2): _*); q2.processAllAvailable()
+        in2.addData(docs2.drop(2): _*); q2.processAllAvailable()
+      }
+      val want2 = graft.ops.Curation.urlCurationVerdicts(
+          docs2.toDF("doc_id", "url"), "doc_id", "url",
+          maxPerDomain = 100, salt = "t")
+        .filter(col("kept")).collect().map(_.getLong(0)).toSet
+      assert(got2.toSet == want2 && want2.size == 3, s"$got2 vs $want2")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS url_reg")
+      spark.sql("DROP TABLE IF EXISTS url_reg2")
+    }
+  }
+
   test("redactionWriter: streamed redaction equals batch") {
     implicit val ctx = spark.sqlContext
     val docs = Seq(
