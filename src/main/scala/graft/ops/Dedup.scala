@@ -1589,6 +1589,73 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Persist the winnowing fingerprint table as a MAINTAINED index
+    * (r14 — the one persisted-index family that still lacked the
+    * delete/replace lifecycle; postings, positional, fielded, IVF-SQ8,
+    * the maxsim pair and SymSpell all have it): `(doc_id, fp, fp_pos,
+    * gen)` bucketed by `fp` — the match join's key, so serving probes
+    * hash straight into buckets — under the standard
+    * [[graft.io.IndexMaintenance]] generational-tombstone contract.
+    * The fingerprint corpus of a licensing/plagiarism gate is exactly
+    * the kind of index that lives for years while documents get
+    * retracted (delete) or re-ingested after OCR fixes (replace). */
+  def saveWinnowIndex(df: DataFrame, id: String, text: String,
+                      table: String, buckets: Int, k: Int = 3,
+                      win: Int = 4, salt: String = "winnow"): Unit =
+    graft.io.Layout.writeBucketed(
+      winnowingFingerprints(df, id, text, k, win, salt)
+        .withColumnRenamed(id, "doc_id")
+        .withColumn("gen", lit(0L)),
+      table, "fp", buckets)
+
+  /** Append NEW docs' fingerprints to a maintained [[saveWinnowIndex]]
+    * — O(batch), gen-stamped to survive existing tombstones. Updates
+    * to existing docs must route through [[replaceInWinnowIndex]]. */
+  def appendToWinnowIndex(df: DataFrame, id: String, text: String,
+                          table: String, buckets: Int, k: Int = 3,
+                          win: Int = 4, salt: String = "winnow"): Unit = {
+    val gen = graft.io.IndexMaintenance.currentSeq(df.sparkSession, table)
+    graft.io.Layout.appendBucketed(
+      winnowingFingerprints(df, id, text, k, win, salt)
+        .withColumnRenamed(id, "doc_id")
+        .withColumn("gen", lit(gen)),
+      table, "fp", buckets)
+  }
+
+  /** Tombstone docs out of a maintained winnowing index — O(batch). */
+  def deleteFromWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, ids: DataFrame,
+                            idCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, "doc_id",
+      ids.select(col(idCol).as("doc_id")))
+
+  /** Replace docs' fingerprints: tombstone then append — the old rows
+    * die behind the new sequence. ≡ rebuild (spec-pinned). */
+  def replaceInWinnowIndex(df: DataFrame, id: String, text: String,
+                           table: String, buckets: Int, k: Int = 3,
+                           win: Int = 4, salt: String = "winnow"): Unit = {
+    deleteFromWinnowIndex(df.sparkSession, table,
+      df.select(col(id)).distinct(), id)
+    appendToWinnowIndex(df, id, text, table, buckets, k, win, salt)
+  }
+
+  /** The serving view of a maintained winnowing index (live rows). */
+  def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String): DataFrame =
+    graft.io.IndexMaintenance.load(spark, table, "doc_id")
+
+  /** [[winnowMatchSpans]] against the LIVE view of a maintained
+    * [[saveWinnowIndex]] — deleted/replaced corpus docs neither match
+    * nor report stale spans. The from-index serving form beside the
+    * caller-managed-DataFrame [[winnowMatchAgainst]]. */
+  def winnowMatchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, incoming: DataFrame,
+                           id: String, text: String, k: Int = 3,
+                           win: Int = 4, minShared: Int = 2,
+                           salt: String = "winnow"): DataFrame =
+    winnowMatchSpans(incoming, loadWinnowIndex(spark, table), id, text,
+      "doc_id", k, win, minShared, salt)
+
   /** MOSS-style overlap detection on [[winnowingFingerprints]]: pairs of
     * documents sharing at least `minShared` distinct fingerprints, with
     * the shared count. Candidate generation is the fingerprint

@@ -1409,6 +1409,63 @@ object StatefulOps {
       }
     }
 
+  /** CDC maintenance for a persisted winnowing fingerprint index —
+    * the [[postingsMaintenanceWriter]] posture over
+    * [[graft.ops.Dedup.saveWinnowIndex]]'s lifecycle: commands
+    * `(id, text, op ∈ upsert/delete)`, LWW collapse by `orderCol` with
+    * the deterministic (orderCol, op, text) tie-break (or
+    * one-command-per-id required loudly), deletes tombstone, upserts
+    * re-fingerprint + replace, threshold compaction via
+    * `compactIfNeeded` (fp-bucketed rewrite). NULL ops fail loudly; a
+    * delete-only first batch against a missing index is a no-op.
+    * Serving reads go through [[graft.ops.Dedup.winnowMatchFromIndex]]
+    * (live view); the usual cross-session refreshTable caveat
+    * applies. */
+  def winnowMaintenanceWriter(stream: DataFrame, id: String,
+      text: String, op: String, table: String, buckets: Int,
+      k: Int = 3, win: Int = 4, salt: String = "winnow",
+      maxDeadBp: Long = 3000, orderCol: Option[String] = None)(
+      onBatch: (Long, Boolean) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val bad = batch.filter(col(op).isNull ||
+          !col(op).isin("upsert", "delete"))
+        require(bad.isEmpty,
+          s"winnowMaintenanceWriter: unknown op values " +
+            s"${bad.select(col(op)).distinct().collect().mkString(",")}")
+        val cmds = orderCol match {
+          case Some(oc) =>
+            batch.groupBy(col(id))
+              .agg(max_by(struct(col(text).as("__t"), col(op).as("__o")),
+                struct(col(oc), col(op), col(text))).as("__c"))
+              .select(col(id), col("__c.__t").as(text),
+                col("__c.__o").as(op))
+          case None =>
+            val dup = batch.groupBy(col(id)).agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1)
+            require(dup.isEmpty,
+              "winnowMaintenanceWriter: multiple commands for id(s) " +
+                dup.select(col(id)).limit(5).collect().mkString(",") +
+                " in one micro-batch with no orderCol — pass orderCol " +
+                "so the batch can collapse to the latest command per id")
+            batch
+        }
+        val dels = cmds.filter(col(op) === "delete").select(col(id))
+        val ups = cmds.filter(col(op) === "upsert")
+          .select(col(id), col(text))
+        if (!dels.isEmpty && spark.catalog.tableExists(table))
+          graft.ops.Dedup.deleteFromWinnowIndex(spark, table, dels, id)
+        if (!ups.isEmpty)
+          graft.ops.Dedup.replaceInWinnowIndex(ups, id, text, table,
+            buckets, k, win, salt)
+        val compacted = spark.catalog.tableExists(table) &&
+          graft.io.IndexMaintenance.compactIfNeeded(spark, table, "fp",
+            buckets, "doc_id", maxDeadBp)
+        onBatch(bid, compacted)
+      }
+    }
+
   /** Min-K% Prob scoring at ingest — the streaming twin of
     * [[graft.ops.TextAnalysis.minKProbScore]] (the q112/q123 writer
     * posture): the trained LM is a SUNK artifact, each micro-batch's

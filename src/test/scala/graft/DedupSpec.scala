@@ -346,6 +346,70 @@ class DedupSpec extends SparkSpec {
     assert(sav == Seq((1L, 1L, 18L, 11L, 7L, 3888L)), s"got $sav")
   }
 
+  test("winnow index lifecycle: save/append/delete/replace/compact keep " +
+      "serving == rebuild; deleted docs stop matching") {
+    // win+k-1 = 6: docs share 6+ token runs with the probe
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val v1 = Seq(
+      (1L, shared + " one two three"),
+      (2L, "totally different words entirely here now and then"))
+      .toDF("doc_id", "text")
+    val extra = Seq((3L, shared + " four five six")).toDF("doc_id", "text")
+    val probe = Seq((10L, "intro words " + shared + " outro"))
+      .toDF("doc_id", "text")
+    def fromIdx() = Dedup.winnowMatchFromIndex(spark, "win_idx", probe,
+        "doc_id", "text", k = 3, win = 4, minShared = 1)
+      .collect().map(_.toSeq).toSet
+    def rebuild(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowMatchSpans(probe,
+          Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4),
+          "doc_id", "text", "doc_id", 3, 4, minShared = 1)
+        .collect().map(_.toSeq).toSet
+    try {
+      Dedup.saveWinnowIndex(v1, "doc_id", "text", "win_idx", buckets = 4,
+        k = 3, win = 4)
+      assert(fromIdx() == rebuild(v1) && fromIdx().nonEmpty)
+      // append a new doc that also shares the run
+      Dedup.appendToWinnowIndex(extra, "doc_id", "text", "win_idx", 4,
+        3, 4)
+      val u2 = v1.unionByName(extra)
+      assert(fromIdx() == rebuild(u2))
+      assert(fromIdx().exists(_.head == 3L), "appended doc must match")
+      // replace doc 1 with unrelated text: it must stop matching
+      Dedup.replaceInWinnowIndex(
+        Seq((1L, "replaced with other material wholly unrelated text"))
+          .toDF("doc_id", "text"), "doc_id", "text", "win_idx", 4, 3, 4)
+      val u3 = Seq((1L, "replaced with other material wholly unrelated text"))
+        .toDF("doc_id", "text")
+        .unionByName(v1.filter(col("doc_id") =!= 1L)).unionByName(extra)
+      assert(fromIdx() == rebuild(u3))
+      assert(!fromIdx().exists(_.head == 1L), "replaced doc matched")
+      // delete doc 3: gone from serving
+      Dedup.deleteFromWinnowIndex(spark, "win_idx",
+        Seq(3L).toDF("victim"), "victim")
+      val u4 = u3.filter(col("doc_id") =!= 3L)
+      assert(fromIdx() == rebuild(u4))
+      assert(!fromIdx().exists(_.head == 3L), "deleted doc matched")
+      // compaction: serving identical, dead rows gone, sidecar clean
+      graft.ops.Caches.release(blocking = true)
+      val want = fromIdx()
+      val fired = graft.io.IndexMaintenance.compactIfNeeded(spark,
+        "win_idx", "fp", 4, "doc_id", maxDeadBp = 1000)
+      assert(fired, "the delete+replace history must cross 10% dead")
+      graft.ops.Caches.release(blocking = true)
+      assert(fromIdx() == want, "serving changed across compaction")
+      val (phys, live, dead, _) = graft.io.IndexMaintenance
+        .tombstoneStats(spark, "win_idx", "doc_id")
+      assert(phys == live && dead == 0L)
+      assertSidecarClean("win_idx")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("win_idx", "win_idx__tombstones", "win_idx__compact",
+        "win_idx__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incrementalMinHashPairs pairs only across sides") {
     val existing = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -1855,6 +1855,69 @@ class StatefulOpsSpec extends SparkSpec {
     assert(buf.toSet == want && want.size == 3)
   }
 
+  test("winnowMaintenanceWriter: CDC upsert/delete keeps the gate's " +
+      "serving == rebuild at every batch; threshold compaction fires") {
+    implicit val ctx = spark.sqlContext
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val probe = Seq((10L, "intro words " + shared + " outro"))
+      .toDF("doc_id", "text")
+    val state = mutable.LinkedHashMap.empty[Long, String]
+    def want() = graft.ops.Dedup.winnowMatchSpans(probe,
+        graft.ops.Dedup.winnowingFingerprints(
+          state.toSeq.toDF("doc_id", "text"), "doc_id", "text", 3, 4),
+        "doc_id", "text", "doc_id", 3, 4, minShared = 1)
+      .collect().map(_.toSeq).toSet
+    def got() = {
+      spark.catalog.refreshTable("win_cdc")
+      if (spark.catalog.tableExists("win_cdc__tombstones"))
+        spark.catalog.refreshTable("win_cdc__tombstones")
+      graft.ops.Dedup.winnowMatchFromIndex(spark, "win_cdc", probe,
+          "doc_id", "text", 3, 4, minShared = 1)
+        .collect().map(_.toSeq).toSet
+    }
+    try {
+      val in = MemoryStream[(Long, String, String, Long)]
+      var compactions = 0
+      val q = StatefulOps.winnowMaintenanceWriter(
+          in.toDF().toDF("doc_id", "text", "op", "seq"), "doc_id",
+          "text", "op", "win_cdc", buckets = 4, k = 3, win = 4,
+          maxDeadBp = 2000, orderCol = Some("seq")) { (_, c) =>
+        if (c) compactions += 1
+      }.start()
+      withQuery(q) {
+        in.addData((1L, shared + " one two three", "upsert", 10L),
+          (2L, "totally different words entirely here now", "upsert", 10L))
+        q.processAllAvailable()
+        state ++= Seq(1L -> (shared + " one two three"),
+          2L -> "totally different words entirely here now")
+        assert(got() == want() && got().nonEmpty, "after batch 1")
+        // batch 2: replace doc 1 away from the shared run (LWW: the
+        // later upsert wins), add doc 3 on it
+        in.addData(
+          (1L, shared + " still here", "upsert", 20L),
+          (1L, "replaced wholly unrelated material text now", "upsert", 21L),
+          (3L, shared + " four five six", "upsert", 20L))
+        q.processAllAvailable()
+        state(1L) = "replaced wholly unrelated material text now"
+        state(3L) = shared + " four five six"
+        assert(got() == want(), "after batch 2")
+        assert(!got().exists(_.head == 1L), "replaced doc matched")
+        // batch 3: delete doc 3 — drives dead share over threshold
+        in.addData((3L, "", "delete", 30L))
+        q.processAllAvailable()
+        state -= 3L
+        assert(got() == want(), "after batch 3")
+        assert(!got().exists(_.head == 3L), "deleted doc matched")
+      }
+      assert(compactions >= 1, "threshold compaction never fired")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("win_cdc", "win_cdc__tombstones", "win_cdc__compact",
+        "win_cdc__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("urlCurationWriter: admitted-once per URL, cap-bounded per " +
       "host, registry bounded, non-binding cap equals batch kept set") {
     implicit val ctx = spark.sqlContext
