@@ -2047,7 +2047,7 @@ object Queries {
     * deliberately NOT materialized and probed via a plain LEFT JOIN —
     * never a correlated subquery into a MATERIALIZED CTE (the q236
     * DuckDB hazard). */
-  private val SharedSpanCtes =
+  private val SqlSpanToksCtes =
     """toks AS (SELECT doc_id, text,
             list_filter(regexp_split_to_array(text, '\s+'),
               t -> t <> '') AS wsr FROM documents),
@@ -2057,19 +2057,14 @@ object Queries {
        g AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
             unnest(gs) AS gram FROM g0),
        h AS (SELECT doc_id, CAST(pos AS INT) AS pos,
-            CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh FROM g),
-       m AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-            x.pos AS pa, y.pos AS pb
-          FROM h x JOIN h y ON x.gh = y.gh AND x.doc_id < y.doc_id),
-       runs AS (SELECT a_id, b_id, pa - pb AS delta, pa,
-            pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
-              ORDER BY pa) AS grp FROM m),
-       sp AS MATERIALIZED (SELECT b_id AS doc,
-            CAST(min(pa) - delta AS INT) AS s,
-            CAST(min(pa) - delta + count(*) + 1 AS INT) AS e
-          FROM runs GROUP BY a_id, b_id, delta, grp
-          HAVING count(*) >= 2),
-       mg AS (SELECT doc, s, e,
+            CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh FROM g)"""
+
+  /** The interval-merge + token-boundary rebuild shared by
+    * q239/q240/q246 — expects `sp(doc, s, e)` and `toks` in scope;
+    * `outWhere` restricts the rebuilt doc set (q246 rebuilds only the
+    * incoming side). */
+  private def sqlSpanRebuildCtes(outWhere: String): String =
+    s"""mg AS (SELECT doc, s, e,
             CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END AS nw
           FROM (SELECT doc, s, e, max(e) OVER (PARTITION BY doc
               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
@@ -2102,7 +2097,22 @@ object Queries {
           FROM documents d
           LEFT JOIN mdoc ON mdoc.doc = d.doc_id
           LEFT JOIN reb ON reb.doc_id = d.doc_id
-          JOIN tot ON tot.doc_id = d.doc_id)"""
+          JOIN tot ON tot.doc_id = d.doc_id $outWhere)"""
+
+  private val SharedSpanCtes =
+    SqlSpanToksCtes + """,
+       m AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+            x.pos AS pa, y.pos AS pb
+          FROM h x JOIN h y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+       runs AS (SELECT a_id, b_id, pa - pb AS delta, pa,
+            pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+              ORDER BY pa) AS grp FROM m),
+       sp AS MATERIALIZED (SELECT b_id AS doc,
+            CAST(min(pa) - delta AS INT) AS s,
+            CAST(min(pa) - delta + count(*) + 1 AS INT) AS e
+          FROM runs GROUP BY a_id, b_id, delta, grp
+          HAVING count(*) >= 2),
+       """ + sqlSpanRebuildCtes("")
 
   /** Shared-span EXCISION (Dedup.exciseSharedSpans) — the apply form of
     * q66's detection (Lee et al. 2022's actual pipeline output is the
@@ -2228,6 +2238,37 @@ object Queries {
                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
                  '<IP>', 'g') AS redacted
              FROM r5"""), bench = true)
+
+  /** Cross-corpus span excision at INGEST (Dedup.spanGramTable →
+    * exciseNewAgainst — r14): incoming docs (odd ids) lose every
+    * ≥ 4-token span they share with the FROZEN keeper corpus (even
+    * ids); the keeper side is never rewritten. The q239 chain with the
+    * pair join split across the two sides and spans keyed by the
+    * incoming position. */
+  private val q246 = QDef("q246_excise_ingest",
+    (s, d) => {
+      val all = docs(s, d)
+      Dedup.exciseNewAgainst(all.filter(col("doc_id") % 2 =!= 0),
+        Dedup.spanGramTable(all.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3),
+        "doc_id", "text", n = 3, minRun = 2)
+    },
+    Some(s"""WITH $SqlSpanToksCtes,
+             m AS (SELECT x.doc_id AS ex_id, y.doc_id AS in_id,
+                 x.pos AS pa, y.pos AS pb
+               FROM h x JOIN h y ON x.gh = y.gh
+               WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 <> 0),
+             runs AS (SELECT ex_id, in_id, pa - pb AS delta, pb,
+                 pb - row_number() OVER (PARTITION BY ex_id, in_id,
+                   pa - pb ORDER BY pb) AS grp FROM m),
+             sp AS MATERIALIZED (SELECT in_id AS doc,
+                 CAST(min(pb) AS INT) AS s,
+                 CAST(min(pb) + count(*) + 1 AS INT) AS e
+               FROM runs GROUP BY ex_id, in_id, delta, grp
+               HAVING count(*) >= 2),
+             ${sqlSpanRebuildCtes("WHERE d.doc_id % 2 <> 0")}
+             SELECT doc_id, text_out, n_spans, n_tokens_removed
+             FROM exc"""), bench = true)
 
   /** Token-budget mixture plan (Sampling.tokenBudgetPlan): per stratum,
     * available vs recipe-target vs granted tokens, epoch pressure in
@@ -9591,7 +9632,7 @@ object Queries {
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245)
+    q244, q245, q246)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -430,6 +430,19 @@ object Dedup {
       (col("a_start") - col("delta")).cast("int").as("s"),
       (col("a_start") - col("delta") + col("run_len") + lit(n - 2))
         .cast("int").as("e"))
+    exciseIntervals(df.select(col(id).as("doc_id"), col(text).as("__t")),
+      spans)
+  }
+
+  /** Shared tail of the excision family: merge `(doc, s, e)` token
+    * intervals per doc (overlapping or adjacent — running-max grouping
+    * under doc-partitioned windows over pair-bounded rows) and rebuild
+    * `base (doc_id, __t)` as an anti-join passthrough (codegen) plus
+    * the touched docs' interpreted index-filter over their token
+    * arrays. Output: `(doc_id, text_out, n_spans, n_tokens_removed)`
+    * for every base row. */
+  private def exciseIntervals(base: DataFrame,
+                              spans: DataFrame): DataFrame = {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy("s", "e")
     val wPrev = wOrd.rowsBetween(
@@ -445,7 +458,6 @@ object Dedup {
     val iv = merged.groupBy(col("doc"))
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("iv"),
         count(lit(1)).as("n_spans"))
-    val base = df.select(col(id).as("doc_id"), col(text).as("__t"))
     val ivK = iv.withColumnRenamed("doc", "doc_id")
     val touched = base.join(ivK, Seq("doc_id"))
       .withColumn("__toks", TextAnalysis.tokens(col("__t")))
@@ -462,6 +474,68 @@ object Dedup {
       .select(col("doc_id"), col("__t").as("text_out"),
         lit(0L).as("n_spans"), lit(0L).as("n_tokens_removed"))
     untouched.unionByName(touched)
+  }
+
+  /** The keeper corpus's positional gram-hash table `(doc, pos, gh)` —
+    * the SUNK artifact of cross-corpus excision (persist/bucket it
+    * once; every ingest batch joins against it). `maxDocFreq` drops
+    * grams occupying more than that many gram slots corpus-wide
+    * (boilerplate blocking, [[sharedSpanPairs]]'s trade). */
+  def spanGramTable(df: DataFrame, id: String, text: String, n: Int,
+                    maxDocFreq: Int = 0): DataFrame = {
+    val g = df.select(col(id).as("doc"),
+        posexplode(positionalShingles(col(text), n)).as(Seq("pos", "gram")))
+      .select(col("doc"), col("pos"),
+        graft.functions.Md5Hash.prefix60(col("gram")).as("gh"))
+    if (maxDocFreq <= 0) g
+    else g.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("gh")))
+      .filter(col("__n") <= maxDocFreq).drop("__n")
+  }
+
+  /** Cross-corpus shared-span EXCISION — [[exciseSharedSpans]] at
+    * INGEST (r14): incoming documents lose every token span of
+    * ≥ `minRun + n − 1` tokens they share with the FROZEN keeper
+    * corpus, whose gram table ([[spanGramTable]]) is the sunk
+    * artifact. The keeper side is never rewritten (it already went
+    * through the batch excision); intra-batch duplication is the batch
+    * operator's job — this is the arrival-time half of Lee et al.'s
+    * pipeline, the contaminationCheck→decontaminate posture applied to
+    * exact substrings. Stateless w.r.t. the stream, so the same call
+    * is streaming-safe ([[graft.streaming.StatefulOps.spanExciseWriter]]).
+    *
+    * Output: one row per INCOMING doc
+    * `(doc_id, text_out, n_spans, n_tokens_removed)`.
+    *
+    * Scale shape: incoming grams are row-local; the only corpus-scale
+    * contact is the gram-hash equi-join against the keeper table
+    * (batch-bounded probe rows); runs/merge are pair-local windows;
+    * the rebuild pays the interpreted filter only on touched incoming
+    * docs. */
+  def exciseNewAgainst(incoming: DataFrame, keeperGrams: DataFrame,
+                       id: String, text: String, n: Int,
+                       minRun: Int): DataFrame = {
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    val inc = incoming
+      .select(col(id).as("in_id"),
+        posexplode(positionalShingles(col(text), n)).as(Seq("pb", "gram")))
+      .select(col("in_id"), col("pb"),
+        graft.functions.Md5Hash.prefix60(col("gram")).as("gh"))
+    val m = keeperGrams
+      .select(col("doc").as("ex_id"), col("pos").as("pa"), col("gh"))
+      .join(inc, Seq("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ex_id", "in_id", "delta").orderBy("pb")
+    val spans = m.withColumn("delta", col("pa") - col("pb"))
+      .withColumn("__grp", col("pb") - row_number().over(w))
+      .groupBy(col("ex_id"), col("in_id"), col("delta"), col("__grp"))
+      .agg(min(col("pb")).as("s"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .select(col("in_id").as("doc"), col("s").cast("int").as("s"),
+        (col("s") + col("run_len") + lit(n - 2)).cast("int").as("e"))
+    exciseIntervals(
+      incoming.select(col(id).as("doc_id"), col(text).as("__t")), spans)
   }
 
   /** Corpus-level savings report of [[exciseSharedSpans]] — the

@@ -1497,6 +1497,23 @@ object StatefulOps {
         process(graft.ops.TextAnalysis.redactFull(batch, text), bid)
     }
 
+  /** Cross-corpus span excision at ingest — the streaming twin of
+    * [[graft.ops.Dedup.exciseNewAgainst]] (each arriving document
+    * loses the token spans it shares with the FROZEN keeper corpus;
+    * stream-static by nature since the keeper gram table is the sunk
+    * artifact — long-lived consumers should `.persist()` it; parity
+    * with the batch call by construction). `process` receives the
+    * batch's rewritten docs `(doc_id, text_out, n_spans,
+    * n_tokens_removed)`. */
+  def spanExciseWriter(stream: DataFrame, keeperGrams: DataFrame,
+      id: String, text: String, n: Int, minRun: Int)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Dedup.exciseNewAgainst(batch, keeperGrams,
+          id, text, n, minRun), bid)
+    }
+
   /** URL/domain curation at CRAWL INGEST — the streaming twin of
     * [[graft.ops.Curation.urlCurationVerdicts]] (web-corpus stage 0
     * where it actually runs: on the arriving crawl, before any text is

@@ -346,6 +346,33 @@ class DedupSpec extends SparkSpec {
     assert(sav == Seq((1L, 1L, 18L, 11L, 7L, 3888L)), s"got $sav")
   }
 
+  test("exciseNewAgainst: incoming loses spans shared with the frozen " +
+      "keeper corpus; keeper side untouched; intervals merge") {
+    val keeper = Seq(
+      (2L, "p q r s t u v"),
+      (4L, "m n o p q r")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "x y r s t u z"),     // shares r s t u with keeper 2
+      (3L, "nothing shared here at all"),
+      (5L, "o p q r s t u w"))   // overlaps keeper 4 (tokens [0,3] via
+                                 // o p q r) AND keeper 2 ([1,6] via
+                                 // p q r s t u)
+      .toDF("doc_id", "text")
+    val grams = Dedup.spanGramTable(keeper, "doc_id", "text", n = 2)
+    val out = Dedup.exciseNewAgainst(incoming, grams, "doc_id", "text",
+        n = 2, minRun = 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // doc 1: tokens [2,5] cut → "x y z"; doc 5: the keeper-4 run
+    // (tokens [0,3]) and the keeper-2 run ([1,6]) merge into ONE
+    // interval [0,6] → only "w" survives
+    assert(out == Set(
+      (1L, "x y z", 1L, 4L),
+      (3L, "nothing shared here at all", 0L, 0L),
+      (5L, "w", 1L, 7L)), s"got $out")
+    // output is incoming-only: the keeper corpus is never rewritten
+    assert(!out.exists(r => r._1 == 2L || r._1 == 4L))
+  }
+
   test("winnow index lifecycle: save/append/delete/replace/compact keep " +
       "serving == rebuild; deleted docs stop matching") {
     // win+k-1 = 6: docs share 6+ token runs with the probe

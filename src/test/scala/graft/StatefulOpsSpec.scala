@@ -1855,6 +1855,33 @@ class StatefulOpsSpec extends SparkSpec {
     assert(buf.toSet == want && want.size == 3)
   }
 
+  test("spanExciseWriter: streamed cross-corpus excision equals batch") {
+    implicit val ctx = spark.sqlContext
+    val keeper = Seq((2L, "p q r s t u v"), (4L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val grams = graft.ops.Dedup.spanGramTable(keeper, "doc_id", "text",
+      n = 2).persist()
+    val docs = Seq((1L, "x y r s t u z"),
+      (3L, "nothing shared here at all"), (5L, "o p q r s t u w"))
+    try {
+      val buf = mutable.Set.empty[Seq[Any]]
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.spanExciseWriter(
+          in.toDF().toDF("doc_id", "text"), grams, "doc_id", "text",
+          n = 2, minRun = 3) {
+        (out, _) => buf ++= out.collect().map(_.toSeq)
+      }.start()
+      withQuery(q) {
+        in.addData(docs.take(2): _*); q.processAllAvailable()
+        in.addData(docs.drop(2): _*); q.processAllAvailable()
+      }
+      val want = graft.ops.Dedup.exciseNewAgainst(
+          docs.toDF("doc_id", "text"), grams, "doc_id", "text", 2, 3)
+        .collect().map(_.toSeq).toSet
+      assert(buf.toSet == want && want.size == 3)
+    } finally grams.unpersist()
+  }
+
   test("winnowMaintenanceWriter: CDC upsert/delete keeps the gate's " +
       "serving == rebuild at every batch; threshold compaction fires") {
     implicit val ctx = spark.sqlContext
