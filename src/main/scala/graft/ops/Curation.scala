@@ -45,7 +45,13 @@ object Curation {
     * Scale shape: host extraction is row-local; URL dedup is one
     * hash-groupBy on the exact URL (map-side combine); the cap is a
     * window PARTITIONED BY host over URL-dedup SURVIVORS only — never
-    * a global sort. All integer/string — engine-exact. */
+    * a global sort. All integer/string — engine-exact. Skew note: one
+    * mega-host (a wikipedia.org at web scale) makes one fat window
+    * partition; since only the cap-smallest hashes matter, the scale
+    * refinement is the standard two-level top-k — local top-cap per
+    * (host, hash-bucket) then rank the ≤ buckets·cap finalists — which
+    * preserves the exact kept set; at this engine's tested scales the
+    * single window is the better plan (no second shuffle). */
   def urlCurationVerdicts(df: DataFrame, id: String, url: String,
                           maxPerDomain: Long,
                           salt: String = "url"): DataFrame = {
@@ -1108,7 +1114,14 @@ object Curation {
       col(source).as("src"))
     // optional stage-0: URL-exact dedup + per-domain caps BEFORE the
     // holdout split (a URL-duplicate benchmark doc is as useless as a
-    // URL-duplicate training doc). Narrow semi-join on doc_id.
+    // URL-duplicate training doc). Narrow semi-join on doc_id. The kept
+    // set is NOT checkpointed by measurement: it feeds several
+    // un-checkpointed early consumers and its recompute crosses the
+    // dedup groupBy + the host cap window (the persist-pays condition
+    // on paper), but a localCheckpoint BenchAB'd DEAD FLAT on q244 at
+    // bench sf (q244/q235 med ratio 1.43 with vs 1.33-1.45 without) —
+    // the eager materialization job costs what the re-runs cost, the
+    // r13 rule's "measure before adding a persist" lesson again.
     val urlKept = urlCol.map { u =>
       base.join(
         urlCurate(df.select(col(id), col(u)), id, u, maxPerDomain,
