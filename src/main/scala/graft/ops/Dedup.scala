@@ -494,6 +494,63 @@ object Dedup {
       .filter(col("__n") <= maxDocFreq).drop("__n")
   }
 
+  /** Persist the keeper corpus's span-gram table as a MAINTAINED index
+    * (r14): `(doc, pos, gh, gen)` bucketed by `gh` (the probe join's
+    * key) under the [[graft.io.IndexMaintenance]] generational-
+    * tombstone contract — the sunk artifact of ingest-time excision
+    * for a keeper corpus that itself evolves (retractions delete,
+    * re-ingestions replace). `maxDocFreq` blocks boilerplate grams at
+    * SAVE time (the [[sharedSpanPairs]] trade); appends apply no cap
+    * (a cap needs corpus-global frequencies — re-establish it at
+    * compaction by rebuilding, documented). */
+  def saveSpanGramIndex(df: DataFrame, id: String, text: String,
+                        table: String, buckets: Int, n: Int,
+                        maxDocFreq: Int = 0): Unit =
+    graft.io.Layout.writeBucketed(
+      spanGramTable(df, id, text, n, maxDocFreq)
+        .withColumn("gen", lit(0L)),
+      table, "gh", buckets)
+
+  /** Append NEW keeper docs' grams — O(batch), gen-stamped. Updates to
+    * existing docs must route through [[replaceInSpanGramIndex]]. */
+  def appendToSpanGramIndex(df: DataFrame, id: String, text: String,
+                            table: String, buckets: Int, n: Int): Unit = {
+    val gen = graft.io.IndexMaintenance.currentSeq(df.sparkSession, table)
+    graft.io.Layout.appendBucketed(
+      spanGramTable(df, id, text, n).withColumn("gen", lit(gen)),
+      table, "gh", buckets)
+  }
+
+  /** Tombstone keeper docs out of a maintained span-gram index. */
+  def deleteFromSpanGramIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, ids: DataFrame,
+                              idCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, "doc",
+      ids.select(col(idCol).as("doc")))
+
+  /** Replace keeper docs' grams: tombstone then append. ≡ rebuild. */
+  def replaceInSpanGramIndex(df: DataFrame, id: String, text: String,
+                             table: String, buckets: Int, n: Int): Unit = {
+    deleteFromSpanGramIndex(df.sparkSession, table,
+      df.select(col(id)).distinct(), id)
+    appendToSpanGramIndex(df, id, text, table, buckets, n)
+  }
+
+  /** The live serving view of a maintained span-gram index. */
+  def loadSpanGramIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame =
+    graft.io.IndexMaintenance.load(spark, table, "doc")
+
+  /** [[exciseNewAgainst]] against the LIVE view of a maintained
+    * [[saveSpanGramIndex]] — retracted/replaced keeper docs stop
+    * claiming spans in arriving documents. */
+  def exciseNewFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, incoming: DataFrame,
+                         id: String, text: String, n: Int,
+                         minRun: Int): DataFrame =
+    exciseNewAgainst(incoming, loadSpanGramIndex(spark, table), id,
+      text, n, minRun)
+
   /** Cross-corpus shared-span EXCISION — [[exciseSharedSpans]] at
     * INGEST (r14): incoming documents lose every token span of
     * ≥ `minRun + n − 1` tokens they share with the FROZEN keeper

@@ -373,6 +373,58 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 2L || r._1 == 4L))
   }
 
+  test("span-gram index lifecycle: excision serves the live keeper " +
+      "view across append/delete/replace/compact") {
+    val keeper = Seq((2L, "p q r s t u v")).toDF("doc_id", "text")
+    val extra = Seq((4L, "m n o p q r")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "x y r s t u z"),
+      (5L, "o p q r s t u w")).toDF("doc_id", "text")
+    def fromIdx() = Dedup.exciseNewFromIndex(spark, "sg_idx", incoming,
+        "doc_id", "text", n = 2, minRun = 3)
+      .collect().map(_.toSeq).toSet
+    def rebuild(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.exciseNewAgainst(incoming,
+          Dedup.spanGramTable(docs, "doc_id", "text", 2),
+          "doc_id", "text", 2, 3)
+        .collect().map(_.toSeq).toSet
+    try {
+      Dedup.saveSpanGramIndex(keeper, "doc_id", "text", "sg_idx",
+        buckets = 4, n = 2)
+      assert(fromIdx() == rebuild(keeper) && fromIdx().nonEmpty)
+      // append keeper doc 4: doc 5's excision widens ([0,3] merges in)
+      Dedup.appendToSpanGramIndex(extra, "doc_id", "text", "sg_idx", 4, 2)
+      assert(fromIdx() == rebuild(keeper.unionByName(extra)))
+      // replace keeper 2 with unrelated text: doc 1 stops losing spans
+      val k2 = Seq((2L, "wholly unrelated keeper body now"))
+        .toDF("doc_id", "text")
+      Dedup.replaceInSpanGramIndex(k2, "doc_id", "text", "sg_idx", 4, 2)
+      val u2 = k2.unionByName(extra)
+      assert(fromIdx() == rebuild(u2))
+      assert(fromIdx().exists(r => r.head == 1L && r(2) == 0L),
+        "doc 1 must pass through untouched after the keeper replace")
+      // delete keeper 4: nothing left to claim spans
+      Dedup.deleteFromSpanGramIndex(spark, "sg_idx",
+        Seq(4L).toDF("victim"), "victim")
+      assert(fromIdx() == rebuild(k2))
+      assert(fromIdx().forall(_(2) == 0L), "no keeper doc should match")
+      // compaction: serving identical, sidecar sentinel-clean
+      graft.ops.Caches.release(blocking = true)
+      val want = fromIdx()
+      val fired = graft.io.IndexMaintenance.compactIfNeeded(spark,
+        "sg_idx", "gh", 4, "doc", maxDeadBp = 1000)
+      assert(fired)
+      graft.ops.Caches.release(blocking = true)
+      assert(fromIdx() == want)
+      assertSidecarClean("sg_idx")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("sg_idx", "sg_idx__tombstones", "sg_idx__compact",
+        "sg_idx__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("winnow index lifecycle: save/append/delete/replace/compact keep " +
       "serving == rebuild; deleted docs stop matching") {
     // win+k-1 = 6: docs share 6+ token runs with the probe
