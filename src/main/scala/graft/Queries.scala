@@ -5117,6 +5117,98 @@ object Queries {
            FROM g"""
     }))
 
+  /** Trained 5-gram stupid-backoff LADDER per sf dir (src0 reference,
+    * the q148 convention): one space-joined-key cost table per order
+    * 2..5, all int64; penalty per skipped order exactly 2¹². */
+  private val ladderLmCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Seq[(String, Long)]], Long)]
+  private def trainedLadderLm(s: SparkSession, d: String)
+      : (Seq[Seq[(String, Long)]], Long) =
+    ladderLmCache.getOrElseUpdate(d, TextAnalysis.trainLadderLm(
+      docs(s, d).filter(col("source") === "src0"), "text",
+      topVs = Seq(512, 512, 256, 256)))
+
+  /** The shared oracle prefix of q248/q249: 5-gram explode with the
+    * four suffix keys + the four VALUES dicts + the backoff-chain cost
+    * per position. Yields CTE `j(doc_id, wpos, cost)`. */
+  private def sqlLadderCostCtes(s: SparkSession, d: String): String = {
+    val (ladder, oov) = trainedLadderLm(s, d)
+    def esc(x: String) = x.replace("'", "''")
+    def rows(t: Seq[(String, Long)]) =
+      t.map { case (k, v) => s"('${esc(k)}', $v)" }.mkString(", ")
+    s"""dt AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+        tg AS (SELECT doc_id, wpos,
+            ws[wpos + 3] || ' ' || ws[wpos + 4] AS k2,
+            ws[wpos + 2] || ' ' || ws[wpos + 3] || ' ' || ws[wpos + 4]
+              AS k3,
+            ws[wpos + 1] || ' ' || ws[wpos + 2] || ' ' || ws[wpos + 3]
+              || ' ' || ws[wpos + 4] AS k4,
+            ws[wpos] || ' ' || ws[wpos + 1] || ' ' || ws[wpos + 2]
+              || ' ' || ws[wpos + 3] || ' ' || ws[wpos + 4] AS k5
+          FROM dt, UNNEST(range(1, len(ws) - 3)) AS t(wpos)),
+        g2(k2, c2) AS (VALUES ${rows(ladder(0))}),
+        g3(k3, c3) AS (VALUES ${rows(ladder(1))}),
+        g4(k4, c4) AS (VALUES ${rows(ladder(2))}),
+        g5(k5, c5) AS (VALUES ${rows(ladder(3))}),
+        j AS (SELECT doc_id, wpos,
+            COALESCE(c5, 4096 + COALESCE(c4, 4096 + COALESCE(c3,
+              4096 + COALESCE(c2, $oov)))) AS cost
+          FROM tg LEFT JOIN g5 USING (k5) LEFT JOIN g4 USING (k4)
+          LEFT JOIN g3 USING (k3) LEFT JOIN g2 USING (k2))"""
+  }
+
+  /** 5-gram stupid-backoff ladder scoring (TextAnalysis.trainLadderLm +
+    * ladderLmScore — r14 verdict item 8: real CCNet filters on a
+    * 5-gram KenLM): an n-gram scores at the deepest trained order
+    * covering its suffix plus one exact 2¹² penalty per order skipped,
+    * down to the bigram-OOV floor. Four broadcast dictionary joins off
+    * ONE 5-gram explode, exact int64; same output shape as q123/q148
+    * so the CCNet bucketing composes unchanged. */
+  private val q248 = QDef("q248_ladder_lm",
+    (s, d) => {
+      val (ladder, oov) = trainedLadderLm(s, d)
+      TextAnalysis.ladderLmScore(docs(s, d), "doc_id", "text", ladder,
+        oov)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) =>
+      s"""WITH ${sqlLadderCostCtes(s, d)}
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                 CAST(sum(cost) AS BIGINT) AS total_cost,
+                 CAST(sum(cost) // count(*) AS BIGINT) AS avg_cost_q
+          FROM j GROUP BY 1"""))
+
+  /** Min-K% Prob membership over the 5-gram ladder
+    * (TextAnalysis.minKProbScoreLadder): q245's selection discipline at
+    * the deepest trained order — per doc the integer mean of its 20%
+    * highest-cost 5-grams under the full backoff chain. */
+  private val q249 = QDef("q249_mink_ladder",
+    (s, d) => {
+      val (ladder, oov) = trainedLadderLm(s, d)
+      TextAnalysis.minKProbScoreLadder(docs(s, d), "doc_id", "text",
+        ladder, oov, kPct = 20)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) =>
+      s"""WITH ${sqlLadderCostCtes(s, d)},
+          r AS (SELECT doc_id, cost,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY cost DESC, wpos) AS rn,
+                  count(1) OVER (PARTITION BY doc_id) AS n
+                FROM j),
+          g AS (SELECT doc_id,
+                  CAST(max(n) AS BIGINT) AS n_ngrams,
+                  CAST(greatest(1, (20 * max(n)) // 100) AS BIGINT)
+                    AS k_ngrams,
+                  CAST(sum(CASE WHEN rn <= greatest(1, (20 * n) // 100)
+                    THEN cost END) AS BIGINT) AS topk_cost
+                FROM r GROUP BY 1)
+          SELECT doc_id, n_ngrams, k_ngrams, topk_cost,
+                 CAST(topk_cost // k_ngrams AS BIGINT) AS mink_cost_q
+          FROM g"""))
+
   /** Family-aware split assignment (Curation.familySplitAssign): the
     * FIX for q142's finding — splits hash the FAMILY label, so
     * near-duplicate families land whole in one split and cross-split
@@ -9331,6 +9423,95 @@ object Queries {
           FROM lastn"""),
     bench = true)
 
+  /** URL fixture for the PSL cap (q247): a subdomain FARM where
+    * raw-host and registrable-domain caps disagree (r14 verdict item
+    * 4 — the blogspot evasion). Four cases per doc_id mod 4, urls all
+    * unique (no url_dup noise): (0) 37 subdomains of a suffix that IS
+    * in the PSL (blogspot semantics — each subdomain is its own
+    * registrable domain and keeps its own quota); (1) 37 subdomains
+    * of farm.example.com with only 'com' in the PSL — every one
+    * resolves to registrable domain example.com and they share ONE
+    * quota (the raw-host cap would give each its own); (2) an unknown
+    * TLD (org — PSL default rule: registrable = last two labels);
+    * (3) a host that is ITSELF a public suffix (registrable = the
+    * whole host). */
+  private def pslUrlFixtureCol: Column = {
+    val id = col("doc_id")
+    when(pmod(id, lit(4)) === 0,
+      concat(lit("https://s"), pmod(id, lit(37)).cast("string"),
+        lit(".blog.example/post/"), id.cast("string")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit("https://u"), pmod(id, lit(37)).cast("string"),
+          lit(".farm.example.com/p/"), id.cast("string")))
+      .when(pmod(id, lit(4)) === 2,
+        concat(lit("https://news.example.org/a/"), id.cast("string")))
+      .otherwise(concat(lit("https://blog.example/x/"), id.cast("string")))
+  }
+  private val sqlPslUrlFixture: String =
+    """CASE WHEN doc_id % 4 = 0 THEN 'https://s' ||
+       CAST(doc_id % 37 AS VARCHAR) || '.blog.example/post/' ||
+       CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 4 = 1 THEN 'https://u' ||
+       CAST(doc_id % 37 AS VARCHAR) || '.farm.example.com/p/' ||
+       CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 4 = 2 THEN 'https://news.example.org/a/' ||
+       CAST(doc_id AS VARCHAR)
+       ELSE 'https://blog.example/x/' || CAST(doc_id AS VARCHAR) END"""
+
+  /** Registrable-domain (PSL) per-domain caps
+    * (Curation.urlCurationVerdicts(psl = …) over
+    * Curation.registrableDomain — r14 verdict item 4): longest
+    * matching public suffix per host via the exploded suffix-candidate
+    * equi-join, registrable domain one label longer (whole host when
+    * the host IS a suffix; last two labels under the no-match default
+    * rule), cap 5 hash-ranked within the REGISTRABLE domain — the
+    * subdomain farm shares one quota instead of evading the cap 37
+    * hosts at a time. Oracle replays the label split + candidate
+    * unnest + max-match + slice join relationally. */
+  private val q247 = QDef("q247_url_psl_caps",
+    (s, d) => {
+      import s.implicits._
+      val psl = Seq("com", "blog.example").toDF("suffix")
+      Curation.urlCurationVerdicts(
+        docs(s, d).select(col("doc_id"), pslUrlFixtureCol.as("url")),
+        "doc_id", "url", maxPerDomain = 5, salt = "up", psl = Some(psl))
+    },
+    Some(s"""WITH uaug AS (SELECT doc_id, $sqlPslUrlFixture AS url
+               FROM documents),
+             ub AS MATERIALIZED (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+                   '[/?#].*$$', ''), '^[^/@]*@', ''), ':[0-9]+$$', '')
+                   AS host
+               FROM uaug),
+             hosts AS (SELECT DISTINCT host FROM ub),
+             lab AS (SELECT host, string_split(host, '.') AS ls,
+                 len(string_split(host, '.')) AS k FROM hosts),
+             psl(suffix) AS (VALUES ('com'), ('blog.example')),
+             cand AS (SELECT host, k, t.m,
+                 array_to_string(ls[k - t.m + 1 : k], '.') AS c
+               FROM lab, UNNEST(range(1, k + 1)) AS t(m)),
+             msuf AS (SELECT host, max(m) AS ms FROM cand
+               JOIN psl ON cand.c = psl.suffix GROUP BY 1),
+             reg AS MATERIALIZED (SELECT lab.host,
+                 array_to_string(ls[k - least(k, COALESCE(ms, 1) + 1) + 1
+                   : k], '.') AS rd
+               FROM lab LEFT JOIN msuf USING (host)),
+             uwin AS (SELECT min(doc_id) AS doc_id FROM ub GROUP BY url),
+             urnk AS MATERIALIZED (SELECT ub.doc_id, ub.host,
+                 row_number() OVER (PARTITION BY reg.rd
+                   ORDER BY ${sqlHash60("ub.doc_id", "up")}, ub.doc_id)
+                   AS rn
+               FROM ub JOIN uwin USING (doc_id)
+               JOIN reg ON reg.host = ub.host)
+             SELECT ub.doc_id, ub.host,
+               COALESCE(r.rn <= 5, FALSE) AS kept,
+               CASE WHEN r.doc_id IS NULL THEN 'url_dup'
+                    WHEN r.rn > 5 THEN 'domain_cap'
+                    ELSE NULL END AS reason
+             FROM ub LEFT JOIN urnk r USING (doc_id)"""),
+    bench = true)
+
   /** Per-key daily activity fingerprint (EventOps.activityFingerprint):
     * the 24-hour event-count rhythm symbolized into one 48-bit int64 -
     * hour from epoch-microseconds (pure integer), per-key quartile
@@ -9632,7 +9813,7 @@ object Queries {
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246)
+    q244, q245, q246, q247, q248, q249)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -127,8 +127,9 @@ object GreedyPiecesExpr {
   * result is deterministic and engine-exact (the DuckDB oracle replays
   * the identical integer DP in a recursive CTE). Callers decode with
   * `div`/`pmod`. Piece costs must be non-negative and small enough
-  * that `Σ cost · 2¹⁶` stays in int64 — guarded at construction
-  * against the documented bound (costs < 2³², words < 2¹⁶ chars).
+  * that `Σ cost · 2¹⁶` stays in int64 — guarded at construction:
+  * costs < 2³⁰ and words < 2¹⁶ chars keep the worst-case DP total
+  * under `INF = Long.MaxValue/2`, so reachability never misclassifies.
   *
   * Codegen calls a referenced DP object (HashMap probe per candidate
   * substring, O(len · maxPieceLen) per word), keeping the enclosing
@@ -143,9 +144,18 @@ case class ViterbiCostExpr(child: Expression, pieces: Seq[(String, Long)],
     "viterbi_cost: pieces must be non-empty strings")
   require(pieces.map(_._1).distinct.size == pieces.size,
     "viterbi_cost: duplicate vocab piece")
-  require(pieces.forall(p => p._2 >= 0 && p._2 < (1L << 32)) &&
-    charCost >= 0 && charCost < (1L << 32),
-    "viterbi_cost: costs must be in [0, 2^32)")
+  // costs < 2^30 is the bound that actually keeps the DP in int64 (r14
+  // advice: the old 2^32 guard admitted per-step additions up to 2^48,
+  // and 2^16−1 steps of those pass INF = Long.MaxValue/2 — reachable
+  // states could be misclassified or return garbage encodings): with
+  // cost ≤ 2^30−1 and n ≤ 2^16−1 chars, the worst total is
+  // (2^16−1)·((2^30−1)·2^16 + 1) < 2^62 − 1 = INF, so dp values never
+  // overflow and the reachability test (dp < INF) stays exact.
+  require(pieces.forall(p => p._2 >= 0 && p._2 < (1L << 30)) &&
+    charCost >= 0 && charCost < (1L << 30),
+    "viterbi_cost: costs must be in [0, 2^30) — the bound that keeps " +
+      "n_chars * ((cost << 16) + 1) under Long.MaxValue/2 for words " +
+      "up to 2^16 - 1 chars")
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType =

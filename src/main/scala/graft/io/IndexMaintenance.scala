@@ -53,12 +53,20 @@ object IndexMaintenance {
   def tombstoneTable(table: String): String = table + "__tombstones"
 
   /** Current max tombstone sequence for `table` (0 when none). The
-    * sidecar is delete-batch-scale — this is a tiny-table aggregate. */
+    * sidecar is delete-batch-scale — this is a tiny-table aggregate.
+    * Also reads the sentinel-swap staging sibling `__tombstones__new`
+    * (see [[writeSeqSentinel]]): a compaction that crashed between
+    * writing the staged sentinel and renaming it over the sidecar must
+    * NOT reset the counter to 0 — a reset would hand the next delete a
+    * seq ≤ the compacted rows' gen, making it permanently invisible
+    * (the r14 advice finding against the old non-atomic overwrite). */
   def currentSeq(spark: SparkSession, table: String): Long = {
     val tt = tombstoneTable(table)
-    if (!spark.catalog.tableExists(tt)) 0L
-    else spark.table(tt).agg(coalesce(max(col("seq")), lit(0L)))
-      .head().getLong(0)
+    def maxSeq(t: String): Long =
+      if (!spark.catalog.tableExists(t)) 0L
+      else spark.table(t).agg(coalesce(max(col("seq")), lit(0L)))
+        .head().getLong(0)
+    math.max(maxSeq(tt), maxSeq(tt + "__new"))
   }
 
   /** Stamp an index batch with the generation that makes it survive the
@@ -193,7 +201,21 @@ object IndexMaintenance {
     *    clears it (the rewrite never got to the first rename, so the
     *    serving table is untouched). */
   def compact(spark: SparkSession, table: String, key: String,
-              buckets: Int, idCol: String): Unit = {
+              buckets: Int, idCol: String): Unit =
+    compactWith(spark, table, key, buckets, idCol, identity)
+
+  /** [[compact]] with a REWRITE hook applied to the live rows before
+    * they land in the compacted table — the seam an index family uses
+    * to re-establish a build-time invariant that O(batch) appends
+    * cannot maintain (the span-gram `maxDocFreq` cap needs
+    * corpus-global gram frequencies, which only the table-scale
+    * compaction scan sees — r14 verdict "what's missing"). The hook
+    * must only DROP or restamp rows (never invent ids): serving
+    * correctness of the swap machinery is argued over subsets of the
+    * live view. */
+  private[graft] def compactWith(spark: SparkSession, table: String,
+                                 key: String, buckets: Int, idCol: String,
+                                 rewrite: DataFrame => DataFrame): Unit = {
     val tmp = table + "__compact"
     val old = table + "__precompact"
     guardCrashState(spark, table)
@@ -201,7 +223,7 @@ object IndexMaintenance {
     spark.sql(s"DROP TABLE IF EXISTS `$old`")
     val seq = currentSeq(spark, table)
     Layout.writeBucketed(
-      load(spark, table, idCol).withColumn("gen", lit(seq)),
+      rewrite(load(spark, table, idCol)).withColumn("gen", lit(seq)),
       tmp, key, buckets)
     spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
@@ -282,15 +304,37 @@ object IndexMaintenance {
     * compactions — NULL matches no id in [[loadWith]]'s anti join, so
     * the sentinel hides nothing, while [[currentSeq]] keeps counting
     * from it. No-op when no tombstone was ever written (seq 0): the
-    * absent sidecar already means "counter at 0". */
+    * absent sidecar already means "counter at 0".
+    *
+    * The collapse is staged-then-renamed, NOT `mode("overwrite")` (r14
+    * advice finding, medium): overwrite is drop-then-recreate, and a
+    * crash inside that window loses the sidecar entirely — currentSeq
+    * would restart at 0 while the compacted rows keep gen = seq, so the
+    * next delete's seq ≤ gen would be permanently invisible and
+    * compactIfNeeded would never fire (deadBp stays 0 — nothing
+    * self-heals). Instead the sentinel lands in `<tomb>__new` first and
+    * [[currentSeq]] reads the MAX over both tables, so every crash
+    * point keeps the counter:
+    *  - after staging, before the drop: both tables carry seq — max is
+    *    seq, and the duplicate hides nothing (NULL id);
+    *  - after the drop, before the rename: only `__new` carries seq —
+    *    currentSeq still reads it; [[loadWith]] sees no sidecar, which
+    *    is CORRECT (compacted rows carry gen = seq, so the dropped
+    *    tombstones were hiding nothing);
+    *  - a stale `__new` from a crashed run is cleared first and is
+    *    superseded by any later sequence in the real sidecar (max). */
   private def writeSeqSentinel(spark: SparkSession, table: String,
                                idCol: String, seq: Long): Unit =
     if (seq > 0) {
       val idType = spark.table(table).schema(idCol).dataType
       val tt = tombstoneTable(table)
+      val tn = tt + "__new"
+      spark.sql(s"DROP TABLE IF EXISTS `$tn`")
       spark.range(1)
         .select(lit(null).cast(idType).as("id"), lit(seq).as("seq"))
-        .write.mode("overwrite").format("parquet").saveAsTable(tt)
+        .write.mode("overwrite").format("parquet").saveAsTable(tn)
+      spark.sql(s"DROP TABLE IF EXISTS `$tt`")
+      spark.sql(s"ALTER TABLE `$tn` RENAME TO `$tt`")
       spark.catalog.refreshTable(tt)
     }
 

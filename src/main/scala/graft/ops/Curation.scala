@@ -32,6 +32,56 @@ object Curation {
     regexp_replace(noUser, ":[0-9]+$", "")
   }
 
+  /** Registrable domain (eTLD+1) per DISTINCT host against a
+    * public-suffix table — the PSL resolution that closes
+    * [[urlHost]]'s documented no-PSL trade (r14 verdict item 4): a
+    * raw-host cap is evaded entirely by a subdomain farm
+    * (`a.blogspot.com`, `b.blogspot.com`, …), so C4/RefinedWeb cap on
+    * the REGISTERED domain. `psl` is the suffix artifact — one plain
+    * lowercase suffix string per row (wildcard rules enumerate into
+    * the table when the caller needs them; the word-list artifact
+    * store ships the shape); longest-matching-suffix wins, the
+    * registrable domain is the suffix ONE label longer (the whole
+    * host when the host itself is a public suffix), and a host
+    * matching NO rule falls back to the PSL's `*` default — its TLD
+    * is the last label, so the registrable domain is the last two.
+    *
+    * Deterministic and oracle-able by construction: a host with k
+    * labels explodes into exactly k suffix candidates, the match is
+    * an equi-join on the candidate string, and "longest" is one
+    * integer max — no tries, no regex. Runs over DISTINCT hosts
+    * (candidate rows ≤ Σ label-counts, host-vocabulary-bounded, never
+    * corpus-row); the suffix table is a bounded artifact (the real
+    * PSL is ~10⁴ rules) and broadcasts. Output: `(host, reg_domain)`,
+    * one row per distinct input host. */
+  def registrableDomain(hosts: DataFrame, hostCol: String,
+                        psl: DataFrame,
+                        suffixCol: String = "suffix"): DataFrame = {
+    val lab = hosts.select(col(hostCol).as("host")).distinct()
+      .withColumn("__ls", split(col("host"), "\\."))
+      .withColumn("__k", size(col("__ls")))
+    // __k >= 1 always (split never yields an empty array), so the
+    // sequence ascends — the q154-family descending-sequence hazard
+    // cannot fire
+    val cand = lab
+      .select(col("host"), col("__k"),
+        explode(sequence(lit(1), col("__k"))).as("__m"),
+        col("__ls"))
+      .withColumn("__cand",
+        array_join(slice(col("__ls"), col("__k") - col("__m") + 1,
+          col("__m")), "."))
+    val matched = cand
+      .join(broadcast(psl.select(col(suffixCol).as("__cand")).distinct()),
+        Seq("__cand"))
+      .groupBy(col("host")).agg(max(col("__m")).as("__msuf"))
+    lab.join(matched, Seq("host"), "left")
+      .withColumn("__r",
+        least(col("__k"), coalesce(col("__msuf"), lit(1)) + 1))
+      .select(col("host"),
+        array_join(slice(col("__ls"), col("__k") - col("__r") + 1,
+          col("__r")), ".").as("reg_domain"))
+  }
+
   /** URL/domain curation verdicts — the stage-0 web-corpus gate every
     * C4/RefinedWeb-style pipeline runs BEFORE any text is read (r13
     * verdict item 5): exact-URL dedup (min doc id keeps — re-crawls
@@ -42,27 +92,48 @@ object Curation {
     * `(doc_id, host, kept, reason)` with reason ∈
     * {'url_dup', 'domain_cap', NULL}.
     *
+    * `psl = Some(suffixTable)` keys the cap on the REGISTRABLE domain
+    * ([[registrableDomain]] — r15): subdomain-farm hosts share one
+    * quota instead of evading the cap host-by-host. `None` keeps the
+    * raw-host cap and the exact pre-PSL plan (the q243/q244
+    * contract).
+    *
     * Scale shape: host extraction is row-local; URL dedup is one
     * hash-groupBy on the exact URL (map-side combine); the cap is a
-    * window PARTITIONED BY host over URL-dedup SURVIVORS only — never
-    * a global sort. All integer/string — engine-exact. Skew note: one
-    * mega-host (a wikipedia.org at web scale) makes one fat window
-    * partition; since only the cap-smallest hashes matter, the scale
-    * refinement is the standard two-level top-k — local top-cap per
-    * (host, hash-bucket) then rank the ≤ buckets·cap finalists — which
-    * preserves the exact kept set; at this engine's tested scales the
-    * single window is the better plan (no second shuffle). */
+    * window PARTITIONED BY host (or registrable domain) over URL-dedup
+    * SURVIVORS only — never a global sort; the PSL path adds one
+    * distinct-host-bounded resolution join. All integer/string —
+    * engine-exact. Skew note: one mega-host (a wikipedia.org at web
+    * scale) makes one fat window partition; since only the
+    * cap-smallest hashes matter, the scale refinement is the standard
+    * two-level top-k — local top-cap per (host, hash-bucket) then rank
+    * the ≤ buckets·cap finalists — which preserves the exact kept set;
+    * at this engine's tested scales the single window is the better
+    * plan (no second shuffle). */
   def urlCurationVerdicts(df: DataFrame, id: String, url: String,
                           maxPerDomain: Long,
-                          salt: String = "url"): DataFrame = {
+                          salt: String = "url",
+                          psl: Option[DataFrame] = None,
+                          pslSuffixCol: String = "suffix"): DataFrame = {
     require(maxPerDomain >= 1, s"bad maxPerDomain: $maxPerDomain")
     val base = df.select(col(id).as("doc_id"), col(url).as("__u"),
       urlHost(col(url)).as("host"))
     val urlWin = Dedup.exactDedup(base, "doc_id", "__u")
       .select(col("keep_id").as("doc_id"))
-    val survivors = base.join(urlWin, Seq("doc_id"))
+    val survivors0 = base.join(urlWin, Seq("doc_id"))
+    // the cap key: raw host, or the registrable domain resolved once
+    // per distinct host (None leaves the original plan untouched)
+    val survivors = psl match {
+      case None => survivors0.withColumn("__ck", col("host"))
+      // resolve over base's hosts (⊇ survivors' — scan-only recompute,
+      // no second pass over the dedup shuffle)
+      case Some(p) => survivors0
+        .join(registrableDomain(base, "host", p, pslSuffixCol),
+          Seq("host"))
+        .withColumn("__ck", col("reg_domain"))
+    }
     val wCap = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host"))
+      .partitionBy(col("__ck"))
       .orderBy(Sampling.hash60(col("doc_id"), salt), col("doc_id"))
     val capped = survivors
       .withColumn("__rn", row_number().over(wCap))
@@ -79,8 +150,11 @@ object Curation {
   /** The kept set of [[urlCurationVerdicts]] as a narrow (doc_id) —
     * the semi-join side the funnel's optional front stage consumes. */
   def urlCurate(df: DataFrame, id: String, url: String,
-                maxPerDomain: Long, salt: String = "url"): DataFrame =
-    urlCurationVerdicts(df, id, url, maxPerDomain, salt)
+                maxPerDomain: Long, salt: String = "url",
+                psl: Option[DataFrame] = None,
+                pslSuffixCol: String = "suffix"): DataFrame =
+    urlCurationVerdicts(df, id, url, maxPerDomain, salt, psl,
+      pslSuffixCol)
       .filter(col("kept")).select(col("doc_id"))
 
   /** Curate `docs`: keep exact-dedup winners whose language-ID prediction
@@ -982,11 +1056,12 @@ object Curation {
                      semanticTau: Double = 0.90625,
                      urlCol: Option[String] = None,
                      maxPerDomain: Long = 1000000L,
-                     urlSalt: String = "url"): DataFrame = {
+                     urlSalt: String = "url",
+                     urlPsl: Option[DataFrame] = None): DataFrame = {
     val st = funnelStages(df, id, text, source, benchMod, blocklist,
       minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
       threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
-      semanticTau, urlCol, maxPerDomain, urlSalt)
+      semanticTau, urlCol, maxPerDomain, urlSalt, urlPsl)
     def row(n: Int, name: String, set: DataFrame, t: String): DataFrame =
       set.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(TextAnalysis.tokenCount(col(t)).cast("long")),
@@ -1043,11 +1118,12 @@ object Curation {
                      semanticTau: Double = 0.90625,
                      urlCol: Option[String] = None,
                      maxPerDomain: Long = 1000000L,
-                     urlSalt: String = "url"): DataFrame = {
+                     urlSalt: String = "url",
+                     urlPsl: Option[DataFrame] = None): DataFrame = {
     val st = funnelStages(df, id, text, source, benchMod, blocklist,
       minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
       threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
-      semanticTau, urlCol, maxPerDomain, urlSalt)
+      semanticTau, urlCol, maxPerDomain, urlSalt, urlPsl)
     funnelReasonsFromStages(
       Seq(st.base) ++ st.urlKept.toSeq ++ Seq(
         st.pool, st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
@@ -1107,7 +1183,8 @@ object Curation {
                      semanticTau: Double,
                      urlCol: Option[String] = None,
                      maxPerDomain: Long = 1000000L,
-                     urlSalt: String = "url"): FunnelStages = {
+                     urlSalt: String = "url",
+                     urlPsl: Option[DataFrame] = None): FunnelStages = {
     require(benchMod >= 2, s"bad benchMod: $benchMod")
     require(decontamN >= 2, s"bad decontamN: $decontamN")
     val base = df.select(col(id).as("doc_id"), col(text).as("t"),
@@ -1125,7 +1202,7 @@ object Curation {
     val urlKept = urlCol.map { u =>
       base.join(
         urlCurate(df.select(col(id), col(u)), id, u, maxPerDomain,
-          urlSalt),
+          urlSalt, urlPsl),
         Seq("doc_id"))
     }
     val cur = urlKept.getOrElse(base)

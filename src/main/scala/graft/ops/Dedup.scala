@@ -320,6 +320,157 @@ object Dedup {
         explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
   }
 
+  /** Persist [[minHashBandTable]] as a MAINTAINED index (r15 — the
+    * last near-dup family without the lifecycle; winnow, span-gram,
+    * SimHash-via-hammingBandTable consumers, postings, IVF-SQ8, maxsim
+    * and SymSpell all have it): `(doc_id, sh, band, nh, nb, gen)`
+    * bucketed by `band` (the candidate join's key) under the
+    * [[graft.io.IndexMaintenance]] generational-tombstone contract —
+    * a crawl pipeline's LSH corpus lives for years while documents get
+    * retracted (delete) or re-ingested after extraction fixes
+    * (replace), the same argument that earned winnow its lifecycle in
+    * r14. Signature params (`nh` = numHashes, `nb` = bands) are BAKED
+    * into the rows (the SymSpell build-param convention) and guarded at
+    * BOTH ends — append/replace refuse a mismatched signature (mixed
+    * params silently lose candidate recall: band keys from different
+    * (nh, nb) never collide), and [[minHashPairsFromIndex]] refuses to
+    * serve at params the table wasn't built with. Carrying the shingle
+    * array in each band row duplicates it ×bands — the documented
+    * [[minHashBandTable]] width trade, which buys the serve path ONE
+    * equi-join for candidates + verification operands (no second
+    * corpus-side join per probe batch). */
+  def saveMinHashIndex(df: DataFrame, id: String, text: String,
+                       table: String, buckets: Int, numHashes: Int,
+                       bands: Int): Unit =
+    graft.io.Layout.writeBucketed(
+      minHashBandTable(df, id, text, numHashes, bands)
+        .select(col("existing_id").as("doc_id"), col("ex_sh").as("sh"),
+          col("band"))
+        .withColumn("nh", lit(numHashes))
+        .withColumn("nb", lit(bands))
+        .withColumn("gen", lit(0L)),
+      table, "band", buckets)
+
+  /** Refuse a live table whose baked (nh, nb) disagree with the
+    * caller's — one tiny-agg job over the live view (empty table has
+    * nothing to contradict). Shared by append/replace and the serve
+    * path: a mismatched signature doesn't fail loudly on its own, it
+    * just stops matching (band keys from different params never
+    * collide), which is the worst kind of wrong. */
+  private def minHashIndexParamGuard(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      numHashes: Int, bands: Int): Unit = {
+    // a missing table has nothing to contradict — the first append of a
+    // writer-created index (replace on a fresh stream) creates it
+    if (!spark.catalog.tableExists(table)) return
+    val s = loadMinHashIndex(spark, table)
+      .agg(min(col("nh")), max(col("nh")), min(col("nb")), max(col("nb")))
+      .head()
+    if (!s.isNullAt(0)) {
+      require(s.getInt(0) == numHashes && s.getInt(1) == numHashes &&
+          s.getInt(2) == bands && s.getInt(3) == bands,
+        s"minHash index '$table' was built at numHashes=" +
+          s"${s.getInt(0)}..${s.getInt(1)}, bands=${s.getInt(2)}.." +
+          s"${s.getInt(3)} but the caller passed numHashes=$numHashes, " +
+          s"bands=$bands — mixed signatures silently lose candidate " +
+          "recall; pass the table's own params or rebuild with " +
+          "saveMinHashIndex")
+    }
+  }
+
+  /** Append NEW docs' band rows — O(batch), gen-stamped, params
+    * guarded against the saved table's. Updates to existing docs must
+    * route through [[replaceInMinHashIndex]]. */
+  def appendToMinHashIndex(df: DataFrame, id: String, text: String,
+                           table: String, buckets: Int, numHashes: Int,
+                           bands: Int): Unit = {
+    val spark = df.sparkSession
+    minHashIndexParamGuard(spark, table, numHashes, bands)
+    val gen = graft.io.IndexMaintenance.currentSeq(spark, table)
+    graft.io.Layout.appendBucketed(
+      minHashBandTable(df, id, text, numHashes, bands)
+        .select(col("existing_id").as("doc_id"), col("ex_sh").as("sh"),
+          col("band"))
+        .withColumn("nh", lit(numHashes))
+        .withColumn("nb", lit(bands))
+        .withColumn("gen", lit(gen)),
+      table, "band", buckets)
+  }
+
+  /** Tombstone docs out of a maintained MinHash index — O(batch). */
+  def deleteFromMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, ids: DataFrame,
+                             idCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, "doc_id",
+      ids.select(col(idCol).as("doc_id")))
+
+  /** Replace docs' band rows: tombstone then append — the old rows die
+    * behind the new sequence. ≡ rebuild (spec-pinned). */
+  def replaceInMinHashIndex(df: DataFrame, id: String, text: String,
+                            table: String, buckets: Int, numHashes: Int,
+                            bands: Int): Unit = {
+    deleteFromMinHashIndex(df.sparkSession, table,
+      df.select(col(id)).distinct(), id)
+    appendToMinHashIndex(df, id, text, table, buckets, numHashes, bands)
+  }
+
+  /** The serving view of a maintained MinHash index (live rows). */
+  def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String): DataFrame =
+    graft.io.IndexMaintenance.load(spark, table, "doc_id")
+
+  /** [[incrementalMinHashPairs]] served from a maintained
+    * [[saveMinHashIndex]] table — bit-identical output over the same
+    * live corpus state (spec-pinned): incoming docs are signed and
+    * banded in-query (row-local native expressions), candidates come
+    * from ONE band equi-join against the live view (band-key bucketed —
+    * no exchange on the corpus side), the incoming side's shingles
+    * arrive through one batch-bounded id join, and verification runs
+    * the identical rounded-Jaccard filter. Deleted/replaced corpus
+    * docs neither pair nor verify. `maxBucket` caps the EXISTING
+    * side's band buckets exactly as the batch operator does. Output:
+    * `(existing_id, incoming_id, jac)`. */
+  def minHashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, incoming: DataFrame,
+                            id: String, text: String, numHashes: Int,
+                            bands: Int, threshold: Double,
+                            maxBucket: Int = 0): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"need bands >= 1 and numHashes a positive multiple of bands " +
+        s"(got numHashes=$numHashes, bands=$bands)")
+    minHashIndexParamGuard(spark, table, numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    val live = loadMinHashIndex(spark, table)
+      .select(col("doc_id").as("existing_id"), col("sh").as("a_sh"),
+        col("band"))
+    val exCapped =
+      if (maxBucket <= 0) live
+      else live.withColumn("__bn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band")))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    val inc = minHashSignedTable(incoming, id, text, numHashes)
+    val incB = inc.select(col("doc").as("incoming_id"),
+      explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
+    exCapped.join(incB, Seq("band"))
+      .select(col("existing_id"), col("incoming_id"), col("a_sh"))
+      .dropDuplicates("existing_id", "incoming_id")
+      .join(inc.select(col("doc").as("incoming_id"), col("sh").as("b_sh")),
+        Seq("incoming_id"))
+      .withColumn("jac", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jac") >= threshold)
+      .select("existing_id", "incoming_id", "jac")
+  }
+
+  /** Compact a maintained MinHash index — the standard generational
+    * band-bucketed rewrite ([[graft.io.IndexMaintenance.compact]];
+    * serving through [[minHashPairsFromIndex]] is identical across
+    * it, spec-pinned like the winnow set). */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, buckets: Int): Unit =
+    graft.io.IndexMaintenance.compact(spark, table, "band", buckets,
+      "doc_id")
+
   /** Dedup savings report — the audit artifact an exact-dedup pass
     * leaves behind: for each duplicate-family SIZE, how many families
     * exist, how many rows deletion removes, and how many bytes those
@@ -495,31 +646,73 @@ object Dedup {
   }
 
   /** Persist the keeper corpus's span-gram table as a MAINTAINED index
-    * (r14): `(doc, pos, gh, gen)` bucketed by `gh` (the probe join's
-    * key) under the [[graft.io.IndexMaintenance]] generational-
+    * (r14): `(doc, pos, gh, maxdf, gen)` bucketed by `gh` (the probe
+    * join's key) under the [[graft.io.IndexMaintenance]] generational-
     * tombstone contract — the sunk artifact of ingest-time excision
     * for a keeper corpus that itself evolves (retractions delete,
     * re-ingestions replace). `maxDocFreq` blocks boilerplate grams at
-    * SAVE time (the [[sharedSpanPairs]] trade); appends apply no cap
-    * (a cap needs corpus-global frequencies — re-establish it at
-    * compaction by rebuilding, documented). */
+    * SAVE time (the [[sharedSpanPairs]] trade) and is BAKED into the
+    * rows (the SymSpell build-param convention), so
+    * [[compactSpanGramIndex]] can re-establish the cap over whatever
+    * boilerplate uncapped appends let creep back in (r15 — previously
+    * the cap eroded until a manual rebuild); appends themselves apply
+    * no cap (a cap needs corpus-global frequencies, which only the
+    * table-scale compaction scan sees). */
   def saveSpanGramIndex(df: DataFrame, id: String, text: String,
                         table: String, buckets: Int, n: Int,
                         maxDocFreq: Int = 0): Unit =
     graft.io.Layout.writeBucketed(
       spanGramTable(df, id, text, n, maxDocFreq)
+        .withColumn("maxdf", lit(maxDocFreq))
         .withColumn("gen", lit(0L)),
       table, "gh", buckets)
 
-  /** Append NEW keeper docs' grams — O(batch), gen-stamped. Updates to
-    * existing docs must route through [[replaceInSpanGramIndex]]. */
+  /** Append NEW keeper docs' grams — O(batch), gen-stamped, no cap
+    * applied (documented trade: corpus-global gram frequencies are a
+    * table-scale question — [[compactSpanGramIndex]] re-establishes
+    * the cap). Rows carry the SAVED `maxdf` (one tiny-agg probe), so
+    * the build param survives appends. Updates to existing docs must
+    * route through [[replaceInSpanGramIndex]]. */
   def appendToSpanGramIndex(df: DataFrame, id: String, text: String,
                             table: String, buckets: Int, n: Int): Unit = {
-    val gen = graft.io.IndexMaintenance.currentSeq(df.sparkSession, table)
+    val spark = df.sparkSession
+    val gen = graft.io.IndexMaintenance.currentSeq(spark, table)
+    // a first append against a missing table creates it uncapped
+    // (maxdf 0) — saveSpanGramIndex is the capped build path
+    val mdf =
+      if (!spark.catalog.tableExists(table)) 0
+      else spark.table(table)
+        .agg(coalesce(max(col("maxdf")), lit(0))).head().getInt(0)
     graft.io.Layout.appendBucketed(
-      spanGramTable(df, id, text, n).withColumn("gen", lit(gen)),
+      spanGramTable(df, id, text, n)
+        .withColumn("maxdf", lit(mdf))
+        .withColumn("gen", lit(gen)),
       table, "gh", buckets)
   }
+
+  /** Compact a maintained span-gram index AND re-establish its saved
+    * `maxDocFreq` cap (r14 verdict "what's missing" 3): the standard
+    * generational compaction rewrite, with the live rows re-filtered by
+    * corpus-global gram frequency against the `maxdf` the table was
+    * built with — appends are uncapped by design, so boilerplate grams
+    * re-accumulate and inflate every [[exciseNewFromIndex]] probe join
+    * until this runs. The recount sees the LIVE rows (save-time-dropped
+    * grams lost their original occurrences permanently — if such a gram
+    * re-enters via appends its recount starts from the appended rows
+    * only, the documented asymmetry), so after compaction the cap
+    * invariant "≤ maxdf rows per gram" holds exactly, and when no
+    * save-dropped gram re-entered the served table equals a fresh
+    * [[saveSpanGramIndex]] of the same corpus (spec-pinned).
+    * `maxdf = 0` (uncapped save) compacts without a filter. */
+  def compactSpanGramIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, buckets: Int): Unit =
+    graft.io.IndexMaintenance.compactWith(spark, table, "gh", buckets,
+      "doc", live => live
+        .withColumn("__n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("gh")))
+        .filter(col("maxdf") <= 0 || col("__n") <= col("maxdf"))
+        .drop("__n"))
 
   /** Tombstone keeper docs out of a maintained span-gram index. */
   def deleteFromSpanGramIndex(spark: org.apache.spark.sql.SparkSession,

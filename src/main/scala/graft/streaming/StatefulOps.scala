@@ -1466,6 +1466,65 @@ object StatefulOps {
       }
     }
 
+  /** CDC maintenance for a persisted MinHash LSH band index — the
+    * [[winnowMaintenanceWriter]] posture over
+    * [[graft.ops.Dedup.saveMinHashIndex]]'s lifecycle (r15 — the last
+    * near-dup family without the maintained index): commands
+    * `(id, text, op ∈ upsert/delete)`, LWW collapse by `orderCol` with
+    * the deterministic (orderCol, op, text) tie-break (or
+    * one-command-per-id required loudly), deletes tombstone, upserts
+    * re-sign + replace (signature params guarded against the saved
+    * table's — a mismatched (numHashes, bands) would silently stop
+    * matching), threshold compaction via `compactIfNeeded`
+    * (band-bucketed rewrite). NULL ops fail loudly; a delete-only
+    * first batch against a missing index is a no-op. Serving reads go
+    * through [[graft.ops.Dedup.minHashPairsFromIndex]] (live view);
+    * the usual cross-session refreshTable caveat applies. */
+  def minHashMaintenanceWriter(stream: DataFrame, id: String,
+      text: String, op: String, table: String, buckets: Int,
+      numHashes: Int, bands: Int, maxDeadBp: Long = 3000,
+      orderCol: Option[String] = None)(
+      onBatch: (Long, Boolean) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val bad = batch.filter(col(op).isNull ||
+          !col(op).isin("upsert", "delete"))
+        require(bad.isEmpty,
+          s"minHashMaintenanceWriter: unknown op values " +
+            s"${bad.select(col(op)).distinct().collect().mkString(",")}")
+        val cmds = orderCol match {
+          case Some(oc) =>
+            batch.groupBy(col(id))
+              .agg(max_by(struct(col(text).as("__t"), col(op).as("__o")),
+                struct(col(oc), col(op), col(text))).as("__c"))
+              .select(col(id), col("__c.__t").as(text),
+                col("__c.__o").as(op))
+          case None =>
+            val dup = batch.groupBy(col(id)).agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1)
+            require(dup.isEmpty,
+              "minHashMaintenanceWriter: multiple commands for id(s) " +
+                dup.select(col(id)).limit(5).collect().mkString(",") +
+                " in one micro-batch with no orderCol — pass orderCol " +
+                "so the batch can collapse to the latest command per id")
+            batch
+        }
+        val dels = cmds.filter(col(op) === "delete").select(col(id))
+        val ups = cmds.filter(col(op) === "upsert")
+          .select(col(id), col(text))
+        if (!dels.isEmpty && spark.catalog.tableExists(table))
+          graft.ops.Dedup.deleteFromMinHashIndex(spark, table, dels, id)
+        if (!ups.isEmpty)
+          graft.ops.Dedup.replaceInMinHashIndex(ups, id, text, table,
+            buckets, numHashes, bands)
+        val compacted = spark.catalog.tableExists(table) &&
+          graft.io.IndexMaintenance.compactIfNeeded(spark, table, "band",
+            buckets, "doc_id", maxDeadBp)
+        onBatch(bid, compacted)
+      }
+    }
+
   /** Min-K% Prob scoring at ingest — the streaming twin of
     * [[graft.ops.TextAnalysis.minKProbScore]] (the q112/q123 writer
     * posture): the trained LM is a SUNK artifact, each micro-batch's
@@ -1535,8 +1594,19 @@ object StatefulOps {
     * Invariants (spec-pinned): a URL is admitted at most once across
     * the stream's lifetime; a host is admitted at most `maxPerDomain`
     * times; with a non-binding cap the admitted set equals the batch
-    * operator's kept set over the same rows. O(batch + hosts·cap) per
-    * batch. */
+    * operator's kept set over the same rows; and verdicts are
+    * REPLAY-STABLE — registry rows carry the batch id that admitted
+    * them, the verdict computation excludes same-bid rows from
+    * `seen`/`quota`, and the append anti-joins the FULL registry, so
+    * an at-least-once replay (foreachBatch: append committed, stream
+    * died before the checkpoint) reproduces the original verdicts
+    * bit-for-bit instead of re-reporting the batch's own admits as
+    * `url_dup`, while the registry row count stays unchanged (r14
+    * verdict finding 1). One registry belongs to ONE stream/checkpoint
+    * lineage: batch ids are monotonic per checkpoint, so pointing a
+    * FRESH checkpoint (bids restart at 0) at a populated registry
+    * would mis-exclude old bid-0 admits — use a new registry table
+    * with a new checkpoint. O(batch + hosts·cap) per batch. */
   def urlCurationWriter(stream: DataFrame, id: String, url: String,
       table: String, maxPerDomain: Long, salt: String = "url")(
       process: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
@@ -1552,14 +1622,16 @@ object StatefulOps {
         val bb = b.withColumn("__urn", row_number().over(wU))
         val haveReg = spark.catalog.tableExists(table)
         if (haveReg) spark.catalog.refreshTable(table)
-        val seen =
-          if (haveReg) spark.table(table).select(col("__uh"))
-          else b.select(col("__uh")).limit(0)
-        val quota =
-          if (haveReg) spark.table(table).groupBy(col("host"))
-            .agg(count(lit(1)).as("__c"))
-          else b.select(col("host")).limit(0)
-            .withColumn("__c", lit(0L))
+        // same-bid rows are THIS batch's own prior (replayed) admits —
+        // excluding them reproduces the original run's registry state,
+        // so the verdict computation below is replay-stable
+        val prior =
+          if (haveReg) spark.table(table).filter(col("__bid") =!= bid)
+          else b.select(col("__uh"), col("host")).limit(0)
+            .withColumn("__bid", lit(bid))
+        val seen = prior.select(col("__uh"))
+        val quota = prior.groupBy(col("host"))
+          .agg(count(lit(1)).as("__c"))
         val wH = org.apache.spark.sql.expressions.Window
           .partitionBy(col("host"))
           .orderBy(graft.ops.Sampling.hash60(col("doc_id"), salt),
@@ -1575,8 +1647,19 @@ object StatefulOps {
           .withColumn("__keep",
             col("__rn") + coalesce(col("__c"), lit(0L)) <= maxPerDomain)
           .localCheckpoint()
-        novel.filter(col("__keep"))
+        // the append anti-joins the FULL registry (same-bid included):
+        // on replay the batch's own committed admits are already there,
+        // so nothing duplicates; eager-materialized so the write never
+        // reads the table it appends to
+        val already =
+          if (haveReg) spark.table(table).select(col("__uh"))
+          else b.select(col("__uh")).limit(0)
+        val toAppend = novel.filter(col("__keep"))
+          .join(already, Seq("__uh"), "left_anti")
           .select(col("__uh"), col("host"), col("doc_id"))
+          .withColumn("__bid", lit(bid))
+          .localCheckpoint()
+        toAppend
           .write.mode("append").format("parquet").saveAsTable(table)
         val verdicts = bb
           .join(novel.select(col("doc_id"), col("__keep")),

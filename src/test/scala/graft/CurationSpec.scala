@@ -652,6 +652,55 @@ class CurationSpec extends SparkSpec {
     assert(out(6L) == (("no-scheme.example.net", true, None)))
   }
 
+  test("registrableDomain: longest suffix wins, host-is-suffix keeps " +
+      "the host, no-match defaults to the last two labels") {
+    import org.apache.spark.sql.functions.col
+    val psl = Seq("com", "co.example", "blog.example").toDF("suffix")
+    val hosts = Seq("s1.blog.example", "u.farm.example.com",
+      "news.example.org", "blog.example", "localhost",
+      "a.b.co.example").toDF("host")
+    val out = Curation.registrableDomain(hosts, "host", psl)
+      .as[(String, String)].collect().toMap
+    // blog.example IS a suffix → each subdomain is its own reg domain
+    assert(out("s1.blog.example") == "s1.blog.example")
+    // only 'com' matches → eTLD+1 = example.com (the farm collapses)
+    assert(out("u.farm.example.com") == "example.com")
+    // no rule matches → default '*': last two labels
+    assert(out("news.example.org") == "example.org")
+    // the host itself is a public suffix → the whole host
+    assert(out("blog.example") == "blog.example")
+    // single label, no match → the host
+    assert(out("localhost") == "localhost")
+    // LONGEST match: co.example (2) beats nothing-else; reg = b.co.example
+    assert(out("a.b.co.example") == "b.co.example")
+  }
+
+  test("urlCurationVerdicts with a PSL: the subdomain farm shares one " +
+      "registrable-domain quota that raw-host caps let it evade") {
+    import org.apache.spark.sql.functions.col
+    val psl = Seq("com").toDF("suffix")
+    // 6 docs across 3 subdomains of farm.example.com + 1 control host
+    val docs = (1L to 6L).map(i =>
+        (i, s"https://u${i % 3}.farm.example.com/p/$i")).toSeq
+      .:+((7L, "https://other.test/x"))
+      .toDF("doc_id", "url")
+    val raw = Curation.urlCurationVerdicts(docs, "doc_id", "url",
+      maxPerDomain = 2, salt = "t")
+    val reg = Curation.urlCurationVerdicts(docs, "doc_id", "url",
+      maxPerDomain = 2, salt = "t", psl = Some(psl))
+    // raw-host caps: each of the 3 farm hosts gets its own quota of 2 —
+    // all 6 farm docs keep (the evasion)
+    assert(raw.filter(col("kept")).count() == 7L)
+    // registrable-domain caps: the farm shares example.com's quota of 2
+    val keptReg = reg.filter(col("kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptReg.size == 3 && keptReg.contains(7L),
+      s"got $keptReg — 2 farm docs + the control host must keep")
+    assert(reg.filter(!col("kept")).count() == 4L)
+    reg.filter(!col("kept")).select("reason").as[String].collect()
+      .foreach(r => assert(r == "domain_cap"))
+  }
+
   test("pretrainingFunnel with URL stage: stage rows shift by one, " +
       "reasons gain 'urlcurate', telescoping intact, None unchanged") {
     import org.apache.spark.sql.functions.col

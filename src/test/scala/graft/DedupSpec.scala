@@ -489,6 +489,123 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash index lifecycle: save/append/delete/replace/compact " +
+      "keep serving == incrementalMinHashPairs; signature params " +
+      "guarded both ends") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "totally different words entirely here"
+    val v1 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val extra = Seq((3L, a)).toDF("doc_id", "text")
+    val probe = Seq((10L, a), (11L, b),
+      (12L, "nothing shared with anything at all")).toDF("doc_id", "text")
+    def fromIdx() = Dedup.minHashPairsFromIndex(spark, "mh_idx", probe,
+        "doc_id", "text", numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    def rebuild(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalMinHashPairs(docs, probe, "doc_id", "text",
+          numHashes = 12, bands = 4, threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+    try {
+      Dedup.saveMinHashIndex(v1, "doc_id", "text", "mh_idx", buckets = 4,
+        numHashes = 12, bands = 4)
+      assert(fromIdx() == rebuild(v1) && fromIdx().nonEmpty)
+      // append an exact near-dup of doc 1's text: it must start pairing
+      Dedup.appendToMinHashIndex(extra, "doc_id", "text", "mh_idx", 4,
+        12, 4)
+      val u2 = v1.unionByName(extra)
+      assert(fromIdx() == rebuild(u2))
+      assert(fromIdx().exists(_.head == 3L), "appended doc must pair")
+      // replace doc 1 with unrelated text: it must stop pairing
+      val r1 = Seq((1L, "replaced wholly unrelated material body now"))
+        .toDF("doc_id", "text")
+      Dedup.replaceInMinHashIndex(r1, "doc_id", "text", "mh_idx", 4,
+        12, 4)
+      val u3 = r1.unionByName(v1.filter(col("doc_id") =!= 1L))
+        .unionByName(extra)
+      assert(fromIdx() == rebuild(u3))
+      assert(!fromIdx().exists(_.head == 1L), "replaced doc paired")
+      // delete doc 3: gone from serving
+      Dedup.deleteFromMinHashIndex(spark, "mh_idx",
+        Seq(3L).toDF("victim"), "victim")
+      val u4 = u3.filter(col("doc_id") =!= 3L)
+      assert(fromIdx() == rebuild(u4))
+      assert(!fromIdx().exists(_.head == 3L), "deleted doc paired")
+      // compaction: serving identical, dead rows gone, sidecar clean
+      graft.ops.Caches.release(blocking = true)
+      val want = fromIdx()
+      val fired = graft.io.IndexMaintenance.compactIfNeeded(spark,
+        "mh_idx", "band", 4, "doc_id", maxDeadBp = 1000)
+      assert(fired, "the delete+replace history must cross 10% dead")
+      graft.ops.Caches.release(blocking = true)
+      assert(fromIdx() == want, "serving changed across compaction")
+      val (phys, live, dead, _) = graft.io.IndexMaintenance
+        .tombstoneStats(spark, "mh_idx", "doc_id")
+      assert(phys == live && dead == 0L)
+      assertSidecarClean("mh_idx")
+      // params guarded BOTH ends: a mismatched signature silently stops
+      // matching, so append/replace and serve all refuse loudly
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.appendToMinHashIndex(extra, "doc_id", "text", "mh_idx", 4,
+          numHashes = 8, bands = 4)
+      }
+      assert(e1.getMessage.contains("numHashes"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.minHashPairsFromIndex(spark, "mh_idx", probe, "doc_id",
+          "text", numHashes = 12, bands = 6, threshold = 0.5)
+      }
+      assert(e2.getMessage.contains("bands"), e2.getMessage)
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("mh_idx", "mh_idx__tombstones", "mh_idx__compact",
+        "mh_idx__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("span-gram compaction re-establishes the saved maxDocFreq cap " +
+      "over boilerplate crept in through uncapped appends") {
+    // save under cap 2; appends push the gram "p q" to 3 slots (> cap)
+    // — uncapped by design, so every ingest probe pays for it until
+    // compaction recounts and drops it
+    val k1 = Seq((1L, "p q r s"), (2L, "a b c d")).toDF("doc_id", "text")
+    val boiler = Seq((3L, "p q x y"), (4L, "p q z w"))
+      .toDF("doc_id", "text")
+    def served(t: String) = Dedup.loadSpanGramIndex(spark, t)
+      .select("doc", "pos", "gh").collect().map(_.toSeq).toSet
+    try {
+      Dedup.saveSpanGramIndex(k1, "doc_id", "text", "sgc_idx",
+        buckets = 4, n = 2, maxDocFreq = 2)
+      Dedup.appendToSpanGramIndex(boiler, "doc_id", "text", "sgc_idx",
+        4, 2)
+      // pre-compaction the crept gram IS served (3 rows share one gh
+      // above the cap) — the documented append trade
+      val preCounts = Dedup.loadSpanGramIndex(spark, "sgc_idx")
+        .groupBy("gh").count().collect().map(_.getLong(1))
+      assert(preCounts.exists(_ > 2L), "fixture: a gram must exceed cap")
+      Dedup.compactSpanGramIndex(spark, "sgc_idx", 4)
+      // the served table now equals a fresh capped build of the SAME
+      // corpus (no save-dropped gram re-entered — the clean case where
+      // the equivalence is exact)
+      Dedup.saveSpanGramIndex(k1.unionByName(boiler), "doc_id", "text",
+        "sgc_fresh", 4, 2, maxDocFreq = 2)
+      assert(served("sgc_idx") == served("sgc_fresh"))
+      assert(served("sgc_idx").nonEmpty)
+      // the cap invariant holds exactly
+      val post = Dedup.loadSpanGramIndex(spark, "sgc_idx")
+        .groupBy("gh").count().collect().map(_.getLong(1))
+      assert(post.forall(_ <= 2L), s"cap not re-established: $post")
+      // and the build param survived the rewrite
+      assert(Dedup.loadSpanGramIndex(spark, "sgc_idx")
+        .select("maxdf").distinct().collect().map(_.getInt(0)).toSeq
+        == Seq(2))
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("sgc_idx", "sgc_idx__tombstones", "sgc_idx__compact",
+        "sgc_idx__precompact", "sgc_fresh").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incrementalMinHashPairs pairs only across sides") {
     val existing = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

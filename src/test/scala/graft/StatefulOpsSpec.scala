@@ -1945,6 +1945,67 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("minHashMaintenanceWriter: CDC upsert/delete keeps serving == " +
+      "incrementalMinHashPairs at every batch; threshold compaction " +
+      "fires") {
+    implicit val ctx = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "totally different words entirely here now"
+    val probe = Seq((10L, a), (11L, b)).toDF("doc_id", "text")
+    val state = mutable.LinkedHashMap.empty[Long, String]
+    def want() = graft.ops.Dedup.incrementalMinHashPairs(
+        state.toSeq.toDF("doc_id", "text"), probe, "doc_id", "text",
+        numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    def got() = {
+      spark.catalog.refreshTable("mh_cdc")
+      if (spark.catalog.tableExists("mh_cdc__tombstones"))
+        spark.catalog.refreshTable("mh_cdc__tombstones")
+      graft.ops.Dedup.minHashPairsFromIndex(spark, "mh_cdc", probe,
+          "doc_id", "text", numHashes = 12, bands = 4, threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+    }
+    try {
+      val in = MemoryStream[(Long, String, String, Long)]
+      var compactions = 0
+      val q = StatefulOps.minHashMaintenanceWriter(
+          in.toDF().toDF("doc_id", "text", "op", "seq"), "doc_id",
+          "text", "op", "mh_cdc", buckets = 4, numHashes = 12,
+          bands = 4, maxDeadBp = 2000, orderCol = Some("seq")) { (_, c) =>
+        if (c) compactions += 1
+      }.start()
+      withQuery(q) {
+        in.addData((1L, a, "upsert", 10L), (2L, b, "upsert", 10L))
+        q.processAllAvailable()
+        state ++= Seq(1L -> a, 2L -> b)
+        assert(got() == want() && got().nonEmpty, "after batch 1")
+        // LWW: the later upsert moves doc 1 off the near-dup family;
+        // doc 3 lands on it
+        in.addData(
+          (1L, a + " still here", "upsert", 20L),
+          (1L, "replaced wholly unrelated material text now", "upsert", 21L),
+          (3L, a, "upsert", 20L))
+        q.processAllAvailable()
+        state(1L) = "replaced wholly unrelated material text now"
+        state(3L) = a
+        assert(got() == want(), "after batch 2")
+        assert(!got().exists(_.head == 1L), "replaced doc paired")
+        assert(got().exists(_.head == 3L), "upserted doc must pair")
+        in.addData((3L, "", "delete", 30L))
+        q.processAllAvailable()
+        state -= 3L
+        assert(got() == want(), "after batch 3")
+        assert(!got().exists(_.head == 3L), "deleted doc paired")
+      }
+      assert(compactions >= 1, "threshold compaction never fired")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("mh_cdc", "mh_cdc__tombstones", "mh_cdc__compact",
+        "mh_cdc__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("urlCurationWriter: admitted-once per URL, cap-bounded per " +
       "host, registry bounded, non-binding cap equals batch kept set") {
     implicit val ctx = spark.sqlContext
@@ -2015,6 +2076,72 @@ class StatefulOpsSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS url_reg")
       spark.sql("DROP TABLE IF EXISTS url_reg2")
+    }
+  }
+
+  test("urlCurationWriter replay stability: a replayed batch reproduces " +
+      "its original verdicts bit-for-bit and the registry row count is " +
+      "unchanged") {
+    // r14 verdict finding 1: foreachBatch is at-least-once — if the
+    // registry append commits but the stream dies before the
+    // checkpoint, the replayed batch used to anti-join against its own
+    // admits and re-report every one as kept=false/url_dup. Registry
+    // rows now carry the admitting batch id; the verdict computation
+    // excludes same-bid rows, the append anti-joins the full registry.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("url_replay").toFile
+    val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    // one batch: an in-batch exact dup (1,2), host 1 over cap 2, host 2
+    // inside it — every reason code appears
+    Seq((1L, "https://h1.test/a"), (2L, "https://h1.test/a"),
+        (3L, "https://h1.test/b"), (4L, "https://h1.test/c"),
+        (5L, "https://h2.test/x"))
+      .toDF("doc_id", "url").write.mode("overwrite")
+      .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Map[Long, (Boolean, String)] = {
+      val verdicts = mutable.Map.empty[Long, (Boolean, String)]
+      val q = StatefulOps.urlCurationWriter(
+          spark.readStream.schema("doc_id BIGINT, url STRING")
+            .parquet(srcDir.getAbsolutePath),
+          "doc_id", "url", "url_replay_reg", maxPerDomain = 2,
+          salt = "t") { (out, _) =>
+        out.collect().foreach(r => verdicts(r.getLong(0)) =
+          ((r.getBoolean(2), if (r.isNullAt(3)) null else r.getString(3))))
+      }.option("checkpointLocation", ck).start()
+      withQuery(q) { q.processAllAvailable() }
+      verdicts.toMap
+    }
+    // the JVM-wide commit-log cache would flag the hand-deleted marker
+    // as a concurrent query — disable it for the crash simulation
+    val cacheConf = "spark.sql.streaming.metadataCache.enabled"
+    val cacheWas = spark.conf.get(cacheConf, "true")
+    spark.conf.set(cacheConf, "false")
+    try {
+      val v1 = runOnce()
+      assert(v1.size == 5 && v1.values.count(_._1) == 3, s"$v1")
+      assert(v1(2L) == ((false, "url_dup")))
+      spark.catalog.refreshTable("url_replay_reg")
+      val regRows = spark.table("url_replay_reg").collect()
+        .map(_.toSeq).toSet
+      assert(regRows.size == 3)
+      // the at-least-once crash: append committed, checkpoint not —
+      // drop the batch-0 commit marker and rerun the same batch
+      val c0 = new java.io.File(ck, "commits/0")
+      assert(c0.exists(), "fixture: batch 0 must have committed")
+      assert(c0.delete())
+      // the local FS keeps a checksum sidecar beside the marker —
+      // leaving it behind blocks the replay's re-commit rename
+      val crc = new java.io.File(ck, "commits/.0.crc")
+      if (crc.exists()) crc.delete()
+      val v2 = runOnce()
+      assert(v2 == v1, s"replayed verdicts diverged:\n$v1\nvs\n$v2")
+      spark.catalog.refreshTable("url_replay_reg")
+      assert(spark.table("url_replay_reg").collect().map(_.toSeq).toSet
+        == regRows, "replay must not grow or rewrite the registry")
+    } finally {
+      spark.conf.set(cacheConf, cacheWas)
+      spark.sql("DROP TABLE IF EXISTS url_replay_reg")
     }
   }
 

@@ -1646,6 +1646,63 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sentinel collapse is crash-atomic: the staged __new sibling " +
+      "keeps the seq counter through every interruption point") {
+    // r14 advice (medium): the old mode("overwrite") sidecar collapse
+    // was drop-then-recreate — a crash inside the window lost the
+    // sidecar, currentSeq reset to 0, and the NEXT delete's seq <= the
+    // compacted rows' gen made it permanently invisible (and
+    // compactIfNeeded never fired: the tombstone hid nothing, so
+    // nothing self-healed). The collapse now stages the sentinel in
+    // <tomb>__new and renames; currentSeq reads the max over both.
+    val corpus = Seq((1L, "apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple date cherry")).toDF("q_id", "qtext")
+    def serving() = TextAnalysis.bm25Search(
+        TextAnalysis.loadPostingsIndex(spark, "sent_idx"),
+        queries, "q_id", "qtext", k = 10)
+      .collect().map(_.getLong(2)).toSet
+    try {
+      TextAnalysis.savePostingsIndex(corpus, "doc_id", "text",
+        "sent_idx", buckets = 4)
+      TextAnalysis.deleteFromPostingsIndex(spark, "sent_idx",
+        Seq(2L).toDF("victim"), "victim")
+      graft.ops.Caches.release(blocking = true)
+      graft.io.IndexMaintenance.compact(spark, "sent_idx", "term", 4,
+        "doc")
+      graft.ops.Caches.release(blocking = true)
+      assert(graft.io.IndexMaintenance.currentSeq(spark, "sent_idx")
+        == 1L)
+      // construct the crash state BETWEEN the sidecar drop and the
+      // rename: only the staged __new sibling carries the counter
+      spark.sql("CREATE TABLE sent_idx__tombstones__new AS " +
+        "SELECT * FROM sent_idx__tombstones")
+      spark.sql("DROP TABLE sent_idx__tombstones")
+      assert(graft.io.IndexMaintenance.currentSeq(spark, "sent_idx")
+        == 1L, "counter lost in the sidecar-collapse crash window")
+      // a delete taken in that state must get seq 2 > the compacted
+      // rows' gen 1 — under the old reset-to-0 bug it got seq 1 <= gen
+      // and the doc stayed visible forever
+      TextAnalysis.deleteFromPostingsIndex(spark, "sent_idx",
+        Seq(3L).toDF("victim"), "victim")
+      graft.ops.Caches.release(blocking = true)
+      assert(!serving().contains(3L),
+        "post-crash delete invisible — the seq counter reset")
+      // the next compaction clears the stale staging sibling
+      graft.io.IndexMaintenance.compact(spark, "sent_idx", "term", 4,
+        "doc")
+      graft.ops.Caches.release(blocking = true)
+      assert(!spark.catalog.tableExists("sent_idx__tombstones__new"))
+      assert(!serving().contains(3L) && serving().contains(1L))
+      assertSidecarClean("sent_idx")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("sent_idx", "sent_idx__tombstones", "sent_idx__tombstones__new",
+        "sent_idx__compact", "sent_idx__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("compact crash recovery: mid-swap rerun loses no data, " +
       "completed-swap leftover auto-recovers, missing table fails loudly") {
     // r11 verdict finding 1: the old compact() dropped the recovery
@@ -2160,6 +2217,99 @@ class TextAnalysisSpec extends SparkSpec {
       s"optimal exceeded greedy: $out")
     assert(out("viterbi_costs")._1 == out("greedy_vocab")._1)
     graft.ops.Caches.release(blocking = true)
+  }
+
+  test("ViterbiCostExpr cost guard: rejects at 2^30, admits and stays " +
+      "exact just under it") {
+    // r14 advice: the old 2^32 guard admitted per-step additions up to
+    // 2^48 — 2^16-1 of them pass INF and the DP misclassifies
+    // reachability. costs < 2^30 is the bound that provably keeps
+    // n·((cost<<16)+1) under Long.MaxValue/2 for every legal word.
+    val big = (1L << 30) - 1
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.ViterbiCostExpr(col("w"), Seq(("a", 1L << 30)), 1L)
+    }
+    assert(e.getMessage.contains("2^30"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.functions.ViterbiCostExpr(col("w"), Seq(("a", 1L)),
+        charCost = 1L << 30)
+    }
+    // just under the bound: the encoding is exact, no wraparound
+    val out = TextAnalysis.viterbiEncodeStats(
+        Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(("a", big)), charCost = big)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((1L, 1L, 3L, 3L * big)), s"got $out")
+  }
+
+  test("dictionaryJoin: forces broadcast within the word bound, leaves " +
+      "the join unhinted beyond it, identical rows either way") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "w")
+    val dict = Seq(("a", 10L), ("b", 20L)).toDF("w", "v")
+    def run(bound: Long) =
+      TextAnalysis.dictionaryJoin(corpus, dict, Seq("w"), bound)
+    try {
+      val hinted = run(10L)
+      assert(hinted.queryExecution.analyzed.toString
+        .contains("ResolvedHint"), "no broadcast hint under the bound")
+      val unhinted = run(1L)
+      assert(!unhinted.queryExecution.analyzed.toString
+        .contains("ResolvedHint"),
+        "a dictionary past the bound must not be force-broadcast " +
+          "(the 100 TB driver-memory cliff)")
+      assert(hinted.collect().map(_.toSeq).toSet
+        == unhinted.collect().map(_.toSeq).toSet)
+    } finally graft.ops.Caches.release(blocking = true)
+  }
+
+  test("ladder LM: a (2,3) ladder reproduces backoffLmScore; each " +
+      "unseen order backs off one penalty down the rung; kPct=100 " +
+      "degenerates to the average") {
+    val train = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "a b c x y a b c x y")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c d e"), (2L, "q r s t u v")).toDF("doc_id", "text")
+    // (2,3) ladder == trainBackoffLm at non-binding top-V (same counts,
+    // same quantization, same OOV convention)
+    val (lad23, oov23) = TextAnalysis.trainLadderLm(train, "text",
+      topVs = Seq(512, 512))
+    val (tri, bi, biOov) = TextAnalysis.trainBackoffLm(train, "text",
+      topV3 = 512, topV2 = 512)
+    assert(oov23 == biOov)
+    assert(lad23(1).toSet ==
+      tri.map(t => (s"${t._1} ${t._2} ${t._3}", t._4)).toSet)
+    val gotL = TextAnalysis.ladderLmScore(score, "doc_id", "text",
+      lad23, oov23).collect().map(_.toSeq).toSet
+    val gotB = TextAnalysis.backoffLmScore(score, "doc_id", "text",
+      tri, bi, biOov).collect().map(_.toSeq).toSet
+    assert(gotL == gotB && gotL.nonEmpty, s"$gotL vs $gotB")
+    // handcrafted 5-gram ladder: knock orders out one at a time — each
+    // removal adds EXACTLY one 2^12 penalty (r14 verdict item 8's
+    // degeneracy chain)
+    val doc = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val full = Seq(
+      Seq(("d e", 7L)), Seq(("c d e", 5L)), Seq(("b c d e", 3L)),
+      Seq(("a b c d e", 2L)))
+    def cost(ladder: Seq[Seq[(String, Long)]]) =
+      TextAnalysis.ladderLmScore(doc, "doc_id", "text", ladder, 99L)
+        .collect().head.getLong(2)
+    assert(cost(full) == 2L)
+    assert(cost(full.updated(3, Seq(("zzz", 1L)))) == 4096L + 3L)
+    assert(cost(full.updated(3, Seq(("z", 1L)))
+      .updated(2, Seq(("z", 1L)))) == 2 * 4096L + 5L)
+    assert(cost(full.map(_ => Seq(("z", 1L)))) == 3 * 4096L + 99L)
+    // kPct = 100 degenerates to ladderLmScore's average
+    val (lad5, oov5) = TextAnalysis.trainLadderLm(train, "text",
+      topVs = Seq(512, 512, 256, 256))
+    val mk = TextAnalysis.minKProbScoreLadder(score, "doc_id", "text",
+        lad5, oov5, kPct = 100)
+      .select("doc_id", "mink_cost_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val avg = TextAnalysis.ladderLmScore(score, "doc_id", "text",
+        lad5, oov5)
+      .select("doc_id", "avg_cost_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mk == avg && mk.nonEmpty, s"$mk vs $avg")
   }
 
   test("GreedyPiecesExpr: non-BMP fallback steps whole code points and " +
