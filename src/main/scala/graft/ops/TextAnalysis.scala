@@ -1150,8 +1150,9 @@ object TextAnalysis {
     * count is within `maxBroadcastWords`; beyond the bound the join
     * falls back to a plain shuffled equi-join on the word — identical
     * results, driver bounded. At bench scale every dictionary is far
-    * below the default bound, so the plan (and the measured bench) is
-    * unchanged (BenchAB'd flat, r15). */
+    * below the default bound, so the plan is unchanged; the persist +
+    * count probe measured flat across full runs (the 6 affected bench
+    * lines sum +1% with mixed per-line signs — r15). */
   private[graft] def dictionaryJoin(corpus: DataFrame, dict: DataFrame,
       keys: Seq[String],
       maxBroadcastWords: Long = MaxBroadcastDictWords): DataFrame = {

@@ -1674,6 +1674,74 @@ object StatefulOps {
     }
   }
 
+  /** Exact-dedup ADMISSION REGISTRY at ingest — the corpus-LIFETIME
+    * complement of [[streamingExactDedup]], whose hash state is
+    * deliberately watermark-bounded (a duplicate arriving after the
+    * lateness horizon passes it): real crawl pipelines keep a
+    * content-hash registry for the life of the corpus, so a re-crawl
+    * of last year's page still drops. State is ONE persisted registry
+    * of admitted hashes `(h, doc_id, __bid)` BUCKETED by `h`
+    * ([[graft.io.Layout.appendBucketed]]) — the per-batch membership
+    * probe is a bucketed equi-join (the batch side shuffles
+    * batch-bounded rows into the registry's bucketing; the registry
+    * never re-shuffles), and the registry grows one row per DISTINCT
+    * admitted document, the minimum any lifetime-dedup can store.
+    * Within a batch the smallest doc id wins (the
+    * [[graft.ops.Dedup.exactDedup]] winner rule); across batches
+    * admission is first-arrival — the only order a stream has.
+    *
+    * Replay-stable under foreachBatch's at-least-once contract (the
+    * [[urlCurationWriter]] r15 discipline): registry rows carry the
+    * admitting batch id, the verdict computation excludes same-bid
+    * rows, and the append anti-joins the FULL registry — a replayed
+    * batch reproduces its original verdicts bit-for-bit and appends
+    * nothing. One registry per checkpoint lineage (bids restart at 0
+    * on a fresh checkpoint — use a fresh registry table with it).
+    * `process` receives `(doc_id, kept, reason)` with reason ∈
+    * {'exact_dup', NULL}. O(batch) per batch. */
+  def exactDedupRegistryWriter(stream: DataFrame, id: String,
+      text: String, table: String, buckets: Int)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    require(buckets >= 1, s"bad buckets: $buckets")
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val b = batch.select(col(id).as("doc_id"),
+          md5(col(text)).as("h"))
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))
+        val bb = b.withColumn("__rn", row_number().over(wH))
+        val haveReg = spark.catalog.tableExists(table)
+        if (haveReg) spark.catalog.refreshTable(table)
+        val prior =
+          if (haveReg) spark.table(table).filter(col("__bid") =!= bid)
+            .select(col("h"))
+          else b.select(col("h")).limit(0)
+        // eager (the plan reads the registry the append mutates)
+        val novel = bb.filter(col("__rn") === 1)
+          .join(prior, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("h"))
+          .localCheckpoint()
+        val already =
+          if (haveReg) spark.table(table).select(col("h"))
+          else b.select(col("h")).limit(0)
+        val toAppend = novel.join(already, Seq("h"), "left_anti")
+          .select(col("h"), col("doc_id"))
+          .withColumn("__bid", lit(bid))
+          .localCheckpoint()
+        graft.io.Layout.appendBucketed(toAppend, table, "h", buckets)
+        val verdicts = bb
+          .join(novel.select(col("doc_id"), lit(true).as("__keep")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__keep"), lit(false)).as("kept"),
+            when(col("__keep").isNull, lit("exact_dup"))
+              .otherwise(lit(null).cast("string")).as("reason"))
+        process(verdicts, bid)
+      }
+    }
+  }
+
   /** CDC maintenance for the maxsim SQ8 PAIR index — the late-
     * interaction twin of [[postingsMaintenanceWriter]], over the r13
     * [[graft.ops.Similarity.saveMaxSimSq8Index]] lifecycle: each

@@ -582,12 +582,17 @@ class DedupSpec extends SparkSpec {
       val preCounts = Dedup.loadSpanGramIndex(spark, "sgc_idx")
         .groupBy("gh").count().collect().map(_.getLong(1))
       assert(preCounts.exists(_ > 2L), "fixture: a gram must exceed cap")
+      // interplay with the tombstone machinery: delete doc 2 first —
+      // compaction must drop its rows AND re-apply the cap in one pass
+      Dedup.deleteFromSpanGramIndex(spark, "sgc_idx",
+        Seq(2L).toDF("victim"), "victim")
       Dedup.compactSpanGramIndex(spark, "sgc_idx", 4)
       // the served table now equals a fresh capped build of the SAME
-      // corpus (no save-dropped gram re-entered — the clean case where
-      // the equivalence is exact)
-      Dedup.saveSpanGramIndex(k1.unionByName(boiler), "doc_id", "text",
-        "sgc_fresh", 4, 2, maxDocFreq = 2)
+      // live corpus (no save-dropped gram re-entered — the clean case
+      // where the equivalence is exact)
+      Dedup.saveSpanGramIndex(
+        k1.filter(col("doc_id") =!= 2L).unionByName(boiler),
+        "doc_id", "text", "sgc_fresh", 4, 2, maxDocFreq = 2)
       assert(served("sgc_idx") == served("sgc_fresh"))
       assert(served("sgc_idx").nonEmpty)
       // the cap invariant holds exactly

@@ -2145,6 +2145,93 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactDedupRegistryWriter: min-id wins within a batch, " +
+      "first-arrival across batches, registry one row per distinct " +
+      "content for the corpus lifetime") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val verdicts = mutable.Map.empty[Long, (Boolean, String)]
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.exactDedupRegistryWriter(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          "cd_reg", buckets = 4) { (out, _) =>
+        out.collect().foreach(r => verdicts(r.getLong(0)) =
+          ((r.getBoolean(1), if (r.isNullAt(2)) null else r.getString(2))))
+      }.start()
+      withQuery(q) {
+        // batch 1: 2 and 1 share content — the SMALLER id wins even
+        // though both arrive together
+        in.addData((2L, "same body"), (1L, "same body"), (3L, "other"))
+        q.processAllAvailable()
+        assert(verdicts(1L) == ((true, null)), s"${verdicts(1L)}")
+        assert(verdicts(2L) == ((false, "exact_dup")))
+        assert(verdicts(3L) == ((true, null)))
+        // batch 2: a re-crawl of batch 1's content drops — lifetime
+        // state, not watermark-bounded; novel content admits
+        in.addData((10L, "same body"), (11L, "fresh content"))
+        q.processAllAvailable()
+        assert(verdicts(10L) == ((false, "exact_dup")))
+        assert(verdicts(11L) == ((true, null)))
+        // registry: exactly one row per distinct admitted content
+        spark.catalog.refreshTable("cd_reg")
+        val reg = spark.table("cd_reg")
+        assert(reg.count() == 3L)
+        assert(reg.select("doc_id").as[Long].collect().toSet
+          == Set(1L, 3L, 11L))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cd_reg")
+    }
+  }
+
+  test("exactDedupRegistryWriter replay: a replayed batch reproduces " +
+      "its verdicts and appends nothing") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("cd_replay").toFile
+    val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    Seq((1L, "aa"), (2L, "aa"), (3L, "bb"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(srcDir.getAbsolutePath)
+    def runOnce(): Map[Long, (Boolean, String)] = {
+      val verdicts = mutable.Map.empty[Long, (Boolean, String)]
+      val q = StatefulOps.exactDedupRegistryWriter(
+          spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(srcDir.getAbsolutePath),
+          "doc_id", "text", "cd_replay_reg", buckets = 4) { (out, _) =>
+        out.collect().foreach(r => verdicts(r.getLong(0)) =
+          ((r.getBoolean(1), if (r.isNullAt(2)) null else r.getString(2))))
+      }.option("checkpointLocation", ck).start()
+      withQuery(q) { q.processAllAvailable() }
+      verdicts.toMap
+    }
+    val cacheConf = "spark.sql.streaming.metadataCache.enabled"
+    val cacheWas = spark.conf.get(cacheConf, "true")
+    spark.conf.set(cacheConf, "false")
+    try {
+      val v1 = runOnce()
+      assert(v1 == Map(1L -> ((true, null)), 2L -> ((false, "exact_dup")),
+        3L -> ((true, null))), s"$v1")
+      spark.catalog.refreshTable("cd_replay_reg")
+      val regRows = spark.table("cd_replay_reg").collect()
+        .map(_.toSeq).toSet
+      assert(regRows.size == 2)
+      val c0 = new java.io.File(ck, "commits/0")
+      assert(c0.exists() && c0.delete())
+      val crc = new java.io.File(ck, "commits/.0.crc")
+      if (crc.exists()) crc.delete()
+      val v2 = runOnce()
+      assert(v2 == v1, s"replayed verdicts diverged:\n$v1\nvs\n$v2")
+      spark.catalog.refreshTable("cd_replay_reg")
+      assert(spark.table("cd_replay_reg").collect().map(_.toSeq).toSet
+        == regRows)
+    } finally {
+      spark.conf.set(cacheConf, cacheWas)
+      spark.sql("DROP TABLE IF EXISTS cd_replay_reg")
+    }
+  }
+
   test("redactionWriter: streamed redaction equals batch") {
     implicit val ctx = spark.sqlContext
     val docs = Seq(

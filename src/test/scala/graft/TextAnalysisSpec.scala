@@ -2310,6 +2310,19 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "avg_cost_q").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(mk == avg && mk.nonEmpty, s"$mk vs $avg")
+    // the ladder emits the bigramLmScore shape, so the CCNet
+    // head/middle/tail machinery composes UNCHANGED on 5-gram scores
+    val scored = TextAnalysis.ladderLmScore(score, "doc_id", "text",
+      lad5, oov5)
+    val cuts = TextAnalysis.lmScoreCuts(scored)
+    val buckets = TextAnalysis.lmPerplexityBuckets(scored, cuts)
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(buckets.keySet == Set(1L, 2L))
+    // doc 1 repeats the training text — more reference-like than the
+    // all-OOV doc 2 under any cut
+    assert(avg(1L) < avg(2L))
+    assert(buckets(1L) == "head")
   }
 
   test("GreedyPiecesExpr: non-BMP fallback steps whole code points and " +
