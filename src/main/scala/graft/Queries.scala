@@ -5209,6 +5209,48 @@ object Queries {
                  CAST(topk_cost // k_ngrams AS BIGINT) AS mink_cost_q
           FROM g"""))
 
+  /** Credit-card PII with LUHN validation (TextAnalysis.creditCardRedact
+    * — r15): card-shaped digit runs are only redacted when the Luhn
+    * checksum holds (the validation a bare regex pack cannot provide);
+    * plants one valid Visa-style number with spaces, one
+    * checksum-invalid 16-digit run (counted as a candidate, NOT
+    * redacted), and one valid 15-digit Amex-style run. Base text is
+    * digit-free (checked), so the closed-form plant arithmetic is
+    * exact; redaction replaces the literal candidates (the q101
+    * replace() convention). */
+  private val q250 = QDef("q250_card_luhn",
+    (s, d) => {
+      val aug = docs(s, d).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" card 4111 1111 1111 1111")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" acct 4111111111111112")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" num 378282246310005")).otherwise(lit(""))))
+      TextAnalysis.creditCardRedact(aug, "doc_id", "t2")
+        .select("doc_id", "n_card_candidates", "n_cards", "redacted")
+    },
+    Some("""WITH aug AS (SELECT doc_id, text ||
+               CASE WHEN doc_id % 3 = 0 THEN ' card 4111 1111 1111 1111'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' acct 4111111111111112'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0 THEN ' num 378282246310005'
+                 ELSE '' END AS t2
+             FROM documents)
+             SELECT doc_id,
+               CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_card_candidates,
+               CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cards,
+               replace(replace(t2, '4111 1111 1111 1111', '<CC>'),
+                 '378282246310005', '<CC>') AS redacted
+             FROM aug"""), bench = true)
+
   /** Family-aware split assignment (Curation.familySplitAssign): the
     * FIX for q142's finding — splits hash the FAMILY label, so
     * near-duplicate families land whole in one split and cross-split
@@ -9813,7 +9855,7 @@ object Queries {
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246, q247, q248, q249)
+    q244, q245, q246, q247, q248, q249, q250)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -681,6 +681,54 @@ object TextAnalysis {
     out.withColumn("redacted", last)
   }
 
+  /** Card-number candidates: 13-19 digits with optional single space or
+    * dash separators between digits, on word boundaries. RE2-identical
+    * constructs only (the [[redactFull]] discipline). */
+  val CardPattern = "\\b[0-9](?:[- ]?[0-9]){12,18}\\b"
+
+  /** Credit-card PII audit + redaction with LUHN VALIDATION — the
+    * redaction-pack member a bare regex cannot provide (r15): a 16-digit
+    * run is only a card number if its Luhn checksum holds, and real PII
+    * pipelines validate before redacting (an order id or a hash that
+    * merely LOOKS card-shaped must survive). Candidates come from ONE
+    * row-local [[CardPattern]] extraction; each candidate strips its
+    * separators and passes the Luhn check in exact integer arithmetic;
+    * only VALID candidates are replaced (each as a literal — the q101
+    * replace() convention, identical leftmost-nonoverlap semantics in
+    * both engines). Output: input columns +
+    * `(n_card_candidates, n_cards, redacted)`.
+    *
+    * Scale shape: row-local extraction + a per-CANDIDATE interpreted
+    * fold (bounded by matches per doc, not doc length); no shuffle —
+    * linear at 100 TB like the rest of the pack. Compose BEFORE
+    * [[redactFull]] when running the full pack (phones share the
+    * digits-with-separators surface; cards are longer and
+    * checksum-bound, so they must claim their spans first). */
+  def creditCardRedact(df: DataFrame, id: String, text: String): DataFrame = {
+    val cands = regexp_extract_all(col(text), lit(CardPattern), lit(0))
+    def luhnOk(c: Column): Column = {
+      val digits = regexp_replace(c, "[- ]", "")
+      val n = length(digits)
+      // Luhn: from the RIGHT, double every second digit (position i,
+      // 1-based from the left, doubles iff n - i is odd), subtract 9
+      // when the double exceeds 9, sum ≡ 0 (mod 10) — pure integer
+      // arithmetic over digit positions, identical in any engine, so
+      // the CHECK (not just the pattern) is oracle-replayable
+      val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("long")
+        val doubled = when(pmod(n - i, lit(2)) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + doubled
+      })
+      pmod(total, lit(10)) === 0 && n >= 13 && n <= 19
+    }
+    val valid = filter(cands, c => luhnOk(c))
+    df.withColumn("n_card_candidates", size(cands).cast("long"))
+      .withColumn("n_cards", size(valid).cast("long"))
+      .withColumn("redacted",
+        aggregate(valid, col(text), (acc, c) => replace(acc, c, lit("<CC>"))))
+  }
+
   /** Top-N most DISTINCTIVE terms per document — the TF-IDF shape with
     * an integer-exact ranking: rarer-in-corpus first (document frequency
     * ascending), then more-frequent-in-doc (term frequency descending),

@@ -1010,8 +1010,16 @@ object StatefulOps {
     * [[graft.ops.TextAnalysis.bpeTokenCounts]] (q101), the size gauge a
     * token-budgeted pipeline reads live: arriving documents tokenize
     * row-locally, every word STREAM-STATIC broadcast-joins the trained
-    * pricing dictionary ([[graft.ops.TextAnalysis.bpePricingDict]] — the
-    * vocab-bounded artifact, trained once, fused into the plan), and a
+    * pricing dictionary ([[graft.ops.TextAnalysis.bpePricingDict]] —
+    * trained once, fused into the plan). OPERATING BOUND (the r15
+    * dictionaryJoin finding applies here too): the dictionary is
+    * TRAINING-CORPUS-vocabulary-sized, not vocab-parameter-sized —
+    * the broadcast form is right up to the
+    * [[graft.ops.TextAnalysis.MaxBroadcastDictWords]]-scale dicts a
+    * curated reference corpus yields; a dict trained on a raw web
+    * corpus (Heaps' law: 10⁷⁺ words) must instead be persisted as a
+    * word-bucketed table and this op re-pointed at it (the stream side
+    * then shuffles batch-bounded rows into the dict's bucketing). A
     * WATERMARKED per-(window, doc) aggregate emits each document's
     * `(n_words, n_bpe)` when its event-time window closes (append mode;
     * the watermark bounds state — the q112-gate shape with one stateful
