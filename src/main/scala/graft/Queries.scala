@@ -5251,6 +5251,44 @@ object Queries {
                  '378282246310005', '<CC>') AS redacted
              FROM aug"""), bench = true)
 
+  /** IBAN PII with MOD-97 validation (TextAnalysis.ibanRedact — r15):
+    * the q250 pattern for the second validated-PII member — a valid
+    * German IBAN, a check-digit-broken twin (candidate, NOT redacted),
+    * and a valid letters-in-BBAN British IBAN. Closed-form plant
+    * arithmetic over the digit-free lowercase corpus. */
+  private val q251 = QDef("q251_iban_mod97",
+    (s, d) => {
+      val aug = docs(s, d).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" iban DE89370400440532013000")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit(" ref DE89370400440532013001")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" acct GB82WEST12345698765432")).otherwise(lit(""))))
+      TextAnalysis.ibanRedact(aug, "doc_id", "t2")
+        .select("doc_id", "n_iban_candidates", "n_ibans", "redacted")
+    },
+    Some("""WITH aug AS (SELECT doc_id, text ||
+               CASE WHEN doc_id % 4 = 0 THEN ' iban DE89370400440532013000'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 6 = 0 THEN ' ref DE89370400440532013001'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 9 = 0 THEN ' acct GB82WEST12345698765432'
+                 ELSE '' END AS t2
+             FROM documents)
+             SELECT doc_id,
+               CAST((CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_iban_candidates,
+               CAST((CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_ibans,
+               replace(replace(t2, 'DE89370400440532013000', '<IBAN>'),
+                 'GB82WEST12345698765432', '<IBAN>') AS redacted
+             FROM aug"""), bench = true)
+
   /** Family-aware split assignment (Curation.familySplitAssign): the
     * FIX for q142's finding — splits hash the FAMILY label, so
     * near-duplicate families land whole in one split and cross-split
@@ -9855,7 +9893,7 @@ object Queries {
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246, q247, q248, q249, q250)
+    q244, q245, q246, q247, q248, q249, q250, q251)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -729,6 +729,46 @@ object TextAnalysis {
         aggregate(valid, col(text), (acc, c) => replace(acc, c, lit("<CC>"))))
   }
 
+  /** IBAN candidates: two country letters, two check digits, 11-30
+    * alphanumerics, on word boundaries. RE2-identical. */
+  val IbanPattern = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** IBAN PII audit + redaction with MOD-97 VALIDATION — the second
+    * member of the validated-PII family beside [[creditCardRedact]]'s
+    * Luhn (ISO 13616: move the first four chars to the end, map
+    * letters A→10..Z→35, and the resulting big decimal must be
+    * ≡ 1 (mod 97)). The big number never materializes: the check folds
+    * left-to-right keeping only `acc mod 97` (digits:
+    * `acc·10 + d (mod 97)`; letters: `acc·100 + v (mod 97)` — the
+    * standard streaming-mod identity), so the whole validation is
+    * int64 integer arithmetic, candidate-bounded like the Luhn fold.
+    * Only VALID candidates redact (literal replace). Output: input
+    * columns + `(n_iban_candidates, n_ibans, redacted)`. Row-local,
+    * no shuffle — linear at 100 TB. */
+  def ibanRedact(df: DataFrame, id: String, text: String): DataFrame = {
+    val cands = regexp_extract_all(col(text), lit(IbanPattern), lit(0))
+    def mod97Ok(c: Column): Column = {
+      val rearranged = concat(c.substr(lit(5), length(c) - 4),
+        c.substr(lit(1), lit(4)))
+      val total = aggregate(sequence(lit(1), length(rearranged)), lit(0L),
+        (acc, i) => {
+          val ch = rearranged.substr(i, lit(1))
+          val code = ascii(ch).cast("long")
+          // digit '0'..'9' → one decimal digit; letter 'A'..'Z' → two
+          // (its value 10..35); acc stays < 97 so no overflow ever
+          when(code >= 48 && code <= 57,
+            pmod(acc * 10 + (code - 48), lit(97L)))
+            .otherwise(pmod(acc * 100 + (code - 55), lit(97L)))
+        })
+      total === 1
+    }
+    val valid = filter(cands, c => mod97Ok(c))
+    df.withColumn("n_iban_candidates", size(cands).cast("long"))
+      .withColumn("n_ibans", size(valid).cast("long"))
+      .withColumn("redacted",
+        aggregate(valid, col(text), (acc, c) => replace(acc, c, lit("<IBAN>"))))
+  }
+
   /** Top-N most DISTINCTIVE terms per document — the TF-IDF shape with
     * an integer-exact ranking: rarer-in-corpus first (document frequency
     * ascending), then more-frequent-in-doc (term frequency descending),

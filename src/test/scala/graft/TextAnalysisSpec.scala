@@ -224,6 +224,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L) == ((0L, 0L, "no digits at all here")))
   }
 
+  test("ibanRedact: mod-97-valid candidates redact, broken check " +
+      "digits survive; letters in the BBAN; too-short runs ignored") {
+    val docs = Seq(
+      (1L, "send to DE89370400440532013000 please"),
+      (2L, "ref DE89370400440532013001 is not an account"),
+      (3L, "uk GB82WEST12345698765432 works"),
+      // 2+2+10 alphanumerics = under the 11-char BBAN floor
+      (4L, "code DE8912345678AB stays"),
+      (5L, "two DE89370400440532013000 and GB82WEST12345698765433 mixed"),
+      (6L, "plain words only")).toDF("doc_id", "text")
+    val out = TextAnalysis.ibanRedact(docs, "doc_id", "text")
+      .select("doc_id", "n_iban_candidates", "n_ibans", "redacted")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 1L, "send to <IBAN> please")), s"${out(1L)}")
+    assert(out(2L) == ((1L, 0L,
+      "ref DE89370400440532013001 is not an account")))
+    assert(out(3L) == ((1L, 1L, "uk <IBAN> works")), s"${out(3L)}")
+    assert(out(4L)._1 == 0L, s"${out(4L)}")
+    // doc 5: the bumped GB IBAN fails mod-97, the DE one redacts
+    assert(out(5L) == ((2L, 1L, "two <IBAN> and GB82WEST12345698765433 mixed")),
+      s"${out(5L)}")
+    assert(out(6L) == ((0L, 0L, "plain words only")))
+  }
+
   test("redactFull: six packs in most-specific-first order — overlap " +
       "cases count once, under the outermost pattern") {
     val df = Seq(
