@@ -471,6 +471,148 @@ object Dedup {
     graft.io.IndexMaintenance.compact(spark, table, "band", buckets,
       "doc_id")
 
+  /** The STORAGE-LEAN maintained MinHash index — a PAIR of tables
+    * under one shared tombstone sidecar (the maxsim-pair machinery):
+    * the wide [[saveMinHashIndex]] layout duplicates each document's
+    * shingle array ×bands (≈ bands × corpus tokens at 100 TB — the
+    * documented width trade that buys a one-join serve), this layout
+    * stores the bands NARROW (`<table>`: doc_id, band, nh, nb, gen —
+    * bucketed by `band`, bytes per row not per token) and the shingles
+    * ONCE (`<table>__sh`: doc_id, sh, gen — bucketed by `doc_id`), so
+    * index bytes ≈ corpus tokens + band keys instead of bands× corpus
+    * tokens. Serving pays one extra candidate-bounded join to fetch
+    * the existing side's shingles (doc-bucketed — the probe hashes
+    * into buckets, the table never re-shuffles). Same signature-param
+    * guard; one delete hides a doc from BOTH tables atomically
+    * (shared sidecar); [[compactMinHashPairIndex]] swaps both behind
+    * the crash guard ([[graft.io.IndexMaintenance.compactPair]]).
+    * Serving output ≡ [[incrementalMinHashPairs]] ≡ the wide form,
+    * bit-for-bit (spec-pinned). */
+  def saveMinHashPairIndex(df: DataFrame, id: String, text: String,
+                           table: String, buckets: Int, numHashes: Int,
+                           bands: Int): Unit = {
+    val wide = minHashBandTable(df, id, text, numHashes, bands)
+    graft.io.Layout.writeBucketed(
+      wide.select(col("existing_id").as("doc_id"), col("band"))
+        .withColumn("nh", lit(numHashes))
+        .withColumn("nb", lit(bands))
+        .withColumn("gen", lit(0L)),
+      table, "band", buckets)
+    graft.io.Layout.writeBucketed(
+      wide.select(col("existing_id").as("doc_id"), col("ex_sh").as("sh"))
+        .dropDuplicates("doc_id")
+        .withColumn("gen", lit(0L)),
+      table + "__sh", "doc_id", buckets)
+  }
+
+  /** Append NEW docs to a maintained pair index — O(batch), both
+    * tables gen-stamped under the shared sidecar, params guarded. */
+  def appendToMinHashPairIndex(df: DataFrame, id: String, text: String,
+                               table: String, buckets: Int,
+                               numHashes: Int, bands: Int): Unit = {
+    val spark = df.sparkSession
+    minHashPairIndexParamGuard(spark, table, numHashes, bands)
+    val gen = graft.io.IndexMaintenance.currentSeq(spark, table)
+    val wide = minHashBandTable(df, id, text, numHashes, bands)
+    graft.io.Layout.appendBucketed(
+      wide.select(col("existing_id").as("doc_id"), col("band"))
+        .withColumn("nh", lit(numHashes))
+        .withColumn("nb", lit(bands))
+        .withColumn("gen", lit(gen)),
+      table, "band", buckets)
+    graft.io.Layout.appendBucketed(
+      wide.select(col("existing_id").as("doc_id"), col("ex_sh").as("sh"))
+        .dropDuplicates("doc_id")
+        .withColumn("gen", lit(gen)),
+      table + "__sh", "doc_id", buckets)
+  }
+
+  private def minHashPairIndexParamGuard(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      numHashes: Int, bands: Int): Unit = {
+    if (!spark.catalog.tableExists(table)) return
+    val s = graft.io.IndexMaintenance.load(spark, table, "doc_id")
+      .agg(min(col("nh")), max(col("nh")), min(col("nb")), max(col("nb")))
+      .head()
+    if (!s.isNullAt(0)) {
+      require(s.getInt(0) == numHashes && s.getInt(1) == numHashes &&
+          s.getInt(2) == bands && s.getInt(3) == bands,
+        s"minHash pair index '$table' was built at numHashes=" +
+          s"${s.getInt(0)}..${s.getInt(1)}, bands=${s.getInt(2)}.." +
+          s"${s.getInt(3)} but the caller passed numHashes=$numHashes, " +
+          s"bands=$bands — mixed signatures silently lose candidate " +
+          "recall; pass the table's own params or rebuild with " +
+          "saveMinHashPairIndex")
+    }
+  }
+
+  /** Tombstone docs out of BOTH tables of a pair index — one sidecar
+    * row per id hides the doc's band rows AND its shingle row. */
+  def deleteFromMinHashPairIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      ids: DataFrame, idCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, "doc_id",
+      ids.select(col(idCol).as("doc_id")))
+
+  /** Replace docs in a pair index: tombstone then append both. */
+  def replaceInMinHashPairIndex(df: DataFrame, id: String, text: String,
+                                table: String, buckets: Int,
+                                numHashes: Int, bands: Int): Unit = {
+    deleteFromMinHashPairIndex(df.sparkSession, table,
+      df.select(col(id)).distinct(), id)
+    appendToMinHashPairIndex(df, id, text, table, buckets, numHashes,
+      bands)
+  }
+
+  /** [[incrementalMinHashPairs]] served from a maintained PAIR index —
+    * bit-identical to the wide form and the in-query operator over the
+    * same live corpus state (spec-pinned). Candidates come from the
+    * narrow band join; the existing side's shingles arrive through one
+    * candidate-bounded probe into the doc-bucketed `__sh` sibling. */
+  def minHashPairsFromPairIndex(spark: org.apache.spark.sql.SparkSession,
+                                table: String, incoming: DataFrame,
+                                id: String, text: String, numHashes: Int,
+                                bands: Int, threshold: Double,
+                                maxBucket: Int = 0): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"need bands >= 1 and numHashes a positive multiple of bands " +
+        s"(got numHashes=$numHashes, bands=$bands)")
+    minHashPairIndexParamGuard(spark, table, numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    val tomb = graft.io.IndexMaintenance.tombstoneTable(table)
+    val liveBands = graft.io.IndexMaintenance.load(spark, table, "doc_id")
+      .select(col("doc_id").as("existing_id"), col("band"))
+    val liveSh = graft.io.IndexMaintenance
+      .loadWith(spark, table + "__sh", "doc_id", tomb)
+      .select(col("doc_id").as("existing_id"), col("sh").as("a_sh"))
+    val exCapped =
+      if (maxBucket <= 0) liveBands
+      else liveBands.withColumn("__bn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band")))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    val inc = minHashSignedTable(incoming, id, text, numHashes)
+    val incB = inc.select(col("doc").as("incoming_id"),
+      explode(lshBands(col("__sig"), bands, rowsPerBand)).as("band"))
+    exCapped.join(incB, Seq("band"))
+      .select(col("existing_id"), col("incoming_id"))
+      .distinct()
+      .join(liveSh, Seq("existing_id"))
+      .join(inc.select(col("doc").as("incoming_id"), col("sh").as("b_sh")),
+        Seq("incoming_id"))
+      .withColumn("jac", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .filter(col("jac") >= threshold)
+      .select("existing_id", "incoming_id", "jac")
+  }
+
+  /** Compact BOTH tables of a maintained pair index behind the shared
+    * crash guard — bands re-bucketed by `band`, shingles by `doc_id`,
+    * one sentinel collapse after both swaps. */
+  def compactMinHashPairIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, buckets: Int): Unit =
+    graft.io.IndexMaintenance.compactPair(spark, table, table + "__sh",
+      "band", "doc_id", buckets, "doc_id")
+
   /** Dedup savings report — the audit artifact an exact-dedup pass
     * leaves behind: for each duplicate-family SIZE, how many families
     * exist, how many rows deletion removes, and how many bytes those

@@ -562,6 +562,79 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash PAIR index (storage-lean): serving == wide form == " +
+      "incrementalMinHashPairs across the whole lifecycle; shingles " +
+      "stored once; pair compaction swaps both tables") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "totally different words entirely here"
+    val v1 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val extra = Seq((3L, a)).toDF("doc_id", "text")
+    val probe = Seq((10L, a), (11L, b),
+      (12L, "nothing shared with anything at all")).toDF("doc_id", "text")
+    def fromPair() = Dedup.minHashPairsFromPairIndex(spark, "mhp_idx",
+        probe, "doc_id", "text", numHashes = 12, bands = 4,
+        threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    def rebuild(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalMinHashPairs(docs, probe, "doc_id", "text",
+          numHashes = 12, bands = 4, threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+    try {
+      Dedup.saveMinHashPairIndex(v1, "doc_id", "text", "mhp_idx",
+        buckets = 4, numHashes = 12, bands = 4)
+      assert(fromPair() == rebuild(v1) && fromPair().nonEmpty)
+      // the lean property: one shingle row per doc, band rows narrow
+      assert(spark.table("mhp_idx__sh").count() == 2L)
+      assert(!spark.table("mhp_idx").columns.contains("sh"),
+        "band table must not carry the shingle array")
+      Dedup.appendToMinHashPairIndex(extra, "doc_id", "text", "mhp_idx",
+        4, 12, 4)
+      assert(fromPair() == rebuild(v1.unionByName(extra)))
+      // one delete hides the doc from BOTH tables atomically
+      Dedup.deleteFromMinHashPairIndex(spark, "mhp_idx",
+        Seq(3L).toDF("victim"), "victim")
+      val u2 = v1
+      assert(fromPair() == rebuild(u2))
+      assert(!fromPair().exists(_.head == 3L), "deleted doc paired")
+      // replace doc 1 off the family
+      val r1 = Seq((1L, "replaced wholly unrelated material body now"))
+        .toDF("doc_id", "text")
+      Dedup.replaceInMinHashPairIndex(r1, "doc_id", "text", "mhp_idx",
+        4, 12, 4)
+      val u3 = r1.unionByName(v1.filter(col("doc_id") =!= 1L))
+      assert(fromPair() == rebuild(u3))
+      // pair compaction: both tables swap, serving identical
+      graft.ops.Caches.release(blocking = true)
+      val want = fromPair()
+      Dedup.compactMinHashPairIndex(spark, "mhp_idx", 4)
+      graft.ops.Caches.release(blocking = true)
+      assert(fromPair() == want, "serving changed across pair compaction")
+      val (physB, liveB, deadB, _) = graft.io.IndexMaintenance
+        .tombstoneStats(spark, "mhp_idx", "doc_id")
+      assert(physB == liveB && deadB == 0L)
+      assert(spark.table("mhp_idx__sh").count() == u3.count())
+      assertSidecarClean("mhp_idx")
+      // the PAIR serving equals the WIDE form over the same corpus
+      Dedup.saveMinHashIndex(u3, "doc_id", "text", "mh_wide_ck", 4, 12, 4)
+      val wide = Dedup.minHashPairsFromIndex(spark, "mh_wide_ck", probe,
+          "doc_id", "text", 12, 4, 0.5)
+        .collect().map(_.toSeq).toSet
+      assert(fromPair() == wide)
+      // params guarded on the pair form too
+      intercept[IllegalArgumentException] {
+        Dedup.minHashPairsFromPairIndex(spark, "mhp_idx", probe,
+          "doc_id", "text", numHashes = 12, bands = 6, threshold = 0.5)
+      }
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("mhp_idx", "mhp_idx__sh", "mhp_idx__tombstones",
+        "mhp_idx__compact", "mhp_idx__precompact", "mhp_idx__sh__compact",
+        "mhp_idx__sh__precompact", "mh_wide_ck",
+        "mh_wide_ck__tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("span-gram compaction re-establishes the saved maxDocFreq cap " +
       "over boilerplate crept in through uncapped appends") {
     // save under cap 2; appends push the gram "p q" to 3 slots (> cap)
