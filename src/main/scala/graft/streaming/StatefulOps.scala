@@ -1533,6 +1533,69 @@ object StatefulOps {
       }
     }
 
+  /** CDC maintenance for the STORAGE-LEAN MinHash PAIR index — the
+    * [[minHashMaintenanceWriter]] semantics over
+    * [[graft.ops.Dedup.saveMinHashPairIndex]]'s two-table lifecycle
+    * (the maxsim-pair posture): deletes tombstone BOTH tables through
+    * the one shared sidecar, upserts replace in both, and the band
+    * table's dead share drives threshold compaction of the PAIR
+    * ([[graft.ops.Dedup.compactMinHashPairIndex]] — both tables swap
+    * behind the crash guard, serving identical across it). LWW
+    * collapse, NULL-op and no-orderCol hardening identical to the wide
+    * writer. Serving reads go through
+    * [[graft.ops.Dedup.minHashPairsFromPairIndex]]. */
+  def minHashPairMaintenanceWriter(stream: DataFrame, id: String,
+      text: String, op: String, table: String, buckets: Int,
+      numHashes: Int, bands: Int, maxDeadBp: Long = 3000,
+      orderCol: Option[String] = None)(
+      onBatch: (Long, Boolean) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val bad = batch.filter(col(op).isNull ||
+          !col(op).isin("upsert", "delete"))
+        require(bad.isEmpty,
+          s"minHashPairMaintenanceWriter: unknown op values " +
+            s"${bad.select(col(op)).distinct().collect().mkString(",")}")
+        val cmds = orderCol match {
+          case Some(oc) =>
+            batch.groupBy(col(id))
+              .agg(max_by(struct(col(text).as("__t"), col(op).as("__o")),
+                struct(col(oc), col(op), col(text))).as("__c"))
+              .select(col(id), col("__c.__t").as(text),
+                col("__c.__o").as(op))
+          case None =>
+            val dup = batch.groupBy(col(id)).agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1)
+            require(dup.isEmpty,
+              "minHashPairMaintenanceWriter: multiple commands for " +
+                "id(s) " +
+                dup.select(col(id)).limit(5).collect().mkString(",") +
+                " in one micro-batch with no orderCol — pass orderCol " +
+                "so the batch can collapse to the latest command per id")
+            batch
+        }
+        val dels = cmds.filter(col(op) === "delete").select(col(id))
+        val ups = cmds.filter(col(op) === "upsert")
+          .select(col(id), col(text))
+        if (!dels.isEmpty && spark.catalog.tableExists(table))
+          graft.ops.Dedup.deleteFromMinHashPairIndex(spark, table, dels,
+            id)
+        if (!ups.isEmpty)
+          graft.ops.Dedup.replaceInMinHashPairIndex(ups, id, text, table,
+            buckets, numHashes, bands)
+        val compacted = spark.catalog.tableExists(table) && {
+          val (_, _, _, deadBp) = graft.io.IndexMaintenance
+            .tombstoneStats(spark, table, "doc_id")
+          val fire = deadBp >= maxDeadBp
+          if (fire)
+            graft.ops.Dedup.compactMinHashPairIndex(spark, table, buckets)
+          fire
+        }
+        onBatch(bid, compacted)
+      }
+    }
+
   /** Min-K% Prob scoring at ingest — the streaming twin of
     * [[graft.ops.TextAnalysis.minKProbScore]] (the q112/q123 writer
     * posture): the trained LM is a SUNK artifact, each micro-batch's

@@ -2006,6 +2006,67 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("minHashPairMaintenanceWriter: CDC over the storage-lean pair " +
+      "keeps serving == incrementalMinHashPairs; pair compaction fires") {
+    implicit val ctx = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "totally different words entirely here now"
+    val probe = Seq((10L, a), (11L, b)).toDF("doc_id", "text")
+    val state = mutable.LinkedHashMap.empty[Long, String]
+    def want() = graft.ops.Dedup.incrementalMinHashPairs(
+        state.toSeq.toDF("doc_id", "text"), probe, "doc_id", "text",
+        numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    def got() = {
+      Seq("mhp_cdc", "mhp_cdc__sh", "mhp_cdc__tombstones").foreach(t =>
+        if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t))
+      graft.ops.Dedup.minHashPairsFromPairIndex(spark, "mhp_cdc", probe,
+          "doc_id", "text", numHashes = 12, bands = 4, threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+    }
+    try {
+      val in = MemoryStream[(Long, String, String, Long)]
+      var compactions = 0
+      val q = StatefulOps.minHashPairMaintenanceWriter(
+          in.toDF().toDF("doc_id", "text", "op", "seq"), "doc_id",
+          "text", "op", "mhp_cdc", buckets = 4, numHashes = 12,
+          bands = 4, maxDeadBp = 2000, orderCol = Some("seq")) { (_, c) =>
+        if (c) compactions += 1
+      }.start()
+      withQuery(q) {
+        in.addData((1L, a, "upsert", 10L), (2L, b, "upsert", 10L))
+        q.processAllAvailable()
+        state ++= Seq(1L -> a, 2L -> b)
+        assert(got() == want() && got().nonEmpty, "after batch 1")
+        in.addData(
+          (1L, "replaced wholly unrelated material text now", "upsert", 21L),
+          (3L, a, "upsert", 20L))
+        q.processAllAvailable()
+        state(1L) = "replaced wholly unrelated material text now"
+        state(3L) = a
+        assert(got() == want(), "after batch 2")
+        in.addData((3L, "", "delete", 30L))
+        q.processAllAvailable()
+        state -= 3L
+        assert(got() == want(), "after batch 3")
+        assert(!got().exists(_.head == 3L), "deleted doc paired")
+      }
+      assert(compactions >= 1, "pair threshold compaction never fired")
+      // both tables stayed doc-consistent across the swaps
+      val bandDocs = spark.table("mhp_cdc").select("doc_id")
+        .distinct().as[Long].collect().toSet
+      val shDocs = spark.table("mhp_cdc__sh").select("doc_id")
+        .distinct().as[Long].collect().toSet
+      assert(bandDocs == shDocs, s"$bandDocs vs $shDocs")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("mhp_cdc", "mhp_cdc__sh", "mhp_cdc__tombstones",
+        "mhp_cdc__compact", "mhp_cdc__precompact",
+        "mhp_cdc__sh__compact", "mhp_cdc__sh__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("urlCurationWriter: admitted-once per URL, cap-bounded per " +
       "host, registry bounded, non-binding cap equals batch kept set") {
     implicit val ctx = spark.sqlContext
