@@ -1627,6 +1627,30 @@ object StatefulOps {
         process(graft.ops.TextAnalysis.redactFull(batch, text), bid)
     }
 
+  /** Validated-PII redaction at ingest — the streaming twin of the
+    * [[graft.ops.TextAnalysis.creditCardRedact]] →
+    * [[graft.ops.TextAnalysis.ibanRedact]] chain (cards claim their
+    * spans first — both surfaces are digit runs, and a card never
+    * parses as an IBAN or vice versa after replacement): each
+    * micro-batch redacts independently (row-local extraction +
+    * candidate-bounded checksum folds, batch parity by construction).
+    * `process` receives the batch with `(n_card_candidates, n_cards,
+    * n_iban_candidates, n_ibans, redacted)` — `redacted` carries both
+    * replacements. */
+  def validatedPiiWriter(stream: DataFrame, id: String, text: String)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty) {
+        val cards = graft.ops.TextAnalysis
+          .creditCardRedact(batch, id, text)
+          .withColumnRenamed("redacted", "__afterCards")
+        val both = graft.ops.TextAnalysis
+          .ibanRedact(cards, id, "__afterCards")
+          .drop("__afterCards")
+        process(both, bid)
+      }
+    }
+
   /** Cross-corpus span excision at ingest — the streaming twin of
     * [[graft.ops.Dedup.exciseNewAgainst]] (each arriving document
     * loses the token spans it shares with the FROZEN keeper corpus;

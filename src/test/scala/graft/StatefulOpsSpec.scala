@@ -2293,6 +2293,34 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("validatedPiiWriter: streamed card+IBAN redaction equals the " +
+      "batch chain") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      (1L, "card 4111 1111 1111 1111 and iban DE89370400440532013000"),
+      (2L, "fake 4111111111111112 fake DE89370400440532013001"),
+      (3L, "clean text entirely"))
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.validatedPiiWriter(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text") {
+      (out, _) => buf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    }
+    val cards = graft.ops.TextAnalysis.creditCardRedact(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .withColumnRenamed("redacted", "__afterCards")
+    val want = graft.ops.TextAnalysis
+      .ibanRedact(cards, "doc_id", "__afterCards").drop("__afterCards")
+      .collect().map(_.toSeq).toSet
+    assert(buf.toSet == want && want.size == 3)
+    // and the chain actually rewrote doc 1 both ways
+    assert(buf.exists(r => r.contains("card <CC> and iban <IBAN>")))
+  }
+
   test("redactionWriter: streamed redaction equals batch") {
     implicit val ctx = spark.sqlContext
     val docs = Seq(
