@@ -9592,6 +9592,56 @@ object Queries {
              FROM ub LEFT JOIN urnk r USING (doc_id)"""),
     bench = true)
 
+  /** URL curation over CANONICALIZED urls (Curation.canonicalUrl →
+    * urlCurationVerdicts(canonicalizeUrls = true) — r15): re-crawls
+    * differing only by scheme/host case, a default :443 port, query
+    * param ORDER, tracking params or a fragment collapse to one page.
+    * Fixture: triples sharing one canonical form — the plain url, a
+    * cased/ported/reordered/utm-tagged variant, a fragment variant;
+    * min id keeps, then host caps at 5. Oracle dedupes on the
+    * CLOSED-FORM canonical key (the fixture's construction makes it
+    * exact — no need to replay the regex chain). */
+  private val q252 = QDef("q252_url_canonical",
+    (s, d) => {
+      val k = expr("doc_id div 3")
+      val h = pmod(k, lit(12)).cast("string")
+      val base = concat(lit("https://h"), h, lit(".example.com/p/"),
+        k.cast("string"))
+      val urlCol =
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(base, lit("?id="), k.cast("string"), lit("&x=1")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("https://H"), h, lit(".Example.COM:443/p/"),
+            k.cast("string"), lit("?x=1&id="), k.cast("string"),
+            lit("&utm_source=feed")))
+        .otherwise(concat(base, lit("?id="), k.cast("string"),
+          lit("&x=1#frag")))
+      Curation.urlCurationVerdicts(
+        docs(s, d).select(col("doc_id"), urlCol.as("url")),
+        "doc_id", "url", maxPerDomain = 5, salt = "uc",
+        canonicalizeUrls = true)
+    },
+    Some(s"""WITH ub AS MATERIALIZED (SELECT doc_id,
+               'h' || CAST((doc_id // 3) % 12 AS VARCHAR) ||
+                 '.example.com' AS host,
+               'https://h' || CAST((doc_id // 3) % 12 AS VARCHAR) ||
+                 '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR) ||
+                 '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&x=1' AS uc
+             FROM documents),
+             uwin AS (SELECT min(doc_id) AS doc_id FROM ub GROUP BY uc),
+             urnk AS MATERIALIZED (SELECT ub.doc_id, ub.host,
+                 row_number() OVER (PARTITION BY ub.host
+                   ORDER BY ${sqlHash60("ub.doc_id", "uc")}, ub.doc_id)
+                   AS rn
+               FROM ub JOIN uwin USING (doc_id))
+             SELECT ub.doc_id, ub.host,
+               COALESCE(r.rn <= 5, FALSE) AS kept,
+               CASE WHEN r.doc_id IS NULL THEN 'url_dup'
+                    WHEN r.rn > 5 THEN 'domain_cap'
+                    ELSE NULL END AS reason
+             FROM ub LEFT JOIN urnk r USING (doc_id)"""),
+    bench = true)
+
   /** Per-key daily activity fingerprint (EventOps.activityFingerprint):
     * the 24-hour event-count rhythm symbolized into one 48-bit int64 -
     * hour from epoch-microseconds (pure integer), per-key quartile
@@ -9893,7 +9943,7 @@ object Queries {
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246, q247, q248, q249, q250, q251)
+    q244, q245, q246, q247, q248, q249, q250, q251, q252)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

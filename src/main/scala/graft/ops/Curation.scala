@@ -32,6 +32,50 @@ object Curation {
     regexp_replace(noUser, ":[0-9]+$", "")
   }
 
+  /** URL canonicalization — the normalization stage-0 runs BEFORE
+    * exact-URL dedup (r15): a re-crawl that differs only by tracking
+    * params, fragment, scheme/host case, a default port or query-param
+    * ORDER is the same page, and the raw-string dedup key misses all
+    * of those. Rules (each a row-local RE2-identical transform, so the
+    * oracle replays the chain):
+    *   1. drop the fragment;
+    *   2. lowercase the scheme and the authority (paths stay
+    *      case-sensitive — they are);
+    *   3. strip the scheme's default port (:80 http, :443 https);
+    *   4. drop tracking params (`utm_*`, `gclid`, `fbclid`, `msclkid`,
+    *      `ref`) and empty params;
+    *   5. SORT the surviving query params (binary order — param order
+    *      is not semantic);
+    *   6. drop an emptied query entirely.
+    * Userinfo is PRESERVED (an authenticated URL is not the same
+    * resource as the anonymous one — the conservative choice for a
+    * dedup key). Scheme-less inputs pass through rules 1/2/4-6. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val authority = lower(regexp_replace(afterScheme, "[/?].*$", ""))
+    val authNoPort = when(scheme === "http",
+        regexp_replace(authority, ":80$", ""))
+      .when(scheme === "https", regexp_replace(authority, ":443$", ""))
+      .otherwise(authority)
+    val pathQuery = regexp_replace(afterScheme, "^[^/?]*", "")
+    val path = regexp_replace(pathQuery, "\\?.*$", "")
+    val query = when(pathQuery.contains("?"),
+      regexp_replace(pathQuery, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = filter(split(query, "&"), p =>
+      !(p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)=") ||
+        p === ""))
+    val sortedQ = array_join(array_sort(kept), "&")
+    val qPart = when(length(sortedQ) > 0, concat(lit("?"), sortedQ))
+      .otherwise(lit(""))
+    val schemePart = when(scheme =!= "", concat(scheme, lit("://")))
+      .otherwise(lit(""))
+    concat(schemePart, authNoPort, path, qPart)
+  }
+
   /** Registrable domain (eTLD+1) per DISTINCT host against a
     * public-suffix table — the PSL resolution that closes
     * [[urlHost]]'s documented no-PSL trade (r14 verdict item 4): a
@@ -114,10 +158,19 @@ object Curation {
                           maxPerDomain: Long,
                           salt: String = "url",
                           psl: Option[DataFrame] = None,
-                          pslSuffixCol: String = "suffix"): DataFrame = {
+                          pslSuffixCol: String = "suffix",
+                          canonicalizeUrls: Boolean = false): DataFrame = {
     require(maxPerDomain >= 1, s"bad maxPerDomain: $maxPerDomain")
-    val base = df.select(col(id).as("doc_id"), col(url).as("__u"),
-      urlHost(col(url)).as("host"))
+    // the dedup key: the raw URL string, or its canonical form
+    // ([[canonicalUrl]] — tracking-param/fragment/case/port/param-order
+    // re-crawls collapse); false keeps the exact pre-r15 plan
+    val base =
+      if (!canonicalizeUrls)
+        df.select(col(id).as("doc_id"), col(url).as("__u"),
+          urlHost(col(url)).as("host"))
+      else
+        df.select(col(id).as("doc_id"), canonicalUrl(col(url)).as("__u"),
+          urlHost(col(url)).as("host"))
     val urlWin = Dedup.exactDedup(base, "doc_id", "__u")
       .select(col("keep_id").as("doc_id"))
     val survivors0 = base.join(urlWin, Seq("doc_id"))

@@ -652,6 +652,44 @@ class CurationSpec extends SparkSpec {
     assert(out(6L) == (("no-scheme.example.net", true, None)))
   }
 
+  test("canonicalUrl: fragment, case, default ports, tracking params " +
+      "and param order collapse; paths stay case-sensitive; userinfo " +
+      "and non-default ports survive") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // fragment dropped
+      ("https://a.test/p?x=1#frag", "https://a.test/p?x=1"),
+      // scheme+authority lowercase, PATH case preserved
+      ("HTTPS://A.Test/Path/P", "https://a.test/Path/P"),
+      // default ports strip per scheme; non-default survives
+      ("https://a.test:443/p", "https://a.test/p"),
+      ("http://a.test:80/p", "http://a.test/p"),
+      ("https://a.test:8443/p", "https://a.test:8443/p"),
+      // tracking params drop, the rest SORT, empty query vanishes
+      ("https://a.test/p?utm_source=f&b=2&a=1", "https://a.test/p?a=1&b=2"),
+      ("https://a.test/p?utm_campaign=x&gclid=1&fbclid=2&ref=h",
+        "https://a.test/p"),
+      // userinfo preserved (lowercased with the authority)
+      ("https://U:P@a.test/p", "https://u:p@a.test/p"),
+      // scheme-less passthrough of rules 1/2/4-6
+      ("a.Test/p?ref=x&z=1#f", "a.test/p?z=1"))
+    val out = Curation.canonicalUrl(col("u"))
+    val got = cases.map(_._1).toDF("u").select(out.as("c"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl('$in') = '$g', want '$want'") }
+    // the dedup mode collapses a utm re-crawl the raw key misses
+    val docs = Seq(
+      (1L, "https://a.test/p?id=7"),
+      (2L, "https://A.Test:443/p?id=7&utm_source=feed#x")).toDF("doc_id", "url")
+    val raw = Curation.urlCurationVerdicts(docs, "doc_id", "url", 10, "t")
+      .filter(col("kept")).count()
+    val canon = Curation.urlCurationVerdicts(docs, "doc_id", "url", 10,
+        "t", canonicalizeUrls = true)
+      .filter(col("kept")).count()
+    assert(raw == 2L && canon == 1L, s"raw=$raw canon=$canon")
+  }
+
   test("registrableDomain: longest suffix wins, host-is-suffix keeps " +
       "the host, no-match defaults to the last two labels") {
     import org.apache.spark.sql.functions.col
