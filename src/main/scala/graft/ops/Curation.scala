@@ -205,9 +205,10 @@ object Curation {
   def urlCurate(df: DataFrame, id: String, url: String,
                 maxPerDomain: Long, salt: String = "url",
                 psl: Option[DataFrame] = None,
-                pslSuffixCol: String = "suffix"): DataFrame =
+                pslSuffixCol: String = "suffix",
+                canonicalizeUrls: Boolean = false): DataFrame =
     urlCurationVerdicts(df, id, url, maxPerDomain, salt, psl,
-      pslSuffixCol)
+      pslSuffixCol, canonicalizeUrls)
       .filter(col("kept")).select(col("doc_id"))
 
   /** Curate `docs`: keep exact-dedup winners whose language-ID prediction

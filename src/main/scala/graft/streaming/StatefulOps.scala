@@ -1703,15 +1703,22 @@ object StatefulOps {
     * would mis-exclude old bid-0 admits — use a new registry table
     * with a new checkpoint. O(batch + hosts·cap) per batch. */
   def urlCurationWriter(stream: DataFrame, id: String, url: String,
-      table: String, maxPerDomain: Long, salt: String = "url")(
+      table: String, maxPerDomain: Long, salt: String = "url",
+      canonicalizeUrls: Boolean = false)(
       process: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     require(maxPerDomain >= 1, s"bad maxPerDomain: $maxPerDomain")
     stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
+        // the registry key: raw URL or its canonical form (the batch
+        // operator's canonicalizeUrls twin — tracking-param/fragment/
+        // case/port/param-order re-crawls collapse to one admission)
+        val key =
+          if (canonicalizeUrls) graft.ops.Curation.canonicalUrl(col("__u"))
+          else col("__u")
         val b = batch.select(col(id).as("doc_id"), col(url).as("__u"))
           .withColumn("host", graft.ops.Curation.urlHost(col("__u")))
-          .withColumn("__uh", md5(col("__u")))
+          .withColumn("__uh", md5(key))
         val wU = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__uh")).orderBy(col("doc_id"))
         val bb = b.withColumn("__urn", row_number().over(wU))

@@ -2206,6 +2206,32 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("urlCurationWriter canonicalizeUrls: a utm/case/port re-crawl " +
+      "of an admitted url reports url_dup across batches") {
+    implicit val ctx = spark.sqlContext
+    val verdicts = mutable.Map.empty[Long, (Boolean, String)]
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.urlCurationWriter(
+          in.toDF().toDF("doc_id", "url"), "doc_id", "url",
+          "url_canon_reg", maxPerDomain = 10, salt = "t",
+          canonicalizeUrls = true) { (out, _) =>
+        out.collect().foreach(r => verdicts(r.getLong(0)) =
+          ((r.getBoolean(2), if (r.isNullAt(3)) null else r.getString(3))))
+      }.start()
+      withQuery(q) {
+        in.addData((1L, "https://a.test/p?id=7"))
+        q.processAllAvailable()
+        in.addData((2L, "https://A.Test:443/p?utm_source=f&id=7#x"),
+          (3L, "https://a.test/p?id=8"))
+        q.processAllAvailable()
+        assert(verdicts(1L) == ((true, null)))
+        assert(verdicts(2L) == ((false, "url_dup")), s"${verdicts(2L)}")
+        assert(verdicts(3L) == ((true, null)))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS url_canon_reg")
+  }
+
   test("exactDedupRegistryWriter: min-id wins within a batch, " +
       "first-arrival across batches, registry one row per distinct " +
       "content for the corpus lifetime") {
