@@ -1111,11 +1111,13 @@ object Curation {
                      urlCol: Option[String] = None,
                      maxPerDomain: Long = 1000000L,
                      urlSalt: String = "url",
-                     urlPsl: Option[DataFrame] = None): DataFrame = {
+                     urlPsl: Option[DataFrame] = None,
+                     urlCanonicalize: Boolean = false): DataFrame = {
     val st = funnelStages(df, id, text, source, benchMod, blocklist,
       minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
       threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
-      semanticTau, urlCol, maxPerDomain, urlSalt, urlPsl)
+      semanticTau, urlCol, maxPerDomain, urlSalt, urlPsl,
+      urlCanonicalize)
     def row(n: Int, name: String, set: DataFrame, t: String): DataFrame =
       set.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(TextAnalysis.tokenCount(col(t)).cast("long")),
@@ -1173,11 +1175,13 @@ object Curation {
                      urlCol: Option[String] = None,
                      maxPerDomain: Long = 1000000L,
                      urlSalt: String = "url",
-                     urlPsl: Option[DataFrame] = None): DataFrame = {
+                     urlPsl: Option[DataFrame] = None,
+                     urlCanonicalize: Boolean = false): DataFrame = {
     val st = funnelStages(df, id, text, source, benchMod, blocklist,
       minTokens, stopList, minStopHits, boilerMinDocs, numHashes, bands,
       threshold, decontamN, semanticEmb, semanticEmbId, semanticEmbVec,
-      semanticTau, urlCol, maxPerDomain, urlSalt, urlPsl)
+      semanticTau, urlCol, maxPerDomain, urlSalt, urlPsl,
+      urlCanonicalize)
     funnelReasonsFromStages(
       Seq(st.base) ++ st.urlKept.toSeq ++ Seq(
         st.pool, st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
@@ -1238,7 +1242,8 @@ object Curation {
                      urlCol: Option[String] = None,
                      maxPerDomain: Long = 1000000L,
                      urlSalt: String = "url",
-                     urlPsl: Option[DataFrame] = None): FunnelStages = {
+                     urlPsl: Option[DataFrame] = None,
+                     urlCanonicalize: Boolean = false): FunnelStages = {
     require(benchMod >= 2, s"bad benchMod: $benchMod")
     require(decontamN >= 2, s"bad decontamN: $decontamN")
     val base = df.select(col(id).as("doc_id"), col(text).as("t"),
@@ -1256,7 +1261,7 @@ object Curation {
     val urlKept = urlCol.map { u =>
       base.join(
         urlCurate(df.select(col(id), col(u)), id, u, maxPerDomain,
-          urlSalt, urlPsl),
+          urlSalt, urlPsl, canonicalizeUrls = urlCanonicalize),
         Seq("doc_id"))
     }
     val cur = urlKept.getOrElse(base)
