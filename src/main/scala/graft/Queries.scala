@@ -9283,21 +9283,27 @@ object Queries {
     * is the caller-substituted fallback. Expects `words(w)` and
     * `pcost(p, enc)` in scope. */
   private def sqlViterbiDp(charEnc: Long): String =
-    s"""vdp(w, i, dp) AS (
+    sqlViterbiDpN(charEnc, "")
+
+  /** [[sqlViterbiDp]] with a CTE-name SUFFIX so one oracle can replay
+    * the DP under several cost artifacts (q253 freq-vs-EM): reads
+    * `pcost<sfx>(p, enc)`, emits `vdp<sfx>` / `venc<sfx>`. */
+  private def sqlViterbiDpN(charEnc: Long, sfx: String): String =
+    s"""vdp$sfx(w, i, dp) AS (
       SELECT w, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)] FROM words
       UNION ALL
       SELECT r.w, r.i + 1, r.dp || [least(
           r.dp[CAST(r.i + 1 AS INT)] + $charEnc,
           COALESCE((SELECT min(r.dp[CAST(r.i + 2 - length(pc.p) AS INT)]
-              + pc.enc) FROM pcost pc
+              + pc.enc) FROM pcost$sfx pc
             WHERE length(pc.p) <= r.i + 1
               AND substr(r.w, CAST(r.i + 2 - length(pc.p) AS INT),
                 length(pc.p)) = pc.p),
             r.dp[CAST(r.i + 1 AS INT)] + $charEnc))]
-      FROM vdp r WHERE r.i < length(r.w)),
-    venc AS MATERIALIZED (SELECT w,
+      FROM vdp$sfx r WHERE r.i < length(r.w)),
+    venc$sfx AS MATERIALIZED (SELECT w,
         dp[CAST(length(w) + 1 AS INT)] AS enc
-      FROM vdp WHERE i = length(w))"""
+      FROM vdp$sfx WHERE i = length(w))"""
 
   /** Fertility A/B/C of the three subword APPLY conventions on one
     * corpus (TextAnalysis.subwordFertility3 — r13 verdict item 3):

@@ -240,3 +240,140 @@ object ViterbiCostExpr {
     Bridge.column(ViterbiCostExpr(Bridge.expression(text), pieces,
       charCost))
 }
+
+/** The ARGMIN segmentation behind [[ViterbiCostExpr]] — the actual
+  * piece sequence of one optimal path, for the hard-EM training loop's
+  * E step (piece-usage counting) and as the unigram-LM apply surface
+  * (SentencePiece `encode`, where [[ViterbiCostExpr]] is its cost).
+  *
+  * Runs the IDENTICAL integer DP (same int64 `cost · 2¹⁶ + count`
+  * encoding, same guards, same code-point boundary rules), then
+  * reconstructs one optimal path with a DETERMINISTIC transition
+  * preference: at each position, the longest vocabulary piece
+  * achieving the optimum wins, and the single-code-point fallback is
+  * taken only when strictly cheaper than every vocabulary transition.
+  * Under the [[graft.ops.TextAnalysis.trainPieceCosts]] convention
+  * `charCost > max piece cost`, a fallback emission can never tie a
+  * same-span vocabulary piece, so an emitted piece that IS in the
+  * vocabulary always came through its vocabulary transition — piece-
+  * usage counts read directly off the emitted array (exact, not
+  * heuristic). Total cost of the returned path equals the
+  * [[ViterbiCostExpr]] value by construction (spec-pinned). */
+case class ViterbiPiecesExpr(child: Expression,
+                             pieces: Seq[(String, Long)], charCost: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(pieces.nonEmpty && pieces.forall(_._1.nonEmpty),
+    "viterbi_pieces: pieces must be non-empty strings")
+  require(pieces.map(_._1).distinct.size == pieces.size,
+    "viterbi_pieces: duplicate vocab piece")
+  require(pieces.forall(p => p._2 >= 0 && p._2 < (1L << 30)) &&
+    charCost >= 0 && charCost < (1L << 30),
+    "viterbi_pieces: costs must be in [0, 2^30) — the ViterbiCostExpr " +
+      "int64 bound")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "viterbi_pieces"
+
+  @transient private lazy val dp =
+    new ViterbiPiecesExpr.Dp(pieces.map(_._1).toArray,
+      pieces.map(_._2).toArray, charCost)
+
+  override def nullSafeEval(s: Any): Any =
+    dp.segment(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("viterbiPiecesDp", dp,
+      classOf[ViterbiPiecesExpr.Dp].getName)
+    defineCodeGen(ctx, ev, in => s"$m.segment($in)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ViterbiPiecesExpr =
+    copy(child = newChild)
+}
+
+object ViterbiPiecesExpr {
+
+  final class Dp(vocab: Array[String], costs: Array[Long],
+                 charCost: Long) extends Serializable {
+    private val map: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](vocab.length * 2)
+      var i = 0
+      while (i < vocab.length) { m.put(vocab(i), costs(i)); i += 1 }
+      m
+    }
+    private val maxLen: Int = {
+      var m = 1
+      vocab.foreach(v => if (v.length > m) m = v.length)
+      m
+    }
+
+    /** Same DP as [[ViterbiCostExpr.Dp.encode]] plus a parent-pointer
+      * array: parent(i) = the start of the piece ending at i on the
+      * canonical optimal path. Evaluation order — vocabulary pieces
+      * from the LONGEST candidate down (j ascending), fallback last —
+      * with strict improvement, so the recorded parent is the
+      * longest-piece transition among the optima and fallback only
+      * when strictly cheaper. */
+    def segment(text: UTF8String): ArrayData = {
+      val w = text.toString
+      val n = w.length
+      require(n < (1 << 16), s"viterbi_pieces: word of $n chars")
+      if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+      def boundary(i: Int): Boolean =
+        i == 0 || i == n ||
+          !(Character.isHighSurrogate(w.charAt(i - 1)) &&
+            Character.isLowSurrogate(w.charAt(i)))
+      val INF = Long.MaxValue / 2
+      val dp = new Array[Long](n + 1)
+      val parent = new Array[Int](n + 1)
+      var i = 1
+      while (i <= n) {
+        dp(i) = INF
+        parent(i) = -1
+        if (boundary(i)) {
+          // vocabulary pieces ending at i, longest first
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            if (dp(j) < INF && boundary(j)) {
+              val c = map.get(w.substring(j, i))
+              if (c != null) {
+                val cand = dp(j) + (c.longValue() << 16) + 1L
+                if (cand < dp(i)) { dp(i) = cand; parent(i) = j }
+              }
+            }
+            j += 1
+          }
+          // single-code-point fallback — only when strictly cheaper
+          val cc = if (i >= 2 && Character.isHighSurrogate(w.charAt(i - 2))
+            && Character.isLowSurrogate(w.charAt(i - 1))) 2 else 1
+          val fb = dp(i - cc)
+          if (fb < INF) {
+            val cand = fb + (charCost << 16) + 1L
+            if (cand < dp(i)) { dp(i) = cand; parent(i) = i - cc }
+          }
+        }
+        i += 1
+      }
+      // backtrack (collect reversed, then flip)
+      val rev = new java.util.ArrayList[AnyRef]()
+      var e = n
+      while (e > 0) {
+        val s = parent(e)
+        rev.add(UTF8String.fromString(w.substring(s, e)))
+        e = s
+      }
+      val out = new Array[AnyRef](rev.size())
+      var k = 0
+      while (k < out.length) {
+        out(k) = rev.get(out.length - 1 - k); k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def apply(text: Column, pieces: Seq[(String, Long)],
+            charCost: Long): Column =
+    Bridge.column(ViterbiPiecesExpr(Bridge.expression(text), pieces,
+      charCost))
+}

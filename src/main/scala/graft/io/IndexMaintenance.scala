@@ -52,6 +52,34 @@ object IndexMaintenance {
 
   def tombstoneTable(table: String): String = table + "__tombstones"
 
+  def paramsTable(table: String): String = table + "__params"
+
+  /** Persist an index's BUILD PARAMS as a tiny `(k, v)` sidecar
+    * `<table>__params` — the O(1) source every append/serve signature
+    * guard reads INSTEAD of min/max-scanning the whole live index (r15
+    * advice: per-micro-batch full-index scans contradicted the
+    * O(batch) claim at corpus-lifetime scale). The params stay baked
+    * in the index rows too — the rows are ground truth; a sidecar
+    * lost to a crash mid-overwrite merely degrades the next guard to
+    * the one-off row scan, which backfills this sidecar again. */
+  def writeParams(spark: SparkSession, table: String,
+                  params: Map[String, Long]): Unit =
+    spark.createDataFrame(params.toSeq.sortBy(_._1)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(paramsTable(table))
+
+  /** The build-params sidecar of `table`, if one was written. */
+  def readParams(spark: SparkSession,
+                 table: String): Option[Map[String, Long]] = {
+    val pt = paramsTable(table)
+    if (!spark.catalog.tableExists(pt)) None
+    else {
+      spark.catalog.refreshTable(pt)
+      Some(spark.table(pt).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+  }
+
   /** Current max tombstone sequence for `table` (0 when none). The
     * sidecar is delete-batch-scale — this is a tiny-table aggregate.
     * Also reads the sentinel-swap staging sibling `__tombstones__new`
@@ -322,13 +350,24 @@ object IndexMaintenance {
     *    is CORRECT (compacted rows carry gen = seq, so the dropped
     *    tombstones were hiding nothing);
     *  - a stale `__new` from a crashed run is cleared first and is
-    *    superseded by any later sequence in the real sidecar (max). */
+    *    superseded by any later sequence in the real sidecar (max) —
+    *    UNLESS the sidecar itself is missing, in which case `__new`
+    *    holds the ONLY surviving counter (a prior run died between
+    *    `DROP tt` and `RENAME tn -> tt`): finish that crashed swap
+    *    first (rename, not drop), so a counter table stays live at
+    *    every crash point of THIS run too (r15 advice, medium — the
+    *    old unconditional drop re-opened the reset-to-0 window under
+    *    a double crash). */
   private def writeSeqSentinel(spark: SparkSession, table: String,
                                idCol: String, seq: Long): Unit =
     if (seq > 0) {
       val idType = spark.table(table).schema(idCol).dataType
       val tt = tombstoneTable(table)
       val tn = tt + "__new"
+      if (!spark.catalog.tableExists(tt) && spark.catalog.tableExists(tn)) {
+        spark.sql(s"ALTER TABLE `$tn` RENAME TO `$tt`")
+        spark.catalog.refreshTable(tt)
+      }
       spark.sql(s"DROP TABLE IF EXISTS `$tn`")
       spark.range(1)
         .select(lit(null).cast(idType).as("id"), lit(seq).as("seq"))

@@ -179,11 +179,16 @@ object Curation {
     val survivors = psl match {
       case None => survivors0.withColumn("__ck", col("host"))
       // resolve over base's hosts (⊇ survivors' — scan-only recompute,
-      // no second pass over the dedup shuffle)
+      // no second pass over the dedup shuffle); LEFT join + coalesce:
+      // a NULL host (null/degenerate url) never equi-joins, and an
+      // inner join would silently drop such survivors from the cap
+      // window and mislabel them 'url_dup' — coalescing to the raw
+      // host keeps them in the same null-host cap group the psl=None
+      // path puts them in
       case Some(p) => survivors0
         .join(registrableDomain(base, "host", p, pslSuffixCol),
-          Seq("host"))
-        .withColumn("__ck", col("reg_domain"))
+          Seq("host"), "left")
+        .withColumn("__ck", coalesce(col("reg_domain"), col("host")))
     }
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__ck"))

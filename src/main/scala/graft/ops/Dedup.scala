@@ -341,7 +341,7 @@ object Dedup {
     * corpus-side join per probe batch). */
   def saveMinHashIndex(df: DataFrame, id: String, text: String,
                        table: String, buckets: Int, numHashes: Int,
-                       bands: Int): Unit =
+                       bands: Int): Unit = {
     graft.io.Layout.writeBucketed(
       minHashBandTable(df, id, text, numHashes, bands)
         .select(col("existing_id").as("doc_id"), col("ex_sh").as("sh"),
@@ -350,33 +350,68 @@ object Dedup {
         .withColumn("nb", lit(bands))
         .withColumn("gen", lit(0L)),
       table, "band", buckets)
+    graft.io.IndexMaintenance.writeParams(df.sparkSession, table,
+      Map("nh" -> numHashes.toLong, "nb" -> bands.toLong))
+  }
 
-  /** Refuse a live table whose baked (nh, nb) disagree with the
-    * caller's — one tiny-agg job over the live view (empty table has
-    * nothing to contradict). Shared by append/replace and the serve
-    * path: a mismatched signature doesn't fail loudly on its own, it
-    * just stops matching (band keys from different params never
-    * collide), which is the worst kind of wrong. */
+  /** Refuse a live table whose build (nh, nb) disagree with the
+    * caller's. Shared by append/replace and the serve path: a
+    * mismatched signature doesn't fail loudly on its own, it just
+    * stops matching (band keys from different params never collide),
+    * which is the worst kind of wrong. Reads the O(1)
+    * [[graft.io.IndexMaintenance.writeParams]] sidecar when present
+    * (r15 advice: a full live-index min/max scan per append/serve
+    * contradicted the O(batch) claim); tables predating the sidecar
+    * (or whose sidecar a crash lost) pay ONE row scan and backfill
+    * it. */
   private def minHashIndexParamGuard(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      numHashes: Int, bands: Int): Unit = {
+      numHashes: Int, bands: Int): Unit =
+    minHashGuardImpl(spark, table, numHashes, bands,
+      "minHash index", "saveMinHashIndex")
+
+  private def minHashGuardImpl(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      numHashes: Int, bands: Int, what: String, rebuild: String): Unit = {
     // a missing table has nothing to contradict — the first append of a
     // writer-created index (replace on a fresh stream) creates it
     if (!spark.catalog.tableExists(table)) return
-    val s = loadMinHashIndex(spark, table)
-      .agg(min(col("nh")), max(col("nh")), min(col("nb")), max(col("nb")))
-      .head()
-    if (!s.isNullAt(0)) {
-      require(s.getInt(0) == numHashes && s.getInt(1) == numHashes &&
-          s.getInt(2) == bands && s.getInt(3) == bands,
-        s"minHash index '$table' was built at numHashes=" +
-          s"${s.getInt(0)}..${s.getInt(1)}, bands=${s.getInt(2)}.." +
-          s"${s.getInt(3)} but the caller passed numHashes=$numHashes, " +
-          s"bands=$bands — mixed signatures silently lose candidate " +
-          "recall; pass the table's own params or rebuild with " +
-          "saveMinHashIndex")
+    def fail(nh: Any, nb: Any): Nothing =
+      throw new IllegalArgumentException(
+        s"$what '$table' was built at numHashes=$nh, bands=$nb but the " +
+          s"caller passed numHashes=$numHashes, bands=$bands — mixed " +
+          "signatures silently lose candidate recall; pass the table's " +
+          s"own params or rebuild with $rebuild")
+    graft.io.IndexMaintenance.readParams(spark, table) match {
+      case Some(p) =>
+        if (!p.get("nh").contains(numHashes.toLong) ||
+            !p.get("nb").contains(bands.toLong))
+          fail(p.getOrElse("nh", "?"), p.getOrElse("nb", "?"))
+      case None =>
+        val s = graft.io.IndexMaintenance.load(spark, table, "doc_id")
+          .agg(min(col("nh")), max(col("nh")), min(col("nb")),
+            max(col("nb")))
+          .head()
+        if (!s.isNullAt(0)) {
+          if (s.getInt(0) != numHashes || s.getInt(1) != numHashes ||
+              s.getInt(2) != bands || s.getInt(3) != bands)
+            fail(s"${s.getInt(0)}..${s.getInt(1)}",
+              s"${s.getInt(2)}..${s.getInt(3)}")
+          graft.io.IndexMaintenance.writeParams(spark, table,
+            Map("nh" -> numHashes.toLong, "nb" -> bands.toLong))
+        }
     }
   }
+
+  /** Write the (nh, nb) params sidecar after an append that CREATED
+    * the table (writer-created index — the save path writes it
+    * directly), so every later guard on it is O(1). */
+  private def ensureMinHashParams(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      numHashes: Int, bands: Int): Unit =
+    if (graft.io.IndexMaintenance.readParams(spark, table).isEmpty)
+      graft.io.IndexMaintenance.writeParams(spark, table,
+        Map("nh" -> numHashes.toLong, "nb" -> bands.toLong))
 
   /** Append NEW docs' band rows — O(batch), gen-stamped, params
     * guarded against the saved table's. Updates to existing docs must
@@ -395,6 +430,7 @@ object Dedup {
         .withColumn("nb", lit(bands))
         .withColumn("gen", lit(gen)),
       table, "band", buckets)
+    ensureMinHashParams(spark, table, numHashes, bands)
   }
 
   /** Tombstone docs out of a maintained MinHash index — O(batch). */
@@ -503,6 +539,8 @@ object Dedup {
         .dropDuplicates("doc_id")
         .withColumn("gen", lit(0L)),
       table + "__sh", "doc_id", buckets)
+    graft.io.IndexMaintenance.writeParams(df.sparkSession, table,
+      Map("nh" -> numHashes.toLong, "nb" -> bands.toLong))
   }
 
   /** Append NEW docs to a maintained pair index — O(batch), both
@@ -525,26 +563,16 @@ object Dedup {
         .dropDuplicates("doc_id")
         .withColumn("gen", lit(gen)),
       table + "__sh", "doc_id", buckets)
+    ensureMinHashParams(spark, table, numHashes, bands)
   }
 
+  /** [[minHashIndexParamGuard]] for the pair layout — same O(1)
+    * sidecar-first discipline, scan-and-backfill fallback. */
   private def minHashPairIndexParamGuard(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      numHashes: Int, bands: Int): Unit = {
-    if (!spark.catalog.tableExists(table)) return
-    val s = graft.io.IndexMaintenance.load(spark, table, "doc_id")
-      .agg(min(col("nh")), max(col("nh")), min(col("nb")), max(col("nb")))
-      .head()
-    if (!s.isNullAt(0)) {
-      require(s.getInt(0) == numHashes && s.getInt(1) == numHashes &&
-          s.getInt(2) == bands && s.getInt(3) == bands,
-        s"minHash pair index '$table' was built at numHashes=" +
-          s"${s.getInt(0)}..${s.getInt(1)}, bands=${s.getInt(2)}.." +
-          s"${s.getInt(3)} but the caller passed numHashes=$numHashes, " +
-          s"bands=$bands — mixed signatures silently lose candidate " +
-          "recall; pass the table's own params or rebuild with " +
-          "saveMinHashPairIndex")
-    }
-  }
+      numHashes: Int, bands: Int): Unit =
+    minHashGuardImpl(spark, table, numHashes, bands,
+      "minHash pair index", "saveMinHashPairIndex")
 
   /** Tombstone docs out of BOTH tables of a pair index — one sidecar
     * row per id hides the doc's band rows AND its shingle row. */
@@ -802,12 +830,60 @@ object Dedup {
     * table-scale compaction scan sees). */
   def saveSpanGramIndex(df: DataFrame, id: String, text: String,
                         table: String, buckets: Int, n: Int,
-                        maxDocFreq: Int = 0): Unit =
+                        maxDocFreq: Int = 0): Unit = {
     graft.io.Layout.writeBucketed(
       spanGramTable(df, id, text, n, maxDocFreq)
+        .withColumn("n", lit(n))
         .withColumn("maxdf", lit(maxDocFreq))
         .withColumn("gen", lit(0L)),
       table, "gh", buckets)
+    graft.io.IndexMaintenance.writeParams(df.sparkSession, table,
+      Map("n" -> n.toLong, "maxdf" -> maxDocFreq.toLong))
+  }
+
+  /** The (n, maxdf) build params of a maintained span-gram index —
+    * sidecar first (O(1)), one live row scan + backfill for tables
+    * predating it; `None` when the table doesn't exist. The gram
+    * order `n` is GUARDED (r15 advice: an append or probe at a
+    * different n silently produces gh keys that never match — the
+    * same lose-recall-silently failure the MinHash signature guard
+    * exists for); pass `n = 0` to skip the n check (legacy tables
+    * saved before n was baked have no row to scan it from). */
+  private def spanGramParams(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      n: Int): Option[(Int, Int)] = {
+    if (!spark.catalog.tableExists(table)) return None
+    def checkN(savedN: Long): Unit =
+      require(n <= 0 || savedN <= 0 || savedN == n.toLong,
+        s"span-gram index '$table' was built at n=$savedN but the " +
+          s"caller passed n=$n — gram hashes from different orders " +
+          "never match (silent recall loss); pass the table's own n " +
+          "or rebuild with saveSpanGramIndex")
+    graft.io.IndexMaintenance.readParams(spark, table) match {
+      case Some(p) =>
+        val savedN = p.getOrElse("n", 0L)
+        checkN(savedN)
+        Some((savedN.toInt, p.getOrElse("maxdf", 0L).toInt))
+      case None =>
+        val hasN = spark.table(table).schema.fieldNames.contains("n")
+        val live = graft.io.IndexMaintenance.load(spark, table, "doc")
+        val s =
+          if (hasN) live.agg(coalesce(max(col("maxdf")), lit(0)),
+            coalesce(min(col("n")), lit(0)), coalesce(max(col("n")), lit(0)))
+            .head()
+          else live.agg(coalesce(max(col("maxdf")), lit(0))).head()
+        val mdf = s.getInt(0)
+        val (nLo, nHi) = if (hasN) (s.getInt(1), s.getInt(2)) else (0, 0)
+        require(nLo == nHi,
+          s"span-gram index '$table' carries mixed gram orders " +
+            s"$nLo..$nHi — rebuild with saveSpanGramIndex")
+        checkN(nHi)
+        graft.io.IndexMaintenance.writeParams(spark, table,
+          Map("n" -> (if (nHi > 0) nHi.toLong else n.toLong),
+            "maxdf" -> mdf.toLong))
+        Some((nHi, mdf))
+    }
+  }
 
   /** Append NEW keeper docs' grams — O(batch), gen-stamped, no cap
     * applied (documented trade: corpus-global gram frequencies are a
@@ -820,16 +896,20 @@ object Dedup {
     val spark = df.sparkSession
     val gen = graft.io.IndexMaintenance.currentSeq(spark, table)
     // a first append against a missing table creates it uncapped
-    // (maxdf 0) — saveSpanGramIndex is the capped build path
-    val mdf =
-      if (!spark.catalog.tableExists(table)) 0
-      else spark.table(table)
-        .agg(coalesce(max(col("maxdf")), lit(0))).head().getInt(0)
+    // (maxdf 0) — saveSpanGramIndex is the capped build path; the
+    // params probe GUARDS n against the saved order (r15 advice) and
+    // reads the O(1) sidecar when present
+    val existed = spark.catalog.tableExists(table)
+    val mdf = spanGramParams(spark, table, n).map(_._2).getOrElse(0)
     graft.io.Layout.appendBucketed(
       spanGramTable(df, id, text, n)
+        .withColumn("n", lit(n))
         .withColumn("maxdf", lit(mdf))
         .withColumn("gen", lit(gen)),
       table, "gh", buckets)
+    if (!existed)
+      graft.io.IndexMaintenance.writeParams(spark, table,
+        Map("n" -> n.toLong, "maxdf" -> mdf.toLong))
   }
 
   /** Compact a maintained span-gram index AND re-establish its saved
@@ -882,9 +962,14 @@ object Dedup {
   def exciseNewFromIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, incoming: DataFrame,
                          id: String, text: String, n: Int,
-                         minRun: Int): DataFrame =
+                         minRun: Int): DataFrame = {
+    // probe-side n guard: grams at a different order than the saved
+    // index hash to keys that never match — silent recall loss, the
+    // same failure the MinHash signature guard refuses loudly
+    spanGramParams(spark, table, n)
     exciseNewAgainst(incoming, loadSpanGramIndex(spark, table), id,
       text, n, minRun)
+  }
 
   /** Cross-corpus shared-span EXCISION — [[exciseSharedSpans]] at
     * INGEST (r14): incoming documents lose every token span of

@@ -1702,6 +1702,42 @@ object StatefulOps {
     * FRESH checkpoint (bids restart at 0) at a populated registry
     * would mis-exclude old bid-0 admits — use a new registry table
     * with a new checkpoint. O(batch + hosts·cap) per batch. */
+  /** Refuse a registry created by the pre-r15 writer (no `__bid`
+    * column): the replay-stable verdict computation filters on it, so
+    * the first batch would otherwise throw a bare UNRESOLVED_COLUMN
+    * mid-stream (r15 advice). Loud, actionable failure instead. */
+  private def registryBidGuard(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    require(spark.table(table).schema.fieldNames.contains("__bid"),
+      s"registry '$table' has no __bid column — it was created by a " +
+        "pre-batch-id-discipline writer and cannot serve replay-stable " +
+        "verdicts; rebuild it under a fresh checkpoint (the writer " +
+        "creates it) or backfill __bid = -1 before resuming")
+
+  /** Bake the URL-key scheme (raw vs canonical) into the registry's
+    * params sidecar and refuse a flip mid-lineage: old hashes never
+    * match the other scheme's, so a silent flip un-deduplicates every
+    * already-admitted URL (r15 advice — the MinHash signature-guard
+    * failure mode). A registry predating the sidecar backfills with
+    * the caller's flag (trust-first-caller, like the span-gram n). */
+  private def registryKeySchemeGuard(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      canonicalizeUrls: Boolean): Unit = {
+    val want = if (canonicalizeUrls) 1L else 0L
+    graft.io.IndexMaintenance.readParams(spark, table) match {
+      case Some(p) if p.contains("canon") =>
+        require(p("canon") == want,
+          s"registry '$table' was built with canonicalizeUrls=" +
+            s"${p("canon") == 1L} but this writer passed " +
+            s"canonicalizeUrls=$canonicalizeUrls — flipping the key " +
+            "scheme mid-lineage silently changes the dedup key (old " +
+            "hashes never match canonical ones); keep the original " +
+            "flag or rebuild the registry")
+      case p => graft.io.IndexMaintenance.writeParams(spark, table,
+        p.getOrElse(Map.empty[String, Long]) + ("canon" -> want))
+    }
+  }
+
   def urlCurationWriter(stream: DataFrame, id: String, url: String,
       table: String, maxPerDomain: Long, salt: String = "url",
       canonicalizeUrls: Boolean = false)(
@@ -1710,6 +1746,7 @@ object StatefulOps {
     stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
+        registryKeySchemeGuard(spark, table, canonicalizeUrls)
         // the registry key: raw URL or its canonical form (the batch
         // operator's canonicalizeUrls twin — tracking-param/fragment/
         // case/port/param-order re-crawls collapse to one admission)
@@ -1723,7 +1760,10 @@ object StatefulOps {
           .partitionBy(col("__uh")).orderBy(col("doc_id"))
         val bb = b.withColumn("__urn", row_number().over(wU))
         val haveReg = spark.catalog.tableExists(table)
-        if (haveReg) spark.catalog.refreshTable(table)
+        if (haveReg) {
+          spark.catalog.refreshTable(table)
+          registryBidGuard(spark, table)
+        }
         // same-bid rows are THIS batch's own prior (replayed) admits —
         // excluding them reproduces the original run's registry state,
         // so the verdict computation below is replay-stable
@@ -1814,7 +1854,10 @@ object StatefulOps {
           .partitionBy(col("h")).orderBy(col("doc_id"))
         val bb = b.withColumn("__rn", row_number().over(wH))
         val haveReg = spark.catalog.tableExists(table)
-        if (haveReg) spark.catalog.refreshTable(table)
+        if (haveReg) {
+          spark.catalog.refreshTable(table)
+          registryBidGuard(spark, table)
+        }
         val prior =
           if (haveReg) spark.table(table).filter(col("__bid") =!= bid)
             .select(col("h"))

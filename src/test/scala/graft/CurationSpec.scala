@@ -739,6 +739,42 @@ class CurationSpec extends SparkSpec {
       .foreach(r => assert(r == "domain_cap"))
   }
 
+  test("urlCurationVerdicts PSL path agrees with the raw-host path on " +
+      "NULL hosts: degenerate urls cap under the null-host group, not " +
+      "mislabeled url_dup") {
+    // r15 advice: the PSL path inner-joined survivors to the
+    // registrable-domain resolution on host — a NULL host (null url)
+    // never equi-joins, so such rows silently dropped from the cap
+    // window and were mislabeled 'url_dup'; the left join + coalesce
+    // keeps them in the same null-host group the psl=None path uses
+    import org.apache.spark.sql.functions.col
+    val psl = Seq("com").toDF("suffix")
+    val docs = Seq(
+      (1L, "https://a.example.com/p"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "https://b.example.com/q"))
+      .toDF("doc_id", "url")
+    def rows(o: org.apache.spark.sql.DataFrame) =
+      o.select("doc_id", "kept", "reason")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val raw = rows(Curation.urlCurationVerdicts(docs, "doc_id", "url",
+      maxPerDomain = 1, salt = "t"))
+    val reg = rows(Curation.urlCurationVerdicts(docs, "doc_id", "url",
+      maxPerDomain = 1, salt = "t", psl = Some(psl)))
+    // both null urls are DISTINCT keys to exact-URL dedup? No — they
+    // share the null key, so min id (2) survives dedup and 3 is
+    // url_dup in BOTH paths; 2 then keeps under the null-host cap
+    assert(raw.contains((3L, false, "url_dup")) &&
+      raw.contains((2L, true, null)), s"raw: $raw")
+    // the PSL path must agree on the degenerate rows (pre-fix it
+    // mislabeled doc 2 'url_dup') — and the example.com farm shares
+    // one registrable quota (the PSL semantics still apply)
+    assert(reg.contains((2L, true, null)) &&
+      reg.contains((3L, false, "url_dup")), s"reg: $reg")
+    assert(reg.count(r => r._2 && Set(1L, 4L)(r._1)) == 1,
+      s"reg: $reg — a.example.com and b.example.com share one quota")
+  }
+
   test("pretrainingFunnel with URL stage: stage rows shift by one, " +
       "reasons gain 'urlcurate', telescoping intact, None unchanged") {
     import org.apache.spark.sql.functions.col

@@ -554,10 +554,28 @@ class DedupSpec extends SparkSpec {
           "text", numHashes = 12, bands = 6, threshold = 0.5)
       }
       assert(e2.getMessage.contains("bands"), e2.getMessage)
+      // the guard's O(1) source is the __params sidecar (r15 advice:
+      // a full live-index min/max scan per append/serve contradicted
+      // the O(batch) claim); save wrote it, and a table predating it
+      // (sidecar dropped) pays ONE row scan — still refusing mixed
+      // params — then backfills the sidecar on a passing guard
+      assert(spark.catalog.tableExists("mh_idx__params"))
+      spark.sql("DROP TABLE mh_idx__params")
+      intercept[IllegalArgumentException] {
+        Dedup.minHashPairsFromIndex(spark, "mh_idx", probe, "doc_id",
+          "text", numHashes = 8, bands = 4, threshold = 0.5)
+      }
+      assert(!spark.catalog.tableExists("mh_idx__params"),
+        "a FAILED row-scan guard must not backfill")
+      assert(fromIdx() == rebuild(u4))
+      assert(spark.catalog.tableExists("mh_idx__params"),
+        "a passing row-scan guard must backfill the sidecar")
+      assert(graft.io.IndexMaintenance.readParams(spark, "mh_idx")
+        .contains(Map("nh" -> 12L, "nb" -> 4L)))
     } finally {
       graft.ops.Caches.release(blocking = true)
       Seq("mh_idx", "mh_idx__tombstones", "mh_idx__compact",
-        "mh_idx__precompact").foreach(t =>
+        "mh_idx__precompact", "mh_idx__params").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
@@ -629,8 +647,8 @@ class DedupSpec extends SparkSpec {
       graft.ops.Caches.release(blocking = true)
       Seq("mhp_idx", "mhp_idx__sh", "mhp_idx__tombstones",
         "mhp_idx__compact", "mhp_idx__precompact", "mhp_idx__sh__compact",
-        "mhp_idx__sh__precompact", "mh_wide_ck",
-        "mh_wide_ck__tombstones").foreach(t =>
+        "mhp_idx__sh__precompact", "mhp_idx__params", "mh_wide_ck",
+        "mh_wide_ck__tombstones", "mh_wide_ck__params").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
@@ -679,8 +697,60 @@ class DedupSpec extends SparkSpec {
     } finally {
       graft.ops.Caches.release(blocking = true)
       Seq("sgc_idx", "sgc_idx__tombstones", "sgc_idx__compact",
-        "sgc_idx__precompact", "sgc_fresh").foreach(t =>
+        "sgc_idx__precompact", "sgc_idx__params", "sgc_fresh",
+        "sgc_fresh__params").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("span-gram n guard: appends and probes at a different gram " +
+      "order than the saved index refuse loudly (sidecar first, row " +
+      "scan + backfill for legacy tables)") {
+    // r15 advice: appendToSpanGramIndex baked/propagated maxdf but
+    // never guarded the gram order n — an append or probe at a
+    // different n silently produces gh keys that never match, the same
+    // lose-recall-silently failure the MinHash signature guard refuses
+    val keeper = Seq((1L, "p q r s"), (2L, "a b c d")).toDF("doc_id", "text")
+    val inc = Seq((10L, "p q r s t")).toDF("doc_id", "text")
+    try {
+      Dedup.saveSpanGramIndex(keeper, "doc_id", "text", "sgn_idx",
+        buckets = 4, n = 2, maxDocFreq = 0)
+      assert(graft.io.IndexMaintenance.readParams(spark, "sgn_idx")
+        .contains(Map("n" -> 2L, "maxdf" -> 0L)))
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.appendToSpanGramIndex(inc, "doc_id", "text", "sgn_idx",
+          4, n = 3)
+      }
+      assert(e1.getMessage.contains("n=2"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.exciseNewFromIndex(spark, "sgn_idx", inc, "doc_id",
+          "text", n = 3, minRun = 2)
+      }
+      assert(e2.getMessage.contains("n=2"), e2.getMessage)
+      // legacy path: sidecar dropped — the one-off row scan still
+      // refuses a wrong n (the n column is baked in the rows), does
+      // NOT backfill on failure, and backfills on a passing guard
+      spark.sql("DROP TABLE sgn_idx__params")
+      intercept[IllegalArgumentException] {
+        Dedup.appendToSpanGramIndex(inc, "doc_id", "text", "sgn_idx",
+          4, n = 3)
+      }
+      assert(!spark.catalog.tableExists("sgn_idx__params"))
+      val out = Dedup.exciseNewFromIndex(spark, "sgn_idx", inc,
+        "doc_id", "text", n = 2, minRun = 2).collect()
+      assert(out.nonEmpty)
+      assert(graft.io.IndexMaintenance.readParams(spark, "sgn_idx")
+        .exists(_.get("n").contains(2L)),
+        "a passing row-scan guard must backfill the sidecar")
+      // and a matching append still works after the round trip
+      Dedup.appendToSpanGramIndex(inc, "doc_id", "text", "sgn_idx",
+        4, n = 2)
+      assert(Dedup.loadSpanGramIndex(spark, "sgn_idx")
+        .filter(col("doc") === 10L).count() > 0)
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("sgn_idx", "sgn_idx__tombstones", "sgn_idx__params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 

@@ -2135,8 +2135,8 @@ class StatefulOpsSpec extends SparkSpec {
         .filter(col("kept")).collect().map(_.getLong(0)).toSet
       assert(got2.toSet == want2 && want2.size == 3, s"$got2 vs $want2")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS url_reg")
-      spark.sql("DROP TABLE IF EXISTS url_reg2")
+      Seq("url_reg", "url_reg__params", "url_reg2", "url_reg2__params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
@@ -2203,6 +2203,7 @@ class StatefulOpsSpec extends SparkSpec {
     } finally {
       spark.conf.set(cacheConf, cacheWas)
       spark.sql("DROP TABLE IF EXISTS url_replay_reg")
+      spark.sql("DROP TABLE IF EXISTS url_replay_reg__params")
     }
   }
 
@@ -2229,7 +2230,101 @@ class StatefulOpsSpec extends SparkSpec {
         assert(verdicts(2L) == ((false, "url_dup")), s"${verdicts(2L)}")
         assert(verdicts(3L) == ((true, null)))
       }
-    } finally spark.sql("DROP TABLE IF EXISTS url_canon_reg")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS url_canon_reg")
+      spark.sql("DROP TABLE IF EXISTS url_canon_reg__params")
+    }
+  }
+
+  test("registry guards: a pre-batch-id registry fails loudly instead " +
+      "of UNRESOLVED_COLUMN, and a canonicalizeUrls flip mid-lineage " +
+      "is refused") {
+    // r15 advice: a registry created by the pre-r15 writer lacks
+    // __bid — the replay-stable filter would throw a bare
+    // UNRESOLVED_COLUMN mid-stream; and flipping canonicalizeUrls on
+    // an existing registry silently changes the dedup key (raw-URL
+    // hashes never match canonical ones), so the key scheme is baked
+    // into the params sidecar and guarded like the MinHash signature.
+    implicit val ctx = spark.sqlContext
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8).toSeq
+    try {
+      // legacy registry: right shape, no __bid
+      Seq(("aa", "h1.test", 1L)).toDF("__uh", "host", "doc_id")
+        .write.format("parquet").saveAsTable("legacy_reg")
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.urlCurationWriter(
+          in.toDF().toDF("doc_id", "url"), "doc_id", "url",
+          "legacy_reg", maxPerDomain = 2, salt = "t") { (_, _) => () }
+        .start()
+      val e1 = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        in.addData((1L, "https://h1.test/a"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      assert(chain(e1).exists(t => t.getMessage != null &&
+        t.getMessage.contains("__bid")), e1.getMessage)
+      // same guard on the exact-dedup registry
+      Seq(("hh", 1L)).toDF("h", "doc_id")
+        .write.format("parquet").saveAsTable("legacy_dreg")
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = StatefulOps.exactDedupRegistryWriter(
+          in2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          "legacy_dreg", buckets = 4) { (_, _) => () }.start()
+      val e2 = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        in2.addData((1L, "apple banana"))
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      assert(chain(e2).exists(t => t.getMessage != null &&
+        t.getMessage.contains("__bid")), e2.getMessage)
+      // key-scheme flip: build a registry raw, reopen canonical
+      val in3 = MemoryStream[(Long, String)]
+      val q3 = StatefulOps.urlCurationWriter(
+          in3.toDF().toDF("doc_id", "url"), "doc_id", "url",
+          "flip_reg", maxPerDomain = 2, salt = "t") { (_, _) => () }
+        .start()
+      withQuery(q3) {
+        in3.addData((1L, "https://h1.test/a"))
+        q3.processAllAvailable()
+      }
+      val in4 = MemoryStream[(Long, String)]
+      val q4 = StatefulOps.urlCurationWriter(
+          in4.toDF().toDF("doc_id", "url"), "doc_id", "url",
+          "flip_reg", maxPerDomain = 2, salt = "t",
+          canonicalizeUrls = true) { (_, _) => () }.start()
+      val e3 = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        in4.addData((2L, "https://h1.test/b"))
+        q4.processAllAvailable()
+      }
+      q4.stop()
+      assert(chain(e3).exists(t => t.getMessage != null &&
+        t.getMessage.contains("canonicalizeUrls")), e3.getMessage)
+      // a registry PREDATING the sidecar backfills with the caller's
+      // flag (trust-first-caller) and keeps serving
+      spark.sql("DROP TABLE flip_reg__params")
+      val in5 = MemoryStream[(Long, String)]
+      val got = mutable.Set.empty[Long]
+      val q5 = StatefulOps.urlCurationWriter(
+          in5.toDF().toDF("doc_id", "url"), "doc_id", "url",
+          "flip_reg", maxPerDomain = 2, salt = "t") { (out, _) =>
+        got ++= out.collect().map(_.getLong(0))
+      }.start()
+      withQuery(q5) {
+        in5.addData((3L, "https://h2.test/c"))
+        q5.processAllAvailable()
+      }
+      assert(got.contains(3L))
+      assert(graft.io.IndexMaintenance.readParams(spark, "flip_reg")
+        .exists(_.get("canon").contains(0L)))
+    } finally {
+      Seq("legacy_reg", "legacy_reg__params", "legacy_dreg",
+        "legacy_dreg__params", "flip_reg", "flip_reg__params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("exactDedupRegistryWriter: min-id wins within a batch, " +

@@ -1762,6 +1762,68 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sentinel collapse double-crash: a compaction entered in the " +
+      "__new-only state finishes the crashed swap instead of dropping " +
+      "the sole surviving counter") {
+    // r15 advice (medium): writeSeqSentinel used to open with
+    // `DROP TABLE IF EXISTS <tomb>__new` — but when a PRIOR run died
+    // between `DROP tt` and `RENAME tn -> tt`, __new holds the ONLY
+    // counter, and that drop destroyed it; a crash before the fresh
+    // staged table landed reset currentSeq to 0, reintroducing the
+    // invisible-tombstone failure. The fix renames __new back over the
+    // missing sidecar FIRST, so a counter table is live at every crash
+    // point. This spec enters a sentinel-writing compaction from
+    // exactly that state and pins the end-to-end contract: the counter
+    // survives, the next delete sequences ABOVE the compacted gen, and
+    // serving reflects it.
+    val corpus = Seq((1L, "apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple date cherry")).toDF("q_id", "qtext")
+    def serving() = TextAnalysis.bm25Search(
+        TextAnalysis.loadPostingsIndex(spark, "sent2_idx"),
+        queries, "q_id", "qtext", k = 10)
+      .collect().map(_.getLong(2)).toSet
+    try {
+      TextAnalysis.savePostingsIndex(corpus, "doc_id", "text",
+        "sent2_idx", buckets = 4)
+      TextAnalysis.deleteFromPostingsIndex(spark, "sent2_idx",
+        Seq(2L).toDF("victim"), "victim")
+      graft.ops.Caches.release(blocking = true)
+      graft.io.IndexMaintenance.compact(spark, "sent2_idx", "term", 4,
+        "doc")
+      graft.ops.Caches.release(blocking = true)
+      // construct the double-crash entry state: the sidecar is GONE and
+      // only the staged __new sibling carries the counter (prior run
+      // died between DROP tt and RENAME tn -> tt)
+      spark.sql("CREATE TABLE sent2_idx__tombstones__new AS " +
+        "SELECT * FROM sent2_idx__tombstones")
+      spark.sql("DROP TABLE sent2_idx__tombstones")
+      assert(graft.io.IndexMaintenance.currentSeq(spark, "sent2_idx")
+        == 1L)
+      // a sentinel-writing compaction entered IN that state must keep
+      // the counter (the old code's first step destroyed it)
+      graft.io.IndexMaintenance.compact(spark, "sent2_idx", "term", 4,
+        "doc")
+      graft.ops.Caches.release(blocking = true)
+      assert(graft.io.IndexMaintenance.currentSeq(spark, "sent2_idx")
+        == 1L, "counter lost across the double-crash recovery")
+      assert(!spark.catalog.tableExists("sent2_idx__tombstones__new"))
+      assertSidecarClean("sent2_idx")
+      // the counter still sequences deletes above the compacted gen
+      TextAnalysis.deleteFromPostingsIndex(spark, "sent2_idx",
+        Seq(3L).toDF("victim"), "victim")
+      graft.ops.Caches.release(blocking = true)
+      assert(!serving().contains(3L) && serving().contains(1L),
+        "post-recovery delete invisible — the seq counter reset")
+    } finally {
+      graft.ops.Caches.release(blocking = true)
+      Seq("sent2_idx", "sent2_idx__tombstones",
+        "sent2_idx__tombstones__new", "sent2_idx__compact",
+        "sent2_idx__precompact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("compact crash recovery: mid-swap rerun loses no data, " +
       "completed-swap leftover auto-recovers, missing table fails loudly") {
     // r11 verdict finding 1: the old compact() dropped the recovery
