@@ -2363,6 +2363,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == ((1L, 1L, 3L, 3L * big)), s"got $out")
   }
 
+  test("ViterbiPiecesExpr: the returned path's cost and piece count " +
+      "equal ViterbiCostExpr's encoding on every word, incl. OOV " +
+      "chars, surrogate pairs and equal-cost ties") {
+    val pieces = Seq(("ab", 10L), ("abc", 100L), ("cd", 10L), ("d", 1L),
+      ("a", 5L), ("aa", 10L))
+    val cc = 1000L
+    val words = Seq("abcd", "abd", "xy", "aa", "abcab",
+      "a😀b", // non-BMP code point falls back as ONE piece
+      "", "abcdabcd").toDF("w")
+    val got = words.select(col("w"),
+        graft.functions.ViterbiCostExpr(col("w"), pieces, cc).as("e"),
+        graft.functions.ViterbiPiecesExpr(col("w"), pieces, cc).as("p"))
+      .as[(String, Long, Seq[String])].collect()
+    val cost = pieces.toMap
+    for ((w, e, p) <- got) {
+      assert(p.mkString == w, s"'$w': path does not respell the word: $p")
+      assert(p.size == e % 65536, s"'$w': piece count mismatch: $p vs $e")
+      val pathCost = p.map(x => cost.getOrElse(x, cc)).sum
+      assert(pathCost == e / 65536,
+        s"'$w': path cost $pathCost != dp ${e / 65536} (path $p)")
+      // charCost > max piece cost ⇒ every emitted piece that IS in
+      // vocab came through its vocabulary transition — so the cost
+      // recomputation above (vocab cost where in vocab, else cc) is
+      // the true path cost, which is what the equality just verified
+    }
+    // the surrogate pair stays whole in the fallback
+    val emoji = got.find(_._1 == "a😀b").get._3
+    assert(emoji.contains("😀"), s"got $emoji")
+    // deterministic tie-break: "aa" at a=5/aa=10 ties on cost — the
+    // fewest-pieces encoding picks [aa], and the path agrees
+    assert(got.find(_._1 == "aa").get._3 == Seq("aa"))
+  }
+
+  test("trainPieceCostsEmTrace: corpus cost non-increasing per round, " +
+      "strictly below the frequency baseline, pieces a subset of the " +
+      "budgeted vocab, artifact within the int-grid bound") {
+    // a corpus engineered so substring-OCCURRENCE frequencies misprice
+    // pieces: 'abab' makes overlapping grams (ab, ba, bab, aba) all
+    // look frequent, but the optimal segmentation only ever uses 'ab'
+    val docsDf = Seq(
+      (1L, "abab abab abab abab abab abab"),
+      (2L, "abab abab abab cd cd"),
+      (3L, "cd cd cd abab")).toDF("doc_id", "text")
+    val (fp, fcc) = TextAnalysis.trainPieceCosts(docsDf, "text",
+      vocabSize = 6, maxPieceLen = 3)
+    val (ep, ecc, trace) = TextAnalysis.trainPieceCostsEmTrace(docsDf,
+      "text", vocabSize = 6, maxPieceLen = 3, rounds = 4)
+    // trace: element 0 is the freq baseline, then one entry per round
+    assert(trace.size >= 2 && trace.size <= 5, s"trace $trace")
+    assert(trace.sliding(2).forall(p => p(1) <= p.head),
+      s"corpus cost increased across a round: $trace")
+    assert(trace.last < trace.head,
+      s"EM failed to strictly improve on the fixture: $trace")
+    // the baseline trace entry IS the freq artifact's corpus cost
+    val ab = TextAnalysis.viterbiCostAB(docsDf, "text",
+        Seq(("freq", fp, fcc), ("em", ep, ecc)))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(ab("freq") == trace.head && ab("em") == trace.last,
+      s"$ab vs $trace")
+    // budget respected: EM only reprices/prunes, never invents pieces
+    assert(ep.map(_._1).toSet.subsetOf(fp.map(_._1).toSet))
+    assert(ep.forall(p => p._2 >= 0 && p._2 < (1L << 30)))
+    assert(ecc == ep.map(_._2).max + 4096L)
+    graft.ops.Caches.release(blocking = true)
+  }
+
   test("dictionaryJoin: forces broadcast within the word bound, leaves " +
       "the join unhinted beyond it, identical rows either way") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "w")
