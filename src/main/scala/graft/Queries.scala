@@ -4313,6 +4313,239 @@ object Queries {
             FROM r WHERE rn <= 5"""
     }))
 
+  /** The planted-cluster embedding fixture for q254 (the q61 planting
+    * convention — residual encoding only matters when the corpus HAS
+    * coarse structure for the quantizer to remove; measured on the raw
+    * synthetic embeddings both variants land within noise): 16
+    * clusters, mean +0.5 on the dims ≡ cluster mod 16, the original
+    * embedding (|x| < 0.5) as within-cluster spread, all on the 2⁻¹²
+    * grid — `v' = (2048·[i≡c (mod 16)] + ⌊4096·v⌋)/4096`, exact int64
+    * → float-exact in both engines. 16 clusters ≥ ksub is the point:
+    * raw-vector PQ's per-subspace codewords saturate on re-encoding
+    * cluster patterns (≈1 codeword per pattern — the within-cluster
+    * spread goes unencoded), while residual PQ spends all ksub on the
+    * spread. Probed at all three sfs: residual recall@5 0.46/0.47/0.25
+    * vs raw 0.37/0.34/0.16 (sf0.001/0.01/0.1). */
+  private def plantedClusterEmb(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> cast((2048 * (case when " +
+        "i % 16 = vec_id % 16 then 1 else 0 end) + " +
+        "floor(cast(x as double) * 4096.0D)) / 4096.0D as float))")
+        .as("embedding"))
+  private val sqlPlantedClusterEmb: String =
+    """pe AS MATERIALIZED (SELECT vec_id,
+         list_transform(range(0, 64), i ->
+           (2048 * (CASE WHEN i % 16 = vec_id % 16 THEN 1 ELSE 0 END)
+            + floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+              * 4096.0)) / 4096.0) AS embedding
+       FROM embeddings)"""
+
+  /** Residual IVF-PQ vs raw IVF-PQ recall@5 against brute cosine on
+    * the SAME (m, ksub, nProbe) budget (Similarity.ivfPqResidualTopK —
+    * r15 verdict item 3): encoding v − c[cell] lets the codebooks
+    * spend their budget on the residual distribution instead of
+    * re-encoding coarse structure (FAISS IndexIVFPQ default); the
+    * recall row over the planted-cluster fixture is the proof.
+    * Residuals live on the 2⁻¹² dyadic grid (exact int64
+    * subtraction), scoring adds the exact ⟨q, centroid⟩ offset per
+    * probed cell. Oracle replays brute + both ANN chains from the
+    * three inlined trained tables. */
+  private val pqResArtifactCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[(Long, Seq[Float], Double)],
+      Array[(Int, Int, Seq[Float])], Array[(Int, Int, Seq[Float])])]
+  /** The q254 trained-artifact triple over the PLANTED fixture —
+    * centroids, raw-vector codebooks, residual codebooks, all on the
+    * same (k=16, m, ksub) budget, dyadic-quantized for VALUES
+    * transport; cached per sf dir. */
+  private def plantedPqArtifacts(s: SparkSession, d: String)
+      : (Array[(Long, Seq[Float], Double)],
+         Array[(Int, Int, Seq[Float])], Array[(Int, Int, Seq[Float])]) =
+    pqResArtifactCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val e = plantedClusterEmb(s, d)
+      val cent = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+          k = 16, iters = 2)
+        .select("cent_id", "cent_vec", "cent_norm").collect()
+        .map { r =>
+          val q = quantizeVec(r.getSeq[Float](1))
+          (r.getLong(0), q, foldNorm(q))
+        }
+        .sortBy(_._1)
+      val centDf = cent.toSeq.toDF("cent_id", "cent_vec", "cent_norm")
+      def collectCb(df: DataFrame) =
+        df.select("sub", "code_id", "code_vec").collect()
+          .map(r =>
+            (r.getInt(0), r.getInt(1), quantizeVec(r.getSeq[Float](2))))
+          .sortBy(t => (t._1, t._2))
+      val cbRaw = collectCb(Similarity.trainPqCodebooks(e, "vec_id",
+        "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2))
+      val cbRes = collectCb(Similarity.trainPqCodebooksResidual(e,
+        "vec_id", "embedding", centDf, dim = 64, m = PqM, ksub = PqKsub,
+        iters = 2))
+      (cent, cbRaw, cbRes)
+    })
+
+  private val q254 = QDef("q254_ivfpq_residual_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = plantedClusterEmb(s, d)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val (centA, cbRawA, cbResA) = plantedPqArtifacts(s, d)
+      val cent = centA.toSeq.toDF("cent_id", "cent_vec", "cent_norm")
+      val cbRaw = cbRawA.toSeq.toDF("sub", "code_id", "code_vec")
+      val cbRes = cbResA.toSeq.toDF("sub", "code_id", "code_vec")
+      val exact = graft.ops.Caches.track(
+        Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 5)
+          .persist())
+      def row(name: String, ann: org.apache.spark.sql.DataFrame) =
+        Similarity.topKRecall(ann, exact, "q_id", "neighbor_id")
+          .agg(sum(col("n_exact")).as("n_exact"),
+            sum(col("n_hit")).as("n_hit"))
+          .select(lit(name).as("variant"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 4)
+              .as("recall"))
+      row("ivfpq",
+        Similarity.ivfPqTopK(q, e, "vec_id", "embedding", k = 5, cent,
+          nProbe = 3, cbRaw, dim = 64, m = PqM, ksub = PqKsub))
+        .unionByName(row("ivfpq_residual",
+          Similarity.ivfPqResidualTopK(q, e, "vec_id", "embedding",
+            k = 5, cent, nProbe = 3, cbRes, dim = 64, m = PqM,
+            ksub = PqKsub)))
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (cent, cbRaw, cbRes) = plantedPqArtifacts(s, d)
+      val centRows = cent.map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+      }.mkString(", ")
+      def cbValues(cb: Array[(Int, Int, Seq[Float])]) =
+        cb.map { case (sub, code, vec) =>
+          s"($sub, $code, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+        }.mkString(", ")
+      s"""WITH $sqlPlantedClusterEmb,
+            cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $centRows) AS t(cent_id, cent_vec)),
+            cb AS (SELECT * FROM (VALUES ${cbValues(cbRaw)})
+              AS t(sub, code_id, code_vec)),
+            cbr AS (SELECT * FROM (VALUES ${cbValues(cbRes)})
+              AS t(sub, code_id, code_vec)),
+            v AS MATERIALIZED (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> embedding[i] * embedding[i]))) AS nrm
+              FROM pe),
+            q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+              FROM v WHERE vec_id % 10 = 0),
+            scx AS (SELECT q.q_id, c.vec_id AS c_id,
+                list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                  i -> q.q_vec[i] * c.vec[i])) / (q.q_nrm * c.nrm) AS cos
+              FROM q, v c WHERE q.q_id <> c.vec_id),
+            ex AS MATERIALIZED (SELECT q_id, c_id FROM (
+              SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM scx)
+              WHERE rn <= 5),
+            asg AS MATERIALIZED (SELECT c_id, cell FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> a.vec[i] * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC)
+                       AS rn
+              FROM v a, cent) WHERE rn = 1),
+            probes AS MATERIALIZED (SELECT q_id, cell, qdot FROM (
+              SELECT q.q_id, cent.cent_id AS cell,
+                     list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                       i -> q.q_vec[i] * cent.cent_vec[i])) AS qdot,
+                     row_number() OVER (PARTITION BY q.q_id ORDER BY
+                       list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                         i -> q.q_vec[i] * cent.cent_vec[i]))
+                         / (q.q_nrm * cent.cent_nrm) DESC, cent.cent_id ASC)
+                       AS rn
+              FROM q, cent) WHERE rn <= 3),
+            subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+            sv AS MATERIALIZED (SELECT vec_id, subs.sub,
+                vec[CAST(subs.sub * $PqDsub + 1 AS INT)
+                  : CAST(subs.sub * $PqDsub + $PqDsub AS INT)] AS svec
+              FROM v, subs),
+            enc AS MATERIALIZED (SELECT vec_id, sub, code_id FROM (
+                SELECT sv.vec_id, sv.sub, cb.code_id, row_number() OVER (
+                  PARTITION BY sv.vec_id, sv.sub ORDER BY
+                    list_sum(list_transform(range(1, ${PqDsub + 1}),
+                      i -> (sv.svec[i] - cb.code_vec[i]) *
+                           (sv.svec[i] - cb.code_vec[i]))) ASC,
+                    cb.code_id ASC) AS rn
+                FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rn = 1),
+            dt AS (SELECT sv.vec_id AS q_id, sv.sub, cb.code_id,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> sv.svec[i] * cb.code_vec[i])) AS ip
+              FROM sv JOIN cb ON sv.sub = cb.sub
+              WHERE sv.vec_id % 10 = 0),
+            sc AS (SELECT p.q_id, a.c_id,
+                list_sum(list(dt.ip ORDER BY dt.sub)) AS adot
+              FROM probes p
+              JOIN asg a ON p.cell = a.cell
+              JOIN enc ON enc.vec_id = a.c_id
+              JOIN dt ON dt.q_id = p.q_id AND dt.sub = enc.sub
+                     AND dt.code_id = enc.code_id
+              WHERE p.q_id <> a.c_id
+              GROUP BY 1, 2),
+            rplain AS MATERIALIZED (SELECT q_id, c_id FROM (
+              SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY adot DESC, c_id ASC) AS rn
+              FROM sc) WHERE rn <= 5),
+            rv AS MATERIALIZED (SELECT p.vec_id, a.cell,
+                list_transform(range(1, 65), i ->
+                  (floor(p.embedding[CAST(i AS INT)] * 4096.0) -
+                   floor(cent.cent_vec[CAST(i AS INT)] * 4096.0))
+                    / 4096.0) AS rvec
+              FROM pe p JOIN asg a ON a.c_id = p.vec_id
+                   JOIN cent ON cent.cent_id = a.cell),
+            rsv AS MATERIALIZED (SELECT vec_id, subs.sub,
+                rvec[CAST(subs.sub * $PqDsub + 1 AS INT)
+                  : CAST(subs.sub * $PqDsub + $PqDsub AS INT)] AS svec
+              FROM rv, subs),
+            renc AS MATERIALIZED (SELECT vec_id, sub, code_id FROM (
+                SELECT rsv.vec_id, rsv.sub, cbr.code_id, row_number()
+                  OVER (PARTITION BY rsv.vec_id, rsv.sub ORDER BY
+                    list_sum(list_transform(range(1, ${PqDsub + 1}),
+                      i -> (rsv.svec[i] - cbr.code_vec[i]) *
+                           (rsv.svec[i] - cbr.code_vec[i]))) ASC,
+                    cbr.code_id ASC) AS rn
+                FROM rsv JOIN cbr ON rsv.sub = cbr.sub) WHERE rn = 1),
+            rdt AS (SELECT sv.vec_id AS q_id, sv.sub, cbr.code_id,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> sv.svec[i] * cbr.code_vec[i])) AS ip
+              FROM sv JOIN cbr ON sv.sub = cbr.sub
+              WHERE sv.vec_id % 10 = 0),
+            rsc AS (SELECT p.q_id, a.c_id,
+                list_sum(list(rdt.ip ORDER BY rdt.sub)) + any_value(p.qdot)
+                  AS adot
+              FROM probes p
+              JOIN asg a ON p.cell = a.cell
+              JOIN renc ON renc.vec_id = a.c_id
+              JOIN rdt ON rdt.q_id = p.q_id AND rdt.sub = renc.sub
+                      AND rdt.code_id = renc.code_id
+              WHERE p.q_id <> a.c_id
+              GROUP BY 1, 2),
+            rres AS MATERIALIZED (SELECT q_id, c_id FROM (
+              SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY adot DESC, c_id ASC) AS rn
+              FROM rsc) WHERE rn <= 5),
+            agg AS (
+              SELECT 'ivfpq' AS variant,
+                (SELECT count(1) FROM ex) AS n_exact,
+                (SELECT count(1) FROM ex JOIN rplain
+                   USING (q_id, c_id)) AS n_hit
+              UNION ALL
+              SELECT 'ivfpq_residual' AS variant,
+                (SELECT count(1) FROM ex) AS n_exact,
+                (SELECT count(1) FROM ex JOIN rres
+                   USING (q_id, c_id)) AS n_hit)
+            SELECT variant, CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall
+            FROM agg"""
+    }))
+
   /** IVF-PQ ANN — both trained approximations composed (cell pruning ×
     * code compression, the billion-vector index shape): the coarse
     * quantizer restricts WHICH vectors are scored (nProbe cells), PQ
@@ -10011,7 +10244,8 @@ object Queries {
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
+    q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
+    q254)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1074,6 +1074,110 @@ object Similarity {
       .withColumnRenamed("cos", "adot")
   }
 
+  // ------------------------------------------------- residual IVF-PQ
+
+  /** Each corpus vector's coarse cell plus its RESIDUAL v − c[cell] on
+    * the 2⁻¹² dyadic grid: `r_j = (⌊4096·v_j⌋ − ⌊4096·c_j⌋) / 4096` —
+    * the quantization makes the residual EXACT in both engines (float
+    * ·2¹² is exact in double, floor is exact, the difference is int64,
+    * and /4096 of a < 2²⁴ integer is float-exact), the repo's dyadic
+    * transport discipline applied to the subtraction FAISS's
+    * IndexIVFPQ performs in float. Grid error ≤ 2⁻¹² per component —
+    * noise against PQ distortion at any practical (m, ksub).
+    * Output: `(c_id, cell, rvec)`. */
+  def residualCorpus(corpus: DataFrame, id: String, vec: String,
+                     cent: DataFrame): DataFrame = {
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    assignCells(c, cent)
+      .join(broadcast(cent.select(col("cent_id").as("cell"),
+        col("cent_vec"))), Seq("cell"))
+      .select(col("c_id"), col("cell"),
+        zip_with(col("c_vec"), col("cent_vec"), (a, b) =>
+          ((floor(a.cast("double") * lit(4096.0)) -
+            floor(b.cast("double") * lit(4096.0))) / lit(4096.0))
+            .cast("float")).as("rvec"))
+  }
+
+  /** PQ codebooks trained on RESIDUALS (FAISS IndexIVFPQ's default —
+    * Jégou et al. 2011 §V.A): after the coarse quantizer removes the
+    * cell mean, the codebooks spend their m·ksub budget on the
+    * residual distribution instead of re-encoding coarse structure —
+    * the recall-per-byte win that makes IVF-PQ competitive. Same
+    * deterministic Lloyd's as [[trainPqCodebooks]], over the
+    * [[residualCorpus]] grid vectors. */
+  def trainPqCodebooksResidual(corpus: DataFrame, id: String,
+                               vec: String, cent: DataFrame, dim: Int,
+                               m: Int, ksub: Int, iters: Int): DataFrame =
+    trainPqCodebooks(residualCorpus(corpus, id, vec, cent), "c_id",
+      "rvec", dim, m, ksub, iters)
+
+  /** The static index table of RESIDUAL IVF-PQ: `(cell, c_id, codes)`
+    * with codes encoding the residual against residual-trained
+    * codebooks. Build once, persist, serve. */
+  def ivfPqResidualIndex(corpus: DataFrame, id: String, vec: String,
+                         cent: DataFrame, codebooks: DataFrame,
+                         dim: Int, m: Int): DataFrame = {
+    val rc = residualCorpus(corpus, id, vec, cent)
+    pqEncode(rc, "c_id", "rvec", codebooks, dim, m)
+      .join(rc.select(col("c_id"), col("cell")), "c_id")
+  }
+
+  /** Residual IVF-PQ top-k — [[ivfPqTopK]] with residual encoding:
+    * `⟨q, v⟩ ≈ ⟨q, c[cell]⟩ + ⟨q, r̂⟩`, so each probed (query, cell)
+    * pair carries the exact query·centroid dot as an OFFSET and the
+    * ADC table is built against the residual codebooks — the identical
+    * m-array-read scoring shape plus one double add per candidate.
+    * Queries need no residualization under the inner-product metric
+    * (the offset is the whole correction). Same plan skeleton:
+    * broadcast centroids + per-query tables, one cell equi-join, PqAdc
+    * row-local, bounded-heap ranking (adot DESC, id ASC). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+                        id: String, vec: String, k: Int,
+                        cent: DataFrame, nProbe: Int,
+                        codebooks: DataFrame, dim: Int, m: Int,
+                        ksub: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"need dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    val cellCodes = ivfPqResidualIndex(corpus, id, vec, cent,
+      codebooks, dim, m)
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"))
+    // nProbe best cells per query, each carrying its ⟨q, centroid⟩
+    // offset (same cosine probe rule as ivfPqTopK)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"),
+        cosine(col("q_vec"), col("cent_vec"), col("q_norm"), col("cent_norm"))
+          .as("qcos"), col("cent_id"),
+        graft.functions.VectorExprs.floatDot(col("q_vec"), col("cent_vec"))
+          .as("qdot"))
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("qcos")).as("n"), col("cent_id"), col("qdot")))),
+        1, nProbe).as("cells"))
+      .select(col("q_id"), explode(col("cells")).as("pc"))
+      .select(col("q_id"), col("pc.cent_id").as("cell"), col("pc.qdot"))
+    // per-query ADC table against the RESIDUAL codebooks
+    val dt = queries.select(col(id).as("q_id"),
+        subVectors(col(vec), m, dsub).as(Seq("sub", "sv")))
+      .join(broadcast(codebooks), "sub")
+      .select(col("q_id"),
+        (col("sub") * ksub + col("code_id")).as("slot"),
+        graft.functions.VectorExprs.floatDot(col("sv"), col("code_vec")).as("ip"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("ip")))).as("se"))
+      .select(col("q_id"), transform(col("se"), e => e.getField("ip")).as("dt"))
+    val scored = probes.join(dt, "q_id")
+      .join(cellCodes, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (graft.functions.VectorExprs.pqAdc(col("codes"), col("dt"), ksub)
+          + col("qdot")).as("cos"))
+    topKMerge(scored, k)
+      .withColumnRenamed("cos", "adot")
+  }
+
   /** ANN near-dup pairs: bucket by hyperplane signature, exact cosine
     * verification within buckets only. Candidate volume ∝ Σ_bucket
     * |bucket|² with 2^numPlanes buckets — the 100 TB path (approximate:

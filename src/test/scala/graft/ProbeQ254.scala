@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-scale probe for q254 (test scope): recall@5 of raw vs
+  * residual IVF-PQ against brute cosine over planted-cluster fixtures
+  * at several mean scales, to pick the scale where the residual
+  * advantage is visible (mean comparable to spread — at mean ≫ spread
+  * both variants drown in near-tied rankings; at mean 0 there is no
+  * coarse structure to remove). */
+object ProbeQ254 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val b = SparkSession.builder().master("local[32]")
+      .appName("probeq254").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val ops = graft.ops.Similarity
+    val raw = Queries.table(spark, dir, "embeddings")
+    println("[probe] embedding stats:")
+    raw.select(explode(col("embedding")).as("x"))
+      .agg(min("x"), max("x"), avg(abs(col("x")))).show()
+    for (scaleQ <- Seq(2048L)) {
+      val e = raw.select(col("vec_id"),
+        expr(s"transform(embedding, (x, i) -> cast(($scaleQ * (case when " +
+          "i % 16 = vec_id % 16 then 1 else 0 end) + " +
+          "floor(cast(x as double) * 4096.0D)) / 4096.0D as float))")
+          .as("embedding")).localCheckpoint(true)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val cent = ops.trainIvfCentroids(e, "vec_id", "embedding", 16, 2)
+        .localCheckpoint(true)
+      val cbRaw = ops.trainPqCodebooks(e, "vec_id", "embedding",
+        64, 8, 16, 2)
+      val cbRes = ops.trainPqCodebooksResidual(e, "vec_id", "embedding",
+        cent, 64, 8, 16, 2)
+      val exact = ops.cosineTopK(q, e, "vec_id", "embedding", 5)
+        .localCheckpoint(true)
+      def rec(ann: DataFrame): Double = {
+        val r = ops.topKRecall(ann, exact, "q_id", "neighbor_id")
+          .agg(sum("n_exact"), sum("n_hit")).head()
+        r.getLong(1).toDouble / r.getLong(0)
+      }
+      def adcErr(ann: DataFrame): Double = {
+        val t = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv"))
+        val qv = e.select(col("vec_id").as("q_id"),
+          col("embedding").as("qv"))
+        ann.join(t, "neighbor_id").join(qv, "q_id")
+          .select(abs(col("adot") -
+            graft.functions.VectorExprs.floatDot(col("qv"), col("nv")))
+            .as("err"))
+          .agg(avg("err")).head().getDouble(0)
+      }
+      val rstat = ops.residualCorpus(e, "vec_id", "embedding", cent)
+        .select(explode(col("rvec")).as("r"))
+        .agg(avg(abs(col("r"))), max(abs(col("r")))).head()
+      println(f"[probe] scaleQ=$scaleQ%6d residual avg|r|=" +
+        f"${rstat.getDouble(0)}%.4f max|r|=${rstat.getFloat(1)}%.4f")
+      val annP = ops.ivfPqTopK(q, e, "vec_id", "embedding", 5, cent,
+        3, cbRaw, 64, 8, 16).localCheckpoint(true)
+      val annR = ops.ivfPqResidualTopK(q, e, "vec_id", "embedding", 5,
+        cent, 3, cbRes, 64, 8, 16).localCheckpoint(true)
+      val rp = rec(annP)
+      val rr = rec(annR)
+      println(f"[probe] scaleQ=$scaleQ%6d  ivfpq=$rp%.4f  " +
+        f"residual=$rr%.4f  adcErr raw=${adcErr(annP)}%.4f " +
+        f"res=${adcErr(annR)}%.4f")
+    }
+    spark.stop()
+  }
+}

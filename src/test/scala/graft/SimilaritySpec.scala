@@ -240,6 +240,80 @@ class SimilaritySpec extends SparkSpec {
     assert(wide.map(_._3) == Seq(20L, 2L, 30L))
   }
 
+  test("residualCorpus subtracts the assigned centroid on the dyadic " +
+      "grid; perfect residual codewords make residual ADC exact") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.25f, 0.0f, 0.0f)),   // cell 0, r = (0,.25,0,0)
+      (2L, Seq(0.0f, 0.0f, 1.0f, -0.25f))   // cell 1, r = (0,0,0,-.25)
+    ).toDF("vec_id", "embedding")
+    val cent = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1.0),
+      (1L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1.0)
+    ).toDF("cent_id", "cent_vec", "cent_norm")
+    val rv = Similarity.residualCorpus(corpus, "vec_id", "embedding",
+        cent)
+      .as[(Long, Long, Seq[Float])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rv(1L) == ((0L, Seq(0.0f, 0.25f, 0.0f, 0.0f))), s"$rv")
+    assert(rv(2L) == ((1L, Seq(0.0f, 0.0f, 0.0f, -0.25f))), s"$rv")
+    // residual codebooks containing the exact residuals: ADC == the
+    // true inner product (the offset carries the centroid term exactly)
+    val cb = Seq(
+      (0, 0, Seq(0.0f, 0.0f)), (0, 1, Seq(0.0f, 0.25f)),
+      (1, 0, Seq(0.0f, 0.0f)), (1, 1, Seq(0.0f, -0.25f))
+    ).toDF("sub", "code_id", "code_vec")
+    val q = Seq((10L, Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqResidualTopK(q, corpus, "vec_id",
+        "embedding", k = 3, cent, nProbe = 2, cb, dim = 4, m = 2,
+        ksub = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    // adot(v1) = <q,c0> + <q,r1> = 1 + 0.25; adot(v2) = 1 - 0.25
+    assert(out == Seq((10L, 1, 1L, 1.25), (10L, 2, 2L, 0.75)), s"$out")
+    // nProbe=1: only the best-cosine cell's members are scored —
+    // cosine ties (both cells at 0.5) break to the smaller cent_id
+    val narrow = Similarity.ivfPqResidualTopK(q, corpus, "vec_id",
+        "embedding", k = 3, cent, nProbe = 1, cb, dim = 4, m = 2,
+        ksub = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(narrow == Seq((10L, 1, 1L, 1.25)), s"$narrow")
+  }
+
+  test("residual IVF-PQ beats raw IVF-PQ recall when clusters outnumber " +
+      "ksub (the q254 contract, synthetic mini fixture)") {
+    // 16 clusters, mean 0.5 on dim ≡ c (mod 16), rich deterministic
+    // noise (murmur3 off the (id, dim) pair) in [-0.25, 0.25): raw
+    // PQ's ksub=8 codewords saturate on the cluster patterns crossing
+    // each subspace; residual PQ spends them on the noise — the q254
+    // fixture's shape at spec scale
+    val e = spark.range(400).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "(case when i % 16 = id % 16 then 2048 else 0 end + " +
+        "pmod(hash(id * 16 + i), 2048) - 1024) / 4096.0D as float))")
+        .as("embedding"))
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val cent = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      k = 16, iters = 2).localCheckpoint(true)
+    val cbRaw = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 8, iters = 2)
+    val cbRes = Similarity.trainPqCodebooksResidual(e, "vec_id",
+      "embedding", cent, dim = 16, m = 4, ksub = 8, iters = 2)
+    val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding",
+      k = 5).localCheckpoint(true)
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.topKRecall(ann, exact, "q_id", "neighbor_id")
+        .agg(sum(col("n_exact")), sum(col("n_hit"))).head()
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+    val rp = recall(Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+      k = 5, cent, nProbe = 2, cbRaw, dim = 16, m = 4, ksub = 8))
+    val rr = recall(Similarity.ivfPqResidualTopK(q, e, "vec_id",
+      "embedding", k = 5, cent, nProbe = 2, cbRes, dim = 16, m = 4,
+      ksub = 8))
+    assert(rr > rp, s"residual recall $rr must beat raw $rp here")
+  }
+
   test("ivfSq8TopK prunes to probed cells, then ranks by integer ADC") {
     val cent = Similarity.trainIvfCentroids(pqCorpus, "vec_id", "embedding",
       k = 2, iters = 1)
