@@ -6128,6 +6128,94 @@ object Queries {
             FROM f JOIN bk ON f.a_id = bk.a_id AND f.b_id = bk.b_id
             WHERE f.a_id < f.b_id"""), bench = true)
 
+  /** Graph ANN: bounded-hop beam search over the mutual-kNN graph
+    * (Similarity.knnGraphSearch — r15 verdict item 4, the graph axis
+    * of the ANN taxonomy): deterministic hash-bucket min-id entry
+    * points, 4 hops of degree-bounded frontier expansion with EXACT
+    * cosine scoring (so recall is hop-monotone), beam 32, vs the brute
+    * top-5 — per-query recall rows (the q100 pattern). Oracle replays
+    * the mutual-kNN graph chain + the unrolled hop CTEs + brute. */
+  private val q255 = QDef("q255_graph_ann_recall",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val exact = graft.ops.Caches.track(
+        Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 5)
+          .persist())
+      val beam = Similarity.knnGraphSearch(q, e, "vec_id", "embedding",
+        k = 5, knnK = 8, beamWidth = 32, hops = 4, entryBuckets = 16)
+      Similarity.topKRecall(beam, exact, "q_id", "neighbor_id")
+    },
+    Some({
+      val (knnK, beam, hops, eb) = (8, 32, 4, 16)
+      // unrolled hop CTEs: c_h = the frontier's unseen out-neighbors,
+      // s_h = the scored set grown by them, f_h = the next frontier
+      // (top-beam of everything scored, minus every prior frontier)
+      val hopCtes = (1 to hops).map { h =>
+        val fPrev = s"f${h - 1}"
+        val sPrev = s"s${h - 1}"
+        val cte = new StringBuilder
+        cte ++= s"""c$h AS ((SELECT DISTINCT $fPrev.q_id, und.dst AS node
+                FROM $fPrev JOIN und ON und.src = $fPrev.node)
+              EXCEPT (SELECT q_id, node FROM $sPrev)),
+            s$h AS MATERIALIZED (SELECT * FROM $sPrev UNION ALL
+              SELECT scx.q_id, scx.node, scx.cos
+              FROM c$h JOIN scx USING (q_id, node))"""
+        if (h < hops) {
+          val expanded = (0 until h)
+            .map(i => s"SELECT q_id, node FROM f$i").mkString(" UNION ")
+          cte ++= s""",
+            f$h AS ((SELECT q_id, node FROM (
+                SELECT q_id, node, row_number() OVER (
+                  PARTITION BY q_id ORDER BY cos DESC, node ASC) AS rn
+                FROM s$h) WHERE rn <= $beam)
+              EXCEPT ($expanded))"""
+        }
+        cte.toString
+      }.mkString(",\n            ")
+      s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding AS v,
+               sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+             FROM embeddings),
+            sca AS MATERIALIZED (SELECT a.vec_id AS a_id,
+                b.vec_id AS b_id,
+                list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> CAST(a.v[i] AS DOUBLE) * b.v[i])) / (a.nrm * b.nrm)
+                  AS cos
+              FROM n a, n b),
+            r AS MATERIALIZED (SELECT a_id, b_id, row_number() OVER (
+                PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+              FROM sca WHERE a_id <> b_id QUALIFY rn <= $knnK),
+            mp AS (SELECT f.a_id, f.b_id FROM r f
+              JOIN r bk ON f.a_id = bk.b_id AND f.b_id = bk.a_id
+              WHERE f.a_id < f.b_id),
+            und AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM mp
+              UNION ALL SELECT b_id AS src, a_id AS dst FROM mp),
+            scx AS MATERIALIZED (SELECT a_id AS q_id, b_id AS node, cos
+              FROM sca WHERE a_id % 10 = 0),
+            ex AS MATERIALIZED (SELECT q_id, node AS c_id FROM (
+              SELECT q_id, node, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, node) AS rn
+              FROM scx WHERE q_id <> node) WHERE rn <= 5),
+            entries AS (SELECT min(vec_id) AS node FROM n
+              GROUP BY ${sqlHash60("vec_id", "knng")} % $eb),
+            s0 AS MATERIALIZED (SELECT scx.q_id, scx.node, scx.cos
+              FROM scx JOIN entries USING (node)),
+            f0 AS (SELECT q_id, node FROM s0),
+            $hopCtes,
+            beamr AS MATERIALIZED (SELECT q_id, node FROM (
+              SELECT q_id, node, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, node ASC) AS rn
+              FROM s$hops WHERE q_id <> node) WHERE rn <= 5)
+            SELECT ex.q_id, CAST(count(1) AS BIGINT) AS n_exact,
+                   CAST(count(b.node) AS BIGINT) AS n_hit,
+                   round(CAST(count(b.node) AS DOUBLE) / count(1), 4)
+                     AS recall
+            FROM ex LEFT JOIN beamr b
+              ON ex.q_id = b.q_id AND ex.c_id = b.node
+            GROUP BY 1"""
+    }), bench = true)
+
   /** Tokenizer fertility panel (TextAnalysis.tokenizerFertility): per
     * language, subwords-per-word and chars-per-subword on the exact
     * int64 grid — the sequence-length-cost panel a multilingual
@@ -10245,7 +10333,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254)
+    q254, q255)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

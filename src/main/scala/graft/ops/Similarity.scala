@@ -1728,6 +1728,208 @@ object Similarity {
           .as("margin_x1000"))
   }
 
+  // ------------------------------------------------------ graph ANN
+
+  /** Bounded-hop BEAM SEARCH over a directed neighbor graph — the
+    * graph axis of the ANN taxonomy (what HNSW-class vector stores
+    * serve from; this is the flat single-layer form over the
+    * [[mutualKnnPairs]] graph, r15 verdict item 4). Deterministic and
+    * fully relational:
+    *
+    *  - entry points: the min-id node of each of `entryBuckets` hash
+    *    buckets over the live node set (deterministic, diverse, one
+    *    tiny aggregate);
+    *  - per hop: expand the frontier's out-edges (degree-bounded join),
+    *    drop already-scored (q, node) pairs, score the novel candidates
+    *    EXACTLY (cosine — so the scored set's top-k intersection with
+    *    the true top-k is MONOTONE in the scored set, giving the
+    *    hop-monotone recall the spec pins), fold into the scored set,
+    *    and take the next frontier = top-`beamWidth` of everything
+    *    scored, minus nodes already expanded;
+    *  - `localCheckpoint` per hop truncates the loop lineage (the q211
+    *    analysis-OOM discipline).
+    *
+    * Scale shape: nothing corpus-scale moves at query time — the
+    * frontier is beam-bounded per query, expansion is Σ degree ≤
+    * beam·2k rows/hop, scoring joins batch-bounded candidate ids
+    * against the node-bucketed vector table, and the per-query window
+    * partitions by q_id (query-bounded). The graph build is the sunk
+    * index cost ([[saveKnnGraphIndex]]).
+    *
+    * `edges` is DIRECTED `(src, dst)` — pass both directions for an
+    * undirected graph ([[knnGraphSearch]] does). Output: the
+    * [[topKMerge]] shape `(q_id, rank, neighbor_id, cos)`. */
+  def knnGraphBeamSearch(queries: DataFrame, edges: DataFrame,
+                         vectors: DataFrame, id: String, vec: String,
+                         k: Int, beamWidth: Int, hops: Int,
+                         entryBuckets: Int = 4,
+                         salt: String = "knng"): DataFrame = {
+    require(k >= 1 && beamWidth >= 1 && hops >= 0 && entryBuckets >= 1,
+      s"bad params: k=$k beamWidth=$beamWidth hops=$hops " +
+        s"entryBuckets=$entryBuckets")
+    val v = vectors.select(col(id).as("node"), col(vec).as("n_vec"),
+      norm(col(vec)).as("n_norm"))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"))
+    val entries = v.select(col("node"))
+      .groupBy(pmod(Sampling.hash60(col("node"), salt),
+        lit(entryBuckets)).as("__b"))
+      .agg(min(col("node")).as("node"))
+      .select(col("node"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, Seq("node"))
+        .join(q, Seq("q_id"))
+        .select(col("q_id"), col("node"),
+          cosine(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm"))
+            .as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("node").asc)
+    // the query's OWN node (in-corpus queries) is scored and may hold a
+    // beam slot — excluding it from the WALK would disconnect the two
+    // sides of its neighborhood (a chain query could never reach past
+    // itself); it is filtered from RESULTS only, below
+    var scored = score(q.select(col("q_id")).crossJoin(entries))
+      .localCheckpoint(true)
+    var frontier = scored.select(col("q_id"), col("node"))
+    var expanded = frontier.limit(0)
+    for (_ <- 1 to hops) {
+      expanded = expanded.unionByName(frontier).distinct()
+        .localCheckpoint(true)
+      val cand = frontier
+        .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+        .join(scored.select(col("q_id"), col("node")),
+          Seq("q_id", "node"), "left_anti")
+      scored = scored.unionByName(score(cand)).localCheckpoint(true)
+      frontier = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= beamWidth)
+        .select(col("q_id"), col("node"))
+        .join(expanded, Seq("q_id", "node"), "left_anti")
+    }
+    topKMerge(scored.filter(col("q_id") =!= col("node"))
+      .select(col("q_id"), col("node").as("c_id"), col("cos")), k)
+  }
+
+  /** In-query graph ANN: build the mutual-kNN graph, search it —
+    * the q255 shape (the graph is the expensive half; serve from
+    * [[saveKnnGraphIndex]] when it can be sunk). */
+  def knnGraphSearch(queries: DataFrame, corpus: DataFrame, id: String,
+                     vec: String, k: Int, knnK: Int, beamWidth: Int,
+                     hops: Int, entryBuckets: Int = 4,
+                     salt: String = "knng"): DataFrame = {
+    val pairs = mutualKnnPairs(corpus, id, vec, knnK)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"),
+        col("a_id").as("dst")))
+    knnGraphBeamSearch(queries, edges, corpus, id, vec, k, beamWidth,
+      hops, entryBuckets, salt)
+  }
+
+  private def knnGraphVecTable(table: String): String = table + "__vec"
+
+  /** Persist the mutual-kNN graph as a MAINTAINED pair index: a
+    * directed edge table `(src, dst, gen)` bucketed by `src` (the
+    * expansion join prunes to the frontier's buckets) and a node
+    * vector sibling `<table>__vec (src, vec, gen)` bucketed by `src`,
+    * both under ONE tombstone sidecar and one generation stamp (the
+    * maxsim pair discipline). A deleted node's vec row is hidden by
+    * the sidecar, which also kills it as a CANDIDATE everywhere — the
+    * scoring join on the live vector table is inner, so dangling
+    * edges (dst deleted) are harmless garbage, never results; its
+    * src-edges are hidden directly. Build params (k) persist in the
+    * O(1) sidecar ([[graft.io.IndexMaintenance.writeParams]]). */
+  def saveKnnGraphIndex(df: DataFrame, id: String, vec: String,
+                        table: String, buckets: Int, k: Int): Unit = {
+    val pairs = mutualKnnPairs(df, id, vec, k)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"),
+        col("a_id").as("dst")))
+      .withColumn("gen", lit(0L))
+    graft.io.Layout.writeBucketed(edges, table, "src", buckets)
+    graft.io.Layout.writeBucketed(
+      df.select(col(id).as("src"), col(vec).as("vec"))
+        .withColumn("gen", lit(0L)),
+      knnGraphVecTable(table), "src", buckets)
+    graft.io.IndexMaintenance.writeParams(df.sparkSession, table,
+      Map("k" -> k.toLong))
+  }
+
+  /** The live (edges, vectors) serve views of a maintained graph
+    * index — both through the SHARED sidecar. */
+  def loadKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                   table: String): (DataFrame, DataFrame) = {
+    val tomb = graft.io.IndexMaintenance.tombstoneTable(table)
+    (graft.io.IndexMaintenance.loadWith(spark, table, "src", tomb),
+      graft.io.IndexMaintenance.loadWith(spark, knnGraphVecTable(table),
+        "src", tomb))
+  }
+
+  /** Serve [[knnGraphBeamSearch]] from a maintained index. */
+  def knnGraphSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, queries: DataFrame,
+                              id: String, vec: String, k: Int,
+                              beamWidth: Int, hops: Int,
+                              entryBuckets: Int = 4,
+                              salt: String = "knng"): DataFrame = {
+    val (edges, vecs) = loadKnnGraph(spark, table)
+    knnGraphBeamSearch(queries, edges,
+      vecs.select(col("src").as(id), col("vec").as(vec)), id, vec, k,
+      beamWidth, hops, entryBuckets, salt)
+  }
+
+  /** Append NEW nodes HNSW-style — O(batch · live graph scoring):
+    * each arriving node links to its exact top-k among the live nodes
+    * plus its own batch, in BOTH directions; existing edges are never
+    * re-evaluated (the standard incremental-graph approximation —
+    * mutuality is a build-time property; appended edges only ADD
+    * connectivity, so reachability never degrades). The k guard reads
+    * the O(1) params sidecar. */
+  def appendToKnnGraphIndex(df: DataFrame, id: String, vec: String,
+                            table: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val k = graft.io.IndexMaintenance.readParams(spark, table)
+      .flatMap(_.get("k"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graph index '$table' has no params sidecar — " +
+          "rebuild with saveKnnGraphIndex")).toInt
+    val gen = graft.io.IndexMaintenance.currentSeq(spark, table)
+    val (_, liveV) = loadKnnGraph(spark, table)
+    val batch = df.select(col(id).as("src"), col(vec).as("vec"))
+    val target = liveV.select(col("src"), col("vec")).unionByName(batch)
+    val nn = cosineTopK(
+      batch.select(col("src").as("nid"), col("vec").as("nv")),
+      target.select(col("src").as("nid"), col("vec").as("nv")),
+      "nid", "nv", k)
+    val edges = nn.select(col("q_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .unionByName(nn.select(col("neighbor_id").as("src"),
+        col("q_id").as("dst")))
+      .dropDuplicates("src", "dst")
+      .withColumn("gen", lit(gen))
+    graft.io.Layout.appendBucketed(edges, table, "src", buckets)
+    graft.io.Layout.appendBucketed(batch.withColumn("gen", lit(gen)),
+      knnGraphVecTable(table), "src", buckets)
+  }
+
+  /** Tombstone nodes out of the graph (one sidecar row hides the vec
+    * row — killing the node as a candidate and entry everywhere — and
+    * its out-edges). */
+  def deleteFromKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, ids: DataFrame,
+                              idCol: String): Unit =
+    graft.io.IndexMaintenance.delete(spark, table, "src",
+      ids.select(col(idCol).as("src")))
+
+  /** Compact both tables of the graph index behind the shared sidecar
+    * (the [[graft.io.IndexMaintenance.compactPair]] crash contract).
+    * Dangling edges (dst deleted) survive the rewrite by design — they
+    * are unreachable as RESULTS (no live vec row) and bounded by the
+    * build degree; the vec table is rewritten live-only. */
+  def compactKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, buckets: Int): Unit =
+    graft.io.IndexMaintenance.compactPair(spark, table,
+      knnGraphVecTable(table), "src", "src", buckets, "src")
+
   /** Train SQ8 scalar-quantization bounds: per-dimension (min, max) of
     * the floor-quantized corpus (`floor(v_j·2^scaleBits)`, the repo-wide
     * integer grid) — the trained artifact of the FAISS-style SQ8 index

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parameter probe for q255 (test scope): beam-search recall vs brute
+  * over the mutual-kNN graph at several (knnK, beam, hops, entries)
+  * settings — picking the point where the graph walk is demonstrably
+  * navigable on the synthetic embeddings. */
+object ProbeQ255 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val b = SparkSession.builder().master("local[32]")
+      .appName("probeq255").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ops = graft.ops.Similarity
+    val e = Queries.table(spark, dir, "embeddings").localCheckpoint(true)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val exact = ops.cosineTopK(q, e, "vec_id", "embedding", 5)
+      .localCheckpoint(true)
+    def recall(ann: DataFrame): Double = {
+      val r = ops.topKRecall(ann, exact, "q_id", "neighbor_id")
+        .agg(sum("n_exact"), sum("n_hit")).head()
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+    for (knnK <- Seq(8);
+         (beam, hops, eb) <- Seq((16, 4, 8), (32, 4, 16))) {
+      val rec = recall(ops.knnGraphSearch(q, e, "vec_id", "embedding",
+        5, knnK, beam, hops, eb))
+      println(f"[probe] knnK=$knnK beam=$beam hops=$hops eb=$eb " +
+        f"recall=$rec%.4f")
+    }
+    spark.stop()
+  }
+}

@@ -1451,4 +1451,110 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.filter(_._1 == 1L).map(_._2).sorted.sameElements(
       Array(1, 2, 3, 4)))
   }
+
+  // ---------------------------------------------------------- graph ANN
+
+  /** Ten unit vectors on a circular arc, 9° apart: cosine decays
+    * strictly with angular (= id) distance, so each node's nearest
+    * neighbors are its chain neighbors and the mutual-2NN graph is
+    * exactly the chain 0—1—…—9. */
+  private def angleVec(deg: Double): Seq[Float] = Seq(
+    math.cos(math.toRadians(deg)).toFloat,
+    math.sin(math.toRadians(deg)).toFloat)
+  private lazy val arcCorpus = (0 to 9).map(i => (i.toLong, angleVec(i * 9.0)))
+    .toDF("vec_id", "embedding")
+
+  test("knnGraphBeamSearch: the walk advances one chain link per hop " +
+      "(hop-monotone recall), terminal hop = brute") {
+    val fwd = (0 until 9).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("src", "dst")
+    val und = fwd.unionByName(
+      fwd.select($"dst".as("src"), $"src".as("dst")))
+    // query sits at the FAR end of the chain; entryBuckets = 1 makes the
+    // single entry point the min-id node 0, so the true NN (node 9) is
+    // reachable only by walking all 9 links
+    val q = Seq((100L, angleVec(86.0))).toDF("vec_id", "embedding")
+    val best = Seq(0, 2, 5, 9).map { h =>
+      Similarity.knnGraphBeamSearch(q, und, arcCorpus, "vec_id",
+          "embedding", k = 1, beamWidth = 3, hops = h, entryBuckets = 1)
+        .select("neighbor_id").as[Long].collect().head
+    }
+    // best-so-far = the frontier's head = node h after h hops: recall vs
+    // the true NN is 0, 0, 0, 1 — monotone, and 1.0 at the terminal hop
+    assert(best == Seq(0L, 2L, 5L, 9L))
+    val terminal = Similarity.knnGraphBeamSearch(q, und, arcCorpus,
+        "vec_id", "embedding", k = 1, beamWidth = 3, hops = 9,
+        entryBuckets = 1)
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.cosineTopK(q, arcCorpus, "vec_id", "embedding",
+      k = 1).collect().map(_.toString).toSeq
+    assert(terminal == brute)
+  }
+
+  test("knnGraphSearch: in-corpus query traverses THROUGH its own node; " +
+      "full exploration = brute top-k") {
+    // query node 5 splits the chain: reaching 6..9 from the entry (node
+    // 0) requires walking through 5 itself — the walk admits the self
+    // node (it is excluded from results only)
+    val q = arcCorpus.filter($"vec_id".isin(0L, 5L))
+    val beam = Similarity.knnGraphSearch(q, arcCorpus, "vec_id",
+        "embedding", k = 3, knnK = 2, beamWidth = 16, hops = 9,
+        entryBuckets = 1)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Similarity.cosineTopK(q, arcCorpus, "vec_id", "embedding",
+        k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(beam == brute && beam.nonEmpty)
+    // no result row is ever the query itself
+    assert(!Similarity.knnGraphSearch(q, arcCorpus, "vec_id", "embedding",
+        k = 9, knnK = 2, beamWidth = 16, hops = 9, entryBuckets = 1)
+      .filter($"q_id" === $"neighbor_id").collect().nonEmpty)
+  }
+
+  test("knnGraph index lifecycle: serve ≡ in-query, HNSW-style append, " +
+      "tombstone delete, paired compaction") {
+    val q = Seq((200L, angleVec(89.0))).toDF("vec_id", "embedding")
+    def searchIdx(k: Int) = Similarity.knnGraphSearchFromIndex(spark,
+        "knng_idx", q, "vec_id", "embedding", k, beamWidth = 16,
+        hops = 10, entryBuckets = 1)
+      .collect().map(_.toString).sorted.toSeq
+    try {
+      Similarity.saveKnnGraphIndex(arcCorpus, "vec_id", "embedding",
+        "knng_idx", buckets = 2, k = 2)
+      val fresh = Similarity.knnGraphSearch(q, arcCorpus, "vec_id",
+          "embedding", k = 3, knnK = 2, beamWidth = 16, hops = 10,
+          entryBuckets = 1)
+        .collect().map(_.toString).sorted.toSeq
+      assert(searchIdx(3) == fresh && fresh.nonEmpty)
+      // append node 10 at 90°: links to its exact top-2 among the live
+      // nodes (9 and 8) in BOTH directions — reachable from entry 0 and
+      // now the query's true NN; the k guard reads the params sidecar
+      val batch = Seq((10L, angleVec(90.0))).toDF("vec_id", "embedding")
+      Similarity.appendToKnnGraphIndex(batch, "vec_id", "embedding",
+        "knng_idx", buckets = 2)
+      val withNew = searchIdx(1)
+      assert(withNew.head.contains("[200,1,10,"), withNew.toString)
+      // delete hides the node as result, entry, and expansion source
+      Similarity.deleteFromKnnGraphIndex(spark, "knng_idx",
+        Seq(Tuple1(10L)).toDF("vec_id"), "vec_id")
+      val afterDel = searchIdx(3)
+      assert(afterDel.head.contains("[200,1,9,"), afterDel.toString)
+      assert(!afterDel.exists(_.contains(",10,")))
+      // compaction rewrites BOTH tables behind the shared sidecar and
+      // serves identically; the vec sibling drops the dead row
+      Similarity.compactKnnGraphIndex(spark, "knng_idx", buckets = 2)
+      assert(searchIdx(3) == afterDel)
+      assert(spark.table("knng_idx__vec").count() == 10L)
+      assertSidecarClean("knng_idx")
+      // a missing params sidecar fails the append loudly
+      spark.sql("DROP TABLE knng_idx__params")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendToKnnGraphIndex(batch, "vec_id", "embedding",
+          "knng_idx", buckets = 2)
+      }
+      assert(e.getMessage.contains("params sidecar"), e.getMessage)
+    } finally Seq("knng_idx", "knng_idx__vec", "knng_idx__tombstones",
+      "knng_idx__params").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 }
