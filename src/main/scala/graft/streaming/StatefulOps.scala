@@ -1596,6 +1596,49 @@ object StatefulOps {
       }
     }
 
+  /** 5-gram LADDER LM scoring at ingest — the streaming form of
+    * [[graft.ops.TextAnalysis.ladderLmScore]] (q248; r15 verdict item
+    * 6): the trained ladder is a SUNK top-V-bounded artifact, each
+    * arriving document explodes to its top-order n-grams (row-local),
+    * LEFT stream-static broadcast-joins ONE dictionary per order (the
+    * shared [[graft.ops.TextAnalysis.ladderCosted]] backoff-chain
+    * stage, `ts` carried through the explode), and a watermarked
+    * per-(window, doc) aggregate emits each document's exact
+    * `(n_ngrams, total_cost, avg_cost_q)` when its window closes —
+    * equal to the batch pass at every prefix (StatefulOpsSpec). Cost ∝
+    * batch; no state beyond the windowed agg. Gating on `avg_cost_q`
+    * here is the live CCNet filter at the KenLM-grade order. */
+  def streamingLadderLmScore(stream: DataFrame, id: String, ts: String,
+                             text: String,
+                             ladder: Seq[Seq[(String, Long)]],
+                             oovCost: Long, scaleBits: Int = 12,
+                             windowSec: Int = 10,
+                             lateness: String = "10 seconds"): DataFrame =
+    graft.ops.TextAnalysis.ladderCosted(
+        stream.withWatermark(ts, lateness), id, text, ladder, oovCost,
+        scaleBits, carry = Seq(ts))
+      .groupBy(window(col(ts), s"$windowSec seconds"), col(id))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("__c")).as("total_cost"))
+      .withColumn("avg_cost_q", expr("total_cost div n_ngrams"))
+
+  /** Min-K% Prob over the ladder at ingest — the streaming twin of
+    * [[graft.ops.TextAnalysis.minKProbScoreLadder]] (q249) in the
+    * [[minKProbWriter]] posture: the per-doc top-k% selection window
+    * sees whole documents in single rows, so each micro-batch scores
+    * independently and batch parity holds by construction — the
+    * membership/leak alarm at the deepest trained order, wired where
+    * documents arrive. */
+  def minKProbLadderWriter(stream: DataFrame, id: String, text: String,
+      ladder: Seq[Seq[(String, Long)]], oovCost: Long,
+      scaleBits: Int = 12, kPct: Int = 20)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.TextAnalysis.minKProbScoreLadder(batch, id,
+          text, ladder, oovCost, scaleBits, kPct), bid)
+    }
+
   /** Min-K% Prob scoring at ingest — the streaming twin of
     * [[graft.ops.TextAnalysis.minKProbScore]] (the q112/q123 writer
     * posture): the trained LM is a SUNK artifact, each micro-batch's

@@ -1314,6 +1314,75 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingLadderLmScore: ingest 5-gram ladder gate equals batch " +
+      "over a mixed-order corpus") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val train = Seq((0L, "a b c d e a b c d e"),
+      (1L, "a b c x y a b c x y")).toDF("doc_id", "text")
+    val (lad, oov) = graft.ops.TextAnalysis.trainLadderLm(train, "text",
+      topVs = Seq(64, 64, 32, 32))
+    // mixed order: doc 1 hits trained 5-grams, doc 2's one gram backs
+    // off to the trained order-4 suffix (one penalty), doc 3 is pure
+    // OOV (three penalties + oov per gram)
+    val texts = Seq((1L, "a b c d e"), (2L, "x a b c d"),
+      (3L, "q r s t u v"))
+    val batch = graft.ops.TextAnalysis.ladderLmScore(
+        texts.toDF("doc_id", "text"), "doc_id", "text", lad, oov)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StatefulOps.streamingLadderLmScore(
+        in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts", "text",
+        lad, oov, windowSec = 10, lateness = "5 seconds")
+      .writeStream.format("memory").queryName("ladgate")
+      .outputMode("append").start()
+    withQuery(q) {
+      // every prefix: the two arrival chunks land in the same window,
+      // the closer event flushes it — emitted rows must equal batch
+      in.addData((t("2024-01-01 00:00:01"), 1L, texts.head._2))
+      q.processAllAvailable()
+      in.addData(texts.tail.map { case (id, tx) =>
+        (t("2024-01-01 00:00:02"), id, tx) }: _*)
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 00:00:30"), 99L, "a b c d e"))
+      q.processAllAvailable()
+      val streamed = spark.table("ladgate").filter(col("doc_id") < 99)
+        .select("doc_id", "n_ngrams", "total_cost", "avg_cost_q")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.size == 3,
+        s"ingest ladder gate must equal the batch pass: $streamed vs $batch")
+      // the gate separates: in-distribution < mixed < OOV
+      val byId = streamed.map(r => r._1 -> r._4).toMap
+      assert(byId(1L) < byId(2L) && byId(2L) < byId(3L))
+    }
+  }
+
+  test("minKProbLadderWriter: streamed ladder Min-K scores equal batch") {
+    implicit val ctx = spark.sqlContext
+    val train = Seq((0L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val (lad, oov) = graft.ops.TextAnalysis.trainLadderLm(train, "text",
+      topVs = Seq(64, 64, 32, 32))
+    val docs = Seq((1L, "a b c d e a b"), (2L, "a b c d e"),
+      (3L, "z z z z z z"))
+    val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.minKProbLadderWriter(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", lad, oov,
+        kPct = 50) {
+      (out, _) => buf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    }
+    val want = graft.ops.TextAnalysis.minKProbScoreLadder(
+        docs.toDF("doc_id", "text"), "doc_id", "text", lad, oov,
+        kPct = 50)
+      .collect().map(_.toSeq).toSet
+    assert(buf.toSet == want && want.size == 3)
+  }
+
   test("streamingRangeJoin: stream-static interval match equals batch rangeJoin") {
     implicit val ctx = spark.sqlContext
     val intervals = Seq((100L, 0L, 250L), (200L, 240L, 400L),
