@@ -9982,40 +9982,54 @@ object Queries {
     bench = true)
 
   /** URL curation over CANONICALIZED urls (Curation.canonicalUrl →
-    * urlCurationVerdicts(canonicalizeUrls = true) — r15): re-crawls
-    * differing only by scheme/host case, a default :443 port, query
-    * param ORDER, tracking params or a fragment collapse to one page.
-    * Fixture: triples sharing one canonical form — the plain url, a
-    * cased/ported/reordered/utm-tagged variant, a fragment variant;
-    * min id keeps, then host caps at 5. Oracle dedupes on the
-    * CLOSED-FORM canonical key (the fixture's construction makes it
-    * exact — no need to replay the regex chain). */
+    * urlCurationVerdicts(canonicalizeUrls = true) — r15, percent rules
+    * r16): re-crawls differing only by scheme/host case, a default
+    * :443 port, query param ORDER, tracking params, a fragment, or
+    * percent-encoding SPELLING (an unreserved escape `%70` vs the
+    * plain `p`; reserved-escape hex case `%2f` vs `%2F` — RFC 3986
+    * §6.2.2) collapse to one page, while userinfo variants stay
+    * DISTINCT keys in content and case (§3.2.1). Fixture: sextuples —
+    * four spellings of one canonical form + two userinfo variants
+    * differing only by userinfo case; min id keeps per key, then host
+    * caps at 5. Oracle dedupes on the CLOSED-FORM canonical keys (the
+    * fixture's construction makes them exact — no need to replay the
+    * regex chain). */
   private val q252 = QDef("q252_url_canonical",
     (s, d) => {
-      val k = expr("doc_id div 3")
+      val k = expr("doc_id div 6")
       val h = pmod(k, lit(12)).cast("string")
-      val base = concat(lit("https://h"), h, lit(".example.com/p/"),
-        k.cast("string"))
+      val host = concat(lit("h"), h, lit(".example.com"))
+      val tail = concat(lit("/p/"), k.cast("string"), lit("?id="),
+        k.cast("string"), lit("&x=%2F"))
       val urlCol =
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(base, lit("?id="), k.cast("string"), lit("&x=1")))
-        .when(pmod(col("doc_id"), lit(3)) === 1,
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit("https://"), host, tail))
+        .when(pmod(col("doc_id"), lit(6)) === 1,
           concat(lit("https://H"), h, lit(".Example.COM:443/p/"),
-            k.cast("string"), lit("?x=1&id="), k.cast("string"),
+            k.cast("string"), lit("?x=%2F&id="), k.cast("string"),
             lit("&utm_source=feed")))
-        .otherwise(concat(base, lit("?id="), k.cast("string"),
-          lit("&x=1#frag")))
+        .when(pmod(col("doc_id"), lit(6)) === 2,
+          concat(lit("https://"), host, tail, lit("#frag")))
+        .when(pmod(col("doc_id"), lit(6)) === 3,
+          concat(lit("https://"), host, lit("/%70/"), k.cast("string"),
+            lit("?id="), k.cast("string"), lit("&x=%2f")))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          concat(lit("https://User@"), host, tail))
+        .otherwise(concat(lit("https://uSeR@"), host, tail))
       Curation.urlCurationVerdicts(
         docs(s, d).select(col("doc_id"), urlCol.as("url")),
         "doc_id", "url", maxPerDomain = 5, salt = "uc",
         canonicalizeUrls = true)
     },
     Some(s"""WITH ub AS MATERIALIZED (SELECT doc_id,
-               'h' || CAST((doc_id // 3) % 12 AS VARCHAR) ||
+               'h' || CAST((doc_id // 6) % 12 AS VARCHAR) ||
                  '.example.com' AS host,
-               'https://h' || CAST((doc_id // 3) % 12 AS VARCHAR) ||
-                 '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR) ||
-                 '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&x=1' AS uc
+               'https://' ||
+                 CASE doc_id % 6 WHEN 4 THEN 'User@'
+                   WHEN 5 THEN 'uSeR@' ELSE '' END ||
+                 'h' || CAST((doc_id // 6) % 12 AS VARCHAR) ||
+                 '.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) ||
+                 '?id=' || CAST(doc_id // 6 AS VARCHAR) || '&x=%2F' AS uc
              FROM documents),
              uwin AS (SELECT min(doc_id) AS doc_id FROM ub GROUP BY uc),
              urnk AS MATERIALIZED (SELECT ub.doc_id, ub.host,

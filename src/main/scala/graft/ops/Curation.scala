@@ -32,31 +32,68 @@ object Curation {
     regexp_replace(noUser, ":[0-9]+$", "")
   }
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization (r15 verdict item
+    * 7), row-local: every `%hh` triplet either DECODES (when `hh` is an
+    * UNRESERVED octet — ALPHA / DIGIT / `-` `.` `_` `~` — the escapes
+    * §2.3 says equivalent URIs may freely drop, e.g. `%7E` → `~`,
+    * `%41` → `A`) or keeps its escape with the hex UPPERCASED
+    * (`%3a` → `%3A`, §6.2.2.1). Decoding unreserved octets can never
+    * mint a delimiter (all gen-/sub-delims are reserved and stay
+    * escaped), so this is safe to run on the whole pre-parse string. A
+    * `%` not followed by two hex digits is malformed input and passes
+    * through literally. Relational shape: split on `%`, one
+    * element-wise map over the pieces (a 66-entry literal map lookup +
+    * an upper()), re-join — the same chain any engine replays. */
+  private[graft] def percentNorm(u: Column): Column = {
+    val unreserved = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++
+      Seq('-', '.', '_', '~')).map(c => (f"${c.toInt}%02X", c.toString))
+    val dict = map(unreserved.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    val parts = split(u, "%", -1)
+    val dec = transform(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), p => {
+        val hh = upper(substring(p, 1, 2))
+        when(p.rlike("^[0-9A-Fa-f]{2}"),
+          concat(coalesce(element_at(dict, hh), concat(lit("%"), hh)),
+            substring(p, 3, Int.MaxValue)))
+          .otherwise(concat(lit("%"), p))
+      })
+    concat(element_at(parts, 1), array_join(dec, ""))
+  }
+
   /** URL canonicalization — the normalization stage-0 runs BEFORE
     * exact-URL dedup (r15): a re-crawl that differs only by tracking
-    * params, fragment, scheme/host case, a default port or query-param
-    * ORDER is the same page, and the raw-string dedup key misses all
-    * of those. Rules (each a row-local RE2-identical transform, so the
-    * oracle replays the chain):
+    * params, fragment, scheme/host case, percent-encoding spelling, a
+    * default port or query-param ORDER is the same page, and the
+    * raw-string dedup key misses all of those. Rules (each a row-local
+    * RE2-identical transform, so the oracle replays the chain):
     *   1. drop the fragment;
-    *   2. lowercase the scheme and the authority (paths stay
-    *      case-sensitive — they are);
-    *   3. strip the scheme's default port (:80 http, :443 https);
-    *   4. drop tracking params (`utm_*`, `gclid`, `fbclid`, `msclkid`,
+    *   2. normalize percent-encodings ([[percentNorm]]: decode
+    *      unreserved escapes, uppercase the hex of the rest);
+    *   3. lowercase the scheme and the HOST (paths stay case-sensitive
+    *      — they are; so does userinfo, per RFC 3986 §3.2.1);
+    *   4. strip the scheme's default port (:80 http, :443 https);
+    *   5. drop tracking params (`utm_*`, `gclid`, `fbclid`, `msclkid`,
     *      `ref`) and empty params;
-    *   5. SORT the surviving query params (binary order — param order
+    *   6. SORT the surviving query params (binary order — param order
     *      is not semantic);
-    *   6. drop an emptied query entirely.
-    * Userinfo is PRESERVED (an authenticated URL is not the same
-    * resource as the anonymous one — the conservative choice for a
-    * dedup key). Scheme-less inputs pass through rules 1/2/4-6. */
+    *   7. drop an emptied query entirely.
+    * Userinfo is PRESERVED — content AND case (an authenticated URL is
+    * not the same resource as the anonymous one, and userinfo is
+    * case-sensitive: `u:P@h` and `u:p@h` stay distinct dedup keys —
+    * the conservative choice, closing the r15 case-fold nit).
+    * Scheme-less inputs pass through rules 1-2/5-7. */
   def canonicalUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = percentNorm(regexp_replace(url, "#.*$", ""))
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val afterScheme = regexp_replace(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val authority = lower(regexp_replace(afterScheme, "[/?].*$", ""))
+    val rawAuth = regexp_replace(afterScheme, "[/?].*$", "")
+    // lowercase the host(:port) only; the (optional) userinfo before
+    // the LAST `@` keeps its case
+    val authority = concat(regexp_extract(rawAuth, "^(.*@)", 1),
+      lower(regexp_replace(rawAuth, "^.*@", "")))
     val authNoPort = when(scheme === "http",
         regexp_replace(authority, ":80$", ""))
       .when(scheme === "https", regexp_replace(authority, ":443$", ""))

@@ -652,14 +652,14 @@ class CurationSpec extends SparkSpec {
     assert(out(6L) == (("no-scheme.example.net", true, None)))
   }
 
-  test("canonicalUrl: fragment, case, default ports, tracking params " +
-      "and param order collapse; paths stay case-sensitive; userinfo " +
-      "and non-default ports survive") {
+  test("canonicalUrl: fragment, case, default ports, tracking params, " +
+      "param order and percent-encoding spelling collapse; paths and " +
+      "userinfo stay case-sensitive; non-default ports survive") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
       // fragment dropped
       ("https://a.test/p?x=1#frag", "https://a.test/p?x=1"),
-      // scheme+authority lowercase, PATH case preserved
+      // scheme+HOST lowercase, PATH case preserved
       ("HTTPS://A.Test/Path/P", "https://a.test/Path/P"),
       // default ports strip per scheme; non-default survives
       ("https://a.test:443/p", "https://a.test/p"),
@@ -669,9 +669,18 @@ class CurationSpec extends SparkSpec {
       ("https://a.test/p?utm_source=f&b=2&a=1", "https://a.test/p?a=1&b=2"),
       ("https://a.test/p?utm_campaign=x&gclid=1&fbclid=2&ref=h",
         "https://a.test/p"),
-      // userinfo preserved (lowercased with the authority)
-      ("https://U:P@a.test/p", "https://u:p@a.test/p"),
-      // scheme-less passthrough of rules 1/2/4-6
+      // userinfo preserved — content AND case (RFC 3986 §3.2.1; the
+      // host after the last @ still folds)
+      ("https://U:P@A.Test/p", "https://U:P@a.test/p"),
+      // RFC 3986 §6.2.2: unreserved escapes DECODE (%7E → ~, %41 → A),
+      // reserved escapes keep the escape with hex UPPERCASED
+      ("https://a.test/%7Ep?x=%41", "https://a.test/~p?x=A"),
+      ("https://a.test/a%2fb?x=%3a", "https://a.test/a%2Fb?x=%3A"),
+      // an escape-spelled tracking param is the same tracking param
+      ("https://a.test/p?%75tm_source=f&a=1", "https://a.test/p?a=1"),
+      // malformed % (no two hex digits after) passes through literally
+      ("https://a.test/100%?x=1", "https://a.test/100%?x=1"),
+      // scheme-less passthrough of rules 1-2/5-7
       ("a.Test/p?ref=x&z=1#f", "a.test/p?z=1"))
     val out = Curation.canonicalUrl(col("u"))
     val got = cases.map(_._1).toDF("u").select(out.as("c"))
