@@ -985,6 +985,33 @@ object Queries {
         }
         .sortBy(_._1))
 
+  /** Whale-split refined centroids (q256): a k=3 coarse quantizer is a
+    * GUARANTEED dominant-cell alarm on any corpus (pigeonhole: some
+    * cell holds ≥ ⌈n/3⌉ > 3000 bp), so splitWhaleCells must fire; the
+    * refined table re-quantizes to the dyadic grid for transport
+    * exactly like [[trainedCentroids]]. Cached per sf dir — the query
+    * fn and the oracle generator must see identical literals. */
+  private val refinedCentCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Seq[Float], Double)]]
+  private def refinedCentroids(s: SparkSession,
+                               d: String): Array[(Long, Seq[Float], Double)] =
+    refinedCentCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val cent0 = trainedCentroids(s, d, k = 3).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      val refined = Similarity.splitWhaleCells(emb(s, d), "vec_id",
+        "embedding", cent0, maxShareBp = 3000, splitK = 2, iters = 1)
+      val rows = refined.select("cent_id", "cent_vec").collect()
+        .map { r =>
+          val q = quantizeVec(r.getSeq[Float](1))
+          (r.getLong(0), q, foldNorm(q))
+        }
+        .sortBy(_._1)
+      require(rows.length > 3,
+        s"whale split did not fire on $d: ${rows.length} cells")
+      rows
+    })
+
   /** IVF ANN over TRAINED centroids (Lloyd's k-means,
     * Similarity.trainIvfCentroids). The TRAINING step has no cross-engine
     * oracle on purpose (float means are order-dependent, so re-computing
@@ -3640,6 +3667,53 @@ object Queries {
     None, bench = true,
     oracleGen = Some((s, d) => {
       val rows = trainedCentroids(s, d, k = 64).map { case (id, vec, _) =>
+        s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
+              FROM (VALUES $rows) AS t(cent_id, cent_vec)),
+            v AS (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              FROM embeddings),
+            asg AS (SELECT c_id, cell, c_vec, c_nrm FROM (
+              SELECT a.vec_id AS c_id, cent.cent_id AS cell,
+                     a.vec AS c_vec, a.nrm AS c_nrm,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(a.vec) + 1),
+                         i -> CAST(a.vec[i] AS DOUBLE) * cent.cent_vec[i]))
+                         / (a.nrm * cent.cent_nrm) DESC, cent.cent_id DESC) AS rn
+              FROM v a, cent) WHERE rn = 1),
+            pairs AS (SELECT a.c_id AS a_id, b.c_id AS b_id,
+                round(list_sum(list_transform(range(1, len(a.c_vec) + 1),
+                  i -> CAST(a.c_vec[i] AS DOUBLE) * b.c_vec[i]))
+                  / (a.c_nrm * b.c_nrm), 6) AS cos
+              FROM asg a JOIN asg b ON a.cell = b.cell AND a.c_id < b.c_id)
+            SELECT a.c_id AS vec_id, a.cell,
+                   NOT EXISTS (SELECT 1 FROM pairs p
+                               WHERE p.b_id = a.c_id AND p.cos >= 0.3) AS kept
+            FROM asg a"""
+    }))
+
+  /** Semantic dedup over WHALE-SPLIT refined cells
+    * (Similarity.splitWhaleCells → semanticDedup — r16, verdict item
+    * 5): a deliberately coarse k=3 quantizer guarantees dominant-cell
+    * alarms (every cell ≥ ⌈n/3⌉ corpus share), the re-split replaces
+    * each whale with a 2-way second-level quantizer trained on its
+    * members only, and the q65 dedup runs over the REFINED assignment
+    * — the Σ_cell |cell|² pair term the oracle replays is the
+    * post-split one. Oracle: q65's SQL shape over the refined centroid
+    * literals (dyadic transport). */
+  private val q256 = QDef("q256_whale_resplit",
+    (s, d) => {
+      import s.implicits._
+      val cent = refinedCentroids(s, d).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      Similarity.semanticDedup(emb(s, d), "vec_id", "embedding", cent,
+        threshold = 0.3)
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = refinedCentroids(s, d).map { case (id, vec, _) =>
         s"($id, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
       }.mkString(", ")
       s"""WITH cent AS (SELECT cent_id, cent_vec, $SqlCentNorm AS cent_nrm
@@ -10347,7 +10421,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255)
+    q254, q255, q256)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

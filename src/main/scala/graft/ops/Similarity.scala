@@ -452,6 +452,66 @@ object Similarity {
         expr("sum_d2 div n").as("mean_d2"))
   }
 
+  /** Automatic WHALE-CELL re-split (r15 verdict item 5) — the action
+    * wired to [[cellQualityReport]]'s dominant-cell alarm: a cell
+    * holding more than `maxShareBp` basis points of the corpus
+    * re-creates the Σ_cell |cell|² quadratic blowup that semantic
+    * dedup and IVF pruning exist to avoid, so each such cell is
+    * re-quantized with a `splitK`-way second-level Lloyd's
+    * ([[trainIvfCentroids]], the SAME deterministic trainer) over ITS
+    * MEMBERS ONLY, and its centroid is replaced by the children.
+    * Children get fresh ids above the current max (deterministic:
+    * whales ascend, children ordered by their training label), so
+    * downstream assignment/oracle conventions (max-cos, larger-id
+    * tie-break) are untouched. One round; loop with a fresh
+    * [[cellQualityReport]] until quiet if one split isn't enough.
+    *
+    * Scale shape: one assignment pass (persisted — consumed by the
+    * count rollup and every whale's member filter), a |cells|-row
+    * count collect, then per whale an artifact-sized k-means over the
+    * whale's members. The whale count is bounded by construction
+    * (at most 10000/maxShareBp cells can exceed the share), so the
+    * driver loop is O(1) per corpus. Returns the refined
+    * `(cent_id, cent_vec, cent_norm)` — the input table unchanged when
+    * no cell exceeds the share. */
+  def splitWhaleCells(df: DataFrame, id: String, vec: String,
+                      cent: DataFrame, maxShareBp: Long,
+                      splitK: Int = 2, iters: Int = 1): DataFrame = {
+    require(maxShareBp >= 1 && maxShareBp <= 9999,
+      s"maxShareBp must be in [1, 9999], got $maxShareBp")
+    require(splitK >= 2 && iters >= 0,
+      s"need splitK >= 2, iters >= 0; got splitK=$splitK iters=$iters")
+    import df.sparkSession.implicits._
+    val c = df.select(col(id).as("c_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val asg = Caches.track(assignCells(c, cent).persist())
+    val counts = asg.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val whales = counts.toSeq
+      .filter { case (_, n) => (10000L * n) / total > maxShareBp }
+      .map(_._1).sorted
+    if (whales.isEmpty) return cent
+    val maxId = cent.agg(max(col("cent_id").cast("long"))).head.getLong(0)
+    val children = whales.zipWithIndex.flatMap { case (w, wi) =>
+      val members = asg.filter(col("cell").cast("long") === w)
+        .select(col("c_id"), col("c_vec"))
+      trainIvfCentroids(members, "c_id", "c_vec", splitK, iters)
+        .collect()
+        .map(r => (r.getAs[Number]("cent_id").longValue(),
+          r.getSeq[Float](1)))
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, v), j) =>
+          (maxId + 1 + wi.toLong * splitK + j, v) }
+    }
+    val keep = cent.select(col("cent_id").cast("long").as("cent_id"),
+        col("cent_vec"), col("cent_norm"))
+      .filter(!col("cent_id").isin(whales: _*))
+    keep.unionByName(children.toDF("cent_id", "cent_vec")
+      .withColumn("cent_norm", norm(col("cent_vec"))))
+  }
+
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the trained coarse
     * quantizer ([[trainIvfCentroids]]), then compare pairs WITHIN each

@@ -1452,6 +1452,42 @@ class SimilaritySpec extends SparkSpec {
       Array(1, 2, 3, 4)))
   }
 
+  test("splitWhaleCells: the dominant cell re-quantizes into its " +
+      "sub-clusters (pair term shrinks), non-whales untouched, " +
+      "no-whale input is identity") {
+    // cell 0 ([1,0]) holds 8 of 10 members in two tight sub-clusters
+    // (ids interleaved so the 2 lowest-id seeds land one per
+    // sub-cluster); cell 1 ([0,1]) holds 2
+    val subA = Seq(1L, 3L, 5L, 7L).zip(
+      Seq(0.90f, 0.92f, 0.91f, 0.93f)).map { case (i, x) =>
+      (i, Seq(x, 0.40f)) }
+    val subB = Seq(2L, 4L, 6L, 8L).zip(
+      Seq(0.90f, 0.92f, 0.91f, 0.93f)).map { case (i, x) =>
+      (i, Seq(x, -0.40f)) }
+    val small = Seq((9L, Seq(0.00f, 1.00f)), (10L, Seq(0.05f, 1.00f)))
+    val corpus = (subA ++ subB ++ small).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0f, 0.0f), 1.0), (1L, Seq(0.0f, 1.0f), 1.0))
+      .toDF("cent_id", "cent_vec", "cent_norm")
+    // cell 0 share = 8000 bp > 5000 → whale; cell 1 (2000 bp) is not
+    val refined = Similarity.splitWhaleCells(corpus, "vec_id",
+      "embedding", cent, maxShareBp = 5000, splitK = 2, iters = 1)
+    val ids = refined.select("cent_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), ids.toString) // whale 0 gone, kids 2,3
+    // the quality report over the refined table: pair term 68 → 36,
+    // max share 8000 → 4000, and the non-whale cell is intact
+    val rep = Similarity.cellQualityReport(corpus, "vec_id", "embedding",
+        refined)
+      .select("cell", "n", "share_bp").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(rep == Set((1L, 2L, 2000L), (2L, 4L, 4000L), (3L, 4L, 4000L)),
+      rep.toString)
+    // no cell above the alarm → the input table returns unchanged
+    val same = Similarity.splitWhaleCells(corpus, "vec_id", "embedding",
+      cent, maxShareBp = 9000)
+    assert(same.collect().map(_.toString).sorted.toSeq ==
+      cent.collect().map(_.toString).sorted.toSeq)
+  }
+
   // ---------------------------------------------------------- graph ANN
 
   /** Ten unit vectors on a circular arc, 9° apart: cosine decays
