@@ -633,15 +633,33 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** A COMPLETE Motion-JPEG MP4: `ftyp` + `mdat` (the concatenated JPEG
-    * frames) + `moov` with a real video track — tkhd, mdhd, hdlr(vide),
-    * vmhd, dinf, and a full sample table (stsd 'jpeg' visual entry,
-    * stts, stsc, stsz, stco; one sample per chunk). Every structure is
-    * the public ISO BMFF layout, so [[parseMp4Track]] — and any other
-    * MP4 reader — can walk it. Frame PIXELS are real JPEG; this is the
-    * de-stubbed video fixture. */
+  /** A COMPLETE Motion-JPEG MP4: [[framesMp4]] with the `jpeg` visual
+    * sample entry. */
   def mjpegMp4(w: Int, h: Int, timescale: Int, frameDur: Int,
-               frames: Seq[Array[Byte]]): Array[Byte] = {
+               frames: Seq[Array[Byte]]): Array[Byte] =
+    framesMp4("jpeg", w, h, timescale, frameDur, frames)
+
+  /** A PNG-frame MP4 (QuickTime `png ` visual sample entry) — the
+    * lossless-frame sibling of [[mjpegMp4]] (r15 verdict item 8): same
+    * ISO BMFF structure, frame payloads are real PNG. Every decode path
+    * ([[explodeFrames]] → [[decodeImageBlob]]) dispatches per frame on
+    * magic bytes, so fingerprints/scene cuts/keyframes work unchanged
+    * — and losslessly (no JPEG gray-roundtrip caveat). */
+  def pngMp4(w: Int, h: Int, timescale: Int, frameDur: Int,
+             frames: Seq[Array[Byte]]): Array[Byte] =
+    framesMp4("png ", w, h, timescale, frameDur, frames)
+
+  /** One-frame-codec MP4 with visual sample entry `fourcc`: `ftyp` +
+    * `mdat` (the concatenated encoded frames) + `moov` with a real
+    * video track — tkhd, mdhd, hdlr(vide), vmhd, dinf, and a full
+    * sample table (stsd visual entry, stts, stsc, stsz, stco; one
+    * sample per chunk). Every structure is the public ISO BMFF layout,
+    * so [[parseMp4Track]] — and any other MP4 reader — can walk it.
+    * Frame PIXELS are real encoded images; this is the de-stubbed
+    * video fixture. */
+  def framesMp4(fourcc: String, w: Int, h: Int, timescale: Int,
+                frameDur: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fourcc.length == 4, s"fourcc must be 4 bytes: '$fourcc'")
     require(frames.nonEmpty, "need at least one frame")
     require(timescale > 0 && frameDur > 0, s"bad timing: $timescale/$frameDur")
     def box(tpe: String, body: Array[Byte]): Array[Byte] = {
@@ -718,7 +736,7 @@ object Multimodal {
     val stsd = {
       val entry = ByteBuffer.allocate(86)
       entry.putInt(86)
-      entry.put("jpeg".getBytes(StandardCharsets.US_ASCII))
+      entry.put(fourcc.getBytes(StandardCharsets.US_ASCII))
       entry.position(entry.position() + 6) // reserved
       entry.putShort(1)                // data_reference_index
       entry.position(entry.position() + 16) // predefined/reserved
@@ -1022,19 +1040,21 @@ object Multimodal {
   }
 
   /** Video decode: container metadata is REAL (ISO BMFF box parse —
-    * [[parseMp4Meta]]), and when the track is Motion-JPEG the first
-    * frame's pixels decode for real too (JDK JPEG reader): feature
-    * layout [timescale, duration, duration_ms] for track-less or
-    * non-JPEG containers, extended with [n_frames, mean_r, mean_g,
-    * mean_b] of frame 0 when the MJPEG sample table is walkable.
-    * Non-MP4 payloads fall back to the digest stub. */
+    * [[parseMp4Meta]]), and when the track is Motion-JPEG or PNG-frame
+    * the first frame's pixels decode for real too (JDK readers, magic
+    * byte dispatch): feature layout [timescale, duration, duration_ms]
+    * for track-less or other-codec containers, extended with
+    * [n_frames, mean_r, mean_g, mean_b] of frame 0 when the sample
+    * table is walkable. Non-MP4 payloads fall back to the digest
+    * stub. */
   private def decodeVideo(item: MediaItem): MediaFeatures =
     parseMp4Meta(item.blob) match {
       case Some((timescale, duration)) =>
         val meta = Array(timescale.toFloat, duration.toFloat,
           duration.toFloat * 1000f / timescale.toFloat)
         val framed = parseMp4Track(item.blob) match {
-          case Some(t) if t.codec == "jpeg" && t.samples.nonEmpty &&
+          case Some(t) if (t.codec == "jpeg" || t.codec == "png ") &&
+              t.samples.nonEmpty &&
               t.samples.head._1 + t.samples.head._2 <= item.blob.length =>
             val (off, len) = t.samples.head
             val img = decodeImageBlob(

@@ -303,6 +303,49 @@ class MultimodalSpec extends SparkSpec {
     graft.ops.Caches.release()
   }
 
+  test("pngMp4: PNG-frame container — lossless closed-form fingerprint, " +
+      "per-frame codec dispatch, real frame-0 means") {
+    def stripeP(p: Int): Array[Byte] = {
+      val grays = new Array[Int](9)
+      grays(0) = 128
+      (0 until 8).foreach(x => grays(x + 1) =
+        grays(x) + (if (((p >> x) & 1) == 1) 8 else -8))
+      Multimodal.hstripePng(grays, 8)
+    }
+    val pat = (p: Long) => p * 0x0101010101010101L
+    def video(id: Long, blob: Array[Byte]): MediaItem =
+      MediaItem(id, "video", blob, "video/mp4", blob.length.toLong)
+    val pngBlob = Multimodal.pngMp4(9, 8, 1000, 100,
+      Seq(stripeP(5), Multimodal.solidPng(9, 8, 128, 128, 128), stripeP(5)))
+    // the decode path dispatches per FRAME on magic bytes, not on the
+    // stsd codec: a PNG-declared track with one JPEG frame mixed in
+    // still decodes every frame
+    val mixedBlob = Multimodal.framesMp4("png ", 9, 8, 1000, 100,
+      Seq(stripeP(5), {
+        val grays = new Array[Int](9)
+        grays(0) = 128
+        (0 until 8).foreach(x => grays(x + 1) =
+          grays(x) + (if ((5 >> x & 1) == 1) 8 else -8))
+        Multimodal.hstripeJpeg(grays, 8)
+      }))
+    val track = Multimodal.parseMp4Track(pngBlob).get
+    assert(track.codec == "png " && track.width == 9 && track.height == 8)
+    val items = Seq(video(1L, pngBlob), video(2L, mixedBlob)).toDS()
+    val fp = Multimodal.videoFingerprint(items, stride = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(fp == Map(1L -> pat(5), 2L -> pat(5)), fp.toString)
+    // extractFeatures walks the PNG sample table: frame-0 means are
+    // exact (PNG is lossless — not just at the gray-roundtrip point)
+    val solid = Multimodal.pngMp4(16, 16, 1000, 100,
+      Seq(Multimodal.solidPng(16, 16, 37, 37, 37), Multimodal.solidPng(16, 16, 99, 99, 99)))
+    val feats = Multimodal.extractFeatures(
+        Seq(video(9L, solid)).toDS())
+      .collect().head.feature
+    assert(feats.length == 7 &&
+      feats.drop(3).toSeq == Seq(2f, 37f, 37f, 37f), feats.toSeq.toString)
+    graft.ops.Caches.release()
+  }
+
   test("videoSceneCuts: consecutive-frame Hamming distance, threshold, stride") {
     def stripe(p: Int): Array[Byte] = {
       val grays = new Array[Int](9)
