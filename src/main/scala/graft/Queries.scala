@@ -4252,6 +4252,49 @@ object Queries {
              WHERE ${sqlHash60("d.doc_id", "st")} / 1152921504606846976.0
                < r.rate"""), bench = true)
 
+  /** UniMax epoch-capped mixture (Sampling.uniMaxPlan/uniMaxSample —
+    * r16): budget 12N/5 docs over the lang domains at maxEpochs 3 —
+    * on this corpus every tail language caps at exactly 3 epochs and
+    * the head (en) absorbs the waterfilled remainder at a fractional
+    * epoch count, so both regimes (cap-bound, budget-bound with
+    * hash-banded extra copy) are oracle-exercised. The plan is a
+    * domain-bounded driver artifact inlined as integer VALUES (base
+    * copies + exact 2⁶⁰-scaled band threshold via BigInt); `epoch_q`
+    * replays as ONE final division of the same int64s. */
+  private val q257 = QDef("q257_unimax_mixture",
+    (s, d) => {
+      val plan = uniMaxPlanFor(s, d)
+      graft.ops.Sampling.uniMaxSample(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", plan, salt = "ux")
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val rows = uniMaxPlanFor(s, d).map { case (g, w, m) =>
+        val thr = (BigInt(m % w) * (BigInt(1) << 60) / BigInt(w)).toLong
+        s"('$g', ${m / w}, $thr, $m, $w)"
+      }.mkString(", ")
+      s"""WITH plan AS (SELECT * FROM (VALUES $rows)
+               AS t(dom, base, thr, m, w)),
+             c AS (SELECT d.doc_id, d.lang,
+                 CAST(p.base + CASE WHEN ${sqlHash60("d.doc_id", "ux")}
+                   < p.thr THEN 1 ELSE 0 END AS BIGINT) AS n_copies,
+                 round(CAST(p.m AS DOUBLE) / p.w, 6) AS epoch_q
+               FROM documents d JOIN plan p ON d.lang = p.dom)
+             SELECT doc_id, lang, n_copies, epoch_q FROM c
+             WHERE n_copies >= 1"""
+    }))
+
+  private val uniMaxCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long, Long)]]
+  private def uniMaxPlanFor(s: SparkSession,
+                            d: String): Seq[(String, Long, Long)] =
+    uniMaxCache.getOrElseUpdate(d, {
+      val n = docs(s, d).count()
+      graft.ops.Sampling.uniMaxPlan(docs(s, d), "lang",
+        budget = 12L * n / 5L, maxEpochs = 3L)
+    })
+
   /** Bloom-prefiltered benchmark decontamination: a broadcast bitset of
     * the train-gram inventory drops non-member test grams row-locally
     * before the exact verification join. The Bloom filter is pure
@@ -10421,7 +10464,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256)
+    q254, q255, q256, q257)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

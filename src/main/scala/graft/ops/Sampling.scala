@@ -131,6 +131,107 @@ object Sampling {
       .drop("__dom", "__rate")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): split a total training budget across
+    * domains as UNIFORMLY as possible subject to a per-domain
+    * repetition cap of `maxEpochs` epochs — the published fix for both
+    * proportional sampling (head domains dominate) and temperature
+    * sampling (tail domains over-repeat and memorize). Greedy
+    * waterfilling in ASCENDING capacity order, exact integers: at each
+    * domain the fair share is `remaining div domains_left` (the div
+    * residue stays in the pool for later domains), a domain takes
+    * `min(cap, fair)`, and any final residue (possible only when late
+    * domains cap out) tops up the largest-capacity domains
+    * cap-respecting — so Σ alloc = min(budget, Σ cap) exactly, and the
+    * plan is a pure function of the counts.
+    *
+    * `weight = None` counts documents; a token-count column makes
+    * `budget` a TOKEN budget (epochs then measure token repetition).
+    * Scale shape: ONE count/sum partial-agg on the domain key; the
+    * plan is a domain-bounded driver artifact (the trained-artifact
+    * convention — it inlines into any engine's oracle as VALUES).
+    * Returns `(domain, weight_g, alloc_g)` sorted by domain. */
+  def uniMaxPlan(df: DataFrame, domain: String, budget: Long,
+                 maxEpochs: Long,
+                 weight: Option[String] = None): Seq[(String, Long, Long)] = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val wagg = weight.map(c => sum(col(c).cast("long")))
+      .getOrElse(count(lit(1))).as("__w")
+    val counts = df.groupBy(col(domain).cast("string").as("__dom"))
+      .agg(wagg).collect()
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0)
+    require(counts.nonEmpty, "uniMaxPlan: empty corpus")
+    val asc = counts.map { case (g, w) => (g, w, maxEpochs * w) }
+      .sortBy { case (g, _, c) => (c, g) }
+    val alloc = collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var b = budget
+    asc.zipWithIndex.foreach { case ((g, w, c), i) =>
+      val a = math.min(c, b / (asc.length - i))
+      alloc += ((g, w, a))
+      b -= a
+    }
+    var j = alloc.length - 1
+    while (b > 0 && j >= 0) {
+      val (g, w, a) = alloc(j)
+      val add = math.min(maxEpochs * w - a, b)
+      alloc(j) = (g, w, a + add)
+      b -= add
+      j -= 1
+    }
+    alloc.sortBy(_._1).toSeq
+  }
+
+  /** Apply a [[uniMaxPlan]]: per-document integer COPY COUNT for the
+    * epoch-capped mixture — `n_copies = alloc div w + (hash60(id) <
+    * thresh)` with `thresh = floor(2⁶⁰ · (alloc mod w) / w)` exact via
+    * BigInt on the driver: every document of a domain repeats
+    * `floor(epochs)` times and a consistent-hash band of measure
+    * `frac(epochs)` gets one more. The SAME formula downsamples
+    * (alloc < w → copies ∈ {0, 1}, the [[consistentSample]] band) and
+    * upsamples, so one operator covers the whole UniMax regime; rows
+    * with 0 copies drop. Consistent: growing a domain changes only its
+    * own rates, and membership of the extra-copy band never depends on
+    * corpus order. Row-local broadcast join + hash filter — no
+    * shuffle. Output: input columns + `n_copies` + `epoch_q` (the
+    * domain's exact epochs `alloc/w` as one final double division,
+    * rounded 6 for display). */
+  def uniMaxSample(df: DataFrame, id: String, domain: String,
+                   plan: Seq[(String, Long, Long)],
+                   salt: String): DataFrame = {
+    require(plan.nonEmpty && plan.forall(p => p._2 > 0 && p._3 >= 0),
+      s"bad plan: $plan")
+    require(plan.map(_._1).distinct.size == plan.size,
+      s"duplicate domain in plan: ${plan.map(_._1)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = plan.map { case (g, w, m) =>
+      (g, m / w, (BigInt(m % w) * (BigInt(1) << 60) / BigInt(w)).toLong,
+        m.toDouble / w)
+    }
+    val pt = rows.toDF("__dom", "__base", "__thr", "__eq")
+    df.join(broadcast(pt), df(domain) === col("__dom"))
+      .withColumn("n_copies", col("__base") +
+        when(hash60(col(id), salt) < col("__thr"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") >= 1)
+      .withColumn("epoch_q", round(col("__eq"), 6))
+      .drop("__dom", "__base", "__thr", "__eq")
+  }
+
+  /** Materialized repetition: one row per (document, copy) — the
+    * physical epoch-capped training set ([[uniMaxSample]] exploded;
+    * `n_copies ≥ 1` by construction, so the enumerated sequence
+    * ascends — the q154-family descending-sequence hazard cannot
+    * fire). `copy_idx` is 1-based; shuffle copies across epochs with
+    * [[epochOrder]]-style hashing on (id, copy_idx). */
+  def uniMaxExplode(df: DataFrame, id: String, domain: String,
+                    plan: Seq[(String, Long, Long)],
+                    salt: String): DataFrame =
+    uniMaxSample(df, id, domain, plan, salt)
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), col("n_copies"))))
+
   /** Deterministic fixed-SIZE per-stratum sample — reservoir-sampling
     * semantics without the RNG: keep the `k` rows of each stratum with
     * the smallest [[hash60]] (bottom-k of a uniform hash is a uniform

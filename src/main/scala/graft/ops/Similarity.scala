@@ -1847,26 +1847,37 @@ object Similarity {
     // the query's OWN node (in-corpus queries) is scored and may hold a
     // beam slot — excluding it from the WALK would disconnect the two
     // sides of its neighborhood (a chain query could never reach past
-    // itself); it is filtered from RESULTS only, below
-    var scored = score(q.select(col("q_id")).crossJoin(entries))
+    // itself); it is filtered from RESULTS only, below.
+    //
+    // ONE state table per hop: (q_id, node, cos, __exp) where __exp
+    // marks every node already expanded (= member of any prior
+    // frontier). The frontier is derived inside the hop (top-beam ∧
+    // ¬__exp), and __exp' = __exp ∨ rank ≤ beam — the same set as the
+    // separate expanded-accumulator formulation, at ONE eager
+    // localCheckpoint per hop instead of two (the loop is
+    // job-count-bound at query time; state must checkpoint each hop or
+    // the self-embedding union/anti-join tree grows exponentially —
+    // the q211 discipline).
+    var state = score(q.select(col("q_id")).crossJoin(entries))
+      .withColumn("__exp", lit(false))
       .localCheckpoint(true)
-    var frontier = scored.select(col("q_id"), col("node"))
-    var expanded = frontier.limit(0)
     for (_ <- 1 to hops) {
-      expanded = expanded.unionByName(frontier).distinct()
-        .localCheckpoint(true)
+      val ranked = state.withColumn("__rn", row_number().over(w))
+      val frontier = ranked
+        .filter(col("__rn") <= beamWidth && !col("__exp"))
+        .select(col("q_id"), col("node"))
       val cand = frontier
         .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
         .select(col("q_id"), col("dst").as("node")).distinct()
-        .join(scored.select(col("q_id"), col("node")),
+        .join(state.select(col("q_id"), col("node")),
           Seq("q_id", "node"), "left_anti")
-      scored = scored.unionByName(score(cand)).localCheckpoint(true)
-      frontier = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= beamWidth)
-        .select(col("q_id"), col("node"))
-        .join(expanded, Seq("q_id", "node"), "left_anti")
+      state = ranked
+        .select(col("q_id"), col("node"), col("cos"),
+          (col("__exp") || col("__rn") <= beamWidth).as("__exp"))
+        .unionByName(score(cand).withColumn("__exp", lit(false)))
+        .localCheckpoint(true)
     }
-    topKMerge(scored.filter(col("q_id") =!= col("node"))
+    topKMerge(state.filter(col("q_id") =!= col("node"))
       .select(col("q_id"), col("node").as("c_id"), col("cos")), k)
   }
 

@@ -170,6 +170,56 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("uniMaxPlan: exact integer waterfilling — caps bind ascending, " +
+      "div residue stays in the pool, total = min(budget, total cap)") {
+    // domains: a=2 docs, b=4, c=10; maxEpochs=2 → caps 4, 8, 20
+    val df = ((1 to 2).map(i => (i.toLong, "a")) ++
+      (11 to 14).map(i => (i.toLong, "b")) ++
+      (21 to 30).map(i => (i.toLong, "c"))).toDF("doc_id", "dom")
+    // budget 17: fair 17/3=5 → a caps at 4; fair 13/2=6 → b takes 6;
+    // fair 7 → c takes 7 (the two div residues flowed forward)
+    assert(Sampling.uniMaxPlan(df, "dom", budget = 17, maxEpochs = 2) ==
+      Seq(("a", 2L, 4L), ("b", 4L, 6L), ("c", 10L, 7L)))
+    // budget over total capacity: everything caps, Σ = Σ cap = 32
+    assert(Sampling.uniMaxPlan(df, "dom", budget = 100, maxEpochs = 2) ==
+      Seq(("a", 2L, 4L), ("b", 4L, 8L), ("c", 10L, 20L)))
+    // tiny budget: pure downsampling allocations
+    assert(Sampling.uniMaxPlan(df, "dom", budget = 3, maxEpochs = 2) ==
+      Seq(("a", 2L, 1L), ("b", 4L, 1L), ("c", 10L, 1L)))
+  }
+
+  test("uniMaxSample: copies = floor(epochs) + exact hash band; the " +
+      "same formula downsamples; explode materializes each copy") {
+    val df = ((1 to 4).map(i => (i.toLong, "x")) ++
+      (11 to 14).map(i => (i.toLong, "y")) ++
+      (21 to 22).map(i => (i.toLong, "z"))).toDF("doc_id", "dom")
+    // x: 10/4 = 2.5 epochs; y: 2/4 = 0.5 (downsample); z: 6/2 = 3 exact
+    val plan = Seq(("x", 4L, 10L), ("y", 4L, 2L), ("z", 2L, 6L))
+    val out = Sampling.uniMaxSample(df, "doc_id", "dom", plan, "ux")
+      .select("doc_id", "dom", "n_copies", "epoch_q")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val thrHalf = (BigInt(1) << 59).toLong
+    val band = df.select(col("doc_id"),
+        (Sampling.hash60(col("doc_id"), "ux") < thrHalf).as("b"))
+      .as[(Long, Boolean)].collect().toMap
+    // x rows: 2 or 3 copies, exactly the hash band picks 3
+    out.filter(_._2 == "x").foreach { r =>
+      assert(r._3 == (if (band(r._1)) 3L else 2L) && r._4 == 2.5, r.toString) }
+    // y rows: 0-copy rows DROP; survivors are exactly the band, 1 copy
+    val ys = out.filter(_._2 == "y")
+    assert(ys.map(_._1).toSet == (11L to 14L).filter(band(_)).toSet)
+    assert(ys.forall(r => r._3 == 1L && r._4 == 0.5))
+    // z: integral epochs — no band, every row exactly 3
+    assert(out.filter(_._2 == "z").forall(r => r._3 == 3L && r._4 == 3.0))
+    // explode: one row per copy, 1-based contiguous copy_idx
+    val ex = Sampling.uniMaxExplode(df, "doc_id", "dom", plan, "ux")
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSeq
+    val byDoc = ex.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      assert(byDoc(r._1) == (1L to r._3), s"doc ${r._1}") }
+    assert(ex.size == out.map(_._3).sum)
+  }
+
   test("temperatureSample: sqrt-flattened rates, smallest domain binds") {
     // domains: a=64 docs, b=16, c=4 → rates sqrt(4/64)=0.25,
     // sqrt(4/16)=0.5, sqrt(4/4)=1.0 (exact halves: no rounding at all)
