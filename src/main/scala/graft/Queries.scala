@@ -4295,6 +4295,81 @@ object Queries {
         budget = 12L * n / 5L, maxEpochs = 3L)
     })
 
+  /** Paragraph-level boilerplate removal (Dedup.dropFrequentParagraphs
+    * — the CCNet/Dolma paragraph-dedup stage, r16): documents rebuilt
+    * from two text-slice paragraphs plus a PLANTED boilerplate
+    * paragraph on every third doc; any paragraph in more than 5
+    * documents is removed from ALL holders and each doc is rewritten.
+    * Oracle replays split → doc-frequency (distinct doc per gh) →
+    * filtered ordered string_agg (COALESCE for the all-dropped doc —
+    * the q154 empty-list rule). */
+  private val q258 = QDef("q258_paragraph_dedup",
+    (s, d) => {
+      val pdoc = docs(s, d).select(col("doc_id"),
+        concat_ws("\n", substring(col("text"), 1, 40),
+          substring(col("text"), 41, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("subscribe to our newsletter today"))).as("text"))
+      Dedup.dropFrequentParagraphs(pdoc, "doc_id", "text", maxDf = 5)
+    },
+    Some("""WITH pd AS (SELECT doc_id,
+               substr(text, 1, 40) || chr(10) || substr(text, 41, 40) ||
+                 CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'subscribe to our newsletter today'
+                   ELSE '' END AS text
+             FROM documents),
+            paras AS (SELECT doc_id, generate_subscripts(ps, 1) AS pos,
+                unnest(ps) AS para
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ps
+                    FROM pd)),
+            pnz AS (SELECT doc_id, pos, para,
+                CAST('0x' || substr(md5(para), 1, 15) AS BIGINT) AS gh
+              FROM paras WHERE para <> ''),
+            dfc AS (SELECT gh, count(1) AS df FROM (
+                SELECT DISTINCT doc_id, gh FROM pnz) GROUP BY 1)
+            SELECT p.doc_id,
+              COALESCE(string_agg(CASE WHEN f.df <= 5 THEN p.para END,
+                chr(10) ORDER BY p.pos), '') AS text_out,
+              count(1) AS n_paras,
+              CAST(sum(CASE WHEN f.df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dropped
+            FROM pnz p JOIN dfc f USING (gh)
+            GROUP BY 1"""), bench = true)
+
+  /** Greedy k-Center coreset (Similarity.kCenterCoreset — farthest-
+    * point sampling, r16): 8 rounds of exact int64 squared-L2 argmax
+    * on the floor-quantized grid; the oracle replays the ENTIRE greedy
+    * relationally (unrolled per-round CTEs, correlated min over the
+    * plain — never MATERIALIZED, the q236 rule — selection CTEs), no
+    * artifact transport at all. */
+  private val q259 = QDef("q259_kcenter_coreset",
+    (s, d) => Similarity.kCenterCoreset(emb(s, d), "vec_id",
+      "embedding", k = 8),
+    Some {
+      val k = 8
+      val rounds = (2 to k).map { i =>
+        val prev = s"sel${i - 1}"
+        s"""s$i AS (SELECT x.vec_id, x.qv,
+                (SELECT CAST(min(list_sum(list_transform(
+                   range(1, len(x.qv) + 1),
+                   j -> (x.qv[j] - s.qv[j]) * (x.qv[j] - s.qv[j]))))
+                   AS BIGINT)
+                 FROM $prev s) AS r2, $i AS rk
+              FROM v x WHERE x.vec_id NOT IN (SELECT vec_id FROM $prev)
+              ORDER BY r2 DESC, x.vec_id LIMIT 1),
+            sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)"""
+      }.mkString(",\n            ")
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+             FROM embeddings),
+            s1 AS (SELECT vec_id, qv, CAST(0 AS BIGINT) AS r2, 1 AS rk
+              FROM v ORDER BY vec_id LIMIT 1),
+            sel1 AS (SELECT * FROM s1),
+            $rounds
+            SELECT CAST(rk AS INT) AS rank, vec_id, r2 FROM sel$k"""
+    }, bench = true)
+
   /** Bloom-prefiltered benchmark decontamination: a broadcast bitset of
     * the train-gram inventory drops non-member test grams row-locally
     * before the exact verification join. The Bloom filter is pure
@@ -10464,7 +10539,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257)
+    q254, q255, q256, q257, q258, q259)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

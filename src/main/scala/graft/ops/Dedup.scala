@@ -2313,4 +2313,66 @@ object Dedup {
       .select(col("node"), col("d").cast("long").as("degree"),
         col("r").as("rank_q"))
   }
+  /** Corpus-wide paragraph document-frequency table — the trained/sunk
+    * artifact of paragraph-level boilerplate removal ([[
+    * dropFrequentParagraphs]] splits in-query; a streaming gate probes
+    * a FROZEN table built here, the exciseNewAgainst posture). One
+    * row-local split + ONE (gh) partial-agg over DISTINCT (doc, gh) —
+    * a paragraph repeated inside one document counts once (document
+    * frequency, the CCNet/Dolma convention). `(gh, df)`, gh = the
+    * repo-wide 60-bit md5 prefix of the exact paragraph string. */
+  def paragraphDfTable(df: DataFrame, id: String, text: String,
+                       sep: String = "\n"): DataFrame =
+    df.select(col(id).as("doc"),
+        explode(split(col(text), java.util.regex.Pattern.quote(sep)))
+          .as("para"))
+      .filter(col("para") =!= "")
+      .select(col("doc"), graft.functions.Md5Hash.prefix60(col("para"))
+        .as("gh"))
+      .distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+
+  /** Paragraph-level boilerplate removal (the CCNet/Dolma paragraph
+    * dedup stage): a paragraph appearing in MORE than `maxDf`
+    * documents is boilerplate (cookie banners, nav bars, newsletter
+    * pitches — the within-page repetition the document-level dedup
+    * family cannot see), and every document is REWRITTEN with its
+    * over-frequent paragraphs removed — in ALL holders (unlike the
+    * Lee-et-al span excision's keep-one rule: corpus-frequent
+    * boilerplate adds no training value in any copy; set `maxDf` = 1
+    * + nothing for strict para-dedup semantics). Empty paragraphs
+    * (consecutive separators) drop as a side effect.
+    *
+    * Scale shape: paragraphs explode row-locally; document frequency
+    * is one (gh) partial-agg over distinct (doc, gh) ([[
+    * paragraphDfTable]]); the verdict joins back by gh (equi-join,
+    * paragraph-vocabulary-bounded build side is NOT assumed — it
+    * shuffles, never broadcasts blind) and each document reassembles
+    * from its own kept rows (per-doc sort of a per-doc-bounded list).
+    * Output: `(id, text_out, n_paras, n_dropped)` — `text_out` empty
+    * when everything was boilerplate. */
+  def dropFrequentParagraphs(df: DataFrame, id: String, text: String,
+                             maxDf: Long,
+                             sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val paras = df.select(col(id).as("doc"),
+        posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .filter(col("para") =!= "")
+    val dfTab = paras.select(col("doc"),
+        graft.functions.Md5Hash.prefix60(col("para")).as("gh"))
+      .distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    paras
+      .withColumn("gh", graft.functions.Md5Hash.prefix60(col("para")))
+      .join(dfTab, Seq("gh"))
+      .groupBy(col("doc").as(id))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+            when(col("df") <= maxDf, struct(col("pos"), col("para"))))),
+          e => e.getField("para")), sep).as("text_out"))
+      .select(col(id), col("text_out"), col("n_paras"), col("n_dropped"))
+  }
+
 }

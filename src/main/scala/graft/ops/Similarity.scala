@@ -512,6 +512,66 @@ object Similarity {
       .withColumn("cent_norm", norm(col("cent_vec"))))
   }
 
+  /** Greedy k-Center coreset (farthest-point sampling — Sener &
+    * Savarese 2018, "Active Learning for CNNs: A Core-Set Approach",
+    * ICLR; the classic 2-approximation to the k-center cover): seed =
+    * the min-id point, then k−1 rounds of "add the point FARTHEST from
+    * its nearest selected center" (tie → smaller id). The geometric
+    * COVERAGE selector — where [[graft.ops.Dedup.pairGraphRank]] picks
+    * densely-endorsed prototypes, k-center picks boundary/outlier
+    * coverage, the other half of a data-selection portfolio.
+    *
+    * Every distance is exact int64 squared-L2 on the floor-quantized
+    * grid (`d2 = Σ (⌊2ˢv⌋ − ⌊2ˢc⌋)²`, the q82 convention), so each
+    * argmax and the reported radii replay engine-exact — the oracle
+    * recomputes the whole greedy relationally, no artifact transport.
+    *
+    * Scale shape: k corpus passes, each a fused-codegen
+    * min-over-selected expression (selected centers are k·d int
+    * literals) + TakeOrdered(1) — no sort shuffle, no corpus-scale
+    * driver data; the selection is a (k, d)-bounded driver artifact.
+    * Output: `(rank, <id>, r2)` with `r2` the cover radius² BEFORE the
+    * center was added (rank 1 → 0) — the non-increasing r2 sequence IS
+    * the k-vs-coverage curve a curation pass reads. */
+  def kCenterCoreset(df: DataFrame, id: String, vec: String, k: Int,
+                     scaleBits: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val c = df.select(col(id).cast("long").as("c_id"), col(vec).as("c_vec"))
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * scale).toLong).toArray
+    val seed = c.orderBy(col("c_id").asc).limit(1).collect()
+    require(seed.nonEmpty, "kCenterCoreset: empty corpus")
+    var selected =
+      Vector((seed(0).getLong(0), quant(seed(0).getSeq[Float](1)), 0L))
+    val d = selected.head._2.length
+    def d2To(ctr: Array[Long]): Column =
+      (0 until d).map { j =>
+        val t = floor(element_at(col("c_vec"), j + 1).cast("double") * scale)
+          .cast("long") - lit(ctr(j))
+        t * t
+      }.reduce(_ + _)
+    var round = 2
+    while (round <= k) {
+      val minD = selected.map(s => d2To(s._2)).reduce(least(_, _))
+      val next = c.filter(!col("c_id").isin(selected.map(_._1): _*))
+        .select(col("c_id"), col("c_vec"), minD.as("__d"))
+        .orderBy(col("__d").desc, col("c_id").asc).limit(1).collect()
+      if (next.isEmpty) round = k + 1
+      else {
+        selected = selected :+ ((next(0).getLong(0),
+          quant(next(0).getSeq[Float](1)), next(0).getLong(2)))
+        round += 1
+      }
+    }
+    selected.zipWithIndex
+      .map { case ((i, _, r2), rk) => (rk + 1, i, r2) }
+      .toDF("rank", id, "r2")
+  }
+
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with the trained coarse
     * quantizer ([[trainIvfCentroids]]), then compare pairs WITHIN each

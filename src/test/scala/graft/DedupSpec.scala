@@ -1393,4 +1393,39 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(hUncapped.size == 40 * 39 / 2 + 1 && hUncapped((100L, 101L)))
   }
+  test("dropFrequentParagraphs: corpus-frequent paragraphs removed from " +
+      "ALL holders, within-doc repeats count once, empties drop") {
+    val docs = Seq(
+      (1L, "intro one\nBOILER\nbody one"),
+      (2L, "intro two\nBOILER\nbody two"),
+      (3L, "intro three\nBOILER\nbody three"),
+      (4L, "BOILER\nBOILER\nunique four"), // df counts this doc ONCE
+      (5L, "solo five"),
+      (6L, "BOILER"),                      // all boilerplate -> empty
+      (7L, "a\n\nb")                       // empty paragraph drops
+    ).toDF("doc_id", "text")
+    // doc-frequency of BOILER = 5 (docs 1,2,3,4,6)
+    val dfT = graft.ops.Dedup.paragraphDfTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val bh = spark.sql("SELECT conv(substring(md5('BOILER'), 1, 15), 16, 10)")
+      .collect()(0).getString(0).toLong
+    assert(dfT(bh) == 5L)
+    val out = graft.ops.Dedup.dropFrequentParagraphs(docs, "doc_id",
+        "text", maxDf = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("intro one\nbody one", 3L, 1L)))
+    assert(out(4L) == (("unique four", 3L, 2L)))
+    assert(out(5L) == (("solo five", 1L, 0L)))
+    assert(out(6L) == (("", 1L, 1L)))
+    assert(out(7L) == (("a\nb", 2L, 0L)))
+    // a non-binding cap rebuilds every doc identically (repeats intact)
+    val loose = graft.ops.Dedup.dropFrequentParagraphs(docs, "doc_id",
+        "text", maxDf = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(loose(4L) == "BOILER\nBOILER\nunique four" &&
+      loose(1L) == "intro one\nBOILER\nbody one" && loose(7L) == "a\nb")
+  }
+
 }

@@ -1488,6 +1488,27 @@ class SimilaritySpec extends SparkSpec {
       cent.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("kCenterCoreset: farthest-point greedy with exact integer radii, " +
+      "min-id seed, deterministic ties, k past corpus size") {
+    // integer 2D points at scaleBits = 1 (quant = 2x, exact): the greedy
+    // cover is hand-checkable round by round
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(10f, 10f)), (5L, Seq(10f, 9f)), (6L, Seq(-10f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(pts, "vec_id", "embedding",
+        k = 4, scaleBits = 1)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // seed 1 (min id); then 4 at d2 800; then 6 at 400; then the 3-way
+    // tie at 4 resolves to the smallest id (2)
+    assert(out == Seq((1, 1L, 0L), (2, 4L, 800L), (3, 6L, 400L),
+      (4, 2L, 4L)), out.toString)
+    // k beyond the corpus: selection stops at n rows
+    val all = Similarity.kCenterCoreset(pts.filter($"vec_id" <= 3L),
+      "vec_id", "embedding", k = 10, scaleBits = 1)
+    assert(all.count() == 3L)
+  }
+
   // ---------------------------------------------------------- graph ANN
 
   /** Ten unit vectors on a circular arc, 9° apart: cosine decays
