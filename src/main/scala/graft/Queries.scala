@@ -4370,6 +4370,39 @@ object Queries {
             SELECT CAST(rk AS INT) AS rank, vec_id, r2 FROM sel$k"""
     }, bench = true)
 
+  /** Corpus distribution-shift report (Curation.histogramShift — r16):
+    * the PSI/KS monitoring question in exact integers — fixed-width
+    * buckets via `v − pmod(v, w)`, per-side counts, ppm shares by
+    * integer division, dev_ppm as their difference. Even/odd doc
+    * halves over n_chars at width 50. */
+  private val q260 = QDef("q260_histogram_shift",
+    (s, d) => {
+      val dd = docs(s, d)
+      Curation.histogramShift(
+        dd.filter(pmod(col("doc_id"), lit(2)) === 0),
+        dd.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "n_chars", bucketWidth = 50L)
+    },
+    Some("""WITH r AS (SELECT n_chars - n_chars % 50 AS bucket,
+               CAST(count(1) AS BIGINT) AS n_ref
+             FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+             GROUP BY 1),
+            c AS (SELECT n_chars - n_chars % 50 AS bucket,
+               CAST(count(1) AS BIGINT) AS n_cand
+             FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+             GROUP BY 1),
+            j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+                COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cand, 0) AS n_cand
+              FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+            t AS (SELECT greatest(sum(n_ref), 1) AS tr,
+                greatest(sum(n_cand), 1) AS tc FROM j)
+            SELECT bucket, n_ref, n_cand,
+              CAST((1000000 * n_ref) // tr AS BIGINT) AS ref_ppm,
+              CAST((1000000 * n_cand) // tc AS BIGINT) AS cand_ppm,
+              CAST((1000000 * n_cand) // tc - (1000000 * n_ref) // tr
+                AS BIGINT) AS dev_ppm
+            FROM j, t"""), bench = true)
+
   /** Bloom-prefiltered benchmark decontamination: a broadcast bitset of
     * the train-gram inventory drops non-member test grams row-locally
     * before the exact verification join. The Bloom filter is pure
@@ -10539,7 +10572,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259)
+    q254, q255, q256, q257, q258, q259, q260)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1381,4 +1381,47 @@ object Curation {
     FunnelStages(base, urlKept, bench, pool, s2, s3, s4, s5, s6, s7,
       s8, s9)
   }
+  /** Distribution-shift report between a REFERENCE and a CANDIDATE
+    * corpus over an integer signal (quality score, LM cost, length,
+    * token count) — the "did my corpus refresh change the
+    * distribution" monitoring gate a PSI/KS test answers, kept exact:
+    * fixed-width integer buckets (`v − pmod(v, w)` — never float
+    * division, the repo-wide bucketing rule), per-bucket counts from
+    * each side, and the deviation as the difference of exact
+    * parts-per-million shares `dev_ppm = (10⁶·n_cand) div N_cand −
+    * (10⁶·n_ref) div N_ref` — all int64 (safe to ~9·10¹² rows/side),
+    * engine-exact, no transcendental bins. Σ |dev_ppm| div 2 over the
+    * rows is the total-variation distance in ppm (one aggregate away).
+    *
+    * Scale shape: one bucket partial-agg per side (map-side
+    * combinable), a FULL OUTER join on the bucket key
+    * (bucket-vocabulary-bounded), two broadcast 1-row totals. NULL
+    * signals are excluded (they are a presence question, not a
+    * distribution one). Output: `(bucket, n_ref, n_cand, ref_ppm,
+    * cand_ppm, dev_ppm)`, one row per bucket seen on either side. */
+  def histogramShift(ref: DataFrame, cand: DataFrame, value: String,
+                     bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def side(df: DataFrame, n: String): DataFrame =
+      df.filter(col(value).isNotNull)
+        .select((col(value).cast("long") -
+          pmod(col(value).cast("long"), lit(bucketWidth))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val r = side(ref, "n_ref")
+    val c = side(cand, "n_cand")
+    val joined = r.join(c, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+    // an empty side degenerates to all-zero shares instead of an ANSI
+    // divide-by-zero (Spark 4 ANSI is ON — integer div throws)
+    val tot = joined.agg(greatest(sum(col("n_ref")), lit(1L)).as("__tr"),
+      greatest(sum(col("n_cand")), lit(1L)).as("__tc"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cand"),
+        expr("(1000000 * n_ref) div __tr").as("ref_ppm"),
+        expr("(1000000 * n_cand) div __tc").as("cand_ppm"))
+      .withColumn("dev_ppm", col("cand_ppm") - col("ref_ppm"))
+  }
+
 }

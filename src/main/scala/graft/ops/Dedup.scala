@@ -2355,24 +2355,51 @@ object Dedup {
                              maxDf: Long,
                              sep: String = "\n"): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val paras = df.select(col(id).as("doc"),
+    val paras = paraRows(df, id, text, sep)
+    val dfTab = paras.select(col("doc"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    reassemble(paras.join(dfTab, Seq("gh")), id, maxDf, sep)
+  }
+
+  /** Paragraph boilerplate removal against a FROZEN corpus table
+    * ([[paragraphDfTable]]) — the ingest-gate form ([[
+    * graft.streaming.StatefulOps.paragraphGateWriter]] wraps it): an
+    * arriving document loses the paragraphs the REFERENCE corpus
+    * already holds in more than `maxDf` documents; a paragraph the
+    * reference never saw has frequency 0 and is kept. Stream-static
+    * by nature — the df table is the sunk artifact (long-lived
+    * consumers should persist it); cost is proportional to the batch. */
+  def dropFrequentParagraphsAgainst(incoming: DataFrame, id: String,
+                                    text: String, paraDf: DataFrame,
+                                    maxDf: Long,
+                                    sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val joined = paraRows(incoming, id, text, sep)
+      .join(paraDf.select(col("gh"), col("df")), Seq("gh"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    reassemble(joined, id, maxDf, sep)
+  }
+
+  /** Shared split stage: one row per non-empty paragraph occurrence —
+    * `(doc, pos, para, gh)`. */
+  private def paraRows(df: DataFrame, id: String, text: String,
+                       sep: String): DataFrame =
+    df.select(col(id).as("doc"),
         posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
       .filter(col("para") =!= "")
-    val dfTab = paras.select(col("doc"),
-        graft.functions.Md5Hash.prefix60(col("para")).as("gh"))
-      .distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    paras
       .withColumn("gh", graft.functions.Md5Hash.prefix60(col("para")))
-      .join(dfTab, Seq("gh"))
-      .groupBy(col("doc").as(id))
+
+  /** Shared reassembly: per-doc ordered rebuild of the under-cap
+    * paragraphs (collect_list skips the NULLed dropped rows). */
+  private def reassemble(joined: DataFrame, id: String, maxDf: Long,
+                         sep: String): DataFrame =
+    joined.groupBy(col("doc").as(id))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
         array_join(transform(array_sort(collect_list(
             when(col("df") <= maxDf, struct(col("pos"), col("para"))))),
           e => e.getField("para")), sep).as("text_out"))
       .select(col(id), col("text_out"), col("n_paras"), col("n_dropped"))
-  }
 
 }

@@ -1694,6 +1694,27 @@ object StatefulOps {
       }
     }
 
+  /** Paragraph boilerplate gate at ingest — the streaming twin of
+    * [[graft.ops.Dedup.dropFrequentParagraphs]] in the frozen-artifact
+    * posture ([[graft.ops.Dedup.dropFrequentParagraphsAgainst]]): each
+    * arriving document is rewritten without the paragraphs the
+    * REFERENCE corpus holds in more than `maxDf` documents (cookie
+    * banners, nav bars — the within-page repetition document-level
+    * dedup cannot see), BEFORE it reaches dedup/quality stages whose
+    * signals boilerplate pollutes. Stream-static left join against the
+    * sunk [[graft.ops.Dedup.paragraphDfTable]] + row-local reassembly
+    * — parity with the batch call by construction; unseen paragraphs
+    * keep (frequency 0). `process` receives `(id, text_out, n_paras,
+    * n_dropped)`. */
+  def paragraphGateWriter(stream: DataFrame, paraDf: DataFrame,
+      id: String, text: String, maxDf: Long, sep: String = "\n")(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Dedup.dropFrequentParagraphsAgainst(batch, id,
+          text, paraDf, maxDf, sep), bid)
+    }
+
   /** Cross-corpus span excision at ingest — the streaming twin of
     * [[graft.ops.Dedup.exciseNewAgainst]] (each arriving document
     * loses the token spans it shares with the FROZEN keeper corpus;

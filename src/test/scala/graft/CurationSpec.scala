@@ -885,4 +885,26 @@ class CurationSpec extends SparkSpec {
     assert(sem(8) == base(8) - 1,
       s"the paraphrase doc must fall at stage 8: base=${base(8)} sem=${sem(8)}")
   }
+  test("histogramShift: exact ppm shares, full-outer buckets, nulls " +
+      "excluded, empty side degrades to zero shares") {
+    val ref = Seq(Some(0L), Some(49L), Some(60L), Some(120L), None)
+      .toDF("v")
+    val cand = Seq(Some(7L), Some(110L)).toDF("v")
+    val out = Curation.histogramShift(ref, cand, "v", bucketWidth = 50L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // ref buckets {0:2, 50:1, 100:1} of 4; cand {0:1, 100:1} of 2
+    assert(out(0L) == ((2L, 1L, 500000L, 500000L, 0L)))
+    assert(out(50L) == ((1L, 0L, 250000L, 0L, -250000L)))
+    assert(out(100L) == ((1L, 1L, 250000L, 500000L, 250000L)))
+    assert(out.size == 3)
+    // total-variation summary is one aggregate away
+    val tv = out.values.map(v => math.abs(v._5)).sum / 2
+    assert(tv == 250000L)
+    // an empty candidate: no divide-by-zero, all cand shares 0
+    val e = Curation.histogramShift(ref, cand.limit(0), "v", 50L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(e.length == 3 && e.forall(r => r._3 == 0L && r._5 == 0L))
+  }
+
 }

@@ -1924,6 +1924,42 @@ class StatefulOpsSpec extends SparkSpec {
     assert(buf.toSet == want && want.size == 3)
   }
 
+  test("paragraphGateWriter: streamed boilerplate gate equals batch; " +
+      "unseen paragraphs keep") {
+    implicit val ctx = spark.sqlContext
+    val reference = Seq(
+      (1L, "BOILER\nreal one"), (2L, "BOILER\nreal two"),
+      (3L, "BOILER\nreal three"), (4L, "rare\nreal four")
+    ).toDF("doc_id", "text")
+    val paraDf = graft.ops.Dedup.paragraphDfTable(reference, "doc_id",
+      "text").persist()
+    val docs = Seq((10L, "BOILER\nfresh body"),
+      (11L, "rare\nnever seen para"), (12L, "BOILER"))
+    try {
+      val want = graft.ops.Dedup.dropFrequentParagraphsAgainst(
+          docs.toDF("doc_id", "text"), "doc_id", "text", paraDf,
+          maxDf = 2)
+        .collect().map(_.toSeq).toSet
+      val buf = mutable.Set.empty[Seq[Any]]
+      val in = MemoryStream[(Long, String)]
+      val q = StatefulOps.paragraphGateWriter(
+          in.toDF().toDF("doc_id", "text"), paraDf, "doc_id", "text",
+          maxDf = 2) {
+        (out, _) => buf ++= out.collect().map(_.toSeq)
+      }.start()
+      withQuery(q) {
+        in.addData(docs.take(2): _*); q.processAllAvailable()
+        in.addData(docs.drop(2): _*); q.processAllAvailable()
+      }
+      assert(buf.toSet == want && want.size == 3)
+      // the gate semantics: BOILER (df 3 > 2) drops, 'rare' (df 1) and
+      // never-seen paragraphs (df 0) keep
+      val byId = want.map(r => r(0) -> r(1)).toMap
+      assert(byId(10L) == "fresh body" && byId(12L) == "" &&
+        byId(11L) == "rare\nnever seen para")
+    } finally paraDf.unpersist()
+  }
+
   test("spanExciseWriter: streamed cross-corpus excision equals batch") {
     implicit val ctx = spark.sqlContext
     val keeper = Seq((2L, "p q r s t u v"), (4L, "m n o p q r"))
