@@ -4403,6 +4403,27 @@ object Queries {
                 AS BIGINT) AS dev_ppm
             FROM j, t"""), bench = true)
 
+  /** Sharded order-free dataset content fingerprint
+    * (graft.io.Integrity.datasetFingerprint — r16): the
+    * migration/compaction "did the rewrite lose rows" check — row
+    * canonicalization (NULL marker, control-char join), 60-bit md5
+    * prefix, shard by fp mod 16, per-shard count + XOR. XOR is
+    * commutative/associative, so any engine computes the identical
+    * value over any row order. */
+  private val q261 = QDef("q261_dataset_fingerprint",
+    (s, d) => graft.io.Integrity.datasetFingerprint(docs(s, d),
+      Seq("doc_id", "lang", "source", "n_chars"), shards = 16),
+    Some("""WITH f AS (SELECT CAST('0x' || substr(md5(
+               COALESCE(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+               COALESCE(lang, chr(2)) || chr(1) ||
+               COALESCE(source, chr(2)) || chr(1) ||
+               COALESCE(CAST(n_chars AS VARCHAR), chr(2))), 1, 15)
+               AS BIGINT) AS fp
+             FROM documents)
+            SELECT fp % 16 AS shard, CAST(count(1) AS BIGINT) AS n_rows,
+                   bit_xor(fp) AS xor_fp
+            FROM f GROUP BY 1"""), bench = true)
+
   /** Bloom-prefiltered benchmark decontamination: a broadcast bitset of
     * the train-gram inventory drops non-member test grams row-locally
     * before the exact verification join. The Bloom filter is pure
@@ -10572,7 +10593,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259, q260)
+    q254, q255, q256, q257, q258, q259, q260, q261)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

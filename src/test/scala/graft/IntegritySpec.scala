@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Integrity
+import graft.ops.Similarity
+
+class IntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    Integrity.datasetFingerprint(df, Seq("id", "v"), shards = 4)
+
+  test("datasetFingerprint: invariant under row order and partitioning; " +
+      "NULL spelled distinctly") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val a = fp(df).collect().map(_.toSeq).toSet
+    val b = fp(df.repartition(7).orderBy(col("v").desc))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // ("a", NULL) vs (NULL, "a") must not collide
+    val x = Integrity.datasetFingerprint(
+      Seq(("a", null)).toDF("id", "v"), Seq("id", "v"), 1).collect()
+    val y = Integrity.datasetFingerprint(
+      Seq((null, "a")).toDF("id", "v"), Seq("id", "v"), 1).collect()
+    assert(x(0).getLong(2) != y(0).getLong(2))
+  }
+
+  test("fingerprintDiff: localizes a changed row to its shard, flags a " +
+      "dropped duplicate pair via the count guard, empty when equal") {
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    assert(Integrity.fingerprintDiff(fp(base), fp(base)).count() == 0L)
+    // one value changed: the old row's shard and the new row's shard
+    // disagree (≤ 2 rows), never the whole table
+    val changed = base.withColumn("v",
+      when(col("id") === 42L, lit("CORRUPT")).otherwise(col("v")))
+    val d = Integrity.fingerprintDiff(fp(base), fp(changed)).collect()
+    assert(d.nonEmpty && d.length <= 2, d.toSeq.toString)
+    // the XOR caveat: dropping BOTH copies of a duplicated row leaves
+    // xor unchanged — the count column still catches it
+    val dup = base.unionByName(Seq((7L, "v7")).toDF("id", "v"))
+    val lost = base.filter(col("id") =!= 7L)
+    val d2 = Integrity.fingerprintDiff(fp(dup), fp(lost)).collect()
+    assert(d2.length == 1 && d2(0).getLong(1) - d2(0).getLong(2) == 2L &&
+      d2(0).getLong(3) == d2(0).getLong(4), d2.toSeq.toString)
+  }
+
+  test("compaction audit: a maintained index serves the identical live " +
+      "content across delete + paired compaction") {
+    val corpus = (0 to 9).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    def liveVecFp() = {
+      val (_, vecs) = Similarity.loadKnnGraph(spark, "intg_idx")
+      Integrity.datasetFingerprint(
+        vecs.select(col("src").cast("string").as("id"),
+          lit("x").as("v")), Seq("id", "v"), 4)
+    }
+    try {
+      Similarity.saveKnnGraphIndex(corpus, "vec_id", "embedding",
+        "intg_idx", buckets = 2, k = 2)
+      Similarity.deleteFromKnnGraphIndex(spark, "intg_idx",
+        Seq(Tuple1(3L)).toDF("vec_id"), "vec_id")
+      val before = liveVecFp().collect().map(_.toSeq).toSet
+      Similarity.compactKnnGraphIndex(spark, "intg_idx", buckets = 2)
+      val after = liveVecFp().collect().map(_.toSeq).toSet
+      assert(before == after && before.nonEmpty,
+        "compaction must preserve the live content fingerprint")
+    } finally Seq("intg_idx", "intg_idx__vec", "intg_idx__tombstones",
+      "intg_idx__params").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+}
