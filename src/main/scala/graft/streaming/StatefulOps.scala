@@ -1694,6 +1694,25 @@ object StatefulOps {
       }
     }
 
+  /** Distribution-shift monitoring at ingest — the streaming twin of
+    * [[graft.ops.Curation.histogramShift]] in the writer posture: each
+    * micro-batch is the CANDIDATE corpus, judged against the frozen
+    * REFERENCE snapshot (the distribution the pipeline was tuned on);
+    * a sudden |dev_ppm| spike at ingest means the upstream source
+    * changed (new crawl mix, encoder swap, corrupted batch) — caught
+    * before it pollutes an index build or a trained gate. Exact
+    * integer ppm shares per batch; parity with the batch op by
+    * construction. `process` receives `(bucket, n_ref, n_cand,
+    * ref_ppm, cand_ppm, dev_ppm)` rows. */
+  def histogramShiftWriter(stream: DataFrame, ref: DataFrame,
+      value: String, bucketWidth: Long)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Curation.histogramShift(ref, batch, value,
+          bucketWidth), bid)
+    }
+
   /** Paragraph boilerplate gate at ingest — the streaming twin of
     * [[graft.ops.Dedup.dropFrequentParagraphs]] in the frozen-artifact
     * posture ([[graft.ops.Dedup.dropFrequentParagraphsAgainst]]): each

@@ -1924,6 +1924,31 @@ class StatefulOpsSpec extends SparkSpec {
     assert(buf.toSet == want && want.size == 3)
   }
 
+  test("histogramShiftWriter: each micro-batch judged against the " +
+      "frozen reference equals the batch op") {
+    implicit val ctx = spark.sqlContext
+    val ref = Seq(10L, 20L, 30L, 110L).toDF("v")
+    val batch1 = Seq(15L, 120L)
+    val batch2 = Seq(130L, 140L, 25L)
+    val buf = mutable.Map.empty[Long, Set[Seq[Any]]]
+    val in = MemoryStream[Long]
+    val q = StatefulOps.histogramShiftWriter(
+        in.toDF().toDF("v"), ref, "v", bucketWidth = 50L) {
+      (out, bid) => buf(bid) = out.collect().map(_.toSeq).toSet
+    }.start()
+    withQuery(q) {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    }
+    def want(vals: Seq[Long]) = graft.ops.Curation.histogramShift(ref,
+        vals.toDF("v"), "v", 50L).collect().map(_.toSeq).toSet
+    assert(buf(0L) == want(batch1) && buf(1L) == want(batch2))
+    // the alarm semantics: batch 2 is 2/3 in the 100-bucket vs the
+    // reference's 1/4 — dev_ppm strongly positive there
+    val dev100 = buf(1L).find(_.head == 100L).get
+    assert(dev100.last.asInstanceOf[Long] > 400000L, dev100.toString)
+  }
+
   test("paragraphGateWriter: streamed boilerplate gate equals batch; " +
       "unseen paragraphs keep") {
     implicit val ctx = spark.sqlContext
