@@ -4424,6 +4424,43 @@ object Queries {
                    bit_xor(fp) AS xor_fp
             FROM f GROUP BY 1"""), bench = true)
 
+  /** Per-snapshot dedup-rate panel (Dedup.dedupRateBySnapshot — r16):
+    * the FineWeb "dedup per dump or globally?" question with numbers —
+    * groups of 4 identical planted texts, the min-id winner + one
+    * within-snapshot dup land in dumpA and two cross-snapshot dups in
+    * dumpB, so both regimes are oracle-exercised and rows reconcile to
+    * the corpus size. */
+  private val q262 = QDef("q262_snapshot_dedup_rates",
+    (s, d) => {
+      val fix = docs(s, d).select(col("doc_id"),
+        concat(lit("grp "), expr("doc_id div 4").cast("string"))
+          .as("text"),
+        when(pmod(col("doc_id"), lit(4)) < 2, lit("dumpA"))
+          .otherwise(lit("dumpB")).as("snap"))
+      Dedup.dedupRateBySnapshot(fix, "doc_id", "text", "snap")
+    },
+    Some("""WITH fix AS (SELECT doc_id,
+               'grp ' || CAST(doc_id // 4 AS VARCHAR) AS text,
+               CASE WHEN doc_id % 4 < 2 THEN 'dumpA' ELSE 'dumpB' END
+                 AS snap
+             FROM documents),
+            h AS (SELECT doc_id, snap, md5(text) AS hh FROM fix),
+            w AS (SELECT hh, doc_id AS w_doc, snap AS w_snap FROM (
+              SELECT hh, doc_id, snap, row_number() OVER (
+                PARTITION BY hh ORDER BY doc_id) AS rn FROM h)
+              WHERE rn = 1)
+            SELECT h.snap, CAST(count(1) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN h.doc_id = w.w_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_winner,
+              CAST(sum(CASE WHEN h.doc_id <> w.w_doc
+                AND h.snap = w.w_snap THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_within,
+              CAST(sum(CASE WHEN h.doc_id <> w.w_doc
+                AND h.snap <> w.w_snap THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_cross
+            FROM h JOIN w USING (hh)
+            GROUP BY 1"""), bench = true)
+
   /** Bloom-prefiltered benchmark decontamination: a broadcast bitset of
     * the train-gram inventory drops non-member test grams row-locally
     * before the exact verification join. The Bloom filter is pure
@@ -10593,7 +10630,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259, q260, q261)
+    q254, q255, q256, q257, q258, q259, q260, q261, q262)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -2402,4 +2402,42 @@ object Dedup {
           e => e.getField("para")), sep).as("text_out"))
       .select(col(id), col("text_out"), col("n_paras"), col("n_dropped"))
 
+  /** Per-snapshot exact-duplication report — the "dedup within each
+    * crawl dump or globally across dumps?" data-strategy question
+    * (FineWeb measured the two regimes diverging; this panel gives the
+    * numbers for THIS corpus): the global [[exactDedup]] winner rule
+    * (min id per content hash), and each losing copy classified by
+    * WHERE its winner lives — `dup_within` (winner in the same
+    * snapshot: per-dump dedup would also catch it) vs `dup_cross`
+    * (winner in another snapshot: ONLY global dedup catches it). A
+    * high cross share says snapshots recrawl each other and global
+    * dedup pays; a low one says per-dump dedup is nearly free of the
+    * global shuffle.
+    *
+    * Scale shape: one hash groupBy (min-struct winner, map-side
+    * combinable), one equi-join back on the hash, one snapshot-keyed
+    * rollup. Output per snapshot: `(snapshot, n_docs, n_winner,
+    * n_dup_within, n_dup_cross)` — rows reconcile:
+    * n_docs = n_winner + n_dup_within + n_dup_cross. */
+  def dedupRateBySnapshot(df: DataFrame, id: String, text: String,
+                          snapshot: String): DataFrame = {
+    val h = df.select(col(id).as("doc"), col(snapshot).as("snap"),
+      md5(col(text)).as("h"))
+    val win = h.groupBy(col("h"))
+      .agg(min(struct(col("doc"), col("snap"))).as("w"))
+      .select(col("h"), col("w.doc").as("w_doc"),
+        col("w.snap").as("w_snap"))
+    h.join(win, Seq("h"))
+      .groupBy(col("snap").as(snapshot))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc") === col("w_doc"), 1L).otherwise(0L))
+          .as("n_winner"),
+        sum(when(col("doc") =!= col("w_doc") &&
+          col("snap") === col("w_snap"), 1L).otherwise(0L))
+          .as("n_dup_within"),
+        sum(when(col("doc") =!= col("w_doc") &&
+          col("snap") =!= col("w_snap"), 1L).otherwise(0L))
+          .as("n_dup_cross"))
+  }
+
 }

@@ -1428,4 +1428,24 @@ class DedupSpec extends SparkSpec {
       loose(1L) == "intro one\nBOILER\nbody one" && loose(7L) == "a\nb")
   }
 
+  test("dedupRateBySnapshot: losers classify by WHERE the min-id winner " +
+      "lives; rows reconcile to corpus size") {
+    val docs = Seq(
+      (1L, "X", "d1"), (2L, "X", "d1"), (3L, "X", "d2"), // winner d1
+      (4L, "Y", "d2"), (5L, "Y", "d1"),                  // winner d2
+      (6L, "unique six", "d1"), (7L, "unique seven", "d2")
+    ).toDF("doc_id", "text", "snap")
+    val out = graft.ops.Dedup.dedupRateBySnapshot(docs, "doc_id",
+        "text", "snap")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // d1: docs {1,2,5,6}: winners 1,6; 2 is within (winner 1 in d1);
+    // 5 is cross (winner 4 in d2)
+    assert(out("d1") == ((4L, 2L, 1L, 1L)), out.toString)
+    // d2: docs {3,4,7}: winners 4,7; 3 is cross (winner 1 in d1)
+    assert(out("d2") == ((3L, 2L, 0L, 1L)), out.toString)
+    val tot = out.values.map(v => v._2 + v._3 + v._4).sum
+    assert(tot == 7L, "classification must reconcile to corpus size")
+  }
+
 }
