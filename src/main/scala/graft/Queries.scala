@@ -4550,6 +4550,176 @@ object Queries {
     * to BOTH the Spark plan and the generated oracle, so encode + ADC
     * search are hash-checked end-to-end. The ordered `list(ip ORDER BY
     * sub)` fold mirrors PqAdc's sub-order summation exactly. */
+  /** The q263 fixture: 8 INDEPENDENT sign bits (dims 0-7 carry
+    * ±1 from bit i of vec_id; dims 8-63 pure noise) — 2⁸ patterns in
+    * ONE contiguous subspace, engineered to SATURATE raw PQ's 16
+    * codewords while a balanced allocation (one sign dim per subspace)
+    * needs only 2 patterns each. All on the 2⁻¹² grid, float-exact in
+    * both engines. */
+  private def signPlantedEmb(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> cast((4096 * (case when " +
+        "i < 8 then 1 - 2 * pmod(shiftright(vec_id, cast(i as int)), 2) " +
+        "else 0 end) + floor(cast(x as double) * 4096.0D)) / 4096.0D " +
+        "as float))").as("embedding"))
+  private val sqlSignPlantedEmb: String =
+    """se AS MATERIALIZED (SELECT vec_id,
+         list_transform(range(0, 64), i ->
+           (4096 * (CASE WHEN i < 8
+              THEN 1 - 2 * ((vec_id >> CAST(i AS INT)) & 1) ELSE 0 END)
+            + floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+              * 4096.0)) / 4096.0) AS embedding
+       FROM embeddings)"""
+
+  private val opqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Int], Array[(Int, Int, Seq[Float])],
+      Array[(Int, Int, Seq[Float])])]
+  /** q263 trained artifacts: the variance-balanced permutation plus
+    * raw-order and permuted-order PQ codebooks on the SAME (m, ksub)
+    * budget; dyadic transport, cached per sf dir. */
+  private def opqArtifacts(s: SparkSession, d: String)
+      : (Array[Int], Array[(Int, Int, Seq[Float])],
+         Array[(Int, Int, Seq[Float])]) =
+    opqCache.getOrElseUpdate(d, {
+      val e = signPlantedEmb(s, d)
+      val perm = Similarity.varianceBalancedPerm(
+        Similarity.trainDimVarianceKeys(e, "embedding"), PqM)
+      val ep = e.select(col("vec_id"),
+        Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+      def collectCb(df: DataFrame) =
+        df.select("sub", "code_id", "code_vec").collect()
+          .map(r =>
+            (r.getInt(0), r.getInt(1), quantizeVec(r.getSeq[Float](2))))
+          .sortBy(t => (t._1, t._2))
+      val cbRaw = collectCb(Similarity.trainPqCodebooks(e, "vec_id",
+        "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2))
+      val cbBal = collectCb(Similarity.trainPqCodebooks(ep, "vec_id",
+        "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2))
+      (perm, cbRaw, cbBal)
+    })
+
+  /** Variance-balanced PQ (OPQ's "balanced natural order" baseline, Ge
+    * et al. 2013) vs raw-order PQ recall@5 on the SAME (m, ksub)
+    * budget (Similarity.varianceBalancedPerm/permuteVec — r16): on the
+    * sign-bit fixture the 2⁸ patterns of dims 0-7 saturate one raw
+    * subspace's 16 codewords (measured recall 0.14) while dealing one
+    * sign dim per subspace needs 2 patterns each (0.67 — 4.6×).
+    * Permutation is lossless and cosine-invariant, so contiguous-slice
+    * PQ machinery runs unchanged on the permuted vectors; the oracle
+    * permutes with one inlined INT[] and replays both ADC chains. */
+  private val q263 = QDef("q263_pq_balanced_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = signPlantedEmb(s, d)
+      val (perm, cbRawA, cbBalA) = opqArtifacts(s, d)
+      val cbRaw = cbRawA.toSeq.toDF("sub", "code_id", "code_vec")
+      val cbBal = cbBalA.toSeq.toDF("sub", "code_id", "code_vec")
+      val ep = e.select(col("vec_id"),
+        Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+      val q = e.filter(col("vec_id") % 10 === 0)
+      val qp = ep.filter(col("vec_id") % 10 === 0)
+      val exact = graft.ops.Caches.track(
+        Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 5)
+          .persist())
+      def row(name: String, ann: org.apache.spark.sql.DataFrame) =
+        Similarity.topKRecall(ann, exact, "q_id", "neighbor_id")
+          .agg(sum(col("n_exact")).as("n_exact"),
+            sum(col("n_hit")).as("n_hit"))
+          .select(lit(name).as("variant"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 4)
+              .as("recall"))
+      row("pq",
+        Similarity.pqTopK(q, e, "vec_id", "embedding", k = 5, cbRaw,
+          dim = 64, m = PqM, ksub = PqKsub))
+        .unionByName(row("pq_balanced",
+          Similarity.pqTopK(qp, ep, "vec_id", "embedding", k = 5, cbBal,
+            dim = 64, m = PqM, ksub = PqKsub)))
+    },
+    None, bench = true,
+    oracleGen = Some((s, d) => {
+      val (perm, cbRaw, cbBal) = opqArtifacts(s, d)
+      val permSql = perm.map(_ + 1).mkString("[", ", ", "]")
+      def cbValues(cb: Array[(Int, Int, Seq[Float])]) =
+        cb.map { case (sub, code, vec) =>
+          s"($sub, $code, CAST(${sqlDyadicArray(vec)} AS DOUBLE[]))"
+        }.mkString(", ")
+      def adcChain(src: String, cbName: String, p: String) =
+        s"""sv$p AS MATERIALIZED (SELECT vec_id, subs.sub,
+                embedding[CAST(subs.sub * $PqDsub + 1 AS INT)
+                  : CAST(subs.sub * $PqDsub + $PqDsub AS INT)] AS svec
+              FROM $src, subs),
+            enc$p AS MATERIALIZED (SELECT vec_id, sub, code_id FROM (
+                SELECT sv$p.vec_id, sv$p.sub, $cbName.code_id,
+                  row_number() OVER (
+                    PARTITION BY sv$p.vec_id, sv$p.sub ORDER BY
+                      list_sum(list_transform(range(1, ${PqDsub + 1}),
+                        i -> (CAST(sv$p.svec[i] AS DOUBLE)
+                              - $cbName.code_vec[i]) *
+                             (CAST(sv$p.svec[i] AS DOUBLE)
+                              - $cbName.code_vec[i]))) ASC,
+                      $cbName.code_id ASC) AS rn
+                FROM sv$p JOIN $cbName ON sv$p.sub = $cbName.sub)
+                WHERE rn = 1),
+            dt$p AS (SELECT sv$p.vec_id AS q_id, sv$p.sub,
+                $cbName.code_id,
+                list_sum(list_transform(range(1, ${PqDsub + 1}),
+                  i -> CAST(sv$p.svec[i] AS DOUBLE) * $cbName.code_vec[i]))
+                  AS ip
+              FROM sv$p JOIN $cbName ON sv$p.sub = $cbName.sub
+              WHERE sv$p.vec_id % 10 = 0),
+            sc$p AS (SELECT dt$p.q_id, enc$p.vec_id AS c_id,
+                list_sum(list(dt$p.ip ORDER BY dt$p.sub)) AS adot
+              FROM enc$p JOIN dt$p ON enc$p.sub = dt$p.sub
+                AND enc$p.code_id = dt$p.code_id
+              WHERE dt$p.q_id <> enc$p.vec_id
+              GROUP BY 1, 2),
+            r$p AS MATERIALIZED (SELECT q_id, c_id FROM (
+              SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY adot DESC, c_id ASC) AS rn
+              FROM sc$p) WHERE rn <= 5)"""
+      s"""WITH $sqlSignPlantedEmb,
+            pe2 AS MATERIALIZED (SELECT vec_id,
+              list_transform(CAST($permSql AS INT[]),
+                i -> embedding[i]) AS embedding FROM se),
+            cb AS (SELECT * FROM (VALUES ${cbValues(cbRaw)})
+              AS t(sub, code_id, code_vec)),
+            cbb AS (SELECT * FROM (VALUES ${cbValues(cbBal)})
+              AS t(sub, code_id, code_vec)),
+            v AS MATERIALIZED (SELECT vec_id, embedding AS vec,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * embedding[i])))
+                  AS nrm
+              FROM se),
+            q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+              FROM v WHERE vec_id % 10 = 0),
+            scx AS (SELECT q.q_id, c.vec_id AS c_id,
+                list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                  i -> CAST(q.q_vec[i] AS DOUBLE) * c.vec[i]))
+                  / (q.q_nrm * c.nrm) AS cos
+              FROM q, v c WHERE q.q_id <> c.vec_id),
+            ex AS MATERIALIZED (SELECT q_id, c_id FROM (
+              SELECT q_id, c_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+              FROM scx) WHERE rn <= 5),
+            subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+            ${adcChain("se", "cb", "1")},
+            ${adcChain("pe2", "cbb", "2")},
+            agg AS (
+              SELECT 'pq' AS variant,
+                (SELECT count(1) FROM ex) AS n_exact,
+                (SELECT count(1) FROM ex JOIN r1
+                   USING (q_id, c_id)) AS n_hit
+              UNION ALL
+              SELECT 'pq_balanced' AS variant,
+                (SELECT count(1) FROM ex) AS n_exact,
+                (SELECT count(1) FROM ex JOIN r2
+                   USING (q_id, c_id)) AS n_hit)
+            SELECT variant, CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall
+            FROM agg"""
+    }))
+
   private val q82 = QDef("q82_pq_topk",
     (s, d) => {
       import s.implicits._
@@ -10630,7 +10800,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259, q260, q261, q262)
+    q254, q255, q256, q257, q258, q259, q260, q261, q262, q263)
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

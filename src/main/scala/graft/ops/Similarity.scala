@@ -2061,6 +2061,63 @@ object Similarity {
     graft.io.IndexMaintenance.compactPair(spark, table,
       knnGraphVecTable(table), "src", "src", buckets, "src")
 
+  /** Exact per-dimension variance KEYS of an embedding corpus:
+    * `n·Σm² − (Σm)²  =  n²·var` over the floor-quantized grid
+    * (`m = ⌊2ˢ·v⌋`), one posexplode partial-agg pass — the
+    * [[pcaSpectrum]] integer-moment identity applied per RAW dim.
+    * Returned as one long per dim (ordering key only; the n² factor is
+    * shared, so ranking by it ranks by variance). Int64 bound:
+    * n·Σm² ≤ n²·max(m²) — safe to ~10⁶ rows at 2¹²-grid magnitudes;
+    * shiftright the moments first past that (the pcaSpectrum rule). */
+  def trainDimVarianceKeys(df: DataFrame, vec: String,
+                           scaleBits: Int = 12): Array[Long] = {
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val rows = df.select(posexplode(col(vec)).as(Seq("j", "x")))
+      .select(col("j"), floor(col("x").cast("double") * scale).as("m"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("ss"))
+      .collect()
+    require(rows.nonEmpty, "trainDimVarianceKeys: empty corpus")
+    val out = new Array[Long](rows.length)
+    rows.foreach { r =>
+      out(r.getInt(0)) = r.getLong(1) * r.getLong(3) -
+        r.getLong(2) * r.getLong(2)
+    }
+    out
+  }
+
+  /** OPQ-natural dimension allocation (the published OPQ baseline that
+    * needs no rotation — Ge et al. 2013 §"natural order" vs balanced):
+    * deal the dims, ranked by variance DESC (tie → lower dim), round-
+    * robin across the `m` PQ subspaces, so every subspace carries an
+    * equal share of the corpus energy. Contiguous-slice PQ trainers/
+    * searchers then work UNCHANGED on the permuted vectors — subspace
+    * `s` occupies positions [s·dsub, (s+1)·dsub). Matters exactly when
+    * the signal concentrates in few dims (cluster indicators, PCA-
+    * rotated inputs): un-permuted, whole subspaces are pure noise and
+    * their codes carry nothing. Returns `perm` with
+    * `permuted(newPos) = original(perm(newPos))`. */
+  def varianceBalancedPerm(varKeys: Array[Long], m: Int): Array[Int] = {
+    require(m >= 1 && varKeys.nonEmpty && varKeys.length % m == 0,
+      s"need d divisible by m, got d=${varKeys.length} m=$m")
+    val dsub = varKeys.length / m
+    val ranked = varKeys.zipWithIndex
+      .sortBy { case (v, j) => (-v, j) }.map(_._2)
+    Array.tabulate(varKeys.length) { pos =>
+      val s = pos / dsub
+      val t = pos % dsub
+      ranked(t * m + s)
+    }
+  }
+
+  /** Row-local dimension permutation: `out(i) = vec(perm(i))` — a
+    * literal-fused codegen'd array rebuild, lossless (floats move,
+    * never recompute), cosine/dot invariant. */
+  def permuteVec(vec: Column, perm: Array[Int]): Column =
+    array(perm.toSeq.map(p => element_at(vec, p + 1)): _*)
+
   /** Train SQ8 scalar-quantization bounds: per-dimension (min, max) of
     * the floor-quantized corpus (`floor(v_j·2^scaleBits)`, the repo-wide
     * integer grid) — the trained artifact of the FAISS-style SQ8 index

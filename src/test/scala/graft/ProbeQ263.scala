@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probe for q263 (test scope): does variance-balanced dim allocation
+  * lift plain-PQ recall on the planted-cluster fixture (signal in dims
+  * 0..15 → 2 of 8 contiguous subspaces) at the same (m, ksub) budget? */
+object ProbeQ263 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val bump = args.lift(1).map(_.toInt).getOrElse(2048)
+    val b = SparkSession.builder().master("local[32]")
+      .appName("probeq263").config("spark.sql.shuffle.partitions", 32)
+    Queries.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ops = graft.ops.Similarity
+    val e = Queries.table(spark, dir, "embeddings").select(col("vec_id"),
+      expr(s"transform(embedding, (x, i) -> cast(($bump * (case when " +
+        "i < 8 then 1 - 2 * pmod(shiftright(vec_id, cast(i as int)), 2) " +
+        "else 0 end) + " +
+        "floor(cast(x as double) * 4096.0D)) / 4096.0D as float))")
+        .as("embedding")).localCheckpoint(true)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val exact = ops.cosineTopK(q, e, "vec_id", "embedding", 5)
+      .localCheckpoint(true)
+    def recall(ann: DataFrame): Double = {
+      val r = ops.topKRecall(ann, exact, "q_id", "neighbor_id")
+        .agg(sum("n_exact"), sum("n_hit")).head()
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+    val cbRaw = ops.trainPqCodebooks(e, "vec_id", "embedding", 64, 8, 16, 2)
+    println(f"[probe] pq_raw recall=${recall(ops.pqTopK(q, e, "vec_id",
+      "embedding", 5, cbRaw, 64, 8, 16))}%.4f")
+    val perm = ops.varianceBalancedPerm(
+      ops.trainDimVarianceKeys(e, "embedding"), 8)
+    println("[probe] perm=" + perm.mkString(","))
+    val ep = e.select(col("vec_id"),
+      ops.permuteVec(col("embedding"), perm).as("embedding"))
+      .localCheckpoint(true)
+    val qp = ep.filter(col("vec_id") % 10 === 0)
+    val cbP = ops.trainPqCodebooks(ep, "vec_id", "embedding", 64, 8, 16, 2)
+    println(f"[probe] pq_balanced recall=${recall(ops.pqTopK(qp, ep,
+      "vec_id", "embedding", 5, cbP, 64, 8, 16))}%.4f")
+    spark.stop()
+  }
+}

@@ -1509,6 +1509,30 @@ class SimilaritySpec extends SparkSpec {
     assert(all.count() == 3L)
   }
 
+  test("varianceBalancedPerm: exact integer variance keys, round-robin " +
+      "dealing with dim tie-break, lossless permute, d%m guard") {
+    // scaleBits = 1 (m = floor 2x, exact on halves): per-dim keys
+    // n·Σm² − (Σm)²  →  d0: {2,2} → 0; d1: {16,0} → 256; d2: {6,10}
+    // → 16; d3: {0,0} → 0 (ties d0, dim order breaks it)
+    val df = Seq(
+      (1L, Seq(1.0f, 8.0f, 3.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val keys = Similarity.trainDimVarianceKeys(df, "embedding",
+      scaleBits = 1)
+    assert(keys.toSeq == Seq(0L, 256L, 16L, 0L), keys.toSeq.toString)
+    // ranked = [1, 2, 0, 3]; m = 2 deals ranks {0,2} and {1,3}
+    val perm = Similarity.varianceBalancedPerm(keys, m = 2)
+    assert(perm.toSeq == Seq(1, 0, 2, 3), perm.toSeq.toString)
+    val permuted = df.select(
+        Similarity.permuteVec(col("embedding"), perm).as("p"))
+      .as[Seq[Float]].collect().toSet
+    assert(permuted == Set(Seq(8.0f, 1.0f, 3.0f, 0.0f),
+      Seq(0.0f, 1.0f, 5.0f, 0.0f)))
+    intercept[IllegalArgumentException] {
+      Similarity.varianceBalancedPerm(keys, m = 3)
+    }
+  }
+
   // ---------------------------------------------------------- graph ANN
 
   /** Ten unit vectors on a circular arc, 9° apart: cosine decays
