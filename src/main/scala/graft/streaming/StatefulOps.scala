@@ -803,6 +803,42 @@ object StatefulOps {
           k, cent, nProbe, lo, hi, scaleBits), bid)
     }
 
+  /** Graph-ANN serving — the HNSW-class member of the ServeWriter
+    * family ([[ivfSq8ServeWriter]]'s posture): each query micro-batch
+    * runs the unmodified batch
+    * [[graft.ops.Similarity.knnGraphBeamSearch]] over the persisted
+    * graph's live `(edges, vectors)` views
+    * ([[graft.ops.Similarity.loadKnnGraph]]) — full beam semantics and
+    * exact scoring online, parity by construction. Pass persisted
+    * views for long-lived serving (the edge/vector tables are the sunk
+    * index). */
+  def knnGraphServeWriter(stream: DataFrame, edges: DataFrame,
+      vectors: DataFrame, id: String, vec: String, k: Int,
+      beamWidth: Int, hops: Int, entryBuckets: Int = 4,
+      salt: String = "knng")(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Similarity.knnGraphBeamSearch(batch, edges,
+          vectors, id, vec, k, beamWidth, hops, entryBuckets, salt), bid)
+    }
+
+  /** UniMax mixture policy at ingest — the streaming twin of
+    * [[graft.ops.Sampling.uniMaxSample]]: the allocation plan is a
+    * FROZEN driver artifact (trained on the reference corpus
+    * snapshot), each arriving document gets its epoch-capped copy
+    * count row-locally (broadcast plan join + consistent-hash band, no
+    * state) — the "how many times does this doc train" decision made
+    * where documents arrive, batch parity by construction. */
+  def uniMaxGateWriter(stream: DataFrame, id: String, domain: String,
+      plan: Seq[(String, Long, Long)], salt: String)(
+      process: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      if (!batch.isEmpty)
+        process(graft.ops.Sampling.uniMaxSample(batch, id, domain, plan,
+          salt), bid)
+    }
+
   /** Pause gate (F1/ST6, processor/mqtt_sink.py:77-94): drop all rows while
     * the driver-toggled flag is set.
     *

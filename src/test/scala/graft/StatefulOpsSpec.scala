@@ -1924,6 +1924,68 @@ class StatefulOpsSpec extends SparkSpec {
     assert(buf.toSet == want && want.size == 3)
   }
 
+  test("knnGraphServeWriter: streamed beam search over the persisted " +
+      "graph equals the batch call") {
+    implicit val ctx = spark.sqlContext
+    // the arc fixture: mutual-2NN chain 0-1-...-9 (SimilaritySpec)
+    def av(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = (0 to 9).map(i => (i.toLong, av(i * 9.0)))
+      .toDF("vec_id", "embedding")
+    try {
+      graft.ops.Similarity.saveKnnGraphIndex(corpus, "vec_id",
+        "embedding", "serve_knng", buckets = 2, k = 2)
+      val (edges, vecs) = graft.ops.Similarity.loadKnnGraph(spark,
+        "serve_knng")
+      val vtab = vecs.selectExpr("src AS vec_id", "vec AS embedding")
+        .persist()
+      val queries = Seq((100L, av(86.0)), (200L, av(4.0)))
+      val want = graft.ops.Similarity.knnGraphBeamSearch(
+          queries.toDF("vec_id", "embedding"), edges, vtab, "vec_id",
+          "embedding", k = 3, beamWidth = 16, hops = 9,
+          entryBuckets = 1)
+        .collect().map(_.toSeq).toSet
+      val buf = mutable.Set.empty[Seq[Any]]
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = StatefulOps.knnGraphServeWriter(
+          in.toDF().toDF("vec_id", "embedding"), edges, vtab, "vec_id",
+          "embedding", k = 3, beamWidth = 16, hops = 9,
+          entryBuckets = 1) {
+        (out, _) => buf ++= out.collect().map(_.toSeq)
+      }.start()
+      withQuery(q) {
+        in.addData(queries.take(1): _*); q.processAllAvailable()
+        in.addData(queries.drop(1): _*); q.processAllAvailable()
+      }
+      assert(buf.toSet == want && want.size == 6,
+        s"streamed=${buf.toSet} want=$want")
+      vtab.unpersist()
+    } finally Seq("serve_knng", "serve_knng__vec",
+      "serve_knng__tombstones", "serve_knng__params").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("uniMaxGateWriter: frozen-plan epoch-capped copies at ingest " +
+      "equal batch") {
+    implicit val ctx = spark.sqlContext
+    val plan = Seq(("x", 4L, 10L), ("y", 4L, 2L))
+    val docs = Seq((1L, "x"), (2L, "x"), (11L, "y"), (12L, "y"))
+    val want = graft.ops.Sampling.uniMaxSample(
+        docs.toDF("doc_id", "dom"), "doc_id", "dom", plan, "ux")
+      .collect().map(_.toSeq).toSet
+    val buf = mutable.Set.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = StatefulOps.uniMaxGateWriter(
+        in.toDF().toDF("doc_id", "dom"), "doc_id", "dom", plan, "ux") {
+      (out, _) => buf ++= out.collect().map(_.toSeq)
+    }.start()
+    withQuery(q) {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    }
+    assert(buf.toSet == want && want.nonEmpty)
+  }
+
   test("histogramShiftWriter: each micro-batch judged against the " +
       "frozen reference equals the batch op") {
     implicit val ctx = spark.sqlContext
