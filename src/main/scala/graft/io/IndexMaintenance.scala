@@ -63,10 +63,29 @@ object IndexMaintenance {
     * lost to a crash mid-overwrite merely degrades the next guard to
     * the one-off row scan, which backfills this sidecar again. */
   def writeParams(spark: SparkSession, table: String,
-                  params: Map[String, Long]): Unit =
+                  params: Map[String, Long]): Unit = {
+    val pt = paramsTable(table)
+    // a fresh session over an existing warehouse can see the sidecar's
+    // LOCATION without a catalog entry (a dropped-catalog/undropped-dir
+    // orphan — e.g. a crashed run or a different metastore lifetime);
+    // saveAsTable would then refuse with LOCATION_ALREADY_EXISTS. The
+    // sidecar is derived state — reclaim the orphan and write.
+    if (!spark.catalog.tableExists(pt)) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), pt)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
     spark.createDataFrame(params.toSeq.sortBy(_._1)).toDF("k", "v")
       .coalesce(1).write.mode("overwrite").format("parquet")
-      .saveAsTable(paramsTable(table))
+      .saveAsTable(pt)
+  }
 
   /** The build-params sidecar of `table`, if one was written. */
   def readParams(spark: SparkSession,

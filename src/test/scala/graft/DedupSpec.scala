@@ -420,7 +420,7 @@ class DedupSpec extends SparkSpec {
     } finally {
       graft.ops.Caches.release(blocking = true)
       Seq("sg_idx", "sg_idx__tombstones", "sg_idx__compact",
-        "sg_idx__precompact").foreach(t =>
+        "sg_idx__precompact", "sg_idx__params").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }

@@ -2193,7 +2193,7 @@ class StatefulOpsSpec extends SparkSpec {
     } finally {
       graft.ops.Caches.release(blocking = true)
       Seq("mh_cdc", "mh_cdc__tombstones", "mh_cdc__compact",
-        "mh_cdc__precompact").foreach(t =>
+        "mh_cdc__precompact", "mh_cdc__params").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
@@ -2254,7 +2254,8 @@ class StatefulOpsSpec extends SparkSpec {
       graft.ops.Caches.release(blocking = true)
       Seq("mhp_cdc", "mhp_cdc__sh", "mhp_cdc__tombstones",
         "mhp_cdc__compact", "mhp_cdc__precompact",
-        "mhp_cdc__sh__compact", "mhp_cdc__sh__precompact").foreach(t =>
+        "mhp_cdc__sh__compact", "mhp_cdc__sh__precompact",
+        "mhp_cdc__params").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
