@@ -9415,9 +9415,8 @@ object Queries {
     * df DESC then term ASC; per query the sorted corrected term set +
     * correction/drop counts. */
   private val q223 = QDef("q223_fuzzy_rewrite",
-    (s, d) => TextAnalysis.fuzzyQueryRewrite(
-      TextAnalysis.indexPostings(docs(s, d), "doc_id", "text"),
-      typoQueries(s, d), "q_id", "qtext"),
+    (s, d) => TextAnalysis.fuzzyQueryRewriteFromText(docs(s, d),
+      "doc_id", "text", typoQueries(s, d), "q_id", "qtext"),
     Some("""WITH dtr AS MATERIALIZED (SELECT doc_id, list_filter(
                 regexp_split_to_array(text, '\s+'), x -> x <> '') AS wsr
               FROM documents),
@@ -9474,9 +9473,8 @@ object Queries {
     * correction chain feeding the untouched q124 ranking arithmetic —
     * idf trained on the CORRECTED queries inlines as VALUES. */
   private val q224 = QDef("q224_fuzzy_bm25",
-    (s, d) => TextAnalysis.fuzzyBm25Search(
-      TextAnalysis.indexPostings(docs(s, d), "doc_id", "text"),
-      typoQueries(s, d), "q_id", "qtext", k = 10),
+    (s, d) => TextAnalysis.fuzzyBm25FromText(docs(s, d), "doc_id",
+      "text", typoQueries(s, d), "q_id", "qtext", k = 10),
     None, bench = true,
     oracleGen = Some((s, d) => {
       val rw = TextAnalysis.fuzzyQueryRewrite(
@@ -10638,9 +10636,9 @@ object Queries {
     * them. The vocab side filters len(w) ≤ 34 = maxTermLen + maxDist —
     * mirrored in the oracle, provably lossless (|len diff| ≤ lev). */
   private val q226 = QDef("q226_fuzzy_rewrite2",
-    (s, d) => TextAnalysis.fuzzyQueryRewrite(
-      TextAnalysis.indexPostings(docs(s, d), "doc_id", "text"),
-      typo2Queries(s, d), "q_id", "qtext", maxDist = 2),
+    (s, d) => TextAnalysis.fuzzyQueryRewriteFromText(docs(s, d),
+      "doc_id", "text", typo2Queries(s, d), "q_id", "qtext",
+      maxDist = 2),
     Some("""WITH dtr AS MATERIALIZED (SELECT doc_id, list_filter(
                 regexp_split_to_array(text, '\s+'), x -> x <> '') AS wsr
               FROM documents),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx.Bridge
@@ -331,6 +331,81 @@ case class QuantVectorDot(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Minimum squared L2 distance from the floor-quantized input vector to
+  * a SET of already-quantized centers, fused into one codegen'd loop —
+  * the farthest-point-sampling round primitive ([[graft.ops.Similarity
+  * .kCenterCoreset]]). `centers` is row-major flat (k·d longs) and
+  * travels via `addReferenceObj` (r16; the Sq8Dot array-parameter rule):
+  * the first cut built `least(Σ_j (floor(2ˢ·v_j) − c_j)²…)` as a k·d-term
+  * LITERAL expression tree, which re-paid Catalyst analysis +
+  * whole-stage-codegen compilation per round per run — and because the
+  * reference object lives OUTSIDE the generated source, every round of
+  * the greedy loop reuses one compiled class. Arithmetic identical to
+  * the literal chain: `q_j = floor((double)v_j · 2ˢ)` as long, min over
+  * centers of Σ (q_j − c_j)², left-to-right. */
+case class MinCenterDist2(child: Expression, centers: Array[Long],
+                          dims: Int, scaleBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(dims >= 1 && centers.length % dims == 0 && centers.nonEmpty,
+    s"bad centers: ${centers.length} longs, dims=$dims")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "min_center_dist2"
+
+  private val scale: Double = (1L << scaleBits).toDouble
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val d = math.min(dims, v.numElements())
+    var best = Long.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var s = 0L
+      var j = 0
+      while (j < d) {
+        val t = math.floor(v.getFloat(j).toDouble * scale).toLong -
+          centers(c + j)
+        s += t * t
+        j += 1
+      }
+      if (s < best) best = s
+      c += dims
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ctrRef = ctx.addReferenceObj("kcCenters", centers, "long[]")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      s"""
+         |int $d = java.lang.Math.min($dims, $a.numElements());
+         |long $best = java.lang.Long.MAX_VALUE;
+         |for (int $c = 0; $c < $ctrRef.length; $c += $dims) {
+         |  long $s = 0L;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    long $t = (long) java.lang.Math.floor(
+         |      (double) $a.getFloat($j) * $scale) - $ctrRef[$c + $j];
+         |    $s += $t * $t;
+         |  }
+         |  if ($s < $best) $best = $s;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinCenterDist2 =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column forms of the native expressions. */
   def floatDot(a: Column, b: Column): Column =
@@ -357,4 +432,9 @@ object VectorExprs {
              range: Array[Long]): Column =
     Bridge.column(Sq8Dot(
       Bridge.expression(codes), Bridge.expression(mq), lo, range))
+
+  def minCenterDist2(vec: Column, centers: Array[Long], dims: Int,
+                     scaleBits: Int): Column =
+    Bridge.column(MinCenterDist2(
+      Bridge.expression(vec), centers, dims, scaleBits))
 }

@@ -36,7 +36,7 @@ object Dedup {
     * executable specification the native expression is pinned against
     * in DedupSpec. Interpreted; not for hot paths. */
   def positionalShinglesSpec(text: Column, n: Int = 2): Column = {
-    val toks = TextAnalysis.tokens(text)
+    val toks = TextAnalysis.tokensSpec(text)
     val m = size(toks)
     if (n == 1) toks
     else {

@@ -58,8 +58,8 @@ object Similarity {
                  vec: String, k: Int,
                  maxBroadcastQueries: Long = 500000L,
                  materializeCorpusNorms: Boolean = false): DataFrame = {
-    requireBounded("cosineTopK", "query", queries, maxBroadcastQueries,
-      "maxBroadcastQueries",
+    val nQ = requireBounded("cosineTopK", "query", queries,
+      maxBroadcastQueries, "maxBroadcastQueries",
       "use annTopK or ivfTopK for large query sets, raise the limit " +
         "explicitly, or pass Long.MaxValue to keep the plan fully lazy")
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
@@ -71,8 +71,19 @@ object Similarity {
     // persisting the corpus would cost corpus-scale storage), dominant
     // when |queries| ≈ |corpus| (mutual-kNN) — opt in to persist the
     // (id, vec, norm) projection so the scan READS the norm instead.
-    val c0 = corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
-      norm(col(vec)).as("c_norm"))
+    //
+    // And there is no exchange to PARALLELIZE the scoring either (the
+    // editDistancePairs lesson, r16): a broadcast-joined plan runs at
+    // the input's split count — ONE split for a small/local corpus file,
+    // serializing the |queries|·|corpus| scoring pass on one core
+    // (measured: q166's all-pairs pass 2.2 s in one task). For LARGE
+    // query sets, pin a deterministic id-hash exchange (see
+    // pinIfManyQueries — measured −0.67 s paired at |q| = 2000, +0.39 s
+    // at |q| = 200, so the pin is count-gated).
+    val c0 = pinIfManyQueries(
+      corpus.select(col(id).as("c_id"), col(vec).as("c_vec"),
+        norm(col(vec)).as("c_norm")),
+      col("c_id"), nQ)
     val c = if (materializeCorpusNorms) Caches.track(c0.persist()) else c0
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -121,15 +132,22 @@ object Similarity {
                      maxBroadcastSide: Long = 500000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(kNbr >= k, s"kNbr ($kNbr) must be >= k ($k)")
-    requireBounded("bitextMineTopK", "src", src, maxBroadcastSide,
-      "maxBroadcastSide", "mine in src batches")
-    requireBounded("bitextMineTopK", "tgt", tgt, maxBroadcastSide,
-      "maxBroadcastSide", "nominate with an ANN composition and " +
-        "rescore, or raise the limit")
-    val a = src.select(col(id).cast("long").as("a_id"),
-      col(vec).as("a_vec"), norm(col(vec)).as("a_norm"))
-    val b = tgt.select(col(id).cast("long").as("b_id"),
-      col(vec).as("b_vec"), norm(col(vec)).as("b_norm"))
+    val nSrc = requireBounded("bitextMineTopK", "src", src,
+      maxBroadcastSide, "maxBroadcastSide", "mine in src batches")
+    val nTgt = requireBounded("bitextMineTopK", "tgt", tgt,
+      maxBroadcastSide, "maxBroadcastSide",
+      "nominate with an ANN composition and rescore, or raise the limit")
+    // count-gated id-hash exchanges before the two per-row-heavy BNLJ
+    // passes (each STREAMS the other corpus side; the broadcast side's
+    // row count gates its pin) — the cosineTopK parallelism rule (r16)
+    val a = pinIfManyQueries(
+      src.select(col(id).cast("long").as("a_id"),
+        col(vec).as("a_vec"), norm(col(vec)).as("a_norm")),
+      col("a_id"), nTgt)
+    val b = pinIfManyQueries(
+      tgt.select(col(id).cast("long").as("b_id"),
+        col(vec).as("b_vec"), norm(col(vec)).as("b_norm")),
+      col("b_id"), nSrc)
     val fwd = Caches.track(topKMerge(
       b.join(broadcast(a), lit(true))
         .select(col("a_id").as("q_id"), col("b_id").as("c_id"),
@@ -267,9 +285,14 @@ object Similarity {
     * callers). A limit at/above Int.MaxValue that is NOT the opt-out is
     * rejected outright: the probe cannot bound it, and silently
     * disabling the guard would be worse than an error. */
+  /** Returns the probed row count (exact when it passed the guard), or
+    * -1 when the guardrail is disabled (`Long.MaxValue` = fully lazy —
+    * no probe job runs, so the count is unknown). The count is free
+    * attribution the bounded ops reuse for the parallelism-pin decision
+    * below. */
   private def requireBounded(op: String, side: String, df: DataFrame,
                              maxRows: Long, limitName: String,
-                             alternative: String): Unit =
+                             alternative: String): Long =
     if (maxRows != Long.MaxValue) {
       require(maxRows < Int.MaxValue,
         s"$op: $limitName=$maxRows is above the probe-able range " +
@@ -279,7 +302,33 @@ object Similarity {
       require(probed <= maxRows,
         s"$op is a brute-force operator, but its $side side has at least " +
           s"$probed rows (> $limitName=$maxRows); $alternative")
-    }
+      probed
+    } else -1L
+
+  /** Query-count threshold above which the brute BNLJ scorers pin a
+    * deterministic id-hash exchange on the streamed (corpus) side
+    * before scoring (the editDistancePairs parallelism lesson: a
+    * broadcast-joined plan runs at the input's split count — ONE split
+    * for a small/local corpus file, serializing the scoring pass).
+    * The exchange costs one corpus-row move; the scoring stage computes
+    * |queries| fused d-term dots per row, so the pin pays exactly when
+    * the query side is large — measured at sf0.1 (r16, interleaved
+    * BenchAB): |q| = 2000 (mutual-kNN) −0.67 s paired, |q| = 200 (q19)
+    * +0.39 s paired. 1024 sits in the measured crossover band; ops
+    * whose query side is unprobed (fully-lazy callers) never pin. */
+  private val PinParallelismMinQueries = 1024L
+
+  /** Pin the compute parallelism of a per-row-heavy BNLJ scoring pass
+    * when the (probed) query side is large enough to pay for the
+    * exchange — no-op for small or unknown query counts. Explicit-n
+    * repartition ⇒ exempt from AQE's byte-based coalescing (which
+    * re-serializes KB-sized exchanges feeding compute-bound stages). */
+  private def pinIfManyQueries(df: DataFrame, key: Column,
+                               nQueries: Long): DataFrame =
+    if (nQueries >= PinParallelismMinQueries)
+      df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, key)
+    else df
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, brute force
     * over the full pair space a<b. Quadratic — correct baseline and the
@@ -548,15 +597,17 @@ object Similarity {
     var selected =
       Vector((seed(0).getLong(0), quant(seed(0).getSeq[Float](1)), 0L))
     val d = selected.head._2.length
-    def d2To(ctr: Array[Long]): Column =
-      (0 until d).map { j =>
-        val t = floor(element_at(col("c_vec"), j + 1).cast("double") * scale)
-          .cast("long") - lit(ctr(j))
-        t * t
-      }.reduce(_ + _)
+    // min-distance-to-selected as ONE native fused expression over a
+    // flat center array carried by addReferenceObj (r16; the Sq8Dot
+    // array-parameter rule) — the literal `least(Σ (q_j − c_j)²…)` tree
+    // grew k·d terms and re-paid Catalyst analysis + codegen per greedy
+    // round per run (q259 measured warm 4.1 s on a 10-stage no-shuffle
+    // plan). Same integers: floor((double)v_j·2ˢ) − c_j, squared,
+    // summed, min over centers.
     var round = 2
     while (round <= k) {
-      val minD = selected.map(s => d2To(s._2)).reduce(least(_, _))
+      val minD = graft.functions.VectorExprs.minCenterDist2(
+        col("c_vec"), selected.flatMap(_._2).toArray, d, scaleBits)
       val next = c.filter(!col("c_id").isin(selected.map(_._1): _*))
         .select(col("c_id"), col("c_vec"), minD.as("__d"))
         .orderBy(col("__d").desc, col("c_id").asc).limit(1).collect()
@@ -651,7 +702,8 @@ object Similarity {
     require(alpha >= 1 && beta >= 0,
       s"need alpha >= 1, beta >= 0, got alpha=$alpha beta=$beta")
     require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits: $scaleBits")
-    requireBounded("densePrfTopK", "query", queries, maxBroadcastQueries,
+    val nQ = requireBounded("densePrfTopK", "query", queries,
+      maxBroadcastQueries,
       "maxBroadcastQueries", "batch the queries or raise the limit")
     // BOTH dot rounds run as fused-codegen BNLJ passes, never the
     // relational (id, dim, m) expansion (|corpus|·d·|queries| joined
@@ -665,8 +717,12 @@ object Similarity {
     // same Σ floor(2ˢ·c)·mq2 integers as the relational form.
     val q1 = queries.select(col(id).cast("long").as("q_id"),
       col(vec).as("q_vec"))
-    val c1 = corpus.select(col(id).cast("long").as("c_id"),
-      col(vec).as("c_vec"))
+    // count-gated id-hash exchange before the per-row-heavy BNLJ — the
+    // cosineTopK/editDistancePairs parallelism rule (r16)
+    val c1 = pinIfManyQueries(
+      corpus.select(col(id).cast("long").as("c_id"),
+        col(vec).as("c_vec")),
+      col("c_id"), nQ)
     val r1 = c1.crossJoin(broadcast(q1))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -787,11 +843,18 @@ object Similarity {
     // exchange, so the 64-term quantize array would collapse into the
     // post-join project and re-evaluate PER PAIR (the q120 lesson —
     // re-learned here the hard way: the unpersisted first cut measured
-    // SLOWER than the relational dim-join it replaced)
-    val codes = Caches.track(c1.select(col("c_id"),
-      array((0 until dims).map(j =>
-        floor(element_at(col("c_vec"), j + 1).cast("double") * scale)
-          .cast("int")): _*).as("codes")).persist())
+    // SLOWER than the relational dim-join it replaced). A count-gated
+    // id-hash exchange parallelizes the round-2 scoring over the cached
+    // table for large query batches (the cosineTopK parallelism rule,
+    // r16 — a cached 1-split projection serializes the BNLJ just like a
+    // 1-split scan); nQ is already collected by the guard above.
+    val codes = Caches.track(pinIfManyQueries(
+      c1.select(col("c_id"),
+        array((0 until dims).map(j =>
+          floor(element_at(col("c_vec"), j + 1).cast("double") * scale)
+            .cast("int")): _*).as("codes")),
+      col("c_id"), nQ)
+      .persist())
     val zeros = Array.fill(dims)(0L)
     val ident = Array.fill(dims)(255L)
     val r2 = codes.crossJoin(broadcast(q2))
@@ -1904,37 +1967,49 @@ object Similarity {
             .as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("node").asc)
+    // (candidate scoring joins are frontier-bounded — the node-vector
+    // side stays an equi-join keyed by node, which at serving scale is
+    // the bucket-pruned index read; no BNLJ, so no parallelism pin
+    // needed here)
+    //
     // the query's OWN node (in-corpus queries) is scored and may hold a
     // beam slot — excluding it from the WALK would disconnect the two
     // sides of its neighborhood (a chain query could never reach past
     // itself); it is filtered from RESULTS only, below.
     //
-    // ONE state table per hop: (q_id, node, cos, __exp) where __exp
-    // marks every node already expanded (= member of any prior
-    // frontier). The frontier is derived inside the hop (top-beam ∧
-    // ¬__exp), and __exp' = __exp ∨ rank ≤ beam — the same set as the
-    // separate expanded-accumulator formulation, at ONE eager
-    // localCheckpoint per hop instead of two (the loop is
-    // job-count-bound at query time; state must checkpoint each hop or
-    // the self-embedding union/anti-join tree grows exponentially —
-    // the q211 discipline).
-    var state = score(q.select(col("q_id")).crossJoin(entries))
-      .withColumn("__exp", lit(false))
+    // ONE state table per hop: (q_id, node, cos, __exp, __rn) where
+    // __exp marks every node already expanded (= member of any prior
+    // frontier) and __rn is the per-query beam rank, computed ONCE
+    // inside the checkpointed plan (r16: the old shape derived the rank
+    // twice per hop — once for the frontier, once for the __exp
+    // update — and de-duplicated candidates with a distinct + an
+    // anti-join, three extra exchanges per hop on a loop that is
+    // job-count-bound). Candidate dedup and the scored-set fold are now
+    // ONE (q_id, node) aggregate: re-reached nodes re-score to the
+    // IDENTICAL (cos) row (deterministic scoring) and merge away via
+    // max, __exp folds as max (true wins) — the scored set, the
+    // expanded set and so the walk are unchanged row for row
+    // (spec-pinned hop-monotone recall + ProbeQ255 operating point).
+    // One eager localCheckpoint per hop (state must checkpoint or the
+    // self-embedding union tree grows exponentially — q211 discipline).
+    def rank(st: DataFrame): DataFrame =
+      st.withColumn("__rn", row_number().over(w))
+    var state = rank(score(q.select(col("q_id")).crossJoin(entries))
+        .withColumn("__exp", lit(false)))
       .localCheckpoint(true)
     for (_ <- 1 to hops) {
-      val ranked = state.withColumn("__rn", row_number().over(w))
-      val frontier = ranked
+      val frontier = state
         .filter(col("__rn") <= beamWidth && !col("__exp"))
         .select(col("q_id"), col("node"))
       val cand = frontier
         .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
-        .select(col("q_id"), col("dst").as("node")).distinct()
-        .join(state.select(col("q_id"), col("node")),
-          Seq("q_id", "node"), "left_anti")
-      state = ranked
-        .select(col("q_id"), col("node"), col("cos"),
-          (col("__exp") || col("__rn") <= beamWidth).as("__exp"))
-        .unionByName(score(cand).withColumn("__exp", lit(false)))
+        .select(col("q_id"), col("dst").as("node"))
+      state = rank(state
+          .select(col("q_id"), col("node"), col("cos"),
+            (col("__exp") || col("__rn") <= beamWidth).as("__exp"))
+          .unionByName(score(cand).withColumn("__exp", lit(false)))
+          .groupBy(col("q_id"), col("node"))
+          .agg(max(col("cos")).as("cos"), max(col("__exp")).as("__exp")))
         .localCheckpoint(true)
     }
     topKMerge(state.filter(col("q_id") =!= col("node"))
@@ -1949,9 +2024,16 @@ object Similarity {
                      hops: Int, entryBuckets: Int = 4,
                      salt: String = "knng"): DataFrame = {
     val pairs = mutualKnnPairs(corpus, id, vec, knnK)
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"),
-        col("a_id").as("dst")))
+    // consumed once per hop by the expansion join, and its recompute
+    // crosses the mutual-pair self-join's shuffle — the persist-pays
+    // rule (r16: the un-persisted edge plan re-ran the fwd⋈bwd join
+    // every hop; the serving path reads a TABLE instead, so the persist
+    // belongs here, in the in-query builder, only)
+    val edges = Caches.track(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"),
+          col("a_id").as("dst")))
+        .persist())
     knnGraphBeamSearch(queries, edges, corpus, id, vec, k, beamWidth,
       hops, entryBuckets, salt)
   }

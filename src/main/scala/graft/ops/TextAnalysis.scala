@@ -10,8 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties removed. */
+  /** Whitespace tokens, empties removed. NATIVE (r16): the 1-gram
+    * positional projection of [[graft.functions.WordShinglesExpr]] —
+    * the compositional `filter(split(text, "\\s+"), _ =!= "")` ran the
+    * `filter` higher-order function INTERPRETED (per-token lambda
+    * dispatch inside EVERY tokenize pass of the retrieval/dedup/funnel
+    * families); the native expression does the identical split +
+    * empty-drop in one compiled pass and keeps whole-stage codegen.
+    * Element-order bit-equality with the HOF form is spec-pinned
+    * (TextAnalysisSpec) on adversarial whitespace; [[tokensSpec]] stays
+    * as the executable specification. */
   def tokens(text: Column): Column =
+    graft.functions.WordShinglesExpr(text, 1, positional = true)
+
+  /** The compositional (HOF) form of [[tokens]] — executable
+    * specification only; interpreted, not for hot paths. */
+  def tokensSpec(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
@@ -2449,6 +2463,27 @@ object TextAnalysis {
       qtLocal, maxDist)
   }
 
+  /** [[fuzzyQueryRewrite]] straight from a text corpus — the in-query
+    * form without the index detour (r16): the rewrite only needs the
+    * vocabulary `(term, df)` relation, but feeding it
+    * `indexPostings(df)` pays the full `(doc, term, tf)` aggregate PLUS
+    * the dl aggregate PLUS their join (Catalyst cannot eliminate the
+    * inner dl join even though the rewrite never reads dl). One
+    * tokenize + one term-level aggregate instead; df values — and so
+    * corrections — identical by construction (spec-pinned). */
+  def fuzzyQueryRewriteFromText(df: DataFrame, id: String, text: String,
+                                queries: DataFrame, qid: String,
+                                qtext: String, maxDist: Int = 1,
+                                maxQueryTerms: Int = 10000,
+                                maxTermLen: Int = 32): DataFrame = {
+    val qtLocal = localQueryTerms(df.sparkSession, queries, qid,
+      qtext, maxQueryTerms, maxDist, maxTermLen)
+    fuzzyRewriteCore(
+      symSpellKeysFromDf(termDfFromText(df, id, text), maxDist,
+        maxTermLen),
+      qtLocal, maxDist)
+  }
+
   /** The SymSpell KEY TABLE rows from a postings vocabulary —
     * `(w, df, key)`: every vocabulary term with its document frequency,
     * exploded by its depth-`maxDist` delete neighborhood. Terms longer
@@ -2459,17 +2494,39 @@ object TextAnalysis {
     * key blow-up (1 + L + L(L−1)/2 keys per term at depth 2) with zero
     * completeness loss. */
   private def symSpellKeys(postings: DataFrame, maxDist: Int,
-                           maxTermLen: Int): DataFrame = {
+                           maxTermLen: Int): DataFrame =
+    // postings rows are unique per (doc, term) -> df is a plain count
+    symSpellKeysFromDf(
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      maxDist, maxTermLen)
+
+  /** [[symSpellKeys]] from a bare `(term, df)` vocabulary relation —
+    * shared by the postings path and the from-text path (which builds
+    * the vocabulary in ONE term-level aggregate instead of the full
+    * `(doc, term, tf, dl)` index chain). */
+  private def symSpellKeysFromDf(termDf: DataFrame, maxDist: Int,
+                                 maxTermLen: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"symSpell: maxDist must be 1 or 2, got $maxDist")
     require(maxTermLen >= 1, s"bad maxTermLen: $maxTermLen")
-    // postings rows are unique per (doc, term) -> df is a plain count
-    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    termDf
       .filter(length(col("term")) <= maxTermLen + maxDist)
       .select(col("term").as("w"), col("df"))
       .select(col("w"), col("df"),
         explode(delKeys(col("w"), maxDist)).as("key"))
   }
+
+  /** The `(term, df)` vocabulary relation straight from a text corpus:
+    * `array_distinct` makes (doc, term) unique per row BEFORE the
+    * explode, so df is a plain count — one tokenize pass, one
+    * vocabulary-bounded aggregate, never the `(doc, term, tf)` + dl
+    * index chain. Identical df values to
+    * `indexPostings(df).groupBy(term).count` by construction. */
+  private def termDfFromText(df: DataFrame, id: String,
+                             text: String): DataFrame =
+    df.select(
+        explode(array_distinct(tokens(lower(col(text))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /** Collect the distinct query terms as a LOCAL relation (the query
     * side is driver-bounded by contract) with the loud bounds the
@@ -2685,6 +2742,28 @@ object TextAnalysis {
     bm25Search(postings,
       Caches.track(fuzzyQueryRewrite(postings, queries, qid, qtext,
           maxDist, maxQueryTerms)
+        .filter(col("qtext2") =!= "").persist()),
+      "q_id", "qtext2", k, scaleBits, maxQueryTerms)
+
+  /** [[fuzzyBm25Search]] straight from a text corpus — the full
+    * typo-tolerant in-query composition without the index detour (r16):
+    * the old q224 shape passed one UNPERSISTED `indexPostings(df)` plan
+    * to both the rewrite and [[bm25Search]], so the corpus re-tokenized
+    * and re-aggregated once per consumer (key-table df, the stats
+    * `distinct(doc, dl)`, the vocab tf scan, the contribution read —
+    * four full index-chain evaluations at bench scale). This form pays
+    * exactly TWO corpus passes: the rewrite's term-level df aggregate
+    * ([[fuzzyQueryRewriteFromText]]) and [[bm25TopK]]'s one-pass
+    * null-group core over the corrected queries. Scores identical by
+    * the established core-vs-index equivalence (q216 discipline);
+    * spec-pinned against the postings form. */
+  def fuzzyBm25FromText(df: DataFrame, id: String, text: String,
+                        queries: DataFrame, qid: String, qtext: String,
+                        k: Int, maxDist: Int = 1, scaleBits: Int = 12,
+                        maxQueryTerms: Int = 10000): DataFrame =
+    bm25TopK(df, id, text,
+      Caches.track(fuzzyQueryRewriteFromText(df, id, text, queries, qid,
+          qtext, maxDist, maxQueryTerms)
         .filter(col("qtext2") =!= "").persist()),
       "q_id", "qtext2", k, scaleBits, maxQueryTerms)
 
@@ -3073,7 +3152,7 @@ object TextAnalysis {
                              pid: String, ptext: String, k: Int,
                              maxQueryTerms: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = postings.sparkSession
+    val spark = phrases.sparkSession
     val ph = phrases.select(col(pid).as("q_id"),
       posexplode(tokens(lower(col(ptext)))).as(Seq("ofs", "term")))
     val phRows = ph.collect()
@@ -3430,7 +3509,7 @@ object TextAnalysis {
                                qid: String, qtext: String, window: Int,
                                maxQueryTerms: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val spark = postings.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
     val qt = queries.select(col(qid).as("q_id"),
       explode(array_distinct(tokens(lower(col(qtext))))).as("term"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** r16 probe: per-JOB wall/desc breakdown of one query's warm run —
+  * attribution for the job-count-bound family (q166/q227/q232/q244).
+  * Run: Test/runMain graft.ProbeR16Jobs <query> <sfDir> */
+object ProbeR16Jobs {
+  def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "q166_graph_rank"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(e.jobId, (System.nanoTime(),
+            Option(e.properties.getProperty("spark.job.description"))
+              .getOrElse(""), e.stageIds.size))
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobs.get(e.jobId)
+          if (s != null)
+            done.add((e.jobId, (System.nanoTime() - s._1) / 1e9, s._2, s._3))
+        }
+      })
+    val fn = SparkEntry.queries(name)
+    // warm
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache(); System.gc()
+    done.clear(); jobs.clear()
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    val rows = done.asScala.toSeq.sortBy(_._1)
+    println(f"[jobs] $name warm wall $dt%6.2f s, ${rows.size} jobs, " +
+      f"sum-job ${rows.map(_._2).sum}%6.2f s")
+    rows.foreach { case (id, d, desc, ns) =>
+      println(f"[jobs]   job $id%3d  $d%6.3f s  stages $ns%2d  ${desc.take(80)}")
+    }
+    spark.stop()
+  }
+}

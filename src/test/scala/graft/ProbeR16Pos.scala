@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** r16 probe: stage/shuffle profile of the positional from-text swap
+  * (q212 new vs old shapes) — why did the leaner plan measure slower?
+  * Run: Test/runMain graft.ProbeR16Pos <sfDir> */
+object ProbeR16Pos {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskTime = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            taskTime.addAndGet(m.executorRunTime)
+          }
+        }
+      })
+    def run(name: String): Unit = {
+      val fn = SparkEntry.queries(name)
+      // warm
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache(); System.gc()
+      stages.set(0); shuffle.set(0L); taskTime.set(0L)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-34s wall $dt%6.2f s  stages ${stages.get}%3d" +
+        f"  shuffle ${shuffle.get / 1e6}%8.1f MB  taskTime ${taskTime.get / 1e3}%8.1f s")
+      spark.catalog.clearCache(); System.gc()
+    }
+    Seq("q212_near_search", "q212_near_search__old",
+        "q207_phrase_search", "q207_phrase_search__old",
+        "q212_near_search", "q212_near_search__old").foreach(run)
+    spark.stop()
+  }
+}

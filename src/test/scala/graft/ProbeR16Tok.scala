@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** r16 probe: native tokens() vs the interpreted HOF spec form, same
+  * JVM, interleaved — the primitive behind every tokenize pass.
+  * Run: Test/runMain graft.ProbeR16Tok <sfDir> <rounds> */
+object ProbeR16Tok {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(name: String, c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      // the bm25Core shape: explode + count by term (map-side combine)
+      docs.select(explode(c).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both
+    run("native", TextAnalysis.tokens(lower(col("text"))))
+    run("hof", TextAnalysis.tokensSpec(lower(col("text"))))
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { r =>
+      val tn = run("native", TextAnalysis.tokens(lower(col("text"))))
+      val th = run("hof", TextAnalysis.tokensSpec(lower(col("text"))))
+      times("native") :+= tn; times("hof") :+= th
+      println(f"[tok] round $r native $tn%6.3f  hof $th%6.3f  delta ${th - tn}%+6.3f")
+    }
+    def med(v: Vector[Double]) = v.sorted.apply(v.size / 2)
+    println(f"[tok] MEDIAN native ${med(times("native"))}%6.3f  " +
+      f"hof ${med(times("hof"))}%6.3f")
+    spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r16 probe: topKMerge's Dataset-closure heap vs a native
+  * row_number window (WindowGroupLimit) top-k over the same scored
+  * relation — the primitive ending every ANN/similarity query.
+  * Run: Test/runMain graft.ProbeR16TopK <sfDir> <rounds> */
+object ProbeR16TopK {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Queries.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Queries.table(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").cast("long").as("c_id"),
+      col("embedding").as("c_vec"))
+    def scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorExprs.quantDot(col("c_vec"), col("q_vec"), 12)
+          .cast("double").as("cos"))
+    def heap(): Unit = {
+      graft.ops.Similarity.topKMerge(scored, 5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def window(): Unit = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"),
+          col("c_id").as("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    heap(); window()
+    (1 to rounds).foreach { r =>
+      val t0 = System.nanoTime(); heap()
+      val t1 = System.nanoTime(); window()
+      val t2 = System.nanoTime()
+      println(f"[topk] round $r heap ${(t1 - t0) / 1e9}%6.3f  " +
+        f"window ${(t2 - t1) / 1e9}%6.3f")
+    }
+    spark.stop()
+  }
+}

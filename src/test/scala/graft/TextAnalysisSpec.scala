@@ -2747,4 +2747,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       .isEmpty)
   }
+
+  test("tokens: native 1-gram expression ≡ HOF specification " +
+      "(element order, adversarial whitespace)") {
+    val df = Seq("  the quick  brown ", "a\tb\nc\r\nd", "", "   ",
+      "x", "a b", "one two one").toDF("t")
+    val native = df.select(TextAnalysis.tokens(col("t"))).collect()
+      .map(_.getSeq[String](0))
+    val spec = df.select(TextAnalysis.tokensSpec(col("t"))).collect()
+      .map(_.getSeq[String](0))
+    assert(native.toSeq == spec.toSeq)
+    // null text -> null array on both paths
+    val nd = Seq[Option[String]](None).toDF("t")
+    assert(nd.select(TextAnalysis.tokens(col("t"))).collect()
+      .head.isNullAt(0))
+    assert(nd.select(TextAnalysis.tokensSpec(col("t"))).collect()
+      .head.isNullAt(0))
+  }
+
+  test("from-text fuzzy family ≡ postings form (r16 plan swap): " +
+      "rewrite depth 1 and 2, fuzzy BM25 rows bit-identical") {
+    val docs = Seq(
+      (1L, "banana apple cherry apple"),
+      (2L, "banana banana grape"),
+      (3L, "apple grape melon banana"),
+      (4L, "cherry melon melon")
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.indexPostings(docs, "doc_id", "text")
+    val q1 = Seq((1L, "banan cherry"), (2L, "aple")).toDF("q_id", "qtext")
+    val q2 = Seq((1L, "banna chery"), (2L, "ape")).toDF("q_id", "qtext")
+    def set(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    try {
+      assert(set(TextAnalysis.fuzzyQueryRewriteFromText(docs, "doc_id",
+          "text", q1, "q_id", "qtext")) ==
+        set(TextAnalysis.fuzzyQueryRewrite(idx, q1, "q_id", "qtext")))
+      assert(set(TextAnalysis.fuzzyQueryRewriteFromText(docs, "doc_id",
+          "text", q2, "q_id", "qtext", maxDist = 2)) ==
+        set(TextAnalysis.fuzzyQueryRewrite(idx, q2, "q_id", "qtext",
+          maxDist = 2)))
+      assert(set(TextAnalysis.fuzzyBm25FromText(docs, "doc_id", "text",
+          q1, "q_id", "qtext", k = 5)) ==
+        set(TextAnalysis.fuzzyBm25Search(idx, q1, "q_id", "qtext",
+          k = 5)))
+    } finally graft.ops.Caches.release(blocking = true)
+  }
 }
