@@ -9563,11 +9563,15 @@ object Queries {
       val cent = trainedCentroids(s, d).toSeq
         .toDF("cent_id", "cent_vec", "cent_norm")
       val (lo, hi) = trainedSq8(s, d)
-      val brute = Similarity.densePrfTopK(q, e, "vec_id", "embedding",
-        k = 5, fbDocs = 3, alpha = 2L, beta = 1L)
-      val ivf = Similarity.densePrfIvfTopK(q, e, "vec_id", "embedding",
-        k = 5, fbDocs = 3, alpha = 2L, beta = 1L, cent, nProbe = 3, lo,
-        hi)
+      // the two rankers are independent until the recall join, but each
+      // side's CONSTRUCTION runs driver collects (feedback guards) that
+      // would otherwise serialize — overlap them (guide §2.6, r16)
+      val (brute, ivf) = graft.ops.Par.sections(
+        Similarity.densePrfTopK(q, e, "vec_id", "embedding",
+          k = 5, fbDocs = 3, alpha = 2L, beta = 1L),
+        Similarity.densePrfIvfTopK(q, e, "vec_id", "embedding",
+          k = 5, fbDocs = 3, alpha = 2L, beta = 1L, cent, nProbe = 3, lo,
+          hi))
       Similarity.topKRecall(ivf, brute, "q_id", "neighbor_id")
     },
     None, bench = true,

@@ -1,0 +1,37 @@
+package graft.ops
+
+/** Driver-side overlap of INDEPENDENT query-construction sections —
+  * the optimization-guide §2.6 move ("actions are only sequential
+  * because your driver code calls them sequentially").
+  *
+  * The eval-row queries (IVF-vs-brute recall, graph-ANN-vs-exact
+  * recall) compose two rankers that are independent until the final
+  * recall join, but each ranker's CONSTRUCTION runs driver actions —
+  * guard union-collects, feedback-count collects, hop-loop
+  * checkpoints — so the two sides' jobs serialize even though the
+  * cluster could back-fill one side's stragglers with the other
+  * side's tasks (FIFO scheduling gives exactly that). Running the two
+  * construction thunks on two driver threads overlaps those jobs; the
+  * DataFrames they return stay lazy and the terminal action is
+  * unchanged, so results are bit-identical (r16: BenchAB-paired on
+  * q227/q255 before landing).
+  *
+  * Thread-safety notes: every operator here threads its SparkSession
+  * through explicitly (no `SparkSession.getActiveSession` reliance),
+  * and [[Caches]] is a concurrent ledger, so construction is safe off
+  * the main thread. A fresh 2-thread pool per call — this runs once
+  * per query, never per row. */
+object Par {
+  def sections[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[A] {
+        override def call(): A = a
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = b
+      })
+      (fa.get(), fb.get())
+    } finally pool.shutdown()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Par
+
+/** Pins the driver-side construction-overlap helper (r16): both thunks
+  * run, both results come back in order, and a failing section
+  * propagates its cause instead of hanging the other side. */
+class ParSpec extends AnyFunSuite {
+
+  test("sections runs both thunks and returns both results in order") {
+    val ranA = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ranB = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val (a, b) = Par.sections({ ranA.set(true); 41 }, { ranB.set(true); "x" })
+    assert(a === 41)
+    assert(b === "x")
+    assert(ranA.get() && ranB.get())
+  }
+
+  test("sections genuinely overlaps the two thunks") {
+    // each side blocks until the other has started — serial execution
+    // would deadlock; the 5 s latch await bounds the failure mode
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    val (a, b) = Par.sections({
+      aStarted.countDown()
+      assert(bStarted.await(5, java.util.concurrent.TimeUnit.SECONDS))
+      1
+    }, {
+      bStarted.countDown()
+      assert(aStarted.await(5, java.util.concurrent.TimeUnit.SECONDS))
+      2
+    })
+    assert((a, b) === ((1, 2)))
+  }
+
+  test("a failing section surfaces its exception") {
+    val boom = intercept[java.util.concurrent.ExecutionException] {
+      Par.sections({ throw new IllegalStateException("boom"); () }, 2)
+    }
+    assert(boom.getCause.isInstanceOf[IllegalStateException])
+  }
+}
