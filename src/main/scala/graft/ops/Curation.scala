@@ -592,14 +592,24 @@ object Curation {
     import df.sparkSession.implicits._
     val scale = (1L << scaleBits).toDouble
     val gscale = (1L << 20).toDouble
-    // quantize ONCE: training and apply see the identical integer grid
+    // quantize ONCE: training and apply see the identical integer grid.
+    // PERSIST the epoch input (r16): every epoch is a full action over
+    // this dataset, so an unpersisted input re-evaluates its entire
+    // upstream plan `epochs` times — for the LTR trainer that upstream
+    // is the whole BM25 feature chain (measured: q195's cold bench run
+    // spent ~30 s here, 30 × the ~1 s feature build). The persist-pays
+    // rule holds on both conditions: consumed `epochs` times and the
+    // recompute crosses shuffles/aggregates. MEMORY_AND_DISK (Dataset
+    // default) — production training sets are labeled seed sets, not
+    // the corpus (see scale note above).
     val rows = df.select(col(vec), labelCol.cast("int").as("__y"))
       .as[(Seq[Float], Int)]
+      .persist()
     var w: Array[Double] = null
     var b = 0.0
     var n = 0L
     var epoch = 0
-    while (epoch < epochs) {
+    try while (epoch < epochs) {
       // stable closure snapshot for this epoch (ww null ⇔ first epoch,
       // where all weights are still zero)
       val ww = if (w == null) null else w.clone()
@@ -642,7 +652,7 @@ object Curation {
       while (j < d) { w(j) -= lr * (g(j) / gscale) / n; j += 1 }
       b -= lr * (g(d) / gscale) / n
       epoch += 1
-    }
+    } finally rows.unpersist(false)
     (w.map(x => math.floor(x * scale).toLong),
       math.floor(b * scale * scale).toLong)
   }
