@@ -21,7 +21,15 @@ import org.apache.spark.sql.SparkSession
   * codegen + page cache), clearCache + GC between timed runs. Absolute
   * numbers are NOT comparable to Bench headline numbers (different
   * JVM/session history) — only the WITHIN-RUN comparisons mean
-  * anything. */
+  * anything.
+  *
+  * Execution order ALTERNATES per round (given order on odd rounds,
+  * reversed on even): r16 measured a systematic ~0.3-0.5 s
+  * second-listed-wins bias within an adjacent x/x__old pair on a
+  * loaded machine (the q212 dl-removal A/B read +0.46 in one order
+  * and -0.51 in the other) — alternation makes the paired median mix
+  * both positions so the bias self-cancels instead of masquerading as
+  * a verdict. */
 object BenchAB {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -53,7 +61,8 @@ object BenchAB {
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     (1 to rounds).foreach { r =>
-      names.foreach { n =>
+      val order = if (r % 2 == 1) names else names.reverse
+      order.foreach { n =>
         val t = runOnce(n)
         times(n) = times(n) :+ t
         println(f"[ab] round $r%2d $n%-28s $t%7.3f s")

@@ -8398,7 +8398,7 @@ object Queries {
           array_join(slice(TextAnalysis.tokens(col("text")), 1, 2), " ")
             .as("qtext"))
       TextAnalysis.phraseSearchPositional(
-        TextAnalysis.indexPostingsPositional(docs(s, d), "doc_id", "text"),
+        TextAnalysis.positionalPostings(docs(s, d), "doc_id", "text"),
         phrases, "q_id", "qtext", k = 10)
     },
     Some("""WITH dt AS (SELECT doc_id, list_filter(
@@ -8941,7 +8941,7 @@ object Queries {
     * per-term last-seen positions). */
   private val q212 = QDef("q212_near_search",
     (s, d) => TextAnalysis.nearSearch(
-      TextAnalysis.indexPostingsPositional(docs(s, d), "doc_id", "text"),
+      TextAnalysis.positionalPostings(docs(s, d), "doc_id", "text"),
       bm25Queries(s, d), "q_id", "qtext", window = 12, k = 10),
     Some("""WITH dt AS MATERIALIZED (SELECT doc_id, list_filter(
                 regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
@@ -10717,7 +10717,7 @@ object Queries {
     * token slice. */
   private val q225 = QDef("q225_near_snippets",
     (s, d) => TextAnalysis.nearSnippets(
-      TextAnalysis.indexPostingsPositional(docs(s, d), "doc_id", "text"),
+      TextAnalysis.positionalPostings(docs(s, d), "doc_id", "text"),
       docs(s, d), "doc_id", "text",
       bm25Queries(s, d), "q_id", "qtext", window = 12, k = 10),
     Some("""WITH dt AS MATERIALIZED (SELECT doc_id, list_filter(

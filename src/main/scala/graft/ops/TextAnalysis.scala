@@ -1864,26 +1864,32 @@ object TextAnalysis {
                        tTot: Long, nDocs: Long,
                        idfRows: Seq[(String, Long)], qt: DataFrame,
                        k: Int, scaleBits: Int,
-                       prune: Boolean): DataFrame = {
+                       prune: Boolean): DataFrame =
+    rankTopK(bm25Contribs(tdq, dld, tTot, nDocs, idfRows, scaleBits),
+      qt, k, prune)
+
+  /** The per-posting contribution table `(doc, term, contrib)` shared
+    * by the rank entry points. The contribution has NO query dependence
+    * (idf is a per-term constant), so compute it once per POSTING —
+    * Σdf rows — before the q_id expansion. The r8 shape joined norm and
+    * evaluated the div chain on the Σdf·qf expanded relation, shuffling
+    * it through a sort-merge join; this shape's only expanded-row work
+    * is a broadcast q_id attach + the final (q_id, doc) aggregate. Same
+    * integers per row, so scores and hashes are unchanged. */
+  private def bm25Contribs(tdq: DataFrame, dld: DataFrame, tTot: Long,
+                           nDocs: Long, idfRows: Seq[(String, Long)],
+                           scaleBits: Int): DataFrame = {
     val spark = tdq.sparkSession
     import spark.implicits._
     val s = 1L << scaleBits
     val norm = dld.withColumn("norm_q",
       expr(s"($s * ($tTot + 3 * dl * $nDocs)) div (4 * $tTot)"))
-    // The contribution has NO query dependence (idf is a per-term
-    // constant), so compute it once per POSTING — Σdf rows — before the
-    // q_id expansion. The r8 shape joined norm and evaluated the div
-    // chain on the Σdf·qf expanded relation, shuffling it through a
-    // sort-merge join; this shape's only expanded-row work is a
-    // broadcast q_id attach + the final (q_id, doc) aggregate. Same
-    // integers per row, so scores and hashes are unchanged.
-    val contribs = tdq
+    tdq
       .join(broadcast(idfRows.toDF("term", "idf_q")), Seq("term"))
       .join(norm, Seq("doc"))
       .withColumn("contrib",
         expr(s"(idf_q * tf * 11 * $s) div (5 * tf * $s + 6 * norm_q)"))
       .select(col("doc"), col("term"), col("contrib"))
-    rankTopK(contribs, qt, k, prune)
   }
 
   /** Shared exact ranking over a per-posting contribution table
@@ -2023,7 +2029,18 @@ object TextAnalysis {
     * query-vocabulary tf table's `(doc, term)` rows, which are exactly
     * the distinct-presence relation [[termOverlapTopK]] builds (rows
     * outside every query's vocabulary can never score), so the fused
-    * output is bit-identical to the composition. */
+    * output is bit-identical to the composition.
+    *
+    * NOT shared (r16, measured): BM25's `(q_id, doc)` aggregate already
+    * computes `count(1)` = the overlap's matched-term count, so one
+    * scored table could feed both rank windows — but the saving is
+    * bounded by the overlap side's cheap map phase (a broadcast join
+    * off the persisted core + a map-side count partial), while the
+    * second consumer of the shared table must re-read the WIDER
+    * (score, count) shuffle (or a persist of the candidate-scale
+    * table). Interleaved BenchAB: share-via-ReusedExchange +0.29 s med
+    * (9 rounds), share-via-persist −0.01 s med (7 rounds) — wash/loss
+    * both ways; the composition stays. */
   def hybridRrfTopK(df: DataFrame, id: String, text: String,
                     queries: DataFrame, qid: String, qtext: String, k: Int,
                     kRrf: Int = 60, scale: Long = 1000000L,
@@ -3094,14 +3111,31 @@ object TextAnalysis {
     * (`collect_list` then one row-local sort — never a per-doc window). */
   def indexPostingsPositional(df: DataFrame, id: String,
                               text: String): DataFrame = {
-    val tp = df.select(col(id).as("doc"),
-      posexplode(tokens(lower(col(text)))).as(Seq("p", "term")))
-    val td = tp.groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).as("tf"),
-        array_sort(collect_list(col("p"))).as("pos"))
+    val td = positionalPostings(df, id, text)
     val dl = td.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     td.join(dl, Seq("doc"))
   }
+
+  /** The `(doc, term, tf, pos)` positional aggregate WITHOUT the
+    * per-doc length column — the shape the proximity-only consumers
+    * ([[phraseSearchPositional]], [[nearSearch]], [[nearSnippets]])
+    * actually read (they project doc/term/pos and never dl/tf). Use
+    * this for IN-QUERY composition: attaching dl is not free even
+    * though consumers drop it — Catalyst cannot column-prune an inner
+    * join away, so the dl branch of [[indexPostingsPositional]]
+    * survives as a SECOND full-corpus tokenize pass feeding a
+    * distinct-doc probe and a broadcast join that attaches nothing
+    * (the r16 q212 plan: an extra posexplode Generate + two exchanges
+    * + a BHJ). Serving from a SAVED positional table is immune (column
+    * pruning happens at the scan), and [[bm25ProximityTopK]]'s bm25
+    * stage genuinely reads tf/dl — those keep the full layout. */
+  def positionalPostings(df: DataFrame, id: String,
+                         text: String): DataFrame =
+    df.select(col(id).as("doc"),
+        posexplode(tokens(lower(col(text)))).as(Seq("p", "term")))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("p"))).as("pos"))
 
   /** Persist the positional index bucketed by term — same serving
     * contract as [[savePostingsIndex]] (query-vocabulary `isin` prunes
@@ -3811,8 +3845,11 @@ object TextAnalysis {
     * co-occurs with MANY DISTINCT words outranks one repeated inside a
     * single phrase.
     *
-    * Shape: one positional-token pass self-joined at distance 1
-    * (corpus-scale but narrow), collapsed to the DISTINCT pair
+    * Shape: adjacent pairs are the ROW-LOCAL [[bigramPairs]] zip (one
+    * codegen'd tokenize pass, no join — the original distance-1
+    * self-join of two positional explodes shuffled two corpus-scale
+    * (doc, pos) streams to rebuild exactly the zip-with-tail pair
+    * multiset, r16), collapsed to the DISTINCT pair
     * inventory (vocabulary²-bounded, in practice tiny) with a
     * `minPairCount` noise floor; the rank iteration then never touches
     * the corpus. Top-k via TakeOrdered, ranks assigned on the k
@@ -3821,12 +3858,9 @@ object TextAnalysis {
                        iters: Int = 3, topK: Int = 50,
                        minPairCount: Long = 2L): DataFrame = {
     require(topK >= 1, s"bad topK: $topK")
-    val t = df.select(col(id).as("__d"),
-      posexplode(tokens(lower(col(text)))).as(Seq("__p", "__w")))
-    val a = t.select(col("__d"), col("__p"), col("__w").as("__w1"))
-    val b = t.select(col("__d"), (col("__p") - 1).as("__p"),
-      col("__w").as("__w2"))
-    val pairs = a.join(b, Seq("__d", "__p"))
+    val pairs = df
+      .select(explode(bigramPairs(lower(col(text)))).as("__b"))
+      .select(col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
       .filter(col("__w1") =!= col("__w2"))
       .select(least(col("__w1"), col("__w2")).as("a_id"),
         greatest(col("__w1"), col("__w2")).as("b_id"))

@@ -1013,6 +1013,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (1 to out.length).toSeq)
   }
 
+  test("positionalPostings: dl-free layout ≡ indexPostingsPositional " +
+      "minus dl; near/phrase results identical (r16)") {
+    // adversarial whitespace, repeated terms, case folding, empty doc
+    val docs = Seq((1L, "a x b"), (2L, "B a  b"), (3L, "a\tx x\tb"),
+      (4L, ""), (5L, "solo")).toDF("doc_id", "text")
+    val lean = TextAnalysis.positionalPostings(docs, "doc_id", "text")
+    val full = TextAnalysis.indexPostingsPositional(docs, "doc_id", "text")
+    assert(lean.columns.toSeq == Seq("doc", "term", "tf", "pos"))
+    val a = lean.as[(Long, String, Long, Seq[Int])].collect().toSet
+    val b = full.select("doc", "term", "tf", "pos")
+      .as[(Long, String, Long, Seq[Int])].collect().toSet
+    assert(a == b, s"lean $a vs full-minus-dl $b")
+    val queries = Seq((9L, "a b")).toDF("q_id", "qtext")
+    def near(idx: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.nearSearch(idx, queries, "q_id", "qtext",
+        window = 3, k = 10).as[(Long, Int, Long, Long)].collect().toSet
+    assert(near(lean) == near(full))
+    val phrases = Seq((7L, "a x")).toDF("q_id", "qtext")
+    def phr(idx: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.phraseSearchPositional(idx, phrases, "q_id", "qtext",
+        k = 10).as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(phr(lean) == phr(full))
+  }
+
+  test("textRankKeywords: bigram-zip pair inventory ≡ positional " +
+      "distance-1 self-join (r16 rewrite)") {
+    // repeated adjacent pairs, same-word adjacency (dropped), mixed
+    // whitespace, single-token and empty docs
+    val docs = Seq((1L, "a b a b a"), (2L, "x  x\ty"), (3L, "solo"),
+      (4L, ""), (5L, "B a b")).toDF("doc_id", "text")
+    // the pre-r16 reference shape: positional explode self-joined at
+    // distance 1 within each doc
+    val t = docs.select(col("doc_id").as("__d"),
+      posexplode(TextAnalysis.tokens(lower(col("text"))))
+        .as(Seq("__p", "__w")))
+    val ref = t.select(col("__d"), col("__p"), col("__w").as("__w1"))
+      .join(t.select(col("__d"), (col("__p") - 1).as("__p"),
+        col("__w").as("__w2")), Seq("__d", "__p"))
+      .filter(col("__w1") =!= col("__w2"))
+      .select(least(col("__w1"), col("__w2")).as("a_id"),
+        greatest(col("__w1"), col("__w2")).as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val zip = docs
+      .select(explode(TextAnalysis.bigramPairs(lower(col("text"))))
+        .as("__b"))
+      .select(col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+      .filter(col("__w1") =!= col("__w2"))
+      .select(least(col("__w1"), col("__w2")).as("a_id"),
+        greatest(col("__w1"), col("__w2")).as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(zip == ref, s"zip $zip vs join $ref")
+  }
+
   test("hardNegatives: positives drop, order preserved, cap applied") {
     val ranking = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
       (1L, 4, 13L), (2L, 1, 20L), (2L, 2, 21L))
