@@ -4591,10 +4591,14 @@ object Queries {
           .map(r =>
             (r.getInt(0), r.getInt(1), quantizeVec(r.getSeq[Float](2))))
           .sortBy(t => (t._1, t._2))
-      val cbRaw = collectCb(Similarity.trainPqCodebooks(e, "vec_id",
-        "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2))
-      val cbBal = collectCb(Similarity.trainPqCodebooks(ep, "vec_id",
-        "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2))
+      // raw-order and permuted-order trainings are independent given
+      // the permutation — overlap the two job chains (guide §2.6, the
+      // q227 Par.sections pattern; artifacts bit-identical)
+      val (cbRaw, cbBal) = graft.ops.Par.sections(
+        collectCb(Similarity.trainPqCodebooks(e, "vec_id",
+          "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2)),
+        collectCb(Similarity.trainPqCodebooks(ep, "vec_id",
+          "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2)))
       (perm, cbRaw, cbBal)
     })
 
@@ -4830,11 +4834,17 @@ object Queries {
           .map(r =>
             (r.getInt(0), r.getInt(1), quantizeVec(r.getSeq[Float](2))))
           .sortBy(t => (t._1, t._2))
-      val cbRaw = collectCb(Similarity.trainPqCodebooks(e, "vec_id",
-        "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2))
-      val cbRes = collectCb(Similarity.trainPqCodebooksResidual(e,
-        "vec_id", "embedding", centDf, dim = 64, m = PqM, ksub = PqKsub,
-        iters = 2))
+      // the two codebook trainings are independent given the centroids
+      // and each is a serial chain of tiny jobs (iteration checkpoints,
+      // the cold run's job-count bound) — overlap them (guide §2.6,
+      // the q227 Par.sections pattern); artifacts are bit-identical
+      // (each training's own jobs stay ordered within its thread)
+      val (cbRaw, cbRes) = graft.ops.Par.sections(
+        collectCb(Similarity.trainPqCodebooks(e, "vec_id",
+          "embedding", dim = 64, m = PqM, ksub = PqKsub, iters = 2)),
+        collectCb(Similarity.trainPqCodebooksResidual(e,
+          "vec_id", "embedding", centDf, dim = 64, m = PqM,
+          ksub = PqKsub, iters = 2)))
       (cent, cbRaw, cbRes)
     })
 
